@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table loaders.
+  *
+  * The reference declares fixed, explicit schemas per engine
+  * (reference: clickhouse-init/01-create-table.sql:53-73, init.sql:27-70);
+  * our tables are driver-generated Parquet (TESTDATA.md) whose footer schema
+  * IS the declared schema, so loading is `spark.read.parquet` — Catalyst gets
+  * column pruning + filter pushdown + vectorized scan for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(path(sfDir, table))
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
+    // for; sessions set spark.sql.legacy.parquet.nanosAsLong, and we restore
+    // a microsecond TimestampType here (truncation — same as DuckDB's
+    // TIMESTAMP_NS → TIMESTAMP cast, keeping the oracle comparable).
+    if (table == "events" &&
+      df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session config every entry point (Verify/Bench/tests) must apply. */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Register every fixture as a temp view so `spark.sql(...)` entry points
+    * (the reference's psql/clickhouse-client analogs) work side by side with
+    * the DataFrame API. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

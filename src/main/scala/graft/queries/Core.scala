@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** One registered query: a Spark program + (optionally) a DuckDB-runnable
+  * ANSI-SQL twin with IDENTICAL column names, types and row order, used by
+  * the driver as a differential-testing oracle — the same methodology the
+  * reference uses across its four engines (reference: README.md:373-397,
+  * "same query, multiple engines, identical results").
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers guaranteeing bit-identical results across Spark and DuckDB.
+  *
+  * Doubles summed in different orders diverge in low bits, so every money/
+  * measure aggregate goes through exact decimal arithmetic:
+  *  - SUM:  cast to DECIMAL(18,2) first (exact, order-independent), cast the
+  *          total back to double (values < 2^53 cents, so the cast is exact).
+  *  - AVG:  exact decimal SUM divided by COUNT — both engines then perform
+  *          the *same* IEEE-754 division on identical operands.
+  *  - exact percentiles: over integer cents, so 0.25/0.5/0.75 interpolation
+  *    is exact binary arithmetic in both engines.
+  * The reference hits the same cross-engine-determinism issues (SURVEY §1.4).
+  */
+object Det {
+  /** Exact order-independent SUM of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** SQL twin of [[dsum]]. */
+  def dsumSql(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  /** Deterministic AVG: exact decimal sum / count, single IEEE division. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  def davgSql(c: String): String = s"(${dsumSql(c)} / count(*))"
+  /** Money column as integer cents (values are 2-decimal-clean doubles). */
+  def cents(c: Column): Column = round(c * lit(100), 0).cast(LongType)
+  def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+}
+
+/** Reference-parity queries: Q1–Q4 analogs, the four sample queries
+  * (reference: postgres/preparedataset.sql:190-242) and the profiling
+  * queries (reference: clickhouse/queries.sql:1-27), translated onto the
+  * TPC-H-ish fixtures per SURVEY §7.2 / FIXTURES.md §C.
+  */
+object Core {
+  import Det._
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Q1 — aggregation by type (reference: queries/q1-aggregation-by-type/
+    * README.md:52-61): date-range filter → single-key group → count/avg/min/
+    * max → sort on derived aggregate. Exercises scan + pushed predicate +
+    * partial/final hash aggregation + sort, exactly the stack the reference
+    * designed Q1 to stress (README.md:24-30 of that dir). */
+  val q01 = Q(
+    "q01_agg_by_type",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(davg(col("l_extendedprice")), 2).as("avg_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(desc("avg_price"), col("l_returnflag")),
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             round(${davgSql("l_extendedprice")}, 2) AS avg_price,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      GROUP BY l_returnflag
+      ORDER BY avg_price DESC, l_returnflag"""))
+
+  /** Q2 — town×month rollup analog (reference: queries/q2-town-month-rollup/
+    * README.md:52-61): IN-list + range predicates, two-key group with an
+    * expression key (month truncation). */
+  val q02 = Q(
+    "q02_rollup_month",
+    (s, d) =>
+      ord(s, d)
+        .filter(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("2000-01-01").cast(TimestampType))
+        .groupBy(
+          col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(davg(col("o_totalprice")), 2).as("avg_total"),
+          max(col("o_totalprice")).as("max_total"))
+        .orderBy(col("o_orderpriority"), col("month")),
+    Some(s"""
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             count(*) AS n,
+             round(${davgSql("o_totalprice")}, 2) AS avg_total,
+             max(o_totalprice) AS max_total
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+      GROUP BY o_orderpriority, month
+      ORDER BY o_orderpriority, month"""))
+
+  /** Q3 — YoY via window functions (reference: queries/q3-yoy-window-functions/
+    * README.md:60-82): CTE of yearly aggregates feeding LAG, derived delta
+    * and pct columns with NULL propagating on each partition's first row. */
+  val q03 = Q(
+    "q03_yoy_window",
+    (s, d) => {
+      val yearly = li(s, d)
+        .groupBy(
+          col("l_returnflag"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(davg(col("l_extendedprice")).as("avg_raw"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yr"))
+      yearly
+        .select(
+          col("l_returnflag"),
+          col("yr"),
+          round(col("avg_raw"), 2).as("avg_price"),
+          round(col("avg_raw") - lag(col("avg_raw"), 1).over(w), 2)
+            .as("yoy_delta"),
+          round(
+            lit(100.0) * (col("avg_raw") - lag(col("avg_raw"), 1).over(w)) /
+              lag(col("avg_raw"), 1).over(w),
+            2).as("yoy_pct"))
+        .orderBy(col("l_returnflag"), col("yr"))
+    },
+    Some(s"""
+      WITH yearly AS (
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INTEGER) AS yr,
+               ${davgSql("l_extendedprice")} AS avg_raw
+        FROM lineitem
+        GROUP BY l_returnflag, yr
+      )
+      SELECT l_returnflag, yr,
+             round(avg_raw, 2) AS avg_price,
+             round(avg_raw - lag(avg_raw) OVER w, 2) AS yoy_delta,
+             round(100.0 * (avg_raw - lag(avg_raw) OVER w)
+                   / lag(avg_raw) OVER w, 2) AS yoy_pct
+      FROM yearly
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
+      ORDER BY l_returnflag, yr"""))
+
+  /** Q4 — top-N dimension + join-back + exact percentiles (reference:
+    * queries/q4-top-countries-percentiles/README.md:50-72): a twice-used
+    * filtered CTE, top-10 selection, broadcast hash join of the 10-row side
+    * (the plan the reference observes on PG: "Hash join for CTE → main
+    * table"), percentile_cont(0.25/0.5/0.75/0.95). Percentiles run over
+    * integer cents so the 1/4-quantile interpolation is exact binary
+    * arithmetic in every engine. */
+  val q04 = Q(
+    "q04_topn_percentiles",
+    (s, d) => {
+      val filtered = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+        .withColumn("cents", cents(col("o_totalprice")))
+      val top = filtered
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("o_custkey"))
+        .limit(10)
+      filtered
+        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(davg(col("o_totalprice")), 2).as("avg_total"),
+          (expr("percentile(cents, 0.25D)") / 100).as("p25"),
+          (expr("percentile(cents, 0.50D)") / 100).as("p50"),
+          (expr("percentile(cents, 0.75D)") / 100).as("p75"),
+          (expr("percentile(cents, 0.95D)") / 100).as("p95"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    },
+    Some(s"""
+      WITH filtered AS (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               ${centsSql("o_totalprice")} AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      ), top_customers AS (
+        SELECT o_custkey, count(*) AS cnt
+        FROM filtered GROUP BY o_custkey
+        ORDER BY cnt DESC, o_custkey LIMIT 10
+      )
+      SELECT f.o_custkey, f.o_orderstatus, count(*) AS n,
+             round(${davgSql("f.o_totalprice")}, 2) AS avg_total,
+             quantile_cont(f.cents, 0.25) / 100 AS p25,
+             quantile_cont(f.cents, 0.50) / 100 AS p50,
+             quantile_cont(f.cents, 0.75) / 100 AS p75,
+             quantile_cont(f.cents, 0.95) / 100 AS p95
+      FROM filtered f JOIN top_customers t USING (o_custkey)
+      GROUP BY f.o_custkey, f.o_orderstatus
+      ORDER BY f.o_custkey, f.o_orderstatus"""))
+
+  /** Sample query 1 (reference: postgres/preparedataset.sql:190-199):
+    * median price by year × type via exact percentile_cont(0.5). */
+  val q05 = Q(
+    "q05_median_by_year",
+    (s, d) =>
+      li(s, d)
+        .withColumn("cents", cents(col("l_extendedprice")))
+        .groupBy(
+          year(col("l_shipdate")).as("yr"),
+          col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          (expr("percentile(cents, 0.5D)") / 100).as("median_price"))
+        .orderBy(col("yr"), col("l_returnflag")),
+    Some(s"""
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_returnflag,
+             count(*) AS n,
+             quantile_cont(${centsSql("l_extendedprice")}, 0.5) / 100
+               AS median_price
+      FROM lineitem
+      GROUP BY yr, l_returnflag
+      ORDER BY yr, l_returnflag"""))
+
+  /** Sample query 2 (reference: postgres/preparedataset.sql:204-215): most
+    * recent top-100 listing — multi-key DESC sort + LIMIT, which Spark
+    * executes as TakeOrderedAndProject (no global sort materialization). */
+  val q06 = Q(
+    "q06_recent_top100",
+    (s, d) =>
+      ord(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(desc("o_orderdate"), desc("o_totalprice"), col("o_orderkey"))
+        .limit(100),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey
+      LIMIT 100"""))
+
+  /** Sample query 3 (reference: postgres/preparedataset.sql:219-228):
+    * BETWEEN date range + equality filter + rollup. */
+  val q07 = Q(
+    "q07_between_rollup",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_shipdate").between(
+            lit("1997-01-01").cast(TimestampType),
+            lit("1998-12-31").cast(TimestampType)) &&
+            col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_returnflag")),
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_price,
+             min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+                           AND TIMESTAMP '1998-12-31'
+        AND l_linestatus = 'F'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Sample query 4 (reference: postgres/preparedataset.sql:234-242):
+    * HAVING on an aggregate + top-50 on the count. */
+  val q08 = Q(
+    "q08_having_top50",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") > 20)
+        .orderBy(desc("n"), col("l_partkey"))
+        .limit(50),
+    Some(s"""
+      SELECT l_partkey, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING count(*) > 20
+      ORDER BY n DESC, l_partkey
+      LIMIT 50"""))
+
+  /** Profiling query (reference: clickhouse/queries.sql:1-8): volume, time
+    * range, byte-size estimate of a table. */
+  val q09 = Q(
+    "q09_profile_volume",
+    (s, d) =>
+      ev(s, d).agg(
+        count(lit(1)).as("n"),
+        to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"),
+        sum(length(col("props"))).as("props_bytes"),
+        dsum(col("value")).as("sum_value")),
+    Some(s"""
+      SELECT count(*) AS n,
+             CAST(min(ts) AS DATE) AS first_day,
+             CAST(max(ts) AS DATE) AS last_day,
+             sum(length(props)) AS props_bytes,
+             ${dsumSql("value")} AS sum_value
+      FROM events"""))
+
+  /** Profiling query — exact cardinalities (reference:
+    * clickhouse/queries.sql:20-27 uses approximate uniq(); this is the
+    * exact twin our oracle can check; the approx variant is
+    * q10b_cardinality_approx, tolerance-checked outside the oracle). */
+  val q10 = Q(
+    "q10_cardinality_exact",
+    (s, d) =>
+      ev(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(to_date(col("ts"))).as("n_days")),
+    Some("""
+      SELECT count(DISTINCT user_id) AS n_users,
+             count(DISTINCT event_type) AS n_types,
+             count(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events"""))
+
+  /** Approximate-distinct profiling (reference: clickhouse/queries.sql:22-26,
+    * uniq() is itself approximate) — HyperLogLog++, kept out of the exact
+    * oracle set by design (SURVEY §5). Driver records a rows-only check. */
+  val q10b = Q(
+    "q10b_cardinality_approx",
+    (s, d) =>
+      ev(s, d).agg(
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        approx_count_distinct(col("props")).as("n_props_approx")),
+    None)
+
+  /** Dimension-chain broadcast join (reference J1/J2 generalized:
+    * queries/q4-top-countries-percentiles/README.md:68-69,129): small dims
+    * broadcast; no shuffle on the fact side for the join itself. */
+  val q11 = Q(
+    "q11_dim_join",
+    (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(davg(col("c_acctbal")), 2).as("avg_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             round(${davgSql("c_acctbal")}, 2) AS avg_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** Fact-to-fact equi-join (reference J1 at fact scale): lineitem ⋈ orders
+    * on the order key — the one genuinely shuffling join in the suite; both
+    * sides hash-partition on the key. Revenue uses exact DECIMAL(18,4)
+    * (price and discount are 2-decimal, so the product is 4-decimal-exact). */
+  val q12 = Q(
+    "q12_fact_join",
+    (s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** UNION ALL validation report (reference: postgres/preparedataset.sql:
+    * 154-159 — the 3-way row-count check all engines must agree on). */
+  val q13 = Q(
+    "q13_union_counts",
+    (s, d) => {
+      def one(t: String) =
+        Tables.load(s, d, t).agg(count(lit(1)).as("n"))
+          .select(lit(t).as("tbl"), col("n"))
+      one("lineitem").unionByName(one("orders")).unionByName(one("customer"))
+        .orderBy(col("tbl"))
+    },
+    Some("""
+      SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+      UNION ALL SELECT 'orders', count(*) FROM orders
+      UNION ALL SELECT 'customer', count(*) FROM customer
+      ORDER BY tbl"""))
+
+  /** Narrow scan + projection with a computed column (reference P1/P3/P8:
+    * postgres/preparedataset.sql:204-212): what reaches the Parquet reader
+    * must be just the referenced columns + pushed filters. */
+  val q14 = Q(
+    "q14_scan_project",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("2000-06-01").cast(TimestampType))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) + col("l_tax")))
+            .cast(DecimalType(18, 4)).cast(DoubleType).as("gross_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(CAST(l_extendedprice * (1.0 + l_tax) AS DECIMAL(18,4))
+                  AS DOUBLE) AS gross_price
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-06-01'
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 500"""))
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q10b, q11, q12, q13, q14)
+}

@@ -1,0 +1,10 @@
+package graft.queries
+
+/** Single source of truth for every implemented query/operator. */
+object Registry {
+  val all: Seq[Q] = Core.all
+
+  require(
+    all.map(_.name).distinct.size == all.size,
+    s"duplicate query names in registry: ${all.map(_.name)}")
+}
