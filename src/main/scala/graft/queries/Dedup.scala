@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Near-duplicate detection operators (training-data-pipeline extension).
+  *
+  * Hashing is md5-based so the DuckDB oracle can reproduce it exactly —
+  * murmur-style engine hashes differ between systems, md5 doesn't. At
+  * cluster scale the plans are the standard shapes: shingle → minhash is a
+  * per-row vectorized projection (no shuffle); LSH banding shuffles only
+  * (band, signature) pairs — orders of magnitude smaller than the corpus —
+  * and candidate verification joins only within buckets, which is the whole
+  * point of LSH: the O(n²) pair space never materializes.
+  */
+object Dedup {
+
+  /** Shared shingling: distinct word-level 3-gram shingles per document;
+    * documents shorter than 3 tokens contribute their whole text as the
+    * single shingle (avoids out-of-bounds element_at under ANSI). */
+  private val shinglesExpr =
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  array_distinct(transform(
+      |    sequence(1, size(split(text, ' ')) - 2),
+      |    i -> concat(element_at(split(text, ' '), i), ' ',
+      |                element_at(split(text, ' '), i + 1), ' ',
+      |                element_at(split(text, ' '), i + 2))))
+      |ELSE array(text) END""".stripMargin
+
+  private val shinglesSql =
+    """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |  list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |         string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2]))
+      |ELSE [text] END""".stripMargin
+
+  /** MinHash + LSH near-dup pairs (extension op D2): 8 md5-seeded minhash
+    * signatures, banded 4×2; docs colliding on any band become candidate
+    * pairs, verified with exact shingle-set Jaccard ≥ 0.5. */
+  val q24 = Q(
+    "q24_minhash_lsh",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("shingles", expr(shinglesExpr))
+      val sigCols =
+        col("doc_id") +: col("shingles") +:
+          (1 to 8).map(j =>
+            expr(
+              s"array_min(transform(shingles, " +
+                s"x -> substring(md5(concat('$j:', x)), 1, 16)))")
+              .as(s"m$j"))
+      val sig = docs.select(sigCols: _*)
+      val bands = sig.select(
+        col("doc_id"),
+        col("shingles"),
+        explode(array((1 to 4).map(b =>
+          struct(
+            lit(b).as("band_id"),
+            concat(col(s"m${2 * b - 1}"), col(s"m${2 * b}"))
+              .as("band_sig"))): _*)).as("band"))
+        .select(
+          col("doc_id"), col("shingles"),
+          col("band.band_id"), col("band.band_sig"))
+      val pairs = bands.as("a")
+        .join(
+          bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          col("a.shingles").as("sa"),
+          col("b.shingles").as("sb"))
+        .distinct()
+      pairs
+        .withColumn(
+          "inter",
+          expr("size(filter(sa, x -> array_contains(sb, x)))"))
+        .withColumn(
+          "jaccard",
+          round(
+            col("inter").cast(DoubleType) /
+              (size(col("sa")) + size(col("sb")) - col("inter")),
+            4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shinglesSql AS shingles FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles,
+            x -> substr(md5('1:' || x), 1, 16))) AS m1,
+          list_min(list_transform(shingles,
+            x -> substr(md5('2:' || x), 1, 16))) AS m2,
+          list_min(list_transform(shingles,
+            x -> substr(md5('3:' || x), 1, 16))) AS m3,
+          list_min(list_transform(shingles,
+            x -> substr(md5('4:' || x), 1, 16))) AS m4,
+          list_min(list_transform(shingles,
+            x -> substr(md5('5:' || x), 1, 16))) AS m5,
+          list_min(list_transform(shingles,
+            x -> substr(md5('6:' || x), 1, 16))) AS m6,
+          list_min(list_transform(shingles,
+            x -> substr(md5('7:' || x), 1, 16))) AS m7,
+          list_min(list_transform(shingles,
+            x -> substr(md5('8:' || x), 1, 16))) AS m8
+        FROM docs
+      ), bands AS (
+        SELECT doc_id, shingles, u.band_id,
+          CASE u.band_id WHEN 1 THEN m1 || m2 WHEN 2 THEN m3 || m4
+                         WHEN 3 THEN m5 || m6 ELSE m7 || m8 END AS band_sig
+        FROM sig, (SELECT unnest(range(1, 5)) AS band_id) u
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sa, b.shingles AS sb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+      ), scored AS (
+        SELECT doc_a, doc_b,
+          len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+          len(sa) AS la, len(sb) AS lb
+        FROM pairs
+      )
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+      FROM scored
+      WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** Blocked exact n-gram Jaccard (extension op D3): all-pairs token-set
+    * Jaccard *within* (lang, source) blocks — the blocking keeps the pair
+    * space linear-ish, the same role LSH bands play in q24, but with fully
+    * deterministic recall inside each block. */
+  val q25 = Q(
+    "q25_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      docs.as("a")
+        .join(
+          docs.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          expr("size(filter(a.toks, x -> array_contains(b.toks, x)))")
+            .as("inter"),
+          size(col("a.toks")).as("la"),
+          size(col("b.toks")).as("lb"))
+        .withColumn(
+          "jaccard",
+          round(
+            col("inter").cast(DoubleType) /
+              (col("la") + col("lb") - col("inter")),
+            4))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                 AS inter,
+               len(a.toks) AS la, len(b.toks) AS lb
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+      FROM pairs
+      WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] = Seq(q24, q25)
+}

@@ -2,7 +2,8 @@ package graft.queries
 
 /** Single source of truth for every implemented query/operator. */
 object Registry {
-  val all: Seq[Q] = Core.all
+  val all: Seq[Q] =
+    Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all
 
   require(
     all.map(_.name).distinct.size == all.size,

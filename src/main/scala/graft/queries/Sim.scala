@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (64-dim float vectors).
+  *
+  * Vectors are widened float→double (exact) before any arithmetic; dot
+  * products are sequential left-to-right folds in both engines, and
+  * similarities are rounded to 6 decimals before ranking so ordering is
+  * identical across engines. Brute-force top-k is the correctness baseline;
+  * the LSH-bucketed variant is the 100 TB scale path (candidates come from
+  * a hash bucket, never the full O(n·q) product).
+  */
+object Sim {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+      .select(
+        col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  private val dot =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+
+  /** Brute-force cosine top-k (extension op S1): 8 query vectors against the
+    * full corpus, exact cosine, top-5 per query. The query side is tiny so
+    * Spark broadcasts it — the corpus is scanned exactly once. */
+  val q26 = Q(
+    "q26_cosine_topk",
+    (s, d) => {
+      val all = emb(s, d)
+      val queries = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = all.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dp", expr(dot.format("qv", "v")))
+        .withColumn("nq", expr(dot.format("qv", "qv")))
+        .withColumn("nc", expr(dot.format("v", "v")))
+        .withColumn(
+          "cos_sim",
+          round(col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))), 6))
+      scored
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ), queries AS (
+        SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 8
+      ), scored AS (
+        SELECT q.qid, c.vec_id,
+          round(
+            list_reduce(list_transform(list_zip(q.qv, c.v),
+                        p -> p[1] * p[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv),
+                        p -> p[1] * p[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v),
+                        p -> p[1] * p[2]), (a, b) -> a + b))), 6)
+            AS cos_sim
+        FROM vecs c CROSS JOIN queries q
+        WHERE c.vec_id <> q.qid
+      ), ranked AS (
+        SELECT qid, vec_id,  cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+      )
+      SELECT qid, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  /** Embedding-cosine near-duplicate pairs blocked by label (extension op
+    * D4): exact cosine within label blocks — blocking bounds the pair space
+    * the way LSH bucketing does at scale. */
+  val q27 = Q(
+    "q27_embedding_neardup",
+    (s, d) => {
+      val all = emb(s, d)
+      all.as("a")
+        .join(
+          all.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dp", expr(dot.format("a.v", "b.v")))
+        .withColumn("na", expr(dot.format("a.v", "a.v")))
+        .withColumn("nb", expr(dot.format("b.v", "b.v")))
+        .withColumn(
+          "cos_sim",
+          round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        .filter(col("cos_sim") >= 0.8)
+        .select(
+          col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"),
+          col("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          round(
+            list_reduce(list_transform(list_zip(a.v, b.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y))), 6)
+            AS cos_sim
+        FROM vecs a JOIN vecs b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, label, cos_sim
+      FROM pairs WHERE cos_sim >= 0.8
+      ORDER BY vec_a, vec_b"""))
+
+  /** LSH-bucketed ANN (extension op S2, the scale path): 6 deterministic
+    * pseudo-random ±1 hyperplanes (sign patterns derived from integer
+    * arithmetic, reproducible in any engine) hash every vector to a 6-bit
+    * bucket; top-3 neighbors are searched within the query's bucket only.
+    * At 100 TB the bucket join replaces the full cross product. */
+  val q28 = Q(
+    "q28_ann_lsh",
+    (s, d) => {
+      val all = emb(s, d)
+      // sign of plane j, dim i = +1 if ((j*2654435761 + i*40503) % 97) < 48
+      val withBucket = all.withColumn(
+        "bucket",
+        expr((1 to 6).map { j =>
+          s"""(CASE WHEN aggregate(zip_with(v,
+             |  transform(sequence(0, 63),
+             |    i -> CASE WHEN ($j * 2654435761L + i * 40503L) % 97 < 48
+             |         THEN 1.0D ELSE -1.0D END),
+             |  (x, w) -> x * w), 0D, (acc, e) -> acc + e) >= 0
+             |THEN ${1 << (j - 1)} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")))
+      val queries = withBucket.filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      withBucket
+        .join(
+          broadcast(queries),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", expr(dot.format("qv", "v")))
+        .withColumn("nq", expr(dot.format("qv", "qv")))
+        .withColumn("nc", expr(dot.format("v", "v")))
+        .withColumn(
+          "cos_sim",
+          round(col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ), bucketed AS (
+        SELECT vec_id, v,
+          (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (1 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (2 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (3 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (4 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 8 ELSE 0 END)
+        + (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (5 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 16 ELSE 0 END)
+        + (CASE WHEN list_reduce(list_transform(range(1, 65),
+             i -> v[i] * (CASE WHEN (6 * 2654435761 + (i-1) * 40503) % 97 < 48
+                          THEN 1.0 ELSE -1.0 END)),
+             (a, b) -> a + b) >= 0 THEN 32 ELSE 0 END) AS bucket
+        FROM vecs
+      ), queries AS (
+        SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+        FROM bucketed WHERE vec_id < 8
+      ), scored AS (
+        SELECT q.qid, c.vec_id,
+          round(
+            list_reduce(list_transform(list_zip(q.qv, c.v),
+                        p -> p[1] * p[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv),
+                        p -> p[1] * p[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v),
+                        p -> p[1] * p[2]), (a, b) -> a + b))), 6)
+            AS cos_sim
+        FROM bucketed c JOIN queries q
+          ON c.bucket = q.qbucket AND c.vec_id <> q.qid
+      ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+      )
+      SELECT qid, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28)
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis / dedup operators for the training-data-pipeline extension
+  * (BASELINE.json north star; the reference's closest surface is its
+  * profiling suite, clickhouse/queries.sql:1-27). All run over the
+  * `documents` fixture. Every op is a pure column program — codegen'd
+  * built-ins, no UDFs — so it scales to 100 TB as a single vectorized scan.
+  */
+object Text {
+
+  /** Exact deduplication by content hash (extension op D1): hash-groupBy on
+    * md5(text). At cluster scale this is one shuffle on a 128-bit key with
+    * map-side partial aggregation — the canonical exact-dedup plan. */
+  val q20 = Q(
+    "q20_dedup_exact",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy(col("content_hash")),
+    Some("""
+      SELECT md5(text) AS content_hash,
+             count(*) AS n_copies,
+             min(doc_id) AS keeper_doc_id
+      FROM documents
+      GROUP BY content_hash
+      ORDER BY content_hash"""))
+
+  /** Quality scoring (extension op T2): length/punctuation/stopword ratios
+    * composed into a score — all arithmetic on identical operands in both
+    * engines, so results are bit-identical. */
+  val q21 = Q(
+    "q21_text_quality",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+        .withColumn(
+          "punct_cnt",
+          expr("regexp_count(text, '[.,!?;:]')").cast(LongType))
+        .withColumn(
+          "stop_cnt",
+          expr(
+            "size(filter(split(text, ' '), " +
+              "t -> t in ('the','a','of','and','to')))").cast(LongType))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("punct_cnt"),
+          col("stop_cnt"),
+          round(col("punct_cnt").cast(DoubleType) / col("n_chars"), 4)
+            .as("punct_ratio"),
+          round(col("stop_cnt").cast(DoubleType) / col("n_tokens"), 4)
+            .as("stop_ratio"),
+          round(
+            least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+              (lit(1.0) -
+                col("punct_cnt").cast(DoubleType) / col("n_chars")),
+            4).as("quality_score"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+                 AS punct_cnt,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+                 AS stop_cnt
+        FROM documents
+      )
+      SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+             round(CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS punct_ratio,
+             round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   * (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars), 4)
+               AS quality_score
+      FROM t
+      ORDER BY doc_id"""))
+
+  /** Language-ID heuristic (extension op T1): marker-token scoring with a
+    * fixed precedence argmax, reported as a confusion rollup against the
+    * labeled `lang` column. */
+  val q22 = Q(
+    "q22_lang_id",
+    (s, d) => {
+      def hits(words: Seq[String]) =
+        expr(
+          "size(filter(split(text, ' '), t -> t in (" +
+            words.map(w => s"'$w'").mkString(",") + ")))")
+      Tables.load(s, d, "documents")
+        .withColumn("s_en", hits(Seq("the", "a", "and", "of")))
+        .withColumn("s_es", hits(Seq("el", "la", "de", "que")))
+        .withColumn("s_fr", hits(Seq("le", "les", "des", "une")))
+        .withColumn("s_de", hits(Seq("der", "die", "das", "und")))
+        .withColumn(
+          "pred_lang",
+          when(
+            col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")) &&
+              col("s_en") > 0, "en")
+            .when(
+              col("s_es") >= greatest(col("s_fr"), col("s_de")) &&
+                col("s_es") > 0, "es")
+            .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("und"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(text,' '),
+              t -> t IN ('the','a','and','of'))) AS s_en,
+          len(list_filter(string_split(text,' '),
+              t -> t IN ('el','la','de','que'))) AS s_es,
+          len(list_filter(string_split(text,' '),
+              t -> t IN ('le','les','des','une'))) AS s_fr,
+          len(list_filter(string_split(text,' '),
+              t -> t IN ('der','die','das','und'))) AS s_de
+        FROM documents
+      ), pred AS (
+        SELECT lang,
+          CASE WHEN s_en >= greatest(s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+               WHEN s_es >= greatest(s_fr, s_de) AND s_es > 0 THEN 'es'
+               WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+               WHEN s_de > 0 THEN 'de'
+               ELSE 'und' END AS pred_lang
+        FROM scored
+      )
+      SELECT lang, pred_lang, count(*) AS n
+      FROM pred
+      GROUP BY lang, pred_lang
+      ORDER BY lang, pred_lang"""))
+
+  /** Token counting (extension op T3): whitespace tokens + a BPE-ish regex
+    * segmentation (letter runs / digit runs / single non-alnum marks). */
+  val q23 = Q(
+    "q23_token_counts",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+          expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')")
+            .cast(LongType).as("bpe_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_m"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23)
+}
