@@ -100,7 +100,7 @@ object Sim {
         .withColumn(
           "cos_sim",
           round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
-        .filter(col("cos_sim") >= 0.8)
+        .filter(col("cos_sim") >= 0.35)
         .select(
           col("a.vec_id").as("vec_a"),
           col("b.vec_id").as("vec_b"),
@@ -126,7 +126,7 @@ object Sim {
           ON a.label = b.label AND a.vec_id < b.vec_id
       )
       SELECT vec_a, vec_b, label, cos_sim
-      FROM pairs WHERE cos_sim >= 0.8
+      FROM pairs WHERE cos_sim >= 0.35
       ORDER BY vec_a, vec_b"""))
 
   /** LSH-bucketed ANN (extension op S2, the scale path): 6 deterministic
