@@ -41,6 +41,28 @@ object Det {
   /** Money column as integer cents (values are 2-decimal-clean doubles). */
   def cents(c: Column): Column = round(c * lit(100), 0).cast(LongType)
   def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+
+  /** AVG of a money column rounded to cents, half away from zero, computed
+    * ENTIRELY from exact integer arithmetic — immune to the cross-engine
+    * `ROUND` tie divergence of SURVEY §1.4 (Spark rounds the shortest
+    * decimal repr of a double, DuckDB the binary value; averages of
+    * 2-decimal money hit exact .xx5 ties constantly, e.g. sum/8).
+    * round-half-up(s/n) == floor((2s+n)/(2n)) exactly; the double division
+    * is safe because numerator < 2^53 and genuine ties make it exact. */
+  def avgCents(c: Column): Column = {
+    val s = sum(cents(c))
+    val n = count(lit(1))
+    val q = floor((abs(s) * lit(2L) + n) / (n * lit(2L)))
+    when(s < 0, -q).otherwise(q)
+  }
+  def avgCentsSql(c: String): String = {
+    val s = s"sum(${centsSql(c)})"
+    val q = s"floor((2 * abs($s) + count(*)) / (2 * count(*)))"
+    s"(CASE WHEN $s < 0 THEN -$q ELSE $q END)"
+  }
+  /** [[avgCents]] presented as a 2-decimal money value. */
+  def davg2(c: Column): Column = avgCents(c) / lit(100.0)
+  def davg2Sql(c: String): String = s"(${avgCentsSql(c)} / 100.0)"
 }
 
 /** Reference-parity queries: Q1–Q4 analogs, the four sample queries
@@ -68,13 +90,13 @@ object Core {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          round(davg(col("l_extendedprice")), 2).as("avg_price"),
+          davg2(col("l_extendedprice")).as("avg_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
         .orderBy(desc("avg_price"), col("l_returnflag")),
     Some(s"""
       SELECT l_returnflag, count(*) AS n,
-             round(${davgSql("l_extendedprice")}, 2) AS avg_price,
+             ${davg2Sql("l_extendedprice")} AS avg_price,
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
       FROM lineitem
@@ -98,14 +120,14 @@ object Core {
           date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
         .agg(
           count(lit(1)).as("n"),
-          round(davg(col("o_totalprice")), 2).as("avg_total"),
+          davg2(col("o_totalprice")).as("avg_total"),
           max(col("o_totalprice")).as("max_total"))
         .orderBy(col("o_orderpriority"), col("month")),
     Some(s"""
       SELECT o_orderpriority,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              count(*) AS n,
-             round(${davgSql("o_totalprice")}, 2) AS avg_total,
+             ${davg2Sql("o_totalprice")} AS avg_total,
              max(o_totalprice) AS max_total
       FROM orders
       WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -120,38 +142,37 @@ object Core {
   val q03 = Q(
     "q03_yoy_window",
     (s, d) => {
+      // yearly avg as EXACT integer cents, so every derived window metric
+      // is integer arithmetic (delta) or a division of identical integer
+      // operands (pct) — bit-identical in Spark and DuckDB, no round ties.
       val yearly = li(s, d)
         .groupBy(
           col("l_returnflag"),
           year(col("l_shipdate")).as("yr"))
-        .agg(davg(col("l_extendedprice")).as("avg_raw"))
+        .agg(avgCents(col("l_extendedprice")).as("ac"))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("yr"))
+      val prev = lag(col("ac"), 1).over(w)
       yearly
         .select(
           col("l_returnflag"),
           col("yr"),
-          round(col("avg_raw"), 2).as("avg_price"),
-          round(col("avg_raw") - lag(col("avg_raw"), 1).over(w), 2)
-            .as("yoy_delta"),
-          round(
-            lit(100.0) * (col("avg_raw") - lag(col("avg_raw"), 1).over(w)) /
-              lag(col("avg_raw"), 1).over(w),
-            2).as("yoy_pct"))
+          (col("ac") / lit(100.0)).as("avg_price"),
+          ((col("ac") - prev) / lit(100.0)).as("yoy_delta"),
+          (lit(100.0) * (col("ac") - prev) / prev).as("yoy_pct"))
         .orderBy(col("l_returnflag"), col("yr"))
     },
     Some(s"""
       WITH yearly AS (
         SELECT l_returnflag,
                CAST(year(l_shipdate) AS INTEGER) AS yr,
-               ${davgSql("l_extendedprice")} AS avg_raw
+               ${avgCentsSql("l_extendedprice")} AS ac
         FROM lineitem
         GROUP BY l_returnflag, yr
       )
       SELECT l_returnflag, yr,
-             round(avg_raw, 2) AS avg_price,
-             round(avg_raw - lag(avg_raw) OVER w, 2) AS yoy_delta,
-             round(100.0 * (avg_raw - lag(avg_raw) OVER w)
-                   / lag(avg_raw) OVER w, 2) AS yoy_pct
+             ac / 100.0 AS avg_price,
+             (ac - lag(ac) OVER w) / 100.0 AS yoy_delta,
+             100.0 * (ac - lag(ac) OVER w) / lag(ac) OVER w AS yoy_pct
       FROM yearly
       WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
       ORDER BY l_returnflag, yr"""))
@@ -178,7 +199,7 @@ object Core {
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
-          round(davg(col("o_totalprice")), 2).as("avg_total"),
+          davg2(col("o_totalprice")).as("avg_total"),
           (expr("percentile(cents, 0.25D)") / 100).as("p25"),
           (expr("percentile(cents, 0.50D)") / 100).as("p50"),
           (expr("percentile(cents, 0.75D)") / 100).as("p75"),
@@ -196,7 +217,7 @@ object Core {
         ORDER BY cnt DESC, o_custkey LIMIT 10
       )
       SELECT f.o_custkey, f.o_orderstatus, count(*) AS n,
-             round(${davgSql("f.o_totalprice")}, 2) AS avg_total,
+             ${davg2Sql("f.o_totalprice")} AS avg_total,
              quantile_cont(f.cents, 0.25) / 100 AS p25,
              quantile_cont(f.cents, 0.50) / 100 AS p50,
              quantile_cont(f.cents, 0.75) / 100 AS p75,
@@ -359,12 +380,12 @@ object Core {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          round(davg(col("c_acctbal")), 2).as("avg_acctbal"))
+          davg2(col("c_acctbal")).as("avg_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     },
     Some(s"""
       SELECT r_name, n_name, count(*) AS n_customers,
-             round(${davgSql("c_acctbal")}, 2) AS avg_acctbal
+             ${davg2Sql("c_acctbal")} AS avg_acctbal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey

@@ -82,10 +82,8 @@ object Dedup {
           expr("size(filter(sa, x -> array_contains(sb, x)))"))
         .withColumn(
           "jaccard",
-          round(
-            col("inter").cast(DoubleType) /
-              (size(col("sa")) + size(col("sb")) - col("inter")),
-            4))
+          col("inter").cast(DoubleType) /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -130,9 +128,9 @@ object Dedup {
         FROM pairs
       )
       SELECT doc_a, doc_b,
-             round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+             CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
       FROM scored
-      WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5
+      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
   /** Blocked exact n-gram Jaccard (extension op D3): all-pairs token-set
@@ -161,10 +159,8 @@ object Dedup {
           size(col("b.toks")).as("lb"))
         .withColumn(
           "jaccard",
-          round(
-            col("inter").cast(DoubleType) /
-              (col("la") + col("lb") - col("inter")),
-            4))
+          col("inter").cast(DoubleType) /
+            (col("la") + col("lb") - col("inter")))
         .filter(col("jaccard") >= 0.6)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -184,9 +180,9 @@ object Dedup {
          AND a.doc_id < b.doc_id
       )
       SELECT doc_a, doc_b,
-             round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+             CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
       FROM pairs
-      WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.6
+      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
       ORDER BY doc_a, doc_b"""))
 
   val all: Seq[Q] = Seq(q24, q25)

@@ -41,7 +41,7 @@ object Sim {
         .withColumn("nc", expr(dot.format("v", "v")))
         .withColumn(
           "cos_sim",
-          round(col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))), 6))
+          col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))))
       scored
         .withColumn(
           "rank",
@@ -62,13 +62,13 @@ object Sim {
         SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 8
       ), scored AS (
         SELECT q.qid, c.vec_id,
-          round(
+          (
             list_reduce(list_transform(list_zip(q.qv, c.v),
                         p -> p[1] * p[2]), (a, b) -> a + b)
             / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv),
                         p -> p[1] * p[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v),
-                        p -> p[1] * p[2]), (a, b) -> a + b))), 6)
+                        p -> p[1] * p[2]), (a, b) -> a + b))))
             AS cos_sim
         FROM vecs c CROSS JOIN queries q
         WHERE c.vec_id <> q.qid
@@ -99,7 +99,7 @@ object Sim {
         .withColumn("nb", expr(dot.format("b.v", "b.v")))
         .withColumn(
           "cos_sim",
-          round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+          col("dp") / (sqrt(col("na")) * sqrt(col("nb"))))
         .filter(col("cos_sim") >= 0.35)
         .select(
           col("a.vec_id").as("vec_a"),
@@ -114,13 +114,13 @@ object Sim {
         FROM embeddings
       ), pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-          round(
+          (
             list_reduce(list_transform(list_zip(a.v, b.v),
                         p -> p[1] * p[2]), (x, y) -> x + y)
             / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
                         p -> p[1] * p[2]), (x, y) -> x + y))
              * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
-                        p -> p[1] * p[2]), (x, y) -> x + y))), 6)
+                        p -> p[1] * p[2]), (x, y) -> x + y))))
             AS cos_sim
         FROM vecs a JOIN vecs b
           ON a.label = b.label AND a.vec_id < b.vec_id
@@ -162,7 +162,7 @@ object Sim {
         .withColumn("nc", expr(dot.format("v", "v")))
         .withColumn(
           "cos_sim",
-          round(col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))), 6))
+          col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))))
         .withColumn(
           "rank",
           row_number().over(
@@ -210,13 +210,13 @@ object Sim {
         FROM bucketed WHERE vec_id < 8
       ), scored AS (
         SELECT q.qid, c.vec_id,
-          round(
+          (
             list_reduce(list_transform(list_zip(q.qv, c.v),
                         p -> p[1] * p[2]), (a, b) -> a + b)
             / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv),
                         p -> p[1] * p[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v),
-                        p -> p[1] * p[2]), (a, b) -> a + b))), 6)
+                        p -> p[1] * p[2]), (a, b) -> a + b))))
             AS cos_sim
         FROM bucketed c JOIN queries q
           ON c.bucket = q.qbucket AND c.vec_id <> q.qid

@@ -53,15 +53,17 @@ object Text {
           col("n_tokens"),
           col("punct_cnt"),
           col("stop_cnt"),
-          round(col("punct_cnt").cast(DoubleType) / col("n_chars"), 4)
+          // raw ratios, NOT rounded: identical integer operands → the same
+          // IEEE divisions in both engines → bit-identical doubles, whereas
+          // round() reintroduces the §1.4 cross-engine tie hazard.
+          (col("punct_cnt").cast(DoubleType) / col("n_chars"))
             .as("punct_ratio"),
-          round(col("stop_cnt").cast(DoubleType) / col("n_tokens"), 4)
+          (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
             .as("stop_ratio"),
-          round(
-            least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
-              (lit(1.0) -
-                col("punct_cnt").cast(DoubleType) / col("n_chars")),
-            4).as("quality_score"))
+          (least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+            (lit(1.0) -
+              col("punct_cnt").cast(DoubleType) / col("n_chars")))
+            .as("quality_score"))
         .orderBy(col("doc_id")),
     Some("""
       WITH t AS (
@@ -75,10 +77,10 @@ object Text {
         FROM documents
       )
       SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
-             round(CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS punct_ratio,
-             round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-                   * (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars), 4)
+             CAST(punct_cnt AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+             least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   * (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars)
                AS quality_score
       FROM t
       ORDER BY doc_id"""))
