@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.{Core, Det}
+
+/** Hand-checked semantics for the reference-parity core (SURVEY §2): the
+  * determinism helpers, aggregation/window/join invariants.
+  */
+class CoreSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("avgCents rounds half away from zero on exact ties") {
+    // 0.015 avg → 1.5 cents → 2 (away from zero); -0.015 → -2.
+    val df = Seq(0.01, 0.02).toDF("v")
+    val up = df.agg(Det.avgCents(col("v"))).as[Long].head()
+    assert(up == 2L, s"expected 2, got $up")
+    val dn = Seq(-0.01, -0.02).toDF("v")
+      .agg(Det.avgCents(col("v"))).as[Long].head()
+    assert(dn == -2L, s"expected -2, got $dn")
+  }
+
+  test("dsum is exact on 2-decimal doubles") {
+    // 0.1+0.2 != 0.3 in naive double addition; decimal path is exact.
+    val s = Seq(0.1, 0.2).toDF("v").agg(Det.dsum(col("v"))).as[Double].head()
+    assert(s == 0.3)
+  }
+
+  test("q01 groups by return flag: one row per flag, counts sum to filtered") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val expected = li.filter($"l_shipdate" >= "1999-01-01").count()
+    val out = Core.q01.run(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("A", "N", "R")))
+    assert(out.map(_.getLong(1)).sum == expected)
+  }
+
+  test("q03 first year of each partition has NULL yoy fields") {
+    val rows = Core.q03.run(spark, sf001).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.values.foreach { part =>
+      val first = part.minBy(_.getInt(1))
+      assert(first.isNullAt(3) && first.isNullAt(4),
+        s"first row of partition must carry NULL yoy: $first")
+      assert(part.count(_.isNullAt(3)) == 1)
+    }
+  }
+
+  test("q04 returns at most 10 customers, all in the filtered top-10") {
+    val rows = Core.q04.run(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).distinct.length <= 10)
+    // percentiles are monotone per group
+    rows.foreach { r =>
+      val Seq(p25, p50, p75, p95) = Seq(4, 5, 6, 7).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"non-monotone: $r")
+    }
+  }
+
+  test("q06 is sorted by (o_orderdate desc, o_totalprice desc) with 100 rows") {
+    val rows = Core.q06.run(spark, sf001).collect()
+    assert(rows.length == 100)
+    val keys = rows.map { r =>
+      (r.getAs[java.time.LocalDateTime](3), r.getDouble(2))
+    }
+    keys.sliding(2).foreach {
+      case Array((d1, p1), (d2, p2)) =>
+        val c = d1.compareTo(d2)
+        assert(c > 0 || (c == 0 && p1 >= p2))
+      case _ => ()
+    }
+  }
+
+  test("q11 join does not drop customers (inner join on complete dims)") {
+    val total = Tables.load(spark, sf001, "customer").count()
+    val out = Core.q11.run(spark, sf001)
+      .agg(sum("n_customers")).as[Long].head()
+    assert(out == total)
+  }
+
+  test("q12 revenue matches independent computation") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val expected = li
+      .select(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double")).as[Double].head()
+    val got = Core.q12.run(spark, sf001)
+      .agg(sum("revenue")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-6)
+  }
+
+  test("q13 counts match actual table counts") {
+    val out = Core.q13.run(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      assert(out(t) == Tables.load(spark, sf001, t).count())
+    }
+  }
+
+  test("every oracle query name exists in the queries map") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}

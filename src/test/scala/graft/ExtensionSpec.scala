@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Sim, Text}
+
+/** Semantics of the training-data-pipeline extension ops (dedup,
+  * similarity, text analysis).
+  */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q20 exact dedup: copies partition the corpus") {
+    val docs = Tables.load(spark, sf001, "documents").count()
+    val out = Text.q20.run(spark, sf001)
+    assert(out.agg(sum("n_copies")).as[Long].head() == docs)
+    // keeper is the min doc_id of its hash group → keepers are distinct
+    val keepers = out.select("keeper_doc_id").distinct().count()
+    assert(keepers == out.count())
+  }
+
+  test("q24 minhash pairs are symmetric-free and above threshold") {
+    val rows = Dedup.q24.run(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair not ordered: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("q25 jaccard: identical token sets score 1.0") {
+    // documents fixture contains exact duplicate texts (same lang/source
+    // blocks); any such pair must surface with jaccard == 1.0
+    val docs = Tables.load(spark, sf001, "documents")
+    val dupPairs = docs.as("a").join(docs.as("b"),
+        $"a.text" === $"b.text" && $"a.lang" === $"b.lang" &&
+          $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").count()
+    if (dupPairs > 0) {
+      val perfect = Dedup.q25.run(spark, sf001)
+        .filter(col("jaccard") === 1.0).count()
+      assert(perfect >= dupPairs)
+    }
+  }
+
+  test("q26 cosine top-k: 5 ranked neighbors per query, descending") {
+    val rows = Sim.q26.run(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach { part =>
+      assert(part.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val sims = part.sortBy(_.getInt(1)).map(_.getDouble(3))
+      sims.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ => ()
+      }
+      part.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("q28 LSH candidates are a subset of brute-force scoring domain") {
+    // every ANN neighbor must appear in the exact top-k list OR score at
+    // most the exact kth similarity (ANN recall can be < 1; correctness
+    // means it never *invents* similarity values).
+    val exact = Sim.q26.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Sim.q28.run(spark, sf001).collect()
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exact.get(key).foreach { s =>
+        assert(math.abs(s - r.getDouble(3)) < 1e-12,
+          s"ANN similarity disagrees with exact for $key")
+      }
+    }
+  }
+
+  test("q21 quality score bounded to [0,1] for non-degenerate docs") {
+    val rows = Text.q21.run(spark, sf001).collect()
+    rows.foreach { r =>
+      val score = r.getDouble(6)
+      assert(score >= -1e-9 && score <= 1.0 + 1e-9, s"score OOB: $r")
+    }
+  }
+
+  test("q22 language-id covers every document exactly once") {
+    val docs = Tables.load(spark, sf001, "documents").count()
+    val confusion = Text.q22.run(spark, sf001)
+    assert(confusion.agg(sum("n")).as[Long].head() == docs)
+  }
+}
