@@ -185,5 +185,156 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Q] = Seq(q24, q25)
+  /** 64-bit SimHash near-dup pairs (extension op D5). Per token, 64 bits
+    * derived from md5 hex nibbles (engine-portable: hex-char position in
+    * '0123456789abcdef' + integer shifts — no hex-parse builtin needed);
+    * per document, bit i of the signature is the sign of the token vote
+    * sum. Pairs within (lang, source) blocks with Hamming distance ≤ 8.
+    * At scale: signature computation is a single vectorized projection;
+    * only 64-int signatures shuffle into the pair join, never the text. */
+  private val simhashExpr =
+    """transform(sequence(0, 63), i ->
+      |  CASE WHEN aggregate(toks, 0L, (acc, t) ->
+      |    acc + (2 * (((instr('0123456789abcdef',
+      |                        substring(md5(t), CAST(i div 4 AS INT) + 1, 1))
+      |                  - 1) div CAST(pow(2, i % 4) AS INT)) % 2) - 1)
+      |  ) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  private val simhashSql =
+    """list_transform(range(0, 64), i ->
+      |  CASE WHEN list_sum(list_transform(toks, t ->
+      |    2 * (((strpos('0123456789abcdef',
+      |                  substr(md5(t), (i // 4) + 1, 1))
+      |           - 1) // CAST(pow(2, i % 4) AS INT)) % 2) - 1
+      |  )) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  val q29 = Q(
+    "q29_simhash",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", expr(simhashExpr))
+        .select(col("doc_id"), col("lang"), col("source"), col("sig"))
+      docs.as("a")
+        .join(
+          docs.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          expr(
+            """CAST(aggregate(zip_with(a.sig, b.sig,
+              |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
+              |  0, (acc, e) -> acc + e) AS BIGINT)""".stripMargin)
+            .as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      ), sigs AS (
+        SELECT doc_id, lang, source, $simhashSql AS sig FROM docs
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+               p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+               AS hamming
+      FROM sigs a JOIN sigs b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      WHERE CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+              p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT) <= 8
+      ORDER BY doc_a, doc_b"""))
+
+  /** Winnowing document fingerprints (extension op D6; Schleimer et al.,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * char 8-gram Horner rolling hashes (base 31, exact BIGINT), min per
+    * 16-gram window, distinct → fingerprint set; docs sharing ≥ 2
+    * fingerprints are copy candidates. Fingerprints appearing in > 50
+    * docs are dropped (stop-gram cap) so no hot key can go quadratic —
+    * the join shuffles on fingerprint value, which IS the blocking. */
+  private val fingerprintExpr =
+    """CASE WHEN length(text) >= 8 THEN
+      |  (CASE WHEN size(hashes) >= 16 THEN
+      |     array_distinct(transform(sequence(1, size(hashes) - 15),
+      |       p -> array_min(slice(hashes, p, 16))))
+      |   ELSE array(array_min(hashes)) END)
+      |ELSE array(aggregate(chars, 0L, (acc, c) -> acc * 31 + c)) END"""
+      .stripMargin
+
+  private val fingerprintSql =
+    """CASE WHEN length(text) >= 8 THEN
+      |  (CASE WHEN len(hashes) >= 16 THEN
+      |     list_distinct(list_transform(range(1, len(hashes) - 14),
+      |       p -> list_min(array_slice(hashes, p, p + 15))))
+      |   ELSE [list_min(hashes)] END)
+      |ELSE [list_reduce(chars, (a, c) -> a * 31 + c)] END""".stripMargin
+
+  val q30 = Q(
+    "q30_fingerprint",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn(
+          "chars",
+          expr("transform(sequence(1, length(text)), " +
+            "x -> CAST(ascii(substring(text, x, 1)) AS BIGINT))"))
+        .withColumn(
+          "hashes",
+          expr(
+            """CASE WHEN length(text) >= 8 THEN
+              |  transform(sequence(1, length(text) - 7),
+              |    i -> aggregate(slice(chars, i, 8), 0L,
+              |           (acc, c) -> acc * 31 + c))
+              |ELSE array(0L) END""".stripMargin))
+        .select(col("doc_id"), explode(expr(fingerprintExpr)).as("fp"))
+      val keep = docs.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val fp = docs.join(keep.select("fp"), Seq("fp"))
+      fp.as("a")
+        .join(
+          fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1),
+                 x -> CAST(ascii(substr(text, x, 1)) AS BIGINT)) AS chars
+        FROM documents
+      ), hashed AS (
+        SELECT doc_id, text, chars,
+               CASE WHEN length(text) >= 8 THEN
+                 list_transform(range(1, length(text) - 6),
+                   i -> list_reduce(array_slice(chars, i, i + 7),
+                          (a, c) -> a * 31 + c))
+               ELSE [CAST(0 AS BIGINT)] END AS hashes
+        FROM base
+      ), fps AS (
+        SELECT doc_id, unnest($fingerprintSql) AS fp FROM hashed
+      ), keep AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+      ), fpk AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING count(*) >= 2
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] = Seq(q24, q25, q29, q30)
 }

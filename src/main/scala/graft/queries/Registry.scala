@@ -3,7 +3,8 @@ package graft.queries
 /** Single source of truth for every implemented query/operator. */
 object Registry {
   val all: Seq[Q] =
-    Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all
+    Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++
+      graft.sources.IngestJob.all
 
   require(
     all.map(_.name).distinct.size == all.size,

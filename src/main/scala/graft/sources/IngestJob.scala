@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.queries.Q
+
+/** Source/sink operators (SURVEY §2.1, S1–S9).
+  *
+  * The reference's ingestion is a dataflow: url() CSV with an explicit
+  * 16-String-column schema and error tolerance → transform-on-read →
+  * INSERT into a partitioned, sort-keyed table (reference: README.md:143-199,
+  * clickhouse-init/01-create-table.sql:70-73), then engine-to-engine CSV
+  * pipes (README.md:253-274). Here each hop is a Spark job over the
+  * driver fixtures; correctness is proven by ROUND-TRIPPING — the oracle
+  * reads the ORIGINAL table, so any loss in our CSV sink, CSV source,
+  * schema application, partitioned write, or partition-pruned read shows
+  * up as a diff.
+  */
+object IngestJob {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_ingest", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Explicit CSV schema (S1: "apply schema to schemaless CSV" — reference
+    * README.md:179-194 declares 16 named String columns inline). */
+  val eventsCsvSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts_str", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S2+S3+S1: gzip CSV sink with header, then re-read with an explicit
+    * schema in DROPMALFORMED mode (the reference's error-tolerance analog:
+    * input_format_allow_errors_num drops up to N bad rows). Returns the
+    * re-typed rows; oracle reads the original events table — lossless
+    * round-trip is the assertion (a dropped or mangled row diffs). */
+  val q17 = Q(
+    "q17_csv_roundtrip",
+    (s, d) => {
+      val dir = tmp("events_csv")
+      Tables.load(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("value"), col("props"))
+        .write.mode("overwrite")
+        .option("header", true).option("compression", "gzip")
+        .csv(dir)
+      s.read
+        .schema(eventsCsvSchema)
+        .option("header", true)
+        .option("mode", "DROPMALFORMED")
+        .csv(dir)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("value"), col("props"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value, props
+      FROM events
+      ORDER BY event_id"""))
+
+  /** S5+S7+S8: INSERT…SELECT materialization into a month-partitioned,
+    * sort-keyed Parquet table (MergeTree `PARTITION BY toYYYYMM(date)
+    * ORDER BY (...)` analog), then a partition-PRUNED aggregate read-back.
+    * The month filter hits only partition directories — at 100 TB the scan
+    * touches 1/3 of a year's files, not the table. Oracle computes the same
+    * rollup from the original lineitem. */
+  val q18 = Q(
+    "q18_partitioned_sink",
+    (s, d) => {
+      val dir = tmp(s"lineitem_part_${d.replaceAll("[^0-9.]", "")}")
+      Tables.load(s, d, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyyMM"))
+        .repartition(col("ship_month"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("ship_month").between("199801", "199812"))
+        // partition-column type inference reads ship_month back as INT;
+        // restore the string form the oracle's strftime produces
+        .withColumn("ship_month", col("ship_month").cast(StringType))
+        .groupBy(col("ship_month"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.queries.Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("ship_month"))
+    },
+    Some(s"""
+      SELECT strftime(l_shipdate, '%Y%m') AS ship_month,
+             count(*) AS n,
+             ${graft.queries.Det.dsumSql("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE strftime(l_shipdate, '%Y%m') BETWEEN '199801' AND '199812'
+      GROUP BY ship_month
+      ORDER BY ship_month"""))
+
+  /** S9: catalog/metadata introspection (reference: system.parts stats,
+    * pg table-size queries — clickhouse/queries.sql:11-18,
+    * postgres/get_size.sql). Schema-level facts per fixture table: column
+    * count and row count. Rows-only driver check (file sizes and
+    * partition layout are engine-specific, like the reference's
+    * bytes-on-disk numbers). */
+  val q19 = Q(
+    "q19_catalog_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.names.map { t =>
+        val df = Tables.load(s, d, t)
+        (t, df.schema.fields.length, df.count())
+      }.toDF("tbl", "n_columns", "n_rows").orderBy(col("tbl"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q17, q18, q19)
+}
