@@ -43,16 +43,22 @@ object Dedup {
   val q24 = Q(
     "q24_minhash_lsh",
     (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .withColumn("shingles", expr(shinglesExpr))
+      // one md5 per (seed, shingle) yields TWO 64-bit minhash lanes (hex
+      // chars 1-16 and 17-32) — 4 md5 calls per shingle instead of 8 for
+      // the same 8-signature × 4-band structure.
+      val withHex = (1 to 4).foldLeft(
+        Tables.load(s, d, "documents").withColumn("shingles", expr(shinglesExpr))
+      )((df, j) => df.withColumn(
+        s"hx$j", expr(s"transform(shingles, x -> md5(concat('$j:', x)))")))
       val sigCols =
         col("doc_id") +: col("shingles") +:
-          (1 to 8).map(j =>
-            expr(
-              s"array_min(transform(shingles, " +
-                s"x -> substring(md5(concat('$j:', x)), 1, 16)))")
-              .as(s"m$j"))
-      val sig = docs.select(sigCols: _*)
+          (1 to 8).map { m =>
+            val j = (m + 1) / 2
+            val off = if (m % 2 == 1) 1 else 17
+            expr(s"array_min(transform(hx$j, h -> substring(h, $off, 16)))")
+              .as(s"m$m")
+          }
+      val sig = withHex.select(sigCols: _*)
       val bands = sig.select(
         col("doc_id"),
         col("shingles"),
@@ -64,6 +70,10 @@ object Dedup {
         .select(
           col("doc_id"), col("shingles"),
           col("band.band_id"), col("band.band_sig"))
+        // persist: both sides of the candidate-pair self-join read this —
+        // shingling + 8 minhash passes are the expensive part of the plan
+        // (Spark does not CSE across self-joins).
+        .persist()
       val pairs = bands.as("a")
         .join(
           bands.as("b"),
@@ -96,19 +106,19 @@ object Dedup {
           list_min(list_transform(shingles,
             x -> substr(md5('1:' || x), 1, 16))) AS m1,
           list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 1, 16))) AS m2,
+            x -> substr(md5('1:' || x), 17, 16))) AS m2,
           list_min(list_transform(shingles,
-            x -> substr(md5('3:' || x), 1, 16))) AS m3,
+            x -> substr(md5('2:' || x), 1, 16))) AS m3,
           list_min(list_transform(shingles,
-            x -> substr(md5('4:' || x), 1, 16))) AS m4,
+            x -> substr(md5('2:' || x), 17, 16))) AS m4,
           list_min(list_transform(shingles,
-            x -> substr(md5('5:' || x), 1, 16))) AS m5,
+            x -> substr(md5('3:' || x), 1, 16))) AS m5,
           list_min(list_transform(shingles,
-            x -> substr(md5('6:' || x), 1, 16))) AS m6,
+            x -> substr(md5('3:' || x), 17, 16))) AS m6,
           list_min(list_transform(shingles,
-            x -> substr(md5('7:' || x), 1, 16))) AS m7,
+            x -> substr(md5('4:' || x), 1, 16))) AS m7,
           list_min(list_transform(shingles,
-            x -> substr(md5('8:' || x), 1, 16))) AS m8
+            x -> substr(md5('4:' || x), 17, 16))) AS m8
         FROM docs
       ), bands AS (
         SELECT doc_id, shingles, u.band_id,
@@ -192,13 +202,25 @@ object Dedup {
     * sum. Pairs within (lang, source) blocks with Hamming distance ≤ 8.
     * At scale: signature computation is a single vectorized projection;
     * only 64-int signatures shuffle into the pair join, never the text. */
+  // Single-pass SimHash: md5 ONCE per token; nibbles decoded once per
+  // token and flattened to its 64 bits (LSB-first within each nibble);
+  // one aggregate folds all tokens into a 64-wide vote vector with
+  // zip_with. The naive per-bit × per-token double loop recomputes md5
+  // (or random-accesses nibbles) 64× per token and is ~10× slower under
+  // interpreted higher-order-function evaluation.
+  private val simhashHexesExpr = "transform(toks, t -> md5(t))"
+  private val simhashBitsExpr =
+    """transform(hexes, h ->
+      |  flatten(transform(
+      |    transform(sequence(1, 16),
+      |      j -> instr('0123456789abcdef', substring(h, j, 1)) - 1),
+      |    v -> array(v % 2, (v div 2) % 2, (v div 4) % 2, (v div 8) % 2))))"""
+      .stripMargin
   private val simhashExpr =
-    """transform(sequence(0, 63), i ->
-      |  CASE WHEN aggregate(toks, 0L, (acc, t) ->
-      |    acc + (2 * (((instr('0123456789abcdef',
-      |                        substring(md5(t), CAST(i div 4 AS INT) + 1, 1))
-      |                  - 1) div CAST(pow(2, i % 4) AS INT)) % 2) - 1)
-      |  ) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+    """transform(
+      |  aggregate(bits, array_repeat(0L, 64),
+      |    (acc, b) -> zip_with(acc, b, (x, y) -> x + 2 * y - 1)),
+      |  s -> CASE WHEN s >= 0 THEN 1 ELSE 0 END)""".stripMargin
 
   private val simhashSql =
     """list_transform(range(0, 64), i ->
@@ -211,12 +233,18 @@ object Dedup {
   val q29 = Q(
     "q29_simhash",
     (s, d) => {
+      // persist the signatures: the self-join would otherwise evaluate the
+      // whole hash pipeline twice (Spark does not CSE across self-joins) —
+      // at cluster scale this is "materialize the signature table".
       val docs = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("hexes", expr(simhashHexesExpr))
+        .withColumn("bits", expr(simhashBitsExpr))
         .withColumn("sig", expr(simhashExpr))
         .select(col("doc_id"), col("lang"), col("source"), col("sig"))
+        .persist()
       docs.as("a")
         .join(
           docs.as("b"),
@@ -297,7 +325,9 @@ object Dedup {
       val keep = docs.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50)
-      val fp = docs.join(keep.select("fp"), Seq("fp"))
+      // persist: used by the frequency filter AND both self-join sides —
+      // without it the rolling-hash pipeline runs three times.
+      val fp = docs.join(keep.select("fp"), Seq("fp")).persist()
       fp.as("a")
         .join(
           fp.as("b"),

@@ -16,11 +16,15 @@ import graft.Tables
   */
 object Sim {
 
+  // norm is precomputed ONCE per vector: computing it inside the pair
+  // join (the naive shape) redoes a 64-dim dot product per PAIR — 2/3 of
+  // all similarity flops for identical results.
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
       .select(
         col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(expr(dot.format("v", "v"))))
 
   private val dot =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
@@ -33,15 +37,13 @@ object Sim {
     (s, d) => {
       val all = emb(s, d)
       val queries = all.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
       val scored = all.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dp", expr(dot.format("qv", "v")))
-        .withColumn("nq", expr(dot.format("qv", "qv")))
-        .withColumn("nc", expr(dot.format("v", "v")))
-        .withColumn(
-          "cos_sim",
-          col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
       scored
         .withColumn(
           "rank",
@@ -95,11 +97,7 @@ object Sim {
           col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("dp", expr(dot.format("a.v", "b.v")))
-        .withColumn("na", expr(dot.format("a.v", "a.v")))
-        .withColumn("nb", expr(dot.format("b.v", "b.v")))
-        .withColumn(
-          "cos_sim",
-          col("dp") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("cos_sim", col("dp") / (col("a.nrm") * col("b.nrm")))
         .filter(col("cos_sim") >= 0.35)
         .select(
           col("a.vec_id").as("vec_a"),
@@ -152,17 +150,13 @@ object Sim {
       val queries = withBucket.filter(col("vec_id") < 8)
         .select(
           col("vec_id").as("qid"), col("v").as("qv"),
-          col("bucket").as("qbucket"))
+          col("bucket").as("qbucket"), col("nrm").as("qnrm"))
       withBucket
         .join(
           broadcast(queries),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
         .withColumn("dp", expr(dot.format("qv", "v")))
-        .withColumn("nq", expr(dot.format("qv", "qv")))
-        .withColumn("nc", expr(dot.format("v", "v")))
-        .withColumn(
-          "cos_sim",
-          col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
         .withColumn(
           "rank",
           row_number().over(
