@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q
+
+/** A media item: opaque binary payload + typed metadata — the multimodal
+  * column convention (image/audio/video ride through the engine as
+  * `binary` columns; only metadata and derived features are relational).
+  */
+final case class MediaItem(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte])
+
+/** Decode output: metadata + a small feature vector per item. */
+final case class DecodedMedia(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature: Array[Double])
+
+/** Multimodal-column operators for the training-data-pipeline extension.
+  *
+  * The real decode libraries (image/audio codecs) are NOT in this
+  * container, so [[MediaDecoder.decodeStub]] is a clearly-marked
+  * deterministic fake; everything AROUND it — the binary column, the typed
+  * Dataset plumbing, the per-partition batch shape (the Scala analog of
+  * Python's mapInPandas batches), partitioning, and the metadata schema —
+  * is real and tested. Swapping the stub for a JNI/codec call changes no
+  * plan shape.
+  */
+object MediaDecoder {
+
+  /** STUB decode — deterministic fake standing in for an image/audio
+    * decoder. Derives metadata from payload size and a 4-bin byte-value
+    * histogram "feature" from the payload content. Pure function of the
+    * bytes: the differential tests can recompute it any way they like. */
+  def decodeStub(item: MediaItem): DecodedMedia = {
+    val n = item.payload.length.toLong
+    val frameSize = 64
+    val feature = new Array[Double](4)
+    var i = 0
+    while (i < item.payload.length) {
+      feature((item.payload(i) & 0xff) % 4) += 1.0
+      i += 1
+    }
+    DecodedMedia(
+      doc_id = item.doc_id,
+      media_type = item.media_type,
+      n_bytes = n,
+      width = (1 + n % 32).toInt,
+      height = (1 + n % 17).toInt,
+      n_frames = ((n + frameSize - 1) / frameSize).toInt,
+      feature = feature)
+  }
+
+  /** The fixture has no binary media, so manufacture the media table from
+    * documents: payload = UTF-8 bytes of the text (an opaque blob as far
+    * as the engine is concerned), media_type derived from source. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        concat(lit("fake/"), col("source")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** Per-partition batched decode — the Scala analog of mapInPandas: one
+    * iterator per partition, items processed in a tight loop, no
+    * per-row driver round-trips, executes wherever the partition lives. */
+  def decodeAll(media: Dataset[MediaItem]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling for "video" payloads: split the byte stream into
+    * fixed 64-byte frames, keep every k-th — pure relational ops on the
+    * binary column (substring works on binary), no decode needed. */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn(
+        "frame_idx",
+        explode(expr(
+          s"filter(sequence(0, CAST((n_bytes + 63) / 64 AS INT) - 1), " +
+            s"i -> i % $k = 0)")))
+      .withColumn(
+        "frame",
+        expr("substring(payload, frame_idx * 64 + 1, 64)"))
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+
+  /** q32: the decode pipeline's relational face — metadata derived from
+    * the binary payload via the per-partition decode. The oracle
+    * recomputes n_bytes/width/height/n_frames from octet_length in
+    * DuckDB, proving the binary round-trip + stub arithmetic; the feature
+    * vector is differential-tested in MediaSpec instead (blob byte
+    * histograms aren't SQL-portable). */
+  val q32 = Q(
+    "q32_media_decode",
+    (s, d) => {
+      import s.implicits._
+      decodeAll(mediaTable(s, d))
+        .select(
+          col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             'fake/' || source AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(1 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
+             CAST(1 + octet_length(encode(text)) % 17 AS INTEGER) AS height,
+             CAST((octet_length(encode(text)) + 63) // 64 AS INTEGER)
+               AS n_frames
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q32)
+}

@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++
-      graft.sources.IngestJob.all
+      graft.sources.IngestJob.all ++ graft.streaming.EventStream.all ++
+      graft.multimodal.MediaDecoder.all
 
   require(
     all.map(_.name).distinct.size == all.size,

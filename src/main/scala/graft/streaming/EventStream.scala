@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.{Det, Q}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming operators — its event-shaped
+  * `user_events` table (reference: clickhouse-init/01-create-table.sql:31-41,
+  * day-partitioned) and its pipe-streaming ingestion (README.md:253-274)
+  * are the closest artifacts. The Spark-native extension: ONE transform
+  * definition that runs identically as a batch DataFrame program and as a
+  * Structured Streaming query (`readStream` → watermark → tumbling-window
+  * aggregate → sink). Batch/stream parity is asserted by StreamingSpec;
+  * the batch instantiation is oracle-checked by the driver as q31.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed aggregate with a 10-minute watermark.
+    * Takes EITHER a batch or a streaming events DataFrame (watermark is a
+    * no-op in batch) — the definition is shared, which IS the correctness
+    * argument for the streaming path: same Catalyst plan fragment, plus
+    * state-store eviction bounded by the watermark at scale. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user ordered event-gap analysis — the streaming-state analog
+    * (sessionization precursor): for each user, time since previous event
+    * and a session-break flag at 30 min. Batch implementation via window
+    * functions; the streaming twin would be mapGroupsWithState with the
+    * same gap rule. */
+  def eventGaps(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // integer-microsecond gap: engines disagree on fractional-second
+      // date_diff truncation, exact micros never do
+      .withColumn(
+        "gap_us",
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .withColumn(
+        "new_session",
+        coalesce(col("gap_us") > lit(1800000000L), lit(true)))
+  }
+
+  val q31 = Q(
+    "q31_stream_window",
+    (s, d) =>
+      windowedCounts(Tables.load(s, d, "events"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some(s"""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             event_type, count(*) AS n,
+             ${Det.dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY hour_start, event_type
+      ORDER BY hour_start, event_type"""))
+
+  /** Sessionization rollup over the gap analysis: sessions per user via
+    * running sum of session breaks, then session length stats. */
+  val q33 = Q(
+    "q33_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sessions = eventGaps(Tables.load(s, d, "events"))
+        .withColumn(
+          "session_id",
+          sum(col("new_session").cast("long")).over(w))
+      sessions
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+      )
+      SELECT user_id, count(*) AS n_sessions,
+             max(n_events) AS max_session_events
+      FROM per_session
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(q31, q33)
+}

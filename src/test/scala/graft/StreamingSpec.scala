@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import graft.streaming.EventStream
+
+/** Batch/stream parity: the SAME windowedCounts transform over the same
+  * rows must produce identical results via Structured Streaming (file
+  * source, one file per trigger, memory sink) and as a batch program.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def key(r: Row): (String, String, Long, Double) =
+    (String.valueOf(r.get(0)), r.getString(1), r.getLong(2), r.getDouble(3))
+
+  test("windowedCounts streaming == batch") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream").toString
+    // repartition so the stream sees several files => several micro-batches
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val batch = EventStream.windowedCounts(events).collect().map(key).toSet
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.windowedCounts(streamIn)
+      .writeStream
+      .format("memory")
+      .queryName("stream_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_out").collect().map(key).toSet
+      assert(got == batch, "streaming result differs from batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("eventGaps marks first event per user as session start") {
+    val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
+    val users = gaps.select("user_id").distinct().count()
+    val firsts = gaps.filter("prev_ts IS NULL").count()
+    assert(firsts == users)
+    assert(gaps.filter("prev_ts IS NULL AND NOT new_session").count() == 0)
+  }
+}
