@@ -126,5 +126,49 @@ object IngestJob {
     },
     None)
 
-  val all: Seq[Q] = Seq(q17, q18, q19)
+  /** Schema for the DSv2 TSV foreign-table analog (S6): explicit, like the
+    * reference's foreign-table DDL (init.sql:27-70). */
+  val eventsTsvSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** S6: foreign-table scan with source-side pushdown. Events are exported
+    * to a "remote" TSV table, re-read through the graft.sources.tsv DSv2
+    * source; Catalyst pushes the event_type/value predicates and the
+    * 4→3 column projection INTO the source (visible in the scan's
+    * description), and only the aggregate remains in Spark — the split the
+    * reference observes for its FDW Q1/Q2 ("PostgreSQL executor bypassed",
+    * queries/q1-aggregation-by-type/README.md:139-143). */
+  val q34 = Q(
+    "q34_dsv2_pushdown",
+    (s, d) => {
+      val dir = tmp(s"events_tsv_${d.replaceAll("[^0-9.]", "")}")
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite")
+        .option("header", true).option("sep", "\t")
+        .csv(dir)
+      s.read.format("graft.sources.tsv")
+        .schema(eventsTsvSchema)
+        .load(dir)
+        .filter(col("event_type").isin("click", "view") &&
+          col("value") >= 10.0)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.queries.Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${graft.queries.Det.dsumSql("value")} AS sum_value
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value >= 10.0
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q34)
 }
