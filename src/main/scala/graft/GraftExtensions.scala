@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.VecDot
+
+/** Engine extensions, installed with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
+  * the native [[VecDot]] expression as SQL function `vec_dot`, making it
+  * available to `spark.sql(...)` entry points alongside the Column API
+  * (SURVEY §2.11 — the reference needs no UDFs; our extensions ride the
+  * sanctioned SparkSessionExtensions hook rather than patching catalogs).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("vec_dot"), VecDot.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VecDot(children(0), children(1))))
+  }
+}

@@ -34,7 +34,9 @@ object Tables {
   /** Session config every entry point (Verify/Bench/tests) must apply. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // engine extensions: native functions (vec_dot) for SQL entry points
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Register every fixture as a temp view so `spark.sql(...)` entry points
     * (the reference's psql/clickhouse-client analogs) work side by side with

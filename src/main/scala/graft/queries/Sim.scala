@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VecDot
 
 /** Similarity search over the `embeddings` fixture (64-dim float vectors).
   *
@@ -24,7 +25,7 @@ object Sim {
       .select(
         col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(expr(dot.format("v", "v"))))
+      .withColumn("nrm", sqrt(VecDot.dot(col("v"), col("v"))))
 
   private val dot =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
@@ -42,7 +43,7 @@ object Sim {
           col("nrm").as("qnrm"))
       val scored = all.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dp", expr(dot.format("qv", "v")))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
         .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
       scored
         .withColumn(
@@ -96,7 +97,7 @@ object Sim {
           all.as("b"),
           col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dp", expr(dot.format("a.v", "b.v")))
+        .withColumn("dp", VecDot.dot(col("a.v"), col("b.v")))
         .withColumn("cos_sim", col("dp") / (col("a.nrm") * col("b.nrm")))
         .filter(col("cos_sim") >= 0.35)
         .select(
@@ -155,7 +156,7 @@ object Sim {
         .join(
           broadcast(queries),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .withColumn("dp", expr(dot.format("qv", "v")))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
         .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
         .withColumn(
           "rank",

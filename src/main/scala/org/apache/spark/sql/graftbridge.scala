@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native expressions.
+  *
+  * Spark 4 made the public Column API implementation-agnostic; the
+  * Expression-backed constructors live behind private[sql]
+  * (classic.ExpressionUtils). This one-file shim in the sql package is the
+  * conventional way third-party Catalyst expressions obtain Column
+  * wrappers without reflection.
+  */
+object graftbridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
