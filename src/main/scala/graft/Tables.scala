@@ -36,7 +36,10 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // engine extensions: native functions (vec_dot) for SQL entry points
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    // managed (bucketed) tables land in tmp, never in the repo tree
+    "spark.sql.warehouse.dir" ->
+      (sys.props("java.io.tmpdir") + "/graft_warehouse"))
 
   /** Register every fixture as a temp view so `spark.sql(...)` entry points
     * (the reference's psql/clickhouse-client analogs) work side by side with

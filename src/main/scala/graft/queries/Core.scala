@@ -226,6 +226,36 @@ object Core {
       GROUP BY f.o_custkey, f.o_orderstatus
       ORDER BY f.o_custkey, f.o_orderstatus"""))
 
+  /** Q4 approximate variant (reference A8: quantileTDigest(q)(price),
+    * queries/q4-top-countries-percentiles/README.md:222-225 — ClickHouse's
+    * t-digest is itself approximate, which is WHY the reference's four
+    * engines disagree on Q4 tails). approx_percentile (Catalyst
+    * ApproximatePercentile, GK sketch) is our analog; kept OUT of the
+    * exact-oracle set by design (SURVEY §5) — the driver records a
+    * rows-only check, and the spec bounds its error against q04's exact
+    * percentiles. At 100 TB this is the percentile path to use: one
+    * mergeable sketch per group instead of a per-group sort. */
+  val q04b = Q(
+    "q04b_topn_percentiles_approx",
+    (s, d) => {
+      val filtered = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+        .withColumn("cents", cents(col("o_totalprice")))
+      val top = filtered
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("o_custkey"))
+        .limit(10)
+      filtered
+        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          (expr("approx_percentile(cents, 0.5D, 1000)") / 100).as("p50"),
+          (expr("approx_percentile(cents, 0.95D, 1000)") / 100).as("p95"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    },
+    None)
+
   /** Sample query 1 (reference: postgres/preparedataset.sql:190-199):
     * median price by year × type via exact percentile_cont(0.5). */
   val q05 = Q(
@@ -460,6 +490,6 @@ object Core {
       LIMIT 500"""))
 
   val all: Seq[Q] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08,
+    q01, q02, q03, q04, q04b, q05, q06, q07, q08,
     q09, q10, q10b, q11, q12, q13, q14)
 }
