@@ -15,18 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Buckets {
 
-  /** Write `df` as a bucketed, sorted managed table (overwriting). */
+  /** Write `df` as a bucketed, sorted managed table (overwriting). The
+    * in-memory catalog forgets tables between JVMs while the warehouse
+    * directory persists, so a stale location must be cleared explicitly
+    * or CTAS fails with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two identically-bucketed tables on their bucket key. */
   def bucketedJoin(

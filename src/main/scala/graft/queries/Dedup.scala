@@ -19,13 +19,16 @@ object Dedup {
   /** Shared shingling: distinct word-level 3-gram shingles per document;
     * documents shorter than 3 tokens contribute their whole text as the
     * single shingle (avoids out-of-bounds element_at under ANSI). */
+  // `toks` must be a pre-bound column: inlining split(text) into the
+  // lambda re-tokenizes the document 3x PER POSITION (no subexpression
+  // elimination inside higher-order functions)
   private val shinglesExpr =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+    """CASE WHEN size(toks) >= 3 THEN
       |  array_distinct(transform(
-      |    sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat(element_at(split(text, ' '), i), ' ',
-      |                element_at(split(text, ' '), i + 1), ' ',
-      |                element_at(split(text, ' '), i + 2))))
+      |    sequence(1, size(toks) - 2),
+      |    i -> concat(element_at(toks, i), ' ',
+      |                element_at(toks, i + 1), ' ',
+      |                element_at(toks, i + 2))))
       |ELSE array(text) END""".stripMargin
 
   private val shinglesSql =
@@ -47,7 +50,9 @@ object Dedup {
       // chars 1-16 and 17-32) — 4 md5 calls per shingle instead of 8 for
       // the same 8-signature × 4-band structure.
       val withHex = (1 to 4).foldLeft(
-        Tables.load(s, d, "documents").withColumn("shingles", expr(shinglesExpr))
+        Tables.load(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("shingles", expr(shinglesExpr))
       )((df, j) => df.withColumn(
         s"hx$j", expr(s"transform(shingles, x -> md5(concat('$j:', x)))")))
       val sigCols =
@@ -74,7 +79,11 @@ object Dedup {
         // shingling + 8 minhash passes are the expensive part of the plan
         // (Spark does not CSE across self-joins).
         .persist()
-      val pairs = bands.as("a")
+      // distinct over bare id pairs (a doc pair colliding in k bands shows
+      // up k times): shuffling two shingle ARRAYS per candidate through the
+      // distinct would dominate the stage; the arrays are joined back in
+      // only for the surviving pairs.
+      val candidates = bands.as("a")
         .join(
           bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -82,14 +91,17 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"),
-          col("a.shingles").as("sa"),
-          col("b.shingles").as("sb"))
+          col("b.doc_id").as("doc_b"))
         .distinct()
+      val shingleSets = bands
+        .select(col("doc_id"), col("shingles")).distinct()
+      val pairs = candidates
+        .join(shingleSets.select(
+          col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+        .join(shingleSets.select(
+          col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
       pairs
-        .withColumn(
-          "inter",
-          expr("size(filter(sa, x -> array_contains(sb, x)))"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn(
           "jaccard",
           col("inter").cast(DoubleType) /
@@ -163,8 +175,10 @@ object Dedup {
         .select(
           col("a.doc_id").as("doc_a"),
           col("b.doc_id").as("doc_b"),
-          expr("size(filter(a.toks, x -> array_contains(b.toks, x)))")
-            .as("inter"),
+          // hash-based set intersection (array_intersect) — O(|a|+|b|) per
+          // pair vs the O(|a|·|b|) filter/contains scan; same count since
+          // token sets are already distinct
+          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
           size(col("a.toks")).as("la"),
           size(col("b.toks")).as("lb"))
         .withColumn(
@@ -288,11 +302,17 @@ object Dedup {
     * fingerprints are copy candidates. Fingerprints appearing in > 50
     * docs are dropped (stop-gram cap) so no hot key can go quadratic —
     * the join shuffles on fingerprint value, which IS the blocking. */
+  // window-min via an unrolled least() over direct indexing — array_min
+  // over slice() allocates a fresh 16-element array per window position,
+  // which dominates the interpreted-lambda cost; least() touches the
+  // backing array in place. Values identical.
+  private val win16 = (0 until 16)
+    .map(k => s"element_at(hashes, p + $k)").mkString("least(", ", ", ")")
   private val fingerprintExpr =
-    """CASE WHEN length(text) >= 8 THEN
+    s"""CASE WHEN length(text) >= 8 THEN
       |  (CASE WHEN size(hashes) >= 16 THEN
       |     array_distinct(transform(sequence(1, size(hashes) - 15),
-      |       p -> array_min(slice(hashes, p, 16))))
+      |       p -> $win16))
       |   ELSE array(array_min(hashes)) END)
       |ELSE array(aggregate(chars, 0L, (acc, c) -> acc * 31 + c)) END"""
       .stripMargin
@@ -311,16 +331,26 @@ object Dedup {
       val docs = Tables.load(s, d, "documents")
         .withColumn(
           "chars",
-          expr("transform(sequence(1, length(text)), " +
-            "x -> CAST(ascii(substring(text, x, 1)) AS BIGINT))"))
+          // substring(text, x, 1) is O(x) on UTF8String → O(len²) per
+          // document; splitting once is linear. slice() guards against a
+          // trailing empty token. Same codepoint values either way.
+          expr("transform(slice(split(text, ''), 1, length(text)), " +
+            "ch -> CAST(ascii(ch) AS BIGINT))"))
         .withColumn(
           "hashes",
-          expr(
-            """CASE WHEN length(text) >= 8 THEN
-              |  transform(sequence(1, length(text) - 7),
-              |    i -> aggregate(slice(chars, i, 8), 0L,
-              |           (acc, c) -> acc * 31 + c))
-              |ELSE array(0L) END""".stripMargin))
+          // unrolled base-31 polynomial over direct indexing: the
+          // aggregate-over-slice form allocates an 8-element array per
+          // gram position; this computes the same exact BIGINT value
+          // (31^7·c_i + … + c_{i+7} = Horner fold) with zero allocation
+          expr {
+            val pow31 = Iterator.iterate(1L)(_ * 31).take(8).toSeq.reverse
+            val gram = pow31.zipWithIndex
+              .map { case (p, k) => s"element_at(chars, i + $k) * ${p}L" }
+              .mkString(" + ")
+            s"""CASE WHEN length(text) >= 8 THEN
+               |  transform(sequence(1, length(text) - 7), i -> $gram)
+               |ELSE array(0L) END""".stripMargin
+          })
         .select(col("doc_id"), explode(expr(fingerprintExpr)).as("fp"))
       val keep = docs.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
