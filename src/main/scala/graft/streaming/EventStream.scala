@@ -57,6 +57,16 @@ object EventStream {
         coalesce(col("gap_us") > lit(1800000000L), lit(true)))
   }
 
+  /** Streaming exact deduplication — the streaming face of the q20 batch
+    * hash-dedup: duplicates arriving within the watermark horizon are
+    * dropped with bounded state (keys older than the watermark are
+    * evicted — the property that makes dedup feasible on an unbounded
+    * stream at scale). */
+  def dedupeEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   val q31 = Q(
     "q31_stream_window",
     (s, d) =>

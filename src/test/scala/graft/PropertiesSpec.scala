@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks for the determinism kernel — the helpers every
+  * oracle-checked aggregate rides on. Each property runs the Spark
+  * expression over ScalaCheck-generated inputs (fixed seed → reproducible)
+  * and compares against an exact BigDecimal reference model computed
+  * driver-side.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g(Gen.Parameters.default, Seed(42L + i)))
+
+  // 2-decimal money values (the fixture's l_extendedprice/o_totalprice
+  // shape), both signs, up to 10^7
+  private val moneyGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(
+      Gen.chooseNum(-999999999L, 999999999L).map(_ / 100.0))
+
+  test("dsum equals exact BigDecimal sum for any 2-decimal inputs") {
+    // batched: one Spark job for all cases, keyed by case id
+    val cases = samples(moneyGen, 25)
+    val df = cases.zipWithIndex
+      .flatMap { case (xs, i) => xs.map(x => (i, x)) }
+      .toDF("case_id", "v")
+    val got = df.groupBy("case_id").agg(Det2.dsum).as[(Int, Double)]
+      .collect().toMap
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      val expected = xs.map(BigDecimal(_).setScale(2)).sum.toDouble
+      assert(got(i) == expected, s"case $i")
+    }
+  }
+
+  test("avgCents equals half-away-from-zero BigDecimal average") {
+    val cases = samples(moneyGen, 25)
+    val df = cases.zipWithIndex
+      .flatMap { case (xs, i) => xs.map(x => (i, x)) }
+      .toDF("case_id", "v")
+    val got = df.groupBy("case_id").agg(Det2.avgCents).as[(Int, Long)]
+      .collect().toMap
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      val cents = xs.map(x => BigDecimal(x).setScale(2) * 100)
+      // BigDecimal HALF_UP rounds half away from zero for negatives too,
+      // matching the avgCents contract
+      val expected = (cents.sum / cents.size)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(got(i) == expected, s"case $i: xs=${xs.take(5)}…")
+    }
+  }
+
+  test("vec_dot equals driver-side sequential dot product") {
+    val vecGen = for {
+      n <- Gen.chooseNum(1, 64)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 8.0))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 8.0))
+    } yield (a, b)
+    val cases = samples(vecGen, 25)
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.VecDot.dot(col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      // eighths are exactly representable → the fold is exact
+      var expected = 0.0
+      a.zip(b).foreach { case (x, y) => expected += x * y }
+      assert(g == expected)
+    }
+  }
+
+  test("salted join cardinality is invariant in the salt count") {
+    val ev = Tables.load(spark, sf001, "events").limit(200)
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val plain = ev.join(dim, Seq("user_id")).count()
+    Seq(1, 3, 16).foreach { n =>
+      val salted = graft.operators.Skew
+        .saltedJoin(ev, dim, "user_id", col("event_id"), n).count()
+      assert(salted == plain, s"nSalts=$n")
+    }
+  }
+
+  private object Det2 {
+    val dsum = graft.queries.Det.dsum(col("v")).as("s")
+    val avgCents = graft.queries.Det.avgCents(col("v")).as("s")
+  }
+}

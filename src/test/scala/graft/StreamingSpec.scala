@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses duplicated input to distinct events") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_dup").toString
+    // two copies of every event across several files
+    events.unionByName(events).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+
+    val expected = events.select("event_id").distinct().count()
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir)
+    val q = EventStream.dedupeEvents(streamIn)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      assert(got == expected, s"expected $expected distinct, got $got")
+    } finally q.stop()
+  }
+
   test("eventGaps marks first event per user as session start") {
     val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
     val users = gaps.select("user_id").distinct().count()
