@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("vec_dot"), VecDot.info,
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecDot(children(0), children(1))))
+    // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
   }
 }

@@ -60,9 +60,14 @@ object Det {
     val q = s"floor((2 * abs($s) + count(*)) / (2 * count(*)))"
     s"(CASE WHEN $s < 0 THEN -$q ELSE $q END)"
   }
-  /** [[avgCents]] presented as a 2-decimal money value. */
+  /** [[avgCents]] presented as a 2-decimal money value. The SQL twin
+    * divides by CAST(100 AS DOUBLE), not the literal 100.0 — Spark SQL
+    * parses decimal literals as DECIMAL (DuckDB as DOUBLE), and the twin
+    * must type identically under BOTH parsers for the same-SQL-text entry
+    * (q37). */
   def davg2(c: Column): Column = avgCents(c) / lit(100.0)
-  def davg2Sql(c: String): String = s"(${avgCentsSql(c)} / 100.0)"
+  def davg2Sql(c: String): String =
+    s"(${avgCentsSql(c)} / CAST(100 AS DOUBLE))"
 }
 
 /** Reference-parity queries: Q1–Q4 analogs, the four sample queries
@@ -489,7 +494,21 @@ object Core {
       ORDER BY l_orderkey, l_linenumber
       LIMIT 500"""))
 
+  /** Same-SQL-text entry (reference entry points E1–E3: ONE query string,
+    * multiple engines — README.md:14-18 "Only the execution engine
+    * differs"). q01's oracle SQL is written in the Spark∩DuckDB dialect
+    * intersection, so the IDENTICAL string runs through spark.sql here
+    * and through DuckDB in the driver's compare — no translation layer at
+    * all, the purest form of the reference's methodology. */
+  val q37 = Q(
+    "q37_sql_entry",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(q01.oracle.get)
+    },
+    q01.oracle)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14)
+    q09, q10, q10b, q11, q12, q13, q14, q37)
 }
