@@ -508,7 +508,45 @@ object Core {
     },
     q01.oracle)
 
+  /** Join variants beyond the reference's inner-only surface (SURVEY §2.3
+    * marks outer/semi/anti "absent; trivial to add" — a user switching
+    * engines still expects them): left-semi and left-anti partition the
+    * customer table against orders; the left-outer aggregate counts
+    * orders per customer INCLUDING zero-order customers (the NULL-key
+    * group the inner join would drop). */
+  val q38 = Q(
+    "q38_join_variants",
+    (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = ord(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("with_orders").as("kind"), col("n"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("without_orders").as("kind"), col("n"))
+      val outer = c
+        .join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("n_orders")).as("n"))
+        .select(lit("total_orders_via_outer").as("kind"), col("n"))
+      semi.unionByName(anti).unionByName(outer).orderBy(col("kind"))
+    },
+    Some("""
+      SELECT 'with_orders' AS kind, count(*) AS n
+      FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'without_orders', count(*)
+      FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'total_orders_via_outer', sum(n_orders) FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+      ORDER BY kind"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38)
 }

@@ -27,9 +27,6 @@ object Sim {
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", sqrt(VecDot.dot(col("v"), col("v"))))
 
-  private val dot =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
-
   /** Brute-force cosine top-k (extension op S1): 8 query vectors against the
     * full corpus, exact cosine, top-5 per query. The query side is tiny so
     * Spark broadcasts it — the corpus is scanned exactly once. */
