@@ -222,7 +222,6 @@ object Dedup {
   // zip_with. The naive per-bit × per-token double loop recomputes md5
   // (or random-accesses nibbles) 64× per token and is ~10× slower under
   // interpreted higher-order-function evaluation.
-  private val simhashHexesExpr = "transform(toks, t -> md5(t))"
   private val simhashBitsExpr =
     """transform(hexes, h ->
       |  flatten(transform(
@@ -230,11 +229,6 @@ object Dedup {
       |      j -> instr('0123456789abcdef', substring(h, j, 1)) - 1),
       |    v -> array(v % 2, (v div 2) % 2, (v div 4) % 2, (v div 8) % 2))))"""
       .stripMargin
-  private val simhashExpr =
-    """transform(
-      |  aggregate(bits, array_repeat(0L, 64),
-      |    (acc, b) -> zip_with(acc, b, (x, y) -> x + 2 * y - 1)),
-      |  s -> CASE WHEN s >= 0 THEN 1 ELSE 0 END)""".stripMargin
 
   private val simhashSql =
     """list_transform(range(0, 64), i ->
@@ -247,17 +241,38 @@ object Dedup {
   val q29 = Q(
     "q29_simhash",
     (s, d) => {
-      // persist the signatures: the self-join would otherwise evaluate the
-      // whole hash pipeline twice (Spark does not CSE across self-joins) —
-      // at cluster scale this is "materialize the signature table".
-      val docs = Tables.load(s, d, "documents")
+      // Vocabulary-deduplicated SimHash: tokens repeat massively across a
+      // corpus, so the md5+nibble-decode work runs ONCE per DISTINCT
+      // token (the vocab — orders of magnitude smaller than Σ|tokens|),
+      // then joins back to (doc, token) pairs and votes are 64
+      // codegen'd SUM aggregates with map-side partial aggregation.
+      // Signatures are mathematically identical to hashing per-document.
+      // broadcast(vocab) fits test scale; at 100 TB the vocab join runs
+      // as a plain shuffled join on `tok` instead.
+      val base = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("hexes", expr(simhashHexesExpr))
+        .persist()
+      val vocab = base.select(explode(col("toks")).as("tok")).distinct()
+        .withColumn("hexes", expr("array(md5(tok))"))
         .withColumn("bits", expr(simhashBitsExpr))
-        .withColumn("sig", expr(simhashExpr))
-        .select(col("doc_id"), col("lang"), col("source"), col("sig"))
+        .select(col("tok"), element_at(col("bits"), 1).as("b"))
+      val docTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val voteCols = (0 until 64).map(k =>
+        sum(element_at(col("b"), k + 1) * lit(2) - lit(1)).as(s"v$k"))
+      val votes = docTok.join(broadcast(vocab), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+      val sigs = votes.select(
+        col("doc_id"),
+        array((0 until 64).map(k =>
+          when(col(s"v$k") >= 0, 1).otherwise(0)): _*).as("sig"))
+      // persist the signatures: the self-join would otherwise evaluate the
+      // whole vote pipeline twice (Spark does not CSE across self-joins) —
+      // at cluster scale this is "materialize the signature table".
+      val docs = base.select("doc_id", "lang", "source")
+        .join(sigs, Seq("doc_id"))
         .persist()
       docs.as("a")
         .join(
