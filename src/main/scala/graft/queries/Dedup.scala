@@ -367,12 +367,18 @@ object Dedup {
                |ELSE array(0L) END""".stripMargin
           })
         .select(col("doc_id"), explode(expr(fingerprintExpr)).as("fp"))
-      val keep = docs.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df"))
+      // stop-gram cap via a count window over fp: one shuffle replaces
+      // the groupBy + join-back shape (two shuffles and a second pass
+      // over the fingerprint pipeline)
+      val fpWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      // persist: both self-join sides read this — without it the
+      // rolling-hash pipeline runs twice.
+      val fp = docs
+        .withColumn("df", count(lit(1)).over(fpWindow))
         .filter(col("df") <= 50)
-      // persist: used by the frequency filter AND both self-join sides —
-      // without it the rolling-hash pipeline runs three times.
-      val fp = docs.join(keep.select("fp"), Seq("fp")).persist()
+        .drop("df")
+        .persist()
       fp.as("a")
         .join(
           fp.as("b"),
