@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q
+
+/** As-of and range joins — operators Spark lacks as primitives, built by
+  * COMPOSITION of existing operators (the custom-operator preference
+  * ladder's first rung: compose before writing a custom SparkPlan).
+  *
+  * The q39 oracle is DuckDB's NATIVE `ASOF JOIN` — a genuinely
+  * independent implementation of the same semantics, so the differential
+  * test validates our composition against another engine's built-in
+  * operator, not against a translation of itself.
+  */
+object AsOf {
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `rightTime <= leftTime` within the same `key` (equal times match).
+    *
+    * Composition: tag both sides, union, then carry the last non-null
+    * right value over a (key, time) window ordered with right rows before
+    * left rows at equal timestamps. ONE shuffle on (key) + a sort — the
+    * same cost profile as a sort-merge join, and the standard distributed
+    * as-of plan (a per-key ordered merge). Never materializes the
+    * O(left × right) inequality pair space a naive join+filter would. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val tagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select(
+        (lCols.map(col) :+ col("_t") :+ col("_side")) ++
+          rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .unionByName(
+        right
+          .withColumn("_t", col(rightTime))
+          .withColumn("_side", lit(0))
+          .select(
+            (lCols.map(c =>
+              if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+              col("_t") :+ col("_side")) ++ rightValues.map(col): _*))
+    // right (0) sorts before left (1) at equal _t → "at or before" matches
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValues.foldLeft(tagged)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("_side") === 1).drop("_t", "_side")
+  }
+
+  /** q39: each event joined as-of to its user's most recent "profile
+    * snapshot" (a deterministic subset of events playing the dimension-
+    * history role). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q39 = Q(
+    "q39_asof_join",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val snaps = Tables.load(s, d, "events")
+        .filter(col("event_id") % 17 === 0)
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("value")).as("snap_value"))
+        .select(col("user_id"), col("sts"), col("snap_value"))
+      asofJoin(ev, snaps, "user_id", "ts", "sts", Seq("snap_value"))
+        .select(col("event_id"), col("user_id"), col("snap_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), snaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS sts,
+               max(value) AS snap_value
+        FROM events WHERE event_id % 17 = 0
+        GROUP BY user_id, sts
+      )
+      SELECT ev.event_id, ev.user_id, snaps.snap_value
+      FROM ev ASOF LEFT JOIN snaps
+        ON ev.user_id = snaps.user_id AND snaps.sts <= ev.ts
+      ORDER BY ev.event_id"""))
+
+  /** q40: range (band) join — events banded into value tiers by an
+    * interval condition. The tier side is 4 rows → Spark broadcasts and
+    * the "join" is a per-row interval lookup, the right plan at any
+    * scale when the band table is small. */
+  val q40 = Q(
+    "q40_range_join",
+    (s, d) => {
+      val tiers = s.createDataFrame(Seq(
+        ("bronze", 0.0, 25.0),
+        ("silver", 25.0, 75.0),
+        ("gold", 75.0, 150.0),
+        ("platinum", 150.0, 1e18)
+      )).toDF("tier", "lo", "hi")
+      Tables.load(s, d, "events")
+        .join(
+          broadcast(tiers),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.queries.Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("tier"))
+    },
+    Some(s"""
+      SELECT t.tier, count(*) AS n,
+             ${graft.queries.Det.dsumSql("e.value")} AS sum_value
+      FROM events e
+      JOIN (VALUES ('bronze', 0.0, 25.0),
+                   ('silver', 25.0, 75.0),
+                   ('gold', 75.0, 150.0),
+                   ('platinum', 150.0, 1e18)) t(tier, lo, hi)
+        ON e.value >= t.lo AND e.value < t.hi
+      GROUP BY t.tier
+      ORDER BY t.tier"""))
+
+  val all: Seq[Q] = Seq(q39, q40)
+}
