@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 import graft.queries.{Det, Q}
+
+/** Carried per-user state for streaming sessionization. */
+final case class UserSessionState(lastTsMicros: Long, sessionId: Long)
+
+/** One sessionized event emitted by the streaming sessionizer. */
+final case class SessionizedEvent(
+    user_id: Long, ts_micros: Long, session_id: Long)
 
 /** Structured Streaming surface.
   *
@@ -55,6 +63,42 @@ object EventStream {
       .withColumn(
         "new_session",
         coalesce(col("gap_us") > lit(1800000000L), lit(true)))
+  }
+
+  /** Streaming sessionization with EXPLICIT carried state — the
+    * KeyValueGroupedDataset.flatMapGroupsWithState face of q33's batch
+    * running-sum sessionizer. Per micro-batch each user's rows are
+    * event-time sorted, the 30-minute gap rule runs against the state
+    * carried from previous batches (last timestamp + current session id),
+    * and the state is written back — bounded per-key state, the shape
+    * that scales to an unbounded stream. Matches q33 exactly when
+    * micro-batches arrive in event-time order (the file-source test
+    * feeds them that way); out-of-order arrival is the documented
+    * trade-off vs the batch sort. */
+  def sessionizeStream(events: DataFrame): Dataset[SessionizedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsm"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSessionState, SessionizedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[UserSessionState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(UserSessionState(Long.MinValue, 0L))
+          val out = sorted.map { ts =>
+            val newSession =
+              st.lastTsMicros == Long.MinValue ||
+                ts - st.lastTsMicros > 1800000000L
+            st = UserSessionState(
+              ts, if (newSession) st.sessionId + 1 else st.sessionId)
+            SessionizedEvent(user, ts, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** Streaming exact deduplication — the streaming face of the q20 batch

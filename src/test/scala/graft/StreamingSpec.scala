@@ -65,6 +65,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches batch q33") {
+    val events = Tables.load(spark, sf001, "events")
+    // two event-time-ordered micro-batches: early half, then late half
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5D)")
+      .collect().head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft_stream_sess").toString
+    events.filter(org.apache.spark.sql.functions.unix_micros(
+      org.apache.spark.sql.functions.col("ts")) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+
+    val streamIn = spark.readStream.schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.sessionizeStream(streamIn)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second, strictly later batch lands after the first is processed
+      events.filter(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")) > cut)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("session_id").as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = graft.streaming.EventStream.q33.run(spark, sf001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "streaming session counts differ from batch")
+    } finally q.stop()
+  }
+
   test("eventGaps marks first event per user as session start") {
     val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
     val users = gaps.select("user_id").distinct().count()
