@@ -222,5 +222,100 @@ object Sim {
       FROM ranked WHERE rank <= 3
       ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28)
+  /** IVF-flat ANN (extension op S3 — the inverted-file counterpart of
+    * q28's LSH buckets): a deterministic coarse quantizer (the first 16
+    * corpus vectors as centroids — k-means would converge from here, but
+    * fixed centroids keep the oracle exact), every vector assigned to its
+    * nearest centroid by squared L2 (row_number tiebreak on centroid id),
+    * then queries probe ONLY their own cluster (nprobe=1). At 100 TB the
+    * cluster assignment is the partition key: each probe touches one
+    * partition instead of the corpus. */
+  val q41 = Q(
+    "q41_ann_ivf",
+    (s, d) => {
+      val all = emb(s, d)
+      val cent = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // d2 = <v,v> - 2<v,c> + <c,c>, identical operation order to the
+      // oracle so assignment ties and ordering agree bitwise
+      val assigned = all.crossJoin(broadcast(cent))
+        .withColumn(
+          "d2",
+          VecDot.dot(col("v"), col("v"))
+            - lit(2) * VecDot.dot(col("v"), col("cv"))
+            + VecDot.dot(col("cv"), col("cv")))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(
+          col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+        .persist()
+      val queries = assigned.filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cluster").as("qcluster"))
+      assigned
+        .join(
+          broadcast(queries),
+          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings
+      ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 16
+      ), dists AS (
+        SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cid,
+          list_reduce(list_transform(list_zip(vecs.v, vecs.v),
+            p -> p[1] * p[2]), (a, b) -> a + b)
+          - 2 * list_reduce(list_transform(list_zip(vecs.v, cent.cv),
+            p -> p[1] * p[2]), (a, b) -> a + b)
+          + list_reduce(list_transform(list_zip(cent.cv, cent.cv),
+            p -> p[1] * p[2]), (a, b) -> a + b) AS d2
+        FROM vecs CROSS JOIN cent
+      ), assigned AS (
+        SELECT vec_id, v, nrm, cid AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), queries AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cluster AS qcluster
+        FROM assigned WHERE vec_id < 8
+      ), scored AS (
+        SELECT q.qid, c.vec_id,
+          list_reduce(list_transform(list_zip(q.qv, c.v),
+            p -> p[1] * p[2]), (a, b) -> a + b) / (q.qnrm * c.nrm)
+            AS cos_sim
+        FROM assigned c JOIN queries q
+          ON c.cluster = q.qcluster AND c.vec_id <> q.qid
+      ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+      )
+      SELECT qid, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q41)
 }
