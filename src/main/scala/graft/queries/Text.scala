@@ -163,5 +163,28 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23)
+  /** Corpus vocabulary profile (extension op T5): top-40 tokens by
+    * document frequency — the explode → groupBy → TakeOrdered shape that
+    * at scale is one shuffle on token with map-side partial counts. */
+  val q42 = Q(
+    "q42_vocab_topk",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(desc("doc_freq"), col("tok"))
+        .limit(40),
+    Some("""
+      SELECT tok, count(*) AS doc_freq
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                     AS tok
+            FROM documents)
+      GROUP BY tok
+      ORDER BY doc_freq DESC, tok
+      LIMIT 40"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42)
 }

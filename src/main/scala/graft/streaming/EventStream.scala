@@ -173,5 +173,76 @@ object EventStream {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q31, q33)
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly two windows; Spark's window() explodes the
+    * assignment natively, the oracle unions the two shifted truncations. */
+  val q43 = Q(
+    "q43_hopping_window",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start")),
+    Some(s"""
+      WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 AS win_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes' AS win_start, value
+        FROM events
+      )
+      SELECT win_start, count(*) AS n,
+             ${Det.dsumSql("value")} AS sum_value
+      FROM assigned
+      GROUP BY win_start
+      ORDER BY win_start"""))
+
+  /** Built-in session windows (session_window, 30-minute gap) — must
+    * agree with the manual running-sum sessionizer (q33) on sessions per
+    * user, closing the loop between the three sessionization faces:
+    * manual window algebra (q33), explicit streaming state
+    * (sessionizeStream), and the engine primitive (this). */
+  val q44 = Q(
+    "q44_session_window",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         >= 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+      )
+      SELECT user_id, count(*) AS n_sessions,
+             max(n_events) AS max_session_events
+      FROM per_session
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(q31, q33, q43, q44)
 }
