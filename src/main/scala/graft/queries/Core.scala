@@ -369,7 +369,7 @@ object Core {
       SELECT count(*) AS n,
              CAST(min(ts) AS DATE) AS first_day,
              CAST(max(ts) AS DATE) AS last_day,
-             sum(length(props)) AS props_bytes,
+             CAST(sum(length(props)) AS BIGINT) AS props_bytes,
              ${dsumSql("value")} AS sum_value
       FROM events"""))
 
@@ -540,7 +540,7 @@ object Core {
       SELECT 'without_orders', count(*)
       FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
       UNION ALL
-      SELECT 'total_orders_via_outer', sum(n_orders) FROM (
+      SELECT 'total_orders_via_outer', CAST(sum(n_orders) AS BIGINT) FROM (
         SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey)
