@@ -546,7 +546,69 @@ object Core {
         GROUP BY c.c_custkey)
       ORDER BY kind"""))
 
+  /** Set operations beyond the reference's UNION ALL (SURVEY §2.7 marks
+    * INTERSECT/EXCEPT absent): customers active in both/only-one of two
+    * years. Spark plans these as left-semi/anti joins over distincts. */
+  val q45 = Q(
+    "q45_set_ops",
+    (s, d) => {
+      def custs(yr: Int) = ord(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val both = custs(1996).intersect(custs(1997))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("both_years").as("kind"), col("n"))
+      val only96 = custs(1996).except(custs(1997))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("only_1996").as("kind"), col("n"))
+      both.unionByName(only96).orderBy(col("kind"))
+    },
+    Some("""
+      WITH c96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+      ), c97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1997
+      )
+      SELECT 'both_years' AS kind,
+             (SELECT count(*) FROM (SELECT * FROM c96 INTERSECT
+                                    SELECT * FROM c97)) AS n
+      UNION ALL
+      SELECT 'only_1996',
+             (SELECT count(*) FROM (SELECT * FROM c96 EXCEPT
+                                    SELECT * FROM c97))
+      ORDER BY kind"""))
+
+  /** ROLLUP subtotals (absent in the reference, standard OLAP surface):
+    * per (priority, status), per priority, and grand total. grouping_id
+    * disambiguates subtotal rows; ordering goes through gid + coalesced
+    * keys because the engines disagree on NULL sort order. */
+  val q46 = Q(
+    "q46_rollup",
+    (s, d) =>
+      ord(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          grouping_id(col("o_orderpriority"), col("o_orderstatus"))
+            .as("gid"))
+        .orderBy(
+          col("gid"),
+          coalesce(col("o_orderpriority"), lit("")),
+          coalesce(col("o_orderstatus"), lit(""))),
+    Some(s"""
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             ${dsumSql("o_totalprice")} AS total,
+             CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                  AS BIGINT) AS gid
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY gid, coalesce(o_orderpriority, ''),
+               coalesce(o_orderstatus, '')"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37, q38)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46)
 }
