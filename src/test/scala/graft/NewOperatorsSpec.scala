@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+import graft.queries.Core
+import graft.streaming.EventStream
+
+/** Semantic invariants for the as-of/range joins, hopping windows, set
+  * ops, and rollup — beyond the generic registry contract.
+  */
+class NewOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q39 as-of: events before a user's first snapshot carry NULL") {
+    val ev = Tables.load(spark, sf001, "events")
+    val out = AsOf.q39.run(spark, sf001)
+    assert(out.count() == ev.count(), "as-of must be left-total")
+    // users with no snapshot at all → every event NULL
+    val snapUsers = ev.filter(col("event_id") % 17 === 0)
+      .select("user_id").distinct().as[Long].collect().toSet
+    val nullRows = out.filter(col("snap_value").isNull)
+      .select("user_id").as[Long].collect()
+    val nonNullRows = out.filter(col("snap_value").isNotNull)
+      .select("user_id").as[Long].collect().toSet
+    assert(nonNullRows.subsetOf(snapUsers),
+      "non-null snapshot joined for a user with no snapshots")
+    assert(nullRows.nonEmpty, "expected some pre-snapshot events")
+  }
+
+  test("q40 range join: tiers partition all events exactly once") {
+    val ev = Tables.load(spark, sf001, "events")
+    val out = AsOf.q40.run(spark, sf001)
+    assert(out.agg(sum("n")).as[Long].head() ==
+      ev.filter(col("value") >= 0.0).count())
+  }
+
+  test("q43 hopping windows: every event counted exactly twice") {
+    val ev = Tables.load(spark, sf001, "events").count()
+    val out = EventStream.q43.run(spark, sf001)
+    assert(out.agg(sum("n")).as[Long].head() == 2 * ev)
+  }
+
+  test("q44 session windows: session counts bounded by event counts") {
+    val out = EventStream.q44.run(spark, sf001).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+  }
+
+  test("q45 set ops: both + only_1996 equals 1996 distinct customers") {
+    val o = Tables.load(spark, sf001, "orders")
+    val c96 = o.filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().count()
+    val out = Core.q45.run(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("both_years") + out("only_1996") == c96)
+  }
+
+  test("q46 rollup: grand total row equals table count") {
+    val o = Tables.load(spark, sf001, "orders").count()
+    val out = Core.q46.run(spark, sf001)
+    val grand = out.filter(col("gid") === 3).collect()
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == o)
+    // per-priority subtotals sum to the grand total
+    val sub = out.filter(col("gid") === 1)
+      .agg(sum("n")).as[Long].head()
+    assert(sub == o)
+  }
+}
