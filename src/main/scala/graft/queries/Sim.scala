@@ -317,5 +317,29 @@ object Sim {
       FROM ranked WHERE rank <= 3
       ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41)
+  /** ANN quality report (rows-only): recall@3 of each approximate method
+    * (LSH buckets q28, IVF clusters q41) against the exact top-5 (q26),
+    * per query vector. The engine measures its own approximation quality
+    * — the evaluation loop a training-data pipeline needs before trusting
+    * an ANN index at scale. */
+  val q47 = Q(
+    "q47_ann_recall",
+    (s, d) => {
+      val exact = q26.run(s, d)
+        .select(col("qid"), col("neighbor_id"))
+      def recall(method: String, approx: org.apache.spark.sql.DataFrame) =
+        approx
+          .select(col("qid"), col("neighbor_id"))
+          .join(exact, Seq("qid", "neighbor_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+          .select(
+            lit(method).as("method"), col("qid"),
+            (col("hits").cast(DoubleType) / 3.0).as("recall_at_3"))
+      recall("lsh", q28.run(s, d))
+        .unionByName(recall("ivf", q41.run(s, d)))
+        .orderBy(col("method"), col("qid"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47)
 }

@@ -72,6 +72,16 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("q47 ANN recall in [0,1] for both methods, every query covered") {
+    val rows = Sim.q47.run(spark, sf001).collect()
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet == Set("lsh", "ivf"))
+    rows.foreach { r =>
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0 + 1e-9, s"recall OOB: $r")
+    }
+  }
+
   test("q21 quality score bounded to [0,1] for non-degenerate docs") {
     val rows = Text.q21.run(spark, sf001).collect()
     rows.foreach { r =>
