@@ -317,20 +317,47 @@ object Dedup {
     * fingerprints are copy candidates. Fingerprints appearing in > 50
     * docs are dropped (stop-gram cap) so no hot key can go quadratic —
     * the join shuffles on fingerprint value, which IS the blocking. */
-  // window-min via an unrolled least() over direct indexing — array_min
-  // over slice() allocates a fresh 16-element array per window position,
-  // which dominates the interpreted-lambda cost; least() touches the
-  // backing array in place. Values identical.
-  private val win16 = (0 until 16)
-    .map(k => s"element_at(hashes, p + $k)").mkString("least(", ", ", ")")
-  private val fingerprintExpr =
-    s"""CASE WHEN length(text) >= 8 THEN
-      |  (CASE WHEN size(hashes) >= 16 THEN
-      |     array_distinct(transform(sequence(1, size(hashes) - 15),
-      |       p -> $win16))
-      |   ELSE array(array_min(hashes)) END)
-      |ELSE array(aggregate(chars, 0L, (acc, c) -> acc * 31 + c)) END"""
-      .stripMargin
+  /** O(len) winnowing per document: rolling base-31 hash update plus a
+    * monotonic-deque sliding-window minimum — the classic algorithm, as
+    * typed per-partition Scala (the composition ladder's justified last
+    * rung: SQL lambdas can only express the O(len·w) slice-min form).
+    * Produces the IDENTICAL fingerprint set as the SQL oracle: exact
+    * BIGINT arithmetic (no overflow: |h| < 2.4e17, update < 9.2e18) over
+    * Unicode code points, matching DuckDB's substr/ascii semantics. */
+  private[queries] def winnowFingerprints(text: String): Array[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < 8) {
+      var h = 0L
+      cps.foreach(c => h = h * 31 + c)
+      return Array(h)
+    }
+    val m = cps.length - 7
+    val hashes = new Array[Long](m)
+    val p7 = 27512614111L // 31^7
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = h * 31 + cps(j); j += 1 }
+    hashes(0) = h
+    var i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * p7) * 31 + cps(i + 7)
+      hashes(i) = h
+      i += 1
+    }
+    if (m < 16) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val deque = new java.util.ArrayDeque[Int]()
+    var k = 0
+    while (k < m) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(k))
+        deque.pollLast()
+      deque.addLast(k)
+      if (deque.peekFirst() <= k - 16) deque.pollFirst()
+      if (k >= 15) out.add(hashes(deque.peekFirst()))
+      k += 1
+    }
+    out.toArray
+  }
 
   private val fingerprintSql =
     """CASE WHEN length(text) >= 8 THEN
@@ -343,30 +370,15 @@ object Dedup {
   val q30 = Q(
     "q30_fingerprint",
     (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .withColumn(
-          "chars",
-          // substring(text, x, 1) is O(x) on UTF8String → O(len²) per
-          // document; splitting once is linear. slice() guards against a
-          // trailing empty token. Same codepoint values either way.
-          expr("transform(slice(split(text, ''), 1, length(text)), " +
-            "ch -> CAST(ascii(ch) AS BIGINT))"))
-        .withColumn(
-          "hashes",
-          // unrolled base-31 polynomial over direct indexing: the
-          // aggregate-over-slice form allocates an 8-element array per
-          // gram position; this computes the same exact BIGINT value
-          // (31^7·c_i + … + c_{i+7} = Horner fold) with zero allocation
-          expr {
-            val pow31 = Iterator.iterate(1L)(_ * 31).take(8).toSeq.reverse
-            val gram = pow31.zipWithIndex
-              .map { case (p, k) => s"element_at(chars, i + $k) * ${p}L" }
-              .mkString(" + ")
-            s"""CASE WHEN length(text) >= 8 THEN
-               |  transform(sequence(1, length(text) - 7), i -> $gram)
-               |ELSE array(0L) END""".stripMargin
+      val docs = {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            winnowFingerprints(text).map(fp => (id, fp))
           })
-        .select(col("doc_id"), explode(expr(fingerprintExpr)).as("fp"))
+          .toDF("doc_id", "fp")
+      }
       // stop-gram cap via a count window over fp: one shuffle replaces
       // the groupBy + join-back shape (two shuffles and a second pass
       // over the fingerprint pipeline)
