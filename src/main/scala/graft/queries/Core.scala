@@ -608,7 +608,65 @@ object Core {
       ORDER BY gid, coalesce(o_orderpriority, ''),
                coalesce(o_orderstatus, '')"""))
 
+  /** Dispersion/association statistics (stddev, Pearson correlation) —
+    * standard OLAP surface the reference lacks, and a determinism trap:
+    * the engines' native stddev/corr merge partial moments in arbitrary
+    * order, so low bits differ run to run AND engine to engine. Instead
+    * both sides compute EXACT integer-cents moment sums (decimal
+    * accumulation — order-independent), cast once to double, and apply
+    * the textbook formulas in identical operation order:
+    * identical IEEE results. */
+  val q48 = Q(
+    "q48_dispersion",
+    (s, d) => {
+      val li0 = li(s, d)
+        .withColumn("pc", cents(col("l_extendedprice")))
+        .withColumn("qc", cents(col("l_quantity")))
+      val dec = DecimalType(38, 0)
+      val m = li0.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("pc").cast(dec)).cast(DoubleType).as("sx"),
+        sum((col("pc") * col("pc")).cast(dec)).cast(DoubleType).as("sxx"),
+        sum(col("qc").cast(dec)).cast(DoubleType).as("sy"),
+        sum((col("qc") * col("qc")).cast(dec)).cast(DoubleType).as("syy"),
+        sum((col("pc") * col("qc")).cast(dec)).cast(DoubleType).as("sxy"))
+      m.select(
+        col("l_returnflag"),
+        col("n"),
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1)))) / lit(100.0))
+          .as("stddev_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT l_returnflag,
+               ${centsSql("l_extendedprice")} AS pc,
+               ${centsSql("l_quantity")} AS qc
+        FROM lineitem
+      ), m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(pc) AS DOUBLE) AS sx,
+               CAST(sum(pc * pc) AS DOUBLE) AS sxx,
+               CAST(sum(qc) AS DOUBLE) AS sy,
+               CAST(sum(qc * qc) AS DOUBLE) AS syy,
+               CAST(sum(pc * qc) AS DOUBLE) AS sxy
+        FROM c GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0
+               AS stddev_price,
+             (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_qty_price
+      FROM m
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48)
 }
