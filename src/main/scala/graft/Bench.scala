@@ -15,18 +15,27 @@ object Bench {
     // machinery) so the first measured query isn't charged ~5s of JVM init
     Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().count()
+    // a failing query records -1 (NOT its elapsed time) and lands in
+    // "failed" — a crash must never masquerade as a fast success
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"bench: $name FAILED: $t"); false
+          }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     val sf = "[0-9.]+".r.findFirstIn(
       new java.io.File(sfDir).getName).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf}""")
     spark.stop()
   }
 }

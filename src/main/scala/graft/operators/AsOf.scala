@@ -17,15 +17,30 @@ import graft.queries.Q
   */
 object AsOf {
 
+  /** First name with `base` as a prefix not already taken — keeps internal
+    * helper columns collision-free whatever the caller's schema is. */
+  private def freshName(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
   /** As-of join: for each left row, the single most recent right row with
     * `rightTime <= leftTime` within the same `key` (equal times match).
     *
     * Composition: tag both sides, union, then carry the last non-null
-    * right value over a (key, time) window ordered with right rows before
-    * left rows at equal timestamps. ONE shuffle on (key) + a sort — the
-    * same cost profile as a sort-merge join, and the standard distributed
-    * as-of plan (a per-key ordered merge). Never materializes the
-    * O(left × right) inequality pair space a naive join+filter would. */
+    * right-values STRUCT over a (key, time) window ordered with right rows
+    * before left rows at equal timestamps. ONE shuffle on (key) + a sort —
+    * the same cost profile as a sort-merge join, and the standard
+    * distributed as-of plan (a per-key ordered merge). Never materializes
+    * the O(left × right) inequality pair space a naive join+filter would.
+    *
+    * The right values ride in one struct so a match always carries a
+    * CONSISTENT right row (never fields mixed across rows), and the struct
+    * participates in the window ordering as the final tiebreak: multiple
+    * right rows at the same timestamp resolve deterministically to the
+    * greatest (by field order) rather than whichever the shuffle produced
+    * last. Internal helper columns are generated collision-free;
+    * `rightValues` names that clash with left columns are rejected
+    * up front (they would otherwise silently overwrite). */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -34,26 +49,42 @@ object AsOf {
       rightTime: String,
       rightValues: Seq[String]): DataFrame = {
     val lCols = left.columns
+    val clash = rightValues.filter(lCols.contains)
+    require(clash.isEmpty,
+      s"rightValues ${clash.mkString(", ")} already exist on the left side; " +
+        "rename them before the as-of join")
+    val taken = (lCols ++ rightValues).toSet
+    val tCol = freshName("_graft_asof_t", taken)
+    val sideCol = freshName("_graft_asof_side", taken)
+    val rvCol = freshName("_graft_asof_rv", taken)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValues.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val tagged = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-      .select(
-        (lCols.map(col) :+ col("_t") :+ col("_side")) ++
-          rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn(tCol, col(leftTime))
+      .withColumn(sideCol, lit(1))
+      .withColumn(rvCol, lit(null).cast(rvType))
       .unionByName(
         right
-          .withColumn("_t", col(rightTime))
-          .withColumn("_side", lit(0))
+          .withColumn(tCol, col(rightTime))
+          .withColumn(sideCol, lit(0))
+          .withColumn(rvCol, struct(rightValues.map(col): _*))
           .select(
             (lCols.map(c =>
-              if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) :+
-              col("_t") :+ col("_side")) ++ rightValues.map(col): _*))
-    // right (0) sorts before left (1) at equal _t → "at or before" matches
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+              if (c == key) col(c)
+              else lit(null).cast(left.schema(c).dataType).as(c)) :+
+              col(tCol) :+ col(sideCol) :+ col(rvCol)): _*))
+    // right (0) sorts before left (1) at equal time → "at or before"
+    // matches; the struct is the deterministic same-timestamp tiebreak
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tCol), col(sideCol), col(rvCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValues.foldLeft(tagged)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("_side") === 1).drop("_t", "_side")
+    val carried = tagged
+      .withColumn(rvCol, last(col(rvCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+    rightValues
+      .foldLeft(carried)((df, c) => df.withColumn(c, col(rvCol).getField(c)))
+      .drop(tCol, sideCol, rvCol)
   }
 
   /** q39: each event joined as-of to its user's most recent "profile

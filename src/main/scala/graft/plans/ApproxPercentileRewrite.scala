@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -31,9 +31,16 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
     else {
       val accuracy = conf.getConfString(ACCURACY, "10000").toInt
       plan.transformAllExpressions {
+        // Percentile always yields DOUBLE (or ARRAY<DOUBLE>) but
+        // ApproximatePercentile yields the CHILD's type — a long-typed
+        // input (integer-cents money columns) would otherwise change the
+        // aggregate's result type under consumers that resolved against
+        // the exact form. Cast back to the original dataType.
         case ae @ AggregateExpression(p: Percentile, _, _, _, _) =>
-          ae.copy(aggregateFunction = new ApproximatePercentile(
-            p.child, p.percentageExpression, Literal(accuracy)))
+          Cast(
+            ae.copy(aggregateFunction = new ApproximatePercentile(
+              p.child, p.percentageExpression, Literal(accuracy))),
+            p.dataType)
       }
     }
   }

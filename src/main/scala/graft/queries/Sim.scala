@@ -317,26 +317,35 @@ object Sim {
       FROM ranked WHERE rank <= 3
       ORDER BY qid, rank"""))
 
-  /** ANN quality report (rows-only): recall@3 of each approximate method
-    * (LSH buckets q28, IVF clusters q41) against the exact top-5 (q26),
-    * per query vector. The engine measures its own approximation quality
-    * — the evaluation loop a training-data pipeline needs before trusting
-    * an ANN index at scale. */
+  /** ANN quality report (rows-only): overlap@3 of each approximate
+    * method's top-3 (LSH buckets q28, IVF clusters q41) with the exact
+    * top-5 (q26), per query vector. The engine measures its own
+    * approximation quality — the evaluation loop a training-data pipeline
+    * needs before trusting an ANN index at scale. Every query vector
+    * appears for every method: a qid whose approximate list shares
+    * nothing with the exact list reports 0.0 rather than vanishing
+    * (the worst performers are exactly the rows the report exists for). */
   val q47 = Q(
     "q47_ann_recall",
     (s, d) => {
       val exact = q26.run(s, d)
         .select(col("qid"), col("neighbor_id"))
-      def recall(method: String, approx: org.apache.spark.sql.DataFrame) =
-        approx
+        .persist()
+      val allQids = exact.select(col("qid")).distinct()
+      def overlap(method: String, approx: org.apache.spark.sql.DataFrame) = {
+        val hits = approx
           .select(col("qid"), col("neighbor_id"))
           .join(exact, Seq("qid", "neighbor_id"), "left_semi")
           .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        allQids
+          .join(hits, Seq("qid"), "left_outer")
           .select(
             lit(method).as("method"), col("qid"),
-            (col("hits").cast(DoubleType) / 3.0).as("recall_at_3"))
-      recall("lsh", q28.run(s, d))
-        .unionByName(recall("ivf", q41.run(s, d)))
+            (coalesce(col("hits"), lit(0L)).cast(DoubleType) / 3.0)
+              .as("overlap_at_3"))
+      }
+      overlap("lsh", q28.run(s, d))
+        .unionByName(overlap("ivf", q41.run(s, d)))
         .orderBy(col("method"), col("qid"))
     },
     None)

@@ -149,7 +149,9 @@ object IngestJob {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
         .write.mode("overwrite")
-        .option("header", true).option("sep", "\t")
+        // escape=" → embedded quotes doubled, the exact quoting the
+        // graft.sources.tsv reader un-quotes (see TsvPartitionReader)
+        .option("header", true).option("sep", "\t").option("escape", "\"")
         .csv(dir)
       s.read.format("graft.sources.tsv")
         .schema(eventsTsvSchema)

@@ -108,15 +108,18 @@ final class TsvScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
     val files =
-      if (Files.isDirectory(dir))
-        Files.list(dir).iterator().asScala
-          .map(_.toString)
-          .filter { f =>
-            val n = Paths.get(f).getFileName.toString
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          .toArray.sorted
-      else Array(path)
+      if (Files.isDirectory(dir)) {
+        val stream = Files.list(dir)
+        try
+          stream.iterator().asScala
+            .map(_.toString)
+            .filter { f =>
+              val n = Paths.get(f).getFileName.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            }
+            .toArray.sorted
+        finally stream.close()
+      } else Array(path)
     files.map(f => TsvPartition(f): InputPartition)
   }
 
@@ -139,7 +142,14 @@ final class TsvReaderFactory(
 
 /** Line-at-a-time reader that evaluates the PUSHED filters and projection
   * source-side — rows failing a pushed predicate never materialize as
-  * InternalRows, the per-partition limit short-circuits the read. */
+  * InternalRows, the per-partition limit short-circuits the read.
+  *
+  * Field format: tab-separated; a field MAY be wrapped in double quotes
+  * (required when it contains a tab or a quote), with embedded quotes
+  * doubled (`""`) — i.e. standard CSV quoting with `\t` as separator,
+  * what Spark's CSV writer emits with `sep=\t, escape="`. Embedded
+  * NEWLINES are not supported (the reader is line-oriented); writers
+  * must strip or reject them. */
 final class TsvPartitionReader(
     file: String,
     fullSchema: StructType,
@@ -154,6 +164,36 @@ final class TsvPartitionReader(
   private val outFields = required.fields.map(f => (idx(f.name), f.dataType))
   private var current: InternalRow = _
   private var emitted = 0
+
+  /** Quote-aware splitter: like split("\t", -1) but honouring CSV-style
+    * double-quote wrapping with `""` escapes, so string values containing
+    * tabs or quotes round-trip through the Spark CSV writer. */
+  private def splitLine(line: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val n = line.length
+    var i = 0
+    var more = true
+    while (more) {
+      val sb = new java.lang.StringBuilder
+      if (i < n && line.charAt(i) == '"') { // quoted field
+        i += 1
+        var closed = false
+        while (!closed && i < n) {
+          val c = line.charAt(i)
+          if (c == '"') {
+            if (i + 1 < n && line.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+      } else {
+        while (i < n && line.charAt(i) != '\t') { sb.append(line.charAt(i)); i += 1 }
+      }
+      out += sb.toString
+      if (i < n && line.charAt(i) == '\t') i += 1
+      else more = false
+    }
+    out.result()
+  }
 
   private def parse(raw: String, dt: DataType): Any =
     if (raw.isEmpty) null
@@ -189,7 +229,7 @@ final class TsvPartitionReader(
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (it.hasNext) {
-      val cells = it.next().split("\t", -1)
+      val cells = splitLine(it.next())
       def get(name: String): Any = {
         val i = idx(name)
         parse(cells(i), fullSchema.fields(i).dataType)

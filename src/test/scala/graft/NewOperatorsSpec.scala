@@ -27,6 +27,50 @@ class NewOperatorsSpec extends SparkSpec {
     assert(nullRows.nonEmpty, "expected some pre-snapshot events")
   }
 
+  test("as-of join survives clashing helper names; rejects rightValues clash") {
+    // left already owns _graft_asof_t / _side-style names → internals must
+    // not collide (they are generated fresh against the actual schema)
+    val left = Seq((1L, 10L, "x"), (1L, 20L, "y"))
+      .toDF("k", "t", "_graft_asof_t")
+    val right = Seq((1L, 5L, 100.0), (1L, 15L, 200.0))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Double]("v")).toSeq == Seq(100.0, 200.0))
+    assert(out.map(_.getAs[String]("_graft_asof_t")).toSeq == Seq("x", "y"),
+      "left's own column was clobbered by an internal helper")
+    // a rightValues name that exists on the left must be rejected loudly,
+    // not silently overwritten
+    val clash = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right.withColumnRenamed("v", "t"),
+        "k", "t", "rt", Seq("t"))
+    }
+    assert(clash.getMessage.contains("rename"))
+  }
+
+  test("as-of join: equal-timestamp right rows resolve deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // three right rows at the SAME timestamp — greatest value tuple wins,
+    // independent of shuffle arrival order
+    val right = Seq((1L, 10L, 1.0), (1L, 10L, 3.0), (1L, 10L, 2.0))
+      .toDF("k", "rt", "v").repartition(3)
+    (1 to 5).foreach { _ =>
+      val got = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+        .select("v").as[Double].head()
+      assert(got == 3.0, s"non-deterministic tie-break: got $got")
+    }
+  }
+
+  test("as-of join: right values arrive as one consistent row, not mixed") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 50L, 1.0, "a"), (1L, 60L, 0.5, "b"))
+      .toDF("k", "rt", "v1", "v2")
+    val r = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v1", "v2"))
+      .select("v1", "v2").collect().head
+    assert((r.getDouble(0), r.getString(1)) == (0.5, "b"),
+      "fields mixed across right rows")
+  }
+
   test("q40 range join: tiers partition all events exactly once") {
     val ev = Tables.load(spark, sf001, "events")
     val out = AsOf.q40.run(spark, sf001)

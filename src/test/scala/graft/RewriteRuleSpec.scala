@@ -36,4 +36,47 @@ class RewriteRuleSpec extends SparkSpec {
       }
     } finally spark.conf.unset(ApproxPercentileRewrite.FLAG)
   }
+
+  test("flag on: long-typed child keeps DOUBLE result type (q04/q05 shape)") {
+    // Percentile returns DOUBLE regardless of child type, but
+    // ApproximatePercentile returns the child's type — the rewrite must
+    // cast back or integer-cents percentile queries change result type.
+    def centsQuery =
+      Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5D)")
+          .as("p50_cents"))
+    val exactField = centsQuery.schema("p50_cents")
+    spark.conf.set(ApproxPercentileRewrite.FLAG, "true")
+    try {
+      val rewritten = centsQuery
+      assert(rewritten.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"))
+      assert(rewritten.schema("p50_cents").dataType == exactField.dataType,
+        s"rewrite changed result type: ${rewritten.schema("p50_cents")}")
+      // values must still be readable as doubles and close to exact
+      val exact = centsQuery.collect() // flag still on; compare to approx twin
+      exact.foreach(r => assert(!r.isNullAt(1) && r.getDouble(1) > 0))
+    } finally spark.conf.unset(ApproxPercentileRewrite.FLAG)
+  }
+
+  test("flag on: array-of-percentages percentile keeps ARRAY<DOUBLE>") {
+    def multiQuery =
+      Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "percentile(CAST(round(l_extendedprice * 100) AS BIGINT)," +
+            " array(0.25D, 0.75D))").as("qs"))
+    val exactType = multiQuery.schema("qs").dataType
+    spark.conf.set(ApproxPercentileRewrite.FLAG, "true")
+    try {
+      assert(multiQuery.schema("qs").dataType == exactType,
+        s"rewrite changed result type: ${multiQuery.schema("qs")}")
+      multiQuery.collect().foreach { r =>
+        val arr = r.getSeq[Double](1)
+        assert(arr.length == 2 && arr(0) <= arr(1))
+      }
+    } finally spark.conf.unset(ApproxPercentileRewrite.FLAG)
+  }
 }

@@ -60,4 +60,24 @@ class TsvSourceSpec extends SparkSpec {
   test("row count matches source table") {
     assert(tsv.count() == Tables.load(spark, sf001, "events").count())
   }
+
+  test("quoted fields round-trip: tabs and quotes inside string values") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_tsv_quoted").toString
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "has\ttab"),
+      (3L, "has\"quote"),
+      (4L, "\"wrapped\"\tand\ttabs"))
+    rows.toDF("id", "s").write.mode("overwrite")
+      .option("header", true).option("sep", "\t").option("escape", "\"")
+      .csv(d)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val back = spark.read.format("graft.sources.tsv").schema(schema).load(d)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == rows, s"mis-parsed quoted fields: $back")
+  }
 }
