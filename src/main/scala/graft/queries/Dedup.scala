@@ -46,10 +46,11 @@ object Dedup {
   val q24 = Q(
     "q24_minhash_lsh",
     (s, d) => {
-      // one md5 per (seed, shingle) yields TWO 64-bit minhash lanes (hex
-      // chars 1-16 and 17-32) — 4 md5 calls per shingle instead of 8 for
-      // the same 8-signature × 4-band structure.
-      val withHex = (1 to 4).foldLeft(
+      // one md5 per (seed, shingle) yields FOUR 32-bit minhash lanes (hex
+      // quarters) — 2 md5 calls per shingle instead of 8 for the same
+      // 8-signature × 4-band structure; 32-bit lanes keep min-collisions
+      // negligible at any realistic shingle count.
+      val withHex = (1 to 2).foldLeft(
         Tables.load(s, d, "documents")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("shingles", expr(shinglesExpr))
@@ -58,9 +59,9 @@ object Dedup {
       val sigCols =
         col("doc_id") +: col("shingles") +:
           (1 to 8).map { m =>
-            val j = (m + 1) / 2
-            val off = if (m % 2 == 1) 1 else 17
-            expr(s"array_min(transform(hx$j, h -> substring(h, $off, 16)))")
+            val j = (m + 3) / 4
+            val off = ((m - 1) % 4) * 8 + 1
+            expr(s"array_min(transform(hx$j, h -> substring(h, $off, 8)))")
               .as(s"m$m")
           }
       val sig = withHex.select(sigCols: _*)
@@ -116,21 +117,21 @@ object Dedup {
       ), sig AS (
         SELECT doc_id, shingles,
           list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 1, 16))) AS m1,
+            x -> substr(md5('1:' || x), 1, 8))) AS m1,
           list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 17, 16))) AS m2,
+            x -> substr(md5('1:' || x), 9, 8))) AS m2,
           list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 1, 16))) AS m3,
+            x -> substr(md5('1:' || x), 17, 8))) AS m3,
           list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 17, 16))) AS m4,
+            x -> substr(md5('1:' || x), 25, 8))) AS m4,
           list_min(list_transform(shingles,
-            x -> substr(md5('3:' || x), 1, 16))) AS m5,
+            x -> substr(md5('2:' || x), 1, 8))) AS m5,
           list_min(list_transform(shingles,
-            x -> substr(md5('3:' || x), 17, 16))) AS m6,
+            x -> substr(md5('2:' || x), 9, 8))) AS m6,
           list_min(list_transform(shingles,
-            x -> substr(md5('4:' || x), 1, 16))) AS m7,
+            x -> substr(md5('2:' || x), 17, 8))) AS m7,
           list_min(list_transform(shingles,
-            x -> substr(md5('4:' || x), 17, 16))) AS m8
+            x -> substr(md5('2:' || x), 25, 8))) AS m8
         FROM docs
       ), bands AS (
         SELECT doc_id, shingles, u.band_id,
@@ -162,16 +163,28 @@ object Dedup {
   val q25 = Q(
     "q25_ngram_jaccard",
     (s, d) => {
+      // persist: both self-join sides read the tokenized form — without
+      // it the split+distinct pipeline runs twice (no CSE across
+      // self-joins); at cluster scale this is "materialize the token sets"
       val docs = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persist()
       docs.as("a")
         .join(
           docs.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            // length-ratio prefilter: jaccard ≥ 0.6 forces
+            // min(|a|,|b|) ≥ 0.6·max(|a|,|b|) — evaluated on two ints
+            // inside the join, so incompatible pairs never reach the
+            // O(|a|+|b|) array_intersect. Implied by the final filter:
+            // output is unchanged, only work is saved.
+            least(col("a.sz"), col("b.sz")).cast(DoubleType) >=
+              greatest(col("a.sz"), col("b.sz")) * 0.6)
         .select(
           col("a.doc_id").as("doc_a"),
           col("b.doc_id").as("doc_b"),
@@ -179,8 +192,8 @@ object Dedup {
           // pair vs the O(|a|·|b|) filter/contains scan; same count since
           // token sets are already distinct
           size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-          size(col("a.toks")).as("la"),
-          size(col("b.toks")).as("lb"))
+          col("a.sz").as("la"),
+          col("b.sz").as("lb"))
         .withColumn(
           "jaccard",
           col("inter").cast(DoubleType) /
@@ -230,13 +243,20 @@ object Dedup {
       |    v -> array(v % 2, (v div 2) % 2, (v div 4) % 2, (v div 8) % 2))))"""
       .stripMargin
 
+  // packed form: bit i of the BIGINT signature set iff the vote sum for
+  // bit i is >= 0; bit 63 via the min-long literal (DuckDB range-checks
+  // 1<<63), the rest via shifts. Disjoint bit values sum without carries,
+  // so the signed 64-bit pattern reconstructs exactly.
   private val simhashSql =
-    """list_transform(range(0, 64), i ->
+    """CAST(list_sum(list_transform(range(0, 64), i ->
       |  CASE WHEN list_sum(list_transform(toks, t ->
       |    2 * (((strpos('0123456789abcdef',
       |                  substr(md5(t), (i // 4) + 1, 1))
       |           - 1) // CAST(pow(2, i % 4) AS INT)) % 2) - 1
-      |  )) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+      |  )) >= 0 THEN
+      |    CASE WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+      |         ELSE 1::BIGINT << CAST(i AS INT) END
+      |  ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
 
   val q29 = Q(
     "q29_simhash",
@@ -264,10 +284,15 @@ object Dedup {
       val votes = docTok.join(broadcast(vocab), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
+      // pack the 64 sign bits into ONE BIGINT (bit values are Scala-time
+      // constants; 1L<<63 is min-long, and disjoint bits sum carry-free)
+      // so the pair stage compares signatures with xor+popcount instead
+      // of an interpreted 64-element lambda per pair
       val sigs = votes.select(
         col("doc_id"),
-        array((0 until 64).map(k =>
-          when(col(s"v$k") >= 0, 1).otherwise(0)): _*).as("sig"))
+        (0 until 64)
+          .map(k => when(col(s"v$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
       // persist the signatures: the self-join would otherwise evaluate the
       // whole vote pipeline twice (Spark does not CSE across self-joins) —
       // at cluster scale this is "materialize the signature table".
@@ -283,11 +308,7 @@ object Dedup {
         .select(
           col("a.doc_id").as("doc_a"),
           col("b.doc_id").as("doc_b"),
-          expr(
-            """CAST(aggregate(zip_with(a.sig, b.sig,
-              |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
-              |  0, (acc, e) -> acc + e) AS BIGINT)""".stripMargin)
-            .as("hamming"))
+          expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -300,14 +321,11 @@ object Dedup {
         SELECT doc_id, lang, source, $simhashSql AS sig FROM docs
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
-               p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT)
-               AS hamming
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       FROM sigs a JOIN sigs b
         ON a.lang = b.lang AND a.source = b.source
        AND a.doc_id < b.doc_id
-      WHERE CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
-              p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT) <= 8
+      WHERE bit_count(xor(a.sig, b.sig)) <= 8
       ORDER BY doc_a, doc_b"""))
 
   /** Winnowing document fingerprints (extension op D6; Schleimer et al.,

@@ -119,10 +119,18 @@ object IngestJob {
     "q19_catalog_stats",
     (s, d) => {
       import s.implicits._
-      Tables.names.map { t =>
-        val df = Tables.load(s, d, t)
-        (t, df.schema.fields.length, df.count())
-      }.toDF("tbl", "n_columns", "n_rows").orderBy(col("tbl"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      // submit the per-table count jobs concurrently — Spark's scheduler
+      // interleaves them across the cores; sequential submission leaves
+      // the cluster idle between tiny jobs
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val stats = Await.result(
+        Future.sequence(Tables.names.map(t => Future {
+          val df = Tables.load(s, d, t)
+          (t, df.schema.fields.length, df.count())
+        })), 10.minutes)
+      stats.toDF("tbl", "n_columns", "n_rows").orderBy(col("tbl"))
     },
     None)
 
