@@ -3,7 +3,7 @@ package graft.queries
 /** Single source of truth for every implemented query/operator. */
 object Registry {
   val all: Seq[Q] =
-    Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++
+    Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
       graft.sources.IngestJob.all ++ graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
       graft.operators.AsOf.all

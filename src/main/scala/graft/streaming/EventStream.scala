@@ -111,6 +111,52 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: view events joined to the same user's
+    * click events arriving within 10 minutes after the view. Works
+    * identically on batch and streaming inputs; on streams, the
+    * watermarks plus the event-time range condition are what let Spark
+    * BOUND the join state (views older than watermark+10min can never
+    * match a future click and are evicted) — the property that makes a
+    * stream-stream join runnable forever at scale. */
+  def clickThrough(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user_id"), col("ts").as("cts"))
+    v.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"))
+  }
+
+  /** Batch face of the stream-stream join, oracle-checked: click-through
+    * pairs per user. */
+  val q53 = Q(
+    "q53_stream_join",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      clickThrough(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT v.user_id, count(*) AS n_pairs
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts FROM events
+            WHERE event_type = 'view') v
+      JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+            WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 10 MINUTE
+      GROUP BY v.user_id
+      ORDER BY v.user_id"""))
+
   val q31 = Q(
     "q31_stream_window",
     (s, d) =>
@@ -244,5 +290,5 @@ object EventStream {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q31, q33, q43, q44)
+  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53)
 }

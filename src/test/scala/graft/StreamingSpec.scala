@@ -98,6 +98,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join streaming == batch") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_join").toString
+
+    val batch = EventStream.clickThrough(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"))
+      .select("view_id", "cts").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toSet
+
+    // two event-time-ordered micro-batches (watermark semantics drop
+    // events older than the high-water mark, so arrival order must
+    // respect event time — the contract any streaming deployment feeds
+    // the join under)
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5D)")
+      .collect().head.getDouble(0).toLong
+    events.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    def streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.clickThrough(
+      streamIn.filter(col("event_type") === "view"),
+      streamIn.filter(col("event_type") === "click"))
+      .select("view_id", "cts")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) > cut)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).toSet
+      assert(got == batch, "stream-stream join differs from batch join")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("eventGaps marks first event per user as session start") {
     val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
     val users = gaps.select("user_id").distinct().count()
