@@ -148,5 +148,36 @@ object Olap {
     },
     Some(q52Sql))
 
-  val all: Seq[Q] = Seq(q49, q50, q51, q52)
+  /** Equi-width histogram (profiling surface, the reference's volume/
+    * cardinality checks' missing sibling): order totals binned into 10
+    * fixed-width buckets with the overflow clamped into the last. Bucket
+    * assignment runs on exact integer cents with integer division —
+    * no float boundary ambiguity between engines — and the whole thing
+    * is one map-side-combinable aggregate: a single shuffle of ≤10 rows
+    * regardless of table size. */
+  val q55 = Q(
+    "q55_histogram",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .select(
+          expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 5000000," +
+            " 9L)").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket")),
+    Some(s"""
+      WITH b AS (
+        SELECT least(${Det.centsSql("o_totalprice")} // 5000000, 9)
+                 AS bucket,
+               o_totalprice
+        FROM orders
+      )
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+             ${Det.dsumSql("o_totalprice")} AS total
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55)
 }

@@ -186,5 +186,89 @@ object Text {
       ORDER BY doc_freq DESC, tok
       LIMIT 40"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42)
+  /** Deterministic hash-mod sampling — the reproducible subsample every
+    * training-data pipeline needs (a seeded engine RNG is not portable
+    * across engines or even executions plans; a content hash is). Keep
+    * rows whose md5(key) falls in the first 2 of 16 hex buckets → an
+    * exact, repartition-stable 1/8 sample, verified by aggregate. At any
+    * scale this is a stateless per-row filter — no shuffle, no
+    * coordination, and the same rows survive on every engine. */
+  val q54 = Q(
+    "q54_hash_sample",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .filter(
+          expr("instr('0123456789abcdef', " +
+            "substring(md5(CAST(event_id AS STRING)), 32, 1))") <= 2)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      WITH sampled AS (
+        SELECT event_type, value FROM events
+        WHERE strpos('0123456789abcdef',
+                     substr(md5(CAST(event_id AS VARCHAR)), 32, 1)) <= 2
+      )
+      SELECT event_type, count(*) AS n,
+             ${Det.dsumSql("value")} AS sum_value
+      FROM sampled GROUP BY event_type ORDER BY event_type"""))
+
+  /** TF-IDF term ranking (training-data-pipeline staple): term frequency
+    * per document × inverse document frequency, top-3 terms per document.
+    * The idf uses the RATIO N/df rather than ln(N/df): libm log
+    * implementations differ in final ulps across engines, while
+    * (tf·N exact integer) / df is a single IEEE division of exact
+    * operands — bit-identical everywhere and rank-equivalent per term.
+    * Plan shape at scale: tf is one shuffle on (doc, term), df one
+    * map-side-combined shuffle on term, the join shuffles on term, and
+    * the top-3 is a windowed filter on doc — no driver-side state. */
+  val q56 = Q(
+    "q56_tfidf",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val nDocs = docs.count()
+      val toks = docs.select(
+        col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .select(
+          col("doc_id"), col("term"),
+          ((col("tf") * lit(nDocs)).cast(DoubleType) / col("df"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3 && col("doc_id") < 20)
+        .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+      ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+      ), n AS (SELECT count(*) AS n_docs FROM documents
+      ), ranked AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+               row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC,
+                          tf.term) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+      )
+      SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score
+      FROM ranked WHERE rnk <= 3 AND doc_id < 20
+      ORDER BY doc_id, rnk"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42, q54, q56)
 }
