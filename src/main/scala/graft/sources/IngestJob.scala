@@ -180,5 +180,48 @@ object IngestJob {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34)
+  /** S6 continued: the FDW's HEADLINE behavior — the whole aggregation
+    * pushed to the remote engine ("entire aggregation pushed …
+    * PostgreSQL executor bypassed", reference queries/q1/README.md:139-143,
+    * q2:144-148). The graft.sources.tsv source accepts the group-by
+    * count/sum/min/max via SupportsPushDownAggregates and computes
+    * per-file PARTIAL aggregates source-side; only one row per
+    * (group × file) crosses into Spark, whose final aggregate merges
+    * partials — the same split a 1000-executor cluster wants (partial at
+    * the data, final after the exchange). Aggregates here are over exact
+    * types (count, integer sum, min/max), so partial-merge order cannot
+    * drift a bit. */
+  val q57 = Q(
+    "q57_fdw_agg_pushdown",
+    (s, d) => {
+      val dir = tmp(s"events_tsv_${d.replaceAll("[^0-9.]", "")}_agg")
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite")
+        .option("header", true).option("sep", "\t").option("escape", "\"")
+        .csv(dir)
+      s.read.format("graft.sources.tsv")
+        .schema(eventsTsvSchema)
+        .load(dir)
+        .filter(col("value") >= 10.0)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("user_id")).as("sum_user"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(user_id) AS BIGINT) AS sum_user,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events
+      WHERE value >= 10.0
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57)
 }

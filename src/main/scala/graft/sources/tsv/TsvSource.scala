@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
@@ -53,18 +54,62 @@ final class TsvTable(schema: StructType, path: String)
     new TsvScanBuilder(schema0, path)
 }
 
+/** One pushed-down aggregate over the source: group-by column indexes into
+  * the full schema, plus the accepted aggregate functions. The source
+  * returns PARTIAL per-partition results (one row per group per file);
+  * Spark's final aggregate merges them — exactly the FDW's partial
+  * pushdown split, and the plan any distributed engine uses (partial at
+  * the data, final after the exchange). */
+final case class TsvAggSpec(
+    groupBy: Array[(Int, DataType)],
+    aggs: Array[TsvAggSpec.AggOp]) {
+  /** group columns first, then aggregate columns — V2ScanRelationPushDown
+    * maps the scan output to the rewritten Aggregate by POSITION in that
+    * order. */
+  def outputSchema: StructType = StructType(
+    groupBy.zipWithIndex.map { case ((_, dt), i) =>
+      StructField(s"g$i", dt)
+    } ++
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"a$i", a.resultType)
+      })
+}
+
+object TsvAggSpec {
+  sealed trait AggOp { def resultType: DataType }
+  /** COUNT(*) */
+  final case class CountStarOp() extends AggOp {
+    def resultType: DataType = LongType
+  }
+  /** COUNT(col) — non-null count */
+  final case class CountOp(col: Int) extends AggOp {
+    def resultType: DataType = LongType
+  }
+  final case class SumOp(col: Int, resultType: DataType) extends AggOp
+  final case class MinOp(col: Int, resultType: DataType) extends AggOp
+  final case class MaxOp(col: Int, resultType: DataType) extends AggOp
+}
+
 /** Accepts the pushable subset of Catalyst's translated filters; the rest
   * are returned as residual (Spark re-applies them — same contract as the
-  * FDW's "unsupported expressions stay in PG"). */
+  * FDW's "unsupported expressions stay in PG"). Whole GROUP-BY aggregates
+  * (count/sum/min/max) are also accepted for PARTIAL pushdown — the
+  * reference's headline FDW behavior ("entire aggregation pushed …
+  * PostgreSQL executor bypassed", queries/q1-aggregation-by-type/
+  * README.md:139-143): per-partition aggregation happens AT the source,
+  * only one row per (group × file) enters Spark, and Spark's final
+  * aggregate merges partials. */
 final class TsvScanBuilder(schema: StructType, path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var limit: Int = -1
+  private var aggSpec: Option[TsvAggSpec] = None
 
   private def pushable(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
@@ -84,10 +129,62 @@ final class TsvScanBuilder(schema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // a limit cannot be applied below a pushed aggregate
+  override def pushLimit(l: Int): Boolean =
+    if (aggSpec.isDefined) false else { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new TsvScan(schema, required, pushed, limit, path)
+  private def colIndex(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Int] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      schema.fieldNames.indexOf(nr.fieldNames.head) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    case _ => None
+  }
+
+  private def translateAgg(f: AggregateFunc): Option[TsvAggSpec.AggOp] =
+    f match {
+      case _: CountStar => Some(TsvAggSpec.CountStarOp())
+      case c: Count if !c.isDistinct =>
+        colIndex(c.column).map(TsvAggSpec.CountOp)
+      case s: Sum if !s.isDistinct =>
+        colIndex(s.column).map { i =>
+          val rt = schema.fields(i).dataType match {
+            case DoubleType => DoubleType
+            case _ => LongType
+          }
+          TsvAggSpec.SumOp(i, rt)
+        }
+      case m: Min =>
+        colIndex(m.column).map(i =>
+          TsvAggSpec.MinOp(i, schema.fields(i).dataType))
+      case m: Max =>
+        colIndex(m.column).map(i =>
+          TsvAggSpec.MaxOp(i, schema.fields(i).dataType))
+      case _ => None
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false // partial: one row per group per FILE, Spark merges
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (limit >= 0) return false
+    val groupCols = aggregation.groupByExpressions.map(colIndex)
+    val aggOps = aggregation.aggregateExpressions.map(translateAgg)
+    if (groupCols.exists(_.isEmpty) || aggOps.exists(_.isEmpty)) false
+    else {
+      aggSpec = Some(TsvAggSpec(
+        groupCols.map(_.get).map(i => (i, schema.fields(i).dataType)),
+        aggOps.map(_.get)))
+      true
+    }
+  }
+
+  override def build(): Scan =
+    new TsvScan(schema, aggSpec.map(_.outputSchema).getOrElse(required),
+      pushed, limit, path, aggSpec)
 }
 
 final class TsvScan(
@@ -95,7 +192,8 @@ final class TsvScan(
     required: StructType,
     filters: Array[Filter],
     limit: Int,
-    path: String)
+    path: String,
+    aggSpec: Option[TsvAggSpec] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -103,6 +201,7 @@ final class TsvScan(
   override def description(): String =
     s"TsvScan path=$path, PushedFilters=${filters.mkString("[", ", ", "]")}" +
       s", PushedLimit=${if (limit >= 0) limit else "none"}" +
+      s", PushedAggregation=${aggSpec.isDefined}" +
       s", ReadSchema=${required.map(_.name).mkString("[", ",", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -124,7 +223,7 @@ final class TsvScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(fullSchema, required, filters, limit)
+    new TsvReaderFactory(fullSchema, required, filters, limit, aggSpec)
 }
 
 final case class TsvPartition(file: String) extends InputPartition
@@ -133,11 +232,100 @@ final class TsvReaderFactory(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
-    limit: Int)
+    limit: Int,
+    aggSpec: Option[TsvAggSpec])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new TsvPartitionReader(
-      p.asInstanceOf[TsvPartition].file, fullSchema, required, filters, limit)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val base = new TsvPartitionReader(
+      p.asInstanceOf[TsvPartition].file, fullSchema,
+      aggSpec.map(_ => fullSchema).getOrElse(required), filters,
+      if (aggSpec.isDefined) -1 else limit)
+    aggSpec match {
+      case Some(spec) => new TsvAggregatingReader(base, fullSchema, spec)
+      case None => base
+    }
+  }
+}
+
+/** Per-partition (per-file) hash aggregation executed AT the source: drains
+  * the filtered row stream, folds it into one state per group, then emits
+  * one partial row per group — the source-side half of the FDW aggregate
+  * pushdown. State is bounded by the file's group cardinality, and Spark's
+  * final aggregate merges partials across files. */
+final class TsvAggregatingReader(
+    rows: TsvPartitionReader,
+    fullSchema: StructType,
+    spec: TsvAggSpec)
+    extends PartitionReader[InternalRow] {
+
+  import TsvAggSpec._
+
+  private lazy val resultIter: Iterator[InternalRow] = {
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Array[Any]]
+    while (rows.next()) {
+      val key = spec.groupBy.toSeq.map { case (i, dt) => rows.cell(i, dt) }
+      val st = groups.getOrElseUpdate(
+        key, Array.fill[Any](spec.aggs.length)(null))
+      var a = 0
+      while (a < spec.aggs.length) {
+        st(a) = (spec.aggs(a), st(a)) match {
+          case (CountStarOp(), prev) =>
+            (if (prev == null) 0L else prev.asInstanceOf[Long]) + 1L
+          case (CountOp(i), prev) =>
+            val c = if (prev == null) 0L else prev.asInstanceOf[Long]
+            if (rows.cell(i, fullSchema.fields(i).dataType) != null) c + 1L
+            else c
+          case (SumOp(i, rt), prev) =>
+            rows.cell(i, fullSchema.fields(i).dataType) match {
+              case null => prev
+              case v if rt == DoubleType =>
+                (if (prev == null) 0.0 else prev.asInstanceOf[Double]) +
+                  v.asInstanceOf[Number].doubleValue()
+              case v =>
+                (if (prev == null) 0L else prev.asInstanceOf[Long]) +
+                  v.asInstanceOf[Number].longValue()
+            }
+          case (MinOp(i, _), prev) =>
+            rows.cell(i, fullSchema.fields(i).dataType) match {
+              case null => prev
+              case v if prev == null => v
+              case v => if (TsvOrd.lt(v, prev)) v else prev
+            }
+          case (MaxOp(i, _), prev) =>
+            rows.cell(i, fullSchema.fields(i).dataType) match {
+              case null => prev
+              case v if prev == null => v
+              case v => if (TsvOrd.lt(prev, v)) v else prev
+            }
+        }
+        a += 1
+      }
+    }
+    groups.iterator.map { case (key, st) =>
+      InternalRow.fromSeq(
+        (key ++ st).map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (resultIter.hasNext) { current = resultIter.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = rows.close()
+}
+
+private object TsvOrd {
+  def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalArgumentException(s"incomparable $a / $b")
+  }
 }
 
 /** Line-at-a-time reader that evaluates the PUSHED filters and projection
@@ -163,7 +351,12 @@ final class TsvPartitionReader(
   private val idx = fullSchema.fieldNames.zipWithIndex.toMap
   private val outFields = required.fields.map(f => (idx(f.name), f.dataType))
   private var current: InternalRow = _
+  private var curCells: Array[String] = _
   private var emitted = 0
+
+  /** Typed value of full-schema column `i` on the row `next()` just
+    * accepted — the aggregating reader's raw-cell access path. */
+  def cell(i: Int, dt: DataType): Any = parse(curCells(i), dt)
 
   /** Quote-aware splitter: like split("\t", -1) but honouring CSV-style
     * double-quote wrapping with `""` escapes, so string values containing
@@ -242,6 +435,7 @@ final class TsvPartitionReader(
           }
         }
         current = InternalRow.fromSeq(values.toIndexedSeq)
+        curCells = cells
         emitted += 1
         return true
       }

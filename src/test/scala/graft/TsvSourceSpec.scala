@@ -61,6 +61,61 @@ class TsvSourceSpec extends SparkSpec {
     assert(tsv.count() == Tables.load(spark, sf001, "events").count())
   }
 
+  test("aggregate pushdown: per-partition group aggregates computed at source") {
+    val df = tsv
+      .filter(col("value") >= 10.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sv"),
+        min(col("value")).as("mn"),
+        max(col("user_id")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=true"),
+      s"aggregation not pushed:\n$plan")
+    val got = df.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val expected = Tables.load(spark, sf001, "events")
+      .filter(col("value") >= 10.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sv"),
+        min(col("value")).as("mn"),
+        max(col("user_id")).as("mx"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected, s"pushed aggregate differs:\n$got\n$expected")
+  }
+
+  test("global aggregate (no group-by) pushes down too") {
+    val got = tsv.agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    assert(got.queryExecution.executedPlan.toString
+      .contains("PushedAggregation=true"))
+    val Array(r) = got.collect()
+    val Array(e) = Tables.load(spark, sf001, "events")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s")).collect()
+    assert(r.getLong(0) == e.getLong(0) &&
+      math.abs(r.getDouble(1) - e.getDouble(1)) < 1e-6)
+  }
+
+  test("unsupported aggregate (avg distinct) stays in Spark, results correct") {
+    val df = tsv.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("PushedAggregation=true"))
+    val got = df.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("quoted fields round-trip: tabs and quotes inside string values") {
     import org.apache.spark.sql.types._
     import spark.implicits._
