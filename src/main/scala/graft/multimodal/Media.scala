@@ -96,6 +96,28 @@ object MediaDecoder {
         expr("substring(payload, frame_idx * 64 + 1, 64)"))
       .select(col("doc_id"), col("frame_idx"), col("frame"))
 
+  /** STUB resize — the "image resize" stage of a multimodal pipeline as a
+    * pure function on decoded items: halve each dimension (floor, min 1)
+    * and average-pool the feature histogram into 2 bins. Like
+    * [[decodeStub]], a deterministic fake with the real pipeline shape:
+    * runs per-partition in the same tight batch loop, so swapping in a
+    * real scaler is a body change, not a plan change. */
+  def resizeStub(item: DecodedMedia): DecodedMedia =
+    item.copy(
+      width = math.max(1, item.width / 2),
+      height = math.max(1, item.height / 2),
+      feature = Array(
+        (item.feature(0) + item.feature(1)) / 2.0,
+        (item.feature(2) + item.feature(3)) / 2.0))
+
+  /** Decode → resize chained per-partition: ONE pass over each partition's
+    * items with both stages fused in the same batch loop (the mapInPandas
+    * chain analog — no shuffle, no materialization between stages). */
+  def decodeAndResize(media: Dataset[MediaItem]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => resizeStub(decodeStub(m))))
+  }
+
   /** q32: the decode pipeline's relational face — metadata derived from
     * the binary payload via the per-partition decode. The oracle
     * recomputes n_bytes/width/height/n_frames from octet_length in
@@ -123,5 +145,39 @@ object MediaDecoder {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q32)
+  /** q58: frame sampling oracle-checked END TO END including the frame
+    * BYTES — every 3rd 64-byte frame of each payload. The fixture text is
+    * pure ASCII (asserted by MediaSpec), so the binary frames decode
+    * losslessly to strings and DuckDB reproduces them with VARCHAR
+    * substr; at scale this is a per-row generator (explode) with no
+    * shuffle at all. */
+  val q58 = Q(
+    "q58_frame_sample",
+    (s, d) =>
+      sampleFrames(
+        mediaTable(s, d).toDF().filter(col("doc_id") < 100), 3)
+        .select(
+          col("doc_id"),
+          col("frame_idx"),
+          col("frame").cast("string").as("frame_str"),
+          length(col("frame")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""
+      WITH frames AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 range(0, CAST((length(text) + 63) // 64 AS INT)),
+                 i -> i % 3 = 0)) AS frame_idx,
+               text
+        FROM documents WHERE doc_id < 100
+      )
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)
+               AS frame_str,
+             CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT),
+                                64)) AS INTEGER) AS frame_len
+      FROM frames
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(q32, q58)
 }

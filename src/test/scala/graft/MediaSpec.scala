@@ -61,4 +61,30 @@ class MediaSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]]("frame").length <= 64)
     }
   }
+
+  test("resize halves dimensions and pools the feature mass exactly") {
+    val resized = MediaDecoder.decodeAndResize(
+      MediaDecoder.mediaTable(spark, sf001))
+      .collect().map(d => d.doc_id -> d).toMap
+    val decoded = MediaDecoder.decodeAll(MediaDecoder.mediaTable(spark, sf001))
+      .collect()
+    assert(decoded.nonEmpty && resized.size == decoded.length)
+    decoded.foreach { d =>
+      val r = resized(d.doc_id)
+      assert(r.width == math.max(1, d.width / 2) &&
+        r.height == math.max(1, d.height / 2))
+      // pooled histogram preserves total mass / 2 and bin structure
+      assert(r.feature.length == 2)
+      assert(r.feature(0) == (d.feature(0) + d.feature(1)) / 2.0)
+      assert(r.feature(1) == (d.feature(2) + d.feature(3)) / 2.0)
+    }
+  }
+
+  test("fixture text is pure ASCII (q58's byte==char slicing precondition)") {
+    val nonAscii = Tables.load(spark, sf001, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text").cast("binary")))
+      .count()
+    assert(nonAscii == 0,
+      "documents.text contains multi-byte chars; q58's VARCHAR oracle breaks")
+  }
 }
