@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.queries.Q
+
+/** Distributed k-means (Lloyd's algorithm) over the embedding corpus —
+  * the TRAINING loop that produces an IVF coarse quantizer (q41 uses a
+  * fixed one; this is how it gets built at 100 TB).
+  *
+  * The iteration is the canonical Spark ML shape: centroids are tiny
+  * (k × dim), so each round BROADCASTS them, assigns every vector to its
+  * nearest centroid map-side (no shuffle for the assignment), and
+  * recomputes centroids with one partial-aggregated shuffle of
+  * (cluster, dim) cells. Between rounds the k×64 centroid table is
+  * collected and re-broadcast — lineage stays flat, which is what keeps
+  * iteration N from recomputing iterations 1..N-1.
+  *
+  * Cross-engine determinism (the DuckDB oracle runs the SAME algorithm):
+  * vector components are fixed-point scaled to exact BIGINTs, so centroid
+  * updates are order-independent integer sums followed by the identical
+  * two IEEE divisions in both engines; distances left-fold the same
+  * (x-y)² sequence; and the argmin tiebreak is total (distance, cid).
+  */
+object Kmeans {
+
+  /** 2^24 — scaling float-precision components to exact integers. At a
+    * trillion-row corpus the BIGINT sum still fits with 2^15 headroom;
+    * past that, widen to DECIMAL(38,0) in [[update]]. */
+  private val Scale = 16777216L
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn(
+        "vi",
+        expr(s"transform(v, x -> CAST(round(x * $Scale) AS BIGINT))"))
+
+  /** Map-side nearest-centroid assignment: broadcast cent (cid, cv),
+    * exact-fold squared L2, deterministic argmin. */
+  def assign(vectors: DataFrame, cent: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cent))
+      .withColumn(
+        "d2",
+        expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (a, e) -> a + e)"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("vec_id"), col("v"), col("vi"), col("cid").as("cluster"),
+        col("d2"))
+
+  /** Centroid update: one shuffle of (cluster, dim) cells with map-side
+    * partial sums; exact integer accumulation, then the same two IEEE
+    * divisions DuckDB performs. */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("vi")).as(Seq("pos", "comp")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("comp").cast(DecimalType(38, 0))).cast(DoubleType) /
+        count(lit(1)) / lit(16777216.0)).as("cc"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cc))), " +
+        "s -> s.cc)").as("cv"))
+      .select(col("cluster").as("cid"), col("cv"))
+
+  /** `iters` Lloyd rounds from the deterministic seed (members with
+    * vec_id < k), returning the final assignment. */
+  def train(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val vs = vecs(s, d).persist()
+    var cent = vs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    (1 to iters).foreach { _ =>
+      val updated = update(assign(vs, cent))
+        .select(col("cid").cast(IntegerType), col("cv"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      cent = updated.toSeq.toDF("cid", "cv")
+    }
+    assign(vs, cent)
+  }
+
+  /** q59: 2 Lloyd rounds, k=8 — cluster cardinalities and member id
+    * ranges, bit-identically reproduced by the DuckDB twin running the
+    * same unrolled iterations. */
+  val q59 = Q(
+    "q59_kmeans",
+    (s, d) =>
+      train(s, d, k = 8, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("cluster")),
+    Some {
+      def iterCtes(i: Int, prevCent: String) = s"""
+      dists$i AS (
+        SELECT v.vec_id, v.vi, c.cid,
+          list_reduce(list_transform(list_zip(v.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d2
+        FROM vecs v CROSS JOIN $prevCent c
+      ), assigned$i AS (
+        SELECT vec_id, vi, cid AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+          FROM dists$i) WHERE rn = 1
+      ), upd$i AS (
+        SELECT cluster AS cid, i.pos,
+               CAST(sum(vi[i.pos]) AS DOUBLE) / count(*) / 16777216.0 AS cc
+        FROM assigned$i, (SELECT unnest(range(1, 65)) AS pos) i
+        GROUP BY cluster, i.pos
+      ), cent$i AS (
+        SELECT cid, list(cc ORDER BY pos) AS cv FROM upd$i GROUP BY cid
+      )"""
+      s"""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 16777216) AS BIGINT)) AS vi
+        FROM embeddings
+      ), cent0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        FROM vecs WHERE vec_id < 8
+      ),${iterCtes(1, "cent0")},${iterCtes(2, "cent1")},
+      final_dists AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_transform(list_zip(v.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d2
+        FROM vecs v CROSS JOIN cent2 c
+      ), final_assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+          FROM final_dists) WHERE rn = 1
+      )
+      SELECT cluster, count(*) AS n, min(vec_id) AS min_vec,
+             max(vec_id) AS max_vec
+      FROM final_assigned GROUP BY cluster ORDER BY cluster"""
+    })
+
+  val all: Seq[Q] = Seq(q59)
+}

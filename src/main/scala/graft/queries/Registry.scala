@@ -6,7 +6,7 @@ object Registry {
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
       graft.sources.IngestJob.all ++ graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
-      graft.operators.AsOf.all
+      graft.operators.AsOf.all ++ graft.operators.Kmeans.all
 
   require(
     all.map(_.name).distinct.size == all.size,

@@ -71,6 +71,18 @@ class NewOperatorsSpec extends SparkSpec {
       "fields mixed across right rows")
   }
 
+  test("k-means: WCSS non-increasing across Lloyd rounds, partition total") {
+    import graft.operators.Kmeans
+    val nVecs = Tables.load(spark, sf001, "embeddings").count()
+    val wcss = (0 to 2).map { iters =>
+      val a = Kmeans.train(spark, sf001, k = 8, iters = iters)
+      assert(a.count() == nVecs, "every vector must be assigned")
+      a.agg(sum("d2")).head().getDouble(0)
+    }
+    assert(wcss(1) <= wcss(0) && wcss(2) <= wcss(1),
+      s"WCSS must not increase: $wcss")
+  }
+
   test("q40 range join: tiers partition all events exactly once") {
     val ev = Tables.load(spark, sf001, "events")
     val out = AsOf.q40.run(spark, sf001)
