@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The composed training-data CURATION pipeline — the extension operators
+  * (quality scoring q21, language-ID q22, exact dedup q20, n-gram
+  * near-dup q25, hash sampling q54) chained end-to-end the way a corpus
+  * actually gets built, with the per-stage surviving counts as the
+  * output funnel. Mirrors the reference's per-hop count-validation
+  * discipline (README.md:373-397) applied to a data pipeline rather
+  * than an engine fan-out.
+  *
+  * Plan shape at 100 TB: stages 1–4 and 6 are stateless filters or one
+  * window/aggregate each; only near-dedup pairs up documents, and it
+  * does so inside (lang, source) blocks AFTER the corpus has already
+  * been cut down by the cheap stages — filter-early is what makes the
+  * quadratic stage affordable.
+  */
+object Curation {
+
+  private val markers = Seq(
+    "the", "a", "and", "of", "el", "la", "de", "que",
+    "le", "les", "des", "une", "der", "die", "das", "und")
+
+  val q60 = Q(
+    "q60_curation_funnel",
+    (s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+        .withColumn(
+          "punct_cnt", expr("regexp_count(text, '[.,!?;:]')").cast(LongType))
+        .persist()
+      // q21's quality score, as a keep-filter
+      val quality = base.filter(
+        least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("punct_cnt").cast(DoubleType) / col("n_chars"))
+          > 0.5)
+      // q22's marker heuristic: any known-language marker present
+      val langp = quality.filter(
+        expr("size(filter(split(text, ' '), t -> t in (" +
+          markers.map(m => s"'$m'").mkString(",") + "))) > 0"))
+        .persist()
+      // q20's exact dedup: keep the smallest doc_id per content hash
+      val exact = langp
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+        .persist()
+      // q25's blocked n-gram Jaccard near-dup: drop the larger id of
+      // each pair (deterministic keeper rule)
+      val toksets = exact
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persist()
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val dupIds = toksets.as("a")
+        .join(
+          toksets.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            // implied by jaccard >= 0.6 — prunes before array_intersect
+            least(col("a.sz"), col("b.sz")).cast(DoubleType) >=
+              greatest(col("a.sz"), col("b.sz")) * 0.6)
+        .filter(
+          inter.cast(DoubleType) / (col("a.sz") + col("b.sz") - inter)
+            >= 0.6)
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      val near = exact.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      // q54's reproducible hash-mod 1/8 sample
+      val sampled = near.filter(
+        expr("instr('0123456789abcdef', " +
+          "substring(md5(CAST(doc_id AS STRING)), 32, 1))") <= 2)
+      def stage(ord: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(
+            lit(ord).as("stage_ord"), lit(name).as("stage"), col("n_docs"))
+      stage(1, "total", base)
+        .unionByName(stage(2, "quality_pass", quality))
+        .unionByName(stage(3, "lang_known", langp))
+        .unionByName(stage(4, "exact_dedup", exact))
+        .unionByName(stage(5, "near_dedup", near))
+        .unionByName(stage(6, "sampled", sampled))
+        .orderBy(col("stage_ord"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+                 AS punct_cnt
+        FROM documents
+      ), quality AS (
+        SELECT * FROM base
+        WHERE least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              * (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars) > 0.5
+      ), langp AS (
+        SELECT * FROM quality
+        WHERE len(list_filter(string_split(text, ' '),
+              t -> t IN (${markers.map(m => s"'$m'").mkString(",")}))) > 0
+      ), exact AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn
+          FROM langp) WHERE rn = 1
+      ), toksets AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM exact
+      ), dup_pairs AS (
+        SELECT b.doc_id AS doc_b
+        FROM toksets a JOIN toksets b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                   AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+              >= 0.6
+      ), near AS (
+        SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+      ), sampled AS (
+        SELECT * FROM near
+        WHERE strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) <= 2
+      )
+      SELECT * FROM (
+        SELECT 1 AS stage_ord, 'total' AS stage,
+               (SELECT count(*) FROM base) AS n_docs
+        UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM quality)
+        UNION ALL SELECT 3, 'lang_known', (SELECT count(*) FROM langp)
+        UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM exact)
+        UNION ALL SELECT 5, 'near_dedup', (SELECT count(*) FROM near)
+        UNION ALL SELECT 6, 'sampled', (SELECT count(*) FROM sampled)
+      ) ORDER BY stage_ord"""))
+
+  val all: Seq[Q] = Seq(q60)
+}

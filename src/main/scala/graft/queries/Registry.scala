@@ -4,6 +4,7 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
+      Curation.all ++
       graft.sources.IngestJob.all ++ graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
       graft.operators.AsOf.all ++ graft.operators.Kmeans.all
