@@ -10,6 +10,51 @@ import graft.sources.IngestPipeline
   */
 class IngestPipelineSpec extends SparkSpec {
 
+  test("error tolerance: malformed CSV rows dropped or captured, never lost") {
+    // the reference ingests with input_format_allow_errors_num=1000 —
+    // up to N bad rows skipped, the rest loaded (README.md:176-199).
+    // Spark's faces of the same contract: DROPMALFORMED (skip) and
+    // PERMISSIVE + corrupt-record column (quarantine for inspection).
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    val lines = Seq(
+      "event_id\tuser_id\tvalue",
+      "1\t10\t1.5",
+      "2\tnot_a_number\toops", // malformed
+      "3\t30\t3.5")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+
+    // NOTE: malformedness is judged against the PARSED columns only —
+    // count() prunes every column and sees 3 rows. Any real pipeline
+    // (like IngestPipeline's typed hop) projects the full schema, which
+    // is what arms the check; the cache() pins that full-width parse.
+    val dropped = spark.read.schema(schema)
+      .option("header", true).option("sep", "\t")
+      .option("mode", "DROPMALFORMED")
+      .csv(dir)
+      .select("event_id", "user_id", "value").cache()
+    assert(dropped.count() == 2, "exactly the malformed row is skipped")
+    assert(dropped.agg(sum("event_id")).head().getLong(0) == 4L)
+
+    val quarantine = spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", true).option("sep", "\t")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache() // corrupt-record column requires a materialized referenced plan
+    assert(quarantine.count() == 3, "PERMISSIVE keeps every input row")
+    val bad = quarantine.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record")
+      .contains("not_a_number"))
+  }
+
   test("all hops preserve the row count (reference validation invariant)") {
     val dir = Files.createTempDirectory("graft_pipeline").toString
     val hops = IngestPipeline.run(spark, sf001, dir)
