@@ -156,44 +156,73 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
-  /** Blocked exact n-gram Jaccard (extension op D3): all-pairs token-set
-    * Jaccard *within* (lang, source) blocks — the blocking keeps the pair
-    * space linear-ish, the same role LSH bands play in q24, but with fully
-    * deterministic recall inside each block. */
+  /** Blocked exact n-gram Jaccard (extension op D3) via PREFIX FILTERING
+    * (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All Pairs Similarity
+    * Search"): with tokens in a global rare-first order, two sets with
+    * jaccard ≥ t MUST share a token within their first
+    * |s| - ceil(t·|s|) + 1 tokens (pigeonhole over the required overlap
+    * ≥ ceil(t·|s|)). Candidates therefore come from an inverted index
+    * over PREFIX tokens only — rare tokens, few collisions — instead of
+    * the all-pairs product; verification computes exact Jaccard on the
+    * candidates. Exact: no false negatives for ANY global order, so the
+    * oracle (which verifies every in-block pair) matches row for row.
+    * This is the plan that survives 100×: the all-pairs product grows
+    * O(block²) while prefix-index candidates track the true near-dup
+    * density. */
   val q25 = Q(
     "q25_ngram_jaccard",
     (s, d) => {
-      // persist: both self-join sides read the tokenized form — without
-      // it the split+distinct pipeline runs twice (no CSE across
-      // self-joins); at cluster scale this is "materialize the token sets"
+      // persist: candidate generation and verification both read the
+      // tokenized form (no CSE across self-joins) — "materialize the
+      // token sets" at cluster scale
       val docs = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .persist()
-      docs.as("a")
+      val docTok = docs.select(
+        col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("tok"))
+      // global rare-first order: (document frequency, token); the df side
+      // is vocabulary-sized → broadcast
+      val dfTbl = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val prefixes = docTok
+        .join(broadcast(dfTbl), Seq("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
+          "s -> s.tok)").as("sorted_toks"))
+        .withColumn(
+          "prefix",
+          expr("slice(sorted_toks, 1, size(sorted_toks) " +
+            "- CAST(ceil(0.6 * size(sorted_toks)) AS INT) + 1)"))
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          explode(col("prefix")).as("tok"))
+      val candidates = prefixes.as("a")
         .join(
-          docs.as("b"),
+          prefixes.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            // length-ratio prefilter: jaccard ≥ 0.6 forces
-            // min(|a|,|b|) ≥ 0.6·max(|a|,|b|) — evaluated on two ints
-            // inside the join, so incompatible pairs never reach the
-            // O(|a|+|b|) array_intersect. Implied by the final filter:
-            // output is unchanged, only work is saved.
-            least(col("a.sz"), col("b.sz")).cast(DoubleType) >=
-              greatest(col("a.sz"), col("b.sz")) * 0.6)
+            col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(
-          col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"),
-          // hash-based set intersection (array_intersect) — O(|a|+|b|) per
-          // pair vs the O(|a|·|b|) filter/contains scan; same count since
-          // token sets are already distinct
-          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-          col("a.sz").as("la"),
-          col("b.sz").as("lb"))
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
+      candidates
+        .join(sets.select(
+          col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("sz").as("la")), Seq("doc_a"))
+        .join(sets.select(
+          col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("sz").as("lb")), Seq("doc_b"))
+        // length-ratio check implied by jaccard ≥ 0.6: skip the
+        // O(|a|+|b|) intersect for incompatible sizes
+        .filter(
+          least(col("la"), col("lb")).cast(DoubleType) >=
+            greatest(col("la"), col("lb")) * 0.6)
+        .withColumn(
+          "inter", size(array_intersect(col("ta"), col("tb"))))
         .withColumn(
           "jaccard",
           col("inter").cast(DoubleType) /
