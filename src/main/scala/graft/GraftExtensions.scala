@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.VecDot
+import graft.functions.{HllMd5, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("vec_dot"), VecDot.info,
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecDot(children(0), children(1))))
+    // portable HLL sketch aggregate (the analyzer wraps the returned
+    // AggregateFunction into an AggregateExpression)
+    ext.injectFunction(
+      (FunctionIdentifier("hll_md5"), HllMd5.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          HllMd5(children.head)))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
   }

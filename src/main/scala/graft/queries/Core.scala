@@ -408,6 +408,67 @@ object Core {
         approx_count_distinct(col("props")).as("n_props_approx")),
     None)
 
+  /** Approximate distinct, ORACLE-CHECKED (q10b's engine-portable twin):
+    * the [[graft.functions.HllMd5]] TypedImperativeAggregate — md5-seeded
+    * HLL registers, order-independent max state, fixed-order harmonic
+    * sum — produces a bit-identical estimate in DuckDB's pure-SQL
+    * replica, so even the approximate path gets the differential-test
+    * treatment. Exact count alongside shows the sketch error. */
+  val q61 = Q(
+    "q61_hll_sketch",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.HllMd5.sketch(
+            col("user_id").cast(StringType)).as("hll_estimate"))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH vals AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS sv
+        FROM events
+      ), h AS (
+        SELECT event_type, md5(sv) AS hx FROM vals
+      ), rr AS (
+        SELECT event_type,
+          ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS reg,
+          16 - length(ltrim(substr(hx, 3, 16), '0')) AS z,
+          CASE WHEN length(ltrim(substr(hx, 3, 16), '0')) = 0 THEN 1
+               ELSE strpos('0123456789abcdef',
+                           substr(ltrim(substr(hx, 3, 16), '0'), 1, 1)) - 1
+          END AS v
+        FROM h
+      ), ranked AS (
+        SELECT event_type, reg,
+          CASE WHEN z = 16 THEN 65
+               ELSE 4 * z + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                  WHEN v >= 2 THEN 2 ELSE 3 END) + 1
+          END AS rank
+        FROM rr
+      ), regs AS (
+        SELECT event_type, reg, max(rank) AS mr
+        FROM ranked GROUP BY event_type, reg
+      ), types AS (SELECT DISTINCT event_type FROM events),
+      allregs AS (
+        SELECT t.event_type, j.j, coalesce(regs.mr, 0) AS mr
+        FROM types t CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+        LEFT JOIN regs ON regs.event_type = t.event_type AND regs.reg = j.j
+      ), est AS (
+        SELECT event_type,
+               0.7213 / (1 + 1.079 / 64) * 64 * 64 /
+                 list_reduce(list_transform(list(mr ORDER BY j),
+                   x -> pow(2.0, -x)), (a, b) -> a + b) AS hll_estimate
+        FROM allregs GROUP BY event_type
+      ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+      )
+      SELECT ex.event_type, ex.n_exact, est.hll_estimate
+      FROM ex JOIN est USING (event_type)
+      ORDER BY event_type"""))
+
   /** Dimension-chain broadcast join (reference J1/J2 generalized:
     * queries/q4-top-countries-percentiles/README.md:68-69,129): small dims
     * broadcast; no shuffle on the fact side for the join itself. */
@@ -675,5 +736,5 @@ object Core {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61)
 }

@@ -72,6 +72,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hll_md5: partition-order invariant, dup-insensitive, sane error") {
+    import graft.functions.HllMd5
+    // event_id: cardinality well above m=64, where the raw estimate is
+    // the operating regime (small-range bias correction is deliberately
+    // omitted — see HllMd5's scaladoc)
+    val vals = Tables.load(spark, sf001, "events")
+      .select(col("event_id").cast("string").as("sv"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(HllMd5.sketch(col("sv"))).as[Double].head()
+    val base = est(vals)
+    // merge correctness: any partitioning, any duplication → same registers
+    assert(est(vals.repartition(13)) == base, "repartition changed estimate")
+    assert(est(vals.unionByName(vals)) == base, "duplicates changed estimate")
+    val exact = vals.distinct().count().toDouble
+    assert(exact > 2.5 * 64, "fixture too small for the raw-estimate regime")
+    assert(math.abs(base - exact) / exact < 0.30,
+      s"estimate $base too far from exact $exact for m=64")
+  }
+
   test("salted join cardinality is invariant in the salt count") {
     val ev = Tables.load(spark, sf001, "events").limit(200)
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
