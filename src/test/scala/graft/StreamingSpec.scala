@@ -138,6 +138,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink: streamed aggregate fans out == batch") {
+    // the streaming face of the reference's engine-to-engine fan-out
+    // (CSV pipe into a second store): each micro-batch's refreshed
+    // aggregate is materialized to parquet via foreachBatch — the
+    // custom-sink hook — and the final store equals the batch result.
+    val events = Tables.load(spark, sf001, "events")
+    val inDir = Files.createTempDirectory("graft_febatch_in").toString
+    val outDir = Files.createTempDirectory("graft_febatch_out").toString
+    events.repartition(3).write.mode("overwrite").parquet(inDir)
+
+    val batch = EventStream.windowedCounts(events).collect().map(key).toSet
+
+    val streamIn = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = EventStream.windowedCounts(streamIn)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).collect().map(key).toSet
+      assert(got == batch, "foreachBatch sink differs from batch result")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("eventGaps marks first event per user as session start") {
     val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
     val users = gaps.select("user_id").distinct().count()
