@@ -20,7 +20,9 @@ object Bench {
     // run 1 pays codegen/JIT/page-cache, run 2 is the engine's speed.
     // A failing query records -1 (NOT its elapsed time) and lands in
     // "failed" — a crash must never masquerade as a fast success.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+        .getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to runs).map { _ =>

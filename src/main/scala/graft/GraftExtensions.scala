@@ -21,8 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AggregateFunction into an AggregateExpression)
     ext.injectFunction(
       (FunctionIdentifier("hll_md5"), HllMd5.info,
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          HllMd5(children.head)))
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"hll_md5 expects exactly 1 argument, got ${children.length}")
+          HllMd5(children.head)
+        }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
   }

@@ -88,9 +88,13 @@ object MediaDecoder {
       .withColumn("n_bytes", length(col("payload")).cast("long"))
       .withColumn(
         "frame_idx",
+        // empty payload → zero frames: sequence(0, -1) would generate a
+        // DESCENDING [0, -1] (Spark sequences run both ways), inventing a
+        // frame the oracle's range(0, 0) correctly omits
         explode(expr(
-          s"filter(sequence(0, CAST((n_bytes + 63) / 64 AS INT) - 1), " +
-            s"i -> i % $k = 0)")))
+          s"CASE WHEN n_bytes = 0 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+            s"filter(sequence(0, CAST((n_bytes + 63) / 64 AS INT) - 1), " +
+            s"i -> i % $k = 0) END")))
       .withColumn(
         "frame",
         expr("substring(payload, frame_idx * 64 + 1, 64)"))

@@ -36,7 +36,12 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
         // input (integer-cents money columns) would otherwise change the
         // aggregate's result type under consumers that resolved against
         // the exact form. Cast back to the original dataType.
-        case ae @ AggregateExpression(p: Percentile, _, _, _, _) =>
+        // Only the unweighted form rewrites: ApproximatePercentile has no
+        // frequency argument, so a 3-arg percentile(col, p, freq) with a
+        // non-unit weight must KEEP the exact implementation rather than
+        // silently weighting every row 1.
+        case ae @ AggregateExpression(p: Percentile, _, _, _, _)
+            if p.frequencyExpression == Literal(1L) =>
           Cast(
             ae.copy(aggregateFunction = new ApproximatePercentile(
               p.child, p.percentageExpression, Literal(accuracy))),

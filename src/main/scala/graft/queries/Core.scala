@@ -68,6 +68,17 @@ object Det {
   def davg2(c: Column): Column = avgCents(c) / lit(100.0)
   def davg2Sql(c: String): String =
     s"(${avgCentsSql(c)} / CAST(100 AS DOUBLE))"
+
+  /** Reproducible hash-mod 1/8 sample predicate (q54, curation funnel):
+    * keep rows whose md5(key) last hex char lands in the first 2 of 16
+    * buckets — content-hash sampling is portable and repartition-stable
+    * where a seeded RNG is neither. Spark SQL text and DuckDB twin. */
+  def hashSampleExpr(key: String): String =
+    s"instr('0123456789abcdef', " +
+      s"substring(md5(CAST($key AS STRING)), 32, 1)) <= 2"
+  def hashSampleSql(key: String): String =
+    s"strpos('0123456789abcdef', " +
+      s"substr(md5(CAST($key AS VARCHAR)), 32, 1)) <= 2"
 }
 
 /** Reference-parity queries: Q1–Q4 analogs, the four sample queries

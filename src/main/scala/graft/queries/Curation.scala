@@ -52,33 +52,21 @@ object Curation {
             Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
         .persist()
-      // q25's blocked n-gram Jaccard near-dup: drop the larger id of
-      // each pair (deterministic keeper rule)
+      // q25's near-dup join — the SHARED prefix-filtered implementation
+      // (Dedup.jaccardPairs), so the funnel's quadratic-risk stage gets
+      // the same scale treatment as the standalone operator; keeper
+      // rule: drop the larger id of each pair
       val toksets = exact
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .persist()
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-      val dupIds = toksets.as("a")
-        .join(
-          toksets.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            // implied by jaccard >= 0.6 — prunes before array_intersect
-            least(col("a.sz"), col("b.sz")).cast(DoubleType) >=
-              greatest(col("a.sz"), col("b.sz")) * 0.6)
-        .filter(
-          inter.cast(DoubleType) / (col("a.sz") + col("b.sz") - inter)
-            >= 0.6)
-        .select(col("b.doc_id").as("doc_id")).distinct()
+      val dupIds = Dedup.jaccardPairs(toksets, 0.6)
+        .select(col("doc_b").as("doc_id")).distinct()
       val near = exact.join(dupIds, Seq("doc_id"), "left_anti").persist()
       // q54's reproducible hash-mod 1/8 sample
-      val sampled = near.filter(
-        expr("instr('0123456789abcdef', " +
-          "substring(md5(CAST(doc_id AS STRING)), 32, 1))") <= 2)
+      val sampled = near.filter(expr(Det.hashSampleExpr("doc_id")))
       def stage(ord: Int, name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(
@@ -130,8 +118,7 @@ object Curation {
         WHERE doc_id NOT IN (SELECT doc_b FROM dup_pairs)
       ), sampled AS (
         SELECT * FROM near
-        WHERE strpos('0123456789abcdef',
-                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) <= 2
+        WHERE ${Det.hashSampleSql("doc_id")}
       )
       SELECT * FROM (
         SELECT 1 AS stage_ord, 'total' AS stage,

@@ -169,6 +169,63 @@ object Dedup {
     * This is the plan that survives 100×: the all-pairs product grows
     * O(block²) while prefix-index candidates track the true near-dup
     * density. */
+  /** Prefix-filtered exact Jaccard similarity join, reusable by any
+    * caller with a (doc_id, lang, source, toks, sz) table (q25 and the
+    * curation funnel's near-dup stage share this): candidates from the
+    * rare-first prefix inverted index, exact verification on candidates,
+    * threshold `t` pairs out. */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame, t: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val docTok = docs.select(
+      col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("tok"))
+    // global rare-first order: (document frequency, token); the df side
+    // is vocabulary-sized → broadcast
+    val dfTbl = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixes = docTok
+      .join(broadcast(dfTbl), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
+        "s -> s.tok)").as("sorted_toks"))
+      .withColumn(
+        "prefix",
+        expr(s"slice(sorted_toks, 1, size(sorted_toks) " +
+          s"- CAST(ceil($t * size(sorted_toks)) AS INT) + 1)"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(col("prefix")).as("tok"))
+    val candidates = prefixes.as("a")
+      .join(
+        prefixes.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
+    candidates
+      .join(sets.select(
+        col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("sz").as("la")), Seq("doc_a"))
+      .join(sets.select(
+        col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("sz").as("lb")), Seq("doc_b"))
+      // length-ratio check implied by jaccard ≥ t: skip the
+      // O(|a|+|b|) intersect for incompatible sizes
+      .filter(
+        least(col("la"), col("lb")).cast(DoubleType) >=
+          greatest(col("la"), col("lb")) * t)
+      .withColumn(
+        "inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn(
+        "jaccard",
+        col("inter").cast(DoubleType) /
+          (col("la") + col("lb") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val q25 = Q(
     "q25_ngram_jaccard",
     (s, d) => {
@@ -181,54 +238,7 @@ object Dedup {
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .persist()
-      val docTok = docs.select(
-        col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("tok"))
-      // global rare-first order: (document frequency, token); the df side
-      // is vocabulary-sized → broadcast
-      val dfTbl = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val prefixes = docTok
-        .join(broadcast(dfTbl), Seq("tok"))
-        .groupBy(col("doc_id"), col("lang"), col("source"))
-        .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
-          "s -> s.tok)").as("sorted_toks"))
-        .withColumn(
-          "prefix",
-          expr("slice(sorted_toks, 1, size(sorted_toks) " +
-            "- CAST(ceil(0.6 * size(sorted_toks)) AS INT) + 1)"))
-        .select(
-          col("doc_id"), col("lang"), col("source"),
-          explode(col("prefix")).as("tok"))
-      val candidates = prefixes.as("a")
-        .join(
-          prefixes.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") &&
-            col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
-      candidates
-        .join(sets.select(
-          col("doc_id").as("doc_a"), col("toks").as("ta"),
-          col("sz").as("la")), Seq("doc_a"))
-        .join(sets.select(
-          col("doc_id").as("doc_b"), col("toks").as("tb"),
-          col("sz").as("lb")), Seq("doc_b"))
-        // length-ratio check implied by jaccard ≥ 0.6: skip the
-        // O(|a|+|b|) intersect for incompatible sizes
-        .filter(
-          least(col("la"), col("lb")).cast(DoubleType) >=
-            greatest(col("la"), col("lb")) * 0.6)
-        .withColumn(
-          "inter", size(array_intersect(col("ta"), col("tb"))))
-        .withColumn(
-          "jaccard",
-          col("inter").cast(DoubleType) /
-            (col("la") + col("lb") - col("inter")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      jaccardPairs(docs, 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some("""

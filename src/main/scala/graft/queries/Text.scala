@@ -197,9 +197,7 @@ object Text {
     "q54_hash_sample",
     (s, d) =>
       Tables.load(s, d, "events")
-        .filter(
-          expr("instr('0123456789abcdef', " +
-            "substring(md5(CAST(event_id AS STRING)), 32, 1))") <= 2)
+        .filter(expr(Det.hashSampleExpr("event_id")))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -208,8 +206,7 @@ object Text {
     Some(s"""
       WITH sampled AS (
         SELECT event_type, value FROM events
-        WHERE strpos('0123456789abcdef',
-                     substr(md5(CAST(event_id AS VARCHAR)), 32, 1)) <= 2
+        WHERE ${Det.hashSampleSql("event_id")}
       )
       SELECT event_type, count(*) AS n,
              ${Det.dsumSql("value")} AS sum_value

@@ -236,9 +236,12 @@ final class TsvReaderFactory(
     aggSpec: Option[TsvAggSpec])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    // agg mode: required = EMPTY schema — the aggregator reads typed
+    // values through cell() off the raw cells, so materializing a
+    // full-width InternalRow per input row would be pure waste
     val base = new TsvPartitionReader(
       p.asInstanceOf[TsvPartition].file, fullSchema,
-      aggSpec.map(_ => fullSchema).getOrElse(required), filters,
+      aggSpec.map(_ => StructType(Nil)).getOrElse(required), filters,
       if (aggSpec.isDefined) -1 else limit)
     aggSpec match {
       case Some(spec) => new TsvAggregatingReader(base, fullSchema, spec)
@@ -322,7 +325,11 @@ private object TsvOrd {
   def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
-    case (x: Double, y: Double) => x < y
+    // Double.compare, not <: NaN must order GREATER than every value
+    // (Spark's min/max ordering) or a pushed MIN/MAX over a column
+    // containing NaN becomes row-order-dependent and diverges from the
+    // identical unpushed query
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
     case (x: String, y: String) => x < y
     case _ => throw new IllegalArgumentException(s"incomparable $a / $b")
   }

@@ -61,6 +61,28 @@ class RewriteRuleSpec extends SparkSpec {
     } finally spark.conf.unset(ApproxPercentileRewrite.FLAG)
   }
 
+  test("flag on: frequency-weighted percentile is NOT rewritten") {
+    // ApproximatePercentile has no frequency argument — rewriting the
+    // 3-arg form would silently weight every row 1. It must stay exact.
+    def weighted =
+      Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "percentile(l_extendedprice, 0.5D, CAST(l_quantity AS INT))")
+          .as("p50w"))
+    val exact = weighted.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set(ApproxPercentileRewrite.FLAG, "true")
+    try {
+      val plan = weighted.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("percentile_approx"),
+        s"weighted percentile must not rewrite:\n$plan")
+      val flagOn = weighted.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(flagOn == exact, "weighted percentile changed under the flag")
+    } finally spark.conf.unset(ApproxPercentileRewrite.FLAG)
+  }
+
   test("flag on: array-of-percentages percentile keeps ARRAY<DOUBLE>") {
     def multiQuery =
       Tables.load(spark, sf001, "lineitem")
