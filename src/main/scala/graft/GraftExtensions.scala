@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{HllMd5, VecDot}
+import graft.functions.{HllMd5, TDigestQuantile, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"hll_md5 expects exactly 1 argument, got ${children.length}")
           HllMd5(children.head)
+        }))
+    // t-digest quantile sketch (the reference's quantileTDigest analog)
+    ext.injectFunction(
+      (FunctionIdentifier("tdigest_quantile"), TDigestQuantile.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              s"tdigest_quantile expects (col, q), got ${children.length} args")
+          TDigestQuantile(children(0), children(1))
         }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)

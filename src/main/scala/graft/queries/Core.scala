@@ -279,6 +279,37 @@ object Core {
     },
     None)
 
+  /** Q4's t-digest face — the ACTUAL winning implementation in the
+    * reference (ClickHouse `quantileTDigest`, queries/q4-top-countries-
+    * percentiles/README.md:222-244: ~27 ms vs PostgreSQL's exact-sort
+    * 4.3 s): our [[graft.functions.TDigestQuantile]]
+    * TypedImperativeAggregate computes the same percentiles from O(δ)
+    * mergeable centroid state. Estimates depend on merge order (exactly
+    * like quantileTDigest), so this stays in the tolerance-checked set
+    * (rows-only for the driver; CoreSemanticsSpec asserts closeness to
+    * the exact q04 values). */
+  val q04c = Q(
+    "q04c_topn_percentiles_tdigest",
+    (s, d) => {
+      val filtered = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+      val top = filtered
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("o_custkey"))
+        .limit(10)
+      filtered
+        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.functions.TDigestQuantile.of(col("o_totalprice"), 0.5)
+            .as("p50"),
+          graft.functions.TDigestQuantile.of(col("o_totalprice"), 0.95)
+            .as("p95"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    },
+    None)
+
   /** Sample query 1 (reference: postgres/preparedataset.sql:190-199):
     * median price by year × type via exact percentile_cont(0.5). */
   val q05 = Q(
@@ -747,5 +778,5 @@ object Core {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61, q04c)
 }

@@ -55,6 +55,65 @@ class CoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q04c t-digest shape: same groups as exact q04, monotone sketches") {
+    // q04's top-10-customer groups are tiny at every test SF, where any
+    // sketch legitimately diverges from percentile_cont interpolation —
+    // accuracy is pinned on large groups in the next test; here the
+    // integration: identical grouping, positive monotone estimates.
+    val exactKeys = Core.q04.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val sketch = Core.q04c.run(spark, sf001).collect()
+    assert(sketch.map(r => (r.getLong(0), r.getString(1))).toSet == exactKeys)
+    sketch.foreach { r =>
+      val (s50, s95) = (r.getDouble(3), r.getDouble(4))
+      assert(s50 > 0 && s50 <= s95, s"non-monotone sketch: $r")
+    }
+  }
+
+  test("t-digest percentiles track exact values on real grouped data") {
+    import graft.functions.TDigestQuantile
+    // (year, returnflag) lineitem groups: hundreds of rows each — the
+    // regime where the sketch must track percentile_cont closely
+    val li = Tables.load(spark, sf001, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"), col("l_returnflag"))
+    val exact = li
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("e50"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val sketch = li
+      .agg(TDigestQuantile.of(col("l_extendedprice"), 0.5).as("s50"))
+      .collect()
+    var checked = 0
+    sketch.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val (e50, n) = exact(key)
+      if (n >= 100) {
+        checked += 1
+        assert(math.abs(r.getDouble(2) - e50) / e50 < 0.03,
+          s"$key: sketch ${r.getDouble(2)} vs exact $e50 (n=$n)")
+      }
+    }
+    assert(checked >= 5, s"only $checked groups big enough — fixture change?")
+  }
+
+  test("tdigest quantile: accuracy and mergeability on a known distribution") {
+    import graft.functions.TDigestQuantile
+    import spark.implicits._
+    // 1..100000 shuffled deterministically across partitions: true
+    // quantile q is q*100001
+    val n = 100000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(17)
+    val got = df.agg(
+      TDigestQuantile.of(col("v"), 0.5).as("p50"),
+      TDigestQuantile.of(col("v"), 0.99).as("p99"),
+      TDigestQuantile.of(col("v"), 0.001).as("p001")).head()
+    assert(math.abs(got.getDouble(0) - n * 0.5) / (n * 0.5) < 0.01)
+    assert(math.abs(got.getDouble(1) - n * 0.99) / (n * 0.99) < 0.01)
+    // tail accuracy is t-digest's selling point: tight even at q=0.001
+    assert(math.abs(got.getDouble(2) - n * 0.001) / (n * 0.001) < 0.10)
+  }
+
   test("q06 is sorted by (o_orderdate desc, o_totalprice desc) with 100 rows") {
     val rows = Core.q06.run(spark, sf001).collect()
     assert(rows.length == 100)
