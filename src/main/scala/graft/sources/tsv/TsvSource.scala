@@ -305,6 +305,16 @@ final class TsvAggregatingReader(
         a += 1
       }
     }
+    // a GLOBAL aggregate must yield exactly one row even over an empty
+    // (or fully filtered) file — counts 0, sums/mins/maxes NULL — or
+    // Spark's final merge over zero partials would return NULL where SQL
+    // requires count(*) = 0
+    if (groups.isEmpty && spec.groupBy.isEmpty) {
+      groups(Seq.empty) = spec.aggs.map {
+        case CountStarOp() | CountOp(_) => 0L: Any
+        case _ => null: Any
+      }
+    }
     groups.iterator.map { case (key, st) =>
       InternalRow.fromSeq(
         (key ++ st).map {

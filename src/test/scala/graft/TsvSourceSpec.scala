@@ -101,6 +101,17 @@ class TsvSourceSpec extends SparkSpec {
       math.abs(r.getDouble(1) - e.getDouble(1)) < 1e-6)
   }
 
+  test("global aggregate over zero matching rows yields count 0, not NULL") {
+    val df = tsv.filter(col("value") > 1e18) // matches nothing
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+        min(col("value")).as("mn"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedAggregation=true"))
+    val r = df.collect().head
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"count must be 0: $r")
+    assert(r.isNullAt(1) && r.isNullAt(2), s"sum/min over empty are NULL: $r")
+  }
+
   test("unsupported aggregate (avg distinct) stays in Spark, results correct") {
     val df = tsv.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"))
