@@ -27,14 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"hll_md5 expects exactly 1 argument, got ${children.length}")
           HllMd5(children.head)
         }))
-    // t-digest quantile sketch (the reference's quantileTDigest analog)
+    // t-digest quantile sketch (the reference's quantileTDigest analog);
+    // the percentage is cast to DOUBLE so the natural spelling
+    // tdigest_quantile(col, 0.5) works — Spark parses 0.5 as DECIMAL(1,1)
     ext.injectFunction(
       (FunctionIdentifier("tdigest_quantile"), TDigestQuantile.info,
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
           if (children.length != 2)
             throw new IllegalArgumentException(
               s"tdigest_quantile expects (col, q), got ${children.length} args")
-          TDigestQuantile(children(0), children(1))
+          TDigestQuantile(
+            children(0),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children(1), org.apache.spark.sql.types.DoubleType))
         }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)

@@ -16,11 +16,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 final class TDigestBuffer(val delta: Double) {
   var means: ArrayBuffer[Double] = ArrayBuffer.empty
   var weights: ArrayBuffer[Double] = ArrayBuffer.empty
+  /** NaN inputs quarantined by weight, not fed to centroid math (one NaN
+    * would poison every weighted mean it merges into). Spark's builtin
+    * percentile/min/max order NaN GREATER than every value, so the NaN
+    * mass sits at the top of the distribution in [[quantile]]. */
+  var nanWeight: Double = 0.0
   private val pendingLimit = 512
   private val pendingM = new ArrayBuffer[Double](pendingLimit)
   private val pendingW = new ArrayBuffer[Double](pendingLimit)
 
   def add(x: Double, w: Double): Unit = {
+    if (x.isNaN) { nanWeight += w; return }
     pendingM += x
     pendingW += w
     if (pendingM.length >= pendingLimit) compress()
@@ -31,6 +37,7 @@ final class TDigestBuffer(val delta: Double) {
     while (i < other.means.length) {
       add(other.means(i), other.weights(i)); i += 1
     }
+    nanWeight += other.nanWeight
     other.flushInto(this)
   }
 
@@ -47,7 +54,10 @@ final class TDigestBuffer(val delta: Double) {
     * quantile-dependent limit — tight centroids at the tails, coarse in
     * the middle, the property that makes tail quantiles accurate. */
   def compress(): Unit = {
-    if (pendingM.isEmpty && means.length <= (2 * delta).toInt) return
+    // no new data → merged state is final; re-merging would both waste
+    // O(n log n) work per eval/serialize AND make the estimate depend on
+    // how often compress() happened to run
+    if (pendingM.isEmpty) return
     val n = means.length + pendingM.length
     if (n == 0) return
     val m = new Array[Double](n)
@@ -89,6 +99,9 @@ final class TDigestBuffer(val delta: Double) {
     compress()
     val n = means.length
     if (n == 0) return Double.NaN
+    // NaN sorts greatest: the quantile falls in the NaN mass at the top
+    val grand = weights.sum + nanWeight
+    if (q * grand > weights.sum) return Double.NaN
     if (n == 1) return means(0)
     val total = weights.sum
     val target = q * total
@@ -113,8 +126,9 @@ final class TDigestBuffer(val delta: Double) {
 
   def serialize(): Array[Byte] = {
     compress()
-    val bb = ByteBuffer.allocate(8 + 4 + means.length * 16)
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + means.length * 16)
     bb.putDouble(delta)
+    bb.putDouble(nanWeight)
     bb.putInt(means.length)
     var i = 0
     while (i < means.length) {
@@ -128,6 +142,7 @@ object TDigestBuffer {
   def deserialize(bytes: Array[Byte]): TDigestBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val buf = new TDigestBuffer(bb.getDouble)
+    buf.nanWeight = bb.getDouble
     val n = bb.getInt
     var i = 0
     while (i < n) { buf.means += bb.getDouble; buf.weights += bb.getDouble; i += 1 }
@@ -152,11 +167,8 @@ case class TDigestQuantile(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TDigestBuffer] {
 
-  private lazy val q: Double = percentage.eval() match {
-    case d: Double => d
-    case other =>
-      throw new IllegalArgumentException(s"non-double percentage: $other")
-  }
+  private lazy val q: Double =
+    percentage.eval().asInstanceOf[Double]
 
   override def children: Seq[Expression] = Seq(child, percentage)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -167,9 +179,13 @@ case class TDigestQuantile(
     else if (!percentage.foldable || percentage.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         "tdigest_quantile expects a foldable DOUBLE percentage")
-    else if ({ val p = q; p < 0.0 || p > 1.0 })
-      TypeCheckResult.TypeCheckFailure(s"percentage $q outside [0, 1]")
-    else TypeCheckResult.TypeCheckSuccess
+    else percentage.eval() match {
+      case null =>
+        TypeCheckResult.TypeCheckFailure("percentage must not be NULL")
+      case d: Double if d < 0.0 || d > 1.0 =>
+        TypeCheckResult.TypeCheckFailure(s"percentage $d outside [0, 1]")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "tdigest_quantile"
@@ -189,8 +205,13 @@ case class TDigestQuantile(
   }
 
   override def eval(buf: TDigestBuffer): Any = {
-    val est = buf.quantile(q)
-    if (est.isNaN) null else est
+    // SQL NULL only for a truly empty group; a NaN from the quarantined
+    // NaN mass (which sorts greatest, like builtin percentile) surfaces
+    // as the NaN it is. Compress first: un-merged values live in the
+    // pending buffer, so `means` alone cannot prove emptiness.
+    buf.compress()
+    if (buf.means.isEmpty && buf.nanWeight == 0.0) null
+    else buf.quantile(q)
   }
 
   override def serialize(buffer: TDigestBuffer): Array[Byte] =

@@ -207,18 +207,25 @@ object Core {
     * table"), percentile_cont(0.25/0.5/0.75/0.95). Percentiles run over
     * integer cents so the 1/4-quantile interpolation is exact binary
     * arithmetic in every engine. */
+  /** Shared Q4 prelude (q04 / q04b / q04c): date-filtered orders with the
+    * integer-cents column, top-10 customers by order count (deterministic
+    * tiebreak), broadcast join-back. One definition so the exact / approx
+    * / t-digest variants can never drift on WHICH groups they aggregate. */
+  private def q04Joined(s: SparkSession, d: String): DataFrame = {
+    val filtered = ord(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+      .withColumn("cents", cents(col("o_totalprice")))
+    val top = filtered
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("o_custkey"))
+      .limit(10)
+    filtered.join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+  }
+
   val q04 = Q(
     "q04_topn_percentiles",
     (s, d) => {
-      val filtered = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
-        .withColumn("cents", cents(col("o_totalprice")))
-      val top = filtered
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("o_custkey"))
-        .limit(10)
-      filtered
-        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+      q04Joined(s, d)
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
@@ -261,15 +268,7 @@ object Core {
   val q04b = Q(
     "q04b_topn_percentiles_approx",
     (s, d) => {
-      val filtered = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
-        .withColumn("cents", cents(col("o_totalprice")))
-      val top = filtered
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("o_custkey"))
-        .limit(10)
-      filtered
-        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+      q04Joined(s, d)
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
@@ -291,14 +290,7 @@ object Core {
   val q04c = Q(
     "q04c_topn_percentiles_tdigest",
     (s, d) => {
-      val filtered = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
-      val top = filtered
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("o_custkey"))
-        .limit(10)
-      filtered
-        .join(broadcast(top.select("o_custkey")), Seq("o_custkey"))
+      q04Joined(s, d)
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),

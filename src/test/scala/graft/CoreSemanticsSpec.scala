@@ -114,6 +114,27 @@ class CoreSemanticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - n * 0.001) / (n * 0.001) < 0.10)
   }
 
+  test("tdigest edge cases: SQL literal, NaN ordering, empty group") {
+    import spark.implicits._
+    // plain 0.5 literal (DECIMAL in Spark SQL) must work via the SQL face
+    Seq(1.0, 2.0, 3.0).toDF("v").createOrReplaceTempView("tdq_v")
+    val viaSql = spark.sql(
+      "SELECT tdigest_quantile(v, 0.5) FROM tdq_v").head().getDouble(0)
+    assert(viaSql == 2.0, s"SQL-literal percentage broken: $viaSql")
+    // NaN sorts greatest (builtin percentile ordering): p50 of
+    // [1, 2, NaN, NaN] lands in real values, p95 in the NaN mass
+    val nan = Seq(1.0, 2.0, Double.NaN, Double.NaN).toDF("v")
+    val r = nan.agg(
+      graft.functions.TDigestQuantile.of(col("v"), 0.25).as("lo"),
+      graft.functions.TDigestQuantile.of(col("v"), 0.95).as("hi")).head()
+    assert(!r.getDouble(0).isNaN && r.getDouble(0) <= 2.0, s"lo: $r")
+    assert(r.getDouble(1).isNaN, s"hi must fall in the NaN mass: $r")
+    // empty group → SQL NULL (not NaN)
+    val empty = Seq(1.0).toDF("v").filter(col("v") > 5)
+      .agg(graft.functions.TDigestQuantile.of(col("v"), 0.5)).head()
+    assert(empty.isNullAt(0), s"empty group must be NULL: $empty")
+  }
+
   test("q06 is sorted by (o_orderdate desc, o_totalprice desc) with 100 rows") {
     val rows = Core.q06.run(spark, sf001).collect()
     assert(rows.length == 100)
