@@ -15,9 +15,16 @@ object Bench {
     // machinery) so the first measured query isn't charged ~5s of JVM init
     Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().count()
-    // best-of-N (default 2): the baseline's published numbers are warm
-    // steady-state runs on a long-lived server, so report the same —
-    // run 1 pays codegen/JIT/page-cache, run 2 is the engine's speed.
+    // N runs per query (default 2): run 1 pays codegen/JIT/page-cache,
+    // run 2 is the engine's warm steady-state speed — the regime the
+    // baseline's published numbers measure on a long-lived server. The
+    // HEADLINE per-query time is the LAST run, not the minimum: minima of
+    // independent runs compose into a total no single end-to-end sweep
+    // achieved (round-2 advice). All per-run times are emitted under
+    // "queries_runs" so the driver can pick any statistic. Each run
+    // releases the caches its query persisted (Caches.release) so every
+    // measured run is a complete, self-contained execution and cached
+    // blocks never accrete across the 60+-query sweep.
     // A failing query records -1 (NOT its elapsed time) and lands in
     // "failed" — a crash must never masquerade as a fast success.
     val runs = math.max(1,
@@ -33,19 +40,25 @@ object Bench {
               case t: Throwable =>
                 System.err.println(s"bench: $name FAILED: $t"); false
             }
+            finally Caches.release()
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         val ok = !times.contains(-1.0)
-        (name, if (ok) times.min else -1.0, ok)
+        (name, if (ok) times.last else -1.0, ok, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val qruns = results
+      .map { case (k, _, _, ts) =>
+        s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val sf = "[0-9.]+".r.findFirstIn(
       new java.io.File(sfDir).getName).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"failed":$failed,"runs":$runs,"sf":$sf}""")
     spark.stop()
   }
 }

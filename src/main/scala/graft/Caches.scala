@@ -1,0 +1,43 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-thread ledger of the DataFrames a query run has persisted, so the
+  * harness can release them once the query's action completes.
+  *
+  * Queries persist intermediates that feed self-joins (minhash bands,
+  * simhash signatures, token sets, k-means corpus) — necessary, because
+  * Spark does not share subexpressions across self-join sides. But a
+  * `persist()` with no matching `unpersist()` accretes cached blocks across
+  * a 60+-query sweep: by round 2 the bench carried every block from every
+  * prior query × 2 runs, and the latency-sensitive queries late in
+  * alphabetical order (q31/q44 streaming-shaped, q36/q48) regressed 2–4×
+  * from the memory pressure. Construction and action run on the same
+  * thread in every entry point (Bench, Verify, PlanDump, tests), so a
+  * thread-local ledger + release-after-action gives each query a clean
+  * cache without a global `clearCache()` stomping on Verify's concurrent
+  * in-flight queries.
+  */
+object Caches {
+  private val ledger =
+    ThreadLocal.withInitial(() => ArrayBuffer.empty[DataFrame])
+
+  implicit final class Tracked(private val df: DataFrame) extends AnyVal {
+    /** `persist()` + register for [[release]] by the harness. */
+    def persistTracked(): DataFrame = {
+      df.persist()
+      Caches.ledger.get() += df
+      df
+    }
+  }
+
+  /** Unpersist every frame the current thread's queries persisted since the
+    * last release. Harness-side, after the query's action; non-blocking. */
+  def release(): Unit = {
+    val l = ledger.get()
+    l.foreach(_.unpersist(blocking = false))
+    l.clear()
+  }
+}

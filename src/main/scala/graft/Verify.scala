@@ -23,11 +23,14 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
+        // construction and action share this thread, so the thread-local
+        // cache ledger releases exactly this query's persisted frames
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally Caches.release()
       }
     }
     scala.concurrent.Await.result(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Caches.Tracked
 import graft.queries.Q
 
 /** Distributed k-means (Lloyd's algorithm) over the embedding corpus —
@@ -76,7 +77,7 @@ object Kmeans {
     * vec_id < k), returning the final assignment. */
   def train(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val vs = vecs(s, d).persist()
+    val vs = vecs(s, d).persistTracked()
     var cent = vs.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
     (1 to iters).foreach { _ =>

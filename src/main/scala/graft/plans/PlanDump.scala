@@ -34,7 +34,7 @@ object PlanDump {
       } catch {
         case e: Throwable =>
           System.err.println(s"[plans] $name failed: ${e.getMessage}")
-      }
+      } finally graft.Caches.release()
     }
     spark.stop()
   }

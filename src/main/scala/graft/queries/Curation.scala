@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Caches.Tracked
 
 /** The composed training-data CURATION pipeline — the extension operators
   * (quality scoring q21, language-ID q22, exact dedup q20, n-gram
@@ -33,7 +34,7 @@ object Curation {
         .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
         .withColumn(
           "punct_cnt", expr("regexp_count(text, '[.,!?;:]')").cast(LongType))
-        .persist()
+        .persistTracked()
       // q21's quality score, as a keep-filter
       val quality = base.filter(
         least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)) *
@@ -43,7 +44,7 @@ object Curation {
       val langp = quality.filter(
         expr("size(filter(split(text, ' '), t -> t in (" +
           markers.map(m => s"'$m'").mkString(",") + "))) > 0"))
-        .persist()
+        .persistTracked()
       // q20's exact dedup: keep the smallest doc_id per content hash
       val exact = langp
         .withColumn(
@@ -51,7 +52,7 @@ object Curation {
           row_number().over(
             Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
-        .persist()
+        .persistTracked()
       // q25's near-dup join — the SHARED prefix-filtered implementation
       // (Dedup.jaccardPairs), so the funnel's quadratic-risk stage gets
       // the same scale treatment as the standalone operator; keeper
@@ -61,10 +62,10 @@ object Curation {
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persist()
+        .persistTracked()
       val dupIds = Dedup.jaccardPairs(toksets, 0.6)
         .select(col("doc_b").as("doc_id")).distinct()
-      val near = exact.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      val near = exact.join(dupIds, Seq("doc_id"), "left_anti").persistTracked()
       // q54's reproducible hash-mod 1/8 sample
       val sampled = near.filter(expr(Det.hashSampleExpr("doc_id")))
       def stage(ord: Int, name: String, df: DataFrame) =

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Caches.Tracked
+import graft.operators.Hints
 
 /** Near-duplicate detection operators (training-data-pipeline extension).
   *
@@ -79,7 +81,7 @@ object Dedup {
         // persist: both sides of the candidate-pair self-join read this —
         // shingling + 8 minhash passes are the expensive part of the plan
         // (Spark does not CSE across self-joins).
-        .persist()
+        .persistTracked()
       // distinct over bare id pairs (a doc pair colliding in k bands shows
       // up k times): shuffling two shingle ARRAYS per candidate through the
       // distinct would dominate the stage; the arrays are joined back in
@@ -178,11 +180,15 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     val docTok = docs.select(
       col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("tok"))
-    // global rare-first order: (document frequency, token); the df side
-    // is vocabulary-sized → broadcast
+    // global rare-first order: (document frequency, token). The df side is
+    // VOCABULARY-sized — small here, unbounded at corpus scale — so the
+    // broadcast hint is size-conditional (Hints.autoBroadcast): an
+    // unconditional hint would OOM the driver on a 100 TB corpus's
+    // billions of distinct tokens; unhinted, the join shuffles on `tok`
+    // and AQE still broadcasts at runtime when the side is actually small.
     val dfTbl = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefixes = docTok
-      .join(broadcast(dfTbl), Seq("tok"))
+      .join(Hints.autoBroadcast(dfTbl), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
         "s -> s.tok)").as("sorted_toks"))
@@ -237,7 +243,7 @@ object Dedup {
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persist()
+        .persistTracked()
       jaccardPairs(docs, 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -265,9 +271,11 @@ object Dedup {
     * derived from md5 hex nibbles (engine-portable: hex-char position in
     * '0123456789abcdef' + integer shifts — no hex-parse builtin needed);
     * per document, bit i of the signature is the sign of the token vote
-    * sum. Pairs within (lang, source) blocks with Hamming distance ≤ 8.
-    * At scale: signature computation is a single vectorized projection;
-    * only 64-int signatures shuffle into the pair join, never the text. */
+    * sum. Pairs within (lang, source) blocks with Hamming distance ≤ 8,
+    * found via Hamming-ball banding over 9 signature chunks (pigeonhole —
+    * no false negatives at distance ≤ 8). At scale: signature computation
+    * is a single vectorized projection; only packed BIGINT signatures
+    * shuffle into the chunk-bucketed candidate join, never the text. */
   // Single-pass SimHash: md5 ONCE per token; nibbles decoded once per
   // token and flattened to its 64 bits (LSB-first within each nibble);
   // one aggregate folds all tokens into a 64-wide vote vector with
@@ -306,13 +314,14 @@ object Dedup {
       // then joins back to (doc, token) pairs and votes are 64
       // codegen'd SUM aggregates with map-side partial aggregation.
       // Signatures are mathematically identical to hashing per-document.
-      // broadcast(vocab) fits test scale; at 100 TB the vocab join runs
-      // as a plain shuffled join on `tok` instead.
+      // The vocab-side broadcast is size-conditional (Hints.autoBroadcast):
+      // at 100 TB the vocab join runs as a plain shuffled join on `tok`,
+      // with AQE free to broadcast at runtime if the vocab is small.
       val base = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
-        .persist()
+        .persistTracked()
       val vocab = base.select(explode(col("toks")).as("tok")).distinct()
         .withColumn("hexes", expr("array(md5(tok))"))
         .withColumn("bits", expr(simhashBitsExpr))
@@ -320,7 +329,7 @@ object Dedup {
       val docTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
       val voteCols = (0 until 64).map(k =>
         sum(element_at(col("b"), k + 1) * lit(2) - lit(1)).as(s"v$k"))
-      val votes = docTok.join(broadcast(vocab), Seq("tok"))
+      val votes = docTok.join(Hints.autoBroadcast(vocab), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
       // pack the 64 sign bits into ONE BIGINT (bit values are Scala-time
@@ -337,11 +346,34 @@ object Dedup {
       // at cluster scale this is "materialize the signature table".
       val docs = base.select("doc_id", "lang", "source")
         .join(sigs, Seq("doc_id"))
-        .persist()
-      docs.as("a")
+        .persistTracked()
+      // Hamming-ball banding (pigeonhole): split the 64-bit signature into
+      // 9 chunks (8 of 7 bits + 1 of 8). Two signatures within Hamming
+      // distance 8 differ in at most 8 chunks, so they agree EXACTLY on at
+      // least one — candidates are docs sharing (chunk_id, chunk_value)
+      // within a (lang, source) block, then verified with xor+popcount as
+      // before. The result set is identical to the all-pairs form, but the
+      // join is bucketed on chunk values: candidate enumeration tracks the
+      // true near-dup density instead of O(block²) at 100 TB.
+      val chunks = docs.select(
+        col("doc_id"), col("lang"), col("source"), col("sig"),
+        explode(array((0 until 9).map { i =>
+          val off = if (i < 8) i * 7 else 56
+          val width = if (i < 8) 7 else 8
+          struct(
+            lit(i).as("ck_id"),
+            shiftrightunsigned(col("sig"), off)
+              .bitwiseAND(lit((1L << width) - 1)).as("ck_val"))
+        }: _*)).as("ck"))
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("sig"),
+          col("ck.ck_id").as("ck_id"), col("ck.ck_val").as("ck_val"))
+      chunks.as("a")
         .join(
-          docs.as("b"),
-          col("a.lang") === col("b.lang") &&
+          chunks.as("b"),
+          col("a.ck_id") === col("b.ck_id") &&
+            col("a.ck_val") === col("b.ck_val") &&
+            col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(
@@ -349,6 +381,9 @@ object Dedup {
           col("b.doc_id").as("doc_b"),
           expr("CAST(bit_count(a.sig ^ b.sig) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 8)
+        // a pair at distance d < 8 collides in 9 - d chunks; dedup on the
+        // bare (id, id, hamming) triple — never the text
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
@@ -447,7 +482,7 @@ object Dedup {
         .withColumn("df", count(lit(1)).over(fpWindow))
         .filter(col("df") <= 50)
         .drop("df")
-        .persist()
+        .persistTracked()
       fp.as("a")
         .join(
           fp.as("b"),

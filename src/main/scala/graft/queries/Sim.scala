@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Caches.Tracked
 import graft.functions.VecDot
 
 /** Similarity search over the `embeddings` fixture (64-dim float vectors).
@@ -252,7 +253,7 @@ object Sim {
         .filter(col("rn") === 1)
         .select(
           col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
-        .persist()
+        .persistTracked()
       val queries = assigned.filter(col("vec_id") < 8)
         .select(
           col("vec_id").as("qid"), col("v").as("qv"),
@@ -330,7 +331,7 @@ object Sim {
     (s, d) => {
       val exact = q26.run(s, d)
         .select(col("qid"), col("neighbor_id"))
-        .persist()
+        .persistTracked()
       val allQids = exact.select(col("qid")).distinct()
       def overlap(method: String, approx: org.apache.spark.sql.DataFrame) = {
         val hits = approx
