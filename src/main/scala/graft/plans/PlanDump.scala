@@ -3,6 +3,9 @@ package graft.plans
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import graft.{SparkEntry, Tables}
 
 /** Physical-plan artifacts, one file per query — the analog of the
@@ -10,10 +13,39 @@ import graft.{SparkEntry, Tables}
   * queries/q1-aggregation-by-type/postgres.plan.txt etc.; EXPLAIN treated
   * as a first-class artifact, queries/q1/README.md:51,88,125,161).
   *
+  * Each query also gets a `*.metrics.txt`: the EXECUTED plan with its
+  * runtime SQL metrics (rows, time, spill, …) per operator — the
+  * reference's `EXPLAIN (ANALYZE, BUFFERS)` analog (reference:
+  * queries/q4-top-countries-percentiles/README.md:50; measured plans are
+  * first-class artifacts there too).
+  *
   * Usage: runMain graft.plans.PlanDump [sfDir] [outDir]
   * Defaults: sf0.001 → plans/.
   */
 object PlanDump {
+
+  /** Executed-plan tree with accumulated runtime metrics per node; walks
+    * through AQE wrappers and query stages to the final physical plan. */
+  def metricsReport(plan: SparkPlan): String = {
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq
+        .filter(_._2.value != 0L)
+        .sortBy(_._1)
+        .map { case (k, m) => s"$k=${m.value}" }
+        .mkString(", ")
+      sb.append("  " * depth).append(p.nodeName)
+        .append(if (ms.isEmpty) "" else s" [$ms]").append('\n')
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: QueryStageExec => walk(q.plan, depth + 1)
+        case r: ReusedExchangeExec => walk(r.child, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(plan, 0)
+    sb.toString
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "plans"
@@ -31,6 +63,12 @@ object PlanDump {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"$name.plan.txt"), plan)
+        // EXPLAIN ANALYZE analog: run the query's own plan, then dump it
+        // with the accumulated runtime metrics
+        df.collect()
+        Files.writeString(
+          Paths.get(outDir, s"$name.metrics.txt"),
+          metricsReport(df.queryExecution.executedPlan))
       } catch {
         case e: Throwable =>
           System.err.println(s"[plans] $name failed: ${e.getMessage}")

@@ -5,7 +5,8 @@ object Registry {
   val all: Seq[Q] =
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
       Curation.all ++
-      graft.sources.IngestJob.all ++ graft.streaming.EventStream.all ++
+      graft.sources.IngestJob.all ++ graft.sources.JdbcRemote.all ++
+      graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
       graft.operators.AsOf.all ++ graft.operators.Kmeans.all
 

@@ -134,6 +134,54 @@ object IngestJob {
     },
     None)
 
+  /** S9 continued: PER-PARTITION rows+bytes profiling — the analog of the
+    * reference's `system.parts` query (reference: clickhouse/queries.sql:
+    * 11-18, partition name + rows + bytes per active part). The subject is
+    * a month-partitioned Parquet table (q18's layout, written to its own
+    * directory so concurrent verify runs never race q18's overwrite); row
+    * counts come from a partition-grouped aggregate (deterministic at
+    * fixed sf — asserted in IngestPipelineSpec), file counts and bytes
+    * from the filesystem listing, which is exactly what system.parts
+    * reads. Rows-only driver check: byte sizes are engine-specific, like
+    * the reference's bytes-on-disk numbers. */
+  val q63 = Q(
+    "q63_partition_stats",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmp(s"lineitem_part_stats_${d.replaceAll("[^0-9.]", "")}")
+      // write once per (sf, JVM): content is deterministic for a fixed sf,
+      // so a prior run's table is byte-equivalent
+      if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+        Tables.load(s, d, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyyMM"))
+          .repartition(col("ship_month"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          .write.mode("overwrite")
+          .partitionBy("ship_month")
+          .parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val sizes = fs
+        .listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map { st =>
+          val files = fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          (
+            st.getPath.getName.split("=", 2)(1),
+            files.length.toLong,
+            files.map(_.getLen).sum)
+        }
+        .toSeq.toDF("ship_month", "n_files", "bytes")
+      val rows = s.read.parquet(dir)
+        .groupBy(col("ship_month").cast(StringType).as("ship_month"))
+        .agg(count(lit(1)).as("n_rows"))
+      rows
+        .join(sizes, Seq("ship_month"))
+        .orderBy(col("ship_month"))
+    },
+    None)
+
   /** Schema for the DSv2 TSV foreign-table analog (S6): explicit, like the
     * reference's foreign-table DDL (init.sql:27-70). */
   val eventsTsvSchema: StructType = StructType(Seq(
@@ -223,5 +271,5 @@ object IngestJob {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57)
+  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63)
 }
