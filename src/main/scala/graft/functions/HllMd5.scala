@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
   * needs ln(), whose last-ulp behavior is libm-specific — the one
   * operation that would break cross-engine bit-equality. At sketch
   * sizes ≪ cardinality the raw estimate is the standard one anyway.
+  *
+  * USABLE RANGE (user-facing contract): without the linear-counting
+  * correction the raw estimate has a floor of ≈ alpha·m ≈ 45, so groups
+  * with FEWER than ~2.5·m = 160 distinct values are overestimated toward
+  * that floor — use exact `count(distinct …)` there; the sketch is for
+  * cardinalities well above m. The one special case is exact: an empty
+  * group (all-zero registers) reports 0.0, not the floor.
   */
 case class HllMd5(
     child: Expression,
@@ -73,14 +80,24 @@ case class HllMd5(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1 + 1.079 / M)
-    var sum = 0.0
+    // all-zero registers = no non-null input was ever observed: report
+    // 0.0 (still deterministic, no ln() needed) instead of the raw
+    // estimate's floor alpha·m ≈ 44.9, which would claim ~45 distinct
+    // values for an EMPTY group
     var j = 0
-    while (j < M) { // fixed register order — DuckDB folds the same list
-      sum += math.pow(2.0, -buf(j).toDouble)
-      j += 1
+    var nonEmpty = false
+    while (j < M) { if (buf(j) != 0) nonEmpty = true; j += 1 }
+    if (!nonEmpty) 0.0
+    else {
+      val alpha = 0.7213 / (1 + 1.079 / M)
+      var sum = 0.0
+      j = 0
+      while (j < M) { // fixed register order — DuckDB folds the same list
+        sum += math.pow(2.0, -buf(j).toDouble)
+        j += 1
+      }
+      alpha * M * M / sum
     }
-    alpha * M * M / sum
   }
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer

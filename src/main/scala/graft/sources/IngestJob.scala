@@ -123,13 +123,22 @@ object IngestJob {
       import scala.concurrent.duration.DurationInt
       // submit the per-table count jobs concurrently — Spark's scheduler
       // interleaves them across the cores; sequential submission leaves
-      // the cluster idle between tiny jobs
+      // the cluster idle between tiny jobs. Each count is awaited (and
+      // job-description-tagged) PER TABLE so a hung or failed load names
+      // the table instead of surfacing as an anonymous TimeoutException.
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val stats = Await.result(
-        Future.sequence(Tables.names.map(t => Future {
-          val df = Tables.load(s, d, t)
-          (t, df.schema.fields.length, df.count())
-        })), 10.minutes)
+      val futures = Tables.names.map(t => t -> Future {
+        s.sparkContext.setJobDescription(s"q19 catalog stats: count($t)")
+        val df = Tables.load(s, d, t)
+        (t, df.schema.fields.length, df.count())
+      })
+      val stats = futures.map { case (t, f) =>
+        try Await.result(f, 10.minutes)
+        catch {
+          case e: Throwable => throw new RuntimeException(
+            s"q19 catalog stats: count of table '$t' failed or timed out", e)
+        }
+      }
       stats.toDF("tbl", "n_columns", "n_rows").orderBy(col("tbl"))
     },
     None)

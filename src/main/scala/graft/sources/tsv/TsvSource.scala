@@ -395,6 +395,14 @@ final class TsvPartitionReader(
             else { closed = true; i += 1 }
           } else { sb.append(c); i += 1 }
         }
+        // a closing quote must be followed by a tab or end-of-line; text
+        // after it (`"ab"c`) is a malformed row — fail loudly rather than
+        // silently dropping the remainder (hand-written TSV territory;
+        // the Spark CSV writer never emits this)
+        if (!closed || (i < n && line.charAt(i) != '\t'))
+          throw new IllegalArgumentException(
+            s"malformed TSV row (unterminated quote or trailing text " +
+              s"after closing quote at offset $i): $line")
       } else {
         while (i < n && line.charAt(i) != '\t') { sb.append(line.charAt(i)); i += 1 }
       }
@@ -439,7 +447,14 @@ final class TsvPartitionReader(
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (it.hasNext) {
-      val cells = splitLine(it.next())
+      val line = it.next()
+      val cells = splitLine(line)
+      // schema arity check up front: a short row would otherwise surface
+      // as an opaque ArrayIndexOutOfBounds deep in parse/cell
+      if (cells.length != fullSchema.length)
+        throw new IllegalArgumentException(
+          s"malformed TSV row in $file: expected ${fullSchema.length} " +
+            s"fields, got ${cells.length}: $line")
       def get(name: String): Any = {
         val i = idx(name)
         parse(cells(i), fullSchema.fields(i).dataType)

@@ -89,6 +89,10 @@ class PropertiesSpec extends SparkSpec {
     assert(exact > 2.5 * 64, "fixture too small for the raw-estimate regime")
     assert(math.abs(base - exact) / exact < 0.30,
       s"estimate $base too far from exact $exact for m=64")
+    // empty input: all-zero registers report 0.0, not the raw-estimate
+    // floor of ~45 (the function is SQL-registered and user-facing)
+    assert(est(vals.filter(col("sv").isNull)) == 0.0,
+      "empty sketch should report 0.0")
   }
 
   test("salted join cardinality is invariant in the salt count") {

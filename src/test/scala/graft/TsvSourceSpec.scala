@@ -146,4 +146,29 @@ class TsvSourceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(back == rows, s"mis-parsed quoted fields: $back")
   }
+
+  test("malformed rows fail loudly with a descriptive error") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    def readAll(lines: String*): Unit = {
+      val d = Files.createTempDirectory("graft_tsv_bad")
+      Files.writeString(d.resolve("part-00000.csv"),
+        ("id\ts" +: lines).mkString("\n"))
+      spark.read.format("graft.sources.tsv").schema(schema)
+        .load(d.toString).collect()
+    }
+    // text after a closing quote: previously silently truncated
+    val e1 = intercept[org.apache.spark.SparkException] {
+      readAll("1\t\"ab\"c")
+    }
+    assert(e1.getMessage.contains("malformed TSV row") ||
+      Option(e1.getCause).exists(_.getMessage.contains("malformed TSV row")))
+    // short row: previously an opaque ArrayIndexOutOfBounds
+    val e2 = intercept[org.apache.spark.SparkException] {
+      readAll("1\tok", "2")
+    }
+    assert(e2.getMessage.contains("expected 2 fields") ||
+      Option(e2.getCause).exists(_.getMessage.contains("expected 2 fields")))
+  }
 }
