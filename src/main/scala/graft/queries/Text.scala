@@ -225,7 +225,10 @@ object Text {
     "q56_tfidf",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val nDocs = docs.count()
+      // corpus size as a broadcast 1-row aggregate (the oracle's CROSS
+      // JOIN n) — an eager docs.count() here would be a separate scan
+      // plus a driver round-trip inside query construction
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val toks = docs.select(
         col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -236,9 +239,10 @@ object Text {
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .select(
           col("doc_id"), col("term"),
-          ((col("tf") * lit(nDocs)).cast(DoubleType) / col("df"))
+          ((col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
             .as("score"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3 && col("doc_id") < 20)
@@ -267,5 +271,148 @@ object Text {
       FROM ranked WHERE rnk <= 3 AND doc_id < 20
       ORDER BY doc_id, rnk"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42, q54, q56)
+  /** Intra-document repetition filter (extension op T6; the
+    * Gopher/RefinedWeb-style repetition signals a pretraining corpus is
+    * cleaned with): per document, the fraction of duplicate word 2-grams
+    * and the most-frequent-token share, plus the keep verdict. Both
+    * ratios are IEEE divisions of exact integer operands — bit-identical
+    * cross-engine, so even the boolean threshold comparison is safe to
+    * oracle-check. Plan at scale: a single vectorized projection over the
+    * scan; no shuffle, no state. */
+  val q65 = Q(
+    "q65_repetition_filter",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        // bind toks once: inlining split() into the per-element lambdas
+        // re-tokenizes per position (no CSE inside HOFs)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn(
+          "grams",
+          expr("""CASE WHEN size(toks) >= 2 THEN
+                 |  transform(sequence(1, size(toks) - 1),
+                 |    i -> concat(element_at(toks, i), ' ',
+                 |                element_at(toks, i + 1)))
+                 |ELSE slice(toks, 1, 0) END""".stripMargin))
+        .withColumn("n2", size(col("grams")).cast(LongType))
+        .withColumn(
+          "nd2", size(array_distinct(col("grams"))).cast(LongType))
+        .withColumn(
+          "max_tok",
+          expr("array_max(transform(array_distinct(toks), " +
+            "tk -> size(filter(toks, x -> x = tk))))").cast(LongType))
+        .select(
+          col("doc_id"),
+          when(col("n2") === 0, lit(0.0))
+            .otherwise(
+              (col("n2") - col("nd2")).cast(DoubleType) / col("n2"))
+            .as("dup_2gram_ratio"),
+          (col("max_tok").cast(DoubleType) / size(col("toks")))
+            .as("max_tok_ratio"))
+        .withColumn(
+          "keep",
+          col("dup_2gram_ratio") < 0.05 && col("max_tok_ratio") < 0.10)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), g AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END AS grams
+        FROM t
+      ), m AS (
+        SELECT doc_id,
+          CASE WHEN len(grams) = 0 THEN 0.0
+               ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                    / len(grams) END AS dup_2gram_ratio,
+          CAST(list_max(list_transform(list_distinct(toks),
+                 tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+            / len(toks) AS max_tok_ratio
+        FROM g
+      )
+      SELECT doc_id, dup_2gram_ratio, max_tok_ratio,
+             (dup_2gram_ratio < 0.05 AND max_tok_ratio < 0.10) AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
+  /** Semi-structured column handling (extension op T7): JSON field
+    * extraction from the events `props` payload, typed and rolled up —
+    * the get_json_object path every log-shaped ingest needs. At scale
+    * the extraction is a codegen'd projection feeding one
+    * map-side-combined shuffle. */
+  val q66 = Q(
+    "q66_json_extract",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(k) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k,
+             max(k) AS max_k
+      FROM (SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Weighted corpus mixing (extension op T8): per-source sampling rates
+    * (src0 1/2, src1 1/4, src2 1/8, rest kept whole) applied with the
+    * same deterministic content-hash buckets as q54 — the mixture-weights
+    * step that composes a pretraining corpus from heterogeneous sources,
+    * reproducible across engines, partitionings and reruns. Stateless
+    * per-row filter + one aggregate at any scale. */
+  val q67 = Q(
+    "q67_corpus_mix",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn(
+          "bucket",
+          expr("instr('0123456789abcdef', " +
+            "substring(md5(CAST(doc_id AS STRING)), 32, 1))"))
+        .withColumn(
+          "cap",
+          when(col("source") === "src0", 8)
+            .when(col("source") === "src1", 4)
+            .when(col("source") === "src2", 2)
+            .otherwise(16))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("bucket") <= col("cap"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn(
+          "kept_rate", col("n_kept").cast(DoubleType) / col("n_docs"))
+        .orderBy(col("source")),
+    Some("""
+      WITH tagged AS (
+        SELECT source,
+               strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) AS bucket,
+               CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                           WHEN 'src2' THEN 2 ELSE 16 END AS cap
+        FROM documents
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN bucket <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN bucket <= cap THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS kept_rate
+      FROM tagged
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67)
 }
