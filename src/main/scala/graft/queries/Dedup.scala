@@ -521,5 +521,120 @@ object Dedup {
       HAVING count(*) >= 2
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30)
+  /** Near-dup CLUSTERING (extension op): pair lists are not a dedup — the
+    * pipeline needs connected components over the pair graph so each group
+    * of mutual near-dups collapses to one canonical document. Pairs come
+    * from the shared prefix-filtered Jaccard join (same threshold as q25);
+    * components via distributed min-label propagation with pointer
+    * halving — each round every node takes the min label over itself and
+    * its neighbors, then jumps to its label's label. Per round: one join +
+    * one aggregate shuffle over the EDGE set (near-dup density, not the
+    * corpus) plus one label-map self-join; pointer halving gives
+    * O(log n)-round convergence on long chains, the MapReduce-CC recipe of
+    * Kiveris et al. (MR'14 "Connected Components in MapReduce and
+    * Beyond"). Driver state is one counter per round (the convergence
+    * check), never the graph. The oracle recomputes components with a
+    * recursive CTE — a completely different algorithm converging to the
+    * same unique fixpoint, which is the strongest kind of differential
+    * check. Output: every document with its cluster id (= min doc_id in
+    * its component), cluster size, and whether it is the canonical
+    * representative a dedup would keep. */
+  val q68 = Q(
+    "q68_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persistTracked()
+      val pairs = jaccardPairs(docs, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+        // persist: the undirected edge list is read every round of the
+        // propagation loop; without it the whole similarity join re-runs
+        // per round
+        .persistTracked()
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .persistTracked()
+      var labels = docs
+        .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .persistTracked()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 32) {
+        val nbrMin = edges
+          .join(
+            labels.select(col("id").as("src"), col("lbl").as("nlbl")),
+            Seq("src"))
+          .groupBy(col("dst")).agg(min(col("nlbl")).as("nmin"))
+        val stepped = labels
+          .join(nbrMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        // pointer halving: follow my label to ITS label (labels only ever
+        // decrease, so label(label(id)) <= label(id))
+        val lblMap =
+          stepped.select(col("id").as("mid"), col("lbl").as("mlbl"))
+        val jumped = stepped
+          .join(lblMap, col("lbl") === col("mid"), "left")
+          .select(
+            col("id"),
+            least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))
+          .persistTracked()
+        changed = jumped
+          .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+          .filter(col("lbl") =!= col("prev"))
+          .count()
+        labels = jumped
+        rounds += 1
+      }
+      require(changed == 0L,
+        s"q68: label propagation did not converge in $rounds rounds")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                   AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+              >= 0.6
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+      ), reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      ), comp AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM comp
+        GROUP BY cluster_id
+      )
+      SELECT c.doc_id, c.cluster_id, s.cluster_size,
+             c.doc_id = c.cluster_id AS is_canonical
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id"""))
+
+  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68)
 }

@@ -41,6 +41,30 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("q68 clusters: partition the corpus, canonical = min id, " +
+    "q25 pairs co-clustered") {
+    val clusters = Dedup.q68.run(spark, sf001).collect()
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(clusters.length == nDocs, "every document gets a cluster row")
+    val byCluster = clusters.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid,
+        s"cluster id $cid is not the min member id")
+      members.foreach { m =>
+        assert(m.getLong(2) == members.length,
+          s"cluster_size mismatch in cluster $cid")
+        assert(m.getBoolean(3) == (m.getLong(0) == cid))
+      }
+    }
+    // every near-dup pair (same threshold) must land in one cluster
+    val clusterOf =
+      clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.q25.run(spark, sf001).collect().foreach { p =>
+      assert(clusterOf(p.getLong(0)) == clusterOf(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+  }
+
   test("q26 cosine top-k: 5 ranked neighbors per query, descending") {
     val rows = Sim.q26.run(spark, sf001).collect()
     val byQ = rows.groupBy(_.getLong(0))
