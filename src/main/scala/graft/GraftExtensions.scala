@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{HllMd5, TDigestQuantile, VecDot}
+import graft.functions.{CountMinMd5, HllMd5, TDigestQuantile, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(0),
             org.apache.spark.sql.catalyst.expressions.Cast(
               children(1), org.apache.spark.sql.types.DoubleType))
+        }))
+    // count-min frequency sketch (heavy hitters without a vocabulary
+    // shuffle)
+    ext.injectFunction(
+      (FunctionIdentifier("cms_md5"), CountMinMd5.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"cms_md5 expects exactly 1 argument, got ${children.length}")
+          CountMinMd5(children.head)
         }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Caches.Tracked
 
 /** Text-analysis / dedup operators for the training-data-pipeline extension
   * (BASELINE.json north star; the reference's closest surface is its
@@ -414,5 +415,75 @@ object Text {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67)
+  /** Heavy hitters via the count-min sketch (extension op): the exact
+    * top-k token frequencies next to the [[graft.functions.CountMinMd5]]
+    * estimates read out of one 4×256 sketch. The sketch side is the
+    * 100 TB plan — 8 KB of mergeable state through map-side partials
+    * instead of a vocabulary-wide shuffle; the exact side exists so the
+    * oracle can verify the ESTIMATES bit-exactly (CMS cells are integer
+    * sums, so DuckDB re-aggregating the same md5 buckets reproduces every
+    * estimate, and min-over-rows >= true count by construction). */
+  val q69 = Q(
+    "q69_cms_heavyhitters",
+    (s, d) => {
+      // read twice (sketch + exact top-k): materialize the exploded tokens
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .persistTracked()
+      val sketch =
+        toks.agg(graft.functions.CountMinMd5.sketch(col("tok")).as("cms"))
+      val topk = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(20)
+      // per-row bucket of the queried token, mirroring CountMinMd5.bucket
+      // (first md5 hex byte) with the same strpos nibble decoding the
+      // simhash/q61 oracles use
+      def bucket(dd: Int): String =
+        s"(instr('0123456789abcdef', " +
+          s"substring(md5(concat('$dd:', tok)), 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', " +
+          s"substring(md5(concat('$dd:', tok)), 2, 1)) - 1)"
+      val estCols = (0 until graft.functions.CountMinMd5.D).map(dd =>
+        expr(s"element_at(element_at(cms, ${dd + 1}), (${bucket(dd)}) + 1)"))
+      topk.crossJoin(broadcast(sketch))
+        .withColumn("cms_est", least(estCols: _*))
+        .select(col("tok"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ), ds AS (
+        SELECT unnest(range(0, 4)) AS d
+      ), cells AS (
+        SELECT d,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 1))
+                - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':' || tok), 2, 1))
+                - 1) AS b,
+               count(*) AS cnt
+        FROM toks CROSS JOIN ds
+        GROUP BY 1, 2
+      ), topk AS (
+        SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+        ORDER BY exact_cnt DESC, tok LIMIT 20
+      )
+      SELECT t.tok, t.exact_cnt, min(c.cnt) AS cms_est
+      FROM topk t
+      CROSS JOIN ds
+      JOIN cells c ON c.d = ds.d
+       AND c.b = (strpos('0123456789abcdef',
+                    substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.tok), 1, 1))
+                  - 1) * 16
+                + (strpos('0123456789abcdef',
+                    substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.tok), 2, 1))
+                  - 1)
+      GROUP BY t.tok, t.exact_cnt
+      ORDER BY exact_cnt DESC, tok"""))
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69)
 }

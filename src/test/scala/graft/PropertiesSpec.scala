@@ -95,6 +95,36 @@ class PropertiesSpec extends SparkSpec {
       "empty sketch should report 0.0")
   }
 
+  test("cms_md5: partition invariant, conserves mass, never underestimates") {
+    import graft.functions.CountMinMd5
+    val toks = Tables.load(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def matrix(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      df.agg(CountMinMd5.sketch(col("tok")).as("m"))
+        .as[Seq[Seq[Long]]].head()
+    val base = matrix(toks)
+    assert(base.length == CountMinMd5.D)
+    assert(base.forall(_.length == CountMinMd5.W))
+    // merge correctness: any partitioning folds to the same cell sums
+    assert(matrix(toks.repartition(13)) == base,
+      "repartition changed the sketch")
+    // mass conservation: every row counts every occurrence exactly once
+    val n = toks.count()
+    base.foreach(row => assert(row.sum == n, "row mass != stream length"))
+    // CMS one-sided error: estimate >= exact count for EVERY key
+    toks.groupBy(col("tok")).count().collect().foreach { r =>
+      val (tok, cnt) = (r.getString(0), r.getLong(1))
+      val est = (0 until CountMinMd5.D)
+        .map(d => base(d)(CountMinMd5.bucket(d, tok))).min
+      assert(est >= cnt, s"cms underestimated '$tok': $est < $cnt")
+    }
+    // SQL surface: registered via GraftExtensions
+    toks.createOrReplaceTempView("cms_toks")
+    val viaSql = spark.sql(
+      "SELECT cms_md5(tok) AS m FROM cms_toks").as[Seq[Seq[Long]]].head()
+    assert(viaSql == base, "SQL-registered form diverged from Column API")
+  }
+
   test("salted join cardinality is invariant in the salt count") {
     val ev = Tables.load(spark, sf001, "events").limit(200)
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
