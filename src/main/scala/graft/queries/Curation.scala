@@ -131,5 +131,55 @@ object Curation {
         UNION ALL SELECT 6, 'sampled', (SELECT count(*) FROM sampled)
       ) ORDER BY stage_ord"""))
 
-  val all: Seq[Q] = Seq(q60)
+  /** Benchmark DECONTAMINATION (extension op): flag training documents
+    * sharing any word 8-gram with a held-out evaluation set — the overlap
+    * check every serious pretraining corpus runs before training so eval
+    * numbers aren't inflated by leaked test data. The eval set here is the
+    * deterministic doc_id % 10 slice; its distinct 8-grams form the probe
+    * side. At 100 TB the eval-gram table is benchmark-sized (millions of
+    * grams, not corpus-sized) — comfortably broadcast, which
+    * Hints.autoBroadcast decides from the size estimate; the corpus side
+    * streams through one explode + semi-join-shaped aggregation, no
+    * corpus-wide shuffle of anything but matching grams. */
+  val q71 = Q(
+    "q71_decontamination",
+    (s, d) => {
+      val grams = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"),
+          explode(expr(
+            """CASE WHEN size(t) >= 8 THEN
+              |  array_distinct(transform(sequence(1, size(t) - 7),
+              |    i -> array_join(slice(t, i, 8), ' ')))
+              |ELSE array() END""".stripMargin)).as("g"))
+        // read twice: eval-gram build + corpus probe
+        .persistTracked()
+      val bench = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(graft.operators.Hints.autoBroadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), grams AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+          list_distinct(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+          ELSE [] END) AS g
+        FROM toks
+      ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+      )
+      SELECT doc_id, count(*) AS n_overlap
+      FROM grams JOIN bench USING (g)
+      WHERE doc_id % 10 != 0
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q71)
 }

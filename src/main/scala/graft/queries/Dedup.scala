@@ -636,5 +636,85 @@ object Dedup {
       FROM comp c JOIN sizes s USING (cluster_id)
       ORDER BY c.doc_id"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68)
+  /** INCREMENTAL dedup (extension op): a new crawl batch deduped AGAINST
+    * the existing corpus — the shape every production ingest runs, where
+    * re-clustering the whole corpus per batch (q68) would be absurd. The
+    * batch is the reproducible 1/8 hash sample (same predicate as q54);
+    * `dup_exact` = an md5(text) twin exists in the corpus (block-free —
+    * catches identical texts across (lang, source) blocks), `dup_near` =
+    * a blocked prefix-filtered Jaccard ≥ 0.6 corpus neighbor exists,
+    * `new` = neither. At 100 TB the prefix inverted index is built ONCE
+    * corpus-side and probed by each arriving batch; the md5 probe is a
+    * semi-join on a 128-bit key. Intra-batch duplicates are q20/q68's
+    * job, not this operator's (documented contract). */
+  val q70 = Q(
+    "q70_incremental_dedup",
+    (s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("text"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .withColumn("is_batch", expr(Det.hashSampleExpr("doc_id")))
+        .persistTracked()
+      val batch = base.filter(col("is_batch"))
+      val corpus = base.filter(!col("is_batch"))
+      val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"))
+        .select(col("doc_id")).distinct()
+      // near stage: the shared prefix-filtered join, then keep only
+      // batch–corpus pairs; the batch member of each pair is the dup
+      val flags = base.select(col("doc_id"), col("is_batch"))
+      val nearIds = jaccardPairs(base, 0.6)
+        .join(
+          flags.select(col("doc_id").as("doc_a"), col("is_batch").as("ba")),
+          Seq("doc_a"))
+        .join(
+          flags.select(col("doc_id").as("doc_b"), col("is_batch").as("bb")),
+          Seq("doc_b"))
+        .filter(col("ba") =!= col("bb"))
+        .select(
+          when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+        .distinct()
+      batch.select(col("doc_id"))
+        .join(exactDup.withColumn("e", lit(true)), Seq("doc_id"), "left")
+        .join(nearIds.withColumn("n", lit(true)), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("e").isNotNull, lit("dup_exact"))
+            .when(col("n").isNotNull, lit("dup_near"))
+            .otherwise(lit("new")).as("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, lang, source, text,
+               list_distinct(string_split(text, ' ')) AS toks,
+               ${Det.hashSampleSql("doc_id")} AS is_batch
+        FROM documents
+      ), batch AS (SELECT * FROM base WHERE is_batch),
+      corpus AS (SELECT * FROM base WHERE NOT is_batch),
+      exact_dup AS (
+        SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c
+          ON md5(b.text) = md5(c.text)
+      ), near_dup AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch b JOIN corpus c
+          ON b.lang = c.lang AND b.source = c.source
+        WHERE CAST(len(list_filter(b.toks, x -> list_contains(c.toks, x)))
+                   AS DOUBLE)
+              / (len(b.toks) + len(c.toks)
+                 - len(list_filter(b.toks, x -> list_contains(c.toks, x))))
+              >= 0.6
+      )
+      SELECT b.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                  WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+                  ELSE 'new' END AS status
+      FROM batch b
+      LEFT JOIN exact_dup e ON b.doc_id = e.doc_id
+      LEFT JOIN near_dup n ON b.doc_id = n.doc_id
+      ORDER BY b.doc_id"""))
+
+  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70)
 }

@@ -484,6 +484,39 @@ object Text {
       GROUP BY t.tok, t.exact_cnt
       ORDER BY exact_cnt DESC, tok"""))
 
+  /** Context-window CHUNKING (extension op): slice each document's token
+    * stream into overlapping training windows (64 tokens, stride 48 —
+    * sized to the fixture's median 56-token docs; a real run would use
+    * 2048/1536 etc.). The downstream step every pretraining pipeline has
+    * between curation and the data loader. Pure per-row explode of a
+    * computed start sequence — stateless, no shuffle, partitions scale
+    * linearly with the corpus. */
+  val q72 = Q(
+    "q72_chunk_windows",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"), col("t"),
+          explode(expr("sequence(1, size(t), 48)")).as("s"))
+        .select(
+          col("doc_id"),
+          expr("CAST((s - 1) DIV 48 + 1 AS BIGINT)").as("chunk_id"),
+          expr("array_join(slice(t, s, 64), ' ')").as("chunk_text"),
+          expr("CAST(size(slice(t, s, 64)) AS BIGINT)").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), starts AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s FROM toks
+      )
+      SELECT doc_id, (s - 1) // 48 + 1 AS chunk_id,
+             array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+             len(list_slice(t, s, s + 63)) AS n_tokens
+      FROM starts
+      ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69)
+    Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72)
 }

@@ -65,6 +65,23 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("q70 incremental dedup: covers exactly the batch, valid statuses") {
+    val rows = Dedup.q70.run(spark, sf001).collect()
+    val batchIds = Tables.load(spark, sf001, "documents")
+      .filter(expr(graft.queries.Det.hashSampleExpr("doc_id")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds,
+      "one status row per batch doc, none for corpus docs")
+    assert(rows.forall(r =>
+      Set("dup_exact", "dup_near", "new").contains(r.getString(1))))
+    // a doc flagged dup_exact has an identical-text corpus twin, which is
+    // also a jaccard-1.0 near-dup when it shares the block — so statuses
+    // must be stable under re-run (deterministic hash sample, no RNG)
+    val again = Dedup.q70.run(spark, sf001).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
   test("q26 cosine top-k: 5 ranked neighbors per query, descending") {
     val rows = Sim.q26.run(spark, sf001).collect()
     val byQ = rows.groupBy(_.getLong(0))
