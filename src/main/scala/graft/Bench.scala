@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
 object BenchScale {
   private val keyCols = Map(
     "lineitem" -> Seq("l_orderkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey"))
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "documents" -> Seq("doc_id"))
 
   def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_bench_${new java.io.File(srcDir).getName}_x$copies")
@@ -25,8 +26,21 @@ object BenchScale {
       if (!java.nio.file.Files.exists(dest.resolve("_SUCCESS"))) {
         val src = Tables.load(spark, srcDir, t)
         (0 until copies)
-          .map(i => keys.foldLeft(src)((df, k) =>
-            df.withColumn(k, col(k) + lit(i * shift))))
+          .map { i =>
+            val shifted = keys.foldLeft(src)((df, k) =>
+              df.withColumn(k, col(k) + lit(i * shift)))
+            // documents: salt every token with the replica id, so the
+            // near-dup structure REPLICATES (each copy holds the source's
+            // internal near-dup pairs, disjoint vocab across copies) —
+            // unsalted replication would make every doc a 10-way exact
+            // duplicate and grow the pair set quadratically, flattering
+            // nobody and measuring nothing a real 10× corpus has
+            if (t == "documents")
+              shifted.withColumn("text", expr(
+                s"array_join(transform(split(text, ' '), " +
+                  s"x -> concat(x, '_$i')), ' ')"))
+            else shifted
+          }
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(dest.toString)
       }
@@ -103,7 +117,10 @@ object Bench {
         val dir10 = BenchScale.ensure(spark, sfDir, copies = 10)
         val core = Seq(
           "q01_agg_by_type", "q02_rollup_month",
-          "q03_yoy_window", "q04_topn_percentiles")
+          "q03_yoy_window", "q04_topn_percentiles",
+          // dedup-suite scale representatives: one shuffle-on-hash exact
+          // dedup, one full LSH pipeline (shingle→minhash→band→verify)
+          "q20_dedup_exact", "q24_minhash_lsh")
         val sj = core.map { name =>
           val fn = SparkEntry.queries(name)
           val ts = (1 to runs).map { _ =>

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run ONE registered query by name against a fixture dir and
+  * print its row count and wall time — the per-query iteration loop that
+  * Verify (all queries, oracle dump) and Bench (all queries, timed sweep)
+  * are too coarse for. Usage: runMain graft.RunOne <name> [sfDir] [runs]. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val runs = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries.getOrElse(
+      name, sys.error(s"unknown query: $name"))
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val n =
+        try fn(spark, sfDir).count()
+        finally Caches.release()
+      println(f"[runone] $name run $i: $n rows, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -550,20 +550,34 @@ object Dedup {
         .persistTracked()
       val pairs = jaccardPairs(docs, 0.6)
         .select(col("doc_a"), col("doc_b"))
-        // persist: the undirected edge list is read every round of the
-        // propagation loop; without it the whole similarity join re-runs
-        // per round
-        .persistTracked()
+      // localCheckpoint (not persist): iterative plans must TRUNCATE
+      // lineage, not just cache it — every round's logical plan embeds
+      // the previous round's twice (the pointer-halving self-join), so
+      // with persist alone the analyzer re-walks a plan that doubles per
+      // round plus the whole similarity-join subtree each time:
+      // catalyst analysis time grew ~3× per round and the post-loop join
+      // alone took 2 minutes at sf0.1. Checkpointing pins the computed
+      // partitions and replaces the plan with a leaf — the canonical
+      // Spark shape for iterative graph algorithms (on a cluster one
+      // would use reliable checkpoints for fault tolerance; the
+      // algorithm is identical).
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-        .persistTracked()
+        .localCheckpoint()
       var labels = docs
         .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-        .persistTracked()
+        .localCheckpoint()
+      if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+        val t0 = System.nanoTime()
+        val ne = edges.count()
+        System.err.println(
+          f"[q68] edges: $ne in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 32) {
+        val tRound = System.nanoTime()
         val nbrMin = edges
           .join(
             labels.select(col("id").as("src"), col("lbl").as("nlbl")),
@@ -583,13 +597,16 @@ object Dedup {
           .select(
             col("id"),
             least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))
-          .persistTracked()
+          .localCheckpoint()
         changed = jumped
           .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
           .filter(col("lbl") =!= col("prev"))
           .count()
         labels = jumped
         rounds += 1
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          System.err.println(s"[q68] round $rounds: $changed labels changed " +
+            f"in ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
       require(changed == 0L,
         s"q68: label propagation did not converge in $rounds rounds")
