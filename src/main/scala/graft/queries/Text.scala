@@ -517,6 +517,83 @@ object Text {
       FROM starts
       ORDER BY doc_id, chunk_id"""))
 
+  /** Stratified fixed-size sampling (extension op): k=5 documents per
+    * (lang, source) stratum, chosen by an md5 priority — the reproducible
+    * analog of per-stratum reservoir sampling, giving every stratum a
+    * fixed inspection budget regardless of its population (what an eval
+    * or labeling pipeline draws). One window shuffle on the stratum key;
+    * rank ≤ k prunes before anything wide happens. */
+  val q73 = Q(
+    "q73_stratified_sample",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(
+          md5(concat(lit("s:"), col("doc_id").cast(StringType))),
+          col("doc_id"))
+      Tables.load(s, d, "documents")
+        .withColumn("rank_in_stratum", row_number().over(w).cast(LongType))
+        .filter(col("rank_in_stratum") <= 5)
+        .select(
+          col("lang"), col("source"), col("doc_id"), col("rank_in_stratum"))
+        .orderBy(col("lang"), col("source"), col("rank_in_stratum"))
+    },
+    Some("""
+      SELECT lang, source, doc_id, rank_in_stratum FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rank_in_stratum
+        FROM documents)
+      WHERE rank_in_stratum <= 5
+      ORDER BY lang, source, rank_in_stratum"""))
+
+  /** Token-BUDGET corpus mixing (extension op): each source contributes
+    * documents in deterministic md5-priority order until its token budget
+    * (800) is spent — mixing by token count rather than document count
+    * is how pretraining mixtures are actually specified. A running-sum
+    * window per source + a prefix cut; one shuffle on the mixture key.
+    * (A heavily skewed source would make its window partition hot at
+    * 100 TB; the remedy is the same two-phase split used everywhere else:
+    * per-bucket partial budgets, then a final trim.) */
+  val q74 = Q(
+    "q74_token_budget_mix",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(
+          md5(concat(lit("b:"), col("doc_id").cast(StringType))),
+          col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.load(s, d, "documents")
+        .withColumn(
+          "n_tokens", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5('b:' || CAST(doc_id AS VARCHAR)) AS pri
+        FROM documents
+      )
+      SELECT source, doc_id, n_tokens, cum_tokens FROM (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                 ORDER BY pri, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+        FROM t)
+      WHERE cum_tokens <= 800
+      ORDER BY source, cum_tokens"""))
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72)
+    Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
+      q73, q74)
 }
