@@ -16,7 +16,7 @@ object BenchScale {
     "documents" -> Seq("doc_id"))
 
   def ensure(spark: SparkSession, srcDir: String, copies: Int): String = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.functions.{col, expr, length, lit}
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_bench_${new java.io.File(srcDir).getName}_x$copies")
@@ -39,6 +39,10 @@ object BenchScale {
               shifted.withColumn("text", expr(
                 s"array_join(transform(split(text, ' '), " +
                   s"x -> concat(x, '_$i')), ' ')"))
+                // keep derived columns consistent with the salted text —
+                // the replica fixture persists and is reused, so a later
+                // sweep addition reading n_chars must not see stale values
+                .withColumn("n_chars", length(col("text")).cast("long"))
             else shifted
           }
           .reduce(_ unionByName _)
@@ -52,14 +56,7 @@ object BenchScale {
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     // warm the session (executor threads, codegen, parquet reader, shuffle
     // machinery) so the first measured query isn't charged ~5s of JVM init
     Tables.load(spark, sfDir, "lineitem")

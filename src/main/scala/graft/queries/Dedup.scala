@@ -176,19 +176,29 @@ object Dedup {
     * curation funnel's near-dup stage share this): candidates from the
     * rare-first prefix inverted index, exact verification on candidates,
     * threshold `t` pairs out. */
-  def jaccardPairs(docs: org.apache.spark.sql.DataFrame, t: Double)
-      : org.apache.spark.sql.DataFrame = {
-    val docTok = docs.select(
-      col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("tok"))
-    // global rare-first order: (document frequency, token). The df side is
-    // VOCABULARY-sized — small here, unbounded at corpus scale — so the
-    // broadcast hint is size-conditional (Hints.autoBroadcast): an
-    // unconditional hint would OOM the driver on a 100 TB corpus's
-    // billions of distinct tokens; unhinted, the join shuffles on `tok`
-    // and AQE still broadcasts at runtime when the side is actually small.
-    val dfTbl = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefixes = docTok
-      .join(Hints.autoBroadcast(dfTbl), Seq("tok"))
+  /** Token document frequencies over `docs` — the global rare-first
+    * ordering key for prefix filtering. VOCABULARY-sized: small here,
+    * unbounded at corpus scale, hence the size-conditional broadcast at
+    * the join site. */
+  private def dfTable(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** Per-document prefix inverted-index rows (doc_id, lang, source,
+    * tok ∈ prefix) under the rare-first order `order`. The broadcast
+    * hint is size-conditional (Hints.autoBroadcast): an unconditional
+    * hint would OOM the driver on a 100 TB corpus's billions of distinct
+    * tokens; unhinted, the join shuffles on `tok` and AQE still
+    * broadcasts at runtime when the side is actually small. */
+  private def prefixRows(
+      docs: org.apache.spark.sql.DataFrame,
+      order: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame =
+    docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(col("toks")).as("tok"))
+      .join(Hints.autoBroadcast(order), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
         "s -> s.tok)").as("sorted_toks"))
@@ -199,26 +209,22 @@ object Dedup {
       .select(
         col("doc_id"), col("lang"), col("source"),
         explode(col("prefix")).as("tok"))
-    val candidates = prefixes.as("a")
-      .join(
-        prefixes.as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") &&
-          col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
+
+  /** Exact verification of candidate pairs: token sets joined back,
+    * length-ratio prefilter (implied by jaccard ≥ t — skips the
+    * O(|a|+|b|) intersect for incompatible sizes), exact Jaccard ≥ t. */
+  private def verifyJaccard(
+      candidates: org.apache.spark.sql.DataFrame,
+      setsA: org.apache.spark.sql.DataFrame,
+      setsB: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame =
     candidates
-      .join(sets.select(
+      .join(setsA.select(
         col("doc_id").as("doc_a"), col("toks").as("ta"),
         col("sz").as("la")), Seq("doc_a"))
-      .join(sets.select(
+      .join(setsB.select(
         col("doc_id").as("doc_b"), col("toks").as("tb"),
         col("sz").as("lb")), Seq("doc_b"))
-      // length-ratio check implied by jaccard ≥ t: skip the
-      // O(|a|+|b|) intersect for incompatible sizes
       .filter(
         least(col("la"), col("lb")).cast(DoubleType) >=
           greatest(col("la"), col("lb")) * t)
@@ -230,6 +236,49 @@ object Dedup {
           (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame, t: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val prefixes = prefixRows(docs, dfTable(docs), t)
+    val candidates = prefixes.as("a")
+      .join(
+        prefixes.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
+    verifyJaccard(candidates, sets, sets, t)
+  }
+
+  /** Asymmetric prefix-filtered similarity join: pairs (doc_a ∈ probe,
+    * doc_b ∈ build) with Jaccard ≥ t — the INCREMENTAL shape, where only
+    * cross pairs are ever generated or verified (probe² and build²
+    * candidate work never happens; for a 1/8 batch that is ~63/64 of the
+    * symmetric join's verification). The rare-first order spans both
+    * sides so prefix pigeonhole holds across them (prefix filtering is
+    * exact under ANY shared total order). */
+  def jaccardPairsAcross(
+      probe: org.apache.spark.sql.DataFrame,
+      build: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    val order = dfTable(probe.unionByName(build))
+    val candidates = prefixRows(probe, order, t).as("a")
+      .join(
+        prefixRows(build, order, t).as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(
+      candidates,
+      probe.select(col("doc_id"), col("toks"), col("sz")),
+      build.select(col("doc_id"), col("toks"), col("sz")), t)
   }
 
   val q25 = Q(
@@ -548,8 +597,6 @@ object Dedup {
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .persistTracked()
-      val pairs = jaccardPairs(docs, 0.6)
-        .select(col("doc_a"), col("doc_b"))
       // localCheckpoint (not persist): iterative plans must TRUNCATE
       // lineage, not just cache it — every round's logical plan embeds
       // the previous round's twice (the pointer-halving self-join), so
@@ -560,7 +607,12 @@ object Dedup {
       // partitions and replaces the plan with a leaf — the canonical
       // Spark shape for iterative graph algorithms (on a cluster one
       // would use reliable checkpoints for fault tolerance; the
-      // algorithm is identical).
+      // algorithm is identical). Checkpointed BEFORE the
+      // both-directions union: a lazy union would embed (and execute)
+      // the similarity join once per branch.
+      val pairs = jaccardPairs(docs, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
@@ -679,19 +731,12 @@ object Dedup {
       val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
         .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"))
         .select(col("doc_id")).distinct()
-      // near stage: the shared prefix-filtered join, then keep only
-      // batch–corpus pairs; the batch member of each pair is the dup
-      val flags = base.select(col("doc_id"), col("is_batch"))
-      val nearIds = jaccardPairs(base, 0.6)
-        .join(
-          flags.select(col("doc_id").as("doc_a"), col("is_batch").as("ba")),
-          Seq("doc_a"))
-        .join(
-          flags.select(col("doc_id").as("doc_b"), col("is_batch").as("bb")),
-          Seq("doc_b"))
-        .filter(col("ba") =!= col("bb"))
-        .select(
-          when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      // near stage: the ASYMMETRIC prefix-filtered join — batch prefixes
+      // probe corpus prefixes, so corpus-internal (and batch-internal)
+      // pairs are never generated or verified; doc_a of each surviving
+      // pair is the batch-side dup
+      val nearIds = jaccardPairsAcross(batch, corpus, 0.6)
+        .select(col("doc_a").as("doc_id"))
         .distinct()
       batch.select(col("doc_id"))
         .join(exactDup.withColumn("e", lit(true)), Seq("doc_id"), "left")

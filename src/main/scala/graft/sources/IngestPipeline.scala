@@ -85,13 +85,7 @@ object IngestPipeline {
   /** Standalone entry: runMain graft.sources.IngestPipeline [sfDir]. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val builder = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(cpus = "4")
     val hops = run(
       spark, sfDir,
       sys.props("java.io.tmpdir") + "/graft_ingest_pipeline")
