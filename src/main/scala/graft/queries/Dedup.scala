@@ -597,71 +597,14 @@ object Dedup {
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .persistTracked()
-      // localCheckpoint (not persist): iterative plans must TRUNCATE
-      // lineage, not just cache it — every round's logical plan embeds
-      // the previous round's twice (the pointer-halving self-join), so
-      // with persist alone the analyzer re-walks a plan that doubles per
-      // round plus the whole similarity-join subtree each time:
-      // catalyst analysis time grew ~3× per round and the post-loop join
-      // alone took 2 minutes at sf0.1. Checkpointing pins the computed
-      // partitions and replaces the plan with a leaf — the canonical
-      // Spark shape for iterative graph algorithms (on a cluster one
-      // would use reliable checkpoints for fault tolerance; the
-      // algorithm is identical). Checkpointed BEFORE the
-      // both-directions union: a lazy union would embed (and execute)
-      // the similarity join once per branch.
+      // pairs checkpointed BEFORE the operator's both-directions union: a
+      // lazy plan would embed (and execute) the similarity join once per
+      // union branch
       val pairs = jaccardPairs(docs, 0.6)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-      var labels = docs
-        .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-        .localCheckpoint()
-      if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
-        val t0 = System.nanoTime()
-        val ne = edges.count()
-        System.err.println(
-          f"[q68] edges: $ne in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 32) {
-        val tRound = System.nanoTime()
-        val nbrMin = edges
-          .join(
-            labels.select(col("id").as("src"), col("lbl").as("nlbl")),
-            Seq("src"))
-          .groupBy(col("dst")).agg(min(col("nlbl")).as("nmin"))
-        val stepped = labels
-          .join(nbrMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
-          .select(
-            col("id"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        // pointer halving: follow my label to ITS label (labels only ever
-        // decrease, so label(label(id)) <= label(id))
-        val lblMap =
-          stepped.select(col("id").as("mid"), col("lbl").as("mlbl"))
-        val jumped = stepped
-          .join(lblMap, col("lbl") === col("mid"), "left")
-          .select(
-            col("id"),
-            least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = jumped
-          .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-          .filter(col("lbl") =!= col("prev"))
-          .count()
-        labels = jumped
-        rounds += 1
-        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-          System.err.println(s"[q68] round $rounds: $changed labels changed " +
-            f"in ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-      }
-      require(changed == 0L,
-        s"q68: label propagation did not converge in $rounds rounds")
+      val labels = graft.operators.Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs, tag = "q68")
       val sizes =
         labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("lbl"))

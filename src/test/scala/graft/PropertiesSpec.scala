@@ -125,6 +125,37 @@ class PropertiesSpec extends SparkSpec {
     assert(viaSql == base, "SQL-registered form diverged from Column API")
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    import scala.collection.mutable
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n, edges)
+    samples(gen, 6).foreach { case (n, es) =>
+      // driver-side union-find with union-by-min: root of each set is
+      // always its minimum member, so find(i) IS the expected label
+      val parent = mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect =
+        (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.operators.Components
+        .connectedComponents(
+          spark.range(n.toLong).toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"n=$n edges=$es")
+    }
+  }
+
   test("salted join cardinality is invariant in the salt count") {
     val ev = Tables.load(spark, sf001, "events").limit(200)
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
