@@ -768,7 +768,84 @@ object Core {
       FROM m
       ORDER BY l_returnflag"""))
 
+  /** Per-column statistics profile (the ANALYZE / ClickHouse
+    * system-tables analog, reference: clickhouse/queries.sql:1-27):
+    * rows, nulls, distinct count, min/max per column in ONE scan — the
+    * multiple count(DISTINCT)s plan via Expand (rows × #columns before
+    * partial aggregation), the standard Spark trade for single-pass
+    * profiling; per-column passes would scan the table five times.
+    * Doubles are profiled through exact integral casts and dates as DATE
+    * so min/max render identically across engines. */
+  val q75 = Q(
+    "q75_column_stats",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity").cast(LongType).as("l_quantity"),
+        col("l_returnflag"),
+        col("l_shipdate").cast(DateType).as("l_shipdate"))
+      val cols = Seq(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_shipdate")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__dst"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max")))
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"${c}__cnt")).as("n_nulls"),
+          col(s"${c}__dst").as("n_distinct"),
+          col(s"${c}__min").as("min_val"),
+          col(s"${c}__max").as("max_val"))): _*)).as("st"))
+        .select(col("st.*"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(l_quantity AS BIGINT) AS l_quantity,
+               l_returnflag,
+               CAST(l_shipdate AS DATE) AS l_shipdate
+        FROM lineitem
+      ), a AS (
+        SELECT count(*) AS n_rows,
+          count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
+          CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+          CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+          count(l_linenumber) AS c2, count(DISTINCT l_linenumber) AS d2,
+          CAST(min(l_linenumber) AS VARCHAR) AS mn2,
+          CAST(max(l_linenumber) AS VARCHAR) AS mx2,
+          count(l_quantity) AS c3, count(DISTINCT l_quantity) AS d3,
+          CAST(min(l_quantity) AS VARCHAR) AS mn3,
+          CAST(max(l_quantity) AS VARCHAR) AS mx3,
+          count(l_returnflag) AS c4, count(DISTINCT l_returnflag) AS d4,
+          CAST(min(l_returnflag) AS VARCHAR) AS mn4,
+          CAST(max(l_returnflag) AS VARCHAR) AS mx4,
+          count(l_shipdate) AS c5, count(DISTINCT l_shipdate) AS d5,
+          CAST(min(l_shipdate) AS VARCHAR) AS mn5,
+          CAST(max(l_shipdate) AS VARCHAR) AS mx5
+        FROM li
+      )
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS column_name, n_rows, n_rows - c1 AS n_nulls,
+               d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+        UNION ALL SELECT 'l_linenumber', n_rows, n_rows - c2, d2, mn2, mx2
+        FROM a
+        UNION ALL SELECT 'l_quantity', n_rows, n_rows - c3, d3, mn3, mx3
+        FROM a
+        UNION ALL SELECT 'l_returnflag', n_rows, n_rows - c4, d4, mn4, mx4
+        FROM a
+        UNION ALL SELECT 'l_shipdate', n_rows, n_rows - c5, d5, mn5, mx5
+        FROM a
+      ) ORDER BY column_name"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
-    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61, q04c)
+    q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61,
+    q04c, q75)
 }
