@@ -89,21 +89,9 @@ object Kmeans {
     assign(vs, cent)
   }
 
-  /** q59: 2 Lloyd rounds, k=8 — cluster cardinalities and member id
-    * ranges, bit-identically reproduced by the DuckDB twin running the
-    * same unrolled iterations. */
-  val q59 = Q(
-    "q59_kmeans",
-    (s, d) =>
-      train(s, d, k = 8, iters = 2)
-        .groupBy(col("cluster"))
-        .agg(
-          count(lit(1)).as("n"),
-          min(col("vec_id")).as("min_vec"),
-          max(col("vec_id")).as("max_vec"))
-        .orderBy(col("cluster")),
-    Some {
-      def iterCtes(i: Int, prevCent: String) = s"""
+  /** One unrolled Lloyd round as DuckDB CTEs — shared by the q59 and q76
+    * oracle twins. */
+  private def iterCtes(i: Int, prevCent: String) = s"""
       dists$i AS (
         SELECT v.vec_id, v.vi, c.cid,
           list_reduce(list_transform(list_zip(v.v, c.cv),
@@ -122,7 +110,10 @@ object Kmeans {
       ), cent$i AS (
         SELECT cid, list(cc ORDER BY pos) AS cv FROM upd$i GROUP BY cid
       )"""
-      s"""
+
+  /** Shared oracle prelude: vecs → 2 unrolled Lloyd rounds →
+    * final_assigned(vec_id, cluster). */
+  private def assignedSql = s"""
       WITH vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                list_transform(CAST(embedding AS DOUBLE[]),
@@ -142,11 +133,87 @@ object Kmeans {
           SELECT *, row_number() OVER (PARTITION BY vec_id
                                        ORDER BY d2, cid) AS rn
           FROM final_dists) WHERE rn = 1
-      )
+      )"""
+
+  /** q59: 2 Lloyd rounds, k=8 — cluster cardinalities and member id
+    * ranges, bit-identically reproduced by the DuckDB twin running the
+    * same unrolled iterations. */
+  val q59 = Q(
+    "q59_kmeans",
+    (s, d) =>
+      train(s, d, k = 8, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("cluster")),
+    Some {
+      s"""$assignedSql
       SELECT cluster, count(*) AS n, min(vec_id) AS min_vec,
              max(vec_id) AS max_vec
       FROM final_assigned GROUP BY cluster ORDER BY cluster"""
     })
 
-  val all: Seq[Q] = Seq(q59)
+  /** q76: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023) — embeddings
+    * are k-means clustered (the trained quantizer, not fixed label
+    * blocks), near-dup pairs are found by exact cosine ONLY within each
+    * cluster, and the larger id of every pair is dropped. The clusters
+    * do for embeddings what (lang, source) blocking does for text: the
+    * pair stage is O(Σ cluster²), never corpus², and the cluster count
+    * is a tunable knob. Composes the bit-exact trainer above with the
+    * q27 cosine kernel, so the oracle reproduces every keep/drop
+    * decision exactly. */
+  val q76 = Q(
+    "q76_semantic_dedup",
+    (s, d) => {
+      val assigned = train(s, d, k = 8, iters = 2)
+      val withNorm = assigned
+        .withColumn(
+          "nrm",
+          expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), " +
+            "CAST(0 AS DOUBLE), (a, e) -> a + e))"))
+        // both sides of the in-cluster pair join read this (no CSE
+        // across self-joins)
+        .persistTracked()
+      val drops = withNorm.as("a")
+        .join(
+          withNorm.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn(
+          "cos_sim",
+          graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      withNorm
+        .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(
+          col("vec_id"), col("cluster"),
+          col("dropped").isNull.as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      s"""$assignedSql, fa AS (
+        SELECT f.vec_id, f.cluster, v.v,
+               sqrt(list_reduce(list_transform(list_zip(v.v, v.v),
+                 p -> p[1] * p[2]), (x, y) -> x + y)) AS nrm
+        FROM final_assigned f JOIN vecs v USING (vec_id)
+      ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM fa a JOIN fa b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE (list_reduce(list_transform(list_zip(a.v, b.v),
+                 p -> p[1] * p[2]), (x, y) -> x + y) / (a.nrm * b.nrm))
+              >= 0.35
+      )
+      SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS keep
+      FROM fa f LEFT JOIN (SELECT DISTINCT vb AS vec_id FROM pairs) d
+        USING (vec_id)
+      ORDER BY f.vec_id"""
+    })
+
+  val all: Seq[Q] = Seq(q59, q76)
 }
