@@ -332,6 +332,101 @@ object Sim {
       FROM ranked WHERE rank <= 3
       ORDER BY qid, rank"""))
 
+  /** q77: MULTIPROBE IVF (nprobe=2) — the recall/cost knob nprobe=1
+    * (q41) lacks: each query searches its TWO nearest centroids'
+    * inverted lists, roughly doubling scanned candidates for a
+    * substantial recall gain near cluster boundaries (the failure mode
+    * of single-probe IVF). Same partition story at 100 TB: cluster id is
+    * the partition key, a query fans out to nprobe partitions. The
+    * centroid-distance table is computed once and persisted — corpus
+    * assignment reads rn=1, query probes read rn ≤ 2. */
+  val q77 = Q(
+    "q77_ann_ivf_multiprobe",
+    (s, d) => {
+      val all = emb(s, d)
+      val cent = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dists = all.crossJoin(broadcast(cent))
+        .withColumn(
+          "d2",
+          VecDot.dot(col("v"), col("v"))
+            - lit(2) * VecDot.dot(col("v"), col("cv"))
+            + VecDot.dot(col("cv"), col("cv")))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cid"))))
+        .persistTracked()
+      val assigned = dists.filter(col("rn") === 1)
+        .select(
+          col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+      val probes = dists.filter(col("vec_id") < 8 && col("rn") <= 2)
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcluster"))
+      assigned
+        .join(
+          broadcast(probes),
+          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings
+      ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 16
+      ), dists AS (
+        SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cid,
+          list_reduce(list_transform(list_zip(vecs.v, vecs.v),
+            p -> p[1] * p[2]), (a, b) -> a + b)
+          - 2 * list_reduce(list_transform(list_zip(vecs.v, cent.cv),
+            p -> p[1] * p[2]), (a, b) -> a + b)
+          + list_reduce(list_transform(list_zip(cent.cv, cent.cv),
+            p -> p[1] * p[2]), (a, b) -> a + b) AS d2
+        FROM vecs CROSS JOIN cent
+      ), ranked_dists AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rn
+        FROM dists
+      ), assigned AS (
+        SELECT vec_id, v, nrm, cid AS cluster FROM ranked_dists
+        WHERE rn = 1
+      ), probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS qcluster
+        FROM ranked_dists WHERE vec_id < 8 AND rn <= 2
+      ), scored AS (
+        SELECT q.qid, c.vec_id,
+          list_reduce(list_transform(list_zip(q.qv, c.v),
+            p -> p[1] * p[2]), (a, b) -> a + b) / (q.qnrm * c.nrm)
+            AS cos_sim
+        FROM assigned c JOIN probes q
+          ON c.cluster = q.qcluster AND c.vec_id <> q.qid
+      ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+      )
+      SELECT qid, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank"""))
+
   /** Embedding near-dup via LSH candidate generation (q27's 100 TB scale
     * path, round-2 judge item #4): two independent 6-hyperplane hash
     * tables (planes 1–6 and 7–12 of the q28 family) bucket every vector;
@@ -457,5 +552,5 @@ object Sim {
     },
     None)
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62)
+  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77)
 }
