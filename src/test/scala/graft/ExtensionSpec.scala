@@ -82,6 +82,35 @@ class ExtensionSpec extends SparkSpec {
       again.map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("jaccardPairsAcross equals the symmetric join restricted to " +
+    "cross pairs") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    val build = docs.filter(col("doc_id") % 3 =!= 0)
+    val across = Dedup.jaccardPairsAcross(probe, build, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probeIds = probe.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // symmetric pairs are (min, max)-ordered; reorient to (probe, build)
+    val viaSymmetric = Dedup.jaccardPairs(docs, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if probeIds.contains(a) && !probeIds.contains(b) =>
+          (a, b, j)
+        case (a, b, j) if probeIds.contains(b) && !probeIds.contains(a) =>
+          (b, a, j)
+      }.toSet
+    assert(across == viaSymmetric,
+      s"asymmetric join diverged: only-across=${across -- viaSymmetric}, " +
+        s"only-symmetric=${viaSymmetric -- across}")
+  }
+
   test("q26 cosine top-k: 5 ranked neighbors per query, descending") {
     val rows = Sim.q26.run(spark, sf001).collect()
     val byQ = rows.groupBy(_.getLong(0))
