@@ -593,7 +593,73 @@ object Text {
       WHERE cum_tokens <= 800
       ORDER BY source, cum_tokens"""))
 
+  /** Collocation mining (extension op): top bigrams by LIFT
+    * p(xy)/(p(x)·p(y)) with a min-support cut — statistical phrase
+    * extraction for tokenizer vocab building and corpus analysis. Lift
+    * is the log-free monotone twin of PMI (ln() is libm-divergent,
+    * never oracle-check it — BUILDLOG round-2); the ratio is one IEEE
+    * multiply+divide over exact integer counts, bit-identical across
+    * engines. Two explode+groupBy passes (unigrams, bigrams) and two
+    * vocabulary-sized joins, size-conditionally broadcast. */
+  val q78 = Q(
+    "q78_collocations",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w")).persistTracked()
+      val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+      val bcnt = toks.select(explode(expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  transform(sequence(1, size(t) - 1),
+            |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      bcnt
+        .withColumn("w1", expr("element_at(split(bg, ' '), 1)"))
+        .withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
+        .join(
+          graft.operators.Hints.autoBroadcast(
+            ucnt.select(col("w").as("w1"), col("cw").as("cw1"))), Seq("w1"))
+        .join(
+          graft.operators.Hints.autoBroadcast(
+            ucnt.select(col("w").as("w2"), col("cw").as("cw2"))), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "lift",
+          col("cb").cast(DoubleType) * col("n") /
+            (col("cw1") * col("cw2")))
+        .select(col("bg").as("bigram"), col("cb").as("n_pair"), col("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), uni AS (
+        SELECT unnest(t) AS w FROM toks
+      ), ucnt AS (
+        SELECT w, count(*) AS cw FROM uni GROUP BY w
+      ), tot AS (
+        SELECT count(*) AS n FROM uni
+      ), bcnt AS (
+        SELECT bg, count(*) AS cb FROM (
+          SELECT unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS bg
+          FROM toks)
+        GROUP BY bg HAVING count(*) >= 5
+      )
+      SELECT b.bg AS bigram, b.cb AS n_pair,
+             CAST(b.cb AS DOUBLE) * t.n / (u1.cw * u2.cw) AS lift
+      FROM bcnt b
+      JOIN ucnt u1 ON u1.w = string_split(b.bg, ' ')[1]
+      JOIN ucnt u2 ON u2.w = string_split(b.bg, ' ')[2]
+      CROSS JOIN tot t
+      ORDER BY lift DESC, bigram LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74)
+      q73, q74, q78)
 }
