@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -280,5 +281,42 @@ object IngestJob {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63)
+  /** JSONL export/import roundtrip + deterministic GLOBAL SHUFFLE — the
+    * dataloader handoff: training corpora ship as JSON-lines, and
+    * document order must be randomized-but-reproducible before packing
+    * (md5 priority, not a seeded RNG — stable under repartitioning and
+    * engines). The position is a global row_number over the md5 order:
+    * Spark plans it as a range-partitioned sort (scale-safe) with a
+    * single window over the already-sorted data. The oracle computes the
+    * same positions straight from the source table, so the JSONL
+    * write+read must preserve every value exactly to pass. */
+  val q79 = Q(
+    "q79_jsonl_shuffle_export",
+    (s, d) => {
+      val dir = tmp(s"documents_jsonl_${d.replaceAll("[^0-9.]", "")}")
+      val w = Window.orderBy(
+        md5(concat(lit("shuf:"), col("doc_id").cast(StringType))),
+        col("doc_id"))
+      Tables.load(s, d, "documents")
+        .withColumn("shuf_pos", row_number().over(w).cast(LongType))
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT, shuf_pos BIGINT")
+        .json(dir)
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("shuf_pos"))
+        .orderBy(col("shuf_pos"))
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS shuf_pos
+      FROM documents
+      ORDER BY shuf_pos"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79)
 }
