@@ -285,20 +285,45 @@ object IngestJob {
     * dataloader handoff: training corpora ship as JSON-lines, and
     * document order must be randomized-but-reproducible before packing
     * (md5 priority, not a seeded RNG — stable under repartitioning and
-    * engines). The position is a global row_number over the md5 order:
-    * Spark plans it as a range-partitioned sort (scale-safe) with a
-    * single window over the already-sorted data. The oracle computes the
-    * same positions straight from the source table, so the JSONL
-    * write+read must preserve every value exactly to pass. */
+    * engines). The global position is computed WITHOUT the
+    * all-rows-to-one-partition window a bare
+    * `row_number() OVER (ORDER BY …)` plans: range-partition + sort on
+    * the priority key, rank within each partition, then add broadcast
+    * per-partition offsets (a window over the tiny partition-count
+    * table). Positions depend only on the total (key, doc_id) order,
+    * not on where the range bounds fall, so the result is identical at
+    * any partition count — verified by the oracle computing the same
+    * positions with a plain window. The JSONL write+read must preserve
+    * every value exactly to pass. */
   val q79 = Q(
     "q79_jsonl_shuffle_export",
     (s, d) => {
       val dir = tmp(s"documents_jsonl_${d.replaceAll("[^0-9.]", "")}")
-      val w = Window.orderBy(
-        md5(concat(lit("shuf:"), col("doc_id").cast(StringType))),
-        col("doc_id"))
-      Tables.load(s, d, "documents")
-        .withColumn("shuf_pos", row_number().over(w).cast(LongType))
+      val sorted = Tables.load(s, d, "documents")
+        .withColumn(
+          "k", md5(concat(lit("shuf:"), col("doc_id").cast(StringType))))
+        .repartitionByRange(col("k"), col("doc_id"))
+        .sortWithinPartitions(col("k"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val offsets = sorted.groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "offset",
+          coalesce(
+            sum(col("cnt")).over(
+              Window.orderBy(col("pid"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("pid"), col("offset"))
+      sorted
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("pid"))
+              .orderBy(col("k"), col("doc_id"))))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("shuf_pos", (col("offset") + col("rn")).cast(LongType))
+        .drop("k", "pid", "rn", "offset")
         .write.mode("overwrite").json(dir)
       s.read
         .schema(
