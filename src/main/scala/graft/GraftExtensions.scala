@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CountMinMd5, HllMd5, TDigestQuantile, VecDot}
+import graft.functions.{BloomMd5, CountMinMd5, HllMd5, TDigestQuantile, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -50,6 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"cms_md5 expects exactly 1 argument, got ${children.length}")
           CountMinMd5(children.head)
+        }))
+    // bloom membership filter (runtime semi-join pruning without a
+    // build-side shuffle)
+    ext.injectFunction(
+      (FunctionIdentifier("bloom_md5"), BloomMd5.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"bloom_md5 expects exactly 1 argument, got ${children.length}")
+          BloomMd5(children.head)
         }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)

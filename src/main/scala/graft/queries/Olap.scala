@@ -179,5 +179,117 @@ object Olap {
              ${Det.dsumSql("o_totalprice")} AS total
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55)
+  /** Hex-nibble decode of md5 char `i` (1-based) of `md5(prefix || key)`
+    * — the engine-portable hash-decoding scheme shared with the q61/q69
+    * oracles; identical text works in both dialects modulo
+    * instr/strpos + substring/substr renames. */
+  private def nibSpark(h: Int, keySql: String, i: Int): String =
+    s"(instr('0123456789abcdef', substring(md5(concat('$h:', $keySql))" +
+      s", $i, 1)) - 1)"
+  private def nibDuck(h: Int, keySql: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5('$h:' || $keySql), $i, 1)) - 1)"
+
+  /** 16-bit bloom bit position for hash `h` of `keySql` — mirrors
+    * [[graft.functions.BloomMd5.bitPos]]. */
+  private def bloomPosSpark(h: Int, keySql: String): String =
+    s"(${nibSpark(h, keySql, 1)} * 4096 + ${nibSpark(h, keySql, 2)} * 256" +
+      s" + ${nibSpark(h, keySql, 3)} * 16 + ${nibSpark(h, keySql, 4)})"
+  private def bloomPosDuck(h: Int, keySql: String): String =
+    s"(${nibDuck(h, keySql, 1)} * 4096 + ${nibDuck(h, keySql, 2)} * 256" +
+      s" + ${nibDuck(h, keySql, 3)} * 16 + ${nibDuck(h, keySql, 4)})"
+
+  /** Runtime bloom-filter join pruning (extension op): the build side's
+    * join keys are aggregated into ONE 8 KB [[graft.functions.BloomMd5]]
+    * sketch row, broadcast, and every probe row is tested against it —
+    * the semi-join-reduction pattern (Spark's InjectRuntimeFilter /
+    * sideways information passing) that at 100 TB drops probe rows
+    * BEFORE the join shuffle instead of after it. Probe rows also carry
+    * the exact membership (left-semi against the distinct build keys) so
+    * the report quantifies the filter: false positives pay shuffle for
+    * nothing (bounded by (1-e^(-K·n/M))^K), false negatives must be ZERO
+    * (the bloom guarantee — asserted as a column the oracle also
+    * computes). DuckDB reproduces the sketch words with bit_or over
+    * per-key masks and replays every membership probe bit-exactly, the
+    * same oracle discipline as the HLL/CMS sketches. */
+  val q80 = Q(
+    "q80_bloom_prune",
+    (s, d) => {
+      val key = "CAST(c_custkey AS STRING)"
+      val hits = (0 until graft.functions.BloomMd5.K).map { h =>
+        val p = bloomPosSpark(h, key)
+        s"((element_at(bloom, CAST($p DIV 64 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), $p % 64)) != 0)"
+      }
+      val build = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1998-04-01"))
+        .select(col("o_custkey"))
+      val sketch = build
+        .agg(graft.functions.BloomMd5
+          .sketch(col("o_custkey").cast(StringType)).as("bloom"))
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"))
+        .join(build.distinct(),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(
+          col("c_custkey"), col("o_custkey").isNotNull.as("present"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("member", expr(hits.mkString(" AND ")))
+        .agg(
+          count(lit(1)).as("n_probe"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("bloom_pass"),
+          sum(when(col("present"), 1L).otherwise(0L)).as("exact_pass"),
+          sum(when(col("member") && !col("present"), 1L).otherwise(0L))
+            .as("false_pos"),
+          sum(when(col("present") && !col("member"), 1L).otherwise(0L))
+            .as("false_neg"))
+    },
+    Some {
+      def pos(h: Int, key: String) = bloomPosDuck(h, key)
+      val mask = (p: String) =>
+        s"(CASE WHEN $p % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          s"ELSE (CAST(1 AS BIGINT) << ($p % 64)) END)"
+      val buildPos = (0 until graft.functions.BloomMd5.K).map { h =>
+        s"SELECT k, ${pos(h, "CAST(k AS VARCHAR)")} AS p FROM build"
+      }.mkString(" UNION ALL ")
+      val probePos = (0 until graft.functions.BloomMd5.K).map { h =>
+        s"SELECT k, $h AS h, ${pos(h, "CAST(k AS VARCHAR)")} AS p FROM probe"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH build AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+      ), probe AS (
+        SELECT c_custkey AS k FROM customer
+      ), bpos AS ( $buildPos
+      ), words AS (
+        SELECT p // 64 AS w, bit_or(${mask("p")}) AS word
+        FROM bpos GROUP BY 1
+      ), ppos AS ( $probePos
+      ), hits AS (
+        SELECT pp.k, count(*) AS nset
+        FROM ppos pp JOIN words w ON w.w = pp.p // 64
+        WHERE (w.word & ${mask("pp.p")}) <> 0
+        GROUP BY pp.k
+      ), flags AS (
+        SELECT probe.k,
+               coalesce(h.nset, 0) = ${graft.functions.BloomMd5.K}
+                 AS member,
+               EXISTS (SELECT 1 FROM build b WHERE b.k = probe.k)
+                 AS present
+        FROM probe LEFT JOIN hits h ON h.k = probe.k
+      )
+      SELECT count(*) AS n_probe,
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_pass,
+             CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_pass,
+             CAST(sum(CASE WHEN member AND NOT present THEN 1 ELSE 0 END)
+               AS BIGINT) AS false_pos,
+             CAST(sum(CASE WHEN present AND NOT member THEN 1 ELSE 0 END)
+               AS BIGINT) AS false_neg
+      FROM flags"""
+    })
+
+  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55, q80)
 }

@@ -125,6 +125,49 @@ class PropertiesSpec extends SparkSpec {
     assert(viaSql == base, "SQL-registered form diverged from Column API")
   }
 
+  test("bloom_md5: partition invariant, no false negatives, bounded fp") {
+    import graft.functions.BloomMd5
+    val keys = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey").cast("string").as("k"))
+    def words(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(BloomMd5.sketch(col("k")).as("b")).as[Seq[Long]].head()
+    val base = words(keys)
+    assert(base.length == BloomMd5.WORDS)
+    // merge is bitwise OR: any partitioning / duplication → same words
+    assert(words(keys.repartition(13)) == base,
+      "repartition changed the sketch")
+    assert(words(keys.unionByName(keys)) == base,
+      "duplicates changed the sketch")
+    def member(ws: Seq[Long], key: String): Boolean =
+      (0 until BloomMd5.K).forall { h =>
+        val p = BloomMd5.bitPos(h, key)
+        (ws(p >>> 6) & (1L << (p & 63))) != 0
+      }
+    // the bloom guarantee: EVERY inserted key tests present
+    val present = keys.distinct().as[String].collect()
+    present.foreach(k =>
+      assert(member(base, k), s"false negative for inserted key $k"))
+    // false-positive rate on keys never inserted stays near theory:
+    // (1 - e^(-K·n/M))^K, ~3e-7 at n=150 — a generous 100× margin
+    val absent = (1000000 until 1010000).map(_.toString)
+      .filterNot(present.toSet)
+    val fp = absent.count(member(base, _))
+    val n = present.length.toDouble
+    val theory = math.pow(
+      1 - math.exp(-BloomMd5.K * n / BloomMd5.M), BloomMd5.K)
+    assert(fp <= math.max(1.0, 100 * theory * absent.size),
+      s"fp rate ${fp.toDouble / absent.size} far above theory $theory")
+    // empty input: no bits set, nothing is a member
+    val empty = words(keys.filter(lit(false)))
+    assert(empty.forall(_ == 0L), "empty sketch has set bits")
+    assert(!member(empty, "42"), "empty sketch claimed membership")
+    // SQL surface: registered via GraftExtensions
+    keys.createOrReplaceTempView("bloom_keys")
+    val viaSql = spark.sql(
+      "SELECT bloom_md5(k) AS b FROM bloom_keys").as[Seq[Long]].head()
+    assert(viaSql == base, "SQL-registered form diverged from Column API")
+  }
+
   test("connected components match a union-find reference on random graphs") {
     import scala.collection.mutable
     val gen = for {
