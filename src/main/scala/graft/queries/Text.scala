@@ -659,7 +659,205 @@ object Text {
       CROSS JOIN tot t
       ORDER BY lift DESC, bigram LIMIT 20"""))
 
+  /** formatReadableSize analog (reference op F12,
+    * /root/reference/clickhouse/queries.sql:14): human-readable binary
+    * byte sizes ("1.13 KiB"). All arithmetic is INTEGER — unit k is the
+    * largest with bytes >= 1024^k, then round-half-up to 2 decimals via
+    * (bytes*200 + 1024^k) div (2*1024^k) — so the string is bit-exact
+    * cross-engine (a double printf would hit the §1.4 tie hazard).
+    * Domain: 0 <= bytes <= 2^55 (bytes*200 must not overflow BIGINT). */
+  private def unitK(b: String): String =
+    s"""CASE WHEN $b >= 1125899906842624 THEN 5
+             WHEN $b >= 1099511627776 THEN 4
+             WHEN $b >= 1073741824 THEN 3
+             WHEN $b >= 1048576 THEN 2
+             WHEN $b >= 1024 THEN 1
+             ELSE 0 END"""
+  private def unitSize(duck: Boolean): String =
+    if (duck) "(CAST(1 AS BIGINT) << (10 * k))"
+    else "shiftleft(CAST(1 AS BIGINT), 10 * k)"
+  private def sizeCents(b: String, duck: Boolean): String =
+    s"($b * 200 + us) ${if (duck) "//" else "div"} (2 * us)"
+  private def sizeText(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val str = if (duck) "VARCHAR" else "STRING"
+    s"""concat(CAST(cents $idiv 100 AS $str), '.',
+               lpad(CAST(cents % 100 AS $str), 2, '0'), ' ',
+               CASE k WHEN 0 THEN 'B' WHEN 1 THEN 'KiB' WHEN 2 THEN 'MiB'
+                      WHEN 3 THEN 'GiB' WHEN 4 THEN 'TiB'
+                      ELSE 'PiB' END)"""
+  }
+
+  private val sizeProbes = Seq(
+    "('probe:0', CAST(0 AS BIGINT))", "('probe:1', CAST(1 AS BIGINT))",
+    "('probe:1023', CAST(1023 AS BIGINT))",
+    "('probe:1024', CAST(1024 AS BIGINT))",
+    // 1152*100/1024 = 112.5 exactly: the round-half-up tie case
+    "('probe:1152', CAST(1152 AS BIGINT))",
+    "('probe:1536', CAST(1536 AS BIGINT))",
+    "('probe:1048576', CAST(1048576 AS BIGINT))",
+    "('probe:5.5GiB', CAST(5905580032 AS BIGINT))",
+    "('probe:1PiB', CAST(1125899906842624 AS BIGINT))")
+
+  val q82 = Q(
+    "q82_readable_size",
+    (s, d) => {
+      val perLang = Tables.load(s, d, "documents")
+        .groupBy(concat(lit("lang:"), col("lang")).as("label"))
+        .agg(sum(col("n_chars")).cast(LongType).as("bytes"))
+      val probes = s.sql(
+        "SELECT label, bytes FROM VALUES " + sizeProbes.mkString(", ") +
+          " AS t(label, bytes)")
+      perLang.unionByName(probes)
+        .withColumn("k", expr(unitK("bytes")))
+        .withColumn("us", expr(unitSize(duck = false)))
+        .withColumn("cents", expr(sizeCents("bytes", duck = false)))
+        .withColumn("readable", expr(sizeText(duck = false)))
+        .select(col("label"), col("bytes"), col("readable"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT concat('lang:', lang) AS label,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT * FROM (VALUES ${sizeProbes.mkString(", ")}) t(label, bytes)
+      ), ku AS (
+        SELECT label, bytes, ${unitK("bytes")} AS k FROM base
+      ), u AS (
+        SELECT *, ${unitSize(duck = true)} AS us FROM ku
+      ), c AS (
+        SELECT *, ${sizeCents("bytes", duck = true)} AS cents FROM u
+      )
+      SELECT label, bytes, ${sizeText(duck = true)} AS readable
+      FROM c ORDER BY label"""))
+
+  // PII patterns in the RE2 ∩ java.util.regex portable subset (no
+  // lookaround, no backrefs); \b is the ASCII word boundary in both.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val ipRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction (training-data curation op): regex scrub of
+    * emails / phone numbers / IPv4 addresses with per-type hit counts. The
+    * fixture corpus is PII-free word salad, so each doc gets deterministic
+    * synthetic PII derived from doc_id appended IN BOTH ENGINES — the
+    * redactor is then value-checked end-to-end (md5 of the redacted text).
+    * Pure per-row column program: no shuffle at all until the final sort,
+    * the 100 TB plan is a single vectorized scan. */
+  val q83 = Q(
+    "q83_pii_redaction",
+    (s, d) => {
+      val pii = Tables.load(s, d, "documents")
+        .withColumn(
+          "pii_text",
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast(StringType),
+            lit(".0.1 end")))
+      pii.select(
+          col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+            .cast(LongType).as("email_hits"),
+          size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+            .cast(LongType).as("phone_hits"),
+          size(regexp_extract_all(col("pii_text"), lit(ipRe), lit(0)))
+            .cast(LongType).as("ip_hits"),
+          md5(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+                phoneRe, "<PHONE>"),
+              ipRe, "<IP>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH pii AS (
+        SELECT doc_id, lang,
+               concat(substr(text, 1, 40),
+                      ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or call +1-555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                      ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                      '.0.1 end') AS pii_text
+        FROM documents
+      )
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(pii_text, '$emailRe'))
+               AS BIGINT) AS email_hits,
+             CAST(len(regexp_extract_all(pii_text, '$phoneRe'))
+               AS BIGINT) AS phone_hits,
+             CAST(len(regexp_extract_all(pii_text, '$ipRe'))
+               AS BIGINT) AS ip_hits,
+             md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+                 '$emailRe', '<EMAIL>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g'),
+                 '$ipRe', '<IP>', 'g')) AS redacted_md5
+      FROM pii ORDER BY doc_id"""))
+
+  // Deterministic pseudo-weight for a token: 16 bits from the first four
+  // md5 nibbles (hex-char position decode — portable, no conv/strtol),
+  // mapped to integer cents in [-1000, 1000]. Identical SQL text runs in
+  // both engines. Stands in for a learned model's per-token weight.
+  private def weightCents(w: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5($w), $i, 1)) - 1)"
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+      " % 2001 - 1000)"
+  }
+
+  /** Linear quality-classifier scoring (training-data curation op): the
+    * fastText/DCLM-filter shape — score each document against a MODEL
+    * TABLE of per-token weights, here md5-derived pseudo-weights built
+    * from the corpus vocabulary (a learned model would swap in via the
+    * same join, weights are opaque to the plan). Integer-cents weights ×
+    * integer term frequencies → the score sum is order-independent and
+    * bit-exact. Plan: explode → (doc,token) partial count (shrinks the
+    * join input) → size-conditional broadcast of the model → one
+    * final shuffle on doc_id. */
+  val q84 = Q(
+    "q84_classifier_score",
+    (s, d) => {
+      val tf = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val model = tf.select(col("w")).distinct()
+        .withColumn("wc", expr(weightCents("w")).cast(LongType))
+      tf.join(graft.operators.Hints.autoBroadcast(model), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).cast(LongType).as("n_tokens"),
+          sum(col("tf") * col("wc")).cast(LongType).as("score_cents"))
+        .withColumn(
+          "mean_weight",
+          col("score_cents").cast(DoubleType) /
+            (col("n_tokens").cast(DoubleType) * 100.0))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+      ), model AS (
+        SELECT w, CAST(${weightCents("w")} AS BIGINT) AS wc
+        FROM (SELECT DISTINCT w FROM tf)
+      )
+      SELECT t.doc_id,
+             CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+             CAST(sum(t.tf * m.wc) AS BIGINT) AS score_cents,
+             CAST(sum(t.tf * m.wc) AS DOUBLE)
+               / (CAST(sum(t.tf) AS DOUBLE) * 100.0) AS mean_weight
+      FROM tf t JOIN model m ON t.w = m.w
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78)
+      q73, q74, q78, q82, q83, q84)
 }

@@ -122,4 +122,34 @@ class NewOperatorsSpec extends SparkSpec {
       .agg(sum("n")).as[Long].head()
     assert(sub == o)
   }
+
+  test("q82 readable size: unit boundaries, tie rounding, zero") {
+    val out = graft.queries.Text.q82.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[String]("readable"))
+      .toMap
+    assert(out("probe:0") == "0.00 B")
+    assert(out("probe:1023") == "1023.00 B")
+    assert(out("probe:1024") == "1.00 KiB")
+    assert(out("probe:1152") == "1.13 KiB") // 1.125 rounds half-UP
+    assert(out("probe:5.5GiB") == "5.50 GiB")
+    assert(out("probe:1PiB") == "1.00 PiB")
+  }
+
+  test("q83 pii redaction: every synthetic PII item found exactly once") {
+    val out = graft.queries.Text.q83.run(spark, sf001)
+    val bad = out.filter(
+      col("email_hits") =!= 1 || col("phone_hits") =!= 1 ||
+        col("ip_hits") =!= 1)
+    assert(bad.count() == 0, "hit counts must be exactly 1 per doc")
+  }
+
+  test("q84 classifier: mean weight bounded by the weight domain") {
+    val out = graft.queries.Text.q84.run(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val m = r.getAs[Double]("mean_weight")
+      assert(m >= -10.0 && m <= 10.0, s"mean weight $m outside [-10,10]")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
 }
