@@ -857,7 +857,130 @@ object Text {
       FROM tf t JOIN model m ON t.w = m.w
       GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  // ---- BPE tokenizer training (q85) ----------------------------------
+
+  private val bpeRounds = 5
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Leftmost-non-overlapping BPE merge of (a, b) applied to the
+    * space-joined symbol string `seq`, as a left fold: if the accumulator
+    * ends with token `a` (checked with the preceding space, so a longer
+    * token merely ENDING in a never false-matches) and the next symbol is
+    * `b`, the trailing `a` is rewritten to `ab`; the freshly merged token
+    * can never re-merge in the same pass because it no longer equals `a`.
+    * Identical fold runs as DuckDB's list_reduce in the oracle. */
+  private def bpeMergeSpark(
+      a: String, b: String, seqExpr: String = "seq"): String = {
+    val (aL, bL) = (sqlStr(a), sqlStr(b))
+    s"""aggregate(
+       slice(split($seqExpr, ' '), 2, size(split($seqExpr, ' ')) - 1),
+       element_at(split($seqExpr, ' '), 1),
+       (acc, x) -> CASE
+         WHEN (acc = $aL OR right(acc, ${a.length + 1}) = concat(' ', $aL))
+              AND x = $bL
+         THEN concat(substr(acc, 1, length(acc) - ${a.length}), $aL, $bL)
+         ELSE concat(acc, ' ', x) END)"""
+  }
+
+  /** Test hook: the merge fold over a literal symbol string. */
+  private[graft] def bpeMergeTestExpr(
+      a: String, b: String, seq: String): String =
+    bpeMergeSpark(a, b, sqlStr(seq))
+
+  private def bpeOracle: String = {
+    val v0 = s"""v0 AS (
+      SELECT c, concat(array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), ' '),
+             ' </w>') AS seq
+      FROM (SELECT w, count(*) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w))"""
+    val rounds = (1 to bpeRounds).map { r =>
+      val merge = s"""m$r AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b, cnt
+        FROM p$r)"""
+      val pairs = s"""p$r AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM (
+          SELECT c, unnest(CASE WHEN len(s) >= 2
+            THEN list_transform(range(1, len(s)),
+                                i -> s[i] || ' ' || s[i + 1])
+            ELSE [] END) AS pair
+          FROM (SELECT c, string_split(seq, ' ') AS s FROM v${r - 1}))
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
+      val next =
+        if (r == bpeRounds) Nil
+        else Seq(s"""v$r AS (
+          SELECT c, list_reduce(string_split(v.seq, ' '), (acc, x) -> CASE
+            WHEN (acc = m.a OR
+                  right(acc, length(m.a) + 1) = ' ' || m.a) AND x = m.b
+            THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+            ELSE acc || ' ' || x END) AS seq
+          FROM v${r - 1} v, m$r m)""")
+      Seq(pairs, merge) ++ next
+    }
+    val selects = (1 to bpeRounds).map(r =>
+      s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt AS pair_count" +
+        s" FROM m$r")
+    "WITH " + (v0 +: rounds.flatten).mkString(", ") + "\n" +
+      selects.mkString("\nUNION ALL ") + "\nORDER BY round"
+  }
+
+  /** BPE tokenizer training (training-data pipeline op): learn the first
+    * five byte-pair merges over the corpus vocabulary — the tokenizer-
+    * training step of an LLM data pipeline (Sennrich et al., ACL'16).
+    * Word-level BPE: explode words once, aggregate (word, count), char-
+    * split with a `</w>` terminator, then per round count weighted
+    * adjacent symbol pairs, take the global argmax (cnt DESC, pair ASC
+    * total tie-break), and apply the merge as a leftmost-non-overlapping
+    * left fold. Driver state is ONE row per round (the kmeans shape:
+    * bounded collect, everything heavy stays distributed — pair counting
+    * is a map-side-partial groupBy over the vocabulary, never the
+    * corpus). The oracle replays all five rounds unrolled, argmax and
+    * fold included; integer counts make every round bit-exact. */
+  val q85 = Q(
+    "q85_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      var vocab = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("seq", expr(
+          """concat(array_join(
+               transform(sequence(1, length(w)), i -> substr(w, i, 1)),
+               ' '), ' </w>')"""))
+        .select(col("c"), col("seq"))
+        .persistTracked()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to bpeRounds) {
+        // vocab round r is r cheap fold projections over the cached v0 —
+        // no self-join, so the plan grows linearly (q68's iterative
+        // gotcha does not apply at 5 bounded rounds)
+        val top = vocab
+          .select(col("c"), split(col("seq"), " ").as("s"))
+          .select(col("c"), explode(expr(
+            """CASE WHEN size(s) >= 2
+              THEN transform(sequence(1, size(s) - 1),
+                     i -> concat(element_at(s, i), ' ',
+                                 element_at(s, i + 1)))
+              ELSE array() END""")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()(0)
+        val Array(a, b) = top.getString(0).split(" ", 2)
+        merges += ((r, a, b, top.getLong(1)))
+        vocab = vocab.withColumn("seq", expr(bpeMergeSpark(a, b)))
+      }
+      merges.result().toDF("round", "sym_a", "sym_b", "pair_count")
+        .orderBy(col("round"))
+    },
+    Some(bpeOracle))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78, q82, q83, q84)
+      q73, q74, q78, q82, q83, q84, q85)
 }

@@ -143,6 +143,28 @@ class NewOperatorsSpec extends SparkSpec {
     assert(bad.count() == 0, "hit counts must be exactly 1 per doc")
   }
 
+  test("bpe merge fold is leftmost non-overlapping") {
+    // 'a a a a' under merge (a,a) → [aa, aa], never [aa, a, a] or a
+    // re-merge of the fresh token; boundary check must not fire on a
+    // longer token that merely ENDS with the left symbol ('xa' + 'a')
+    val out = spark.sql(
+      "SELECT " + graft.queries.Text.bpeMergeTestExpr("a", "a",
+        "a a a a") + " AS m1, " +
+        graft.queries.Text.bpeMergeTestExpr("a", "a", "xa a a") + " AS m2")
+      .collect().head
+    assert(out.getAs[String]("m1") == "aa aa")
+    assert(out.getAs[String]("m2") == "xa aa")
+  }
+
+  test("q85 bpe: five rounds with non-increasing merge counts") {
+    val rows = graft.queries.Text.q85.run(spark, sf001).collect()
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 5))
+    val cnts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    assert(cnts == cnts.sorted.reverse,
+      s"merge counts must be non-increasing: $cnts")
+    rows.foreach(r => assert(r.getAs[Long]("pair_count") > 0))
+  }
+
   test("q84 classifier: mean weight bounded by the weight domain") {
     val out = graft.queries.Text.q84.run(spark, sf001).collect()
     assert(out.nonEmpty)
