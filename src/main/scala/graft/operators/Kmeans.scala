@@ -33,7 +33,7 @@ object Kmeans {
     * past that, widen to DECIMAL(38,0) in [[update]]. */
   private val Scale = 16777216L
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(
         col("vec_id"),

@@ -552,5 +552,158 @@ object Sim {
     },
     None)
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77)
+  // ---- Product quantization (q86) ------------------------------------
+
+  private val PqM = 4 // subspaces
+  private val PqSub = 16 // dims per subspace
+  private val PqK = 8 // centroids per subspace
+
+  private def pqFold(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"""
+
+  private def pqOracle: String = {
+    val perSub = (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      val hi = (j + 1) * PqSub
+      s"""sub$j AS (
+        SELECT vec_id, v[$lo:$hi] AS v, vi[$lo:$hi] AS vi FROM vecs
+      ), seed$j AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM sub$j
+        WHERE vec_id < $PqK
+      ), d$j AS (
+        SELECT t.vec_id, t.vi, c.cid, ${pqFold("t.v", "c.cv")} AS d2
+        FROM sub$j t CROSS JOIN seed$j c
+      ), a$j AS (
+        SELECT vec_id, vi, cid AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn FROM d$j)
+        WHERE rn = 1
+      ), u$j AS (
+        SELECT cluster AS cid, i.pos,
+               CAST(sum(vi[i.pos]) AS DOUBLE) / count(*) / 16777216.0 AS cc
+        FROM a$j, (SELECT unnest(range(1, ${PqSub + 1})) AS pos) i
+        GROUP BY cluster, i.pos
+      ), c$j AS (
+        SELECT cid, list(cc ORDER BY pos) AS cv FROM u$j GROUP BY cid
+      ), fd$j AS (
+        SELECT t.vec_id, c.cid, ${pqFold("t.v", "c.cv")} AS d2
+        FROM sub$j t CROSS JOIN c$j c
+      ), code$j AS (
+        SELECT vec_id, $j AS j, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn FROM fd$j)
+        WHERE rn = 1
+      )"""
+    }
+    val centsU = (0 until PqM)
+      .map(j => s"SELECT $j AS j, cid, cv FROM c$j").mkString(" UNION ALL ")
+    val codesU = (0 until PqM)
+      .map(j => s"SELECT vec_id, j, code FROM code$j").mkString(" UNION ALL ")
+    val qsubU = (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      val hi = (j + 1) * PqSub
+      s"SELECT vec_id AS qid, $j AS j, v[$lo:$hi] AS qv FROM vecs" +
+        " WHERE vec_id < 8"
+    }.mkString(" UNION ALL ")
+    s"""WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 16777216) AS BIGINT)) AS vi
+      FROM embeddings
+    ), ${perSub.mkString(", ")},
+    cents AS ($centsU),
+    codes AS ($codesU),
+    qsub AS ($qsubU),
+    adc AS (
+      SELECT q.qid, q.j, c.cid AS code, ${pqFold("q.qv", "c.cv")} AS partial
+      FROM qsub q JOIN cents c ON q.j = c.j
+    ), scores AS (
+      SELECT a.qid, k.vec_id,
+        list_reduce(list(a.partial ORDER BY a.j), (x, y) -> x + y) AS adc_d2
+      FROM codes k JOIN adc a ON a.j = k.j AND a.code = k.code
+      WHERE k.vec_id <> a.qid
+      GROUP BY a.qid, k.vec_id
+    ), ranked AS (
+      SELECT qid, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_d2, vec_id) AS rank
+      FROM scores
+    )
+    SELECT qid, rank, vec_id AS neighbor_id, adc_d2
+    FROM ranked WHERE rank <= 5
+    ORDER BY qid, rank"""
+  }
+
+  /** q86: PRODUCT-QUANTIZATION ANN with asymmetric distance computation
+    * (Jégou et al., TPAMI'11 — the IVF-PQ memory side): the 64-dim
+    * corpus is compressed to 4 sub-codes (one Lloyd round per 16-dim
+    * subspace, k=8, reusing the bit-exact trainer), and queries rank
+    * candidates by ADC — per-(query, subspace, centroid) partial
+    * distances are computed ONCE into a tiny lookup table (nq × 4 × 8
+    * rows, broadcast), so query-time scoring touches only the CODE
+    * table, never the raw vectors. That is the 100 TB contract: vectors
+    * are read once at index build; search scans 1-byte-per-subspace
+    * codes plus a broadcast LUT. Deterministic end to end: integer-
+    * scaled centroid training (the q59 machinery), left-fold partials,
+    * subspace-ordered fold for the ADC sum, (d2, id) total tiebreaks.
+    * The oracle replays training, encoding, and ADC for all four
+    * subspaces unrolled. */
+  val q86 = Q(
+    "q86_ann_pq",
+    (s, d) => {
+      import s.implicits._
+      val vs = graft.operators.Kmeans.vecs(s, d).persistTracked()
+      val parts = (0 until PqM).map { j =>
+        val sj = vs.select(
+          col("vec_id"),
+          slice(col("v"), j * PqSub + 1, PqSub).as("v"),
+          slice(col("vi"), j * PqSub + 1, PqSub).as("vi"))
+        val seed = sj.filter(col("vec_id") < PqK)
+          .select(
+            col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+        // one Lloyd round per subspace; k×16 doubles collected and
+        // re-broadcast (flat lineage, the q59 shape)
+        val trained = graft.operators.Kmeans
+          .update(graft.operators.Kmeans.assign(sj, seed))
+          .select(col("cid"), col("cv"))
+          .as[(Int, Seq[Double])].collect().sortBy(_._1)
+        val cent = trained.toSeq.toDF("cid", "cv")
+        val codes = graft.operators.Kmeans.assign(sj, cent)
+          .select(col("vec_id"), lit(j).as("j"), col("cluster").as("code"))
+        (codes, cent.withColumn("j", lit(j)))
+      }
+      val codes = parts.map(_._1).reduce(_ unionByName _)
+      val cents = parts.map(_._2).reduce(_ unionByName _)
+      val qsub = (0 until PqM).map { j =>
+        vs.filter(col("vec_id") < 8).select(
+          col("vec_id").as("qid"), lit(j).as("j"),
+          slice(col("v"), j * PqSub + 1, PqSub).as("qv"))
+      }.reduce(_ unionByName _)
+      val adc = qsub.join(cents, Seq("j"))
+        .withColumn("partial", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS DOUBLE), (a, e) -> a + e)"))
+        .select(col("qid"), col("j"), col("cid").as("code"), col("partial"))
+      codes.join(broadcast(adc), Seq("j", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(expr(
+          "aggregate(transform(sort_array(collect_list(struct(j, partial)))" +
+            ", s -> s.partial), CAST(0 AS DOUBLE), (a, e) -> a + e)")
+          .as("adc_d2"))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("adc_d2"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("adc_d2"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(pqOracle))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86)
 }

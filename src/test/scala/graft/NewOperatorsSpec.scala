@@ -165,6 +165,19 @@ class NewOperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("pair_count") > 0))
   }
 
+  test("q86 pq: shape, and ADC ranking overlaps the exact top-5") {
+    val pq = graft.queries.Sim.q86.run(spark, sf001).collect()
+    assert(pq.length == 40, "8 queries x top-5")
+    pq.foreach(r => assert(r.getAs[Double]("adc_d2") >= 0.0))
+    val exact = graft.queries.Sim.q26.run(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = pq.count(r =>
+      exact((r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))))
+    // 4x16-dim codes are lossy, but a quantizer that never agrees with
+    // the exact ranking is broken
+    assert(hits > 0, "PQ top-5 never intersects exact top-5")
+  }
+
   test("q84 classifier: mean weight bounded by the weight domain") {
     val out = graft.queries.Text.q84.run(spark, sf001).collect()
     assert(out.nonEmpty)
