@@ -42,14 +42,18 @@ object Kmeans {
         "vi",
         expr(s"transform(v, x -> CAST(round(x * $Scale) AS BIGINT))"))
 
+  /** Left-fold squared-L2 distance between two array columns — the ONE
+    * distance expression every consumer (assign below, q86's ADC table)
+    * must share so a future arithmetic change lands everywhere. */
+  private[graft] def d2Fold(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+
   /** Map-side nearest-centroid assignment: broadcast cent (cid, cv),
     * exact-fold squared L2, deterministic argmin. */
   def assign(vectors: DataFrame, cent: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(cent))
-      .withColumn(
-        "d2",
-        expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS DOUBLE), (a, e) -> a + e)"))
+      .withColumn("d2", expr(d2Fold("v", "cv")))
       .withColumn(
         "rn",
         row_number().over(

@@ -306,24 +306,27 @@ object Olap {
     }.mkString("(", " + ", ")")
 
   /** Z-ORDER clustering layout (extension op): interleave the bits of two
-    * scan dimensions — order month (0..79 over the fixed 1995–2001
-    * domain) and total-price bucket (fixed-width 0..255 over the
+    * scan dimensions — order month (0..79 over the fixture's 1995-01..
+    * 2001-08 domain) and total-price bucket (fixed-width 0..255 over the
     * generator's [0, 500k) price domain) — so that CONTIGUOUS ranges of
-    * the sort key are squares in 2-D, not stripes. The report makes the
-    * data-skipping property measurable: rows are cut into 16 contiguous
-    * key-range buckets (what a range-partitioned writer would put in one
-    * file, zkey DIV 4096 = an aligned 64×64 z-square) under BOTH the
-    * z-order key and the plain lexicographic key (month*256+price), and
-    * each bucket reports its min/max span per dimension. Linear buckets
-    * span the FULL price domain (a predicate on price alone prunes
-    * nothing); z-order buckets bound both dims at ≤ 64/256 of the domain
-    * — a min/max-indexed scan (parquet row groups, Delta/Iceberg file
-    * stats) skips ~3/4 of files for a single-dim predicate on EITHER
-    * dim. That layout choice is invisible at 60k rows and decisive at
-    * 100 TB (reference's engines expose the same idea as ORDER BY
-    * clustering + min/max skipping granules,
-    * /root/reference/clickhouse/schema.sql). Pure integer bit math →
-    * bit-exact in DuckDB. */
+    * the sort key are squares in 2-D, not stripes. Rows are cut into
+    * contiguous key-range buckets (what a range-partitioned writer would
+    * put in one file; zkey DIV 4096 = an aligned 64×64 z-square, lkey
+    * DIV 4096 = 16 full-price month stripes) under BOTH the z-order key
+    * and the plain lexicographic key (month*256+price), and each bucket
+    * reports its min/max span per dimension. On this domain that yields
+    * 8 z-buckets spanning ≤ 64 months × ≤ 64 price units versus 5
+    * linear buckets spanning 16 months × the FULL price domain — the
+    * honest z-order tradeoff: a price-only predicate prunes z-buckets
+    * (≤ 1/4 of the price domain each) but NO linear bucket, while a
+    * month-only predicate prunes linear buckets more sharply (16-month
+    * vs 64-month spans). Min/max-indexed scans (parquet row groups,
+    * Delta/Iceberg file stats) turn those spans directly into skipped
+    * files; balanced pruning on EITHER dim is why multi-dim layouts
+    * z-order at 100 TB. Invisible at 60k rows, decisive at scale
+    * (reference's engines expose the same idea as ORDER BY clustering +
+    * min/max skipping granules, /root/reference/clickhouse/schema.sql).
+    * Pure integer bit math → bit-exact in DuckDB. */
   val q81 = Q(
     "q81_zorder_layout",
     (s, d) => {

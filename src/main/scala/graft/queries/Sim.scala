@@ -557,7 +557,12 @@ object Sim {
   private val PqM = 4 // subspaces
   private val PqSub = 16 // dims per subspace
   private val PqK = 8 // centroids per subspace
+  private val PqNq = 8 // query vectors (the vec_id < 8 q26 convention)
 
+  // DuckDB twin of Kmeans.d2Fold. The per-subspace training CTEs below
+  // intentionally restate Kmeans.iterCtes' shape at 16 dims/k=8: any
+  // change to the shared Lloyd arithmetic (e.g. the documented
+  // DECIMAL(38,0) widening) must be mirrored here and in Kmeans.iterCtes.
   private def pqFold(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
         p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"""
@@ -604,7 +609,7 @@ object Sim {
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
       s"SELECT vec_id AS qid, $j AS j, v[$lo:$hi] AS qv FROM vecs" +
-        " WHERE vec_id < 8"
+        s" WHERE vec_id < $PqNq"
     }.mkString(" UNION ALL ")
     s"""WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -676,14 +681,13 @@ object Sim {
       val codes = parts.map(_._1).reduce(_ unionByName _)
       val cents = parts.map(_._2).reduce(_ unionByName _)
       val qsub = (0 until PqM).map { j =>
-        vs.filter(col("vec_id") < 8).select(
+        vs.filter(col("vec_id") < PqNq).select(
           col("vec_id").as("qid"), lit(j).as("j"),
           slice(col("v"), j * PqSub + 1, PqSub).as("qv"))
       }.reduce(_ unionByName _)
       val adc = qsub.join(cents, Seq("j"))
-        .withColumn("partial", expr(
-          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS DOUBLE), (a, e) -> a + e)"))
+        .withColumn(
+          "partial", expr(graft.operators.Kmeans.d2Fold("qv", "cv")))
         .select(col("qid"), col("j"), col("cid").as("code"), col("partial"))
       codes.join(broadcast(adc), Seq("j", "code"))
         .filter(col("vec_id") =!= col("qid"))

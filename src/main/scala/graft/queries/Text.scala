@@ -823,10 +823,14 @@ object Text {
   val q84 = Q(
     "q84_classifier_score",
     (s, d) => {
+      // tf feeds BOTH the probe side and the model derivation — Spark
+      // does not CSE across self-join sides, so without the persist the
+      // corpus scan + explode + aggregation runs twice
       val tf = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
+        .persistTracked()
       val model = tf.select(col("w")).distinct()
         .withColumn("wc", expr(weightCents("w")).cast(LongType))
       tf.join(graft.operators.Hints.autoBroadcast(model), Seq("w"))
@@ -861,7 +865,11 @@ object Text {
 
   private val bpeRounds = 5
 
-  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+  // Spark SQL literals process backslash escapes (DuckDB's don't), so a
+  // corpus symbol containing '\' must be doubled or the Spark fold
+  // diverges from the oracle's; quotes are doubled for both dialects.
+  private def sqlStr(s: String) =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   /** Leftmost-non-overlapping BPE merge of (a, b) applied to the
     * space-joined symbol string `seq`, as a left fold: if the accumulator
@@ -873,13 +881,17 @@ object Text {
   private def bpeMergeSpark(
       a: String, b: String, seqExpr: String = "seq"): String = {
     val (aL, bL) = (sqlStr(a), sqlStr(b))
+    // Spark's length()/right()/substr() count CODE POINTS; Scala's
+    // String.length counts UTF-16 units — they differ on astral chars,
+    // so the inlined lengths must be code-point counts
+    val aLen = a.codePointCount(0, a.length)
     s"""aggregate(
        slice(split($seqExpr, ' '), 2, size(split($seqExpr, ' ')) - 1),
        element_at(split($seqExpr, ' '), 1),
        (acc, x) -> CASE
-         WHEN (acc = $aL OR right(acc, ${a.length + 1}) = concat(' ', $aL))
+         WHEN (acc = $aL OR right(acc, ${aLen + 1}) = concat(' ', $aL))
               AND x = $bL
-         THEN concat(substr(acc, 1, length(acc) - ${a.length}), $aL, $bL)
+         THEN concat(substr(acc, 1, length(acc) - $aLen), $aL, $bL)
          ELSE concat(acc, ' ', x) END)"""
   }
 
