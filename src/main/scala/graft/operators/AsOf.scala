@@ -153,5 +153,42 @@ object AsOf {
       GROUP BY t.tier
       ORDER BY t.tier"""))
 
-  val all: Seq[Q] = Seq(q39, q40)
+  /** q87: the SAME as-of query as q39, executed through the NATIVE
+    * [[graft.plans.AsOfJoinExec]] physical operator (custom logical node
+    * + planner strategy + streaming per-partition merge) instead of the
+    * window composition — both checked against DuckDB's native ASOF
+    * JOIN, so the two implementations are differentially validated
+    * against a third, independent one. The right side is a groupBy
+    * result, so (key, time) is unique and the merge's tie handling is
+    * moot (see AsOfJoinExec's scaladoc). */
+  val q87 = Q(
+    "q87_asof_native",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val snaps = Tables.load(s, d, "events")
+        .filter(col("event_id") % 17 === 0)
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("value")).as("snap_value"))
+        .select(col("user_id"), col("sts"), col("snap_value"))
+      graft.plans.AsOfJoinNative
+        .asofJoin(ev, snaps, "user_id", "ts", "sts", Seq("snap_value"))
+        .select(col("event_id"), col("user_id"), col("snap_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), snaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS sts,
+               max(value) AS snap_value
+        FROM events WHERE event_id % 17 = 0
+        GROUP BY user_id, sts
+      )
+      SELECT ev.event_id, ev.user_id, snaps.snap_value
+      FROM ev ASOF LEFT JOIN snaps
+        ON ev.user_id = snaps.user_id AND snaps.sts <= ev.ts
+      ORDER BY ev.event_id"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q87)
 }
