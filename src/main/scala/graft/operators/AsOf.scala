@@ -190,5 +190,62 @@ object AsOf {
         ON ev.user_id = snaps.user_id AND snaps.sts <= ev.ts
       ORDER BY ev.event_id"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q87)
+  /** q88: BIG-BIG range join via interval binning — the scale path q40's
+    * broadcast band join lacks when BOTH sides are large. Time is cut
+    * into fixed 10-minute bins; each point carries its one bin, each
+    * interval is REPLICATED to every bin it overlaps (bounded ≤ 2 here
+    * since intervals are ≤ 7 minutes), and the join becomes an EQUI-join
+    * on bin followed by the exact containment filter. A point matches an
+    * interval in exactly one bin — its own — so no pair dedup is needed.
+    * Shuffle volume is each side × small replication factor, joined on a
+    * key both sides hash on: linear at 100 TB where the naive inequality
+    * join is quadratic and un-shuffleable. All bin/bound arithmetic is
+    * integer micros, so the oracle (DuckDB's native inequality IEJoin —
+    * an independent algorithm) matches bit-exactly. */
+  val q88 = Q(
+    "q88_interval_bin_join",
+    (s, d) => {
+      val binUs = 600L * 1000 * 1000 // 10 minutes of microseconds
+      val ev = Tables.load(s, d, "events")
+        .select(
+          col("event_id"), col("value"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("bin", expr(s"t_us div $binUs"))
+      val iv = Tables.load(s, d, "events")
+        .filter(col("event_id") % 11 === 0)
+        .select(
+          col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("lo_us"))
+        .withColumn(
+          "hi_us",
+          col("lo_us") + (col("interval_id") % 7 + 1) * lit(60L * 1000 * 1000))
+        .withColumn(
+          "bin", explode(expr(s"sequence(lo_us div $binUs, (hi_us - 1) div $binUs)")))
+      ev.join(iv, Seq("bin"))
+        .filter(col("t_us") >= col("lo_us") && col("t_us") < col("hi_us"))
+        .groupBy(col("interval_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("interval_id"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events
+      ), iv AS (
+        SELECT event_id AS interval_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS lo_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + (event_id % 7 + 1) * 60000000 AS hi_us
+        FROM events WHERE event_id % 11 = 0
+      )
+      SELECT i.interval_id, count(*) AS n_events,
+             ${graft.queries.Det.dsumSql("e.value")} AS sum_value
+      FROM ev e JOIN iv i
+        ON e.t_us >= i.lo_us AND e.t_us < i.hi_us
+      GROUP BY i.interval_id
+      ORDER BY i.interval_id"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q87, q88)
 }

@@ -178,6 +178,27 @@ class NewOperatorsSpec extends SparkSpec {
     assert(hits > 0, "PQ top-5 never intersects exact top-5")
   }
 
+  test("q88 bin join equals the naive inequality join") {
+    val out = AsOf.q88.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val iv = Tables.load(spark, sf001, "events")
+      .filter(col("event_id") % 11 === 0)
+      .select(
+        col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("lo_us"))
+      .withColumn(
+        "hi_us",
+        col("lo_us") + (col("interval_id") % 7 + 1) * lit(60000000L))
+    val naive = ev.join(
+        iv, col("t_us") >= col("lo_us") && col("t_us") < col("hi_us"))
+      .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("interval_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == naive)
+  }
+
   test("q84 classifier: mean weight bounded by the weight domain") {
     val out = graft.queries.Text.q84.run(spark, sf001).collect()
     assert(out.nonEmpty)
