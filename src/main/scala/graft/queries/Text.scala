@@ -992,7 +992,183 @@ object Text {
     },
     Some(bpeOracle))
 
+  /** Uniform [0,1) per-doc coordinate from 6 md5 nibbles — positional
+    * hex decode (no conv()/strtol), identical text both dialects. */
+  private def md5Frac24(duck: Boolean): String = {
+    val str = if (duck) "VARCHAR" else "STRING"
+    val nibs = (1 to 6).map { i =>
+      val scale = 1L << (4 * (6 - i))
+      s"(instr('0123456789abcdef', " +
+        s"substr(md5(CAST(doc_id AS $str)), $i, 1)) - 1) * ${scale}"
+    }
+    s"(CAST(${nibs.mkString(" + ")} AS DOUBLE) / 16777216.0)"
+  }
+
+  /** Temperature-scaled corpus mixing (UNIMAX / T5-style sampling,
+    * temperature T=0.5): per-source sampling targets proportional to
+    * n_tokens^T flatten the source distribution — the standard knob for
+    * not letting one giant crawl drown the small high-quality sources.
+    * T=0.5 is sqrt, which is IEEE-EXACT (correctly rounded) in both
+    * engines, so unlike pow(x, 0.7) the targets are bit-identical
+    * cross-engine; the normalizer Σ sqrt(n_s) folds in source order.
+    * N conveniently cancels in n_s^T/Σ n_s^T, so shares are never
+    * computed. Two corpus passes (global rates, then the keep decision
+    * with a broadcast rate table) — the canonical two-pass distributed
+    * sampler; the md5-derived [0,1) coordinate makes every keep/drop
+    * reproducible across engines AND partitionings. */
+  val q89 = Q(
+    "q89_temperature_mix",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(
+          col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"),
+          expr(md5Frac24(duck = false)).as("u"))
+        .persistTracked()
+      val bySrc = docs.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast(DoubleType)))
+        .persistTracked()
+      val tot = bySrc.agg(
+        sum(col("n_tokens")).as("ntot"),
+        expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(source, w))), x -> x.w), CAST(0 AS DOUBLE), " +
+          "(a, e) -> a + e)").as("sumw"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .withColumn("mix_target", col("w") / col("sumw"))
+        .withColumn(
+          "samp_rate",
+          least(
+            lit(1.0),
+            col("mix_target") * expr("CAST(ntot div 2 AS DOUBLE)") /
+              col("n_tokens").cast(DoubleType)))
+      val kept = docs
+        .join(
+          broadcast(rates.select(col("source"), col("samp_rate"))),
+          Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("u") < col("samp_rate"), 1L).otherwise(0L))
+            .as("kept_docs"),
+          sum(when(col("u") < col("samp_rate"), col("toks"))
+            .otherwise(0L)).as("kept_tokens"))
+      rates.join(kept, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          col("mix_target"), col("samp_rate"),
+          col("kept_docs"), col("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               ${md5Frac24(duck = true)} AS u
+        FROM documents
+      ), by_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens
+        FROM docs GROUP BY source
+      ), w_src AS (
+        SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM by_src
+      ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS ntot,
+               list_reduce(list(w ORDER BY source), (a, b) -> a + b)
+                 AS sumw
+        FROM w_src
+      ), rates AS (
+        SELECT s.source, s.n_docs, s.n_tokens,
+               s.w / t.sumw AS mix_target,
+               least(CAST(1 AS DOUBLE),
+                     (s.w / t.sumw) * CAST(t.ntot // 2 AS DOUBLE)
+                       / CAST(s.n_tokens AS DOUBLE)) AS samp_rate
+        FROM w_src s CROSS JOIN tot t
+      ), kept AS (
+        SELECT d.source,
+               CAST(sum(CASE WHEN d.u < r.samp_rate THEN 1 ELSE 0 END)
+                 AS BIGINT) AS kept_docs,
+               CAST(sum(CASE WHEN d.u < r.samp_rate THEN d.toks ELSE 0 END)
+                 AS BIGINT) AS kept_tokens
+        FROM docs d JOIN rates r USING (source) GROUP BY d.source
+      )
+      SELECT r.source, r.n_docs, r.n_tokens, r.mix_target, r.samp_rate,
+             k.kept_docs, k.kept_tokens
+      FROM rates r JOIN kept k USING (source)
+      ORDER BY r.source"""))
+
+  /** Sequence packing for the training data loader (extension op): docs
+    * are concatenated in a deterministic md5-shuffled order and cut into
+    * fixed 256-token context windows (the GPT-style packed-batch layout);
+    * the report gives per-window doc counts, token fill, and how many
+    * docs span a window boundary. The global running token sum uses the
+    * q79 shape — range-partition by the shuffle key, ONE cumulative sum
+    * per partition, plus a broadcast table of per-partition offsets
+    * (32 rows) — never a single-partition window over the corpus. All
+    * integer arithmetic; the oracle computes the same running sum with
+    * one window (fine at oracle scale). */
+  val q90 = Q(
+    "q90_sequence_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = 256L
+      val sorted = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .withColumn(
+          "k", md5(concat(lit("pack:"), col("doc_id").cast(StringType))))
+        .repartitionByRange(col("k"), col("doc_id"))
+        .sortWithinPartitions(col("k"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .persistTracked()
+      val offsets = sorted.groupBy(col("pid"))
+        .agg(sum(col("toks")).as("ptoks"))
+        .withColumn(
+          "offset",
+          coalesce(
+            sum(col("ptoks")).over(
+              Window.orderBy(col("pid"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("pid"), col("offset"))
+      sorted
+        .withColumn(
+          "cumin",
+          sum(col("toks")).over(
+            Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("offset") + col("cumin"))
+        .withColumn("pack_id", expr(s"(cum - toks) div $win"))
+        .withColumn(
+          "spans", expr(s"(cum - 1) div $win") =!= col("pack_id"))
+        .groupBy(col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(when(col("spans"), 1L).otherwise(0L)).as("n_spanning"))
+        .orderBy(col("pack_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+      ), cums AS (
+        SELECT *, sum(toks) OVER (ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM docs
+      )
+      SELECT (cum - toks) // 256 AS pack_id, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN (cum - 1) // 256 <> (cum - toks) // 256
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+      FROM cums GROUP BY pack_id ORDER BY pack_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78, q82, q83, q84, q85)
+      q73, q74, q78, q82, q83, q84, q85, q89, q90)
 }

@@ -199,6 +199,33 @@ class NewOperatorsSpec extends SparkSpec {
     assert(out == naive)
   }
 
+  test("q89 temperature mix: targets normalize, rates bounded, kept <= all") {
+    val rows = graft.queries.Text.q89.run(spark, sf001).collect()
+    val targets = rows.map(_.getAs[Double]("mix_target"))
+    assert(math.abs(targets.sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("samp_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // temperature flattening: every source's target share exceeds half
+    // its raw share only if it's a small source — check the ordering
+    // effect instead: min/max target ratio is tighter than raw ratio
+    val raw = rows.map(_.getAs[Long]("n_tokens").toDouble)
+    assert(targets.max / targets.min < raw.max / raw.min)
+  }
+
+  test("q90 packing: token totals conserved, spanning bounded") {
+    val rows = graft.queries.Text.q90.run(spark, sf001).collect()
+    val total = Tables.load(spark, sf001, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_spanning") <= r.getAs[Long]("n_docs")))
+  }
+
   test("q84 classifier: mean weight bounded by the weight domain") {
     val out = graft.queries.Text.q84.run(spark, sf001).collect()
     assert(out.nonEmpty)
