@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe global ordering primitives: a deterministic md5-shuffled
+  * total order plus a running sum over it, WITHOUT ever collapsing the
+  * data into a single-partition window. The shape: range-partition by
+  * the shuffle key (so partition i holds a contiguous key range), one
+  * cumulative-sum window per partition, and a partition-count-sized
+  * offsets table (bounded, broadcast) bridging partitions. Shared by
+  * q79 (global shuffle positions, value = 1) and q90 (global token
+  * cumsum for sequence packing).
+  */
+object GlobalOrder {
+
+  /** Adds `outCol` = inclusive global running sum of `value` in the total
+    * order md5(prefix:idCol) then idCol, plus the shuffle key as
+    * `keyCol` for callers that sort by it downstream. The input is
+    * range-repartitioned on that order. */
+  def withGlobalCumsum(
+      df: DataFrame,
+      idCol: String,
+      prefix: String,
+      value: Column,
+      outCol: String,
+      keyCol: String = "_graft_k"): DataFrame = {
+    import graft.Caches.Tracked
+    val pidCol = s"${keyCol}_pid"
+    val vCol = s"${keyCol}_v"
+    val sorted = df
+      .withColumn(
+        keyCol, md5(concat(lit(s"$prefix:"), col(idCol).cast("string"))))
+      .repartitionByRange(col(keyCol), col(idCol))
+      .sortWithinPartitions(col(keyCol), col(idCol))
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(vCol, value.cast(LongType))
+      .persistTracked()
+    val offsets = sorted.groupBy(col(pidCol))
+      .agg(sum(col(vCol)).as("ptot"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("ptot")).over(
+            Window.orderBy(col(pidCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(pidCol), col("offset"))
+    sorted
+      .withColumn(
+        "_graft_cumin",
+        sum(col(vCol)).over(
+          Window.partitionBy(col(pidCol))
+            .orderBy(col(keyCol), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq(pidCol))
+      .withColumn(outCol, (col("offset") + col("_graft_cumin")).cast(LongType))
+      .drop(pidCol, vCol, "_graft_cumin", "offset")
+  }
+}

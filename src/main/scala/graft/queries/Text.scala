@@ -1074,9 +1074,14 @@ object Text {
       ), w_src AS (
         SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM by_src
       ), tot AS (
+        -- prepended 0.0 seeds the fold like Spark's aggregate() zero
+        -- (0.0 + w1 is exactly w1), and keeps list_reduce from erroring
+        -- on an empty corpus
         SELECT CAST(sum(n_tokens) AS BIGINT) AS ntot,
-               list_reduce(list(w ORDER BY source), (a, b) -> a + b)
-                 AS sumw
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(w ORDER BY source)),
+                 (a, b) -> a + b) AS sumw
         FROM w_src
       ), rates AS (
         SELECT s.source, s.n_docs, s.n_tokens,
@@ -1100,47 +1105,26 @@ object Text {
 
   /** Sequence packing for the training data loader (extension op): docs
     * are concatenated in a deterministic md5-shuffled order and cut into
-    * fixed 256-token context windows (the GPT-style packed-batch layout);
-    * the report gives per-window doc counts, token fill, and how many
-    * docs span a window boundary. The global running token sum uses the
-    * q79 shape — range-partition by the shuffle key, ONE cumulative sum
-    * per partition, plus a broadcast table of per-partition offsets
-    * (32 rows) — never a single-partition window over the corpus. All
-    * integer arithmetic; the oracle computes the same running sum with
-    * one window (fine at oracle scale). */
+    * fixed 256-token context windows (the GPT-style packed-batch layout).
+    * Per window: how many docs START in it, the TOTAL tokens of those
+    * docs (which exceeds 256 whenever a doc runs past the boundary —
+    * actual fill is exactly 256 for every non-final window by
+    * construction), and how many of them span into the next window. The
+    * global running token sum is [[graft.operators.GlobalOrder]]'s
+    * range-partition + per-partition-offset shape — never a
+    * single-partition window over the corpus. All integer arithmetic;
+    * the oracle computes the same running sum with one window (fine at
+    * oracle scale). */
   val q90 = Q(
     "q90_sequence_packing",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val win = 256L
-      val sorted = Tables.load(s, d, "documents")
+      val docs = Tables.load(s, d, "documents")
         .select(
           col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("toks"))
-        .withColumn(
-          "k", md5(concat(lit("pack:"), col("doc_id").cast(StringType))))
-        .repartitionByRange(col("k"), col("doc_id"))
-        .sortWithinPartitions(col("k"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .persistTracked()
-      val offsets = sorted.groupBy(col("pid"))
-        .agg(sum(col("toks")).as("ptoks"))
-        .withColumn(
-          "offset",
-          coalesce(
-            sum(col("ptoks")).over(
-              Window.orderBy(col("pid"))
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select(col("pid"), col("offset"))
-      sorted
-        .withColumn(
-          "cumin",
-          sum(col("toks")).over(
-            Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(offsets), Seq("pid"))
-        .withColumn("cum", col("offset") + col("cumin"))
+      graft.operators.GlobalOrder
+        .withGlobalCumsum(docs, "doc_id", "pack", col("toks"), "cum")
         .withColumn("pack_id", expr(s"(cum - toks) div $win"))
         .withColumn(
           "spans", expr(s"(cum - 1) div $win") =!= col("pack_id"))
@@ -1158,11 +1142,13 @@ object Text {
                md5('pack:' || CAST(doc_id AS VARCHAR)) AS k
         FROM documents
       ), cums AS (
-        SELECT *, sum(toks) OVER (ORDER BY k, doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        SELECT *, CAST(sum(toks) OVER (ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
         FROM docs
       )
-      SELECT (cum - toks) // 256 AS pack_id, count(*) AS n_docs,
+      SELECT CAST((cum - toks) // 256 AS BIGINT) AS pack_id,
+             count(*) AS n_docs,
              CAST(sum(toks) AS BIGINT) AS n_tokens,
              CAST(sum(CASE WHEN (cum - 1) // 256 <> (cum - toks) // 256
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning

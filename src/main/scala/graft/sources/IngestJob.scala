@@ -299,31 +299,13 @@ object IngestJob {
     "q79_jsonl_shuffle_export",
     (s, d) => {
       val dir = tmp(s"documents_jsonl_${d.replaceAll("[^0-9.]", "")}")
-      val sorted = Tables.load(s, d, "documents")
-        .withColumn(
-          "k", md5(concat(lit("shuf:"), col("doc_id").cast(StringType))))
-        .repartitionByRange(col("k"), col("doc_id"))
-        .sortWithinPartitions(col("k"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val offsets = sorted.groupBy(col("pid"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn(
-          "offset",
-          coalesce(
-            sum(col("cnt")).over(
-              Window.orderBy(col("pid"))
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select(col("pid"), col("offset"))
-      sorted
-        .withColumn(
-          "rn",
-          row_number().over(
-            Window.partitionBy(col("pid"))
-              .orderBy(col("k"), col("doc_id"))))
-        .join(broadcast(offsets), Seq("pid"))
-        .withColumn("shuf_pos", (col("offset") + col("rn")).cast(LongType))
-        .drop("k", "pid", "rn", "offset")
+      // global position = running sum of 1 over the md5 total order
+      // (graft.operators.GlobalOrder — shared with q90's token cumsum)
+      graft.operators.GlobalOrder
+        .withGlobalCumsum(
+          Tables.load(s, d, "documents"),
+          "doc_id", "shuf", lit(1L), "shuf_pos")
+        .drop("_graft_k")
         .write.mode("overwrite").json(dir)
       s.read
         .schema(
