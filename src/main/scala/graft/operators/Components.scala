@@ -44,9 +44,21 @@ object Components {
     var labels = nodes.toDF("id")
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence via the label-sum potential: labels only ever decrease,
+    // so Σ lbl (exact DECIMAL(38,0) — no Long overflow, no FP) strictly
+    // decreases iff any label changed; comparing sums replaces the
+    // previous per-round join-with-last-round + count job with a single
+    // aggregate over the freshly checkpointed labels
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(
+        sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = lblSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val tRound = System.nanoTime()
       val nbrMin = edges
         .join(
@@ -68,17 +80,16 @@ object Components {
           col("id"),
           least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") =!= col("prev"))
-        .count()
+      val newSum = lblSum(jumped)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       labels = jumped
       rounds += 1
       if (debug)
-        System.err.println(s"[$tag] round $rounds: $changed labels " +
-          f"changed in ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        System.err.println(s"[$tag] round $rounds: changed=$changed " +
+          f"(lblSum=$newSum) in ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
-    require(changed == 0L,
+    require(!changed,
       s"$tag: label propagation did not converge in $rounds rounds")
     labels
   }

@@ -900,9 +900,14 @@ object Text {
       a: String, b: String, seq: String): String =
     bpeMergeSpark(a, b, sqlStr(seq))
 
-  private def bpeOracle: String = {
+  /** The training CTE chain shared by the q85 and q94 oracles: vocabulary
+    * v0 (word w carried through so encode can join back), then per round
+    * argmax pair p_r/m_r and merged vocab v_r. `finalVocab` additionally
+    * materializes v{bpeRounds} (all merges applied) for the encode twin;
+    * q85 skips it (its output needs only the m_r rows). */
+  private def bpeWith(finalVocab: Boolean): String = {
     val v0 = s"""v0 AS (
-      SELECT c, concat(array_to_string(
+      SELECT w, c, concat(array_to_string(
                list_transform(range(1, length(w) + 1),
                               i -> substr(w, i, 1)), ' '),
              ' </w>') AS seq
@@ -924,9 +929,10 @@ object Text {
           FROM (SELECT c, string_split(seq, ' ') AS s FROM v${r - 1}))
         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
       val next =
-        if (r == bpeRounds) Nil
+        if (r == bpeRounds && !finalVocab) Nil
         else Seq(s"""v$r AS (
-          SELECT c, list_reduce(string_split(v.seq, ' '), (acc, x) -> CASE
+          SELECT v.w, v.c,
+            list_reduce(string_split(v.seq, ' '), (acc, x) -> CASE
             WHEN (acc = m.a OR
                   right(acc, length(m.a) + 1) = ' ' || m.a) AND x = m.b
             THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
@@ -934,11 +940,54 @@ object Text {
           FROM v${r - 1} v, m$r m)""")
       Seq(pairs, merge) ++ next
     }
+    "WITH " + (v0 +: rounds.flatten).mkString(", ")
+  }
+
+  private def bpeOracle: String = {
     val selects = (1 to bpeRounds).map(r =>
       s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt AS pair_count" +
         s" FROM m$r")
-    "WITH " + (v0 +: rounds.flatten).mkString(", ") + "\n" +
+    bpeWith(finalVocab = false) + "\n" +
       selects.mkString("\nUNION ALL ") + "\nORDER BY round"
+  }
+
+  /** Runs the q85 training loop and returns the five merges plus the final
+    * vocabulary (w, c, seq) with ALL merges applied — the artifact q94
+    * encodes with. Driver state is one argmax row per round. */
+  private[graft] def bpeTrain(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Int, String, String, Long)],
+                   org.apache.spark.sql.DataFrame) = {
+    var vocab = Tables.load(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("seq", expr(
+        """concat(array_join(
+             transform(sequence(1, length(w)), i -> substr(w, i, 1)),
+             ' '), ' </w>')"""))
+      .persistTracked()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to bpeRounds) {
+      // vocab round r is r cheap fold projections over the cached v0 —
+      // no self-join, so the plan grows linearly (q68's iterative
+      // gotcha does not apply at 5 bounded rounds)
+      val top = vocab
+        .select(col("c"), split(col("seq"), " ").as("s"))
+        .select(col("c"), explode(expr(
+          """CASE WHEN size(s) >= 2
+            THEN transform(sequence(1, size(s) - 1),
+                   i -> concat(element_at(s, i), ' ',
+                               element_at(s, i + 1)))
+            ELSE array() END""")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0)
+      val Array(a, b) = top.getString(0).split(" ", 2)
+      merges += ((r, a, b, top.getLong(1)))
+      vocab = vocab.withColumn("seq", expr(bpeMergeSpark(a, b)))
+    }
+    (merges.result(), vocab)
   }
 
   /** BPE tokenizer training (training-data pipeline op): learn the first
@@ -957,37 +1006,8 @@ object Text {
     "q85_bpe_merges",
     (s, d) => {
       import s.implicits._
-      var vocab = Tables.load(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("seq", expr(
-          """concat(array_join(
-               transform(sequence(1, length(w)), i -> substr(w, i, 1)),
-               ' '), ' </w>')"""))
-        .select(col("c"), col("seq"))
-        .persistTracked()
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to bpeRounds) {
-        // vocab round r is r cheap fold projections over the cached v0 —
-        // no self-join, so the plan grows linearly (q68's iterative
-        // gotcha does not apply at 5 bounded rounds)
-        val top = vocab
-          .select(col("c"), split(col("seq"), " ").as("s"))
-          .select(col("c"), explode(expr(
-            """CASE WHEN size(s) >= 2
-              THEN transform(sequence(1, size(s) - 1),
-                     i -> concat(element_at(s, i), ' ',
-                                 element_at(s, i + 1)))
-              ELSE array() END""")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect()(0)
-        val Array(a, b) = top.getString(0).split(" ", 2)
-        merges += ((r, a, b, top.getLong(1)))
-        vocab = vocab.withColumn("seq", expr(bpeMergeSpark(a, b)))
-      }
-      merges.result().toDF("round", "sym_a", "sym_b", "pair_count")
+      val (merges, _) = bpeTrain(s, d)
+      merges.toDF("round", "sym_a", "sym_b", "pair_count")
         .orderBy(col("round"))
     },
     Some(bpeOracle))
@@ -1154,7 +1174,254 @@ object Text {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
       FROM cums GROUP BY pack_id ORDER BY pack_id"""))
 
+  /** Segment-granular exact substring dedup (extension op — the scalable
+    * approximation of Lee et al. ACL'22 "Deduplicating Training Data
+    * Makes Language Models Better": their suffix-array exact-substring
+    * dedup, quantized to fixed 16-word segments so it becomes a pure
+    * hash-groupBy). Each doc is cut into consecutive 16-word segments;
+    * a segment survives iff it is the GLOBALLY first occurrence of its
+    * content (min (doc_id, seg_idx) over its md5 group — computed as a
+    * map-side-combinable MIN on doc_id*2^20+seg_idx, valid while
+    * doc_id < 2^43, rather than a per-hash window, so one hot boilerplate
+    * segment repeated a million times costs one combine, not one
+    * single-reducer sort). The per-doc report value-checks the
+    * reassembled deduped text via md5. Scale shape: explode (linear),
+    * one groupBy on the 128-bit hash, one join back, one per-doc
+    * aggregate — no pairwise anything. */
+  val q91 = Q(
+    "q91_segment_dedup",
+    (s, d) => {
+      val segLen = 16
+      val segs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"""transform(
+                 sequence(0, cast(ceil(size(words) / $segLen.0) as int) - 1),
+                 g -> array_join(slice(words, g * $segLen + 1, $segLen),
+                                 ' '))""")))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg")
+        .withColumn("h", md5(col("seg")))
+        .withColumn(
+          "k", col("doc_id") * lit(1048576L) + col("seg_idx"))
+        .persistTracked()
+      val first = segs.groupBy(col("h")).agg(min(col("k")).as("keeper"))
+      segs.join(first, Seq("h"))
+        .withColumn("kept", col("k") === col("keeper"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), size(split(col("seg"), " "))
+            .cast(LongType)).otherwise(0L)).as("kept_tokens"),
+          md5(array_join(expr(
+            """transform(
+                 array_sort(collect_list(
+                   CASE WHEN kept THEN struct(seg_idx, seg) END)),
+                 x -> x.seg)"""), " ")).as("dedup_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), idx AS (
+        SELECT doc_id, words,
+               unnest(range(0, (len(words) + 15) // 16)) AS seg_idx
+        FROM docs
+      ), segs AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(
+                 words[seg_idx * 16 + 1 : seg_idx * 16 + 16], ' ') AS seg
+        FROM idx
+      ), hashed AS (
+        SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+               doc_id * 1048576 + seg_idx AS k
+        FROM segs
+      ), first AS (
+        SELECT h, min(k) AS keeper FROM hashed GROUP BY h
+      ), marked AS (
+        SELECT t.*, t.k = f.keeper AS kept
+        FROM hashed t JOIN first f USING (h)
+      )
+      SELECT doc_id,
+             count(*) AS n_segs,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN kept THEN len(string_split(seg, ' '))
+                           ELSE 0 END) AS BIGINT) AS kept_tokens,
+             md5(coalesce(array_to_string(
+               list(seg ORDER BY seg_idx) FILTER (WHERE kept),
+               ' '), '')) AS dedup_hash
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- URL normalization + dedup + domain caps (q93) -------------------
+
+  /** The fixture has no URL column, so a deterministic messy URL is
+    * derived from doc_id IN BOTH ENGINES (the q83 synthetic-PII
+    * pattern): scheme/WWW/case/utm/fragment noise all vary by doc_id
+    * residues, and the md5-derived 16-way domain bucket gives real
+    * collisions once normalized. Shared text, dialect-split only on the
+    * md5 cast. */
+  private def rawUrlSql(duck: Boolean): String = {
+    val str = if (duck) "VARCHAR" else "STRING"
+    s"""concat(
+       CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP'
+                       ELSE 'Https' END,
+       '://',
+       CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+       'Site-', substr(md5(concat('url:', CAST(doc_id AS $str))), 1, 1),
+       '.Example.COM',
+       '/a/', CAST(doc_id % 97 AS $str),
+       CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+       CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_medium=rss'
+                       WHEN 1 THEN '?ref=home&utm_campaign=x'
+                       WHEN 2 THEN '?id=1' ELSE '' END,
+       CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)"""
+  }
+
+  /** URL normalization as portable SQL over a `raw` column: strip
+    * fragment, lowercase scheme+host, drop a leading www., strip utm_*
+    * tracking params and the trailing separators they leave, strip
+    * trailing path slashes, re-assemble. Regexes stay in the RE2∩Java
+    * subset (q83 precedent); DuckDB regexp_replace needs the explicit
+    * 'g' flag where more than one hit is possible. */
+  private def normUrlSql(duck: Boolean): String = {
+    // Spark SQL string literals process backslash escapes, DuckDB's
+    // don't (the bpe sqlStr gotcha) — patterns are written as raw regex
+    // and doubled only for the Spark parser
+    def rr(e: String, pat: String, rep: String, global: Boolean = false) = {
+      val p = if (duck) pat else pat.replace("\\", "\\\\")
+      if (duck && global) s"regexp_replace($e, '$p', '$rep', 'g')"
+      else s"regexp_replace($e, '$p', '$rep')"
+    }
+    val noFrag = rr("raw", "#.*$", "")
+    val scheme = s"lower(split_part($noFrag, '://', 1))"
+    val rest = s"substr($noFrag, length(split_part($noFrag, '://', 1)) + 4)"
+    val host = rr(s"lower(split_part($rest, '/', 1))", "^www\\.", "")
+    val pathq = s"substr($rest, length(split_part($rest, '/', 1)) + 1)"
+    val path = rr(s"split_part($pathq, '?', 1)", "/+$", "")
+    val qs0 = s"""CASE WHEN instr($pathq, '?') > 0
+                  THEN substr($pathq, instr($pathq, '?') + 1) ELSE '' END"""
+    val qs1 = rr(qs0, "utm_[a-z]+=[^&]*&?", "", global = true)
+    val qs = rr(qs1, "&$", "")
+    s"""concat($scheme, '://', $host, $path,
+       CASE WHEN $qs <> '' THEN concat('?', $qs) ELSE '' END)"""
+  }
+
+  /** URL-level dedup + per-domain caps (extension op — stage 1 of every
+    * web-crawl curation pipeline, C4/RefinedWeb style): normalize messy
+    * URLs, keep min(doc_id) per normalized URL, then cap each domain at
+    * 5 documents chosen by an md5 priority (deterministic under any
+    * partitioning). The cap rank is a per-domain row_number window —
+    * bounded by per-domain survivor count; the report value-checks the
+    * capped selection via md5 over the kept doc_id list. 16 domain
+    * buckets keep the caps binding at every SF. */
+  val q93 = Q(
+    "q93_url_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val urls = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("raw", expr(rawUrlSql(duck = false)))
+        .withColumn("norm_url", expr(normUrlSql(duck = false)))
+        .withColumn(
+          "domain",
+          expr("split_part(split_part(norm_url, '://', 2), '/', 1)"))
+        .persistTracked()
+      val survivors = urls
+        .groupBy(col("norm_url"), col("domain"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("doc_id"))
+      val ranked = survivors.withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("domain"))
+            .orderBy(
+              md5(concat(lit("cap:"), col("doc_id").cast(StringType))),
+              col("doc_id"))))
+      ranked.groupBy(col("domain"))
+        .agg(
+          sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_unique_urls"),
+          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n_after_cap"),
+          md5(array_join(expr(
+            """transform(
+                 array_sort(collect_list(
+                   CASE WHEN rk <= 5 THEN doc_id END)),
+                 x -> cast(x as string))"""), ",")).as("kept_hash"))
+        .orderBy(col("domain"))
+    },
+    Some(s"""
+      WITH urls AS (
+        SELECT doc_id, ${rawUrlSql(duck = true)} AS raw FROM documents
+      ), normed AS (
+        SELECT doc_id, ${normUrlSql(duck = true)} AS norm_url FROM urls
+      ), dom AS (
+        SELECT doc_id, norm_url,
+               split_part(split_part(norm_url, '://', 2), '/', 1) AS domain
+        FROM normed
+      ), survivors AS (
+        SELECT norm_url, domain, count(*) AS n_copies,
+               min(doc_id) AS doc_id
+        FROM dom GROUP BY norm_url, domain
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY domain
+          ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM survivors
+      )
+      SELECT domain,
+             CAST(sum(n_copies) AS BIGINT) AS n_docs,
+             count(*) AS n_unique_urls,
+             CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_cap,
+             md5(array_to_string(
+               list_transform(
+                 list_sort(coalesce(
+                   list(doc_id) FILTER (WHERE rk <= 5), [])),
+                 x -> CAST(x AS VARCHAR)), ',')) AS kept_hash
+      FROM ranked GROUP BY domain ORDER BY domain"""))
+
+  /** BPE ENCODE (extension op): apply the q85-trained merges to the
+    * corpus and report per-doc whitespace vs BPE token counts — the
+    * tokenize step of the data loader, and the denominator every
+    * token-budget decision (q74, q89) actually runs on in production.
+    * Scale shape: encoding runs once per DISTINCT word (the vocabulary,
+    * not the corpus — same vocab-dedup trick as q29/q56), then a
+    * size-conditional broadcast join maps words back to docs; the merge
+    * application itself is the q85 left fold, 5 chained codegen'd
+    * projections. The oracle replays training AND encoding (v5 carries
+    * the word through all five list_reduce rounds). */
+  val q94 = Q(
+    "q94_bpe_encode",
+    (s, d) => {
+      val (_, vocab) = bpeTrain(s, d)
+      val enc = vocab
+        .select(col("w"), size(split(col("seq"), " ")).as("bpe_len"))
+      val words = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      words
+        .join(graft.operators.Hints.autoBroadcast(enc), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("ws_tokens"),
+          sum(col("bpe_len").cast(LongType)).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeWith(finalVocab = true) + s"""
+      , enc AS (
+        SELECT w, len(string_split(seq, ' ')) AS bpe_len FROM v$bpeRounds
+      ), words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+      SELECT doc_id, count(*) AS ws_tokens,
+             CAST(sum(e.bpe_len) AS BIGINT) AS bpe_tokens
+      FROM (SELECT * FROM words WHERE len(w) > 0) dw
+      JOIN enc e USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78, q82, q83, q84, q85, q89, q90)
+      q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94)
 }

@@ -325,5 +325,31 @@ object IngestJob {
       FROM documents
       ORDER BY shuf_pos"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79)
+  /** ORC round-trip (storage-format parity next to Parquet everywhere,
+    * CSV q17, JSONL q79): full events table → zlib ORC, sorted within
+    * partitions on the read key so ORC's min/max stripe statistics are
+    * selective, → read back, full-row compare against the original via
+    * the oracle. Exercises Spark's ORC writer/reader on every fixture
+    * type incl. the nanos-derived timestamp and DOUBLE values — any
+    * value mangled in either direction diffs. */
+  val q92 = Q(
+    "q92_orc_roundtrip",
+    (s, d) => {
+      val dir = tmp(s"events_orc_${d.replaceAll("[^0-9.]", "")}")
+      Tables.load(s, d, "events")
+        .sortWithinPartitions(col("event_id"))
+        .write.mode("overwrite").option("compression", "zlib").orc(dir)
+      s.read.orc(dir)
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("value"), col("props"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value, props
+      FROM events
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79, q92)
 }

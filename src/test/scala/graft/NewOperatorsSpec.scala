@@ -235,4 +235,69 @@ class NewOperatorsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_tokens") > 0)
     }
   }
+
+  test("q91 segment dedup: kept = distinct segments, per-doc bounds") {
+    val rows = graft.queries.Text.q91.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+      assert(r.getAs[Long]("n_segs") > 0)
+    }
+    // globally, exactly one survivor per distinct segment content
+    val distinctSegs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(explode(expr(
+        """transform(sequence(0, cast(ceil(size(words) / 16.0) as int) - 1),
+           g -> array_join(slice(words, g * 16 + 1, 16), ' '))"""))
+        .as("seg"))
+      .select(countDistinct(col("seg"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctSegs,
+      "sum of kept segments must equal the distinct segment count")
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_segs")),
+      "fixture should contain at least one duplicated segment")
+  }
+
+  test("q92 orc roundtrip: row count and key range preserved") {
+    val out = graft.sources.IngestJob.q92.run(spark, sf001)
+    val ev = Tables.load(spark, sf001, "events")
+    assert(out.count() == ev.count())
+    val (a, b) = (out.agg(min("event_id"), max("event_id")).head,
+      ev.agg(min("event_id"), max("event_id")).head)
+    assert(a == b)
+  }
+
+  test("q93 url dedup: caps bind, uniques bound docs, totals conserve") {
+    val rows = graft.queries.Text.q93.run(spark, sf001).collect()
+    assert(rows.length == 16, "md5 first nibble gives 16 domains")
+    val total = Tables.load(spark, sf001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val uniq = r.getAs[Long]("n_unique_urls")
+      assert(uniq <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_after_cap") == math.min(uniq, 5L),
+        "cap must keep exactly min(unique, 5)")
+    }
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_unique_urls") < r.getAs[Long]("n_docs")),
+      "normalization should merge at least one raw-URL variant pair")
+  }
+
+  test("q94 bpe encode: per-word token bounds vs whitespace tokens") {
+    val rows = graft.queries.Text.q94.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("ws_tokens")
+      val bpe = r.getAs[Long]("bpe_tokens")
+      // every word is at least 1 symbol; at most chars + </w> terminator
+      assert(bpe >= ws, s"bpe=$bpe < ws=$ws")
+    }
+    val chars = docs.select(sum(length(regexp_replace(col("text"), " ", ""))
+      .cast("long"))).collect().head.getLong(0)
+    val words = rows.map(_.getAs[Long]("ws_tokens")).sum
+    assert(rows.map(_.getAs[Long]("bpe_tokens")).sum <= chars + words,
+      "bpe tokens cannot exceed chars + one terminator per word")
+  }
 }
