@@ -181,5 +181,63 @@ object Curation {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q60, q71)
+  /** Corpus DATACARD (extension op): the per-(source, lang) summary table
+    * every released dataset ships — docs, tokens, chars, exact-duplicate
+    * rate, length distribution (min/median/max via exact integer
+    * percentile), and the short-doc share. One scan feeds a doc-level
+    * frame (with the dup flag from a hash-groupBy join), then a single
+    * grouped aggregate; everything integer-exact, the median over
+    * integer token counts interpolates in exact binary arithmetic (the
+    * q04 percentile discipline). */
+  val q96 = Q(
+    "q96_corpus_datacard",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"),
+          md5(col("text")).as("h"))
+        .persistTracked()
+      val dupGroups = docs.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      docs.join(dupGroups, Seq("h"))
+        .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+          min(col("toks")).as("min_toks"),
+          expr("percentile(toks, 0.5D)").as("med_toks"),
+          max(col("toks")).as("max_toks"),
+          sum(when(col("toks") < 50, 1L).otherwise(0L)).as("n_short"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               md5(text) AS h
+        FROM documents
+      ), dupg AS (
+        SELECT h, count(*) AS n_copies, min(doc_id) AS keeper
+        FROM docs GROUP BY h
+      )
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN d.doc_id <> g.keeper THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_dups,
+             min(toks) AS min_toks,
+             quantile_cont(toks, 0.5) AS med_toks,
+             max(toks) AS max_toks,
+             CAST(sum(CASE WHEN toks < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM docs d JOIN dupg g USING (h)
+      GROUP BY source, lang
+      ORDER BY source, lang"""))
+
+  val all: Seq[Q] = Seq(q60, q71, q96)
 }

@@ -1421,7 +1421,92 @@ object Text {
       JOIN enc e USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Bigram language-model quality scoring (extension op — the
+    * perplexity-filter shape of CCNet/Gopher, with the LM trained on the
+    * corpus itself): score each doc by the MEAN conditional bigram
+    * probability p(w2|w1) = c(w1 w2)/c(w1 ·). log/exp are not
+    * cross-engine-reproducible, so the score stays in probability space:
+    * each p is one IEEE division of two exact integer counts, and the
+    * per-doc sum is a SEQUENTIAL left fold in document position order
+    * (the §1.4-safe reduction; a native SUM over doubles would be
+    * order-dependent). Scale shape: one explode for bigram extraction,
+    * two vocabulary-sized count aggregates, size-conditional broadcast
+    * joins, one per-doc regroup — never quadratic, and the fold list is
+    * bounded by doc length. */
+  val q95 = Q(
+    "q95_lm_bigram_score",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .persistTracked()
+      val bigrams = toks
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            """CASE WHEN size(ws) >= 2
+               THEN transform(sequence(1, size(ws) - 1),
+                      i -> struct(element_at(ws, i) AS w1,
+                                  element_at(ws, i + 1) AS w2))
+               ELSE array() END""")))
+        .select(
+          col("doc_id"), col("pos"),
+          col("col.w1").as("w1"), col("col.w2").as("w2"))
+        .persistTracked()
+      // c1 counts bigram STARTS (doc-final tokens excluded), so each
+      // w1 group's conditional probabilities sum to exactly 1
+      val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(autoBroadcast(c2), Seq("w1", "w2"))
+        .join(autoBroadcast(c1), Seq("w1"))
+        .withColumn(
+          "p", col("c2").cast(DoubleType) / col("c1").cast(DoubleType))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          expr("""aggregate(
+                    transform(array_sort(collect_list(struct(pos, p))),
+                              x -> x.p),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sum_p"),
+          min(col("p")).as("min_p"))
+        .withColumn(
+          "mean_p", col("sum_p") / col("n_bigrams").cast(DoubleType))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("mean_p"), col("min_p"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), bigrams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 2
+                 THEN range(1, len(ws)) ELSE [] END) AS pos,
+               ws
+        FROM docs
+      ), bg AS (
+        SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM bigrams
+      ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+      ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      ), probs AS (
+        SELECT b.doc_id, b.pos,
+               CAST(t2.c2 AS DOUBLE) / CAST(t1.c1 AS DOUBLE) AS p
+        FROM bg b
+        JOIN c2 t2 ON b.w1 = t2.w1 AND b.w2 = t2.w2
+        JOIN c1 t1 ON b.w1 = t1.w1
+      )
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+               (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_p,
+             min(p) AS min_p
+      FROM probs GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94)
+      q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95)
 }

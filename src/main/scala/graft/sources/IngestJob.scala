@@ -351,5 +351,48 @@ object IngestJob {
       FROM events
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79, q92)
+  /** Parquet SCHEMA EVOLUTION (source-coverage op): two ingest batches
+    * with different schemas — the second adds a `quality` column, the
+    * way real pipelines grow columns mid-corpus — land in one dataset
+    * dir; `mergeSchema=true` reconciles them on read (old rows surface
+    * NULL for the new column) and the aggregate proves both batches and
+    * the null semantics survive. Scale note: schema merge is a
+    * footer-only operation (no data rewrite), which is exactly why it is
+    * the production pattern for evolving 100 TB tables in place. */
+  val q97 = Q(
+    "q97_schema_evolution",
+    (s, d) => {
+      val dir = tmp(s"documents_evo_${d.replaceAll("[^0-9.]", "")}")
+      val docs = Tables.load(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/batch=v1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$dir/batch=v2")
+      s.read.option("mergeSchema", true)
+        .parquet(s"$dir/batch=v1", s"$dir/batch=v2")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L))
+            .as("n_pre_evolution"),
+          sum(coalesce(col("quality"), lit(0L))).as("sum_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pre_evolution,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 100
+                           ELSE 0 END) AS BIGINT) AS sum_quality,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97)
 }

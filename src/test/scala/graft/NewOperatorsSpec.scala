@@ -300,4 +300,41 @@ class NewOperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("bpe_tokens")).sum <= chars + words,
       "bpe tokens cannot exceed chars + one terminator per word")
   }
+
+  test("q95 lm score: probabilities bounded, per-w1 conditionals sum to 1") {
+    val rows = graft.queries.Text.q95.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_p")
+      val lo = r.getAs[Double]("min_p")
+      assert(lo > 0.0 && lo <= 1.0, s"min_p $lo outside (0,1]")
+      assert(m >= lo - 1e-12 && m <= 1.0 + 1e-12,
+        s"mean_p $m outside [min_p, 1]")
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+    // the LM is a proper conditional distribution: for any w1,
+    // Σ_w2 p(w2|w1) = c1/c1 = 1 by construction (c1 counts bigram starts)
+  }
+
+  test("q96 datacard: totals conserve, median within min/max") {
+    val rows = graft.queries.Curation.q96.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val med = r.getAs[Double]("med_toks")
+      assert(med >= r.getAs[Long]("min_toks").toDouble &&
+        med <= r.getAs[Long]("max_toks").toDouble)
+      assert(r.getAs[Long]("n_exact_dups") < r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q97 schema evolution: old rows null-fill, batches both present") {
+    val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val pre = rows.map(_.getAs[Long]("n_pre_evolution")).sum
+    assert(pre == docs.filter(col("doc_id") % 2 === 0).count(),
+      "every v1-batch row must surface a NULL quality after the merge")
+    assert(pre > 0 && rows.map(_.getAs[Long]("n_docs")).sum > pre)
+  }
 }
