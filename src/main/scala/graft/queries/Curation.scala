@@ -239,5 +239,64 @@ object Curation {
       GROUP BY source, lang
       ORDER BY source, lang"""))
 
-  val all: Seq[Q] = Seq(q60, q71, q96)
+  /** Corpus VERSION DIFF (extension op): classify every document across
+    * two corpus releases as added / removed / changed / unchanged — the
+    * audit every dataset re-release ships (and the input to incremental
+    * training-data refreshes). Versions are deterministic synthetic
+    * slices of the fixture (v1 drops doc_id%7=0, v2 drops doc_id%5=0 and
+    * rewrites text for doc_id%3=0), built identically in both engines;
+    * the diff itself is ONE full-outer join on doc_id plus md5 content
+    * compare — the scale shape for diffing two 100 TB snapshots (no
+    * content shuffle: hashes travel, text stays columnar-pruned). The
+    * per-class report value-checks membership via exact integer
+    * sum(doc_id). */
+  val q99 = Q(
+    "q99_corpus_diff",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(
+          col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn(
+          "status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0
+      ), v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                        ELSE text END) AS h2
+        FROM documents WHERE doc_id % 5 <> 0
+      ), joined AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      )
+      SELECT CASE WHEN h1 IS NULL THEN 'added'
+                  WHEN h2 IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      FROM joined
+      GROUP BY status
+      ORDER BY status"""))
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99)
 }

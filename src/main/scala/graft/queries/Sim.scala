@@ -709,5 +709,56 @@ object Sim {
     },
     Some(pqOracle))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86)
+  /** Johnson–Lindenstrauss RANDOM PROJECTION (extension op): 64-d → 16-d
+    * with an Achlioptas ±1 sign matrix (Achlioptas JCSS'03 — database-
+    * friendly projections; ±1 entries preserve pairwise distances in
+    * expectation like Gaussians but need only integer signs). Signs are
+    * md5-derived so BOTH engines build the identical matrix; the
+    * projection y_j = 0.25 · Σ_i s_ji·v_i runs through [[VecDot]] — the
+    * same codegen'd sequential fold as the oracle's list_reduce, so
+    * every double is bit-exact. Plan: the 16-row sign table is built
+    * once and broadcast; the corpus is scanned once; output is long-form
+    * (vec_id, dim, value) — the standard pre-ANN dimensionality cut that
+    * turns a 100 TB embedding store into a quarter of itself. */
+  val q98 = Q(
+    "q98_random_projection",
+    (s, d) => {
+      val signs = s.range(0, 16).toDF("dim")
+        .withColumn("signs", expr(
+          """transform(sequence(1, 64),
+               i -> CASE WHEN instr('01234567', substr(
+                      md5(concat('rp:', cast(dim AS STRING), ':',
+                                 cast(i AS STRING))), 1, 1)) > 0
+                    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+                    END)"""))
+      emb(s, d)
+        .select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(signs))
+        .select(
+          col("vec_id"), col("dim"),
+          (VecDot.dot(col("v"), col("signs")) * lit(0.25)).as("value"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some("""
+      WITH signs AS (
+        SELECT j AS dim,
+               list_transform(range(1, 65),
+                 i -> CASE WHEN instr('01234567', substr(
+                        md5('rp:' || CAST(j AS VARCHAR) || ':' ||
+                            CAST(i AS VARCHAR)), 1, 1)) > 0
+                      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+                      END) AS sg
+        FROM range(0, 16) t(j)
+      ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      )
+      SELECT vec_id, dim,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> v[i] * sg[i])),
+               (a, b) -> a + b) * 0.25 AS value
+      FROM vecs, signs
+      ORDER BY vec_id, dim"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98)
 }

@@ -328,6 +328,45 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q98 random projection: shape, and JL norm concentration") {
+    val rows = graft.queries.Sim.q98.run(spark, sf001).collect()
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val n = vecs.count()
+    assert(rows.length == 16 * n, "16 projected dims per vector")
+    // JL: projected squared norm concentrates around the original;
+    // with 16 dims the bound is loose, so assert a generous envelope
+    // for the overwhelming majority of vectors
+    val projN2 = rows.groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => math.pow(r.getAs[Double]("value"), 2)).sum
+      }
+    val origN2 = vecs
+      .select(col("vec_id"),
+        graft.functions.VecDot.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("n2"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("n2"))
+      .toMap
+    val ratios = projN2.map { case (id, p) => p / origN2(id) }
+    val inEnvelope = ratios.count(r => r > 0.2 && r < 5.0)
+    assert(inEnvelope.toDouble / ratios.size > 0.9,
+      s"only $inEnvelope/${ratios.size} vectors inside the JL envelope")
+  }
+
+  test("q99 corpus diff: classes match the version definitions") {
+    val rows = graft.queries.Curation.q99.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    val ids = Tables.load(spark, sf001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def cnt(p: Long => Boolean) = ids.count(p).toLong
+    assert(rows("added") == cnt(id => id % 7 == 0 && id % 5 != 0))
+    assert(rows("removed") == cnt(id => id % 7 != 0 && id % 5 == 0))
+    assert(rows("changed") ==
+      cnt(id => id % 7 != 0 && id % 5 != 0 && id % 3 == 0))
+    assert(rows("unchanged") ==
+      cnt(id => id % 7 != 0 && id % 5 != 0 && id % 3 != 0))
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
