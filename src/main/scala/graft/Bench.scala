@@ -116,8 +116,11 @@ object Bench {
           "q01_agg_by_type", "q02_rollup_month",
           "q03_yoy_window", "q04_topn_percentiles",
           // dedup-suite scale representatives: one shuffle-on-hash exact
-          // dedup, one full LSH pipeline (shingle→minhash→band→verify)
-          "q20_dedup_exact", "q24_minhash_lsh")
+          // dedup, one full LSH pipeline (shingle→minhash→band→verify),
+          // plus the segment-granular substring dedup and the bigram-LM
+          // scorer (explode-heavy text-pipeline shapes)
+          "q20_dedup_exact", "q24_minhash_lsh",
+          "q91_segment_dedup", "q95_lm_bigram_score")
         val sj = core.map { name =>
           val fn = SparkEntry.queries(name)
           val ts = (1 to runs).map { _ =>

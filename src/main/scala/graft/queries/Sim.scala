@@ -659,25 +659,34 @@ object Sim {
     (s, d) => {
       import s.implicits._
       val vs = graft.operators.Kmeans.vecs(s, d).persistTracked()
-      val parts = (0 until PqM).map { j =>
-        val sj = vs.select(
-          col("vec_id"),
-          slice(col("v"), j * PqSub + 1, PqSub).as("v"),
-          slice(col("vi"), j * PqSub + 1, PqSub).as("vi"))
-        val seed = sj.filter(col("vec_id") < PqK)
-          .select(
-            col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
-        // one Lloyd round per subspace; k×16 doubles collected and
-        // re-broadcast (flat lineage, the q59 shape)
-        val trained = graft.operators.Kmeans
-          .update(graft.operators.Kmeans.assign(sj, seed))
-          .select(col("cid"), col("cv"))
-          .as[(Int, Seq[Double])].collect().sortBy(_._1)
-        val cent = trained.toSeq.toDF("cid", "cv")
-        val codes = graft.operators.Kmeans.assign(sj, cent)
-          .select(col("vec_id"), lit(j).as("j"), col("cluster").as("code"))
-        (codes, cent.withColumn("j", lit(j)))
-      }
+      // the four subspace trainings are independent — their collect()
+      // jobs run concurrently from driver futures (Spark schedules all
+      // four over the executor pool) instead of serializing 4 round-trips
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val parts = Await.result(
+        Future.sequence((0 until PqM).map { j => Future {
+          val sj = vs.select(
+            col("vec_id"),
+            slice(col("v"), j * PqSub + 1, PqSub).as("v"),
+            slice(col("vi"), j * PqSub + 1, PqSub).as("vi"))
+          val seed = sj.filter(col("vec_id") < PqK)
+            .select(
+              col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+          // one Lloyd round per subspace; k×16 doubles collected and
+          // re-broadcast (flat lineage, the q59 shape)
+          val trained = graft.operators.Kmeans
+            .update(graft.operators.Kmeans.assign(sj, seed))
+            .select(col("cid"), col("cv"))
+            .as[(Int, Seq[Double])].collect().sortBy(_._1)
+          val cent = trained.toSeq.toDF("cid", "cv")
+          val codes = graft.operators.Kmeans.assign(sj, cent)
+            .select(
+              col("vec_id"), lit(j).as("j"), col("cluster").as("code"))
+          (codes, cent.withColumn("j", lit(j)))
+        }}),
+        Duration.Inf)
       val codes = parts.map(_._1).reduce(_ unionByName _)
       val cents = parts.map(_._2).reduce(_ unionByName _)
       val qsub = (0 until PqM).map { j =>
