@@ -389,5 +389,89 @@ object Olap {
       FROM layouts GROUP BY layout, bucket ORDER BY layout, bucket"""
     })
 
-  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55, q80, q81)
+  /** Explicit GROUPING SETS — the general form q46's ROLLUP and q50's
+    * CUBE are sugar over: a hand-picked lattice ((pri, yr), (pri), ())
+    * that computes exactly the three aggregation levels a report needs
+    * and nothing else (CUBE would add the (yr) level nobody asked for —
+    * at 100 TB each extra grouping set is another full map-side
+    * aggregate). Spark plans one Expand + one aggregate, same as
+    * rollup/cube; grouping_id disambiguates levels in the output. */
+  val q100 = Q(
+    "q100_grouping_sets",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("pri", col("o_orderpriority"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupingSets(
+          Seq(Seq(col("pri"), col("yr")), Seq(col("pri")), Seq()),
+          col("pri"), col("yr"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("total"),
+          grouping_id(col("pri"), col("yr")).as("gid"))
+        .orderBy(
+          col("gid"),
+          coalesce(col("pri"), lit("")),
+          coalesce(col("yr"), lit(-1))),
+    Some(s"""
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             count(*) AS n,
+             ${Det.dsumSql("o_totalprice")} AS total,
+             CAST(grouping(pri) * 2 + grouping(yr) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((pri, yr), (pri), ())
+      ORDER BY gid, coalesce(pri, ''), coalesce(yr, -1)"""))
+
+  /** The remaining ANSI window functions q49 leaves out: lead,
+    * percent_rank, cume_dist, nth_value, last_value. percent_rank and
+    * cume_dist are ratios of integer ranks — one IEEE division of
+    * identical operands per row, bit-exact cross-engine; nth_value and
+    * last_value run over the explicit full-partition frame so both
+    * engines see the same (ANSI default frames differ in subtle ways —
+    * pin it). Every ordering carries a full tiebreak. */
+  val q101 = Q(
+    "q101_window_extras",
+    (s, d) => {
+      val yearly = Tables.load(s, d, "orders")
+        .groupBy(
+          col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"))
+      val wy = Window.partitionBy(col("pri")).orderBy(col("yr"))
+      val wn = Window.partitionBy(col("pri")).orderBy(col("n"), col("yr"))
+      val wrFull = Window.partitionBy(col("pri"))
+        .orderBy(col("n").desc, col("yr"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      yearly.select(
+        col("pri"), col("yr"), col("n"),
+        lead(col("n"), 1).over(wy).as("next_n"),
+        percent_rank().over(wn).as("pct_rank"),
+        cume_dist().over(wn).as("cume"),
+        nth_value(col("yr"), 2).over(wrFull).as("second_best_yr"),
+        last(col("yr")).over(wrFull).as("worst_yr"))
+        .orderBy(col("pri"), col("yr"))
+    },
+    Some("""
+      WITH yearly AS (
+        SELECT o_orderpriority AS pri,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               count(*) AS n
+        FROM orders GROUP BY pri, yr
+      )
+      SELECT pri, yr, n,
+             lead(n, 1) OVER wy AS next_n,
+             percent_rank() OVER wn AS pct_rank,
+             cume_dist() OVER wn AS cume,
+             nth_value(yr, 2) OVER wr AS second_best_yr,
+             last_value(yr) OVER wr AS worst_yr
+      FROM yearly
+      WINDOW wy AS (PARTITION BY pri ORDER BY yr),
+             wn AS (PARTITION BY pri ORDER BY n, yr),
+             wr AS (PARTITION BY pri ORDER BY n DESC, yr
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+      ORDER BY pri, yr"""))
+
+  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101)
 }

@@ -367,6 +367,37 @@ class NewOperatorsSpec extends SparkSpec {
       cnt(id => id % 7 != 0 && id % 5 != 0 && id % 3 != 0))
   }
 
+  test("q100 grouping sets: per-level counts reconcile to the table") {
+    val rows = graft.queries.Olap.q100.run(spark, sf001).collect()
+    val total = Tables.load(spark, sf001, "orders").count()
+    // each grouping level partitions the table, so its n's sum to total
+    Seq(0L, 1L, 3L).foreach { gid =>
+      val level = rows.filter(_.getAs[Long]("gid") == gid)
+      assert(level.nonEmpty, s"grouping level $gid missing")
+      assert(level.map(_.getAs[Long]("n")).sum == total,
+        s"level $gid does not partition the table")
+    }
+    assert(rows.map(_.getAs[Long]("gid")).distinct.sorted.toSeq ==
+      Seq(0L, 1L, 3L), "exactly the three requested lattice levels")
+  }
+
+  test("q101 window extras: rank ratios bounded, frames deterministic") {
+    val rows = graft.queries.Olap.q101.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pct_rank")
+      val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+      assert(pr <= cd + 1e-12, "percent_rank cannot exceed cume_dist")
+    }
+    // per partition: exactly one best year; second_best consistent
+    rows.groupBy(_.getAs[String]("pri")).foreach { case (_, ps) =>
+      assert(ps.map(_.getAs[Int]("worst_yr")).distinct.length == 1,
+        "full-frame last_value must be constant within a partition")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
