@@ -473,5 +473,104 @@ object Olap {
                     AND UNBOUNDED FOLLOWING)
       ORDER BY pri, yr"""))
 
-  val all: Seq[Q] = Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101)
+  /** Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): a
+    * calendar dimension generated by bounded integer recursion, left-joined
+    * to the monthly order counts so gap months surface as zero — the
+    * classic series-densification query no plain SELECT can express.
+    * Same-SQL-text form (like q37): Spark executes the oracle string
+    * verbatim, so the differential check covers Spark's recursion
+    * execution itself. Scale: recursion depth is a constant 80 (bounded
+    * by the calendar, not the data); the fact side is one
+    * map-side-combined aggregate, and the 80-row calendar broadcasts. */
+  private val q102Sql = """
+      WITH RECURSIVE k(i) AS (
+        SELECT 0
+        UNION ALL
+        SELECT i + 1 FROM k WHERE i < 79
+      ), cal AS (
+        SELECT make_date(1995 + CAST((i - (i % 12)) / 12 AS INTEGER),
+                         1 + i % 12, 1) AS month_start
+        FROM k
+      ), m AS (
+        SELECT make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+      )
+      SELECT cal.month_start AS month_start,
+             coalesce(m.n_orders, CAST(0 AS BIGINT)) AS n_orders
+      FROM cal LEFT JOIN m ON cal.month_start = m.month_start
+      ORDER BY month_start"""
+
+  val q102 = Q(
+    "q102_recursive_cte",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(q102Sql)
+    },
+    Some(q102Sql))
+
+  /** Wide-to-long UNPIVOT (Dataset.unpivot): per-priority metric columns
+    * melted into (metric, value) rows — the reshape every metrics export
+    * needs. All value columns are cast to DOUBLE first (unpivot requires
+    * a common type; the totals ride the exact Det.dsum decimal path
+    * before the final cast). The oracle replays the melt as a 3-way
+    * UNION ALL over one CTE — semantically what unpivot is. Scale: the
+    * aggregate is one shuffle; the melt is a per-row projection. */
+  val q103 = Q(
+    "q103_unpivot",
+    (s, d) => {
+      val wide = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"),
+          max(col("o_totalprice")).cast(DoubleType).as("max_price"))
+      wide.unpivot(
+        Array(col("pri")),
+        Array(col("n_orders"), col("total_price"), col("max_price")),
+        "metric", "value")
+        .orderBy(col("pri"), col("metric"))
+    },
+    Some(s"""
+      WITH wide AS (
+        SELECT o_orderpriority AS pri,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               ${Det.dsumSql("o_totalprice")} AS total_price,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders GROUP BY pri
+      )
+      SELECT pri, 'n_orders' AS metric, n_orders AS value FROM wide
+      UNION ALL SELECT pri, 'total_price', total_price FROM wide
+      UNION ALL SELECT pri, 'max_price', max_price FROM wide
+      ORDER BY pri, metric"""))
+
+  /** Generator / LATERAL VIEW surface: posexplode over the token array,
+    * emitting (pos, tok) rows — the explode operator made an explicit
+    * registry entry (q42/q56 use it internally). The array is sliced to
+    * the first 3 tokens BEFORE the generate, so the row explosion is
+    * bounded per document regardless of document length — at 100 TB the
+    * generate fans out 3 rows/doc, not len(doc). The oracle indexes the
+    * list positionally (toks[1..3]) — same semantics without a lateral
+    * join. */
+  val q105 = Q(
+    "q105_lateral_explode",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("toks", slice(split(col("text"), " "), 1, 3))
+        .select(
+          col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      )
+      SELECT doc_id, 0 AS pos, toks[1] AS tok FROM t WHERE len(toks) >= 1
+      UNION ALL SELECT doc_id, 1, toks[2] FROM t WHERE len(toks) >= 2
+      UNION ALL SELECT doc_id, 2, toks[3] FROM t WHERE len(toks) >= 3
+      ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] =
+    Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105)
 }

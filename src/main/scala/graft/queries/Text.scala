@@ -1506,7 +1506,140 @@ object Text {
              min(p) AS min_p
       FROM probs GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
+    * heuristic suite every pretraining corpus pass applies before model
+    * scoring): word-count bounds, mean word length window, symbol-to-word
+    * ratio (# and ellipsis), bullet-/ellipsis-line ratios, minimum
+    * stopword hits, and alphabetic-word ratio — all pure column programs
+    * over bound token/line arrays (one scan, no shuffle, codegen'd
+    * projections; the sort is for the deterministic compare only).
+    * Determinism: every ratio is an IEEE division of exact integer
+    * counts, so both engines compare identical doubles against the
+    * thresholds. Tokens bind once (`toks`/`lines` columns) — inlining
+    * split() into each HOF lambda re-tokenizes per metric. */
+  val q104 = Q(
+    "q104_gopher_rules",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("lines", split(col("text"), "\n"))
+        .withColumn(
+          "toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("n_words", size(col("toks")).cast(LongType))
+        .withColumn(
+          "sum_len",
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))"))
+        .withColumn(
+          "n_hash",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "#", ""))).cast(LongType))
+        .withColumn(
+          "n_ellipsis",
+          ((length(col("text")) -
+            length(expr("replace(text, '...', '')"))) / 3).cast(LongType))
+        .withColumn("n_lines", size(col("lines")).cast(LongType))
+        .withColumn(
+          "bullet_lines",
+          expr("size(filter(lines, l -> startswith(l, '-') " +
+            "OR startswith(l, '*') OR startswith(l, '•')))")
+            .cast(LongType))
+        .withColumn(
+          "ellipsis_lines",
+          expr("size(filter(lines, l -> endswith(l, '...')))")
+            .cast(LongType))
+        .withColumn(
+          "stop_hits",
+          expr("size(filter(array('the','a','to','of','and','that'," +
+            "'have','with'), sw -> array_contains(toks, sw)))")
+            .cast(LongType))
+        .withColumn(
+          "alpha_words",
+          expr("size(filter(toks, w -> w rlike '[a-zA-Z]'))")
+            .cast(LongType))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(col("sum_len").cast(DoubleType) / col("n_words"))
+            .as("mean_word_len"),
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(
+              (col("n_hash") + col("n_ellipsis")).cast(DoubleType) /
+                col("n_words"))
+            .as("symbol_ratio"),
+          (col("bullet_lines").cast(DoubleType) / col("n_lines"))
+            .as("bullet_ratio"),
+          (col("ellipsis_lines").cast(DoubleType) / col("n_lines"))
+            .as("ellipsis_ratio"),
+          col("stop_hits"),
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(
+              col("alpha_words").cast(DoubleType) / col("n_words"))
+            .as("alpha_ratio"))
+        .withColumn(
+          "keep",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") < 0.1 &&
+            col("bullet_ratio") <= 0.9 &&
+            col("ellipsis_ratio") <= 0.3 &&
+            col("stop_hits") >= 2 &&
+            col("alpha_ratio") > 0.8)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      ), m AS (
+        SELECT doc_id,
+          len(toks) AS n_words,
+          CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                 (a, x) -> a + x) AS BIGINT) AS sum_len,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+            AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3
+            AS BIGINT) AS n_ellipsis,
+          len(lines) AS n_lines,
+          len(list_filter(lines, l -> starts_with(l, '-')
+            OR starts_with(l, '*') OR starts_with(l, chr(8226))))
+            AS bullet_lines,
+          len(list_filter(lines, l -> ends_with(l, '...')))
+            AS ellipsis_lines,
+          len(list_filter(['the','a','to','of','and','that','have','with'],
+            sw -> list_contains(toks, sw))) AS stop_hits,
+          len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+            AS alpha_words
+        FROM t
+      ), r AS (
+        SELECT doc_id, n_words,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(n_hash + n_ellipsis AS DOUBLE) / n_words END
+            AS symbol_ratio,
+          CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_ratio,
+          CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_ratio,
+          stop_hits,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(alpha_words AS DOUBLE) / n_words END AS alpha_ratio
+        FROM m
+      )
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+             ellipsis_ratio, stop_hits, alpha_ratio,
+             (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND symbol_ratio < 0.1
+              AND bullet_ratio <= 0.9
+              AND ellipsis_ratio <= 0.3
+              AND stop_hits >= 2
+              AND alpha_ratio > 0.8) AS keep
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
-      q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95)
+      q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
+      q104)
 }

@@ -398,6 +398,69 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q102 recursive cte: dense 80-month calendar conserves the total") {
+    val rows = graft.queries.Olap.q102.run(spark, sf001).collect()
+    assert(rows.length == 80, "calendar must be dense: 1995-01..2001-08")
+    val months = rows.map(_.getAs[java.sql.Date]("month_start").toLocalDate)
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a.plusMonths(1) == b, s"gap in calendar between $a and $b")
+    }
+    val total = Tables.load(spark, sf001, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total,
+      "left join must conserve the order count across months")
+  }
+
+  test("q103 unpivot: 3 metrics per priority, counts melt losslessly") {
+    val rows = graft.queries.Olap.q103.run(spark, sf001).collect()
+    val byPri = rows.groupBy(_.getAs[String]("pri"))
+    byPri.foreach { case (pri, ms) =>
+      assert(ms.map(_.getAs[String]("metric")).sorted.toSeq ==
+        Seq("max_price", "n_orders", "total_price"),
+        s"priority $pri missing a melted metric")
+    }
+    val total = Tables.load(spark, sf001, "orders").count()
+    val meltedN = rows.filter(_.getAs[String]("metric") == "n_orders")
+      .map(_.getAs[Double]("value")).sum
+    assert(meltedN == total.toDouble, "melted n_orders must sum to |orders|")
+  }
+
+  test("q104 gopher rules: keep is exactly the conjunction of thresholds") {
+    val rows = graft.queries.Text.q104.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")),
+      "fixture must exercise both sides of the filter")
+    rows.foreach { r =>
+      val expect = {
+        val n = r.getAs[Long]("n_words")
+        n >= 50 && n <= 100000 &&
+          r.getAs[Double]("mean_word_len") >= 3.0 &&
+          r.getAs[Double]("mean_word_len") <= 10.0 &&
+          r.getAs[Double]("symbol_ratio") < 0.1 &&
+          r.getAs[Double]("bullet_ratio") <= 0.9 &&
+          r.getAs[Double]("ellipsis_ratio") <= 0.3 &&
+          r.getAs[Long]("stop_hits") >= 2 &&
+          r.getAs[Double]("alpha_ratio") > 0.8
+      }
+      assert(r.getAs[Boolean]("keep") == expect,
+        s"keep mismatch for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("alpha_ratio") >= 0.0 &&
+        r.getAs[Double]("alpha_ratio") <= 1.0)
+    }
+  }
+
+  test("q105 lateral explode: exactly first-3 positions per document") {
+    val rows = graft.queries.Olap.q105.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(rows.length == 3 * docs.count(),
+      "every fixture doc has >= 3 tokens, so 3 rows each")
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ps) =>
+      assert(ps.map(_.getAs[Int]("pos")).sorted.toSeq == Seq(0, 1, 2),
+        s"doc $id positions not 0,1,2")
+      ps.foreach(p => assert(p.getAs[String]("tok").nonEmpty))
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
