@@ -606,9 +606,11 @@ object Text {
     (s, d) => {
       val toks = Tables.load(s, d, "documents")
         .select(split(col("text"), " ").as("t"))
-      val uni = toks.select(explode(col("t")).as("w")).persistTracked()
-      val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val tot = uni.agg(count(lit(1)).as("n"))
+      val ucnt = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw")).persistTracked()
+      // total token count = sum of the per-word counts: one vocab-sized
+      // re-aggregate instead of a second corpus-wide explode+count
+      val tot = ucnt.agg(sum(col("cw")).as("n"))
       val bcnt = toks.select(explode(expr(
           """CASE WHEN size(t) >= 2 THEN
             |  transform(sequence(1, size(t) - 1),
