@@ -369,6 +369,42 @@ object Text {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Semi-structured columns via VARIANT (new in Spark 4): the props
+    * payload parses ONCE into the binary variant encoding, then typed
+    * paths extract without per-access string re-parsing — the engine-level
+    * upgrade over q66's get_json_object string path (at 100 TB a variant
+    * column shreds, prunes, and stays inside codegen; a JSON string
+    * re-tokenizes per extraction). Downstream the extracted value feeds
+    * predicates and aggregates like any typed column. The oracle shreds
+    * the same payloads with DuckDB's JSON reader — two engines, two
+    * binary JSON encodings, identical typed results. */
+  val q106 = Q(
+    "q106_variant_shred",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") % 2 === 0, 1)).as("n_even"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(k) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             count(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even,
+             max(k) AS max_k
+      FROM (SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Weighted corpus mixing (extension op T8): per-source sampling rates
     * (src0 1/2, src1 1/4, src2 1/8, rest kept whole) applied with the
     * same deterministic content-hash buckets as q54 — the mixture-weights
@@ -1643,5 +1679,5 @@ object Text {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104)
+      q104, q106)
 }

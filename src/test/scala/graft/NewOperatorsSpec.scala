@@ -461,6 +461,23 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q106 variant: typed extraction agrees with the string-JSON path") {
+    val variant = graft.queries.Text.q106.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_k")))
+      .toMap
+    // q66 extracts the same $.k via get_json_object — the two engine
+    // paths (binary variant vs string re-parse) must shred identically
+    val str = graft.queries.Text.q66.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_k")))
+      .toMap
+    assert(variant.keySet == str.keySet)
+    variant.foreach { case (et, nv) =>
+      assert(nv == str(et), s"variant vs string mismatch for $et")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
