@@ -298,5 +298,60 @@ object Curation {
       GROUP BY status
       ORDER BY status"""))
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99)
+  /** MERGE / upsert applied Spark-first (the Delta-Lake MERGE INTO shape
+    * without a table format): a revision batch — updates for doc_id%7==0
+    * (text gains a " v2" suffix) plus inserts keyed above the corpus id
+    * range for doc_id%97==0 — lands on the corpus as
+    * anti-join(base, batch) ∪ batch. That is exactly what a MERGE
+    * rewrites to on any engine: unmatched base rows pass through,
+    * matched rows take the batch version, unmatched batch rows append.
+    * Scale: one equi-join shuffle on the key (broadcast when the batch
+    * is small — Hints.autoBroadcast decides from the size estimate);
+    * no driver-side row handling. Output fingerprints content as md5 so
+    * the oracle value-checks every merged row, not just counts. */
+  val q107 = Q(
+    "q107_upsert_merge",
+    (s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val batch = base.filter(col("doc_id") % 7 === 0)
+        .select(
+          col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("update").as("op"))
+        .unionByName(
+          base.filter(col("doc_id") % 97 === 0)
+            .select(
+              (col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(lit("new doc "), col("doc_id").cast(StringType))
+                .as("text"),
+              lit("insert").as("op")))
+      val untouched = base
+        .join(
+          graft.operators.Hints.autoBroadcast(batch.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"), lit("carry").as("op"))
+      untouched.unionByName(batch)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"), col("op"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+      ), batch AS (
+        SELECT doc_id, text || ' v2' AS text, 'update' AS op
+        FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+               'insert'
+        FROM base WHERE doc_id % 97 = 0
+      ), merged AS (
+        SELECT b.doc_id, b.text, 'carry' AS op FROM base b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM batch)
+        UNION ALL
+        SELECT doc_id, text, op FROM batch
+      )
+      SELECT doc_id, md5(text) AS content_md5, op FROM merged
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107)
 }

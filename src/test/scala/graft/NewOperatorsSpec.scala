@@ -478,6 +478,25 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q107 upsert: keys unique, updates replace, inserts append") {
+    val rows = graft.queries.Curation.q107.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count()
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "merge must keep keys unique")
+    val byOp = rows.groupBy(_.getAs[String]("op")).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val nUpd = docs.filter(col("doc_id") % 7 === 0).count()
+    val nIns = docs.filter(col("doc_id") % 97 === 0).count()
+    assert(byOp("update") == nUpd && byOp("insert") == nIns)
+    assert(byOp("carry") == n - nUpd, "untouched rows must pass through")
+    assert(rows.length == n + nIns, "merge cardinality: base + inserts")
+    // every inserted key sits above the corpus id range
+    rows.filter(_.getAs[String]("op") == "insert")
+      .foreach(r => assert(r.getAs[Long]("doc_id") >= 1000000L))
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
