@@ -290,5 +290,96 @@ object EventStream {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53)
+  /** Ordered conversion funnel (the ClickHouse windowFunnel capability,
+    * re-expressed relationally): per user, the first view, the first
+    * click strictly after it, the first purchase strictly after that —
+    * each stage a keyed min-aggregate joined to the previous stage's
+    * timestamps, so the sequence constraint is a per-row comparison, not
+    * a per-user event sort. Scale: three filtered aggregates shuffling
+    * on user_id (AQE broadcasts the shrinking stage frames); no
+    * collect_list of a user's history anywhere — state per user is one
+    * timestamp per stage. */
+  val q108 = Q(
+    "q108_funnel",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(graft.operators.Hints.autoBroadcast(s1), Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(graft.operators.Hints.autoBroadcast(s2), Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        GROUP BY e.user_id
+      )
+      SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT '2_click', count(*) FROM s2
+      UNION ALL SELECT '3_purchase', count(*) FROM s3
+      ORDER BY stage"""))
+
+  /** Cohort retention (the ClickHouse retention capability): users are
+    * cohorted by first-activity day, and each (cohort week, week offset)
+    * cell counts the distinct users active that many weeks after their
+    * cohort start. All derivations are integer day arithmetic (datediff
+    * div 7) — no doubles anywhere. Scale: one aggregate for the cohort
+    * anchors, one join back on user_id (size-conditional broadcast of
+    * the per-user anchor frame), one distinct-count shuffle keyed by the
+    * (cohort, offset) cell. */
+  val q109 = Q(
+    "q109_retention",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val anchors = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day0"))
+      ev.join(graft.operators.Hints.autoBroadcast(anchors), Seq("user_id"))
+        .select(
+          col("user_id"),
+          expr("datediff(day0, date'2024-01-01') div 7")
+            .as("cohort_week"),
+          expr("datediff(day, day0) div 7").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      ), anchors AS (
+        SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id
+      )
+      SELECT date_diff('day', DATE '2024-01-01', a.day0) // 7
+               AS cohort_week,
+             date_diff('day', a.day0, e.day) // 7 AS week_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM ev e JOIN anchors a ON a.user_id = e.user_id
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""))
+
+  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109)
 }

@@ -497,6 +497,33 @@ class NewOperatorsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Long]("doc_id") >= 1000000L))
   }
 
+  test("q108 funnel: stage populations are monotone non-increasing") {
+    val rows = EventStream.q108.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view") >= rows("2_click"),
+      "a user cannot click-after-view without a view")
+    assert(rows("2_click") >= rows("3_purchase"),
+      "a user cannot purchase-after-click without the click")
+    assert(rows("1_view") > 0, "fixture must have viewers")
+  }
+
+  test("q109 retention: week-0 cells cover every user exactly once") {
+    val rows = EventStream.q109.run(spark, sf001).collect()
+    val ev = Tables.load(spark, sf001, "events")
+    val totalUsers = ev.select(col("user_id")).distinct().count()
+    // every user is active in their own cohort week (their first event),
+    // so the offset-0 cells partition the user population
+    val week0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(week0 == totalUsers, "offset-0 must cover all users")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L,
+        "activity cannot precede the cohort anchor")
+      assert(r.getAs[Long]("n_users") > 0L)
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
