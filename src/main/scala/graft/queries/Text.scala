@@ -1676,8 +1676,162 @@ object Text {
               AND alpha_ratio > 0.8) AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** Tokenizer vocabulary coverage / OOV-rate profile: rank the corpus
+    * vocabulary by total occurrences (full tiebreak on the token), keep
+    * the top 20 as the "tokenizer vocab", and report per source how much
+    * of its token mass falls outside it — the coverage check run before
+    * committing to a vocab size. Scale: the vocabulary aggregate is one
+    * map-side-combined shuffle; the membership probe is a left join
+    * against the (tiny, size-conditionally broadcast) vocab; per-source
+    * rollup is a second combineable aggregate. */
+  val q110 = Q(
+    "q110_oov_rate",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("in_vocab"))
+      toks
+        .join(graft.operators.Hints.autoBroadcast(vocab),
+          Seq("w"), "left_outer")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .select(
+          col("source"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast(DoubleType) / col("n_tokens")).as("oov_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ), vocab AS (
+        SELECT w, 1 AS in_vocab FROM (
+          SELECT w, count(*) AS cnt FROM toks GROUP BY w
+          ORDER BY cnt DESC, w LIMIT 20)
+      )
+      SELECT t.source AS source,
+             count(*) AS n_tokens,
+             count(CASE WHEN v.in_vocab IS NULL THEN 1 END) AS n_oov,
+             CAST(count(CASE WHEN v.in_vocab IS NULL THEN 1 END) AS DOUBLE)
+               / count(*) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON v.w = t.w
+      GROUP BY t.source ORDER BY t.source"""))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+    * power iteration over the undirected word co-occurrence graph
+    * (adjacent-token edges, weights = co-occurrence counts). Three
+    * unrolled rounds in FIXED-POINT integer arithmetic (scale 2^20,
+    * damping 0.85 as *85 div 100) — integer sums are order-independent,
+    * so both engines reach bit-identical ranks no matter how the
+    * contribution sum is partitioned (the q59 k-means determinism
+    * pattern applied to graph iteration). Scale: the graph is
+    * vocabulary-sized, not corpus-sized — the only corpus-wide work is
+    * the one bigram-count shuffle; each round is an edge-sized join +
+    * one combineable aggregate. */
+  val q111 = Q(
+    "q111_textrank",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(split(col("text"), " ").as("t"))
+      val bcnt = toks
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  transform(sequence(1, size(t) - 1),
+            |    i -> struct(element_at(t, i) AS w1,
+            |                element_at(t, i + 1) AS w2))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+      val edges = bcnt
+        .select(col("w1").as("src"), col("w2").as("dst"), col("wt"))
+        .unionByName(bcnt
+          .select(col("w2").as("src"), col("w1").as("dst"), col("wt")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+        .persistTracked()
+      val deg = edges.groupBy(col("src")).agg(sum(col("wt")).as("deg"))
+        .persistTracked()
+      val edgesD = edges.join(deg, Seq("src"))
+      var ranks = deg.select(col("src").as("w"), lit(1048576L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edgesD
+          .join(ranks, edgesD("src") === ranks("w"))
+          .select(col("dst"), expr("(pr * wt) div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = deg.select(col("src").as("w"))
+          .join(contrib, col("w") === col("dst"), "left_outer")
+          .select(
+            col("w"),
+            (lit((1048576L * 15L) / 100L) +
+              expr("(coalesce(inflow, 0L) * 85) div 100")).as("pr"))
+      }
+      ranks.orderBy(col("pr").desc, col("w")).limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+      ), bcnt AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               count(*) AS wt
+        FROM (
+          SELECT unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS bg
+          FROM toks)
+        WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]
+        GROUP BY w1, w2
+      ), edges AS (
+        SELECT src, dst, CAST(sum(wt) AS BIGINT) AS wt FROM (
+          SELECT w1 AS src, w2 AS dst, wt FROM bcnt
+          UNION ALL
+          SELECT w2, w1, wt FROM bcnt)
+        GROUP BY src, dst
+      ), deg AS (
+        SELECT src, CAST(sum(wt) AS BIGINT) AS deg FROM edges GROUP BY src
+      ), r0 AS (
+        SELECT src AS w, CAST(1048576 AS BIGINT) AS pr FROM deg
+      ), r1 AS (
+        SELECT d.src AS w,
+               CAST(157286 + (coalesce(s.inflow, 0) * 85) // 100 AS BIGINT)
+                 AS pr
+        FROM deg d LEFT JOIN (
+          SELECT e.dst, CAST(sum((r.pr * e.wt) // ed.deg) AS BIGINT)
+                   AS inflow
+          FROM edges e
+          JOIN deg ed ON ed.src = e.src
+          JOIN r0 r ON r.w = e.src
+          GROUP BY e.dst) s ON s.dst = d.src
+      ), r2 AS (
+        SELECT d.src AS w,
+               CAST(157286 + (coalesce(s.inflow, 0) * 85) // 100 AS BIGINT)
+                 AS pr
+        FROM deg d LEFT JOIN (
+          SELECT e.dst, CAST(sum((r.pr * e.wt) // ed.deg) AS BIGINT)
+                   AS inflow
+          FROM edges e
+          JOIN deg ed ON ed.src = e.src
+          JOIN r1 r ON r.w = e.src
+          GROUP BY e.dst) s ON s.dst = d.src
+      ), r3 AS (
+        SELECT d.src AS w,
+               CAST(157286 + (coalesce(s.inflow, 0) * 85) // 100 AS BIGINT)
+                 AS pr
+        FROM deg d LEFT JOIN (
+          SELECT e.dst, CAST(sum((r.pr * e.wt) // ed.deg) AS BIGINT)
+                   AS inflow
+          FROM edges e
+          JOIN deg ed ON ed.src = e.src
+          JOIN r2 r ON r.w = e.src
+          GROUP BY e.dst) s ON s.dst = d.src
+      )
+      SELECT w, pr FROM r3 ORDER BY pr DESC, w LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106)
+      q104, q106, q110, q111)
 }

@@ -524,6 +524,33 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q110 oov rate: token mass conserves, rates bounded") {
+    val rows = graft.queries.Text.q110.run(spark, sf001).collect()
+    val total = Tables.load(spark, sf001, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total,
+      "per-source token counts must sum to the corpus total")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0),
+      "a 20-word vocab over a 31-word corpus must leave OOV mass")
+  }
+
+  test("q111 textrank: ranks bounded below by teleport, well-ordered") {
+    val rows = graft.queries.Text.q111.run(spark, sf001).collect()
+    assert(rows.length == 20)
+    // every node's rank >= the teleport floor (0.15 * scale, fixed-point)
+    rows.foreach(r => assert(r.getAs[Long]("pr") >= 157286L))
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b },
+      "output must be rank-descending")
+    assert(prs.head > 1048576L,
+      "the top keyword must beat the uniform initial rank")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
