@@ -325,6 +325,9 @@ object Curation {
               concat(lit("new doc "), col("doc_id").cast(StringType))
                 .as("text"),
               lit("insert").as("op")))
+        // consumed twice (anti-join probe + final union): cache the small
+        // batch rather than re-scan documents for each consumer
+        .persistTracked()
       val untouched = base
         .join(
           graft.operators.Hints.autoBroadcast(batch.select(col("doc_id"))),

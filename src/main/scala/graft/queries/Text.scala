@@ -637,6 +637,17 @@ object Text {
     * multiply+divide over exact integer counts, bit-identical across
     * engines. Two explode+groupBy passes (unigrams, bigrams) and two
     * vocabulary-sized joins, size-conditionally broadcast. */
+  /** Adjacent-token bigram expansion over a bound token-array column as
+    * (w1, w2) structs — the one definition behind q78/q95/q111 (a
+    * semantics change to pairing must not be able to diverge per query).
+    * The CASE guard keeps 0/1-token rows from an invalid sequence(). */
+  private[queries] def bigramPairs(tok: String) = expr(
+    s"""CASE WHEN size($tok) >= 2
+       |THEN transform(sequence(1, size($tok) - 1),
+       |       i -> struct(element_at($tok, i) AS w1,
+       |                   element_at($tok, i + 1) AS w2))
+       |ELSE array() END""".stripMargin)
+
   val q78 = Q(
     "q78_collocations",
     (s, d) => {
@@ -647,16 +658,11 @@ object Text {
       // total token count = sum of the per-word counts: one vocab-sized
       // re-aggregate instead of a second corpus-wide explode+count
       val tot = ucnt.agg(sum(col("cw")).as("n"))
-      val bcnt = toks.select(explode(expr(
-          """CASE WHEN size(t) >= 2 THEN
-            |  transform(sequence(1, size(t) - 1),
-            |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
-            |ELSE array() END""".stripMargin)).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val bcnt = toks.select(explode(bigramPairs("t")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 5)
       bcnt
-        .withColumn("w1", expr("element_at(split(bg, ' '), 1)"))
-        .withColumn("w2", expr("element_at(split(bg, ' '), 2)"))
         .join(
           graft.operators.Hints.autoBroadcast(
             ucnt.select(col("w").as("w1"), col("cw").as("cw1"))), Seq("w1"))
@@ -668,7 +674,9 @@ object Text {
           "lift",
           col("cb").cast(DoubleType) * col("n") /
             (col("cw1") * col("cw2")))
-        .select(col("bg").as("bigram"), col("cb").as("n_pair"), col("lift"))
+        .select(
+          concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("cb").as("n_pair"), col("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
     },
@@ -1481,12 +1489,7 @@ object Text {
       val bigrams = toks
         .select(
           col("doc_id"),
-          posexplode(expr(
-            """CASE WHEN size(ws) >= 2
-               THEN transform(sequence(1, size(ws) - 1),
-                      i -> struct(element_at(ws, i) AS w1,
-                                  element_at(ws, i + 1) AS w2))
-               ELSE array() END""")))
+          posexplode(bigramPairs("ws")))
         .select(
           col("doc_id"), col("pos"),
           col("col.w1").as("w1"), col("col.w2").as("w2"))
@@ -1737,12 +1740,7 @@ object Text {
       val toks = Tables.load(s, d, "documents")
         .select(split(col("text"), " ").as("t"))
       val bcnt = toks
-        .select(explode(expr(
-          """CASE WHEN size(t) >= 2 THEN
-            |  transform(sequence(1, size(t) - 1),
-            |    i -> struct(element_at(t, i) AS w1,
-            |                element_at(t, i + 1) AS w2))
-            |ELSE array() END""".stripMargin)).as("p"))
+        .select(explode(bigramPairs("t")).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .filter(col("w1") =!= col("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
