@@ -16,25 +16,23 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalOrder {
 
-  /** Adds `outCol` = inclusive global running sum of `value` in the total
-    * order md5(prefix:idCol) then idCol, plus the shuffle key as
-    * `keyCol` for callers that sort by it downstream. The input is
-    * range-repartitioned on that order. */
-  def withGlobalCumsum(
+  /** Adds `outCol` = inclusive global running sum of `value` in the
+    * total order given by `order` (which MUST be a full tiebreak — a
+    * non-total order makes the cumsum partition-placement-dependent).
+    * Mechanics: range-repartition on the order, per-partition ROWS
+    * cumsum, partition-count-sized broadcast offsets bridging
+    * partitions — never a single-partition window. */
+  def withOrderedCumsum(
       df: DataFrame,
-      idCol: String,
-      prefix: String,
+      order: Seq[Column],
       value: Column,
       outCol: String,
-      keyCol: String = "_graft_k"): DataFrame = {
+      pidCol: String = "_graft_oc_pid"): DataFrame = {
     import graft.Caches.Tracked
-    val pidCol = s"${keyCol}_pid"
-    val vCol = s"${keyCol}_v"
+    val vCol = s"${pidCol}_v"
     val sorted = df
-      .withColumn(
-        keyCol, md5(concat(lit(s"$prefix:"), col(idCol).cast("string"))))
-      .repartitionByRange(col(keyCol), col(idCol))
-      .sortWithinPartitions(col(keyCol), col(idCol))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
       .withColumn(vCol, value.cast(LongType))
       .persistTracked()
@@ -53,10 +51,27 @@ object GlobalOrder {
         "_graft_cumin",
         sum(col(vCol)).over(
           Window.partitionBy(col(pidCol))
-            .orderBy(col(keyCol), col(idCol))
+            .orderBy(order: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets), Seq(pidCol))
       .withColumn(outCol, (col("offset") + col("_graft_cumin")).cast(LongType))
       .drop(pidCol, vCol, "_graft_cumin", "offset")
   }
+
+  /** Adds `outCol` = inclusive global running sum of `value` in the total
+    * order md5(prefix:idCol) then idCol, plus the shuffle key as
+    * `keyCol` for callers that sort by it downstream. The input is
+    * range-repartitioned on that order. */
+  def withGlobalCumsum(
+      df: DataFrame,
+      idCol: String,
+      prefix: String,
+      value: Column,
+      outCol: String,
+      keyCol: String = "_graft_k"): DataFrame =
+    withOrderedCumsum(
+      df.withColumn(
+        keyCol, md5(concat(lit(s"$prefix:"), col(idCol).cast("string")))),
+      Seq(col(keyCol), col(idCol)),
+      value, outCol, pidCol = s"${keyCol}_pid")
 }

@@ -388,5 +388,81 @@ object EventStream {
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 
-  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109)
+  /** Peak session concurrency per day — the sweep-line interval-overlap
+    * maximum (how many sessions are open at once), the capacity question
+    * behind any serving/ingest sizing. Sessions come from the same
+    * 30-min-gap rule as q33; each contributes a +1 at its start and a
+    * -1 at its end, and the running sum of deltas in (ts, -delta, user,
+    * session) total order IS the live-session count (starts sort before
+    * ends at the same instant, so zero-length sessions still register).
+    * The running sum rides GlobalOrder.withOrderedCumsum — range
+    * partition + per-partition ROWS cumsum + broadcast offsets — so
+    * there is NO corpus-wide single-partition window at any scale; the
+    * oracle replays the sweep with one ordinary window (fine at oracle
+    * scale). */
+  val q112 = Q(
+    "q112_peak_concurrency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sess = eventGaps(Tables.load(s, d, "events"))
+        .withColumn(
+          "session_id",
+          sum(col("new_session").cast("long")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      val pts = sess
+        .select(
+          col("t_start").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("session_id"))
+        .unionByName(sess.select(
+          col("t_end").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("session_id")))
+        .withColumn("nd", -col("delta"))
+      graft.operators.GlobalOrder
+        .withOrderedCumsum(
+          pts,
+          Seq(col("ts"), col("nd"), col("user_id"), col("session_id")),
+          col("delta"), "active")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(max(col("active")).as("peak"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS t_start, max(ts) AS t_end
+        FROM numbered GROUP BY user_id, session_id
+      ), pts AS (
+        SELECT t_start AS ts, CAST(1 AS BIGINT) AS delta,
+               user_id, session_id
+        FROM sess
+        UNION ALL
+        SELECT t_end, CAST(-1 AS BIGINT), user_id, session_id FROM sess
+      ), run AS (
+        SELECT ts,
+               CAST(sum(delta) OVER (
+                 ORDER BY ts, -delta, user_id, session_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+        FROM pts
+      )
+      SELECT CAST(ts AS DATE) AS day, max(active) AS peak
+      FROM run GROUP BY day ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109, q112)
 }

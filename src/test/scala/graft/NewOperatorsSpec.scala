@@ -551,6 +551,45 @@ class NewOperatorsSpec extends SparkSpec {
       "the top keyword must beat the uniform initial rank")
   }
 
+  test("q112 peak concurrency: bounded by users, matches naive sweep") {
+    val rows = EventStream.q112.run(spark, sf001).collect()
+    val nUsers = Tables.load(spark, sf001, "events")
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak")
+      // a user's own sessions never overlap (gap rule), so concurrency
+      // is bounded by the user population
+      assert(peak >= 1L && peak <= nUsers, s"peak $peak out of bounds")
+    }
+    // differential: the distributed cumsum must agree with a naive
+    // single-partition global window over the same sweep points
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sess = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
+      .withColumn("sid", sum(col("new_session").cast("long")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    val pts = sess.select(col("t_start").as("ts"), lit(1L).as("delta"),
+        col("user_id"), col("sid"))
+      .unionByName(sess.select(col("t_end").as("ts"), lit(-1L).as("delta"),
+        col("user_id"), col("sid")))
+    val naive = pts
+      .withColumn("active", sum(col("delta")).over(
+        Window.orderBy(col("ts"), (-col("delta")), col("user_id"),
+          col("sid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("active")).as("peak"))
+      .collect().map(r =>
+        r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("peak"))
+      .toMap
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      assert(r.getAs[Long]("peak") == naive(day),
+        s"distributed cumsum diverges from naive sweep on $day")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
