@@ -571,6 +571,69 @@ object Olap {
       UNION ALL SELECT doc_id, 2, toks[3] FROM t WHERE len(toks) >= 3
       ORDER BY doc_id, pos"""))
 
+  /** Closed-form OLS trend fit (the ClickHouse simpleLinearRegression
+    * capability): per priority, regress monthly order volume on the
+    * month index. All four moments (Sx, Sy, Sxy, Sxx) are exact BIGINT
+    * sums — order-independent — and the slope/intercept are single IEEE
+    * divisions of identical integer operands, so both engines emit
+    * bit-identical doubles (the q48 dispersion discipline applied to
+    * regression). One aggregate for the monthly rollup, one for the
+    * moments; nothing leaves the executor until the 5-row result. */
+  val q113 = Q(
+    "q113_linfit",
+    (s, d) => {
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(
+          col("o_orderpriority").as("pri"),
+          ((year(col("o_orderdate")) - lit(1995)) * 12 +
+            month(col("o_orderdate")) - lit(1)).cast(LongType).as("x"))
+        .agg(count(lit(1)).as("y"))
+      monthly.groupBy(col("pri"))
+        .agg(
+          count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("pri"), col("n_months"),
+          ((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            (col("n_months") * col("sxx") - col("sx") * col("sx")))
+            .as("slope"),
+          ((col("sy").cast(DoubleType) -
+            ((col("n_months") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              (col("n_months") * col("sxx") - col("sx") * col("sx"))) *
+              col("sx")) / col("n_months")).as("intercept"))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderpriority AS pri,
+               CAST((year(o_orderdate) - 1995) * 12
+                    + month(o_orderdate) - 1 AS BIGINT) AS x,
+               count(*) AS y
+        FROM orders GROUP BY pri, x
+      ), m AS (
+        SELECT pri,
+               count(*) AS n_months,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM monthly GROUP BY pri
+      )
+      SELECT pri, n_months,
+             CAST(n_months * sxy - sx * sy AS DOUBLE)
+               / (n_months * sxx - sx * sx) AS slope,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+                 / (n_months * sxx - sx * sx)) * sx) / n_months
+               AS intercept
+      FROM m ORDER BY pri"""))
+
   val all: Seq[Q] =
-    Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105)
+    Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
+      q113)
 }

@@ -590,6 +590,32 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q113 linfit: slope/intercept bit-match a driver-side recompute") {
+    val rows = graft.queries.Olap.q113.run(spark, sf001).collect()
+    val monthly = Tables.load(spark, sf001, "orders")
+      .groupBy(
+        col("o_orderpriority").as("pri"),
+        ((year(col("o_orderdate")) - lit(1995)) * 12 +
+          month(col("o_orderdate")) - lit(1)).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("pri"))
+    rows.foreach { r =>
+      val pts = monthly(r.getAs[String]("pri"))
+        .map(m => (m.getAs[Long]("x"), m.getAs[Long]("y")))
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      val intercept = (sy.toDouble - slope * sx) / n
+      assert(r.getAs[Long]("n_months") == n)
+      assert(r.getAs[Double]("slope") == slope, "slope must be bit-exact")
+      assert(r.getAs[Double]("intercept") == intercept,
+        "intercept must be bit-exact")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
