@@ -1828,8 +1828,160 @@ object Text {
       )
       SELECT w, pr FROM r3 ORDER BY pr DESC, w LIMIT 20"""))
 
+  /** Chi-square independence statistic for the lang × source
+    * contingency table — "is language independent of source?", the
+    * association test behind any corpus-composition audit. Observed and
+    * marginal counts are exact integers; each cell's expected value and
+    * (obs−exp)²/exp term are IEEE ops on identical operands, and the
+    * final statistic folds the terms in (lang, source) order
+    * SEQUENTIALLY (collect_list of the bounded cell table → aggregate
+    * lambda ↔ DuckDB list ORDER BY → list_reduce) — a native SUM over
+    * doubles would accumulate in engine-specific order. Scale: cells =
+    * |langs|×|sources| — categorical, bounded — so the fold input is a
+    * few-hundred-row broadcast, never corpus-sized. */
+  val q114 = Q(
+    "q114_chisq",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val cells = Tables.load(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("obs"))
+        .persistTracked()
+      val rt = cells.groupBy(col("lang")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("source")).agg(sum(col("obs")).as("ct"))
+      val n = cells.agg(sum(col("obs")).as("n"))
+      cells
+        .join(autoBroadcast(rt), Seq("lang"))
+        .join(autoBroadcast(ct), Seq("source"))
+        .crossJoin(broadcast(n))
+        .withColumn(
+          "exp", col("rt").cast(DoubleType) * col("ct") / col("n"))
+        .withColumn(
+          "term",
+          (col("obs") - col("exp")) * (col("obs") - col("exp")) /
+            col("exp"))
+        .agg(
+          countDistinct(col("lang")).as("r_langs"),
+          countDistinct(col("source")).as("c_sources"),
+          sort_array(collect_list(
+            struct(col("lang"), col("source"), col("term")))).as("ts"))
+        .select(
+          col("r_langs"), col("c_sources"),
+          ((col("r_langs") - 1) * (col("c_sources") - 1)).as("dof"),
+          expr("aggregate(ts, CAST(0 AS DOUBLE), (a, x) -> a + x.term)")
+            .as("chi2_stat"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS obs
+        FROM documents GROUP BY lang, source
+      ), rt AS (
+        SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM cells
+        GROUP BY lang
+      ), ct AS (
+        SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM cells
+        GROUP BY source
+      ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+      ), terms AS (
+        SELECT c.lang, c.source,
+               (c.obs - CAST(r.rt AS DOUBLE) * t.ct / tot.n)
+                 * (c.obs - CAST(r.rt AS DOUBLE) * t.ct / tot.n)
+                 / (CAST(r.rt AS DOUBLE) * t.ct / tot.n) AS term
+        FROM cells c
+        JOIN rt r ON r.lang = c.lang
+        JOIN ct t ON t.source = c.source
+        CROSS JOIN tot
+      )
+      SELECT count(DISTINCT lang) AS r_langs,
+             count(DISTINCT source) AS c_sources,
+             (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+               AS dof,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(term ORDER BY lang, source)),
+               (a, x) -> a + x) AS chi2_stat
+      FROM terms"""))
+
+  /** Winsorized per-language length statistics: clamp n_chars to the
+    * [p05, p95] DISCRETE percentiles before averaging — the outlier
+    * containment every robust corpus stat applies. percentile_disc
+    * (value at row ceil(q·n) of the (n_chars, doc_id)-ordered group)
+    * keeps the bounds ACTUAL integer data values, so the clamped sum is
+    * an exact BIGINT and the winsorized mean one IEEE division —
+    * interpolated (continuous) percentiles would make every clamped
+    * value a double and the sum order-dependent. Scale: one ranking
+    * window per language partition, bounds are a per-language broadcast,
+    * clamp+sum is one combineable aggregate. */
+  val q115 = Q(
+    "q115_winsorize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Hints.autoBroadcast
+      val docs = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = docs.withColumn("rn", row_number().over(w))
+        .persistTracked()
+      val counts = ranked.groupBy(col("lang"))
+        .agg(max(col("rn")).cast(LongType).as("n"))
+      val bounds = ranked
+        .join(autoBroadcast(counts), Seq("lang"))
+        // ceil(n*q) in PURE INTEGER form — (n*k + 99) div 100. A double
+        // n*0.05 differs from DuckDB's exact-DECIMAL 0.05 at exact
+        // multiples (0.05 is not a binary fraction), flipping the ceil
+        .withColumn(
+          "lo_pos", greatest(lit(1L), expr("(n * 5 + 99) div 100")))
+        .withColumn(
+          "hi_pos", least(col("n"), expr("(n * 95 + 99) div 100")))
+        .filter(col("rn") === col("lo_pos") || col("rn") === col("hi_pos"))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("rn") === col("lo_pos"), col("n_chars"))).as("lo"),
+          min(when(col("rn") === col("hi_pos"), col("n_chars"))).as("hi"))
+      docs
+        .join(autoBroadcast(bounds), Seq("lang"))
+        .withColumn(
+          "clamped", greatest(col("lo"), least(col("hi"), col("n_chars"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"),
+          (sum(col("clamped")).cast(DoubleType) / count(lit(1)))
+            .as("wins_mean"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn
+        FROM documents
+      ), counts AS (
+        SELECT lang, CAST(max(rn) AS BIGINT) AS n FROM ranked
+        GROUP BY lang
+      ), bounds AS (
+        SELECT r.lang,
+               min(CASE WHEN r.rn = greatest(1, (c.n * 5 + 99) // 100)
+                   THEN r.n_chars END) AS lo,
+               min(CASE WHEN r.rn = least(c.n, (c.n * 95 + 99) // 100)
+                   THEN r.n_chars END) AS hi
+        FROM ranked r JOIN counts c ON c.lang = r.lang
+        GROUP BY r.lang
+      )
+      SELECT d.lang AS lang,
+             count(*) AS n_docs,
+             min(b.lo) AS lo,
+             min(b.hi) AS hi,
+             CAST(sum(greatest(b.lo, least(b.hi, d.n_chars))) AS DOUBLE)
+               / count(*) AS wins_mean
+      FROM documents d JOIN bounds b ON b.lang = d.lang
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111)
+      q104, q106, q110, q111, q114, q115)
 }

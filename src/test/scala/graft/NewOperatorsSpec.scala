@@ -616,6 +616,36 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q114 chisq: statistic non-negative, dof from marginals") {
+    val r = graft.queries.Text.q114.run(spark, sf001).collect().head
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(r.getAs[Long]("r_langs") ==
+      docs.select(col("lang")).distinct().count())
+    assert(r.getAs[Long]("c_sources") ==
+      docs.select(col("source")).distinct().count())
+    assert(r.getAs[Long]("dof") ==
+      (r.getAs[Long]("r_langs") - 1) * (r.getAs[Long]("c_sources") - 1))
+    assert(r.getAs[Double]("chi2_stat") >= 0.0,
+      "chi-square is a sum of squares over positive denominators")
+  }
+
+  test("q115 winsorize: bounds order, mean inside bounds, counts conserve") {
+    val rows = graft.queries.Text.q115.run(spark, sf001).collect()
+    val perLang = Tables.load(spark, sf001, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet == perLang.keySet)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("lo"); val hi = r.getAs[Long]("hi")
+      val m = r.getAs[Double]("wins_mean")
+      assert(lo <= hi, "p05 bound cannot exceed p95 bound")
+      assert(m >= lo && m <= hi,
+        "clamped mean must lie within the clamp bounds")
+      assert(r.getAs[Long]("n_docs") == perLang(r.getAs[String]("lang")),
+        "winsorizing must not drop rows")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
