@@ -595,17 +595,21 @@ object Olap {
           sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
-        .select(
-          col("pri"), col("n_months"),
-          ((col("n_months") * col("sxy") - col("sx") * col("sy"))
+        // a single-month group has zero x-variance and the engines
+        // disagree on 0-divisors (Spark NULL vs DuckDB IEEE inf) —
+        // a fit needs >= 2 points anyway
+        .filter(col("n_months") >= 2)
+        // slope once, intercept referencing it — one source of truth
+        // for the moment formula (same plan either way)
+        .withColumn(
+          "slope",
+          (col("n_months") * col("sxy") - col("sx") * col("sy"))
             .cast(DoubleType) /
             (col("n_months") * col("sxx") - col("sx") * col("sx")))
-            .as("slope"),
-          ((col("sy").cast(DoubleType) -
-            ((col("n_months") * col("sxy") - col("sx") * col("sy"))
-              .cast(DoubleType) /
-              (col("n_months") * col("sxx") - col("sx") * col("sx"))) *
-              col("sx")) / col("n_months")).as("intercept"))
+        .select(
+          col("pri"), col("n_months"), col("slope"),
+          ((col("sy").cast(DoubleType) - col("slope") * col("sx")) /
+            col("n_months")).as("intercept"))
         .orderBy(col("pri"))
     },
     Some("""
@@ -623,15 +627,16 @@ object Olap {
                CAST(sum(x * y) AS BIGINT) AS sxy,
                CAST(sum(x * x) AS BIGINT) AS sxx
         FROM monthly GROUP BY pri
+        HAVING count(*) >= 2
+      ), fit AS (
+        SELECT pri, n_months, sx, sy,
+               CAST(n_months * sxy - sx * sy AS DOUBLE)
+                 / (n_months * sxx - sx * sx) AS slope
+        FROM m
       )
-      SELECT pri, n_months,
-             CAST(n_months * sxy - sx * sy AS DOUBLE)
-               / (n_months * sxx - sx * sx) AS slope,
-             (CAST(sy AS DOUBLE)
-              - (CAST(n_months * sxy - sx * sy AS DOUBLE)
-                 / (n_months * sxx - sx * sx)) * sx) / n_months
-               AS intercept
-      FROM m ORDER BY pri"""))
+      SELECT pri, n_months, slope,
+             (CAST(sy AS DOUBLE) - slope * sx) / n_months AS intercept
+      FROM fit ORDER BY pri"""))
 
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,

@@ -1940,7 +1940,8 @@ object Text {
         .agg(
           min(when(col("rn") === col("lo_pos"), col("n_chars"))).as("lo"),
           min(when(col("rn") === col("hi_pos"), col("n_chars"))).as("hi"))
-      docs
+      ranked // cached — a fresh docs scan would re-read the parquet
+        .select(col("lang"), col("n_chars"))
         .join(autoBroadcast(bounds), Seq("lang"))
         .withColumn(
           "clamped", greatest(col("lo"), least(col("hi"), col("n_chars"))))

@@ -66,6 +66,27 @@ object EventStream {
         coalesce(col("gap_us") > lit(1800000000L), lit(true)))
   }
 
+  /** (user_id, session_id, t_start, t_end, n_events) per 30-min-gap
+    * session — the ONE session-bounds derivation behind q33, q112, and
+    * their specs (a gap-rule change must not be able to diverge per
+    * consumer). The session_id running sum pins a ROWS frame: the
+    * default RANGE frame would sum tied-timestamp peers together and
+    * diverge from the oracles' ROWS UNBOUNDED PRECEDING. */
+  def sessionBounds(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventGaps(events)
+      .withColumn(
+        "session_id",
+        sum(col("new_session").cast("long")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+  }
+
   /** Streaming sessionization with EXPLICIT carried state — the
     * KeyValueGroupedDataset.flatMapGroupsWithState face of q33's batch
     * running-sum sessionizer. Per micro-batch each user's rows are
@@ -176,18 +197,7 @@ object EventStream {
   val q33 = Q(
     "q33_sessionize",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val sessions = eventGaps(Tables.load(s, d, "events"))
-        .withColumn(
-          "session_id",
-          sum(col("new_session").cast("long")).over(w))
-      sessions
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
+      sessionBounds(Tables.load(s, d, "events"))
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_sessions"),
@@ -391,26 +401,24 @@ object EventStream {
   /** Peak session concurrency per day — the sweep-line interval-overlap
     * maximum (how many sessions are open at once), the capacity question
     * behind any serving/ingest sizing. Sessions come from the same
-    * 30-min-gap rule as q33; each contributes a +1 at its start and a
-    * -1 at its end, and the running sum of deltas in (ts, -delta, user,
-    * session) total order IS the live-session count (starts sort before
-    * ends at the same instant, so zero-length sessions still register).
-    * The running sum rides GlobalOrder.withOrderedCumsum — range
-    * partition + per-partition ROWS cumsum + broadcast offsets — so
-    * there is NO corpus-wide single-partition window at any scale; the
-    * oracle replays the sweep with one ordinary window (fine at oracle
+    * 30-min-gap rule as q33 (shared sessionBounds); each contributes a
+    * +1 at its start and a -1 at its end, and the running sum of deltas
+    * in (ts, -delta, user, session) total order IS the live-session
+    * count (starts sort before ends at the same instant, so zero-length
+    * sessions still register). The per-day peak is taken over the
+    * START instants of that day — concurrency only increases at a +1,
+    * so this is the maximum reached DURING the day; a day where no
+    * session starts (only carried sessions end) has no start instant
+    * and is absent from the report, by definition. The running sum
+    * rides GlobalOrder.withOrderedCumsum — range partition +
+    * per-partition ROWS cumsum + broadcast offsets — so there is NO
+    * corpus-wide single-partition window at any scale; the oracle
+    * replays the sweep with one ordinary window (fine at oracle
     * scale). */
   val q112 = Q(
     "q112_peak_concurrency",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val sess = eventGaps(Tables.load(s, d, "events"))
-        .withColumn(
-          "session_id",
-          sum(col("new_session").cast("long")).over(w))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      val sess = sessionBounds(Tables.load(s, d, "events"))
       val pts = sess
         .select(
           col("t_start").as("ts"), lit(1L).as("delta"),
@@ -424,6 +432,7 @@ object EventStream {
           pts,
           Seq(col("ts"), col("nd"), col("user_id"), col("session_id")),
           col("delta"), "active")
+        .filter(col("delta") === 1L)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(max(col("active")).as("peak"))
         .orderBy(col("day"))
@@ -455,14 +464,14 @@ object EventStream {
         UNION ALL
         SELECT t_end, CAST(-1 AS BIGINT), user_id, session_id FROM sess
       ), run AS (
-        SELECT ts,
+        SELECT ts, delta,
                CAST(sum(delta) OVER (
                  ORDER BY ts, -delta, user_id, session_id
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
         FROM pts
       )
       SELECT CAST(ts AS DATE) AS day, max(active) AS peak
-      FROM run GROUP BY day ORDER BY day"""))
+      FROM run WHERE delta = 1 GROUP BY day ORDER BY day"""))
 
   val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109, q112)
 }

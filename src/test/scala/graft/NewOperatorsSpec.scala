@@ -562,27 +562,27 @@ class NewOperatorsSpec extends SparkSpec {
       assert(peak >= 1L && peak <= nUsers, s"peak $peak out of bounds")
     }
     // differential: the distributed cumsum must agree with a naive
-    // single-partition global window over the same sweep points
+    // single-partition global window over the same sweep points, built
+    // from the SAME shared sessionBounds the query uses
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val sess = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
-      .withColumn("sid", sum(col("new_session").cast("long")).over(w))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    val sess = EventStream.sessionBounds(Tables.load(spark, sf001, "events"))
     val pts = sess.select(col("t_start").as("ts"), lit(1L).as("delta"),
-        col("user_id"), col("sid"))
+        col("user_id"), col("session_id"))
       .unionByName(sess.select(col("t_end").as("ts"), lit(-1L).as("delta"),
-        col("user_id"), col("sid")))
+        col("user_id"), col("session_id")))
     val naive = pts
       .withColumn("active", sum(col("delta")).over(
         Window.orderBy(col("ts"), (-col("delta")), col("user_id"),
-          col("sid"))
+          col("session_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("delta") === 1L)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(max(col("active")).as("peak"))
       .collect().map(r =>
         r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("peak"))
       .toMap
+    assert(rows.length == naive.size,
+      "report must cover exactly the days with a session start")
     rows.foreach { r =>
       val day = r.getAs[java.sql.Date]("day").toString
       assert(r.getAs[Long]("peak") == naive(day),
