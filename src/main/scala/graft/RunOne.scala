@@ -16,9 +16,13 @@ object RunOne {
       name, sys.error(s"unknown query: $name"))
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
+      // SPARK_GRAFT_KEEP_CACHE=1 preserves persisted frames across runs —
+      // ONLY for reproducing cross-run cache-accretion effects (the
+      // pre-round-3 bench regime); never how Bench measures
       val n =
         try fn(spark, sfDir).count()
-        finally Caches.release()
+        finally if (sys.env.getOrElse("SPARK_GRAFT_KEEP_CACHE", "0") == "0")
+          Caches.release()
       println(f"[runone] $name run $i: $n rows, " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

@@ -314,14 +314,21 @@ object Curation {
     (s, d) => {
       val base = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
+      // insert keys land ABOVE the observed key range (max+1 offset,
+      // 1-row broadcast — never a fixed constant, which would collide
+      // with base keys once the corpus outgrows it); ORDER BY carries an
+      // `op` tiebreak so the output order stays total even if a future
+      // fixture ever did collide (round-3 advice)
+      val mx = base.agg(max(col("doc_id")).as("mx"))
       val batch = base.filter(col("doc_id") % 7 === 0)
         .select(
           col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
           lit("update").as("op"))
         .unionByName(
           base.filter(col("doc_id") % 97 === 0)
+            .crossJoin(broadcast(mx))
             .select(
-              (col("doc_id") + lit(1000000L)).as("doc_id"),
+              (col("doc_id") + col("mx") + lit(1L)).as("doc_id"),
               concat(lit("new doc "), col("doc_id").cast(StringType))
                 .as("text"),
               lit("insert").as("op")))
@@ -335,18 +342,20 @@ object Curation {
         .select(col("doc_id"), col("text"), lit("carry").as("op"))
       untouched.unionByName(batch)
         .select(col("doc_id"), md5(col("text")).as("content_md5"), col("op"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"), col("op"))
     },
     Some("""
       WITH base AS (
         SELECT doc_id, text FROM documents
+      ), mx AS (
+        SELECT max(doc_id) AS mx FROM base
       ), batch AS (
         SELECT doc_id, text || ' v2' AS text, 'update' AS op
         FROM base WHERE doc_id % 7 = 0
         UNION ALL
-        SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+        SELECT doc_id + mx + 1, 'new doc ' || CAST(doc_id AS VARCHAR),
                'insert'
-        FROM base WHERE doc_id % 97 = 0
+        FROM base, mx WHERE doc_id % 97 = 0
       ), merged AS (
         SELECT b.doc_id, b.text, 'carry' AS op FROM base b
         WHERE b.doc_id NOT IN (SELECT doc_id FROM batch)
@@ -354,7 +363,7 @@ object Curation {
         SELECT doc_id, text, op FROM batch
       )
       SELECT doc_id, md5(text) AS content_md5, op FROM merged
-      ORDER BY doc_id"""))
+      ORDER BY doc_id, op"""))
 
   val all: Seq[Q] = Seq(q60, q71, q96, q99, q107)
 }

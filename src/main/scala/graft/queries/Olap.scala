@@ -482,6 +482,12 @@ object Olap {
     * execution itself. Scale: recursion depth is a constant 80 (bounded
     * by the calendar, not the data); the fact side is one
     * map-side-combined aggregate, and the 80-row calendar broadcasts. */
+  // the 79-step bound spans exactly 80 months = 1995-01..2001-08, the
+  // fixture's o_orderdate range (TESTDATA.md); orders outside the window
+  // would drop out of the calendar-side LEFT JOIN identically in both
+  // engines, which the oracle cannot catch — OlapSpec's order-count
+  // conservation test is the guard, and a fixture date-span change must
+  // update this bound together with that test (round-3 advice)
   private val q102Sql = """
       WITH RECURSIVE k(i) AS (
         SELECT 0

@@ -366,7 +366,13 @@ object EventStream {
     * div 7) — no doubles anywhere. Scale: one aggregate for the cohort
     * anchors, one join back on user_id (size-conditional broadcast of
     * the per-user anchor frame), one distinct-count shuffle keyed by the
-    * (cohort, offset) cell. */
+    * (cohort, offset) cell.
+    *
+    * The cohort epoch is the DATA minimum (min day0, a 1-row broadcast),
+    * not a hard-coded date: both datediffs are then provably ≥ 0, so
+    * Spark's `div` (truncates toward zero) and DuckDB's `//` (floors)
+    * agree — with a fixed anchor, any event predating it would silently
+    * diverge between engines (round-3 advice). */
   val q109 = Q(
     "q109_retention",
     (s, d) => {
@@ -374,11 +380,12 @@ object EventStream {
         .select(col("user_id"), to_date(col("ts")).as("day"))
       val anchors = ev.groupBy(col("user_id"))
         .agg(min(col("day")).as("day0"))
+      val epoch = anchors.agg(min(col("day0")).as("epoch"))
       ev.join(graft.operators.Hints.autoBroadcast(anchors), Seq("user_id"))
+        .crossJoin(broadcast(epoch))
         .select(
           col("user_id"),
-          expr("datediff(day0, date'2024-01-01') div 7")
-            .as("cohort_week"),
+          expr("datediff(day0, epoch) div 7").as("cohort_week"),
           expr("datediff(day, day0) div 7").as("week_offset"))
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
@@ -389,12 +396,14 @@ object EventStream {
         SELECT user_id, CAST(ts AS DATE) AS day FROM events
       ), anchors AS (
         SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id
+      ), epoch AS (
+        SELECT min(day0) AS epoch FROM anchors
       )
-      SELECT date_diff('day', DATE '2024-01-01', a.day0) // 7
+      SELECT date_diff('day', ep.epoch, a.day0) // 7
                AS cohort_week,
              date_diff('day', a.day0, e.day) // 7 AS week_offset,
              count(DISTINCT e.user_id) AS n_users
-      FROM ev e JOIN anchors a ON a.user_id = e.user_id
+      FROM ev e JOIN anchors a ON a.user_id = e.user_id, epoch ep
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 

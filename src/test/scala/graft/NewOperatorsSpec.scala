@@ -492,9 +492,12 @@ class NewOperatorsSpec extends SparkSpec {
     assert(byOp("update") == nUpd && byOp("insert") == nIns)
     assert(byOp("carry") == n - nUpd, "untouched rows must pass through")
     assert(rows.length == n + nIns, "merge cardinality: base + inserts")
-    // every inserted key sits above the corpus id range
+    // every inserted key sits strictly above the corpus id range (the
+    // offset is derived from max(doc_id), so this holds at ANY corpus
+    // size — round-3 advice replaced the fixed 1000000 constant)
+    val maxBase = docs.agg(max(col("doc_id"))).head().getLong(0)
     rows.filter(_.getAs[String]("op") == "insert")
-      .foreach(r => assert(r.getAs[Long]("doc_id") >= 1000000L))
+      .foreach(r => assert(r.getAs[Long]("doc_id") > maxBase))
   }
 
   test("q108 funnel: stage populations are monotone non-increasing") {
