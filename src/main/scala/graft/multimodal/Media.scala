@@ -186,7 +186,121 @@ object MediaDecoder {
       FROM frames
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(q32, q58, ImageCodec.q116)
+  val all: Seq[Q] = Seq(q32, q58, ImageCodec.q116, AudioCodec.q117)
+}
+
+/** REAL audio decode: deterministic PCM-16 waveforms — a pure function of
+  * doc_id — are wrapped in a RIFF/WAV container and decoded with
+  * `javax.sound.sampled.AudioSystem`, the JVM's built-in audio codec (the
+  * same no-new-dependency discipline as [[ImageCodec]]'s PNG leg). The
+  * DuckDB oracle recomputes every sample arithmetically, so matching
+  * hashes prove the container round-trip AND the decoder's format
+  * handling (sample rate, channel count, 16-bit little-endian framing)
+  * bit-exact. With image (PNG) and audio (WAV) decode real, only VIDEO
+  * decode remains a labeled stub — the JVM ships no video codec.
+  */
+object AudioCodec {
+
+  val SampleRate = 8000
+
+  /** Waveform length, 64..192 samples — varied so the fixture exercises
+    * many container sizes. */
+  def nSamples(docId: Long): Int = (64 + docId % 129).toInt
+
+  /** Sample i: a small-prime mix over the full signed-16-bit range. Must
+    * stay in exact lockstep with the oracle SQL below. */
+  def sample(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 17) % 65536).toInt - 32768
+
+  /** PCM-16 mono samples → RIFF/WAV bytes via AudioSystem. */
+  def encode(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      SampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV bytes → (sampleRate, nChannels, samples) via the real decoder. */
+  def decode(wav: Array[Byte]): (Int, Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // little-endian signed int16
+      out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, out)
+  }
+
+  /** q117: WAV encode → AudioSystem decode → per-doc audio profile, all
+    * value-checked: decoded format fields, sample count, exact sample
+    * sum, total absolute amplitude, and md5 over every decoded sample —
+    * against a DuckDB arithmetic replay of the waveform. */
+  val q117 = Q(
+    "q117_audio_decode",
+    (s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val wav = encode(id)
+          val (rate, channels, samples) = decode(wav)
+          (id, rate, channels, samples.length,
+            samples.map(_.toLong).sum,
+            samples.map(v => math.abs(v.toLong)).sum,
+            samples.mkString(","))
+        })
+        .toDF(
+          "doc_id", "sample_rate", "n_channels", "n_samples",
+          "sample_sum", "abs_sum", "sample_csv")
+        .select(
+          col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), col("sample_sum"), col("abs_sum"),
+          md5(col("sample_csv")).as("sample_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 129 AS INTEGER) AS n_samples
+        FROM documents
+      ), wave AS (
+        SELECT doc_id, n_samples,
+          list_transform(range(0, n_samples),
+            i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS samples
+        FROM base
+      )
+      SELECT doc_id,
+             $SampleRate AS sample_rate,
+             1 AS n_channels,
+             n_samples,
+             CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+             CAST(list_sum(list_transform(samples, v -> abs(v)))
+               AS BIGINT) AS abs_sum,
+             md5(array_to_string(
+               list_transform(samples, v -> CAST(v AS VARCHAR)), ','))
+               AS sample_md5
+      FROM wave
+      ORDER BY doc_id"""))
 }
 
 /** REAL image decode (round-3 judge item #5): deterministic tiny RGB

@@ -2008,8 +2008,179 @@ object Text {
       FROM documents d JOIN bounds b ON b.lang = d.lang
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** HLL sketch ALGEBRA (extension op; the capability behind ClickHouse's
+    * uniqCombined merge/intersect idioms): per-source vocabulary
+    * cardinality sketches expressed AS DATA — 64 (reg, max-rank) rows per
+    * source, the q61 md5-HLL register convention — so that sketch UNION
+    * is a plain `groupBy(reg).max(mr)` and INTERSECTION falls out of
+    * inclusion-exclusion on three estimates. This is the mergeability
+    * property that matters at 100 TB: per-partition/per-day/per-source
+    * sketches (KB each) combine associatively without touching raw data
+    * again. Exact counts ride alongside so the report shows sketch error.
+    *
+    * Bit-exact cross-engine: registers are integers from md5 hex (q61
+    * convention); the harmonic sum folds present registers in register
+    * order then adds the (64 − present) empty-register mass as ONE
+    * integer-valued addition — the same operation sequence in both
+    * engines, and Spark's fold seeds 0.0 whose first addition is exact.
+    * The alpha·m² constant is a Scala-computed double literal; DuckDB
+    * reproduces it with the q61-proven arithmetic. */
+  val q118 = Q(
+    "q118_sketch_algebra",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(
+          col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .distinct()
+        .persistTracked()
+      val rr = toks
+        .withColumn("hx", md5(col("tok")))
+        .withColumn(
+          "reg",
+          expr("((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16" +
+            " + (instr('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 64"))
+        .withColumn("lt", expr("trim(LEADING '0' FROM substring(hx, 3, 16))"))
+        .withColumn("z", expr("16 - length(lt)"))
+        .withColumn(
+          "v",
+          expr("CASE WHEN length(lt) = 0 THEN 1 ELSE " +
+            "instr('0123456789abcdef', substring(lt, 1, 1)) - 1 END"))
+        .withColumn(
+          "rank",
+          expr("CASE WHEN z = 16 THEN 65 ELSE 4 * z + " +
+            "(CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 " +
+            "WHEN v >= 2 THEN 2 ELSE 3 END) + 1 END"))
+      // the sketch, as data: ≤64 rows per source, mergeable by MAX
+      val regs = rr.groupBy(col("source"), col("reg"))
+        .agg(max(col("rank")).as("mr"))
+        .persistTracked()
+      val alphaM2 = 0.7213 / (1 + 1.079 / 64) * 64 * 64
+      val invsum =
+        "aggregate(transform(array_sort(collect_list(struct(reg, mr))), " +
+          "x -> pow(2.0D, -cast(x.mr AS DOUBLE))), 0.0D, (a, b) -> a + b)" +
+          " + (64 - count(1))"
+      val estSrc = regs.groupBy(col("source"))
+        .agg((lit(alphaM2) / expr(invsum)).as("est"))
+      val srcs = regs.select(col("source")).distinct()
+      val pairsDf = srcs.select(col("source").as("src_a"))
+        .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+        .filter(col("src_a") < col("src_b"))
+      // sketch union = register-wise MAX across the pair's sources
+      val unionEst = regs
+        .join(
+          broadcast(pairsDf),
+          col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col("reg"))
+        .agg(max(col("mr")).as("mr"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg((lit(alphaM2) / expr(invsum)).as("est_union"))
+      val nExact = toks.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      val interExact = toks.select(col("source").as("src_a"), col("tok"))
+        .join(toks.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      pairsDf
+        .join(nExact.select(
+          col("source").as("src_a"), col("n_exact").as("n_a_exact")),
+          Seq("src_a"))
+        .join(nExact.select(
+          col("source").as("src_b"), col("n_exact").as("n_b_exact")),
+          Seq("src_b"))
+        .join(interExact, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("n_inter_exact"))
+        .join(estSrc.select(
+          col("source").as("src_a"), col("est").as("est_a")), Seq("src_a"))
+        .join(estSrc.select(
+          col("source").as("src_b"), col("est").as("est_b")), Seq("src_b"))
+        .join(unionEst, Seq("src_a", "src_b"))
+        .withColumn(
+          "est_inter", col("est_a") + col("est_b") - col("est_union"))
+        .select(
+          col("src_a"), col("src_b"), col("n_a_exact"), col("n_b_exact"),
+          col("n_inter_exact"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_inter"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH tox AS (
+        SELECT source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+      ), toks AS (
+        SELECT DISTINCT source, tok FROM tox
+      ), h AS (
+        SELECT source, tok, md5(tok) AS hx FROM toks
+      ), rr AS (
+        SELECT source,
+          ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS reg,
+          16 - length(ltrim(substr(hx, 3, 16), '0')) AS z,
+          CASE WHEN length(ltrim(substr(hx, 3, 16), '0')) = 0 THEN 1
+               ELSE strpos('0123456789abcdef',
+                           substr(ltrim(substr(hx, 3, 16), '0'), 1, 1)) - 1
+          END AS v
+        FROM h
+      ), ranked AS (
+        SELECT source, reg,
+          CASE WHEN z = 16 THEN 65
+               ELSE 4 * z + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                  WHEN v >= 2 THEN 2 ELSE 3 END) + 1
+          END AS rank
+        FROM rr
+      ), regs AS (
+        SELECT source, reg, max(rank) AS mr
+        FROM ranked GROUP BY source, reg
+      ), est AS (
+        SELECT source,
+          0.7213 / (1 + 1.079 / 64) * 64 * 64 /
+            (list_reduce(list_transform(list(mr ORDER BY reg),
+               x -> pow(2.0, -x)), (a, b) -> a + b)
+             + (64 - count(*))) AS est
+        FROM regs GROUP BY source
+      ), srcs AS (
+        SELECT DISTINCT source FROM regs
+      ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+      ), uregs AS (
+        SELECT p.src_a, p.src_b, r.reg, max(r.mr) AS mr
+        FROM pairs p JOIN regs r
+          ON r.source = p.src_a OR r.source = p.src_b
+        GROUP BY p.src_a, p.src_b, r.reg
+      ), uest AS (
+        SELECT src_a, src_b,
+          0.7213 / (1 + 1.079 / 64) * 64 * 64 /
+            (list_reduce(list_transform(list(mr ORDER BY reg),
+               x -> pow(2.0, -x)), (a, b) -> a + b)
+             + (64 - count(*))) AS est_union
+        FROM uregs GROUP BY src_a, src_b
+      ), nex AS (
+        SELECT source, count(*) AS n_exact FROM toks GROUP BY source
+      ), ninter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_inter_exact
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT p.src_a AS src_a, p.src_b AS src_b,
+             na.n_exact AS n_a_exact, nb.n_exact AS n_b_exact,
+             coalesce(ni.n_inter_exact, 0) AS n_inter_exact,
+             ea.est AS est_a, eb.est AS est_b, ue.est_union AS est_union,
+             ea.est + eb.est - ue.est_union AS est_inter
+      FROM pairs p
+      JOIN nex na ON na.source = p.src_a
+      JOIN nex nb ON nb.source = p.src_b
+      LEFT JOIN ninter ni ON ni.src_a = p.src_a AND ni.src_b = p.src_b
+      JOIN est ea ON ea.source = p.src_a
+      JOIN est eb ON eb.source = p.src_b
+      JOIN uest ue ON ue.src_a = p.src_a AND ue.src_b = p.src_b
+      ORDER BY p.src_a, p.src_b"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115)
+      q104, q106, q110, q111, q114, q115, q118)
 }

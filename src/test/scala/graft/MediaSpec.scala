@@ -87,4 +87,42 @@ class MediaSpec extends SparkSpec {
     assert(nonAscii == 0,
       "documents.text contains multi-byte chars; q58's VARCHAR oracle breaks")
   }
+
+  test("ImageCodec: PNG round-trip reproduces the raster for edge dims") {
+    import graft.multimodal.ImageCodec
+    // ids covering 1×1, 1-wide, 1-tall, odd and even dims
+    Seq(0L, 7L, 8L, 4L, 19L, 123L).foreach { id =>
+      val (w0, h0) = ImageCodec.dims(id)
+      val (w, h, pix) = ImageCodec.decode(ImageCodec.encode(id))
+      assert((w, h) == (w0, h0), s"id=$id dims")
+      val expected = for {
+        y <- 0 until h; x <- 0 until w
+        c <- { val (r, g, b) = ImageCodec.px(id, x, y); Seq(r, g, b) }
+      } yield c
+      assert(pix.toSeq == expected, s"id=$id pixels")
+      val (ow, oh, half) = ImageCodec.avgPool2(w, h, pix)
+      assert(ow == math.max(1, w / 2) && oh == math.max(1, h / 2))
+      assert(half.forall(v => v >= 0 && v <= 255))
+    }
+  }
+
+  test("AudioCodec: decoder reports the real container format, not assumptions") {
+    import graft.multimodal.AudioCodec
+    val wav = AudioCodec.encode(42L)
+    // the format fields must come from AudioSystem's parse of the RIFF
+    // header — assert them via the javax API directly
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    assert(fmt.getSampleRate == AudioCodec.SampleRate.toFloat)
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+    assert(!fmt.isBigEndian)
+    val (_, _, samples) = AudioCodec.decode(wav)
+    assert(samples.length == AudioCodec.nSamples(42L))
+    assert(samples.zipWithIndex.forall {
+      case (s, i) => s == AudioCodec.sample(42L, i)
+    })
+  }
 }
