@@ -503,6 +503,101 @@ object Core {
       FROM ex JOIN est USING (event_type)
       ORDER BY event_type"""))
 
+  /** Mergeable quantile sketch, ORACLE-EXACT (the q61-for-quantiles:
+    * q04b/q04c's approximate quantiles stay rows-only because GK and
+    * t-digest state depends on merge order — this one does not). A
+    * decimal-bucket histogram in the DDSketch family (Masson et al.,
+    * VLDB'19 — log-bucketed, relative-error-bounded, mergeable), with
+    * base-10 string-derived buckets instead of log(): each positive
+    * integer-cents value keeps its first 3 significant digits
+    * (bucket lo = (c div scale)·scale, scale = 10^(digits−3)), giving
+    * ≤0.5% relative error with NO libm call — pure integer/string
+    * arithmetic that is bit-identical across engines. The sketch is the
+    * (lo, scale)→count map: VALUE-DOMAIN-bounded (≤900 buckets per
+    * digit count — KBs regardless of row count) and mergeable by count
+    * addition, so per-partition/per-day sketches combine associatively
+    * at 100 TB. Quantile read-off: cumulative counts in bucket order,
+    * rank = ceil(q·n/100), report the covering bucket's midpoint; the
+    * only window runs over the BUCKET table, never the data. Exact
+    * percentiles ride alongside to show the sketch error. */
+  val q119 = Q(
+    "q119_quantile_sketch",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = li(s, d).select(
+        col("l_returnflag").as("grp"),
+        cents(col("l_extendedprice")).as("c"))
+      val sketch = c
+        .withColumn("g", expr("greatest(length(cast(c AS STRING)) - 3, 0)"))
+        .withColumn(
+          "scale", expr("cast(concat('1', repeat('0', g)) AS BIGINT)"))
+        .withColumn("lo", expr("(c div scale) * scale"))
+        .groupBy(col("grp"), col("lo"), col("scale"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("grp")).orderBy(col("lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("grp"))
+      val cum = sketch
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("mid", col("lo") + expr("scale div 2"))
+      def pick(q: Int) = min(
+        when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("mid")))
+        .as(s"sk_p$q")
+      val est = cum.groupBy(col("grp"))
+        .agg(max(col("n")).as("n"), pick(25), pick(50), pick(75), pick(95))
+      val exact = c.groupBy(col("grp")).agg(
+        expr("percentile(c, 0.25D)").as("ex_p25"),
+        expr("percentile(c, 0.50D)").as("ex_p50"),
+        expr("percentile(c, 0.75D)").as("ex_p75"),
+        expr("percentile(c, 0.95D)").as("ex_p95"))
+      est.join(exact, Seq("grp"))
+        .select(
+          col("grp"), col("n"), col("sk_p25"), col("sk_p50"),
+          col("sk_p75"), col("sk_p95"), col("ex_p25"), col("ex_p50"),
+          col("ex_p75"), col("ex_p95"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT l_returnflag AS grp, ${centsSql("l_extendedprice")} AS c
+        FROM lineitem
+      ), bk AS (
+        SELECT grp, (c // scale) * scale AS lo, scale, count(*) AS cnt
+        FROM (
+          SELECT grp, c,
+                 CAST('1' || repeat('0', CAST(greatest(
+                   length(CAST(c AS VARCHAR)) - 3, 0) AS INTEGER))
+                   AS BIGINT) AS scale
+          FROM c)
+        GROUP BY 1, 2, 3
+      ), cum AS (
+        SELECT grp, lo, scale, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY lo
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(cnt) OVER (PARTITION BY grp) AS n,
+          lo + scale // 2 AS mid
+        FROM bk
+      ), est AS (
+        SELECT grp, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN mid END) AS sk_p25,
+          min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN mid END) AS sk_p50,
+          min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN mid END) AS sk_p75,
+          min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN mid END) AS sk_p95
+        FROM cum GROUP BY grp
+      ), ex AS (
+        SELECT grp,
+          quantile_cont(c, 0.25) AS ex_p25,
+          quantile_cont(c, 0.50) AS ex_p50,
+          quantile_cont(c, 0.75) AS ex_p75,
+          quantile_cont(c, 0.95) AS ex_p95
+        FROM c GROUP BY grp
+      )
+      SELECT e.grp AS grp, e.n, e.sk_p25, e.sk_p50, e.sk_p75, e.sk_p95,
+             x.ex_p25, x.ex_p50, x.ex_p75, x.ex_p95
+      FROM est e JOIN ex x USING (grp)
+      ORDER BY grp"""))
+
   /** Dimension-chain broadcast join (reference J1/J2 generalized:
     * queries/q4-top-countries-percentiles/README.md:68-69,129): small dims
     * broadcast; no shuffle on the fact side for the join itself. */
@@ -847,5 +942,5 @@ object Core {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
     q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61,
-    q04c, q75)
+    q04c, q75, q119)
 }

@@ -178,4 +178,21 @@ class CoreSemanticsSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("q119 sketch quantiles honor the 3-digit relative-error bound") {
+    // DDSketch-style guarantee: the reported midpoint and the true
+    // quantile share a bucket spanning scale = lo/100..lo/999 of the
+    // value, so relative error ≤ (scale/2)/lo ≤ 0.5%; allow 1% to cover
+    // the discrete-rank vs interpolated-quantile convention gap.
+    Core.q119.run(spark, sf001).collect().foreach { r =>
+      Seq(("sk_p25", "ex_p25"), ("sk_p50", "ex_p50"),
+        ("sk_p75", "ex_p75"), ("sk_p95", "ex_p95")).foreach {
+        case (sk, ex) =>
+          val s = r.getAs[Long](sk).toDouble
+          val e = r.getAs[Double](ex)
+          assert(math.abs(s - e) / e <= 0.01,
+            s"$sk=$s vs $ex=$e exceeds the sketch error bound")
+      }
+    }
+  }
 }
