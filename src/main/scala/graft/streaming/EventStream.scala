@@ -45,6 +45,81 @@ object EventStream {
         col("w.start").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed approximate-distinct via the portable md5-HLL sketch
+    * ([[graft.functions.HllMd5]]) — the streaming face of the sketch
+    * family. The register state is an order-independent MAX, so the
+    * estimate is EXACTLY the same under any micro-batch split — which is
+    * why the StreamingSpec parity test asserts strict equality where
+    * GK/t-digest could only be tolerance-checked. Same transform serves
+    * batch (q120's oracle leg) and readStream (the parity spec):
+    * streaming == batch == DuckDB closes the loop end to end. Scale:
+    * per-window state is 64 bytes of registers, watermark-bounded. */
+  def sketchedUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        graft.functions.HllMd5.sketch(
+          col("user_id").cast(org.apache.spark.sql.types.StringType))
+          .as("uniq_est"))
+      .select(
+        col("w.start").as("hour_start"), col("event_type"),
+        col("uniq_est"))
+
+  val q120 = Q(
+    "q120_stream_sketch",
+    (s, d) =>
+      sketchedUniques(Tables.load(s, d, "events"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some("""
+      WITH vals AS (
+        SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                 AS hour_start,
+               event_type, CAST(user_id AS VARCHAR) AS sv
+        FROM events
+      ), h AS (
+        SELECT hour_start, event_type, md5(sv) AS hx FROM vals
+      ), rr AS (
+        SELECT hour_start, event_type,
+          ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS reg,
+          16 - length(ltrim(substr(hx, 3, 16), '0')) AS z,
+          CASE WHEN length(ltrim(substr(hx, 3, 16), '0')) = 0 THEN 1
+               ELSE strpos('0123456789abcdef',
+                           substr(ltrim(substr(hx, 3, 16), '0'), 1, 1)) - 1
+          END AS v
+        FROM h
+      ), ranked AS (
+        SELECT hour_start, event_type, reg,
+          CASE WHEN z = 16 THEN 65
+               ELSE 4 * z + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                  WHEN v >= 2 THEN 2 ELSE 3 END) + 1
+          END AS rank
+        FROM rr
+      ), regs AS (
+        SELECT hour_start, event_type, reg, max(rank) AS mr
+        FROM ranked GROUP BY hour_start, event_type, reg
+      ), grps AS (
+        SELECT DISTINCT hour_start, event_type FROM regs
+      ), allregs AS (
+        -- densified like q61: HllMd5.eval folds ALL 64 registers in
+        -- register order (zero registers contribute 1.0 interleaved, not
+        -- as a trailing correction), and double addition is not
+        -- associative — the replay must add in the same order
+        SELECT g.hour_start, g.event_type, j.j, coalesce(r.mr, 0) AS mr
+        FROM grps g CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+        LEFT JOIN regs r ON r.hour_start = g.hour_start
+          AND r.event_type = g.event_type AND r.reg = j.j
+      )
+      SELECT hour_start, event_type,
+        0.7213 / (1 + 1.079 / 64) * 64 * 64 /
+          list_reduce(list_transform(list(mr ORDER BY j),
+            x -> pow(2.0, -x)), (a, b) -> a + b) AS uniq_est
+      FROM allregs GROUP BY hour_start, event_type
+      ORDER BY hour_start, event_type"""))
+
   /** Per-user ordered event-gap analysis — the streaming-state analog
     * (sessionization precursor): for each user, time since previous event
     * and a session-break flag at 30 min. Batch implementation via window
@@ -482,5 +557,5 @@ object EventStream {
       SELECT CAST(ts AS DATE) AS day, max(active) AS peak
       FROM run WHERE delta = 1 GROUP BY day ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109, q112)
+  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120)
 }

@@ -40,6 +40,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketchedUniques streaming == batch EXACTLY (order-independent registers)") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_hll").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val batch = EventStream.sketchedUniques(events).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getString(1)) -> r.getDouble(2))
+      .toMap
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.sketchedUniques(streamIn)
+      .writeStream
+      .format("memory")
+      .queryName("hll_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_out").collect()
+        .map(r =>
+          (String.valueOf(r.get(0)), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      // STRICT double equality, not tolerance: HLL register state is an
+      // order-independent MAX, so micro-batch splits cannot change the
+      // estimate — the property t-digest/GK sketches do not have
+      assert(got == batch, "streaming HLL estimates differ from batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses duplicated input to distinct events") {
     val events = Tables.load(spark, sf001, "events")
     val dir = Files.createTempDirectory("graft_stream_dup").toString
