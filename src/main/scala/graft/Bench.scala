@@ -67,17 +67,28 @@ object Bench {
   private def jmap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
 
-  private def fmt(d: Double): String = f"$d%.3f"
+  // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+  // comma-decimal locale would silently corrupt the JSON artifact
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-  /** Run each named query `runs` times against `dir`; per-run seconds. */
+  /** Run each named query `runs` times against `dir`; per-run seconds.
+    * A failing run records -1 and the sweep CONTINUES — one bad query
+    * must not erase the other sweep entries' data. */
   private def timeQueries(spark: SparkSession, dir: String,
       names: Seq[String], runs: Int): Seq[(String, Seq[Double])] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, dir).count() finally Caches.release()
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, dir).count(); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"bench: sweep $name FAILED: $t"); false
+          }
+          finally Caches.release()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       (name, ts)
     }
