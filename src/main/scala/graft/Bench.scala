@@ -149,7 +149,10 @@ object Bench {
     // URL/domain cap (q93).
     val sweep10Names = core4 ++ Seq(
       "q20_dedup_exact", "q24_minhash_lsh", "q91_segment_dedup",
-      "q95_lm_bigram_score", "q68_dedup_clusters", "q93_url_dedup")
+      "q95_lm_bigram_score", "q68_dedup_clusters", "q93_url_dedup",
+      // sketch algebra: 10× the vocab, same 64-register sketches — the
+      // constant-state scale story measured rather than argued
+      "q118_sketch_algebra")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {

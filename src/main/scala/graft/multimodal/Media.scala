@@ -318,7 +318,9 @@ object ImageCodec {
 
   /** Image dims, a pure function of doc_id (1..8 × 1..5 — small enough
     * that a 500-doc fixture exercises every dim combination and odd/even
-    * pooling edge). */
+    * pooling edge). Assumes doc_id ≥ 0 (fixture invariant, asserted by
+    * the q116 oracle matching: a negative id would make Spark's and
+    * DuckDB's `%` agree but the dims non-positive and encode() throw). */
   def dims(docId: Long): (Int, Int) =
     ((1 + docId % 8).toInt, (1 + docId % 5).toInt)
 

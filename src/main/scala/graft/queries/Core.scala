@@ -519,7 +519,9 @@ object Core {
     * at 100 TB. Quantile read-off: cumulative counts in bucket order,
     * rank = ceil(q·n/100), report the covering bucket's midpoint; the
     * only window runs over the BUCKET table, never the data. Exact
-    * percentiles ride alongside to show the sketch error. */
+    * percentiles ride alongside to show the sketch error. Precondition:
+    * values are POSITIVE integer cents (l_extendedprice > 0 per TPC-H);
+    * zero/negative values would need a sign-split bucket space. */
   val q119 = Q(
     "q119_quantile_sketch",
     (s, d) => {
