@@ -210,6 +210,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("whole-query results are invariant under shuffle-partition count") {
+    // the repo-wide determinism claim — md5 coordinates, total ORDER BY,
+    // order-independent aggregates — tested end to end: identical rows
+    // (same order, same doubles) under different parallelism for the
+    // partitioning-sensitive representatives: LSH pairs, stratified
+    // sample, global shuffle export, sequence packing, two-level domain
+    // cap, bucket-sketch quantiles
+    val names = Seq(
+      "q24_minhash_lsh", "q73_stratified_sample",
+      "q79_jsonl_shuffle_export", "q90_sequence_packing",
+      "q93_url_dedup", "q119_quantile_sketch")
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] = names.map { n =>
+      val rows =
+        try SparkEntry.queries(n)(spark, sf001).collect()
+          .map(_.toString).toSeq
+        finally graft.Caches.release()
+      n -> rows
+    }.toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "4")
+      val a = runAll()
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val b = runAll()
+      names.foreach { n =>
+        assert(a(n).nonEmpty, s"$n returned no rows")
+        assert(a(n) == b(n), s"$n changed under repartitioning")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   private object Det2 {
     val dsum = graft.queries.Det.dsum(col("v")).as("s")
     val avgCents = graft.queries.Det.avgCents(col("v")).as("s")
