@@ -3,7 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.Caches.Tracked
 
 /** HTTP CSV ingestion — the transport the reference actually uses for S1
   * (it streams the public CSV from a URL into the engine, reference:
@@ -65,5 +67,40 @@ object HttpCsv {
       .option("header", header)
       .option("mode", "DROPMALFORMED")
       .csv(stagingDir)
+  }
+
+  /** Bounded error tolerance — the reference's
+    * `input_format_allow_errors_num` semantics (reference:
+    * README.md:185-194): up to `maxErrors` malformed rows are DROPPED
+    * and counted; one more FAILS the load. DROPMALFORMED alone cannot
+    * express the "fail beyond N" contract — it silently drops any
+    * number. PERMISSIVE + corrupt-record column makes the bad rows
+    * first-class: countable, cappable, and quarantinable. The cache is
+    * required (Spark cannot filter on only the corrupt column of an
+    * un-materialized CSV relation) and is what a real loader wants
+    * anyway — parse once, then both the error audit and the clean
+    * projection read the parsed batch. */
+  def readCsvTolerant(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      maxErrors: Long,
+      header: Boolean = true): (DataFrame, Long) = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(corrupt, StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(dir)
+      .persistTracked()
+    val bad = raw.filter(col(corrupt).isNotNull).count()
+    if (bad > maxErrors)
+      throw new IllegalStateException(
+        s"CSV load: $bad malformed rows exceed the error tolerance " +
+          s"$maxErrors (reference input_format_allow_errors_num contract)")
+    (raw.filter(col(corrupt).isNull).drop(corrupt), bad)
   }
 }

@@ -72,4 +72,33 @@ class HttpIngestSpec extends SparkSpec {
       assert(want.except(got).count() === 0)
     } finally server.stop(0)
   }
+
+  test("bounded error tolerance: drops up to N malformed rows, fails beyond") {
+    val s = spark
+    import graft.sources.{HttpCsv, IngestJob}
+    val dir = Files.createTempDirectory("graft_csv_tolerant")
+    // 3 good rows + 2 malformed (wrong arity / untyped garbage)
+    Files.writeString(dir.resolve("part.csv"),
+      """event_id,user_id,event_type,ts_str,value,props
+        |1,10,click,2024-01-01 00:00:00.000000,1.5,a
+        |garbage-without-commas
+        |2,11,view,2024-01-01 00:00:01.000000,2.5,b
+        |not,a,valid,row,with,extra,columns,entirely
+        |3,12,click,2024-01-01 00:00:02.000000,3.5,c
+        |""".stripMargin)
+    try {
+      val (clean, bad) = HttpCsv.readCsvTolerant(
+        s, dir.toString, IngestJob.eventsCsvSchema, maxErrors = 2)
+      assert(bad === 2, "both malformed rows counted")
+      assert(clean.count() === 3, "good rows all survive")
+      assert(clean.columns.toSeq === IngestJob.eventsCsvSchema.map(_.name),
+        "corrupt-record column must not leak into the clean projection")
+      // one fewer allowed error: the load must FAIL, not silently drop
+      val e = intercept[IllegalStateException] {
+        HttpCsv.readCsvTolerant(
+          s, dir.toString, IngestJob.eventsCsvSchema, maxErrors = 1)
+      }
+      assert(e.getMessage.contains("exceed the error tolerance"))
+    } finally Caches.release()
+  }
 }
