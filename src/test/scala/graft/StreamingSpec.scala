@@ -98,6 +98,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late rows from closed windows (append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
+    val dir = Files.createTempDirectory("graft_stream_late").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(mode: String,
+        rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode(mode).parquet(s"$dir/in")
+    // batch 1: two rows in the [10,11) window, one at 11:30 — after this
+    // batch the 10-minute watermark stands at 11:20, past [10,11)'s end
+    write("overwrite", Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:30:00"), "a", 1.0),
+      (ts("2024-01-01 11:30:00"), "a", 1.0)))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val streamIn = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.windowedCounts(streamIn)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row (10:05 — behind the watermark, its window
+      // already closed) that must be DROPPED, plus a fresh row advancing
+      // the watermark further; batch 3 flushes the remaining windows
+      write("append", Seq(
+        (ts("2024-01-01 10:05:00"), "a", 100.0),
+        (ts("2024-01-01 12:30:00"), "a", 1.0)))
+      q.processAllAvailable()
+      write("append", Seq((ts("2024-01-01 13:30:00"), "a", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("late_out").collect()
+        .map(r =>
+          String.valueOf(r.get(0)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      // count 2 / sum 2.0, NOT 3 / 102.0: the late row never lands
+      assert(got("2024-01-01 10:00:00.0") == ((2L, 2.0)),
+        s"late row leaked into a closed window: $got")
+      assert(got.contains("2024-01-01 11:00:00.0"),
+        "watermark advance must flush the next window")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch q33") {
     val events = Tables.load(spark, sf001, "events")
     // two event-time-ordered micro-batches: early half, then late half
