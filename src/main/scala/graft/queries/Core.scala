@@ -522,32 +522,45 @@ object Core {
     * percentiles ride alongside to show the sketch error. Precondition:
     * values are POSITIVE integer cents (l_extendedprice > 0 per TPC-H);
     * zero/negative values would need a sign-split bucket space. */
+  /** q119/q121 shared machinery: decimal-bucket rows for a (grp…, c)
+    * frame — first 3 significant digits of positive integer cents; extra
+    * grouping columns ride along so sketches can be stored at a finer
+    * grain and merged later. */
+  private def qsBuckets(
+      df: DataFrame, grpCols: Seq[String]): DataFrame =
+    df.withColumn("g", expr("greatest(length(cast(c AS STRING)) - 3, 0)"))
+      .withColumn(
+        "scale", expr("cast(concat('1', repeat('0', g)) AS BIGINT)"))
+      .withColumn("lo", expr("(c div scale) * scale"))
+      .groupBy((grpCols :+ "lo" :+ "scale").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile read-off from bucket rows (grp, lo, scale, cnt): cumulative
+    * counts in bucket order, rank = ceil(q·n/100), covering bucket's
+    * midpoint. The windows run over the bucket table only. */
+  private def qsReadoff(sketch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("mid", col("lo") + expr("scale div 2"))
+    def pick(q: Int) = min(
+      when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("mid")))
+      .as(s"sk_p$q")
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), pick(25), pick(50), pick(75), pick(95))
+  }
+
   val q119 = Q(
     "q119_quantile_sketch",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val c = li(s, d).select(
         col("l_returnflag").as("grp"),
         cents(col("l_extendedprice")).as("c"))
-      val sketch = c
-        .withColumn("g", expr("greatest(length(cast(c AS STRING)) - 3, 0)"))
-        .withColumn(
-          "scale", expr("cast(concat('1', repeat('0', g)) AS BIGINT)"))
-        .withColumn("lo", expr("(c div scale) * scale"))
-        .groupBy(col("grp"), col("lo"), col("scale"))
-        .agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("grp")).orderBy(col("lo"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("grp"))
-      val cum = sketch
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .withColumn("mid", col("lo") + expr("scale div 2"))
-      def pick(q: Int) = min(
-        when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("mid")))
-        .as(s"sk_p$q")
-      val est = cum.groupBy(col("grp"))
-        .agg(max(col("n")).as("n"), pick(25), pick(50), pick(75), pick(95))
+      val est = qsReadoff(qsBuckets(c, Seq("grp")))
       val exact = c.groupBy(col("grp")).agg(
         expr("percentile(c, 0.25D)").as("ex_p25"),
         expr("percentile(c, 0.50D)").as("ex_p50"),
@@ -598,6 +611,57 @@ object Core {
       SELECT e.grp AS grp, e.n, e.sk_p25, e.sk_p50, e.sk_p75, e.sk_p95,
              x.ex_p25, x.ex_p50, x.ex_p75, x.ex_p95
       FROM est e JOIN ex x USING (grp)
+      ORDER BY grp"""))
+
+  /** Sketch RE-AGGREGATION (the stored-sketch production pattern): build
+    * q119's decimal-bucket sketches at (returnflag, ship-month) grain —
+    * the "store one sketch per partition/day" shape every metrics
+    * pipeline uses — then MERGE months by summing bucket counts and read
+    * off per-flag quantiles from the merged sketch. Bucket counts are
+    * associative, so the two-level path must equal the direct single
+    * pass EXACTLY; the oracle is DuckDB's DIRECT computation, so a pass
+    * proves the merge law holds cross-engine (query historical ranges
+    * from stored KB sketches without ever rescanning the data). */
+  val q121 = Q(
+    "q121_sketch_merge",
+    (s, d) => {
+      val c = li(s, d).select(
+        col("l_returnflag").as("grp"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+        cents(col("l_extendedprice")).as("c"))
+      val stored = qsBuckets(c, Seq("grp", "mon"))
+      val merged = stored
+        .groupBy(col("grp"), col("lo"), col("scale"))
+        .agg(sum(col("cnt")).as("cnt"))
+      qsReadoff(merged).orderBy(col("grp"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT l_returnflag AS grp, ${centsSql("l_extendedprice")} AS c
+        FROM lineitem
+      ), bk AS (
+        SELECT grp, (c // scale) * scale AS lo, scale, count(*) AS cnt
+        FROM (
+          SELECT grp, c,
+                 CAST('1' || repeat('0', CAST(greatest(
+                   length(CAST(c AS VARCHAR)) - 3, 0) AS INTEGER))
+                   AS BIGINT) AS scale
+          FROM c)
+        GROUP BY 1, 2, 3
+      ), cum AS (
+        SELECT grp, lo, scale, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY lo
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(cnt) OVER (PARTITION BY grp) AS n,
+          lo + scale // 2 AS mid
+        FROM bk
+      )
+      SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN mid END) AS sk_p25,
+        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN mid END) AS sk_p50,
+        min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN mid END) AS sk_p75,
+        min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN mid END) AS sk_p95
+      FROM cum GROUP BY grp
       ORDER BY grp"""))
 
   /** Dimension-chain broadcast join (reference J1/J2 generalized:
@@ -944,5 +1008,5 @@ object Core {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
     q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61,
-    q04c, q75, q119)
+    q04c, q75, q119, q121)
 }
