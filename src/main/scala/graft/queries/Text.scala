@@ -2179,8 +2179,84 @@ object Text {
       JOIN uest ue ON ue.src_a = p.src_a AND ue.src_b = p.src_b
       ORDER BY p.src_a, p.src_b"""))
 
+  /** CMS sketch MERGE (the third merge law in the sketch algebra, after
+    * q118's register-MAX for HLL and q121's bucket-count sum for
+    * quantiles): per-source count-min matrices — the "one stored 8 KB
+    * sketch per source/day" shape — merge by CELL-WISE SUM, and the
+    * merged sketch answers global heavy-hitter queries. Cell counts are
+    * associative integer sums, so the two-level path must equal the
+    * direct global sketch EXACTLY; the oracle is DuckDB's DIRECT path
+    * (q69's conventions: row d hashes md5("d:"+tok), first-2-hex-char
+    * bucket), so a pass proves the merge law cross-engine. */
+  val q122 = Q(
+    "q122_cms_merge",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .persistTracked()
+      val dArr = "array(0, 1, 2, 3)"
+      val bucketExpr =
+        "(instr('0123456789abcdef', " +
+          "substring(md5(concat(d, ':', tok)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', " +
+          "substring(md5(concat(d, ':', tok)), 2, 1)) - 1)"
+      // per-source stored sketches: a (d, b) → count matrix per source
+      val stored = toks
+        .select(col("source"), col("tok"), explode(expr(dArr)).as("d"))
+        .withColumn("b", expr(bucketExpr))
+        .groupBy(col("source"), col("d"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      // merge = cell-wise sum across all stored sketches
+      val merged = stored.groupBy(col("d"), col("b"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val topk = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(10)
+      val probes = topk
+        .select(
+          col("tok"), col("exact_cnt"), explode(expr(dArr)).as("d"))
+        .withColumn("b", expr(bucketExpr))
+      probes.join(graft.operators.Hints.autoBroadcast(merged), Seq("d", "b"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), ds AS (
+        SELECT unnest(range(0, 4)) AS d
+      ), cells AS (
+        SELECT d,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 1))
+                - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':' || tok), 2, 1))
+                - 1) AS b,
+               count(*) AS cnt
+        FROM toks CROSS JOIN ds
+        GROUP BY 1, 2
+      ), topk AS (
+        SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+        ORDER BY exact_cnt DESC, tok LIMIT 10
+      )
+      SELECT t.tok, t.exact_cnt, min(c.cnt) AS cms_est
+      FROM topk t
+      CROSS JOIN ds
+      JOIN cells c ON c.d = ds.d
+       AND c.b = (strpos('0123456789abcdef',
+                    substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.tok), 1, 1))
+                  - 1) * 16
+                + (strpos('0123456789abcdef',
+                    substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.tok), 2, 1))
+                  - 1)
+      GROUP BY t.tok, t.exact_cnt
+      ORDER BY exact_cnt DESC, tok"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115, q118)
+      q104, q106, q110, q111, q114, q115, q118, q122)
 }
