@@ -537,8 +537,10 @@ object Core {
 
   /** Quantile read-off from bucket rows (grp, lo, scale, cnt): cumulative
     * counts in bucket order, rank = ceil(q·n/100), covering bucket's
-    * midpoint. The windows run over the bucket table only. */
-  private def qsReadoff(sketch: DataFrame): DataFrame = {
+    * midpoint. The windows run over the bucket table only. Shared with
+    * the streaming leg (q123), which maintains the buckets under a
+    * watermark and reads quantiles off the sketch downstream. */
+  private[graft] def qsReadoff(sketch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col("grp")).orderBy(col("lo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

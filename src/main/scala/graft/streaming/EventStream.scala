@@ -120,6 +120,74 @@ object EventStream {
       FROM allregs GROUP BY hour_start, event_type
       ORDER BY hour_start, event_type"""))
 
+  /** STREAMING quantile sketch state: per-hour decimal-bucket counts of
+    * value cents (q119's bucket derivation). Streaming-safe because the
+    * state is a keyed SUM under a watermark — no ranking window runs in
+    * the stream; the quantile READ-OFF (Core.qsReadoff) happens
+    * downstream over the KB-sized bucket table, which is exactly how
+    * production observability works: the stream maintains sketches,
+    * dashboards read them. Bucket counts are order-independent, so the
+    * stream==batch parity is STRICT (the q120 argument, for quantiles).
+    */
+  def valueBuckets(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("c", graft.queries.Det.cents(col("value")))
+      .withColumn("g", expr("greatest(length(cast(c AS STRING)) - 3, 0)"))
+      .withColumn(
+        "scale", expr("cast(concat('1', repeat('0', g)) AS BIGINT)"))
+      .withColumn("lo", expr("(c div scale) * scale"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("lo"), col("scale"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("w.start").as("hour_start"), col("lo"), col("scale"),
+        col("cnt"))
+
+  /** q123: the batch leg of the streaming quantile sketch — per-hour
+    * p25/p50/p75/p95 of event value read off the bucket state. The
+    * oracle replays buckets + read-off directly in DuckDB; StreamingSpec
+    * proves the bucket state is identical when maintained by Structured
+    * Streaming over micro-batches. */
+  val q123 = Q(
+    "q123_stream_quantiles",
+    (s, d) =>
+      graft.queries.Core.qsReadoff(
+        valueBuckets(Tables.load(s, d, "events"))
+          .withColumnRenamed("hour_start", "grp"))
+        .select(
+          col("grp").as("hour_start"), col("n"), col("sk_p25"),
+          col("sk_p50"), col("sk_p75"), col("sk_p95"))
+        .orderBy(col("hour_start")),
+    Some(s"""
+      WITH c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS grp,
+               ${graft.queries.Det.centsSql("value")} AS c
+        FROM events
+      ), bk AS (
+        SELECT grp, (c // scale) * scale AS lo, scale, count(*) AS cnt
+        FROM (
+          SELECT grp, c,
+                 CAST('1' || repeat('0', CAST(greatest(
+                   length(CAST(c AS VARCHAR)) - 3, 0) AS INTEGER))
+                   AS BIGINT) AS scale
+          FROM c)
+        GROUP BY 1, 2, 3
+      ), cum AS (
+        SELECT grp, lo, scale, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY lo
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(cnt) OVER (PARTITION BY grp) AS n,
+          lo + scale // 2 AS mid
+        FROM bk
+      )
+      SELECT grp AS hour_start, CAST(max(n) AS BIGINT) AS n,
+        min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN mid END) AS sk_p25,
+        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN mid END) AS sk_p50,
+        min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN mid END) AS sk_p75,
+        min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN mid END) AS sk_p95
+      FROM cum GROUP BY grp
+      ORDER BY hour_start"""))
+
   /** Per-user ordered event-gap analysis — the streaming-state analog
     * (sessionization precursor): for each user, time since previous event
     * and a session-break flag at 30 min. Batch implementation via window
@@ -557,5 +625,6 @@ object EventStream {
       SELECT CAST(ts AS DATE) AS day, max(active) AS peak
       FROM run WHERE delta = 1 GROUP BY day ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120)
+  val all: Seq[Q] =
+    Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123)
 }

@@ -98,6 +98,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("valueBuckets streaming == batch (quantile sketch state parity)") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_qs").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    def key(r: Row) = (String.valueOf(r.get(0)), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    val batch = EventStream.valueBuckets(events).collect().map(key).toSet
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.valueBuckets(streamIn)
+      .writeStream.format("memory").queryName("qs_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qs_out").collect().map(key).toSet
+      // strict equality of the SKETCH STATE itself: bucket counts are
+      // order-independent sums, so any micro-batch split yields the
+      // same buckets — and therefore identical downstream quantiles
+      assert(got == batch, "streaming bucket state differs from batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows from closed windows (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
