@@ -625,6 +625,130 @@ object EventStream {
       SELECT CAST(ts AS DATE) AS day, max(active) AS peak
       FROM run WHERE delta = 1 GROUP BY day ORDER BY day"""))
 
+  /** q124: time-series gap fill — the ClickHouse `ORDER BY … WITH FILL` /
+    * monitoring-engine resample capability (reference exposes the
+    * day-partitioned event table, clickhouse-init/01-create-table.sql:31-41,
+    * but no fill operator). Per-user DAILY series of the sparse `error`
+    * events, densified to every calendar day between the user's first and
+    * last error: missing days get n_events=0 and the value carried forward
+    * from the last observed day (LOCF). Scale: the spine is
+    * `sequence(d0, d1, 1 day)` exploded per key — partition-parallel, array
+    * length bounded by the calendar span, never by corpus size; the LOCF
+    * window partitions by user over DAYS, so its partitions are
+    * calendar-bounded too (no unbounded window anywhere). Determinism: the
+    * filled value is one day's exact-decimal sum (no cross-row double
+    * arithmetic), and day-one of every series is observed, so the LOCF is
+    * total. */
+  val q124 = Q(
+    "q124_gapfill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("day_value"))
+      val spine = daily
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(
+          col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_value"), ignoreNulls = true).over(locf)
+            .as("value_locf"),
+          when(col("n_events").isNull, lit(1)).otherwise(lit(0))
+            .as("filled"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, day
+      ), bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+      ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+      )
+      SELECT s.user_id, s.day,
+             CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_locf,
+             CAST(CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS filled
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+      ORDER BY s.user_id, s.day"""))
+
+  /** q125: time-weighted average — the monitoring/time-series engine
+    * `time_weight` / `avgWeighted` capability: each observation of `value`
+    * holds until the next observation, so its weight is the interval length
+    * in microseconds (the last observation per user carries no interval and
+    * is excluded — standard left-closed convention). Cross-engine exact:
+    * weights are integer microseconds (LEAD over a (ts, event_id)-total
+    * order), values integer cents, so both weighted sum and total span are
+    * exact BIGINT sums (per-user span ≤ fixture range ⇒ products < 2^53);
+    * the only floating arithmetic is the SAME two IEEE divisions of
+    * identical integer operands in both engines. Scale: one per-user window
+    * (the q33 sessionize shape) + one hash aggregate. */
+  val q125 = Q(
+    "q125_time_weighted",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, d, "events")
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          Det.cents(col("value")).as("cents"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("span_us"),
+          (sum(col("cents") * col("dt_us")).cast(DoubleType) /
+            sum(col("dt_us")).cast(DoubleType) / lit(100.0))
+            .as("twa_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+      ), d AS (
+        SELECT user_id, cents, us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - us AS dt_us
+        FROM t
+      )
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(dt_us) AS BIGINT) AS span_us,
+             CAST(sum(cents * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS twa_value
+      FROM d WHERE dt_us IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] =
-    Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123)
+    Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125)
 }

@@ -649,6 +649,76 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q124 gapfill: dense spine, zero-fill, LOCF total and exact") {
+    val rows = EventStream.q124.run(spark, sf001).collect()
+    val errs = Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "error")
+    // conservation: filling adds days, never events
+    assert(rows.map(_.getAs[Long]("n_events")).sum == errs.count())
+    assert(rows.exists(_.getAs[Int]("filled") == 1),
+      "the sparse error series must actually contain calendar gaps")
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate)
+      // spine density: exactly one row per calendar day, no holes
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(
+          days.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)),
+          days.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)))
+          + 1,
+        s"user $u spine has holes")
+      assert(days.distinct.length == days.length)
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // series starts on an observed day, so LOCF is total
+      assert(sorted.head.getAs[Int]("filled") == 0)
+      sorted.foreach(r => assert(!r.isNullAt(r.fieldIndex("value_locf"))))
+      // filled rows repeat the last observed value exactly
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Int]("filled") == 1 =>
+          assert(b.getAs[Double]("value_locf") ==
+            a.getAs[Double]("value_locf"),
+            s"user $u LOCF must carry the previous value bit-exactly")
+        case _ => ()
+      }
+      // observed rows carry their own day's value, not a carried one
+      sorted.filter(_.getAs[Int]("filled") == 0)
+        .foreach(r => assert(r.getAs[Long]("n_events") > 0))
+    }
+  }
+
+  test("q125 time-weighted avg: bit-matches driver recompute, bounded") {
+    val rows = EventStream.q125.run(spark, sf001).collect()
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      // same integer pipeline, scala-side: cents × µs intervals
+      val pts = ev(u).sortBy(p => (p._2.getTime * 1000 +
+        (p._2.getNanos / 1000) % 1000, p._3))
+        .map(p => (p._2.getTime / 1000 * 1000000L + p._2.getNanos / 1000,
+          math.round(p._4 * 100)))
+      val iv = pts.zip(pts.tail)
+        .map { case ((us0, c0), (us1, _)) => (us1 - us0, c0) }
+      assert(r.getAs[Long]("n_intervals") == iv.length.toLong)
+      val span = iv.map(_._1).sum
+      assert(r.getAs[Long]("span_us") == span)
+      val twa = iv.map { case (dt, c) => dt * c }.sum.toDouble /
+        span.toDouble / 100.0
+      assert(r.getAs[Double]("twa_value") == twa,
+        s"user $u twa must be bit-exact vs the integer recompute")
+      val vals = ev(u).map(_._4)
+      assert(r.getAs[Double]("twa_value") >= vals.min - 0.01 &&
+        r.getAs[Double]("twa_value") <= vals.max + 0.01,
+        "a weighted mean must lie within the value range")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
