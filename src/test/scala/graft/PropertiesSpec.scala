@@ -242,6 +242,42 @@ class PropertiesSpec extends SparkSpec {
     } finally conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("whole-query results are invariant under join strategy and AQE") {
+    // physical-plan independence: disabling broadcast joins (everything
+    // becomes shuffle/sort-merge) and adaptive execution must not change
+    // a single row or byte — the join-heavy representatives: broadcast
+    // top-N join, fact join, salted skew join, outer/semi/anti variants,
+    // range join, native as-of physical operator, conditional-broadcast
+    // decontamination
+    val names = Seq(
+      "q04_topn_percentiles", "q12_fact_join", "q36_salted_join",
+      "q38_join_variants", "q40_range_join", "q87_asof_native",
+      "q71_decontamination")
+    val conf = spark.conf
+    val origBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val origAqe = conf.get("spark.sql.adaptive.enabled")
+    def runAll(): Map[String, Seq[String]] = names.map { n =>
+      val rows =
+        try SparkEntry.queries(n)(spark, sf001).collect()
+          .map(_.toString).toSeq
+        finally graft.Caches.release()
+      n -> rows
+    }.toMap
+    try {
+      val a = runAll()
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val b = runAll()
+      names.foreach { n =>
+        assert(a(n).nonEmpty, s"$n returned no rows")
+        assert(a(n) == b(n), s"$n changed under forced sort-merge/no-AQE")
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", origBc)
+      conf.set("spark.sql.adaptive.enabled", origAqe)
+    }
+  }
+
   private object Det2 {
     val dsum = graft.queries.Det.dsum(col("v")).as("s")
     val avgCents = graft.queries.Det.avgCents(col("v")).as("s")
