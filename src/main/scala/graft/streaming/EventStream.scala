@@ -749,6 +749,72 @@ object EventStream {
       FROM d WHERE dt_us IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** q126: last-touch attribution — completes the ClickHouse-style
+    * behavioral-analytics triple (funnel q108, retention q109): each
+    * purchase is attributed to the SAME user's most recent click strictly
+    * before it (total order (ts, event_id)) within a 7-day lookback, then
+    * rolled up per day. One per-user window (the q33 shape) + one hash
+    * aggregate; the lookback test is pure integer microseconds, and
+    * attributed revenue is an exact-decimal conditional sum — no
+    * cross-engine float hazards. */
+  val q126 = Q(
+    "q126_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val week = 7L * 24 * 3600 * 1000000L
+      Tables.load(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn(
+          "last_click_us",
+          last(
+            when(col("event_type") === "click", col("us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn(
+          "attributed",
+          col("last_click_us").isNotNull &&
+            col("us") - col("last_click_us") <= lit(week))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), lit(1L)).otherwise(lit(0L)))
+            .as("n_attributed"),
+          Det.dsum(when(col("attributed"), col("value"))
+            .otherwise(lit(0.0))).as("attributed_rev"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ce AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('click', 'purchase')
+      ), la AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click' THEN us END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_us
+        FROM ce
+      )
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+             CAST(sum(CASE WHEN last_click_us IS NOT NULL
+                            AND us - last_click_us <= 604800000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             CAST(sum(CAST(CASE WHEN last_click_us IS NOT NULL
+                                 AND us - last_click_us <= 604800000000
+                                THEN value ELSE 0 END AS DECIMAL(18,2)))
+                  AS DOUBLE) AS attributed_rev
+      FROM la WHERE event_type = 'purchase'
+      GROUP BY day ORDER BY day"""))
+
   val all: Seq[Q] =
-    Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125)
+    Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
+      q126)
 }

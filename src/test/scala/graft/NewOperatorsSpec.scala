@@ -719,6 +719,46 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q126 attribution: matches naive per-purchase scan") {
+    val rows = EventStream.q126.run(spark, sf001).collect()
+    val ev = Tables.load(spark, sf001, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val week = 7L * 24 * 3600 * 1000000L
+    val byUser = ev.groupBy(_._1)
+    // naive O(clicks × purchases) per user — the spec-side oracle the
+    // windowed one-pass must agree with
+    val naive = byUser.values.flatten.filter(_._4 == "purchase").map {
+      case (u, ts, id, _, v) =>
+        val best = byUser(u).filter(e => e._4 == "click" &&
+          (us(e._2) < us(ts) || (us(e._2) == us(ts) && e._3 < id)))
+          .map(e => us(e._2)).maxOption
+        val attr = best.exists(b => us(ts) - b <= week)
+        (ts.toLocalDateTime.toLocalDate.toString, attr, v)
+    }.toSeq
+    val byDay = naive.groupBy(_._1)
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == naive.size.toLong)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val want = byDay(day)
+      assert(r.getAs[Long]("n_purchases") == want.size.toLong, s"day $day")
+      assert(r.getAs[Long]("n_attributed") ==
+        want.count(_._2).toLong, s"day $day attributed count")
+      assert(r.getAs[Long]("n_attributed") <= r.getAs[Long]("n_purchases"))
+      val rev = want.filter(_._2)
+        .map(w => math.round(w._3 * 100)).sum.toDouble / 100.0
+      assert(math.abs(r.getAs[Double]("attributed_rev") - rev) < 1e-9,
+        s"day $day attributed revenue")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
