@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -588,23 +589,31 @@ object Dedup {
     * check. Output: every document with its cluster id (= min doc_id in
     * its component), cluster size, and whether it is the canonical
     * representative a dedup would keep. */
+  /** Shared near-dup clustering core for q68/q127: every document labeled
+    * with the min doc_id of its mutual-near-dup component, columns
+    * (id, lbl). */
+  private def nearDupLabels(
+      s: SparkSession, d: String, tag: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .persistTracked()
+    // pairs checkpointed BEFORE the operator's both-directions union: a
+    // lazy plan would embed (and execute) the similarity join once per
+    // union branch
+    val pairs = jaccardPairs(docs, 0.6)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    graft.operators.Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs, tag = tag)
+  }
+
   val q68 = Q(
     "q68_dedup_clusters",
     (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"), col("lang"), col("source"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("sz", size(col("toks")))
-        .persistTracked()
-      // pairs checkpointed BEFORE the operator's both-directions union: a
-      // lazy plan would embed (and execute) the similarity join once per
-      // union branch
-      val pairs = jaccardPairs(docs, 0.6)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val labels = graft.operators.Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs, tag = "q68")
+      val labels = nearDupLabels(s, d, "q68")
       val sizes =
         labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("lbl"))
@@ -646,6 +655,71 @@ object Dedup {
       SELECT c.doc_id, c.cluster_id, s.cluster_size,
              c.doc_id = c.cluster_id AS is_canonical
       FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id"""))
+
+  /** q127: the dedup DECISION list — what a pipeline actually executes.
+    * q68 labels clusters with the min-id representative; real curation
+    * keeps the BEST document per near-dup cluster instead. Policy here:
+    * longest document wins (max n_chars), min doc_id breaks ties — the
+    * standard keep-longest rule of crawl dedup. The arg-max is a bounded
+    * single-value aggregate (struct max — no per-cluster window, no sort),
+    * so the selection adds one cluster-keyed shuffle on top of the shared
+    * clustering core. Output: one verdict row per document. */
+  val q127 = Q(
+    "q127_keep_policy",
+    (s, d) => {
+      val labels = nearDupLabels(s, d, "q127")
+      val meta = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("n_chars"))
+      val canon = labels.join(meta, Seq("id"))
+        .groupBy(col("lbl"))
+        // lexicographic struct max = (max n_chars, then min doc_id)
+        .agg(max(struct(col("n_chars").as("nc"), (-col("id")).as("nid")))
+          .as("b"))
+        .select(col("lbl"), (-col("b.nid")).as("canonical_id"))
+      labels.join(canon, Seq("lbl"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("canonical_id"),
+          (col("id") === col("canonical_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                   AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+              >= 0.6
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+      ), reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      ), comp AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      ), canon AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM (
+          SELECT c.cluster_id, c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM comp c JOIN documents d USING (doc_id))
+        WHERE rn = 1
+      )
+      SELECT c.doc_id, c.cluster_id, n.canonical_id,
+             c.doc_id = n.canonical_id AS keep
+      FROM comp c JOIN canon n USING (cluster_id)
       ORDER BY c.doc_id"""))
 
   /** INCREMENTAL dedup (extension op): a new crawl batch deduped AGAINST
@@ -721,5 +795,5 @@ object Dedup {
       LEFT JOIN near_dup n ON b.doc_id = n.doc_id
       ORDER BY b.doc_id"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70)
+  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127)
 }

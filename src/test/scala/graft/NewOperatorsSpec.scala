@@ -759,6 +759,34 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q127 keep policy: one keep per cluster, longest doc wins") {
+    val rows = graft.queries.Dedup.q127.run(spark, sf001).collect()
+    val nChars = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    assert(rows.length == nChars.size, "one verdict row per document")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rs) =>
+      val keeps = rs.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $c must keep exactly one doc")
+      val canon = keeps.head.getAs[Long]("canonical_id")
+      assert(rs.forall(_.getAs[Long]("canonical_id") == canon))
+      assert(rs.exists(_.getAs[Long]("doc_id") == canon),
+        s"cluster $c canonical must be a member")
+      // keep-longest with min-id tiebreak, against the raw metadata
+      val best = rs.map(_.getAs[Long]("doc_id"))
+        .minBy(id => (-nChars(id), id))
+      assert(canon == best, s"cluster $c kept $canon, expected $best")
+    }
+    // clustering must agree with q68 (same shared core)
+    val q68clusters = graft.queries.Dedup.q68.run(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("cluster_id") == q68clusters(r.getAs[Long]("doc_id")),
+      "q127 must partition documents exactly like q68"))
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
