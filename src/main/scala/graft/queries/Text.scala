@@ -164,6 +164,57 @@ object Text {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** q128: fuzzy vocabulary join — all edit-distance-1 word pairs in the
+    * part-name vocabulary, by SymSpell deletion-neighborhood banding
+    * (Garbe's symmetric-delete algorithm, public): each word keys on
+    * itself plus every single-character deletion; any ED-1 pair —
+    * substitution, insertion, or deletion — provably shares a key, so
+    * candidates come from a bucket join over deletion keys (vocabulary-
+    * sized, never corpus-sized) and only candidates pay the exact
+    * `levenshtein` verify (codegen'd built-in). Shared keys can
+    * over-generate (same-length pairs deleting at DIFFERENT positions can
+    * be ED 2), which is why the verify filter is load-bearing. The oracle
+    * is the exhaustive all-pairs scan — a different algorithm whose
+    * agreement proves the banding misses nothing (the q68 differential
+    * pattern). At 100 TB the vocabulary is the small derived table; this
+    * shape never touches the corpus after the word count. */
+  val q128 = Q(
+    "q128_fuzzy_pairs",
+    (s, d) => {
+      val words = Tables.load(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val keyed = words.select(
+        col("tok"), col("n"),
+        explode(expr(
+          "array_distinct(concat(array(tok), " +
+            "transform(sequence(1, length(tok)), " +
+            "i -> concat(substring(tok, 1, i-1), " +
+            "substring(tok, i+1, length(tok))))))")).as("k"))
+      val a = keyed.select(
+        col("k"), col("tok").as("tok_a"), col("n").as("n_a"))
+      val b = keyed.select(
+        col("k"), col("tok").as("tok_b"), col("n").as("n_b"))
+      a.join(b, Seq("k"))
+        .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+        WHERE len(tok) >= 3
+        GROUP BY tok
+      )
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b
+      FROM words a JOIN words b
+        ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+      ORDER BY tok_a, tok_b"""))
+
   /** Corpus vocabulary profile (extension op T5): top-40 tokens by
     * document frequency — the explode → groupBy → TakeOrdered shape that
     * at scale is one shuffle on token with map-side partial counts. */
@@ -2258,5 +2309,5 @@ object Text {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115, q118, q122)
+      q104, q106, q110, q111, q114, q115, q118, q122, q128)
 }

@@ -787,6 +787,39 @@ class NewOperatorsSpec extends SparkSpec {
       "q127 must partition documents exactly like q68"))
   }
 
+  test("q128 fuzzy pairs: banding matches exhaustive edit-distance scan") {
+    val rows = graft.queries.Text.q128.run(spark, sf001).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val vocab = Tables.load(spark, sf001, "part")
+      .select(explode(split(col("p_name"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 3)
+      .select(col("tok")).distinct().collect().map(_.getString(0)).sorted
+    val exhaustive = for {
+      i <- vocab.indices; j <- i + 1 until vocab.length
+      if lev(vocab(i), vocab(j)) == 1
+    } yield (vocab(i), vocab(j))
+    assert(rows.toSet == exhaustive.toSet,
+      "deletion-neighborhood banding must find exactly the ED-1 pairs")
+    // the fixture exercises both mechanism branches
+    assert(rows.exists { case (a, b) => a.length != b.length },
+      "an insert/delete pair must be present")
+    assert(rows.exists { case (a, b) => a.length == b.length },
+      "a substitution pair must be present")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
