@@ -197,7 +197,8 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
-      .select(col("user_id"), col("ts"), col("event_type"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       // integer-microsecond gap: engines disagree on fractional-second
       // date_diff truncation, exact micros never do
@@ -215,7 +216,18 @@ object EventStream {
     * consumer). The session_id running sum pins a ROWS frame: the
     * default RANGE frame would sum tied-timestamp peers together and
     * diverge from the oracles' ROWS UNBOUNDED PRECEDING. */
-  def sessionBounds(events: DataFrame): DataFrame = {
+  def sessionBounds(events: DataFrame): DataFrame =
+    sessionizedEvents(events)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+
+  /** Every event with its 30-min-gap session_id attached — the per-event
+    * face of the shared sessionization (q129 paths need the events, not
+    * just the bounds; [[sessionBounds]] is the aggregate over this). */
+  def sessionizedEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -223,11 +235,6 @@ object EventStream {
       .withColumn(
         "session_id",
         sum(col("new_session").cast("long")).over(w))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("ts")).as("t_start"),
-        max(col("ts")).as("t_end"))
   }
 
   /** Streaming sessionization with EXPLICIT carried state — the
@@ -814,7 +821,60 @@ object EventStream {
       FROM la WHERE event_type = 'purchase'
       GROUP BY day ORDER BY day"""))
 
+  /** q129: session path analysis — the ClickHouse sequence-analytics
+    * capability beyond first-occurrence funnels (q108): the most common
+    * session-opening event-type paths (first 5 events per 30-min-gap
+    * session, '>'-joined). Ordering inside a session is the total
+    * (ts, event_id) order via a sorted struct array, so the path string is
+    * partition-invariant; per-session state is gap-bounded and the path is
+    * capped at 5 events, so nothing unbounded ever materializes. Reuses
+    * the ONE shared sessionization ([[sessionizedEvents]]) behind
+    * q33/q112. */
+  val q129 = Q(
+    "q129_session_paths",
+    (s, d) => {
+      sessionizedEvents(Tables.load(s, d, "events"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(
+          ">",
+          expr("transform(slice(evs, 1, 5), x -> x.event_type)"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(25)
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list_slice(
+                 list(event_type ORDER BY ts, event_id), 1, 5), '>')
+                 AS path
+        FROM numbered GROUP BY user_id, session_id
+      )
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 25"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126)
+      q126, q129)
 }

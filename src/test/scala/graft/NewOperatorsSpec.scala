@@ -820,6 +820,38 @@ class NewOperatorsSpec extends SparkSpec {
       "a substitution pair must be present")
   }
 
+  test("q129 session paths: matches driver-side path assembly") {
+    val rows = EventStream.q129.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+    val types =
+      Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (p, n) =>
+      val segs = p.split(">")
+      assert(segs.nonEmpty && segs.length <= 5, s"path '$p' length")
+      segs.foreach(t => assert(types.contains(t), s"bad segment in '$p'"))
+      assert(n >= 1)
+    }
+    // recompute every session's path from the shared per-event
+    // sessionization and rebuild the ranking
+    val se = EventStream
+      .sessionizedEvents(Tables.load(spark, sf001, "events"))
+      .select(col("user_id"), col("session_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_id")),
+        (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"))))
+    val want = se.groupBy(_._1).values
+      .map(_.map(_._2).sortBy(e => (e._1.getTime * 1000000 +
+        e._1.getNanos / 1000, e._2))
+        .take(5).map(_._3).mkString(">"))
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+      .toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(25)
+    assert(rows.toSeq == want, "top-25 ranking must match the recompute")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
