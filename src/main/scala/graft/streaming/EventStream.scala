@@ -14,6 +14,14 @@ final case class UserSessionState(lastTsMicros: Long, sessionId: Long)
 final case class SessionizedEvent(
     user_id: Long, ts_micros: Long, session_id: Long)
 
+/** Carried per-user state for streaming attribution: the last click's
+  * microsecond timestamp (Long.MinValue = none seen yet). */
+final case class LastClickState(lastClickUs: Long)
+
+/** One attributed purchase emitted by the streaming attributor. */
+final case class AttributedPurchase(
+    user_id: Long, us: Long, event_id: Long, attributed: Boolean)
+
 /** Structured Streaming surface.
   *
   * The reference has no streaming operators — its event-shaped
@@ -764,29 +772,75 @@ object EventStream {
     * aggregate; the lookback test is pure integer microseconds, and
     * attributed revenue is an exact-decimal conditional sum — no
     * cross-engine float hazards. */
+  /** The 7-day attribution lookback in microseconds. */
+  val attributionLookbackUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Per-purchase last-touch attribution — the ONE derivation behind
+    * batch q126 and the streaming [[attributeStream]] parity: each
+    * purchase row with its user's most recent strictly-earlier click
+    * (total (ts, event_id) order) and the 7-day-lookback verdict. */
+  def attributedPurchases(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn(
+        "last_click_us",
+        last(
+          when(col("event_type") === "click", col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn(
+        "attributed",
+        col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= lit(attributionLookbackUs))
+  }
+
+  /** Streaming last-touch attribution — the flatMapGroupsWithState face
+    * of [[attributedPurchases]]: ONE 8-byte value per user (the last
+    * click's microsecond timestamp) is the entire carried state, so the
+    * state store stays user-count-sized forever. Per micro-batch each
+    * user's rows are (ts, event_id)-sorted and folded through the same
+    * lookback rule; matches batch exactly when micro-batches arrive in
+    * event-time order (the same contract as [[sessionizeStream]]). */
+  def attributeStream(events: DataFrame): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastClickState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastClickState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(LastClickState(Long.MinValue))
+          val out = Array.newBuilder[AttributedPurchase]
+          sorted.foreach { case (_, us, id, typ) =>
+            if (typ == "click") st = LastClickState(us)
+            else out += AttributedPurchase(
+              user, us, id,
+              st.lastClickUs != Long.MinValue &&
+                us - st.lastClickUs <= attributionLookbackUs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   val q126 = Q(
     "q126_attribution",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val week = 7L * 24 * 3600 * 1000000L
-      Tables.load(s, d, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(
-          col("user_id"), col("ts"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn(
-          "last_click_us",
-          last(
-            when(col("event_type") === "click", col("us")),
-            ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .withColumn(
-          "attributed",
-          col("last_click_us").isNotNull &&
-            col("us") - col("last_click_us") <= lit(week))
+      attributedPurchases(Tables.load(s, d, "events"))
         .groupBy(to_date(col("ts")).as("day"))
         .agg(
           count(lit(1)).as("n_purchases"),

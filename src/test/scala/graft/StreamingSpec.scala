@@ -203,6 +203,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState attribution matches batch q126 derivation") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = Tables.load(spark, sf001, "events")
+    val batch = EventStream.attributedPurchases(events)
+      .select("user_id", "us", "event_id", "attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5D)")
+      .collect().head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft_stream_attr").toString
+    events.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.attributeStream(streamIn)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) > cut)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(got == batch,
+        "streaming attribution differs from the batch window derivation")
+      assert(got.exists(_._4) , "some purchase must be attributed")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join streaming == batch") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val events = Tables.load(spark, sf001, "events")
