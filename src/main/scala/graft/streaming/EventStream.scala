@@ -18,6 +18,50 @@ final case class SessionizedEvent(
   * microsecond timestamp (Long.MinValue = none seen yet). */
 final case class LastClickState(lastClickUs: Long)
 
+/** Carried per-user state for the transformWithState running totals. */
+final case class RunState(n: Long, cents: Long)
+
+/** One running-total row emitted per purchase by [[EventStream
+  * .runningTotalsStream]]. */
+final case class RunningTotal(
+    user_id: Long, event_id: Long, run_n: Long, run_cents: Long)
+
+/** The transformWithState face of q130's batch window cumsum — Spark 4's
+  * arbitrary-state API (StatefulProcessor + typed ValueState over the
+  * RocksDB state store): per user ONE 16-byte (count, cents) value is the
+  * entire carried state; each micro-batch folds its (ts, event_id)-sorted
+  * purchases through the same integer accumulation the batch window
+  * performs. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long), RunningTotal] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[RunState] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[RunState](
+      "run",
+      org.apache.spark.sql.Encoders.product[RunState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Long, Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[RunningTotal] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var s = if (st.exists()) st.get() else RunState(0L, 0L)
+    val out = sorted.map { case (_, _, id, cents) =>
+      s = RunState(s.n + 1, s.cents + cents)
+      RunningTotal(user, id, s.n, s.cents)
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
 /** One attributed purchase emitted by the streaming attributor. */
 final case class AttributedPurchase(
     user_id: Long, us: Long, event_id: Long, attributed: Boolean)
@@ -928,7 +972,71 @@ object EventStream {
       ORDER BY n_sessions DESC, path
       LIMIT 25"""))
 
+  /** q130: per-user running purchase totals — the cumulative-metric shape
+    * every ledger/CDC consumer needs. The running sum is over integer
+    * cents (window ROWS frame in the (ts, event_id) total order), so every
+    * prefix is exact in both engines and the presented value is one IEEE
+    * division of identical integers per row. Streaming face:
+    * [[runningTotalsStream]] (transformWithState, strict parity in
+    * StreamingSpec). Scale: one per-user window, the q33 shape. */
+  val q130 = Q(
+    "q130_running_totals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          Det.cents(col("value")).as("cents"))
+        .withColumn("run_n", count(lit(1)).over(w))
+        .withColumn("run_cents", sum(col("cents")).over(w))
+        .select(
+          col("user_id"), col("event_id"), col("run_n"), col("run_cents"),
+          (col("run_cents").cast(DoubleType) / lit(100.0)).as("run_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT user_id, event_id,
+             count(*) OVER w AS run_n,
+             CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+             CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS run_value
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+      ORDER BY user_id, event_id"""))
+
+  /** Streaming running totals via Spark 4's transformWithState — see
+    * [[RunningTotalsProcessor]]. Strict parity with q130's window cumsum
+    * is asserted in StreamingSpec (integer state, so equality is exact
+    * regardless of micro-batch splits, provided event-time order across
+    * batches — the [[sessionizeStream]] contract). */
+  def runningTotalsStream(events: DataFrame): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), Det.cents(col("value")).as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129)
+      q126, q129, q130)
 }

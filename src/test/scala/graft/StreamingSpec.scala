@@ -236,6 +236,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals match batch q130 exactly") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = Tables.load(spark, sf001, "events")
+    val batch = EventStream.q130.run(spark, sf001)
+      .select("user_id", "event_id", "run_n", "run_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5D)")
+      .collect().head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft_stream_tws").toString
+    events.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val origProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val streamIn = spark.readStream.schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.runningTotalsStream(streamIn)
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) > cut)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch,
+        "transformWithState totals differ from the batch window cumsum")
+      assert(got.nonEmpty)
+    } finally {
+      q.stop()
+      origProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("stream-stream interval join streaming == batch") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val events = Tables.load(spark, sf001, "events")
