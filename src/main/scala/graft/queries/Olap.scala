@@ -644,7 +644,62 @@ object Olap {
              (CAST(sy AS DOUBLE) - slope * sx) / n_months AS intercept
       FROM fit ORDER BY pri"""))
 
+  /** q131: the TPC-H Q5 shape — a six-table star join (lineitem ⋈ orders
+    * ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
+    * correlation (c_nationkey = s_nationkey), a region filter that prunes
+    * through THREE dimension hops, and a two-year date filter pushed to
+    * the orders scan. The deepest join tree in the suite: Catalyst plans
+    * the four dimension sides as stacked broadcasts around the one
+    * fact-fact shuffle (lineitem ⋈ orders), which is exactly the 100-TB
+    * shape — dimensions stay broadcast-sized while facts shuffle once.
+    * Revenue is exact integer arithmetic: cents(extendedprice) ×
+    * (100 − discount-percent) accumulates in BIGINT units of 10⁻⁴, so the
+    * only float op is one final division of identical integers. */
+  val q131 = Q(
+    "q131_star_join",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val cust = Tables.load(s, d, "customer")
+      val supp = Tables.load(s, d, "supplier")
+      val nat = Tables.load(s, d, "nation")
+      val reg = Tables.load(s, d, "region")
+        .filter(col("r_name") === "ASIA")
+      val revU = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          (sum(revU).cast(DoubleType) / lit(10000.0)).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113)
+      q113, q131)
 }

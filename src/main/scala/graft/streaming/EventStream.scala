@@ -1036,7 +1036,54 @@ object EventStream {
         OutputMode.Append())
   }
 
+  /** q132: trailing time-range window — the RANGE-frame face the suite's
+    * other windows (all ROWS frames) don't cover: per purchase, the same
+    * user's purchase count and exact-cents spend over the trailing 7 DAYS
+    * (value range on integer microseconds, not row count). RANGE frames
+    * include ALL peers of a tied boundary value, so the result is
+    * tie-order independent by construction; state per partition is
+    * user-bounded like q33. */
+  val q132 = Q(
+    "q132_trailing_window",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val week = 7L * 24 * 3600 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-week, 0)
+      Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          Det.cents(col("value")).as("cents"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_cents", sum(col("cents")).over(w))
+        .select(
+          col("user_id"), col("event_id"), col("trail_n"),
+          col("trail_cents"),
+          (col("trail_cents").cast(DoubleType) / lit(100.0))
+            .as("trail_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT user_id, event_id,
+             count(*) OVER w AS trail_n,
+             CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
+             CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS trail_value
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130)
+      q126, q129, q130, q132)
 }

@@ -852,6 +852,73 @@ class NewOperatorsSpec extends SparkSpec {
     assert(rows.toSeq == want, "top-25 ranking must match the recompute")
   }
 
+  test("q131 star join: dimension sides broadcast, revenue conserved") {
+    val df = graft.queries.Olap.q131.run(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_items") > 0)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // the 100-TB shape: every dimension hop is a broadcast join (the only
+    // shuffle-worthy join is fact ⋈ fact)
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4,
+      s"expected >=4 broadcast joins in the star, saw $nBroadcast")
+    // conservation: total items equal an independently-ordered join count
+    val want = graft.Tables.load(spark, sf001, "lineitem")
+      .join(
+        graft.Tables.load(spark, sf001, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(
+        graft.Tables.load(spark, sf001, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        graft.Tables.load(spark, sf001, "customer")
+          .filter(col("c_nationkey").isin(
+            graft.Tables.load(spark, sf001, "nation")
+              .join(
+                graft.Tables.load(spark, sf001, "region")
+                  .filter(col("r_name") === "ASIA"),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey")).collect()
+              .map(_.getInt(0)).toSeq: _*)),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == want,
+      "star join must count exactly the qualifying lineitems")
+  }
+
+  test("q132 trailing window: matches naive per-user range scan") {
+    val rows = EventStream.q132.run(spark, sf001).collect()
+    val purchases = Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.queries.Det.cents(col("value")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    val week = 7L * 24 * 3600 * 1000000L
+    assert(rows.length == purchases.values.map(_.length).sum)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val id = r.getAs[Long]("event_id")
+      val me = purchases(u).find(_._2 == id).get
+      val in = purchases(u)
+        .filter(p => p._3 >= me._3 - week && p._3 <= me._3)
+      assert(r.getAs[Long]("trail_n") == in.length.toLong,
+        s"user $u event $id trailing count")
+      assert(r.getAs[Long]("trail_cents") == in.map(_._4).sum,
+        s"user $u event $id trailing cents")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
