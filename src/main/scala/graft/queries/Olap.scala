@@ -699,7 +699,93 @@ object Olap {
       GROUP BY n_name
       ORDER BY revenue DESC, n_name"""))
 
+  /** q133: robust outlier detection — median/MAD (the robust z-score
+    * family q115's winsorizing belongs to): per event type, the exact
+    * lower median of integer cents, the exact median absolute deviation,
+    * and the count of |x − med| > 3·MAD outliers. EVERYTHING is integer
+    * arithmetic — medians use q115's pure-integer position discipline
+    * ((n·50+99) div 100 over a (cents, event_id) total order), deviations
+    * and the 3·MAD threshold compare BIGINTs — so both engines agree
+    * bit-for-bit; the only doubles are presentation divisions. Per-type
+    * ranking windows are category-bounded (the q115 shape). */
+  val q133 = Q(
+    "q133_mad_outliers",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      import graft.Caches.Tracked
+      val ev = Tables.load(s, d, "events")
+        .select(
+          col("event_type"), col("event_id"),
+          Det.cents(col("value")).as("cents"))
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = ev.withColumn("rn", row_number().over(w1))
+        .persistTracked()
+      val counts = ranked.groupBy(col("event_type"))
+        .agg(max(col("rn")).cast(LongType).as("n"))
+      val med = ranked.join(autoBroadcast(counts), Seq("event_type"))
+        .filter(col("rn") === expr("(n * 50 + 99) div 100"))
+        .select(col("event_type"), col("cents").as("med_cents"))
+      val dev = ranked.join(autoBroadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("cents") - col("med_cents")))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("ad"), col("event_id"))
+      val ranked2 = dev.withColumn("rn2", row_number().over(w2))
+        .persistTracked()
+      val mad = ranked2.join(autoBroadcast(counts), Seq("event_type"))
+        .filter(col("rn2") === expr("(n * 50 + 99) div 100"))
+        .select(col("event_type"), col("ad").as("mad_cents"))
+      ranked2.join(autoBroadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (min(col("med_cents")).cast(DoubleType) / lit(100.0))
+            .as("med_value"),
+          (min(col("mad_cents")).cast(DoubleType) / lit(100.0))
+            .as("mad_value"),
+          sum(when(col("ad") > lit(3L) * col("mad_cents"), lit(1L))
+            .otherwise(lit(0L))).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), r1 AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cents, event_id) AS rn
+        FROM c
+      ), cnt AS (
+        SELECT event_type, CAST(max(rn) AS BIGINT) AS n FROM r1 GROUP BY 1
+      ), med AS (
+        SELECT r1.event_type, r1.cents AS med_cents
+        FROM r1 JOIN cnt USING (event_type)
+        WHERE rn = (n * 50 + 99) // 100
+      ), dev AS (
+        SELECT c.event_type, c.event_id, c.cents, med_cents,
+               abs(c.cents - med_cents) AS ad
+        FROM c JOIN med USING (event_type)
+      ), r2 AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ad, event_id) AS rn2
+        FROM dev
+      ), mad AS (
+        SELECT r2.event_type, r2.ad AS mad_cents
+        FROM r2 JOIN cnt USING (event_type)
+        WHERE rn2 = (n * 50 + 99) // 100
+      )
+      SELECT d.event_type, count(*) AS n,
+             CAST(min(med_cents) AS DOUBLE) / CAST(100 AS DOUBLE)
+               AS med_value,
+             CAST(min(mad_cents) AS DOUBLE) / CAST(100 AS DOUBLE)
+               AS mad_value,
+             CAST(sum(CASE WHEN d.ad > 3 * mad_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131)
+      q113, q131, q133)
 }

@@ -919,6 +919,34 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q133 MAD outliers: bit-matches integer recompute") {
+    val rows = graft.queries.Olap.q133.run(spark, sf001).collect()
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_type"), col("event_id"),
+        graft.queries.Det.cents(col("value")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == ev.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = ev(t).sortBy(e => (e._3, e._2)).map(_._3)
+      val n = cs.length.toLong
+      val med = cs(((n * 50 + 99) / 100 - 1).toInt)
+      val ads = ev(t).map(e => (math.abs(e._3 - med), e._2))
+        .sortBy(identity).map(_._1)
+      val mad = ads(((n * 50 + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("med_value") == med.toDouble / 100.0)
+      assert(r.getAs[Double]("mad_value") == mad.toDouble / 100.0)
+      assert(r.getAs[Long]("n_outliers") ==
+        ads.count(_ > 3 * mad).toLong, s"type $t outlier count")
+      assert(r.getAs[Long]("n_outliers") > 0,
+        "the skewed value distribution must yield 3-MAD outliers")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
