@@ -1083,7 +1083,71 @@ object EventStream {
                    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
+  /** q134: rolling z-score anomaly detection — the time-series outlier
+    * face beside q133's global median/MAD: per event type's daily revenue
+    * series, compare each day against the TRAILING 7 prior days (ROWS
+    * frame, current day excluded so the anomaly can't dilute its own
+    * baseline). The whole test is exact BIGINT algebra — with x the day's
+    * cents and (n,S,Q) the prior-frame count/sum/sum-of-squares,
+    * (x−mean)² > k²·var  ⇔  (x·n−S)² > k²·(n·Q−S²) — so the flag is
+    * bit-identical cross-engine; the reported z² is ONE IEEE division of
+    * those identical integers. Magnitudes: day-cents ≤ ~4e6 at sf0.1 ⇒
+    * (x·n−S)² ≤ ~7e14, comfortably BIGINT (the squares stay exact up to
+    * ~sf10). Scale: the series is calendar×category-bounded (days ×
+    * event types), so the per-type window is trivially bounded; the only
+    * corpus-sized work is the one daily-rollup shuffle. */
+  val q134 = Q(
+    "q134_rolling_zscore",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val daily = Tables.load(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(Det.cents(col("value"))).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("q", sum(col("x") * col("x")).over(w))
+        .filter(col("n") === 7)
+        .withColumn("dev", col("x") * col("n") - col("s"))
+        .withColumn("vt", col("n") * col("q") - col("s") * col("s"))
+        .select(
+          col("event_type"), col("day"),
+          (col("x").cast(DoubleType) / lit(100.0)).as("day_value"),
+          when(col("vt") > 0,
+            (col("dev") * col("dev")).cast(DoubleType)
+              / col("vt").cast(DoubleType))
+            .otherwise(lit(null).cast(DoubleType)).as("z2"),
+          (col("dev") * col("dev") > lit(4L) * col("vt")).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+      ), framed AS (
+        SELECT event_type, day, x,
+               count(*) OVER w AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS s,
+               CAST(sum(x * x) OVER w AS BIGINT) AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_type, day,
+             CAST(x AS DOUBLE) / CAST(100 AS DOUBLE) AS day_value,
+             CASE WHEN n * q - s * s > 0
+                  THEN CAST((x * n - s) * (x * n - s) AS DOUBLE)
+                       / CAST(n * q - s * s AS DOUBLE)
+                  ELSE NULL END AS z2,
+             (x * n - s) * (x * n - s) > 4 * (n * q - s * s) AS is_outlier
+      FROM framed WHERE n = 7
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132)
+      q126, q129, q130, q132, q134)
 }

@@ -947,6 +947,40 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q134 rolling z-score: bit-matches trailing-frame integer recompute") {
+    val rows = graft.streaming.EventStream.q134.run(spark, sf001).collect()
+    val daily = Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(graft.queries.Det.cents(col("value"))).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // Every type/day with a full 7-day prior frame appears exactly once.
+    assert(rows.length ==
+      daily.values.map(s => math.max(0, s.length - 7)).sum)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val day = r.getAs[java.sql.Date]("day").toString
+      val series = daily(t)
+      val i = series.indexWhere(_._2 == day)
+      assert(i >= 7, s"$t $day must have 7 prior days")
+      val frame = series.slice(i - 7, i).map(_._3)
+      val x = series(i)._3
+      val (n, s) = (frame.length.toLong, frame.sum)
+      val q = frame.map(v => v * v).sum
+      val dev = x * n - s
+      val vt = n * q - s * s
+      assert(r.getAs[Double]("day_value") == x.toDouble / 100.0)
+      assert(r.getAs[Boolean]("is_outlier") == (dev * dev > 4L * vt),
+        s"$t $day outlier flag")
+      if (vt > 0)
+        assert(r.getAs[Double]("z2") == (dev * dev).toDouble / vt.toDouble,
+          s"$t $day z2 bit-exact")
+      else assert(r.isNullAt(r.fieldIndex("z2")), s"$t $day z2 null")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
