@@ -1147,7 +1147,66 @@ object EventStream {
       FROM framed WHERE n = 7
       ORDER BY event_type, day"""))
 
+  /** q135: exponential smoothing (EWMA) over each event type's daily
+    * revenue series — the monitoring-engine `exponentialMovingAverage` /
+    * forecasting-baseline capability beside q134's rolling z-score.
+    * EWMA has no order-free closed form, and a native double SUM
+    * accumulates in engine-specific order — so each day's smoothed value
+    * is an EXPLICIT SEQUENTIAL FOLD over the day-ordered prefix
+    * (Spark `aggregate(slice(...))` ↔ DuckDB `list_reduce(arr[1:i])`,
+    * seeded with x₁ on both sides, identical `0.25·x + 0.75·acc` IEEE op
+    * order ⇒ bit-identical doubles; the q95/q114 discipline). The
+    * per-type series is calendar-bounded (≤ days×types values), so the
+    * O(days²) prefix folds are trivially bounded and the only
+    * corpus-sized work is the one daily-rollup shuffle. */
+  val q135 = Q(
+    "q135_ewma",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      Tables.load(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(Det.cents(col("value"))).cast(DoubleType).as("x"))
+        .groupBy(col("event_type"))
+        .agg(expr("sort_array(collect_list(struct(day, x)))").as("arr"))
+        .select(col("event_type"),
+          expr("""explode(transform(
+            sequence(1, size(arr)),
+            i -> struct(
+              element_at(arr, i).day AS day,
+              element_at(arr, i).x AS x,
+              aggregate(
+                transform(slice(arr, 2, i - 1), e -> e.x),
+                element_at(arr, 1).x,
+                (acc, v) -> 0.25D * v + 0.75D * acc) AS ew)))""")
+            .as("r"))
+        .select(
+          col("event_type"), col("r.day").as("day"),
+          (col("r.x") / lit(100.0)).as("day_value"),
+          (col("r.ew") / lit(100.0)).as("ewma_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+      ), series AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS days,
+               list(x ORDER BY day) AS xs
+        FROM daily GROUP BY 1
+      )
+      SELECT event_type,
+             days[i] AS day,
+             xs[i] / CAST(100 AS DOUBLE) AS day_value,
+             list_reduce(xs[1:i],
+               (acc, v) -> 0.25 * v + 0.75 * acc)
+               / CAST(100 AS DOUBLE) AS ewma_value
+      FROM series, unnest(range(1, len(xs) + 1)) AS t(i)
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134)
+      q126, q129, q130, q132, q134, q135)
 }

@@ -981,6 +981,32 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q135 EWMA: bit-matches sequential driver-side fold") {
+    val rows = graft.streaming.EventStream.q135.run(spark, sf001).collect()
+    val daily = Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(graft.queries.Det.cents(col("value"))).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("x")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(rows.length == daily.values.map(_.length).sum)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val day = r.getAs[java.sql.Date]("day").toString
+      val series = daily(t)
+      val i = series.indexWhere(_._2 == day)
+      // the exact fold the query performs: seed x1, then a*x + (1-a)*acc
+      var acc = series.head._3.toDouble
+      series.slice(1, i + 1).foreach { e =>
+        acc = 0.25d * e._3.toDouble + 0.75d * acc
+      }
+      assert(r.getAs[Double]("day_value") == series(i)._3.toDouble / 100.0)
+      assert(r.getAs[Double]("ewma_value") == acc / 100.0,
+        s"$t $day ewma bit-exact")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
