@@ -1206,7 +1206,73 @@ object EventStream {
       FROM series, unnest(range(1, len(xs) + 1)) AS t(i)
       ORDER BY event_type, day"""))
 
+  /** q136: Markov transition matrix — the sequence-analytics capability
+    * beside q129's opening-path ranking: for every consecutive
+    * within-session event pair (the (ts, event_id) total order inside the
+    * shared 30-min-gap sessionization), the transition count and the
+    * row-stochastic probability p(to | from). Counts are exact integers;
+    * each probability is ONE IEEE division of identical integers
+    * (count/row-total) so doubles are bit-identical cross-engine. Scale:
+    * per-user-session lag windows (session-bounded state), one
+    * categorical-pair aggregate, and a broadcast of the ≤|types| row
+    * totals. Reuses [[sessionizedEvents]] (q33/q112/q129 core). */
+  val q136 = Q(
+    "q136_markov_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = sessionizedEvents(Tables.load(s, d, "events"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(
+          col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+          (col("n_trans").cast(DoubleType) / col("n_from").cast(DoubleType))
+            .as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), trans AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n_trans
+        FROM (
+          SELECT user_id, session_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS from_type
+          FROM numbered)
+        WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+      ), totals AS (
+        SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        FROM trans GROUP BY 1
+      )
+      SELECT from_type, to_type, n_trans, n_from,
+             CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      FROM trans JOIN totals USING (from_type)
+      ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135)
+      q126, q129, q130, q132, q134, q135, q136)
 }

@@ -1007,6 +1007,57 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q136 Markov transitions: matches driver-side session replay, " +
+    "conserves transition mass") {
+    val rows = graft.streaming.EventStream.q136.run(spark, sf001).collect()
+    // driver-side replay: 30-min-gap sessionize, then count adjacent pairs
+    val evs = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val gap = 1800L * 1000000L
+    var nSessions = 0L
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    evs.groupBy(_._1).foreach { case (_, us) =>
+      // session assignment orders by ts alone (the shared q33 rule);
+      // within-session adjacency orders by (ts, event_id)
+      val sorted = us.sortBy(e => (e._2, e._3))
+      var sess = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e._2 - sess.last.last._2 > gap)
+          sess += scala.collection.mutable.ArrayBuffer(e)
+        else sess.last += e
+      }
+      nSessions += sess.length
+      sess.foreach { se =>
+        se.sliding(2).foreach {
+          case scala.collection.mutable.ArrayBuffer(a, b) =>
+            counts((a._4, b._4)) += 1L
+          case _ =>
+        }
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_trans")).sum ==
+      evs.length.toLong - nSessions,
+      "transition mass = events - sessions")
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(r.getAs[Long]("n_trans") == counts(k), s"count for $k")
+      assert(r.getAs[Double]("p") ==
+        r.getAs[Long]("n_trans").toDouble / r.getAs[Long]("n_from").toDouble)
+    }
+    // row-stochastic: per-from counts sum to the row total
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      assert(rs.map(_.getAs[Long]("n_trans")).sum ==
+        rs.head.getAs[Long]("n_from"), s"row total for $f")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
