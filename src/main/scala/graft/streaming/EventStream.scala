@@ -1272,7 +1272,66 @@ object EventStream {
       FROM trans JOIN totals USING (from_type)
       ORDER BY from_type, to_type"""))
 
+  /** q137: audience overlap matrix — the bitmap-intersection capability
+    * (ClickHouse bitmapAndCardinality / segment-overlap audits): for every
+    * event-type pair, the distinct-user intersection size and the Jaccard
+    * overlap of the two audiences. Instead of a user-level SELF-JOIN
+    * (corpus × corpus), each user contributes their BOUNDED type set
+    * (≤ |types|): one distinct shuffle, one per-user set aggregate, ≤
+    * C(|types|,2) exploded pairs per user, one categorical-pair count —
+    * the same mass, no join. Jaccard is one IEEE division of exact
+    * integers (n∩ / (n_a + n_b − n∩)); audience sizes arrive by broadcast.
+    * The oracle DOES the naive self-join, so agreement also differentially
+    * checks the set-explode rewrite. */
+  val q137 = Q(
+    "q137_audience_overlap",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val ut = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .persistTracked()
+      val sizes = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = ut.groupBy(col("user_id"))
+        .agg(expr("sort_array(collect_set(event_type))").as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+               transform(slice(ts, i + 2, size(ts)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("a"),
+          col("n").as("n_a"))), Seq("a"))
+        .join(broadcast(sizes.select(col("event_type").as("b"),
+          col("n").as("n_b"))), Seq("b"))
+        .select(
+          col("a"), col("b"), col("n_a"), col("n_b"), col("n_both"),
+          (col("n_both").cast(DoubleType)
+            / (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), sz AS (
+        SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+      ), pairs AS (
+        SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_both
+        FROM ut x JOIN ut y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+      )
+      SELECT a, b, sa.n AS n_a, sb.n AS n_b, n_both,
+             CAST(n_both AS DOUBLE)
+               / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.event_type = a
+      JOIN sz sb ON sb.event_type = b
+      ORDER BY a, b"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135, q136)
+      q126, q129, q130, q132, q134, q135, q136, q137)
 }

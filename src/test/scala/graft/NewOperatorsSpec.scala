@@ -1058,6 +1058,31 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q137 audience overlap: matches driver-side set intersections") {
+    val rows = graft.streaming.EventStream.q137.run(spark, sf001).collect()
+    val sets = Tables.load(spark, sf001, "events")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = for {
+      i <- types.indices; j <- (i + 1) until types.length
+      inter = (sets(types(i)) & sets(types(j))).size
+      if inter > 0
+    } yield (types(i), types(j), inter)
+    assert(rows.length == expected.length)
+    rows.zip(expected.sortBy(e => (e._1, e._2))).foreach { case (r, e) =>
+      assert(r.getAs[String]("a") == e._1 && r.getAs[String]("b") == e._2)
+      assert(r.getAs[Long]("n_both") == e._3.toLong)
+      assert(r.getAs[Long]("n_a") == sets(e._1).size.toLong)
+      assert(r.getAs[Long]("n_b") == sets(e._2).size.toLong)
+      val union = sets(e._1).size + sets(e._2).size - e._3
+      assert(r.getAs[Double]("jaccard") == e._3.toDouble / union.toDouble)
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
