@@ -1331,7 +1331,85 @@ object EventStream {
       JOIN sz sb ON sb.event_type = b
       ORDER BY a, b"""))
 
+  /** q138: cohort LTV curves — the revenue face of q109's retention
+    * triangle: per first-activity-week cohort and week offset, cumulative
+    * purchase revenue per cohort user (the lifetime-value curve growth
+    * teams read). Same data-min anchor discipline as q109 (both div
+    * operands provably non-negative, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree). Everything is exact BIGINT — weekly
+    * cents, the per-cohort ROWS-frame cumsum (weeks-bounded window),
+    * cohort sizes — and the presented LTV is ONE IEEE division of
+    * identical integers. Scale: one user-level join shuffle (anchors
+    * size-conditionally broadcast), calendar²-bounded grid after that. */
+  val q138 = Q(
+    "q138_cohort_ltv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), Det.cents(col("value")).as("cents"))
+      val anchors = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day0"))
+        .persistTracked()
+      val epoch = anchors.agg(min(col("day0")).as("epoch"))
+      val sized = anchors.crossJoin(broadcast(epoch))
+        .groupBy(expr("datediff(day0, epoch) div 7").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_n"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(graft.operators.Hints.autoBroadcast(anchors), Seq("user_id"))
+        .crossJoin(broadcast(epoch))
+        .groupBy(
+          expr("datediff(day0, epoch) div 7").as("cohort_week"),
+          expr("datediff(day, day0) div 7").as("week_offset"))
+        .agg(sum(col("cents")).as("wk_cents"))
+      val w = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_cents", sum(col("wk_cents")).over(w))
+        .join(broadcast(sized), Seq("cohort_week"))
+        .select(
+          col("cohort_week"), col("week_offset"), col("cohort_n"),
+          col("wk_cents"), col("cum_cents"),
+          (col("cum_cents").cast(DoubleType)
+            / (col("cohort_n") * lit(100L)).cast(DoubleType))
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), anchors AS (
+        SELECT user_id, min(day) AS day0 FROM ev GROUP BY 1
+      ), ep AS (
+        SELECT min(day0) AS epoch FROM anchors
+      ), sized AS (
+        SELECT datediff('day', epoch, day0) // 7 AS cohort_week,
+               count(*) AS cohort_n
+        FROM anchors, ep GROUP BY 1
+      ), weekly AS (
+        SELECT datediff('day', epoch, day0) // 7 AS cohort_week,
+               datediff('day', day0, day) // 7 AS week_offset,
+               CAST(sum(cents) AS BIGINT) AS wk_cents
+        FROM ev JOIN anchors USING (user_id), ep
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+      ), cum AS (
+        SELECT *, CAST(sum(wk_cents) OVER (
+                 PARTITION BY cohort_week ORDER BY week_offset
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM weekly
+      )
+      SELECT cohort_week, week_offset, cohort_n, wk_cents, cum_cents,
+             CAST(cum_cents AS DOUBLE)
+               / CAST(cohort_n * 100 AS DOUBLE) AS ltv_per_user
+      FROM cum JOIN sized USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135, q136, q137)
+      q126, q129, q130, q132, q134, q135, q136, q137, q138)
 }

@@ -1083,6 +1083,37 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q138 cohort LTV: conserves purchase revenue, curves monotone") {
+    val rows = graft.streaming.EventStream.q138.run(spark, sf001).collect()
+    val totalCents = Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.queries.Det.cents(col("value"))))
+      .collect()(0).getLong(0)
+    // conservation: the last cumulative point of every cohort sums to the
+    // corpus purchase total
+    val lastPerCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+      .map { case (_, rs) =>
+        rs.maxBy(_.getAs[Long]("week_offset")).getAs[Long]("cum_cents")
+      }
+    assert(lastPerCohort.sum == totalCents, "LTV conserves revenue")
+    // per-cohort: cumsum consistent and non-decreasing, LTV division exact
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r.getAs[Long]("wk_cents")
+        assert(r.getAs[Long]("cum_cents") == acc, s"cohort $cw cumsum")
+        assert(r.getAs[Double]("ltv_per_user") ==
+          acc.toDouble / (r.getAs[Long]("cohort_n") * 100L).toDouble)
+      }
+    }
+    // cohort sizes partition the user population
+    val nUsers = Tables.load(spark, sf001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.groupBy(_.getAs[Long]("cohort_week"))
+      .map(_._2.head.getAs[Long]("cohort_n")).sum <= nUsers)
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
