@@ -13,7 +13,11 @@ object BenchScale {
   private val keyCols = Map(
     "lineitem" -> Seq("l_orderkey"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
-    "documents" -> Seq("doc_id"))
+    "documents" -> Seq("doc_id"),
+    // events: per-copy user populations are disjoint, so sessions and
+    // per-user windows REPLICATE (user count scales, per-user history
+    // doesn't — the real shape of a 10× event log)
+    "events" -> Seq("user_id", "event_id"))
 
   /** `tables` restricts which fixtures are replicated — the 50× same-scale
     * sweep only runs core-4 (lineitem+orders), so it must not pay for a
@@ -152,7 +156,10 @@ object Bench {
       "q95_lm_bigram_score", "q68_dedup_clusters", "q93_url_dedup",
       // sketch algebra: 10× the vocab, same 64-register sketches — the
       // constant-state scale story measured rather than argued
-      "q118_sketch_algebra")
+      "q118_sketch_algebra",
+      // sessionization + per-user lag windows at 10× users (disjoint
+      // per-copy populations): the whole behavioral family's scale proxy
+      "q136_markov_transitions")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
