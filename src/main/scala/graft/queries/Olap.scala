@@ -785,7 +785,82 @@ object Olap {
       FROM dev d JOIN mad USING (event_type)
       GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** q139: TPC-H Q8-shape market share — the role-playing-dimension
+    * pattern q131's star doesn't cover: NATION joins TWICE under
+    * different roles (the customer's nation routes the region filter,
+    * the supplier's nation is the market-share subject), plus a part-type
+    * slice and a share-of-total conditional aggregate. Revenue stays in
+    * exact BIGINT 10⁻⁴ units (the q131 discipline); the share is ONE IEEE
+    * division of two such integers (conditional sum / total sum), so
+    * every double is bit-identical cross-engine. Scale: all five
+    * dimension legs broadcast (part is the largest and still
+    * dimension-sized); the lineitem↔orders shuffle is the only big
+    * exchange — the Q8 topology a 100-TB star wants. */
+  val q139 = Q(
+    "q139_market_share",
+    (s, d) => {
+      val revU = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+      val part = Tables.load(s, d, "part")
+        .filter(col("p_type") === "PROMO")
+      val cust = Tables.load(s, d, "customer")
+      val supp = Tables.load(s, d, "supplier")
+      val natC = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region"))
+      val natS = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val reg = Tables.load(s, d, "region")
+        .filter(col("r_name") === "ASIA")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", revU)
+            .otherwise(lit(0L))).as("nation_u"),
+          sum(revU).as("total_u"))
+        .select(
+          col("o_year"),
+          (col("total_u").cast(DoubleType) / lit(10000.0))
+            .as("total_revenue"),
+          (col("nation_u").cast(DoubleType)
+            / col("total_u").cast(DoubleType)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      WITH joined AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      )
+      SELECT o_year,
+             CAST(CAST(sum(rev_u) AS BIGINT) AS DOUBLE)
+               / CAST(10000 AS DOUBLE) AS total_revenue,
+             CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                                THEN rev_u ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(rev_u) AS BIGINT) AS DOUBLE) AS mkt_share
+      FROM joined
+      GROUP BY o_year ORDER BY o_year"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133)
+      q113, q131, q133, q139)
 }

@@ -1114,6 +1114,56 @@ class NewOperatorsSpec extends SparkSpec {
       .map(_._2.head.getAs[Long]("cohort_n")).sum <= nUsers)
   }
 
+  test("q139 market share: role-playing dims broadcast, share conserved") {
+    val df = graft.queries.Olap.q139.run(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 5,
+      s"expected >=5 broadcast joins (5 dimension legs), saw $nBroadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share in [0,1]: $share")
+    }
+    // independent recompute of one year's totals through a different
+    // join order (filter-first semi-join style)
+    def asLong(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue()
+    val asiaNations = graft.Tables.load(spark, sf001, "nation")
+      .join(graft.Tables.load(spark, sf001, "region")
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(asLong(_, 0)).toSet
+    val promoParts = graft.Tables.load(spark, sf001, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey")).collect().map(asLong(_, 0)).toSet
+    val custNation = graft.Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => asLong(r, 0) -> asLong(r, 1)).toMap
+    val orderYearCust = graft.Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+        col("o_custkey")).collect()
+      .map(r => asLong(r, 0) -> (r.getInt(1), asLong(r, 2))).toMap
+    val y0 = rows.head.getAs[Int]("o_year")
+    val wantTotal = graft.Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (graft.queries.Det.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100)
+            .cast(org.apache.spark.sql.types.LongType))).as("u"))
+      .collect()
+      .filter { r =>
+        val ok = orderYearCust.get(asLong(r, 0))
+        ok.exists { case (y, c) =>
+          y == y0 && asiaNations(custNation(c)) && promoParts(asLong(r, 1))
+        }
+      }
+      .map(_.getAs[Long]("u")).sum
+    assert(rows.head.getAs[Double]("total_revenue") ==
+      wantTotal.toDouble / 10000.0, s"year $y0 total recompute")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
