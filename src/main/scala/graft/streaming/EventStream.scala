@@ -1409,7 +1409,62 @@ object EventStream {
       FROM cum JOIN sized USING (cohort_week)
       ORDER BY cohort_week, week_offset"""))
 
+  /** q140: rolling active users — the sliding-distinct capability
+    * (ClickHouse `uniq` over a moving window / the DAU-WAU stickiness
+    * every engagement dashboard reports). COUNT DISTINCT has no
+    * subtractable window form, so the scale-clean rewrite is a bounded
+    * COVERAGE EXPLODE: each distinct (user, active-day) emits the ≤7
+    * target days it covers, and WAU(d) is a plain distinct count per
+    * target day — one explode (×7, constant) + one distinct aggregate,
+    * never a per-day self-join or a corpus-wide window. Target days are
+    * clamped to the observed [min,max] so both engines enumerate the
+    * same domain; stickiness is ONE IEEE division of exact integers.
+    * The oracle computes WAU the naive way (range join), so agreement
+    * also differentially checks the coverage rewrite. */
+  val q140 = Q(
+    "q140_rolling_active_users",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val ud = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .persistTracked()
+      val span = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud.crossJoin(broadcast(span))
+        .select(col("user_id"), explode(expr(
+          "sequence(day, least(date_add(day, 6), hi))")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(
+          col("day"), col("dau"), col("wau"),
+          (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+      ), days AS (
+        SELECT DISTINCT day FROM ud
+      ), dau AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY 1
+      ), wau AS (
+        -- the naive trailing-7-day range join the coverage explode
+        -- rewrites away
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day >= d.day - 6
+        GROUP BY 1
+      )
+      SELECT day, dau, wau,
+             CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      FROM dau JOIN wau USING (day)
+      ORDER BY day"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135, q136, q137, q138)
+      q126, q129, q130, q132, q134, q135, q136, q137, q138, q140)
 }

@@ -1164,6 +1164,28 @@ class NewOperatorsSpec extends SparkSpec {
       wantTotal.toDouble / 10000.0, s"year $y0 total recompute")
   }
 
+  test("q140 rolling active users: matches driver-side trailing sets") {
+    val rows = graft.streaming.EventStream.q140.run(spark, sf001).collect()
+    val ud = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toLocalDate))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    assert(rows.length == days.length)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val dau = byDay(d).size.toLong
+      val wau = days.filter(x => !x.isAfter(d) && !x.isBefore(d.minusDays(6)))
+        .flatMap(byDay(_)).toSet.size.toLong
+      assert(r.getAs[Long]("dau") == dau, s"$d dau")
+      assert(r.getAs[Long]("wau") == wau, s"$d wau")
+      assert(r.getAs[Double]("stickiness") == dau.toDouble / wau.toDouble)
+      assert(dau <= wau, "DAU bounded by WAU")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
