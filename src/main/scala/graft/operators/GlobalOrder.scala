@@ -58,6 +58,24 @@ object GlobalOrder {
       .drop(pidCol, vCol, "_graft_cumin", "offset")
   }
 
+  /** The exact ANSI NTILE(k) bucket for a 1-based global rank `rk` out
+    * of `n` rows (both Long columns): the first n mod k buckets hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — pure integer arithmetic, identical to
+    * every ANSI engine's native ntile. Pairs with [[withOrderedCumsum]]
+    * (value = 1) to express a corpus-wide NTILE without the
+    * single-partition sort the window form requires. */
+  def ntileFromRank(rk: Column, n: Column, k: Int): Column = {
+    // exact integer division: (a - a mod b) is exactly divisible, so the
+    // double division is exact for any quotient < 2^53 (Column./ has no
+    // integral form; `a div b` exists only as a SQL operator)
+    def idiv(a: Column, b: Column): Column =
+      ((a - a.mod(b)) / b).cast(LongType)
+    val q = idiv(n, lit(k.toLong))
+    val r = n.mod(lit(k.toLong))
+    when(rk <= (q + 1) * r, idiv(rk - 1, q + 1) + 1)
+      .otherwise(r + idiv(rk - 1 - (q + 1) * r, q) + 1)
+  }
+
   /** Adds `outCol` = inclusive global running sum of `value` in the total
     * order md5(prefix:idCol) then idCol, plus the shuffle key as
     * `keyCol` for callers that sort by it downstream. The input is

@@ -860,7 +860,54 @@ object Olap {
       FROM joined
       GROUP BY o_year ORDER BY o_year"""))
 
+  /** q141: global decile (NTILE) analysis — the one ANSI window function
+    * q49/q101 leave out, and deliberately NOT as a window: a corpus-wide
+    * `ntile(10) OVER (ORDER BY …)` is a single-partition sort — the
+    * anti-scale shape. Instead the global rank comes from
+    * [[graft.operators.GlobalOrder.withOrderedCumsum]] (range partition +
+    * per-partition cumsum + broadcast offsets) and the bucket from the
+    * EXACT ANSI NTILE formula (first n mod k buckets get ⌈n/k⌉ rows,
+    * the rest ⌊n/k⌋) in pure integer arithmetic. The oracle uses
+    * DuckDB's NATIVE ntile(10), so agreement proves both the formula and
+    * the distributed rank. Aggregates per decile are exact cents. */
+  val q141 = Q(
+    "q141_decile_analysis",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          Det.cents(col("o_totalprice")).as("cents"))
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+        o, Seq(col("cents"), col("o_orderkey")), lit(1L), "rk")
+      val tot = ranked.agg(max(col("rk")).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", graft.operators.GlobalOrder
+          .ntileFromRank(col("rk"), col("n"), 10))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(col("cents")).cast(DoubleType) / lit(100.0)).as("sum_value"),
+          (min(col("cents")).cast(DoubleType) / lit(100.0)).as("lo_value"),
+          (max(col("cents")).cast(DoubleType) / lit(100.0)).as("hi_value"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      ), nt AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile
+        FROM o
+      )
+      SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+             CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS sum_value,
+             CAST(min(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_value,
+             CAST(max(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_value
+      FROM nt GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139)
+      q113, q131, q133, q139, q141)
 }

@@ -1186,6 +1186,37 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q141 deciles: ANSI bucket sizes, ordered bands, uneven-n branch") {
+    val rows = graft.queries.Olap.q141.run(spark, sf001).collect()
+    val n = rows.map(_.getAs[Long]("n_orders")).sum
+    val (q, r) = (n / 10, (n % 10).toInt)
+    rows.foreach { row =>
+      val d = row.getAs[Long]("decile")
+      val want = if (d <= r) q + 1 else q
+      assert(row.getAs[Long]("n_orders") == want, s"decile $d size")
+    }
+    // deciles are value bands: hi(d) <= lo(d+1)
+    rows.sortBy(_.getAs[Long]("decile")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi_value") <= b.getAs[Double]("lo_value"))
+      case _ =>
+    }
+    // the uneven-n branch (n mod k != 0): ANSI sizes on a 47-row frame
+    import spark.implicits._
+    val df = (1L to 47L).map(i => (i, i * 7 % 47)).toDF("id", "v")
+    val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+      df, Seq(col("v"), col("id")), lit(1L), "rk")
+    val sizes = ranked
+      .withColumn("b", graft.operators.GlobalOrder
+        .ntileFromRank(col("rk"), lit(47L), 10))
+      .groupBy(col("b")).count().collect()
+      .map(x => x.getAs[Long]("b") -> x.getAs[Long]("count")).toMap
+    (1 to 10).foreach { b =>
+      assert(sizes(b.toLong) == (if (b <= 7) 5L else 4L),
+        s"47 rows over 10 buckets: bucket $b")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
