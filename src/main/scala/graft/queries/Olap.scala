@@ -907,7 +907,49 @@ object Olap {
              CAST(max(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_value
       FROM nt GROUP BY 1 ORDER BY 1"""))
 
+  /** q142: TPC-H Q17 shape — small-quantity-order revenue: lineitems of
+    * one brand whose quantity is below 20% of that part's average
+    * quantity, reported as average yearly revenue. The classic
+    * CORRELATED scalar-aggregate subquery; our plan is the decorrelated
+    * rewrite (per-part aggregate + join) while the ORACLE keeps the
+    * correlated form — agreement checks the decorrelation. The 0.2·avg
+    * threshold is EXACT integer arithmetic: qty < sum/(5·cnt) ⟺
+    * 5·qty·cnt < sum (quantities are integral, cnt ≤ part fan-in), so
+    * no double compare sits on a boundary. Scale: the per-part aggregate
+    * shuffles lineitem once on l_partkey and joins back co-partitioned;
+    * the brand dimension leg broadcasts. */
+  val q142 = Q(
+    "q142_small_qty_revenue",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast(LongType).as("qty"),
+          Det.cents(col("l_extendedprice")).as("price_c"))
+      val brandParts = Tables.load(s, d, "part")
+        .filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_q"), count(lit(1)).as("cnt_q"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * lit(5L) * col("cnt_q") < col("sum_q"))
+        .agg((sum(col("price_c")).cast(DoubleType) / lit(700.0))
+          .as("avg_yearly"))
+    },
+    Some("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / CAST(700 AS DOUBLE) AS avg_yearly
+      FROM lineitem l
+      JOIN part ON l.l_partkey = p_partkey
+      WHERE p_brand = 'Brand#12'
+        AND CAST(round(l.l_quantity) AS BIGINT) * 5
+            * (SELECT count(*) FROM lineitem i
+               WHERE i.l_partkey = l.l_partkey)
+          < (SELECT CAST(sum(CAST(round(i.l_quantity) AS BIGINT))
+                         AS BIGINT)
+             FROM lineitem i WHERE i.l_partkey = l.l_partkey)"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141)
+      q113, q131, q133, q139, q141, q142)
 }

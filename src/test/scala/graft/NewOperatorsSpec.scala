@@ -1217,6 +1217,31 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q142 small-qty revenue: matches driver-side correlated filter") {
+    val out = graft.queries.Olap.q142.run(spark, sf001).collect()
+    assert(out.length == 1)
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity"))
+          .cast(org.apache.spark.sql.types.LongType).as("qty"),
+        graft.queries.Det.cents(col("l_extendedprice")).as("pc"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("qty"),
+        r.getAs[Long]("pc")))
+    val brand = Tables.load(spark, sf001, "part")
+      .filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey")).collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).toSet
+    val perPart = li.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val wantCents = li.filter { case (p, q, _) =>
+      val (sq, cq) = perPart(p)
+      brand(p) && q * 5L * cq < sq
+    }.map(_._3).sum
+    assert(out(0).getAs[Double]("avg_yearly") == wantCents.toDouble / 700.0)
+    assert(wantCents > 0L, "fixture must exercise the small-qty branch")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
