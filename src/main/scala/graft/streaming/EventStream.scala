@@ -106,6 +106,27 @@ object EventStream {
     * batch (q120's oracle leg) and readStream (the parity spec):
     * streaming == batch == DuckDB closes the loop end to end. Scale:
     * per-window state is 64 bytes of registers, watermark-bounded. */
+  /** Stream-static dimension enrichment — the most common production
+    * streaming join: each micro-batch inner-joins a BROADCAST static
+    * dimension (type → category/weight), then aggregates hourly weighted
+    * revenue per category. Unlike stream-stream joins (q53) this keeps
+    * ZERO join state — the static side ships with every task and rows
+    * enrich as they flow; only the downstream windowed aggregate holds
+    * watermark-bounded state. Weighted revenue stays in exact BIGINT
+    * (cents × integer weight). Shared by batch and readStream — the
+    * parity spec's correctness argument. */
+  def enrichedRevenue(events: DataFrame, typeDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(typeDim), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("category"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Det.cents(col("value")) * col("weight")).as("weighted_cents"))
+      .select(
+        col("w.start").as("hour_start"),
+        col("category"), col("n"), col("weighted_cents"))
+
   def sketchedUniques(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

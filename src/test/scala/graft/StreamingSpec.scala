@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment == batch, keeps no join state") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf001, "events")
+    val dim = Seq(
+      ("view", "browse", 1L), ("click", "browse", 2L),
+      ("purchase", "transact", 10L), ("refund", "transact", 10L),
+      ("search", "browse", 1L)).toDF("event_type", "category", "weight")
+    val dir = Files.createTempDirectory("graft_stream_enrich").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    def k(r: Row) = (String.valueOf(r.get(0)), r.getString(1),
+      r.getLong(2), r.getLong(3))
+    val batch =
+      EventStream.enrichedRevenue(events, dim).collect().map(k).toSet
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.enrichedRevenue(streamIn, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect().map(k).toSet
+      assert(got == batch, "stream-static enrichment differs from batch")
+      assert(got.nonEmpty)
+      // stateless join: the only stateful operator is the aggregate
+      val prog = q.lastProgress
+      assert(prog.stateOperators.length == 1,
+        s"expected 1 stateful operator (the window agg), " +
+          s"saw ${prog.stateOperators.length}")
+    } finally q.stop()
+  }
+
   test("sketchedUniques streaming == batch EXACTLY (order-independent registers)") {
     val events = Tables.load(spark, sf001, "events")
     val dir = Files.createTempDirectory("graft_stream_hll").toString
