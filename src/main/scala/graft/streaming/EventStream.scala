@@ -1485,7 +1485,92 @@ object EventStream {
       FROM dau JOIN wau USING (day)
       ORDER BY day"""))
 
+  /** q143: growth accounting — the new/retained/resurrected/churned
+    * weekly decomposition (the growth-team ledger q109's retention
+    * triangle doesn't give): classify every active (user, week) by the
+    * user's PREVIOUS active week (none → new, w−1 → retained, older →
+    * resurrected), and count a churn into w+1 for every active week
+    * whose next activity isn't w+1 (clamped to the observed week range).
+    * Identity proven in the spec: actives(w) − churned(w+1 side) roll
+    * the ledger forward. All integer counts; weeks anchor at the DATA
+    * minimum (q109 discipline — both div operands non-negative, so
+    * Spark `div` ≡ DuckDB `//`). Scale: one distinct shuffle + per-user
+    * lag/lead windows (activity-bounded), categorical output. */
+  val q143 = Q(
+    "q143_growth_accounting",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw0 = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val epoch = uw0.agg(min(col("day")).as("epoch"))
+      val uw = uw0.crossJoin(broadcast(epoch))
+        .select(col("user_id"),
+          expr("datediff(day, epoch) div 7").as("week"))
+        .distinct()
+        .persistTracked()
+      val maxWeek = uw.agg(max(col("week")).as("max_week"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      val classed = uw
+        .withColumn("prev_w", lag(col("week"), 1).over(w))
+        .withColumn("next_w", lead(col("week"), 1).over(w))
+      val states = classed.groupBy(col("week"))
+        .agg(
+          sum(when(col("prev_w").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev_w") === col("week") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("prev_w").isNotNull &&
+            col("prev_w") < col("week") - 1, 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val churn = classed
+        .filter(col("next_w").isNull || col("next_w") > col("week") + 1)
+        .select((col("week") + 1).as("week"))
+        .crossJoin(broadcast(maxWeek))
+        .filter(col("week") <= col("max_week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+      states.join(churn, Seq("week"), "left")
+        .select(col("week"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("week"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               datediff('day',
+                 (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                  FROM events),
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        FROM events
+      ), classed AS (
+        SELECT user_id, week,
+               lag(week)  OVER (PARTITION BY user_id ORDER BY week)
+                 AS prev_w,
+               lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                 AS next_w
+        FROM uw
+      ), states AS (
+        SELECT week,
+               CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev_w = week - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week - 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_resurrected
+        FROM classed GROUP BY 1
+      ), churn AS (
+        SELECT week + 1 AS week, count(*) AS n_churned
+        FROM classed
+        WHERE (next_w IS NULL OR next_w > week + 1)
+          AND week + 1 <= (SELECT max(week) FROM uw)
+        GROUP BY 1
+      )
+      SELECT week, n_new, n_retained, n_resurrected,
+             COALESCE(n_churned, 0) AS n_churned
+      FROM states LEFT JOIN churn USING (week)
+      ORDER BY week"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135, q136, q137, q138, q140)
+      q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143)
 }

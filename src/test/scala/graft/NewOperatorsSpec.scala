@@ -1242,6 +1242,35 @@ class NewOperatorsSpec extends SparkSpec {
     assert(wantCents > 0L, "fixture must exercise the small-qty branch")
   }
 
+  test("q143 growth accounting: ledger identity holds against actives") {
+    val rows = graft.streaming.EventStream.q143.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("week"))
+    // independent per-week active counts
+    val uw = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val epoch = uw.agg(min(col("day"))).collect()(0).getDate(0)
+    val actives = uw
+      .select(col("user_id"),
+        (datediff(col("day"), lit(epoch)).cast(
+          org.apache.spark.sql.types.LongType) / 7).cast(
+          org.apache.spark.sql.types.LongType).as("week"))
+      .distinct().groupBy("week").count().collect()
+      .map(r => r.getAs[Long]("week") -> r.getAs[Long]("count")).toMap
+    assert(rows.nonEmpty && rows.length == actives.size)
+    var prevActive = 0L
+    rows.foreach { r =>
+      val w = r.getAs[Long]("week")
+      val active = actives(w)
+      // composition: every active user is exactly one of the three
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") == active, s"week $w composition")
+      // ledger roll-forward: retained(w) = active(w-1) - churned(w)
+      assert(r.getAs[Long]("n_retained") ==
+        prevActive - r.getAs[Long]("n_churned"), s"week $w roll-forward")
+      prevActive = active
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
