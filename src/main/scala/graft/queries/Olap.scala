@@ -949,7 +949,72 @@ object Olap {
                          AS BIGINT)
              FROM lineitem i WHERE i.l_partkey = l.l_partkey)"""))
 
+  /** q144: market-basket affinity — association mining ("frequently
+    * bought together"): for part pairs co-occurring in ≥3 orders, the
+    * lift n_ab·N / (n_a·n_b), top-25. The pair space comes from a
+    * BOUNDED per-order set explode (baskets hold ≤ tens of distinct
+    * parts ⇒ ≤ C(k,2) pairs per order — the q137 rewrite, never a
+    * lineitem self-join); the ORACLE does the naive self-join, so
+    * agreement differentially checks the explode. Lift is ONE IEEE
+    * division of exact integer products; ordering carries a full
+    * (lift, a, b) tiebreak. */
+  val q144 = Q(
+    "q144_basket_affinity",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persistTracked()
+      val partN = op.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_part"))
+      val totalN = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val pairs = op.groupBy(col("l_orderkey"))
+        .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(graft.operators.Hints.autoBroadcast(
+          partN.select(col("l_partkey").as("a"),
+            col("n_part").as("n_a"))), Seq("a"))
+        .join(graft.operators.Hints.autoBroadcast(
+          partN.select(col("l_partkey").as("b"),
+            col("n_part").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(totalN))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_orders")).cast(DoubleType)
+            / (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+        .orderBy(desc("lift"), col("a"), col("b"))
+        .limit(25)
+    },
+    Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), pn AS (
+        SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1
+      ), tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+      ), pairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
+        FROM op x JOIN op y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+      )
+      SELECT a, b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+             CAST(n_ab * n_orders AS DOUBLE)
+               / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+      FROM pairs
+      JOIN pn pa ON pa.l_partkey = a
+      JOIN pn pb ON pb.l_partkey = b
+      CROSS JOIN tot
+      ORDER BY lift DESC, a, b
+      LIMIT 25"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142)
+      q113, q131, q133, q139, q141, q142, q144)
 }

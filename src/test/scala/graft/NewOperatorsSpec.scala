@@ -1271,6 +1271,40 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q144 basket affinity: matches driver-side pair counting") {
+    val rows = graft.queries.Olap.q144.run(spark, sf001).collect()
+    assert(rows.length <= 25 && rows.nonEmpty)
+    val op = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = byOrder.size.toLong
+    val partN = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    byOrder.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        pairN((s(i), s(j))) += 1L
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(r.getAs[Long]("n_ab") == pairN(k), s"pair count $k")
+      assert(r.getAs[Long]("n_ab") >= 3L)
+      assert(r.getAs[Long]("n_a") == partN(k._1))
+      assert(r.getAs[Long]("n_b") == partN(k._2))
+      assert(r.getAs[Double]("lift") ==
+        (pairN(k) * nOrders).toDouble / (partN(k._1) * partN(k._2)).toDouble)
+    }
+    // rows arrive in (lift DESC, a, b) order and are the global top
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+    val allLifts = pairN.filter(_._2 >= 3L).map { case (k, n) =>
+      (n * nOrders).toDouble / (partN(k._1) * partN(k._2)).toDouble
+    }.toSeq.sortBy(-_)
+    assert(lifts.last >= allLifts.take(rows.length).last)
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
