@@ -1014,7 +1014,60 @@ object Olap {
       ORDER BY lift DESC, a, b
       LIMIT 25"""))
 
+  /** q145: TPC-H Q22 shape — "wealthy idle customers": customers whose
+    * balance beats the average POSITIVE balance (a global scalar
+    * subquery) and who have placed no RECENT orders (anti-join against
+    * the date-filtered order set — lapsed high-value accounts), rolled
+    * up by nation. Completes the classic TPC-H shape set (Q1 q01 scan-agg,
+    * Q5 q131 star, Q8 q139 role-playing dims, Q17 q142 correlated agg,
+    * Q22 anti-join + global scalar). The threshold compare is EXACT:
+    * cents·n_pos > sum_pos_cents ⟺ bal > avg(positive) — no double sits
+    * on the boundary. The oracle keeps the textbook scalar-subquery +
+    * NOT EXISTS form; our plan is a 1-row broadcast + LeftAnti — their
+    * agreement checks Spark's and our decorrelation against DuckDB's.
+    * Scale: anti-join shuffles on the key; everything else broadcasts. */
+  val q145 = Q(
+    "q145_idle_customers",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          Det.cents(col("c_acctbal")).as("bal_c"))
+      val posStats = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("pos_sum"),
+          count(lit(1)).as("pos_n"))
+      val orders = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      cust.crossJoin(broadcast(posStats))
+        .filter(col("bal_c") * col("pos_n") > col("pos_sum"))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          (sum(col("bal_c")).cast(DoubleType) / lit(100.0)).as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_cust,
+             CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_bal
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+            * (SELECT count(*) FROM customer
+               WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+          > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) FROM customer
+             WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142, q144)
+      q113, q131, q133, q139, q141, q142, q144, q145)
 }

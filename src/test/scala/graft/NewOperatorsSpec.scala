@@ -1305,6 +1305,35 @@ class NewOperatorsSpec extends SparkSpec {
     assert(lifts.last >= allLifts.take(rows.length).last)
   }
 
+  test("q145 idle customers: matches driver-side threshold + anti-join") {
+    val rows = graft.queries.Olap.q145.run(spark, sf001).collect()
+    def asLong2(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue()
+    val cust = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        graft.queries.Det.cents(col("c_acctbal")).as("bal"))
+      .collect().map(r => (asLong2(r, 0), asLong2(r, 1), r.getLong(2)))
+    val pos = cust.map(_._3).filter(_ > 0L)
+    val (posSum, posN) = (pos.sum, pos.length.toLong)
+    val recent = Tables.load(spark, sf001, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select(col("o_custkey")).collect().map(asLong2(_, 0)).toSet
+    val nation = Tables.load(spark, sf001, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => asLong2(r, 0) -> r.getString(1)).toMap
+    val want = cust
+      .filter(c => c._3 * posN > posSum && !recent(c._1))
+      .groupBy(c => nation(c._2)).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).sum)).toMap
+    assert(rows.nonEmpty, "fixture must yield lapsed high-balance accounts")
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, balSum) = want(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n_cust") == n)
+      assert(r.getAs[Double]("total_bal") == balSum.toDouble / 100.0)
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
