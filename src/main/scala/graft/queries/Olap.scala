@@ -1067,7 +1067,65 @@ object Olap {
       GROUP BY n_name
       ORDER BY n_name"""))
 
+  /** q146: Pareto / ABC analysis — the inventory-classification standard:
+    * parts ranked by revenue, classified A while the RUNNING revenue
+    * share is ≤80%, B to 95%, C beyond; reported per class. The running
+    * share needs a corpus-wide ordered cumsum — done scale-safe via
+    * [[graft.operators.GlobalOrder.withOrderedCumsum]] (range partition
+    * + broadcast offsets, q141's rank machinery with value = revenue),
+    * never a single-partition window. Class thresholds compare exact
+    * integers (cum·100 ≤ 80·total); shares are IEEE divisions of
+    * identical integers. The oracle uses a plain window cumsum — fine in
+    * DuckDB, the anti-scale shape our rewrite avoids. */
+  val q146 = Q(
+    "q146_abc_analysis",
+    (s, d) => {
+      val rev = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("rev_c"))
+      val cum = graft.operators.GlobalOrder.withOrderedCumsum(
+        rev, Seq(col("rev_c").desc, col("l_partkey")), col("rev_c"),
+        "cum_c")
+      val tot = cum.agg(max(col("cum_c")).as("tot_c"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+            .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+            .otherwise(lit("C")))
+        .groupBy(col("cls"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          (sum(col("rev_c")).cast(DoubleType) / lit(100.0)).as("revenue"),
+          (sum(col("rev_c")).cast(DoubleType)
+            / max(col("tot_c")).cast(DoubleType)).as("rev_share"))
+        .orderBy(col("cls"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY 1
+      ), cum AS (
+        SELECT l_partkey, rev_c,
+               CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM rev
+      ), tot AS (
+        SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM rev
+      )
+      SELECT CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                  ELSE 'C' END AS cls,
+             count(*) AS n_parts,
+             CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS revenue,
+             CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE)
+               / CAST(max(tot_c) AS DOUBLE) AS rev_share
+      FROM cum, tot
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142, q144, q145)
+      q113, q131, q133, q139, q141, q142, q144, q145, q146)
 }

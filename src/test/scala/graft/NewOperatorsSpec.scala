@@ -1334,6 +1334,41 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q146 ABC analysis: matches driver-side Pareto classification") {
+    val rows = graft.queries.Olap.q146.run(spark, sf001).collect()
+    val rev = Tables.load(spark, sf001, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(graft.queries.Det.cents(col("l_extendedprice"))).as("rc"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+        r.getAs[Long]("rc")))
+      .sortBy(x => (-x._2, x._1))
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.map { case (_, rc) =>
+      cum += rc
+      if (cum * 100 <= total * 80) ("A", rc)
+      else if (cum * 100 <= total * 95) ("B", rc)
+      else ("C", rc)
+    }.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    assert(rows.length == classes.size)
+    rows.foreach { r =>
+      val (n, rc) = classes(r.getAs[String]("cls"))
+      assert(r.getAs[Long]("n_parts") == n, s"${r.getAs[String]("cls")} n")
+      assert(r.getAs[Double]("revenue") == rc.toDouble / 100.0)
+      assert(r.getAs[Double]("rev_share") == rc.toDouble / total.toDouble)
+    }
+    // class boundaries: A holds ~80% of revenue, all parts classified
+    // (the fixture's per-part revenue is near-uniform, so A's PART count
+    // tracks its revenue share — no few-parts assertion)
+    val a = classes("A"); val c = classes("C")
+    assert(a._2 > c._2)
+    assert(classes.values.map(_._1).sum == rev.length.toLong)
+    assert(a._2 * 100 <= total * 80 && (a._2 + classes("B")._2) * 100 >
+      total * 80, "A ends at the 80% running-share boundary")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
