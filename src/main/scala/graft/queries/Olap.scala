@@ -1125,7 +1125,81 @@ object Olap {
       FROM cum, tot
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q147: shipping-delay percentiles — the fulfillment-latency SLA
+    * report (supply-chain face of the q04 percentile discipline): per
+    * order priority, exact p50/p90 of datediff(ship, order) plus the
+    * ship-before-order anomaly count (the fixture's ship dates are
+    * synthetic, so negatives exist — reported as the data-quality column
+    * a real latency audit carries). Positions are q115's pure-integer
+    * ceil ranks over a (delay, orderkey, linenumber) total order; the
+    * mean is one IEEE division of exact integer sum/count. Per-priority
+    * windows are the documented exact-percentile trade-off (SURVEY
+    * §7.6's flag-gated ApproxPercentileRewrite is the 100-TB path). */
+  val q147 = Q(
+    "q147_shipping_delay",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      import graft.Caches.Tracked
+      val delays = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate"))
+            .cast(LongType).as("delay"))
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("delay"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = delays.withColumn("rn", row_number().over(w))
+        .persistTracked()
+      val counts = ranked.groupBy(col("pri"))
+        .agg(max(col("rn")).cast(LongType).as("n"),
+          sum(col("delay")).as("sum_d"),
+          sum(when(col("delay") < 0, 1L).otherwise(0L)).as("n_anomalies"))
+      val p50 = ranked.join(autoBroadcast(counts), Seq("pri"))
+        .filter(col("rn") === expr("(n * 50 + 99) div 100"))
+        .select(col("pri"), col("delay").as("p50_days"))
+      val p90 = ranked.join(autoBroadcast(counts), Seq("pri"))
+        .filter(col("rn") === expr("(n * 90 + 99) div 100"))
+        .select(col("pri"), col("delay").as("p90_days"))
+      counts.join(autoBroadcast(p50), Seq("pri"))
+        .join(autoBroadcast(p90), Seq("pri"))
+        .select(col("pri"), col("n"), col("n_anomalies"),
+          col("p50_days"), col("p90_days"),
+          (col("sum_d").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("mean_days"))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH delays AS (
+        SELECT o_orderpriority AS pri, l_orderkey, l_linenumber,
+               CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+                 AS delay
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY pri
+                 ORDER BY delay, l_orderkey, l_linenumber) AS rn
+        FROM delays
+      ), counts AS (
+        SELECT pri, CAST(max(rn) AS BIGINT) AS n,
+               CAST(sum(delay) AS BIGINT) AS sum_d,
+               CAST(sum(CASE WHEN delay < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_anomalies
+        FROM ranked GROUP BY 1
+      ), p50 AS (
+        SELECT r.pri, r.delay AS p50_days
+        FROM ranked r JOIN counts USING (pri)
+        WHERE rn = (n * 50 + 99) // 100
+      ), p90 AS (
+        SELECT r.pri, r.delay AS p90_days
+        FROM ranked r JOIN counts USING (pri)
+        WHERE rn = (n * 90 + 99) // 100
+      )
+      SELECT pri, n, n_anomalies, p50_days, p90_days,
+             CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE) AS mean_days
+      FROM counts JOIN p50 USING (pri) JOIN p90 USING (pri)
+      ORDER BY pri"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142, q144, q145, q146)
+      q113, q131, q133, q139, q141, q142, q144, q145, q146, q147)
 }

@@ -1369,6 +1369,33 @@ class NewOperatorsSpec extends SparkSpec {
       total * 80, "A ends at the 80% running-share boundary")
   }
 
+  test("q147 shipping delay: bit-matches integer percentile recompute") {
+    val rows = graft.queries.Olap.q147.run(spark, sf001).collect()
+    val delays = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast(org.apache.spark.sql.types.LongType).as("d"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("d"),
+        r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber")))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("pri")).toSet == delays.keySet)
+    rows.foreach { r =>
+      val pri = r.getAs[String]("pri")
+      val ds = delays(pri).sortBy(e => (e._2, e._3, e._4)).map(_._2)
+      val n = ds.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_anomalies") == ds.count(_ < 0L).toLong)
+      assert(r.getAs[Long]("p50_days") == ds(((n * 50 + 99) / 100 - 1).toInt))
+      assert(r.getAs[Long]("p90_days") == ds(((n * 90 + 99) / 100 - 1).toInt))
+      assert(r.getAs[Double]("mean_days") == ds.sum.toDouble / n.toDouble)
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
