@@ -1570,7 +1570,75 @@ object EventStream {
       FROM states LEFT JOIN churn USING (week)
       ORDER BY week"""))
 
+  /** q148: inter-purchase interval distribution — purchase-frequency
+    * analysis (the inter-arrival family none of q109/q138/q143 cover):
+    * per-user gaps between consecutive purchases in days, bucketed into
+    * the standard frequency bands with counts and share-of-gaps. Gap
+    * days are exact integer datediffs in the per-user (ts, event_id)
+    * total order; band bounds are integer compares; shares are one IEEE
+    * division of exact integers each. Scale: per-user lag windows
+    * (activity-bounded), categorical-band aggregate — one shuffle. */
+  val q148 = Q(
+    "q148_purchase_intervals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("day"))
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .filter(col("prev_day").isNotNull)
+        .select(datediff(col("day"), col("prev_day"))
+          .cast(org.apache.spark.sql.types.LongType).as("gap"))
+      val banded = gaps
+        .select(
+          when(col("gap") === 0, "a_same_day")
+            .when(col("gap") <= 3, "b_1_3d")
+            .when(col("gap") <= 7, "c_4_7d")
+            .when(col("gap") <= 14, "d_8_14d")
+            .otherwise(lit("e_15d_plus")).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_gaps"))
+      val tot = banded.agg(sum(col("n_gaps")).as("n_total"))
+      banded.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_gaps"),
+          (col("n_gaps").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("share"))
+        .orderBy(col("band"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+      ), gaps AS (
+        SELECT CAST(datediff('day',
+                 lag(day) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id),
+                 day) AS BIGINT) AS gap
+        FROM p
+        QUALIFY lag(day) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NOT NULL
+      ), banded AS (
+        SELECT CASE WHEN gap = 0 THEN 'a_same_day'
+                    WHEN gap <= 3 THEN 'b_1_3d'
+                    WHEN gap <= 7 THEN 'c_4_7d'
+                    WHEN gap <= 14 THEN 'd_8_14d'
+                    ELSE 'e_15d_plus' END AS band,
+               count(*) AS n_gaps
+        FROM gaps GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(n_gaps) AS BIGINT) AS n_total FROM banded
+      )
+      SELECT band, n_gaps,
+             CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+      FROM banded, tot
+      ORDER BY band"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
-      q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143)
+      q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
+      q148)
 }

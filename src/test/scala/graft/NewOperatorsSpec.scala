@@ -1396,6 +1396,36 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q148 purchase intervals: matches driver-side gap banding") {
+    val rows = graft.streaming.EventStream.q148.run(spark, sf001).collect()
+    val gaps = Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Date]("day").toLocalDate))
+      .groupBy(_._1).values.flatMap { us =>
+        us.sortBy(e => (e._2, e._3)).sliding(2).collect {
+          case Array(a, b) =>
+            java.time.temporal.ChronoUnit.DAYS.between(a._4, b._4)
+        }
+      }.toSeq
+    def band(g: Long) =
+      if (g == 0) "a_same_day" else if (g <= 3) "b_1_3d"
+      else if (g <= 7) "c_4_7d" else if (g <= 14) "d_8_14d"
+      else "e_15d_plus"
+    val want = gaps.groupBy(band).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == gaps.length.toLong)
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == want(r.getAs[String]("band")))
+      assert(r.getAs[Double]("share") ==
+        r.getAs[Long]("n_gaps").toDouble / gaps.length.toDouble)
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
