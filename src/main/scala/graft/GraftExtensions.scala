@@ -63,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     // flag-gated percentile→sketch rewrite (SURVEY §7.5c); off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
+    // flag-gated COUNT(DISTINCT)→HLL++ rewrite; off by default
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     // native as-of join: custom logical node → AsOfJoinExec (the
     // custom-operator ladder's SparkPlan rung)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

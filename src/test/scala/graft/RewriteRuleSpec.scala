@@ -14,6 +14,47 @@ class RewriteRuleSpec extends SparkSpec {
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"))
 
+  private def distinctQuery =
+    Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  test("approx-distinct default off: plan keeps exact count(distinct)") {
+    val plan = distinctQuery.queryExecution.optimizedPlan.toString
+    assert(plan.contains("count(distinct") &&
+      !plan.contains("approx_count_distinct"), plan)
+  }
+
+  test("approx-distinct flag on: HLL++ plan, values close, types kept") {
+    val exact = distinctQuery.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.FLAG, "true")
+    try {
+      val q = distinctQuery
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"),
+        q.queryExecution.optimizedPlan.toString)
+      // result type stays LongType — no cast-back needed for this rule
+      assert(q.schema("n_users").dataType ==
+        org.apache.spark.sql.types.LongType)
+      q.collect().foreach { r =>
+        val e = exact(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - e) / e < 0.15,
+          s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $e")
+      }
+      // multi-column distinct keeps the exact form (NULL semantics)
+      val multi = Tables.load(spark, sf001, "events")
+        .agg(countDistinct(col("user_id"), col("event_type")).as("n"))
+      assert(!multi.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      // plain (non-distinct) count is untouched
+      val plain = Tables.load(spark, sf001, "events")
+        .groupBy(col("event_type")).agg(count(col("user_id")).as("n"))
+      assert(!plain.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+    } finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.FLAG)
+  }
+
   test("default off: plan keeps the exact percentile") {
     val plan = medianQuery.queryExecution.optimizedPlan.toString
     assert(plan.contains("percentile(") &&
