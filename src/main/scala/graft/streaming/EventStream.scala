@@ -1637,8 +1637,40 @@ object EventStream {
       FROM banded, tot
       ORDER BY band"""))
 
+  /** q149: the [[enrichedRevenue]] stream-static enrichment under the
+    * ORACLE (the StreamingSpec proves stream==batch; this proves
+    * batch==DuckDB, closing stream==batch==oracle like q120): hourly
+    * weighted revenue per category against a literal type→(category,
+    * weight) dimension — inlined VALUES on both sides, broadcast on
+    * ours. */
+  val q149 = Q(
+    "q149_enriched_revenue",
+    (s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("view", "browse", 1L), ("click", "browse", 2L),
+        ("purchase", "transact", 10L), ("refund", "transact", 10L),
+        ("search", "browse", 1L)).toDF("event_type", "category", "weight")
+      enrichedRevenue(Tables.load(s, d, "events"), dim)
+        .orderBy(col("hour_start"), col("category"))
+    },
+    Some("""
+      WITH dim(event_type, category, weight) AS (
+        VALUES ('view', 'browse', 1), ('click', 'browse', 2),
+               ('purchase', 'transact', 10), ('refund', 'transact', 10),
+               ('search', 'browse', 1)
+      )
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             category, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(weight AS BIGINT)) AS BIGINT)
+               AS weighted_cents
+      FROM events JOIN dim USING (event_type)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148)
+      q148, q149)
 }
