@@ -1669,8 +1669,96 @@ object EventStream {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** q150: conversion latency — the TIME dimension q108's funnel counts
+    * leave out: for users who purchased after their first view, the
+    * first-view→first-qualifying-purchase delay, as exact integer-hour
+    * percentiles (p50/p90, q115 position discipline over a (delay,
+    * user_id) total order) plus the converted-user count and conversion
+    * rate (one IEEE division of exact integers). First-view/first-
+    * purchase anchors are plain min-aggregates (the q108 shape — no
+    * per-user event lists); the percentile rank runs over the
+    * CONVERTED-USERS table (one row per converted user) via
+    * [[graft.operators.GlobalOrder.withOrderedCumsum]] — a distributed
+    * range-partitioned rank, never a single-partition ORDER BY window. */
+  val q150 = Q(
+    "q150_conversion_latency",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import graft.operators.Hints.autoBroadcast
+      import graft.Caches.Tracked
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val anchors = ev.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("us"))).as("v0"),
+          count(lit(1)).as("n_ev"))
+      val firstBuyAfter = ev.filter(col("event_type") === "purchase")
+        .join(autoBroadcast(anchors.filter(col("v0").isNotNull)
+          .select(col("user_id"), col("v0"))), Seq("user_id"))
+        .filter(col("us") >= col("v0"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("p0"), min(col("v0")).as("v0"))
+      // delay is non-negative by construction (p0 >= v0), so integer
+      // `div` (truncation) is the same floor DuckDB's // computes
+      val delays = firstBuyAfter
+        .select(col("user_id"),
+          expr("(p0 - v0) div 3600000000").as("delay_h"))
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+          delays, Seq(col("delay_h"), col("user_id")), lit(1L), "rn")
+        .persistTracked()
+      val nViewers = anchors.filter(col("v0").isNotNull)
+        .agg(count(lit(1)).as("n_viewers"))
+      val stats = ranked.agg(max(col("rn")).cast(LongType).as("n_conv"))
+      val p50 = ranked.crossJoin(broadcast(stats))
+        .filter(col("rn") === expr("(n_conv * 50 + 99) div 100"))
+        .select(col("delay_h").as("p50_hours"))
+      val p90 = ranked.crossJoin(broadcast(stats))
+        .filter(col("rn") === expr("(n_conv * 90 + 99) div 100"))
+        .select(col("delay_h").as("p90_hours"))
+      stats.crossJoin(broadcast(nViewers))
+        .crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        .select(col("n_viewers"), col("n_conv"),
+          (col("n_conv").cast(DoubleType)
+            / col("n_viewers").cast(DoubleType)).as("conv_rate"),
+          col("p50_hours"), col("p90_hours"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+      ), anchors AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN us END) AS v0
+        FROM ev GROUP BY 1
+      ), conv AS (
+        SELECT e.user_id,
+               (min(e.us) - min(a.v0)) // 3600000000 AS delay_h
+        FROM ev e JOIN anchors a ON e.user_id = a.user_id
+        WHERE e.event_type = 'purchase' AND a.v0 IS NOT NULL
+          AND e.us >= a.v0
+        GROUP BY 1
+      ), ranked AS (
+        SELECT delay_h,
+               row_number() OVER (ORDER BY delay_h, user_id) AS rn
+        FROM conv
+      ), stats AS (
+        SELECT CAST(max(rn) AS BIGINT) AS n_conv FROM ranked
+      ), viewers AS (
+        SELECT count(*) AS n_viewers FROM anchors WHERE v0 IS NOT NULL
+      )
+      SELECT n_viewers, n_conv,
+             CAST(n_conv AS DOUBLE) / CAST(n_viewers AS DOUBLE)
+               AS conv_rate,
+             (SELECT delay_h FROM ranked, stats
+              WHERE rn = (n_conv * 50 + 99) // 100) AS p50_hours,
+             (SELECT delay_h FROM ranked, stats
+              WHERE rn = (n_conv * 90 + 99) // 100) AS p90_hours
+      FROM stats, viewers"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149)
+      q148, q149, q150)
 }

@@ -1426,6 +1426,33 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q150 conversion latency: matches driver-side recompute") {
+    val rows = EventStream.q150.run(spark, sf001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val evs = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(e => (e.getAs[Long]("user_id"), e.getAs[String]("event_type"),
+        e.getAs[Long]("us")))
+    val v0 = evs.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val delays = evs.filter(_._2 == "purchase")
+      .filter(e => v0.get(e._1).exists(_ <= e._3))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+      .map { case (u, p0) => (u, (p0 - v0(u)) / 3600000000L) }
+      .toSeq
+    val n = delays.length.toLong
+    val sorted = delays.sortBy(e => (e._2, e._1)).map(_._2)
+    assert(r.getAs[Long]("n_viewers") == v0.size.toLong)
+    assert(r.getAs[Long]("n_conv") == n)
+    assert(r.getAs[Double]("conv_rate") == n.toDouble / v0.size.toDouble)
+    assert(r.getAs[Long]("p50_hours") == sorted(((n * 50 + 99) / 100 - 1).toInt))
+    assert(r.getAs[Long]("p90_hours") == sorted(((n * 90 + 99) / 100 - 1).toInt))
+    assert(r.getAs[Long]("p50_hours") <= r.getAs[Long]("p90_hours"))
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
