@@ -1199,7 +1199,46 @@ object Olap {
       FROM counts JOIN p50 USING (pri) JOIN p90 USING (pri)
       ORDER BY pri"""))
 
+  /** q151: TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly k qualifying orders, INCLUDING the
+    * zero-order customers the left outer join preserves (the classic
+    * count-of-counts histogram; Q13's o_comment NOT LIKE exclusion
+    * becomes a priority-class exclusion against this fixture). Completes
+    * the classic TPC-H shape set Q1/Q5/Q8/Q13/Q17/Q22. Scale: one
+    * custkey shuffle for the outer join + first aggregate (orders
+    * pre-filtered before the join, partial counts map-side), then a
+    * tiny count-of-counts aggregate over one row per customer; the
+    * final histogram is at most max-fan-in rows. count(o_orderkey)
+    * counts non-NULL keys only, so unmatched customers land in bucket
+    * 0 identically in both engines. */
+  val q151 = Q(
+    "q151_custdist",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer").select(col("c_custkey"))
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val perCust = cust.join(ord, col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      )
+      SELECT c_count, count(*) AS custdist
+      FROM per_cust
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142, q144, q145, q146, q147)
+      q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151)
 }

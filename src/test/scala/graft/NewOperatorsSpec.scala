@@ -1453,6 +1453,26 @@ class NewOperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_hours") <= r.getAs[Long]("p90_hours"))
   }
 
+  test("q151 custdist: zero-order customers present, masses conserve") {
+    val rows = graft.queries.Olap.q151.run(spark, sf001).collect()
+    val nCust = Tables.load(spark, sf001, "customer").count()
+    val qualifying = Tables.load(spark, sf001, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    // every customer lands in exactly one bucket
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    // order mass conserves: sum(c_count * custdist) = qualifying orders
+    // placed by known customers (fixture FKs are total, so all of them)
+    val orderMass = rows.map(r =>
+      r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    assert(orderMass == qualifying.count())
+    // the left join must preserve zero-order customers as bucket 0 when
+    // any customer has no qualifying order
+    val custWithOrders = qualifying.select(col("o_custkey")).distinct().count()
+    val zeroBucket = rows.find(_.getAs[Long]("c_count") == 0L)
+      .map(_.getAs[Long]("custdist")).getOrElse(0L)
+    assert(zeroBucket == nCust - custWithOrders)
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
