@@ -8,7 +8,8 @@ object Registry {
       graft.sources.IngestJob.all ++ graft.sources.JdbcRemote.all ++
       graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
-      graft.operators.AsOf.all ++ graft.operators.Kmeans.all
+      graft.operators.AsOf.all ++ graft.operators.Kmeans.all ++
+      graft.operators.FrequentItems.all
 
   require(
     all.map(_.name).distinct.size == all.size,

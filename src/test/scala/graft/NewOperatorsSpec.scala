@@ -1473,6 +1473,33 @@ class NewOperatorsSpec extends SparkSpec {
     assert(zeroBucket == nCust - custWithOrders)
   }
 
+  test("q152 frequent items: lossless pruning, partition-layout invariant") {
+    import graft.operators.FrequentItems
+    val ev = Tables.load(spark, sf001, "events").select(col("user_id"))
+    val n = ev.count()
+    val naive = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 16L > n)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt")))
+      .toSet
+    // MG pruning must reproduce the naive HAVING exactly, for every
+    // partition layout (candidate SET varies with layout; the final
+    // recount+filter must not)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = FrequentItems
+        .frequentItems(ev.repartition(parts), "user_id", counters = 15)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt")))
+        .toSet
+      assert(got == naive, s"mismatch at $parts partitions")
+    }
+    // candidate superset guarantee at the tightest layout: every
+    // qualifying key appears among the MG candidates
+    import spark.implicits._
+    val cands = FrequentItems
+      .mgCandidates(ev.repartition(32).as[Long], 15).collect().toSet
+    assert(naive.map(_._1).subsetOf(cands))
+    assert(naive.nonEmpty, "spec needs a non-degenerate qualifying set")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
