@@ -365,5 +365,100 @@ object Curation {
       SELECT doc_id, md5(text) AS content_md5, op FROM merged
       ORDER BY doc_id, op"""))
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107)
+  /** q153: DSIR-style importance weights for data selection (Xie et al.
+    * NeurIPS'23, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * unigram distribution is — weight(x) = Π_w p_target(w)/p_raw(w)
+    * over the document's tokens — where target = the English slice and
+    * raw = the whole corpus, both add-1-smoothed over the raw
+    * vocabulary. DSIR hashes n-grams into buckets at web scale; this
+    * fixture's vocabulary is the bucket table directly (same algebra,
+    * identity hash).
+    *
+    * Determinism (the q95 discipline): each per-token ratio is ONE IEEE
+    * division of exact BIGINT products — (c_t+1)·(N_r+V) over
+    * (c_r+1)·(N_t+V), all < 2^53 — and the per-doc product folds in
+    * token-position order via a sequential `aggregate` ↔ `list_reduce`,
+    * so both engines multiply identical doubles in the identical order.
+    * Scale: two vocabulary-sized count tables (broadcast), a 1-row
+    * totals table (broadcast), one corpus scan + one doc_id aggregate;
+    * at 100 TB the fold moves to log-space with the same agreed order.
+    */
+  val q153 = Q(
+    "q153_dsir_weights",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val tok = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("w"))
+        .persistTracked()
+      val cr = tok.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+      val ct = tok.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+      val totals = tok.agg(
+        count(lit(1)).as("n_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+        countDistinct(col("w")).as("v"))
+      val ratios = tok
+        .join(autoBroadcast(cr), Seq("w"))
+        .join(autoBroadcast(ct), Seq("w"), "left_outer")
+        .crossJoin(broadcast(totals))
+        .withColumn(
+          "r",
+          ((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + col("v")))
+            .cast(DoubleType)
+            / ((col("c_r") + 1L) * (col("n_t") + col("v")))
+              .cast(DoubleType))
+      ratios.groupBy(col("doc_id"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_toks"),
+          expr("""aggregate(
+                    transform(array_sort(collect_list(struct(pos, r))),
+                              x -> x.r),
+                    CAST(1 AS DOUBLE), (a, x) -> a * x)""").as("weight"))
+        .withColumn("favored", col("weight") > lit(1.0))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("weight"), col("favored"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      ), tok AS (
+        SELECT doc_id, lang,
+               unnest(range(1, len(ws) + 1)) AS pos, ws
+        FROM docs
+      ), t AS (
+        SELECT doc_id, lang, pos, ws[pos] AS w FROM tok
+      ), cr AS (
+        SELECT w, count(*) AS c_r FROM t GROUP BY w
+      ), ct AS (
+        SELECT w, count(*) AS c_t FROM t WHERE lang = 'en' GROUP BY w
+      ), totals AS (
+        SELECT count(*) AS n_r,
+               count(*) FILTER (lang = 'en') AS n_t,
+               count(DISTINCT w) AS v
+        FROM t
+      ), ratios AS (
+        SELECT t.doc_id, t.lang, t.pos,
+               CAST((coalesce(ct.c_t, 0) + 1) * (n_r + v) AS DOUBLE)
+                 / CAST((cr.c_r + 1) * (n_t + v) AS DOUBLE) AS r
+        FROM t
+        JOIN cr USING (w)
+        LEFT JOIN ct USING (w)
+        CROSS JOIN totals
+      )
+      SELECT doc_id, lang, count(*) AS n_toks,
+             list_reduce(
+               list_prepend(CAST(1 AS DOUBLE), list(r ORDER BY pos)),
+               (a, b) -> a * b) AS weight,
+             list_reduce(
+               list_prepend(CAST(1 AS DOUBLE), list(r ORDER BY pos)),
+               (a, b) -> a * b) > CAST(1 AS DOUBLE) AS favored
+      FROM ratios
+      GROUP BY doc_id, lang
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153)
 }

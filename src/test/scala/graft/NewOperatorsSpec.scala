@@ -1500,6 +1500,40 @@ class NewOperatorsSpec extends SparkSpec {
     assert(naive.nonEmpty, "spec needs a non-degenerate qualifying set")
   }
 
+  test("q153 dsir weights: bit-exact driver replay, target slice favored") {
+    val rows = graft.queries.Curation.q153.run(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ").toSeq))
+    val allToks = docs.flatMap(_._3)
+    val cr = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = docs.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nR = allToks.size.toLong
+    val nT = docs.filter(_._2 == "en").map(_._3.size).sum.toLong
+    val v = cr.size.toLong
+    val want = docs.map { case (id, _, ws) =>
+      // the same sequential in-order fold of the same IEEE divisions
+      id -> ws.foldLeft(1.0) { (a, w) =>
+        a * (((ct.getOrElse(w, 0L) + 1L) * (nR + v)).toDouble
+          / ((cr(w) + 1L) * (nT + v)).toDouble)
+      }
+    }.toMap
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("weight") == want(id), s"weight drift doc $id")
+      assert(r.getAs[Boolean]("favored") == (want(id) > 1.0))
+    }
+    // the selection signal points the right way: the en slice's mean
+    // weight exceeds the non-en mean (that is what DSIR selects on)
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[Double]("weight")).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty && mean(en) > mean(rest))
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
