@@ -1757,8 +1757,52 @@ object EventStream {
               WHERE rn = (n_conv * 90 + 99) // 100) AS p90_hours
       FROM stats, viewers"""))
 
+  /** q154: incremental materialized-view maintenance — the exact-
+    * aggregate merge law that keeps a daily rollup fresh WITHOUT full
+    * recompute: a stored base rollup (all days but the last) plus a
+    * delta rollup (the last day only) re-aggregated by key must equal
+    * the direct full aggregate. The ORACLE computes the direct path, so
+    * a pass proves base ⊎ delta == full cross-engine — the exact-agg
+    * sibling of the stored-sketch merge laws (q121 quantile bucket-sum,
+    * q122 CMS cell-sum, q118 HLL register-max). COUNT and exact-DECIMAL
+    * SUM are the additive state; the split day comes from the data's
+    * own max(day) so the query is SF-independent. Scale: both legs are
+    * one map-side-combinable aggregate; the merge re-aggregates
+    * rollup-sized (not corpus-sized) rows. */
+  val q154 = Q(
+    "q154_incremental_rollup",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val ev = Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("value"))
+        .persistTracked()
+      val lastDay = ev.agg(max(col("day")).as("last_day"))
+      val tagged = ev.crossJoin(broadcast(lastDay))
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(Det.cents(col("value"))).as("cents"))
+      val base = rollup(tagged.filter(col("day") < col("last_day")))
+      val delta = rollup(tagged.filter(col("day") === col("last_day")))
+      base.unionAll(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(col("day"), col("event_type"), col("n"),
+          (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150)
+      q148, q149, q150, q154)
 }

@@ -1534,6 +1534,27 @@ class NewOperatorsSpec extends SparkSpec {
     assert(en.nonEmpty && rest.nonEmpty && mean(en) > mean(rest))
   }
 
+  test("q154 incremental rollup: merge equals direct, delta non-trivial") {
+    val rows = EventStream.q154.run(spark, sf001)
+    val got = rows.collect().map(r => (
+      r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type"),
+      r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    val direct = Tables.load(spark, sf001, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.queries.Det.cents(col("value")))
+          .cast(org.apache.spark.sql.types.DoubleType) / lit(100.0))
+          .as("sum_value"))
+      .collect().map(r => (
+        r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(got == direct, "incremental merge must equal direct recompute")
+    // the split is non-trivial: the last day exists in the output AND
+    // at least one earlier day does (both legs contributed)
+    val days = got.map(_._1)
+    assert(days.size >= 2, "fixture must span multiple days")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
