@@ -92,5 +92,81 @@ object IngestQ {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q15, q16)
+  /** q155: CDC apply — reconstruct the current state of a table from a
+    * snapshot plus a change-data-capture log (inserts/updates/delete
+    * tombstones) by last-writer-wins on a monotone sequence number: the
+    * standard lakehouse pattern for landing Debezium-style feeds, and
+    * the ordered sibling of q107's MERGE (which upserts ONE batch; CDC
+    * replays MANY, so per-key ordering decides). The log is synthesized
+    * deterministically from orders (update waves at seq 1 and 2 on key
+    * classes, tombstones at seq 3), so update-then-delete and
+    * double-update collisions all occur. Apply = one groupBy(key) with
+    * max_by per column (seq is unique per key, so every max_by picks
+    * the same winning row) — bounded per-key state, NO per-key sort
+    * window; deletes drop after the reduce. Output is the per-status
+    * reconciliation (row counts by winning seq + exact-cents total) a
+    * CDC pipeline publishes after each apply. */
+  val q155 = Q(
+    "q155_cdc_apply",
+    (s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).as("c"))
+      val snap = base.select(col("k"), col("st"), col("c"),
+        lit(0L).as("seq"), lit("I").as("op"))
+      val u1 = base.filter(col("k") % 7 === 0)
+        .select(col("k"), col("st"), (col("c") + 1000L).as("c"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val u2 = base.filter(col("k") % 21 === 0)
+        .select(col("k"), col("st"), (col("c") + 2000L).as("c"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val del = base.filter(col("k") % 13 === 0)
+        .select(col("k"), col("st"), col("c"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val applied = snap.unionAll(u1).unionAll(u2).unionAll(del)
+        .groupBy(col("k"))
+        .agg(
+          max_by(col("st"), col("seq")).as("st"),
+          max_by(col("c"), col("seq")).as("c"),
+          max_by(col("op"), col("seq")).as("op"),
+          max(col("seq")).as("seq"))
+        .filter(col("op") =!= "D")
+      applied.groupBy(col("st"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("seq") === 0L, 1L).otherwise(0L)).as("n_snapshot"),
+          sum(when(col("seq") === 1L, 1L).otherwise(0L)).as("n_upd1"),
+          sum(when(col("seq") === 2L, 1L).otherwise(0L)).as("n_upd2"),
+          (sum(col("c")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("st"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+      ), log AS (
+        SELECT k, st, c, CAST(0 AS BIGINT) AS seq, 'I' AS op FROM base
+        UNION ALL
+        SELECT k, st, c + 1000, 1, 'U' FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT k, st, c + 2000, 2, 'U' FROM base WHERE k % 21 = 0
+        UNION ALL
+        SELECT k, st, c, 3, 'D' FROM base WHERE k % 13 = 0
+      ), applied AS (
+        SELECT k, arg_max(st, seq) AS st, arg_max(c, seq) AS c,
+               arg_max(op, seq) AS op, max(seq) AS seq
+        FROM log GROUP BY k
+      )
+      SELECT st, count(*) AS n_rows,
+             CAST(count(*) FILTER (seq = 0) AS BIGINT) AS n_snapshot,
+             CAST(count(*) FILTER (seq = 1) AS BIGINT) AS n_upd1,
+             CAST(count(*) FILTER (seq = 2) AS BIGINT) AS n_upd2,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM applied
+      WHERE op <> 'D'
+      GROUP BY st
+      ORDER BY st"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q155)
 }

@@ -1555,6 +1555,27 @@ class NewOperatorsSpec extends SparkSpec {
     assert(days.size >= 2, "fixture must span multiple days")
   }
 
+  test("q155 cdc apply: tombstones drop, last writer wins, masses add up") {
+    val rows = graft.queries.IngestQ.q155.run(spark, sf001).collect()
+    val keys = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val surviving = keys.count(_ % 13 != 0).toLong
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == surviving,
+      "exactly the non-tombstoned keys survive")
+    // winning-seq partition: surviving keys split by their last update
+    val upd2 = keys.count(k => k % 13 != 0 && k % 21 == 0).toLong
+    val upd1 = keys.count(k => k % 13 != 0 && k % 21 != 0 && k % 7 == 0).toLong
+    assert(rows.map(_.getAs[Long]("n_upd2")).sum == upd2)
+    assert(rows.map(_.getAs[Long]("n_upd1")).sum == upd1)
+    assert(rows.map(_.getAs[Long]("n_snapshot")).sum ==
+      surviving - upd1 - upd2)
+    // collision classes genuinely occur in the fixture
+    assert(upd1 > 0 && upd2 > 0 && surviving < keys.length,
+      "update waves and tombstones must all fire")
+    assert(keys.exists(k => k % 7 == 0 && k % 13 == 0),
+      "update-then-delete collision must occur")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
