@@ -460,5 +460,62 @@ object Curation {
       GROUP BY doc_id, lang
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153)
+  /** q156: k-anonymous release — the aggregate-suppression half of the
+    * privacy pass whose scrubbing half is q83's PII redaction: publish
+    * per-(nation, segment) customer stats only for quasi-identifier
+    * cells with at least k=10 members; smaller cells collapse into one
+    * SUPPRESSED residual bucket so no released row describes fewer than
+    * k people (Sweeney 2002's k-anonymity, applied at the aggregate
+    * release boundary). Scale: one corpus aggregate to cell stats, then
+    * the suppression re-aggregate runs over CELL-sized rows (≤ nations ×
+    * segments) — the corpus is never touched twice; the nation-name leg
+    * broadcasts. Money stays in exact cents until one final division. */
+  val q156 = Q(
+    "q156_k_anonymity",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val k = 10L
+      val cells = Tables.load(s, d, "customer")
+        .join(autoBroadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(Det.cents(col("c_acctbal"))).as("cents"))
+      cells
+        .withColumn("rel_nation",
+          when(col("n") >= k, col("n_name")).otherwise(lit("SUPPRESSED")))
+        .withColumn("rel_segment",
+          when(col("n") >= k, col("c_mktsegment"))
+            .otherwise(lit("SUPPRESSED")))
+        .groupBy(col("rel_nation"), col("rel_segment"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(col("rel_nation"), col("rel_segment"), col("n"),
+          (col("cents").cast(DoubleType)
+            / (col("n").cast(DoubleType) * lit(100.0))).as("mean_acctbal"))
+        .orderBy(col("rel_nation"), col("rel_segment"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT n_name, c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      ), released AS (
+        SELECT CASE WHEN n >= 10 THEN n_name
+                    ELSE 'SUPPRESSED' END AS rel_nation,
+               CASE WHEN n >= 10 THEN c_mktsegment
+                    ELSE 'SUPPRESSED' END AS rel_segment,
+               n, cents
+        FROM cells
+      )
+      SELECT rel_nation, rel_segment,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+               / (CAST(sum(n) AS DOUBLE) * 100) AS mean_acctbal
+      FROM released
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156)
 }

@@ -1576,6 +1576,23 @@ class NewOperatorsSpec extends SparkSpec {
       "update-then-delete collision must occur")
   }
 
+  test("q156 k-anonymity: k floor holds, nobody vanishes") {
+    val rows = graft.queries.Curation.q156.run(spark, sf001).collect()
+    val nCust = Tables.load(spark, sf001, "customer").count()
+    // releases conserve population — suppression re-buckets, never drops
+    assert(rows.map(_.getAs[Long]("n")).sum == nCust)
+    // every identified row describes at least k people
+    val (suppressed, released) =
+      rows.partition(_.getAs[String]("rel_nation") == "SUPPRESSED")
+    released.foreach(r => assert(r.getAs[Long]("n") >= 10L,
+      s"released cell below k: $r"))
+    // the residual bucket carries its segment label too
+    suppressed.foreach(r =>
+      assert(r.getAs[String]("rel_segment") == "SUPPRESSED"))
+    // sf0.001's 150 customers over 125 cells must actually suppress
+    assert(suppressed.nonEmpty, "fixture must exercise the suppression arm")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
