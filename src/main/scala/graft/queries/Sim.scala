@@ -769,5 +769,207 @@ object Sim {
       FROM vecs, signs
       ORDER BY vec_id, dim"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98)
+  /** q157: MMR diversified retrieval (Carbonell & Goldstein SIGIR'98,
+    * maximal marginal relevance) — the re-rank step that keeps a top-k
+    * from returning five near-copies of the same document: after a
+    * plain cosine shortlist (top-12 per query, the q26 shape), pick 5
+    * results greedily by score = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s).
+    * The scalable shape is exactly this two-phase: ANN shortlist over
+    * the corpus (broadcast queries, one scan), then MMR over the
+    * SHORTLIST only — the greedy loop touches m=12 candidates per
+    * query, never the corpus, so the 5 unrolled selection rounds are
+    * joins over query-count-sized frames.
+    *
+    * Determinism: λ=0.5 makes every score 0.5·sim − 0.5·maxsim — exact
+    * halving of doubles both engines already agree on (the q26
+    * discipline: sequential-fold dot products, one sqrt, one divide),
+    * with max over selected an order-free fold and ties broken on cid.
+    * The ORACLE unrolls the same 5 greedy rounds as chained CTEs, so a
+    * hash match proves the iterative DataFrame loop == the SQL
+    * recurrence cross-engine. */
+  val q157 = Q(
+    "q157_mmr_rerank",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val all = emb(s, d)
+      val queries = all.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val scored = all.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim_q",
+          VecDot.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val shortlist = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(desc("sim_q"), col("vec_id"))))
+        .filter(col("rk") <= 12)
+        .select(col("qid"), col("vec_id").as("cid"), col("sim_q"),
+          col("v"), col("nrm"))
+        .persistTracked()
+      val pairs = shortlist
+        .select(col("qid"), col("cid").as("a"), col("v").as("va"),
+          col("nrm").as("na"))
+        .join(shortlist.select(col("qid"), col("cid").as("b"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("s",
+          VecDot.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select(col("qid"), col("a"), col("b"), col("s"))
+        .persistTracked()
+      val cands = shortlist.select(col("qid"), col("cid"), col("sim_q"))
+      var selected: org.apache.spark.sql.DataFrame = null
+      var out: org.apache.spark.sql.DataFrame = null
+      for (t <- 1 to 5) {
+        val remaining =
+          if (selected == null) cands
+          else cands.join(selected.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_anti")
+        val withMax =
+          if (selected == null) remaining.withColumn("max_sel", lit(0.0))
+          else {
+            val mx = pairs
+              .join(selected.select(col("qid"), col("cid").as("b")),
+                Seq("qid", "b"))
+              .groupBy(col("qid"), col("a").as("cid"))
+              .agg(max(col("s")).as("max_sel"))
+            remaining.join(mx, Seq("qid", "cid"), "left_outer")
+              .withColumn("max_sel", coalesce(col("max_sel"), lit(0.0)))
+          }
+        val winner = withMax
+          .withColumn("score",
+            lit(0.5) * col("sim_q") - lit(0.5) * col("max_sel"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("score"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), lit(t).as("rank"), col("cid"), col("score"))
+          .persistTracked()
+        selected = if (selected == null) winner else selected.unionAll(winner)
+        out = selected
+      }
+      out.orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), nv AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(list_zip(v, v),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm
+        FROM vecs
+      ), queries AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM nv WHERE vec_id < 4
+      ), scored AS (
+        SELECT q.qid, c.vec_id AS cid,
+               list_reduce(list_transform(list_zip(q.qv, c.v),
+                 p -> p[1] * p[2]), (a, b) -> a + b)
+                 / (q.qnrm * c.nrm) AS sim_q,
+               c.v, c.nrm
+        FROM nv c CROSS JOIN queries q
+        WHERE c.vec_id <> q.qid
+      ), shortlist AS (
+        SELECT qid, cid, sim_q, v, nrm FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY sim_q DESC, cid) AS rk
+          FROM scored)
+        WHERE rk <= 12
+      ), pairs AS (
+        SELECT x.qid, x.cid AS a, y.cid AS b,
+               list_reduce(list_transform(list_zip(x.v, y.v),
+                 p -> p[1] * p[2]), (aa, bb) -> aa + bb)
+                 / (x.nrm * y.nrm) AS s
+        FROM shortlist x JOIN shortlist y
+          ON x.qid = y.qid AND x.cid <> y.cid
+      ), s1 AS (
+        SELECT qid, cid, 0.5 * sim_q - 0.5 * CAST(0 AS DOUBLE) AS score
+        FROM (SELECT qid, cid, sim_q, row_number() OVER (PARTITION BY qid
+                ORDER BY 0.5 * sim_q - 0.5 * CAST(0 AS DOUBLE) DESC, cid)
+                AS rn FROM shortlist)
+        WHERE rn = 1
+      ), sel1 AS (SELECT qid, cid FROM s1),
+      m2 AS (
+        SELECT p.qid, p.a AS cid, max(p.s) AS mx
+        FROM pairs p JOIN sel1 ON p.qid = sel1.qid AND p.b = sel1.cid
+        GROUP BY 1, 2
+      ), s2 AS (
+        SELECT qid, cid, score FROM (
+          SELECT sl.qid, sl.cid,
+                 0.5 * sl.sim_q - 0.5 * coalesce(m2.mx, CAST(0 AS DOUBLE))
+                   AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                   0.5 * sl.sim_q - 0.5 * coalesce(m2.mx, CAST(0 AS DOUBLE))
+                     DESC, sl.cid) AS rn
+          FROM shortlist sl LEFT JOIN m2
+            ON sl.qid = m2.qid AND sl.cid = m2.cid
+          WHERE NOT EXISTS (SELECT 1 FROM sel1
+            WHERE sel1.qid = sl.qid AND sel1.cid = sl.cid))
+        WHERE rn = 1
+      ), sel2 AS (SELECT qid, cid FROM sel1 UNION ALL
+                  SELECT qid, cid FROM s2),
+      m3 AS (
+        SELECT p.qid, p.a AS cid, max(p.s) AS mx
+        FROM pairs p JOIN sel2 ON p.qid = sel2.qid AND p.b = sel2.cid
+        GROUP BY 1, 2
+      ), s3 AS (
+        SELECT qid, cid, score FROM (
+          SELECT sl.qid, sl.cid,
+                 0.5 * sl.sim_q - 0.5 * coalesce(m3.mx, CAST(0 AS DOUBLE))
+                   AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                   0.5 * sl.sim_q - 0.5 * coalesce(m3.mx, CAST(0 AS DOUBLE))
+                     DESC, sl.cid) AS rn
+          FROM shortlist sl LEFT JOIN m3
+            ON sl.qid = m3.qid AND sl.cid = m3.cid
+          WHERE NOT EXISTS (SELECT 1 FROM sel2
+            WHERE sel2.qid = sl.qid AND sel2.cid = sl.cid))
+        WHERE rn = 1
+      ), sel3 AS (SELECT qid, cid FROM sel2 UNION ALL
+                  SELECT qid, cid FROM s3),
+      m4 AS (
+        SELECT p.qid, p.a AS cid, max(p.s) AS mx
+        FROM pairs p JOIN sel3 ON p.qid = sel3.qid AND p.b = sel3.cid
+        GROUP BY 1, 2
+      ), s4 AS (
+        SELECT qid, cid, score FROM (
+          SELECT sl.qid, sl.cid,
+                 0.5 * sl.sim_q - 0.5 * coalesce(m4.mx, CAST(0 AS DOUBLE))
+                   AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                   0.5 * sl.sim_q - 0.5 * coalesce(m4.mx, CAST(0 AS DOUBLE))
+                     DESC, sl.cid) AS rn
+          FROM shortlist sl LEFT JOIN m4
+            ON sl.qid = m4.qid AND sl.cid = m4.cid
+          WHERE NOT EXISTS (SELECT 1 FROM sel3
+            WHERE sel3.qid = sl.qid AND sel3.cid = sl.cid))
+        WHERE rn = 1
+      ), sel4 AS (SELECT qid, cid FROM sel3 UNION ALL
+                  SELECT qid, cid FROM s4),
+      m5 AS (
+        SELECT p.qid, p.a AS cid, max(p.s) AS mx
+        FROM pairs p JOIN sel4 ON p.qid = sel4.qid AND p.b = sel4.cid
+        GROUP BY 1, 2
+      ), s5 AS (
+        SELECT qid, cid, score FROM (
+          SELECT sl.qid, sl.cid,
+                 0.5 * sl.sim_q - 0.5 * coalesce(m5.mx, CAST(0 AS DOUBLE))
+                   AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                   0.5 * sl.sim_q - 0.5 * coalesce(m5.mx, CAST(0 AS DOUBLE))
+                     DESC, sl.cid) AS rn
+          FROM shortlist sl LEFT JOIN m5
+            ON sl.qid = m5.qid AND sl.cid = m5.cid
+          WHERE NOT EXISTS (SELECT 1 FROM sel4
+            WHERE sel4.qid = sl.qid AND sel4.cid = sl.cid))
+        WHERE rn = 1
+      )
+      SELECT qid, CAST(rank AS INTEGER) AS rank, cid, score FROM (
+        SELECT qid, 1 AS rank, cid, score FROM s1 UNION ALL
+        SELECT qid, 2, cid, score FROM s2 UNION ALL
+        SELECT qid, 3, cid, score FROM s3 UNION ALL
+        SELECT qid, 4, cid, score FROM s4 UNION ALL
+        SELECT qid, 5, cid, score FROM s5)
+      ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157)
 }

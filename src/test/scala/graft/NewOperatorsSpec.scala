@@ -1593,6 +1593,57 @@ class NewOperatorsSpec extends SparkSpec {
     assert(suppressed.nonEmpty, "fixture must exercise the suppression arm")
   }
 
+  test("q157 mmr: driver-side greedy replay matches, diversity kicks in") {
+    val rows = graft.queries.Sim.q157.run(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Double]("score")))
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    for (qid <- vecs.keys.filter(_ < 4)) {
+      val simQ = vecs.keys.filter(_ != qid).map(c => c -> cos(qid, c)).toMap
+      val shortlist = simQ.toSeq.sortBy { case (c, sq) => (-sq, c) }
+        .take(12).map(_._1)
+      var selected = Vector.empty[Long]
+      val got = rows.filter(_._1 == qid).sortBy(_._2)
+      got.foreach { case (_, _, cid, score) =>
+        val best = shortlist.filterNot(selected.contains)
+          .map { c =>
+            val mx = if (selected.isEmpty) 0.0
+              else selected.map(sPick => cos(c, sPick)).max
+            (c, 0.5 * simQ(c) - 0.5 * mx)
+          }
+          .minBy { case (c, sc) => (-sc, c) }
+        assert(cid == best._1, s"qid=$qid pick drift")
+        assert(score == best._2, s"qid=$qid score drift")
+        selected :+= cid
+      }
+      // rank 1 is the plain cosine argmax; later picks may diverge from
+      // plain top-5 exactly when diversity penalizes a near-duplicate
+      assert(got.head._3 == shortlist.head)
+    }
+    // somewhere in the fixture the MMR order differs from plain top-5
+    val plainTop5 = rows.groupBy(_._1).forall { case (qid, rs) =>
+      val simQ = vecs.keys.filter(_ != qid).map(c => c -> cos(qid, c)).toMap
+      val top5 = simQ.toSeq.sortBy { case (c, sq) => (-sq, c) }
+        .take(5).map(_._1)
+      rs.sortBy(_._2).map(_._3).toSeq == top5
+    }
+    assert(!plainTop5, "MMR must reorder at least one query's top-5")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
