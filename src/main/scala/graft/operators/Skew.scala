@@ -70,5 +70,101 @@ object Skew {
       GROUP BY e.user_id, e.event_type
       ORDER BY e.user_id, e.event_type"""))
 
-  val all: Seq[Q] = Seq(q36)
+  /** Key-skew profile of one prospective join key: the operational
+    * numbers that decide between a plain shuffle join, AQE skew
+    * handling, and [[saltedJoin]] — key cardinality, hottest-key share,
+    * p99-to-median frequency ratio, and the Gini coefficient of the
+    * frequency distribution. Exactness: frequencies rank through
+    * [[GlobalOrder.withOrderedCumsum]] (value = 1) in (freq, key) total
+    * order — never a single-partition sort — and the Gini numerator
+    * Σ(2i−K−1)·f_i stays in exact BIGINT until ONE final division;
+    * p99/median are q115-style ceil-rank integer percentiles. */
+  def keySkewProfile(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      label: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val freqs = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("f"))
+    val ranked = GlobalOrder.withOrderedCumsum(
+      freqs, Seq(col("f"), col("k")), lit(1L), "i")
+    val stats = ranked.agg(
+      max(col("i")).cast(LongType).as("n_keys"),
+      sum(col("f")).as("n_rows"),
+      max(col("f")).as("max_f"),
+      // decimal accumulation: (2i−1)·f and its sum exceed 2^63 long
+      // before any fixture does — exact at any K·N, cast back bounded
+      sum((lit(2L) * col("i") - lit(1L))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("f").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast(LongType).as("gini_raw"))
+    val pct = ranked.crossJoin(broadcast(stats))
+      .withColumn("is_med", col("i") === expr("(n_keys * 50 + 99) div 100"))
+      .withColumn("is_p99", col("i") === expr("(n_keys * 99 + 99) div 100"))
+      .filter(col("is_med") || col("is_p99"))
+      .agg(
+        max(when(col("is_med"), col("f"))).as("median_f"),
+        max(when(col("is_p99"), col("f"))).as("p99_f"))
+    stats.crossJoin(broadcast(pct))
+      .select(
+        lit(label).as("key"),
+        col("n_keys"), col("n_rows"),
+        (col("max_f").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("top1_share"),
+        (col("p99_f").cast(DoubleType) / col("median_f").cast(DoubleType))
+          .as("p99_to_median"),
+        ((col("gini_raw") - col("n_keys") * col("n_rows")).cast(DoubleType)
+          / (col("n_keys") * col("n_rows")).cast(DoubleType)).as("gini"))
+  }
+
+  /** q37b-style SQL twin fragment for [[keySkewProfile]] over a table
+    * with key column `k`: shared by the q159 oracle legs. */
+  private def skewProfileSql(table: String, key: String, label: String) =
+    s"""
+      SELECT '$label' AS key, n_keys, n_rows,
+             CAST(max_f AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+             CAST(p99_f AS DOUBLE) / CAST(median_f AS DOUBLE)
+               AS p99_to_median,
+             CAST(gini_raw - n_keys * n_rows AS DOUBLE)
+               / CAST(n_keys * n_rows AS DOUBLE) AS gini
+      FROM (
+        SELECT CAST(max(i) AS BIGINT) AS n_keys,
+               CAST(sum(f) AS BIGINT) AS n_rows,
+               CAST(max(f) AS BIGINT) AS max_f,
+               CAST(sum((2 * i - 1) * f) AS BIGINT) AS gini_raw
+        FROM (SELECT f, row_number() OVER (ORDER BY f, k) AS i
+              FROM (SELECT $key AS k, count(*) AS f FROM $table
+                    GROUP BY 1))
+      ) st, (
+        SELECT max(CASE WHEN i = (n_keys * 50 + 99) // 100
+                        THEN f END) AS median_f,
+               max(CASE WHEN i = (n_keys * 99 + 99) // 100
+                        THEN f END) AS p99_f
+        FROM (SELECT f, row_number() OVER (ORDER BY f, k) AS i,
+                     count(*) OVER () AS n_keys
+              FROM (SELECT $key AS k, count(*) AS f FROM $table
+                    GROUP BY 1))
+      ) pc"""
+
+  /** q159: join-key skew report over the two fact keys a planner would
+    * actually probe — events.user_id and lineitem.l_partkey. The oracle
+    * recomputes both profiles with window row_numbers; agreement proves
+    * the distributed ordered-rank path (GlobalOrder) equals the naive
+    * global-sort rank. */
+  val q159 = Q(
+    "q159_key_skew_profile",
+    (s, d) => {
+      val ev = keySkewProfile(
+        Tables.load(s, d, "events"), "user_id", "events.user_id")
+      val li = keySkewProfile(
+        Tables.load(s, d, "lineitem"), "l_partkey", "lineitem.l_partkey")
+      ev.unionAll(li).orderBy(col("key"))
+    },
+    Some(
+      skewProfileSql("events", "user_id", "events.user_id") +
+        "\n      UNION ALL\n" +
+        skewProfileSql("lineitem", "l_partkey", "lineitem.l_partkey") +
+        "\n      ORDER BY key"))
+
+  val all: Seq[Q] = Seq(q36, q159)
 }

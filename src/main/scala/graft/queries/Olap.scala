@@ -1238,7 +1238,87 @@ object Olap {
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""))
 
+  /** q158: Benford first-digit audit — the classic fraud/data-quality
+    * screen (Benford 1938; Nigrini's forensic-accounting use): compare
+    * the leading-digit distribution of order totals against
+    * log10(1+1/d) and report the per-digit chi-square contribution.
+    * TPC-H-style uniform prices are NOT Benford-distributed, and the
+    * audit says so honestly — the operator's job is the report, not a
+    * verdict. Determinism: the leading digit comes from the exact
+    * BIGINT cents value via integer→string (both engines render
+    * integers identically; cents = price×10², and ×10² never moves the
+    * leading digit); the nine expected probabilities are identical
+    * decimal literals both engines parse to the same doubles; every
+    * per-digit stat is arithmetic on (long, literal) pairs — no
+    * cross-row double sum anywhere. Scale: one map-side-combinable
+    * 9-group aggregate; the digit lookup is a 9-row broadcast. */
+  val q158 = Q(
+    "q158_benford_audit",
+    (s, d) => {
+      import s.implicits._
+      val benford = Seq(
+        (1L, 0.3010299956639812), (2L, 0.17609125905568124),
+        (3L, 0.12493873660829992), (4L, 0.09691001300805642),
+        (5L, 0.07918124604762482), (6L, 0.06694678963061322),
+        (7L, 0.05799194697768673), (8L, 0.05115252244738129),
+        (9L, 0.04575749056067514)).toDF("digit", "benford_p")
+      val counts = Tables.load(s, d, "orders")
+        .select(Det.cents(col("o_totalprice")).as("cents"))
+        .filter(col("cents") > 0L)
+        .withColumn("digit",
+          substring(col("cents").cast(StringType), 1, 1).cast(LongType))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("n_total"))
+      benford.join(counts, Seq("digit"), "left_outer")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("share",
+          col("n").cast(DoubleType) / col("n_total").cast(DoubleType))
+        .withColumn("expected",
+          col("n_total").cast(DoubleType) * col("benford_p"))
+        .withColumn("chi2_part",
+          (col("n").cast(DoubleType) - col("expected"))
+            * (col("n").cast(DoubleType) - col("expected"))
+            / col("expected"))
+        .select(col("digit"), col("n"), col("share"), col("benford_p"),
+          col("chi2_part"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH benford(digit, benford_p) AS (
+        VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+               (3, 0.12493873660829992), (4, 0.09691001300805642),
+               (5, 0.07918124604762482), (6, 0.06694678963061322),
+               (7, 0.05799194697768673), (8, 0.05115252244738129),
+               (9, 0.04575749056067514)
+      ), counts AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n
+        FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts
+      )
+      SELECT CAST(b.digit AS BIGINT) AS digit,
+             coalesce(c.n, 0) AS n,
+             CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS share,
+             CAST(b.benford_p AS DOUBLE) AS benford_p,
+             (CAST(coalesce(c.n, 0) AS DOUBLE)
+                - CAST(n_total AS DOUBLE) * CAST(b.benford_p AS DOUBLE))
+               * (CAST(coalesce(c.n, 0) AS DOUBLE)
+                  - CAST(n_total AS DOUBLE) * CAST(b.benford_p AS DOUBLE))
+               / (CAST(n_total AS DOUBLE) * CAST(b.benford_p AS DOUBLE))
+               AS chi2_part
+      FROM benford b LEFT JOIN counts c ON b.digit = c.digit
+      CROSS JOIN tot
+      ORDER BY digit"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
-      q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151)
+      q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
+      q158)
 }

@@ -1644,6 +1644,61 @@ class NewOperatorsSpec extends SparkSpec {
     assert(!plainTop5, "MMR must reorder at least one query's top-5")
   }
 
+  test("q158 benford audit: digit mass conserves, chi2 parts replay") {
+    val rows = graft.queries.Olap.q158.run(spark, sf001).collect()
+    assert(rows.length == 9, "all nine digits present even when unseen")
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val cents = Tables.load(spark, sf001, "orders")
+      .select(graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0L)
+    val n = cents.length.toLong
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    val want = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      val nd = want.getOrElse(d, 0L)
+      assert(r.getAs[Long]("n") == nd)
+      assert(r.getAs[Double]("share") == nd.toDouble / n.toDouble)
+      val e = n.toDouble * r.getAs[Double]("benford_p")
+      assert(r.getAs[Double]("chi2_part") ==
+        (nd.toDouble - e) * (nd.toDouble - e) / e)
+    }
+    // benford probabilities themselves must sum to ~1 (literal sanity)
+    assert(math.abs(rows.map(_.getAs[Double]("benford_p")).sum - 1.0) < 1e-12)
+  }
+
+  test("q159 skew profile: driver replay of rank stats, sane bounds") {
+    val rows = graft.operators.Skew.q159.run(spark, sf001).collect()
+    assert(rows.length == 2)
+    val byKey = rows.map(r => r.getAs[String]("key") -> r).toMap
+    for ((label, table, keyCol) <- Seq(
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"))) {
+      val fs = Tables.load(spark, sf001, table)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+        .collect()
+        .map(r => (r.getAs[Number](keyCol).longValue(), r.getAs[Long]("f")))
+        .sortBy { case (k, f) => (f, k) }.map(_._2)
+      val k = fs.length.toLong
+      val n = fs.sum
+      val r = byKey(label)
+      assert(r.getAs[Long]("n_keys") == k)
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Double]("top1_share") == fs.max.toDouble / n.toDouble)
+      val med = fs(((k * 50 + 99) / 100 - 1).toInt)
+      val p99 = fs(((k * 99 + 99) / 100 - 1).toInt)
+      assert(r.getAs[Double]("p99_to_median") ==
+        p99.toDouble / med.toDouble)
+      val giniRaw = fs.zipWithIndex
+        .map { case (f, i0) => (2L * (i0 + 1) - 1L) * f }.sum
+      assert(r.getAs[Double]("gini") ==
+        (giniRaw - k * n).toDouble / (k * n).toDouble)
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
