@@ -1801,8 +1801,111 @@ object EventStream {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** q160: in-session ordered sequence match — ClickHouse's
+    * `sequenceMatch('(?1).*(?2).*(?3)')` over sessions: does a session
+    * contain a view, then STRICTLY LATER a click, then strictly later a
+    * purchase (any events in between)? q108's funnel anchors on each
+    * user's lifetime firsts; this one requires the order INSIDE one
+    * session, which is what distinguishes browsing-to-buy behavior from
+    * coincidental lifetime ordering. Semantics follow ClickHouse: stage
+    * anchors compare event TIMESTAMPS only (strictly greater), so every
+    * anchor is a plain conditional MIN over microsecond values — no row
+    * identity, no tiebreaks, deterministic by construction. Scale: the
+    * shared sessionizer's per-user windows, then three conditional-min
+    * aggregates over (user, session) — each a map-side-combinable
+    * reduce; no per-session event lists materialize. Fixture note: the
+    * 30-minute gap rule yields ~1-event sessions on this sparse event
+    * stream, so the full 3-step match is honestly rare (0 at
+    * sf≤0.01, 1 at sf0.1) while the 2-step stage fires at every SF —
+    * the per-stage counts are the output precisely so thin funnels
+    * stay visible. */
+  val q160 = Q(
+    "q160_sequence_match",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val ev = sessionizedEvents(Tables.load(s, d, "events"))
+        .select(col("user_id"), col("session_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .persistTracked()
+      val s1 = ev.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_ev"),
+          min(when(col("event_type") === "view", col("us"))).as("a1"))
+      val s2 = ev.join(s1.filter(col("a1").isNotNull)
+          .select(col("user_id"), col("session_id"), col("a1")),
+          Seq("user_id", "session_id"))
+        .filter(col("event_type") === "click" && col("us") > col("a1"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("a2"))
+      val s3 = ev.join(s2, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "purchase" && col("us") > col("a2"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("a3"))
+      s1.join(s2.select(col("user_id"), col("session_id"),
+            lit(1L).as("hit2")), Seq("user_id", "session_id"), "left_outer")
+        .join(s3.select(col("user_id"), col("session_id"),
+            lit(1L).as("hit3")), Seq("user_id", "session_id"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("a1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("hit2").isNotNull, 1L).otherwise(0L))
+            .as("n_view_click"),
+          sum(when(col("hit3").isNotNull, 1L).otherwise(0L))
+            .as("n_full_sequence"))
+        .withColumn("match_rate",
+          col("n_full_sequence").cast(DoubleType)
+            / col("n_sessions").cast(DoubleType))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), s1 AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN us END) AS a1
+        FROM numbered GROUP BY 1, 2
+      ), s2 AS (
+        SELECT n.user_id, n.session_id, min(n.us) AS a2
+        FROM numbered n JOIN s1
+          ON n.user_id = s1.user_id AND n.session_id = s1.session_id
+        WHERE s1.a1 IS NOT NULL AND n.event_type = 'click'
+          AND n.us > s1.a1
+        GROUP BY 1, 2
+      ), s3 AS (
+        SELECT n.user_id, n.session_id, min(n.us) AS a3
+        FROM numbered n JOIN s2
+          ON n.user_id = s2.user_id AND n.session_id = s2.session_id
+        WHERE n.event_type = 'purchase' AND n.us > s2.a2
+        GROUP BY 1, 2
+      )
+      SELECT count(*) AS n_sessions,
+             CAST(count(*) FILTER (s1.a1 IS NOT NULL) AS BIGINT) AS n_view,
+             CAST(count(*) FILTER (s2.a2 IS NOT NULL) AS BIGINT)
+               AS n_view_click,
+             CAST(count(*) FILTER (s3.a3 IS NOT NULL) AS BIGINT)
+               AS n_full_sequence,
+             CAST(count(*) FILTER (s3.a3 IS NOT NULL) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS match_rate
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+        AND s1.session_id = s2.session_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+        AND s1.session_id = s3.session_id"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154)
+      q148, q149, q150, q154, q160)
 }

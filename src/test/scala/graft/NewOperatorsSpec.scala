@@ -1699,6 +1699,40 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q160 sequence match: driver replay over sessions, funnel monotone") {
+    val r = EventStream.q160.run(spark, sf001).collect().head
+    val sess = EventStream
+      .sessionizedEvents(Tables.load(spark, sf001, "events"))
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(e => ((e.getAs[Long]("user_id"), e.getAs[Long]("session_id")),
+        (e.getAs[String]("event_type"), e.getAs[Long]("us"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def anchor(evs: Seq[(String, Long)], t: String, after: Long): Option[Long] =
+      evs.filter(e => e._1 == t && e._2 > after).map(_._2)
+        .minOption
+    var nView = 0L; var nVC = 0L; var nFull = 0L
+    sess.values.foreach { evs =>
+      val a1 = evs.filter(_._1 == "view").map(_._2).minOption
+      val a2 = a1.flatMap(anchor(evs, "click", _))
+      val a3 = a2.flatMap(anchor(evs, "purchase", _))
+      if (a1.isDefined) nView += 1
+      if (a2.isDefined) nVC += 1
+      if (a3.isDefined) nFull += 1
+    }
+    assert(r.getAs[Long]("n_sessions") == sess.size.toLong)
+    assert(r.getAs[Long]("n_view") == nView)
+    assert(r.getAs[Long]("n_view_click") == nVC)
+    assert(r.getAs[Long]("n_full_sequence") == nFull)
+    assert(nView >= nVC && nVC >= nFull, "funnel must be monotone")
+    // fixture sessions are short (~1 event each under the 30-min gap
+    // rule), so the 3-step match is honestly rare; 2 stages must fire
+    assert(nVC > 0, "fixture must contain in-session view→click pairs")
+    assert(r.getAs[Double]("match_rate") ==
+      nFull.toDouble / sess.size.toDouble)
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
