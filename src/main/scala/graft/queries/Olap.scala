@@ -1317,8 +1317,69 @@ object Olap {
       CROSS JOIN tot
       ORDER BY digit"""))
 
+  /** q161: weighted exact percentiles — ClickHouse's
+    * `quantileExactWeighted` (a capability its engines expose that
+    * ANSI SQL lacks): the p-th percentile of unit price where each
+    * lineitem counts with weight = its quantity, so a 40-unit line
+    * moves the distribution 40× more than a 1-unit line. Definition:
+    * the smallest value whose running weight in (value, key) total
+    * order reaches ceil(p·W/100) — all integer arithmetic (cents,
+    * integral quantities, ceil-rank thresholds), zero doubles until
+    * the final cents→currency division. Scale: the running weight is
+    * [[graft.operators.GlobalOrder.withOrderedCumsum]] with value =
+    * weight — range-partitioned rank, never a single-partition window;
+    * the crossing row is a filter + MIN, not a sort. The ORACLE
+    * replays the definition with a window cumsum, so agreement proves
+    * the distributed cumsum == the naive global window. */
+  val q161 = Q(
+    "q161_weighted_percentiles",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Det.cents(col("l_extendedprice")).as("cents"),
+          round(col("l_quantity")).cast(LongType).as("w"))
+      val cum = graft.operators.GlobalOrder.withOrderedCumsum(
+        li, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        col("w"), "cw")
+      val tot = cum.agg(max(col("cw")).as("w_total"))
+      val crossed = cum.crossJoin(broadcast(tot))
+      def wpct(p: Int): org.apache.spark.sql.Column =
+        min(when(
+          col("cw") >= expr(s"(w_total * $p + 99) div 100"),
+          col("cents")))
+      crossed.agg(
+        max(col("w_total")).as("w_total"),
+        wpct(50).as("p50_c"), wpct(90).as("p90_c"))
+        .select(col("w_total"),
+          (col("p50_c").cast(DoubleType) / lit(100.0)).as("p50_weighted"),
+          (col("p90_c").cast(DoubleType) / lit(100.0)).as("p90_weighted"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+      ), cum AS (
+        SELECT cents,
+               sum(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM li
+      ), tot AS (
+        SELECT CAST(max(cw) AS BIGINT) AS w_total FROM cum
+      )
+      SELECT w_total,
+             CAST(min(CASE WHEN cw >= (w_total * 50 + 99) // 100
+                           THEN cents END) AS DOUBLE) / 100
+               AS p50_weighted,
+             CAST(min(CASE WHEN cw >= (w_total * 90 + 99) // 100
+                           THEN cents END) AS DOUBLE) / 100
+               AS p90_weighted
+      FROM cum, tot
+      GROUP BY w_total"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158)
+      q158, q161)
 }

@@ -1733,6 +1733,34 @@ class NewOperatorsSpec extends SparkSpec {
       nFull.toDouble / sess.size.toDouble)
   }
 
+  test("q161 weighted percentiles: driver replay, weighting matters") {
+    val r = graft.queries.Olap.q161.run(spark, sf001).collect().head
+    val rows = Tables.load(spark, sf001, "lineitem")
+      .select(graft.queries.Det.cents(col("l_extendedprice")).as("c"),
+        round(col("l_quantity")).cast(org.apache.spark.sql.types.LongType)
+          .as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(x => (x.getAs[Long]("c"), x.getAs[Long]("w"),
+        x.getAs[Number]("l_orderkey").longValue(),
+        x.getAs[Number]("l_linenumber").longValue()))
+      .sortBy { case (c, _, k, l) => (c, k, l) }
+    val wTotal = rows.map(_._2).sum
+    assert(r.getAs[Long]("w_total") == wTotal)
+    def wp(p: Int): Long = {
+      val thr = (wTotal * p + 99) / 100
+      var cum = 0L
+      rows.find { x => cum += x._2; cum >= thr }.get._1
+    }
+    assert(r.getAs[Double]("p50_weighted") == wp(50).toDouble / 100.0)
+    assert(r.getAs[Double]("p90_weighted") == wp(90).toDouble / 100.0)
+    // weighting must actually matter: the UNWEIGHTED median differs
+    val n = rows.length.toLong
+    val unweighted = rows(((n * 50 + 99) / 100 - 1).toInt)._1
+    assert(unweighted.toDouble / 100.0 != r.getAs[Double]("p50_weighted"),
+      "fixture must separate weighted from unweighted percentile")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
