@@ -168,5 +168,100 @@ object IngestQ {
       GROUP BY st
       ORDER BY st"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155)
+  /** q162: declarative data-contract validation — the dbt-style test
+    * suite (not_null / unique / accepted_values / relationships /
+    * range) run as ONE report: each contract is a counting aggregate
+    * or anti-join over the table it guards, and the output is the
+    * per-check violation ledger a pipeline gate reads before
+    * publishing. Complements `operators/Audit` (zero-pass observe
+    * metrics on a job's OWN scan) with cross-table checks a single
+    * scan cannot see — FK orphans need the anti-join. Scale: each
+    * check is one aggregate or one broadcast/shuffle anti-join;
+    * checks are independent, so the union evaluates them in parallel
+    * stages. The fixture's lineitem→orders FK is intentionally
+    * reported as-found — contracts REPORT, they don't assume. */
+  val q162 = Q(
+    "q162_data_contracts",
+    (s, d) => {
+      def check(name: String, checked: org.apache.spark.sql.DataFrame,
+          violations: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.DataFrame =
+        checked.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(violations, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("contract"), col("n_checked"),
+            col("n_violations"))
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      def fkCheck(name: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String): org.apache.spark.sql.DataFrame =
+        child.select(col(childKey))
+          .join(parent.select(col(parentKey)),
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .crossJoin(broadcast(
+            child.agg(count(lit(1)).as("n_checked"))))
+          .select(lit(name).as("contract"), col("n_checked"),
+            col("n_violations"))
+      val fkLine = fkCheck(
+        "lineitem.l_orderkey relationships orders",
+        li, "l_orderkey", orders, "o_orderkey")
+      val fkCust = fkCheck(
+        "orders.o_custkey relationships customer",
+        orders, "o_custkey", Tables.load(s, d, "customer"), "c_custkey")
+      val uniq = orders
+        .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"), count(lit(1)).as("n_checked"))
+        .select(lit("orders.o_orderkey unique").as("contract"),
+          col("n_checked"), col("n_violations"))
+      val accepted = check(
+        "events.event_type accepted_values",
+        Tables.load(s, d, "events"),
+        !col("event_type").isin("view", "click", "purchase", "signup",
+          "error"))
+      val range = check(
+        "orders.o_totalprice positive",
+        orders, col("o_totalprice") <= 0.0)
+      val notNull = check(
+        "documents.text not_null_nonempty",
+        Tables.load(s, d, "documents"),
+        col("text").isNull || length(col("text")) === 0)
+      fkLine.unionAll(fkCust).unionAll(uniq).unionAll(accepted)
+        .unionAll(range).unionAll(notNull)
+        .orderBy(col("contract"))
+    },
+    Some("""
+      SELECT 'lineitem.l_orderkey relationships orders' AS contract,
+             (SELECT count(*) FROM lineitem) AS n_checked,
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS n_violations
+      UNION ALL
+      SELECT 'orders.o_custkey relationships customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'orders.o_orderkey unique',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'events.event_type accepted_values',
+             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM events
+              WHERE event_type NOT IN
+                ('view', 'click', 'purchase', 'signup', 'error'))
+      UNION ALL
+      SELECT 'orders.o_totalprice positive',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      UNION ALL
+      SELECT 'documents.text not_null_nonempty',
+             (SELECT count(*) FROM documents),
+             (SELECT count(*) FROM documents
+              WHERE text IS NULL OR length(text) = 0)
+      ORDER BY contract"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q155, q162)
 }

@@ -1761,6 +1761,27 @@ class NewOperatorsSpec extends SparkSpec {
       "fixture must separate weighted from unweighted percentile")
   }
 
+  test("q162 data contracts: six checks, counts replay") {
+    val rows = graft.queries.IngestQ.q162.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("contract") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"))).toMap
+    assert(rows.size == 6)
+    val orders = Tables.load(spark, sf001, "orders")
+    val li = Tables.load(spark, sf001, "lineitem")
+    val orphans = li.join(orders,
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(rows("lineitem.l_orderkey relationships orders") ==
+      (li.count(), orphans))
+    assert(rows("orders.o_orderkey unique")._2 == 0L,
+      "fixture order keys are unique")
+    assert(rows("events.event_type accepted_values")._2 == 0L)
+    assert(rows("documents.text not_null_nonempty")._2 == 0L)
+    // checked counts are table sizes, never the sentinel of a broken join
+    rows.values.foreach { case (checked, viol) =>
+      assert(checked > 0L && viol >= 0L && viol <= checked)
+    }
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
