@@ -1378,8 +1378,61 @@ object Olap {
       FROM cum, tot
       GROUP BY w_total"""))
 
+  /** q163: RANGE-interval window frames — the ANSI frame type q49's
+    * ROWS suite leaves out, on the input where the two DIFFER: a
+    * trailing-7-calendar-day revenue window over a daily series WITH
+    * GAPS (a missing day still ages out of a RANGE frame; a ROWS frame
+    * would wrongly reach 7 observed rows back). Frame bounds run over
+    * an integer epoch-day key, so the frame arithmetic is exact both
+    * engines. Scale: the window's input is the (priority, day) ROLLUP
+    * — calendar-bounded, not corpus-bounded — so the per-priority
+    * window partition holds at most one row per day regardless of data
+    * volume; the corpus contributes one map-side-combinable aggregate.
+    * Cents stay BIGINT through frame sums; one division per row at
+    * the end. */
+  val q163 = Q(
+    "q163_range_frame",
+    (s, d) => {
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(Det.cents(col("o_totalprice"))).as("cents_day"))
+        .withColumn("day_num", unix_date(col("day")).cast(LongType))
+      val w = Window.partitionBy(col("pri")).orderBy(col("day_num"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n_7d", sum(col("n_day")).over(w))
+        .withColumn("cents_7d", sum(col("cents_day")).over(w))
+        .select(col("pri"), col("day"), col("n_day"),
+          (col("cents_day").cast(DoubleType) / lit(100.0)).as("rev_day"),
+          col("n_7d"),
+          (col("cents_7d").cast(DoubleType) / lit(100.0)).as("rev_7d"))
+        .orderBy(col("pri"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               count(*) AS n_day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents_day,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS day_num
+        FROM orders
+        GROUP BY 1, 2
+      )
+      SELECT pri, day, n_day,
+             CAST(cents_day AS DOUBLE) / 100 AS rev_day,
+             CAST(sum(n_day) OVER w AS BIGINT) AS n_7d,
+             CAST(CAST(sum(cents_day) OVER w AS BIGINT) AS DOUBLE) / 100
+               AS rev_7d
+      FROM daily
+      WINDOW w AS (PARTITION BY pri ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY pri, day"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161)
+      q158, q161, q163)
 }

@@ -1782,6 +1782,32 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q163 range frame: gaps age out, RANGE differs from ROWS") {
+    val rows = graft.queries.Olap.q163.run(spark, sf001).collect()
+      .map(r => ((r.getAs[String]("pri"),
+        r.getAs[java.sql.Date]("day").toLocalDate),
+        (r.getAs[Long]("n_day"), r.getAs[Long]("n_7d"))))
+    val byPri = rows.groupBy(_._1._1)
+    var rangeBeatsRows = false
+    byPri.values.foreach { series =>
+      val sorted = series.sortBy(_._1._2.toEpochDay)
+      sorted.zipWithIndex.foreach { case (((_, day), (_, n7)), i) =>
+        // RANGE semantics: exactly the days within [day-6, day]
+        val want = sorted.slice(0, i + 1)
+          .filter { case ((_, d2), _) =>
+            d2.toEpochDay >= day.toEpochDay - 6 }
+          .map(_._2._1).sum
+        assert(n7 == want, s"frame drift at $day")
+        // a ROWS 6-PRECEDING frame would have summed the last ≤7 rows
+        val rowsFrame = sorted.slice(math.max(0, i - 6), i + 1)
+          .map(_._2._1).sum
+        if (rowsFrame != want) rangeBeatsRows = true
+      }
+    }
+    assert(rangeBeatsRows,
+      "fixture needs calendar gaps so RANGE and ROWS frames disagree")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
