@@ -166,5 +166,94 @@ object Skew {
         skewProfileSql("lineitem", "l_partkey", "lineitem.l_partkey") +
         "\n      ORDER BY key"))
 
-  val all: Seq[Q] = Seq(q36, q159)
+  /** q164: sketch-based join-cardinality estimation — the planner
+    * statistic that prices a join WITHOUT running it: |A ⋈_k B| =
+    * Σ_k f_A(k)·f_B(k), estimated by the inner product of the two
+    * sides' count-min rows (AMS/CMS inner-product estimator, Cormode &
+    * Muthukrishnan J.Alg'05 §4.2) — est_d = Σ_b cmsA[d][b]·cmsB[d][b],
+    * upper-bounded min over the 4 rows. Pairs with [[keySkewProfile]]
+    * (q159) as the pre-flight join toolkit: cardinality from KB-sized
+    * mergeable state, skew from the rank profile. The q69/q122 md5
+    * bucket convention makes every cell — and therefore the estimate —
+    * bit-exact cross-engine; the true cardinality ships alongside so
+    * the report carries its own error. Scale: each side folds to a
+    * 4×256 matrix (per-key counts first, then bucket sums); the inner
+    * product joins two 1024-row frames; only the ground-truth column
+    * touches the actual join. */
+  val q164 = Q(
+    "q164_join_cardinality",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import graft.queries.Q
+      val dArr = "array(0, 1, 2, 3)"
+      val bucketExpr =
+        "(instr('0123456789abcdef', " +
+          "substring(md5(concat(d, ':', k)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', " +
+          "substring(md5(concat(d, ':', k)), 2, 1)) - 1)"
+      def cms(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+        df.select(col(keyCol).cast(LongType).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("f"))
+          .select(col("k"), col("f"), explode(expr(dArr)).as("d"))
+          .withColumn("b", expr(bucketExpr))
+          .groupBy(col("d"), col("b"))
+          .agg(sum(col("f")).as("cnt"))
+      val ev = Tables.load(s, d, "events")
+      val ord = Tables.load(s, d, "orders")
+      val est = cms(ev, "user_id").withColumnRenamed("cnt", "ca")
+        .join(cms(ord, "o_custkey").withColumnRenamed("cnt", "cb"),
+          Seq("d", "b"))
+        .groupBy(col("d"))
+        .agg(sum(col("ca") * col("cb")).as("est_d"))
+        .agg(min(col("est_d")).as("cms_est"))
+      val exact = ev.select(col("user_id"))
+        .join(ord.select(col("o_custkey")),
+          col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_exact"), col("cms_est"),
+          ((col("cms_est") - col("n_exact")).cast(DoubleType)
+            / col("n_exact").cast(DoubleType)).as("rel_overestimate"))
+    },
+    Some("""
+      WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+      fa AS (
+        SELECT user_id AS k, count(*) AS f FROM events GROUP BY 1
+      ), fb AS (
+        SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY 1
+      ), ca AS (
+        SELECT d,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':'
+                         || CAST(k AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':'
+                         || CAST(k AS VARCHAR)), 2, 1)) - 1) AS b,
+               CAST(sum(f) AS BIGINT) AS cnt
+        FROM fa CROSS JOIN ds GROUP BY 1, 2
+      ), cb AS (
+        SELECT d,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':'
+                         || CAST(k AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(d AS VARCHAR) || ':'
+                         || CAST(k AS VARCHAR)), 2, 1)) - 1) AS b,
+               CAST(sum(f) AS BIGINT) AS cnt
+        FROM fb CROSS JOIN ds GROUP BY 1, 2
+      ), est AS (
+        SELECT CAST(min(est_d) AS BIGINT) AS cms_est FROM (
+          SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS est_d
+          FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+          GROUP BY 1)
+      ), exact AS (
+        SELECT count(*) AS n_exact
+        FROM events JOIN orders ON user_id = o_custkey
+      )
+      SELECT n_exact, cms_est,
+             CAST(cms_est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE)
+               AS rel_overestimate
+      FROM exact, est"""))
+
+  val all: Seq[Q] = Seq(q36, q159, q164)
 }

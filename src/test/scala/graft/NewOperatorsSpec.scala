@@ -1808,6 +1808,39 @@ class NewOperatorsSpec extends SparkSpec {
       "fixture needs calendar gaps so RANGE and ROWS frames disagree")
   }
 
+  test("q164 join cardinality: estimator bounds and driver replay") {
+    val r = graft.operators.Skew.q164.run(spark, sf001).collect().head
+    val fa = Tables.load(spark, sf001, "events")
+      .groupBy(col("user_id")).count().collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("count"))).toMap
+    val fb = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(x => (x.getAs[Number]("o_custkey").longValue(),
+        x.getAs[Long]("count"))).toMap
+    val exact = fa.keys.filter(fb.contains)
+      .map(k => fa(k) * fb(k)).sum
+    assert(r.getAs[Long]("n_exact") == exact)
+    // CMS inner product NEVER under-estimates: hash collisions only add
+    assert(r.getAs[Long]("cms_est") >= exact)
+    assert(r.getAs[Double]("rel_overestimate") >= 0.0)
+    assert(exact > 0L, "join must be non-empty for the error to mean much")
+    // replay the d=0 row of the estimator with the same md5 buckets
+    def bucket(d: Int, k: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h(0)) * 16 +
+        "0123456789abcdef".indexOf(h(1))
+    }
+    def cells(f: Map[Long, Long]): Map[Int, Long] =
+      f.toSeq.groupBy { case (k, _) => bucket(0, k) }
+        .view.mapValues(_.map(_._2).sum).toMap
+    val (ca, cb) = (cells(fa), cells(fb))
+    val est0 = ca.keys.filter(cb.contains).map(b => ca(b) * cb(b)).sum
+    assert(r.getAs[Long]("cms_est") <= est0,
+      "min over rows must not exceed the replayed d=0 row")
+  }
+
   test("q97 schema evolution: old rows null-fill, batches both present") {
     val rows = graft.sources.IngestJob.q97.run(spark, sf001).collect()
     val docs = Tables.load(spark, sf001, "documents")
