@@ -106,24 +106,42 @@ object IngestQ {
     * window; deletes drop after the reduce. Output is the per-status
     * reconciliation (row counts by winning seq + exact-cents total) a
     * CDC pipeline publishes after each apply. */
+  /** Deterministic CDC log synthesized from orders (shared by q155 apply
+    * and q165 SCD2 history): snapshot inserts at seq 0, update waves at
+    * seq 1 (k%7) and 2 (k%21), delete tombstones at seq 3 (k%13) — so
+    * double-update and update-then-delete collisions all occur. */
+  private def cdcLog(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = Tables.load(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        Det.cents(col("o_totalprice")).as("c"))
+    val snap = base.select(col("k"), col("st"), col("c"),
+      lit(0L).as("seq"), lit("I").as("op"))
+    val u1 = base.filter(col("k") % 7 === 0)
+      .select(col("k"), col("st"), (col("c") + 1000L).as("c"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val u2 = base.filter(col("k") % 21 === 0)
+      .select(col("k"), col("st"), (col("c") + 2000L).as("c"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = base.filter(col("k") % 13 === 0)
+      .select(col("k"), col("st"), col("c"),
+        lit(3L).as("seq"), lit("D").as("op"))
+    snap.unionAll(u1).unionAll(u2).unionAll(del)
+  }
+
+  /** The CDC log's WHERE classes as oracle-SQL text (q155/q165 share it). */
+  private val cdcLogSql = """
+        SELECT k, st, c, CAST(0 AS BIGINT) AS seq, 'I' AS op FROM base
+        UNION ALL
+        SELECT k, st, c + 1000, 1, 'U' FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT k, st, c + 2000, 2, 'U' FROM base WHERE k % 21 = 0
+        UNION ALL
+        SELECT k, st, c, 3, 'D' FROM base WHERE k % 13 = 0"""
+
   val q155 = Q(
     "q155_cdc_apply",
     (s, d) => {
-      val base = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
-          Det.cents(col("o_totalprice")).as("c"))
-      val snap = base.select(col("k"), col("st"), col("c"),
-        lit(0L).as("seq"), lit("I").as("op"))
-      val u1 = base.filter(col("k") % 7 === 0)
-        .select(col("k"), col("st"), (col("c") + 1000L).as("c"),
-          lit(1L).as("seq"), lit("U").as("op"))
-      val u2 = base.filter(col("k") % 21 === 0)
-        .select(col("k"), col("st"), (col("c") + 2000L).as("c"),
-          lit(2L).as("seq"), lit("U").as("op"))
-      val del = base.filter(col("k") % 13 === 0)
-        .select(col("k"), col("st"), col("c"),
-          lit(3L).as("seq"), lit("D").as("op"))
-      val applied = snap.unionAll(u1).unionAll(u2).unionAll(del)
+      val applied = cdcLog(s, d)
         .groupBy(col("k"))
         .agg(
           max_by(col("st"), col("seq")).as("st"),
@@ -140,19 +158,12 @@ object IngestQ {
           (sum(col("c")).cast(DoubleType) / lit(100.0)).as("sum_value"))
         .orderBy(col("st"))
     },
-    Some("""
+    Some(s"""
       WITH base AS (
         SELECT o_orderkey AS k, o_orderstatus AS st,
                CAST(round(o_totalprice * 100) AS BIGINT) AS c
         FROM orders
-      ), log AS (
-        SELECT k, st, c, CAST(0 AS BIGINT) AS seq, 'I' AS op FROM base
-        UNION ALL
-        SELECT k, st, c + 1000, 1, 'U' FROM base WHERE k % 7 = 0
-        UNION ALL
-        SELECT k, st, c + 2000, 2, 'U' FROM base WHERE k % 21 = 0
-        UNION ALL
-        SELECT k, st, c, 3, 'D' FROM base WHERE k % 13 = 0
+      ), log AS ($cdcLogSql
       ), applied AS (
         SELECT k, arg_max(st, seq) AS st, arg_max(c, seq) AS c,
                arg_max(op, seq) AS op, max(seq) AS seq
@@ -167,6 +178,65 @@ object IngestQ {
       WHERE op <> 'D'
       GROUP BY st
       ORDER BY st"""))
+
+  /** q165: SCD2 dimension build — turn the q155 CDC log into a
+    * slowly-changing-dimension TYPE-2 history table (Kimball SCD2: one
+    * row per VERSION with a [valid_from, valid_to) interval, open
+    * valid_to = current), the other half of the lakehouse CDC story:
+    * q155 keeps only the latest state, q165 keeps every state with its
+    * validity interval so point-in-time joins can ask "what did key k
+    * look like at seq t". Build = one `lead(seq) OVER (PARTITION BY k
+    * ORDER BY seq)` to close each version with its successor's start
+    * (a DELETE closes the prior version but emits no version itself).
+    * Per-key window partitions are bounded by the ops-per-key (≤4
+    * here; update frequency generally), so no skewed window exists.
+    * Output is the version census a dimension publisher reports:
+    * per (version_seq, closed_by) counts + exact-cents totals, where
+    * closed_by ∈ OPEN (current) / UPDATE / DELETE. The spec asserts
+    * the SCD2 invariants (exactly one OPEN version per live key;
+    * OPEN census == q155's applied state). */
+  val q165 = Q(
+    "q165_scd2_history",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+      val versions = cdcLog(s, d)
+        .withColumn("next_seq", lead(col("seq"), 1).over(w))
+        .withColumn("next_op", lead(col("op"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .withColumn("closed_by",
+          when(col("next_seq").isNull, lit("OPEN"))
+            .when(col("next_op") === "D", lit("DELETE"))
+            .otherwise(lit("UPDATE")))
+      versions.groupBy(col("seq").as("version_seq"), col("closed_by"))
+        .agg(
+          count(lit(1)).as("n_versions"),
+          (sum(col("c")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("version_seq"), col("closed_by"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+      ), log AS ($cdcLogSql
+      ), hist AS (
+        SELECT k, c, seq, op,
+               lead(seq) OVER (PARTITION BY k ORDER BY seq) AS next_seq,
+               lead(op)  OVER (PARTITION BY k ORDER BY seq) AS next_op
+        FROM log
+      ), versions AS (
+        SELECT k, c, seq,
+               CASE WHEN next_seq IS NULL THEN 'OPEN'
+                    WHEN next_op = 'D' THEN 'DELETE'
+                    ELSE 'UPDATE' END AS closed_by
+        FROM hist WHERE op <> 'D'
+      )
+      SELECT seq AS version_seq, closed_by, count(*) AS n_versions,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM versions
+      GROUP BY 1, 2
+      ORDER BY version_seq, closed_by"""))
 
   /** q162: declarative data-contract validation — the dbt-style test
     * suite (not_null / unique / accepted_values / relationships /
@@ -263,5 +333,5 @@ object IngestQ {
               WHERE text IS NULL OR length(text) = 0)
       ORDER BY contract"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155, q162)
+  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165)
 }

@@ -8,6 +8,7 @@ object Registry {
       graft.sources.IngestJob.all ++ graft.sources.JdbcRemote.all ++
       graft.streaming.EventStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
+      graft.operators.Bitmap.all ++
       graft.operators.AsOf.all ++ graft.operators.Kmeans.all ++
       graft.operators.FrequentItems.all
 

@@ -1850,4 +1850,59 @@ class NewOperatorsSpec extends SparkSpec {
       "every v1-batch row must surface a NULL quality after the merge")
     assert(pre > 0 && rows.map(_.getAs[Long]("n_docs")).sum > pre)
   }
+
+  test("q165 scd2: one OPEN version per live key, census matches q155") {
+    val rows = graft.queries.IngestQ.q165.run(spark, sf001).collect()
+    val keys = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    // SCD2 invariant: exactly one OPEN (current) version per live key,
+    // zero for tombstoned keys — so ΣOPEN == q155's surviving-state size
+    val live = keys.count(_ % 13 != 0).toLong
+    val open = rows.filter(_.getAs[String]("closed_by") == "OPEN")
+    assert(open.map(_.getAs[Long]("n_versions")).sum == live,
+      "OPEN version census must equal the CDC-applied live state")
+    // every version row came from an I/U op: total versions == |log| - |D|
+    val dels = keys.count(_ % 13 == 0).toLong
+    val logSize = keys.length + keys.count(_ % 7 == 0) +
+      keys.count(_ % 21 == 0) + dels
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == logSize - dels,
+      "each non-delete op creates exactly one version")
+    // closure attribution: a key's version can only be closed by a
+    // LATER op; seq-0 versions closed by DELETE are exactly the keys
+    // whose first follow-up is the tombstone (k%13, not k%7)
+    val delClosed0 = rows.find(r => r.getAs[Long]("version_seq") == 0L &&
+      r.getAs[String]("closed_by") == "DELETE")
+      .map(_.getAs[Long]("n_versions")).getOrElse(0L)
+    assert(delClosed0 == keys.count(k => k % 13 == 0 && k % 7 != 0).toLong)
+    // both closure causes and the OPEN arm must all fire in the fixture
+    assert(rows.map(_.getAs[String]("closed_by")).distinct.toSet ==
+      Set("OPEN", "UPDATE", "DELETE"))
+  }
+
+  test("q166 bitmap rollup: exact vs direct distinct, merge law holds") {
+    val rows = graft.operators.Bitmap.q166.run(spark, sf001).collect()
+    // differential: packed-bitmap weekly uniques == direct countDistinct
+    val direct = Tables.load(spark, sf001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .withColumn("wk", expr("datediff(day, DATE'1970-01-01') div 7"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("wk")) -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty && rows.length == direct.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("wk"))
+      assert(r.getAs[Long]("n_week_exact") == direct(k),
+        s"bitmap distinct diverges from direct count at $k")
+      // merge law: weekly uniques never exceed the sum of daily uniques
+      assert(r.getAs[Long]("n_week_exact") <= r.getAs[Long]("n_daily_sum"))
+      assert(r.getAs[Double]("revisit_ratio") >= 1.0)
+    }
+    // the fixture must actually exercise revisits (else the rollup is
+    // indistinguishable from the naive sum)
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_week_exact") < r.getAs[Long]("n_daily_sum")))
+  }
 }
