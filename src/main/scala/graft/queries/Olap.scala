@@ -1431,8 +1431,113 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q167: triangle counting + global clustering coefficient over the
+    * part co-purchase graph (nodes = parts, undirected edge = the pair
+    * was co-ordered in ≥2 baskets — q144's affinity graph viewed as a
+    * graph, not a list). Triangles are the graph-analytics primitive
+    * behind community tightness / link spam / recommender diversity,
+    * and the textbook case where the NAIVE plan (three-way edge
+    * self-join) explodes: a hub of degree d contributes d² wedge
+    * candidates. The scale path is DEGREE-ORDERED ORIENTATION
+    * (Schank & Wagner 2005; Suri & Vassilvitskii WWW'11): orient every
+    * edge from its (degree, id)-smaller endpoint to the larger, so
+    * each triangle is counted exactly once from its minimum-rank
+    * vertex and every wedge list is bounded by O(√|E|) (arboricity),
+    * hubs included — the MapReduce-era fix that survives at crawl
+    * scale. Wedge→closing-edge check is one equi-join on the (lo, hi)
+    * pair. The ORACLE runs the naive undirected triple join, so
+    * agreement proves the oriented rewrite counts the same triangles.
+    * Composite rank = deg·10¹² + id packs the (deg, id) total order
+    * into one BIGINT join column (exact while ids < 10¹² and deg <
+    * 9·10⁶ — true for any part catalog; beyond that, use a struct
+    * ordering). Census output: nodes/edges/wedges/triangles + the
+    * global clustering coefficient 3T/wedges (exact BIGINTs, one IEEE
+    * division). */
+  val q167 = Q(
+    "q167_triangle_count",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persistTracked()
+      // undirected edges a<b from bounded per-basket explode (q144 shape)
+      val edges = op.groupBy(col("l_orderkey"))
+        .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("a"), col("b"))
+        .persistTracked()
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        .persistTracked()
+      val rk = (col("dg") * lit(1000000000000L) + col("v")).as("rk")
+      val degA = graft.operators.Hints.autoBroadcast(
+        deg.select(col("v").as("a"), rk.as("rka")))
+      val degB = graft.operators.Hints.autoBroadcast(
+        deg.select(col("v").as("b"), rk.as("rkb")))
+      // orient: lo = smaller (deg, id), hi = larger — acyclic total order
+      val oriented = edges.join(degA, Seq("a")).join(degB, Seq("b"))
+        .select(
+          when(col("rka") < col("rkb"), col("a")).otherwise(col("b"))
+            .as("lo"),
+          when(col("rka") < col("rkb"), col("b")).otherwise(col("a"))
+            .as("hi"),
+          when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka"))
+            .as("rkhi"))
+        .persistTracked()
+      // wedges from the min-rank vertex; closing edge looked up oriented
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.rkhi") < col("e2.rkhi"))
+        .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
+      val nTri = wedges.join(oriented.select(col("lo"), col("hi")),
+          Seq("lo", "hi"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val census = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(dg) div 2").as("n_edges"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      census.crossJoin(broadcast(nTri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (col("n_triangles").cast(DoubleType) * lit(3.0)
+            / col("n_wedges").cast(DoubleType)).as("clustering"))
+    },
+    Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM op x JOIN op y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), deg AS (
+        SELECT v, count(*) AS dg
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1
+      ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      )
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+             n_triangles,
+             CAST(n_triangles AS DOUBLE) * 3.0
+               / CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS DOUBLE)
+               AS clustering
+      FROM tri"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163)
+      q158, q161, q163, q167)
 }

@@ -1879,6 +1879,38 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q167 triangles: driver naive replay, census identities hold") {
+    val row = graft.queries.Olap.q167.run(spark, sf001).collect().head
+    val (nodes, nEdges, wedges, tri) = (row.getAs[Long]("n_nodes"),
+      row.getAs[Long]("n_edges"), row.getAs[Long]("n_wedges"),
+      row.getAs[Long]("n_triangles"))
+    // driver replay: naive triangle count over the same edge set
+    val op = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = op.as("x").join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .count().filter(col("count") >= 2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val eset = edges.toSet
+    val naive = (for {
+      (a, b) <- edges
+      (b2, c) <- edges if b2 == b && eset.contains((a, c))
+    } yield 1).size.toLong
+    assert(tri == naive, "oriented count must equal the naive count")
+    assert(tri > 0L, "fixture graph must contain triangles")
+    // handshake + wedge identities over the same degree sequence
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(nodes == deg.size.toLong && nEdges == edges.length.toLong)
+    assert(wedges == deg.map(d => d * (d - 1) / 2).sum)
+    assert(3 * tri <= wedges, "closed wedges are a subset of all wedges")
+    val clustering = row.getAs[Double]("clustering")
+    assert(clustering > 0.0 && clustering <= 1.0)
+  }
+
   test("q166 bitmap rollup: exact vs direct distinct, merge law holds") {
     val rows = graft.operators.Bitmap.q166.run(spark, sf001).collect()
     // differential: packed-bitmap weekly uniques == direct countDistinct
