@@ -1431,6 +1431,94 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q168: CUSUM change-point detection over the monthly revenue series
+    * (Page 1954 — the SPC control chart beside q134's rolling z-score:
+    * z-scores catch single-point spikes, CUSUM accumulates SMALL
+    * persistent drifts until the cumulative deviation crosses a
+    * threshold, which is how pipeline-health monitors catch slow data
+    * rot). Everything stays in EXACT BIGINT by scaling: dev_i =
+    * m·c_i − T (m = #months, T = Σc, so Σdev ≡ 0 and "mean-centered"
+    * needs no division); S⁺ = max(0, S⁺+dev), S⁻ = max(0, S⁻−dev);
+    * threshold h = 4·(Σ|dev| div m) — integer floor-div, non-negative
+    * operands, so Spark div ≡ DuckDB //. The recurrences fold in month
+    * order over one bounded array (80 months at any SF — calendar-,
+    * not row-sized), zero-seeded on BOTH engines by prepending 0 to
+    * the DuckDB fold list (list_reduce seeds from the first element;
+    * Spark aggregate seeds explicitly — the q153 convention). Scale:
+    * the unbounded work (monthly rollup) is one shuffle; the fold is
+    * O(months²) on a calendar-bounded array in a single task. */
+  val q168 = Q(
+    "q168_cusum_changepoint",
+    (s, d) => {
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("mon"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      monthly
+        .agg(expr("sort_array(collect_list(struct(mon, c)))").as("arr"))
+        .withColumn("m", expr("CAST(size(arr) AS BIGINT)"))
+        .withColumn("t", expr(
+          "aggregate(arr, CAST(0 AS BIGINT), (acc, e) -> acc + e.c)"))
+        .withColumn("h", expr(
+          """4 * (aggregate(arr, CAST(0 AS BIGINT),
+               (acc, e) -> acc + abs(m * e.c - t)) div m)"""))
+        .select(col("m"), col("t"), col("h"), expr(
+          """explode(transform(sequence(1, CAST(m AS INT)), i -> struct(
+               element_at(arr, i).mon AS mon,
+               element_at(arr, i).c AS c,
+               m * element_at(arr, i).c - t AS dev,
+               aggregate(slice(arr, 1, i), CAST(0 AS BIGINT),
+                 (acc, e) -> greatest(CAST(0 AS BIGINT),
+                   acc + (m * e.c - t))) AS s_pos,
+               aggregate(slice(arr, 1, i), CAST(0 AS BIGINT),
+                 (acc, e) -> greatest(CAST(0 AS BIGINT),
+                   acc - (m * e.c - t))) AS s_neg)))""").as("r"))
+        .select(col("r.mon").as("mon"),
+          (col("r.c").cast(DoubleType) / lit(100.0)).as("rev_month"),
+          col("r.dev").as("dev"), col("r.s_pos").as("s_pos"),
+          col("r.s_neg").as("s_neg"),
+          (col("r.s_pos") > col("h") || col("r.s_neg") > col("h"))
+            .as("drift_flag"))
+        .orderBy(col("mon"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      ), series AS (
+        SELECT list(mon ORDER BY mon) AS mons,
+               list(c ORDER BY mon) AS cs
+        FROM monthly
+      ), consts AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(c) AS BIGINT) AS t
+        FROM monthly
+      ), thresh AS (
+        SELECT 4 * (CAST(sum(abs(m * c - t)) AS BIGINT) // any_value(m))
+          AS h
+        FROM monthly, consts
+      )
+      SELECT mons[i] AS mon,
+             CAST(cs[i] AS DOUBLE) / 100 AS rev_month,
+             m * cs[i] - t AS dev,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+               (acc, v) -> greatest(CAST(0 AS BIGINT), acc + (m * v - t)))
+               AS BIGINT) AS s_pos,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+               (acc, v) -> greatest(CAST(0 AS BIGINT), acc - (m * v - t)))
+               AS BIGINT) AS s_neg,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+               (acc, v) -> greatest(CAST(0 AS BIGINT), acc + (m * v - t)))
+                > h
+              OR
+              list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+               (acc, v) -> greatest(CAST(0 AS BIGINT), acc - (m * v - t)))
+                > h) AS drift_flag
+      FROM series, consts, thresh, unnest(range(1, len(cs) + 1)) AS u(i)
+      ORDER BY mon"""))
+
   /** q167: triangle counting + global clustering coefficient over the
     * part co-purchase graph (nodes = parts, undirected edge = the pair
     * was co-ordered in ≥2 baskets — q144's affinity graph viewed as a
@@ -1539,5 +1627,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167)
+      q158, q161, q163, q167, q168)
 }

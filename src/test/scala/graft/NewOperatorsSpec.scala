@@ -1879,6 +1879,33 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q168 cusum: driver recurrence replay, zero-sum deviations") {
+    val rows = graft.queries.Olap.q168.run(spark, sf001).collect()
+    val m = rows.length.toLong
+    val cents = rows.map(r =>
+      math.round(r.getAs[Double]("rev_month") * 100))
+    val t = cents.sum
+    // centered-scaled deviations must sum to zero exactly
+    assert(rows.map(_.getAs[Long]("dev")).sum == 0L)
+    // replay the integer recurrences in month order
+    var (sp, sn) = (0L, 0L)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val dev = m * cents(i) - t
+      assert(r.getAs[Long]("dev") == dev)
+      sp = math.max(0L, sp + dev)
+      sn = math.max(0L, sn - dev)
+      assert(r.getAs[Long]("s_pos") == sp, s"s_pos diverges at month $i")
+      assert(r.getAs[Long]("s_neg") == sn, s"s_neg diverges at month $i")
+    }
+    val h = 4L * (cents.map(c => math.abs(m * c - t)).sum / m)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("drift_flag") ==
+        (r.getAs[Long]("s_pos") > h || r.getAs[Long]("s_neg") > h))
+    }
+    // the series is calendar-bounded, not row-bounded
+    assert(m <= 80L, "monthly array must stay calendar-sized")
+  }
+
   test("q167 triangles: driver naive replay, census identities hold") {
     val row = graft.queries.Olap.q167.run(spark, sf001).collect().head
     val (nodes, nEdges, wedges, tri) = (row.getAs[Long]("n_nodes"),
