@@ -1431,6 +1431,102 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q169: Kaplan-Meier survival curve over customer purchase lifetimes
+    * (Kaplan & Meier 1958 — the censoring-aware churn statistic beside
+    * q109's cohort grid: a customer whose last order sits near the end
+    * of the observation window hasn't churned, they're CENSORED, and
+    * counting them as churned biases every retention number down).
+    * Lifetime = WEEKS between a customer's first and last order
+    * (weekly grain keeps the curve calendar-bounded: ≤ span/7 ≈ 343
+    * points at any SF); censored if the last order falls within 90
+    * days of the corpus end. Estimator: at each observed lifetime t_i
+    * (ascending), n_i = customers with lifetime ≥ t_i (at risk —
+    * censored-at-t_i included, the deaths-before-censors convention),
+    * d_i = churned customers with lifetime exactly t_i, S(t_i) =
+    * Π_{j≤i}(1−d_j/n_j). Cross-engine doubles: each factor is ONE IEEE
+    * division of exact BIGINTs, the factor list is materialized in
+    * t-order, and the cumulative product folds sequentially with an
+    * explicit 1.0 seed on BOTH engines (×1.0 is IEEE-exact, so
+    * DuckDB's seed-from-first list_reduce matches Spark's seeded
+    * aggregate — the q153/q168 fold convention). Scale: the unbounded
+    * work is one per-customer min/max aggregate; the curve itself is
+    * an O(m²) nested fold on a calendar-sized array in one task. */
+  val q169 = Q(
+    "q169_km_survival",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      val span = o.agg(max(col("day")).as("dmax"))
+      val users = o.groupBy(col("o_custkey"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("dl"))
+        .crossJoin(broadcast(span))
+        .select(
+          expr("CAST(datediff(dl, d0) div 7 AS BIGINT)").as("t"),
+          (datediff(col("dmax"), col("dl")) <= 90).as("censored"))
+      users.groupBy(col("t"))
+        .agg(count(lit(1)).as("a"),
+          sum(when(!col("censored"), 1L).otherwise(0L)).as("dd"))
+        .agg(expr("sort_array(collect_list(struct(t, a, dd)))").as("arr"),
+          sum(col("a")).as("n"))
+        .withColumn("m", expr("CAST(size(arr) AS INT)"))
+        .withColumn("fs", expr(
+          """transform(sequence(1, m), j ->
+               CAST(n - aggregate(slice(arr, 1, j - 1), CAST(0 AS BIGINT),
+                      (x, e) -> x + e.a) - element_at(arr, j).dd AS DOUBLE)
+               / CAST(n - aggregate(slice(arr, 1, j - 1), CAST(0 AS BIGINT),
+                        (x, e) -> x + e.a) AS DOUBLE))"""))
+        .select(expr(
+          """explode(transform(sequence(1, m), i -> struct(
+               element_at(arr, i).t AS t_weeks,
+               n - aggregate(slice(arr, 1, i - 1), CAST(0 AS BIGINT),
+                     (x, e) -> x + e.a) AS n_risk,
+               element_at(arr, i).dd AS n_events,
+               element_at(arr, i).a - element_at(arr, i).dd AS n_censored,
+               aggregate(slice(fs, 1, i), CAST(1.0 AS DOUBLE),
+                 (x, y) -> x * y) AS survival)))""").as("r"))
+        .select(col("r.t_weeks").as("t_weeks"), col("r.n_risk").as("n_risk"),
+          col("r.n_events").as("n_events"),
+          col("r.n_censored").as("n_censored"),
+          col("r.survival").as("survival"))
+        .orderBy(col("t_weeks"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+      ), span AS (
+        SELECT max(day) AS dmax FROM o
+      ), users AS (
+        SELECT CAST(date_diff('day', min(day), max(day)) // 7 AS BIGINT)
+                 AS t,
+               (date_diff('day', max(day), (SELECT dmax FROM span)) <= 90)
+                 AS censored
+        FROM o GROUP BY o_custkey
+      ), pert AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS a,
+               CAST(count(*) FILTER (NOT censored) AS BIGINT) AS dd
+        FROM users GROUP BY 1
+      ), series AS (
+        SELECT list(t ORDER BY t) AS ts_, list(a ORDER BY t) AS as_,
+               list(dd ORDER BY t) AS ds_, CAST(sum(a) AS BIGINT) AS n
+        FROM pert
+      ), facs AS (
+        SELECT *, list_transform(range(1, len(ts_) + 1), j ->
+          CAST(n - list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 as_[1:j-1]), (x, y) -> x + y) - ds_[j] AS DOUBLE)
+          / CAST(n - list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   as_[1:j-1]), (x, y) -> x + y) AS DOUBLE)) AS fs
+        FROM series
+      )
+      SELECT ts_[i] AS t_weeks,
+             n - list_reduce(list_prepend(CAST(0 AS BIGINT), as_[1:i-1]),
+                   (x, y) -> x + y) AS n_risk,
+             ds_[i] AS n_events,
+             as_[i] - ds_[i] AS n_censored,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs[1:i]),
+               (x, y) -> x * y) AS survival
+      FROM facs, unnest(range(1, len(ts_) + 1)) AS u(i)
+      ORDER BY t_weeks"""))
+
   /** q168: CUSUM change-point detection over the monthly revenue series
     * (Page 1954 — the SPC control chart beside q134's rolling z-score:
     * z-scores catch single-point spikes, CUSUM accumulates SMALL
@@ -1627,5 +1723,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168)
+      q158, q161, q163, q167, q168, q169)
 }

@@ -1879,6 +1879,32 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q169 km survival: driver estimator replay, censoring is real") {
+    val rows = graft.queries.Olap.q169.run(spark, sf001).collect()
+    val nCust = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey")).distinct().count()
+    // risk set telescopes: starts at the population, drops by a_i each step
+    assert(rows.head.getAs[Long]("n_risk") == nCust)
+    var surv = 1.0
+    var risk = nCust
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risk") == risk, "risk set must telescope")
+      val d = r.getAs[Long]("n_events")
+      surv *= (risk - d).toDouble / risk.toDouble
+      assert(r.getAs[Double]("survival") == surv,
+        s"KM product diverges at t=${r.getAs[Long]("t_weeks")}")
+      risk -= d + r.getAs[Long]("n_censored")
+    }
+    // monotone non-increasing, strictly positive (censored tail remains)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival"))
+    case _ => }
+    // both churn and censoring arms must fire, curve must actually drop
+    assert(rows.map(_.getAs[Long]("n_events")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("n_censored")).sum > 0L)
+    assert(rows.last.getAs[Double]("survival") < 0.9)
+  }
+
   test("q168 cusum: driver recurrence replay, zero-sum deviations") {
     val rows = graft.queries.Olap.q168.run(spark, sf001).collect()
     val m = rows.length.toLong
