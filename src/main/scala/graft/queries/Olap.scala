@@ -1431,6 +1431,133 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q170: two-feature multiple linear regression via Cramer's rule —
+    * q113's closed-form OLS generalized to ŷ = b0 + b1·x1 + b2·x2
+    * (ClickHouse's stochasticLinearRegression territory, solved exactly:
+    * with 2 features the normal equations are a 2×2 system on CENTERED
+    * second moments, and Cramer's rule is two determinant ratios — no
+    * iteration, one scan). Numeric discipline: raw moments (Σx, Σx²,
+    * Σxy …) are exact BIGINT sums of bounded products; centered moments
+    * S_ab = n·Σab − Σa·Σb and the determinant products widen to
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact 128-bit-class
+    * integer arithmetic, both correctly rounded on the final cast to
+    * double, so b1/b2 are each ONE IEEE division of identical operands
+    * (the q159 widening convention). y is floor-dollars (cents div 100)
+    * to keep determinant magnitudes under 10³⁸ through sf1.0 — beyond
+    * that, center on sampled means before accumulating. Fit quality
+    * r² = (b1·Sx1y + b2·Sx2y)/Syy from the same moments. The fixture's
+    * lineitem columns are mutually uncorrelated by construction
+    * (corr ≈ 0.003), so the honest fit is r² ≈ 5·10⁻⁵ — the regression
+    * correctly reports "no linear structure", the q158-Benford brand of
+    * fixture honesty. Scale: ONE map-side-combinable aggregate over the
+    * fact table; everything after is arithmetic on a 1-row frame. */
+  val q170 = Q(
+    "q170_ols_cramer",
+    (s, d) => {
+      val dec = DecimalType(38, 0)
+      def D(c: org.apache.spark.sql.Column) = c.cast(dec)
+      val li = Tables.load(s, d, "lineitem").select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+          .as("y"))
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("x1") * col("x2")).as("sx1x2"),
+        sum(col("x2") * col("x2")).as("sx2x2"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(
+          col("n"),
+          (D(col("n")) * D(col("sx1x1")) - D(col("sx1")) * D(col("sx1")))
+            .as("S11"),
+          (D(col("n")) * D(col("sx1x2")) - D(col("sx1")) * D(col("sx2")))
+            .as("S12"),
+          (D(col("n")) * D(col("sx2x2")) - D(col("sx2")) * D(col("sx2")))
+            .as("S22"),
+          (D(col("n")) * D(col("sx1y")) - D(col("sx1")) * D(col("sy")))
+            .as("S1y"),
+          (D(col("n")) * D(col("sx2y")) - D(col("sx2")) * D(col("sy")))
+            .as("S2y"),
+          (D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))
+            .as("Syy"),
+          col("sx1"), col("sx2"), col("sy"))
+        .select(
+          col("n"),
+          ((D(col("S1y")) * D(col("S22")) - D(col("S2y")) * D(col("S12")))
+            .cast(DoubleType)
+            / (D(col("S11")) * D(col("S22")) - D(col("S12")) * D(col("S12")))
+              .cast(DoubleType)).as("b1"),
+          ((D(col("S2y")) * D(col("S11")) - D(col("S1y")) * D(col("S12")))
+            .cast(DoubleType)
+            / (D(col("S11")) * D(col("S22")) - D(col("S12")) * D(col("S12")))
+              .cast(DoubleType)).as("b2"),
+          col("S1y"), col("S2y"), col("Syy"),
+          col("sx1"), col("sx2"), col("sy"))
+        .select(
+          col("n"),
+          ((col("sy").cast(DoubleType)
+            - col("b1") * col("sx1").cast(DoubleType)
+            - col("b2") * col("sx2").cast(DoubleType))
+            / col("n").cast(DoubleType)).as("b0"),
+          col("b1"), col("b2"),
+          ((col("b1") * col("S1y").cast(DoubleType)
+            + col("b2") * col("S2y").cast(DoubleType))
+            / col("Syy").cast(DoubleType)).as("r2"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+        FROM lineitem
+      ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1,
+               CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+               CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+               CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+               CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+               CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM li
+      ), c AS (
+        SELECT n, sx1, sx2, sy,
+               CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1
+                 AS S11,
+               CAST(n AS HUGEINT) * sx1x2 - CAST(sx1 AS HUGEINT) * sx2
+                 AS S12,
+               CAST(n AS HUGEINT) * sx2x2 - CAST(sx2 AS HUGEINT) * sx2
+                 AS S22,
+               CAST(n AS HUGEINT) * sx1y - CAST(sx1 AS HUGEINT) * sy
+                 AS S1y,
+               CAST(n AS HUGEINT) * sx2y - CAST(sx2 AS HUGEINT) * sy
+                 AS S2y,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                 AS Syy
+        FROM m
+      ), fit AS (
+        SELECT n, sx1, sx2, sy, S1y, S2y, Syy,
+               CAST(S1y * S22 - S2y * S12 AS DOUBLE)
+                 / CAST(S11 * S22 - S12 * S12 AS DOUBLE) AS b1,
+               CAST(S2y * S11 - S1y * S12 AS DOUBLE)
+                 / CAST(S11 * S22 - S12 * S12 AS DOUBLE) AS b2
+        FROM c
+      )
+      SELECT n,
+             (CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)
+                - b2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) AS b0,
+             b1, b2,
+             (b1 * CAST(S1y AS DOUBLE) + b2 * CAST(S2y AS DOUBLE))
+               / CAST(Syy AS DOUBLE) AS r2
+      FROM fit"""))
+
   /** q169: Kaplan-Meier survival curve over customer purchase lifetimes
     * (Kaplan & Meier 1958 — the censoring-aware churn statistic beside
     * q109's cohort grid: a customer whose last order sits near the end
@@ -1723,5 +1850,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168, q169)
+      q158, q161, q163, q167, q168, q169, q170)
 }

@@ -1879,6 +1879,38 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q170 ols cramer: exact-moment driver replay, intercept identity") {
+    val row = graft.queries.Olap.q170.run(spark, sf001).collect().head
+    // driver replay from exact BigInt moments — must agree to the bit
+    val xs = Tables.load(spark, sf001, "lineitem")
+      .select(expr("CAST(round(l_quantity) AS BIGINT)"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    val n = BigInt(xs.length)
+    val (sx1, sx2, sy) = (xs.map(_._1).sum, xs.map(_._2).sum,
+      xs.map(_._3).sum)
+    val s11 = n * xs.map(t => t._1 * t._1).sum - sx1 * sx1
+    val s12 = n * xs.map(t => t._1 * t._2).sum - sx1 * sx2
+    val s22 = n * xs.map(t => t._2 * t._2).sum - sx2 * sx2
+    val s1y = n * xs.map(t => t._1 * t._3).sum - sx1 * sy
+    val s2y = n * xs.map(t => t._2 * t._3).sum - sx2 * sy
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s1y * s22 - s2y * s12).toDouble / det.toDouble
+    val b2 = (s2y * s11 - s1y * s12).toDouble / det.toDouble
+    assert(row.getAs[Double]("b1") == b1, "b1 must replay bit-exact")
+    assert(row.getAs[Double]("b2") == b2, "b2 must replay bit-exact")
+    assert(row.getAs[Long]("n") == xs.length.toLong)
+    // intercept zeroes the mean residual by construction (same IEEE ops)
+    val b0 = (sy.toDouble - b1 * sx1.toDouble - b2 * sx2.toDouble)
+      .asInstanceOf[Double] / n.toDouble
+    assert(row.getAs[Double]("b0") == b0)
+    // the fixture is deliberately uncorrelated — the honest fit says so
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 < 0.01, s"fixture should have no structure: $r2")
+  }
+
   test("q169 km survival: driver estimator replay, censoring is real") {
     val rows = graft.queries.Olap.q169.run(spark, sf001).collect()
     val nCust = Tables.load(spark, sf001, "orders")
