@@ -1904,8 +1904,65 @@ object EventStream {
       LEFT JOIN s3 ON s1.user_id = s3.user_id
         AND s1.session_id = s3.session_id"""))
 
+  /** q171: consecutive-day activity streaks — the gaps-and-islands
+    * pattern (q148 measures the GAPS between purchases; this measures
+    * the ISLANDS of unbroken daily activity, the "7-day streak" every
+    * engagement dashboard shows). The island identity is the classic
+    * rank trick: within a user's distinct active days in ascending
+    * order, epoch_day − row_number() is CONSTANT exactly while days
+    * are consecutive, so one subtraction labels every island with no
+    * self-join and no iteration. Output is the population histogram of
+    * longest streaks. Scale: the row_number window partitions by user
+    * (bounded by the observation window's day count per user, never
+    * corpus-global); distinct-day dedup and the two aggregates are
+    * ordinary shuffles. */
+  val q171 = Q(
+    "q171_activity_streaks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("grp",
+          expr("datediff(day, DATE'1970-01-01')")
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .groupBy(col("longest_streak"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_streaks")).as("n_streaks_total"))
+        .orderBy(col("longest_streak"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+      ), islands AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+        FROM days
+      ), streaks AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM islands GROUP BY 1, 2
+      ), per_user AS (
+        SELECT user_id, max(len) AS longest_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM streaks GROUP BY 1
+      )
+      SELECT longest_streak, count(*) AS n_users,
+             CAST(sum(n_streaks) AS BIGINT) AS n_streaks_total
+      FROM per_user
+      GROUP BY 1
+      ORDER BY longest_streak"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160)
+      q148, q149, q150, q154, q160, q171)
 }

@@ -1879,6 +1879,38 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q171 streaks: driver island replay, population conserves") {
+    val rows = graft.streaming.EventStream.q171.run(spark, sf001).collect()
+    val days = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day")))
+      .groupBy(_._1)
+      .map { case (u, ds) =>
+        u -> ds.map(_._2.toLocalDate.toEpochDay).sorted }
+    // driver replay: longest run of consecutive epoch days per user
+    val replay = days.map { case (u, ds) =>
+      var longest = 1L; var cur = 1L; var nRuns = 1L
+      (1 until ds.length).foreach { i =>
+        if (ds(i) == ds(i - 1) + 1) cur += 1
+        else { nRuns += 1; cur = 1L }
+        if (cur > longest) longest = cur
+      }
+      u -> (longest, nRuns)
+    }
+    val hist = replay.values.groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("longest_streak")
+      assert(hist(k) == ((r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_streaks_total"))), s"mismatch at streak $k")
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).sum == days.size.toLong)
+    // fixture must contain both short and month-long streaks
+    assert(rows.map(_.getAs[Long]("longest_streak")).min < 10L)
+    assert(rows.map(_.getAs[Long]("longest_streak")).max >= 20L)
+  }
+
   test("q170 ols cramer: exact-moment driver replay, intercept identity") {
     val row = graft.queries.Olap.q170.run(spark, sf001).collect().head
     // driver replay from exact BigInt moments — must agree to the bit
