@@ -1431,6 +1431,86 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q172: TPC-H Q21 shape — "suppliers who kept orders waiting": count
+    * a supplier's late lines (shipped > 90 days after the order date)
+    * in MULTI-supplier orders where it is the ONLY late supplier — the
+    * benchmark's hardest correlated-subquery shape, EXISTS and NOT
+    * EXISTS against the same fact table, both correlated on the outer
+    * row's order AND inequality-correlated on the supplier. Completes
+    * the classic shape set (Q1/Q5/Q8/Q13/Q17/Q22 = q01/q131/q139/q151/
+    * q142/q145). Spark plan: both correlations DECORRELATE to
+    * distinct-pair joins — EXISTS(other supplier in order) becomes a
+    * semi-join against the (order, supplier) pair set with a
+    * different-supplier predicate; NOT EXISTS(other LATE supplier)
+    * becomes the same join LEFT ANTI against the late pair set — so
+    * the fact table shuffles by orderkey once and no per-row subquery
+    * ever runs. The ORACLE keeps the textbook correlated EXISTS/NOT
+    * EXISTS text: agreement proves the decorrelation. The fixture's
+    * ship dates are synthetic (delays up to ±years; negative delays
+    * exist and are simply not-late) — the >90d rule still selects
+    * 28.7k of 60k lines at sf0.01. */
+  val q172 = Q(
+    "q172_blame_supplier",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val l = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          to_date(col("l_shipdate")).as("sd"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("sd"), col("od")) > 90).as("late"))
+        .persistTracked()
+      val pairs = l.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct().persistTracked()
+      val latePairs = l.filter(col("late"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val l1 = l.filter(col("late"))
+      // EXISTS: another supplier appears in the same order
+      val withOther = l1.join(pairs,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_semi")
+      // NOT EXISTS: no OTHER supplier is late in the same order
+      val blamed = withOther.join(latePairs,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_anti")
+      val sup = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      blamed.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(graft.operators.Hints.autoBroadcast(sup),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      WITH l AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) > 90) AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+      )
+      SELECT s.s_name, count(*) AS numwait
+      FROM l l1
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      WHERE l1.late
+        AND EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20"""))
+
   /** q170: two-feature multiple linear regression via Cramer's rule —
     * q113's closed-form OLS generalized to ŷ = b0 + b1·x1 + b2·x2
     * (ClickHouse's stochasticLinearRegression territory, solved exactly:
@@ -1850,5 +1930,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168, q169, q170)
+      q158, q161, q163, q167, q168, q169, q170, q172)
 }

@@ -1879,6 +1879,40 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q172 blame supplier: driver set replay of the Q21 conditions") {
+    val rows = graft.queries.Olap.q172.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait"))
+    // driver replay: an order blames supplier s iff it has >= 2 distinct
+    // suppliers and s is its unique late one; numwait counts s's late
+    // LINES in such orders
+    val li = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) > 90).as("late"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+        r.getAs[Boolean]("late")))
+    val byOrder = li.groupBy(_._1)
+    val numwait = scala.collection.mutable.Map.empty[Long, Long]
+    byOrder.values.foreach { lines =>
+      val supps = lines.map(_._2).distinct
+      val lateSupps = lines.filter(_._3).map(_._2).distinct
+      if (supps.size >= 2 && lateSupps.size == 1)
+        numwait(lateSupps.head) = numwait.getOrElse(lateSupps.head, 0L) +
+          lines.count(l => l._3 && l._2 == lateSupps.head)
+    }
+    val names = Tables.load(spark, sf001, "supplier").collect()
+      .map(r => r.getAs[Number]("s_suppkey").longValue() ->
+        r.getAs[String]("s_name")).toMap
+    val expect = numwait.toSeq
+      .map { case (sk, n) => names(sk) -> n }
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    assert(rows.toSeq == expect, "decorrelated plan must replay Q21")
+    assert(rows.nonEmpty && rows.map(_._2).sum > 0L)
+  }
+
   test("q171 streaks: driver island replay, population conserves") {
     val rows = graft.streaming.EventStream.q171.run(spark, sf001).collect()
     val days = Tables.load(spark, sf001, "events")
