@@ -1431,6 +1431,113 @@ object Olap {
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY pri, day"""))
 
+  /** q173: FIFO lot allocation — the warehouse cost-accounting operator
+    * (match each demand line against supply lots in arrival order;
+    * deliveries split across lots, lots split across deliveries): the
+    * imperative-looking "consume the queue" loop becomes a SET
+    * operation via the cumsum-interval trick — demand line i occupies
+    * quantity-axis interval [Σqty_{<i}, Σqty_{≤i}) within its part,
+    * lot k occupies [Σsup_{<k}, Σsup_{≤k}), and FIFO allocation of
+    * line i from lot k is EXACTLY the overlap length of the two
+    * intervals. One equi-join on part + two inequality predicates
+    * computes every split with no loop and no state. Lots are
+    * synthesized deterministically from the part key (4 lots,
+    * 100 + (key·(k+3) mod 300) units) so both over- and under-supplied
+    * parts occur; unfilled = demand − allocated is reported, not
+    * hidden. Scale: the cumsum windows partition per part (bounded by
+    * per-part line count; a mega-part would pre-bucket like q93) and
+    * the join fan-out is ≤ lots-per-part per line. All quantities are
+    * exact BIGINTs. */
+  val q173 = Q(
+    "q173_fifo_allocation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val demand = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          to_date(col("l_shipdate")).as("sd"))
+      val wD = Window.partitionBy(col("p"))
+        .orderBy(col("sd"), col("ok"), col("ln"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dIv = demand.withColumn("dhi", sum(col("qty")).over(wD))
+        .withColumn("dlo", col("dhi") - col("qty"))
+      val supply = Tables.load(s, d, "part")
+        .select(col("p_partkey").as("p"),
+          explode(expr("sequence(1, 4)")).as("k"))
+        .withColumn("sup",
+          lit(100L) + expr("pmod(p * (k + 3), 300)"))
+      val wS = Window.partitionBy(col("p")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sIv = supply.withColumn("shi", sum(col("sup")).over(wS))
+        .withColumn("slo", col("shi") - col("sup"))
+      val pairs = dIv.join(sIv, Seq("p"))
+        .filter(col("dlo") < col("shi") && col("slo") < col("dhi"))
+        .withColumn("alloc",
+          least(col("dhi"), col("shi")) - greatest(col("dlo"), col("slo")))
+      val perPartAlloc = pairs.groupBy(col("p"))
+        .agg(sum(col("alloc")).as("allocated_qty"),
+          count(lit(1)).as("n_splits"))
+      val perPartDemand = dIv.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("demand_qty"))
+      val perPartSupply = sIv.groupBy(col("p"))
+        .agg(sum(col("sup")).as("supply_qty"))
+      perPartDemand.join(perPartSupply, Seq("p"))
+        .join(perPartAlloc, Seq("p"), "left_outer")
+        .select(col("p"), col("n_lines"), col("demand_qty"),
+          col("supply_qty"),
+          coalesce(col("allocated_qty"), lit(0L)).as("allocated_qty"),
+          (col("demand_qty")
+            - coalesce(col("allocated_qty"), lit(0L))).as("unfilled_qty"),
+          coalesce(col("n_splits"), lit(0L)).as("n_splits"))
+        .orderBy(col("p"))
+    },
+    Some("""
+      WITH demand AS (
+        SELECT l_partkey AS p, l_orderkey AS ok, l_linenumber AS ln,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(l_shipdate AS DATE) AS sd
+        FROM lineitem
+      ), div_ AS (
+        SELECT *, CAST(sum(qty) OVER (PARTITION BY p ORDER BY sd, ok, ln
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dhi
+        FROM demand
+      ), d2 AS (
+        SELECT *, dhi - qty AS dlo FROM div_
+      ), supply AS (
+        SELECT p_partkey AS p, k,
+               100 + ((p_partkey * (k + 3)) % 300) AS sup
+        FROM part, unnest(range(1, 5)) AS t(k)
+      ), siv AS (
+        SELECT *, CAST(sum(sup) OVER (PARTITION BY p ORDER BY k
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shi
+        FROM supply
+      ), s2 AS (
+        SELECT *, shi - sup AS slo FROM siv
+      ), pairs AS (
+        SELECT d.p,
+               least(d.dhi, s.shi) - greatest(d.dlo, s.slo) AS alloc
+        FROM d2 d JOIN s2 s
+          ON d.p = s.p AND d.dlo < s.shi AND s.slo < d.dhi
+      ), pa AS (
+        SELECT p, CAST(sum(alloc) AS BIGINT) AS allocated_qty,
+               count(*) AS n_splits
+        FROM pairs GROUP BY 1
+      ), pd AS (
+        SELECT p, count(*) AS n_lines, CAST(sum(qty) AS BIGINT)
+                 AS demand_qty
+        FROM d2 GROUP BY 1
+      ), ps AS (
+        SELECT p, CAST(sum(sup) AS BIGINT) AS supply_qty FROM s2 GROUP BY 1
+      )
+      SELECT pd.p, pd.n_lines, pd.demand_qty, ps.supply_qty,
+             coalesce(pa.allocated_qty, 0) AS allocated_qty,
+             pd.demand_qty - coalesce(pa.allocated_qty, 0) AS unfilled_qty,
+             coalesce(pa.n_splits, 0) AS n_splits
+      FROM pd JOIN ps ON pd.p = ps.p
+      LEFT JOIN pa ON pd.p = pa.p
+      ORDER BY pd.p"""))
+
   /** q172: TPC-H Q21 shape — "suppliers who kept orders waiting": count
     * a supplier's late lines (shipped > 90 days after the order date)
     * in MULTI-supplier orders where it is the ONLY late supplier — the
@@ -1930,5 +2037,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168, q169, q170, q172)
+      q158, q161, q163, q167, q168, q169, q170, q172, q173)
 }

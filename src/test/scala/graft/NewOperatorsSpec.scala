@@ -1879,6 +1879,54 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q173 fifo: imperative queue replay matches interval overlap") {
+    val rows = graft.queries.Olap.q173.run(spark, sf001).collect()
+      .map(r => r.getAs[Long]("p") -> r).toMap
+    // imperative replay: consume lots in order per part, count splits
+    val demand = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        to_date(col("l_shipdate")).as("sd"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        (r.getAs[java.sql.Date]("sd").toString, r.getAs[Long]("l_orderkey"),
+          r.getAs[Number]("l_linenumber").longValue()),
+        r.getAs[Long]("qty")))
+      .groupBy(_._1)
+    val parts = Tables.load(spark, sf001, "part")
+      .select(col("p_partkey")).collect()
+      .map(_.getAs[Long]("p_partkey"))
+    parts.foreach { p =>
+      val lots = (1 to 4).map(k => 100L + (p * (k + 3)) % 300L).toArray
+      val lines = demand.getOrElse(p, Array.empty).toSeq
+        .sortBy(_._2).map(_._3)
+      var lot = 0; var lotLeft = if (lots.nonEmpty) lots(0) else 0L
+      var allocated = 0L; var splits = 0L
+      lines.foreach { q =>
+        var need = q
+        while (need > 0 && lot < lots.length) {
+          val take = math.min(need, lotLeft)
+          if (take > 0) { splits += 1; allocated += take }
+          need -= take; lotLeft -= take
+          if (lotLeft == 0) { lot += 1
+            if (lot < lots.length) lotLeft = lots(lot) }
+        }
+      }
+      val r = rows(p)
+      assert(r.getAs[Long]("allocated_qty") == allocated,
+        s"allocation diverges from queue replay at part $p")
+      assert(r.getAs[Long]("n_splits") == splits,
+        s"split count diverges at part $p")
+      assert(r.getAs[Long]("unfilled_qty") ==
+        r.getAs[Long]("demand_qty") - allocated)
+      assert(r.getAs[Long]("allocated_qty") ==
+        math.min(r.getAs[Long]("demand_qty"), r.getAs[Long]("supply_qty")))
+    }
+    // both over- and under-supplied arms must occur in the fixture
+    assert(rows.values.exists(_.getAs[Long]("unfilled_qty") > 0L))
+    assert(rows.values.exists(_.getAs[Long]("unfilled_qty") == 0L))
+  }
+
   test("q172 blame supplier: driver set replay of the Q21 conditions") {
     val rows = graft.queries.Olap.q172.run(spark, sf001).collect()
       .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait"))
