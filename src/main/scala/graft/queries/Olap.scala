@@ -516,6 +516,61 @@ object Olap {
     },
     Some(q102Sql))
 
+  /** q174: bill-of-materials explosion — the OTHER recursive-CTE
+    * workload class: q102 recurses over a GENERATOR (bounded integer
+    * sequence, no data); this recurses over a TABLE, joining the
+    * frontier to an edge relation every level and multiplying
+    * per-level quantities down the tree — the part-containment rollup
+    * every MRP system runs, and the same shape as org-chart and
+    * reachability queries. Edges are synthesized deterministically
+    * from the part key (two children per part via affine maps mod
+    * |parts|, carrying quantities 2 and 3), roots are the key%97
+    * slice, and depth is bounded at 3 (the affine maps can form
+    * cycles; the level bound is the standard BOM guard and keeps the
+    * frontier ≤ 2³ per root). SAME SQL text runs on Spark (4.x
+    * WITH RECURSIVE — recursion execution itself is differentially
+    * checked, the q102 argument, now with a JOIN in the recursive
+    * step) and DuckDB. Scale: each recursion level is one
+    * frontier⋈edges shuffle; the frontier is roots×2^lvl rows, never
+    * corpus-sized. */
+  private val q174Sql = """
+      WITH RECURSIVE edges AS (
+        SELECT CAST(p_partkey AS BIGINT) AS parent,
+               CAST((p_partkey * 3 + 11) %
+                 (SELECT max(p_partkey) + 1 FROM part) AS BIGINT) AS child,
+               CAST(2 AS BIGINT) AS q
+        FROM part
+        UNION ALL
+        SELECT CAST(p_partkey AS BIGINT),
+               CAST((p_partkey * 5 + 7) %
+                 (SELECT max(p_partkey) + 1 FROM part) AS BIGINT),
+               CAST(3 AS BIGINT)
+        FROM part
+      ), bom AS (
+        SELECT CAST(p_partkey AS BIGINT) AS root,
+               CAST(p_partkey AS BIGINT) AS node,
+               CAST(1 AS BIGINT) AS qty, 0 AS lvl
+        FROM part WHERE p_partkey % 97 = 0
+        UNION ALL
+        SELECT b.root, e.child, b.qty * e.q, b.lvl + 1
+        FROM bom b JOIN edges e ON e.parent = b.node
+        WHERE b.lvl < 3
+      )
+      SELECT root, lvl, count(*) AS n_nodes,
+             CAST(sum(qty) AS BIGINT) AS total_qty,
+             CAST(count(DISTINCT node) AS BIGINT) AS n_distinct_parts
+      FROM bom
+      GROUP BY root, lvl
+      ORDER BY root, lvl"""
+
+  val q174 = Q(
+    "q174_bom_explosion",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(q174Sql)
+    },
+    Some(q174Sql))
+
   /** Wide-to-long UNPIVOT (Dataset.unpivot): per-priority metric columns
     * melted into (metric, value) rows — the reshape every metrics export
     * needs. All value columns are cast to DOUBLE first (unpivot requires
@@ -2037,5 +2092,5 @@ object Olap {
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168, q169, q170, q172, q173)
+      q158, q161, q163, q167, q168, q169, q170, q172, q173, q174)
 }

@@ -1879,6 +1879,30 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q174 bom: level structure and quantity rollup identities") {
+    val rows = graft.queries.Olap.q174.run(spark, sf001).collect()
+    val roots = Tables.load(spark, sf001, "part")
+      .filter(col("p_partkey") % 97 === 0).count()
+    assert(roots > 0 && rows.length == roots * 4,
+      "every root must expand exactly 4 levels (0..3)")
+    rows.foreach { r =>
+      val lvl = r.getAs[Int]("lvl")
+      // every part has exactly 2 synthesized children: paths = 2^lvl
+      assert(r.getAs[Long]("n_nodes") == (1L << lvl),
+        s"path count must be 2^lvl at $r")
+      // path quantities multiply branch factors 2 and 3: sum = 5^lvl
+      assert(r.getAs[Long]("total_qty") == math.pow(5, lvl).toLong,
+        s"quantity rollup must telescope to 5^lvl at $r")
+      // distinct parts can only collapse below the path count
+      assert(r.getAs[Long]("n_distinct_parts") <= r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("n_distinct_parts") >= 1L)
+    }
+    // the affine child maps do collide somewhere (that's why the level
+    // bound exists) — at least one row must show path/part collapse
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_distinct_parts") < r.getAs[Long]("n_nodes")))
+  }
+
   test("q173 fifo: imperative queue replay matches interval overlap") {
     val rows = graft.queries.Olap.q173.run(spark, sf001).collect()
       .map(r => r.getAs[Long]("p") -> r).toMap
