@@ -1904,6 +1904,65 @@ object EventStream {
       LEFT JOIN s3 ON s1.user_id = s3.user_id
         AND s1.session_id = s3.session_id"""))
 
+  /** Watermarked hourly per-user activity state — the streaming TOP-K's
+    * state layer, shared verbatim by batch (q175's read-off leg) and
+    * readStream (the parity spec). The state is keyed SUMs (count +
+    * exact cents) under a watermark: associative, commutative,
+    * micro-batch-split-invariant — so stream==batch parity is STRICT,
+    * the q120/q123 argument. The RANKING never runs in the stream:
+    * top-k reads off downstream over the compact per-hour counts, the
+    * same state/readoff split as q123's quantiles (ClickHouse topK's
+    * streaming materialized-view shape, done exactly: per-hour user
+    * cardinality is watermark-bounded, so exact counts replace the
+    * space-saving sketch). */
+  def hourlyUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.cents(col("value"))).as("cents"))
+      .select(col("w.start").as("hour_start"), col("user_id"),
+        col("n"), col("cents"))
+
+  /** q175: streaming top-k read-off — the 3 most active users per hour
+    * by (event count, exact cents, user id). See [[hourlyUserCounts]]
+    * for the streaming-state argument; this is its batch face under
+    * the DuckDB oracle, closing stream==batch==oracle. The rank window
+    * partitions per hour over the ALREADY-AGGREGATED counts (rows =
+    * active users that hour, not events). */
+  val q175 = Q(
+    "q175_stream_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("hour_start"))
+        .orderBy(desc("n"), desc("cents"), col("user_id"))
+      hourlyUserCounts(Tables.load(s, d, "events"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("hour_start"), col("rnk").as("rnk"), col("user_id"),
+          col("n"),
+          (col("cents").cast(org.apache.spark.sql.types.DoubleType)
+            / lit(100.0)).as("value_sum"))
+        .orderBy(col("hour_start"), col("rnk"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               user_id, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY hour_start
+                 ORDER BY n DESC, cents DESC, user_id) AS INTEGER) AS rnk
+        FROM c
+      )
+      SELECT hour_start, rnk, user_id, n,
+             CAST(cents AS DOUBLE) / 100 AS value_sum
+      FROM ranked
+      WHERE rnk <= 3
+      ORDER BY hour_start, rnk"""))
+
   /** q171: consecutive-day activity streaks — the gaps-and-islands
     * pattern (q148 measures the GAPS between purchases; this measures
     * the ISLANDS of unbroken daily activity, the "7-day streak" every
@@ -1964,5 +2023,5 @@ object EventStream {
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171)
+      q148, q149, q150, q154, q160, q171, q175)
 }

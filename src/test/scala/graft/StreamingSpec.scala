@@ -160,6 +160,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyUserCounts streaming == batch (top-k state parity)") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_topk").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    def key(r: Row) = (String.valueOf(r.get(0)), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    val batch = EventStream.hourlyUserCounts(events).collect()
+      .map(key).toSet
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.hourlyUserCounts(streamIn)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("topk_out").collect().map(key).toSet
+      // STRICT equality: the state is keyed sums (count + exact cents),
+      // order-independent under any micro-batch split — so the
+      // downstream top-k read-off is identical too
+      assert(got == batch, "streaming per-user counts differ from batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows from closed windows (append mode)") {
     import spark.implicits._
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
