@@ -1904,6 +1904,90 @@ object EventStream {
       LEFT JOIN s3 ON s1.user_id = s3.user_id
         AND s1.session_id = s3.session_id"""))
 
+  /** q176: A/B experiment read-out — deterministic arm assignment +
+    * two-proportion pooled z-test, the experimentation-platform core
+    * loop. Arm = md5-parity of the user id (the q54 hash-coordinate
+    * convention: engine-portable, stable across reruns, uncorrelated
+    * with behavior), outcome = user ever purchased. The z machinery
+    * uses sqrt — safe cross-engine because IEEE 754 REQUIRES sqrt
+    * correctly rounded (unlike log/exp/pow, which this repo bans —
+    * q56's rationale); every other double op is the same expression
+    * tree over identical integer-derived operands, so z is
+    * bit-identical. The fixture assigns arms by hash with no real
+    * treatment, so the honest read-out is |z| small — the A/A-test
+    * shape an experimentation pipeline uses to validate its own
+    * plumbing. Scale: one per-user reduce, one 2-row conditional
+    * aggregate. */
+  val q176 = Q(
+    "q176_ab_test",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val users = Tables.load(s, d, "events")
+        .groupBy(col("user_id"))
+        // outcome: a "big" purchase (>= 200.00) — every fixture user
+        // makes SOME purchase, so bare has-purchased is pooled=1 and
+        // the z denominator degenerates; ~20% clear this bar at all SFs
+        .agg(max(when(col("event_type") === "purchase"
+            && Det.cents(col("value")) >= 20000L, 1L)
+          .otherwise(0L)).as("conv"))
+        .withColumn("arm", expr(
+          "instr('0123456789abcdef', " +
+            "substring(md5(CAST(user_id AS STRING)), 32, 1)) % 2"))
+      val st = users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_b"))
+      st.select(
+          col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          (col("x_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+            .as("p_a"),
+          (col("x_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+            .as("p_b"),
+          ((col("x_a") + col("x_b")).cast(DoubleType)
+            / (col("n_a") + col("n_b")).cast(DoubleType)).as("pooled"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"),
+          (col("p_a") - col("p_b")).as("diff"),
+          when(col("pooled") > 0.0 && col("pooled") < 1.0,
+            (col("p_a") - col("p_b"))
+              / sqrt(col("pooled") * (lit(1.0) - col("pooled"))
+                * ((col("n_a") + col("n_b")).cast(DoubleType)
+                  / (col("n_a") * col("n_b")).cast(DoubleType))))
+            .as("z"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                        AND CAST(round(value * 100) AS BIGINT) >= 20000
+                        THEN 1 ELSE 0 END) AS conv,
+               strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) % 2 AS arm
+        FROM events GROUP BY user_id
+      ), st AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+            AS x_a,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+            AS x_b
+        FROM users
+      ), p AS (
+        SELECT *,
+          CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+          CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+          CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled
+        FROM st
+      )
+      SELECT n_a, x_a, n_b, x_b, p_a, p_b, p_a - p_b AS diff,
+             CASE WHEN pooled > 0.0 AND pooled < 1.0 THEN
+               (p_a - p_b) / sqrt(pooled * (1.0 - pooled)
+                 * (CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)))
+             ELSE NULL END AS z
+      FROM p"""))
+
   /** Watermarked hourly per-user activity state — the streaming TOP-K's
     * state layer, shared verbatim by batch (q175's read-off leg) and
     * readStream (the parity spec). The state is keyed SUMs (count +
@@ -2023,5 +2107,5 @@ object EventStream {
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171, q175)
+      q148, q149, q150, q154, q160, q171, q175, q176)
 }

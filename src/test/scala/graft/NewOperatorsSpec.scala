@@ -1879,6 +1879,31 @@ class NewOperatorsSpec extends SparkSpec {
       Set("OPEN", "UPDATE", "DELETE"))
   }
 
+  test("q176 ab test: driver z replay, arms partition the population") {
+    val row = graft.streaming.EventStream.q176.run(spark, sf001)
+      .collect().head
+    val (na, xa, nb, xb) = (row.getAs[Long]("n_a"), row.getAs[Long]("x_a"),
+      row.getAs[Long]("n_b"), row.getAs[Long]("x_b"))
+    val nUsers = Tables.load(spark, sf001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == nUsers, "arms must partition every user")
+    assert(na > 0 && nb > 0, "md5 parity must populate both arms")
+    assert(xa <= na && xb <= nb)
+    // replay the pooled z from the exact counts with the same IEEE ops
+    val (pa, pb) = (xa.toDouble / na.toDouble, xb.toDouble / nb.toDouble)
+    val pooled = (xa + xb).toDouble / (na + nb).toDouble
+    assert(row.getAs[Double]("p_a") == pa)
+    assert(row.getAs[Double]("p_b") == pb)
+    if (pooled > 0.0 && pooled < 1.0) {
+      val z = (pa - pb) / math.sqrt(pooled * (1.0 - pooled)
+        * ((na + nb).toDouble / (na * nb).toDouble))
+      assert(row.getAs[Double]("z") == z, "z must replay bit-exact")
+      // hash assignment with no treatment: an A/A test should not
+      // reject at any sane level
+      assert(math.abs(z) < 4.0, s"A/A test rejected: z=$z")
+    }
+  }
+
   test("q174 bom: level structure and quantity rollup identities") {
     val rows = graft.queries.Olap.q174.run(spark, sf001).collect()
     val roots = Tables.load(spark, sf001, "part")
