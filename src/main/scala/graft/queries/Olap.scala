@@ -2089,8 +2089,317 @@ object Olap {
                AS clustering
       FROM tri"""))
 
+  /** q177: TPC-H Q14 shape — promotion revenue share per ship-month:
+    * what fraction of each month's discounted revenue came from PROMO
+    * parts. The classic conditional-aggregate-over-join report
+    * (reference q-set has no Q14 twin; this completes
+    * Q1/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q19/Q21/Q22 in the repo). Revenue in
+    * exact 10^-4 units (cents × (100 − disc_pct), the q131 convention);
+    * the share is ONE IEEE division of those exact BIGINTs, identical
+    * both engines. Scale: one broadcast of the part dimension into the
+    * lineitem scan, one map-side-combinable month aggregate — a single
+    * fact-table shuffle of ≤ #months rows. */
+  val q177 = Q(
+    "q177_promo_share",
+    (s, d) => {
+      val revU = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          revU.as("rev_u"))
+      val pt = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_type"))
+      li.join(graft.operators.Hints.autoBroadcast(pt),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_u"))
+            .otherwise(0L)).as("promo_u"),
+          sum(col("rev_u")).as("total_u"),
+          count(lit(1)).as("n_items"))
+        .select(col("ship_month"), col("n_items"),
+          (col("promo_u").cast(DoubleType) / lit(10000.0)).as("promo_rev"),
+          (col("total_u").cast(DoubleType) / lit(10000.0)).as("total_rev"),
+          (col("promo_u").cast(DoubleType) / col("total_u").cast(DoubleType))
+            .as("promo_share"))
+        .orderBy(col("ship_month"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+      ), m AS (
+        SELECT ship_month,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+                    AS BIGINT) AS promo_u,
+               CAST(sum(rev_u) AS BIGINT) AS total_u,
+               count(*) AS n_items
+        FROM li GROUP BY ship_month
+      )
+      SELECT ship_month, n_items,
+             CAST(promo_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS promo_rev,
+             CAST(total_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_rev,
+             CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE)
+               AS promo_share
+      FROM m ORDER BY ship_month"""))
+
+  /** q178: TPC-H Q10 shape — returned-item revenue by customer: top-20
+    * accounts by revenue lost to returns (l_returnflag = 'R') in one
+    * order-date quarter, with the nation dimension attached. The
+    * classic "who should account management call" report. Determinism:
+    * ranking happens on the EXACT BIGINT revenue units with a custkey
+    * tiebreak before the cast-to-double display value. Scale: orders
+    * pre-filtered to the quarter before the fact join (the selective
+    * leg drives), customer+nation broadcast, one aggregate on custkey;
+    * TakeOrderedAndProject caps the result at 20 rows. */
+  val q178 = Q(
+    "q178_returned_customers",
+    (s, d) => {
+      val revU = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revU.as("rev_u"))
+      val ord = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          Det.cents(col("c_acctbal")).as("bal_c"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_u")).as("lost_u"), count(lit(1)).as("n_items"))
+        .join(graft.operators.Hints.autoBroadcast(cust),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.Hints.autoBroadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          (col("bal_c").cast(DoubleType) / lit(100.0)).as("acctbal"),
+          col("n_items"),
+          (col("lost_u").cast(DoubleType) / lit(10000.0)).as("lost_rev"),
+          col("lost_u"))
+        .orderBy(col("lost_u").desc, col("c_custkey"))
+        .limit(20)
+        .drop("lost_u")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS lost_u,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY o_custkey
+      )
+      SELECT c_custkey, c_name, n_name,
+             CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS acctbal,
+             n_items,
+             CAST(lost_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS lost_rev
+      FROM agg
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY lost_u DESC, c_custkey
+      LIMIT 20"""))
+
+  /** q179: TPC-H Q7 shape — cross-border shipping volume: discounted
+    * revenue between (customer nation, supplier nation) pairs per
+    * ship-year, domestic flows excluded. NATION joins the fact twice
+    * under different roles (the q139/Q8 dual-role pattern, here with
+    * BOTH roles kept as output dimensions). Scale: two broadcast
+    * nation legs + broadcast customer/supplier dims feed one lineitem
+    * scan; the single shuffle is the final (nation², year)-sized
+    * aggregate — pair-space is bounded at 25×24 per year. */
+  val q179 = Q(
+    "q179_nation_volume",
+    (s, d) => {
+      val revU = Det.cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("ship_year"), revU.as("rev_u"))
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val natC = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+      val natS = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(graft.operators.Hints.autoBroadcast(cust),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.Hints.autoBroadcast(supp),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .join(graft.operators.Hints.autoBroadcast(natC),
+          col("c_nationkey") === col("cn_key"))
+        .join(graft.operators.Hints.autoBroadcast(natS),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(col("cust_nation"), col("supp_nation"), col("ship_year"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("rev_u")).cast(DoubleType) / lit(10000.0)).as("volume"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("ship_year"))
+    },
+    Some("""
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / CAST(10000 AS DOUBLE) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE c_nationkey <> s_nationkey
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
+  /** q180: TPC-H Q19 shape — disjunctive multi-attribute join predicate:
+    * revenue from three OR'd (brand, size-range, quantity-range)
+    * conjunctions spanning BOTH sides of the lineitem×part join. The
+    * planner stress here is that the filter can neither be fully pushed
+    * to one scan nor turned into a single join key — Catalyst splits
+    * the common conjuncts (size ≥ 1, qty bounds hull) as scan-level
+    * pushdowns and evaluates the residual OR post-join; quantities
+    * compare as exact BIGINTs so no range boundary sits on a double.
+    * Scale: part leg broadcasts; one conditional aggregate, no extra
+    * shuffle. */
+  val q180 = Q(
+    "q180_disjunctive_join",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity")).cast(LongType).as("qty"),
+          Det.cents(col("l_extendedprice")).as("price_c"))
+      val pt = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("qty").between(1L, 20L)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30)
+          && col("qty").between(15L, 35L)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(20, 50)
+          && col("qty").between(30L, 50L))
+      li.join(graft.operators.Hints.autoBroadcast(pt),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("price_c")).cast(DoubleType) / lit(100.0))
+            .as("revenue"))
+    },
+    Some("""
+      SELECT count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 15 AND 35)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 30 AND 50)"""))
+
+  /** q181: RFM segmentation — the classic CRM/lifecycle grid: per
+    * customer Recency (days from last order to the corpus max date),
+    * Frequency (order count), Monetary (lifetime cents), each cut into
+    * global quintiles, reported as the 5×5×5 segment census. Every
+    * quintile is the exact ANSI NTILE(5) via the q141 machinery
+    * (`GlobalOrder.withOrderedCumsum` rank + `ntileFromRank`) — three
+    * range-partitioned orderings over one row per customer, never a
+    * single-partition sort; recency orders DESC-by-staleness so R5 =
+    * most recent, the conventional reading. Oracle = DuckDB native
+    * ntile over the same full-tiebreak orderings. Scale: the per-
+    * customer reduce is the only fact shuffle; everything after runs on
+    * |customers| rows. */
+  val q181 = Q(
+    "q181_rfm_segments",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val per = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(Det.cents(col("o_totalprice"))).as("money_c"))
+        .persistTracked()
+      val anchor = per.agg(max(col("last_d")).as("max_d"))
+      val base = per.crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("max_d"), col("last_d")).cast(LongType)
+            .as("recency_days"),
+          col("freq"), col("money_c"))
+      def quintile(df: org.apache.spark.sql.DataFrame,
+          order: Seq[org.apache.spark.sql.Column], out: String) = {
+        val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+          df, order, lit(1L), "rk")
+        val tot = ranked.agg(max(col("rk")).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn(out, graft.operators.GlobalOrder
+            .ntileFromRank(col("rk"), col("n"), 5))
+          .drop("rk", "n")
+      }
+      // R: quintile 5 = most recent → order DESC by staleness
+      val withR = quintile(base,
+        Seq(col("recency_days").desc, col("o_custkey")), "r_q")
+      val withF = quintile(withR,
+        Seq(col("freq"), col("o_custkey")), "f_q")
+      val withM = quintile(withF,
+        Seq(col("money_c"), col("o_custkey")), "m_q")
+      withM.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("money_c")).cast(DoubleType) / lit(100.0))
+            .as("segment_value"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, max(o_orderdate) AS last_d,
+               count(*) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS money_c
+        FROM orders GROUP BY o_custkey
+      ), base AS (
+        SELECT o_custkey,
+               datediff('day', last_d, (SELECT max(last_d) FROM per))
+                 AS recency_days,
+               freq, money_c
+        FROM per
+      ), nt AS (
+        SELECT o_custkey, money_c,
+               ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                 AS r_q,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+               ntile(5) OVER (ORDER BY money_c, o_custkey) AS m_q
+        FROM base
+      )
+      SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+             CAST(m_q AS BIGINT) AS m_q,
+             count(*) AS n_cust,
+             CAST(CAST(sum(money_c) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS segment_value
+      FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
-      q158, q161, q163, q167, q168, q169, q170, q172, q173, q174)
+      q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
+      q177, q178, q179, q180, q181)
 }

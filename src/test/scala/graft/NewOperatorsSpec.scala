@@ -2185,4 +2185,84 @@ class NewOperatorsSpec extends SparkSpec {
     assert(rows.exists(r =>
       r.getAs[Long]("n_week_exact") < r.getAs[Long]("n_daily_sum")))
   }
+
+  test("q177 promo share: bounded share, full ship-month coverage") {
+    val rows = graft.queries.Olap.q177.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("promo_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("promo_rev") <= r.getAs[Double]("total_rev"))
+    }
+    // every lineitem ship-month appears (conservation of the grouping)
+    val nMonths = Tables.load(spark, sf001, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    assert(rows.length.toLong == nMonths)
+  }
+
+  test("q178 returned customers: top-20 by exact revenue, desc order") {
+    val rows = graft.queries.Olap.q178.run(spark, sf001).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("lost_rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "must be ordered by lost revenue desc")
+    assert(rows.map(_.getAs[Number]("c_custkey").longValue()).distinct
+      .length == rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("n_items") > 0))
+  }
+
+  test("q179 nation volume: no domestic flows, bounded pair space") {
+    val rows = graft.queries.Olap.q179.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("cust_nation") != r.getAs[String]("supp_nation"),
+        "domestic flows must be excluded")
+      assert(r.getAs[Double]("volume") > 0.0)
+    }
+    val nYears = rows.map(_.getAs[Int]("ship_year")).distinct.length
+    assert(rows.length <= 25 * 24 * nYears)
+  }
+
+  test("q180 disjunctive join: OR equals the sum of disjoint conjuncts") {
+    val row = graft.queries.Olap.q180.run(spark, sf001).collect().head
+    // brands differ across the three conjunctions → mutually exclusive,
+    // so the disjunction must equal the sum of the three separate legs
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+    val pt = Tables.load(spark, sf001, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val j = li.join(pt, col("l_partkey") === col("p_partkey"))
+    val legs = Seq(
+      ("Brand#12", (1, 15), (1L, 20L)),
+      ("Brand#23", (10, 30), (15L, 35L)),
+      ("Brand#34", (20, 50), (30L, 50L))).map { case (b, sz, q) =>
+      j.filter(col("p_brand") === b && col("p_size").between(sz._1, sz._2)
+        && col("qty").between(q._1, q._2)).count()
+    }
+    assert(row.getAs[Long]("n_items") == legs.sum,
+      "disjunction must decompose into disjoint conjunct counts")
+    // sf0.001's part table is too small to guarantee every brand leg
+    // matches; the identity above is the real check
+    assert(legs.sum > 0L, "the disjunction should match some rows")
+  }
+
+  test("q181 rfm: census conserves customers, quintile marginals balanced") {
+    val rows = graft.queries.Olap.q181.run(spark, sf001).collect()
+    val nCust = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == nCust,
+      "segment census must conserve the customer population")
+    // each metric's quintile marginal is the ANSI ntile split:
+    // ⌈n/5⌉ for the first n mod 5 buckets, ⌊n/5⌋ for the rest
+    for (dim <- Seq("r_q", "f_q", "m_q")) {
+      val marg = rows.groupBy(_.getAs[Long](dim))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_cust")).sum }
+      assert(marg.keySet == (1L to 5L).toSet, s"$dim must hit all 5")
+      val (hi, lo) = (nCust / 5 + (if (nCust % 5 > 0) 1 else 0), nCust / 5)
+      marg.foreach { case (k, n) =>
+        assert(n == hi || n == lo, s"$dim=$k marginal $n not in {$lo,$hi}")
+      }
+    }
+  }
 }
