@@ -517,5 +517,90 @@ object Curation {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156)
+  /** q182: order-independent table fingerprint — the replication /
+    * migration validation primitive ("did every row survive the copy?"):
+    * per table, a checksum that any engine computes identically from row
+    * CONTENT alone — sum over rows of a 48-bit integer digest of the
+    * canonical row string — plus row and distinct-key counts. Order
+    * independence comes from + being commutative (the reason checksum
+    * aggregates in every warehouse use sum/xor of row hashes, e.g.
+    * Percona's pt-table-checksum design); exactness from accumulating in
+    * DECIMAL(38,0) (q159's discipline), which cannot overflow below
+    * ~10^23 rows. The canonical string renders every column through
+    * engine-portable forms: integers as decimal text, money as exact
+    * cents, timestamps as DATE text, text columns via md5. Scale: one
+    * scan per table, map-side-combinable sum — the cheapest possible
+    * full-content audit; verifying a 100 TB copy costs two scans and
+    * ships back one row per table. */
+  val q182 = Q(
+    "q182_table_checksum",
+    (s, d) => {
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(instr('0123456789abcdef', substr(md5($expr0), $i, 1)) - 1)" +
+            s" * ${scale}L"
+        }.mkString("(", " + ", ")")
+      val ord = Tables.load(s, d, "orders")
+        .withColumn("canon", expr(
+          "concat_ws('|', CAST(o_orderkey AS STRING), " +
+            "CAST(o_custkey AS STRING), o_orderstatus, " +
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), " +
+            "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(expr(nib("canon")).cast(DecimalType(38, 0)))
+            .as("fingerprint"))
+        .select(lit("orders").as("table_name"), col("n_rows"),
+          col("n_keys"), col("fingerprint"))
+      val doc = Tables.load(s, d, "documents")
+        .withColumn("canon", expr(
+          "concat_ws('|', CAST(doc_id AS STRING), md5(text), lang, " +
+            "source, CAST(n_chars AS STRING))"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_keys"),
+          sum(expr(nib("canon")).cast(DecimalType(38, 0)))
+            .as("fingerprint"))
+        .select(lit("documents").as("table_name"), col("n_rows"),
+          col("n_keys"), col("fingerprint"))
+      ord.unionAll(doc).orderBy(col("table_name"))
+    },
+    Some {
+      // CAST before the multiply: DuckDB would otherwise plan the small
+      // scales as INT32 and overflow at nibble 15 × 2^28
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+            s" AS BIGINT) - 1) * ${scale}"
+        }.mkString("(", " + ", ")")
+      s"""
+      WITH o AS (
+        SELECT concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR), o_orderstatus,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 o_orderpriority) AS canon,
+               o_orderkey
+        FROM orders
+      ), dcs AS (
+        SELECT concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang,
+                 source, CAST(n_chars AS VARCHAR)) AS canon, doc_id
+        FROM documents
+      )
+      SELECT 'orders' AS table_name, count(*) AS n_rows,
+             count(DISTINCT o_orderkey) AS n_keys,
+             sum(CAST(${nib("canon")} AS DECIMAL(38,0))) AS fingerprint
+      FROM o
+      UNION ALL
+      SELECT 'documents' AS table_name, count(*) AS n_rows,
+             count(DISTINCT doc_id) AS n_keys,
+             sum(CAST(${nib("canon")} AS DECIMAL(38,0))) AS fingerprint
+      FROM dcs
+      ORDER BY table_name"""
+    })
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156, q182)
 }

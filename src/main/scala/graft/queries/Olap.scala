@@ -2397,9 +2397,74 @@ object Olap {
                / CAST(100 AS DOUBLE) AS segment_value
       FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** q183: ordered string aggregation — the LISTAGG/string_agg(…ORDER
+    * BY) capability: per order priority, the top-3 customer nations by
+    * revenue rendered as one ordered CSV cell (the "summary column" every
+    * BI export wants). Spark has no ordered string_agg, so the ordered
+    * concat is composed deterministically: rank on the EXACT BIGINT
+    * revenue (n_name tiebreak) → keep rk ≤ 3 → `array_join(transform(
+    * array_sort(collect_list(struct(rk, name)))))` — sort-before-join
+    * makes the cell order explicit rather than accumulation-order-
+    * dependent, which is exactly what DuckDB's string_agg(… ORDER BY rk)
+    * twin expresses natively. Scale: the window runs over the
+    * (priority × nation)-sized AGGREGATE (≤125 rows), never the fact
+    * table; the fact scan pays one grouped shuffle. */
+  val q183 = Q(
+    "q183_ordered_string_agg",
+    (s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"),
+          Det.cents(col("o_totalprice")).as("cents"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val perNat = ord
+        .join(graft.operators.Hints.autoBroadcast(cust),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.Hints.autoBroadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderpriority"), col("n_name"))
+        .agg(sum(col("cents")).as("rev_c"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("rev_c").desc, col("n_name"))
+      perNat.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("""array_join(transform(
+                    array_sort(collect_list(struct(rk, n_name))),
+                    x -> x.n_name), ',')""").as("top_nations"),
+          (sum(col("rev_c")).cast(DoubleType) / lit(100.0))
+            .as("top3_rev"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH per_nat AS (
+        SELECT o_orderpriority, n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY o_orderpriority, n_name
+      ), ranked AS (
+        SELECT o_orderpriority, n_name, rev_c,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY rev_c DESC, n_name) AS rk
+        FROM per_nat
+      )
+      SELECT o_orderpriority,
+             string_agg(n_name, ',' ORDER BY rk) AS top_nations,
+             CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS top3_rev
+      FROM ranked WHERE rk <= 3
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
-      q177, q178, q179, q180, q181)
+      q177, q178, q179, q180, q181, q183)
 }

@@ -2306,8 +2306,113 @@ object Text {
       GROUP BY t.tok, t.exact_cnt
       ORDER BY exact_cnt DESC, tok"""))
 
+  /** q184: BM25 document ranking (Robertson & Walker SIGIR'94; the
+    * Okapi weighting every retrieval stack defaults to) for the
+    * corpus's five most frequent terms, k1 = 1.2, b = 0.75 — rendered
+    * ENTIRELY in exact integer arithmetic up to per-term single IEEE
+    * divisions, because log/exp are not cross-engine-reproducible (the
+    * q95 discipline). With k1 = 6/5 and b = 3/4, multiplying the tf
+    * normalizer through by 20·T (T = total corpus tokens, D = docs,
+    * dl = doc length) gives
+    *   tf_norm = 44·T·tf / (20·T·tf + 6·T + 18·dl·D)
+    * — one division of exact BIGINTs — and the idf is the log-free
+    * odds form (D − df + ½)/(df + ½) = (2D − 2df + 1)/(2df + 1)
+    * (monotone in the classic idf; ATIRE/Lucene likewise swap idf
+    * variants), a second exact-integer division. Per-doc score = the
+    * per-term products summed in TERM ORDER via the sequential
+    * `aggregate` ↔ `list_reduce` fold, so every double op happens in
+    * the same order in both engines. Scale: term stats are vocabulary-
+    * sized broadcasts; one corpus scan + one doc aggregate; top-20 by
+    * (score, doc_id) is TakeOrderedAndProject. */
+  val q184 = Q(
+    "q184_bm25",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      import graft.Caches.Tracked
+      val tok = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .persistTracked()
+      val totals = tok.agg(
+        count(lit(1)).as("t_tok"),
+        countDistinct(col("doc_id")).as("d_docs"))
+      val dl = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      // query = the 5 globally most frequent terms (full tiebreak)
+      val query = tok.groupBy(col("w"))
+        .agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("w"))
+        .limit(5)
+        .select(col("w"))
+      val df = tok.join(broadcast(query), Seq("w"))
+        .groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = tok.join(broadcast(query), Seq("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .join(autoBroadcast(df), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("idf",
+          (lit(2L) * col("d_docs") - lit(2L) * col("df") + 1L)
+            .cast(DoubleType)
+            / (lit(2L) * col("df") + 1L).cast(DoubleType))
+        .withColumn("tf_norm",
+          (lit(44L) * col("t_tok") * col("tf")).cast(DoubleType)
+            / (lit(20L) * col("t_tok") * col("tf") + lit(6L) * col("t_tok")
+              + lit(18L) * col("dl") * col("d_docs")).cast(DoubleType))
+        .withColumn("sc", col("idf") * col("tf_norm"))
+      scored.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_hit_terms"),
+          expr("""aggregate(
+                    transform(array_sort(collect_list(struct(w, sc))),
+                              x -> x.sc),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), totals AS (
+        SELECT count(*) AS t_tok, count(DISTINCT doc_id) AS d_docs
+        FROM tok
+      ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+      ), query AS (
+        SELECT w FROM tok GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT 5
+      ), dft AS (
+        SELECT w, count(DISTINCT doc_id) AS df
+        FROM tok JOIN query USING (w) GROUP BY w
+      ), tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM tok JOIN query USING (w) GROUP BY doc_id, w
+      ), scored AS (
+        SELECT tf.doc_id, tf.w,
+               CAST(2 * d_docs - 2 * df + 1 AS DOUBLE)
+                 / CAST(2 * df + 1 AS DOUBLE)
+                 * (CAST(44 * t_tok * tf AS DOUBLE)
+                    / CAST(20 * t_tok * tf + 6 * t_tok
+                           + 18 * dl.dl * d_docs AS DOUBLE)) AS sc
+        FROM tf
+        JOIN dft USING (w)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN totals
+      )
+      SELECT doc_id, count(*) AS n_hit_terms,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY w)),
+               (a, b) -> a + b) AS score
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115, q118, q122, q128)
+      q104, q106, q110, q111, q114, q115, q118, q122, q128, q184)
 }

@@ -2104,8 +2104,55 @@ object EventStream {
       GROUP BY 1
       ORDER BY longest_streak"""))
 
+  /** q185: day-of-week seasonality profile — the weekly-rhythm audit
+    * behind traffic forecasting and anomaly baselines: per event type ×
+    * weekday, event count, share of the type's volume, and the lift vs
+    * a uniform week (7n/total — >1 means that weekday over-indexes).
+    * Weekday numbering is pinned cross-engine to 0 = Sunday: Spark's
+    * dayofweek is 1-based Sunday, DuckDB's 0-based — the Spark side
+    * subtracts 1 rather than relying on either engine's locale default.
+    * Both ratios are single IEEE divisions of exact counts. Scale: one
+    * map-side-combinable aggregate to a (types × 7)-sized table; the
+    * per-type totals come from re-aggregating those rows, not a second
+    * corpus pass. */
+  val q185 = Q(
+    "q185_dow_profile",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val counts = Tables.load(s, d, "events")
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      counts.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          (col("n").cast(DoubleType) / col("n_type").cast(DoubleType))
+            .as("share"),
+          ((col("n") * 7L).cast(DoubleType)
+            / col("n_type").cast(DoubleType)).as("uniform_lift"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+      ), t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+        FROM c GROUP BY event_type
+      )
+      SELECT event_type, dow, n,
+             CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE) AS share,
+             CAST(n * 7 AS DOUBLE) / CAST(n_type AS DOUBLE)
+               AS uniform_lift
+      FROM c JOIN t USING (event_type)
+      ORDER BY event_type, dow"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171, q175, q176)
+      q148, q149, q150, q154, q160, q171, q175, q176, q185)
 }

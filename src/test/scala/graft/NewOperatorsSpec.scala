@@ -2265,4 +2265,91 @@ class NewOperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q182 checksum: content-only — row order and partitioning invariant") {
+    val base = graft.queries.Curation.q182.run(spark, sf001).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("n_rows"),
+        r.getAs[java.math.BigDecimal]("fingerprint")))
+    assert(base.length == 2 && base.map(_._1).toSeq ==
+      Seq("documents", "orders"))
+    base.foreach { case (_, n, fp) => assert(n > 0 && fp.signum > 0) }
+    // recompute the orders fingerprint from a reshuffled, re-ordered
+    // copy of the table — identical digest proves order independence
+    val reshuffled = Tables.load(spark, sf001, "orders")
+      .repartition(7, col("o_custkey"))
+      .sortWithinPartitions(col("o_totalprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q182")
+    try {
+      reshuffled.write.mode("overwrite")
+        .parquet(dir.resolve("orders.parquet").toString)
+      Tables.load(spark, sf001, "documents").write.mode("overwrite")
+        .parquet(dir.resolve("documents.parquet").toString)
+      val again = graft.queries.Curation.q182.run(spark, dir.toString)
+        .collect().map(r => (r.getAs[String]("table_name"),
+          r.getAs[java.math.BigDecimal]("fingerprint")))
+      assert(again.toSeq == base.map(t => (t._1, t._3)).toSeq,
+        "fingerprint must be invariant to row order and partitioning")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q183 ordered string agg: cells ordered by revenue, 3 per priority") {
+    val rows = graft.queries.Olap.q183.run(spark, sf001).collect()
+    assert(rows.length == 5)
+    // replay the ranking from the raw tables
+    val perNat = Tables.load(spark, sf001, "orders")
+      .join(Tables.load(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_orderpriority"), col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_c"))
+      .collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    rows.foreach { r =>
+      val expect = perNat(r.getAs[String]("o_orderpriority"))
+        .sortBy(x => (-x.getAs[Long]("rev_c"), x.getAs[String]("n_name")))
+        .take(3).map(_.getAs[String]("n_name")).mkString(",")
+      assert(r.getAs[String]("top_nations") == expect,
+        s"cell must list the top-3 nations in rank order")
+    }
+  }
+
+  test("q184 bm25: score bounds and df/tf consistency") {
+    val rows = graft.queries.Text.q184.run(spark, sf001).collect()
+    assert(rows.length == 20)
+    // idf_odds ≤ 2D+1 per term, tf_norm < 44/20; with 5 query terms the
+    // score is bounded by 5 · (2D+1) · 2.2 — loose, but a real invariant
+    val dDocs = Tables.load(spark, sf001, "documents").count()
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      val hits = r.getAs[Long]("n_hit_terms")
+      assert(hits >= 1 && hits <= 5)
+      assert(sc > 0.0 && sc < 5.0 * (2.0 * dDocs + 1) * 2.2)
+    }
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q185 dow profile: shares sum to 1 per type, lift centers on 1") {
+    val rows = EventStream.q185.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.length <= 7, s"$t has more than 7 weekdays")
+      assert(rs.forall(r => (0L to 6L).contains(r.getAs[Long]("dow"))))
+      val shares = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shares - 1.0) < 1e-9, s"$t shares sum to $shares")
+      // mean lift over PRESENT days ≥ 1 only when all 7 present; the
+      // weighted identity Σ share·lift… keep the hard identity instead:
+      val n = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach { r =>
+        val lift = r.getAs[Double]("uniform_lift")
+        assert(lift == r.getAs[Long]("n").toDouble * 7.0 / n.toDouble)
+      }
+    }
+  }
 }
