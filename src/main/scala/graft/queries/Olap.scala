@@ -2462,9 +2462,173 @@ object Olap {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** q186: interpolated percentiles (the PERCENTILE_CONT / quantile_cont
+    * semantic, vs the DISC/positional family q04/q05/q115 already pin):
+    * per order priority, linearly interpolated p25/p50/p75 of the order
+    * total. The interpolation is EXACT RATIONAL arithmetic: with
+    * h = (n−1)·p/100, lo = ⌊h⌋ and the fractional part rem/100, the
+    * answer is (100·c_lo + rem·(c_hi − c_lo)) / 10000 — integer cents
+    * throughout, ONE IEEE division at the end — so the cross-engine
+    * hazard in native quantile_cont (engine-specific double h and
+    * two-rounding interpolation) never arises; the oracle replays the
+    * same positional arithmetic. Selection by position needs only the
+    * cents order (ties collapse to equal values), rn's orderkey
+    * tiebreak just makes the window total. Scale: per-group sort, the
+    * q04 discipline (ApproxPercentileRewrite is the stated 100-TB
+    * path, SURVEY §7.6). */
+  val q186 = Q(
+    "q186_percentile_cont",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+          Det.cents(col("o_totalprice")).as("c"))
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("c"), col("o_orderkey"))
+      val r = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+      def leg(p: Int): Seq[org.apache.spark.sql.Column] = Seq(
+        max(when(expr(s"rn = (n - 1) * $p div 100 + 1"), col("c")))
+          .as(s"lo_$p"),
+        max(when(expr(s"rn = (n - 1) * $p div 100 + 2"), col("c")))
+          .as(s"hi_$p"))
+      val agg = r.groupBy(col("pri"))
+        .agg(max(col("n")).as("n"),
+          (leg(25) ++ leg(50) ++ leg(75)): _*)
+      def interp(p: Int): org.apache.spark.sql.Column = {
+        val rem = expr(s"(n - 1) * $p % 100")
+        ((lit(100L) * col(s"lo_$p")
+          + rem * (coalesce(col(s"hi_$p"), col(s"lo_$p")) - col(s"lo_$p")))
+          .cast(DoubleType) / lit(10000.0)).as(s"p$p")
+      }
+      agg.select(col("pri"), col("n"), interp(25), interp(50), interp(75))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+      ), r AS (
+        SELECT pri, c,
+               row_number() OVER (PARTITION BY pri ORDER BY c, o_orderkey)
+                 AS rn,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM o
+      ), agg AS (
+        SELECT pri, max(n) AS n,
+               max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN c END)
+                 AS lo_25,
+               max(CASE WHEN rn = (n - 1) * 25 // 100 + 2 THEN c END)
+                 AS hi_25,
+               max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN c END)
+                 AS lo_50,
+               max(CASE WHEN rn = (n - 1) * 50 // 100 + 2 THEN c END)
+                 AS hi_50,
+               max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN c END)
+                 AS lo_75,
+               max(CASE WHEN rn = (n - 1) * 75 // 100 + 2 THEN c END)
+                 AS hi_75
+        FROM r GROUP BY pri
+      )
+      SELECT pri, n,
+             CAST(100 * lo_25 + ((n - 1) * 25 % 100)
+                  * (coalesce(hi_25, lo_25) - lo_25) AS DOUBLE)
+               / CAST(10000 AS DOUBLE) AS p25,
+             CAST(100 * lo_50 + ((n - 1) * 50 % 100)
+                  * (coalesce(hi_50, lo_50) - lo_50) AS DOUBLE)
+               / CAST(10000 AS DOUBLE) AS p50,
+             CAST(100 * lo_75 + ((n - 1) * 75 % 100)
+                  * (coalesce(hi_75, lo_75) - lo_75) AS DOUBLE)
+               / CAST(10000 AS DOUBLE) AS p75
+      FROM agg ORDER BY pri"""))
+
+  /** q188: Pearson correlation matrix (the ClickHouse corr() / stats
+    * capability) between quantity, price, and discount per return flag —
+    * computed from EXACT integer moments, with variable scaling chosen so
+    * every product of sums stays under 2^63 through sf1.0 (price in
+    * 10^5-cent units ≤ ~500, qty ≤ 50, discount in basis points ≤ 10;
+    * the 100-TB path lifts the moments to DECIMAL(38,0), same algebra).
+    * corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) — the
+    * integer numerators convert exactly-rounded to double, sqrt is
+    * IEEE-required correctly rounded, and the op ORDER √a·√b (never
+    * √(a·b), whose product overflows) is identical in both engines, so
+    * all three coefficients are bit-identical. One map-side-combinable
+    * aggregate; zero-variance groups yield NULL by the guard, not ±Inf. */
+  val q188 = Q(
+    "q188_corr_matrix",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_quantity")).cast(LongType).as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000")
+            .as("y"),
+          Det.cents(col("l_discount")).as("z"))
+      val m = li.groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def corr(sab: String, sa: String, sb: String,
+          saa: String, sbb: String): org.apache.spark.sql.Column = {
+        val num = (col("n") * col(sab) - col(sa) * col(sb))
+          .cast(DoubleType)
+        val va = (col("n") * col(saa) - col(sa) * col(sa))
+        val vb = (col("n") * col(sbb) - col(sb) * col(sb))
+        when(va > 0L && vb > 0L,
+          num / (sqrt(va.cast(DoubleType)) * sqrt(vb.cast(DoubleType))))
+      }
+      m.select(col("flag"), col("n"),
+          corr("sxy", "sx", "sy", "sxx", "syy").as("corr_qty_price"),
+          corr("sxz", "sx", "sz", "sxx", "szz").as("corr_qty_disc"),
+          corr("syz", "sy", "sz", "syy", "szz").as("corr_price_disc"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS y,
+               CAST(round(l_discount * 100) AS BIGINT) AS z
+        FROM lineitem
+      ), m AS (
+        SELECT flag, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz
+        FROM v GROUP BY flag
+      )
+      SELECT flag, n,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS corr_qty_price,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * szz - sz * sz > 0
+               THEN CAST(n * sxz - sx * sz AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))
+             END AS corr_qty_disc,
+             CASE WHEN n * syy - sy * sy > 0 AND n * szz - sz * sz > 0
+               THEN CAST(n * syz - sy * sz AS DOUBLE)
+                 / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                    * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))
+             END AS corr_price_disc
+      FROM m ORDER BY flag"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
-      q177, q178, q179, q180, q181, q183)
+      q177, q178, q179, q180, q181, q183, q186, q188)
 }

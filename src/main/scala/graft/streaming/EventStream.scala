@@ -2151,8 +2151,78 @@ object EventStream {
       FROM c JOIN t USING (event_type)
       ORDER BY event_type, dow"""))
 
+  /** q187: session entry/exit analysis — the landing/exit-page report
+    * every product-analytics stack ships: per (entry event type, exit
+    * event type) pair, session count, bounce count (single-event
+    * sessions, where entry ≡ exit by construction), and share of all
+    * sessions. Built on the SHARED sessionization ([[sessionizedEvents]],
+    * same 30-min-gap state q33/q129/q160 use); entry/exit picked by a
+    * per-session min/max over the (ts, event_id) total order via ONE
+    * sorted-struct aggregate — sessions are gap-bounded small, so no
+    * skewed window exists. The fixture's ~1-event sessions make bounce
+    * dominate — reported, not hidden (the q160 thin-funnel discipline).
+    * Scale: the q33 per-user shuffle + one pair-space-sized aggregate. */
+  val q187 = Q(
+    "q187_entry_exit",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val per = sessionizedEvents(Tables.load(s, d, "events"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"))
+      val pairs = per.groupBy(col("entry_type"), col("exit_type"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounce"))
+      val tot = pairs.agg(sum(col("n_sessions")).as("n_total"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+          col("n_bounce"),
+          (col("n_sessions").cast(DoubleType)
+            / col("n_total").cast(DoubleType)).as("share"))
+        .orderBy(col("entry_type"), col("exit_type"))
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), per AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               (list(event_type ORDER BY ts, event_id))[1] AS entry_type,
+               (list(event_type ORDER BY ts DESC, event_id DESC))[1]
+                 AS exit_type
+        FROM numbered GROUP BY user_id, session_id
+      ), pairs AS (
+        SELECT entry_type, exit_type, count(*) AS n_sessions,
+               CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounce
+        FROM per GROUP BY entry_type, exit_type
+      )
+      SELECT entry_type, exit_type, n_sessions, n_bounce,
+             CAST(n_sessions AS DOUBLE)
+               / CAST((SELECT sum(n_sessions) FROM pairs) AS DOUBLE)
+               AS share
+      FROM pairs
+      ORDER BY entry_type, exit_type"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171, q175, q176, q185)
+      q148, q149, q150, q154, q160, q171, q175, q176, q185, q187)
 }

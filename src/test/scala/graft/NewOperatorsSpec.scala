@@ -2352,4 +2352,81 @@ class NewOperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q186 percentile_cont: bit-exact vs driver-side interpolation replay") {
+    val rows = graft.queries.Olap.q186.run(spark, sf001).collect()
+    val byPri = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("c")).sorted }
+    assert(rows.length == byPri.size)
+    rows.foreach { r =>
+      val cs = byPri(r.getAs[String]("pri"))
+      val n = cs.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      def interp(p: Int): Double = {
+        val lo = ((n - 1) * p / 100).toInt
+        val rem = (n - 1) * p % 100
+        val hi = if (lo + 1 < n) cs(lo + 1) else cs(lo)
+        (100L * cs(lo) + rem * (hi - cs(lo))).toDouble / 10000.0
+      }
+      for ((pc, col0) <- Seq(25 -> "p25", 50 -> "p50", 75 -> "p75"))
+        assert(r.getAs[Double](col0) == interp(pc),
+          s"${r.getAs[String]("pri")} $col0 must replay bit-exact")
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50")
+        && r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+    }
+  }
+
+  test("q187 entry/exit: session conservation, bounce implies entry=exit") {
+    val rows = EventStream.q187.run(spark, sf001).collect()
+    val nSessions = EventStream.sessionBounds(
+      Tables.load(spark, sf001, "events")).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == nSessions,
+      "pair census must conserve sessions")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bounce") <= r.getAs[Long]("n_sessions"))
+      if (r.getAs[String]("entry_type") != r.getAs[String]("exit_type"))
+        assert(r.getAs[Long]("n_bounce") == 0L,
+          "a single-event session cannot have entry != exit")
+    }
+    assert(rows.map(_.getAs[Long]("n_bounce")).sum > 0,
+      "fixture's short sessions must produce bounces")
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("q188 corr: bit-exact vs driver moment replay, |r| <= 1") {
+    val rows = graft.queries.Olap.q188.run(spark, sf001).collect()
+    val data = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000")
+          .as("y"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("z"))
+      .collect().groupBy(_.getAs[String]("f"))
+    rows.foreach { r =>
+      val rs = data(r.getAs[String]("flag"))
+      val n = rs.length.toLong
+      def s(g: org.apache.spark.sql.Row => Long) = rs.map(g).sum
+      val (sx, sy, sz) = (s(_.getAs[Long]("x")), s(_.getAs[Long]("y")),
+        s(_.getAs[Long]("z")))
+      def corr(sab: Long, sa: Long, sb: Long, saa: Long, sbb: Long) = {
+        val (va, vb) = (n * saa - sa * sa, n * sbb - sb * sb)
+        (n * sab - sa * sb).toDouble /
+          (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble))
+      }
+      val sxy = rs.map(q => q.getAs[Long]("x") * q.getAs[Long]("y")).sum
+      val sxx = rs.map(q => q.getAs[Long]("x") * q.getAs[Long]("x")).sum
+      val syy = rs.map(q => q.getAs[Long]("y") * q.getAs[Long]("y")).sum
+      val got = r.getAs[Double]("corr_qty_price")
+      assert(got == corr(sxy, sx, sy, sxx, syy), "must replay bit-exact")
+      Seq("corr_qty_price", "corr_qty_disc", "corr_price_disc").foreach {
+        c => if (!r.isNullAt(r.fieldIndex(c)))
+          assert(math.abs(r.getAs[Double](c)) <= 1.0)
+      }
+    }
+  }
 }
