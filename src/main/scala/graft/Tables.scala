@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table loaders.
   *
@@ -21,14 +21,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, table))
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
-    // for; sessions set spark.sql.legacy.parquet.nanosAsLong, and we restore
-    // a microsecond TimestampType here (truncation — same as DuckDB's
-    // TIMESTAMP_NS → TIMESTAMP cast, keeping the oracle comparable).
-    if (table == "events" &&
-      df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts normalizes to microsecond TimestampType whatever the fixture
+    // generation wrote: TIMESTAMP(NANOS) parquet reads back as Long under
+    // spark.sql.legacy.parquet.nanosAsLong (truncate to micros — same as
+    // DuckDB's TIMESTAMP_NS → TIMESTAMP cast); plain timestamp[us] with
+    // isAdjustedToUTC=false reads back as TIMESTAMP_NTZ (cast is an exact
+    // relabel under the UTC session timezone both engines pin).
+    df.schema.fields.find(f => table == "events" && f.name == "ts")
+      .map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Session config every entry point (Verify/Bench/tests) must apply. */
