@@ -836,6 +836,12 @@ object Sim {
             remaining.join(mx, Seq("qid", "cid"), "left_outer")
               .withColumn("max_sel", coalesce(col("max_sel"), lit(0.0)))
           }
+        // localCheckpoint (not persist): each round's winner is ≤ one row
+        // per query, but WITHOUT lineage truncation round t's plan nests
+        // all t−1 previous rounds' joins+windows — Catalyst re-analysis
+        // of the unrolled DAG dominated the runtime (the q68/Components
+        // lesson applied to a greedy-selection loop). Checkpointing the
+        // tiny winner frame keeps every round's plan O(1).
         val winner = withMax
           .withColumn("score",
             lit(0.5) * col("sim_q") - lit(0.5) * col("max_sel"))
@@ -844,7 +850,7 @@ object Sim {
               .orderBy(desc("score"), col("cid"))))
           .filter(col("rn") === 1)
           .select(col("qid"), lit(t).as("rank"), col("cid"), col("score"))
-          .persistTracked()
+          .localCheckpoint()
         selected = if (selected == null) winner else selected.unionAll(winner)
         out = selected
       }
