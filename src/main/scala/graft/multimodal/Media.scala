@@ -186,7 +186,9 @@ object MediaDecoder {
       FROM frames
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(q32, q58, ImageCodec.q116, AudioCodec.q117)
+  val all: Seq[Q] = Seq(
+    q32, q58, ImageCodec.q116, AudioCodec.q117,
+    MediaFingerprint.q189, MediaFingerprint.q190)
 }
 
 /** REAL audio decode: deterministic PCM-16 waveforms — a pure function of
@@ -472,4 +474,221 @@ object ImageCodec {
                AS half_md5
       FROM pooled
       ORDER BY doc_id"""))
+}
+
+/** Media DEDUP over decoded payloads — the step after decode in a
+  * multimodal training-data pipeline: perceptual-hash image near-dup
+  * (q189) and frame-energy audio fingerprint dedup (q190). Both hash
+  * REAL decoder output ([[ImageCodec]] PNG via javax.imageio,
+  * [[AudioCodec]] WAV via javax.sound.sampled), and both oracles replay
+  * the raster/waveform arithmetic and the NAIVE pair search in DuckDB,
+  * so a hash match proves (a) the codec round-trip and (b) that the
+  * banded candidate generation loses no pair the exhaustive scan finds —
+  * the same banding-vs-naive differential discipline as q24/q29.
+  *
+  * Scale note: the fixture hash is 16-bit (a 4×4 luminance grid —
+  * anything finer is degenerate on ≤8×5 fixture rasters); a production
+  * corpus uses the identical plan with a 64-bit hash over an 8×8 grid,
+  * which only tightens the band buckets. The shape — decode → fixed-size
+  * fingerprint → pigeonhole band join → popcount verify — is the
+  * crawl-scale image-dedup pipeline (the SimHash/q29 geometry applied to
+  * pixels instead of shingles).
+  */
+object MediaFingerprint {
+
+  /** Radius-2 Hamming neighbourhood on a 16-bit hash, 3 bands of
+    * 6/5/5 bits: two differing bits touch at most two bands, so every
+    * qualifying pair agrees EXACTLY on ≥1 band (pigeonhole) — band
+    * equality is a lossless candidate filter. */
+  val Threshold = 2
+
+  /** Decode the doc's PNG with the real codec and aHash it: sample a
+    * 4×4 luminance grid (nearest-neighbour, integer index math), bit i
+    * set iff 16·l_i > Σl (strict — ties are 0 in both engines). */
+  def phashOf(docId: Long): Long = {
+    val (w, h, pix) = ImageCodec.decode(ImageCodec.encode(docId))
+    val ls = new Array[Long](16)
+    var gy = 0
+    while (gy < 4) {
+      var gx = 0
+      while (gx < 4) {
+        val base = ((gy * h / 4) * w + (gx * w / 4)) * 3
+        // integer Rec.601-ish luminance: (77R + 151G + 28B) / 256
+        ls(gy * 4 + gx) =
+          (77L * pix(base) + 151L * pix(base + 1) + 28L * pix(base + 2)) / 256
+        gx += 1
+      }
+      gy += 1
+    }
+    val total = ls.sum
+    var fp = 0L
+    var i = 0
+    while (i < 16) {
+      if (16L * ls(i) > total) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  /** q189: image near-dup via perceptual hash. Per doc: real PNG
+    * decode → 16-bit aHash → banded self-join (6/5/5-bit bands) →
+    * xor+popcount Hamming ≤ 2 verify → per-doc neighbour count. The
+    * oracle replays the luminance arithmetically AND counts neighbours
+    * with the naive all-pairs scan, so a hash match proves the banding
+    * lossless at the oracle SF. */
+  val q189 = Q(
+    "q189_image_phash",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val fps = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, phashOf(id))))
+        .toDF("doc_id", "phash")
+        .persistTracked()
+      val bands = fps.select(
+          col("doc_id"), col("phash"),
+          posexplode(array(
+            col("phash").bitwiseAND(lit(63L)),
+            shiftright(col("phash"), 6).bitwiseAND(lit(31L)),
+            shiftright(col("phash"), 11).bitwiseAND(lit(31L)))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bv")
+      val pairs = bands
+        .select(col("band"), col("bv"),
+          col("doc_id").as("da"), col("phash").as("pa"))
+        .join(bands.select(col("band"), col("bv"),
+          col("doc_id").as("db"), col("phash").as("pb")),
+          Seq("band", "bv"))
+        .filter(col("da") < col("db"))
+        .select("da", "db", "pa", "pb").distinct()
+        .filter(expr(s"bit_count(pa ^ pb) <= $Threshold"))
+      val nbr = pairs.select(col("da").as("doc_id"))
+        .unionAll(pairs.select(col("db").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+      fps.join(nbr, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("phash"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS BIGINT) AS w,
+               CAST(1 + doc_id % 5 AS BIGINT) AS h
+        FROM documents
+      ), lum AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), i ->
+            (77 * ((doc_id * 7 + ((i // 4) * h // 4) * 31
+                    + ((i % 4) * w // 4) * 13) % 256)
+             + 151 * ((doc_id * 11 + ((i // 4) * h // 4) * 17
+                       + ((i % 4) * w // 4) * 5) % 256)
+             + 28 * ((doc_id * 3 + ((i // 4) * h // 4) * 23
+                      + ((i % 4) * w // 4) * 29) % 256)) // 256) AS ls
+        FROM base
+      ), hashed AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 16), i ->
+            CASE WHEN 16 * ls[i + 1] > list_sum(ls)
+                 THEN 1 << i ELSE 0 END)) AS BIGINT) AS phash
+        FROM lum
+      ), pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM hashed a JOIN hashed b
+          ON a.doc_id < b.doc_id
+         AND bit_count(xor(a.phash, b.phash)) <= 2
+      ), nbr AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+          SELECT da AS doc_id FROM pairs
+          UNION ALL SELECT db FROM pairs)
+        GROUP BY doc_id
+      )
+      SELECT h.doc_id, h.phash,
+             CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+      FROM hashed h LEFT JOIN nbr n USING (doc_id)
+      ORDER BY h.doc_id"""))
+
+  /** Frame-energy audio fingerprint: decode the doc's WAV with the
+    * real codec, split into 8 integer-bounded frames, bit f set iff
+    * 8·E_f > ΣE (E = Σ sample², exact BIGINT). */
+  def audioFpOf(docId: Long): (Long, Int, Long) = {
+    val (_, _, samples) = AudioCodec.decode(AudioCodec.encode(docId))
+    val n = samples.length
+    val energies = new Array[Long](8)
+    var f = 0
+    while (f < 8) {
+      var i = f * n / 8
+      val end = (f + 1) * n / 8
+      var e = 0L
+      while (i < end) {
+        val v = samples(i).toLong
+        e += v * v
+        i += 1
+      }
+      energies(f) = e
+      f += 1
+    }
+    val total = energies.sum
+    var fp = 0L
+    f = 0
+    while (f < 8) {
+      if (8L * energies(f) > total) fp |= (1L << f)
+      f += 1
+    }
+    (fp, n, total)
+  }
+
+  /** q190: audio dedup face — per doc the 8-bit frame-energy
+    * fingerprint plus its exact-match group size (grouped count joined
+    * back: the "how many tracks share this acoustic profile" report).
+    * The oracle replays the waveform, the framing (integer bounds
+    * f·n/8), the energies and the grouping arithmetically. */
+  val q190 = Q(
+    "q190_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val fps = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (fp, n, te) = audioFpOf(id)
+          (id, fp, n, te)
+        })
+        .toDF("doc_id", "fp", "n_samples", "total_energy")
+        .persistTracked()
+      val groups = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("group_n"))
+      fps.join(groups, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("n_samples"),
+          col("total_energy"), col("group_n"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, CAST(64 + doc_id % 129 AS BIGINT) AS n
+        FROM documents
+      ), fr AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 8), f ->
+            list_sum(list_transform(
+              list_transform(range(f * n // 8, (f + 1) * n // 8),
+                i -> (doc_id * 31 + i * 17) % 65536 - 32768),
+              v -> v * v))) AS energies
+        FROM base
+      ), fpt AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 8), f ->
+            CASE WHEN 8 * energies[f + 1] > list_sum(energies)
+                 THEN 1 << f ELSE 0 END)) AS BIGINT) AS fp,
+          CAST(n AS INTEGER) AS n_samples,
+          CAST(list_sum(energies) AS BIGINT) AS total_energy
+        FROM fr
+      ), grp AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS group_n
+        FROM fpt GROUP BY fp
+      )
+      SELECT t.doc_id, t.fp, t.n_samples, t.total_energy, g.group_n
+      FROM fpt t JOIN grp g USING (fp)
+      ORDER BY t.doc_id"""))
 }

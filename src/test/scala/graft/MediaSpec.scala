@@ -125,4 +125,69 @@ class MediaSpec extends SparkSpec {
       case (s, i) => s == AudioCodec.sample(42L, i)
     })
   }
+
+  test("q189 phash: banded neighbour counts == naive all-pairs replay") {
+    import graft.multimodal.{ImageCodec, MediaFingerprint}
+    val got = MediaFingerprint.q189.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // independent phash replay from the raster ARITHMETIC (px/dims),
+    // bypassing the codec path the query uses
+    def replay(id: Long): Long = {
+      val (w, h) = ImageCodec.dims(id)
+      val ls = for (gy <- 0 until 4; gx <- 0 until 4) yield {
+        val (r, g, b) = ImageCodec.px(id, gx * w / 4, gy * h / 4)
+        (77L * r + 151L * g + 28L * b) / 256
+      }
+      val total = ls.sum
+      ls.zipWithIndex.map {
+        case (l, i) => if (16L * l > total) 1L << i else 0L
+      }.sum
+    }
+    val fps = got.map { case (id, _, _) => id -> replay(id) }
+    got.foreach { case (id, ph, _) =>
+      assert(ph == replay(id), s"doc $id phash != arithmetic replay")
+    }
+    // naive O(n²) neighbour counts — the banding must lose no pair
+    val naive = fps.map { case (id, ph) =>
+      id -> fps.count { case (oid, oph) =>
+        oid != id &&
+          java.lang.Long.bitCount(ph ^ oph) <= MediaFingerprint.Threshold
+      }.toLong
+    }.toMap
+    got.foreach { case (id, _, n) =>
+      assert(n == naive(id), s"doc $id n_near $n != naive ${naive(id)}")
+    }
+  }
+
+  test("q190 audio fp: arithmetic replay + group-size conservation") {
+    import graft.multimodal.{AudioCodec, MediaFingerprint}
+    val got = MediaFingerprint.q190.run(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    def replay(id: Long): (Long, Int, Long) = {
+      val n = AudioCodec.nSamples(id)
+      val energies = (0 until 8).map { f =>
+        (f * n / 8 until (f + 1) * n / 8)
+          .map { i => val v = AudioCodec.sample(id, i).toLong; v * v }.sum
+      }
+      val total = energies.sum
+      val fp = energies.zipWithIndex.map {
+        case (e, f) => if (8L * e > total) 1L << f else 0L
+      }.sum
+      (fp, n, total)
+    }
+    got.foreach { case (id, fp, n, te, _) =>
+      assert((fp, n, te) == replay(id), s"doc $id fingerprint replay")
+    }
+    // group sizes: conserve the population and match the actual groups
+    val byFp = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (id, fp, _, _, gn) =>
+      assert(gn == byFp(fp), s"doc $id group_n")
+    }
+    assert(byFp.values.sum == got.length.toLong)
+  }
 }
