@@ -2626,9 +2626,150 @@ object Olap {
              END AS corr_price_disc
       FROM m ORDER BY flag"""))
 
+  /** q192: BFS levels (bounded-hop reachability) over the q167
+    * co-purchase graph — "everything within 3 hops of a seed part",
+    * the graph primitive behind recall expansion / related-item
+    * candidate generation. The distributed shape is frontier
+    * iteration: per round, join the frontier against the adjacency
+    * list, anti-join out already-visited vertices, checkpoint the
+    * (vertex, level) ledger (the q68/q157 lineage-truncation
+    * discipline — each round's plan stays O(1)). The ORACLE is a
+    * DuckDB `WITH RECURSIVE` walk capped at the same depth with
+    * min-level read-off — a hash match proves the iterative
+    * DataFrame loop equals the recursive-SQL semantics cross-engine
+    * (the same loop-vs-recursion differential as q102/q157). Scale:
+    * each round is one edge-sized equi-join + a visited anti-join;
+    * no vertex ever holds more than its (vertex, level) row, and the
+    * frontier is data-partitioned — the textbook Pregel superstep as
+    * plain DataFrames. */
+  val q192 = Q(
+    "q192_bfs_levels",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val und = op.groupBy(col("l_orderkey"))
+        .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("a"), col("b"))
+      val adj = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+        .persistTracked()
+      val source = adj.agg(min(col("src"))).first().getLong(0)
+      var levels = Seq((source, 0))
+        .toDF("part_key", "bfs_level").localCheckpoint()
+      var frontier = levels
+      for (l <- 1 to 3) {
+        val next = frontier
+          .join(adj, col("part_key") === col("src"))
+          .select(col("dst").as("part_key")).distinct()
+          .join(levels.select(col("part_key")), Seq("part_key"),
+            "left_anti")
+          .withColumn("bfs_level", lit(l))
+          .localCheckpoint()
+        levels = levels.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+      levels.orderBy(col("part_key"))
+    },
+    Some("""
+      WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM op x JOIN op y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), adj AS (
+        SELECT a AS src, b AS dst FROM e
+        UNION ALL
+        SELECT b AS src, a AS dst FROM e
+      ), walk AS (
+        SELECT (SELECT min(src) FROM adj) AS v, 0 AS lvl
+        UNION
+        SELECT adj.dst AS v, walk.lvl + 1 AS lvl
+        FROM walk JOIN adj ON adj.src = walk.v
+        WHERE walk.lvl < 3
+      )
+      SELECT v AS part_key, CAST(min(lvl) AS INTEGER) AS bfs_level
+      FROM walk GROUP BY v ORDER BY part_key"""))
+
+  /** q193: largest-remainder proration — allocate a fixed integer
+    * budget (1,000,003 cents — deliberately not round) across
+    * customer nations proportionally to exact revenue, with the
+    * classic Hamilton rounding: every nation gets ⌊B·rev/total⌋, and
+    * the leftover cents go one each to the largest fractional
+    * remainders (nation-name tiebreak). Pure BIGINT arithmetic —
+    * B·rev ≤ 10⁶·Σcents stays far under 2⁶³ — so both engines agree
+    * bit for bit; the invariant Σ alloc = B is what the spec pins.
+    * Scale: the fact scan pays one grouped shuffle; floors, ranks and
+    * the remainder hand-out all run on the nation-count-sized (≤25
+    * row, dimension-BOUNDED) aggregate — the one place a bare
+    * `Window.orderBy` is legitimate. */
+  val q193 = Q(
+    "q193_budget_proration",
+    (s, d) => {
+      val rev = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("c"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(sum(col("c")).as("rev_c"))
+      val withTot = rev.crossJoin(broadcast(
+          rev.agg(sum(col("rev_c")).as("tot"))))
+        .withColumn("floor_c", expr("1000003 * rev_c div tot"))
+        .withColumn("rem", expr("1000003 * rev_c % tot"))
+      val leftover = withTot.agg(
+        (lit(1000003L) - sum(col("floor_c"))).as("leftover"))
+      withTot.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("rem"), col("n_name"))))
+        .select(col("n_name"), col("rev_c"),
+          (col("floor_c") +
+            when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+            .as("alloc_c"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      ), base AS (
+        SELECT n_name, rev_c,
+               1000003 * rev_c // (SELECT sum(rev_c) FROM rev) AS floor_c,
+               1000003 * rev_c % (SELECT sum(rev_c) FROM rev) AS rem
+        FROM rev
+      ), ranked AS (
+        SELECT n_name, rev_c, floor_c,
+               row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+               (SELECT 1000003 - sum(floor_c) FROM base) AS leftover
+        FROM base
+      )
+      SELECT n_name, rev_c,
+             CAST(floor_c + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_c
+      FROM ranked ORDER BY n_name"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
-      q177, q178, q179, q180, q181, q183, q186, q188)
+      q177, q178, q179, q180, q181, q183, q186, q188, q192, q193)
 }

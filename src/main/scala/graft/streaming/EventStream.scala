@@ -484,7 +484,10 @@ object EventStream {
     * agree with the manual running-sum sessionizer (q33) on sessions per
     * user, closing the loop between the three sessionization faces:
     * manual window algebra (q33), explicit streaming state
-    * (sessionizeStream), and the engine primitive (this). */
+    * (sessionizeStream), and the engine primitive (this). Boundary:
+    * session_window's merge end is INCLUSIVE (a gap of exactly 30:00
+    * merges — the NewOperatorsSpec q191 probe pins it), so the replay's
+    * split rule is strict `>`, identical to q33's. */
   val q44 = Q(
     "q44_session_window",
     (s, d) =>
@@ -504,7 +507,7 @@ object EventStream {
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
                     WHEN epoch_us(CAST(ts AS TIMESTAMP))
                          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
-                         >= 1800000000 THEN true
+                         > 1800000000 THEN true
                     ELSE false END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2221,8 +2224,65 @@ object EventStream {
       FROM pairs
       ORDER BY entry_type, exit_type"""))
 
+  /** q191: the native session_window SESSION LEDGER — where q44 uses
+    * the primitive for per-user session counts, this emits the full
+    * per-session frame (user, start, end = last event + gap, event
+    * count, exact value sum): the session table every downstream
+    * behavioral query joins against. Same 30-minute gap rule INCLUDING
+    * the boundary:
+    * session_window's merge end is inclusive, so a gap of exactly
+    * 30:00.000000 merges — identical to q33's `gap > 30min` split rule
+    * (asserted by the NewOperatorsSpec boundary probe; the replay
+    * uses the same `>`). Output is the session ledger (user, start,
+    * end = last event + gap, n, exact value sum). Scale:
+    * session_window is a single grouped aggregation
+    * (codegen'd merging agg, no window-function sort barrier), the
+    * operator a 100 TB event log wants; the same expression works
+    * unchanged under `readStream` + watermark. */
+  val q191 = Q(
+    "q191_session_window_native",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("s_start")),
+    Some(s"""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      )
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events,
+             ${Det.dsumSql("value")} AS sum_value
+      FROM numbered
+      GROUP BY user_id, session_id
+      ORDER BY user_id, s_start"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171, q175, q176, q185, q187)
+      q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191)
 }

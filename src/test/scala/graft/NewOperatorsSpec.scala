@@ -2429,4 +2429,72 @@ class NewOperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q191 session_window: exact-gap boundary MERGES (inclusive end)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.session_window
+    // three events: 0s, exactly +30:00 (merges — session_window's merge
+    // boundary is INCLUSIVE, same as q33's `>` rule), then +30:00+1µs
+    // after the second (strictly past the gap — a new session)
+    val ev = Seq(0L, 1800000000L, 3600000001L)
+      .toDF("us")
+      .select(lit(7L).as("user_id"),
+        expr("timestamp_micros(us)").as("ts"), lit(1.0).as("value"))
+    val got = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .count().orderBy(col("sw.start")).collect()
+    assert(got.length == 2, s"expected 2 sessions, got ${got.length}")
+    assert(got(0).getAs[Long]("count") == 2L)
+    assert(got(1).getAs[Long]("count") == 1L)
+    // and the full-fixture ledger conserves events
+    val ledger = graft.streaming.EventStream.q191.run(spark, sf001)
+    val n = ledger.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .first().getLong(0)
+    assert(n == Tables.load(spark, sf001, "events").count())
+  }
+
+  test("q192 BFS: source at level 0, levels = driver BFS replay") {
+    val rows = graft.queries.Olap.q192.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.values.count(_ == 0) == 1, "exactly one source")
+    // independent driver-side BFS over an independently built edge set
+    val op = Tables.load(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = op.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }
+    // NOTE: .keys, not .collect{... => p}: collect on a Map producing
+    // Tuple2s rebuilds a MAP, silently collapsing all edges that share a
+    // first element to one entry per key
+    val edges = pairs.groupBy(identity)
+      .filter(_._2.size >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val source = adj.keys.min
+    var lvl = Map(source -> 0)
+    var frontier = Set(source)
+    for (l <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(lvl.contains)
+      lvl = lvl ++ frontier.map(_ -> l)
+    }
+    assert(rows == lvl, "BFS levels must equal the driver replay")
+  }
+
+  test("q193 proration: allocations conserve the exact budget") {
+    val rows = graft.queries.Olap.q193.run(spark, sf001).collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getAs[Long]("alloc_c")).sum
+    assert(total == 1000003L, s"sum(alloc_c)=$total must equal the budget")
+    // every allocation is floor or floor+1 of the proportional share
+    val revTot = rows.map(_.getAs[Long]("rev_c")).sum
+    rows.foreach { r =>
+      val fl = 1000003L * r.getAs[Long]("rev_c") / revTot
+      val a = r.getAs[Long]("alloc_c")
+      assert(a == fl || a == fl + 1, s"${r.getString(0)}: $a vs floor $fl")
+    }
+  }
 }
