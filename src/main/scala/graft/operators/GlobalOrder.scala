@@ -58,6 +58,52 @@ object GlobalOrder {
       .drop(pidCol, vCol, "_graft_cumin", "offset")
   }
 
+  /** Adds `outCol` = EXCLUSIVE global running MAX of `value` in the
+    * total order given by `order` (max over all strictly-earlier rows;
+    * the first row gets Long.MinValue). Same range-partition shape as
+    * [[withOrderedCumsum]] with max in place of sum: per-partition
+    * exclusive-prefix-max window + a partition-count-sized broadcast
+    * offsets table carrying each partition's predecessor max — never a
+    * single-partition window. The primitive behind skyline/frontier
+    * pruning (q194): "is any earlier-in-order row at least this high?" */
+  def withOrderedCummax(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      outCol: String,
+      pidCol: String = "_graft_cm_pid"): DataFrame = {
+    import graft.Caches.Tracked
+    val vCol = s"${pidCol}_v"
+    val sorted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(vCol, value.cast(LongType))
+      .persistTracked()
+    val offsets = sorted.groupBy(col(pidCol))
+      .agg(max(col(vCol)).as("pmax"))
+      .withColumn(
+        "offset",
+        coalesce(
+          max(col("pmax")).over(
+            Window.orderBy(col(pidCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)))
+      .select(col(pidCol), col("offset"))
+    sorted
+      .withColumn(
+        "_graft_maxin",
+        coalesce(
+          max(col(vCol)).over(
+            Window.partitionBy(col(pidCol))
+              .orderBy(order: _*)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)))
+      .join(broadcast(offsets), Seq(pidCol))
+      .withColumn(outCol, greatest(col("offset"), col("_graft_maxin")))
+      .drop(pidCol, vCol, "_graft_maxin", "offset")
+  }
+
   /** The exact ANSI NTILE(k) bucket for a 1-based global rank `rk` out
     * of `n` rows (both Long columns): the first n mod k buckets hold
     * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — pure integer arithmetic, identical to

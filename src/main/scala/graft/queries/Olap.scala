@@ -2767,9 +2767,136 @@ object Olap {
                   AS BIGINT) AS alloc_c
       FROM ranked ORDER BY n_name"""))
 
+  /** q194: Pareto frontier (2-D skyline) — parts not dominated on
+    * (total quantity, premium price = max line price): no other part
+    * is at least as high on both axes and strictly higher on one — the
+    * volume-vs-premium trade-off shortlist. The classic
+    * multi-criteria shortlist (supplier scorecards, "best on some
+    * trade-off" product lists) whose NAIVE form is the quadratic
+    * NOT-EXISTS self-join the oracle runs. The scale path is the
+    * sort-prune decomposition: (1) per-x class keep only the best y
+    * (one grouped aggregate); (2) over the distinct-x table, the
+    * EXCLUSIVE running max of best-y in x-descending order
+    * ([[graft.operators.GlobalOrder.withOrderedCummax]] — range-
+    * partitioned, never a single-partition window) marks each class
+    * whose best y strictly beats every larger class's best; (3) join
+    * survivors back. Each step is a bounded shuffle over |distinct x|
+    * rows; ties on both axes survive together, exactly matching the
+    * strict-dominance NOT EXISTS. */
+  val q194 = Q(
+    "q194_pareto_skyline",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val per = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"),
+          max(Det.cents(col("l_extendedprice"))).as("top_c"))
+        .persistTracked()
+      val ymax = per.groupBy(col("qty")).agg(max(col("top_c")).as("ymax"))
+      val marked = graft.operators.GlobalOrder.withOrderedCummax(
+        ymax, Seq(col("qty").desc), col("ymax"), "m_strict")
+      val live = marked.filter(col("ymax") > col("m_strict"))
+        .select(col("qty"), col("ymax"))
+      per.join(live, Seq("qty"))
+        .filter(col("top_c") === col("ymax"))
+        .select(col("l_partkey").as("part_key"), col("qty"), col("top_c"))
+        .orderBy(col("part_key"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_partkey AS part_key,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS qty,
+               CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS top_c
+        FROM lineitem GROUP BY 1
+      )
+      SELECT part_key, qty, top_c FROM per p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM per o
+        WHERE o.qty >= p.qty AND o.top_c >= p.top_c
+          AND (o.qty > p.qty OR o.top_c > p.top_c))
+      ORDER BY part_key"""))
+
+  /** q195: Holt linear-trend smoothing backtest (Holt 1957 double
+    * exponential smoothing — the level+trend sibling of q146's EWMA:
+    * EWMA lags a trending series systematically; Holt carries an
+    * explicit trend term b and forecasts l+b) over the monthly revenue
+    * series, with one-step-ahead forecasts and their absolute errors —
+    * the walk-forward backtest a forecasting pipeline reports.
+    * Determinism: α=β=0.5 makes every update exact halvings of doubles
+    * built from exact BIGINT cents; the (l, b) state folds in month
+    * order as a 2-element DOUBLE array with the SAME expression tree on
+    * both engines (the q153/q168 sequential-fold convention), seeded
+    * l₂=x₂, b₂=x₂−x₁. Scale: the unbounded work is one monthly-rollup
+    * shuffle; the folds are O(months²) on the calendar-bounded array
+    * (80 months at any SF) in a single task. */
+  val q195 = Q(
+    "q195_holt_trend",
+    (s, d) => {
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("mon"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      monthly
+        .agg(expr("sort_array(collect_list(struct(mon, c)))").as("arr"))
+        .withColumn("xs", expr("transform(arr, e -> CAST(e.c AS DOUBLE))"))
+        .withColumn("m", expr("size(arr)"))
+        .select(expr(
+          """explode(transform(sequence(3, m), t -> struct(
+               element_at(arr, t).mon AS mon,
+               element_at(xs, t) AS actual_c,
+               aggregate(slice(xs, 3, t - 3),
+                 array(element_at(xs, 2),
+                       element_at(xs, 2) - element_at(xs, 1)),
+                 (acc, x) -> array(
+                   0.5D * x + 0.5D * (acc[0] + acc[1]),
+                   0.5D * ((0.5D * x + 0.5D * (acc[0] + acc[1])) - acc[0])
+                     + 0.5D * acc[1])) AS st)))""").as("r"))
+        .select(col("r.mon").as("mon"),
+          (col("r.actual_c") / lit(100.0D)).as("rev_month"),
+          ((col("r.st").getItem(0) + col("r.st").getItem(1)) / lit(100.0D))
+            .as("forecast_rev"),
+          abs((col("r.actual_c") / lit(100.0D)) -
+            ((col("r.st").getItem(0) + col("r.st").getItem(1))
+              / lit(100.0D))).as("abs_err"))
+        .orderBy(col("mon"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      ), series AS (
+        SELECT list(mon ORDER BY mon) AS mons,
+               list_transform(list(c ORDER BY mon),
+                 v -> CAST(v AS DOUBLE)) AS xs
+        FROM monthly
+      ), folded AS (
+        SELECT mons[t] AS mon, xs[t] AS actual_c,
+               list_reduce(
+                 list_prepend([xs[2], xs[2] - xs[1]],
+                   list_transform(xs[3:t-1],
+                     x -> [x, CAST(0 AS DOUBLE)])),
+                 (acc, e) -> [
+                   0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                   0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                     + 0.5 * acc[2]]) AS st
+        FROM series, unnest(range(3, len(xs) + 1)) AS u(t)
+      )
+      SELECT mon,
+             actual_c / 100.0 AS rev_month,
+             (st[1] + st[2]) / 100.0 AS forecast_rev,
+             abs(actual_c / 100.0 - (st[1] + st[2]) / 100.0) AS abs_err
+      FROM folded
+      ORDER BY mon"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
-      q177, q178, q179, q180, q181, q183, q186, q188, q192, q193)
+      q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
+      q195)
 }

@@ -2411,8 +2411,95 @@ object Text {
       ORDER BY score DESC, doc_id
       LIMIT 20"""))
 
+  /** q196: EXACT-quota stratified train/val/test split — 80/10/10 per
+    * (lang, source) stratum with exact document counts: per-stratum
+    * quotas by the largest-remainder method (the q193 apportionment
+    * arithmetic applied to split ratios — floors of n·w/10 plus one
+    * extra doc to the largest remainders, so quotas sum to n EXACTLY),
+    * assignment by the reproducible md5 priority rank (the q73
+    * convention). Approximate hash-mod splits (q54) drift from the
+    * target ratio on small strata; eval/ablation pipelines want the
+    * exact-count contract. Scale: one rank window per stratum (the
+    * same shuffle q73 pays) + a 3-row-per-stratum quota table joined
+    * back; all-BIGINT arithmetic, bit-identical cross-engine. */
+  val q196 = Q(
+    "q196_exact_split",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val ranked = docs.withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("lang"), col("source"))
+            .orderBy(
+              md5(concat(lit("sp:"), col("doc_id").cast(StringType))),
+              col("doc_id"))).cast(LongType))
+      val ns = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val splits = Seq(("train", 8L, 1), ("val", 1L, 2), ("test", 1L, 3))
+        .toDF("split", "w", "ord")
+      val strat = Window.partitionBy(col("lang"), col("source"))
+      val quotas = ns.crossJoin(broadcast(splits))
+        .withColumn("fl", expr("n * w div 10"))
+        .withColumn("rem", expr("n * w % 10"))
+        .withColumn("leftover", col("n") - sum(col("fl")).over(strat))
+        .withColumn("rk3", row_number().over(
+          strat.orderBy(desc("rem"), col("ord"))))
+        .withColumn("quota", col("fl") +
+          when(col("rk3") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+        .withColumn("hi", sum(col("quota")).over(
+          strat.orderBy(col("ord"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo", col("hi") - col("quota"))
+        .select(col("lang"), col("source"), col("split"),
+          col("lo"), col("hi"))
+      ranked.join(quotas, Seq("lang", "source"))
+        .filter(col("rk") > col("lo") && col("rk") <= col("hi"))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5('sp:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rk
+        FROM documents
+      ), ns AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+      ), sp AS (
+        SELECT * FROM (VALUES ('train', 8, 1), ('val', 1, 2),
+                              ('test', 1, 3)) AS t(split, w, ord)
+      ), q0 AS (
+        SELECT lang, source, split, ord,
+               n * w // 10 AS fl, n * w % 10 AS rem,
+               n - sum(n * w // 10) OVER (PARTITION BY lang, source)
+                 AS leftover
+        FROM ns, sp
+      ), q1 AS (
+        SELECT lang, source, split, ord,
+               fl + CASE WHEN row_number() OVER (
+                      PARTITION BY lang, source ORDER BY rem DESC, ord)
+                      <= leftover THEN 1 ELSE 0 END AS quota
+        FROM q0
+      ), cum AS (
+        SELECT lang, source, split,
+               sum(quota) OVER (PARTITION BY lang, source ORDER BY ord
+                 ROWS UNBOUNDED PRECEDING) AS hi,
+               sum(quota) OVER (PARTITION BY lang, source ORDER BY ord
+                 ROWS UNBOUNDED PRECEDING) - quota AS lo
+        FROM q1
+      )
+      SELECT r.doc_id, r.lang, r.source, c.split
+      FROM ranked r JOIN cum c
+        ON r.lang = c.lang AND r.source = c.source
+      WHERE r.rk > c.lo AND r.rk <= c.hi
+      ORDER BY r.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115, q118, q122, q128, q184)
+      q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196)
 }

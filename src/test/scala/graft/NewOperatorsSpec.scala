@@ -2484,6 +2484,74 @@ class NewOperatorsSpec extends SparkSpec {
     assert(rows == lvl, "BFS levels must equal the driver replay")
   }
 
+  test("q194 skyline: equals the naive dominance scan") {
+    val got = graft.queries.Olap.q194.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    val per = Tables.load(spark, sf001, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(expr("sum(CAST(round(l_quantity) AS BIGINT))").as("qty"),
+        expr("max(CAST(round(l_extendedprice * 100) AS BIGINT))")
+          .as("top_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = per.filter { case (_, x, y) =>
+      !per.exists { case (_, ox, oy) =>
+        ox >= x && oy >= y && (ox > x || oy > y)
+      }
+    }.toSet
+    assert(got == naive, "sort-prune skyline must equal naive dominance")
+  }
+
+  test("q195 Holt: driver recurrence replay is bit-exact") {
+    val rows = graft.queries.Olap.q195.run(spark, sf001).collect()
+    assert(rows.length > 10)
+    val xs = Tables.load(spark, sf001, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("c"))
+      .orderBy(col("mon")).collect().map(_.getAs[Long]("c").toDouble)
+    var (l, b) = (xs(1), xs(1) - xs(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val t = i + 2 // 0-based index of month t in xs (t = i+3 1-based)
+      val forecast = (l + b) / 100.0
+      assert(r.getAs[Double]("forecast_rev") == forecast,
+        s"row $i forecast mismatch")
+      assert(r.getAs[Double]("rev_month") == xs(t) / 100.0)
+      assert(r.getAs[Double]("abs_err") ==
+        math.abs(xs(t) / 100.0 - forecast))
+      val l2 = 0.5 * xs(t) + 0.5 * (l + b)
+      val b2 = 0.5 * (l2 - l) + 0.5 * b
+      l = l2; b = b2
+    }
+  }
+
+  test("q196 exact split: quotas conserve strata and hit exact ratios") {
+    val got = graft.queries.Text.q196.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.nonEmpty)
+    // every document lands in exactly one split
+    val docs = Tables.load(spark, sf001, "documents").count()
+    assert(got.length.toLong == docs)
+    assert(got.map(_._1).distinct.length == got.length)
+    // per-stratum counts: exact largest-remainder quotas for 8/1/1
+    got.groupBy(t => (t._2, t._3)).foreach { case (stratum, ds) =>
+      val n = ds.length.toLong
+      val bySplit = ds.groupBy(_._4).view.mapValues(_.length.toLong)
+        .toMap.withDefaultValue(0L)
+      val fl = Map("train" -> n * 8 / 10, "val" -> n / 10, "test" -> n / 10)
+      val rem = Seq(("train", n * 8 % 10, 1), ("val", n % 10, 2),
+        ("test", n % 10, 3))
+      val leftover = (n - fl.values.sum).toInt
+      val extra = rem.sortBy { case (_, r, o) => (-r, o) }
+        .take(leftover).map(_._1).toSet
+      Seq("train", "val", "test").foreach { sp =>
+        val want = fl(sp) + (if (extra(sp)) 1L else 0L)
+        assert(bySplit(sp) == want,
+          s"$stratum/$sp: ${bySplit(sp)} != $want")
+      }
+    }
+  }
+
   test("q193 proration: allocations conserve the exact budget") {
     val rows = graft.queries.Olap.q193.run(spark, sf001).collect()
     assert(rows.length > 1)
