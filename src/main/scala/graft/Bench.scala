@@ -159,7 +159,10 @@ object Bench {
       "q118_sketch_algebra",
       // sessionization + per-user lag windows at 10× users (disjoint
       // per-copy populations): the whole behavioral family's scale proxy
-      "q136_markov_transitions")
+      "q136_markov_transitions",
+      // multimodal dedup: real PNG decode → banded phash near-dup at 10×
+      // docs — decode cost scales linearly, band buckets bound the pairs
+      "q189_image_phash")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
