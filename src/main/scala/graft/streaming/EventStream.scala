@@ -2239,21 +2239,28 @@ object EventStream {
     * (codegen'd merging agg, no window-function sort barrier), the
     * operator a 100 TB event log wants; the same expression works
     * unchanged under `readStream` + watermark. */
+  /** ONE definition for batch (q191) and streaming (StreamingSpec
+    * parity): the watermark is a no-op on batch inputs and bounds the
+    * session state on streams — the windowedCounts discipline. */
+  def sessionLedger(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
   val q191 = Q(
     "q191_session_window_native",
     (s, d) =>
-      Tables.load(s, d, "events")
-        .groupBy(
-          col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          Det.dsum(col("value")).as("sum_value"))
-        .select(
-          col("user_id"),
-          col("sw.start").as("s_start"),
-          col("sw.end").as("s_end"),
-          col("n_events"), col("sum_value"))
+      sessionLedger(Tables.load(s, d, "events"))
         .orderBy(col("user_id"), col("s_start")),
     Some(s"""
       WITH gaps AS (

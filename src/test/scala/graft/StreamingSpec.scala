@@ -412,6 +412,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window ledger streaming == batch (append, watermark flush)") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf001, "events")
+    val batch = EventStream.sessionLedger(events).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1))) ->
+        ((String.valueOf(r.get(2)), r.getLong(3), r.getDouble(4)))).toMap
+    val dir = Files.createTempDirectory("graft_stream_sw").toString
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.sessionLedger(streamIn)
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // two far-future sentinel batches: the first pushes the watermark
+      // past every real session's end, the second triggers the batch
+      // that actually evicts+emits the finalized real sessions (state
+      // flush happens in the batch AFTER the watermark advance)
+      def sentinel(user: Long, t: String) =
+        Seq((9000000000L + user, java.sql.Timestamp.valueOf(t), -user,
+          "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(events.schema.fieldNames.map(
+            org.apache.spark.sql.functions.col): _*)
+      sentinel(1L, "2031-01-01 00:00:00")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      sentinel(2L, "2032-01-01 00:00:00")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("sw_out").collect()
+        .filter(_.getLong(0) >= 0) // drop sentinel users (-1, -2)
+        .map(r => (r.getLong(0), String.valueOf(r.get(1))) ->
+          ((String.valueOf(r.get(2)), r.getLong(3), r.getDouble(4))))
+      assert(got.nonEmpty)
+      assert(got.map(_._1).distinct.length == got.length,
+        "append mode must emit each finalized session exactly once")
+      // full parity: every real session flushed and value-identical
+      assert(got.toMap == batch,
+        s"streamed ledger ${got.length} rows != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("eventGaps marks first event per user as session start") {
     val gaps = EventStream.eventGaps(Tables.load(spark, sf001, "events"))
     val users = gaps.select("user_id").distinct().count()
