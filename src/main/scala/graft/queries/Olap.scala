@@ -2893,10 +2893,76 @@ object Olap {
       FROM folded
       ORDER BY mon"""))
 
+  /** q197: percent-of-parent hierarchical shares — each nation's
+    * revenue as a share of its region AND of the world: the two-level
+    * "% of parent" column every BI rollup renders next to the raw
+    * number (ROLLUP/CUBE (q46/q50) give the parent totals as extra
+    * rows; this gives the RATIOS on the child rows). Exactness: all
+    * totals are exact BIGINT cents; each share is one IEEE division of
+    * identical operands. Scale: one fact shuffle to the (region,
+    * nation) grain; the parent windows run over the ≤25-row dimension-
+    * bounded aggregate. */
+  val q197 = Q(
+    "q197_share_of_parent",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val rev = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), Det.cents(col("o_totalprice")).as("c0"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"),
+              col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "region")
+            .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("c0")).as("c"))
+        .persistTracked()
+      val withParents = rev
+        .withColumn("region_c",
+          sum(col("c")).over(Window.partitionBy(col("r_name"))))
+        .crossJoin(broadcast(rev.agg(sum(col("c")).as("total_c"))))
+      withParents.select(
+          col("r_name"), col("n_name"),
+          (col("c").cast(DoubleType) / lit(100.0D)).as("revenue"),
+          (col("c").cast(DoubleType) / col("region_c").cast(DoubleType))
+            .as("share_of_region"),
+          (col("c").cast(DoubleType) / col("total_c").cast(DoubleType))
+            .as("share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      )
+      SELECT r_name, n_name,
+             CAST(c AS DOUBLE) / 100.0 AS revenue,
+             CAST(c AS DOUBLE)
+               / CAST(sum(c) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share_of_region,
+             CAST(c AS DOUBLE)
+               / CAST((SELECT sum(c) FROM rev) AS DOUBLE)
+               AS share_of_total
+      FROM rev
+      ORDER BY r_name, n_name"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
-      q195)
+      q195, q197)
 }

@@ -977,5 +977,76 @@ object Sim {
         SELECT qid, 5, cid, score FROM s5)
       ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157)
+  /** q198: label-centroid drift matrix — pairwise cosine between the
+    * per-label mean embeddings: the "how far apart are my corpus
+    * slices" report behind mixture rebalancing, domain-shift alarms
+    * and SemDeDup-style cluster auditing (label here standing in for
+    * any slice key: source, snapshot, dedup cluster). Determinism:
+    * each centroid dimension is a sequential fold of the label's
+    * vectors in vec_id order (both engines add the same doubles in
+    * the same order — the q135/q168 fold convention lifted to
+    * vectors) followed by ONE division by the count; centroid dots
+    * ride the same [[VecDot]] seedless fold as every other cosine in
+    * this file. Scale: one grouped shuffle builds k centroids (k =
+    * label count, dimension-bounded); the k×k cosine matrix is a
+    * broadcast self-join over k rows. The per-label vector lists are
+    * the only wide state — at corpus scale the same shape runs on
+    * per-PARTITION partial sums merged in partition order (the
+    * mergeable-sketch discipline); the fixture keeps the simpler
+    * exact-order fold the oracle can replay verbatim. */
+  val q198 = Q(
+    "q198_centroid_drift",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cents = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(vec_id, v))), " +
+            "e -> e.v)").as("vs"))
+        .select(col("label"), expr(
+          """transform(sequence(1, 64), j ->
+               aggregate(vs, CAST(0 AS DOUBLE),
+                 (a, v) -> a + element_at(v, j))
+               / CAST(size(vs) AS DOUBLE))""").as("c"))
+        .withColumn("nrm", sqrt(VecDot.dot(col("c"), col("c"))))
+        .persistTracked()
+      cents.select(col("label").as("label_a"), col("c").as("ca"),
+          col("nrm").as("na"))
+        .join(cents.select(col("label").as("label_b"), col("c").as("cb"),
+          col("nrm").as("nb")),
+          col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (VecDot.dot(col("ca"), col("cb")) / (col("na") * col("nb")))
+            .as("cos_centroids"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id)
+          AS vs
+        FROM embeddings GROUP BY label
+      ), cents AS (
+        SELECT label,
+               list_transform(range(1, 65), j ->
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(vs, v -> v[j])), (a, b) -> a + b)
+                 / CAST(len(vs) AS DOUBLE)) AS c
+        FROM vecs
+      ), normed AS (
+        SELECT label, c,
+               sqrt(list_reduce(list_transform(list_zip(c, c),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm
+        FROM cents
+      )
+      SELECT a.label AS label_a, b.label AS label_b,
+             list_reduce(list_transform(list_zip(a.c, b.c),
+               p -> p[1] * p[2]), (x, y) -> x + y) / (a.nrm * b.nrm)
+               AS cos_centroids
+      FROM normed a JOIN normed b ON a.label < b.label
+      ORDER BY label_a, label_b"""))
+
+  val all: Seq[Q] =
+    Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198)
 }

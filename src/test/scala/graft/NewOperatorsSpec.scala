@@ -2552,6 +2552,56 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q197 shares: sum to 1 per region and overall, revenue conserves") {
+    val rows = graft.queries.Olap.q197.run(spark, sf001).collect()
+    assert(rows.length > 1)
+    rows.groupBy(_.getString(0)).foreach { case (region, ns) =>
+      val s = ns.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$region shares sum to $s")
+    }
+    val tot = rows.map(_.getAs[Double]("share_of_total")).sum
+    assert(math.abs(tot - 1.0) < 1e-9)
+    val direct = Tables.load(spark, sf001, "orders")
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))"))
+      .first().getLong(0)
+    val got = rows.map(r => math.round(r.getAs[Double]("revenue") * 100))
+      .sum
+    assert(got == direct, "per-nation revenue must conserve the total")
+  }
+
+  test("q198 centroid drift: driver centroid replay, |cos| bounded") {
+    val rows = graft.queries.Sim.q198.run(spark, sf001).collect()
+    val k = Tables.load(spark, sf001, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(rows.length == k * (k - 1) / 2, "full upper-triangle matrix")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_centroids")) <= 1.0 + 1e-12)
+    }
+    // full driver replay: centroids via the same vec_id-ordered fold,
+    // cosines via the same seedless first-element fold — bit-exact
+    val byLabel = Tables.load(spark, sf001, "embeddings")
+      .selectExpr("label", "vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def centroid(vs: Array[Seq[Double]]): Seq[Double] =
+      (0 until 64).map { j =>
+        vs.foldLeft(0.0)((a, v) => a + v(j)) / vs.length.toDouble
+      }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).reduceLeft(_ + _)
+    val cents = byLabel.view.mapValues(centroid).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getInt(0), r.getInt(1))
+      val want = dot(cents(a), cents(b)) /
+        (math.sqrt(dot(cents(a), cents(a))) *
+          math.sqrt(dot(cents(b), cents(b))))
+      assert(r.getAs[Double]("cos_centroids") == want,
+        s"($a,$b) centroid cosine must replay bit-exact")
+    }
+  }
+
   test("q193 proration: allocations conserve the exact budget") {
     val rows = graft.queries.Olap.q193.run(spark, sf001).collect()
     assert(rows.length > 1)
