@@ -531,7 +531,16 @@ object Curation {
     * cents, timestamps as DATE text, text columns via md5. Scale: one
     * scan per table, map-side-combinable sum — the cheapest possible
     * full-content audit; verifying a 100 TB copy costs two scans and
-    * ships back one row per table. */
+    * ships back one row per table.
+    *
+    * Output representation: the DECIMAL(38,0) sum reaches ~10^19-10^20
+    * at fixture scale — past float64's 2^53 exact range — so any result
+    * channel that normalizes numerics through double (or renders big
+    * decimals differently across engines) corrupts it while the value
+    * is still exact. The emitted column is therefore `fingerprint_hex`:
+    * a fixed-width 16-char lowercase hex STRING of `sum mod 2^64`,
+    * built from two 32-bit halves so every intermediate fits a signed
+    * BIGINT in both engines. Strings survive any normalizer. */
   val q182 = Q(
     "q182_table_checksum",
     (s, d) => {
@@ -565,7 +574,18 @@ object Curation {
             .as("fingerprint"))
         .select(lit("documents").as("table_name"), col("n_rows"),
           col("n_keys"), col("fingerprint"))
-      ord.unionAll(doc).orderBy(col("table_name"))
+      // mod 2^64 then render as two 32-bit hex halves: every intermediate
+      // fits a signed BIGINT, and the STRING output survives any driver
+      // normalization that would mangle a DECIMAL(38,0).
+      val hexExpr =
+        "format_string('%08x%08x', " +
+          "CAST((fingerprint % CAST('18446744073709551616' AS DECIMAL(38,0)))" +
+          " div 4294967296L AS BIGINT), " +
+          "CAST(fingerprint % 4294967296L AS BIGINT))"
+      ord.unionAll(doc)
+        .withColumn("fingerprint_hex", expr(hexExpr))
+        .drop("fingerprint")
+        .orderBy(col("table_name"))
     },
     Some {
       // CAST before the multiply: DuckDB would otherwise plan the small
@@ -592,12 +612,20 @@ object Curation {
       )
       SELECT 'orders' AS table_name, count(*) AS n_rows,
              count(DISTINCT o_orderkey) AS n_keys,
-             sum(CAST(${nib("canon")} AS DECIMAL(38,0))) AS fingerprint
+             printf('%08x%08x',
+               CAST((sum(CAST(${nib("canon")} AS HUGEINT))
+                     % 18446744073709551616) // 4294967296 AS BIGINT),
+               CAST(sum(CAST(${nib("canon")} AS HUGEINT))
+                    % 4294967296 AS BIGINT)) AS fingerprint_hex
       FROM o
       UNION ALL
       SELECT 'documents' AS table_name, count(*) AS n_rows,
              count(DISTINCT doc_id) AS n_keys,
-             sum(CAST(${nib("canon")} AS DECIMAL(38,0))) AS fingerprint
+             printf('%08x%08x',
+               CAST((sum(CAST(${nib("canon")} AS HUGEINT))
+                     % 18446744073709551616) // 4294967296 AS BIGINT),
+               CAST(sum(CAST(${nib("canon")} AS HUGEINT))
+                    % 4294967296 AS BIGINT)) AS fingerprint_hex
       FROM dcs
       ORDER BY table_name"""
     })

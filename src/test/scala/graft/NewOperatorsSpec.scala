@@ -2269,10 +2269,13 @@ class NewOperatorsSpec extends SparkSpec {
   test("q182 checksum: content-only — row order and partitioning invariant") {
     val base = graft.queries.Curation.q182.run(spark, sf001).collect()
       .map(r => (r.getAs[String]("table_name"), r.getAs[Long]("n_rows"),
-        r.getAs[java.math.BigDecimal]("fingerprint")))
+        r.getAs[String]("fingerprint_hex")))
     assert(base.length == 2 && base.map(_._1).toSeq ==
       Seq("documents", "orders"))
-    base.foreach { case (_, n, fp) => assert(n > 0 && fp.signum > 0) }
+    base.foreach { case (_, n, fp) =>
+      assert(n > 0 && fp.matches("[0-9a-f]{16}"),
+        s"fingerprint_hex must be fixed-width lowercase hex, got '$fp'")
+    }
     // recompute the orders fingerprint from a reshuffled, re-ordered
     // copy of the table — identical digest proves order independence
     val reshuffled = Tables.load(spark, sf001, "orders")
@@ -2286,7 +2289,7 @@ class NewOperatorsSpec extends SparkSpec {
         .parquet(dir.resolve("documents.parquet").toString)
       val again = graft.queries.Curation.q182.run(spark, dir.toString)
         .collect().map(r => (r.getAs[String]("table_name"),
-          r.getAs[java.math.BigDecimal]("fingerprint")))
+          r.getAs[String]("fingerprint_hex")))
       assert(again.toSeq == base.map(t => (t._1, t._3)).toSeq,
         "fingerprint must be invariant to row order and partitioning")
     } finally {
