@@ -162,7 +162,12 @@ object Bench {
       "q136_markov_transitions",
       // multimodal dedup: real PNG decode → banded phash near-dup at 10×
       // docs — decode cost scales linearly, band buckets bound the pairs
-      "q189_image_phash")
+      "q189_image_phash",
+      // r5: the r4 slow-list joins the sweep so the keep-policy/CDC/
+      // path-mining family has a measured scale story (r4 triage: q129/
+      // q155 were cold-run artifacts, q127 is parity with q68 — this
+      // keeps that conclusion continuously measured)
+      "q127_keep_policy", "q129_session_paths", "q155_cdc_apply")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
