@@ -65,7 +65,17 @@ object GlobalOrder {
     * exclusive-prefix-max window + a partition-count-sized broadcast
     * offsets table carrying each partition's predecessor max — never a
     * single-partition window. The primitive behind skyline/frontier
-    * pruning (q194): "is any earlier-in-order row at least this high?" */
+    * pruning (q194): "is any earlier-in-order row at least this high?"
+    *
+    * REQUIRES DISTINCT `order` KEYS. With duplicate keys the result is
+    * partition-placement-dependent: a tied row that range-partitions
+    * into a LATER partition is counted by the broadcast offset as
+    * strictly earlier, while a tied row in the SAME partition is
+    * excluded by the rows-based exclusive frame — so ties see each
+    * other or not depending on where the range splitter cuts. Callers
+    * must collapse to one row per order key first (q194 does, via its
+    * per-quantity-class groupBy); a rangeBetween frame would instead
+    * have to exclude ALL equal-key rows, changing the semantics. */
   def withOrderedCummax(
       df: DataFrame,
       order: Seq[Column],

@@ -2706,9 +2706,14 @@ object Olap {
     * customer nations proportionally to exact revenue, with the
     * classic Hamilton rounding: every nation gets ⌊B·rev/total⌋, and
     * the leftover cents go one each to the largest fractional
-    * remainders (nation-name tiebreak). Pure BIGINT arithmetic —
-    * B·rev ≤ 10⁶·Σcents stays far under 2⁶³ — so both engines agree
-    * bit for bit; the invariant Σ alloc = B is what the spec pins.
+    * remainders (nation-name tiebreak). The B·rev product runs in
+    * wide integer arithmetic (DECIMAL(38,0) in Spark, HUGEINT in the
+    * oracle): rev cents pass 2⁶³/10⁶ ≈ 9.2·10¹² per nation somewhere
+    * around SF 50-100, where a BIGINT multiply would silently wrap
+    * under non-ANSI semantics and break Σ alloc = B. The quotient and
+    * remainder both fit BIGINT again (⌊B·rev/total⌋ ≤ B; rem < total),
+    * so both engines agree bit for bit at every sweep scale; the
+    * invariant Σ alloc = B is what the spec pins.
     * Scale: the fact scan pays one grouped shuffle; floors, ranks and
     * the remainder hand-out all run on the nation-count-sized (≤25
     * row, dimension-BOUNDED) aggregate — the one place a bare
@@ -2729,8 +2734,10 @@ object Olap {
         .groupBy(col("n_name")).agg(sum(col("c")).as("rev_c"))
       val withTot = rev.crossJoin(broadcast(
           rev.agg(sum(col("rev_c")).as("tot"))))
-        .withColumn("floor_c", expr("1000003 * rev_c div tot"))
-        .withColumn("rem", expr("1000003 * rev_c % tot"))
+        .withColumn("floor_c",
+          expr("CAST(1000003 AS DECIMAL(38,0)) * rev_c div tot"))
+        .withColumn("rem", expr(
+          "CAST(CAST(1000003 AS DECIMAL(38,0)) * rev_c % tot AS BIGINT)"))
       val leftover = withTot.agg(
         (lit(1000003L) - sum(col("floor_c"))).as("leftover"))
       withTot.crossJoin(broadcast(leftover))
@@ -2753,8 +2760,10 @@ object Olap {
         GROUP BY n_name
       ), base AS (
         SELECT n_name, rev_c,
-               1000003 * rev_c // (SELECT sum(rev_c) FROM rev) AS floor_c,
-               1000003 * rev_c % (SELECT sum(rev_c) FROM rev) AS rem
+               CAST(1000003 AS HUGEINT) * rev_c
+                 // (SELECT sum(rev_c) FROM rev) AS floor_c,
+               CAST(1000003 AS HUGEINT) * rev_c
+                 % (SELECT sum(rev_c) FROM rev) AS rem
         FROM rev
       ), ranked AS (
         SELECT n_name, rev_c, floor_c,

@@ -443,6 +443,14 @@ class StreamingSpec extends SparkSpec {
       sentinel(2L, "2032-01-01 00:00:00")
         .write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
+      // the sentinel drop below assumes negative user_ids cannot occur
+      // in the fixture — assert it, so a regenerated events fixture with
+      // negative ids fails loudly instead of silently shrinking the
+      // parity comparison (round-4 advice)
+      val minUid = events.agg(org.apache.spark.sql.functions
+        .min(org.apache.spark.sql.functions.col("user_id"))).head.getLong(0)
+      assert(minUid >= 0,
+        s"fixture has user_id $minUid < 0 — sentinel scheme needs rework")
       val got = spark.table("sw_out").collect()
         .filter(_.getLong(0) >= 0) // drop sentinel users (-1, -2)
         .map(r => (r.getLong(0), String.valueOf(r.get(1))) ->
