@@ -55,18 +55,23 @@ class CoreSemanticsSpec extends SparkSpec {
     }
   }
 
-  test("q04c t-digest shape: same groups as exact q04, monotone sketches") {
+  test("q04c t-digest certificate: same groups as exact q04, all ranks ok") {
     // q04's top-10-customer groups are tiny at every test SF, where any
-    // sketch legitimately diverges from percentile_cont interpolation —
-    // accuracy is pinned on large groups in the next test; here the
-    // integration: identical grouping, positive monotone estimates.
+    // sketch legitimately diverges from percentile_cont interpolation in
+    // VALUE — which is exactly why q04b/q04c emit the rank CERTIFICATE
+    // instead: the rank-interval bound holds at every group size. Value
+    // accuracy is pinned on large groups in the next test.
     val exactKeys = Core.q04.run(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    val sketch = Core.q04c.run(spark, sf001).collect()
-    assert(sketch.map(r => (r.getLong(0), r.getString(1))).toSet == exactKeys)
-    sketch.foreach { r =>
-      val (s50, s95) = (r.getDouble(3), r.getDouble(4))
-      assert(s50 > 0 && s50 <= s95, s"non-monotone sketch: $r")
+    for (q <- Seq(Core.q04b, Core.q04c)) {
+      val cert = q.run(spark, sf001).collect()
+      assert(cert.map(r => (r.getLong(0), r.getString(1))).toSet == exactKeys,
+        s"${q.name}: group keys drifted from exact q04")
+      cert.foreach { r =>
+        assert(r.getAs[Boolean]("p50_rank_ok") &&
+          r.getAs[Boolean]("p95_rank_ok"),
+          s"${q.name}: rank certificate failed on $r")
+      }
     }
   }
 
