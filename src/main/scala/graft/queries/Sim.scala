@@ -519,14 +519,19 @@ object Sim {
       FROM scored WHERE cos_sim >= 0.35
       ORDER BY vec_a, vec_b"""))
 
-  /** ANN quality report (rows-only): overlap@3 of each approximate
-    * method's top-3 (LSH buckets q28, IVF clusters q41) with the exact
-    * top-5 (q26), per query vector. The engine measures its own
-    * approximation quality — the evaluation loop a training-data pipeline
-    * needs before trusting an ANN index at scale. Every query vector
-    * appears for every method: a qid whose approximate list shares
-    * nothing with the exact list reports 0.0 rather than vanishing
-    * (the worst performers are exactly the rows the report exists for). */
+  /** ANN quality report: overlap@3 of each approximate method's top-3
+    * (LSH buckets q28, IVF clusters q41) with the exact top-5 (q26), per
+    * query vector. The engine measures its own approximation quality —
+    * the evaluation loop a training-data pipeline needs before trusting
+    * an ANN index at scale. Every query vector appears for every method:
+    * a qid whose approximate list shares nothing with the exact list
+    * reports 0.0 rather than vanishing (the worst performers are exactly
+    * the rows the report exists for). ORACLE-CHECKED since r5: recall@3
+    * is fully deterministic given the fixtures — exact top-5, LSH
+    * bucketing, and IVF assignment are each already bit-reproduced by
+    * the q26/q28/q41 DuckDB oracles, so the q47 oracle simply COMPOSES
+    * those three texts as subqueries and replays the overlap join;
+    * hits/3 divides small ints, IEEE-identical in both engines. */
   val q47 = Q(
     "q47_ann_recall",
     (s, d) => {
@@ -550,7 +555,32 @@ object Sim {
         .unionByName(overlap("ivf", q41.run(s, d)))
         .orderBy(col("method"), col("qid"))
     },
-    None)
+    Some(s"""
+      WITH exact AS (
+        SELECT qid, neighbor_id FROM (${q26.oracle.get}) x
+      ), allq AS (
+        SELECT DISTINCT qid FROM exact
+      ), methods AS (
+        SELECT 'lsh' AS method, qid, neighbor_id
+        FROM (${q28.oracle.get}) x
+        UNION ALL
+        SELECT 'ivf' AS method, qid, neighbor_id
+        FROM (${q41.oracle.get}) x
+      ), hits AS (
+        SELECT m.method, m.qid, count(*) AS hits
+        FROM methods m
+        JOIN exact e ON m.qid = e.qid AND m.neighbor_id = e.neighbor_id
+        GROUP BY m.method, m.qid
+      ), grid AS (
+        SELECT mm.method, q.qid
+        FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') mm
+        CROSS JOIN allq q
+      )
+      SELECT g.method, g.qid,
+             CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS overlap_at_3
+      FROM grid g
+      LEFT JOIN hits h ON g.method = h.method AND g.qid = h.qid
+      ORDER BY g.method, g.qid"""))
 
   // ---- Product quantization (q86) ------------------------------------
 
