@@ -113,9 +113,11 @@ object IngestJob {
   /** S9: catalog/metadata introspection (reference: system.parts stats,
     * pg table-size queries — clickhouse/queries.sql:11-18,
     * postgres/get_size.sql). Schema-level facts per fixture table: column
-    * count and row count. Rows-only driver check (file sizes and
-    * partition layout are engine-specific, like the reference's
-    * bytes-on-disk numbers). */
+    * count and row count. ORACLE-CHECKED since r5: both facts are
+    * engine-independent — DuckDB replays the column count from
+    * pragma_table_info over the same parquet and the row count from
+    * count(*), so even the catalog surface gets the differential
+    * treatment. */
   val q19 = Q(
     "q19_catalog_stats",
     (s, d) => {
@@ -131,7 +133,7 @@ object IngestJob {
       val futures = Tables.names.map(t => t -> Future {
         s.sparkContext.setJobDescription(s"q19 catalog stats: count($t)")
         val df = Tables.load(s, d, t)
-        (t, df.schema.fields.length, df.count())
+        (t, df.schema.fields.length.toLong, df.count())
       })
       val stats = futures.map { case (t, f) =>
         try Await.result(f, 10.minutes)
@@ -142,18 +144,27 @@ object IngestJob {
       }
       stats.toDF("tbl", "n_columns", "n_rows").orderBy(col("tbl"))
     },
-    None)
+    Some(Tables.names.sorted.map(t =>
+      s"""SELECT '$t' AS tbl,
+            CAST((SELECT count(*) FROM pragma_table_info('$t')) AS BIGINT)
+              AS n_columns,
+            count(*) AS n_rows
+          FROM $t""").mkString("", " UNION ALL ", " ORDER BY tbl")))
 
   /** S9 continued: PER-PARTITION rows+bytes profiling — the analog of the
     * reference's `system.parts` query (reference: clickhouse/queries.sql:
     * 11-18, partition name + rows + bytes per active part). The subject is
     * a month-partitioned Parquet table (q18's layout, written to its own
     * directory so concurrent verify runs never race q18's overwrite); row
-    * counts come from a partition-grouped aggregate (deterministic at
-    * fixed sf — asserted in IngestPipelineSpec), file counts and bytes
-    * from the filesystem listing, which is exactly what system.parts
-    * reads. Rows-only driver check: byte sizes are engine-specific, like
-    * the reference's bytes-on-disk numbers. */
+    * counts come from a partition-grouped aggregate, file counts and
+    * bytes from the filesystem listing, which is exactly what
+    * system.parts reads. ORACLE-CHECKED since r5 in certified form: the
+    * per-partition ROW counts are engine-independent (DuckDB replays
+    * them as a month rollup of the source), while the fs-specific file/
+    * byte numbers — which no other engine can reproduce, like the
+    * reference's bytes-on-disk — are emitted as presence certificates
+    * (every partition has >=1 file and >0 bytes) the oracle checks as
+    * literal TRUE; the raw numbers stay spec-covered. */
   val q63 = Q(
     "q63_partition_stats",
     (s, d) => {
@@ -188,9 +199,19 @@ object IngestJob {
         .agg(count(lit(1)).as("n_rows"))
       rows
         .join(sizes, Seq("ship_month"))
+        .select(col("ship_month"), col("n_rows"),
+          (col("n_files") > 0L).as("files_present"),
+          (col("bytes") > 0L).as("bytes_present"))
         .orderBy(col("ship_month"))
     },
-    None)
+    Some("""
+      SELECT strftime(l_shipdate, '%Y%m') AS ship_month,
+             count(*) AS n_rows,
+             TRUE AS files_present,
+             TRUE AS bytes_present
+      FROM lineitem
+      GROUP BY ship_month
+      ORDER BY ship_month"""))
 
   /** Schema for the DSv2 TSV foreign-table analog (S6): explicit, like the
     * reference's foreign-table DDL (init.sql:27-70). */

@@ -39,9 +39,10 @@ class JdbcRemoteSpec extends SparkSpec {
     assert(stats.nonEmpty)
     stats.foreach { r =>
       val (m, rows, files, bytes) =
-        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        (r.getString(0), r.getLong(1),
+          r.getBoolean(2), r.getBoolean(3))
       assert(expected(m) == rows, s"row count mismatch for partition $m")
-      assert(files > 0 && bytes > 0L, s"partition $m reports no files/bytes")
+      assert(files && bytes, s"partition $m reports no files/bytes")
     }
     assert(stats.length == expected.size)
   }
