@@ -43,46 +43,89 @@ object Dedup {
       |         string_split(text, ' ')[i+2]))
       |ELSE [text] END""".stripMargin
 
+  /** Shared MinHash banding (q24 / q201): per document, FOUR (band_id,
+    * band_sig) rows from 8 md5-seeded 32-bit minhash lanes banded 4×2.
+    * One md5 per (seed, shingle) yields four lanes (hex quarters) — 2
+    * md5 calls per shingle instead of 8 for the same structure; 32-bit
+    * lanes keep min-collisions negligible at any realistic shingle
+    * count. Returns (doc_id, shingles, band_id, band_sig), persisted:
+    * callers read it from multiple plan branches and shingling + the 8
+    * minhash passes are the expensive part (Spark does not CSE across
+    * self-joins). */
+  private def minhashBands(
+      s: SparkSession, d: String): DataFrame = {
+    val withHex = (1 to 2).foldLeft(
+      Tables.load(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", expr(shinglesExpr))
+    )((df, j) => df.withColumn(
+      s"hx$j", expr(s"transform(shingles, x -> md5(concat('$j:', x)))")))
+    val sigCols =
+      col("doc_id") +: col("shingles") +:
+        (1 to 8).map { m =>
+          val j = (m + 3) / 4
+          val off = ((m - 1) % 4) * 8 + 1
+          expr(s"array_min(transform(hx$j, h -> substring(h, $off, 8)))")
+            .as(s"m$m")
+        }
+    val sig = withHex.select(sigCols: _*)
+    sig.select(
+      col("doc_id"),
+      col("shingles"),
+      explode(array((1 to 4).map(b =>
+        struct(
+          lit(b).as("band_id"),
+          concat(col(s"m${2 * b - 1}"), col(s"m${2 * b}"))
+            .as("band_sig"))): _*)).as("band"))
+      .select(
+        col("doc_id"), col("shingles"),
+        col("band.band_id"), col("band.band_sig"))
+      .persistTracked()
+  }
+
+  /** The minhash sig+bands CTE text shared by the q24/q201 oracles —
+    * DuckDB twin of [[minhashBands]] (without the persist, which is a
+    * physical concern). Expects a preceding `docs(doc_id, shingles)`
+    * CTE. */
+  private val bandsCteSql = """sig AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles,
+            x -> substr(md5('1:' || x), 1, 8))) AS m1,
+          list_min(list_transform(shingles,
+            x -> substr(md5('1:' || x), 9, 8))) AS m2,
+          list_min(list_transform(shingles,
+            x -> substr(md5('1:' || x), 17, 8))) AS m3,
+          list_min(list_transform(shingles,
+            x -> substr(md5('1:' || x), 25, 8))) AS m4,
+          list_min(list_transform(shingles,
+            x -> substr(md5('2:' || x), 1, 8))) AS m5,
+          list_min(list_transform(shingles,
+            x -> substr(md5('2:' || x), 9, 8))) AS m6,
+          list_min(list_transform(shingles,
+            x -> substr(md5('2:' || x), 17, 8))) AS m7,
+          list_min(list_transform(shingles,
+            x -> substr(md5('2:' || x), 25, 8))) AS m8
+        FROM docs
+      ), bands AS (
+        SELECT doc_id, shingles, u.band_id,
+          CASE u.band_id WHEN 1 THEN m1 || m2 WHEN 2 THEN m3 || m4
+                         WHEN 3 THEN m5 || m6 ELSE m7 || m8 END AS band_sig
+        FROM sig, (SELECT unnest(range(1, 5)) AS band_id) u
+      )"""
+
+  /** Public face of the band frame for the streaming parity spec:
+    * (doc_id, band_id, band_sig) only. */
+  def bandFrame(s: SparkSession, d: String): DataFrame =
+    minhashBands(s, d).select(
+      col("doc_id"), col("band_id"), col("band_sig"))
+
   /** MinHash + LSH near-dup pairs (extension op D2): 8 md5-seeded minhash
     * signatures, banded 4×2; docs colliding on any band become candidate
     * pairs, verified with exact shingle-set Jaccard ≥ 0.5. */
   val q24 = Q(
     "q24_minhash_lsh",
     (s, d) => {
-      // one md5 per (seed, shingle) yields FOUR 32-bit minhash lanes (hex
-      // quarters) — 2 md5 calls per shingle instead of 8 for the same
-      // 8-signature × 4-band structure; 32-bit lanes keep min-collisions
-      // negligible at any realistic shingle count.
-      val withHex = (1 to 2).foldLeft(
-        Tables.load(s, d, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("shingles", expr(shinglesExpr))
-      )((df, j) => df.withColumn(
-        s"hx$j", expr(s"transform(shingles, x -> md5(concat('$j:', x)))")))
-      val sigCols =
-        col("doc_id") +: col("shingles") +:
-          (1 to 8).map { m =>
-            val j = (m + 3) / 4
-            val off = ((m - 1) % 4) * 8 + 1
-            expr(s"array_min(transform(hx$j, h -> substring(h, $off, 8)))")
-              .as(s"m$m")
-          }
-      val sig = withHex.select(sigCols: _*)
-      val bands = sig.select(
-        col("doc_id"),
-        col("shingles"),
-        explode(array((1 to 4).map(b =>
-          struct(
-            lit(b).as("band_id"),
-            concat(col(s"m${2 * b - 1}"), col(s"m${2 * b}"))
-              .as("band_sig"))): _*)).as("band"))
-        .select(
-          col("doc_id"), col("shingles"),
-          col("band.band_id"), col("band.band_sig"))
-        // persist: both sides of the candidate-pair self-join read this —
-        // shingling + 8 minhash passes are the expensive part of the plan
-        // (Spark does not CSE across self-joins).
-        .persistTracked()
+      val bands = minhashBands(s, d)
       // distinct over bare id pairs (a doc pair colliding in k bands shows
       // up k times): shuffling two shingle ARRAYS per candidate through the
       // distinct would dominate the stage; the arrays are joined back in
@@ -117,31 +160,7 @@ object Dedup {
     Some(s"""
       WITH docs AS (
         SELECT doc_id, $shinglesSql AS shingles FROM documents
-      ), sig AS (
-        SELECT doc_id, shingles,
-          list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 1, 8))) AS m1,
-          list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 9, 8))) AS m2,
-          list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 17, 8))) AS m3,
-          list_min(list_transform(shingles,
-            x -> substr(md5('1:' || x), 25, 8))) AS m4,
-          list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 1, 8))) AS m5,
-          list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 9, 8))) AS m6,
-          list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 17, 8))) AS m7,
-          list_min(list_transform(shingles,
-            x -> substr(md5('2:' || x), 25, 8))) AS m8
-        FROM docs
-      ), bands AS (
-        SELECT doc_id, shingles, u.band_id,
-          CASE u.band_id WHEN 1 THEN m1 || m2 WHEN 2 THEN m3 || m4
-                         WHEN 3 THEN m5 || m6 ELSE m7 || m8 END AS band_sig
-        FROM sig, (SELECT unnest(range(1, 5)) AS band_id) u
-      ), pairs AS (
+      ), $bandsCteSql, pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.shingles AS sa, b.shingles AS sb
         FROM bands a JOIN bands b
@@ -158,6 +177,53 @@ object Dedup {
       FROM scored
       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
+
+  /** q201: ONLINE near-dup dedup — the first-seen-wins verdict a
+    * continuously-ingesting pipeline applies at the door (q24 reports
+    * PAIRS after the fact; a crawler needs a per-document KEEP/DROP as
+    * it lands). Rule: a document is a duplicate iff some band bucket
+    * (q24's exact 4×2 minhash banding) already contains an earlier
+    * document (smaller doc_id = earlier arrival). This is the standard
+    * streaming-LSH dedup semantics: O(1) state per occupied bucket (the
+    * min id), no pair materialization, no verification join on the hot
+    * path — the trade the door check makes (band collision ≈ candidate,
+    * not confirmed near-dup; the offline q24 pass stays the auditor).
+    * Batch face here (one groupBy over the band frame + one join back —
+    * LSH-sized shuffles only); the SAME rule runs incrementally under
+    * Structured Streaming via
+    * [[graft.streaming.NearDupStream.verdicts]] (8-byte min-id state
+    * per bucket, flatMapGroupsWithState), with StreamingSpec proving
+    * streamed verdicts == this batch query row for row. */
+  val q201 = Q(
+    "q201_neardup_firstwin",
+    (s, d) => {
+      val bands = minhashBands(s, d)
+      val firsts = bands.groupBy(col("band_id"), col("band_sig"))
+        .agg(min(col("doc_id")).as("first_id"))
+      bands
+        .join(firsts, Seq("band_id", "band_sig"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_bands"))
+        .select(
+          col("doc_id"),
+          (col("n_dup_bands") > 0L).as("is_dup"),
+          col("n_dup_bands"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shinglesSql AS shingles FROM documents
+      ), $bandsCteSql, firsts AS (
+        SELECT band_id, band_sig, min(doc_id) AS first_id
+        FROM bands GROUP BY band_id, band_sig
+      )
+      SELECT b.doc_id,
+             (count(*) FILTER (WHERE f.first_id < b.doc_id) > 0) AS is_dup,
+             count(*) FILTER (WHERE f.first_id < b.doc_id) AS n_dup_bands
+      FROM bands b JOIN firsts f USING (band_id, band_sig)
+      GROUP BY b.doc_id
+      ORDER BY b.doc_id"""))
 
   /** Blocked exact n-gram Jaccard (extension op D3) via PREFIX FILTERING
     * (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All Pairs Similarity
@@ -795,5 +861,5 @@ object Dedup {
       LEFT JOIN near_dup n ON b.doc_id = n.doc_id
       ORDER BY b.doc_id"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127)
+  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127, q201)
 }

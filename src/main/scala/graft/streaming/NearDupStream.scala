@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming leg of q201's first-seen-wins near-dup dedup: the stateful
+  * per-bucket rule that turns q24's LSH banding into an ONLINE door
+  * check. State per (band_id, band_sig) bucket is a single Long — the
+  * smallest doc_id seen — so a 100-TB crawl's dedup state is 8 bytes ×
+  * occupied buckets, mergeable and RocksDB-resident; nothing grows with
+  * corpus size except the bucket count. A document's band row is a
+  * duplicate signal iff an EARLIER document (smaller doc_id) already
+  * occupies the bucket — evaluated against both carried state and
+  * earlier rows of the same micro-batch (rows are processed in doc_id
+  * order within the group), so verdicts are independent of micro-batch
+  * SPLIT: any prefix-respecting arrival order yields exactly the batch
+  * q201 verdicts, which StreamingSpec asserts row for row.
+  *
+  * flatMapGroupsWithState rather than transformWithState: the verdict
+  * must be emitted per INPUT ROW as it arrives (Append), and the state
+  * transition (min) is a one-liner — the arbitrary-state API's simplest
+  * profile.
+  */
+object NearDupStream {
+  /** One LSH band row of a document (q24's 4×2 banding). */
+  final case class BandRow(doc_id: Long, band_id: Int, band_sig: String)
+
+  /** Per-(doc, band) duplicate signal; q201's n_dup_bands is the count
+    * of true `dup` flags per doc, is_dup their disjunction. */
+  final case class BandVerdict(doc_id: Long, band_id: Int, dup: Boolean)
+
+  /** Works identically on a batch Dataset (state starts empty, single
+    * "micro-batch") and under readStream — the one-definition-two-modes
+    * discipline every streaming operator in this repo follows. */
+  def verdicts(bands: Dataset[BandRow]): Dataset[BandVerdict] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.band_id, b.band_sig))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val dup = minSeen < r.doc_id
+            if (r.doc_id < minSeen) minSeen = r.doc_id
+            BandVerdict(r.doc_id, r.band_id, dup)
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
+}

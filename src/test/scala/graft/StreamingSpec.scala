@@ -471,4 +471,49 @@ class StreamingSpec extends SparkSpec {
     assert(firsts == users)
     assert(gaps.filter("prev_ts IS NULL AND NOT new_session").count() == 0)
   }
+
+  test("q201 near-dup first-wins: streamed verdicts == batch, both modes") {
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandRow, BandVerdict}
+    val bandsDf = graft.queries.Dedup.bandFrame(spark, sf001)
+    val bands = bandsDf.as[BandRow].collect()
+    val schema = bandsDf.schema
+    // ground truth: the registered batch query (its own groupBy+join
+    // formulation, independently oracle-checked against DuckDB)
+    val expected = graft.queries.Dedup.q201.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    Caches.release()
+    def rollup(vs: Seq[BandVerdict]): Map[Long, (Boolean, Long)] =
+      vs.groupBy(_.doc_id).map { case (id, g) =>
+        id -> ((g.exists(_.dup), g.count(_.dup).toLong))
+      }
+    // batch mode: same stateful definition, single implicit micro-batch
+    assert(rollup(NearDupStream.verdicts(bands.toSeq.toDS()).collect()
+      .toSeq) == expected, "batch-mode verdicts diverge from q201")
+    // streaming mode: two prefix-respecting micro-batches (all earlier
+    // doc_ids land before later ones — the arrival order whose verdicts
+    // the first-seen rule pins; within a batch the operator self-sorts)
+    val sortedIds = bands.map(_.doc_id).distinct.sorted
+    val mid = sortedIds(sortedIds.length / 2)
+    val (first, second) = bands.partition(_.doc_id <= mid)
+    val dir = Files.createTempDirectory("graft_q201_stream").toString
+    first.toSeq.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(schema)
+      .parquet(s"$dir/in").as[BandRow]
+    val q = NearDupStream.verdicts(streamIn)
+      .writeStream.format("memory").queryName("q201_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      second.toSeq.toDS().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = rollup(
+        spark.table("q201_out").as[BandVerdict].collect().toSeq)
+      assert(got.size == expected.size,
+        s"streamed ${got.size} docs != batch ${expected.size}")
+      assert(got == expected,
+        "streamed first-wins verdicts diverge from batch q201")
+    } finally q.stop()
+  }
 }
