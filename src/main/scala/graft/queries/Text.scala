@@ -1353,6 +1353,83 @@ object Text {
                ' '), '')) AS dedup_hash
       FROM marked GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q202: ROLLING-window duplicated-span profile — the any-alignment
+    * complement of q91. q91 quantizes Lee et al.'s exact-substring dedup
+    * to fixed 16-word segments, which misses a duplicated span that
+    * straddles a segment boundary or starts mid-segment; here every
+    * 16-word window at every position is hashed (the rolling-hash stage
+    * of the suffix-array approximation), and a position is CONTAMINATED
+    * iff its window's content occurs 2+ times corpus-wide. Per doc: the
+    * window count and the duplicated fraction — the span-level dup
+    * profile a curation pipeline reads before deciding whether to drop,
+    * trim, or keep a document. Scale shape: the explode is linear in
+    * corpus tokens (T window rows), the count-per-hash is a map-side-
+    * combinable groupBy on the 128-bit hash, and the verdict join back
+    * is hash-partitioned on the same key — exactly the shape of Lee et
+    * al.'s MapReduce counting stage; no pairwise product, no window
+    * function, nothing super-linear anywhere. Docs shorter than 16
+    * tokens have no windows and report a 0.0 duplicated fraction. */
+  val q202 = Q(
+    "q202_rolling_span_dedup",
+    (s, d) => {
+      val win = 16
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val wins = docs
+        .filter(size(col("words")) >= win)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            s"""transform(sequence(1, size(words) - ${win - 1}),
+                 i -> md5(array_join(slice(words, i, $win), ' ')))"""))
+            .as("h"))
+        .persistTracked()
+      val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val per = wins.join(counts, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_windows"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("n_dup_windows").cast(DoubleType) /
+              col("n_windows"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), idx AS (
+        SELECT doc_id, words,
+               unnest(range(1, len(words) - 14)) AS i
+        FROM docs
+      ), w AS (
+        SELECT doc_id,
+               md5(array_to_string(words[i : i + 15], ' ')) AS h
+        FROM idx
+      ), cnt AS (
+        SELECT h, count(*) AS c FROM w GROUP BY h
+      ), per AS (
+        SELECT w.doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+        FROM w JOIN cnt USING (h) GROUP BY w.doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(per.n_windows, 0) AS n_windows,
+             coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+             CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+                  ELSE CAST(per.n_dup_windows AS DOUBLE) / per.n_windows
+             END AS dup_frac
+      FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
   // ---- URL normalization + dedup + domain caps (q93) -------------------
 
   /** The fixture has no URL column, so a deterministic messy URL is
@@ -2501,5 +2578,6 @@ object Text {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
-      q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196)
+      q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
+      q202)
 }

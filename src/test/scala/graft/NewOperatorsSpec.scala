@@ -2618,4 +2618,44 @@ class NewOperatorsSpec extends SparkSpec {
       assert(a == fl || a == fl + 1, s"${r.getString(0)}: $a vs floor $fl")
     }
   }
+
+  test("q202 rolling spans: catches misaligned duplicates q91 misses") {
+    import spark.implicits._
+    // planted corpus: doc 1 carries a 16-word span starting at word 8 —
+    // doc 2 repeats it at word 3. No 16-word SEGMENT (fixed cut at 0/16)
+    // is shared, so segment-granular dedup sees nothing; every window
+    // covering the span in either doc must still be flagged here.
+    val span = (1 to 16).map(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a", 8)} $span ${filler("b", 8)}"),
+      (2L, s"${filler("c", 3)} $span ${filler("e", 13)}"),
+      (3L, filler("z", 40)), // no duplicated content
+      (4L, "short doc under sixteen words")) // no windows at all
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q202").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Text.q202.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // doc1: 32 words -> 17 windows; exactly ONE (the span-aligned one at
+    // position 9) matches doc2's span window; doc2: 32 words, same
+    val (n1, d1, _) = got(1L)
+    val (n2, d2, _) = got(2L)
+    assert(n1 == 17 && n2 == 17, s"window counts: $n1, $n2")
+    assert(d1 == 1 && d2 == 1,
+      s"the misaligned shared span must be caught exactly once: $d1, $d2")
+    assert(got(3L) == ((25L, 0L, 0.0)), s"clean doc flagged: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0.0)), s"short doc: ${got(4L)}")
+    // and q91's fixed segments indeed CANNOT see this duplicate
+    val q91 = graft.queries.Text.q91.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_kept")).toMap
+    val segs = graft.queries.Text.q91.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_segs")).toMap
+    assert(q91(1L) == segs(1L) && q91(2L) == segs(2L),
+      "fixed segments should keep everything here — the probe's point")
+  }
 }
