@@ -630,5 +630,74 @@ object Curation {
       ORDER BY table_name"""
     })
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156, q182)
+  /** q203: weighted sampling without replacement — Efraimidis-Spirakis
+    * (IPL'06 "Weighted random sampling with a reservoir", the A-ES
+    * scheme): draw u ~ U(0,1) per item, key it u^(1/w), keep the top-k
+    * keys; inclusion probability then tracks weight w — the standard
+    * one-pass quality-weighted selector for assembling a training mix
+    * from a scored corpus (here: lang-tier weights en=4, fr/de/es=2,
+    * zh=1). Determinism is the whole trick, twice over:
+    *  - u is a DYADIC RATIONAL from the doc's md5 (48 bits / 2^48, the
+    *    q182 nibble parse) — exact in both engines;
+    *  - u^(1/w) is computed ONLY via sqrt (w=2: sqrt, w=4: sqrt∘sqrt),
+    *    which IEEE 754 requires correctly rounded — so the priorities
+    *    are bit-identical cross-engine, with no libm-dependent pow/ln
+    *    anywhere (same discipline as the repo's other double columns).
+    * Scale: priorities are a per-row projection; top-k is Spark's
+    * TakeOrderedAndProject (per-partition heads, never a global sort);
+    * the oracle replays ORDER BY priority LIMIT k. */
+  val q203 = Q(
+    "q203_weighted_sample",
+    (s, d) => {
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(instr('0123456789abcdef', substr(md5($expr0), $i, 1)) - 1)" +
+            s" * ${scale}L"
+        }.mkString("(", " + ", ")")
+      val k = 100
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("w",
+          when(col("lang") === "en", 4L)
+            .when(col("lang").isin("fr", "de", "es"), 2L)
+            .otherwise(1L))
+        .withColumn("u", expr(
+          s"CAST(${nib("concat('samp:', CAST(doc_id AS STRING))")} " +
+            s"AS DOUBLE) / ${1L << 48}L"))
+        .withColumn("priority",
+          when(col("w") === 4L, sqrt(sqrt(col("u"))))
+            .when(col("w") === 2L, sqrt(col("u")))
+            .otherwise(col("u")))
+        .orderBy(desc("priority"), col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("lang"), col("w"), col("priority"))
+    },
+    Some {
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+            s" AS BIGINT) - 1) * ${scale}"
+        }.mkString("(", " + ", ")")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 4
+                    WHEN lang IN ('fr', 'de', 'es') THEN 2
+                    ELSE 1 END AS w,
+               CAST(${nib("'samp:' || CAST(doc_id AS VARCHAR)")}
+                    AS DOUBLE) / ${1L << 48} AS u
+        FROM documents
+      )
+      SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+             CASE WHEN w = 4 THEN sqrt(sqrt(u))
+                  WHEN w = 2 THEN sqrt(u)
+                  ELSE u END AS priority
+      FROM scored
+      ORDER BY priority DESC, doc_id
+      LIMIT 100"""
+    })
+
+  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203)
 }

@@ -2619,6 +2619,39 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q203 weighted sample: E-S priorities replay, weights bias the mix") {
+    val rows = graft.queries.Curation.q203.run(spark, sf001).collect()
+    assert(rows.length == 100)
+    // driver-side replay of u = md5-48-bit/2^48 and priority = u^(1/w)
+    // via sqrt only — must be BIT-identical (the cross-engine guarantee)
+    rows.foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"samp:${r.getLong(0)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / (1L << 48)
+      val want = r.getLong(2) match {
+        case 4L => math.sqrt(math.sqrt(u))
+        case 2L => math.sqrt(u)
+        case _  => u
+      }
+      assert(r.getDouble(3) == want, s"priority replay failed on $r")
+    }
+    // priorities are descending (ties broken by doc_id upstream)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3), "sample not priority-sorted")
+    }
+    // the weighting must bias the mix: mean weight in the sample above
+    // the population mean (en docs drawn ~4x as often as zh)
+    val popMeanW = Tables.load(spark, sf001, "documents")
+      .select(when(col("lang") === "en", 4.0)
+        .when(col("lang").isin("fr", "de", "es"), 2.0)
+        .otherwise(1.0).as("w"))
+      .agg(avg(col("w"))).head().getDouble(0)
+    val sampMeanW = rows.map(_.getLong(2).toDouble).sum / rows.length
+    assert(sampMeanW > popMeanW,
+      s"weighted sample mean w $sampMeanW not above population $popMeanW")
+  }
+
   test("q202 rolling spans: catches misaligned duplicates q91 misses") {
     import spark.implicits._
     // planted corpus: doc 1 carries a 16-word span starting at word 8 —
