@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2642,26 +2643,52 @@ object Olap {
     * no vertex ever holds more than its (vertex, level) row, and the
     * frontier is data-partitioned — the textbook Pregel superstep as
     * plain DataFrames. */
+  /** Shared co-purchase part graph (q192 / q204): undirected edges
+    * between parts appearing together on 2+ orders, emitted as both
+    * directions (src, dst), persisted — the per-order pair explosion is
+    * the expensive stage and every graph consumer reads it from
+    * multiple plan branches. */
+  private def copurchaseAdj(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.Caches.Tracked
+    val op = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = op.groupBy(col("l_orderkey"))
+      .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select(col("a"), col("b"))
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persistTracked()
+  }
+
+  /** DuckDB twin of [[copurchaseAdj]]: op/e/adj CTE text shared by the
+    * q192/q204 oracles. */
+  private val copurchaseAdjSql = """op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM op x JOIN op y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), adj AS (
+        SELECT a AS src, b AS dst FROM e
+        UNION ALL
+        SELECT b AS src, a AS dst FROM e
+      )"""
+
   val q192 = Q(
     "q192_bfs_levels",
     (s, d) => {
       import s.implicits._
       import graft.Caches.Tracked
-      val op = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val und = op.groupBy(col("l_orderkey"))
-        .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)),
-                 y -> struct(x AS a, y AS b))))""")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select(col("a"), col("b"))
-      val adj = und.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-        .persistTracked()
+      val adj = copurchaseAdj(s, d)
       val source = adj.agg(min(col("src"))).first().getLong(0)
       var levels = Seq((source, 0))
         .toDF("part_key", "bfs_level").localCheckpoint()
@@ -2679,19 +2706,8 @@ object Olap {
       }
       levels.orderBy(col("part_key"))
     },
-    Some("""
-      WITH RECURSIVE op AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      ), e AS (
-        SELECT x.l_partkey AS a, y.l_partkey AS b
-        FROM op x JOIN op y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2
-      ), adj AS (
-        SELECT a AS src, b AS dst FROM e
-        UNION ALL
-        SELECT b AS src, a AS dst FROM e
-      ), walk AS (
+    Some(s"""
+      WITH RECURSIVE $copurchaseAdjSql, walk AS (
         SELECT (SELECT min(src) FROM adj) AS v, 0 AS lvl
         UNION
         SELECT adj.dst AS v, walk.lvl + 1 AS lvl
@@ -2700,6 +2716,84 @@ object Olap {
       )
       SELECT v AS part_key, CAST(min(lvl) AS INTEGER) AS bfs_level
       FROM walk GROUP BY v ORDER BY part_key"""))
+
+  /** q204: FIXED-POINT PageRank over the co-purchase part graph — graph
+    * centrality as an oracle-checkable operator. Floating-point PageRank
+    * can never be differential-tested exactly (sum order changes low
+    * bits), so all arithmetic here is scaled-integer: ranks live in
+    * units of 10⁻¹² (S = 10¹²), each round is
+    *   r'(v) = (15·(S div n)) div 100
+    *         + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    * — every operation an integer division or sum of non-negatives, so
+    * Spark and DuckDB agree BIT FOR BIT after any number of rounds (the
+    * q193/q159 exact-integer discipline applied to iteration). 4 rounds,
+    * damping 0.85. Overflow headroom: Σ contrib ≤ S = 10¹², ×85 ≪ 2⁶³.
+    * Scale: per round one edge-sized join + one grouped sum (identical
+    * shuffle profile to Components' label rounds), node-sized rank
+    * frame, per-round localCheckpoint to truncate lineage; the oracle
+    * UNROLLS the four rounds as chained CTEs — no recursion, no
+    * aggregate-in-recursion limits. */
+  val q204 = Q(
+    "q204_pagerank_fixedpoint",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val adj = copurchaseAdj(s, d)
+      val outdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = adj.select(col("src").as("v")).distinct()
+        .persistTracked()
+      val n = nodes.count()
+      val scale = 1000000000000L
+      val base = (15L * (scale / n)) / 100L
+      var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val contrib = ranks
+          .join(outdeg, col("v") === col("src"))
+          .withColumn("share", expr("r div deg"))
+          .join(adj, Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("share")).as("contrib"))
+        ranks = nodes
+          .join(contrib, col("v") === col("dst"), "left_outer")
+          .select(
+            col("v"),
+            expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100")
+              .as("r"))
+          .localCheckpoint()
+      }
+      ranks
+        .select(col("v").as("part_key"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("part_key"))
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (
+        SELECT a.dst AS v, sum(r.r // o.deg) AS contrib
+        FROM r${i - 1} r
+        JOIN outdeg o ON o.src = r.v
+        JOIN adj a ON a.src = r.v
+        GROUP BY a.dst
+      ), r$i AS (
+        SELECT n.v,
+               (15 * ((SELECT s FROM sc) // (SELECT c FROM nc))) // 100
+               + (85 * coalesce(c.contrib, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c$i c ON c.v = n.v
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH $copurchaseAdjSql, outdeg AS (
+        SELECT src, count(*) AS deg FROM adj GROUP BY src
+      ), nodes AS (
+        SELECT DISTINCT src AS v FROM adj
+      ), sc AS (SELECT CAST(1000000000000 AS BIGINT) AS s),
+      nc AS (SELECT count(*) AS c FROM nodes),
+      r0 AS (
+        SELECT v, (SELECT s FROM sc) // (SELECT c FROM nc) AS r
+        FROM nodes
+      ), $rounds
+      SELECT v AS part_key, CAST(r AS BIGINT) AS rank_fp
+      FROM r4
+      ORDER BY rank_fp DESC, part_key"""
+    })
 
   /** q193: largest-remainder proration — allocate a fixed integer
     * budget (1,000,003 cents — deliberately not round) across
@@ -2973,5 +3067,5 @@ object Olap {
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
-      q195, q197)
+      q195, q197, q204)
 }

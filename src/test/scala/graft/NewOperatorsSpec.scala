@@ -2619,6 +2619,28 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q204 fixed-point pagerank: mass conservation within div leakage") {
+    val rows = graft.queries.Olap.q204.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val scale = 1000000000000L
+    val base = (15L * (scale / n)) / 100L
+    // every node holds at least the teleport mass, never more than all
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank_fp")
+      assert(rank >= base && rank <= scale, s"rank out of range: $r")
+    }
+    // total mass: starts at n*(S div n) <= S and each round loses only
+    // integer-division remainders — at most 1 per (edge share, damping
+    // div, teleport div) per node per round, 4 rounds. Lower bound is
+    // loose but must hold; exact equality would require rationals.
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    assert(total <= scale, s"mass created: $total > $scale")
+    assert(total > scale / 2, s"mass collapsed: $total")
+    // ranking is non-trivial: not all nodes equal (hubs exist)
+    assert(rows.map(_.getAs[Long]("rank_fp")).distinct.length > 1)
+  }
+
   test("q203 weighted sample: E-S priorities replay, weights bias the mix") {
     val rows = graft.queries.Curation.q203.run(spark, sf001).collect()
     assert(rows.length == 100)
