@@ -2746,10 +2746,20 @@ object Olap {
       val base = (15L * (scale / n)) / 100L
       var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
       for (_ <- 1 to 4) {
-        val contrib = ranks
-          .join(outdeg, col("v") === col("src"))
-          .withColumn("share", expr("r div deg"))
-          .join(adj, Seq("src"))
+        // ranks/outdeg are node-sized: size-conditionally broadcast them
+        // into the edge scan (post-checkpoint stats are opaque to the
+        // planner, which would otherwise fall back to sort-merge); at
+        // cluster scale where nodes outgrow the threshold the hint
+        // no-ops and the join stays hash-partitioned on src — the same
+        // conditional-broadcast discipline as every vocab join here
+        val shares = graft.operators.Hints.autoBroadcast(
+          ranks
+            .join(graft.operators.Hints.autoBroadcast(outdeg),
+              col("v") === col("src"))
+            .withColumn("share", expr("r div deg"))
+            .select(col("src"), col("share")))
+        val contrib = adj
+          .join(shares, Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(col("share")).as("contrib"))
         ranks = nodes
@@ -2758,6 +2768,10 @@ object Olap {
             col("v"),
             expr(s"${base}L + (85 * coalesce(contrib, 0L)) div 100")
               .as("r"))
+          // per-round truncation A/B'd against one end-of-loop
+          // checkpoint: the composed 4-layer plan was ~25% SLOWER
+          // (deep-plan optimization + one wide shuffle graph), so the
+          // per-round materialization earns its job here
           .localCheckpoint()
       }
       ranks
