@@ -861,5 +861,57 @@ object Dedup {
       LEFT JOIN near_dup n ON b.doc_id = n.doc_id
       ORDER BY b.doc_id"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127, q201)
+  /** q205: the door check AUDITED — precision/recall of q201's online
+    * first-seen-wins verdict against q24's VERIFIED near-dup pairs (the
+    * evaluation a pipeline owner demands before trusting a drop rule
+    * that never verifies). Ground truth, aligned to first-wins: a doc
+    * is truly redundant iff a verified pair (Jaccard ≥ 0.5) links it to
+    * an EARLIER doc — i.e. it appears as doc_b of some q24 pair, since
+    * q24 emits doc_a < doc_b. Precision = truly-redundant fraction of
+    * dropped docs (band collisions without content overlap are the
+    * false-drop cost of the O(1) door); recall = dropped fraction of
+    * truly-redundant docs (a band can miss a genuine near-dup — the
+    * 4×2 banding's probabilistic gap). One row; ratios divide the same
+    * BIGINTs in both engines, so the doubles are IEEE-identical. The
+    * oracle composes the q201 and q24 oracle texts as subqueries —
+    * fully independent replay of both sides of the audit. */
+  val q205 = Q(
+    "q205_door_audit",
+    (s, d) => {
+      // both inputs persisted: each feeds two counting consumers, and
+      // re-running the LSH pipelines per consumer would triple the work
+      val dropped = q201.run(s, d)
+        .filter(col("is_dup")).select(col("doc_id")).persistTracked()
+      val redundant = q24.run(s, d)
+        .select(col("doc_b").as("doc_id")).distinct().persistTracked()
+      val nDrop = dropped.count()
+      val nRed = redundant.count()
+      val nBoth = dropped.join(redundant, Seq("doc_id"), "left_semi")
+        .count()
+      import s.implicits._
+      Seq((nDrop, nRed, nBoth,
+        if (nDrop == 0) 0.0 else nBoth.toDouble / nDrop,
+        if (nRed == 0) 0.0 else nBoth.toDouble / nRed))
+        .toDF("n_dropped", "n_redundant", "n_true_drops",
+          "precision", "recall")
+    },
+    Some(s"""
+      WITH dropped AS (
+        SELECT doc_id FROM (${q201.oracle.get}) x WHERE is_dup
+      ), redundant AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (${q24.oracle.get}) x
+      ), j AS (
+        SELECT d.doc_id FROM dropped d JOIN redundant r USING (doc_id)
+      )
+      SELECT (SELECT count(*) FROM dropped) AS n_dropped,
+             (SELECT count(*) FROM redundant) AS n_redundant,
+             (SELECT count(*) FROM j) AS n_true_drops,
+             CASE WHEN (SELECT count(*) FROM dropped) = 0 THEN 0.0
+                  ELSE CAST((SELECT count(*) FROM j) AS DOUBLE)
+                       / (SELECT count(*) FROM dropped) END AS precision,
+             CASE WHEN (SELECT count(*) FROM redundant) = 0 THEN 0.0
+                  ELSE CAST((SELECT count(*) FROM j) AS DOUBLE)
+                       / (SELECT count(*) FROM redundant) END AS recall"""))
+
+  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205)
 }
