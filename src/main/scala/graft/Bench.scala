@@ -167,7 +167,10 @@ object Bench {
       // path-mining family has a measured scale story (r4 triage: q129/
       // q155 were cold-run artifacts, q127 is parity with q68 — this
       // keeps that conclusion continuously measured)
-      "q127_keep_policy", "q129_session_paths", "q155_cdc_apply")
+      "q127_keep_policy", "q129_session_paths", "q155_cdc_apply",
+      // r5 additions: iterative fixed-point PageRank (2.2x time at 10x
+      // data) and the token-linear rolling-span dedup (flat at 10x)
+      "q204_pagerank_fixedpoint", "q202_rolling_span_dedup")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
