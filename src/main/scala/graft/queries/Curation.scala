@@ -699,5 +699,109 @@ object Curation {
       LIMIT 100"""
     })
 
-  val all: Seq[Q] = Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203)
+  /** q210: quality-filter CASCADE attrition funnel — the pipeline-audit
+    * report every corpus release ships with (what C4/RefinedWeb/Gopher
+    * papers publish as "docs surviving each rule"): filters applied in a
+    * FIXED order, one row per stage with survivors, drop-at-stage, and
+    * cumulative survival rate. Stages compose the repo's portable filter
+    * vocabulary: length bounds, language allowlist, mean-word-length
+    * shape test (pure-integer: 3·n_tokens ≤ token_chars ≤ 8·n_tokens —
+    * no float boundary), minimum stopword evidence, and exact-hash
+    * dedup (keep = min doc_id per md5). One corpus scan computes every
+    * flag; the dedup keeper table is the only shuffle (hash-groupBy —
+    * scales); the funnel itself aggregates to a SINGLE row of prefix-AND
+    * counts, unpivoted to 6 stage rows (stack ↔ UNION ALL). Survival
+    * rates are single IEEE divisions of exact integer counts —
+    * bit-identical cross-engine. */
+  val q210 = Q(
+    "q210_filter_funnel",
+    (s, d) => {
+      val keep = Tables.load(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val flagged = Tables.load(s, d, "documents")
+        .withColumn("h", md5(col("text")))
+        .join(keep, "h")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        // single-space-joined text: token chars = n_chars - separators
+        .withColumn("token_chars",
+          col("n_chars") - col("n_tokens") + lit(1L))
+        .select(
+          (col("n_chars") >= 100L && col("n_chars") <= 20000L).as("f1"),
+          col("lang").isin("en", "es", "de", "fr").as("f2"),
+          (col("token_chars") >= col("n_tokens") * lit(3L) &&
+            col("token_chars") <= col("n_tokens") * lit(8L)).as("f3"),
+          (size(expr("filter(toks, t -> t IN ('the', 'a'))")) >= 2)
+            .as("f4"),
+          (col("doc_id") === col("keep_id")).as("f5"))
+      def surv(flags: Seq[String]): org.apache.spark.sql.Column =
+        if (flags.isEmpty) count(lit(1))
+        else sum(when(flags.map(col).reduce(_ && _), 1L).otherwise(0L))
+      val one = flagged.agg(
+        surv(Nil).as("s0"),
+        surv(Seq("f1")).as("s1"),
+        surv(Seq("f1", "f2")).as("s2"),
+        surv(Seq("f1", "f2", "f3")).as("s3"),
+        surv(Seq("f1", "f2", "f3", "f4")).as("s4"),
+        surv(Seq("f1", "f2", "f3", "f4", "f5")).as("s5"))
+      one.selectExpr(
+          """stack(6,
+             0L, 'all_docs',    s0, CAST(0 AS BIGINT),
+             1L, 'length',      s1, s0 - s1,
+             2L, 'language',    s2, s1 - s2,
+             3L, 'word_shape',  s3, s2 - s3,
+             4L, 'stopwords',   s4, s3 - s4,
+             5L, 'exact_dedup', s5, s4 - s5)
+             AS (stage, stage_name, surviving, dropped)""",
+          "CAST(s0 AS DOUBLE) AS total")
+        .select(col("stage"), col("stage_name"), col("surviving"),
+          col("dropped"),
+          (col("surviving").cast(DoubleType) / col("total"))
+            .as("survival_rate"))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH keepers AS (
+        SELECT md5(text) AS h, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+      ), flagged AS (
+        SELECT
+          (n_chars BETWEEN 100 AND 20000) AS f1,
+          lang IN ('en', 'es', 'de', 'fr') AS f2,
+          ((n_chars - len(string_split(text, ' ')) + 1)
+             BETWEEN len(string_split(text, ' ')) * 3
+                 AND len(string_split(text, ' ')) * 8) AS f3,
+          (len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'a'))) >= 2) AS f4,
+          (doc_id = keep_id) AS f5
+        FROM documents d JOIN keepers k ON md5(d.text) = k.h
+      ), one AS (
+        SELECT count(*) AS s0,
+          sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+          sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
+          sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
+          sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4,
+          sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5
+              THEN 1 ELSE 0 END) AS s5
+        FROM flagged
+      )
+      SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             CAST(surviving AS BIGINT) AS surviving,
+             CAST(dropped AS BIGINT) AS dropped,
+             CAST(surviving AS DOUBLE) / CAST(s0 AS DOUBLE)
+               AS survival_rate
+      FROM (
+        SELECT 0 AS stage, 'all_docs' AS stage_name,
+               s0 AS surviving, 0 AS dropped, s0 FROM one
+        UNION ALL SELECT 1, 'length', s1, s0 - s1, s0 FROM one
+        UNION ALL SELECT 2, 'language', s2, s1 - s2, s0 FROM one
+        UNION ALL SELECT 3, 'word_shape', s3, s2 - s3, s0 FROM one
+        UNION ALL SELECT 4, 'stopwords', s4, s3 - s4, s0 FROM one
+        UNION ALL SELECT 5, 'exact_dedup', s5, s4 - s5, s0 FROM one
+      ) stages
+      ORDER BY stage"""))
+
+  val all: Seq[Q] =
+    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210)
 }

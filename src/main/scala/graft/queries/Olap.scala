@@ -3076,10 +3076,274 @@ object Olap {
       FROM rev
       ORDER BY r_name, n_name"""))
 
+  /** TPC-H Q2 shape — min-cost supplier per part: the classic correlated
+    * MIN subquery (`ps_supplycost = (SELECT min(ps_supplycost) …)`),
+    * decorrelated the way Catalyst would — a per-part MIN aggregate
+    * joined back on (part, cost) — over a partsupp ANALOG derived from
+    * lineitem (the fixture has no partsupp table): each (part, supplier)
+    * pair's supply cost is its cheapest observed unit price in exact
+    * integer cents, `cents(extendedprice) div qty` (qty is an integer-
+    * valued 1..50, both operands non-negative, so Spark `div` ≡ DuckDB
+    * `//` exactly). Every comparison and MIN runs on exact BIGINTs —
+    * no float boundary ambiguity — and ties at the minimum keep ALL
+    * achieving suppliers, as in the genuine Q2. Scale: the partsupp
+    * analog is one lineitem-sized aggregate; supplier/nation/region are
+    * size-conditionally broadcast dims; the min-cost join is
+    * aggregate-sized on both sides. */
+  val q206 = Q(
+    "q206_min_cost_supplier",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val unitCents = expr(
+        s"${Det.centsSql("l_extendedprice")}" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_cents")
+      val eurSupp = graft.operators.Hints.autoBroadcast(
+        Tables.load(s, d, "supplier")
+          .join(
+            Tables.load(s, d, "nation")
+              .select(col("n_nationkey"), col("n_name"),
+                col("n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(
+            Tables.load(s, d, "region")
+              .filter(col("r_name") === "EUROPE")
+              .select(col("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      val ps = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), unitCents)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit_cents")).as("supply_cents"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .persistTracked()
+      val minCost = ps.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("supply_cents")).as("min_cents"))
+      ps
+        .join(minCost,
+          col("l_partkey") === col("mk") &&
+            col("supply_cents") === col("min_cents"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "part")
+            .filter(col("p_size") <= 10)
+            .select(col("p_partkey"), col("p_name"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_partkey"), col("p_name"), col("p_type"),
+          col("s_name"), col("n_name"),
+          (col("supply_cents").cast(DoubleType) / lit(100.0D))
+            .as("supply_cost"))
+        // ordering by the displayed double is safe: cents < 2^53 make
+        // /100.0 exact and injective, so cents-order == cost-order
+        .orderBy(col("supply_cost"), col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   // CAST(l_quantity AS BIGINT)) AS supply_cents
+        FROM lineitem GROUP BY 1, 2
+      ), eur AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      ), pse AS (
+        SELECT ps.*, eur.s_name, eur.n_name
+        FROM ps JOIN eur ON ps.l_suppkey = eur.s_suppkey
+      )
+      SELECT p_partkey, p_name, p_type, s_name, n_name,
+             CAST(supply_cents AS DOUBLE) / 100.0 AS supply_cost
+      FROM pse
+      JOIN part ON l_partkey = p_partkey AND p_size <= 10
+      WHERE supply_cents = (SELECT min(p2.supply_cents) FROM pse p2
+                            WHERE p2.l_partkey = pse.l_partkey)
+      ORDER BY supply_cost, p_partkey, s_name
+      LIMIT 100"""))
+
+  /** TPC-H Q18 shape — large-volume orders: `o_orderkey IN (SELECT
+    * l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(qty) > T)`,
+    * planned as aggregate → filter → join (the IN-over-HAVING
+    * decorrelation). The threshold is SCALE-RELATIVE — more than twice
+    * the mean per-order quantity, compared in pure integers
+    * (`sum_qty · n_orders > 2 · total_qty`) via a 1-row broadcast of the
+    * global aggregate — so the query selects the same tail shape at
+    * every SF instead of going empty or total under an absolute
+    * constant. Scale: one lineitem-sized aggregate, a 1-row broadcast,
+    * and an aggregate-sized join against orders (the big-side scan
+    * happens once); top-100 via TakeOrderedAndProject, never a global
+    * sort. */
+  val q207 = Q(
+    "q207_large_volume_orders",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val oq = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .persistTracked()
+      val tot = oq.agg(
+        sum(col("sum_qty")).as("total_qty"),
+        count(lit(1)).as("n_orders"))
+      val big = oq.crossJoin(broadcast(tot))
+        .filter(col("sum_qty") * col("n_orders") >
+          col("total_qty") * lit(2L))
+        .select(col("l_orderkey"), col("sum_qty"))
+      big
+        .join(
+          Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              to_date(col("o_orderdate")).as("o_date"),
+              col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_date").cast(StringType).as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("sum_qty"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH oq AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY 1
+      ), tot AS (
+        SELECT sum(sum_qty) AS total_qty, count(*) AS n_orders FROM oq
+      )
+      SELECT c_name, c_custkey, o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+             o_totalprice, sum_qty
+      FROM oq
+      CROSS JOIN tot
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE sum_qty * n_orders > total_qty * 2
+      ORDER BY sum_qty DESC, o_orderkey
+      LIMIT 100"""))
+
+  /** TPC-H Q20 shape — suppliers shipping an EXCESS SHARE of a part:
+    * the nested correlated-aggregate subquery (`ps_availqty > 0.5 *
+    * (SELECT sum(l_quantity) …)`), decorrelated as two stacked
+    * aggregates joined on the correlation key. The share test is
+    * FAIR-SHARE-RELATIVE and pure-integer — supplier's 1997 shipped
+    * quantity of the part × (number of suppliers shipping that part)
+    * > 2 × the part's total — so it measures concentration identically
+    * at every SF (an absolute 30%-of-total cut selects everything when
+    * suppliers-per-part is small and nothing when it is large). The
+    * year filter is pushed to the scan. Scale: two bounded aggregates
+    * over one lineitem scan, dims broadcast, result supplier-sized. */
+  val q208 = Q(
+    "q208_excess_suppliers",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val sq = Tables.load(s, d, "lineitem")
+        .filter(year(to_date(col("l_shipdate"))) === 1997)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("sq"))
+        .persistTracked()
+      val pq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("nsupp"))
+      val excess = sq
+        .join(pq, col("l_partkey") === col("pk"))
+        .filter(col("sq") * col("nsupp") > col("tq") * lit(2L))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_excess_parts"),
+          sum(col("sq")).as("excess_qty"))
+      excess
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"),
+              col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"),
+          col("n_excess_parts"), col("excess_qty"))
+        .orderBy(desc("n_excess_parts"), desc("excess_qty"),
+          col("s_name"))
+    },
+    Some("""
+      WITH sq AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS BIGINT)) AS sq
+        FROM lineitem
+        WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        GROUP BY 1, 2
+      ), pq AS (
+        SELECT l_partkey AS pk, sum(sq) AS tq, count(*) AS nsupp
+        FROM sq GROUP BY 1
+      ), excess AS (
+        SELECT l_suppkey, count(*) AS n_excess_parts,
+               sum(sq) AS excess_qty
+        FROM sq JOIN pq ON l_partkey = pk
+        WHERE sq * nsupp > tq * 2
+        GROUP BY 1
+      )
+      SELECT s_name, n_name, n_excess_parts, excess_qty
+      FROM excess
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_excess_parts DESC, excess_qty DESC, s_name"""))
+
+  /** TPC-H Q11 shape — parts holding an outsized share of total value:
+    * `GROUP BY … HAVING sum(value) > FRACTION × (SELECT sum(value)
+    * FROM …)` — the global-scalar-subquery HAVING, planned as the
+    * per-part aggregate cross-joined with a 1-row broadcast of the
+    * grand total (computed from the SAME aggregate, one fact scan
+    * total). The cut is parts above 1.5× the MEAN part value, compared
+    * in pure integer cents (`2 · value_c · n_parts > 3 · total_c`) —
+    * Q11's `0.0001/SF` fraction made scale-relative without a float
+    * boundary (the fixture's per-part values top out at ~1.9× mean, so
+    * 1.5× selects a real tail at every SF where 2× selects nothing;
+    * the product stays under 2^63 through ~sf1000). The displayed
+    * value and share are single IEEE divisions of identical exact
+    * integers — bit-identical cross-engine. */
+  val q209 = Q(
+    "q209_important_parts",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val pv = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("value_c"))
+        .persistTracked()
+      val tot = pv.agg(
+        sum(col("value_c")).as("total_c"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_c") * col("n_parts") * lit(2L) >
+          col("total_c") * lit(3L))
+        .select(
+          col("l_partkey").as("p_partkey"),
+          (col("value_c").cast(DoubleType) / lit(100.0D)).as("value"),
+          (col("value_c").cast(DoubleType) /
+            col("total_c").cast(DoubleType)).as("share_of_total"))
+        .orderBy(desc("value"), col("p_partkey"))
+    },
+    Some(s"""
+      WITH pv AS (
+        SELECT l_partkey, sum(${Det.centsSql("l_extendedprice")})
+                 AS value_c
+        FROM lineitem GROUP BY 1
+      ), tot AS (
+        SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM pv
+      )
+      SELECT l_partkey AS p_partkey,
+             CAST(value_c AS DOUBLE) / 100.0 AS value,
+             CAST(value_c AS DOUBLE) / CAST(total_c AS DOUBLE)
+               AS share_of_total
+      FROM pv, tot
+      WHERE value_c * n_parts * 2 > total_c * 3
+      ORDER BY value DESC, p_partkey"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
-      q195, q197, q204)
+      q195, q197, q204, q206, q207, q208, q209)
 }

@@ -1077,6 +1077,172 @@ object Sim {
       FROM normed a JOIN normed b ON a.label < b.label
       ORDER BY label_a, label_b"""))
 
+  /** q211: INT8 scalar quantization (SQ8) ANN — the memory-side
+    * companion to q86's product quantization and the default "4× less
+    * RAM, almost-exact" compression every vector store ships (FAISS
+    * ScalarQuantizer): per-DIMENSION global [min,max] → each value to a
+    * uniform 8-bit code `floor((x−mn)·255/(mx−mn))` → search scores the
+    * RECONSTRUCTED vectors `mn + c·(mx−mn)/255` against full-precision
+    * queries (asymmetric, like ADC). Determinism: the per-dim bounds
+    * are exact double MIN/MAXes; code and reconstruction are the SAME
+    * IEEE expression tree in both engines (±,×,÷,floor on identical
+    * operands — correctly rounded, bit-identical); dots are the shared
+    * sequential VecDot fold ↔ list_reduce. Scale: bounds are one
+    * map-side-combinable aggregate to 64 rows, broadcast back; codes
+    * are a projection; search scans codes once per query batch.
+    * Output: top-3 per query by quantized score, flagged against the
+    * exact top-3 — the recall readout next to the compression. */
+  val q211 = Q(
+    "q211_sq8_quantization",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val vecs = emb(s, d).select(col("vec_id"), col("v"))
+      val bounds = vecs
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(dim, mn))), " +
+            "p -> p.mn)").as("mns"),
+          expr("transform(array_sort(collect_list(struct(dim, mx))), " +
+            "p -> p.mx)").as("mxs"))
+      val recon = vecs.crossJoin(broadcast(bounds))
+        .withColumn("codes", expr(
+          "transform(v, (x, i) -> IF(mxs[i] = mns[i], 0L, " +
+            "CAST(least(greatest(floor((x - mns[i]) * 255.0D " +
+            "/ (mxs[i] - mns[i])), 0.0D), 255.0D) AS BIGINT)))"))
+        .withColumn("rv", expr(
+          "transform(codes, (c, i) -> IF(mxs[i] = mns[i], mns[i], " +
+            "mns[i] + CAST(c AS DOUBLE) * (mxs[i] - mns[i]) / 255.0D))"))
+        .select(col("vec_id"), col("v"), col("rv"))
+        .persistTracked()
+      val queries = recon.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def top3(scoreCol: String, scored: org.apache.spark.sql.DataFrame) =
+        scored.withColumn("rank",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(desc(scoreCol), col("vec_id"))))
+          .filter(col("rank") <= 3)
+      val pairs = recon.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+      val sq8 = top3("sq8_score",
+        pairs.withColumn("sq8_score", VecDot.dot(col("qv"), col("rv"))))
+      val exact = top3("exact_score",
+        pairs.withColumn("exact_score", VecDot.dot(col("qv"), col("v"))))
+        .select(col("qid").as("eq"), col("vec_id").as("ev"))
+      sq8
+        .join(exact,
+          col("qid") === col("eq") && col("vec_id") === col("ev"),
+          "left")
+        .select(col("qid"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("sq8_score"),
+          col("ev").isNotNull.as("in_exact_top3"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), ex AS (
+        SELECT vec_id, unnest(v) AS x,
+               unnest(range(0, len(v))) AS dim
+        FROM vecs
+      ), bounds AS (
+        SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1
+      ), rex AS (
+        SELECT vec_id, dim,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + CAST(CAST(least(greatest(
+                           floor((x - mn) * 255.0 / (mx - mn)),
+                           0.0), 255.0) AS BIGINT) AS DOUBLE)
+                         * (mx - mn) / 255.0 END AS r
+        FROM ex JOIN bounds USING (dim)
+      ), rl AS (
+        SELECT vec_id, list(r ORDER BY dim) AS rv FROM rex GROUP BY 1
+      ), queries AS (
+        SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 8
+      ), sq8 AS (
+        SELECT qid, c.vec_id,
+               list_reduce(list_transform(list_zip(q.qv, c.rv),
+                 p -> p[1] * p[2]), (a, b) -> a + b) AS sq8_score,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 list_reduce(list_transform(list_zip(q.qv, c.rv),
+                   p -> p[1] * p[2]), (a, b) -> a + b) DESC,
+                 c.vec_id) AS rank
+        FROM rl c CROSS JOIN queries q
+        WHERE c.vec_id <> q.qid
+      ), exact AS (
+        SELECT qid AS eq, c.vec_id AS ev,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 list_reduce(list_transform(list_zip(q.qv, c.v),
+                   p -> p[1] * p[2]), (a, b) -> a + b) DESC,
+                 c.vec_id) AS erank
+        FROM vecs c CROSS JOIN queries q
+        WHERE c.vec_id <> q.qid
+      )
+      SELECT qid, rank, sq8.vec_id AS neighbor_id, sq8_score,
+             (ev IS NOT NULL) AS in_exact_top3
+      FROM sq8
+      LEFT JOIN exact ON qid = eq AND sq8.vec_id = ev AND erank <= 3
+      WHERE rank <= 3
+      ORDER BY qid, rank"""))
+
+  /** q212: SEMANTIC decontamination — the embedding-space complement of
+    * q71's 8-gram overlap scrub (Phi/Llama-style semantic dedup against
+    * eval sets: paraphrased benchmark leakage that no n-gram can catch):
+    * every corpus vector is scored against the full eval set and flagged
+    * when its best cosine crosses the threshold. The eval side is SMALL
+    * BY NATURE (a benchmark), so it broadcasts and the corpus is scanned
+    * exactly once — the realistic 100-TB shape (at billions of corpus
+    * rows the same plan holds; only the corpus side partitions). Best
+    * match per corpus vector via rank-1 window PARTITIONED by corpus id
+    * (never global). Cosines are the shared fold — bit-identical. */
+  val q212 = Q(
+    "q212_semantic_decontam",
+    (s, d) => {
+      val all0 = emb(s, d)
+      val eval0 = all0.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("nrm").as("enrm"))
+      val best = all0.filter(col("vec_id") >= 16)
+        .crossJoin(broadcast(eval0))
+        .withColumn("cos_sim",
+          VecDot.dot(col("v"), col("ev")) / (col("nrm") * col("enrm")))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(desc("cos_sim"), col("eval_id"))))
+        .filter(col("rnk") === 1 && col("cos_sim") >= 0.3)
+      best.select(col("vec_id"), col("label"),
+          col("eval_id").as("matched_eval_id"), col("cos_sim"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(list_zip(
+                 CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm
+        FROM embeddings
+      ), ev AS (
+        SELECT vec_id AS eval_id, v AS evv, nrm AS enrm
+        FROM vecs WHERE vec_id < 16
+      ), scored AS (
+        SELECT c.vec_id, c.label, e.eval_id,
+               list_reduce(list_transform(list_zip(c.v, e.evv),
+                 p -> p[1] * p[2]), (a, b) -> a + b) / (c.nrm * e.enrm)
+                 AS cos_sim,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_reduce(list_transform(list_zip(c.v, e.evv),
+                   p -> p[1] * p[2]), (a, b) -> a + b)
+                   / (c.nrm * e.enrm) DESC, e.eval_id) AS rnk
+        FROM vecs c CROSS JOIN ev e
+        WHERE c.vec_id >= 16
+      )
+      SELECT vec_id, label, eval_id AS matched_eval_id, cos_sim
+      FROM scored
+      WHERE rnk = 1 AND cos_sim >= 0.3
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198)
+    Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
+      q211, q212)
 }

@@ -2713,4 +2713,189 @@ class NewOperatorsSpec extends SparkSpec {
     assert(q91(1L) == segs(1L) && q91(2L) == segs(2L),
       "fixed segments should keep everything here — the probe's point")
   }
+
+  test("q206 min-cost supplier: each row achieves its part's true minimum") {
+    val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // driver replay of the partsupp analog restricted to EUROPE
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("uc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val eur = Tables.load(spark, sf001, "supplier")
+      .join(Tables.load(spark, sf001, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, sf001, "region")
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val minByPart = li.filter(t => eur.contains(t._2))
+      .groupBy(_._1).map { case (pk, ts) =>
+        pk -> ts.groupBy(_._2).map { case (_, us) => us.map(_._3).min }.min
+      }
+    rows.foreach { r =>
+      val cents = math.round(r.getAs[Double]("supply_cost") * 100)
+      assert(cents == minByPart(r.getAs[Long]("p_partkey")),
+        s"row is not the part's min-cost European supplier: $r")
+    }
+  }
+
+  test("q207 large-volume orders: every row clears the 2x-mean bar") {
+    val rows = graft.queries.Olap.q207.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val oq = Tables.load(spark, sf001, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = oq.values.sum
+    val n = oq.size.toLong
+    rows.foreach { r =>
+      val sq = r.getAs[Long]("sum_qty")
+      assert(sq == oq(r.getAs[Long]("o_orderkey")), s"sum_qty wrong: $r")
+      assert(sq * n > total * 2L, s"below threshold: $r")
+    }
+    // nothing above the bar was missed (fixture stays under the LIMIT)
+    val expect = oq.count { case (_, sq) => sq * n > total * 2L }
+    assert(rows.length == math.min(expect, 100),
+      s"${rows.length} rows vs $expect qualifying orders")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("sum_qty") >= b.getAs[Long]("sum_qty"))
+    case _ => () }
+  }
+
+  test("q208 excess suppliers: per-supplier counts replay from raw rows") {
+    val rows = graft.queries.Olap.q208.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val sq = Tables.load(spark, sf001, "lineitem")
+      .filter(year(to_date(col("l_shipdate"))) === 1997)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val byPart = sq.groupBy(_._1._1).map { case (pk, ts) =>
+      pk -> ((ts.map(_._2).sum, ts.size.toLong))
+    }
+    val excess = sq.filter { case ((pk, _), q) =>
+      val (tq, nsupp) = byPart(pk); q * nsupp > tq * 2L
+    }
+    val perSupp = excess.groupBy(_._1._2)
+      .map { case (sk, ts) => sk -> ts.size.toLong }
+    val names = Tables.load(spark, sf001, "supplier")
+      .collect().map(r =>
+        r.getAs[String]("s_name") -> r.getAs[Long]("s_suppkey")).toMap
+    assert(rows.map(r => r.getAs[String]("s_name")).toSet ==
+      perSupp.keySet.map(k => names.collectFirst {
+        case (n, s) if s == k => n
+      }.get),
+      "supplier set mismatch vs driver replay")
+    rows.foreach { r =>
+      val sk = names(r.getAs[String]("s_name"))
+      assert(r.getAs[Long]("n_excess_parts") == perSupp(sk), s"count: $r")
+    }
+  }
+
+  test("q209 important parts: shares bounded, cut honest, order desc") {
+    val rows = graft.queries.Olap.q209.run(spark, sf001).collect()
+    assert(rows.nonEmpty, "1.5x-mean cut must select a tail at sf0.001")
+    val shares = rows.map(_.getAs[Double]("share_of_total"))
+    assert(shares.sum <= 1.0 + 1e-12)
+    val nParts = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    shares.foreach { sh =>
+      assert(sh > 1.5 / nParts, s"share $sh below the relative cut")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("value") >= b.getAs[Double]("value"))
+    case _ => () }
+  }
+
+  test("q210 funnel: monotone survival, exact drop ledger, honest stages") {
+    val rows = graft.queries.Curation.q210.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 6)
+    val surv = rows.map(_.getAs[Long]("surviving"))
+    val drop = rows.map(_.getAs[Long]("dropped"))
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(surv.head == nDocs && drop.head == 0L)
+    assert(rows.head.getAs[Double]("survival_rate") == 1.0)
+    (1 until 6).foreach { i =>
+      assert(surv(i) <= surv(i - 1), "survivors must be non-increasing")
+      assert(drop(i) == surv(i - 1) - surv(i), "drop ledger must balance")
+      assert(rows(i).getAs[Double]("survival_rate") ==
+        surv(i).toDouble / nDocs.toDouble, "rate must be the exact ratio")
+    }
+    // the funnel must actually filter something AND keep something
+    assert(surv.last > 0L && surv.last < nDocs)
+    // language stage drops exactly the zh docs among length survivors
+    val zhAll = Tables.load(spark, sf001, "documents")
+      .filter(col("lang") === "zh" &&
+        col("n_chars").between(100L, 20000L)).count()
+    assert(drop(2) == zhAll, s"language stage dropped ${drop(2)}, zh=$zhAll")
+  }
+
+  test("q211 sq8: reconstruction error bounded by one quantization step") {
+    val rows = graft.queries.Sim.q211.run(spark, sf001).collect()
+    assert(rows.length == 24, "8 queries x top-3")
+    // near-exact regime on the fixture: SQ8 top-3 should mostly agree
+    // with exact top-3 (deterministically 24/24 today; bound left loose
+    // against fixture regeneration)
+    val hits = rows.count(_.getAs[Boolean]("in_exact_top3"))
+    assert(hits >= 18, s"sq8 recall collapsed: $hits/24")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(
+        Array(1, 2, 3)), s"ranks for qid $q")
+    }
+    // driver replay of the quantization error bound: |x - recon(x)| is
+    // at most one code step (mx-mn)/255 per dimension
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = vecs.head.length
+    (0 until dims).foreach { i =>
+      val xs = vecs.map(_(i))
+      val (mn, mx) = (xs.min, xs.max)
+      val step = (mx - mn) / 255.0
+      xs.foreach { x =>
+        val c = math.min(math.max(
+          math.floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0)
+        val r = mn + c * (mx - mn) / 255.0
+        assert(math.abs(x - r) <= step + 1e-12,
+          s"dim $i: |$x - $r| > step $step")
+      }
+    }
+  }
+
+  test("q212 semantic decontam: flags are corpus-side, best-match, real") {
+    val rows = graft.queries.Sim.q212.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "one verdict per vector")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 16L, "eval vectors flagged")
+      assert(r.getAs[Long]("matched_eval_id") < 16L)
+      assert(r.getAs[Double]("cos_sim") >= 0.3)
+    }
+    // spot replay: the matched eval really is the argmax for that vector
+    val em = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dp, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.take(10).foreach { r =>
+      val v = em(r.getAs[Long]("vec_id"))
+      val best = (0L until 16L).maxBy(e => cos(v, em(e)))
+      val bestCos = cos(v, em(best))
+      // allow exact ties resolved by smaller eval_id
+      val got = r.getAs[Long]("matched_eval_id")
+      assert(cos(v, em(got)) == bestCos && (got == best ||
+        cos(v, em(got)) == cos(v, em(best))),
+        s"matched eval ${got} is not the argmax for ${r}")
+    }
+  }
 }
