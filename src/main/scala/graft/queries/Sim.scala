@@ -1242,7 +1242,89 @@ object Sim {
       WHERE rnk = 1 AND cos_sim >= 0.3
       ORDER BY vec_id"""))
 
+  /** q213: contrastive TRIPLET mining (anchor, positive, hard negative)
+    * — the training-data op behind every embedding model fine-tune
+    * (sentence-transformers hard-negative mining, SimCLR/InfoNCE batch
+    * construction): for each anchor, the most-similar SAME-label vector
+    * is the positive and the most-similar DIFFERENT-label vector is the
+    * hard negative (the "closest impostor" — random negatives are too
+    * easy to carry gradient). Emits the margin (pos_cos − neg_cos);
+    * negative margins mark label-boundary violations worth auditing.
+    * Anchors here are a bounded query set (the q26 convention), so the
+    * corpus is scanned once with the anchor side broadcast; at 100 TB
+    * the same plan mines per-batch triplets with the batch broadcast,
+    * or routes through q62's LSH buckets for corpus×corpus mining.
+    * Both argmaxes are rank-1 windows partitioned per anchor, cosines
+    * the shared fold — bit-identical cross-engine. */
+  val q213 = Q(
+    "q213_hard_negatives",
+    (s, d) => {
+      val all0 = emb(s, d)
+      val anchors = all0.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("v").as("av"), col("nrm").as("anrm"))
+      val scored = all0.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("cos_sim",
+          VecDot.dot(col("av"), col("v")) / (col("anrm") * col("nrm")))
+      def rank1(sameLabel: Boolean) = {
+        val side = scored.filter(
+          if (sameLabel) col("label") === col("alabel")
+          else col("label") =!= col("alabel"))
+        side.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("aid"))
+            .orderBy(desc("cos_sim"), col("vec_id"))))
+          .filter(col("rnk") === 1)
+      }
+      val pos = rank1(sameLabel = true)
+        .select(col("aid"), col("alabel"),
+          col("vec_id").as("positive_id"), col("cos_sim").as("pos_cos"))
+      val neg = rank1(sameLabel = false)
+        .select(col("aid").as("naid"),
+          col("vec_id").as("negative_id"), col("cos_sim").as("neg_cos"))
+      pos.join(neg, col("aid") === col("naid"))
+        .select(col("aid").as("anchor_id"), col("alabel").as("label"),
+          col("positive_id"), col("pos_cos"),
+          col("negative_id"), col("neg_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+        .orderBy(col("anchor_id"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(list_zip(
+                 CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm
+        FROM embeddings
+      ), anchors AS (
+        SELECT vec_id AS aid, label AS alabel, v AS av, nrm AS anrm
+        FROM vecs WHERE vec_id < 8
+      ), scored AS (
+        SELECT a.aid, a.alabel, c.vec_id, c.label,
+               list_reduce(list_transform(list_zip(a.av, c.v),
+                 p -> p[1] * p[2]), (x, y) -> x + y) / (a.anrm * c.nrm)
+                 AS cos_sim
+        FROM vecs c CROSS JOIN anchors a
+        WHERE c.vec_id <> a.aid
+      ), pos AS (
+        SELECT aid, alabel, vec_id AS positive_id, cos_sim AS pos_cos,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored WHERE label = alabel
+      ), neg AS (
+        SELECT aid AS naid, vec_id AS negative_id, cos_sim AS neg_cos,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored WHERE label <> alabel
+      )
+      SELECT aid AS anchor_id, alabel AS label,
+             positive_id, pos_cos, negative_id, neg_cos,
+             pos_cos - neg_cos AS margin
+      FROM pos JOIN neg ON aid = naid AND neg.rnk = 1
+      WHERE pos.rnk = 1
+      ORDER BY anchor_id"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212)
+      q211, q212, q213)
 }

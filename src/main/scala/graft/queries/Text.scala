@@ -2575,9 +2575,81 @@ object Text {
       WHERE r.rk > c.lo AND r.rk <= c.hi
       ORDER BY r.doc_id"""))
 
+  /** q214: length-bucketed batching report — the data-loader planning op
+    * for padded-batch training (HuggingFace group_by_length / T5 packing
+    * trade study): documents grouped into fixed-width token-length
+    * buckets (width 32), and for each bucket the padding bill if every
+    * sequence pads to the bucket cap, next to the bill if it padded to
+    * the GLOBAL max (the unbucketed baseline) — the measured answer to
+    * "how much compute does length bucketing save?", complementing
+    * q90's pack-everything path. All counts are exact integers (token
+    * counts, caps, padded cells); the waste and savings ratios are
+    * single IEEE divisions of identical exact operands. Scale: one
+    * corpus scan into a ≤(max_len/32)-row aggregate plus a 1-row global
+    * max broadcast — map-side-combinable throughout. */
+  val q214 = Q(
+    "q214_length_buckets",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val toks = Tables.load(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType)
+          .as("n_tokens"))
+        .withColumn("bucket", expr("(n_tokens - 1L) div 32L"))
+        .persistTracked()
+      val buckets = toks.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("n_tokens")).as("max_in_bucket"))
+        .withColumn("bucket_cap", (col("bucket") + 1L) * 32L)
+      val global = toks.agg(max(col("n_tokens")).as("gmax"))
+        .withColumn("global_cap",
+          expr("((gmax + 31L) div 32L) * 32L"))
+        .select(col("global_cap"))
+      buckets.crossJoin(broadcast(global))
+        .select(
+          col("bucket"), col("n_docs"), col("total_tokens"),
+          col("max_in_bucket"), col("bucket_cap"),
+          (col("n_docs") * col("bucket_cap")).as("padded_tokens"),
+          ((col("n_docs") * col("bucket_cap") - col("total_tokens"))
+            .cast(DoubleType) /
+            (col("n_docs") * col("bucket_cap")).cast(DoubleType))
+            .as("waste_ratio"),
+          (lit(1.0D) -
+            (col("n_docs") * col("bucket_cap")).cast(DoubleType) /
+            (col("n_docs") * col("global_cap")).cast(DoubleType))
+            .as("savings_vs_unbucketed"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), b AS (
+        SELECT (n_tokens - 1) // 32 AS bucket,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               max(n_tokens) AS max_in_bucket
+        FROM toks GROUP BY 1
+      ), g AS (
+        SELECT ((max(n_tokens) + 31) // 32) * 32 AS global_cap FROM toks
+      )
+      SELECT bucket, n_docs,
+             CAST(total_tokens AS BIGINT) AS total_tokens,
+             max_in_bucket,
+             (bucket + 1) * 32 AS bucket_cap,
+             CAST(n_docs * (bucket + 1) * 32 AS BIGINT) AS padded_tokens,
+             CAST(n_docs * (bucket + 1) * 32 - total_tokens AS DOUBLE)
+               / CAST(n_docs * (bucket + 1) * 32 AS DOUBLE)
+               AS waste_ratio,
+             1.0 - CAST(n_docs * (bucket + 1) * 32 AS DOUBLE)
+                     / CAST(n_docs * global_cap AS DOUBLE)
+               AS savings_vs_unbucketed
+      FROM b CROSS JOIN g
+      ORDER BY bucket"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202)
+      q202, q214)
 }

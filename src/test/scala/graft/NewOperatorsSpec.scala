@@ -2865,6 +2865,74 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q213 hard negatives: driver argmax replay, labels honest") {
+    val rows = graft.queries.Sim.q213.run(spark, sf001).collect()
+    assert(rows.length == 8, "one triplet per anchor")
+    val em = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Double](2).toArray)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dp, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val aid = r.getAs[Long]("anchor_id")
+      val (albl, av) = em(aid)
+      val pid = r.getAs[Long]("positive_id")
+      val nid = r.getAs[Long]("negative_id")
+      assert(em(pid)._1 == albl, s"positive crosses labels: $r")
+      assert(em(nid)._1 != albl, s"negative shares the label: $r")
+      assert(pid != aid && nid != aid)
+      // replay both argmaxes over the full corpus
+      val best = em.toSeq.filter(_._1 != aid)
+      val bp = best.filter(_._2._1 == albl)
+        .map { case (id, (_, v)) => (cos(av, v), id) }
+        .maxBy { case (c, id) => (c, -id) }
+      val bn = best.filter(_._2._1 != albl)
+        .map { case (id, (_, v)) => (cos(av, v), id) }
+        .maxBy { case (c, id) => (c, -id) }
+      assert(cos(av, em(pid)._2) == bp._1, s"positive not argmax: $r")
+      assert(cos(av, em(nid)._2) == bn._1, s"negative not argmax: $r")
+      assert(r.getAs[Double]("margin") ==
+        r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+    }
+  }
+
+  test("q214 length buckets: exact padding arithmetic, full coverage") {
+    val rows = graft.queries.Text.q214.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val lens = Tables.load(spark, sf001, "documents")
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    // every doc lands in exactly one bucket; totals conserve
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == lens.length.toLong)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == lens.sum)
+    val gcap = ((lens.max + 31) / 32) * 32
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("bucket_cap")
+      val mx = r.getAs[Long]("max_in_bucket")
+      assert(mx <= cap && mx > cap - 32,
+        s"bucket max $mx outside (cap-32, cap] for $r")
+      val padded = r.getAs[Long]("padded_tokens")
+      assert(padded == r.getAs[Long]("n_docs") * cap)
+      assert(padded >= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Double]("waste_ratio") ==
+        (padded - r.getAs[Long]("total_tokens")).toDouble / padded)
+      assert(r.getAs[Double]("savings_vs_unbucketed") ==
+        1.0 - padded.toDouble /
+          (r.getAs[Long]("n_docs") * gcap).toDouble)
+      // bucketing can only save vs padding everything to the global max
+      assert(r.getAs[Double]("savings_vs_unbucketed") >= 0.0)
+    }
+  }
+
   test("q212 semantic decontam: flags are corpus-side, best-match, real") {
     val rows = graft.queries.Sim.q212.run(spark, sf001).collect()
     assert(rows.nonEmpty)
