@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{BloomMd5, CountMinMd5, HllMd5, TDigestQuantile, VecDot}
+import graft.functions.{BloomMd5, CountMinMd5, HllMd5, KmvMd5, TDigestQuantile, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"hll_md5 expects exactly 1 argument, got ${children.length}")
           HllMd5(children.head)
+        }))
+    // KMV / bottom-k distinct sketch — the set-operation-capable sibling
+    // of hll_md5 (union/intersection/Jaccard estimates from merged
+    // sketches)
+    ext.injectFunction(
+      (FunctionIdentifier("kmv_md5"), KmvMd5.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"kmv_md5 expects exactly 1 argument, got ${children.length}")
+          KmvMd5(children.head)
         }))
     // t-digest quantile sketch (the reference's quantileTDigest analog);
     // the percentage is cast to DOUBLE so the natural spelling

@@ -1071,8 +1071,164 @@ object Core {
         FROM a
       ) ORDER BY column_name"""))
 
+  /** q215: cross-source corpus-similarity matrix from KMV sketches —
+    * the set-operation estimate HLL cannot give (q61 estimates sizes;
+    * KMV estimates OVERLAP): per source, the k=64 smallest 48-bit md5
+    * values of its distinct word-3-gram shingles (`functions/KmvMd5`, a
+    * bounded-state TypedImperativeAggregate); per source pair, the
+    * union sketch is the k smallest of the two merged value sets, and
+    * Jaccard/intersection fall out by membership counting (Beyer et
+    * al. SIGMOD'07). Exact distinct-join numbers sit beside every
+    * estimate (the q80 bloom-audit pattern), so the driver verifies
+    * the sketch algebra AND its accuracy in one run. Determinism:
+    * sketches are value SETS (partition-order-free), estimates are
+    * single IEEE divisions of exact integers (63·2^48 has 6
+    * significant bits — exact in a double); DuckDB rebuilds the same
+    * arrays with rank-k SQL over the same md5. Scale: the sketch pass
+    * is one corpus scan into 512-byte states — the pairwise matrix
+    * then costs |sources|² sketch-array ops, NEVER a quadratic
+    * distinct-join (the exact twin here is the audit, not the plan). */
+  val q215 = Q(
+    "q215_kmv_overlap",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val K = graft.functions.KmvMd5.K
+      val shingles = Tables.load(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .as("sh"))
+        .distinct()
+        .persistTracked()
+      val sk = shingles.groupBy(col("source"))
+        .agg(
+          graft.functions.KmvMd5.sketch(col("sh")).as("sk"),
+          count(lit(1)).as("exact_n"))
+      val inter = shingles.as("x")
+        .join(shingles.as("y"),
+          col("x.sh") === col("y.sh") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("ia"), col("y.source").as("ib"))
+        .agg(count(lit(1)).as("exact_inter"))
+      def est(skCol: Column): Column =
+        when(size(skCol) < K, size(skCol).cast(DoubleType))
+          .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+            element_at(skCol, K).cast(DoubleType))
+      val a = sk.select(col("source").as("source_a"),
+        col("sk").as("ska"), col("exact_n").as("exact_a"))
+      val b = sk.select(col("source").as("source_b"),
+        col("sk").as("skb"), col("exact_n").as("exact_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .join(inter,
+          col("source_a") === col("ia") && col("source_b") === col("ib"),
+          "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("uk",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+        .withColumn("m", size(col("uk")))
+        .withColumn("est_union",
+          when(col("m") < K, col("m").cast(DoubleType))
+            .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+              element_at(col("uk"), K).cast(DoubleType)))
+        .withColumn("jaccard_est",
+          size(array_intersect(array_intersect(col("uk"), col("ska")),
+            col("skb"))).cast(DoubleType) / col("m").cast(DoubleType))
+        .select(
+          col("source_a"), col("source_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"),
+          (col("exact_a") + col("exact_b") - col("exact_inter"))
+            .as("exact_union"),
+          (col("exact_inter").cast(DoubleType) /
+            (col("exact_a") + col("exact_b") - col("exact_inter"))
+              .cast(DoubleType)).as("exact_jaccard"),
+          est(col("ska")).as("est_a"), est(col("skb")).as("est_b"),
+          col("est_union"), col("jaccard_est"),
+          (col("jaccard_est") * col("est_union")).as("est_inter"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some {
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+            s" AS BIGINT) - 1) * ${scale}"
+        }.mkString("(", " + ", ")")
+      s"""
+      WITH ds AS (
+        SELECT DISTINCT source, sh FROM (
+          SELECT source,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+          FROM (SELECT source, string_split(text, ' ') AS ts
+                FROM documents)
+          WHERE len(ts) >= 3
+        )
+      ), h AS (
+        SELECT DISTINCT source, ${nib("sh")} AS hv FROM ds
+      ), rk AS (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM h
+      ), sk AS (
+        SELECT source, list(hv ORDER BY hv) AS sk
+        FROM rk WHERE rn <= 64 GROUP BY source
+      ), ex AS (
+        SELECT source, count(*) AS exact_n FROM ds GROUP BY source
+      ), inter AS (
+        SELECT x.source AS ia, y.source AS ib, count(*) AS exact_inter
+        FROM ds x JOIN ds y ON x.sh = y.sh AND x.source < y.source
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.sk AS ska, b.sk AS skb,
+               ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+               coalesce(i.exact_inter, 0) AS exact_inter
+        FROM sk a
+        JOIN sk b ON a.source < b.source
+        JOIN ex ea ON ea.source = a.source
+        JOIN ex eb ON eb.source = b.source
+        LEFT JOIN inter i ON i.ia = a.source AND i.ib = b.source
+      ), calc AS (
+        SELECT *,
+               list_sort(list_distinct(ska || skb))[1:64] AS uk
+        FROM pairs
+      ), calc2 AS (
+        SELECT *, len(uk) AS m,
+               CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                         / CAST(uk[64] AS DOUBLE) END AS est_union,
+               CAST(len(list_filter(uk, x ->
+                 list_contains(ska, x) AND list_contains(skb, x)))
+                 AS DOUBLE) / CAST(len(uk) AS DOUBLE) AS jaccard_est
+        FROM calc
+      )
+      SELECT source_a, source_b,
+             CAST(exact_a AS BIGINT) AS exact_a,
+             CAST(exact_b AS BIGINT) AS exact_b,
+             CAST(exact_inter AS BIGINT) AS exact_inter,
+             CAST(exact_a + exact_b - exact_inter AS BIGINT)
+               AS exact_union,
+             CAST(exact_inter AS DOUBLE)
+               / CAST(exact_a + exact_b - exact_inter AS DOUBLE)
+               AS exact_jaccard,
+             CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                       / CAST(ska[64] AS DOUBLE) END AS est_a,
+             CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                       / CAST(skb[64] AS DOUBLE) END AS est_b,
+             est_union, jaccard_est,
+             jaccard_est * est_union AS est_inter
+      FROM calc2
+      ORDER BY source_a, source_b"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08,
     q09, q10, q10b, q11, q12, q13, q14, q37, q38, q45, q46, q48, q61,
-    q04c, q75, q119, q121)
+    q04c, q75, q119, q121, q215)
 }

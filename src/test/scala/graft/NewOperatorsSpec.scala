@@ -2933,6 +2933,36 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q215 kmv overlap: exact identities hold, estimates track exact") {
+    val rows = graft.queries.Core.q215.run(spark, sf001).collect()
+    val nSources = Tables.load(spark, sf001, "documents")
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      val (ea, eb) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"))
+      val ei = r.getAs[Long]("exact_inter")
+      val eu = r.getAs[Long]("exact_union")
+      assert(eu == ea + eb - ei, s"inclusion-exclusion broken: $r")
+      assert(ei >= 0 && ei <= math.min(ea, eb))
+      assert(r.getAs[Double]("exact_jaccard") == ei.toDouble / eu.toDouble)
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("est_inter") == j * r.getAs[Double]("est_union"))
+      // k=64 KMV: union estimate within 50% of exact (theory RSE ~13%;
+      // loose bound so fixture regeneration cannot flake this)
+      val rel = math.abs(r.getAs[Double]("est_union") - eu) / eu.toDouble
+      assert(rel < 0.5, s"union estimate off by ${rel}: $r")
+    }
+    // aggregate accuracy: mean relative union error must look like a
+    // working k=64 sketch, not a broken one
+    val meanRel = rows.map { r =>
+      math.abs(r.getAs[Double]("est_union") -
+        r.getAs[Long]("exact_union")) / r.getAs[Long]("exact_union")
+    }.sum / rows.length
+    assert(meanRel < 0.25, s"mean relative union error $meanRel")
+  }
+
   test("q212 semantic decontam: flags are corpus-side, best-match, real") {
     val rows = graft.queries.Sim.q212.run(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -95,6 +95,35 @@ class PropertiesSpec extends SparkSpec {
       "empty sketch should report 0.0")
   }
 
+  test("kmv_md5: k smallest hashes exactly, partition/dup invariant") {
+    import graft.functions.KmvMd5
+    val vals = Tables.load(spark, sf001, "events")
+      .select(col("event_id").cast("string").as("sv"))
+    def sk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KmvMd5.sketch(col("sv"))).as[Seq[Long]].head()
+    val base = sk(vals)
+    assert(base.length == KmvMd5.K)
+    assert(base == base.sorted && base.distinct.length == base.length,
+      "sketch must be sorted distinct values")
+    // any partitioning, any duplication → the same value set
+    assert(sk(vals.repartition(13)) == base)
+    assert(sk(vals.unionByName(vals)) == base)
+    // the sketch is EXACTLY the k smallest distinct 48-bit md5 values
+    val expect = vals.distinct().collect().map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }.distinct.sorted.take(KmvMd5.K).toSeq
+    assert(base == expect, "sketch is not the true bottom-k")
+    // under-k input: sketch IS the distinct hash set (exact regime)
+    val tiny = vals.limit(10)
+    val tinyDistinct = tiny.distinct().count()
+    assert(sk(tiny).length.toLong == tinyDistinct)
+    // empty input: empty sketch
+    assert(sk(vals.filter(col("sv").isNull)).isEmpty)
+  }
+
   test("cms_md5: partition invariant, conserves mass, never underestimates") {
     import graft.functions.CountMinMd5
     val toks = Tables.load(spark, sf001, "documents")
