@@ -2288,8 +2288,87 @@ object EventStream {
       GROUP BY user_id, session_id
       ORDER BY user_id, s_start"""))
 
+  /** Windowed distinct-user KMV sketch — the streaming face of
+    * [[graft.functions.KmvMd5]], completing the sketch family's
+    * streaming story beside q120's HLL and q123's quantile buckets.
+    * The state (k smallest distinct hash values per window) is a SET —
+    * order-independent under any micro-batch split — so the
+    * StreamingSpec parity is STRICT equality, like q120 and unlike
+    * anything merge-order-sensitive. Emits the sketch READ-OFF (k_used,
+    * retained max, estimate), not the raw array: the estimate is exact
+    * below k and (k−1)·2^48/v_k at k (single IEEE division of exact
+    * integers — 63·2^48 has 6 significant bits). The fixture's hourly
+    * populations stay under k (max 51 distinct users/window at sf0.1),
+    * so this query's oracle rows exercise the EXACT branch; the
+    * estimation branch is oracle-covered by q215, whose per-source
+    * shingle sets saturate the sketch. Scale: ≤512 B state per
+    * (window, type), watermark-bounded; the union algebra (q215)
+    * means downstream consumers can also OVERLAP windows cheaply. */
+  def kmvUniques(events: DataFrame): DataFrame = {
+    val K = graft.functions.KmvMd5.K
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.KmvMd5.sketch(
+        col("user_id").cast(org.apache.spark.sql.types.StringType))
+        .as("sk"))
+      .select(
+        col("w.start").as("hour_start"), col("event_type"),
+        size(col("sk")).as("k_used"),
+        element_at(col("sk"), size(col("sk"))).as("v_max"),
+        when(size(col("sk")) < K,
+          size(col("sk")).cast(org.apache.spark.sql.types.DoubleType))
+          .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+            element_at(col("sk"), K)
+              .cast(org.apache.spark.sql.types.DoubleType))
+          .as("uniq_est"))
+  }
+
+  val q216 = Q(
+    "q216_stream_kmv",
+    (s, d) =>
+      kmvUniques(Tables.load(s, d, "events"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some("""
+      WITH vals AS (
+        SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                 AS hour_start,
+               event_type, CAST(user_id AS VARCHAR) AS sv
+        FROM events
+      ), h AS (
+        SELECT DISTINCT hour_start, event_type,
+          ((CAST(instr('0123456789abcdef', substr(md5(sv), 1, 1)) AS BIGINT) - 1) * 17592186044416
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 2, 1)) AS BIGINT) - 1) * 1099511627776
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 3, 1)) AS BIGINT) - 1) * 68719476736
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 4, 1)) AS BIGINT) - 1) * 4294967296
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 5, 1)) AS BIGINT) - 1) * 268435456
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 6, 1)) AS BIGINT) - 1) * 16777216
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 7, 1)) AS BIGINT) - 1) * 1048576
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 8, 1)) AS BIGINT) - 1) * 65536
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 9, 1)) AS BIGINT) - 1) * 4096
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 10, 1)) AS BIGINT) - 1) * 256
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 11, 1)) AS BIGINT) - 1) * 16
+         + (CAST(instr('0123456789abcdef', substr(md5(sv), 12, 1)) AS BIGINT) - 1)) AS hv
+        FROM vals
+      ), rk AS (
+        SELECT hour_start, event_type, hv,
+               row_number() OVER (PARTITION BY hour_start, event_type
+                                  ORDER BY hv) AS rn
+        FROM h
+      )
+      SELECT hour_start, event_type,
+             count(*) AS k_used,
+             max(hv) AS v_max,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                       / CAST(max(hv) AS DOUBLE) END AS uniq_est
+      FROM rk WHERE rn <= 64
+      GROUP BY hour_start, event_type
+      ORDER BY hour_start, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
-      q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191)
+      q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
+      q216)
 }

@@ -108,6 +108,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvUniques streaming == batch EXACTLY (order-independent bottom-k)") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_kmv").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    def k(r: org.apache.spark.sql.Row) =
+      (String.valueOf(r.get(0)), r.getString(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val batch = EventStream.kmvUniques(events).collect().map(k).toMap
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.kmvUniques(streamIn)
+      .writeStream
+      .format("memory")
+      .queryName("kmv_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmv_out").collect().map(k).toMap
+      // STRICT equality incl. the estimate double: the bottom-k value
+      // SET cannot depend on micro-batch splits (the q120 argument)
+      assert(got == batch, "streaming KMV read-off differs from batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses duplicated input to distinct events") {
     val events = Tables.load(spark, sf001, "events")
     val dir = Files.createTempDirectory("graft_stream_dup").toString
