@@ -76,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     // flag-gated COUNT(DISTINCT)→HLL++ rewrite; off by default
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // materialized-view rewrite: answer matching aggregates from a
+    // registered pre-aggregated summary instead of the fact scan
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     // native as-of join: custom logical node → AsOfJoinExec (the
     // custom-operator ladder's SparkPlan rung)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

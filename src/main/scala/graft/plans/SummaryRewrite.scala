@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Optimizer rule: MATERIALIZED-VIEW REWRITE — answer matching
+  * aggregates from a pre-aggregated summary table instead of the fact
+  * scan, when `spark.graft.summaryRewrite.enabled` is set (default off)
+  * and `spark.graft.summaryRewrite.path` points at the summary. The
+  * third flag-gated rule beside [[ApproxPercentileRewrite]] and
+  * [[ApproxDistinctRewrite]], and the ENGINE-level face of q154's
+  * incremental-rollup merge law: q154 proves base ⊎ delta == direct as
+  * a query; this rule makes the engine USE that equivalence — the
+  * aggregate-navigator every warehouse ships (Oracle query rewrite,
+  * BigQuery/Snowflake MVs, Druid rollups).
+  *
+  * Rewrite contract (deliberately narrow and checkable):
+  *  - the aggregate's child must be a bare column-pruning Project (or
+  *    nothing) over a single parquet scan of the summary's FACT table
+  *    (matched by root-path basename, recorded in the summary's
+  *    `_fact` conf) with NO Filter anywhere — a filtered aggregate
+  *    answers a different question than the summary;
+  *  - every grouping key must be a plain column the summary carries as
+  *    a dimension;
+  *  - every aggregate must be COUNT(*)/COUNT(1) (answered by
+  *    SUM(cnt)) or SUM(col) where the summary carries `sum_<col>` —
+  *    both re-aggregations are the exact merge law (SUM is
+  *    associative; COUNT(*) = Σ partial counts).
+  * Anything else leaves the plan untouched. Output attribute ids are
+  * preserved (each rewritten column is re-aliased under its original
+  * exprId), so parent operators resolve unchanged.
+  *
+  * Exactness: integer-domain measures (counts, cents, integral-valued
+  * doubles like l_quantity with group sums < 2^53) re-aggregate
+  * BIT-EXACTLY — every intermediate is an exactly-represented integer
+  * regardless of accumulation order. Arbitrary-double measures can
+  * differ from the direct path in the last ulp (double addition is not
+  * associative); the repo's Det discipline stores money as integer
+  * cents, which is exactly the representation that makes summaries
+  * safe. 100 TB reading: the fact scan is the dominant cost of every
+  * dashboard aggregate; a dimension-sized summary answers it ~6 orders
+  * of magnitude cheaper, and this rule makes that transparent to the
+  * query author.
+  */
+object SummaryRewrite extends Rule[LogicalPlan] {
+
+  val FLAG = "spark.graft.summaryRewrite.enabled"
+  val PATH = "spark.graft.summaryRewrite.path"
+  val FACT = "spark.graft.summaryRewrite.fact"
+
+  /** The single parquet root-path basename under `plan`, if `plan` is a
+    * bare Project/scan tree with no Filter/join/anything else. */
+  private def bareScanBasename(plan: LogicalPlan): Option[String] =
+    plan match {
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        bareScanBasename(child)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths match {
+          case Seq(p) => Some(p.getName)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    if (!conf.getConfString(FLAG, "false").toBoolean) plan
+    else {
+      val path = conf.getConfString(PATH, "")
+      val fact = conf.getConfString(FACT, "lineitem.parquet")
+      if (path.isEmpty) plan
+      else plan.transform {
+        case agg @ Aggregate(groups, aggExprs, child, _)
+            if bareScanBasename(child).contains(fact) =>
+          rewrite(agg, groups, aggExprs, path).getOrElse(agg)
+      }
+    }
+  }
+
+  private def rewrite(
+      agg: Aggregate,
+      groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      path: String): Option[LogicalPlan] = {
+    // analyzed plan of the summary table; reading it here (not at rule
+    // construction) keeps the rule stateless and the path re-bindable
+    val summary =
+      SparkSession.active.read.parquet(path).queryExecution.analyzed
+    def sAttr(name: String): Option[Attribute] =
+      summary.output.find(_.name == name)
+
+    val newGroups: Option[Seq[Expression]] =
+      traverse(groups.map {
+        case a: AttributeReference => sAttr(a.name)
+        case _ => None
+      })
+    val newAggs: Option[Seq[NamedExpression]] =
+      traverse(aggExprs.map {
+        // grouping key in the output list: same column off the summary,
+        // re-aliased under the ORIGINAL exprId so parents still resolve
+        case a: AttributeReference =>
+          sAttr(a.name).map(s => Alias(s, a.name)(exprId = a.exprId))
+        case al @ Alias(
+              ae @ AggregateExpression(c: Count, _, false, _, _), name)
+            if c.children.forall(_.isInstanceOf[Literal]) =>
+          sAttr("cnt").map(cnt =>
+            Alias(ae.copy(aggregateFunction = Sum(cnt)), name)(
+              exprId = al.exprId))
+        case al @ Alias(
+              ae @ AggregateExpression(
+                Sum(col: AttributeReference, _), _, false, _, _), name) =>
+          sAttr(s"sum_${col.name}").map(s =>
+            Alias(ae.copy(aggregateFunction = Sum(s)), name)(
+              exprId = al.exprId))
+        case _ => None
+      })
+
+    for (g <- newGroups; a <- newAggs) yield Aggregate(g, a, summary)
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

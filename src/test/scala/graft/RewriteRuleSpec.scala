@@ -55,6 +55,71 @@ class RewriteRuleSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.FLAG)
   }
 
+  private def rollupQuery =
+    Tables.load(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("total_qty"))
+
+  test("summary rewrite: flag routes matching aggregates to the summary") {
+    import graft.plans.SummaryRewrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_summary").toString + "/sum.parquet"
+    // the summary: one row per (returnflag, linestatus, shipmonth) —
+    // FINER than the query's grouping, so the rewrite must genuinely
+    // re-aggregate, not just rename columns
+    Tables.load(spark, sf001, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_l_quantity"))
+      .write.mode("overwrite").parquet(dir)
+    val direct = rollupQuery.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    spark.conf.set(SummaryRewrite.FLAG, "true")
+    spark.conf.set(SummaryRewrite.PATH, dir)
+    try {
+      // the leaf relation must be the SUMMARY (its partial columns),
+      // not the fact table (treeStrings do not render file paths)
+      def leafCols(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .flatMap(_.output.map(_.name)).toSet
+      val q = rollupQuery
+      assert(leafCols(q).contains("sum_l_quantity") &&
+        !leafCols(q).contains("l_orderkey"),
+        s"aggregate was not routed to the summary:\n" +
+          q.queryExecution.optimizedPlan.treeString)
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // COUNT re-aggregates exactly; SUM(l_quantity) re-aggregates
+      // BIT-exactly because every partial sum is an integer < 2^53
+      assert(got == direct, "summary answer differs from the fact scan")
+      // a FILTERED aggregate answers a different question — untouched
+      val filtered = Tables.load(spark, sf001, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(!leafCols(filtered).contains("cnt"),
+        "filtered aggregate must not rewrite")
+      // grouping on a column the summary lacks — untouched
+      val offDim = Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      assert(!leafCols(offDim).contains("cnt"),
+        "off-dimension aggregate must not rewrite")
+      // an aggregate the summary cannot answer (MIN) — untouched
+      val minQ = Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("mn"))
+      assert(!leafCols(minQ).contains("cnt"),
+        "MIN aggregate must not rewrite")
+    } finally {
+      spark.conf.unset(SummaryRewrite.FLAG)
+      spark.conf.unset(SummaryRewrite.PATH)
+    }
+  }
+
   test("default off: plan keeps the exact percentile") {
     val plan = medianQuery.queryExecution.optimizedPlan.toString
     assert(plan.contains("percentile(") &&
