@@ -1093,7 +1093,12 @@ object Core {
     (s, d) => {
       import graft.Caches.Tracked
       val K = graft.functions.KmvMd5.K
-      val shingles = Tables.load(s, d, "documents")
+      // the sketch pass reads the RAW shingle stream — kmv_md5 is
+      // dup-insensitive (set-semantics state, PropertiesSpec), so the
+      // corpus-wide distinct() shuffle is paid ONLY by the exact audit
+      // below, which a 100 TB run would drop; the 512 B sketches are
+      // the plan
+      val raw = Tables.load(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("source"), explode(expr(
@@ -1101,12 +1106,12 @@ object Core {
             "i -> concat(element_at(toks, i), ' ', " +
             "element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
           .as("sh"))
-        .distinct()
         .persistTracked()
-      val sk = shingles.groupBy(col("source"))
-        .agg(
-          graft.functions.KmvMd5.sketch(col("sh")).as("sk"),
-          count(lit(1)).as("exact_n"))
+      val shingles = raw.distinct().persistTracked()
+      val sk = raw.groupBy(col("source"))
+        .agg(graft.functions.KmvMd5.sketch(col("sh")).as("sk"))
+        .join(shingles.groupBy(col("source"))
+          .agg(count(lit(1)).as("exact_n")), Seq("source"))
       val inter = shingles.as("x")
         .join(shingles.as("y"),
           col("x.sh") === col("y.sh") &&
