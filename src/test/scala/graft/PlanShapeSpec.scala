@@ -66,6 +66,35 @@ class PlanShapeSpec extends SparkSpec {
       "band-bucket candidate join is not an equi-join")
   }
 
+  test("q206 dimension legs broadcast; min-cost join stays an equi-join") {
+    val plan = formatted("q206_min_cost_supplier")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "supplier/nation/region dims lost their broadcast")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "(part, cost) min join is not an equi-join")
+  }
+
+  test("q212/q213 scan the corpus once with the small side broadcast") {
+    Seq("q212_semantic_decontam", "q213_hard_negatives").foreach { n =>
+      val plan = formatted(n)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"$n: eval/anchor side must be broadcast, never shuffled")
+    }
+  }
+
+  test("q215 sketch pass is a partial+final object aggregate") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial stage before the exchange — the map-side-combinable
+    // property the 512 B sketch state exists for
+    val plan = formatted("q215_kmv_overlap")
+    assert(plan.contains("ObjectHashAggregate"),
+      "kmv_md5 lost its object-hash aggregate")
+    assert(plan.contains("kmv_md5"), "sketch aggregate missing from plan")
+  }
+
   test("bare (unpartitioned) windows run only on aggregate-bounded frames") {
     // A Window with an empty partitionSpec moves ALL its input to one
     // task — fatal on a corpus-sized frame, fine on a dimension-bounded

@@ -249,7 +249,10 @@ class PropertiesSpec extends SparkSpec {
     val names = Seq(
       "q24_minhash_lsh", "q73_stratified_sample",
       "q79_jsonl_shuffle_export", "q90_sequence_packing",
-      "q93_url_dedup", "q119_quantile_sketch")
+      "q93_url_dedup", "q119_quantile_sketch",
+      // r5: the KMV overlap matrix — sketch state must be a value SET
+      // (partition-order-free) end to end, estimates included
+      "q215_kmv_overlap")
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] = names.map { n =>
