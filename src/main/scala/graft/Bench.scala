@@ -170,7 +170,11 @@ object Bench {
       "q127_keep_policy", "q129_session_paths", "q155_cdc_apply",
       // r5 additions: iterative fixed-point PageRank (2.2x time at 10x
       // data) and the token-linear rolling-span dedup (flat at 10x)
-      "q204_pagerank_fixedpoint", "q202_rolling_span_dedup")
+      "q204_pagerank_fixedpoint", "q202_rolling_span_dedup",
+      // r5 wave 2: the KMV overlap matrix (sketch pass linear; its
+      // exact audit join is the measured cost — warm ~2.5 s at 10x vs
+      // 1.1 s at sf0.1) and the filter-cascade funnel (~1 s at 10x)
+      "q215_kmv_overlap", "q210_filter_funnel")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
