@@ -2647,9 +2647,142 @@ object Text {
       FROM b CROSS JOIN g
       ORDER BY bucket"""))
 
+  /** q217: tokenizer FERTILITY by language — the compression readout
+    * every multilingual tokenizer paper reports (tokens-per-word and
+    * chars-per-token per language; high-fertility languages burn
+    * context budget and get under-trained — the metric behind UNIMAX/
+    * NLLB vocabulary sizing): the q85-trained BPE applied through
+    * q94's vocabulary-encode path, rolled up per language instead of
+    * per doc. Counts are exact integers; the two ratios are single
+    * IEEE divisions of identical exact operands. Scale: vocabulary
+    * encode (distinct words only) + size-conditional broadcast join +
+    * one language-sized rollup — the q94 plan with a cheaper
+    * aggregate. */
+  val q217 = Q(
+    "q217_tokenizer_fertility",
+    (s, d) => {
+      val (_, vocab) = bpeTrain(s, d)
+      val enc = vocab
+        .select(col("w"), size(split(col("seq"), " ")).as("bpe_len"))
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(graft.operators.Hints.autoBroadcast(enc), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("bpe_len").cast(LongType)).as("bpe_tokens"),
+          sum(length(col("w")).cast(LongType)).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("bpe_tokens"),
+          col("n_chars"),
+          (col("bpe_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType)).as("fertility"),
+          (col("n_chars").cast(DoubleType) /
+            col("bpe_tokens").cast(DoubleType)).as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+    Some(bpeWith(finalVocab = true) + s"""
+      , enc AS (
+        SELECT w, len(string_split(seq, ' ')) AS bpe_len FROM v$bpeRounds
+      ), words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+      SELECT lang, count(*) AS n_words,
+             CAST(sum(e.bpe_len) AS BIGINT) AS bpe_tokens,
+             CAST(sum(length(dw.w)) AS BIGINT) AS n_chars,
+             CAST(sum(e.bpe_len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS fertility,
+             CAST(sum(length(dw.w)) AS DOUBLE)
+               / CAST(sum(e.bpe_len) AS DOUBLE) AS chars_per_token
+      FROM (SELECT * FROM words WHERE len(w) > 0) dw
+      JOIN enc e USING (w)
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** q218: corpus NOVELTY / saturation curve — "is more data still new
+    * data?": the corpus in doc_id order cut into 10 equal batches; per
+    * batch, its distinct word-3-gram shingles, how many appear for the
+    * FIRST time, the cumulative distinct count, and the novelty rate.
+    * The flattening of this curve is the standard evidence for corpus
+    * saturation (diminishing unique content per crawl increment —
+    * the scaling-laws data-curation readout). Batch assignment is
+    * pure-integer (`doc_id·10 div n`, clamped) off a 1-row broadcast
+    * count; first-occurrence = MIN(batch) per shingle — one
+    * map-side-combinable aggregate, no order-dependence; the running
+    * total is a bare window over the 10-row batch table (aggregate-
+    * bounded, the PlanShapeSpec-sanctioned frame). Scale: explode +
+    * two hash aggregates, all shuffles shingle- or batch-sized. */
+  val q218 = Q(
+    "q218_novelty_curve",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents")
+      val n = docs.select(count(lit(1)).as("n"))
+      val ds = docs
+        .crossJoin(broadcast(n))
+        .withColumn("batch",
+          least(expr("(doc_id * 10) div n"), lit(9L)))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("batch"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .as("sh"))
+        .distinct()
+        .persistTracked()
+      val perBatch = ds.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val news = ds.groupBy(col("sh"))
+        .agg(min(col("batch")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+      perBatch
+        .join(news, col("batch") === col("fb"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_distinct",
+          sum(col("n_new")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("batch"))
+              .rowsBetween(Long.MinValue, 0)))
+        .select(col("batch"), col("n_distinct"), col("n_new"),
+          col("cum_distinct"),
+          (col("n_new").cast(DoubleType) /
+            col("n_distinct").cast(DoubleType)).as("novelty_rate"))
+        .orderBy(col("batch"))
+    },
+    Some("""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ds AS (
+        SELECT DISTINCT batch, sh FROM (
+          SELECT least((doc_id * 10) // n, 9) AS batch,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+          FROM (SELECT doc_id, n, string_split(text, ' ') AS ts
+                FROM documents CROSS JOIN nn)
+          WHERE len(ts) >= 3
+        )
+      ), per_batch AS (
+        SELECT batch, count(*) AS n_distinct FROM ds GROUP BY 1
+      ), news AS (
+        SELECT fb, count(*) AS n_new FROM (
+          SELECT sh, min(batch) AS fb FROM ds GROUP BY 1
+        ) GROUP BY 1
+      )
+      SELECT batch,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+             CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_distinct,
+             CAST(coalesce(n_new, 0) AS DOUBLE)
+               / CAST(n_distinct AS DOUBLE) AS novelty_rate
+      FROM per_batch LEFT JOIN news ON batch = fb
+      ORDER BY batch"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214)
+      q202, q214, q217, q218)
 }

@@ -2933,6 +2933,62 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q217 fertility: per-lang ratios replay from the q94 encode") {
+    val rows = graft.queries.Text.q217.run(spark, sf001).collect()
+    assert(rows.length == 5, "one row per language")
+    // conservation vs the per-doc q94 readout joined with doc langs
+    val q94 = graft.queries.Text.q94.run(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))))
+      .toMap
+    val langs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = q94.toSeq.groupBy { case (id, _) => langs(id) }
+      .map { case (l, xs) =>
+        l -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+      }
+    rows.foreach { r =>
+      val (w, b) = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_words") == w, s"word count: $r")
+      assert(r.getAs[Long]("bpe_tokens") == b, s"bpe count: $r")
+      assert(r.getAs[Double]("fertility") == b.toDouble / w.toDouble)
+      // BPE merges only ever JOIN symbols: at least 1 token per word,
+      // at most chars + one end-of-word marker per word
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("bpe_tokens") <=
+        r.getAs[Long]("n_chars") + r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("q218 novelty curve: conservation, monotone cumulative, honest decay") {
+    val rows = graft.queries.Text.q218.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("batch"))
+    assert(rows.length == 10, "10 batches")
+    assert(rows.head.getAs[Double]("novelty_rate") == 1.0,
+      "batch 0 must be all-new by definition")
+    val cums = rows.map(_.getAs[Long]("cum_distinct"))
+    assert(cums.sameElements(
+      rows.map(_.getAs[Long]("n_new")).scanLeft(0L)(_ + _).drop(1)),
+      "cumulative must be the running sum of n_new")
+    // total distinct shingles conserve against a direct count
+    val total = Tables.load(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)," +
+          " ' ', element_at(toks, i + 2))))")).as("sh"))
+      .distinct().count()
+    assert(cums.last == total,
+      s"cumulative ${cums.last} != direct distinct count $total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_distinct"))
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q215 kmv overlap: exact identities hold, estimates track exact") {
     val rows = graft.queries.Core.q215.run(spark, sf001).collect()
     val nSources = Tables.load(spark, sf001, "documents")
