@@ -913,5 +913,102 @@ object Dedup {
                   ELSE CAST((SELECT count(*) FROM j) AS DOUBLE)
                        / (SELECT count(*) FROM redundant) END AS recall"""))
 
-  val all: Seq[Q] = Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205)
+  /** q219: CONTAINMENT dedup — the ASYMMETRIC complement of the Jaccard
+    * family (q24/q25): C(A→B) = |A∩B|/|A| catches a document CONTAINED
+    * in a bigger one (quoted article, snippet-in-aggregator, doc +
+    * boilerplate wrapper), which symmetric Jaccard misses whenever the
+    * containing side is much larger (J = |A|/|B| → 0 while C = 1). The
+    * pruning is Chaudhuri/Bayardo prefix filtering adapted to the
+    * asymmetric threshold: candidates must share a shingle between A's
+    * rare-first PREFIX of size |A| − ⌈t·|A|⌉ + 1 and B's FULL inverted
+    * index (if none of the prefix is in B, shared ≤ ⌈t·|A|⌉ − 1 < t·|A|
+    * — the probe-prefix/full-index shape production containment joins
+    * use); exact verification runs on candidates only. The threshold
+    * compare is pure-integer (5·inter ≥ 4·|A| for t = 0.8) and the
+    * reported containment one IEEE division of exact ints. Direction:
+    * the contained (smaller-set) side is doc_a; equal sizes tie-break
+    * by id. Oracle rebuilds candidates from the FULL shingle index
+    * (a superset of the prefix candidates) and the same integer
+    * verify — a hash match proves the prefix pruning lossless. Scale:
+    * inverted-index joins are shingle-bucketed (linear in index size,
+    * quadratic only within a shingle's posting list — every posting-
+    * list system's profile), the shingle-df table is vocabulary-sized
+    * and size-conditionally broadcast. */
+  val q219 = Q(
+    "q219_containment_dedup",
+    (s, d) => {
+      val t = 0.8
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(ws) - 2), " +
+            "i -> concat(element_at(ws, i), ' ', " +
+            "element_at(ws, i + 1), ' ', element_at(ws, i + 2))))")
+          .as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persistTracked()
+      val dfT = docs.select(explode(col("toks")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val prefix = docs
+        .select(col("doc_id"), explode(col("toks")).as("sh"))
+        .join(Hints.autoBroadcast(dfT), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(df, sh))), " +
+          "s -> s.sh)").as("sorted"))
+        .select(col("doc_id").as("doc_a"), explode(expr(
+          s"slice(sorted, 1, size(sorted) " +
+            s"- CAST(ceil($t * size(sorted)) AS INT) + 1)")).as("sh"))
+      val index = docs.select(col("doc_id").as("doc_b"),
+        explode(col("toks")).as("sh"))
+      val cands = prefix.join(index, Seq("sh"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("toks").as("ta"), col("sz").as("la")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("toks").as("tb"), col("sz").as("lb")), Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+        .filter(col("inter") * lit(5L) >= col("la") * lit(4L) &&
+          (col("la") < col("lb") ||
+            (col("la") === col("lb") && col("doc_a") < col("doc_b"))))
+        .select(col("doc_a"), col("doc_b"),
+          col("inter"), col("la").cast(LongType).as("la"),
+          col("lb").cast(LongType).as("lb"),
+          (col("inter").cast(DoubleType) / col("la").cast(DoubleType))
+            .as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS toks
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents)
+        WHERE len(ws) >= 3
+      ), inv AS (
+        SELECT DISTINCT doc_id, unnest(toks) AS sh FROM docs
+      ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+             CAST(len(da.toks) AS BIGINT) AS la,
+             CAST(len(db.toks) AS BIGINT) AS lb,
+             CAST(inter AS DOUBLE) / CAST(len(da.toks) AS DOUBLE)
+               AS containment
+      FROM pair_inter
+      JOIN docs da ON da.doc_id = doc_a
+      JOIN docs db ON db.doc_id = doc_b
+      WHERE inter * 5 >= len(da.toks) * 4
+        AND (len(da.toks) < len(db.toks)
+             OR (len(da.toks) = len(db.toks) AND doc_a < doc_b))
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] =
+    Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219)
 }

@@ -2933,6 +2933,48 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q219 containment: planted subset doc found, asymmetry real") {
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in a large wrapper: containment of
+    // 2-in-1? No — 1's windows all appear in 2, so doc_a = 1 (smaller),
+    // C(1→2) = 1.0, while Jaccard = |A|/|B| is small — the case the
+    // symmetric family structurally misses
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    val wrapper = (1 to 200).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$wrapper $core"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q219").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Dedup.q219.run(spark, dir).collect()
+    assert(got.length == 1, s"expected exactly the planted pair: " +
+      got.mkString("; "))
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // every distinct 3-gram of doc 1 occurs in doc 2 except none —
+    // the two windows bridging wrapper->core belong to doc 2 only
+    assert(r.getAs[Double]("containment") == 1.0,
+      s"full containment expected: $r")
+    // and the symmetric jaccard of the pair is far below any usable
+    // threshold — the asymmetric op is not redundant with q25
+    val j = r.getAs[Long]("inter").toDouble /
+      (r.getAs[Long]("la") + r.getAs[Long]("lb") -
+        r.getAs[Long]("inter"))
+    assert(j < 0.2, s"jaccard $j should be small for subset-in-wrapper")
+    // fixture run: every reported row clears the integer threshold with
+    // the contained side on the left
+    graft.queries.Dedup.q219.run(spark, sf001).collect().foreach { p =>
+      assert(p.getAs[Long]("inter") * 5 >= p.getAs[Long]("la") * 4)
+      assert(p.getAs[Long]("la") < p.getAs[Long]("lb") ||
+        (p.getAs[Long]("la") == p.getAs[Long]("lb") &&
+          p.getAs[Long]("doc_a") < p.getAs[Long]("doc_b")))
+    }
+  }
+
   test("q217 fertility: per-lang ratios replay from the q94 encode") {
     val rows = graft.queries.Text.q217.run(spark, sf001).collect()
     assert(rows.length == 5, "one row per language")
