@@ -2780,9 +2780,127 @@ object Text {
       FROM per_batch LEFT JOIN news ON batch = fb
       ORDER BY batch"""))
 
+  /** q220: the novelty curve from SKETCHES — q218's question answered
+    * the way a 100 TB run has to: per-batch KMV sketches (512 B each)
+    * merged into running UNIONS, so the cumulative-distinct series
+    * costs one corpus scan into 10 bounded states plus batch-count²
+    * sketch-array ops — q218's corpus-wide distinct() and
+    * first-occurrence shuffle disappear entirely. Emits the exact
+    * cumulative count (audit leg, q218's arithmetic) beside the
+    * estimate and the relative error, extending the estimate-vs-exact
+    * audit pattern (q80/q215) to a time-series. The union estimator is
+    * the q215 one: k smallest of the merged value sets, exact below k,
+    * (k−1)·2^48/v_k at k; every derived double is a single IEEE
+    * division of exact integers. */
+  val q220 = Q(
+    "q220_novelty_sketch",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val K = graft.functions.KmvMd5.K
+      val n = Tables.load(s, d, "documents").select(count(lit(1)).as("n"))
+      val raw = Tables.load(s, d, "documents")
+        .crossJoin(broadcast(n))
+        .withColumn("batch",
+          least(expr("(doc_id * 10) div n"), lit(9L)))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("batch"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .as("sh"))
+        .persistTracked()
+      // sketch leg: raw stream, 10 bounded states — THE scale path
+      val sk = raw.groupBy(col("batch"))
+        .agg(graft.functions.KmvMd5.sketch(col("sh")).as("sk"))
+      // audit leg: exact first-occurrence counts (q218's arithmetic)
+      val exact = raw.distinct()
+        .groupBy(col("sh")).agg(min(col("batch")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+      val merged = sk.as("cur")
+        .join(sk.select(col("batch").as("b2"), col("sk").as("sk2")),
+          col("b2") <= col("batch"))
+        .groupBy(col("batch"))
+        .agg(expr(
+          s"slice(array_sort(array_distinct(flatten(collect_list(sk2))))," +
+            s" 1, $K)").as("uk"))
+        .withColumn("m", size(col("uk")))
+        .withColumn("cum_est",
+          when(col("m") < K, col("m").cast(DoubleType))
+            .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+              element_at(col("uk"), K).cast(DoubleType)))
+      merged
+        .join(exact, col("fb") === col("batch"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_exact",
+          sum(col("n_new")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("batch")).rowsBetween(Long.MinValue, 0)))
+        .select(col("batch"), col("cum_exact"), col("cum_est"),
+          ((col("cum_est") - col("cum_exact").cast(DoubleType)) /
+            col("cum_exact").cast(DoubleType)).as("rel_err"))
+        .orderBy(col("batch"))
+    },
+    Some {
+      def nib(expr0: String): String =
+        (1 to 12).map { i =>
+          val scale = 1L << (4 * (12 - i))
+          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+            s" AS BIGINT) - 1) * ${scale}"
+        }.mkString("(", " + ", ")")
+      s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      ds AS (
+        SELECT DISTINCT batch, sh FROM (
+          SELECT least((doc_id * 10) // n, 9) AS batch,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+          FROM (SELECT doc_id, n, string_split(text, ' ') AS ts
+                FROM documents CROSS JOIN nn)
+          WHERE len(ts) >= 3
+        )
+      ), h AS (
+        SELECT DISTINCT batch, ${nib("sh")} AS hv FROM ds
+      ), cum AS (
+        SELECT c.batch, h.hv,
+               row_number() OVER (PARTITION BY c.batch ORDER BY h.hv)
+                 AS rn
+        FROM (SELECT DISTINCT batch FROM h) c
+        JOIN (SELECT DISTINCT batch, hv FROM h) h ON h.batch <= c.batch
+        GROUP BY c.batch, h.hv
+      ), uk AS (
+        SELECT batch, count(*) AS m, max(hv) AS vk
+        FROM cum WHERE rn <= 64 GROUP BY batch
+      ), firstb AS (
+        SELECT sh, min(batch) AS fb FROM ds GROUP BY 1
+      ), news AS (
+        SELECT fb, count(*) AS n_new FROM firstb GROUP BY 1
+      ), exact AS (
+        SELECT b.batch,
+               sum(coalesce(n.n_new, 0)) OVER (ORDER BY b.batch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_exact
+        FROM (SELECT DISTINCT batch FROM ds) b
+        LEFT JOIN news n ON n.fb = b.batch
+      )
+      SELECT u.batch,
+             CAST(e.cum_exact AS BIGINT) AS cum_exact,
+             CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                       / CAST(u.vk AS DOUBLE) END AS cum_est,
+             (CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
+                   ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                        / CAST(u.vk AS DOUBLE) END
+              - CAST(e.cum_exact AS DOUBLE))
+               / CAST(e.cum_exact AS DOUBLE) AS rel_err
+      FROM uk u JOIN exact e ON u.batch = e.batch
+      ORDER BY u.batch"""
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218)
+      q202, q214, q217, q218, q220)
 }

@@ -3031,6 +3031,32 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q220 sketch novelty: exact leg matches q218, estimate sane") {
+    val rows = graft.queries.Text.q220.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("batch"))
+    assert(rows.length == 10)
+    // the exact audit leg IS q218's cumulative column
+    val q218cum = graft.queries.Text.q218.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("batch")).map(_.getAs[Long]("cum_distinct"))
+    assert(rows.map(_.getAs[Long]("cum_exact")).sameElements(q218cum),
+      "exact legs of q218 and q220 diverged")
+    // merged-union KMV estimate: monotone (v_k only ever shrinks as
+    // batches merge) and within the k=64 error regime
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("cum_est") >= a.getAs[Double]("cum_est"),
+          "union-sketch estimate must be monotone in merged batches")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.5,
+        s"estimate out of the sketch error regime: $r")
+      assert(r.getAs[Double]("rel_err") ==
+        (r.getAs[Double]("cum_est") - r.getAs[Long]("cum_exact")) /
+          r.getAs[Long]("cum_exact").toDouble)
+    }
+  }
+
   test("q215 kmv overlap: exact identities hold, estimates track exact") {
     val rows = graft.queries.Core.q215.run(spark, sf001).collect()
     val nSources = Tables.load(spark, sf001, "documents")
