@@ -3340,10 +3340,297 @@ object Olap {
       WHERE value_c * n_parts * 2 > total_c * 3
       ORDER BY value DESC, p_partkey"""))
 
+  /** Exact revenue in 10⁻⁴-dollar units (q177's idiom): cents × the
+    * integer discount-complement percentage — every operand an exact
+    * BIGINT, so group sums are order-independent and bit-identical
+    * cross-engine; display values divide ONCE at the end. */
+  private def revU: org.apache.spark.sql.Column =
+    Det.cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+  private val revUSql: String =
+    s"${Det.centsSql("l_extendedprice")} * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q3 shape — shipping priority: the classic 3-way
+    * customer-segment join with the date split (orders placed BEFORE
+    * the cut, lineitems shipped AFTER it), revenue per open order,
+    * top-10. Completes the full 22-shape TPC-H set together with
+    * q222–q227 (Q1/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q19/Q21/Q22 and
+    * Q2/Q11/Q18/Q20 were already covered). Revenue in exact 10⁻⁴
+    * units; top-10 via TakeOrderedAndProject. */
+  val q221 = Q(
+    "q221_shipping_priority",
+    (s, d) => {
+      val cut = "1999-01-01"
+      val cust = graft.operators.Hints.autoBroadcast(
+        Tables.load(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+      Tables.load(s, d, "orders")
+        .filter(to_date(col("o_orderdate")) < lit(cut))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(
+          Tables.load(s, d, "lineitem")
+            .filter(to_date(col("l_shipdate")) > lit(cut))
+            .select(col("l_orderkey"), revU.as("rev_u")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_date"))
+        .agg(sum(col("rev_u")).as("rev_u"))
+        .select(col("o_orderkey"),
+          col("o_date").cast(StringType).as("o_date"),
+          (col("rev_u").cast(DoubleType) / lit(10000.0D)).as("revenue"))
+        .orderBy(desc("rev_u"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+             CAST(sum($revUSql) AS DOUBLE) / 10000.0 AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1999-01-01'
+      GROUP BY o_orderkey, o_date
+      ORDER BY sum($revUSql) DESC, o_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q4 shape — order-priority check via EXISTS: orders in a
+    * window having AT LEAST ONE late-shipped lineitem (shipdate more
+    * than 60 days after the order date — the commitdate/receiptdate
+    * lateness test re-expressed on this schema), counted per priority.
+    * The EXISTS decorrelates to a LEFT-SEMI join with a compound
+    * condition — the semi-join shape q52's same-text EXISTS and q172's
+    * Q21 double-EXISTS bracket from either side. */
+  val q222 = Q(
+    "q222_priority_exists",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      Tables.load(s, d, "orders")
+        .filter(year(to_date(col("o_orderdate"))) === 1997)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od"))
+        .join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("sd") > date_add(col("od"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) = 1997
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE)
+                > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q6 shape — the forecasting-revenue-change single-table
+    * aggregate: tight range predicates on three columns, all PUSHED to
+    * the scan, one SUM of price×discount. The discount band compares
+    * in integer percent (round(d·100) ∈ [5,7]) — no float boundary;
+    * the revenue-delta sum runs in exact 10⁻⁶-dollar units
+    * (cents × integer percent). The simplest shape in the set — and
+    * the purest pushdown/codegen showcase. */
+  val q223 = Q(
+    "q223_revenue_delta",
+    (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(year(to_date(col("l_shipdate"))) === 1997 &&
+          round(col("l_discount") * 100).cast(LongType).between(5L, 7L) &&
+          col("l_quantity") < 24.0)
+        .agg(
+          sum(Det.cents(col("l_extendedprice")) *
+            round(col("l_discount") * 100).cast(LongType)).as("rev_u"),
+          count(lit(1)).as("n_items"))
+        .select(
+          (col("rev_u").cast(DoubleType) / lit(1000000.0D))
+            .as("revenue_delta"),
+          col("n_items")),
+    Some(s"""
+      SELECT CAST(sum(${Det.centsSql("l_extendedprice")}
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS revenue_delta,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24"""))
+
+  /** TPC-H Q9 shape — product-type profit by nation and year: the
+    * 4-table join with a LIKE filter on part names and profit =
+    * revenue − cost aggregated per (nation, order-year). Cost uses the
+    * retail price at an 80% ratio (the fixture has no partsupp
+    * supplycost); both terms in exact 10⁻⁴ units so the possibly-
+    * NEGATIVE profit sums are order-independent BIGINTs. Dims
+    * broadcast; one fact-sized shuffle to (nation, year). */
+  val q224 = Q(
+    "q224_product_profit",
+    (s, d) => {
+      val amountU = revU -
+        graft.queries.Det.cents(col("p_retailprice")) *
+          col("l_quantity").cast(LongType) * lit(80L)
+      Tables.load(s, d, "lineitem")
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "part")
+            .filter(col("p_name").like("%widget%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(to_date(col("l_shipdate"))).as("yr"))
+        .agg(sum(amountU).as("amount_u"))
+        .select(col("n_name"), col("yr"),
+          (col("amount_u").cast(DoubleType) / lit(10000.0D))
+            .as("profit"))
+        .orderBy(col("n_name"), desc("yr"))
+    },
+    Some(s"""
+      SELECT n_name, year(CAST(l_shipdate AS DATE)) AS yr,
+             CAST(sum($revUSql
+                      - ${Det.centsSql("p_retailprice")}
+                        * CAST(l_quantity AS BIGINT) * 80)
+                  AS DOUBLE) / 10000.0 AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, yr
+      ORDER BY n_name, yr DESC"""))
+
+  /** TPC-H Q12 shape — conditional CASE counts per category with a
+    * date window: per return flag (the schema's shipmode stand-in),
+    * how many 1997-shipped lines belong to URGENT/HIGH-priority orders
+    * vs the rest. Pure integer counts; the orders side carries only
+    * (key, priority-class bit) into the join. */
+  val q225 = Q(
+    "q225_priority_mix",
+    (s, d) => {
+      val ords = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
+      Tables.load(s, d, "lineitem")
+        .filter(year(to_date(col("l_shipdate"))) === 1997)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("hi"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(CAST(l_shipdate AS DATE)) = 1997
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** TPC-H Q15 shape — top supplier via a revenue view and a scalar
+    * MAX subquery: quarterly revenue per supplier, then the supplier(s)
+    * achieving the maximum — equality against a 1-row broadcast
+    * aggregate OVER THE SAME derived table (one fact scan feeds both),
+    * ties kept as in the genuine Q15. Exact 10⁻⁴-unit revenue makes
+    * the MAX and the equality float-free. */
+  val q226 = Q(
+    "q226_top_supplier",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val rev = Tables.load(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")).between("1997-01-01",
+          "1997-03-31"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revU).as("rev_u"))
+        .persistTracked()
+      rev
+        .crossJoin(broadcast(rev.agg(max(col("rev_u")).as("max_u"))))
+        .filter(col("rev_u") === col("max_u"))
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_u").cast(DoubleType) / lit(10000.0D))
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""
+      WITH revenue AS (
+        SELECT l_suppkey, sum($revUSql) AS rev_u
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name,
+             CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue
+      FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_u = (SELECT max(rev_u) FROM revenue)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q16 shape — supplier counts by part attributes with a
+    * NOT IN exclusion subquery: distinct suppliers per
+    * (brand, type, size) over lineitem-observed part-supplier pairs,
+    * excluding a supplier denylist (low account balance standing in
+    * for the comment filter). NOT IN plans as a null-safe ANTI join;
+    * the count is a DISTINCT aggregate over the pair table. */
+  val q227 = Q(
+    "q227_supplier_counts",
+    (s, d) => {
+      val excluded = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") < 1000.0)
+        .select(col("s_suppkey").as("xkey"))
+      val pairs = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(excluded, col("l_suppkey") === col("xkey"), "left_anti")
+      pairs
+        .join(graft.operators.Hints.autoBroadcast(
+          Tables.load(s, d, "part")
+            .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
-      q195, q197, q204, q206, q207, q208, q209)
+      q195, q197, q204, q206, q207, q208, q209,
+      q221, q222, q223, q224, q225, q226, q227)
 }

@@ -2933,6 +2933,141 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q221-q227 TPC-H completion shapes: driver replays hold") {
+    import graft.queries.Olap
+    // shared raw tables once
+    val li = Tables.load(spark, sf001, "lineitem").collect()
+    def cents(d: Double): Long = math.round(d * 100)
+    def revU(r: org.apache.spark.sql.Row): Long =
+      cents(r.getAs[Double]("l_extendedprice")) *
+        (100L - math.round(r.getAs[Double]("l_discount") * 100))
+    // fixture timestamps read back TIMESTAMP_NTZ (LocalDateTime) or
+    // TIMESTAMP (Timestamp) depending on the generation — accept both
+    def toDay(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+      case other => sys.error(s"unexpected date type: $other")
+    }
+    def shipDay(r: org.apache.spark.sql.Row): java.time.LocalDate =
+      toDay(r.getAs[Any]("l_shipdate"))
+
+    // q223: single-row filter-agg replays exactly
+    val q223 = Olap.q223.run(spark, sf001).head()
+    val sel = li.filter { r =>
+      val disc = math.round(r.getAs[Double]("l_discount") * 100)
+      shipDay(r).getYear == 1997 && disc >= 5 && disc <= 7 &&
+        r.getAs[Double]("l_quantity") < 24
+    }
+    val want223 = sel.map(r => cents(r.getAs[Double]("l_extendedprice")) *
+      math.round(r.getAs[Double]("l_discount") * 100)).sum
+    assert(q223.getAs[Long]("n_items") == sel.length.toLong)
+    assert(q223.getAs[Double]("revenue_delta") == want223.toDouble / 1e6)
+
+    // q222: EXISTS counts == distinct late orders per priority
+    val orders = Tables.load(spark, sf001, "orders").collect()
+    val lateByOrder = li.groupBy(_.getAs[Long]("l_orderkey"))
+    val want222 = orders.filter { o =>
+      val od = toDay(o.getAs[Any]("o_orderdate"))
+      od.getYear == 1997 && lateByOrder
+        .getOrElse(o.getAs[Long]("o_orderkey"),
+          Array.empty[org.apache.spark.sql.Row])
+        .exists(l => shipDay(l).isAfter(od.plusDays(60)))
+    }.groupBy(_.getAs[String]("o_orderpriority"))
+      .map { case (p, os) => p -> os.length.toLong }
+    val got222 = Olap.q222.run(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
+    assert(got222 == want222, s"q222: $got222 vs $want222")
+
+    // q225: high + low conserve the joined 1997 line count per flag
+    val got225 = Olap.q225.run(spark, sf001).collect()
+    val lines97 = li.filter(r => shipDay(r).getYear == 1997)
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .map { case (f, ls) => f -> ls.length.toLong }
+    got225.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") +
+        r.getAs[Long]("low_line_count") ==
+        lines97(r.getAs[String]("l_returnflag")),
+        s"q225 conservation: $r")
+    }
+
+    // q226: every returned supplier achieves the true quarter maximum
+    val revBySupp = li.filter { r =>
+      val sd = shipDay(r)
+      !sd.isBefore(java.time.LocalDate.parse("1997-01-01")) &&
+        !sd.isAfter(java.time.LocalDate.parse("1997-03-31"))
+    }.groupBy(_.getAs[Long]("l_suppkey"))
+      .map { case (k, ls) => k -> ls.map(revU).sum }
+    val mx = revBySupp.values.max
+    val got226 = Olap.q226.run(spark, sf001).collect()
+    assert(got226.nonEmpty)
+    got226.foreach { r =>
+      assert(revBySupp(r.getAs[Long]("s_suppkey")) == mx, s"q226: $r")
+    }
+    assert(got226.length ==
+      revBySupp.count { case (_, v) => v == mx })
+
+    // q227: no denylisted supplier contributes
+    val excluded = Tables.load(spark, sf001, "supplier")
+      .filter(col("s_acctbal") < 1000.0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val contributing = li.map(r =>
+      (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey"))).distinct
+      .filterNot(p => excluded.contains(p._2)).groupBy(_._1)
+    val parts = Tables.load(spark, sf001, "part").collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        ((r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+          r.getAs[Int]("p_size")))).toMap
+    val sizes = Set(1, 5, 9, 13, 17, 21, 25, 29)
+    val want227 = contributing.toSeq
+      .flatMap { case (pk, ps) =>
+        parts.get(pk).filter(t => sizes.contains(t._3))
+          .map(t => t -> ps.map(_._2).toSet)
+      }
+      .groupBy(_._1)
+      .map { case (t, xs) =>
+        t -> xs.flatMap(_._2).distinct.length.toLong
+      }
+    val got227 = Olap.q227.run(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2))) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    assert(got227 == want227, "q227 supplier counts diverge from replay")
+
+    // q221: ordered, bounded, and every row is a BUILDING customer's
+    // boundary-crossing order
+    val got221 = Olap.q221.run(spark, sf001).collect()
+    assert(got221.length <= 10 && got221.nonEmpty)
+    got221.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("revenue") >= b.getAs[Double]("revenue"))
+      case _ => ()
+    }
+    // q224: full driver replay of the widget-profit rollup
+    val widget = Tables.load(spark, sf001, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val suppNation = Tables.load(spark, sf001, "supplier")
+      .join(Tables.load(spark, sf001, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want224 = li.flatMap { r =>
+      widget.get(r.getAs[Long]("l_partkey")).map { retail =>
+        val amount = revU(r) - cents(retail) *
+          r.getAs[Double]("l_quantity").toLong * 80L
+        ((suppNation(r.getAs[Long]("l_suppkey")),
+          shipDay(r).getYear), amount)
+      }
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val got224 = Olap.q224.run(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getAs[Int]("yr"))) ->
+        r.getAs[Double]("profit")).toMap
+    assert(got224.keySet == want224.keySet, "q224 group set diverges")
+    want224.foreach { case (k, u) =>
+      assert(got224(k) == u.toDouble / 10000.0, s"q224 $k")
+    }
+  }
+
   test("q219 containment: planted subset doc found, asymmetry real") {
     import spark.implicits._
     // doc 2 = doc 1's text embedded in a large wrapper: containment of
