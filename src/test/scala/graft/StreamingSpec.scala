@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import graft.streaming.EventStream
 
 /** Batch/stream parity: the SAME windowedCounts transform over the same
@@ -136,6 +137,53 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, "streaming KMV read-off differs from batch")
       assert(got.nonEmpty)
     } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes exactly-once (state + file log)") {
+    // The operational property a long-lived pipeline needs and no
+    // single-run parity test shows: a streaming aggregation STOPPED and
+    // RESTARTED from its checkpoint must (a) not reprocess files the
+    // source log already committed, (b) restore its state store — so
+    // the post-restart result equals the batch answer over everything.
+    // If restart re-read the first half, counts would double; if state
+    // were lost, the first half would vanish: equality proves both.
+    val events = Tables.load(spark, sf001, "events")
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft_stream_rec").toString
+    val cp = Files.createTempDirectory("graft_stream_rec_cp").toString
+    half1.repartition(2).write.mode("append").parquet(dir)
+
+    def agg(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.queries.Det.cents(col("value"))).as("cents"))
+    def start(name: String) =
+      agg(spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .outputMode("complete").start()
+    def snap(name: String): Map[String, (Long, Long)] =
+      spark.table(name).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val q1 = start("rec_run1")
+    try { q1.processAllAvailable() } finally q1.stop()
+    val afterHalf = snap("rec_run1")
+    assert(afterHalf == agg(half1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+      "first run must equal batch over the first half")
+
+    // more data lands while the query is DOWN; restart from checkpoint
+    half2.repartition(2).write.mode("append").parquet(dir)
+    val q2 = start("rec_run2")
+    try { q2.processAllAvailable() } finally q2.stop()
+    val afterAll = snap("rec_run2")
+    val want = agg(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(afterAll == want,
+      s"restart lost state or reprocessed files: $afterAll vs $want")
   }
 
   test("streaming dedup collapses duplicated input to distinct events") {
