@@ -20,6 +20,20 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every registered query ships its plan artifacts") {
+    // the reference treats EXPLAIN as a first-class committed artifact
+    // (plans/*.plan.txt per query); this pins that contract so a new
+    // query cannot land without its PlanDump run (q201-q205 briefly
+    // drifted in r5 before this guard)
+    val missing = Registry.all.map(_.name).filterNot { n =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"plans/$n.plan.txt"))
+    }
+    assert(missing.isEmpty,
+      s"queries without committed plan artifacts (run PlanDump): " +
+        missing.mkString(", "))
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} runs on sf0.001 with rows and sane schema") {
       val df = q.run(spark, sf001)
