@@ -415,5 +415,36 @@ object IngestJob {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97)
+  /** q228: DSv2 WRITE → READ round-trip through graft.sources.tsv — the
+    * custom source's new committed write path (staging files invisible
+    * to readers, driver-side rename on job commit, TRUNCATE for
+    * overwrite) driven end to end: the documents table goes out through
+    * the V2 writer and comes back through the V2 reader with its
+    * pushdown machinery, and the oracle full-row-compares against the
+    * ORIGINAL parquet — any value mangled in either direction (or any
+    * torn/duplicated file from a broken commit) diffs. Text compares
+    * via md5 so only hashes shuffle. The storage-parity set is now
+    * Parquet + CSV (q17) + JSONL (q79) + ORC (q92) + the custom DSv2
+    * TSV (q228). */
+  val q228 = Q(
+    "q228_tsv_roundtrip",
+    (s, d) => {
+      val dir = tmp(s"documents_tsv_${d.replaceAll("[^0-9.]", "")}")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      docs.write.format("graft.sources.tsv")
+        .mode("overwrite").save(dir)
+      s.read.format("graft.sources.tsv").schema(docs.schema).load(dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228)
 }

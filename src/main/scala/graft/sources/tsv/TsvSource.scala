@@ -44,14 +44,162 @@ class DefaultSource extends TableProvider {
 }
 
 final class TsvTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"tsv:$path"
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(schema0, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TsvWriteBuilder(info.schema(), path)
+}
+
+/** DSv2 WRITE path — the reader's symmetric half, completing the source
+  * story (read with filter/column/limit/aggregate pushdown + committed
+  * batch write). The commit protocol is the standard two-phase shape
+  * every distributed sink needs at 100 TB:
+  *  - each task streams its partition to a DOT-PREFIXED staging file
+  *    (invisible to the reader, which skips `_`/`.` names);
+  *  - task commit returns the staged path as its commit message;
+  *  - the DRIVER's job commit renames staged → final for every message
+  *    (and under TRUNCATE first deletes the previously-visible files),
+  *    so readers observe the old complete state or the new complete
+  *    state, never a torn mix;
+  *  - task/job abort deletes staged files — a failed job leaves the
+  *    directory exactly as it was.
+  * Serialization mirrors the reader's conventions exactly: header line,
+  * tab separator, CSV-style double-quote wrapping only when a value
+  * contains a tab or a quote, embedded quotes doubled, NULL as the
+  * empty field (which means empty STRINGS do not round-trip — they read
+  * back as NULL, the reader's long-standing contract), and embedded
+  * newlines rejected loudly (the reader is line-oriented). */
+final class TsvWriteBuilder(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new TsvBatchWrite(schema, path, doTruncate)
+    }
+}
+
+final case class TsvStagedFile(staged: String, finalPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class TsvBatchWrite(
+    schema: StructType, path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new TsvWriterFactory(schema, path)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncate) {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+    messages.foreach { case TsvStagedFile(staged, finalPath) =>
+      Files.move(Paths.get(staged), Paths.get(finalPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    messages.foreach {
+      case TsvStagedFile(staged, _) =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+final class TsvWriterFactory(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TsvDataWriter(schema, path, partitionId, taskId)
+}
+
+final class TsvDataWriter(
+    schema: StructType, path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  // taskId in the name keeps speculative/retried attempts collision-free;
+  // only the attempt whose message reaches commit() gets renamed visible
+  private val fileName = f"part-$partitionId%05d-$taskId.tsv"
+  private val staged = Paths.get(path, s".staging-$fileName")
+  private val out = {
+    Files.createDirectories(Paths.get(path))
+    val w = Files.newBufferedWriter(staged,
+      java.nio.charset.StandardCharsets.UTF_8)
+    w.write(schema.fieldNames.mkString("\t"))
+    w.write("\n")
+    w
+  }
+
+  private def render(raw: String): String =
+    if (raw.indexOf('\n') >= 0 || raw.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        "TSV is line-oriented: embedded newlines are not writable " +
+          s"(strip them upstream): $raw")
+    else if (raw.indexOf('\t') >= 0 || raw.indexOf('"') >= 0)
+      "\"" + raw.replace("\"", "\"\"") + "\""
+    else raw
+
+  override def write(row: InternalRow): Unit = {
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) ""
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => render(row.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"unsupported TSV type $other")
+      }
+    }
+    out.write(cells.mkString("\t"))
+    out.write("\n")
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    TsvStagedFile(staged.toString, Paths.get(path, fileName).toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staged)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** One pushed-down aggregate over the source: group-by column indexes into

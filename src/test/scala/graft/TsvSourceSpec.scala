@@ -171,4 +171,53 @@ class TsvSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("expected 2 fields") ||
       Option(e2.getCause).exists(_.getMessage.contains("expected 2 fields")))
   }
+
+  test("V2 writer: committed round-trip incl. quoting, nulls, overwrite") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_tsv_write").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq(
+      (1L, "plain", 1.5),
+      (2L, "has\ttab", -3.25),
+      (3L, "has\"quote", 0.0),
+      (4L, null.asInstanceOf[String], 7.0))
+    rows.toDF("id", "s", "v").repartition(3)
+      .write.format("graft.sources.tsv").mode("overwrite").save(d)
+    // job commit leaves only final files + _SUCCESS — no staging litter
+    val names = new java.io.File(d).listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), s"no _SUCCESS marker in $names")
+    assert(!names.exists(_.startsWith(".staging")),
+      s"staging litter after commit: $names")
+    def readBack = spark.read.format("graft.sources.tsv")
+      .schema(schema).load(d).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(readBack.toSeq == rows.map { case (i, s2, v) =>
+      (i, s2, v: Any) }, s"round-trip mismatch: ${readBack.toSeq}")
+    // TRUNCATE semantics: a second overwrite fully replaces the first
+    Seq((9L, "only", 9.0)).toDF("id", "s", "v")
+      .write.format("graft.sources.tsv").mode("overwrite").save(d)
+    assert(readBack.toSeq == Seq((9L, "only", 9.0)),
+      "overwrite left stale files behind")
+    // APPEND adds without touching existing files
+    Seq((10L, "more", 10.0)).toDF("id", "s", "v")
+      .write.format("graft.sources.tsv").mode("append").save(d)
+    assert(readBack.map(_._1).toSeq == Seq(9L, 10L))
+    // embedded newlines are rejected loudly, not silently corrupted
+    val e = intercept[Exception] {
+      Seq((11L, "bad\nline", 0.0)).toDF("id", "s", "v")
+        .write.format("graft.sources.tsv").mode("append").save(d)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("line-oriented")),
+      s"wrong failure: ${messages(e)}")
+    // and the failed job left no staging litter nor new visible file
+    assert(readBack.map(_._1).toSeq == Seq(9L, 10L),
+      "aborted write changed visible data")
+  }
 }
