@@ -2898,9 +2898,104 @@ object Text {
       ORDER BY u.batch"""
     })
 
+  /** q229: FEATURE HASHING (the hashing trick, Weinberger et al.
+    * ICML'09) — text → fixed-width vector with no vocabulary table:
+    * each token md5-hashes to one of 64 buckets with a ±1 sign, and a
+    * document's vector is the signed bucket-count array. The op that
+    * turns raw text into something the whole Sim/ANN family can
+    * consume WITHOUT an embedding model — here driven end to end into
+    * within-source cosine near-dup pairs at τ=0.9 (the fixture's
+    * random-pair cosine tops out at ~0.85, so the threshold selects
+    * genuine lexical near-dups, cross-checked against the Jaccard
+    * family in the spec). Determinism: every vector entry is an exact
+    * integer; dots/norms are double sums of integers < 2^53 — exact in
+    * ANY order — so the DuckDB twin may compute dp as an integer
+    * bucket-join sum while Spark folds dense arrays through VecDot,
+    * and the cosines still match bit for bit. Scale: featurization is
+    * one explode + a (doc × ≤64)-row aggregate; the all-pairs stage is
+    * source-blocked here and routes through q28's LSH buckets at
+    * corpus scale (these vectors are exactly what its hyperplanes
+    * consume). */
+  val q229 = Q(
+    "q229_feature_hashing",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val nib = "instr('0123456789abcdef', substr(h, %d, 1)) - 1"
+      val ent = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", md5(col("tok")))
+        .withColumn("bucket", expr(
+          s"CAST(((${nib.format(1)}) * 16 + (${nib.format(2)})) % 64" +
+            " AS INT)"))
+        .withColumn("sgn", expr(
+          s"IF((${nib.format(3)}) % 2 = 0, 1L, -1L)"))
+        .groupBy(col("doc_id"), col("source"), col("bucket"))
+        .agg(sum(col("sgn")).as("w"))
+      val vecs = ent
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("map_from_entries(collect_list(struct(bucket, w)))")
+          .as("m"))
+        .withColumn("v", expr(
+          "transform(sequence(0, 63), " +
+            "i -> CAST(coalesce(element_at(m, i), 0L) AS DOUBLE))"))
+        .withColumn("nrm",
+          sqrt(graft.functions.VecDot.dot(col("v"), col("v"))))
+        .select(col("doc_id"), col("source"), col("v"), col("nrm"))
+        .persistTracked()
+      vecs.as("a")
+        .join(vecs.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("cos_sim",
+          graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos_sim") >= 0.9)
+        .select(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          col("a.source").as("source"), col("cos_sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ), hb AS (
+        SELECT doc_id, source,
+               ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                  * 16
+                + instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                 % 64 AS bucket,
+               CASE WHEN (instr('0123456789abcdef',
+                               substr(md5(tok), 3, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE length(tok) > 0
+      ), ent AS (
+        SELECT doc_id, source, bucket, sum(sgn) AS w
+        FROM hb GROUP BY 1, 2, 3
+      ), nm AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        FROM ent GROUP BY 1
+      ), dp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.source AS source, sum(a.w * b.w) AS dp
+        FROM ent a
+        JOIN ent b ON a.bucket = b.bucket AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+      )
+      SELECT doc_a, doc_b, source,
+             CAST(dp AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim
+      FROM dp
+      JOIN nm na ON na.doc_id = doc_a
+      JOIN nm nb ON nb.doc_id = doc_b
+      WHERE CAST(dp AS DOUBLE) / (na.nrm * nb.nrm) >= 0.9
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218, q220)
+      q202, q214, q217, q218, q220, q229)
 }

@@ -3068,6 +3068,48 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q229 feature hashing: vectors replay, pairs are real near-dups") {
+    val rows = graft.queries.Text.q229.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    def vec(text: String): Array[Long] = {
+      val v = new Array[Long](64)
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val b = (Character.digit(hex.charAt(0), 16) * 16 +
+          Character.digit(hex.charAt(1), 16)) % 64
+        v(b) += (if (Character.digit(hex.charAt(2), 16) % 2 == 0) 1 else -1)
+      }
+      v
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dp = a.zip(b).map { case (x, y) => (x * y).toDouble }.sum
+      dp / (math.sqrt(a.map(x => (x * x).toDouble).sum) *
+        math.sqrt(b.map(x => (x * x).toDouble).sum))
+    }
+    rows.foreach { r =>
+      val (da, db) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(da < db)
+      assert(docs(da)._1 == docs(db)._1, "pair crosses sources")
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= 0.9)
+      // exact replay of the hashed-vector cosine (integer-valued double
+      // sums are order-independent, so the naive replay is bit-exact)
+      assert(c == cos(vec(docs(da)._2), vec(docs(db)._2)),
+        s"cosine replay failed for ($da, $db)")
+      // cheap vectors must be finding REAL lexical similarity: the true
+      // token-set Jaccard of every reported pair is far above the
+      // random-pair regime
+      val ta = docs(da)._2.split(" ").toSet
+      val tb = docs(db)._2.split(" ").toSet
+      val j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      assert(j >= 0.3, s"pair ($da, $db) cos=$c but jaccard=$j")
+    }
+  }
+
   test("q219 containment: planted subset doc found, asymmetry real") {
     import spark.implicits._
     // doc 2 = doc 1's text embedded in a large wrapper: containment of
