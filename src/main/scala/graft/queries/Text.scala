@@ -2993,9 +2993,129 @@ object Text {
       WHERE CAST(dp AS DOUBLE) / (na.nrm * nb.nrm) >= 0.9
       ORDER BY doc_a, doc_b"""))
 
+  /** q230: PHRASE SEARCH over a positional inverted index — the
+    * search-engine operator BM25 (q184, bag-of-words) cannot express:
+    * exact N-word phrase matching via postings (token, doc, position)
+    * self-joined at pos, pos+1, pos+2. The queried phrase is the
+    * corpus's most frequent word-3-gram (argmax with full tie-break —
+    * data-derived, so the query is meaningful at every SF), broadcast
+    * as one row. The ORACLE counts matches with the NAIVE positional
+    * scan over each document, so a hash match proves index-join ==
+    * direct scan. Scale: postings are one explode (the standard index
+    * build); the phrase join touches only the three posting lists
+    * involved — the inverted index's whole point; at 100 TB the
+    * postings table is the bucketed/partitioned artifact every search
+    * stack materializes. */
+  val q230 = Q(
+    "q230_phrase_search",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val postings = docs
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+        .persistTracked()
+      val phrase = docs.filter(size(col("ws")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> struct(" +
+            "element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, " +
+            "element_at(ws, i + 2) AS w3))")).as("g"))
+        .groupBy(col("g.w1"), col("g.w2"), col("g.w3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w1"), col("w2"), col("w3"))
+        .limit(1)
+      val p1 = postings.join(broadcast(phrase),
+        col("tok") === col("w1"))
+      val matches = p1
+        .join(postings.select(col("doc_id").as("d2"),
+          col("pos").as("pos2"), col("tok").as("t2")),
+          col("doc_id") === col("d2") &&
+            col("pos2") === col("pos") + 1 && col("t2") === col("w2"))
+        .join(postings.select(col("doc_id").as("d3"),
+          col("pos").as("pos3"), col("tok").as("t3")),
+          col("doc_id") === col("d3") &&
+            col("pos3") === col("pos") + 2 && col("t3") === col("w3"))
+      matches
+        .groupBy(col("doc_id"),
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), grams AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+              FROM docs WHERE len(ws) >= 3)
+      ), phrase AS (
+        SELECT w1, w2, w3 FROM grams
+        GROUP BY 1, 2, 3
+        ORDER BY count(*) DESC, w1, w2, w3
+        LIMIT 1
+      )
+      SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS phrase,
+             CAST(len(list_filter(range(1, len(ws) - 1),
+               i -> ws[i] = w1 AND ws[i+1] = w2 AND ws[i+2] = w3))
+               AS BIGINT) AS n_matches
+      FROM docs CROSS JOIN phrase
+      WHERE len(ws) >= 3
+        AND len(list_filter(range(1, len(ws) - 1),
+              i -> ws[i] = w1 AND ws[i+1] = w2 AND ws[i+2] = w3)) > 0
+      ORDER BY doc_id"""))
+
+  /** q231: WILDCARD (substring) search via a CHARACTER-TRIGRAM index —
+    * the pg_trgm architecture for `LIKE '%pat%'` at scale: a full scan
+    * evaluates LIKE on every document; the trigram index instead
+    * intersects the posting lists of the pattern's trigrams (every
+    * match must contain ALL of them) and verifies only the candidates.
+    * The ORACLE is the naive LIKE scan with the same integer
+    * occurrence count — a hash match proves the trigram pruning
+    * LOSSLESS (the q219/q230 differential discipline). Occurrence
+    * counts are pure-integer length arithmetic. The pattern 'indow'
+    * spans a word boundary-free substring of a vocabulary word, so it
+    * exercises true substring (not token) matching. */
+  val q231 = Q(
+    "q231_trigram_search",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val pat = "indow"
+      val patGrams = (0 to pat.length - 3).map(i => pat.substring(i, i + 3))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .persistTracked()
+      val trigrams = docs
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)))")).as("tg"))
+      // candidates = docs whose trigram set contains EVERY pattern
+      // trigram: one semi-join-shaped aggregate over the index
+      val cands = trigrams
+        .filter(col("tg").isin(patGrams: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tg")).as("hit"))
+        .filter(col("hit") === patGrams.length)
+        .select(col("doc_id"))
+      cands
+        .join(docs, Seq("doc_id"))
+        .withColumn("n_hits", expr(
+          s"(length(text) - length(replace(text, '$pat', '')))" +
+            s" div ${pat.length}L"))
+        .filter(col("n_hits") > 0L)
+        .select(col("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST((length(text) - length(replace(text, 'indow', '')))
+                  // 5 AS BIGINT) AS n_hits
+      FROM documents
+      WHERE text LIKE '%indow%'
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218, q220, q229)
+      q202, q214, q217, q218, q220, q229, q230, q231)
 }

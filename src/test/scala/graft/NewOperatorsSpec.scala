@@ -3068,6 +3068,82 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q230 phrase search: index joins equal the naive positional scan") {
+    val rows = graft.queries.Text.q230.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val phrase = rows.head.getAs[String]("phrase")
+    assert(rows.map(_.getAs[String]("phrase")).distinct.length == 1)
+    val words = phrase.split(" ")
+    assert(words.length == 3)
+    // driver replay: count exact positional occurrences per doc
+    val want = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        val n = (0 to ws.length - 3).count(i =>
+          ws(i) == words(0) && ws(i + 1) == words(1) &&
+            ws(i + 2) == words(2))
+        r.getLong(0) -> n.toLong
+      }.filter(_._2 > 0).toMap
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(got == want, s"positional index diverges from direct scan")
+    // the phrase is the true corpus argmax (with the full tie-break)
+    val counts = Tables.load(spark, sf001, "documents")
+      .select("text").collect().flatMap { r =>
+        val ws = r.getString(0).split(" ")
+        (0 to ws.length - 3).map(i =>
+          s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      }.groupBy(identity).map { case (k, v) => k -> v.length }
+    val best = counts.toSeq.minBy { case (p, n) => (-n, p) }._1
+    assert(phrase == best, s"phrase $phrase is not the argmax $best")
+  }
+
+  test("q231 trigram search: verify drops false-positive candidates") {
+    import spark.implicits._
+    // planted corpus: doc 1 truly contains the pattern (inside a larger
+    // word), doc 2 contains every pattern TRIGRAM but not the pattern —
+    // the candidate the index MUST surface and verification MUST drop —
+    // doc 3 is irrelevant
+    val docs = Seq(
+      (1L, "the xindowy case and again indow here"),
+      // contains every pattern trigram (ind/ndo/dow) but NOT the
+      // pattern — the classic trigram-index false positive
+      (2L, "rewind the ndowel meadow"),
+      (3L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q231").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Text.q231.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    val want = Seq(1L -> "the xindowy case and again indow here",
+      2L -> "rewind the ndowel meadow",
+      3L -> "nothing relevant at all")
+      .map { case (id, t) =>
+        id -> (t.length - t.replace("indow", "").length) / 5L
+      }.filter(_._2 > 0).toMap
+    assert(want.keySet == Set(1L),
+      "probe must make doc 2 a candidate-only false positive")
+    assert(got == want, s"got $got want $want")
+    // fixture run: every reported doc really contains the pattern
+    val fixture = graft.queries.Text.q231.run(spark, sf001).collect()
+    val texts = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixture.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      assert(t.contains("indow"))
+      assert(r.getAs[Long]("n_hits") ==
+        (t.length - t.replace("indow", "").length) / 5L)
+    }
+    // and no true match is missed (pruning lossless on the fixture too)
+    val missed = texts.filter(_._2.contains("indow")).keySet --
+      fixture.map(_.getAs[Long]("doc_id")).toSet
+    assert(missed.isEmpty, s"trigram pruning lost docs: $missed")
+  }
+
   test("q229 feature hashing: vectors replay, pairs are real near-dups") {
     val rows = graft.queries.Text.q229.run(spark, sf001).collect()
     assert(rows.nonEmpty)
