@@ -3113,9 +3113,118 @@ object Text {
       WHERE text LIKE '%indow%'
       ORDER BY doc_id"""))
 
+  /** q232: quality-score decile × duplication-rate audit — the filter
+    * sanity check every curation paper runs ("do low-quality docs
+    * duplicate more?"): q84's classifier score ranks the corpus into
+    * EXACT global deciles (GlobalOrder cumsum + the ANSI NTILE formula
+    * — never a single-partition sort; q141's discipline), and each
+    * decile reports its DUPLICATED-CONTENT share: a doc is flagged when
+    * any of its rolling 16-token windows occurs 2+ times corpus-wide
+    * (q202's any-alignment signal — present at every SF, where whole-
+    * document md5 dups only appear at sf0.1+). Rates and mean weights
+    * are single
+    * IEEE divisions of exact integers. If quality scoring and dedup
+    * disagree wildly, one of them is wrong — this is the measured
+    * cross-check. Scale: the q84 scoring plan + one hash-groupBy dup
+    * flag + the range-partitioned rank; all shuffles doc- or
+    * vocabulary-sized. */
+  val q232 = Q(
+    "q232_quality_dup_audit",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val tf = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .persistTracked()
+      val model = tf.select(col("w")).distinct()
+        .withColumn("wc", expr(weightCents("w")).cast(LongType))
+      val scored = tf
+        .join(graft.operators.Hints.autoBroadcast(model), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).cast(LongType).as("n_tokens"),
+          sum(col("tf") * col("wc")).cast(LongType).as("score_cents"))
+      val wins = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 15),
+               i -> md5(array_join(slice(ws, i, 16), ' ')))"""))
+          .as("h"))
+        .persistTracked()
+      val dupDocs = wins
+        .join(wins.groupBy(col("h")).agg(count(lit(1)).as("c")), Seq("h"))
+        .filter(col("c") > 1L)
+        .select(col("doc_id").as("dd")).distinct()
+      val base = scored
+        .join(dupDocs, col("doc_id") === col("dd"), "left")
+        .withColumn("is_dup", col("dd").isNotNull)
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+        base, Seq(col("score_cents"), col("doc_id")), lit(1L), "rk")
+      val tot = ranked.agg(max(col("rk")).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", graft.operators.GlobalOrder
+          .ntileFromRank(col("rk"), col("n"), 10))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(col("score_cents")).as("sc"),
+          sum(col("n_tokens")).as("nt"))
+        .select(col("decile"), col("n_docs"), col("n_dup"),
+          (col("n_dup").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("dup_rate"),
+          (col("sc").cast(DoubleType) /
+            (col("nt").cast(DoubleType) * 100.0)).as("mean_weight"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+      ), model AS (
+        SELECT w, CAST(${weightCents("w")} AS BIGINT) AS wc
+        FROM (SELECT DISTINCT w FROM tf)
+      ), scored AS (
+        SELECT t.doc_id,
+               CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+               CAST(sum(t.tf * m.wc) AS BIGINT) AS score_cents
+        FROM tf t JOIN model m USING (w)
+        GROUP BY t.doc_id
+      ), wins AS (
+        SELECT doc_id, md5(array_to_string(ws[i : i + 15], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 14)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 16)
+      ), wc AS (
+        SELECT h, count(*) AS c FROM wins GROUP BY 1
+      ), dup_docs AS (
+        SELECT DISTINCT doc_id FROM wins JOIN wc USING (h) WHERE c > 1
+      ), ranked AS (
+        SELECT s.doc_id, s.n_tokens, s.score_cents,
+               (dd.doc_id IS NOT NULL) AS is_dup,
+               ntile(10) OVER (ORDER BY s.score_cents, s.doc_id) AS decile
+        FROM scored s LEFT JOIN dup_docs dd ON dd.doc_id = s.doc_id
+      )
+      SELECT CAST(decile AS BIGINT) AS decile,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate,
+             CAST(CAST(sum(score_cents) AS BIGINT) AS DOUBLE)
+               / (CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) * 100.0)
+               AS mean_weight
+      FROM ranked
+      GROUP BY decile
+      ORDER BY decile"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218, q220, q229, q230, q231)
+      q202, q214, q217, q218, q220, q229, q230, q231, q232)
 }

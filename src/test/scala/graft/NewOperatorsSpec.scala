@@ -3068,6 +3068,43 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q232 quality-dup audit: deciles conserve, dup ledger replays") {
+    val rows = graft.queries.Text.q232.run(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every doc must land in exactly one decile")
+    // exact ANSI ntile split: first n mod 10 deciles get ceil(n/10)
+    val (q, r) = (nDocs / 10, nDocs % 10)
+    rows.foreach { row =>
+      val want = if (row.getAs[Long]("decile") <= r) q + 1 else q
+      assert(row.getAs[Long]("n_docs") == want, s"uneven decile: $row")
+    }
+    // global dup ledger: sum over deciles == docs carrying at least one
+    // corpus-duplicated rolling 16-token window (the q202 signal)
+    val wins = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 16)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 15),
+             i -> md5(array_join(slice(ws, i, 16), ' ')))""")).as("h"))
+    val dupTotal = wins
+      .join(wins.groupBy(col("h")).agg(count(lit(1)).as("c")), Seq("h"))
+      .filter(col("c") > 1).select("doc_id").distinct().count()
+    assert(dupTotal > 0, "fixture should contain duplicated spans")
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == dupTotal)
+    rows.foreach { row =>
+      assert(row.getAs[Double]("dup_rate") ==
+        row.getAs[Long]("n_dup").toDouble /
+          row.getAs[Long]("n_docs").toDouble)
+    }
+    // ranking is on RAW score (length-correlated by construction), so
+    // per-token mean weight need not be monotone — no such assertion;
+    // the decile boundaries themselves are what the exact-split check
+    // above pins
+  }
+
   test("q230 phrase search: index joins equal the naive positional scan") {
     val rows = graft.queries.Text.q230.run(spark, sf001).collect()
     assert(rows.nonEmpty)
