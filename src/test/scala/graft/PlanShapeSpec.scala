@@ -118,8 +118,10 @@ class PlanShapeSpec extends SparkSpec {
       "q159_key_skew_profile", "q161_weighted_percentiles",
       "q181_rfm_segments", "q193_budget_proration",
       "q194_pareto_skyline",
-      // r5: q218/q220's running totals over the 10-row batch aggregates
-      "q218_novelty_curve", "q220_novelty_sketch")
+      // r5: q218/q220's running totals over the 10-row batch aggregates;
+      // q232's GlobalOrder partition-count offsets table (q141's shape)
+      "q218_novelty_curve", "q220_novelty_sketch",
+      "q232_quality_dup_audit")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
