@@ -284,7 +284,11 @@ class PropertiesSpec extends SparkSpec {
     val names = Seq(
       "q04_topn_percentiles", "q12_fact_join", "q36_salted_join",
       "q38_join_variants", "q40_range_join", "q87_asof_native",
-      "q71_decontamination")
+      "q71_decontamination",
+      // r5: correlated-MIN decorrelation joins, asymmetric containment
+      // (prefix/index joins), positional phrase-index self-joins
+      "q206_min_cost_supplier", "q219_containment_dedup",
+      "q230_phrase_search")
     val conf = spark.conf
     val origBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
     val origAqe = conf.get("spark.sql.adaptive.enabled")
