@@ -228,6 +228,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("GlobalOrder cumsum equals the single-partition window on random data") {
+    // the central scale primitive behind every corpus-wide rank/ntile/
+    // cumsum in the repo, checked against the naive definition on
+    // random inputs under several partition layouts (keys DISTINCT —
+    // with duplicate order keys an inclusive running sum is inherently
+    // order-dependent, the documented caveat)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { trial =>
+      val n = 200 + rnd.nextInt(300)
+      val keys = rnd.shuffle((0 until 5 * n).toList).take(n).map(_.toLong)
+      val rows = keys.map(k => (k, (rnd.nextInt(1000) - 200).toLong))
+      val expect = rows.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, v)) =>
+          (k, acc + v)
+        }.drop(1).toMap
+      Seq(1, 7, 32).foreach { parts =>
+        val df = rows.toDF("k", "v").repartition(parts)
+        val got = graft.operators.GlobalOrder
+          .withOrderedCumsum(df, Seq(col("k")), col("v"), "cum")
+          .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum"))
+          .toMap
+        graft.Caches.release()
+        assert(got == expect, s"trial $trial parts $parts diverged")
+      }
+    }
+  }
+
   test("salted join cardinality is invariant in the salt count") {
     val ev = Tables.load(spark, sf001, "events").limit(200)
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
