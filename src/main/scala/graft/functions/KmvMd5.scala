@@ -22,17 +22,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * sketch-matrix instead of a quadratic distinct-join.
   *
   * Determinism contract (the repo's differential-testing discipline):
-  * the hash is the first 12 md5 hex chars as a 48-bit integer (the q182
-  * nibble convention), the state is a SET of the k smallest values —
-  * commutative/associative under update and merge, so partitioning
-  * cannot change it — and the emitted sketch is the sorted value array.
-  * DuckDB reproduces the identical array with rank-k SQL over the same
-  * md5, so estimates built from the sketch (single IEEE divisions of
-  * exact integers) hash-match cross-engine.
+  * the hash is the first 15 md5 hex chars as a 60-BIT integer (the q182
+  * nibble convention, widened from 48 bits per the r5 audit: hash
+  * collisions bias a KMV estimate low by ~n²/2^(b+1), so 48 bits meant
+  * ~0.2% at 10¹² distinct shingles while 60 bits keeps the bias under
+  * 10⁻⁴ out to ~10¹⁵ — beyond any 100 TB corpus; 60 is the widest
+  * width whose nibble sum stays a POSITIVE signed int64 in both
+  * engines, which is what keeps the value ORDER portable — a full
+  * 64-bit hash would wrap negative in Spark and overflow DuckDB's
+  * BIGINT nibble arithmetic), the state is a SET of the k smallest
+  * values — commutative/associative under update and merge, so
+  * partitioning cannot change it — and the emitted sketch is the
+  * sorted value array. DuckDB reproduces the identical array with
+  * rank-k SQL over the same md5, so estimates built from the sketch
+  * (single IEEE divisions of exact integers) hash-match cross-engine.
   *
   * Estimator (applied query-side, sketch emits raw values): with the
-  * sketch full, D-hat = (k-1) * 2^48 / v_k; with fewer than k values the
-  * sketch IS the distinct hash set and the count is exact. 63 * 2^48 has
+  * sketch full, D-hat = (k-1) * 2^60 / v_k; with fewer than k values the
+  * sketch IS the distinct hash set and the count is exact. 63 * 2^60 has
   * 6 significant bits — exactly representable in a double, so the
   * estimate is ONE division of exactly-represented operands.
   *
@@ -47,7 +54,7 @@ case class KmvMd5(
     extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]]
     with UnaryLike[Expression] {
 
-  import KmvMd5.K
+  import KmvMd5.{HexChars, K}
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -76,7 +83,7 @@ case class KmvMd5(
     val v = child.eval(input)
     if (v != null) {
       val hex = HllMd5.md5Hex(v.toString)
-      insert(buf, java.lang.Long.parseLong(hex.substring(0, 12), 16))
+      insert(buf, java.lang.Long.parseLong(hex.substring(0, HexChars), 16))
     }
     buf
   }
@@ -117,6 +124,14 @@ case class KmvMd5(
 
 object KmvMd5 {
   val K = 64
+
+  /** Hex chars of md5 consumed per value — 60 bits (see class doc). */
+  val HexChars = 15
+
+  /** The hash domain size 2^60 as an exactly-represented double — the
+    * estimator numerator scale ((k−1)·Domain / v_k). SQL twins use the
+    * literal `1152921504606846976.0`. */
+  val Domain: Double = 1.152921504606846976e18
 
   /** Column-API entry: KmvMd5.sketch($"col") — aggregate usage. */
   def sketch(c: Column): Column =

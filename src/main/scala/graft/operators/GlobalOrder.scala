@@ -67,7 +67,9 @@ object GlobalOrder {
     * single-partition window. The primitive behind skyline/frontier
     * pruning (q194): "is any earlier-in-order row at least this high?"
     *
-    * REQUIRES DISTINCT `order` KEYS. With duplicate keys the result is
+    * REQUIRES DISTINCT `order` KEYS (asserted at runtime; set
+    * `spark.graft.cummax.assertDistinctOrder=false` to skip the check
+    * when distinctness is proven upstream). With duplicate keys the result is
     * partition-placement-dependent: a tied row that range-partitions
     * into a LATER partition is counted by the broadcast offset as
     * strictly earlier, while a tied row in the SAME partition is
@@ -90,6 +92,24 @@ object GlobalOrder {
       .withColumn(pidCol, spark_partition_id())
       .withColumn(vCol, value.cast(LongType))
       .persistTracked()
+    // API-trap guard (r5 advice): enforce the distinct-keys contract at
+    // runtime, not just in the docstring — one map-side-combinable
+    // aggregation over the already-persisted frame. Flag lets a caller
+    // that proved distinctness upstream skip the extra job at scale.
+    if (df.sparkSession.conf
+        .get("spark.graft.cummax.assertDistinctOrder", "true").toBoolean) {
+      // strip SortOrder wrappers (col.desc) — groupBy keys must be bare
+      val keys = order.map(org.apache.spark.sql.graftbridge.stripSortOrder)
+      // group the INPUT frame, not the cached range-partitioned one:
+      // Spark 4.1's EnsureRequirements chokes (SortOrder cast) when a
+      // hash requirement meets the cached desc-RangePartitioning
+      val dup = df.groupBy(keys: _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "withOrderedCummax requires DISTINCT order keys: ties make the " +
+          "exclusive prefix max partition-placement-dependent — collapse " +
+          "to one row per order key first (q194 does)")
+    }
     val offsets = sorted.groupBy(col(pidCol))
       .agg(max(col(vCol)).as("pmax"))
       .withColumn(

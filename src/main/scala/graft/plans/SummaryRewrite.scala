@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -22,9 +22,13 @@ import org.apache.spark.sql.internal.SQLConf
   * Rewrite contract (deliberately narrow and checkable):
   *  - the aggregate's child must be a bare column-pruning Project (or
   *    nothing) over a single parquet scan of the summary's FACT table
-  *    (matched by root-path basename, recorded in the summary's
-  *    `_fact` conf) with NO Filter anywhere — a filtered aggregate
-  *    answers a different question than the summary;
+  *    (matched by FULL root path from the `…summaryRewrite.fact` conf —
+  *    basename matching would answer a same-named scan of a different
+  *    dataset from a stale summary) with NO Filter anywhere — a
+  *    filtered aggregate answers a different question than the summary;
+  *  - the aggregate must be GROUPED and carry no FILTER clauses, and
+  *    every rewritten column must keep its exact dataType — global
+  *    COUNT flips 0→NULL on empty input and SUM-of-SUM widens DECIMAL;
   *  - every grouping key must be a plain column the summary carries as
   *    a dimension;
   *  - every aggregate must be COUNT(*)/COUNT(1) (answered by
@@ -53,16 +57,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   val PATH = "spark.graft.summaryRewrite.path"
   val FACT = "spark.graft.summaryRewrite.fact"
 
-  /** The single parquet root-path basename under `plan`, if `plan` is a
-    * bare Project/scan tree with no Filter/join/anything else. */
-  private def bareScanBasename(plan: LogicalPlan): Option[String] =
+  /** The single parquet root path under `plan`, if `plan` is a bare
+    * Project/scan tree with no Filter/join/anything else. Returned as a
+    * scheme-free absolute path so `file:/x` and `/x` compare equal. */
+  private def bareScanPath(plan: LogicalPlan): Option[String] =
     plan match {
       case Project(projectList, child)
           if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        bareScanBasename(child)
+        bareScanPath(child)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths match {
-          case Seq(p) => Some(p.getName)
+          case Seq(p) => Some(p.toUri.getPath)
           case _ => None
         }
       case _ => None
@@ -73,12 +78,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString(FLAG, "false").toBoolean) plan
     else {
       val path = conf.getConfString(PATH, "")
-      val fact = conf.getConfString(FACT, "lineitem.parquet")
-      if (path.isEmpty) plan
-      else plan.transform {
-        case agg @ Aggregate(groups, aggExprs, child, _)
-            if bareScanBasename(child).contains(fact) =>
-          rewrite(agg, groups, aggExprs, path).getOrElse(agg)
+      // FULL root path of the fact table the summary was built from —
+      // basename matching would silently answer a scan of a DIFFERENT
+      // dataset with the same file name (e.g. another scale factor's
+      // lineitem.parquet) from a stale summary.
+      val fact = conf.getConfString(FACT, "")
+      if (path.isEmpty || fact.isEmpty) plan
+      else {
+        val factPath =
+          new org.apache.hadoop.fs.Path(fact).toUri.getPath
+        plan.transform {
+          case agg @ Aggregate(groups, aggExprs, child, _)
+              if groups.nonEmpty &&
+                bareScanPath(child).contains(factPath) =>
+            rewrite(agg, groups, aggExprs, path).getOrElse(agg)
+        }
       }
     }
   }
@@ -106,22 +120,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // re-aliased under the ORIGINAL exprId so parents still resolve
         case a: AttributeReference =>
           sAttr(a.name).map(s => Alias(s, a.name)(exprId = a.exprId))
+        // a FILTER clause (COUNT(*) FILTER (WHERE …)) is NOT answerable
+        // from the summary — and ae.copy would keep the filter whose
+        // fact attributes no longer exist below the new Aggregate
         case al @ Alias(
-              ae @ AggregateExpression(c: Count, _, false, _, _), name)
+              ae @ AggregateExpression(c: Count, _, false, None, _), name)
             if c.children.forall(_.isInstanceOf[Literal]) =>
-          sAttr("cnt").map(cnt =>
-            Alias(ae.copy(aggregateFunction = Sum(cnt)), name)(
-              exprId = al.exprId))
+          sAttr("cnt").map { cnt =>
+            // coalesce(SUM(cnt), 0) keeps COUNT's non-nullable LONG
+            // schema under the preserved exprId (Sum alone is nullable)
+            val sum = ae.copy(aggregateFunction = Sum(cnt))
+            Alias(Coalesce(Seq(sum, Literal(0L))), name)(
+              exprId = al.exprId)
+          }
         case al @ Alias(
               ae @ AggregateExpression(
-                Sum(col: AttributeReference, _), _, false, _, _), name) =>
+                Sum(col: AttributeReference, _), _, false, None, _),
+              name) =>
           sAttr(s"sum_${col.name}").map(s =>
             Alias(ae.copy(aggregateFunction = Sum(s)), name)(
               exprId = al.exprId))
         case _ => None
       })
 
-    for (g <- newGroups; a <- newAggs) yield Aggregate(g, a, summary)
+    for {
+      g <- newGroups
+      a <- newAggs
+      // SUM-of-SUM widens DECIMAL precision; substituting a column of a
+      // different dataType under a preserved exprId would hand parents
+      // a schema they never resolved against — reject the rewrite
+      if a.zip(aggExprs).forall { case (n, o) => n.dataType == o.dataType }
+    } yield Aggregate(g, a, summary)
   }
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =

@@ -1073,7 +1073,7 @@ object Core {
 
   /** q215: cross-source corpus-similarity matrix from KMV sketches —
     * the set-operation estimate HLL cannot give (q61 estimates sizes;
-    * KMV estimates OVERLAP): per source, the k=64 smallest 48-bit md5
+    * KMV estimates OVERLAP): per source, the k=64 smallest 60-bit md5
     * values of its distinct word-3-gram shingles (`functions/KmvMd5`, a
     * bounded-state TypedImperativeAggregate); per source pair, the
     * union sketch is the k smallest of the two merged value sets, and
@@ -1082,7 +1082,7 @@ object Core {
     * estimate (the q80 bloom-audit pattern), so the driver verifies
     * the sketch algebra AND its accuracy in one run. Determinism:
     * sketches are value SETS (partition-order-free), estimates are
-    * single IEEE divisions of exact integers (63·2^48 has 6
+    * single IEEE divisions of exact integers (63·2^60 has 6
     * significant bits — exact in a double); DuckDB rebuilds the same
     * arrays with rank-k SQL over the same md5. Scale: the sketch pass
     * is one corpus scan into 512-byte states — the pairwise matrix
@@ -1120,7 +1120,7 @@ object Core {
         .agg(count(lit(1)).as("exact_inter"))
       def est(skCol: Column): Column =
         when(size(skCol) < K, size(skCol).cast(DoubleType))
-          .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+          .otherwise(lit((K - 1).toDouble) * lit(graft.functions.KmvMd5.Domain) /
             element_at(skCol, K).cast(DoubleType))
       val a = sk.select(col("source").as("source_a"),
         col("sk").as("ska"), col("exact_n").as("exact_a"))
@@ -1136,7 +1136,7 @@ object Core {
         .withColumn("m", size(col("uk")))
         .withColumn("est_union",
           when(col("m") < K, col("m").cast(DoubleType))
-            .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+            .otherwise(lit((K - 1).toDouble) * lit(graft.functions.KmvMd5.Domain) /
               element_at(col("uk"), K).cast(DoubleType)))
         .withColumn("jaccard_est",
           size(array_intersect(array_intersect(col("uk"), col("ska")),
@@ -1156,8 +1156,8 @@ object Core {
     },
     Some {
       def nib(expr0: String): String =
-        (1 to 12).map { i =>
-          val scale = 1L << (4 * (12 - i))
+        (1 to 15).map { i =>
+          val scale = 1L << (4 * (15 - i))
           s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
             s" AS BIGINT) - 1) * ${scale}"
         }.mkString("(", " + ", ")")
@@ -1204,7 +1204,7 @@ object Core {
       ), calc2 AS (
         SELECT *, len(uk) AS m,
                CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
-                    ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                    ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                          / CAST(uk[64] AS DOUBLE) END AS est_union,
                CAST(len(list_filter(uk, x ->
                  list_contains(ska, x) AND list_contains(skb, x)))
@@ -1221,10 +1221,10 @@ object Core {
                / CAST(exact_a + exact_b - exact_inter AS DOUBLE)
                AS exact_jaccard,
              CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                        / CAST(ska[64] AS DOUBLE) END AS est_a,
              CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                        / CAST(skb[64] AS DOUBLE) END AS est_b,
              est_union, jaccard_est,
              jaccard_est * est_union AS est_inter

@@ -46,9 +46,16 @@ object Dedup {
   /** Shared MinHash banding (q24 / q201): per document, FOUR (band_id,
     * band_sig) rows from 8 md5-seeded 32-bit minhash lanes banded 4×2.
     * One md5 per (seed, shingle) yields four lanes (hex quarters) — 2
-    * md5 calls per shingle instead of 8 for the same structure; 32-bit
-    * lanes keep min-collisions negligible at any realistic shingle
-    * count. Returns (doc_id, shingles, band_id, band_sig), persisted:
+    * md5 calls per shingle instead of 8 for the same structure. Lane
+    * width audit (r5, beside KmvMd5's 48→60-bit widening): 32-bit
+    * lanes are sufficient HERE because lanes are used EQUALITY-ONLY —
+    * a band key is 2 lanes = 64 bits, and every candidate pair is
+    * exactly verified downstream, so a lane collision can only cost
+    * verify time, never correctness. Unlike KMV, a minhash lane
+    * carries no magnitude into any estimate: spurious equal minima
+    * between unrelated docs need P ≈ (S/2^32)² per band (S = shingles
+    * per doc, not per corpus) — ~1e-8 per band even at S = 10⁵-token
+    * documents, independent of corpus size. Returns (doc_id, shingles, band_id, band_sig), persisted:
     * callers read it from multiple plan branches and shingling + the 8
     * minhash passes are the expensive part (Spark does not CSE across
     * self-joins). */

@@ -15,6 +15,27 @@ import graft.Tables
   */
 object Olap {
 
+  /** Fixture-independent time pivot: the last COMPLETE shipping year,
+    * `year(max(l_shipdate)) − 1`, derived from the data itself — the
+    * q207 scale-relative pattern applied to DATES (r5 audit: literal
+    * `1997` pins would thin to triviality on a date-shifted fixture
+    * regeneration without failing anything). One bounded 1-row
+    * aggregate over a single pruned column (parquet row-group stats at
+    * scale), memoized per fixture dir; the DuckDB twins derive the
+    * SAME value via [[pivotYearSql]]'s scalar subquery, so both
+    * engines stay in lockstep under ANY fixture dates. */
+  private val pivotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def lastFullYear(s: SparkSession, d: String): Int =
+    pivotMemo.computeIfAbsent(d, _ =>
+      Tables.load(s, d, "lineitem")
+        .agg(max(year(to_date(col("l_shipdate")))).as("y"))
+        .head().getInt(0) - 1)
+
+  /** The DuckDB twin of [[lastFullYear]] — inline scalar subquery. */
+  val pivotYearSql =
+    "(SELECT year(max(CAST(l_shipdate AS DATE))) - 1 FROM lineitem)"
+
   /** Ranking + frame windows over a yearly rollup: rank / dense_rank /
     * ntile quartiles / first_value on one ordering, a 3-year moving
     * average via ROWS BETWEEN on another — two window specs over one
@@ -3208,7 +3229,8 @@ object Olap {
     },
     Some("""
       WITH oq AS (
-        SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY 1
       ), tot AS (
         SELECT sum(sum_qty) AS total_qty, count(*) AS n_orders FROM oq
@@ -3228,7 +3250,7 @@ object Olap {
     * the nested correlated-aggregate subquery (`ps_availqty > 0.5 *
     * (SELECT sum(l_quantity) …)`), decorrelated as two stacked
     * aggregates joined on the correlation key. The share test is
-    * FAIR-SHARE-RELATIVE and pure-integer — supplier's 1997 shipped
+    * FAIR-SHARE-RELATIVE and pure-integer — supplier's pivot-year shipped
     * quantity of the part × (number of suppliers shipping that part)
     * > 2 × the part's total — so it measures concentration identically
     * at every SF (an absolute 30%-of-total cut selects everything when
@@ -3240,7 +3262,7 @@ object Olap {
     (s, d) => {
       import graft.Caches.Tracked
       val sq = Tables.load(s, d, "lineitem")
-        .filter(year(to_date(col("l_shipdate"))) === 1997)
+        .filter(year(to_date(col("l_shipdate"))) === lastFullYear(s, d))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast(LongType)).as("sq"))
         .persistTracked()
@@ -3267,19 +3289,19 @@ object Olap {
         .orderBy(desc("n_excess_parts"), desc("excess_qty"),
           col("s_name"))
     },
-    Some("""
+    Some(s"""
       WITH sq AS (
         SELECT l_partkey, l_suppkey,
                sum(CAST(l_quantity AS BIGINT)) AS sq
         FROM lineitem
-        WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        WHERE year(CAST(l_shipdate AS DATE)) = $pivotYearSql
         GROUP BY 1, 2
       ), pq AS (
         SELECT l_partkey AS pk, sum(sq) AS tq, count(*) AS nsupp
         FROM sq GROUP BY 1
       ), excess AS (
         SELECT l_suppkey, count(*) AS n_excess_parts,
-               sum(sq) AS excess_qty
+               CAST(sum(sq) AS BIGINT) AS excess_qty
         FROM sq JOIN pq ON l_partkey = pk
         WHERE sq * nsupp > tq * 2
         GROUP BY 1
@@ -3411,7 +3433,7 @@ object Olap {
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
       Tables.load(s, d, "orders")
-        .filter(year(to_date(col("o_orderdate"))) === 1997)
+        .filter(year(to_date(col("o_orderdate"))) === lastFullYear(s, d))
         .select(col("o_orderkey"), col("o_orderpriority"),
           to_date(col("o_orderdate")).as("od"))
         .join(li,
@@ -3422,10 +3444,10 @@ object Olap {
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
     },
-    Some("""
+    Some(s"""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
-      WHERE year(CAST(o_orderdate AS DATE)) = 1997
+      WHERE year(CAST(o_orderdate AS DATE)) = $pivotYearSql
         AND EXISTS (
           SELECT 1 FROM lineitem
           WHERE l_orderkey = o_orderkey
@@ -3445,7 +3467,7 @@ object Olap {
     "q223_revenue_delta",
     (s, d) =>
       Tables.load(s, d, "lineitem")
-        .filter(year(to_date(col("l_shipdate"))) === 1997 &&
+        .filter(year(to_date(col("l_shipdate"))) === lastFullYear(s, d) &&
           round(col("l_discount") * 100).cast(LongType).between(5L, 7L) &&
           col("l_quantity") < 24.0)
         .agg(
@@ -3462,7 +3484,7 @@ object Olap {
                   AS DOUBLE) / 1000000.0 AS revenue_delta,
              count(*) AS n_items
       FROM lineitem
-      WHERE year(CAST(l_shipdate AS DATE)) = 1997
+      WHERE year(CAST(l_shipdate AS DATE)) = $pivotYearSql
         AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         AND l_quantity < 24"""))
 
@@ -3516,7 +3538,7 @@ object Olap {
 
   /** TPC-H Q12 shape — conditional CASE counts per category with a
     * date window: per return flag (the schema's shipmode stand-in),
-    * how many 1997-shipped lines belong to URGENT/HIGH-priority orders
+    * how many pivot-year-shipped lines belong to URGENT/HIGH-priority orders
     * vs the rest. Pure integer counts; the orders side carries only
     * (key, priority-class bit) into the join. */
   val q225 = Q(
@@ -3526,7 +3548,7 @@ object Olap {
         .select(col("o_orderkey"),
           col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
       Tables.load(s, d, "lineitem")
-        .filter(year(to_date(col("l_shipdate"))) === 1997)
+        .filter(year(to_date(col("l_shipdate"))) === lastFullYear(s, d))
         .select(col("l_orderkey"), col("l_returnflag"))
         .join(ords, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
@@ -3535,14 +3557,14 @@ object Olap {
           sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 0 ELSE 1 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE year(CAST(l_shipdate AS DATE)) = 1997
+      WHERE year(CAST(l_shipdate AS DATE)) = $pivotYearSql
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
@@ -3556,9 +3578,10 @@ object Olap {
     "q226_top_supplier",
     (s, d) => {
       import graft.Caches.Tracked
+      val py = lastFullYear(s, d)
       val rev = Tables.load(s, d, "lineitem")
-        .filter(to_date(col("l_shipdate")).between("1997-01-01",
-          "1997-03-31"))
+        .filter(to_date(col("l_shipdate")).between(s"$py-01-01",
+          s"$py-03-31"))
         .groupBy(col("l_suppkey"))
         .agg(sum(revU).as("rev_u"))
         .persistTracked()
@@ -3579,7 +3602,8 @@ object Olap {
         SELECT l_suppkey, sum($revUSql) AS rev_u
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE)
-              BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+              BETWEEN make_date($pivotYearSql, 1, 1)
+                  AND make_date($pivotYearSql, 3, 31)
         GROUP BY l_suppkey
       )
       SELECT s_suppkey, s_name,

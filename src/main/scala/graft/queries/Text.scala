@@ -2790,7 +2790,7 @@ object Text {
     * estimate and the relative error, extending the estimate-vs-exact
     * audit pattern (q80/q215) to a time-series. The union estimator is
     * the q215 one: k smallest of the merged value sets, exact below k,
-    * (k−1)·2^48/v_k at k; every derived double is a single IEEE
+    * (k−1)·2^60/v_k at k; every derived double is a single IEEE
     * division of exact integers. */
   val q220 = Q(
     "q220_novelty_sketch",
@@ -2827,7 +2827,7 @@ object Text {
         .withColumn("m", size(col("uk")))
         .withColumn("cum_est",
           when(col("m") < K, col("m").cast(DoubleType))
-            .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+            .otherwise(lit((K - 1).toDouble) * lit(graft.functions.KmvMd5.Domain) /
               element_at(col("uk"), K).cast(DoubleType)))
       merged
         .join(exact, col("fb") === col("batch"), "left")
@@ -2843,8 +2843,8 @@ object Text {
     },
     Some {
       def nib(expr0: String): String =
-        (1 to 12).map { i =>
-          val scale = 1L << (4 * (12 - i))
+        (1 to 15).map { i =>
+          val scale = 1L << (4 * (15 - i))
           s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
             s" AS BIGINT) - 1) * ${scale}"
         }.mkString("(", " + ", ")")
@@ -2887,10 +2887,10 @@ object Text {
       SELECT u.batch,
              CAST(e.cum_exact AS BIGINT) AS cum_exact,
              CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                        / CAST(u.vk AS DOUBLE) END AS cum_est,
              (CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                   ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                   ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                         / CAST(u.vk AS DOUBLE) END
               - CAST(e.cum_exact AS DOUBLE))
                / CAST(e.cum_exact AS DOUBLE) AS rel_err

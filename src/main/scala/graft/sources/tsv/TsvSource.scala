@@ -68,10 +68,16 @@ final class TsvTable(schema: StructType, path: String)
   *  - each task streams its partition to a DOT-PREFIXED staging file
   *    (invisible to the reader, which skips `_`/`.` names);
   *  - task commit returns the staged path as its commit message;
-  *  - the DRIVER's job commit renames staged → final for every message
-  *    (and under TRUNCATE first deletes the previously-visible files),
-  *    so readers observe the old complete state or the new complete
-  *    state, never a torn mix;
+  *  - the DRIVER's job commit first DELETES the `_SUCCESS` marker, then
+  *    (under TRUNCATE) deletes the previously-visible files, renames
+  *    staged → final, and writes a fresh `_SUCCESS` last — so a reader
+  *    that gates on `_SUCCESS` (the Hadoop convention) never accepts a
+  *    torn directory: a driver crash mid-commit leaves files in flux
+  *    but NO marker. (Readers that ignore the marker can still observe
+  *    an in-progress commit — single-filesystem renames here are
+  *    per-file atomic, not per-job; a true all-or-nothing swap needs a
+  *    directory-level rename or a manifest, which object stores and
+  *    HDFS handle via committers out of scope for this source.);
   *  - task/job abort deletes staged files — a failed job leaves the
   *    directory exactly as it was.
   * Serialization mirrors the reader's conventions exactly: header line,
@@ -112,6 +118,9 @@ final class TsvBatchWrite(
       : Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    // invalidate FIRST: the old _SUCCESS must not vouch for a directory
+    // we are about to mutate — a crash below leaves no valid marker
+    Files.deleteIfExists(dir.resolve("_SUCCESS"))
     if (truncate) {
       val stream = Files.list(dir)
       try stream.iterator().asScala

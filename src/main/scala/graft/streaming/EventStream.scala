@@ -2296,8 +2296,8 @@ object EventStream {
     * StreamingSpec parity is STRICT equality, like q120 and unlike
     * anything merge-order-sensitive. Emits the sketch READ-OFF (k_used,
     * retained max, estimate), not the raw array: the estimate is exact
-    * below k and (k−1)·2^48/v_k at k (single IEEE division of exact
-    * integers — 63·2^48 has 6 significant bits). The fixture's hourly
+    * below k and (k−1)·2^60/v_k at k (single IEEE division of exact
+    * integers — 63·2^60 has 6 significant bits). The fixture's hourly
     * populations stay under k (max 51 distinct users/window at sf0.1),
     * so this query's oracle rows exercise the EXACT branch; the
     * estimation branch is oracle-covered by q215, whose per-source
@@ -2315,10 +2315,14 @@ object EventStream {
       .select(
         col("w.start").as("hour_start"), col("event_type"),
         size(col("sk")).as("k_used"),
-        element_at(col("sk"), size(col("sk"))).as("v_max"),
+        // an all-NULL window yields an EMPTY sketch — element_at(_, 0)
+        // would throw INVALID_ARRAY_INDEX and fail the batch; emit NULL
+        when(size(col("sk")) > 0,
+          element_at(col("sk"), size(col("sk")))).as("v_max"),
         when(size(col("sk")) < K,
           size(col("sk")).cast(org.apache.spark.sql.types.DoubleType))
-          .otherwise(lit((K - 1).toDouble) * lit(281474976710656.0D) /
+          .otherwise(lit((K - 1).toDouble) *
+            lit(graft.functions.KmvMd5.Domain) /
             element_at(col("sk"), K)
               .cast(org.apache.spark.sql.types.DoubleType))
           .as("uniq_est"))
@@ -2329,26 +2333,21 @@ object EventStream {
     (s, d) =>
       kmvUniques(Tables.load(s, d, "events"))
         .orderBy(col("hour_start"), col("event_type")),
-    Some("""
+    Some {
+      def nib(expr0: String): String =
+        (1 to 15).map { i =>
+          val scale = 1L << (4 * (15 - i))
+          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+            s" AS BIGINT) - 1) * ${scale}"
+        }.mkString("(", " + ", ")")
+      s"""
       WITH vals AS (
         SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
                  AS hour_start,
                event_type, CAST(user_id AS VARCHAR) AS sv
         FROM events
       ), h AS (
-        SELECT DISTINCT hour_start, event_type,
-          ((CAST(instr('0123456789abcdef', substr(md5(sv), 1, 1)) AS BIGINT) - 1) * 17592186044416
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 2, 1)) AS BIGINT) - 1) * 1099511627776
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 3, 1)) AS BIGINT) - 1) * 68719476736
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 4, 1)) AS BIGINT) - 1) * 4294967296
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 5, 1)) AS BIGINT) - 1) * 268435456
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 6, 1)) AS BIGINT) - 1) * 16777216
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 7, 1)) AS BIGINT) - 1) * 1048576
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 8, 1)) AS BIGINT) - 1) * 65536
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 9, 1)) AS BIGINT) - 1) * 4096
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 10, 1)) AS BIGINT) - 1) * 256
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 11, 1)) AS BIGINT) - 1) * 16
-         + (CAST(instr('0123456789abcdef', substr(md5(sv), 12, 1)) AS BIGINT) - 1)) AS hv
+        SELECT DISTINCT hour_start, event_type, ${nib("sv")} AS hv
         FROM vals
       ), rk AS (
         SELECT hour_start, event_type, hv,
@@ -2360,11 +2359,12 @@ object EventStream {
              count(*) AS k_used,
              max(hv) AS v_max,
              CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
                        / CAST(max(hv) AS DOUBLE) END AS uniq_est
       FROM rk WHERE rn <= 64
       GROUP BY hour_start, event_type
-      ORDER BY hour_start, event_type"""))
+      ORDER BY hour_start, event_type"""
+    })
 
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,

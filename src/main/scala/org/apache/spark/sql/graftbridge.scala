@@ -15,6 +15,15 @@ object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unwrap a sort-ordered Column (`col.desc`/`.asc`) to its bare key
+    * column; identity for anything else. Needed wherever an ordering
+    * Seq doubles as a grouping key set (GlobalOrder's distinct-keys
+    * assert): grouping by a SortOrder is not evaluable. */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => c
+  }
+
   /** Analyzed logical plan of a DataFrame (for building custom logical
     * nodes over already-resolved child plans). */
   def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =

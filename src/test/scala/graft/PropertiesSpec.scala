@@ -108,11 +108,11 @@ class PropertiesSpec extends SparkSpec {
     // any partitioning, any duplication → the same value set
     assert(sk(vals.repartition(13)) == base)
     assert(sk(vals.unionByName(vals)) == base)
-    // the sketch is EXACTLY the k smallest distinct 48-bit md5 values
+    // the sketch is EXACTLY the k smallest distinct 60-bit md5 values
     val expect = vals.distinct().collect().map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(r.getString(0).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+        .map("%02x".format(_)).mkString.take(KmvMd5.HexChars)
       java.lang.Long.parseLong(hex, 16)
     }.distinct.sorted.take(KmvMd5.K).toSeq
     assert(base == expect, "sketch is not the true bottom-k")
@@ -254,6 +254,28 @@ class PropertiesSpec extends SparkSpec {
         assert(got == expect, s"trial $trial parts $parts diverged")
       }
     }
+  }
+
+  test("GlobalOrder cummax rejects duplicate order keys at runtime") {
+    // the r5-flagged API trap: with ties the exclusive prefix max is
+    // partition-placement-dependent — the operator must fail loudly,
+    // not return a placement-lottery result (docstring contract, now
+    // enforced; q194 collapses to distinct keys before calling)
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GlobalOrder
+        .withOrderedCummax(dup, Seq(col("k").desc), col("v"), "m").count()
+    }
+    graft.Caches.release()
+    assert(e.getMessage.contains("DISTINCT order keys"))
+    // distinct keys (desc order, the q194 shape) still work
+    val ok = Seq((3L, 10L), (2L, 20L), (1L, 5L)).toDF("k", "v")
+    val got = graft.operators.GlobalOrder
+      .withOrderedCummax(ok, Seq(col("k").desc), col("v"), "m")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("m")).toMap
+    graft.Caches.release()
+    assert(got == Map(3L -> Long.MinValue, 2L -> 10L, 1L -> 20L))
   }
 
   test("salted join cardinality is invariant in the salt count") {

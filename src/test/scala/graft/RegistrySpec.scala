@@ -34,6 +34,39 @@ class RegistrySpec extends SparkSpec {
         missing.mkString(", "))
   }
 
+  test("fixture geometry the calibrated queries assume (fail loudly on regeneration)") {
+    import org.apache.spark.sql.functions._
+    // q218/q220 batch deciles define batches as doc-order slices over a
+    // DENSE doc_id ∈ [0, n): a sparse regeneration would keep them
+    // correct but silently skew batch sizes — surface it here instead
+    val docs = Tables.load(spark, sf001, "documents")
+    val r = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("n")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == r.getLong(3) - 1 &&
+      r.getLong(2) == r.getLong(3),
+      s"documents.doc_id is no longer dense over [0, n): $r — revisit " +
+        "q218/q220 batch definitions")
+    // q212's τ=0.3 was calibrated so the decontamination flags SOME but
+    // not ALL of the training side; a regenerated embedding geometry
+    // that breaks either bound must fail here, not thin silently
+    val flagged = Registry.all.find(_.name == "q212_semantic_decontam")
+      .get.run(spark, sf001).count()
+    val nTrain = Tables.load(spark, sf001, "embeddings")
+      .filter(col("vec_id") >= 16).count()
+    assert(flagged > 0 && flagged < nTrain,
+      s"q212 τ=0.3 yield degenerate: $flagged of $nTrain flagged — " +
+        "recalibrate τ for the regenerated embedding geometry")
+    // q229's τ=0.9 was calibrated above the fixture's random-pair
+    // cosine ceiling (~0.85): near-dup pairs must stay RARE (fewer than
+    // one per document) or the hashed-vector geometry has changed
+    val pairs = Registry.all.find(_.name == "q229_feature_hashing")
+      .get.run(spark, sf001).count()
+    val nDocs = r.getLong(3)
+    assert(pairs > 0 && pairs < nDocs,
+      s"q229 τ=0.9 yield degenerate: $pairs pairs over $nDocs docs — " +
+        "recalibrate τ for the regenerated text geometry")
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} runs on sf0.001 with rows and sane schema") {
       val df = q.run(spark, sf001)

@@ -79,6 +79,9 @@ class RewriteRuleSpec extends SparkSpec {
         ((r.getLong(2), r.getDouble(3)))).toMap
     spark.conf.set(SummaryRewrite.FLAG, "true")
     spark.conf.set(SummaryRewrite.PATH, dir)
+    // provenance: the FULL path of the fact table this summary was
+    // built from — a same-named scan of any other dataset must not match
+    spark.conf.set(SummaryRewrite.FACT, s"$sf001/lineitem.parquet")
     try {
       // the leaf relation must be the SUMMARY (its partial columns),
       // not the fact table (treeStrings do not render file paths)
@@ -114,9 +117,34 @@ class RewriteRuleSpec extends SparkSpec {
         .agg(min(col("l_quantity")).as("mn"))
       assert(!leafCols(minQ).contains("cnt"),
         "MIN aggregate must not rewrite")
+      // the STALE-SUMMARY hazard: a different dataset whose root has
+      // the same basename (another SF's lineitem.parquet) must NOT be
+      // answered from this summary
+      val otherSf = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(!leafCols(otherSf).contains("cnt"),
+        "same-basename scan of a different dataset must not rewrite")
+      // a FILTER clause is not answerable from the summary
+      val filterClause = Tables.load(spark, sf001, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr(
+          "count(*) FILTER (WHERE l_quantity > 25)").as("n_heavy"))
+      assert(!leafCols(filterClause).contains("cnt"),
+        "FILTER-clause aggregate must not rewrite")
+      assert(filterClause.collect().map(_.getLong(2)).sum > 0)
+      // a GLOBAL aggregate (0→NULL on empty input) stays untouched
+      val global = Tables.load(spark, sf001, "lineitem")
+        .agg(count(lit(1)).as("n"))
+      assert(!leafCols(global).contains("cnt"),
+        "global aggregate must not rewrite")
+      // rewritten COUNT keeps its non-nullable LONG schema
+      assert(!q.schema("n").nullable && q.schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
     } finally {
       spark.conf.unset(SummaryRewrite.FLAG)
       spark.conf.unset(SummaryRewrite.PATH)
+      spark.conf.unset(SummaryRewrite.FACT)
     }
   }
 

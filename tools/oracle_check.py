@@ -54,6 +54,27 @@ def main():
             print(f"FAIL {name}: columns {spark_cols} != {duck_cols}")
             n_fail += 1
             continue
+        # Type lint (the q182/q207 class): DuckDB widens integer sums to
+        # HUGEINT (int128) and some decimals to DECIMAL(38,*); Python's
+        # int compare hides it but the driver's hash normalization does
+        # not. FAIL any oracle output column whose DuckDB type is one of
+        # the wide classes unless the Spark (parquet) type is the same.
+        spark_types = dict(zip(spark_rel.columns,
+                               (str(t).upper() for t in spark_rel.types)))
+        duck_types = dict(zip(duck_rel.columns,
+                              (str(t).upper() for t in duck_rel.types)))
+        wide = [c for c in duck_cols
+                if (duck_types[c] in ("HUGEINT", "UHUGEINT")
+                    or duck_types[c].startswith("DECIMAL(38,"))
+                and duck_types[c] != spark_types.get(c)]
+        if wide:
+            print(f"FAIL {name}: oracle emits wide types the Spark dump "
+                  f"does not: "
+                  + ", ".join(f"{c}: {duck_types[c]} vs "
+                              f"{spark_types.get(c)}" for c in wide)
+                  + " — CAST the oracle column (BUILDLOG r2 invariant)")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows {len(spark_rows)} != {len(duck_rows)}")
             n_fail += 1
