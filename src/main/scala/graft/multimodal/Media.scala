@@ -39,6 +39,26 @@ final case class DecodedMedia(
   */
 object MediaDecoder {
 
+  /** Doc-id input for a DECODE-BOUND stage, repartitioned to the
+    * session's full parallelism. Spark splits file inputs by BYTES
+    * (`maxPartitionBytes`), and a few-MB documents table is ONE split —
+    * but codec work is per-ROW CPU, so the byte-proportional layout
+    * serializes every decode onto one core (r6 triage: q189's whole
+    * 5.9 s 10×-sweep median was 50k single-threaded PNG decodes; the
+    * join it was blamed on was milliseconds). One round-robin shuffle
+    * of 8-byte rows buys full-width decode. The 100 TB rule it
+    * encodes: partition multimodal decode stages by CPU, not by input
+    * bytes — exactly what `mapInPandas` pipelines get wrong by
+    * default. */
+  def docIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
   /** STUB decode — deterministic fake standing in for an image/audio
     * decoder. Derives metadata from payload size and a 4-bin byte-value
     * histogram "feature" from the payload content. Pure function of the
@@ -260,9 +280,7 @@ object AudioCodec {
     "q117_audio_decode",
     (s, d) => {
       import s.implicits._
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"))
-        .as[Long]
+      MediaDecoder.docIds(s, d)
         .mapPartitions(_.map { id =>
           val wav = encode(id)
           val (rate, channels, samples) = decode(wav)
@@ -317,6 +335,14 @@ object AudioCodec {
   * shuffle; payloads stay executor-side (the driver never sees a byte).
   */
 object ImageCodec {
+
+  // ImageIO's default FILE-backed stream cache creates a temp file per
+  // encode/decode — ~100 µs of filesystem churn for a ≤8×5 raster, and a
+  // shared-temp-dir bottleneck once decode runs at full executor width
+  // (r6 triage: this, not the candidate join, was q189's 10×-sweep
+  // cost). Memory-backed streams remove both; first-touch of this
+  // object applies it per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Image dims, a pure function of doc_id (1..8 × 1..5 — small enough
     * that a 500-doc fixture exercises every dim combination and odd/even
@@ -413,9 +439,7 @@ object ImageCodec {
     "q116_image_decode",
     (s, d) => {
       import s.implicits._
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"))
-        .as[Long]
+      MediaDecoder.docIds(s, d)
         .mapPartitions(_.map { id =>
           val png = encode(id)
           val (w, h, pix) = decode(png)
@@ -531,44 +555,48 @@ object MediaFingerprint {
   }
 
   /** q189: image near-dup via perceptual hash. Per doc: real PNG
-    * decode → 16-bit aHash → banded self-join (6/5/5-bit bands) →
-    * xor+popcount Hamming ≤ 2 verify → per-doc neighbour count. The
-    * oracle replays the luminance arithmetically AND counts neighbours
-    * with the naive all-pairs scan, so a hash match proves the banding
-    * lossless at the oracle SF. */
+    * decode → 16-bit aHash → per-doc count of Hamming-≤2 neighbours,
+    * computed in the VALUE DOMAIN: the corpus collapses to a hash
+    * HISTOGRAM (≤2¹⁶ rows however large the corpus), each distinct
+    * value expands by the 137 XOR masks of popcount ≤ 2 (the exact
+    * radius-2 ball — C(16,0)+C(16,1)+C(16,2)), neighbour counts sum
+    * per value, and a BROADCAST join hands every doc its count with no
+    * corpus shuffle beyond one map-side-combinable groupBy. r6 replan:
+    * the previous banded self-join (q24's shape) is right for a WIDE
+    * hash whose buckets stay sparse, but a saturated 16-bit hash put
+    * ~10⁸ candidate pairs through it at 10× (5.9 s sweep median);
+    * value-domain counting is exact, linear in the corpus, and
+    * CONSTANT in it past 2¹⁶ distinct values — 10× sweep ~6× faster.
+    * A production 64-bit/8×8 hash flips the trade back: its value
+    * domain is unboundable but its band buckets are sparse — that
+    * banded shape stays demonstrated by q24/q29/q190. The oracle
+    * replays the luminance arithmetically AND counts neighbours with
+    * the naive all-pairs scan, so a hash match proves the mask ball
+    * complete at the oracle SF. */
   val q189 = Q(
     "q189_image_phash",
     (s, d) => {
       import s.implicits._
       import graft.Caches.Tracked
-      val fps = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val fps = MediaDecoder.docIds(s, d)
         .mapPartitions(_.map(id => (id, phashOf(id))))
         .toDF("doc_id", "phash")
         .persistTracked()
-      val bands = fps.select(
-          col("doc_id"), col("phash"),
-          posexplode(array(
-            col("phash").bitwiseAND(lit(63L)),
-            shiftright(col("phash"), 6).bitwiseAND(lit(31L)),
-            shiftright(col("phash"), 11).bitwiseAND(lit(31L)))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bv")
-      val pairs = bands
-        .select(col("band"), col("bv"),
-          col("doc_id").as("da"), col("phash").as("pa"))
-        .join(bands.select(col("band"), col("bv"),
-          col("doc_id").as("db"), col("phash").as("pb")),
-          Seq("band", "bv"))
-        .filter(col("da") < col("db"))
-        .select("da", "db", "pa", "pb").distinct()
-        .filter(expr(s"bit_count(pa ^ pb) <= $Threshold"))
-      val nbr = pairs.select(col("da").as("doc_id"))
-        .unionAll(pairs.select(col("db").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
-      fps.join(nbr, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("phash"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+      val cnts = fps.groupBy(col("phash"))
+        .agg(count(lit(1)).as("cnt"))
+      val masks = (0 until 65536)
+        .filter(m => java.lang.Integer.bitCount(m) <= Threshold)
+        .map(_.toLong)
+      // Σ over the radius-2 ball; mask 0 counts the doc itself → −1
+      val nbr = cnts
+        .select(col("phash"), explode(typedLit(masks)).as("m"))
+        .withColumn("nb", col("phash").bitwiseXOR(col("m")))
+        .join(broadcast(cnts.select(col("phash").as("nb"),
+          col("cnt").as("cnt2"))), Seq("nb"))
+        .groupBy(col("phash"))
+        .agg((sum(col("cnt2")) - lit(1L)).as("n_near"))
+      fps.join(broadcast(nbr), Seq("phash"))
+        .select(col("doc_id"), col("phash"), col("n_near"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -649,8 +677,7 @@ object MediaFingerprint {
     (s, d) => {
       import s.implicits._
       import graft.Caches.Tracked
-      val fps = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      val fps = MediaDecoder.docIds(s, d)
         .mapPartitions(_.map { id =>
           val (fp, n, te) = audioFpOf(id)
           (id, fp, n, te)

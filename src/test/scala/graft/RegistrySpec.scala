@@ -46,6 +46,19 @@ class RegistrySpec extends SparkSpec {
       r.getLong(2) == r.getLong(3),
       s"documents.doc_id is no longer dense over [0, n): $r — revisit " +
         "q218/q220 batch definitions")
+    // many reference-parity queries carry literal date-range predicates
+    // calibrated to the fixture's 1995-2001 span (SURVEY §6); q208/q222/
+    // q223/q225/q226 now derive their pivot year from max(l_shipdate),
+    // and this gate makes the remaining literals safe: a regenerated
+    // fixture outside the span fails HERE by name, not by silently
+    // thinning those queries
+    val span = Tables.load(spark, sf001, "lineitem")
+      .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+      .head()
+    assert(span.getTimestamp(0).toString <= "1996-01-01" &&
+      span.getTimestamp(1).toString >= "2001-01-01",
+      s"lineitem date span $span no longer covers [1996, 2001] — the " +
+        "literal date predicates in Core/Olap need recalibration")
     // q212's τ=0.3 was calibrated so the decontamination flags SOME but
     // not ALL of the training side; a regenerated embedding geometry
     // that breaks either bound must fail here, not thin silently
