@@ -190,4 +190,33 @@ class MediaSpec extends SparkSpec {
     }
     assert(byFp.values.sum == got.length.toLong)
   }
+
+  test("VideoCodec: MJPEG SOI split recovers every frame; luma error tight") {
+    import graft.multimodal.{ImageCodec, VideoCodec}
+    // the q233 certificate (luma_ok ≤ LumaTol=64) has decoder-version
+    // headroom; THIS pins the actual measured regime much tighter so a
+    // decoder regression (desynced split, channel swap, quality change)
+    // fails here before it could loosen the certificate
+    var worst = 0
+    (0L until 600L).foreach { id =>
+      val frames = VideoCodec.decodeFrames(VideoCodec.encode(id))
+      assert(frames.length == VideoCodec.nFrames(id),
+        s"doc $id: SOI split found ${frames.length} frames")
+      val (w, h) = ImageCodec.dims(id)
+      frames.foreach { case (idx, fw, fh, pix) =>
+        assert((fw, fh) == (w, h), s"doc $id frame $idx dims")
+        val e = VideoCodec.maxLumaErr(id, idx, fw, fh, pix)
+        worst = math.max(worst, e)
+      }
+    }
+    assert(worst <= 30, s"decoded luma error regime shifted: max $worst")
+    // a deliberately desynced split (drop the first frame's SOI) must
+    // NOT silently pass the fidelity bound for that frame
+    val id = 7L
+    val bytes = VideoCodec.encode(id)
+    val truncated = java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
+    val recovered = VideoCodec.decodeFrames(truncated)
+    assert(recovered.length == VideoCodec.nFrames(id) - 1,
+      "truncated stream must lose exactly the beheaded frame")
+  }
 }

@@ -2767,8 +2767,9 @@ class NewOperatorsSpec extends SparkSpec {
   test("q208 excess suppliers: per-supplier counts replay from raw rows") {
     val rows = graft.queries.Olap.q208.run(spark, sf001).collect()
     assert(rows.nonEmpty)
+    val py208 = graft.queries.Olap.lastFullYear(spark, sf001)
     val sq = Tables.load(spark, sf001, "lineitem")
-      .filter(year(to_date(col("l_shipdate"))) === 1997)
+      .filter(year(to_date(col("l_shipdate"))) === py208)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sq"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
@@ -2950,12 +2951,15 @@ class NewOperatorsSpec extends SparkSpec {
     }
     def shipDay(r: org.apache.spark.sql.Row): java.time.LocalDate =
       toDay(r.getAs[Any]("l_shipdate"))
+    // the queries derive their pivot year from the data (r6); the
+    // replay derives the SAME value so it tracks any regeneration
+    val py = Olap.lastFullYear(spark, sf001)
 
     // q223: single-row filter-agg replays exactly
     val q223 = Olap.q223.run(spark, sf001).head()
     val sel = li.filter { r =>
       val disc = math.round(r.getAs[Double]("l_discount") * 100)
-      shipDay(r).getYear == 1997 && disc >= 5 && disc <= 7 &&
+      shipDay(r).getYear == py && disc >= 5 && disc <= 7 &&
         r.getAs[Double]("l_quantity") < 24
     }
     val want223 = sel.map(r => cents(r.getAs[Double]("l_extendedprice")) *
@@ -2968,7 +2972,7 @@ class NewOperatorsSpec extends SparkSpec {
     val lateByOrder = li.groupBy(_.getAs[Long]("l_orderkey"))
     val want222 = orders.filter { o =>
       val od = toDay(o.getAs[Any]("o_orderdate"))
-      od.getYear == 1997 && lateByOrder
+      od.getYear == py && lateByOrder
         .getOrElse(o.getAs[Long]("o_orderkey"),
           Array.empty[org.apache.spark.sql.Row])
         .exists(l => shipDay(l).isAfter(od.plusDays(60)))
@@ -2980,7 +2984,7 @@ class NewOperatorsSpec extends SparkSpec {
 
     // q225: high + low conserve the joined 1997 line count per flag
     val got225 = Olap.q225.run(spark, sf001).collect()
-    val lines97 = li.filter(r => shipDay(r).getYear == 1997)
+    val lines97 = li.filter(r => shipDay(r).getYear == py)
       .groupBy(_.getAs[String]("l_returnflag"))
       .map { case (f, ls) => f -> ls.length.toLong }
     got225.foreach { r =>
@@ -2993,8 +2997,8 @@ class NewOperatorsSpec extends SparkSpec {
     // q226: every returned supplier achieves the true quarter maximum
     val revBySupp = li.filter { r =>
       val sd = shipDay(r)
-      !sd.isBefore(java.time.LocalDate.parse("1997-01-01")) &&
-        !sd.isAfter(java.time.LocalDate.parse("1997-03-31"))
+      !sd.isBefore(java.time.LocalDate.parse(s"$py-01-01")) &&
+        !sd.isAfter(java.time.LocalDate.parse(s"$py-03-31"))
     }.groupBy(_.getAs[Long]("l_suppkey"))
       .map { case (k, ls) => k -> ls.map(revU).sum }
     val mx = revBySupp.values.max

@@ -55,8 +55,8 @@ class RegistrySpec extends SparkSpec {
     val span = Tables.load(spark, sf001, "lineitem")
       .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
       .head()
-    assert(span.getTimestamp(0).toString <= "1996-01-01" &&
-      span.getTimestamp(1).toString >= "2001-01-01",
+    assert(String.valueOf(span.get(0)) <= "1996-01-01" &&
+      String.valueOf(span.get(1)) >= "2001-01-01",
       s"lineitem date span $span no longer covers [1996, 2001] — the " +
         "literal date predicates in Core/Olap need recalibration")
     // q212's τ=0.3 was calibrated so the decontamination flags SOME but
