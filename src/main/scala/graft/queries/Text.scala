@@ -3222,9 +3222,147 @@ object Text {
       GROUP BY decile
       ORDER BY decile"""))
 
+  /** q234: LATE-INTERACTION retrieval scoring — ColBERT's MaxSim
+    * (Khattab & Zaharia, SIGIR'20): score(d) = Σ_q max_{t∈d} ⟨v(q),
+    * v(t)⟩ — the query keeps one vector PER TOKEN and each takes its
+    * best match among the document's token vectors, the granularity
+    * single-vector retrieval (q62/q27) cannot express. Token vectors
+    * here are the hashing-trick stand-in for a learned encoder (q229's
+    * discipline): 8 md5 nibbles shifted to [−8, 7], so every
+    * similarity, max, and sum is EXACT INTEGER arithmetic and the
+    * ranking is bit-reproducible cross-engine; swapping in learned
+    * vectors changes the hash expression, not the plan. Query = the 5
+    * most frequent corpus terms (q184's convention, full tiebreak).
+    * Scale: the query side is a 5×8-int broadcast; the doc side is one
+    * DISTINCT (doc, token) frame; per-(doc, term) max and per-doc sum
+    * are two map-side-combinable aggregates — no index, no quadratic
+    * join; this is the RE-RANKER stage of a retrieval stack (q235
+    * fuses it with BM25 for the full pipeline). */
+  val q234 = Q(
+    "q234_maxsim_rerank",
+    (s, d) => {
+      import graft.Caches.Tracked
+      def vj(h: String, j: Int): String =
+        s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1 - 8)"
+      val raw = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .persistTracked()
+      val query = raw.groupBy(col("w"))
+        .agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("w"))
+        .limit(5)
+        .select(col("w").as("qw"), md5(col("w")).as("qh"))
+      val docToks = raw.distinct()
+        .withColumn("th", md5(col("w")))
+      val dot = (1 to 8)
+        .map(j => s"(${vj("th", j)}) * (${vj("qh", j)})")
+        .mkString(" + ")
+      docToks
+        .crossJoin(broadcast(query))
+        .withColumn("dp", expr(s"CAST($dot AS BIGINT)"))
+        .groupBy(col("doc_id"), col("qw"))
+        .agg(max(col("dp")).as("best"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("best")).cast(LongType).as("maxsim"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      def vj(h: String, j: Int): String =
+        s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1 - 8)"
+      val dot = (1 to 8)
+        .map(j => s"(${vj("md5(dt.w)", j)}) * (${vj("md5(q.w)", j)})")
+        .mkString(" + ")
+      s"""
+      WITH raw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, w FROM raw WHERE length(w) > 0
+      ), query AS (
+        SELECT w FROM toks GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT 5
+      ), dt AS (
+        SELECT DISTINCT doc_id, w FROM toks
+      ), best AS (
+        SELECT dt.doc_id, q.w AS qw,
+               max(CAST($dot AS BIGINT)) AS best
+        FROM dt CROSS JOIN query q
+        GROUP BY dt.doc_id, q.w
+      )
+      SELECT doc_id, CAST(sum(best) AS BIGINT) AS maxsim,
+             count(*) AS n_terms
+      FROM best
+      GROUP BY doc_id
+      ORDER BY maxsim DESC, doc_id
+      LIMIT 20"""
+    })
+
+  /** q235: RECIPROCAL-RANK FUSION (Cormack et al., SIGIR'09 — the
+    * default hybrid-retrieval combiner) of the two ranking systems the
+    * repo already ships: q184's BM25 (lexical) and q234's MaxSim
+    * (token-vector). RRF(d) = Σ_systems 1/(60 + rank_s(d)) over each
+    * system's top-20 list, absent → no contribution — rank-based, so
+    * it needs NO score calibration between systems (the reason RRF
+    * beats score interpolation in practice). Determinism: ranks are
+    * row_number over (score DESC, doc_id) — total orders; each RRF
+    * term is one IEEE division of exact integers and the two-term sum
+    * is evaluated in the same literal order both engines. Composition:
+    * the Spark side CALLS the registered q184/q234 queries; the oracle
+    * nests their committed SQL twins as subqueries — the fusion layer
+    * cannot drift from the systems it fuses. Scale: both inputs are
+    * top-k lists (TakeOrderedAndProject), so the fusion is a 20-row
+    * full-outer join — free at any corpus size. */
+  val q235 = Q(
+    "q235_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wA = Window.orderBy(col("score").desc, col("doc_id"))
+      val wB = Window.orderBy(col("maxsim").desc, col("doc_id"))
+      val bm = q184.run(s, d)
+        .select(col("doc_id"), col("score"))
+        .withColumn("ra", row_number().over(wA))
+        .select(col("doc_id"), col("ra"))
+      val mx = q234.run(s, d)
+        .select(col("doc_id"), col("maxsim"))
+        .withColumn("rb", row_number().over(wB))
+        .select(col("doc_id"), col("rb"))
+      bm.join(mx, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0D) / (lit(60.0D) + col("ra")), lit(0.0D)) +
+            coalesce(lit(1.0D) / (lit(60.0D) + col("rb")), lit(0.0D)))
+        .select(col("doc_id"), col("ra").as("bm25_rank"),
+          col("rb").as("maxsim_rank"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH bm_list AS (${q184.oracle.get}),
+      mx_list AS (${q234.oracle.get}),
+      ra AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS INTEGER) AS bm25_rank
+        FROM bm_list
+      ), rb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY maxsim DESC, doc_id)
+                 AS INTEGER) AS maxsim_rank
+        FROM mx_list
+      )
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             bm25_rank, maxsim_rank,
+             coalesce(1.0 / (60.0 + bm25_rank), 0.0)
+               + coalesce(1.0 / (60.0 + maxsim_rank), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+      ORDER BY rrf DESC, coalesce(ra.doc_id, rb.doc_id)
+      LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218, q220, q229, q230, q231, q232)
+      q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235)
 }

@@ -3414,4 +3414,69 @@ class NewOperatorsSpec extends SparkSpec {
         s"matched eval ${got} is not the argmax for ${r}")
     }
   }
+
+  test("q234 MaxSim: driver replay of the late-interaction arithmetic") {
+    val got = graft.queries.Text.q234.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    // independent replay: token vectors from md5 nibbles, per-term max,
+    // per-doc sum — pure integer arithmetic end to end
+    def vec(tok: String): Array[Int] = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 8).map(j =>
+        Integer.parseInt(h.substring(j, j + 1), 16) - 8).toArray
+    }
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).distinct.toSeq)
+    val freq = scala.collection.mutable.Map[String, Long]()
+    Tables.load(spark, sf001, "documents").select("text").collect()
+      .foreach(_.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    val query = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(5)
+      .map(_._1)
+    val expect = docs.map { case (id, toks) =>
+      id -> query.map { q =>
+        val qv = vec(q)
+        toks.map { t =>
+          val tv = vec(t)
+          (0 until 8).map(j => tv(j) * qv(j)).sum.toLong
+        }.max
+      }.sum
+    }.toMap
+    got.foreach { case (id, ms, nt) =>
+      assert(nt == 5L, s"doc $id scored against $nt terms")
+      assert(ms == expect(id), s"doc $id maxsim $ms != replay ${expect(id)}")
+    }
+    // the 20 returned really are the global top-20 under (score, -id)
+    val top = expect.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got.map(r => (r._1, r._2)).toSeq == top.map(t => (t._1, t._2)))
+  }
+
+  test("q235 RRF: fusion arithmetic and membership replay from its inputs") {
+    val bm = graft.queries.Text.q184.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("score")))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val mx = graft.queries.Text.q234.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expect = (bm.keySet ++ mx.keySet).map { id =>
+      id -> (bm.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        mx.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+    }.toMap
+    val got = graft.queries.Text.q235.run(spark, sf001).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Double]("rrf") == expect(id), s"doc $id rrf")
+      assert(Option(r.get(1)).map(_.asInstanceOf[Int]) == bm.get(id))
+      assert(Option(r.get(2)).map(_.asInstanceOf[Int]) == mx.get(id))
+    }
+    val top = expect.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got.map(_.getLong(0)).toSeq == top.map(_._1))
+  }
 }

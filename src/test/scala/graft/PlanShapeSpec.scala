@@ -121,7 +121,11 @@ class PlanShapeSpec extends SparkSpec {
       // r5: q218/q220's running totals over the 10-row batch aggregates;
       // q232's GlobalOrder partition-count offsets table (q141's shape)
       "q218_novelty_curve", "q220_novelty_sketch",
-      "q232_quality_dup_audit")
+      "q232_quality_dup_audit",
+      // r6: q235's two rank windows run over top-20 lists
+      // (TakeOrderedAndProject outputs, aggregates below) — 20-row
+      // frames by construction
+      "q235_rrf_fusion")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
