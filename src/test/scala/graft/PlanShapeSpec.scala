@@ -95,6 +95,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("kmv_md5"), "sketch aggregate missing from plan")
   }
 
+  test("dynamic partition pruning fires on the partitioned fact table") {
+    // STATIC pruning (a literal predicate on the partition column) is
+    // pinned by q18's PartitionFilters artifact; this pins the DYNAMIC
+    // case every star join at 100 TB depends on: the partition-column
+    // predicate arrives at runtime from the FILTERED dim side (here a
+    // month dimension cut to one quarter), and Catalyst must inject a
+    // dynamicpruning subquery on the fact scan instead of reading all
+    // partitions. Nothing query-side asks for pruning — the join shape
+    // alone must trigger it.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString + "/fact.parquet"
+    Tables.load(spark, sf001, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyyMM"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val nMonths = fact.select("ship_month").distinct().count()
+    // a SEPARATE read for the dim side — shared lineage would make the
+    // join self-referential and the column resolution ambiguous
+    val dim = spark.read.parquet(dir)
+      .select(col("ship_month").as("m")).distinct()
+      .withColumn("q", expr("substring(CAST(m AS STRING), 5, 2)"))
+      .filter(col("q").isin("01", "02", "03"))
+    val joined = fact.join(dim, fact("ship_month") === dim("m"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the fact scan:\n$plan")
+    // collect() drives THIS queryExecution (head() would wrap a new
+    // limited plan and leave these metrics untouched)
+    assert(joined.collect()(0).getLong(0) > 0)
+    // and the pruning must actually cut partitions at runtime: the
+    // scan's partition count metric stays well under the full set
+    val scans = joined.queryExecution.executedPlan.collectLeaves()
+    val pruned = scans.flatMap(_.metrics.get("numPartitions"))
+      .map(_.value).headOption
+    pruned.foreach(p => assert(p < nMonths,
+      s"DPP read $p of $nMonths partitions — nothing was pruned"))
+  }
+
   test("bare (unpartitioned) windows run only on aggregate-bounded frames") {
     // A Window with an empty partitionSpec moves ALL its input to one
     // task — fatal on a corpus-sized frame, fine on a dimension-bounded
