@@ -1016,6 +1016,69 @@ object Dedup {
              OR (len(da.toks) = len(db.toks) AND doc_a < doc_b))
       ORDER BY doc_a, doc_b"""))
 
+  /** q236: INCREMENTAL cluster maintenance — the shape a daily-crawl
+    * pipeline actually runs against a standing corpus. The corpus
+    * splits at the 80% doc-id mark: OLD is yesterday's corpus whose
+    * labels are carried state, NEW is today's arrivals. The increment
+    * pays ONLY new×old (asymmetric [[jaccardPairsAcross]] — probe²
+    * never happens) plus new×new similarity work; the old×old
+    * quadratic bulk — the dominant term of a crawl day — is replaced
+    * by the state's CONTRACTED edges (id → old label), under which
+    * every converged old cluster is a 1-hop star, so the label merge
+    * over (state ∪ cross ∪ new-new) reaches the same connectivity in
+    * O(1)-ish extra rounds. min-id labels are STABLE under increments
+    * (min over a union can only be the min of mins), which is exactly
+    * why FULL-RECOMPUTE EQUALITY holds and the oracle can be q68's
+    * recursive SQL verbatim: a label drift here means the increment
+    * lost a merge or invented one. Honest cost note: this query
+    * rebuilds yesterday's state in-run (the harness has no cross-run
+    * store), so its measured time EXCEEDS q68's; the claim it proves
+    * is equality + the incremental edge bill, not wall-clock. */
+  val q236 = Q(
+    "q236_incremental_clusters",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val all0 = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persistTracked()
+      // scale-relative cut (the q207 pattern): 80% of the id span
+      val cut = all0.agg(max(col("doc_id")).as("m")).head().getLong(0) * 4 / 5
+      val old = all0.filter(col("doc_id") <= cut).persistTracked()
+      val fresh = all0.filter(col("doc_id") > cut).persistTracked()
+      // yesterday's state: full labels over the old corpus only
+      val state = graft.operators.Components.connectedComponents(
+        old.select(col("doc_id").as("id")),
+        jaccardPairs(old, 0.6).select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(),
+        tag = "q236_state")
+      // today's bill: cross pairs + new-new pairs — never old-old
+      val cross = jaccardPairsAcross(fresh, old, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val newNew = jaccardPairs(fresh, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val stateEdges = state.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+      val labels = graft.operators.Components.connectedComponents(
+        all0.select(col("doc_id").as("id")),
+        stateEdges.unionByName(cross).unionByName(newNew)
+          .localCheckpoint(),
+        tag = "q236_merge")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    // the oracle IS the full recompute — q68's recursive SQL verbatim:
+    // incremental == from-scratch is the entire claim
+    q68.oracle)
+
   val all: Seq[Q] =
-    Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219)
+    Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236)
 }

@@ -3479,4 +3479,21 @@ class NewOperatorsSpec extends SparkSpec {
     val top = expect.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
     assert(got.map(_.getLong(0)).toSeq == top.map(_._1))
   }
+
+  test("q236 incremental clustering equals the q68 full recompute row-for-row") {
+    def rows(q: graft.queries.Q) = q.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val full = rows(graft.queries.Dedup.q68)
+    graft.Caches.release()
+    val inc = rows(graft.queries.Dedup.q236)
+    graft.Caches.release()
+    assert(inc == full,
+      "incremental label maintenance drifted from the full recompute")
+    // and the state contraction is real: every cluster id is the min
+    // member (stable-under-increment is what the equality relies on)
+    inc.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._1).min == lbl)
+    }
+  }
 }
