@@ -174,7 +174,13 @@ object Bench {
       // r5 wave 2: the KMV overlap matrix (sketch pass linear; its
       // exact audit join is the measured cost — warm ~2.5 s at 10x vs
       // 1.1 s at sf0.1) and the filter-cascade funnel (~1 s at 10x)
-      "q215_kmv_overlap", "q210_filter_funnel")
+      "q215_kmv_overlap", "q210_filter_funnel",
+      // r6: the decode-bound multimodal face (CPU-proportional
+      // partitioning + memory-backed ImageIO — the class the q189
+      // triage fixed) and the incremental-clustering face (state ∪
+      // cross ∪ new-new label merge; its bill at 10× is the measured
+      // story of the old×old work it avoids)
+      "q233_video_frames", "q236_incremental_clusters")
     val sweep10 =
       if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") Nil
       else try {
