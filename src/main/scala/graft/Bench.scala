@@ -19,9 +19,11 @@ object BenchScale {
     // doesn't — the real shape of a 10× event log)
     "events" -> Seq("user_id", "event_id"))
 
-  /** `tables` restricts which fixtures are replicated — the 50× same-scale
-    * sweep only runs core-4 (lineitem+orders), so it must not pay for a
-    * 50× salted-documents build it never reads. */
+  /** `tables` restricts which fixtures are replicated to what the
+    * caller's sweep actually reads — the 50× sweep replicates
+    * lineitem+orders (core-4) and, since r6, documents (the q24/q68/
+    * q127 dedup rows), but still skips the events build it never
+    * touches. */
   def ensure(spark: SparkSession, srcDir: String, copies: Int,
       tables: Seq[String] = keyCols.keys.toSeq.sorted): String = {
     import org.apache.spark.sql.functions.{col, expr, length, lit}

@@ -129,9 +129,26 @@ object KmvMd5 {
   val HexChars = 15
 
   /** The hash domain size 2^60 as an exactly-represented double — the
-    * estimator numerator scale ((k−1)·Domain / v_k). SQL twins use the
-    * literal `1152921504606846976.0`. */
+    * estimator numerator scale ((k−1)·Domain / v_k). SQL twins use
+    * [[DomainSql]]. */
   val Domain: Double = 1.152921504606846976e18
+
+  /** [[Domain]] as its SQL literal — use this in oracle text, never an
+    * inline number (r6 review: the 48→60 widening had to chase eight
+    * scattered literals). */
+  val DomainSql = "1152921504606846976.0"
+
+  /** DuckDB twin of the hash itself: the [[HexChars]]-nibble md5 parse
+    * as a BIGINT sum. Every KMV oracle must build its hash expression
+    * through THIS generator — the widening had to edit three
+    * hand-rolled copies in lockstep; the width now flows from
+    * [[HexChars]] alone. */
+  def nibSql(expr0: String): String =
+    (1 to HexChars).map { i =>
+      val scale = 1L << (4 * (HexChars - i))
+      s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
+        s" AS BIGINT) - 1) * ${scale}"
+    }.mkString("(", " + ", ")")
 
   /** Column-API entry: KmvMd5.sketch($"col") — aggregate usage. */
   def sketch(c: Column): Column =

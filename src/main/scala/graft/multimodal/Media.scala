@@ -506,10 +506,17 @@ object ImageCodec {
   * images (the format webcams/ring-buffers emit; no inter-frame
   * prediction). Encode: per-frame rasters (pure functions of
   * (doc_id, frame)) → `javax.imageio` JPEG → byte-concatenated stream.
-  * Decode: split on SOI markers (0xFFD8 0xFF — within entropy-coded
-  * data every 0xFF is escaped as 0xFF00 and restart markers are
-  * 0xFFD0-D7, so a raw FFD8-FF triple occurs ONLY at image starts) →
-  * `ImageIO.read` per frame.
+  * Decode: split on SOI markers (0xFFD8 0xFF) → `ImageIO.read` per
+  * frame. Scope of the split invariant (r6 review): within
+  * entropy-coded data every 0xFF is escaped as 0xFF00 and restart
+  * markers are 0xFFD0-D7, so for the BASELINE thumbnail-free JPEGs
+  * this encoder writes, a raw FFD8-FF triple occurs only at image
+  * starts — but marker-SEGMENT payloads in the wild (notably EXIF/APP1
+  * embedded thumbnails, which are complete nested JPEGs) can legally
+  * contain the triple. Feeding camera-produced MJPEG here needs a
+  * marker-length-aware walk (read each segment's length field) in
+  * place of the byte scan; the certificate column would catch the torn
+  * frames, not silently pass them.
   *
   * Oracle discipline for a LOSSY codec (new in the media family — PNG
   * and WAV round-trip bit-exactly, JPEG by design does not): the

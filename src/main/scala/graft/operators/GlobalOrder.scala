@@ -83,7 +83,11 @@ object GlobalOrder {
       order: Seq[Column],
       value: Column,
       outCol: String,
-      pidCol: String = "_graft_cm_pid"): DataFrame = {
+      pidCol: String = "_graft_cm_pid",
+      // a caller whose IMMEDIATE upstream proves distinctness (q194's
+      // groupBy on the order key) passes false and skips the O(input)
+      // check; new callers get the guard by default
+      assertDistinct: Boolean = true): DataFrame = {
     import graft.Caches.Tracked
     val vCol = s"${pidCol}_v"
     val sorted = df
@@ -96,7 +100,7 @@ object GlobalOrder {
     // runtime, not just in the docstring — one map-side-combinable
     // aggregation over the already-persisted frame. Flag lets a caller
     // that proved distinctness upstream skip the extra job at scale.
-    if (df.sparkSession.conf
+    if (assertDistinct && df.sparkSession.conf
         .get("spark.graft.cummax.assertDistinctOrder", "true").toBoolean) {
       // strip SortOrder wrappers (col.desc) — groupBy keys must be bare
       val keys = order.map(org.apache.spark.sql.graftbridge.stripSortOrder)

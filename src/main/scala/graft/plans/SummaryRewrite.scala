@@ -83,8 +83,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // dataset with the same file name (e.g. another scale factor's
       // lineitem.parquet) from a stale summary.
       val fact = conf.getConfString(FACT, "")
-      if (path.isEmpty || fact.isEmpty) plan
-      else {
+      if (path.isEmpty || fact.isEmpty) {
+        // fail CLOSED but not silently: pre-r6 configs set only
+        // FLAG+PATH (fact had a basename default) — their aggregates
+        // would otherwise quietly revert to full fact scans
+        if (fact.isEmpty && path.nonEmpty) logWarning(
+          s"$FLAG is on and $PATH is set but $FACT is empty — summary " +
+            "rewrite is DISABLED; set it to the full root path of the " +
+            "fact table the summary was built from")
+        plan
+      } else {
         val factPath =
           new org.apache.hadoop.fs.Path(fact).toUri.getPath
         plan.transform {

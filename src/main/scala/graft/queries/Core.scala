@@ -1155,12 +1155,8 @@ object Core {
         .orderBy(col("source_a"), col("source_b"))
     },
     Some {
-      def nib(expr0: String): String =
-        (1 to 15).map { i =>
-          val scale = 1L << (4 * (15 - i))
-          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
-            s" AS BIGINT) - 1) * ${scale}"
-        }.mkString("(", " + ", ")")
+      // single-source hash twin: width and domain flow from KmvMd5
+      import graft.functions.KmvMd5.{nibSql => nib, DomainSql}
       s"""
       WITH ds AS (
         SELECT DISTINCT source, sh FROM (
@@ -1204,7 +1200,7 @@ object Core {
       ), calc2 AS (
         SELECT *, len(uk) AS m,
                CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
-                    ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                    ELSE CAST(63 AS DOUBLE) * $DomainSql
                          / CAST(uk[64] AS DOUBLE) END AS est_union,
                CAST(len(list_filter(uk, x ->
                  list_contains(ska, x) AND list_contains(skb, x)))
@@ -1221,10 +1217,10 @@ object Core {
                / CAST(exact_a + exact_b - exact_inter AS DOUBLE)
                AS exact_jaccard,
              CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                  ELSE CAST(63 AS DOUBLE) * $DomainSql
                        / CAST(ska[64] AS DOUBLE) END AS est_a,
              CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                  ELSE CAST(63 AS DOUBLE) * $DomainSql
                        / CAST(skb[64] AS DOUBLE) END AS est_b,
              est_union, jaccard_est,
              jaccard_est * est_union AS est_inter

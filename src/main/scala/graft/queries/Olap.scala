@@ -2933,7 +2933,10 @@ object Olap {
         .persistTracked()
       val ymax = per.groupBy(col("qty")).agg(max(col("top_c")).as("ymax"))
       val marked = graft.operators.GlobalOrder.withOrderedCummax(
-        ymax, Seq(col("qty").desc), col("ymax"), "m_strict")
+        ymax, Seq(col("qty").desc), col("ymax"), "m_strict",
+        // ymax is one row per qty BY CONSTRUCTION (the groupBy above) —
+        // skip the operator's O(input) distinctness job
+        assertDistinct = false)
       val live = marked.filter(col("ymax") > col("m_strict"))
         .select(col("qty"), col("ymax"))
       per.join(live, Seq("qty"))

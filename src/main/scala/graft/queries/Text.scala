@@ -2842,12 +2842,8 @@ object Text {
         .orderBy(col("batch"))
     },
     Some {
-      def nib(expr0: String): String =
-        (1 to 15).map { i =>
-          val scale = 1L << (4 * (15 - i))
-          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
-            s" AS BIGINT) - 1) * ${scale}"
-        }.mkString("(", " + ", ")")
+      // single-source hash twin: width and domain flow from KmvMd5
+      import graft.functions.KmvMd5.{nibSql => nib, DomainSql}
       s"""
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ds AS (
@@ -2887,10 +2883,10 @@ object Text {
       SELECT u.batch,
              CAST(e.cum_exact AS BIGINT) AS cum_exact,
              CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                  ELSE CAST(63 AS DOUBLE) * $DomainSql
                        / CAST(u.vk AS DOUBLE) END AS cum_est,
              (CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                   ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                   ELSE CAST(63 AS DOUBLE) * $DomainSql
                         / CAST(u.vk AS DOUBLE) END
               - CAST(e.cum_exact AS DOUBLE))
                / CAST(e.cum_exact AS DOUBLE) AS rel_err

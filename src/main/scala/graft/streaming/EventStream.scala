@@ -2334,36 +2334,49 @@ object EventStream {
       kmvUniques(Tables.load(s, d, "events"))
         .orderBy(col("hour_start"), col("event_type")),
     Some {
-      def nib(expr0: String): String =
-        (1 to 15).map { i =>
-          val scale = 1L << (4 * (15 - i))
-          s"(CAST(instr('0123456789abcdef', substr(md5($expr0), $i, 1))" +
-            s" AS BIGINT) - 1) * ${scale}"
-        }.mkString("(", " + ", ")")
+      import graft.functions.KmvMd5.{nibSql, DomainSql}
+      // NULL discipline mirrors KmvMd5.update exactly (r6 review): a
+      // NULL user_id contributes NO sketch value but its window row
+      // still exists — so windows come from ALL events and hashes only
+      // from non-null users, left-joined back (an all-NULL window reads
+      // k_used=0, v_max NULL, uniq_est 0.0 — the Spark empty sketch)
       s"""
-      WITH vals AS (
+      WITH wins AS (
+        SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                 AS hour_start, event_type
+        FROM events
+      ), vals AS (
         SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
                  AS hour_start,
                event_type, CAST(user_id AS VARCHAR) AS sv
         FROM events
+        WHERE user_id IS NOT NULL
       ), h AS (
-        SELECT DISTINCT hour_start, event_type, ${nib("sv")} AS hv
+        SELECT DISTINCT hour_start, event_type, ${nibSql("sv")} AS hv
         FROM vals
       ), rk AS (
         SELECT hour_start, event_type, hv,
                row_number() OVER (PARTITION BY hour_start, event_type
                                   ORDER BY hv) AS rn
         FROM h
+      ), agg AS (
+        SELECT hour_start, event_type,
+               count(*) AS k_used,
+               max(hv) AS v_max
+        FROM rk WHERE rn <= 64
+        GROUP BY hour_start, event_type
       )
-      SELECT hour_start, event_type,
-             count(*) AS k_used,
-             max(hv) AS v_max,
-             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
-                       / CAST(max(hv) AS DOUBLE) END AS uniq_est
-      FROM rk WHERE rn <= 64
-      GROUP BY hour_start, event_type
-      ORDER BY hour_start, event_type"""
+      SELECT w.hour_start, w.event_type,
+             coalesce(a.k_used, 0) AS k_used,
+             a.v_max,
+             CASE WHEN coalesce(a.k_used, 0) < 64
+                  THEN CAST(coalesce(a.k_used, 0) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * $DomainSql
+                       / CAST(a.v_max AS DOUBLE) END AS uniq_est
+      FROM wins w
+      LEFT JOIN agg a ON a.hour_start = w.hour_start
+                     AND a.event_type = w.event_type
+      ORDER BY w.hour_start, w.event_type"""
     })
 
   val all: Seq[Q] =

@@ -302,7 +302,12 @@ class PropertiesSpec extends SparkSpec {
       "q93_url_dedup", "q119_quantile_sketch",
       // r5: the KMV overlap matrix — sketch state must be a value SET
       // (partition-order-free) end to end, estimates included
-      "q215_kmv_overlap")
+      "q215_kmv_overlap",
+      // r6: incremental clustering (state ∪ cross ∪ new-new label
+      // merge must converge to the same min-id labels under any
+      // layout) and MaxSim (integer max/sum must not depend on
+      // aggregation order)
+      "q236_incremental_clusters", "q234_maxsim_rerank")
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] = names.map { n =>

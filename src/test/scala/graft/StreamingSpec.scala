@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvUniques NULL discipline: null users sketch nothing, windows survive") {
+    // mirrors KmvMd5.update (nulls skipped) AND the q216 oracle's
+    // wins/vals split (r6 review: the old oracle counted NULL rows as
+    // sketch members — divergent the moment a fixture carries one)
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 10:05:00"),
+        Some(7L), "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2020-01-01 10:15:00"),
+        None: Option[Long], "view", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2020-01-01 10:25:00"),
+        Some(9L), "view", 1.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2020-01-01 11:05:00"),
+        None: Option[Long], "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStream.kmvUniques(ev).collect()
+      .map(r => r.getString(1) ->
+        ((r.getInt(2), Option(r.get(3)), r.getDouble(4)))).toMap
+    assert(got("view") == ((2, got("view")._2, 2.0)) &&
+      got("view")._2.nonEmpty, s"mixed window: ${got("view")}")
+    assert(got("click") == ((0, None, 0.0)),
+      s"all-NULL window must emit an EMPTY sketch row: ${got("click")}")
+  }
+
   test("restart from checkpoint resumes exactly-once (state + file log)") {
     // The operational property a long-lived pipeline needs and no
     // single-run parity test shows: a streaming aggregation STOPPED and
