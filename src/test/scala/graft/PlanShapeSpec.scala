@@ -135,6 +135,50 @@ class PlanShapeSpec extends SparkSpec {
       s"DPP read $p of $nMonths partitions — nothing was pruned"))
   }
 
+  test("runtime bloom-filter pruning fires on a selective non-partition join") {
+    // DPP's row-level sibling: when the join key is NOT a partition
+    // column, Catalyst can still inject a bloom filter built from the
+    // selective dim side into the fact scan's filters
+    // (InjectRuntimeFilter), cutting shuffle input instead of
+    // partitions. Default thresholds target cluster sizes
+    // (creationSide 10MB / applicationSide 10GB), so the test lowers
+    // them to fixture scale — what it pins is that the MECHANISM
+    // plans and executes in this build, and the thresholds to mind at
+    // 100 TB.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    // bloom filters only inject for SHUFFLE joins (a broadcast join
+    // already ships the dim to every task — nothing to prune with), so
+    // force the big-big regime a 100 TB fact⋈fact join lives in
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // creationSideThreshold is a MAXIMUM (don't build a bloom filter
+      // from a huge side — default 10MB is fine for the fixture dim);
+      // applicationSideScanSizeThreshold is a MINIMUM (default 10GB
+      // targets clusters) — lower it to fixture scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf001, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.load(spark, sf001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") ||
+        plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.collect()(0).getLong(0) > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bare (unpartitioned) windows run only on aggregate-bounded frames") {
     // A Window with an empty partitionSpec moves ALL its input to one
     // task — fatal on a corpus-sized frame, fine on a dimension-bounded
