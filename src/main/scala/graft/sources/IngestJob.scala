@@ -29,6 +29,39 @@ object IngestJob {
     p.toString
   }
 
+  /** DATA-QUALITY GATES on a write job via the Observation API
+    * (`CollectMetrics`): the named aggregates ride the SAME pass that
+    * writes the data — zero extra scans — and the caller's predicates
+    * are checked against the observed values after the job commits.
+    * This is how a 100 TB materialization validates itself: a post-hoc
+    * validation query would re-read everything it just wrote, and a
+    * pre-write `.count()` would scan the input twice. A failed gate
+    * throws AFTER the write (Spark observes during the action), so
+    * callers treating gates as transactional should write to a staging
+    * path and promote on success — the TsvSource commit pattern.
+    * Returns the observed metric map for reporting. */
+  def gatedParquetWrite(
+      df: DataFrame,
+      out: String,
+      metrics: Seq[(String, org.apache.spark.sql.Column)],
+      gates: Map[String, Any => Boolean]): Map[String, Any] = {
+    require(metrics.nonEmpty, "observe at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(
+        obs,
+        metrics.head._2.as(metrics.head._1),
+        metrics.tail.map { case (n, c) => c.as(n) }: _*)
+      .write.mode("overwrite").parquet(out)
+    val seen = obs.get
+    val failed = gates.collect {
+      case (name, ok) if !ok(seen(name)) => s"$name=${seen(name)}"
+    }
+    require(failed.isEmpty,
+      s"data-quality gates failed after write to $out: " +
+        failed.mkString(", "))
+    seen
+  }
+
   /** Explicit CSV schema (S1: "apply schema to schemaless CSV" — reference
     * README.md:179-194 declares 16 named String columns inline). */
   val eventsCsvSchema: StructType = StructType(Seq(

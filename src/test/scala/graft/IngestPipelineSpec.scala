@@ -77,4 +77,39 @@ class IngestPipelineSpec extends SparkSpec {
       assert(original(r.getLong(0)) == r.getDouble(1))
     }
   }
+
+  test("gatedParquetWrite: gates ride the write pass and violated gates throw") {
+    import graft.sources.IngestJob
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gate").toString
+    val ev = Tables.load(spark, sf001, "events")
+    val m = IngestJob.gatedParquetWrite(
+      ev, s"$base/ok.parquet",
+      Seq(
+        "n_rows" -> count(lit(1)),
+        "null_users" -> count(when(col("user_id").isNull, lit(1))),
+        "max_value" -> max(col("value"))),
+      Map(
+        "n_rows" -> (v => v.asInstanceOf[Long] > 0L),
+        "null_users" -> (v => v.asInstanceOf[Long] == 0L)))
+    // observed metrics equal an independent recomputation (the spec
+    // pays the second scan the production path exists to avoid)
+    val expect = ev.agg(
+      count(lit(1)), count(when(col("user_id").isNull, lit(1))),
+      max(col("value"))).head()
+    assert(m("n_rows") == expect.getLong(0))
+    assert(m("null_users") == expect.getLong(1))
+    assert(m("max_value") == expect.getDouble(2))
+    // and the write itself really committed
+    assert(spark.read.parquet(s"$base/ok.parquet").count()
+      == expect.getLong(0))
+    // a violated gate throws AFTER the write, naming the metric
+    val e = intercept[IllegalArgumentException] {
+      IngestJob.gatedParquetWrite(
+        ev, s"$base/bad.parquet",
+        Seq("n_rows" -> count(lit(1))),
+        Map("n_rows" -> (_ => false)))
+    }
+    assert(e.getMessage.contains("n_rows"))
+  }
 }
