@@ -57,6 +57,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   val PATH = "spark.graft.summaryRewrite.path"
   val FACT = "spark.graft.summaryRewrite.fact"
 
+  private val misconfigWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** The single parquet root path under `plan`, if `plan` is a bare
     * Project/scan tree with no Filter/join/anything else. Returned as a
     * scheme-free absolute path so `file:/x` and `/x` compare equal. */
@@ -86,8 +89,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (path.isEmpty || fact.isEmpty) {
         // fail CLOSED but not silently: pre-r6 configs set only
         // FLAG+PATH (fact had a basename default) — their aggregates
-        // would otherwise quietly revert to full fact scans
-        if (fact.isEmpty && path.nonEmpty) logWarning(
+        // would otherwise quietly revert to full fact scans. Warn ONCE
+        // per JVM: optimizer rules run per batch per query, and a
+        // dashboard workload would otherwise bury the signal under
+        // thousands of identical lines.
+        if (fact.isEmpty && path.nonEmpty &&
+          misconfigWarned.compareAndSet(false, true)) logWarning(
           s"$FLAG is on and $PATH is set but $FACT is empty — summary " +
             "rewrite is DISABLED; set it to the full root path of the " +
             "fact table the summary was built from")

@@ -1155,8 +1155,8 @@ object Core {
         .orderBy(col("source_a"), col("source_b"))
     },
     Some {
-      // single-source hash twin: width and domain flow from KmvMd5
-      import graft.functions.KmvMd5.{nibSql => nib, DomainSql}
+      // single-source hash twin: width, domain, AND K flow from KmvMd5
+      import graft.functions.KmvMd5.{nibSql => nib, DomainSql, K}
       s"""
       WITH ds AS (
         SELECT DISTINCT source, sh FROM (
@@ -1176,7 +1176,7 @@ object Core {
         FROM h
       ), sk AS (
         SELECT source, list(hv ORDER BY hv) AS sk
-        FROM rk WHERE rn <= 64 GROUP BY source
+        FROM rk WHERE rn <= $K GROUP BY source
       ), ex AS (
         SELECT source, count(*) AS exact_n FROM ds GROUP BY source
       ), inter AS (
@@ -1195,13 +1195,13 @@ object Core {
         LEFT JOIN inter i ON i.ia = a.source AND i.ib = b.source
       ), calc AS (
         SELECT *,
-               list_sort(list_distinct(ska || skb))[1:64] AS uk
+               list_sort(list_distinct(ska || skb))[1:$K] AS uk
         FROM pairs
       ), calc2 AS (
         SELECT *, len(uk) AS m,
-               CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
-                    ELSE CAST(63 AS DOUBLE) * $DomainSql
-                         / CAST(uk[64] AS DOUBLE) END AS est_union,
+               CASE WHEN len(uk) < $K THEN CAST(len(uk) AS DOUBLE)
+                    ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
+                         / CAST(uk[$K] AS DOUBLE) END AS est_union,
                CAST(len(list_filter(uk, x ->
                  list_contains(ska, x) AND list_contains(skb, x)))
                  AS DOUBLE) / CAST(len(uk) AS DOUBLE) AS jaccard_est
@@ -1216,12 +1216,12 @@ object Core {
              CAST(exact_inter AS DOUBLE)
                / CAST(exact_a + exact_b - exact_inter AS DOUBLE)
                AS exact_jaccard,
-             CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * $DomainSql
-                       / CAST(ska[64] AS DOUBLE) END AS est_a,
-             CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * $DomainSql
-                       / CAST(skb[64] AS DOUBLE) END AS est_b,
+             CASE WHEN len(ska) < $K THEN CAST(len(ska) AS DOUBLE)
+                  ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
+                       / CAST(ska[$K] AS DOUBLE) END AS est_a,
+             CASE WHEN len(skb) < $K THEN CAST(len(skb) AS DOUBLE)
+                  ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
+                       / CAST(skb[$K] AS DOUBLE) END AS est_b,
              est_union, jaccard_est,
              jaccard_est * est_union AS est_inter
       FROM calc2

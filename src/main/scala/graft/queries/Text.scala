@@ -2842,8 +2842,8 @@ object Text {
         .orderBy(col("batch"))
     },
     Some {
-      // single-source hash twin: width and domain flow from KmvMd5
-      import graft.functions.KmvMd5.{nibSql => nib, DomainSql}
+      // single-source hash twin: width, domain, AND K flow from KmvMd5
+      import graft.functions.KmvMd5.{nibSql => nib, DomainSql, K}
       s"""
       WITH nn AS (SELECT count(*) AS n FROM documents),
       ds AS (
@@ -2867,7 +2867,7 @@ object Text {
         GROUP BY c.batch, h.hv
       ), uk AS (
         SELECT batch, count(*) AS m, max(hv) AS vk
-        FROM cum WHERE rn <= 64 GROUP BY batch
+        FROM cum WHERE rn <= $K GROUP BY batch
       ), firstb AS (
         SELECT sh, min(batch) AS fb FROM ds GROUP BY 1
       ), news AS (
@@ -2882,11 +2882,11 @@ object Text {
       )
       SELECT u.batch,
              CAST(e.cum_exact AS BIGINT) AS cum_exact,
-             CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * $DomainSql
+             CASE WHEN u.m < $K THEN CAST(u.m AS DOUBLE)
+                  ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
                        / CAST(u.vk AS DOUBLE) END AS cum_est,
-             (CASE WHEN u.m < 64 THEN CAST(u.m AS DOUBLE)
-                   ELSE CAST(63 AS DOUBLE) * $DomainSql
+             (CASE WHEN u.m < $K THEN CAST(u.m AS DOUBLE)
+                   ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
                         / CAST(u.vk AS DOUBLE) END
               - CAST(e.cum_exact AS DOUBLE))
                / CAST(e.cum_exact AS DOUBLE) AS rel_err

@@ -46,6 +46,13 @@ object IngestJob {
       metrics: Seq[(String, org.apache.spark.sql.Column)],
       gates: Map[String, Any => Boolean]): Map[String, Any] = {
     require(metrics.nonEmpty, "observe at least one metric")
+    // fail BEFORE the write: a typo'd gate name would otherwise run the
+    // whole materialization and then crash on map lookup, with the
+    // intended gate never evaluated
+    val unknown = gates.keySet -- metrics.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"gates reference unobserved metrics: ${unknown.mkString(", ")} " +
+        s"(observed: ${metrics.map(_._1).mkString(", ")})")
     val obs = org.apache.spark.sql.Observation()
     df.observe(
         obs,

@@ -2334,23 +2334,27 @@ object EventStream {
       kmvUniques(Tables.load(s, d, "events"))
         .orderBy(col("hour_start"), col("event_type")),
     Some {
-      import graft.functions.KmvMd5.{nibSql, DomainSql}
-      // NULL discipline mirrors KmvMd5.update exactly (r6 review): a
-      // NULL user_id contributes NO sketch value but its window row
-      // still exists — so windows come from ALL events and hashes only
-      // from non-null users, left-joined back (an all-NULL window reads
-      // k_used=0, v_max NULL, uniq_est 0.0 — the Spark empty sketch)
+      import graft.functions.KmvMd5.{nibSql, DomainSql, K}
+      // NULL discipline mirrors the Spark side exactly (r6 review ×2):
+      // a NULL user_id contributes NO sketch value but its window row
+      // still exists — windows come from ALL events, hashes only from
+      // non-null users, left-joined back (an all-NULL window reads
+      // k_used=0, v_max NULL, uniq_est 0.0 — the Spark empty sketch).
+      // A NULL ts is dropped on BOTH sides (Spark's window() emits no
+      // group for it); a NULL event_type IS a group on both sides, so
+      // the join compares it with IS NOT DISTINCT FROM, never `=`.
       s"""
       WITH wins AS (
         SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
                  AS hour_start, event_type
         FROM events
+        WHERE ts IS NOT NULL
       ), vals AS (
         SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
                  AS hour_start,
                event_type, CAST(user_id AS VARCHAR) AS sv
         FROM events
-        WHERE user_id IS NOT NULL
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
       ), h AS (
         SELECT DISTINCT hour_start, event_type, ${nibSql("sv")} AS hv
         FROM vals
@@ -2363,19 +2367,19 @@ object EventStream {
         SELECT hour_start, event_type,
                count(*) AS k_used,
                max(hv) AS v_max
-        FROM rk WHERE rn <= 64
+        FROM rk WHERE rn <= $K
         GROUP BY hour_start, event_type
       )
       SELECT w.hour_start, w.event_type,
              coalesce(a.k_used, 0) AS k_used,
              a.v_max,
-             CASE WHEN coalesce(a.k_used, 0) < 64
+             CASE WHEN coalesce(a.k_used, 0) < $K
                   THEN CAST(coalesce(a.k_used, 0) AS DOUBLE)
-                  ELSE CAST(63 AS DOUBLE) * $DomainSql
+                  ELSE CAST(${K - 1} AS DOUBLE) * $DomainSql
                        / CAST(a.v_max AS DOUBLE) END AS uniq_est
       FROM wins w
       LEFT JOIN agg a ON a.hour_start = w.hour_start
-                     AND a.event_type = w.event_type
+                     AND a.event_type IS NOT DISTINCT FROM w.event_type
       ORDER BY w.hour_start, w.event_type"""
     })
 
