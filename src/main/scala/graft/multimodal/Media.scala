@@ -24,6 +24,20 @@ final case class DecodedMedia(
     n_frames: Int,
     feature: Array[Double])
 
+/** JVM-global ImageIO setup shared by EVERY codec path (r6 review: it
+  * first lived in ImageCodec's initializer, which VideoCodec's decode
+  * only reached incidentally — a standalone decodeFrames caller would
+  * silently reintroduce the file-backed-cache bottleneck the q189
+  * triage found). The default ImageIO stream cache creates a TEMP FILE
+  * per encode/decode — ~100 µs of filesystem churn per tiny raster and
+  * a shared-temp-dir choke point at full executor width; memory-backed
+  * streams remove both. Idempotent: call `ensure()` on entry to any
+  * codec routine. */
+private[multimodal] object ImageIOTuning {
+  javax.imageio.ImageIO.setUseCache(false)
+  def ensure(): Unit = ()
+}
+
 /** Multimodal-column operators for the training-data-pipeline extension.
   *
   * The IMAGE leg runs a REAL codec: [[ImageCodec]] PNG-encodes and
@@ -336,13 +350,7 @@ object AudioCodec {
   */
 object ImageCodec {
 
-  // ImageIO's default FILE-backed stream cache creates a temp file per
-  // encode/decode — ~100 µs of filesystem churn for a ≤8×5 raster, and a
-  // shared-temp-dir bottleneck once decode runs at full executor width
-  // (r6 triage: this, not the candidate join, was q189's 10×-sweep
-  // cost). Memory-backed streams remove both; first-touch of this
-  // object applies it per JVM.
-  javax.imageio.ImageIO.setUseCache(false)
+  ImageIOTuning.ensure()
 
   /** Image dims, a pure function of doc_id (1..8 × 1..5 — small enough
     * that a 500-doc fixture exercises every dim combination and odd/even
@@ -362,6 +370,7 @@ object ImageCodec {
 
   /** Raster → PNG bytes via javax.imageio (lossless RGB). */
   def encode(docId: Long): Array[Byte] = {
+    ImageIOTuning.ensure()
     val (w, h) = dims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -382,6 +391,7 @@ object ImageCodec {
 
   /** PNG bytes → (width, height, row-major RGB byte triples). */
   def decode(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    ImageIOTuning.ensure()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     val w = img.getWidth
     val h = img.getHeight
@@ -552,6 +562,7 @@ object VideoCodec {
 
   /** MJPEG stream: each frame's raster JPEG-encoded, byte-concatenated. */
   def encode(docId: Long): Array[Byte] = {
+    ImageIOTuning.ensure()
     val (w, h) = ImageCodec.dims(docId)
     val bos = new java.io.ByteArrayOutputStream()
     var f = 0
@@ -591,6 +602,7 @@ object VideoCodec {
     * (frame_idx, width, height, row-major RGB). */
   def decodeFrames(mjpeg: Array[Byte])
       : Seq[(Int, Int, Int, Array[Int])] = {
+    ImageIOTuning.ensure()
     val starts = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i + 2 < mjpeg.length) {

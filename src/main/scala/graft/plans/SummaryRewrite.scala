@@ -61,8 +61,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** The single parquet root path under `plan`, if `plan` is a bare
-    * Project/scan tree with no Filter/join/anything else. Returned as a
-    * scheme-free absolute path so `file:/x` and `/x` compare equal. */
+    * Project/scan tree with no Filter/join/anything else. Returned as
+    * the FULLY QUALIFIED URI string (scheme + authority + path —
+    * rootPaths are already qualified): stripping the scheme would let
+    * a stale summary answer a same-pathed scan on a DIFFERENT
+    * filesystem or cluster, the wrong-answer class the full-path match
+    * exists to close. */
   private def bareScanPath(plan: LogicalPlan): Option[String] =
     plan match {
       case Project(projectList, child)
@@ -70,7 +74,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         bareScanPath(child)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths match {
-          case Seq(p) => Some(p.toUri.getPath)
+          case Seq(p) => Some(p.toString)
           case _ => None
         }
       case _ => None
@@ -100,8 +104,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             "fact table the summary was built from")
         plan
       } else {
-        val factPath =
-          new org.apache.hadoop.fs.Path(fact).toUri.getPath
+        // qualify the configured path against the session's filesystem
+        // so a schemeless "/x" matches the scan's "file:/x" while a
+        // cross-filesystem same-path scan does NOT
+        val factPath = {
+          val p0 = new org.apache.hadoop.fs.Path(fact)
+          val hconf = SparkSession.active.sessionState.newHadoopConf()
+          p0.getFileSystem(hconf).makeQualified(p0).toString
+        }
         plan.transform {
           case agg @ Aggregate(groups, aggExprs, child, _)
               if groups.nonEmpty &&

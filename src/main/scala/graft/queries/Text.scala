@@ -3234,12 +3234,22 @@ object Text {
     * are two map-side-combinable aggregates — no index, no quadratic
     * join; this is the RE-RANKER stage of a retrieval stack (q235
     * fuses it with BM25 for the full pipeline). */
+  /** 8-dim md5-nibble token-vector DOT PRODUCT as a SQL fragment over
+    * two md5-hex expressions — the SINGLE source for q234's Spark
+    * expression AND its DuckDB twin (the KmvMd5.nibSql lesson: a
+    * hand-rolled copy per engine desynchronizes on the next width or
+    * offset change). v_j = nibble_j − 8 ∈ [−8, 7]. */
+  private def maxSimDotSql(hA: String, hB: String): String = {
+    def vj(h: String, j: Int): String =
+      s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1 - 8)"
+    (1 to 8).map(j => s"(${vj(hA, j)}) * (${vj(hB, j)})")
+      .mkString(" + ")
+  }
+
   val q234 = Q(
     "q234_maxsim_rerank",
     (s, d) => {
       import graft.Caches.Tracked
-      def vj(h: String, j: Int): String =
-        s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1 - 8)"
       val raw = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -3251,9 +3261,7 @@ object Text {
         .select(col("w").as("qw"), md5(col("w")).as("qh"))
       val docToks = raw.distinct()
         .withColumn("th", md5(col("w")))
-      val dot = (1 to 8)
-        .map(j => s"(${vj("th", j)}) * (${vj("qh", j)})")
-        .mkString(" + ")
+      val dot = maxSimDotSql("th", "qh")
       docToks
         .crossJoin(broadcast(query))
         .withColumn("dp", expr(s"CAST($dot AS BIGINT)"))
@@ -3266,11 +3274,7 @@ object Text {
         .limit(20)
     },
     Some {
-      def vj(h: String, j: Int): String =
-        s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1 - 8)"
-      val dot = (1 to 8)
-        .map(j => s"(${vj("md5(dt.w)", j)}) * (${vj("md5(q.w)", j)})")
-        .mkString(" + ")
+      val dot = maxSimDotSql("md5(dt.w)", "md5(q.w)")
       s"""
       WITH raw AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -2380,7 +2380,7 @@ object EventStream {
       FROM wins w
       LEFT JOIN agg a ON a.hour_start = w.hour_start
                      AND a.event_type IS NOT DISTINCT FROM w.event_type
-      ORDER BY w.hour_start, w.event_type"""
+      ORDER BY w.hour_start, w.event_type NULLS FIRST"""
     })
 
   val all: Seq[Q] =

@@ -126,12 +126,28 @@ class PlanShapeSpec extends SparkSpec {
     // collect() drives THIS queryExecution (head() would wrap a new
     // limited plan and leave these metrics untouched)
     assert(joined.collect()(0).getLong(0) > 0)
-    // and the pruning must actually cut partitions at runtime: the
-    // scan's partition count metric stays well under the full set
-    val scans = joined.queryExecution.executedPlan.collectLeaves()
-    val pruned = scans.flatMap(_.metrics.get("numPartitions"))
-      .map(_.value).headOption
-    pruned.foreach(p => assert(p < nMonths,
+    // and the pruning must actually cut partitions at runtime. The
+    // executed plan is an AdaptiveSparkPlanExec LEAF — collectLeaves()
+    // never reaches the scans (a vacuous pass the r6 review caught);
+    // walk through AQE wrappers and query stages explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val factScans = scans(joined.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning")))
+    assert(factScans.nonEmpty, "no scan carries the dynamic filter")
+    val pruned = factScans.flatMap(_.metrics.get("numPartitions"))
+      .map(_.value)
+    assert(pruned.nonEmpty, "fact scan lost its numPartitions metric")
+    pruned.foreach(p => assert(p > 0 && p < nMonths,
       s"DPP read $p of $nMonths partitions — nothing was pruned"))
   }
 
