@@ -3360,9 +3360,131 @@ object Text {
       ORDER BY rrf DESC, coalesce(ra.doc_id, rb.doc_id)
       LIMIT 20"""))
 
+  /** q237: BOILERPLATE segment filtering with CONTEXT SMOOTHING — the
+    * jusText shape (Pomikálek 2011; trafilatura's ancestor), the
+    * extraction stage between raw capture and every quality/dedup op
+    * in this suite: classify 16-word segments (q91's segmentation) by
+    * LENGTH and STOPWORD DENSITY, then let borderline segments be
+    * rescued by an adjacent base-GOOD neighbour — the context rule is
+    * what separates jusText from naive per-segment thresholds (a short
+    * connective sentence inside an article survives; the same segment
+    * in a nav bar dies). Stopwords are the corpus's top-20 tokens
+    * (data-derived, language-free); all features are integer ratios
+    * (4·hits ≥ n, 20·hits < n) so the classification is bit-portable.
+    * Base classes: GOOD (n ≥ 8 ∧ density ≥ ¼), BAD (n < 4 ∨ density
+    * < 1/20), else BORDER; final = GOOD for base-good or
+    * neighbour-rescued border. Scale: segments explode once, stopwords
+    * are a 20-row broadcast, smoothing is a per-doc window over
+    * seg_idx (partitioned — never a global sort), doc rollup is one
+    * grouped aggregate. */
+  val q237 = Q(
+    "q237_boilerplate_filter",
+    (s, d) => {
+      import graft.Caches.Tracked
+      import org.apache.spark.sql.expressions.Window
+      val segLen = 16
+      val segTok = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"""transform(
+                 sequence(0, cast(ceil(size(words) / $segLen.0) as int) - 1),
+                 g -> slice(words, g * $segLen + 1, $segLen))""")))
+        .withColumnRenamed("pos", "seg_idx")
+        .select(col("doc_id"), col("seg_idx"),
+          explode(col("col")).as("w"))
+        .persistTracked()
+      val stops = segTok.groupBy(col("w"))
+        .agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("w"))
+        .limit(20)
+        .select(col("w"), lit(1).as("is_stop"))
+      val feat = segTok
+        .join(broadcast(stops), Seq("w"), "left")
+        .groupBy(col("doc_id"), col("seg_idx"))
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(coalesce(col("is_stop"), lit(0))).cast(LongType)
+            .as("stop_hits"))
+      val based = feat.withColumn(
+        "base",
+        when(col("n_tok") >= 8 &&
+          lit(4L) * col("stop_hits") >= col("n_tok"), "good")
+          .when(col("n_tok") < 4 ||
+            lit(20L) * col("stop_hits") < col("n_tok"), "bad")
+          .otherwise("border"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("seg_idx"))
+      val cls = based
+        .withColumn("rescued",
+          col("base") === "border" &&
+            (lag(col("base"), 1).over(w) === "good" ||
+              lead(col("base"), 1).over(w) === "good"))
+        .withColumn("keep",
+          col("base") === "good" || col("rescued"))
+      cls.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("rescued"), 1L).otherwise(0L)).as("n_rescued"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L))
+            .cast(LongType).as("kept_tokens"),
+          sum(col("n_tok")).cast(LongType).as("total_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), idx AS (
+        SELECT doc_id, words,
+               unnest(range(0, (len(words) + 15) // 16)) AS seg_idx
+        FROM docs
+      ), tok AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               unnest(words[seg_idx * 16 + 1 : seg_idx * 16 + 16]) AS w
+        FROM idx
+      ), stops AS (
+        SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 20
+      ), feat AS (
+        SELECT doc_id, seg_idx, count(*) AS n_tok,
+               count(*) FILTER (w IN (SELECT w FROM stops)) AS stop_hits
+        FROM tok GROUP BY 1, 2
+      ), based AS (
+        SELECT *,
+               CASE WHEN n_tok >= 8 AND 4 * stop_hits >= n_tok
+                      THEN 'good'
+                    WHEN n_tok < 4 OR 20 * stop_hits < n_tok
+                      THEN 'bad'
+                    ELSE 'border' END AS base
+        FROM feat
+      ), cls AS (
+        SELECT *,
+               base = 'border' AND
+                 (lag(base) OVER dw = 'good'
+                  OR lead(base) OVER dw = 'good') AS rescued,
+               base = 'good' OR (base = 'border' AND
+                 (lag(base) OVER dw = 'good'
+                  OR lead(base) OVER dw = 'good')) AS keep
+        FROM based
+        WINDOW dw AS (PARTITION BY doc_id ORDER BY seg_idx)
+      )
+      SELECT doc_id,
+             count(*) AS n_segs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+             CAST(sum(CASE WHEN rescued THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rescued,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM cls
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
-      q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235)
+      q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
+      q237)
 }

@@ -3480,6 +3480,44 @@ class NewOperatorsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == top.map(_._1))
   }
 
+  test("q237 boilerplate filter: full driver replay of jusText smoothing") {
+    val got = graft.queries.Text.q237.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val freq = scala.collection.mutable.Map[String, Long]()
+    docs.foreach(_._2.foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    val stops = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+      .map(_._1).toSet
+    var anyRescued = 0L
+    docs.foreach { case (id, words) =>
+      val segs = words.grouped(16).toSeq
+      val base = segs.map { sw =>
+        val n = sw.length
+        val hits = sw.count(stops)
+        if (n >= 8 && 4L * hits >= n) "good"
+        else if (n < 4 || 20L * hits < n) "bad"
+        else "border"
+      }
+      val keep = base.indices.map { i =>
+        base(i) == "good" || (base(i) == "border" &&
+          ((i > 0 && base(i - 1) == "good") ||
+            (i + 1 < base.length && base(i + 1) == "good")))
+      }
+      val rescued = base.indices.count(i => keep(i) && base(i) == "border")
+      anyRescued += rescued
+      val expect = (segs.length.toLong,
+        keep.count(identity).toLong, rescued.toLong,
+        segs.indices.filter(keep).map(segs(_).length.toLong).sum,
+        words.length.toLong)
+      assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+    }
+    // the context rule must be LIVE on the fixture, not vacuous
+    assert(anyRescued > 0, "no borderline segment was ever rescued")
+  }
+
   test("q236 incremental clustering equals the q68 full recompute row-for-row") {
     def rows(q: graft.queries.Q) = q.run(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
