@@ -1285,19 +1285,36 @@ object Text {
     * reassembled deduped text via md5. Scale shape: explode (linear),
     * one groupBy on the 128-bit hash, one join back, one per-doc
     * aggregate — no pairwise anything. */
+  /** 16-word segmentation shared by q91 (dedup) and q237 (boilerplate):
+    * the g-th window of the doc's word array. ONE definition per engine
+    * (the KmvMd5.nibSql lesson) — `body` is what each segment becomes
+    * (a joined string for q91, the word array for q237); the SQL twins
+    * share [[segIdxCteSql]] the same way. */
+  val SegLen = 16
+  private def segWindowsExpr(body: String): String =
+    s"""transform(
+         sequence(0, cast(ceil(size(words) / $SegLen.0) as int) - 1),
+         g -> $body)"""
+  private val segSliceExpr = s"slice(words, g * $SegLen + 1, $SegLen)"
+  /** DuckDB twin: docs/idx CTE pair producing (doc_id, words, seg_idx). */
+  private val segIdxCteSql = s"""docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), idx AS (
+        SELECT doc_id, words,
+               unnest(range(0, (len(words) + ${SegLen - 1}) // $SegLen))
+                 AS seg_idx
+        FROM docs
+      )"""
+
   val q91 = Q(
     "q91_segment_dedup",
     (s, d) => {
-      val segLen = 16
       val segs = Tables.load(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(
           col("doc_id"),
-          posexplode(expr(
-            s"""transform(
-                 sequence(0, cast(ceil(size(words) / $segLen.0) as int) - 1),
-                 g -> array_join(slice(words, g * $segLen + 1, $segLen),
-                                 ' '))""")))
+          posexplode(expr(segWindowsExpr(
+            s"array_join($segSliceExpr, ' ')"))))
         .withColumnRenamed("pos", "seg_idx")
         .withColumnRenamed("col", "seg")
         .withColumn("h", md5(col("seg")))
@@ -1320,17 +1337,12 @@ object Text {
                  x -> x.seg)"""), " ")).as("dedup_hash"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH docs AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-      ), idx AS (
-        SELECT doc_id, words,
-               unnest(range(0, (len(words) + 15) // 16)) AS seg_idx
-        FROM docs
-      ), segs AS (
+    Some(s"""
+      WITH $segIdxCteSql, segs AS (
         SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
                array_to_string(
-                 words[seg_idx * 16 + 1 : seg_idx * 16 + 16], ' ') AS seg
+                 words[seg_idx * $SegLen + 1 : seg_idx * $SegLen + $SegLen],
+                 ' ') AS seg
         FROM idx
       ), hashed AS (
         SELECT doc_id, seg_idx, seg, md5(seg) AS h,
@@ -3380,17 +3392,12 @@ object Text {
   val q237 = Q(
     "q237_boilerplate_filter",
     (s, d) => {
-      import graft.Caches.Tracked
       import org.apache.spark.sql.expressions.Window
-      val segLen = 16
       val segTok = Tables.load(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(
           col("doc_id"),
-          posexplode(expr(
-            s"""transform(
-                 sequence(0, cast(ceil(size(words) / $segLen.0) as int) - 1),
-                 g -> slice(words, g * $segLen + 1, $segLen))""")))
+          posexplode(expr(segWindowsExpr(segSliceExpr))))
         .withColumnRenamed("pos", "seg_idx")
         .select(col("doc_id"), col("seg_idx"),
           explode(col("col")).as("w"))
@@ -3432,16 +3439,11 @@ object Text {
           sum(col("n_tok")).cast(LongType).as("total_tokens"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH docs AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-      ), idx AS (
-        SELECT doc_id, words,
-               unnest(range(0, (len(words) + 15) // 16)) AS seg_idx
-        FROM docs
-      ), tok AS (
+    Some(s"""
+      WITH $segIdxCteSql, tok AS (
         SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
-               unnest(words[seg_idx * 16 + 1 : seg_idx * 16 + 16]) AS w
+               unnest(words[seg_idx * $SegLen + 1
+                            : seg_idx * $SegLen + $SegLen]) AS w
         FROM idx
       ), stops AS (
         SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 20
@@ -3457,16 +3459,15 @@ object Text {
                       THEN 'bad'
                     ELSE 'border' END AS base
         FROM feat
-      ), cls AS (
+      ), smoothed AS (
         SELECT *,
                base = 'border' AND
                  (lag(base) OVER dw = 'good'
-                  OR lead(base) OVER dw = 'good') AS rescued,
-               base = 'good' OR (base = 'border' AND
-                 (lag(base) OVER dw = 'good'
-                  OR lead(base) OVER dw = 'good')) AS keep
+                  OR lead(base) OVER dw = 'good') AS rescued
         FROM based
         WINDOW dw AS (PARTITION BY doc_id ORDER BY seg_idx)
+      ), cls AS (
+        SELECT *, base = 'good' OR rescued AS keep FROM smoothed
       )
       SELECT doc_id,
              count(*) AS n_segs,

@@ -3486,7 +3486,10 @@ class NewOperatorsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val docs = Tables.load(spark, sf001, "documents")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      // split limit -1: Scala's default DROPS trailing empty tokens,
+      // Spark SQL split and DuckDB string_split keep them — the replay
+      // must tokenize like the engines it validates
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
     val freq = scala.collection.mutable.Map[String, Long]()
     docs.foreach(_._2.foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
     val stops = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
