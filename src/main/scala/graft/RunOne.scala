@@ -15,6 +15,10 @@ object RunOne {
     val fn = SparkEntry.queries.getOrElse(
       name, sys.error(s"unknown query: $name"))
     (1 to runs).foreach { i =>
+      // per-run CPU probe (Bench.calibrate): a stalled box shows a
+      // proportionally inflated probe beside the run it distorted, so
+      // RunOne triage verdicts (stall vs regression) are arithmetic
+      val cal = Bench.calibrate()
       val t0 = System.nanoTime()
       // SPARK_GRAFT_KEEP_CACHE=1 preserves persisted frames across runs —
       // ONLY for reproducing cross-run cache-accretion effects (the
@@ -24,7 +28,7 @@ object RunOne {
         finally if (sys.env.getOrElse("SPARK_GRAFT_KEEP_CACHE", "0") == "0")
           Caches.release()
       println(f"[runone] $name run $i: $n rows, " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (cal $cal%.3f s)")
     }
     spark.stop()
   }

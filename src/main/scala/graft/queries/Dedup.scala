@@ -1079,6 +1079,105 @@ object Dedup {
     // incremental == from-scratch is the entire claim
     q68.oracle)
 
+  /** Filesystem location of q238's committed cluster-state store for a
+    * fixture dir + content fingerprint (exposed so the spec can reset
+    * and inspect the store). Content-keyed, never path-only-keyed: the
+    * pivotMemo lesson (ADVICE r6) is that a cache keyed on a fixture
+    * PATH serves stale answers after in-place regeneration; a key that
+    * includes (row count, Σ doc_id, Σ |token set|, max doc_id) of the
+    * exact rows the state summarizes cannot. */
+  def q238StateDir(fixtureDir: String, fingerprint: String)
+      : java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_state",
+      s"clusters_${new java.io.File(fixtureDir).getName}_$fingerprint")
+
+  /** q238: the CROSS-RUN incremental pipeline — q236's increment fed by
+    * a PERSISTED state store. q236 proves increment ≡ recompute but
+    * rebuilds yesterday's labels in-run, so its measured time exceeds
+    * the real daily bill (its own honest-cost caveat). This query closes
+    * that gap by composing the two components the round-6 notes said
+    * compose: cluster state is PUBLISHED through the graft.sources.tsv
+    * staged-commit sink (dot-prefixed staging files, driver-side rename,
+    * `_SUCCESS` written LAST — sources/tsv/TsvSource.scala) and CONSUMED
+    * through its DSv2 reader, gated on the `_SUCCESS` marker exactly as
+    * the sink's crash-safety contract prescribes: a torn directory has
+    * no marker and triggers a rebuild, never a wrong answer.
+    *
+    * First run per fixture content builds + publishes the old-corpus
+    * labels (q236's state bill, paid once); every later run pays ONLY
+    * the increment — load the state TSV, cross/new-new similarity,
+    * contracted-star label merge. Bench's "headline = last run"
+    * convention therefore measures the real increment bill, which is
+    * the number q236 could not produce. The result is IDENTICAL on both
+    * paths (min-id labels are stable under increments — q236's doc),
+    * so the oracle stays q68's recursive SQL VERBATIM: full-recompute
+    * equality, now proven against a state that crossed a serialization
+    * boundary — any value the TSV round-trip mangles diffs. */
+  val q238 = Q(
+    "q238_incremental_store",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val all0 = Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persistTracked()
+      // scale-relative cut (the q207 pattern): 80% of the id span
+      val cut = all0.agg(max(col("doc_id")).as("m")).head().getLong(0) * 4 / 5
+      val old = all0.filter(col("doc_id") <= cut).persistTracked()
+      val fresh = all0.filter(col("doc_id") > cut).persistTracked()
+      // content fingerprint of EXACTLY the rows the state summarizes
+      // (bounded: a 1-row aggregate over the already-persisted frame)
+      val fp = old.agg(
+        count(lit(1)).as("n"), sum(col("doc_id")).as("sid"),
+        sum(col("sz")).as("ssz"), max(col("doc_id")).as("mx")).head()
+      val dir = q238StateDir(d,
+        s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
+      java.nio.file.Files.createDirectories(dir.getParent)
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        // yesterday's labels don't exist yet: build once and PUBLISH via
+        // the staged commit — a crash mid-publish leaves no _SUCCESS and
+        // the next run rebuilds from scratch (never reads a torn store)
+        graft.operators.Components.connectedComponents(
+          old.select(col("doc_id").as("id")),
+          jaccardPairs(old, 0.6).select(col("doc_a"), col("doc_b"))
+            .localCheckpoint(),
+          tag = "q238_state")
+          .write.format("graft.sources.tsv")
+          .mode("overwrite").save(dir.toString)
+      }
+      val state = s.read.format("graft.sources.tsv")
+        .schema(StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("lbl", LongType, nullable = false))))
+        .load(dir.toString)
+      // today's bill: cross pairs + new-new pairs + the state's
+      // contracted star edges — the old×old quadratic term stays in the
+      // store, paid once per corpus, not once per day
+      val cross = jaccardPairsAcross(fresh, old, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val newNew = jaccardPairs(fresh, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val stateEdges = state.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+      val labels = graft.operators.Components.connectedComponents(
+        all0.select(col("doc_id").as("id")),
+        stateEdges.unionByName(cross).unionByName(newNew)
+          .localCheckpoint(),
+        tag = "q238_merge")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    q68.oracle)
+
   val all: Seq[Q] =
-    Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236)
+    Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238)
 }

@@ -3537,4 +3537,53 @@ class NewOperatorsSpec extends SparkSpec {
       assert(members.map(_._1).min == lbl)
     }
   }
+
+  test("q238 store: builds once, reuses the committed state, equals q68") {
+    import java.nio.file.{Files => JF}
+    def rows(q: graft.queries.Q) =
+      try q.run(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      finally graft.Caches.release()
+    // reset any store this fixture content already has, so run 1 is a
+    // genuine cold build (delete _SUCCESS first: the reader's gate —
+    // a half-deleted store must read as absent, never as torn)
+    val parent = graft.queries.Dedup.q238StateDir(sf001, "x").getParent
+    if (JF.exists(parent)) {
+      import scala.jdk.CollectionConverters._
+      val stream = JF.list(parent)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("clusters_sf0.001_"))
+        .foreach { d =>
+          JF.deleteIfExists(d.resolve("_SUCCESS"))
+          val s2 = JF.list(d)
+          try s2.iterator().asScala.foreach(JF.deleteIfExists(_))
+          finally s2.close()
+          JF.deleteIfExists(d)
+        }
+      finally stream.close()
+    }
+    val cold = rows(graft.queries.Dedup.q238)
+    // the build run must have PUBLISHED: exactly one committed store for
+    // this fixture, marker present
+    import scala.jdk.CollectionConverters._
+    val s3 = JF.list(parent)
+    val dirs =
+      try s3.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("clusters_sf0.001_"))
+        .toSeq
+      finally s3.close()
+    assert(dirs.size == 1, s"expected one committed store, got $dirs")
+    val marker = dirs.head.resolve("_SUCCESS")
+    assert(JF.exists(marker), "publish did not commit a _SUCCESS marker")
+    val mtime = JF.getLastModifiedTime(marker)
+    // run 2 must REUSE the store (marker untouched) and agree exactly
+    val warm = rows(graft.queries.Dedup.q238)
+    assert(JF.getLastModifiedTime(marker) == mtime,
+      "second run rebuilt the state instead of loading the store")
+    assert(warm == cold, "store-loaded increment drifted from build run")
+    val full = rows(graft.queries.Dedup.q68)
+    assert(cold == full,
+      "incremental-from-store drifted from the q68 full recompute")
+  }
 }
