@@ -97,19 +97,36 @@ object GlobalOrder {
       .withColumn(vCol, value.cast(LongType))
       .persistTracked()
     // API-trap guard (r5 advice): enforce the distinct-keys contract at
-    // runtime, not just in the docstring — one map-side-combinable
-    // aggregation over the already-persisted frame. Flag lets a caller
-    // that proved distinctness upstream skip the extra job at scale.
+    // runtime, not just in the docstring. Probes the already-PERSISTED
+    // frame (r6 advice: the first guard grouped the raw input, re-running
+    // an un-cached upstream lineage once per call), and does it WITHOUT a
+    // groupBy — grouping the cached desc-range-partitioned frame trips
+    // Spark 4.1's EnsureRequirements (SortOrder ClassCastException).
+    // Instead it exploits the frame's own invariant: `sorted` is
+    // range-partitioned AND sorted within partitions on the order keys
+    // (equal keys land in one partition — RangePartitioning assigns by
+    // key value), so any duplicate is ADJACENT; one shuffle-free
+    // adjacent-equality scan over the cache finds it. Cost model: one
+    // extra cache scan per call, zero shuffles, zero upstream recompute;
+    // the flag lets a caller that proved distinctness upstream (q194's
+    // groupBy) skip even that.
     if (assertDistinct && df.sparkSession.conf
         .get("spark.graft.cummax.assertDistinctOrder", "true").toBoolean) {
-      // strip SortOrder wrappers (col.desc) — groupBy keys must be bare
+      // strip SortOrder wrappers (col.desc) — projected keys must be bare
       val keys = order.map(org.apache.spark.sql.graftbridge.stripSortOrder)
-      // group the INPUT frame, not the cached range-partitioned one:
-      // Spark 4.1's EnsureRequirements chokes (SortOrder cast) when a
-      // hash requirement meets the cached desc-RangePartitioning
-      val dup = df.groupBy(keys: _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
+      val hasDup = !sorted.select(keys: _*).rdd
+        .mapPartitions { it =>
+          var prev: org.apache.spark.sql.Row = null
+          var found = false
+          while (it.hasNext && !found) {
+            val r = it.next()
+            if (prev != null && r == prev) found = true
+            prev = r
+          }
+          if (found) Iterator.single(true) else Iterator.empty
+        }
+        .isEmpty()
+      require(!hasDup,
         "withOrderedCummax requires DISTINCT order keys: ties make the " +
           "exclusive prefix max partition-placement-dependent — collapse " +
           "to one row per order key first (q194 does)")

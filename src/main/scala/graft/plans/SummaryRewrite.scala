@@ -57,8 +57,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   val PATH = "spark.graft.summaryRewrite.path"
   val FACT = "spark.graft.summaryRewrite.fact"
 
+  // warned once per SESSION, not per JVM (r6 advice: a long-lived
+  // multi-tenant driver would bury the one JVM-global line in an old
+  // log; each misconfigured session deserves its own signal). Bounded:
+  // one uuid entry per SparkSession ever misconfigured.
   private val misconfigWarned =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The single parquet root path under `plan`, if `plan` is a bare
     * Project/scan tree with no Filter/join/anything else. Returned as
@@ -93,15 +97,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (path.isEmpty || fact.isEmpty) {
         // fail CLOSED but not silently: pre-r6 configs set only
         // FLAG+PATH (fact had a basename default) — their aggregates
-        // would otherwise quietly revert to full fact scans. Warn ONCE
-        // per JVM: optimizer rules run per batch per query, and a
-        // dashboard workload would otherwise bury the signal under
-        // thousands of identical lines.
-        if (fact.isEmpty && path.nonEmpty &&
-          misconfigWarned.compareAndSet(false, true)) logWarning(
-          s"$FLAG is on and $PATH is set but $FACT is empty — summary " +
-            "rewrite is DISABLED; set it to the full root path of the " +
-            "fact table the summary was built from")
+        // would otherwise quietly revert to full fact scans. FLAG on +
+        // PATH set + FACT empty is ALWAYS a misconfiguration; warn once
+        // per session (rules run per batch per query — unthrottled, a
+        // dashboard workload would print thousands of identical lines).
+        if (fact.isEmpty && path.nonEmpty) {
+          val sess = String.valueOf(System.identityHashCode(
+            org.apache.spark.sql.SparkSession.active))
+          if (misconfigWarned.add(sess)) logWarning(
+            s"$FLAG is on and $PATH is set but $FACT is empty — summary " +
+              "rewrite is DISABLED for this session; set it to the full " +
+              "root path of the fact table the summary was built from")
+        }
         plan
       } else {
         // qualify the configured path against the session's filesystem

@@ -26,11 +26,22 @@ object Olap {
     * engines stay in lockstep under ANY fixture dates. */
   private val pivotMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  def lastFullYear(s: SparkSession, d: String): Int =
-    pivotMemo.computeIfAbsent(d, _ =>
+  def lastFullYear(s: SparkSession, d: String): Int = {
+    // memo key = dir + a filesystem stamp of the lineitem fixture
+    // (XOR of mtime^length over its files — driver-side metadata, no
+    // job): a fixture regenerated IN-PLACE changes the stamp, so a
+    // stale pivot year can never be served within one JVM (the
+    // pivotMemo latent, ADVICE r6 — path-only keys have no
+    // invalidation story)
+    val root = new java.io.File(new java.io.File(d), "lineitem.parquet")
+    val stamp = Option(root.listFiles())
+      .map(_.foldLeft(0L)((a, f) => a ^ f.lastModified() ^ f.length()))
+      .getOrElse(root.lastModified() ^ root.length())
+    pivotMemo.computeIfAbsent(s"$d#$stamp", _ =>
       Tables.load(s, d, "lineitem")
         .agg(max(year(to_date(col("l_shipdate")))).as("y"))
         .head().getInt(0) - 1)
+  }
 
   /** The DuckDB twin of [[lastFullYear]] — inline scalar subquery. */
   val pivotYearSql =

@@ -191,7 +191,7 @@ class MediaSpec extends SparkSpec {
     assert(byFp.values.sum == got.length.toLong)
   }
 
-  test("VideoCodec: MJPEG SOI split recovers every frame; luma error tight") {
+  test("VideoCodec: MJPEG marker walk recovers every frame; luma error tight") {
     import graft.multimodal.{ImageCodec, VideoCodec}
     // the q233 certificate (luma_ok ≤ LumaTol=64) has decoder-version
     // headroom; THIS pins the actual measured regime much tighter so a
@@ -201,7 +201,7 @@ class MediaSpec extends SparkSpec {
     (0L until 600L).foreach { id =>
       val frames = VideoCodec.decodeFrames(VideoCodec.encode(id))
       assert(frames.length == VideoCodec.nFrames(id),
-        s"doc $id: SOI split found ${frames.length} frames")
+        s"doc $id: marker walk found ${frames.length} frames")
       val (w, h) = ImageCodec.dims(id)
       frames.foreach { case (idx, fw, fh, pix) =>
         assert((fw, fh) == (w, h), s"doc $id frame $idx dims")
@@ -210,13 +210,47 @@ class MediaSpec extends SparkSpec {
       }
     }
     assert(worst <= 30, s"decoded luma error regime shifted: max $worst")
-    // a deliberately desynced split (drop the first frame's SOI) must
-    // NOT silently pass the fidelity bound for that frame
+    // a beheaded stream (first SOI dropped) is MALFORMED: the marker
+    // walk must fail loudly, never resync-and-guess (the old byte scan
+    // silently recovered n-1 frames — a real decoder must not guess
+    // where a frame starts)
     val id = 7L
     val bytes = VideoCodec.encode(id)
     val truncated = java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
-    val recovered = VideoCodec.decodeFrames(truncated)
-    assert(recovered.length == VideoCodec.nFrames(id) - 1,
-      "truncated stream must lose exactly the beheaded frame")
+    val e = intercept[IllegalArgumentException] {
+      VideoCodec.decodeFrames(truncated)
+    }
+    assert(e.getMessage.contains("SOI"))
+  }
+
+  test("VideoCodec: nested SOI inside an APP1 thumbnail does not tear a frame") {
+    import graft.multimodal.VideoCodec
+    // the r6 over-split latent: a camera JPEG whose EXIF/APP1 payload
+    // embeds a thumbnail (its own complete SOI..EOI stream) fooled the
+    // raw FFD8-FF byte scan into splitting mid-frame. The marker walk
+    // skips length-delimited segments wholesale, so the nested stream
+    // is invisible. Build such a frame synthetically: a real ImageIO
+    // JPEG with an APP1 segment whose payload IS another full JPEG.
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 5).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, (seed * 2654435761L).toInt & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val host = jpeg(1)
+    val thumb = jpeg(2)
+    val app1Len = thumb.length + 2
+    assert(app1Len < 0x10000, "thumbnail too large for one APP1")
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte) ++ thumb
+    val withThumb = host.take(2) ++ app1 ++ host.drop(2)
+    val stream = withThumb ++ jpeg(3)
+    val frames = VideoCodec.decodeFrames(stream)
+    assert(frames.length == 2,
+      s"nested SOI tore the stream into ${frames.length} frames")
+    assert(frames.forall { case (_, w, h, _) => (w, h) == (8, 5) })
   }
 }
