@@ -3482,10 +3482,197 @@ object Text {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** q239: Gopher REPETITION rules (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Table A1) — duplicate-line fraction,
+    * duplicate-line character fraction, top-2-gram character share,
+    * duplicate-5-gram character share, with the paper's thresholds
+    * (0.30 / 0.20 / 0.15) as per-doc pass flags. The fixture has
+    * measured-ZERO intra-doc repetition (r6 note: every metric would be
+    * degenerate), so the corpus is made repetition-bearing by a
+    * DETERMINISTIC construction both engines perform identically: the
+    * doc's 16-word segments (q91/q237's shared segmentation) are its
+    * "lines", and the first `doc_id % 4` lines are appended again —
+    * docs ≡ 0 (mod 4) stay a clean control group, the rest carry a
+    * known, id-keyed duplication dose. Char shares are the standard
+    * occurrence-weighted variant (Σ count·len over duplicated/top
+    * grams ÷ doc chars — overlaps counted, exactly as n-gram share is
+    * computed in the filtering literature); every numerator and
+    * denominator is an exact BIGINT, the emitted ratios one IEEE
+    * division of identical operands. Top-2-gram ties break (count
+    * DESC, gram ASC) via the same window in both engines. Scale shape:
+    * one scan, three token-linear explodes (lines / 2-grams /
+    * 5-grams), each a map-side-combinable groupBy at (doc, value)
+    * granularity joined back at doc granularity — no pairwise product,
+    * nothing super-linear; the 5× token blow-up is the known cost of
+    * the Gopher rules themselves. */
+  val q239 = Q(
+    "q239_gopher_repetition",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val segBody = s"array_join(slice(words, g * $SegLen + 1, $SegLen), ' ')"
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("lines", expr(segWindowsExpr(segBody)))
+        .withColumn("k_rep", (col("doc_id") % 4).cast(LongType))
+        .withColumn("lines2", expr(
+          """concat(lines,
+               slice(lines, 1, cast(least(k_rep, size(lines)) as int)))"""))
+        .withColumn("toks2", split(array_join(col("lines2"), " "), " "))
+        .withColumn("doc_chars",
+          length(array_join(col("lines2"), " ")).cast(LongType))
+        .select(col("doc_id"), col("k_rep"), col("lines2"), col("toks2"),
+          col("doc_chars"))
+        .persistTracked()
+      val lineAgg = base
+        .select(col("doc_id"), explode(col("lines2")).as("line"))
+        .groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_lines"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_lines"),
+          sum(col("c") * length(col("line"))).as("line_chars"),
+          sum(when(col("c") > 1, col("c") * length(col("line")))
+            .otherwise(0L)).as("dup_line_chars"))
+      // sequence(1, 0) is DESCENDING in Spark — guard short docs with a
+      // CASE (DuckDB's range(1, n<=1) is empty and needs no guard)
+      val g2 = base
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks2) >= 2 THEN
+               transform(sequence(1, size(toks2) - 1),
+                 i -> concat(element_at(toks2, i), ' ',
+                             element_at(toks2, i + 1)))
+             ELSE array() END""")).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      val top2 = g2
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("c").desc, col("gram").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          (col("c") * length(col("gram"))).as("top2_chars"))
+      val g5agg = base
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks2) >= 5 THEN
+               transform(sequence(1, size(toks2) - 4),
+                 i -> concat_ws(' ', element_at(toks2, i),
+                   element_at(toks2, i + 1), element_at(toks2, i + 2),
+                   element_at(toks2, i + 3), element_at(toks2, i + 4)))
+             ELSE array() END""")).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c") * length(col("gram")))
+          .otherwise(0L)).as("dup5_chars"))
+      base
+        .join(lineAgg, Seq("doc_id"))
+        .join(top2, Seq("doc_id"), "left_outer")
+        .join(g5agg, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"), col("k_rep"), col("n_lines"), col("dup_lines"),
+          (col("dup_lines").cast(DoubleType) / col("n_lines"))
+            .as("dup_line_frac"),
+          (col("dup_line_chars").cast(DoubleType) / col("line_chars"))
+            .as("dup_line_char_frac"),
+          (coalesce(col("top2_chars"), lit(0L)).cast(DoubleType) /
+            col("doc_chars")).as("top2_share"),
+          (coalesce(col("dup5_chars"), lit(0L)).cast(DoubleType) /
+            col("doc_chars")).as("dup5_share"))
+        .withColumn("pass_dup_line", col("dup_line_frac") <= 0.30)
+        .withColumn("pass_top2", col("top2_share") <= 0.20)
+        .withColumn("pass_dup5", col("dup5_share") <= 0.15)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), segd AS (
+        SELECT doc_id, doc_id % 4 AS k_rep,
+               list_transform(range(0, (len(words) + ${SegLen - 1})
+                   // $SegLen),
+                 g -> array_to_string(
+                   words[g * $SegLen + 1 : g * $SegLen + $SegLen], ' '))
+                 AS lines
+        FROM docs
+      ), base AS (
+        SELECT doc_id, k_rep,
+               list_concat(lines,
+                 lines[1 : CAST(least(k_rep, len(lines)) AS INT)])
+                 AS lines2
+        FROM segd
+      ), base2 AS (
+        SELECT doc_id, k_rep, lines2,
+               string_split(array_to_string(lines2, ' '), ' ') AS toks2,
+               len(array_to_string(lines2, ' ')) AS doc_chars
+        FROM base
+      ), linec AS (
+        SELECT doc_id, line, count(*) AS c
+        FROM (SELECT doc_id, unnest(lines2) AS line FROM base2)
+        GROUP BY doc_id, line
+      ), lineagg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_lines,
+               CAST(sum(c * len(line)) AS BIGINT) AS line_chars,
+               CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END)
+                 AS BIGINT) AS dup_line_chars
+        FROM linec GROUP BY doc_id
+      ), g2 AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(toks2)),
+                  i -> toks2[i] || ' ' || toks2[i + 1])) AS gram
+              FROM base2)
+        GROUP BY doc_id, gram
+      ), top2 AS (
+        SELECT doc_id, CAST(c * len(gram) AS BIGINT) AS top2_chars
+        FROM (SELECT doc_id, gram, c, row_number() OVER
+                (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+              FROM g2)
+        WHERE rn = 1
+      ), g5 AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(toks2) - 3),
+                  i -> toks2[i] || ' ' || toks2[i + 1] || ' ' ||
+                       toks2[i + 2] || ' ' || toks2[i + 3] || ' ' ||
+                       toks2[i + 4])) AS gram
+              FROM base2)
+        GROUP BY doc_id, gram
+      ), g5agg AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c > 1 THEN c * len(gram) ELSE 0 END)
+                 AS BIGINT) AS dup5_chars
+        FROM g5 GROUP BY doc_id
+      )
+      SELECT b.doc_id, CAST(b.k_rep AS BIGINT) AS k_rep,
+             la.n_lines, la.dup_lines,
+             CAST(la.dup_lines AS DOUBLE) / la.n_lines AS dup_line_frac,
+             CAST(la.dup_line_chars AS DOUBLE) / la.line_chars
+               AS dup_line_char_frac,
+             CAST(coalesce(t.top2_chars, 0) AS DOUBLE) / b.doc_chars
+               AS top2_share,
+             CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / b.doc_chars
+               AS dup5_share,
+             CAST(la.dup_lines AS DOUBLE) / la.n_lines <= 0.30
+               AS pass_dup_line,
+             CAST(coalesce(t.top2_chars, 0) AS DOUBLE) / b.doc_chars
+               <= 0.20 AS pass_top2,
+             CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / b.doc_chars
+               <= 0.15 AS pass_dup5
+      FROM base2 b
+      JOIN lineagg la USING (doc_id)
+      LEFT JOIN top2 t USING (doc_id)
+      LEFT JOIN g5agg g USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237)
+      q237, q239)
 }

@@ -3586,4 +3586,51 @@ class NewOperatorsSpec extends SparkSpec {
     assert(cold == full,
       "incremental-from-store drifted from the q68 full recompute")
   }
+
+  test("q239 gopher repetition: driver replay of the dosed metrics") {
+    // third independent implementation (Spark + DuckDB + this): replay
+    // the construction and all four metrics in plain Scala for a doc
+    // sample, engine-tokenizer discipline (split(" ", -1) — Spark/DuckDB
+    // keep trailing empties, Scala's default drops them)
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.queries.Text.q239.run(spark, sf001)
+      .filter(col("doc_id") < 40).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    graft.Caches.release()
+    assert(got.size == docs.size)
+    var sawDupFail = false
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ", -1).toSeq
+      val lines = words.grouped(16).map(_.mkString(" ")).toSeq
+      val k = (id % 4).toInt
+      val lines2 = lines ++ lines.take(k)
+      val toks2 = lines2.mkString(" ").split(" ", -1).toSeq
+      val docChars = lines2.mkString(" ").length.toLong
+      val lineC = lines2.groupBy(identity).view.mapValues(_.size)
+      val nLines = lines2.size.toLong
+      val dupLines = lineC.collect {
+        case (_, c) if c > 1 => c.toLong
+      }.sum
+      val grams5 = toks2.sliding(5).filter(_.size == 5)
+        .map(_.mkString(" ")).toSeq
+      val dup5Chars = grams5.groupBy(identity).collect {
+        case (g, occ) if occ.size > 1 => occ.size.toLong * g.length
+      }.sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_lines") == nLines, s"doc $id n_lines")
+      assert(r.getAs[Long]("dup_lines") == dupLines, s"doc $id dup_lines")
+      assert(r.getAs[Double]("dup_line_frac") ==
+        dupLines.toDouble / nLines, s"doc $id dup_line_frac")
+      assert(r.getAs[Double]("dup5_share") ==
+        dup5Chars.toDouble / docChars, s"doc $id dup5_share")
+      assert(r.getAs[Boolean]("pass_dup_line") ==
+        (dupLines.toDouble / nLines <= 0.30), s"doc $id pass_dup_line")
+      if (dupLines > 0) sawDupFail = true
+    }
+    // the dose must be LIVE: the sample must contain dosed docs
+    assert(sawDupFail, "no doc in the sample carried injected duplicates")
+  }
 }
