@@ -25,7 +25,73 @@ def norm(v):
     return v
 
 
+TEMPORAL = ("DATE", "TIME")  # prefixes: DATE, TIME, TIMESTAMP[_NS/TZ/...]
+
+
+def lint_types(duck_cols, duck_types, spark_types):
+    """Cross-engine hash-normalization lint. Python's value compare hides
+    type divergences the driver's hash normalization does not; each class
+    here shipped (or would ship) a false local PASS:
+      - wide integers/decimals (the q182/q207 class): DuckDB widens
+        integer sums to HUGEINT and some decimals to DECIMAL(38,*);
+      - temporal class mismatch (r6 judge item #7): DATE vs TIMESTAMP vs
+        TIMESTAMP_NS render different strings ('1997-01-01' vs
+        '1997-01-01 00:00:00') even when Python's date/datetime compare
+        happens to pass, and sub-second precision truncates differently;
+      - collation-qualified VARCHAR (same item): a COLLATE-qualified
+        output column orders by the collation while Spark sorts binary
+        UTF-8 — a latent positional-compare divergence on any ORDER BY
+        that touches it.
+    Returns one message per offending column (empty = clean)."""
+    msgs = []
+    for c in duck_cols:
+        dt, st = duck_types[c], spark_types.get(c, "")
+        if ((dt in ("HUGEINT", "UHUGEINT") or dt.startswith("DECIMAL(38,"))
+                and dt != st):
+            msgs.append(f"{c}: {dt} vs {st}"
+                        " — CAST the oracle column (BUILDLOG r2 invariant)")
+        elif (dt.startswith(TEMPORAL) or st.startswith(TEMPORAL)) \
+                and dt != st:
+            msgs.append(f"{c}: temporal class mismatch {dt} vs {st}"
+                        " — CAST both sides to the same temporal type")
+        elif "COLLATE" in dt:
+            msgs.append(f"{c}: collation-qualified oracle type {dt}"
+                        " — strip the collation (Spark orders binary UTF-8)")
+    return msgs
+
+
+def selftest():
+    """Committed negative tests for the lint (r6 judge item: each class
+    must demonstrably FIRE, not just exist)."""
+    cases = [
+        # (name, duck_type, spark_type, must_fire)
+        ("hugeint sum", "HUGEINT", "BIGINT", True),
+        ("dec38", "DECIMAL(38,2)", "DOUBLE", True),
+        ("date vs timestamp", "DATE", "TIMESTAMP", True),
+        ("ts precision", "TIMESTAMP", "TIMESTAMP_NS", True),
+        ("tstz", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP", True),
+        ("collation", "VARCHAR COLLATE NOCASE", "VARCHAR", True),
+        ("matched bigint", "BIGINT", "BIGINT", False),
+        ("matched ts", "TIMESTAMP", "TIMESTAMP", False),
+        ("plain varchar", "VARCHAR", "VARCHAR", False),
+        ("narrow decimal", "DECIMAL(18,2)", "DECIMAL(18,2)", False),
+    ]
+    bad = []
+    for name, dt, st, must_fire in cases:
+        fired = bool(lint_types(["c"], {"c": dt}, {"c": st}))
+        if fired != must_fire:
+            bad.append(f"{name}: lint {'fired' if fired else 'silent'}, "
+                       f"expected {'fire' if must_fire else 'silent'}")
+    if bad:
+        print("SELFTEST FAIL:\n  " + "\n  ".join(bad))
+        sys.exit(1)
+    print(f"SELFTEST PASS ({len(cases)} cases)")
+    sys.exit(0)
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -54,25 +120,16 @@ def main():
             print(f"FAIL {name}: columns {spark_cols} != {duck_cols}")
             n_fail += 1
             continue
-        # Type lint (the q182/q207 class): DuckDB widens integer sums to
-        # HUGEINT (int128) and some decimals to DECIMAL(38,*); Python's
-        # int compare hides it but the driver's hash normalization does
-        # not. FAIL any oracle output column whose DuckDB type is one of
-        # the wide classes unless the Spark (parquet) type is the same.
+        # Type lint — wide numeric (q182/q207), temporal class, and
+        # collation classes; see lint_types. Run `--selftest` for the
+        # committed negative tests.
         spark_types = dict(zip(spark_rel.columns,
                                (str(t).upper() for t in spark_rel.types)))
         duck_types = dict(zip(duck_rel.columns,
                               (str(t).upper() for t in duck_rel.types)))
-        wide = [c for c in duck_cols
-                if (duck_types[c] in ("HUGEINT", "UHUGEINT")
-                    or duck_types[c].startswith("DECIMAL(38,"))
-                and duck_types[c] != spark_types.get(c)]
-        if wide:
-            print(f"FAIL {name}: oracle emits wide types the Spark dump "
-                  f"does not: "
-                  + ", ".join(f"{c}: {duck_types[c]} vs "
-                              f"{spark_types.get(c)}" for c in wide)
-                  + " — CAST the oracle column (BUILDLOG r2 invariant)")
+        lint = lint_types(duck_cols, duck_types, spark_types)
+        if lint:
+            print(f"FAIL {name}: type lint: " + "; ".join(lint))
             n_fail += 1
             continue
         if len(spark_rows) != len(duck_rows):
