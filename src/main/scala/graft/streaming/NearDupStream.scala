@@ -29,6 +29,22 @@ object NearDupStream {
     * of true `dup` flags per doc, is_dup their disjunction. */
   final case class BandVerdict(doc_id: Long, band_id: Int, dup: Boolean)
 
+  /** The per-bucket transition shared by both entry points: verdicts
+    * against carried state + earlier same-batch rows, min-id update. */
+  private val stepFn
+      : ((Int, String), Iterator[BandRow], GroupState[Long])
+        => Iterator[BandVerdict] = {
+    case (_, rows, state: GroupState[Long]) =>
+      var minSeen = state.getOption.getOrElse(Long.MaxValue)
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        val dup = minSeen < r.doc_id
+        if (r.doc_id < minSeen) minSeen = r.doc_id
+        BandVerdict(r.doc_id, r.band_id, dup)
+      }
+      state.update(minSeen)
+      out.iterator
+  }
+
   /** Works identically on a batch Dataset (state starts empty, single
     * "micro-batch") and under readStream — the one-definition-two-modes
     * discipline every streaming operator in this repo follows. */
@@ -37,16 +53,25 @@ object NearDupStream {
     bands
       .groupByKey(b => (b.band_id, b.band_sig))
       .flatMapGroupsWithState[Long, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[Long]) =>
-          var minSeen = state.getOption.getOrElse(Long.MaxValue)
-          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
-            val dup = minSeen < r.doc_id
-            if (r.doc_id < minSeen) minSeen = r.doc_id
-            BandVerdict(r.doc_id, r.band_id, dup)
-          }
-          state.update(minSeen)
-          out.iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(stepFn)
+  }
+
+  /** [[verdicts]] with CARRIED state: `init` seeds each bucket's min-id
+    * before the first row arrives — the restart-from-yesterday face of
+    * the online dedup door. Paired with the q240 TSV state store, this
+    * is the full streaming-incremental pipeline: yesterday's corpus
+    * never re-streams, its 8-byte-per-bucket digest does. Works in
+    * batch mode too (Spark applies initial state to the single batch),
+    * which is what lets q240's registered batch face and the
+    * StreamingSpec parity test share one definition. */
+  def verdictsWithInit(
+      bands: Dataset[BandRow],
+      init: org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Long])
+      : Dataset[BandVerdict] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.band_id, b.band_sig))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(stepFn)
   }
 }

@@ -618,4 +618,56 @@ class StreamingSpec extends SparkSpec {
         "streamed first-wins verdicts diverge from batch q201")
     } finally q.stop()
   }
+
+  test("q240 carried-state dedup: streamed-from-store == batch face") {
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandRow, BandVerdict}
+    def rollup(vs: Seq[BandVerdict]): Map[Long, (Boolean, Long)] =
+      vs.groupBy(_.doc_id).map { case (id, g) =>
+        id -> ((g.exists(_.dup), g.count(_.dup).toLong))
+      }
+    // ground truth: the registered batch face (oracle-checked against
+    // the q201-over-full-corpus SQL); also commits the store
+    val expected = graft.queries.Dedup.q240.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    Caches.release()
+    val (cut, init, bandsAll) =
+      graft.queries.Dedup.bandStateStore(spark, sf001)
+    val fresh = bandsAll.filter(col("doc_id") > cut)
+      .select(col("doc_id"), col("band_id"), col("band_sig"))
+    val freshRows = fresh.as[BandRow].collect()
+    val schema = fresh.schema
+    // the carried state must be LOAD-BEARING on this fixture: without
+    // it, some fresh doc that only collides with an OLD doc must lose
+    // its duplicate verdict — otherwise this whole test is vacuous
+    val noInit = rollup(
+      NearDupStream.verdicts(freshRows.toSeq.toDS()).collect().toSeq)
+    assert(noInit != expected,
+      "fixture has no fresh→old collisions; carried state untested")
+    // streaming mode: prefix-respecting micro-batches over the fresh
+    // docs, initial state read from the committed TSV store
+    val sortedIds = freshRows.map(_.doc_id).distinct.sorted
+    val mid = sortedIds(sortedIds.length / 2)
+    val (first, second) = freshRows.partition(_.doc_id <= mid)
+    val dir = Files.createTempDirectory("graft_q240_stream").toString
+    first.toSeq.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(schema)
+      .parquet(s"$dir/in").as[BandRow]
+    val q = NearDupStream.verdictsWithInit(streamIn, init)
+      .writeStream.format("memory").queryName("q240_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      second.toSeq.toDS().write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = rollup(
+        spark.table("q240_out").as[BandVerdict].collect().toSeq)
+      assert(got == expected,
+        "streamed-from-store verdicts diverge from the batch face")
+    } finally {
+      q.stop()
+      Caches.release()
+    }
+  }
 }
