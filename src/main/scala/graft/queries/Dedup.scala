@@ -1030,10 +1030,11 @@ object Dedup {
     * (min over a union can only be the min of mins), which is exactly
     * why FULL-RECOMPUTE EQUALITY holds and the oracle can be q68's
     * recursive SQL verbatim: a label drift here means the increment
-    * lost a merge or invented one. Honest cost note: this query
-    * rebuilds yesterday's state in-run (the harness has no cross-run
-    * store), so its measured time EXCEEDS q68's; the claim it proves
-    * is equality + the incremental edge bill, not wall-clock. */
+    * lost a merge or invented one. Cost note: this query rebuilds
+    * yesterday's state in-run, so its measured time EXCEEDS q68's; the
+    * claim it proves is equality + the incremental edge bill. [[q238]]
+    * is the same increment fed by a PERSISTED state store — its warm
+    * runs price the real daily bill this query cannot. */
   val q236 = Q(
     "q236_incremental_clusters",
     (s, d) => {
