@@ -1278,7 +1278,79 @@ object Dedup {
       GROUP BY b.doc_id
       ORDER BY b.doc_id"""))
 
+  /** q241: LEAKAGE-PROOF train/val/test split — the assignment step a
+    * training pipeline runs after dedup, done so near-duplicates can
+    * NEVER straddle splits (the eval-contamination mechanism document-
+    * level hash splits miss: a test doc's near-twin in train is
+    * memorization fuel that q71/q212-style decontamination must then
+    * claw back). The split is decided once per CLUSTER from
+    * md5(cluster_id) — content-hash bucketing (q54's portable sampling
+    * discipline) lifted from doc grain to cluster grain: 12/16 train,
+    * 2/16 val, 2/16 test. Every member inherits its cluster's verdict
+    * by construction, so the leakage certificate is structural, not
+    * audited after the fact. Scale: one md5 + when-chain on the
+    * label frame over the shared clustering core — the split itself
+    * adds nothing beyond q68's bill. */
+  val q241 = Q(
+    "q241_leakproof_split",
+    (s, d) => {
+      val labels = nearDupLabels(s, d, "q241")
+      val bucket = expr(
+        "instr('0123456789abcdef', " +
+          "substring(md5(CAST(lbl AS STRING)), 32, 1))")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .withColumn("split",
+          when(bucket <= 12, "train")
+            .when(bucket <= 14, "val")
+            .otherwise("test"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                   AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+              >= 0.6
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+      ), reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      ), comp AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      ), sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM comp
+        GROUP BY cluster_id
+      )
+      SELECT c.doc_id, c.cluster_id, s.cluster_size,
+             CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(c.cluster_id AS VARCHAR)), 32, 1)) <= 12
+                  THEN 'train'
+                  WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(c.cluster_id AS VARCHAR)), 32, 1)) <= 14
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240)
+      q240, q241)
 }

@@ -3633,4 +3633,30 @@ class NewOperatorsSpec extends SparkSpec {
     // the dose must be LIVE: the sample must contain dosed docs
     assert(sawDupFail, "no doc in the sample carried injected duplicates")
   }
+
+  test("q241 leakproof split: cluster-coherent, q68-consistent, all splits live") {
+    val rows = graft.queries.Dedup.q241.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    graft.Caches.release()
+    val q68clusters = graft.queries.Dedup.q68.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(rows.length == q68clusters.size)
+    // partition agreement with the canonical clustering
+    rows.foreach { case (doc, cl, _) =>
+      assert(q68clusters(doc) == cl, s"doc $doc cluster drifted from q68")
+    }
+    // THE leakage certificate: one split per cluster, structurally
+    val perCluster = rows.groupBy(_._2).map { case (cl, g) =>
+      cl -> g.map(_._3).distinct
+    }
+    perCluster.foreach { case (cl, splits) =>
+      assert(splits.size == 1, s"cluster $cl straddles splits: $splits")
+    }
+    // all three splits live on the fixture, train the largest
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"$bySplit")
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), s"$bySplit")
+  }
 }
