@@ -248,7 +248,12 @@ object Bench {
             // count — so the fixed-point operators' 100×-scale claim
             // is measured at 50×, not extrapolated from 10×
             "q204_pagerank_fixedpoint", "q192_bfs_levels",
-            "q167_triangle_count"), sweepRuns)
+            "q167_triangle_count",
+            // r7: the incremental pair at the reference scale — run 1
+            // of q238 pays build+publish, runs 2-3 price the true
+            // daily increment against q236's flat rebuild bill
+            "q236_incremental_clusters", "q238_incremental_store"),
+          sweepRuns)
       } catch {
         case t: Throwable =>
           System.err.println(s"bench: 50x sweep failed: $t"); Nil

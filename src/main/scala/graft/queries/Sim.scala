@@ -1324,7 +1324,89 @@ object Sim {
       WHERE pos.rnk = 1
       ORDER BY anchor_id"""))
 
+  /** q242: ANN serving from a PERSISTED index — the nightly-build /
+    * repeated-query split every production vector store runs, which
+    * q77 (build per query) cannot price. The IVF inverted file
+    * (vec_id → nearest-centroid cluster, q77's exact assignment rule)
+    * is built ONCE per fixture content and published through the TSV
+    * staged-commit sink (the q238/q240 store family, third state
+    * kind); at query time only the 8 probe vectors pay centroid
+    * distances (8×16 rows) while the corpus-sized assignment pass —
+    * the dominant term of q77's bill — is a store load. Assignment is
+    * deterministic (row_number over (d2, cid) on identical IEEE
+    * arithmetic), so served-from-index results are IDENTICAL to
+    * built-in-query results and the oracle is q77's SQL VERBATIM: any
+    * drift through the serialization boundary (or a stale index) is a
+    * hash mismatch. At 100 TB: the index is 12-byte rows, bucket scans
+    * touch only probed clusters, and the nightly build amortizes over
+    * every query of the day. */
+  val q242 = Q(
+    "q242_ann_index_store",
+    (s, d) => {
+      val all = emb(s, d).persistTracked()
+      // content fingerprint over exactly the indexed vectors (crc32 of
+      // the rendered vector keeps it content-sensitive; Spark-only key)
+      val fp = all.agg(
+        count(lit(1)).as("n"), sum(col("vec_id")).as("sid"),
+        max(col("vec_id")).as("mx"),
+        sum(crc32(col("v").cast(StringType))).as("sc")).head()
+      val dir = Dedup.stateDir("ivfindex", d,
+        s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
+      java.nio.file.Files.createDirectories(dir.getParent)
+      val cent = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def centDists(vs: org.apache.spark.sql.DataFrame) = vs
+        .crossJoin(broadcast(cent))
+        .withColumn(
+          "d2",
+          VecDot.dot(col("v"), col("v"))
+            - lit(2) * VecDot.dot(col("v"), col("cv"))
+            + VecDot.dot(col("cv"), col("cv")))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cid"))))
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        centDists(all).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"))
+          .write.format("graft.sources.tsv")
+          .mode("overwrite").save(dir.toString)
+      }
+      val inv = s.read.format("graft.sources.tsv")
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType, nullable = false),
+          StructField("cluster", LongType, nullable = false))))
+        .load(dir.toString)
+      // query time: only the probes pay centroid distances
+      val probes = centDists(all.filter(col("vec_id") < 8))
+        .filter(col("rn") <= 2)
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcluster"))
+      val assigned = all.join(inv, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+      assigned
+        .join(
+          broadcast(probes),
+          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    // the oracle IS q77's from-scratch build: index-served == built
+    q77.oracle)
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213)
+      q211, q212, q213, q242)
 }

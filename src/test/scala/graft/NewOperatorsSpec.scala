@@ -3659,4 +3659,43 @@ class NewOperatorsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") &&
       bySplit("train") > bySplit("test"), s"$bySplit")
   }
+
+  test("q242 ANN index store: served-from-index == built-in-query, reused") {
+    import java.nio.file.{Files => JF}
+    import scala.jdk.CollectionConverters._
+    def rows(q: graft.queries.Q) =
+      try q.run(spark, sf001).collect().map(_.toString).toSeq
+      finally graft.Caches.release()
+    // cold build must publish exactly one committed index for the fixture
+    val parent = graft.queries.Dedup.stateDir("ivfindex", sf001, "x").getParent
+    if (JF.exists(parent)) {
+      val st = JF.list(parent)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("ivfindex_sf0.001_"))
+        .foreach { dd =>
+          JF.deleteIfExists(dd.resolve("_SUCCESS"))
+          val s2 = JF.list(dd)
+          try s2.iterator().asScala.foreach(JF.deleteIfExists(_))
+          finally s2.close()
+          JF.deleteIfExists(dd)
+        }
+      finally st.close()
+    }
+    val cold = rows(graft.queries.Sim.q242)
+    val st2 = JF.list(parent)
+    val dirs =
+      try st2.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("ivfindex_sf0.001_"))
+        .toSeq
+      finally st2.close()
+    assert(dirs.size == 1 && JF.exists(dirs.head.resolve("_SUCCESS")))
+    val mtime = JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS"))
+    val warm = rows(graft.queries.Sim.q242)
+    assert(JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS")) == mtime,
+      "second run rebuilt the index instead of loading it")
+    assert(warm == cold)
+    // the serving claim: index-served answers == q77's per-query build
+    assert(cold == rows(graft.queries.Sim.q77),
+      "index-served ANN drifted from the from-scratch build")
+  }
 }
