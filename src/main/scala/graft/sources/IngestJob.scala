@@ -485,6 +485,100 @@ object IngestJob {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Bit interleave of two 3-bit cell coordinates → 6-bit Morton
+    * z-value; one definition for the driver-side cell enumeration and
+    * (as SQL text via [[zcellExpr]]) both engines' column programs. */
+  def zInterleave(px: Long, py: Long): Long =
+    px % 2 + 2 * (py % 2) + 4 * ((px / 2) % 2) + 8 * ((py / 2) % 2) +
+      16 * ((px / 4) % 2) + 32 * ((py / 4) % 2)
+
+  /** The SQL form of [[zInterleave]] over columns `px`/`py` — pure
+    * integer arithmetic, parses identically in Spark and DuckDB (the
+    * `div` keyword differs: Spark `div`, DuckDB `//`, hence the
+    * parameter). */
+  def zcellExpr(idiv: String): String =
+    s"px % 2 + 2 * (py % 2) + 4 * ((px $idiv 2) % 2) + " +
+      s"8 * ((py $idiv 2) % 2) + 16 * ((px $idiv 4) % 2) + " +
+      s"32 * ((py $idiv 4) % 2)"
+
+  /** q243: Z-ORDER layout + lossless multi-dimensional pruning — the
+    * storage-layout operator (Databricks OPTIMIZE ZORDER / Delta
+    * clustering shape) that makes BOX queries over two dimensions prune
+    * like one: cell coordinates px/py = scale-relative eighths of the
+    * (l_partkey, l_suppkey) domains, interleaved into a 6-bit Morton
+    * z-cell, the fact table REWRITTEN partitioned by z-cell (built once
+    * per fixture content, `_SUCCESS`-gated like every store here). A
+    * box query then enumerates the z-cells covering its rectangle
+    * DRIVER-SIDE (12 of 64 for the [2,5]×[1,3] box — the fixed-depth
+    * form of the litmax/bigmin range decomposition) and reads ONLY
+    * those partitions; PlanShapeSpec pins the actual partition cut.
+    * The oracle computes the same aggregate STRAIGHT off the original
+    * table — equality proves the cell cover exact (no row lost to the
+    * decomposition, none double-counted) and the rewritten copy
+    * faithful. At 100 TB this is the difference between scanning
+    * 12/64ths and scanning everything for every 2-D range workload the
+    * sort order can't serve. */
+  val q243 = Q(
+    "q243_zorder_pruning",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val mx = li.agg(
+        max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"),
+        count(lit(1)).as("n"), sum(col("l_orderkey")).as("so")).head()
+      val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+      val dir = tmp(s"lineitem_zorder_${d.replaceAll("[^0-9.]", "")}_" +
+        s"${mx.getLong(2)}_${mx.getLong(3)}_${mp}_$ms")
+      if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+        li
+          .withColumn("px", expr(s"(l_partkey * 8) div ${mp + 1}"))
+          .withColumn("py", expr(s"(l_suppkey * 8) div ${ms + 1}"))
+          .withColumn("zcell", expr(zcellExpr("div")))
+          .repartition(col("zcell"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          .write.mode("overwrite").partitionBy("zcell").parquet(dir)
+      }
+      zorderBoxQuery(s, dir)
+    },
+    Some(s"""
+      WITH mx AS (
+        SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+      ), g AS (
+        SELECT (l_partkey * 8) // (mp + 1) AS px,
+               (l_suppkey * 8) // (ms + 1) AS py,
+               l_extendedprice
+        FROM lineitem, mx
+      )
+      SELECT CAST(${zcellExpr("//")} AS BIGINT) AS zcell,
+             CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+             count(*) AS n,
+             ${graft.queries.Det.dsumSql("l_extendedprice")} AS sum_price
+      FROM g
+      WHERE px BETWEEN 2 AND 5 AND py BETWEEN 1 AND 3
+      GROUP BY px, py
+      ORDER BY zcell"""))
+
+  /** The box-query half of q243, separated so PlanShapeSpec can pin the
+    * partition cut on ITS OWN queryExecution: cells covering the
+    * [2,5]×[1,3] rectangle enumerated driver-side, partitions read via
+    * `zcell IN (...)`, residual box predicate kept (redundant at this
+    * cell granularity, but the honest general shape — coarser cells
+    * overhang the box). */
+  def zorderBoxQuery(s: SparkSession, dir: String): DataFrame = {
+    val cells =
+      for (px <- 2L to 5L; py <- 1L to 3L) yield zInterleave(px, py)
+    s.read.parquet(dir)
+      .filter(col("zcell").isin(cells: _*))
+      .filter(col("px").between(2, 5) && col("py").between(1, 3))
+      .groupBy(col("px"), col("py"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.queries.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("zcell", expr(zcellExpr("div")))
+      .select(col("zcell"), col("px"), col("py"), col("n"),
+        col("sum_price"))
+      .orderBy(col("zcell"))
+  }
+
   val all: Seq[Q] =
-    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228)
+    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243)
 }

@@ -151,6 +151,41 @@ class PlanShapeSpec extends SparkSpec {
       s"DPP read $p of $nMonths partitions — nothing was pruned"))
   }
 
+  test("z-order box query reads only the covering cells' partitions") {
+    // q243's scale claim is the partition CUT, not just the green
+    // aggregate: the driver-side cell enumeration must reach the scan
+    // as a static PartitionFilter that reads exactly the 12 covering
+    // cells of the 64-cell layout (fewer only if a cell is empty on
+    // this fixture)
+    graft.sources.IngestJob.q243.run(spark, sf001).collect()
+    graft.Caches.release()
+    // the layout is committed now; drive the box query alone so the
+    // scan metrics belong to THIS queryExecution
+    val dirs = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ingest").listFiles()
+      .filter(_.getName.startsWith("lineitem_zorder_0.001"))
+    assert(dirs.length == 1, s"expected one committed layout: ${dirs.toSeq}")
+    val q = graft.sources.IngestJob.zorderBoxQuery(spark, dirs.head.toString)
+    assert(q.collect().nonEmpty)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val sc = scans(q.queryExecution.executedPlan)
+    assert(sc.nonEmpty, "no file scan in the box query")
+    assert(sc.head.partitionFilters.nonEmpty,
+      "zcell IN (...) did not reach the scan as a partition filter")
+    val read = sc.head.metrics("numPartitions").value
+    assert(read > 0 && read <= 12,
+      s"box query read $read partitions of 64 — the cell cover did not prune")
+  }
+
   test("runtime bloom-filter pruning fires on a selective non-partition join") {
     // DPP's row-level sibling: when the join key is NOT a partition
     // column, Catalyst can still inject a bloom filter built from the
