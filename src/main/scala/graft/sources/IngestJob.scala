@@ -579,6 +579,72 @@ object IngestJob {
       .orderBy(col("zcell"))
   }
 
+  /** q244: small-file COMPACTION — the OPTIMIZE/maintenance op every
+    * streaming or incremental sink eventually needs: a table landed as
+    * many tiny files (here: documents deliberately shattered into 64 —
+    * the shape a per-trigger streaming sink or a 64-task job leaves)
+    * rewritten into size-targeted files. Target count is
+    * SCALE-RELATIVE: ⌈rows / 200⌉, so the same code compacts a 500-row
+    * fixture to 3 files and a 100 TB day to however many 200-row...
+    * rather, row-budgeted files its row count demands — the budget
+    * constant is what a real job derives from target bytes ÷ avg row
+    * size. Both rewrites are `_SUCCESS`-gated build-once. The oracle
+    * aggregates (with an order-canonical md5 ledger per lang) straight
+    * off the ORIGINAL table, so a pass proves BOTH rewrites preserved
+    * every row and every byte of content; the spec pins the actual
+    * file-count collapse, which is the operational point. At 100 TB:
+    * open-file/namenode pressure and task-launch overhead scale with
+    * file COUNT, not bytes — compaction is what keeps scan task counts
+    * proportional to data, and this is the one maintenance op the
+    * storage family still lacked. */
+  val q244 = Q(
+    "q244_compaction",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      val fp = docs.agg(
+        count(lit(1)).as("n"), sum(col("doc_id")).as("sid"),
+        sum(col("n_chars")).as("sc")).head()
+      val tag = s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"
+      val shattered = tmp(
+        s"documents_shattered_${d.replaceAll("[^0-9.]", "")}_$tag")
+      if (!Files.exists(Paths.get(shattered, "_SUCCESS")))
+        docs.repartition(64).write.mode("overwrite").parquet(shattered)
+      val compacted = tmp(
+        s"documents_compacted_${d.replaceAll("[^0-9.]", "")}_$tag")
+      if (!Files.exists(Paths.get(compacted, "_SUCCESS"))) {
+        val target = math.max(1L, (fp.getLong(0) + 199) / 200).toInt
+        // repartitionByRange on doc_id: compacted files are RANGE-
+        // clustered (each file a contiguous id span), restoring the
+        // min/max-stats locality the shattered layout destroyed —
+        // compaction that round-robins rows compacts the file count
+        // but forfeits pruning
+        s.read.parquet(shattered)
+          .repartitionByRange(target, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(compacted)
+      }
+      s.read.parquet(compacted)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          md5(array_join(expr(
+            "sort_array(collect_list(md5(concat(CAST(doc_id AS STRING)," +
+              " ':', text))))"), " ")).as("ledger"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             md5(array_to_string(list_sort(
+               list(md5(CAST(doc_id AS VARCHAR) || ':' || text))), ' '))
+               AS ledger
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[Q] =
-    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243)
+    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244)
 }

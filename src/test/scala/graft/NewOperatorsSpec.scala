@@ -3698,4 +3698,31 @@ class NewOperatorsSpec extends SparkSpec {
     assert(cold == rows(graft.queries.Sim.q77),
       "index-served ANN drifted from the from-scratch build")
   }
+
+  test("q244 compaction: 64 files collapse to the row budget, range-clustered") {
+    graft.sources.IngestJob.q244.run(spark, sf001).collect()
+    graft.Caches.release()
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_ingest")
+    def files(prefix: String) = {
+      val dirs = base.listFiles().filter(_.getName.startsWith(prefix))
+      assert(dirs.length == 1, s"$prefix: ${dirs.toSeq}")
+      dirs.head.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    }
+    val shattered = files("documents_shattered_0.001")
+    val compacted = files("documents_compacted_0.001")
+    assert(shattered.length == 64, s"expected 64, got ${shattered.length}")
+    // ⌈500 rows / 200⌉ = 3 — the operational point of the op
+    assert(compacted.length == 3, s"expected 3, got ${compacted.length}")
+    // range clustering: per-file doc_id spans must be disjoint, or the
+    // compaction forfeited the min/max pruning it claims to restore
+    val spans = compacted.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.zip(spans.drop(1)).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"compacted file spans overlap: $spans")
+    }
+    graft.Caches.release()
+  }
 }
