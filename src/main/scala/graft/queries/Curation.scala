@@ -802,6 +802,96 @@ object Curation {
       ) stages
       ORDER BY stage"""))
 
+  /** q245: DATA-DRIFT monitor against a committed baseline — the
+    * observability op a standing ingest pipeline runs before letting a
+    * new crawl day into training: does today's length distribution
+    * still look like the corpus the filters were tuned on? Baseline =
+    * per-bucket doc-length histogram (n_chars div 50) of the standing
+    * corpus (doc_id ≤ the 80% cut), published ONCE through the TSV
+    * staged-commit sink (fourth member of the q238/q240/q242 store
+    * family — histograms are the textbook mergeable state: counts sum);
+    * each run loads it and compares today's arrivals bucket by bucket.
+    * Drift is reported as |old_frac − new_frac| per bucket — the L1/2
+    * (total-variation) decomposition — using ONLY IEEE divisions and
+    * subtractions of exact BIGINT counts, identical in both engines;
+    * PSI/KL variants need ln() and are deliberately out of the
+    * cross-engine-exact contract (BUILDLOG: ln is never portable).
+    * Oracle recomputes BOTH distributions straight off the documents
+    * table, so a pass proves the stored baseline faithful through the
+    * serialization boundary and the comparison arithmetic exact. At
+    * 100 TB: the baseline is bucket-count rows (KBs), today's pass is
+    * one map-side-combinable groupBy, and the full-outer alignment is
+    * a broadcast join. */
+  val q245 = Q(
+    "q245_drift_monitor",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .persistTracked()
+      val cut = docs.agg(max(col("doc_id")).as("m")).head().getLong(0) * 4 / 5
+      val old = docs.filter(col("doc_id") <= cut)
+      val fp = old.agg(
+        count(lit(1)).as("n"), sum(col("doc_id")).as("sid"),
+        sum(col("n_chars")).as("sc")).head()
+      val dir = Dedup.stateDir("histo", d,
+        s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
+      java.nio.file.Files.createDirectories(dir.getParent)
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        old.groupBy(expr("n_chars div 50").as("bucket"))
+          .agg(count(lit(1)).as("old_n"))
+          .write.format("graft.sources.tsv")
+          .mode("overwrite").save(dir.toString)
+      }
+      val baseline = s.read.format("graft.sources.tsv")
+        .schema(StructType(Seq(
+          StructField("bucket", LongType, nullable = false),
+          StructField("old_n", LongType, nullable = false))))
+        .load(dir.toString)
+      val freshH = docs.filter(col("doc_id") > cut)
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_n"))
+      val joined = baseline.join(freshH, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n"))
+      val tots = joined.agg(
+        sum(col("old_n")).as("old_tot"), sum(col("new_n")).as("new_tot"))
+      joined.crossJoin(broadcast(tots))
+        .select(
+          col("bucket"), col("old_n"), col("new_n"),
+          (col("old_n").cast(DoubleType) / col("old_tot")).as("old_frac"),
+          (col("new_n").cast(DoubleType) / col("new_tot")).as("new_frac"))
+        .withColumn("drift_abs", abs(col("old_frac") - col("new_frac")))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH cut AS (
+        SELECT (4 * max(doc_id)) // 5 AS c FROM documents
+      ), oldh AS (
+        SELECT n_chars // 50 AS bucket, count(*) AS old_n
+        FROM documents, cut WHERE doc_id <= c GROUP BY 1
+      ), newh AS (
+        SELECT n_chars // 50 AS bucket, count(*) AS new_n
+        FROM documents, cut WHERE doc_id > c GROUP BY 1
+      ), joined AS (
+        SELECT coalesce(o.bucket, n.bucket) AS bucket,
+               CAST(coalesce(o.old_n, 0) AS BIGINT) AS old_n,
+               CAST(coalesce(n.new_n, 0) AS BIGINT) AS new_n
+        FROM oldh o FULL OUTER JOIN newh n
+          ON o.bucket IS NOT DISTINCT FROM n.bucket
+      ), tots AS (
+        SELECT CAST(sum(old_n) AS BIGINT) AS old_tot,
+               CAST(sum(new_n) AS BIGINT) AS new_tot
+        FROM joined
+      )
+      SELECT bucket, old_n, new_n,
+             CAST(old_n AS DOUBLE) / old_tot AS old_frac,
+             CAST(new_n AS DOUBLE) / new_tot AS new_frac,
+             abs(CAST(old_n AS DOUBLE) / old_tot
+                 - CAST(new_n AS DOUBLE) / new_tot) AS drift_abs
+      FROM joined, tots
+      ORDER BY bucket"""))
+
   val all: Seq[Q] =
-    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210)
+    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245)
 }

@@ -3725,4 +3725,32 @@ class NewOperatorsSpec extends SparkSpec {
     }
     graft.Caches.release()
   }
+
+  test("q245 drift monitor: committed baseline reused; TV distance bounded") {
+    import java.nio.file.{Files => JF}
+    import scala.jdk.CollectionConverters._
+    def run() =
+      try graft.queries.Curation.q245.run(spark, sf001).collect()
+        .map(_.toString).toSeq
+      finally graft.Caches.release()
+    val cold = run()
+    val parent = graft.queries.Dedup.stateDir("histo", sf001, "x").getParent
+    val st = JF.list(parent)
+    val dirs =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("histo_sf0.001_")).toSeq
+      finally st.close()
+    assert(dirs.size == 1 && JF.exists(dirs.head.resolve("_SUCCESS")))
+    val mtime = JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS"))
+    assert(run() == cold)
+    assert(JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS")) == mtime,
+      "second run rebuilt the baseline instead of loading it")
+    // fractions each sum to 1, so Σ|Δ|/2 (total variation) is in [0,1]
+    val rows = graft.queries.Curation.q245.run(spark, sf001).collect()
+    graft.Caches.release()
+    val tv = rows.map(_.getAs[Double]("drift_abs")).sum / 2
+    assert(tv >= 0.0 && tv <= 1.0, s"TV distance out of range: $tv")
+    assert(math.abs(rows.map(_.getAs[Double]("old_frac")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("new_frac")).sum - 1.0) < 1e-9)
+  }
 }
