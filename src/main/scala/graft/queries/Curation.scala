@@ -892,6 +892,82 @@ object Curation {
       FROM joined, tots
       ORDER BY bucket"""))
 
+  /** q247's candidate columns and ordered FD pairs — shared between the
+    * Spark program and its generated oracle so the check list cannot
+    * drift between the twins. */
+  private val fdCols = Seq("c_custkey", "c_name", "c_nationkey",
+    "c_mktsegment")
+  private val fdPairs: Seq[(String, String)] =
+    for { a <- fdCols; b <- fdCols if a != b } yield (a, b)
+
+  /** q247: FUNCTIONAL-DEPENDENCY and key discovery — the schema-profiling
+    * op a catalog runs before trusting joins and dedup keys: for every
+    * ordered column pair (a, b), does a → b hold (every a-value maps to
+    * exactly one b-value), and is each column a key? Both reduce to one
+    * cardinality identity: a → b iff |distinct a| = |distinct (a, b)|,
+    * and a is a key iff |distinct a| = |rows| — so the whole report is
+    * exact distinct-counting, no pairwise comparison anywhere. One scan
+    * explodes each row into its 16 (check, value) tuples; one grouped
+    * aggregate computes every check's cardinalities in a single shuffle
+    * (16 groups — the shuffle volume is the distinct value sets, not the
+    * table). Pair values are joined with chr(1) (never in the fixture's
+    * value domain) so the composite count is engine-portable without
+    * struct-equality semantics. The fixture's as-found truth: c_custkey
+    * and c_name are keys (their 6 FDs all hold); c_nationkey and
+    * c_mktsegment are neither keys nor determinants (25 nations map to
+    * 93 (nation, segment) pairs). At 100 TB the exact pass stays linear
+    * but the candidate set matters: run the q61-style sketch profile
+    * first, then this query IS the exact-verification stage over the
+    * surviving candidates. */
+  val q247 = Q(
+    "q247_fd_discovery",
+    (s, d) => {
+      val checks =
+        fdPairs.map { case (a, b) =>
+          struct(lit("fd").as("kind"), lit(a).as("lhs"), lit(b).as("rhs"),
+            col(a).cast(StringType).as("lv"),
+            col(b).cast(StringType).as("rv"))
+        } ++ fdCols.map { c =>
+          struct(lit("key").as("kind"), lit(c).as("lhs"),
+            lit("(rowcount)").as("rhs"), col(c).cast(StringType).as("lv"),
+            lit(null).cast(StringType).as("rv"))
+        }
+      Tables.load(s, d, "customer")
+        .select(explode(array(checks: _*)).as("ck"))
+        .select(col("ck.kind").as("kind"), col("ck.lhs").as("lhs"),
+          col("ck.rhs").as("rhs"), col("ck.lv").as("lv"),
+          col("ck.rv").as("rv"))
+        .groupBy(col("kind"), col("lhs"), col("rhs"))
+        .agg(
+          countDistinct(col("lv")).as("n_lhs"),
+          countDistinct(concat(col("lv"), expr("chr(1)"), col("rv")))
+            .as("cd_pair"),
+          count(lit(1)).as("n_rows"))
+        .select(col("kind"), col("lhs"), col("rhs"), col("n_lhs"),
+          when(col("kind") === "key", col("n_rows"))
+            .otherwise(col("cd_pair")).as("n_ctx"))
+        .withColumn("holds", col("n_lhs") === col("n_ctx"))
+        .orderBy(col("kind"), col("lhs"), col("rhs"))
+    },
+    Some {
+      val branches =
+        fdPairs.map { case (a, b) =>
+          s"""SELECT 'fd' AS kind, '$a' AS lhs, '$b' AS rhs,
+             count(DISTINCT CAST($a AS VARCHAR)) AS n_lhs,
+             count(DISTINCT CAST($a AS VARCHAR) || chr(1)
+                   || CAST($b AS VARCHAR)) AS n_ctx
+             FROM customer"""
+        } ++ fdCols.map { c =>
+          s"""SELECT 'key', '$c', '(rowcount)',
+             count(DISTINCT CAST($c AS VARCHAR)), count(*)
+             FROM customer"""
+        }
+      s"""
+      SELECT kind, lhs, rhs, n_lhs, n_ctx, n_lhs = n_ctx AS holds
+      FROM (${branches.mkString("\nUNION ALL\n")}) checks
+      ORDER BY kind, lhs, rhs"""
+    })
+
   val all: Seq[Q] =
-    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245)
+    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245, q247)
 }

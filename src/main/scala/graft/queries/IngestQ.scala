@@ -333,5 +333,78 @@ object IngestQ {
               WHERE text IS NULL OR length(text) = 0)
       ORDER BY contract"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165)
+  /** q246: POINT-IN-TIME join of a fact stream against the q165 SCD2
+    * dimension — the query an SCD2 history exists to answer: "which
+    * version of key k was current when THIS fact happened". q165 builds
+    * and censuses the versions; this query actually joins facts to them.
+    * Facts = lineitem rows stamped with a deterministic as-of time in
+    * version-seq space, t = (l_orderkey + l_linenumber) % 5, covering
+    * before-first-update, between-updates, and after-delete times.
+    * The join is LEFT on the equi key with the validity interval in the
+    * ON clause (valid_from <= t < valid_to, open valid_to = infinity):
+    * Catalyst extracts the k = k conjunct, so this stays a hash/SMJ
+    * equi-join with a residual interval filter — NOT a range join —
+    * and the per-key version count is bounded by the update frequency
+    * (<= 3 here), so the residual is O(versions-per-key) per probe.
+    * Disjoint validity intervals per key guarantee at most one match,
+    * so the left join is row-preserving: n_facts sums to count(lineitem)
+    * across the report. A fact with no valid version (time past a
+    * DELETE, or an FK-orphan key reported as-found, q162) lands in the
+    * matched_seq = -1 bucket — point-in-time joins must surface those,
+    * not drop them. At 100 TB: the dimension is the small side
+    * (broadcastable); the fact side never shuffles more than its
+    * equi-join requires. */
+  val q246 = Q(
+    "q246_scd2_pit_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+      val versions = cdcLog(s, d)
+        .withColumn("next_seq", lead(col("seq"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("k"), col("seq"), col("next_seq"))
+      val facts = Tables.load(s, d, "lineitem")
+        .select(
+          col("l_orderkey").as("fk"),
+          ((col("l_orderkey") + col("l_linenumber")) % 5).as("t"),
+          Det.cents(col("l_extendedprice")).as("fc"))
+      facts
+        .join(versions,
+          col("fk") === col("k") && col("t") >= col("seq") &&
+            (col("next_seq").isNull || col("t") < col("next_seq")),
+          "left")
+        .groupBy(col("t"), coalesce(col("seq"), lit(-1L)).as("matched_seq"))
+        .agg(
+          count(lit(1)).as("n_facts"),
+          (sum(col("fc")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("t"), col("matched_seq"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               ${Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), log AS ($cdcLogSql
+      ), hist AS (
+        SELECT k, seq, op,
+               lead(seq) OVER (PARTITION BY k ORDER BY seq) AS next_seq
+        FROM log
+      ), versions AS (
+        SELECT k, seq, next_seq FROM hist WHERE op <> 'D'
+      ), facts AS (
+        SELECT l_orderkey AS fk,
+               (l_orderkey + l_linenumber) % 5 AS t,
+               ${Det.centsSql("l_extendedprice")} AS fc
+        FROM lineitem
+      )
+      SELECT t, coalesce(v.seq, -1) AS matched_seq,
+             count(*) AS n_facts,
+             CAST(CAST(sum(fc) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM facts f LEFT JOIN versions v
+        ON f.fk = v.k AND f.t >= v.seq
+           AND (v.next_seq IS NULL OR f.t < v.next_seq)
+      GROUP BY 1, 2
+      ORDER BY t, matched_seq"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246)
 }

@@ -3753,4 +3753,55 @@ class NewOperatorsSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("old_frac")).sum - 1.0) < 1e-9)
     assert(math.abs(rows.map(_.getAs[Double]("new_frac")).sum - 1.0) < 1e-9)
   }
+
+  test("q246 PIT join: row-preserving; post-delete and orphan facts land in -1") {
+    val out = graft.queries.IngestQ.q246.run(spark, sf001).collect()
+    graft.Caches.release()
+    val li = Tables.load(spark, sf001, "lineitem")
+    val orders = Tables.load(spark, sf001, "orders")
+    // disjoint validity intervals ⇒ at most one version matches per fact
+    // ⇒ the left join preserves cardinality exactly
+    assert(out.map(_.getAs[Long]("n_facts")).sum == li.count(),
+      "PIT join dropped or duplicated facts")
+    // a fact at t >= 3 on a deleted key (k % 13 == 0) has NO valid
+    // version; together with FK orphans those are exactly the -1 bucket
+    val facts = li.select(
+      col("l_orderkey").as("fk"),
+      ((col("l_orderkey") + col("l_linenumber")) % 5).as("t"))
+    val orphans = facts.join(
+      orders.select(col("o_orderkey").as("fk")), Seq("fk"), "left_anti")
+    val expectedUnmatched =
+      facts.filter(col("fk") % 13 === 0 && col("t") >= 3)
+        .join(orders.select(col("o_orderkey").as("fk")), Seq("fk"),
+          "left_semi").count() + orphans.count()
+    val unmatched = out.filter(_.getAs[Long]("matched_seq") == -1L)
+      .map(_.getAs[Long]("n_facts")).sum
+    assert(unmatched == expectedUnmatched,
+      s"unmatched bucket $unmatched != expected $expectedUnmatched")
+    // before the delete seq every in-FK fact resolves to a version
+    val earlyUnmatched = out.filter(r =>
+      r.getAs[Long]("matched_seq") == -1L && r.getAs[Long]("t") < 3)
+      .map(_.getAs[Long]("n_facts")).sum
+    assert(earlyUnmatched == orphans.filter(col("t") < 3).count(),
+      "a pre-delete fact on a live key failed to match a version")
+  }
+
+  test("q247 FD discovery: keys and non-keys classified as-found") {
+    val out = graft.queries.Curation.q247.run(spark, sf001).collect()
+    def holds(kind: String, lhs: String, rhs: String): Boolean =
+      out.find(r => r.getAs[String]("kind") == kind &&
+          r.getAs[String]("lhs") == lhs && r.getAs[String]("rhs") == rhs)
+        .get.getAs[Boolean]("holds")
+    assert(holds("key", "c_custkey", "(rowcount)"), "c_custkey must be a key")
+    assert(!holds("key", "c_mktsegment", "(rowcount)"))
+    // a key determines every other column; low-card columns determine none
+    assert(holds("fd", "c_custkey", "c_mktsegment"))
+    assert(holds("fd", "c_name", "c_nationkey"))
+    assert(!holds("fd", "c_nationkey", "c_mktsegment"))
+    assert(!holds("fd", "c_mktsegment", "c_nationkey"))
+    // the key-check context is the exact row count
+    val n = Tables.load(spark, sf001, "customer").count()
+    assert(out.filter(_.getAs[String]("kind") == "key")
+      .forall(_.getAs[Long]("n_ctx") == n))
+  }
 }
