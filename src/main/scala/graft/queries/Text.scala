@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -1441,6 +1442,134 @@ object Text {
              END AS dup_frac
       FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id"""))
+
+  /** q249: DUPLICATED-SPAN TRIM accounting — the removal half of Lee et
+    * al.'s exact-substring dedup that q202 stops short of: q202 reports
+    * the contaminated-window fraction, this query decides what actually
+    * gets CUT. Policy is keep-first: the globally FIRST occurrence of a
+    * window's content (min (doc_id, pos) key, q91's keeper rule) stays
+    * canonical; every LATER copy's 16-token span is marked for removal,
+    * and overlapping/adjacent marked spans merge into maximal islands
+    * (gaps-and-islands: running max of interval end per doc, a new
+    * island exactly when a span starts past it). Per doc: island count,
+    * covered (removable) tokens, the removed fraction, and an md5
+    * ledger of the merged [start,end) spans — what a trim job would
+    * execute. Scale shape: window explode linear in corpus tokens;
+    * first-occurrence is a map-combinable min per content hash; the
+    * join back is hash-partitioned on the same key; islands are ONE
+    * window-function pass partitioned per doc (partition size bounded
+    * by doc length, same bound q202 already carries). Nothing pairwise,
+    * nothing super-linear. */
+  val q249 = Q(
+    "q249_span_trim",
+    (s, d) => {
+      val win = 16
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("n_tokens", size(col("words")))
+        .persistTracked()
+      val wins = docs
+        .filter(col("n_tokens") >= win)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            s"""transform(sequence(1, n_tokens - ${win - 1}),
+                 i -> struct(i AS pos,
+                   md5(array_join(slice(words, i, $win), ' ')) AS h))"""))
+            .as("w"))
+        .select(
+          col("doc_id"), col("w.pos").cast(LongType).as("pos"), col("w.h"),
+          (col("doc_id") * lit(1048576L) + col("w.pos")).as("k"))
+        .persistTracked()
+      val firsts = wins.groupBy(col("h")).agg(min(col("k")).as("mk"))
+      val dups = wins.join(firsts, Seq("h"))
+        .filter(col("k") =!= col("mk"))
+        .select(col("doc_id"), col("pos"), (col("pos") + win).as("iend"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val islands = dups
+        .withColumn("prev_max",
+          max(col("iend")).over(
+            byPos.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pos") > coalesce(col("prev_max"), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("island_id",
+          sum(col("ni")).over(
+            byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island_id"))
+        .agg(min(col("pos")).as("s"), max(col("iend")).as("e"))
+      val per = islands.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("covered_tokens"),
+          md5(array_join(expr(
+            """transform(array_sort(collect_list(struct(s, e))),
+                 x -> concat(CAST(x.s AS STRING), '-',
+                             CAST(x.e AS STRING)))"""), ","))
+            .as("spans_md5"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          (coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens")).as("removed_frac"),
+          coalesce(col("spans_md5"), md5(lit(""))).as("spans_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), base AS (
+        SELECT doc_id, words, len(words) AS n_tokens FROM docs
+      ), idx AS (
+        SELECT doc_id, words,
+               unnest(range(1, len(words) - 14)) AS i
+        FROM docs
+      ), wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(words[i : i + 15], ' ')) AS h,
+               doc_id * 1048576 + CAST(i AS BIGINT) AS k
+        FROM idx
+      ), firsts AS (
+        SELECT h, min(k) AS mk FROM wins GROUP BY h
+      ), dups AS (
+        SELECT w.doc_id, w.pos, w.pos + 16 AS iend
+        FROM wins w JOIN firsts f USING (h) WHERE w.k <> f.mk
+      ), marked AS (
+        SELECT doc_id, pos, iend,
+               CASE WHEN pos > coalesce(max(iend) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM dups
+      ), isl AS (
+        SELECT doc_id, pos, iend,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island_id
+        FROM marked
+      ), islands AS (
+        SELECT doc_id, island_id, min(pos) AS s, max(iend) AS e
+        FROM isl GROUP BY 1, 2
+      ), per AS (
+        SELECT doc_id, count(*) AS n_islands,
+               CAST(sum(e - s) AS BIGINT) AS covered_tokens,
+               md5(array_to_string(
+                 list(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+                      ORDER BY s), ',')) AS spans_md5
+        FROM islands GROUP BY doc_id
+      )
+      SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             coalesce(p.n_islands, 0) AS n_islands,
+             coalesce(p.covered_tokens, 0) AS covered_tokens,
+             CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+               AS removed_frac,
+             coalesce(p.spans_md5, md5('')) AS spans_md5
+      FROM base b LEFT JOIN per p USING (doc_id)
+      ORDER BY b.doc_id"""))
 
   // ---- URL normalization + dedup + domain caps (q93) -------------------
 
@@ -3674,5 +3803,5 @@ object Text {
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239)
+      q237, q239, q249)
 }

@@ -2714,6 +2714,77 @@ class NewOperatorsSpec extends SparkSpec {
       "fixed segments should keep everything here — the probe's point")
   }
 
+  test("q249 span trim: keep-first policy, island merge, fixture replay") {
+    import spark.implicits._
+    // planted corpus (q202's scenario + an adjacency case): the span's
+    // FIRST occurrence (doc 1) is canonical and must NOT be trimmed;
+    // doc 2's misaligned copy is; doc 5 carries two back-to-back copies
+    // whose marked windows are adjacent — they must merge to ONE island
+    val span = (1 to 16).map(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a", 8)} $span ${filler("b", 8)}"),
+      (2L, s"${filler("c", 3)} $span ${filler("e", 13)}"),
+      (3L, filler("z", 40)),
+      (4L, "short doc under sixteen words"),
+      (5L, s"${filler("f", 2)} $span $span"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q249").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Text.q249.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_islands"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Double]("removed_frac")))).toMap
+    graft.Caches.release()
+    assert(got(1L) == ((0L, 0L, 0.0)), s"first occurrence trimmed: ${got(1L)}")
+    assert(got(2L) == ((1L, 16L, 0.5)), s"copy not trimmed: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // doc5: dup windows [3,19) and [19,35) are adjacent -> one island of 32
+    assert(got(5L) == ((1L, 32L, 32.0 / 34.0)),
+      s"adjacent spans must merge into one island: ${got(5L)}")
+
+    // full third-implementation replay over the real fixture: windows,
+    // global keep-first, island merge — all in driver Scala
+    val fixture = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val wins = fixture.flatMap { case (id, text) =>
+      val words = text.split(" ", -1) // engines keep trailing empties
+      if (words.length < 16) Seq.empty
+      else (0 to words.length - 16).map { i =>
+        (words.slice(i, i + 16).mkString(" "), id, i + 1L)
+      }
+    }
+    val firstK = wins.groupBy(_._1).map { case (c, ws) =>
+      c -> ws.map { case (_, id, p) => id * 1048576L + p }.min
+    }
+    val expected = wins
+      .filter { case (c, id, p) => id * 1048576L + p != firstK(c) }
+      .groupBy(_._2).map { case (id, ws) =>
+        val spans = ws.map { case (_, _, p) => (p, p + 16) }.sortBy(_._1)
+        val merged = spans.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, (s0, e0)) => acc match {
+            case (ps, pe) :: t if s0 <= pe => (ps, math.max(pe, e0)) :: t
+            case _ => (s0, e0) :: acc
+          }
+        }
+        id -> ((merged.size.toLong, merged.map(x => x._2 - x._1).sum))
+      }
+    val gotFx = graft.queries.Text.q249.run(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_islands"), r.getAs[Long]("covered_tokens"))))
+      .toMap
+    graft.Caches.release()
+    fixture.foreach { case (id, _) =>
+      assert(gotFx(id) == expected.getOrElse(id, (0L, 0L)),
+        s"doc $id: got ${gotFx(id)}, replay ${expected.getOrElse(id, (0L, 0L))}")
+    }
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
