@@ -645,6 +645,158 @@ object IngestJob {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** All data files under `dataDir/sub` (one snapshot append), as
+    * manifest-ready paths relative to `dataDir`, sorted. */
+  private def listParquet(dataDir: java.nio.file.Path, sub: String)
+      : Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val st = Files.walk(dataDir.resolve(sub))
+    try st.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => dataDir.relativize(p).toString).toSeq.sorted
+    finally st.close()
+  }
+
+  /** One snapshot append: write `df` (schema + a `bucket` partition
+    * column) under `dataDir/sub`, one file per bucket directory, and
+    * return the new files as manifest entries. Data files land BEFORE
+    * any manifest references them — the write is invisible until a
+    * manifest commits. */
+  private def snapshotAppend(df: DataFrame, dataDir: java.nio.file.Path,
+      sub: String): Seq[String] = {
+    df.repartition(1).write.mode("overwrite").partitionBy("bucket")
+      .parquet(dataDir.resolve(sub).toString)
+    listParquet(dataDir, sub)
+  }
+
+  /** Atomically publish version `n`'s manifest (temp file + ATOMIC_MOVE):
+    * the manifest IS the commit point — a crash beforehand leaves the
+    * data files orphaned but every committed version intact. */
+  private def commitManifest(root: java.nio.file.Path, n: Int,
+      entries: Seq[String]): Unit = {
+    val staged = root.resolve(s".v$n.manifest.tmp")
+    Files.writeString(staged, entries.mkString("\n") + "\n")
+    Files.move(staged, root.resolve(s"v$n.manifest.tsv"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readManifest(root: java.nio.file.Path, n: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** q248: SNAPSHOT / TIME-TRAVEL table — the manifest-commit half of a
+    * lakehouse table format (Iceberg/Delta shape), built from parts this
+    * repo already trusts: immutable data files + an atomically-published
+    * per-version manifest listing exactly the files that ARE the table
+    * at that version. Three commits over an orders-derived table, each a
+    * real lifecycle event:
+    *   v1 append A (o_orderkey <= 3/5 of the key span, 4 bucket files),
+    *   v2 append B (the rest; manifest = A + B files — appends touch no
+    *      existing file),
+    *   v3 copy-on-write UPDATE (c += 100 where k % 4 = 3): the bucket=3
+    *      files are found by MANIFEST-LEVEL pruning (path metadata, no
+    *      data read), rewritten once, and v3's manifest swaps exactly
+    *      those entries — 7 files, 6 shared untouched with v2.
+    * Plus one staged append that "crashed" before its manifest: its
+    * files sit in the data dir referenced by nothing. The query
+    * time-travels every version (reads exactly the manifest's files)
+    * and reports the vacuum DRY-RUN (all-files minus all-referenced =
+    * orphans) — retention discipline says report, don't auto-delete.
+    * The oracle recomputes every version's stats straight off the
+    * ORIGINAL orders table, so a pass proves: committed versions are
+    * immutable under later commits (v1/v2 unchanged after v3), the
+    * update touched exactly its predicate's rows, the orphans are
+    * exactly the crashed append, and the hardcoded file counts pin the
+    * copy-on-write granularity. At 100 TB this is the core scale
+    * argument for table formats: planning reads manifests (KBs), never
+    * directory listings; snapshot isolation is one atomic rename; an
+    * update rewrites only the files its predicate prunes to. Build-once
+    * per fixture content (v3-manifest-gated), reruns only read. */
+  val q248 = Q(
+    "q248_snapshot_time_travel",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val fp = orders.agg(
+        count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+      val cut = fp.getLong(3) * 3 / 5
+      val root = Paths.get(tmp(
+        s"orders_snap_${d.replaceAll("[^0-9.]", "")}_" +
+          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+      val dataDir = root.resolve("data")
+      if (!Files.exists(root.resolve("v3.manifest.tsv"))) {
+        Files.createDirectories(dataDir)
+        val base = orders.withColumn("bucket", col("k") % 4)
+        val a = snapshotAppend(base.filter(col("k") <= cut), dataDir, "a")
+        commitManifest(root, 1, a)
+        val b = snapshotAppend(base.filter(col("k") > cut), dataDir, "b")
+        commitManifest(root, 2, a ++ b)
+        // copy-on-write: manifest-level pruning — only bucket=3 paths
+        // are read and rewritten; no other data file is touched
+        val hot = (a ++ b).filter(_.contains("bucket=3"))
+        val rewritten = snapshotAppend(
+          s.read.parquet(hot.map(p => dataDir.resolve(p).toString): _*)
+            .withColumn("c", col("c") + 100L)
+            .withColumn("bucket", col("k") % 4),
+          dataDir, "c")
+        commitManifest(root, 3,
+          (a ++ b).filterNot(_.contains("bucket=3")) ++ rewritten)
+        // a staged append whose writer died before publishing a manifest
+        snapshotAppend(base.filter(col("k") % 17 === 0), dataDir, "crashed")
+      }
+      val manifests = (1 to 3).map(n => n -> readManifest(root, n)).toMap
+      val referenced = manifests.values.flatten.toSet
+      val orphans = Seq("a", "b", "c", "crashed")
+        .filter(sub => Files.exists(dataDir.resolve(sub)))
+        .flatMap(listParquet(dataDir, _))
+        .filterNot(referenced)
+      def snap(tag: String, files: Seq[String]): DataFrame =
+        s.read.parquet(files.map(p => dataDir.resolve(p).toString): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+          .select(
+            lit(tag).as("snapshot"),
+            lit(files.size.toLong).as("n_files"),
+            col("n_rows"),
+            (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      snap("v1", manifests(1))
+        .unionAll(snap("v2", manifests(2)))
+        .unionAll(snap("v3", manifests(3)))
+        .unionAll(snap("orphans", orphans))
+        .orderBy(col("snapshot"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), cut AS (
+        SELECT max(k) * 3 // 5 AS cut FROM base
+      )
+      SELECT 'v1' AS snapshot, CAST(4 AS BIGINT) AS n_files,
+             count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base, cut WHERE k <= cut
+      UNION ALL
+      SELECT 'v2', 8, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      UNION ALL
+      SELECT 'v3', 7, count(*),
+             CAST(CAST(sum(CASE WHEN k % 4 = 3 THEN c + 100 ELSE c END)
+               AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      UNION ALL
+      SELECT 'orphans', 4, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base WHERE k % 17 = 0
+      ORDER BY snapshot"""))
+
   val all: Seq[Q] =
-    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244)
+    Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
+      q248)
 }

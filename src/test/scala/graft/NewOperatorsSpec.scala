@@ -2785,6 +2785,57 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q248 snapshots: time travel, COW sharing, torn commit, build-once") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    // 20 hand-checkable orders: k dollars each; cut = 20*3/5 = 12
+    val dir = JF.createTempDirectory("graft_q248").toString
+    (1 to 20).map(k => (k.toLong, "O", k.toDouble))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderdate", lit("1997-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def run() =
+      try graft.sources.IngestJob.q248.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    val got = run()
+    assert(got("v1") == ((4L, 12L, 78.0)), s"v1: ${got("v1")}")
+    assert(got("v2") == ((8L, 20L, 210.0)), s"v2: ${got("v2")}")
+    // update adds 100 cents to k % 4 == 3 (3,7,11,15,19): +5.00
+    assert(got("v3") == ((7L, 20L, 215.0)), s"v3: ${got("v3")}")
+    // the crashed append (k % 17 == 0 -> only k=17, bucket 1, one file)
+    assert(got("orphans") == ((1L, 1L, 17.0)), s"orphans: ${got("orphans")}")
+
+    // manifest file-sharing: v1 ⊂ v2; v3 shares exactly the 6 non-hot
+    // files with v2 and adds one rewritten bucket=3 file
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_snap_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    def manifest(n: Int): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      JF.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala
+        .filter(_.nonEmpty).toSet
+    }
+    assert(manifest(1).subsetOf(manifest(2)), "append must not drop files")
+    assert((manifest(2) & manifest(3)).size == 6 && manifest(3).size == 7,
+      "copy-on-write must share every file the update predicate misses")
+    assert(manifest(3).exists(_.startsWith("c/")),
+      "v3 must reference the rewritten file")
+
+    // build-once: a second run only reads
+    val mtime = JF.getLastModifiedTime(root.resolve("v1.manifest.tsv"))
+    assert(run() == got)
+    assert(JF.getLastModifiedTime(root.resolve("v1.manifest.tsv")) == mtime,
+      "second run rebuilt instead of time-traveling the committed store")
+
+    // torn commit: losing the LAST manifest (crash before publish)
+    // triggers a clean rebuild, never a wrong answer
+    JF.delete(root.resolve("v3.manifest.tsv"))
+    assert(run() == got, "rebuild after torn commit diverged")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
