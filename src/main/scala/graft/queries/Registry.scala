@@ -10,7 +10,7 @@ object Registry {
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
       graft.operators.Bitmap.all ++
       graft.operators.AsOf.all ++ graft.operators.Kmeans.all ++
-      graft.operators.FrequentItems.all
+      graft.operators.FrequentItems.all ++ graft.operators.ResultCache.all
 
   require(
     all.map(_.name).distinct.size == all.size,

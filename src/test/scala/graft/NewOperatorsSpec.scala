@@ -2836,6 +2836,46 @@ class NewOperatorsSpec extends SparkSpec {
     assert(run() == got, "rebuild after torn commit diverged")
   }
 
+  test("q250 result cache: hit path, key stability, stamp invalidation") {
+    import java.nio.file.{Files => JF}
+    import graft.operators.ResultCache
+    // private fixture copy so the stamp can be mutated safely
+    val dir = JF.createTempDirectory("graft_q250").toString
+    Tables.load(spark, sf001, "lineitem").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def rollup() = Tables.load(spark, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.dsum(col("l_extendedprice")).as("revenue"))
+    val stamp = ResultCache.fsStamp(s"$dir/lineitem.parquet")
+    // separately-built identical plans share one key; a variant doesn't
+    val k = ResultCache.key(rollup(), stamp)
+    assert(ResultCache.key(rollup(), stamp) == k,
+      "canonicalization must make twice-built identical plans one key")
+    assert(ResultCache.key(rollup().filter(col("n") > 1), stamp) != k)
+    val r1 = graft.operators.ResultCache.q250.run(spark, dir).collect()
+    val entry = ResultCache.cacheDir(k)
+    assert(JF.exists(entry.resolve("_SUCCESS")), "miss must commit an entry")
+    val mtime = JF.getLastModifiedTime(entry.resolve("_SUCCESS"))
+    val served = graft.operators.ResultCache.q250.run(spark, dir)
+    assert(served.collect().toSeq == r1.toSeq)
+    assert(JF.getLastModifiedTime(entry.resolve("_SUCCESS")) == mtime,
+      "hit must not recompute")
+    // the hit path's plan scans the cache entry, never the input table
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rescache"), plan.take(400))
+    assert(!plan.contains("lineitem.parquet"),
+      "served plan still reads the input — the cache saved nothing")
+    // content change moves the key (metadata stamp, no scan needed)
+    val f = new java.io.File(s"$dir/lineitem.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.setLastModified(f.lastModified() + 2000))
+    val k2 = ResultCache.key(rollup(),
+      ResultCache.fsStamp(s"$dir/lineitem.parquet"))
+    assert(k2 != k, "stale stamp: modified input served the old entry")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
