@@ -715,41 +715,50 @@ object IngestJob {
     * directory listings; snapshot isolation is one atomic rename; an
     * update rewrites only the files its predicate prunes to. Build-once
     * per fixture content (v3-manifest-gated), reruns only read. */
+  /** Build (once per fixture content) and open the snapshot store:
+    * (store root, data dir, manifests v1..v3). Shared by q248 (version
+    * stats + vacuum) and q251 (version diff), either of which may run
+    * first. */
+  def ensureSnapshotStore(s: SparkSession, d: String)
+      : (java.nio.file.Path, java.nio.file.Path, Map[Int, Seq[String]]) = {
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        graft.queries.Det.cents(col("o_totalprice")).as("c"))
+    val fp = orders.agg(
+      count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+    val cut = fp.getLong(3) * 3 / 5
+    val root = Paths.get(tmp(
+      s"orders_snap_${d.replaceAll("[^0-9.]", "")}_" +
+        s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+    val dataDir = root.resolve("data")
+    if (!Files.exists(root.resolve("v3.manifest.tsv"))) {
+      Files.createDirectories(dataDir)
+      val base = orders.withColumn("bucket", col("k") % 4)
+      val a = snapshotAppend(base.filter(col("k") <= cut), dataDir, "a")
+      commitManifest(root, 1, a)
+      val b = snapshotAppend(base.filter(col("k") > cut), dataDir, "b")
+      commitManifest(root, 2, a ++ b)
+      // copy-on-write: manifest-level pruning — only bucket=3 paths
+      // are read and rewritten; no other data file is touched
+      val hot = (a ++ b).filter(_.contains("bucket=3"))
+      val rewritten = snapshotAppend(
+        s.read.parquet(hot.map(p => dataDir.resolve(p).toString): _*)
+          .withColumn("c", col("c") + 100L)
+          .withColumn("bucket", col("k") % 4),
+        dataDir, "c")
+      commitManifest(root, 3,
+        (a ++ b).filterNot(_.contains("bucket=3")) ++ rewritten)
+      // a staged append whose writer died before publishing a manifest
+      snapshotAppend(base.filter(col("k") % 17 === 0), dataDir, "crashed")
+    }
+    (root, dataDir, (1 to 3).map(n => n -> readManifest(root, n)).toMap)
+  }
+
   val q248 = Q(
     "q248_snapshot_time_travel",
     (s, d) => {
-      val orders = Tables.load(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
-          graft.queries.Det.cents(col("o_totalprice")).as("c"))
-      val fp = orders.agg(
-        count(lit(1)).as("n"), sum(col("k")).as("sk"),
-        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
-      val cut = fp.getLong(3) * 3 / 5
-      val root = Paths.get(tmp(
-        s"orders_snap_${d.replaceAll("[^0-9.]", "")}_" +
-          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
-      val dataDir = root.resolve("data")
-      if (!Files.exists(root.resolve("v3.manifest.tsv"))) {
-        Files.createDirectories(dataDir)
-        val base = orders.withColumn("bucket", col("k") % 4)
-        val a = snapshotAppend(base.filter(col("k") <= cut), dataDir, "a")
-        commitManifest(root, 1, a)
-        val b = snapshotAppend(base.filter(col("k") > cut), dataDir, "b")
-        commitManifest(root, 2, a ++ b)
-        // copy-on-write: manifest-level pruning — only bucket=3 paths
-        // are read and rewritten; no other data file is touched
-        val hot = (a ++ b).filter(_.contains("bucket=3"))
-        val rewritten = snapshotAppend(
-          s.read.parquet(hot.map(p => dataDir.resolve(p).toString): _*)
-            .withColumn("c", col("c") + 100L)
-            .withColumn("bucket", col("k") % 4),
-          dataDir, "c")
-        commitManifest(root, 3,
-          (a ++ b).filterNot(_.contains("bucket=3")) ++ rewritten)
-        // a staged append whose writer died before publishing a manifest
-        snapshotAppend(base.filter(col("k") % 17 === 0), dataDir, "crashed")
-      }
-      val manifests = (1 to 3).map(n => n -> readManifest(root, n)).toMap
+      val (root, dataDir, manifests) = ensureSnapshotStore(s, d)
       val referenced = manifests.values.flatten.toSet
       val orphans = Seq("a", "b", "c", "crashed")
         .filter(sub => Files.exists(dataDir.resolve(sub)))
@@ -796,7 +805,288 @@ object IngestJob {
       FROM base WHERE k % 17 = 0
       ORDER BY snapshot"""))
 
+  private def readFiles(s: SparkSession, dataDir: java.nio.file.Path,
+      files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(p => dataDir.resolve(p).toString): _*))
+
+  /** q251: VERSION DIFF (change-data-feed) between snapshot commits —
+    * "what changed from v_from to v_to", answered the way a table
+    * format can and a bare directory cannot: files present in BOTH
+    * manifests are immutable and therefore contribute only UNCHANGED
+    * rows (their count is parquet footer metadata — no data read), so
+    * the diff reads ONLY the symmetric difference of the manifests and
+    * joins those hot files on the key. v1→v2 is the append case (hot =
+    * the appended files; every row 'added'); v2→v3 is the copy-on-write
+    * update case (hot = 2 old + 1 rewritten bucket=3 file; every row
+    * 'updated' with delta +1.00). The oracle recomputes both diffs
+    * straight off orders — equality proves the manifest-pruned diff
+    * exhaustive (no change hides in a shared file, because shared files
+    * CANNOT change — that's what immutability + manifest swap mean).
+    * At 100 TB this is the whole point of CDC-from-manifests: diff cost
+    * scales with the CHANGED file set, not the table. Deltas stay in
+    * exact integer cents until one final division. */
+  val q251 = Q(
+    "q251_version_diff",
+    (s, d) => {
+      val (_, dataDir, m) = ensureSnapshotStore(s, d)
+      def diff(tag: String, from: Seq[String], to: Seq[String]): DataFrame = {
+        val shared = from.toSet & to.toSet
+        val sharedN = readFiles(s, dataDir, shared.toSeq.sorted)
+          .map(_.count()).getOrElse(0L)
+        val hotFrom = readFiles(s, dataDir, from.filterNot(shared))
+          .map(_.select(col("k"), col("c").as("c_from")))
+        val hotTo = readFiles(s, dataDir, to.filterNot(shared))
+          .map(_.select(col("k"), col("c").as("c_to")))
+        val joined = (hotFrom, hotTo) match {
+          case (Some(a), Some(b)) => Some(a.join(b, Seq("k"), "full_outer"))
+          case (None, Some(b)) =>
+            Some(b.withColumn("c_from", lit(null).cast(LongType)))
+          case (Some(a), None) =>
+            Some(a.withColumn("c_to", lit(null).cast(LongType)))
+          case (None, None) => None
+        }
+        val hotAgg = joined.map(
+          _.withColumn("status",
+            when(col("c_from").isNull, lit("added"))
+              .when(col("c_to").isNull, lit("removed"))
+              .when(col("c_from") === col("c_to"), lit("unchanged"))
+              .otherwise(lit("updated")))
+            .groupBy(col("status"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(coalesce(col("c_to"), lit(0L)) -
+                coalesce(col("c_from"), lit(0L))).as("dc")))
+        val sharedRow = s.range(1).select(
+          lit("unchanged").as("status"), lit(sharedN).as("n"),
+          lit(0L).as("dc"))
+        hotAgg.map(_.unionAll(sharedRow)).getOrElse(sharedRow)
+          .groupBy(col("status"))
+          .agg(sum(col("n")).as("n_rows"),
+            (sum(col("dc")).cast(DoubleType) / lit(100.0))
+              .as("delta_value"))
+          .select(lit(tag).as("diff"), col("status"), col("n_rows"),
+            col("delta_value"))
+      }
+      diff("v1~v2", m(1), m(2))
+        .unionAll(diff("v2~v3", m(2), m(3)))
+        .orderBy(col("diff"), col("status"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), cut AS (
+        SELECT max(k) * 3 // 5 AS cut FROM base
+      )
+      SELECT 'v1~v2' AS diff, 'added' AS status, count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS delta_value
+      FROM base, cut WHERE k > cut
+      UNION ALL
+      SELECT 'v1~v2', 'unchanged', count(*), 0.0
+      FROM base, cut WHERE k <= cut
+      UNION ALL
+      SELECT 'v2~v3', 'unchanged', count(*), 0.0
+      FROM base WHERE k % 4 <> 3
+      UNION ALL
+      SELECT 'v2~v3', 'updated', count(*), CAST(count(*) AS DOUBLE)
+      FROM base WHERE k % 4 = 3
+      ORDER BY diff, status"""))
+
+  /** q252: WRITE-AUDIT-PUBLISH — the branch-based ingestion discipline
+    * (Iceberg WAP / staging-branch shape) the snapshot store makes
+    * cheap: new data lands on an isolated BRANCH manifest that main
+    * readers cannot see; a data-quality audit runs against the branch;
+    * only a passing audit PROMOTES the branch manifest to the next
+    * version (one atomic rename — publish is all-or-nothing), while a
+    * failing audit deletes the branch manifest and leaves the bad files
+    * orphaned for vacuum (q248's dry-run discipline). The fixture run
+    * stages the same append twice: once poisoned (c negated where
+    * k % 19 = 0 — the audit's `c <= 0` contract fires) and once clean.
+    * The report audits every artifact's CONTENTS as-found and derives
+    * `committed` from store state (are the artifact's files referenced
+    * by any version manifest?) — so a pass proves: the bad branch never
+    * published, the good branch became v2 byte-for-byte, and main-v1
+    * was never perturbed by either staging. At 100 TB the audit reads
+    * only the staged files (branch = shared immutable base + new
+    * files), so the quality gate costs one pass over the NEW data, not
+    * the table. */
+  val q252 = Q(
+    "q252_write_audit_publish",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val fp = orders.agg(
+        count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+      val cut = fp.getLong(3) * 3 / 5
+      val root = Paths.get(tmp(
+        s"orders_wap_${d.replaceAll("[^0-9.]", "")}_" +
+          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+      val dataDir = root.resolve("data")
+      def violations(df: DataFrame): Long =
+        df.agg(sum(when(col("c") <= 0L, 1L).otherwise(0L))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      if (!Files.exists(root.resolve("v2.manifest.tsv"))) {
+        Files.createDirectories(dataDir)
+        val base = orders.withColumn("bucket", col("k") % 4)
+        val v1 = snapshotAppend(base.filter(col("k") <= cut), dataDir, "base")
+        commitManifest(root, 1, v1)
+        val fresh = base.filter(col("k") > cut)
+        // branch 1: poisoned append — audit must reject it
+        val bad = snapshotAppend(
+          fresh.withColumn("c",
+            when(col("k") % 19 === 0, -col("c")).otherwise(col("c"))),
+          dataDir, "stage_bad")
+        val badBranch = root.resolve("branch-bad.manifest.tsv")
+        Files.writeString(root.resolve(".branch-bad.tmp"),
+          (v1 ++ bad).mkString("\n") + "\n")
+        Files.move(root.resolve(".branch-bad.tmp"), badBranch,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // the audit reads ONLY the branch's new files
+        if (violations(readFiles(s, dataDir, bad).get) > 0)
+          Files.delete(badBranch) // reject: branch gone, files orphaned
+        else commitManifest(root, 2, v1 ++ bad)
+        // branch 2: clean append — audit passes, branch promotes to v2
+        val good = snapshotAppend(fresh, dataDir, "stage_good")
+        val goodBranch = root.resolve("branch-good.manifest.tsv")
+        Files.writeString(root.resolve(".branch-good.tmp"),
+          (v1 ++ good).mkString("\n") + "\n")
+        Files.move(root.resolve(".branch-good.tmp"), goodBranch,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (violations(readFiles(s, dataDir, good).get) > 0)
+          Files.delete(goodBranch)
+        else Files.move(goodBranch, root.resolve("v2.manifest.tsv"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val published = (1 to 2)
+        .flatMap(n => readManifest(root, n)).toSet
+      def report(step: String, sub: String): DataFrame = {
+        val files = listParquet(dataDir, sub)
+        readFiles(s, dataDir, files).get
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("c") <= 0L, 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit(step).as("step"), col("n_rows"), col("n_violations"),
+            lit(files.forall(published)).as("committed"))
+      }
+      def version(step: String, n: Int): DataFrame =
+        readFiles(s, dataDir, readManifest(root, n)).get
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("c") <= 0L, 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit(step).as("step"), col("n_rows"),
+            col("n_violations"), lit(true).as("committed"))
+      version("main_v1", 1)
+        .unionAll(version("main_v2", 2))
+        .unionAll(report("staged_bad", "stage_bad"))
+        .unionAll(report("staged_good", "stage_good"))
+        .orderBy(col("step"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), cut AS (
+        SELECT max(k) * 3 // 5 AS cut FROM base
+      )
+      SELECT 'main_v1' AS step, count(*) AS n_rows,
+             CAST(sum(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             true AS committed
+      FROM base, cut WHERE k <= cut
+      UNION ALL
+      SELECT 'main_v2', count(*),
+             CAST(sum(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT), true
+      FROM base
+      UNION ALL
+      SELECT 'staged_bad', count(*),
+             CAST(sum(CASE WHEN (CASE WHEN k % 19 = 0 THEN -c ELSE c END)
+               <= 0 THEN 1 ELSE 0 END) AS BIGINT), false
+      FROM base, cut WHERE k > cut
+      UNION ALL
+      SELECT 'staged_good', count(*),
+             CAST(sum(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT), true
+      FROM base, cut WHERE k > cut
+      ORDER BY step"""))
+
+  /** q253: MERGE-ON-READ delete — the other half of the delete story
+    * q248's copy-on-write update started (Iceberg equality-delete /
+    * Delta deletion-vector shape): v4 deletes every k % 10 = 6 row by
+    * committing a small EQUALITY-DELETE file (just the keys) alongside
+    * the untouched v3 data files — write cost is the delete-set size,
+    * zero data files rewritten — and readers apply it as a broadcast
+    * ANTI-JOIN at scan time. The manifest marks delete entries with a
+    * `delete:` prefix, so one file list carries both roles and the
+    * atomic-rename commit covers them together. The report shows v3
+    * (before), v4-live (after), and v4-deleted (the anti-join's
+    * complement), and the oracle recomputes all three from orders —
+    * equality proves the delete applied to exactly its predicate's
+    * rows and v3 stayed immutable. The COW/MOR trade at 100 TB, in one
+    * store: update-heavy maintenance rewrites files once so reads stay
+    * pure scans (q248 v3); delete-heavy churn commits key files in
+    * O(deleted) and pays a broadcast anti-join per read until the next
+    * compaction folds the deletes in (q244's op). Both discipline the
+    * same manifests. */
+  val q253 = Q(
+    "q253_merge_on_read",
+    (s, d) => {
+      val (root, dataDir, m) = ensureSnapshotStore(s, d)
+      if (!Files.exists(root.resolve("v4.manifest.tsv"))) {
+        readFiles(s, dataDir, m(3)).get
+          .filter(col("k") % 10 === 6).select(col("k"))
+          .repartition(1).write.mode("overwrite")
+          .parquet(dataDir.resolve("deletes").toString)
+        commitManifest(root, 4,
+          m(3) ++ listParquet(dataDir, "deletes").map("delete:" + _))
+      }
+      val v4 = readManifest(root, 4)
+      val dataFiles = v4.filterNot(_.startsWith("delete:"))
+      val delFiles = v4.filter(_.startsWith("delete:"))
+        .map(_.stripPrefix("delete:"))
+      val data = readFiles(s, dataDir, dataFiles).get
+      val dels = readFiles(s, dataDir, delFiles).get.select(col("k"))
+      def stats(tag: String, df: DataFrame, nFiles: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+          .select(lit(tag).as("snapshot"),
+            lit(nFiles.toLong).as("n_files"), col("n_rows"),
+            (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      stats("v3", readFiles(s, dataDir, m(3)).get, m(3).size)
+        .unionAll(stats("v4_deleted",
+          data.join(broadcast(dels), Seq("k"), "left_semi"), delFiles.size))
+        .unionAll(stats("v4_live",
+          data.join(broadcast(dels), Seq("k"), "left_anti"), v4.size))
+        .orderBy(col("snapshot"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 4 = 3
+                    THEN ${graft.queries.Det.centsSql("o_totalprice")} + 100
+                    ELSE ${graft.queries.Det.centsSql("o_totalprice")}
+               END AS c
+        FROM orders
+      )
+      SELECT 'v3' AS snapshot, CAST(7 AS BIGINT) AS n_files,
+             count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base
+      UNION ALL
+      SELECT 'v4_deleted', 1, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base WHERE k % 10 = 6
+      UNION ALL
+      SELECT 'v4_live', 8, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base WHERE k % 10 <> 6
+      ORDER BY snapshot"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248)
+      q248, q251, q252, q253)
 }

@@ -2876,6 +2876,86 @@ class NewOperatorsSpec extends SparkSpec {
     assert(k2 != k, "stale stamp: modified input served the old entry")
   }
 
+  private def writeTinyOrders(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    (1 to n).map(k => (k.toLong, "O", k.toDouble))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderdate", lit("1997-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q251 version diff: append and COW-update cases, manifest-pruned") {
+    // 20 orders, cut = 12: v1~v2 appends 13..20; v2~v3 updates k%4==3
+    val dir = writeTinyOrders(20)
+    val got =
+      try graft.sources.IngestJob.q251.run(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    assert(got(("v1~v2", "added")) == ((8L, 132.0)), got.toString)
+    assert(got(("v1~v2", "unchanged")) == ((12L, 0.0)))
+    assert(got(("v2~v3", "updated")) == ((5L, 5.0)),
+      s"COW update delta: ${got(("v2~v3", "updated"))}")
+    assert(got(("v2~v3", "unchanged")) == ((15L, 0.0)))
+    assert(got.size == 4, s"unexpected diff rows: ${got.keySet}")
+  }
+
+  test("q252 WAP: bad branch rejected and invisible, good branch promoted") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    val got =
+      try graft.sources.IngestJob.q252.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      finally graft.Caches.release()
+    assert(got("main_v1") == ((12L, 0L, true)))
+    assert(got("main_v2") == ((20L, 0L, true)))
+    // fresh rows 13..20: only k=19 hits the % 19 poison
+    assert(got("staged_bad") == ((8L, 1L, false)),
+      s"audit must catch the poisoned staging: ${got("staged_bad")}")
+    assert(got("staged_good") == ((8L, 0L, true)))
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_wap_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    // the rejected branch manifest is gone; nothing ever published it
+    assert(!JF.exists(root.resolve("branch-bad.manifest.tsv")))
+    assert(JF.exists(root.resolve("v2.manifest.tsv")))
+    import scala.jdk.CollectionConverters._
+    val published = (1 to 2).flatMap(n =>
+      JF.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala).toSet
+    assert(!published.exists(_.startsWith("stage_bad/")),
+      "a rejected branch's file leaked into a published version")
+    assert(published.exists(_.startsWith("stage_good/")))
+  }
+
+  test("q253 merge-on-read: equality delete without any data rewrite") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    val got =
+      try graft.sources.IngestJob.q253.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    assert(got("v3") == ((7L, 20L, 215.0)))
+    // deletes: k%10==6 -> 6 and 16, neither touched by the v3 update
+    assert(got("v4_deleted") == ((1L, 2L, 22.0)), got.toString)
+    assert(got("v4_live") == ((8L, 18L, 193.0)))
+    // MOR contract: v4 shares EVERY data file with v3 — only the
+    // delete entry is new
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_snap_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    import scala.jdk.CollectionConverters._
+    def manifest(n: Int) =
+      JF.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala
+        .filter(_.nonEmpty).toSet
+    val (del, dat) = manifest(4).partition(_.startsWith("delete:"))
+    assert(dat == manifest(3), "merge-on-read must not rewrite data files")
+    assert(del.size == 1)
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
