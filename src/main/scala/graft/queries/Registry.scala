@@ -6,7 +6,7 @@ object Registry {
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
       Curation.all ++
       graft.sources.IngestJob.all ++ graft.sources.JdbcRemote.all ++
-      graft.streaming.EventStream.all ++
+      graft.streaming.EventStream.all ++ graft.streaming.SnapshotStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++
       graft.operators.Bitmap.all ++
       graft.operators.AsOf.all ++ graft.operators.Kmeans.all ++

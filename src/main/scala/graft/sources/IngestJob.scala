@@ -647,7 +647,7 @@ object IngestJob {
 
   /** All data files under `dataDir/sub` (one snapshot append), as
     * manifest-ready paths relative to `dataDir`, sorted. */
-  private def listParquet(dataDir: java.nio.file.Path, sub: String)
+  private[graft] def listParquet(dataDir: java.nio.file.Path, sub: String)
       : Seq[String] = {
     import scala.jdk.CollectionConverters._
     val st = Files.walk(dataDir.resolve(sub))
@@ -663,7 +663,7 @@ object IngestJob {
     * return the new files as manifest entries. Data files land BEFORE
     * any manifest references them — the write is invisible until a
     * manifest commits. */
-  private def snapshotAppend(df: DataFrame, dataDir: java.nio.file.Path,
+  private[graft] def snapshotAppend(df: DataFrame, dataDir: java.nio.file.Path,
       sub: String): Seq[String] = {
     df.repartition(1).write.mode("overwrite").partitionBy("bucket")
       .parquet(dataDir.resolve(sub).toString)
@@ -673,7 +673,7 @@ object IngestJob {
   /** Atomically publish version `n`'s manifest (temp file + ATOMIC_MOVE):
     * the manifest IS the commit point — a crash beforehand leaves the
     * data files orphaned but every committed version intact. */
-  private def commitManifest(root: java.nio.file.Path, n: Int,
+  private[graft] def commitManifest(root: java.nio.file.Path, n: Int,
       entries: Seq[String]): Unit = {
     val staged = root.resolve(s".v$n.manifest.tmp")
     Files.writeString(staged, entries.mkString("\n") + "\n")
@@ -681,7 +681,7 @@ object IngestJob {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readManifest(root: java.nio.file.Path, n: Int): Seq[String] = {
+  private[graft] def readManifest(root: java.nio.file.Path, n: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala.toSeq
       .filter(_.nonEmpty)
@@ -805,7 +805,7 @@ object IngestJob {
       FROM base WHERE k % 17 = 0
       ORDER BY snapshot"""))
 
-  private def readFiles(s: SparkSession, dataDir: java.nio.file.Path,
+  private[graft] def readFiles(s: SparkSession, dataDir: java.nio.file.Path,
       files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
     else Some(s.read.parquet(files.map(p => dataDir.resolve(p).toString): _*))

@@ -670,4 +670,40 @@ class StreamingSpec extends SparkSpec {
       Caches.release()
     }
   }
+
+  test("q254 commitBatch: idempotent replay, invisible partial writes") {
+    import spark.implicits._
+    import graft.streaming.SnapshotStream
+    import graft.sources.IngestJob
+    val root = Files.createTempDirectory("graft_q254")
+    val dataDir = root.resolve("data")
+    def table(vals: (Long, String, Long)*) =
+      vals.toSeq.toDF("event_id", "event_type", "c")
+    // batch 0 commits v1
+    SnapshotStream.commitBatch(root, table((1L, "view", 100L)), 0L)
+    assert(Files.exists(root.resolve("v1.manifest.tsv")))
+    val m1 = Files.getLastModifiedTime(root.resolve("v1.manifest.tsv"))
+    def readV(n: Int) =
+      IngestJob.readFiles(spark, dataDir, IngestJob.readManifest(root, n))
+        .get.collect().map(_.getLong(0)).toSet
+    assert(readV(1) == Set(1L))
+    // REPLAY of batch 0 (restart after the streaming log lost the epoch)
+    // must be a no-op even with different replayed content
+    SnapshotStream.commitBatch(root, table((99L, "view", 1L)), 0L)
+    assert(Files.getLastModifiedTime(root.resolve("v1.manifest.tsv")) == m1,
+      "replayed batch recommitted")
+    assert(readV(1) == Set(1L), "replayed batch changed committed data")
+    // batch 1 extends the manifest chain
+    SnapshotStream.commitBatch(root, table((2L, "click", 200L)), 1L)
+    assert(readV(2) == Set(1L, 2L))
+    // crash DURING batch 2: data files land, no manifest — invisible to
+    // every committed version, then the replay re-lands and commits
+    table((3L, "view", 300L)).write.parquet(dataDir.resolve("b2").toString)
+    assert(readV(2) == Set(1L, 2L))
+    SnapshotStream.commitBatch(root, table((3L, "view", 300L)), 2L)
+    assert(readV(3) == Set(1L, 2L, 3L))
+    // no orphans once every batch committed
+    val refd = (1 to 3).flatMap(IngestJob.readManifest(root, _)).toSet
+    assert(IngestJob.listParquet(dataDir, "").forall(refd))
+  }
 }
