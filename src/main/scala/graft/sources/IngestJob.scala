@@ -29,6 +29,18 @@ object IngestJob {
     p.toString
   }
 
+  /** Per-store-root build lock: several registry queries share the
+    * snapshot store (q248/q251/q253/q255) and Verify submits queries
+    * from concurrent driver threads, so an unguarded check-then-build
+    * could race two builders into the same directory. One JVM-level
+    * monitor per root serializes the build; readers never need it
+    * (manifests are immutable once published). Cross-process runs are
+    * already serialized by the driver. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def withStoreLock[T](key: String)(f: => T): T =
+    storeLocks.computeIfAbsent(key, _ => new Object).synchronized(f)
+
   /** DATA-QUALITY GATES on a write job via the Observation API
     * (`CollectMetrics`): the named aggregates ride the SAME pass that
     * writes the data — zero extra scans — and the caller's predicates
@@ -732,6 +744,7 @@ object IngestJob {
       s"orders_snap_${d.replaceAll("[^0-9.]", "")}_" +
         s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
     val dataDir = root.resolve("data")
+    withStoreLock(root.toString) {
     if (!Files.exists(root.resolve("v3.manifest.tsv"))) {
       Files.createDirectories(dataDir)
       val base = orders.withColumn("bucket", col("k") % 4)
@@ -751,6 +764,7 @@ object IngestJob {
         (a ++ b).filterNot(_.contains("bucket=3")) ++ rewritten)
       // a staged append whose writer died before publishing a manifest
       snapshotAppend(base.filter(col("k") % 17 === 0), dataDir, "crashed")
+    }
     }
     (root, dataDir, (1 to 3).map(n => n -> readManifest(root, n)).toMap)
   }
@@ -1033,18 +1047,26 @@ object IngestJob {
     * O(deleted) and pays a broadcast anti-join per read until the next
     * compaction folds the deletes in (q244's op). Both discipline the
     * same manifests. */
-  val q253 = Q(
-    "q253_merge_on_read",
-    (s, d) => {
-      val (root, dataDir, m) = ensureSnapshotStore(s, d)
+  /** Ensure the v4 merge-on-read delete commit exists (shared by q253
+    * and q255, either of which may run first). */
+  private def ensureMorDeletes(s: SparkSession, root: java.nio.file.Path,
+      dataDir: java.nio.file.Path, v3: Seq[String]): Unit =
+    withStoreLock(root.toString) {
       if (!Files.exists(root.resolve("v4.manifest.tsv"))) {
-        readFiles(s, dataDir, m(3)).get
+        readFiles(s, dataDir, v3).get
           .filter(col("k") % 10 === 6).select(col("k"))
           .repartition(1).write.mode("overwrite")
           .parquet(dataDir.resolve("deletes").toString)
         commitManifest(root, 4,
-          m(3) ++ listParquet(dataDir, "deletes").map("delete:" + _))
+          v3 ++ listParquet(dataDir, "deletes").map("delete:" + _))
       }
+    }
+
+  val q253 = Q(
+    "q253_merge_on_read",
+    (s, d) => {
+      val (root, dataDir, m) = ensureSnapshotStore(s, d)
+      ensureMorDeletes(s, root, dataDir, m(3))
       val v4 = readManifest(root, 4)
       val dataFiles = v4.filterNot(_.startsWith("delete:"))
       val delFiles = v4.filter(_.startsWith("delete:"))
@@ -1086,7 +1108,73 @@ object IngestJob {
       FROM base WHERE k % 10 <> 6
       ORDER BY snapshot"""))
 
+  /** q255: COMPACTION AS A COMMIT — the maintenance op that closes the
+    * merge-on-read loop q253 opened: v4's read path pays a broadcast
+    * anti-join against the equality-delete file on EVERY scan; v5
+    * rewrites the live rows once (range-clustered per bucket, q244's
+    * layout discipline) and commits a manifest with NO delete entries,
+    * so every later reader is a pure scan again. Crucially the rewrite
+    * is itself a snapshot commit: v4 stays byte-identical behind its
+    * manifest (time travel through the compaction keeps working, so the
+    * delete file stays referenced and vacuum spares it), and the oracle
+    * proves v5's pure-scan contents equal v4's anti-join contents —
+    * compaction changed the LAYOUT and nothing else. This is the COW ↔
+    * MOR lifecycle at 100 TB: absorb churn cheaply as delete files,
+    * amortize them away on the maintenance cadence, and let the
+    * manifest chain make both states first-class versions. */
+  val q255 = Q(
+    "q255_compaction_commit",
+    (s, d) => {
+      val (root, dataDir, m) = ensureSnapshotStore(s, d)
+      ensureMorDeletes(s, root, dataDir, m(3))
+      val v4 = readManifest(root, 4)
+      val dataFiles = v4.filterNot(_.startsWith("delete:"))
+      val delFiles = v4.filter(_.startsWith("delete:"))
+        .map(_.stripPrefix("delete:"))
+      def v4Live: DataFrame =
+        readFiles(s, dataDir, dataFiles).get.join(
+          broadcast(readFiles(s, dataDir, delFiles).get.select(col("k"))),
+          Seq("k"), "left_anti")
+      withStoreLock(root.toString) {
+        if (!Files.exists(root.resolve("v5.manifest.tsv")))
+          commitManifest(root, 5, snapshotAppend(
+            v4Live.withColumn("bucket", col("k") % 4), dataDir, "compact5"))
+      }
+      val v5 = readManifest(root, 5)
+      def stats(tag: String, df: DataFrame, nFiles: Int, nDel: Int)
+          : DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+          .select(lit(tag).as("snapshot"),
+            lit(nFiles.toLong).as("n_files"),
+            lit(nDel.toLong).as("n_delete_files"), col("n_rows"),
+            (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      stats("v4", v4Live, v4.size, delFiles.size)
+        .unionAll(stats("v5",
+          readFiles(s, dataDir, v5).get, v5.size,
+          v5.count(_.startsWith("delete:"))))
+        .orderBy(col("snapshot"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 4 = 3
+                    THEN ${graft.queries.Det.centsSql("o_totalprice")} + 100
+                    ELSE ${graft.queries.Det.centsSql("o_totalprice")}
+               END AS c
+        FROM orders
+        WHERE o_orderkey % 10 <> 6
+      )
+      SELECT 'v4' AS snapshot, CAST(8 AS BIGINT) AS n_files,
+             CAST(1 AS BIGINT) AS n_delete_files, count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base
+      UNION ALL
+      SELECT 'v5', 4, 0, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      ORDER BY snapshot"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253)
+      q248, q251, q252, q253, q255)
 }

@@ -2954,6 +2954,25 @@ class NewOperatorsSpec extends SparkSpec {
     val (del, dat) = manifest(4).partition(_.startsWith("delete:"))
     assert(dat == manifest(3), "merge-on-read must not rewrite data files")
     assert(del.size == 1)
+
+    // q255 on the same store: compaction retires the delete entries as
+    // a NEW commit, leaving v4 (and its delete file) time-travelable
+    val v4Before = manifest(4)
+    val got5 =
+      try graft.sources.IngestJob.q255.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))).toMap
+      finally graft.Caches.release()
+    assert(got5("v4") == ((8L, 1L, 18L, 193.0)), got5.toString)
+    assert(got5("v5") == ((4L, 0L, 18L, 193.0)),
+      s"compaction changed contents, not just layout: ${got5("v5")}")
+    assert(manifest(4) == v4Before, "compaction mutated a committed version")
+    assert(manifest(5).forall(e =>
+      e.startsWith("compact5/") && !e.startsWith("delete:")),
+      s"v5 must be a pure rewrite: ${manifest(5)}")
+    // the delete file stays referenced by v4 — vacuum must spare it
+    val refd = (1 to 5).flatMap(n => manifest(n)).toSet
+    assert(refd.exists(_.startsWith("delete:")))
   }
 
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
