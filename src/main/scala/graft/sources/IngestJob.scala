@@ -731,7 +731,7 @@ object IngestJob {
     * (store root, data dir, manifests v1..v3). Shared by q248 (version
     * stats + vacuum) and q251 (version diff), either of which may run
     * first. */
-  def ensureSnapshotStore(s: SparkSession, d: String)
+  def ensureSnapshotStore(s: SparkSession, d: String, kind: String = "snap")
       : (java.nio.file.Path, java.nio.file.Path, Map[Int, Seq[String]]) = {
     val orders = Tables.load(s, d, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
@@ -741,7 +741,7 @@ object IngestJob {
       sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
     val cut = fp.getLong(3) * 3 / 5
     val root = Paths.get(tmp(
-      s"orders_snap_${d.replaceAll("[^0-9.]", "")}_" +
+      s"orders_${kind}_${d.replaceAll("[^0-9.]", "")}_" +
         s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
     val dataDir = root.resolve("data")
     withStoreLock(root.toString) {
@@ -766,7 +766,10 @@ object IngestJob {
       snapshotAppend(base.filter(col("k") % 17 === 0), dataDir, "crashed")
     }
     }
-    (root, dataDir, (1 to 3).map(n => n -> readManifest(root, n)).toMap)
+    // versions may have been EXPIRED (q256): return only live manifests
+    (root, dataDir,
+      (1 to 3).filter(n => Files.exists(root.resolve(s"v$n.manifest.tsv")))
+        .map(n => n -> readManifest(root, n)).toMap)
   }
 
   val q248 = Q(
@@ -1174,7 +1177,106 @@ object IngestJob {
       FROM base
       ORDER BY snapshot"""))
 
+  /** q256: SNAPSHOT EXPIRY + VACUUM EXECUTION — the destructive half
+    * q248 deliberately dry-ran, on its OWN store clone (kind "vac") so
+    * the shared time-travel store stays intact: retention keeps only
+    * the newest version, the expired manifests are removed, and every
+    * data file no surviving manifest references (the superseded
+    * bucket=3 files and the crashed append) is physically deleted.
+    * Destructive maintenance gets the audit discipline real systems
+    * require: the VACUUM LEDGER (what was expired, which files died,
+    * how many rows/cents they held — measured BEFORE deletion) commits
+    * atomically FIRST, then deletion applies idempotently from the
+    * ledger — a crash at any point leaves either a no-op or extra
+    * not-yet-deleted files, never a lying report, and reruns replay the
+    * ledger rather than re-deriving state that no longer exists. The
+    * oracle recomputes the ledger's row/value content AND the surviving
+    * version's stats from orders: a pass proves vacuum deleted exactly
+    * the unreferenced files and the retained version still reads
+    * perfectly after the purge. At 100 TB expiry is what bounds
+    * manifest history and COW's superseded-file debt; the ledger is
+    * what lets you trust a job that deletes petabytes. */
+  val q256 = Q(
+    "q256_expire_vacuum",
+    (s, d) => {
+      val (root, dataDir, m) = ensureSnapshotStore(s, d, "vac")
+      val ledger = root.resolve("vacuum.log.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(ledger)) {
+          val expired = Seq(1, 2).map(n => s"v$n.manifest.tsv")
+          val keep = m(3).toSet
+          val dead = Seq("a", "b", "c", "crashed")
+            .filter(sub => Files.exists(dataDir.resolve(sub)))
+            .flatMap(listParquet(dataDir, _))
+            .filterNot(keep)
+          val st = readFiles(s, dataDir, dead).get
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("sc")).head()
+          val lines =
+            expired.map(f => s"manifest\t$f") ++
+              dead.map(f => s"file\t$f") :+
+              s"stats\t${st.getLong(0)}\t${st.getLong(1)}"
+          Files.writeString(root.resolve(".vacuum.tmp"),
+            lines.mkString("\n") + "\n")
+          Files.move(root.resolve(".vacuum.tmp"), ledger,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        // deletion always (re)applies from the committed ledger —
+        // idempotent, so a crash mid-purge just resumes here
+        import scala.jdk.CollectionConverters._
+        val entries = Files.readAllLines(ledger).asScala
+          .filter(_.nonEmpty).map(_.split("\t").toSeq)
+        entries.collect { case Seq("manifest", f) => f }
+          .foreach(f => Files.deleteIfExists(root.resolve(f)))
+        entries.collect { case Seq("file", f) => f }
+          .foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = Files.readAllLines(ledger).asScala
+        .filter(_.nonEmpty).map(_.split("\t").toSeq)
+      val nManifests = entries.count(_.headOption.contains("manifest"))
+      val deadFiles = entries.collect { case Seq("file", f) => f }
+      val statsLine = entries.find(_.headOption.contains("stats")).get
+      val (deadRows, deadCents) = (statsLine(1), statsLine(2))
+      val survivor = readFiles(s, dataDir, m(3)).get
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+        .select(lit("v3_after_vacuum").as("step"),
+          lit(m(3).size.toLong).as("n_files"), col("n_rows"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      val expiredRow = s.range(1).select(
+        lit("expired_manifests").as("step"),
+        lit(nManifests.toLong).as("n_files"), lit(0L).as("n_rows"),
+        lit(0.0).as("sum_value"))
+      val vacuumedRow = s.range(1).select(
+        lit("vacuumed_files").as("step"),
+        lit(deadFiles.size.toLong).as("n_files"),
+        lit(deadRows.toLong).as("n_rows"),
+        lit(deadCents.toDouble / 100.0).as("sum_value"))
+      expiredRow.unionAll(survivor).unionAll(vacuumedRow)
+        .orderBy(col("step"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      )
+      SELECT 'expired_manifests' AS step, CAST(2 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_rows, 0.0 AS sum_value
+      UNION ALL
+      SELECT 'v3_after_vacuum', 7, count(*),
+             CAST(CAST(sum(CASE WHEN k % 4 = 3 THEN c + 100 ELSE c END)
+               AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      UNION ALL
+      SELECT 'vacuumed_files', 6,
+             (SELECT count(*) FROM base WHERE k % 4 = 3)
+               + (SELECT count(*) FROM base WHERE k % 17 = 0),
+             CAST(CAST((SELECT sum(c) FROM base WHERE k % 4 = 3)
+               + (SELECT sum(c) FROM base WHERE k % 17 = 0)
+               AS BIGINT) AS DOUBLE) / 100
+      ORDER BY step"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255)
+      q248, q251, q252, q253, q255, q256)
 }

@@ -2975,6 +2975,46 @@ class NewOperatorsSpec extends SparkSpec {
     assert(refd.exists(_.startsWith("delete:")))
   }
 
+  test("q256 expire+vacuum: ledger-audited purge, survivor intact, replayable") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    def run() =
+      try graft.sources.IngestJob.q256.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    val got = run()
+    assert(got("expired_manifests") == ((2L, 0L, 0.0)))
+    assert(got("v3_after_vacuum") == ((7L, 20L, 215.0)),
+      s"survivor corrupted by vacuum: ${got("v3_after_vacuum")}")
+    // dead: superseded bucket=3 files (a, b) + the crashed append (k=17
+    // only -> ONE bucket file on this tiny fixture); rows 5+1, cents
+    // 5500 + 1700
+    assert(got("vacuumed_files") == ((3L, 6L, 72.0)), got.toString)
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_vac_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    assert(!JF.exists(root.resolve("v1.manifest.tsv")))
+    assert(!JF.exists(root.resolve("v2.manifest.tsv")))
+    assert(JF.exists(root.resolve("v3.manifest.tsv")))
+    assert(JF.exists(root.resolve("vacuum.log.tsv")))
+    // the purge is physical: no data file outside the survivor remains
+    import scala.jdk.CollectionConverters._
+    val keep = JF.readAllLines(root.resolve("v3.manifest.tsv")).asScala
+      .filter(_.nonEmpty).toSet
+    val st = JF.walk(root.resolve("data"))
+    val remaining =
+      try st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => root.resolve("data").relativize(p).toString).toSet
+      finally st.close()
+    assert(remaining == keep,
+      s"vacuum left or took the wrong files: ${remaining.diff(keep)} " +
+        s"/ ${keep.diff(remaining)}")
+    // rerun replays the LEDGER, not vanished state — identical report
+    assert(run() == got, "vacuum report not reproducible after the purge")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
