@@ -1276,7 +1276,229 @@ object IngestJob {
                AS BIGINT) AS DOUBLE) / 100
       ORDER BY step"""))
 
+  /** q257: ZONE-MAP file skipping from a STATS MANIFEST — the data-
+    * skipping mechanism table formats use where q243's z-order used
+    * partition DIRECTORIES: each data file's (min, max) key range is
+    * recorded in the manifest at write time, and a range query prunes
+    * files DRIVER-SIDE from those stats before any I/O — no layout key
+    * in the path, no partition discovery, planning cost = one KB-sized
+    * manifest read. Build once: orders range-clustered into 8 files
+    * with explicit disjoint key-eighth spans (range clustering is what
+    * makes zone maps BITE — random layout gives every file the full
+    * [min,max] and prunes nothing, the q244 lesson), true per-file
+    * stats measured from the written data (never assumed from the
+    * clustering intent). The scale-relative band query [maxK/3, 2maxK/3]
+    * overlaps exactly 4 of the 8 spans at every SF (dense uniform
+    * keys). The oracle recomputes the band aggregate AND the pruning
+    * arithmetic from orders, so a pass proves the skipped files could
+    * not have held a matching row; the spec additionally READS the
+    * skipped files to prove losslessness directly. At 100 TB zone maps
+    * are the first line of scan avoidance: they turn every range/point
+    * predicate into a file-list cut before Spark schedules a single
+    * task. */
+  val q257 = Q(
+    "q257_zonemap_skipping",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val fp = orders.agg(
+        count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+      val mk = fp.getLong(3)
+      val root = Paths.get(tmp(
+        s"orders_zm_${d.replaceAll("[^0-9.]", "")}_" +
+          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+      val dataDir = root.resolve("data")
+      val manifest = root.resolve("stats.manifest.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(manifest)) {
+          Files.createDirectories(dataDir)
+          orders.withColumn("bucket", expr(s"k * 8 div ${mk + 1}"))
+            .repartition(1).sortWithinPartitions(col("k"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(dataDir.resolve("r").toString)
+          // TRUE stats measured from the written files, never assumed
+          // from the clustering intent
+          // partition-dir type inference reads bucket back as INT
+          val stats = s.read.parquet(dataDir.resolve("r").toString)
+            .groupBy(col("bucket").cast(LongType).as("bucket"))
+            .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+            .collect().map(r => r.getLong(0) ->
+              ((r.getLong(1), r.getLong(2)))).toMap
+          val lines = listParquet(dataDir, "r").map { p =>
+            val b = p.split("/").find(_.startsWith("bucket="))
+              .get.stripPrefix("bucket=").toLong
+            s"$p\t${stats(b)._1}\t${stats(b)._2}"
+          }
+          Files.writeString(root.resolve(".stats.tmp"),
+            lines.mkString("\n") + "\n")
+          Files.move(root.resolve(".stats.tmp"), manifest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = Files.readAllLines(manifest).asScala
+        .filter(_.nonEmpty).map(_.split("\t")).toSeq
+      val (lo, hi) = (mk / 3, 2 * mk / 3)
+      // driver-side pruning: interval overlap against the stats
+      val hit = entries.filter(e => e(2).toLong >= lo && e(1).toLong <= hi)
+      s.read.parquet(hit.map(e => dataDir.resolve(e(0)).toString): _*)
+        .filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+        .select(
+          lit(entries.size.toLong).as("n_files_total"),
+          lit(hit.size.toLong).as("n_files_read"),
+          col("n_rows"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), mk AS (
+        SELECT max(k) AS m FROM base
+      ), spans AS (
+        -- the pruning arithmetic, recomputed: a span is read iff it
+        -- overlaps [m/3, 2m/3]
+        SELECT (k * 8) // (m + 1) AS bucket,
+               min(k) AS mn, max(k) AS mx
+        FROM base, mk GROUP BY 1
+      )
+      SELECT (SELECT count(*) FROM spans) AS n_files_total,
+             (SELECT count(*) FROM spans, mk
+              WHERE mx >= m // 3 AND mn <= (2 * m) // 3) AS n_files_read,
+             count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base, mk
+      WHERE k BETWEEN m // 3 AND (2 * m) // 3"""))
+
+  /** Attempt to publish version `n` WITHOUT replacing an existing
+    * manifest: the atomic-rename either claims the version or fails
+    * because another writer got there first — the whole optimistic-
+    * concurrency primitive in one filesystem guarantee. */
+  private[graft] def tryCommitManifest(root: java.nio.file.Path, n: Int,
+      entries: Seq[String]): Boolean = {
+    val staged = root.resolve(s".v$n.attempt${System.nanoTime()}.tmp")
+    Files.writeString(staged, entries.mkString("\n") + "\n")
+    try {
+      // hard-link claim: link(2) fails EEXIST ATOMICALLY, unlike a
+      // no-replace move (which is check-then-rename — two racers could
+      // both pass the check and the second rename silently wins)
+      Files.createLink(root.resolve(s"v$n.manifest.tsv"), staged)
+      Files.delete(staged)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(staged); false
+    }
+  }
+
+  /** Current head version of a store (0 if none committed yet). */
+  private[graft] def headVersion(root: java.nio.file.Path): Int =
+    Iterator.from(1)
+      .takeWhile(n => Files.exists(root.resolve(s"v$n.manifest.tsv")))
+      .size
+
+  /** Optimistic append with rebase-on-conflict: read the head, attempt
+    * head+1, and on a lost race re-read and retry (append-only commits
+    * are always compatible, so the rebase is just "new base + my
+    * files"). Returns (committed version, conflicts survived). */
+  private[graft] def commitWithRetry(root: java.nio.file.Path,
+      newFiles: Seq[String]): (Int, Int) = {
+    var conflicts = 0
+    while (true) {
+      val head = headVersion(root)
+      val base = if (head == 0) Seq.empty else readManifest(root, head)
+      if (tryCommitManifest(root, head + 1, base ++ newFiles))
+        return (head + 1, conflicts)
+      conflicts += 1
+    }
+    sys.error("unreachable")
+  }
+
+  /** q258: OPTIMISTIC CONCURRENCY CONTROL on the snapshot store — the
+    * multi-writer half of the commit protocol (Iceberg/Delta OCC
+    * shape): writers never lock; each stages its data files, then
+    * tries to claim head+1 with a NO-REPLACE atomic rename. The loser
+    * of a race gets a filesystem-level conflict, re-reads the new
+    * head, REBASES (append-only commits are always compatible — the
+    * rebase is just the new base manifest plus its own files), and
+    * retries. The fixture run stages the deterministic worst case:
+    * two writers both read head v1, writer A claims v2, writer B's v2
+    * attempt fails and lands as v3 after one rebase. The oracle
+    * recomputes the final table and the version/conflict ledger from
+    * orders: a pass proves no append lost, none double-applied, and
+    * the history linearized. The spec adds a genuinely CONCURRENT
+    * 8-thread race and asserts the same invariants (conflict COUNT is
+    * scheduling-dependent there, correctness is not). At 100 TB this
+    * is what lets independent ingest jobs share one table with no
+    * coordination service beyond atomic rename — the property object
+    * stores had to add (S3 conditional PUT) precisely because table
+    * formats need it. */
+  val q258 = Q(
+    "q258_optimistic_concurrency",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val fp = orders.agg(
+        count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+      val mk = fp.getLong(3)
+      val (cut1, cut2) = (mk / 3, 2 * mk / 3)
+      val root = Paths.get(tmp(
+        s"orders_occ_${d.replaceAll("[^0-9.]", "")}_" +
+          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+      val dataDir = root.resolve("data")
+      val ledger = root.resolve("occ.log.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(ledger)) {
+          Files.createDirectories(dataDir)
+          val base = orders.withColumn("bucket", col("k") % 4)
+          val v1 = snapshotAppend(base.filter(col("k") <= cut1),
+            dataDir, "base")
+          require(tryCommitManifest(root, 1, v1), "fresh store had a v1")
+          // both writers stage against head v1...
+          val filesA = snapshotAppend(
+            base.filter(col("k") > cut1 && col("k") <= cut2), dataDir, "wa")
+          val filesB = snapshotAppend(
+            base.filter(col("k") > cut2), dataDir, "wb")
+          val staleBase = readManifest(root, 1)
+          // ...writer A claims v2 first
+          require(tryCommitManifest(root, 2, staleBase ++ filesA))
+          // writer B's stale attempt MUST fail, then rebase lands as v3
+          val bStale = tryCommitManifest(root, 2, staleBase ++ filesB)
+          require(!bStale, "conflicting commit was not detected")
+          val (vB, extraConflicts) = commitWithRetry(root, filesB)
+          Files.writeString(root.resolve(".occ.tmp"),
+            s"versions\t${headVersion(root)}\nconflicts\t${
+              1 + extraConflicts}\nwriter_b_version\t$vB\n")
+          Files.move(root.resolve(".occ.tmp"), ledger,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val log = Files.readAllLines(ledger).asScala.filter(_.nonEmpty)
+        .map(_.split("\t")).map(e => e(0) -> e(1).toLong).toMap
+      readFiles(s, dataDir, readManifest(root, headVersion(root))).get
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+        .select(
+          lit(log("versions")).as("n_versions"),
+          lit(log("conflicts")).as("n_conflicts"),
+          col("n_rows"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+    },
+    Some(s"""
+      SELECT CAST(3 AS BIGINT) AS n_versions,
+             CAST(1 AS BIGINT) AS n_conflicts,
+             count(*) AS n_rows,
+             CAST(CAST(sum(${graft.queries.Det.centsSql("o_totalprice")})
+               AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM orders"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255, q256)
+      q248, q251, q252, q253, q255, q256, q257, q258)
 }

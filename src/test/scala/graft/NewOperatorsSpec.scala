@@ -3015,6 +3015,59 @@ class NewOperatorsSpec extends SparkSpec {
     assert(run() == got, "vacuum report not reproducible after the purge")
   }
 
+  test("q257 zone maps: stats pruning is lossless and actually cuts files") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(80)
+    val got =
+      try graft.sources.IngestJob.q257.run(spark, dir).collect().head
+      finally graft.Caches.release()
+    // band [26, 53]: 28 keys, sum 26..53 = 1106
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3)) == ((8L, 4L, 28L, 1106.0)), got.toString)
+    // losslessness, proven by READING the skipped files: none may hold
+    // a key inside the band
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_zm_${dir.replaceAll("[^0-9.]", "")}_80_3240_324000")
+    import scala.jdk.CollectionConverters._
+    val entries = JF.readAllLines(root.resolve("stats.manifest.tsv"))
+      .asScala.filter(_.nonEmpty).map(_.split("\t")).toSeq
+    val skipped = entries.filter(e =>
+      !(e(2).toLong >= 26 && e(1).toLong <= 53))
+    assert(skipped.size == 4)
+    val leaked = spark.read.parquet(
+      skipped.map(e => root.resolve("data").resolve(e(0)).toString): _*)
+      .filter(col("k").between(26, 53)).count()
+    assert(leaked == 0, s"skipped files held $leaked matching rows")
+  }
+
+  test("q258 OCC: deterministic rebase + a real 6-writer race") {
+    import java.nio.file.{Files => JF}
+    val dir = writeTinyOrders(30)
+    val got =
+      try graft.sources.IngestJob.q258.run(spark, dir).collect().head
+      finally graft.Caches.release()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3)) == ((3L, 1L, 30L, 465.0)), got.toString)
+    // genuinely concurrent claims: 6 writers, one version each, no
+    // append lost, history linearized (conflict count is scheduling-
+    // dependent; correctness is not)
+    val root = JF.createTempDirectory("graft_occ_race")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(
+      Future.sequence((1 to 6).map(i => Future {
+        graft.sources.IngestJob.commitWithRetry(
+          root, Seq(s"race/f$i.parquet"))
+      })), 1.minute).toList
+    assert(graft.sources.IngestJob.headVersion(root) == 6)
+    assert(results.map(_._1).sorted == (1 to 6).toList,
+      s"versions not linearized: $results")
+    val finalManifest = graft.sources.IngestJob.readManifest(root, 6)
+    assert(finalManifest.sorted == (1 to 6).map(i => s"race/f$i.parquet"),
+      s"append lost or duplicated: $finalManifest")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
