@@ -1406,7 +1406,90 @@ object Sim {
     // the oracle IS q77's from-scratch build: index-served == built
     q77.oracle)
 
+  /** q259: INCREMENTAL ANN-index maintenance (the upsert path every
+    * production vector store runs between retrains): centroids stay
+    * FIXED (retraining is the scheduled event, not the upsert), so a
+    * new vector's assignment is independent of every other vector —
+    * the daily bill is one broadcast-centroid pass over the ARRIVALS
+    * only, merged with the stored old-corpus inverted file (q242's
+    * store family, fifth kind "ivfold"). Because assignment is
+    * per-vector deterministic, incremental-merge == from-scratch build
+    * EXACTLY, so the oracle stays q77's SQL VERBATIM — the q236/q238
+    * equality discipline applied to the ANN index: any drift between
+    * the upsert path and a full rebuild is a hash mismatch. At 100 TB
+    * this splits the index cost the right way: corpus-sized assignment
+    * amortized to once per retrain, arrival-sized work daily, serving
+    * unchanged. */
+  val q259 = Q(
+    "q259_ann_index_upsert",
+    (s, d) => {
+      val all0 = emb(s, d).persistTracked()
+      val mx = all0.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = math.max(16L, mx * 4 / 5)
+      val old = all0.filter(col("vec_id") <= cut)
+      val fp = old.agg(
+        count(lit(1)).as("n"), sum(col("vec_id")).as("sid"),
+        sum(crc32(col("v").cast(StringType))).as("sc")).head()
+      val dir = Dedup.stateDir("ivfold", d,
+        s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
+      java.nio.file.Files.createDirectories(dir.getParent)
+      val cent = all0.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def centDists(vs: org.apache.spark.sql.DataFrame) = vs
+        .crossJoin(broadcast(cent))
+        .withColumn(
+          "d2",
+          VecDot.dot(col("v"), col("v"))
+            - lit(2) * VecDot.dot(col("v"), col("cv"))
+            + VecDot.dot(col("cv"), col("cv")))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cid"))))
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        centDists(old).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"))
+          .write.format("graft.sources.tsv")
+          .mode("overwrite").save(dir.toString)
+      }
+      val oldInv = s.read.format("graft.sources.tsv")
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType, nullable = false),
+          StructField("cluster", LongType, nullable = false))))
+        .load(dir.toString)
+      // the daily increment: assign ONLY the arrivals
+      val freshInv = centDists(all0.filter(col("vec_id") > cut))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val inv = oldInv.unionAll(freshInv)
+      val probes = centDists(all0.filter(col("vec_id") < 8))
+        .filter(col("rn") <= 2)
+        .select(
+          col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcluster"))
+      all0.join(inv, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+        .join(
+          broadcast(probes),
+          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", VecDot.dot(col("qv"), col("v")))
+        .withColumn("cos_sim", col("dp") / (col("qnrm") * col("nrm")))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(
+          col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    // incremental-merge == from-scratch: q77's oracle verbatim
+    q77.oracle)
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242)
+      q211, q212, q213, q242, q259)
 }

@@ -3068,6 +3068,46 @@ class NewOperatorsSpec extends SparkSpec {
       s"append lost or duplicated: $finalManifest")
   }
 
+  test("q259 ANN upsert: stored old index + arrival assignment == q77 rebuild") {
+    import java.nio.file.{Files => JF}
+    import scala.jdk.CollectionConverters._
+    def run() =
+      try graft.queries.Sim.q259.run(spark, sf001).collect()
+        .map(_.toString).toSeq
+      finally graft.Caches.release()
+    val served = run()
+    // row-for-row equality with the from-scratch build
+    val rebuilt =
+      try graft.queries.Sim.q77.run(spark, sf001).collect()
+        .map(_.toString).toSeq
+      finally graft.Caches.release()
+    assert(served == rebuilt, "upsert path diverged from a full rebuild")
+    // the store holds ONLY the old corpus — arrivals are assigned live
+    val parent = graft.queries.Dedup.stateDir("ivfold", sf001, "x").getParent
+    val st = JF.list(parent)
+    val dirs =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("ivfold_sf0.001_")).toSeq
+      finally st.close()
+    assert(dirs.size == 1 && JF.exists(dirs.head.resolve("_SUCCESS")))
+    val storedIds = JF.list(dirs.head).iterator().asScala
+      .filter(_.toString.endsWith(".tsv")).flatMap(p =>
+        JF.readAllLines(p).asScala.filter(_.nonEmpty)
+          .map(_.split("\t")(0)).filter(_ != "vec_id") // header lines
+          .map(_.toLong)).toSet
+    val mx = Tables.load(spark, sf001, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val cut = math.max(16L, mx * 4 / 5)
+    assert(storedIds.nonEmpty && storedIds.forall(_ <= cut),
+      "a fresh arrival leaked into the committed index")
+    assert(mx > cut, "fixture leaves no arrivals — increment untested")
+    // rerun only loads: marker untouched
+    val mtime = JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS"))
+    assert(run() == served)
+    assert(JF.getLastModifiedTime(dirs.head.resolve("_SUCCESS")) == mtime,
+      "second run rebuilt the index instead of loading it")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
