@@ -683,21 +683,11 @@ object Dedup {
       docs.select(col("doc_id").as("id")), pairs, tag = tag)
   }
 
-  val q68 = Q(
-    "q68_dedup_clusters",
-    (s, d) => {
-      val labels = nearDupLabels(s, d, "q68")
-      val sizes =
-        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, Seq("lbl"))
-        .select(
-          col("id").as("doc_id"), col("lbl").as("cluster_id"),
-          col("cluster_size"))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH RECURSIVE docs AS (
+  /** q68's oracle clustering — the recursive-CTE full recompute ending
+    * in `comp(doc_id, cluster_id)` — as one shared text, so every
+    * consumer (q68 census, q260 survivorship) stays in lockstep with
+    * the Spark-side `nearDupLabels` definition. */
+  private val clustersCteSql = """WITH RECURSIVE docs AS (
         SELECT doc_id, lang, source,
                list_distinct(string_split(text, ' ')) AS toks
         FROM documents
@@ -721,7 +711,23 @@ object Dedup {
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
       ), comp AS (
         SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
-      ), sizes AS (
+      )"""
+
+  val q68 = Q(
+    "q68_dedup_clusters",
+    (s, d) => {
+      val labels = nearDupLabels(s, d, "q68")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(
+          col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      $clustersCteSql, sizes AS (
         SELECT cluster_id, count(*) AS cluster_size FROM comp
         GROUP BY cluster_id
       )
@@ -1350,7 +1356,78 @@ object Dedup {
       FROM comp c JOIN sizes s USING (cluster_id)
       ORDER BY c.doc_id"""))
 
+  /** q260: GOLDEN-RECORD survivorship — the MDM canonicalization step
+    * after clustering: q127 picks one best ROW per near-dup cluster;
+    * real master-data pipelines instead MERGE a canonical record
+    * attribute by attribute, each field under its own survivorship
+    * rule. Rules here (all deterministic, declared): record id = the
+    * cluster's min-id label; text = the LONGEST member's (highest id
+    * on ties); lang = the most COMMON member value (largest code on
+    * ties); source = the lexicographically smallest. The vote/length
+    * argmaxes ride zero-padded string keys (count‖lang, len‖id) so a
+    * single MAX_BY is the whole decision — no per-cluster window, no
+    * sort, and DuckDB's arg_max replays the identical key (its struct
+    * overload doesn't exist in 1.0 — the padded-string form is the
+    * portable one). Cost on top of the shared clustering core: two
+    * cluster-keyed map-combinable aggregates. Output: one golden
+    * record per cluster with its member census. */
+  val q260 = Q(
+    "q260_golden_record",
+    (s, d) => {
+      val labels = nearDupLabels(s, d, "q260")
+      val meta = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("tmd5"))
+      val joined = labels.join(meta, Seq("id")).persistTracked()
+      val langVotes = joined.groupBy(col("lbl"), col("lang"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("lbl"))
+        .agg(max_by(col("lang"),
+          concat(lpad(col("votes").cast(StringType), 8, "0"), col("lang")))
+          .as("lang"))
+      joined.groupBy(col("lbl"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("text_len"),
+          max_by(col("tmd5"),
+            concat(lpad(col("n_chars").cast(StringType), 12, "0"),
+              lpad(col("id").cast(StringType), 12, "0"))).as("text_md5"),
+          min(col("source")).as("source"),
+          sum(col("n_chars")).as("sum_chars"))
+        .join(langVotes, Seq("lbl"))
+        .select(col("lbl").as("cluster_id"), col("n_members"),
+          col("lang"), col("source"), col("text_len"), col("text_md5"),
+          col("sum_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      $clustersCteSql, meta AS (
+        SELECT doc_id AS id, lang, source, n_chars, md5(text) AS tmd5
+        FROM documents
+      ), j AS (
+        SELECT c.cluster_id AS lbl, m.*
+        FROM comp c JOIN meta m ON c.doc_id = m.id
+      ), votes AS (
+        SELECT lbl, lang, count(*) AS votes FROM j GROUP BY 1, 2
+      ), lv AS (
+        SELECT lbl,
+               arg_max(lang, lpad(CAST(votes AS VARCHAR), 8, '0') || lang)
+                 AS lang
+        FROM votes GROUP BY lbl
+      ), merged AS (
+        SELECT lbl, count(*) AS n_members, max(n_chars) AS text_len,
+               arg_max(tmd5, lpad(CAST(n_chars AS VARCHAR), 12, '0')
+                 || lpad(CAST(id AS VARCHAR), 12, '0')) AS text_md5,
+               min(source) AS source,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM j GROUP BY lbl
+      )
+      SELECT m.lbl AS cluster_id, m.n_members, lv.lang, m.source,
+             m.text_len, m.text_md5, m.sum_chars
+      FROM merged m JOIN lv USING (lbl)
+      ORDER BY cluster_id"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241)
+      q240, q241, q260)
 }

@@ -3108,6 +3108,36 @@ class NewOperatorsSpec extends SparkSpec {
       "second run rebuilt the index instead of loading it")
   }
 
+  test("q260 golden record: every survivorship rule replayed from q68 clusters") {
+    val golden = graft.queries.Dedup.q260.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.Caches.release()
+    val members = graft.queries.Dedup.q68.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    graft.Caches.release()
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(golden.keySet == members.keySet,
+      "one golden record per cluster, exactly")
+    members.foreach { case (cid, ids) =>
+      val g = golden(cid)
+      val ms = ids.toSeq.map(docs)
+      assert(g.getAs[Long]("n_members") == ids.size)
+      assert(g.getAs[Long]("text_len") == ms.map(_._3).max)
+      assert(g.getAs[String]("source") == ms.map(_._2).min)
+      assert(g.getAs[Long]("sum_chars") == ms.map(_._3).sum)
+      // lang vote: max count, largest code on ties
+      val votes = ms.groupBy(_._1).view.mapValues(_.size).toMap
+      val want = votes.toSeq.map { case (l, n) => (n, l) }.max._2
+      assert(g.getAs[String]("lang") == want,
+        s"cluster $cid lang ${g.getAs[String]("lang")} != replay $want")
+    }
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
