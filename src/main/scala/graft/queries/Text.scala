@@ -1571,6 +1571,95 @@ object Text {
       FROM base b LEFT JOIN per p USING (doc_id)
       ORDER BY b.doc_id"""))
 
+  /** q261: CONTENT-DEFINED CHUNKING (the FastCDC/restic shape at token
+    * granularity) — the chunking that makes chunk-level dedup survive
+    * EDITS, which q72's fixed windows cannot: a fixed 16-token grid
+    * shifts wholesale after one inserted word, so every downstream
+    * segment hash changes; content-defined boundaries (a token opens a
+    * chunk iff md5(token) starts with nibble 0 — p=1/16, ~16-token
+    * expected chunks) depend only on LOCAL content, so an edit
+    * perturbs exactly the chunk it touches and the stream re-syncs at
+    * the next boundary. Per doc: chunk count, corpus-wide duplicated
+    * chunks (the dedup signal), largest chunk, and an ordered ledger
+    * md5. Scale shape: one token explode (rows carry single tokens,
+    * never the document — the q202 discipline), the boundary hash paid
+    * once per DISTINCT token (vocabulary-sized join, the BUILDLOG
+    * vocabulary-dedup lesson), one bounded per-doc window pass for
+    * chunk ids, and map-combinable chunk aggregates. Nothing touches
+    * pairwise space. */
+  val q261 = Q(
+    "q261_cdc_chunking",
+    (s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "pos0")
+        .withColumnRenamed("col", "tok")
+      val vocab = toks.select(col("tok")).distinct()
+        .withColumn("th", md5(col("tok")))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+      val chunks = toks.join(vocab, Seq("tok"))
+        .withColumn("b",
+          when(col("pos0") === 0 || col("th").startsWith("0"), 1L)
+            .otherwise(0L))
+        .withColumn("chunk_id",
+          sum(col("b")).over(
+            byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(
+          count(lit(1)).as("ntoks"),
+          md5(array_join(expr(
+            """transform(array_sort(collect_list(struct(pos0, tok))),
+                 x -> x.tok)"""), " ")).as("ch"))
+        .persistTracked()
+      val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      chunks.join(freq, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+          max(col("ntoks")).as("max_chunk_tokens"),
+          md5(array_join(expr(
+            """transform(array_sort(collect_list(struct(chunk_id, ch))),
+                 x -> x.ch)"""), ",")).as("ledger_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), idx AS (
+        SELECT doc_id, words, unnest(range(0, len(words))) AS pos0
+        FROM docs
+      ), toks AS (
+        SELECT doc_id, CAST(pos0 AS BIGINT) AS pos0,
+               words[pos0 + 1] AS tok
+        FROM idx
+      ), marked AS (
+        SELECT doc_id, pos0, tok,
+               CASE WHEN pos0 = 0 OR md5(tok) LIKE '0%' THEN 1 ELSE 0 END
+                 AS b
+        FROM toks
+      ), cids AS (
+        SELECT doc_id, pos0, tok,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos0
+                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM marked
+      ), chunks AS (
+        SELECT doc_id, chunk_id, count(*) AS ntoks,
+               md5(array_to_string(list(tok ORDER BY pos0), ' ')) AS ch
+        FROM cids GROUP BY 1, 2
+      ), freq AS (
+        SELECT ch, count(*) AS c FROM chunks GROUP BY ch
+      )
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             max(ntoks) AS max_chunk_tokens,
+             md5(array_to_string(list(ch ORDER BY chunk_id), ','))
+               AS ledger_md5
+      FROM chunks JOIN freq USING (ch)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   // ---- URL normalization + dedup + domain caps (q93) -------------------
 
   /** The fixture has no URL column, so a deterministic messy URL is
@@ -3803,5 +3892,5 @@ object Text {
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249)
+      q237, q239, q249, q261)
 }

@@ -3138,6 +3138,53 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q261 CDC chunking: edit re-sync property + driver replay") {
+    import spark.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver third implementation of the chunker
+    def chunksOf(text: String): Seq[String] = {
+      val ws = text.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      ws.zipWithIndex.foreach { case (w, i) =>
+        if (i == 0 || md5hex(w).startsWith("0")) out += List(w)
+        else out(out.size - 1) = out.last :+ w
+      }
+      out.map(c => md5hex(c.mkString(" "))).toSeq
+    }
+    val baseWords = (1 to 120).map(i => s"w$i")
+    // a non-boundary token keeps the re-sync demo at its cleanest
+    val inserted = (1 to 99).map(i => s"INSERTED$i")
+      .find(t => !md5hex(t).startsWith("0")).get
+    val a = baseWords.mkString(" ")
+    val b = (baseWords.take(60) ++ Seq(inserted) ++ baseWords.drop(60))
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q261").toString
+    Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Text.q261.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.Caches.release()
+    val (ca, cb) = (chunksOf(a), chunksOf(b))
+    // replay: counts and ordered ledgers match the engine bit for bit
+    assert(got(1L).getAs[Long]("n_chunks") == ca.size)
+    assert(got(2L).getAs[Long]("n_chunks") == cb.size)
+    assert(got(1L).getAs[String]("ledger_md5") == md5hex(ca.mkString(",")))
+    assert(got(2L).getAs[String]("ledger_md5") == md5hex(cb.mkString(",")))
+    // the CDC property: ONE mid-doc insertion perturbs only the chunk
+    // it lands in — every other chunk hash re-syncs (a fixed 16-token
+    // grid would shift every segment after the edit)
+    assert(ca.size >= 4, s"fixture too small to demonstrate: ${ca.size}")
+    val shared = ca.intersect(cb)
+    assert(shared.size >= ca.size - 1,
+      s"re-sync failed: ${ca.size} chunks, only ${shared.size} survive")
+    // and the duplicated-chunk signal sees exactly those shared chunks
+    assert(got(1L).getAs[Long]("n_dup_chunks") == shared.size)
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
