@@ -230,7 +230,7 @@ object MediaDecoder {
       ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(
-    q32, q58, ImageCodec.q116, AudioCodec.q117,
+    q32, q58, ImageCodec.q116, ImageCodec.q262, AudioCodec.q117,
     MediaFingerprint.q189, MediaFingerprint.q190, VideoCodec.q233)
 }
 
@@ -516,6 +516,117 @@ object ImageCodec {
                list_transform(hpix, v -> CAST(v AS VARCHAR)), ','))
                AS half_md5
       FROM pooled
+      ORDER BY doc_id"""))
+
+  // ---- PNG chunk-level metadata (q262) ---------------------------------
+
+  private def readIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def intBE(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** One tEXt chunk (PNG spec 11.3.4.3: keyword, NUL, Latin-1 text),
+    * CRC32 over chunk type + data as the spec requires. */
+  private def textChunk(key: String, value: String): Array[Byte] = {
+    val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val body = "tEXt".getBytes("ISO-8859-1") ++ data
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    intBE(data.length) ++ body ++ intBE(crc.getValue.toInt)
+  }
+
+  /** Insert metadata chunks immediately after IHDR (the spec slot for
+    * ancillary chunks), preserving everything else byte for byte. */
+  def withTextChunks(png: Array[Byte],
+      pairs: Seq[(String, String)]): Array[Byte] = {
+    require(new String(png, 12, 4, "ISO-8859-1") == "IHDR",
+      "first chunk must be IHDR")
+    val ihdrEnd = 8 + 12 + readIntBE(png, 8)
+    png.take(ihdrEnd) ++ pairs.flatMap(p => textChunk(p._1, p._2)) ++
+      png.drop(ihdrEnd)
+  }
+
+  /** Full chunk walk: (type, data, crcOk) per chunk, CRC verified for
+    * EVERY chunk — a corrupted stream reports itself rather than
+    * parsing into garbage. */
+  def chunkWalk(png: Array[Byte]): Seq[(String, Array[Byte], Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[Byte], Boolean)]
+    var off = 8
+    while (off < png.length) {
+      val len = readIntBE(png, off)
+      val typ = new String(png, off + 4, 4, "ISO-8859-1")
+      val data = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
+      val crc = new java.util.zip.CRC32
+      crc.update(png, off + 4, 4 + len)
+      out += ((typ, data,
+        crc.getValue.toInt == readIntBE(png, off + 8 + len)))
+      off += 12 + len
+    }
+    out.toSeq
+  }
+
+  /** q262: IN-BAND metadata via PNG tEXt chunks — the sidecar-free way
+    * multimodal corpora carry provenance (EXIF's PNG cousin): metadata
+    * travels INSIDE the asset bytes, so it cannot desynchronize from
+    * the pixels the way a separate metadata column can. The encode
+    * side splices spec-correct tEXt chunks (length/type/data/CRC32)
+    * after IHDR; the decode side is a REAL chunk walk that CRC-verifies
+    * every chunk and re-extracts the key→value pairs, and the pixels
+    * are re-decoded from the MODIFIED bytes through ImageIO — the
+    * oracle's px_sum match proves the splice left the image stream
+    * untouched, the meta_docid match proves the round-trip faithful,
+    * and crc_ok pins the verification actually running. Same decode-
+    * bound scale shape as q116 (CPU-proportional partitions, payloads
+    * never on the driver). */
+  val q262 = Q(
+    "q262_png_metadata",
+    (s, d) => {
+      import s.implicits._
+      MediaDecoder.docIds(s, d)
+        .mapPartitions(_.map { id =>
+          val tagged = withTextChunks(encode(id),
+            Seq("docid" -> id.toString, "klass" -> (id % 3).toString))
+          val (w, h, pix) = decode(tagged)
+          val chunks = chunkWalk(tagged)
+          val texts = chunks.filter(_._1 == "tEXt").map { case (_, dt, _) =>
+            val z = dt.indexOf(0.toByte)
+            new String(dt, 0, z, "ISO-8859-1") ->
+              new String(dt, z + 1, dt.length - z - 1, "ISO-8859-1")
+          }.toMap
+          (id, w, h, pix.map(_.toLong).sum, texts("docid").toLong,
+            texts("klass").toLong, chunks.count(_._1 == "tEXt").toLong,
+            chunks.forall(_._3))
+        })
+        .toDF("doc_id", "width", "height", "px_sum", "meta_docid",
+          "meta_klass", "n_text_chunks", "crc_ok")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INTEGER) AS w,
+               CAST(1 + doc_id % 5 AS INTEGER) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h,
+          flatten(list_transform(range(0, h), y ->
+            flatten(list_transform(range(0, w), x ->
+              [(doc_id * 7 + y * 31 + x * 13) % 256,
+               (doc_id * 11 + y * 17 + x * 5) % 256,
+               (doc_id * 3 + y * 23 + x * 29) % 256])))) AS pix
+        FROM base
+      )
+      SELECT doc_id, w AS width, h AS height,
+             CAST(list_sum(pix) AS BIGINT) AS px_sum,
+             doc_id AS meta_docid,
+             doc_id % 3 AS meta_klass,
+             CAST(2 AS BIGINT) AS n_text_chunks,
+             true AS crc_ok
+      FROM px
       ORDER BY doc_id"""))
 }
 

@@ -253,4 +253,31 @@ class MediaSpec extends SparkSpec {
       s"nested SOI tore the stream into ${frames.length} frames")
     assert(frames.forall { case (_, w, h, _) => (w, h) == (8, 5) })
   }
+
+  test("q262 chunk walk: spec-shaped stream, CRC catches corruption") {
+    import graft.multimodal.ImageCodec
+    val tagged = ImageCodec.withTextChunks(ImageCodec.encode(7L),
+      Seq("docid" -> "7", "klass" -> "1"))
+    val chunks = ImageCodec.chunkWalk(tagged)
+    // spec shape: IHDR first, IEND last, our two tEXt right after IHDR
+    assert(chunks.head._1 == "IHDR" && chunks.last._1 == "IEND")
+    assert(chunks.slice(1, 3).map(_._1) == Seq("tEXt", "tEXt"))
+    assert(chunks.forall(_._3), "CRC failed on an untouched stream")
+    // ImageIO still decodes the tagged bytes to the SAME raster
+    val (w0, h0, p0) = ImageCodec.decode(ImageCodec.encode(7L))
+    val (w1, h1, p1) = ImageCodec.decode(tagged)
+    assert((w0, h0) == (w1, h1) && p0.sameElements(p1),
+      "metadata splice perturbed the image stream")
+    // flip one byte inside the first tEXt payload: ONLY that chunk's
+    // CRC verdict must flip
+    val corrupt = tagged.clone()
+    val off = 8 + 12 + (((tagged(8) & 0xff) << 24) |
+      ((tagged(9) & 0xff) << 16) | ((tagged(10) & 0xff) << 8) |
+      (tagged(11) & 0xff)) + 8
+    corrupt(off) = (corrupt(off) ^ 0x01).toByte
+    val verdicts = ImageCodec.chunkWalk(corrupt).map(c => c._1 -> c._3)
+    assert(!verdicts(1)._2, "CRC verification missed the corruption")
+    assert(verdicts.patch(1, Nil, 1).forall(_._2),
+      "corruption verdict leaked to other chunks")
+  }
 }
