@@ -968,6 +968,56 @@ object Curation {
       ORDER BY kind, lhs, rhs"""
     })
 
+  /** q263: DISTINCT l-DIVERSITY audit — the attack k-anonymity alone
+    * cannot stop (Machanavajjhala et al. 2006): a quasi-identifier
+    * cell with k ≥ 10 members is still a disclosure if every member
+    * shares the SAME sensitive value (homogeneity attack — knowing
+    * someone is in the cell reveals their attribute). Sensitive value
+    * here = the account-balance band (exact integer banding); per
+    * (nation, segment) cell the audit reports k, distinct-l, and the
+    * release verdict: RELEASE (k and l both clear), GENERALIZE (big
+    * enough but value-homogeneous — widen the bands or merge cells),
+    * SUPPRESS (below k, q156's bucket). Distinct-l is the EXACT
+    * variant; entropy-l needs ln() and is out of the cross-engine
+    * contract (the q245 PSI/KL rule). Scale: one corpus aggregate to
+    * cell grain (count + exact distinct over a small band domain),
+    * verdicts over cell-sized rows; the nation leg broadcasts. */
+  val q263 = Q(
+    "q263_l_diversity",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val (k, l) = (10L, 3L)
+      Tables.load(s, d, "customer")
+        .join(autoBroadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        // +100000 shifts the worst-case -999.99 balance non-negative:
+        // Spark `div` truncates toward zero, DuckDB `//` floors — they
+        // agree only on non-negatives (the q206 BUILDLOG invariant)
+        .withColumn("band", expr("(CAST(round(c_acctbal * 100) AS BIGINT)" +
+          " + 100000) div 200000"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("l_distinct"))
+        .withColumn("verdict",
+          when(col("n") < k, lit("SUPPRESS"))
+            .when(col("l_distinct") < l, lit("GENERALIZE"))
+            .otherwise(lit("RELEASE")))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT n_name, c_mktsegment, count(*) AS n,
+             count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT)
+               + 100000) // 200000) AS l_distinct,
+             CASE WHEN count(*) < 10 THEN 'SUPPRESS'
+                  WHEN count(DISTINCT (CAST(round(c_acctbal * 100)
+                         AS BIGINT) + 100000) // 200000)
+                       < 3 THEN 'GENERALIZE'
+                  ELSE 'RELEASE' END AS verdict
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
-    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245, q247)
+    Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
+      q247, q263)
 }

@@ -3185,6 +3185,33 @@ class NewOperatorsSpec extends SparkSpec {
     assert(got(1L).getAs[Long]("n_dup_chunks") == shared.size)
   }
 
+  test("q263 l-diversity: verdict replay; homogeneity beyond k-anonymity") {
+    val rows = graft.queries.Curation.q263.run(spark, sf001).collect()
+    graft.Caches.release()
+    // driver replay of every verdict from the raw table
+    val raw = Tables.load(spark, sf001, "customer")
+      .join(Tables.load(spark, sf001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (math.round(r.getDouble(2) * 100) + 100000L) / 200000L))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      val vals = raw(cell)
+      assert(r.getAs[Long]("n") == vals.size)
+      assert(r.getAs[Long]("l_distinct") == vals.distinct.size)
+      val want =
+        if (vals.size < 10) "SUPPRESS"
+        else if (vals.distinct.size < 3) "GENERALIZE"
+        else "RELEASE"
+      assert(r.getAs[String]("verdict") == want, s"$cell: $r vs $want")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == raw.values.map(_.size).sum,
+      "cells must partition the population")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
