@@ -1660,6 +1660,65 @@ object Text {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** q265: READABILITY scoring (Flesch reading-ease + Flesch-Kincaid
+    * grade) — the classic text-difficulty heuristics a curation
+    * pipeline uses beside q21's quality score to shape a corpus's
+    * difficulty mix. Counts are exact integers (words = tokens;
+    * sentences = [.!?]+ runs; syllables = the vowel-group heuristic,
+    * declared as such), clamped ≥ 1 so the ratios are total; the
+    * scores are then fixed LEFT-ASSOCIATIVE chains of IEEE ops on
+    * those exact ratios with string-parsed double constants — the
+    * same expression tree in both engines, hence bit-identical
+    * (BUILDLOG: DuckDB parses bare decimal literals as DECIMAL, so
+    * the oracle CASTs every constant to DOUBLE explicitly). Output
+    * stays per-doc — cross-doc double sums would be accumulation-
+    * order-dependent and are deliberately avoided. One scan, no
+    * shuffle, codegen throughout. */
+  val q265 = Q(
+    "q265_readability",
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_words"),
+          greatest(expr("regexp_count(text, '[.!?]+')").cast(LongType),
+            lit(1L)).as("n_sentences"),
+          greatest(expr("regexp_count(text, '[aeiouAEIOU]+')")
+            .cast(LongType), lit(1L)).as("n_syllables"))
+        .withColumn("wps",
+          col("n_words").cast(DoubleType) / col("n_sentences"))
+        .withColumn("spw",
+          col("n_syllables").cast(DoubleType) / col("n_words"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          (lit(206.835) - lit(1.015) * col("wps")
+            - lit(84.6) * col("spw")).as("flesch"),
+          (lit(0.39) * col("wps") + lit(11.8) * col("spw")
+            - lit(15.59)).as("fk_grade"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH counts AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                 AS BIGINT), 1) AS n_sentences,
+               greatest(CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                 AS BIGINT), 1) AS n_syllables
+        FROM documents
+      ), ratios AS (
+        SELECT *, CAST(n_words AS DOUBLE) / n_sentences AS wps,
+               CAST(n_syllables AS DOUBLE) / n_words AS spw
+        FROM counts
+      )
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST('206.835' AS DOUBLE) - CAST('1.015' AS DOUBLE) * wps
+               - CAST('84.6' AS DOUBLE) * spw AS flesch,
+             CAST('0.39' AS DOUBLE) * wps + CAST('11.8' AS DOUBLE) * spw
+               - CAST('15.59' AS DOUBLE) AS fk_grade
+      FROM ratios
+      ORDER BY doc_id"""))
+
   // ---- URL normalization + dedup + domain caps (q93) -------------------
 
   /** The fixture has no URL column, so a deterministic messy URL is
@@ -3892,5 +3951,5 @@ object Text {
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261)
+      q237, q239, q249, q261, q265)
 }

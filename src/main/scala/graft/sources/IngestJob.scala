@@ -1498,7 +1498,87 @@ object IngestJob {
                AS BIGINT) AS DOUBLE) / 100 AS sum_value
       FROM orders"""))
 
+  /** q264: METADATA-ONLY aggregation — the lakehouse capability where
+    * `SELECT count(*), sum(x) GROUP BY partition` never touches a data
+    * file: per-file row counts and exact column sums are measured ONCE
+    * at write time (a cent-sum is an exact BIGINT, so it aggregates
+    * the aggregates losslessly — the q154 merge law applied to file
+    * stats) and recorded in the manifest; the query reads the KB-sized
+    * manifest and re-aggregates 8 stat rows. The oracle recomputes
+    * everything from the original orders table, so a pass proves the
+    * written stats faithful to the written data — which is exactly the
+    * guarantee a planner needs before trusting manifests for
+    * cost-based decisions (q243/q257 prune with them; this op ANSWERS
+    * from them). At 100 TB the difference is a full scan versus a
+    * manifest read — the reason every table format ships it. AVG and
+    * other non-additive aggregates still need the scan; only
+    * merge-law-bearing stats (counts, exact sums, min/max) live here,
+    * and that boundary is the design point. */
+  val q264 = Q(
+    "q264_metadata_only_agg",
+    (s, d) => {
+      import s.implicits._
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val fp = orders.agg(
+        count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("c")).as("sc"), max(col("k")).as("mk")).head()
+      val mk = fp.getLong(3)
+      val root = Paths.get(tmp(
+        s"orders_meta_${d.replaceAll("[^0-9.]", "")}_" +
+          s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"))
+      val dataDir = root.resolve("data")
+      val manifest = root.resolve("meta.manifest.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(manifest)) {
+          Files.createDirectories(dataDir)
+          orders.withColumn("bucket", expr(s"k * 8 div ${mk + 1}"))
+            .repartition(1).sortWithinPartitions(col("k"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(dataDir.resolve("r").toString)
+          val stats = s.read.parquet(dataDir.resolve("r").toString)
+            .groupBy(col("bucket").cast(LongType).as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+            .collect().map(r => r.getLong(0) ->
+              ((r.getLong(1), r.getLong(2)))).toMap
+          val lines = listParquet(dataDir, "r").map { p =>
+            val b = p.split("/").find(_.startsWith("bucket="))
+              .get.stripPrefix("bucket=").toLong
+            s"$p\t$b\t${stats(b)._1}\t${stats(b)._2}"
+          }
+          Files.writeString(root.resolve(".meta.tmp"),
+            lines.mkString("\n") + "\n")
+          Files.move(root.resolve(".meta.tmp"), manifest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      // the whole aggregate, answered WITHOUT opening a data file
+      val entries = Files.readAllLines(manifest).asScala
+        .filter(_.nonEmpty).map(_.split("\t"))
+        .map(e => (e(1).toLong, e(2).toLong, e(3).toLong)).toSeq
+      entries.toDF("bucket", "n", "sc")
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n_rows"),
+          (sum(col("sc")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), mk AS (
+        SELECT max(k) AS m FROM base
+      )
+      SELECT (k * 8) // (m + 1) AS bucket, count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base, mk
+      GROUP BY 1
+      ORDER BY bucket"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255, q256, q257, q258)
+      q248, q251, q252, q253, q255, q256, q257, q258, q264)
 }

@@ -3212,6 +3212,38 @@ class NewOperatorsSpec extends SparkSpec {
       "cells must partition the population")
   }
 
+  test("q264 metadata-only agg: no data file opened on the serve path") {
+    val dir = writeTinyOrders(80)
+    val df = graft.sources.IngestJob.q264.run(spark, dir)
+    val got = df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.release()
+    // the aggregate is answered from the manifest: the plan holds the
+    // driver-local stat rows and never a parquet scan
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      plan.take(300))
+    assert(!plan.contains("Scan parquet"),
+      "metadata-only query read a data file")
+    // replay: keys 1..80, bucket = k*8 div 81, sum = Σk dollars
+    val expect = (1 to 80).groupBy(k => k * 8 / 81)
+      .view.mapValues(ks => (ks.size.toLong, ks.sum.toDouble)).toMap
+    assert(got.size == 8 && expect.forall { case (b, e) => got(b.toLong) == e },
+      s"manifest stats diverged from the data: $got")
+  }
+
+  test("q265 readability: formulas replay bit-exactly") {
+    val rows = graft.queries.Text.q265.run(spark, sf001).collect()
+    graft.Caches.release()
+    rows.foreach { r =>
+      val (w, sen, sy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (wps, spw) = (w.toDouble / sen, sy.toDouble / w)
+      assert(r.getDouble(4) == 206.835 - 1.015 * wps - 84.6 * spw)
+      assert(r.getDouble(5) == 0.39 * wps + 11.8 * spw - 15.59)
+      assert(sen >= 1 && sy >= 1 && w >= 1)
+    }
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)

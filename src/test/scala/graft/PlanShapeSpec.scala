@@ -279,4 +279,19 @@ class PlanShapeSpec extends SparkSpec {
       s"bare-window site list drifted — audit the new site, then re-pin: " +
         s"observed=${observed.toSeq.mkString(", ")}")
   }
+
+  test("q246 PIT join broadcasts the SCD2 dimension under LEFT semantics") {
+    val plan = formatted("q246_scd2_pit_join")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      "interval residual must ride a broadcast equi-join, not a range join")
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension side fell back to a shuffle join")
+  }
+
+  test("q253 merge-on-read applies deletes as broadcast semi/anti joins") {
+    val plan = formatted("q253_merge_on_read")
+    assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the delete-key side must broadcast — it is O(deleted), tiny")
+  }
 }
