@@ -1578,7 +1578,73 @@ object IngestJob {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** q266: CDC-DRIVEN incremental view maintenance — q154 proved the
+    * aggregate merge law in the abstract; this runs it against the
+    * snapshot store's ACTUAL change feed: a per-status summary "stored"
+    * at version N is advanced to version N+1 by folding in ONLY the
+    * manifest symmetric difference (q251's pruning — shared files are
+    * immutable and contribute zero delta), as signed delta rows
+    * (+row/+cents for the to-side, −row/−cents for the from-side of
+    * each hot file). v1→v2 exercises the append case, v2→v3 the
+    * copy-on-write update (row deltas cancel, cent deltas remain).
+    * The oracle recomputes both maintained summaries STRAIGHT from
+    * orders — equality proves delta-maintenance exact, which is the
+    * whole contract of an incrementally-maintained MV. At 100 TB the
+    * refresh bill becomes O(changed files), not O(table) — the reason
+    * warehouses pair MVs with change feeds instead of re-running the
+    * view. Counts and cents stay exact integers until the final
+    * division. */
+  val q266 = Q(
+    "q266_cdc_view_maintenance",
+    (s, d) => {
+      val (_, dataDir, m) = ensureSnapshotStore(s, d)
+      def summaryOf(files: Seq[String]): DataFrame =
+        readFiles(s, dataDir, files).get
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+      def maintain(tag: String, from: Seq[String], to: Seq[String])
+          : DataFrame = {
+        val shared = from.toSet & to.toSet
+        def signed(files: Seq[String], sign: Long): Option[DataFrame] =
+          readFiles(s, dataDir, files).map(
+            _.select(col("st"), lit(sign).as("dn"),
+              (col("c") * sign).as("dc")))
+        val deltas = Seq(
+          signed(to.filterNot(shared), 1L),
+          signed(from.filterNot(shared), -1L)).flatten
+        val delta = deltas.reduce(_ unionAll _)
+          .groupBy(col("st"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+        summaryOf(from).join(delta, Seq("st"), "full_outer")
+          .select(
+            lit(tag).as("to_version"), col("st"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_rows"),
+            ((coalesce(col("cents"), lit(0L)) +
+              coalesce(col("dc"), lit(0L))).cast(DoubleType) / lit(100.0))
+              .as("sum_value"))
+      }
+      maintain("v2", m(1), m(2))
+        .unionAll(maintain("v3", m(2), m(3)))
+        .orderBy(col("to_version"), col("st"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      )
+      SELECT 'v2' AS to_version, st, count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base GROUP BY st
+      UNION ALL
+      SELECT 'v3', st, count(*),
+             CAST(CAST(sum(CASE WHEN k % 4 = 3 THEN c + 100 ELSE c END)
+               AS BIGINT) AS DOUBLE) / 100
+      FROM base GROUP BY st
+      ORDER BY to_version, st"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255, q256, q257, q258, q264)
+      q248, q251, q252, q253, q255, q256, q257, q258, q264, q266)
 }

@@ -3244,6 +3244,21 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q266 CDC-maintained view: hand-checked deltas for append and update") {
+    val dir = writeTinyOrders(20)
+    val got =
+      try graft.sources.IngestJob.q266.run(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    // all 20 tiny orders share status 'O': v2 = v1 + appended 13..20;
+    // v3 = v2 + 100-cent updates on the five k%4==3 rows (row deltas
+    // cancel, cent deltas remain)
+    assert(got == Map(
+      ("v2", "O") -> ((20L, 210.0)),
+      ("v3", "O") -> ((20L, 215.0))), got.toString)
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
