@@ -32,13 +32,11 @@ import graft.queries.{Det, Q}
   */
 object ResultCache {
 
-  /** Metadata-only content stamp of a table directory (no data read). */
-  def fsStamp(tablePath: String): Long = {
-    val root = new java.io.File(tablePath)
-    Option(root.listFiles())
-      .map(_.foldLeft(0L)((a, f) => a ^ f.lastModified() ^ f.length()))
-      .getOrElse(root.lastModified() ^ root.length())
-  }
+  /** Metadata-only content stamp of a table directory (no data read).
+    * Delegates to the shared [[graft.FsStamp]] — one stamp algebra for
+    * every cache/memo in the repo (the r7 review closed an XOR-self-
+    * cancellation hole there; sharing keeps it closed everywhere). */
+  def fsStamp(tablePath: String): Long = graft.FsStamp.of(tablePath)
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -58,8 +56,15 @@ object ResultCache {
   def cached(s: SparkSession, df: DataFrame, inputStamp: Long): DataFrame = {
     val dir = cacheDir(key(df, inputStamp))
     Files.createDirectories(dir.getParent)
-    if (!Files.exists(dir.resolve("_SUCCESS")))
-      df.write.mode("overwrite").parquet(dir.toString)
+    // per-entry build lock: two concurrent misses for one key would
+    // otherwise interleave overwrite jobs into the same dir and commit
+    // a doubled entry under a valid _SUCCESS (r7 review finding — the
+    // same check-then-build race IngestJob.withStoreLock closes for
+    // the snapshot stores)
+    graft.sources.IngestJob.withStoreLock(dir.toString) {
+      if (!Files.exists(dir.resolve("_SUCCESS")))
+        df.write.mode("overwrite").parquet(dir.toString)
+    }
     s.read.parquet(dir.toString)
   }
 

@@ -33,10 +33,8 @@ object Olap {
     // stale pivot year can never be served within one JVM (the
     // pivotMemo latent, ADVICE r6 — path-only keys have no
     // invalidation story)
-    val root = new java.io.File(new java.io.File(d), "lineitem.parquet")
-    val stamp = Option(root.listFiles())
-      .map(_.foldLeft(0L)((a, f) => a ^ f.lastModified() ^ f.length()))
-      .getOrElse(root.lastModified() ^ root.length())
+    val stamp = graft.FsStamp.of(
+      new java.io.File(new java.io.File(d), "lineitem.parquet").toString)
     pivotMemo.computeIfAbsent(s"$d#$stamp", _ =>
       Tables.load(s, d, "lineitem")
         .agg(max(year(to_date(col("l_shipdate")))).as("y"))

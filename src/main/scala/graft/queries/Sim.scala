@@ -1447,11 +1447,13 @@ object Sim {
           row_number().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("d2"), col("cid"))))
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-        centDists(old).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").as("cluster"))
-          .write.format("graft.sources.tsv")
-          .mode("overwrite").save(dir.toString)
+      graft.sources.IngestJob.withStoreLock(dir.toString) {
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+          centDists(old).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid").as("cluster"))
+            .write.format("graft.sources.tsv")
+            .mode("overwrite").save(dir.toString)
+        }
       }
       val oldInv = s.read.format("graft.sources.tsv")
         .schema(StructType(Seq(
