@@ -3662,11 +3662,72 @@ object Olap {
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
+  /** q268: APPROXIMATE QUERY PROCESSING via deterministic hash
+    * sampling — the estimate-next-to-truth readout an interactive
+    * warehouse serves while the exact job runs: revenue by return flag
+    * estimated from the md5 1/8 sample (q54's content-hash coordinate
+    * — portable and repartition-stable where a seeded RNG is neither)
+    * scaled by the inverse sampling rate, beside the exact answer and
+    * the realized relative error. Everything stays exact-integer
+    * (sample cent-sums × 8) until the display divisions, and the
+    * sample membership is a pure function of l_orderkey — so both
+    * engines compute the SAME estimate and the error column is a
+    * genuine accuracy measurement, not noise. The estimator is
+    * unbiased under the hash's uniformity; the fixture's realized
+    * errors land at the percent level and the spec pins a loose bound.
+    * At 100 TB the sample scan is 1/8 of the bill with zero extra
+    * state — the cheapest latency/accuracy dial there is, and the
+    * honest baseline every sketch (q61/q69/q119) should beat to earn
+    * its memory. */
+  val q268 = Q(
+    "q268_aqp_estimate",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          Det.cents(col("l_extendedprice")).as("cents"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_exact"), sum(col("cents")).as("ec"))
+      val est = li.filter(expr(Det.hashSampleExpr("l_orderkey")))
+        .groupBy(col("l_returnflag"))
+        .agg((count(lit(1)) * 8).as("n_est"),
+          (sum(col("cents")) * 8).as("sc"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n_exact"), col("n_est"),
+          (col("ec").cast(DoubleType) / lit(100.0)).as("exact_value"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("est_value"),
+          ((col("sc") - col("ec")).cast(DoubleType) / col("ec"))
+            .as("rel_err"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT l_returnflag, l_orderkey,
+               ${Det.centsSql("l_extendedprice")} AS cents
+        FROM lineitem
+      ), exact AS (
+        SELECT l_returnflag, count(*) AS n_exact,
+               CAST(sum(cents) AS BIGINT) AS ec
+        FROM base GROUP BY 1
+      ), est AS (
+        SELECT l_returnflag, count(*) * 8 AS n_est,
+               CAST(sum(cents) * 8 AS BIGINT) AS sc
+        FROM base
+        WHERE ${Det.hashSampleSql("l_orderkey")}
+        GROUP BY 1
+      )
+      SELECT l_returnflag, n_exact, n_est,
+             CAST(ec AS DOUBLE) / 100 AS exact_value,
+             CAST(sc AS DOUBLE) / 100 AS est_value,
+             CAST(sc - ec AS DOUBLE) / ec AS rel_err
+      FROM exact JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
-      q221, q222, q223, q224, q225, q226, q227)
+      q221, q222, q223, q224, q225, q226, q227, q268)
 }

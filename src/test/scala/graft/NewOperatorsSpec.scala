@@ -3259,6 +3259,34 @@ class NewOperatorsSpec extends SparkSpec {
       ("v3", "O") -> ((20L, 215.0))), got.toString)
   }
 
+  test("q268 AQP: estimator is exactly 8x the sample, errors bounded") {
+    val rows = graft.queries.Olap.q268.run(spark, sf001).collect()
+    graft.Caches.release()
+    assert(rows.nonEmpty)
+    // driver replay: the estimate is EXACTLY the deterministic sample
+    // scaled by 8 — no RNG anywhere
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val sampled = li.filter { case (f, k, _) =>
+        f == flag && "01".contains(md5hex(k.toString).charAt(31))
+      }
+      assert(r.getAs[Long]("n_est") == 8L * sampled.size)
+      assert(r.getAs[Double]("est_value") ==
+        8.0 * sampled.map(_._3).sum / 100.0)
+      // 1/8 uniform sampling at fixture scale: percent-level error
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.25,
+        s"$flag rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)

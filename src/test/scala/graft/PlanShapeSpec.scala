@@ -288,6 +288,16 @@ class PlanShapeSpec extends SparkSpec {
       "dimension side fell back to a shuffle join")
   }
 
+  test("q267 federation: remote predicate pushed into Derby, TSV leg custom") {
+    val plan = formatted("q267_federated_join")
+    assert(plan.contains("JDBC") && plan.contains("c_acctbal > 0"),
+      "the dimension filter must execute inside the remote engine")
+    assert(plan.contains("TsvScan"),
+      "the nation leg must read through the custom DSv2 source")
+    assert(plan.contains("BroadcastHashJoin"),
+      "federated dimensions must broadcast against the parquet fact")
+  }
+
   test("q253 merge-on-read applies deletes as broadcast semi/anti joins") {
     val plan = formatted("q253_merge_on_read")
     assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"))
