@@ -1664,7 +1664,121 @@ object IngestJob {
       FROM base GROUP BY st
       ORDER BY to_version, st"""))
 
+  /** q269: GDPR ERASE (right-to-be-forgotten) — the two-phase deletion
+    * discipline a lakehouse owes a privacy regime, composed from parts
+    * already proven here: (1) LOGICAL erase lands immediately as an
+    * equality-delete commit (q253's shape — O(erased) write, queries
+    * stop returning the subjects at once); (2) PHYSICAL purge follows
+    * on the maintenance cadence: a compaction rewrite without the
+    * erased rows (q255), then expiry of every prior version and a
+    * ledger-audited vacuum of their files (q256) — including the
+    * delete file itself, which is PII once the data is gone. The
+    * report's third row is the part auditors actually want: a direct
+    * scan of EVERY parquet file still under the store (bypassing
+    * manifests — trusting them would be circular) counting erased
+    * keys, which must be zero. This store's lifecycle deliberately
+    * ENDS at the purge (v5 is the only version left; time travel to
+    * pre-erase states is exactly what must die), so the build gates on
+    * the erase ledger, not the snapshot chain. The oracle recomputes
+    * the requested set and the survivor table from orders. */
+  val q269 = Q(
+    "q269_gdpr_erase",
+    (s, d) => {
+      val (fn, fsk, fsc, _) = ordersFingerprint(s, d)
+      val root = Paths.get(tmp(
+        s"orders_gdpr_${d.replaceAll("[^0-9.]", "")}_${fn}_${fsk}_$fsc"))
+      val dataDir = root.resolve("data")
+      val ledger = root.resolve("erase.log.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(ledger)) {
+          val (_, _, m0) = ensureSnapshotStore(s, d, "gdpr")
+          val v3 = readFiles(s, dataDir, m0(3)).get
+          val req = v3.filter(col("k") % 7 === 0)
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("sc")).head()
+          // phase 1 — logical: equality-delete commit, effective NOW
+          v3.filter(col("k") % 7 === 0).select(col("k"))
+            .repartition(1).write.mode("overwrite")
+            .parquet(dataDir.resolve("erase_keys").toString)
+          commitManifest(root, 4, m0(3) ++
+            listParquet(dataDir, "erase_keys").map("delete:" + _))
+          // phase 2 — physical: rewrite without the erased rows...
+          val live = v3.join(
+            broadcast(s.read.parquet(
+              dataDir.resolve("erase_keys").toString)),
+            Seq("k"), "left_anti")
+          commitManifest(root, 5, snapshotAppend(
+            live.withColumn("bucket", col("k") % 4), dataDir, "purged"))
+          // ...then expire everything earlier and vacuum its files
+          val keep = readManifest(root, 5).toSet
+          val dead = Seq("a", "b", "c", "crashed", "erase_keys")
+            .filter(sub => Files.exists(dataDir.resolve(sub)))
+            .flatMap(listParquet(dataDir, _))
+            .filterNot(keep)
+          val lines =
+            (1 to 4).map(n => s"manifest\tv$n.manifest.tsv") ++
+              dead.map(f => s"file\t$f") :+
+              s"requested\t${req.getLong(0)}\t${req.getLong(1)}"
+          atomicPublish(root, "erase.log.tsv", lines.mkString("\n") + "\n")
+        }
+        // purge replays idempotently FROM the ledger (q256 discipline)
+        import scala.jdk.CollectionConverters._
+        val entries = Files.readAllLines(ledger).asScala
+          .filter(_.nonEmpty).map(_.split("\t").toSeq)
+        entries.collect { case Seq("manifest", f) => f }
+          .foreach(f => Files.deleteIfExists(root.resolve(f)))
+        entries.collect { case Seq("file", f) => f }
+          .foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = Files.readAllLines(ledger).asScala
+        .filter(_.nonEmpty).map(_.split("\t").toSeq)
+      val req = entries.find(_.headOption.contains("requested")).get
+      val v5 = readManifest(root, 5)
+      // the auditor's row: scan EVERY file still present, manifest-free
+      val remaining = Seq("a", "b", "c", "crashed", "erase_keys", "purged")
+        .filter(sub => Files.exists(dataDir.resolve(sub)))
+        .flatMap(listParquet(dataDir, _))
+      val requestedRow = s.range(1).select(
+        lit("requested").as("stage"), lit(1L).as("n_files"),
+        lit(req(1).toLong).as("n_rows"),
+        lit(req(2).toLong / 100.0).as("sum_value"))
+      val liveRow = readFiles(s, dataDir, v5).get
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+        .select(lit("v5_live").as("stage"),
+          lit(v5.size.toLong).as("n_files"), col("n_rows"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      val scanRow = readFiles(s, dataDir, remaining).get
+        .filter(col("k") % 7 === 0)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("c")), lit(0L)).as("sc"))
+        .select(lit("physical_scan").as("stage"),
+          lit(remaining.size.toLong).as("n_files"), col("n_rows"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      requestedRow.unionAll(liveRow).unionAll(scanRow)
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 4 = 3
+                    THEN ${graft.queries.Det.centsSql("o_totalprice")} + 100
+                    ELSE ${graft.queries.Det.centsSql("o_totalprice")}
+               END AS c
+        FROM orders
+      )
+      SELECT 'physical_scan' AS stage, CAST(4 AS BIGINT) AS n_files,
+             CAST(0 AS BIGINT) AS n_rows, 0.0 AS sum_value
+      UNION ALL
+      SELECT 'requested', 1, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT 'v5_live', 4, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base WHERE k % 7 <> 0
+      ORDER BY stage"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255, q256, q257, q258, q264, q266)
+      q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269)
 }

@@ -3287,6 +3287,30 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q269 GDPR erase: logical then physical, auditor scan clean, replayable") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    def run() =
+      try graft.sources.IngestJob.q269.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    val got = run()
+    // erased subjects: k in {7, 14}; 7 carries the v3 +100 update
+    assert(got("requested") == ((1L, 2L, 22.0)), got.toString)
+    assert(got("v5_live") == ((4L, 18L, 193.0)))
+    assert(got("physical_scan") == ((4L, 0L, 0.0)),
+      s"erased bytes still physically present: ${got("physical_scan")}")
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_gdpr_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    // pre-erase history is gone — time travel to the subjects must die
+    (1 to 4).foreach(n =>
+      assert(!JF.exists(root.resolve(s"v$n.manifest.tsv")), s"v$n survived"))
+    assert(JF.exists(root.resolve("v5.manifest.tsv")))
+    // the purge is replayable from its ledger
+    assert(run() == got)
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
