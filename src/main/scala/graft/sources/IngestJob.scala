@@ -1778,7 +1778,114 @@ object IngestJob {
       FROM base WHERE k % 7 <> 0
       ORDER BY stage"""))
 
+  /** q270: MULTI-TABLE atomic transactions — the consistency level a
+    * per-table format cannot give (Iceberg/Delta commit one table at a
+    * time; cross-table atomicity needs a transactional CATALOG — the
+    * Nessie/lakehouse-catalog argument) built from the same primitives:
+    * each transaction appends to BOTH tables (orders-derived t1,
+    * lineitem-derived t2, stamped with the txn's batch number), table
+    * manifests publish per table, and then ONE catalog file — the only
+    * commit point — atomically names the (table → version) pair.
+    * The fixture stages the failure that motivates all of it: txn 3
+    * writes t1's data files AND t1's table manifest, then dies before
+    * the catalog commit. A catalog reader still sees the consistent
+    * (t1 v2, t2 v2) pair; a NAIVE latest-table-version reader sees
+    * t1 at batch 3 beside t2 at batch 2 — the torn state, reported
+    * with consistent=false as the row that shows what the catalog is
+    * for. Consistency is MEASURED from data (max batch stamp per
+    * side), not asserted. The oracle recomputes every row count and
+    * batch stamp from orders/lineitem. */
+  val q270 = Q(
+    "q270_multi_table_txn",
+    (s, d) => {
+      val (fn, fsk, fsc, fmk) = ordersFingerprint(s, d)
+      val cut = fmk * 3 / 5
+      val root = Paths.get(tmp(
+        s"orders_txn_${d.replaceAll("[^0-9.]", "")}_${fn}_${fsk}_$fsc"))
+      val dataDir = root.resolve("data")
+      def tmanifest(t: String, v: Int) = s"$t.v$v.manifest.tsv"
+      withStoreLock(root.toString) {
+        if (!Files.exists(root.resolve(tmanifest("t1", 3)))) {
+          Files.createDirectories(dataDir)
+          val t1 = Tables.load(s, d, "orders")
+            .select(col("o_orderkey").as("k"),
+              graft.queries.Det.cents(col("o_totalprice")).as("c"))
+          val t2 = Tables.load(s, d, "lineitem")
+            .select(col("l_orderkey").as("k"),
+              graft.queries.Det.cents(col("l_extendedprice")).as("c"))
+          def append(t: String, df: DataFrame, batch: Int, sub: String)
+              : Seq[String] = snapshotAppend(
+            df.withColumn("batch", lit(batch.toLong))
+              .withColumn("bucket", col("k") % 4),
+            dataDir, s"$t/$sub")
+          // txn 1: both tables, one catalog commit
+          val t1a = append("t1", t1.filter(col("k") <= cut), 1, "a")
+          val t2a = append("t2", t2.filter(col("k") <= cut), 1, "a")
+          atomicPublish(root, tmanifest("t1", 1), t1a.mkString("\n") + "\n")
+          atomicPublish(root, tmanifest("t2", 1), t2a.mkString("\n") + "\n")
+          atomicPublish(root, "c1.catalog.tsv", "t1\t1\nt2\t1\n")
+          // txn 2
+          val t1b = append("t1", t1.filter(col("k") > cut), 2, "b")
+          val t2b = append("t2", t2.filter(col("k") > cut), 2, "b")
+          atomicPublish(root, tmanifest("t1", 2),
+            (t1a ++ t1b).mkString("\n") + "\n")
+          atomicPublish(root, tmanifest("t2", 2),
+            (t2a ++ t2b).mkString("\n") + "\n")
+          atomicPublish(root, "c2.catalog.tsv", "t1\t2\nt2\t2\n")
+          // txn 3 DIES between the table manifest and the catalog:
+          // t1 advances, t2 and the catalog never hear of it
+          val t1c = append("t1", t1.filter(col("k") % 17 === 0), 3, "torn")
+          atomicPublish(root, tmanifest("t1", 3),
+            (t1a ++ t1b ++ t1c).mkString("\n") + "\n")
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      def manifestFiles(name: String): Seq[String] =
+        Files.readAllLines(root.resolve(name)).asScala.toSeq
+          .filter(_.nonEmpty)
+      def catalogPair(n: Int): Map[String, Int] =
+        Files.readAllLines(root.resolve(s"c$n.catalog.tsv")).asScala
+          .filter(_.nonEmpty).map(_.split("\t"))
+          .map(e => e(0) -> e(1).toInt).toMap
+      def stats(name: String) =
+        readFiles(s, dataDir, manifestFiles(name)).get
+          .agg(count(lit(1)).as("n"), max(col("batch")).as("mb")).head()
+      def row(tag: String, t1v: Int, t2v: Int): DataFrame = {
+        val (a, b) = (stats(tmanifest("t1", t1v)), stats(tmanifest("t2", t2v)))
+        s.range(1).select(
+          lit(tag).as("commit"), lit(a.getLong(0)).as("t1_rows"),
+          lit(b.getLong(0)).as("t2_rows"),
+          lit(a.getLong(1) == b.getLong(1)).as("consistent"))
+      }
+      val c1 = catalogPair(1); val c2 = catalogPair(2)
+      row("c1", c1("t1"), c1("t2"))
+        .unionAll(row("c2", c2("t1"), c2("t2")))
+        // the naive reader: latest TABLE versions, no catalog
+        .unionAll(row("head_tables", 3, 2))
+        .orderBy(col("commit"))
+    },
+    Some(s"""
+      WITH cut AS (
+        SELECT max(o_orderkey) * 3 // 5 AS c FROM orders
+      )
+      SELECT 'c1' AS commit,
+             (SELECT count(*) FROM orders, cut WHERE o_orderkey <= c)
+               AS t1_rows,
+             (SELECT count(*) FROM lineitem, cut WHERE l_orderkey <= c)
+               AS t2_rows,
+             true AS consistent
+      UNION ALL
+      SELECT 'c2', (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM lineitem), true
+      UNION ALL
+      SELECT 'head_tables',
+             (SELECT count(*) FROM orders)
+               + (SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0),
+             (SELECT count(*) FROM lineitem), false
+      ORDER BY commit"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
-      q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269)
+      q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269,
+      q270)
 }

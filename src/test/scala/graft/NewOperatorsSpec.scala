@@ -3311,6 +3311,32 @@ class NewOperatorsSpec extends SparkSpec {
     assert(run() == got)
   }
 
+  test("q270 multi-table txn: catalog readers never see the torn commit") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    (1 to 20).flatMap(k => Seq((k.toLong, 1, k * 0.5), (k.toLong, 2, k * 0.5)))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got =
+      try graft.sources.IngestJob.q270.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      finally graft.Caches.release()
+    assert(got("c1") == ((12L, 24L, true)), got.toString)
+    assert(got("c2") == ((20L, 40L, true)))
+    // naive latest-version read: t1 advanced by the torn txn (k=17
+    // re-appended), t2 did not — batch stamps disagree
+    assert(got("head_tables") == ((21L, 40L, false)),
+      s"torn state not visible to the naive reader: ${got("head_tables")}")
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_txn_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    assert(JF.exists(root.resolve("t1.v3.manifest.tsv")),
+      "the torn table manifest should exist — only the catalog gates")
+    assert(!JF.exists(root.resolve("c3.catalog.tsv")),
+      "the torn txn must have no catalog commit")
+  }
+
   test("q206 min-cost supplier: each row achieves its part's true minimum") {
     val rows = graft.queries.Olap.q206.run(spark, sf001).collect()
     assert(rows.nonEmpty)
