@@ -1427,7 +1427,125 @@ object Dedup {
       FROM merged m JOIN lv USING (lbl)
       ORDER BY cluster_id"""))
 
+  /** q271: ENTITY RESOLUTION / record linkage (Fellegi & Sunter JASA'69;
+    * the MDM pipeline upstream of q260's survivorship): noisy RECORDS of
+    * the same real-world entity — typos, case variants, drifted
+    * attributes — are blocked, scored field-by-field, linked, and
+    * transitively clustered into entities. The fixture's customers are
+    * clean, so BOTH engines first derive the same dirty-record table
+    * (the q239 dose discipline): every customer emits a base record,
+    * every 3rd adds a one-character name TYPO with a 7-cent balance
+    * drift, every 4th adds a lowercased CASE variant. Blocking is
+    * SymSpell deletion-neighborhood banding on the normalized name
+    * (q128's mechanism — any ED≤1 pair provably shares a key) further
+    * cut by nationkey; candidates then pay the exact match rule:
+    * levenshtein ≤ 1 AND segment equal AND balance within 10 cents —
+    * conjunctive agreement playing the role of the Fellegi-Sunter weight
+    * sum. Links close transitively via the shared min-label Components
+    * core; the ORACLE replays the rule from an EXHAUSTIVE all-pairs scan
+    * (agreement proves the banding lossless) and the clustering with the
+    * q68 recursive CTE. TPC-H's digit-grid names make accidental ED-1
+    * pairs between DIFFERENT customers common — the balance band
+    * (P ≈ 2·10⁻⁵) is what keeps the rule discriminating; both engines
+    * apply it identically, so any residual accidental link lands in both
+    * or neither. Scale: blocking is record×19 keyed rows bucket-joined,
+    * never all-pairs; clustering is the q68 edge-sized iteration. */
+  val q271 = Q(
+    "q271_entity_resolution",
+    (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      def rec(idOff: Int, name: org.apache.spark.sql.Column,
+          balOff: Long, pred: org.apache.spark.sql.Column) =
+        c.filter(pred).select(
+          (col("c_custkey") * 3 + idOff).as("rec_id"), name.as("name"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          (Det.cents(col("c_acctbal")) + balOff).as("bal"))
+      val recs = rec(0, col("c_name"), 0L, lit(true))
+        .unionAll(rec(1,
+          expr("concat(substring(c_name, 1, 9 + c_custkey % 9), 'X', " +
+            "substring(c_name, 11 + c_custkey % 9))"),
+          7L, col("c_custkey") % 3 === 0))
+        .unionAll(rec(2, lower(col("c_name")), 0L,
+          col("c_custkey") % 4 === 0))
+        .withColumn("uname", upper(col("name")))
+        .persistTracked()
+      val keyed = recs.select(
+        col("rec_id"), col("nk"), col("uname"), col("seg"), col("bal"),
+        explode(expr(
+          "array_distinct(concat(array(uname), " +
+            "transform(sequence(1, length(uname)), " +
+            "i -> concat(substring(uname, 1, i-1), " +
+            "substring(uname, i+1, length(uname))))))")).as("k"))
+      val x = keyed.select(
+        col("k"), col("nk"), col("rec_id").as("ra"),
+        col("uname").as("ua"), col("seg").as("sa"), col("bal").as("ba"))
+      val y = keyed.select(
+        col("k"), col("nk"), col("rec_id").as("rb"),
+        col("uname").as("ub"), col("seg").as("sb"), col("bal").as("bb"))
+      val links = x.join(y, Seq("k", "nk"))
+        .filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), col("ua"), col("ub"),
+          col("sa"), col("sb"), col("ba"), col("bb"))
+        .distinct()
+        .filter(col("sa") === col("sb") &&
+          abs(col("ba") - col("bb")) <= 10 &&
+          levenshtein(col("ua"), col("ub")) <= 1)
+        .select(col("ra"), col("rb"))
+      val labels = graft.operators.Components.connectedComponents(
+        recs.select(col("rec_id")), links, tag = "q271")
+      val sizes =
+        labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(
+          col("id").as("rec_id"), col("lbl").as("entity_id"),
+          col("cluster_size"),
+          (col("id") === col("lbl")).as("is_canonical"))
+        .orderBy(col("rec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE recs AS (
+        SELECT c_custkey * 3 AS rec_id, c_name AS name,
+               c_nationkey AS nk, c_mktsegment AS seg,
+               ${Det.centsSql("c_acctbal")} AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey * 3 + 1,
+               concat(substr(c_name, 1, 9 + c_custkey % 9), 'X',
+                      substr(c_name, 11 + c_custkey % 9)),
+               c_nationkey, c_mktsegment,
+               ${Det.centsSql("c_acctbal")} + 7
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey * 3 + 2, lower(c_name),
+               c_nationkey, c_mktsegment,
+               ${Det.centsSql("c_acctbal")}
+        FROM customer WHERE c_custkey % 4 = 0
+      ), pairs AS (
+        SELECT a.rec_id AS ra, b.rec_id AS rb
+        FROM recs a JOIN recs b
+          ON a.nk = b.nk AND a.seg = b.seg AND a.rec_id < b.rec_id
+         AND abs(a.bal - b.bal) <= 10
+         AND levenshtein(upper(a.name), upper(b.name)) <= 1
+      ), edges AS (
+        SELECT ra AS src, rb AS dst FROM pairs
+        UNION ALL
+        SELECT rb, ra FROM pairs
+      ), reach(id, lbl) AS (
+        SELECT rec_id, rec_id FROM recs
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      ), comp AS (
+        SELECT id AS rec_id, min(lbl) AS entity_id FROM reach GROUP BY id
+      ), sizes AS (
+        SELECT entity_id, count(*) AS cluster_size FROM comp
+        GROUP BY entity_id
+      )
+      SELECT c.rec_id, c.entity_id, s.cluster_size,
+             c.rec_id = c.entity_id AS is_canonical
+      FROM comp c JOIN sizes s USING (entity_id)
+      ORDER BY c.rec_id"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260)
+      q240, q241, q260, q271)
 }

@@ -225,7 +225,7 @@ object Olap {
   private def bloomPosSpark(h: Int, keySql: String): String =
     s"(${nibSpark(h, keySql, 1)} * 4096 + ${nibSpark(h, keySql, 2)} * 256" +
       s" + ${nibSpark(h, keySql, 3)} * 16 + ${nibSpark(h, keySql, 4)})"
-  private def bloomPosDuck(h: Int, keySql: String): String =
+  private[graft] def bloomPosDuck(h: Int, keySql: String): String =
     s"(${nibDuck(h, keySql, 1)} * 4096 + ${nibDuck(h, keySql, 2)} * 256" +
       s" + ${nibDuck(h, keySql, 3)} * 16 + ${nibDuck(h, keySql, 4)})"
 
@@ -2681,9 +2681,19 @@ object Olap {
   private def copurchaseAdj(
       s: SparkSession, d: String): DataFrame = {
     import graft.Caches.Tracked
+    val und = copurchasePairs(s, d).select(col("a"), col("b"))
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persistTracked()
+  }
+
+  /** Undirected co-purchase pairs WITH their support count (a, b, n_ab)
+    * — the shared explosion [[copurchaseAdj]] symmetrizes and
+    * [[copurchaseAdjW]] turns into edge weights. */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame = {
     val op = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = op.groupBy(col("l_orderkey"))
+    op.groupBy(col("l_orderkey"))
       .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -2692,9 +2702,19 @@ object Olap {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-      .select(col("a"), col("b"))
-    und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Weighted co-purchase adjacency (q273): cost w = max(1, 10 − n_ab),
+    * so frequently co-bought part pairs are CLOSER — the affinity-graph
+    * convention that turns co-occurrence counts into path costs. */
+  private def copurchaseAdjW(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.Caches.Tracked
+    val und = copurchasePairs(s, d)
+      .withColumn("w", greatest(lit(1L), lit(10L) - col("n_ab")))
+    und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
       .persistTracked()
   }
 
@@ -2703,7 +2723,7 @@ object Olap {
   private val copurchaseAdjSql = """op AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       ), e AS (
-        SELECT x.l_partkey AS a, y.l_partkey AS b
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
         FROM op x JOIN op y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2
@@ -3723,11 +3743,183 @@ object Olap {
       FROM exact JOIN est USING (l_returnflag)
       ORDER BY l_returnflag"""))
 
+  /** q273: WEIGHTED single-source shortest paths (bounded-hop
+    * Bellman-Ford) over the co-purchase graph — q192's BFS upgraded with
+    * edge COSTS (w = max(1, 10 − co-order count): strong affinities are
+    * cheap hops), the "how related, not just whether reachable" readout
+    * behind weighted recall expansion and substitution distance. The
+    * distributed shape is R relaxation rounds: dist' = min(dist,
+    * min over edges of dist[src] + w) — after round R, dist(v) is
+    * EXACTLY the cheapest cost over all paths of ≤ R edges (positive
+    * weights make ≤R-hop walks reduce to ≤R-hop paths, which is also
+    * what the oracle's hop-capped recursive walk enumerates — the same
+    * loop-vs-recursion differential as q192, now over (cost, hops)
+    * states). All costs are exact BIGINTs. Scale: each round is one
+    * edge-sized equi-join + one grouped min with map-side combine; the
+    * dist frame is node-sized and per-round localCheckpoint keeps the
+    * plan O(1) — the Pregel shortest-paths example as plain DataFrames. */
+  val q273 = Q(
+    "q273_weighted_sssp",
+    (s, d) => {
+      import s.implicits._
+      val adj = copurchaseAdjW(s, d)
+      val source = adj.agg(min(col("src"))).first().getLong(0)
+      var dist = Seq((source, 0L)).toDF("part_key", "cost")
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        dist = dist
+          .join(adj, col("part_key") === col("src"))
+          .select(col("dst").as("part_key"),
+            (col("cost") + col("w")).as("cost"))
+          .unionAll(dist)
+          .groupBy(col("part_key")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint()
+      }
+      dist.orderBy(col("part_key"))
+    },
+    Some(s"""
+      WITH RECURSIVE $copurchaseAdjSql, adjw AS (
+        SELECT a AS src, b AS dst, greatest(1, 10 - n_ab) AS w FROM e
+        UNION ALL
+        SELECT b AS src, a AS dst, greatest(1, 10 - n_ab) AS w FROM e
+      ), walk AS (
+        SELECT (SELECT min(src) FROM adjw) AS v, CAST(0 AS BIGINT) AS cost,
+               0 AS hops
+        UNION
+        SELECT adjw.dst AS v, walk.cost + adjw.w AS cost,
+               walk.hops + 1 AS hops
+        FROM walk JOIN adjw ON adjw.src = walk.v
+        WHERE walk.hops < 3
+      )
+      SELECT v AS part_key, min(cost) AS cost
+      FROM walk GROUP BY v ORDER BY part_key"""))
+
+  /** q274: K-CORE decomposition (k = 3) of the co-purchase graph by
+    * iterative peeling — the density filter graph pipelines run before
+    * expensive per-node work (community mining, embedding training):
+    * repeatedly delete nodes with degree < k in the surviving induced
+    * subgraph; what remains is the maximal subgraph of min-degree ≥ k.
+    * Peeling is run for EXACTLY 8 rounds in both engines, so the result
+    * is well-defined cross-engine even before convergence, and the
+    * emitted `converged` flag (survivor count unchanged over the last
+    * round — survivor sets only shrink, so equal counts mean equal SETS
+    * and a true fixpoint) certifies when 8 rounds reached the real
+    * 3-core. The oracle UNROLLS the 8 peels as chained CTEs (no
+    * aggregate-in-recursion limits — the q204 discipline). Scale: each
+    * round is one degree aggregate + two semi-joins on an edge set that
+    * only shrinks; per-round localCheckpoint truncates lineage. */
+  val q274 = Q(
+    "q274_kcore",
+    (s, d) => {
+      val adj = copurchaseAdj(s, d)
+      var edges = adj
+      var survivors = adj // reassigned every round; round 8's keep set
+      var counts = List.empty[Long]
+      for (_ <- 1 to 8) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("src").as("v"))
+          .localCheckpoint()
+        counts = keep.count() :: counts
+        survivors = keep
+        edges = edges
+          .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      }
+      val converged = counts.head == counts.tail.head
+      // survivors of round 8 whose neighbours were peeled IN round 8 can
+      // sit below degree 3 (round 9's work) or even at 0; their degree
+      // in the final induced subgraph is still the well-defined readout
+      survivors
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg")),
+          col("v") === col("src"), "left_outer")
+        .select(col("v").as("part_key"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+          lit(converged).as("converged"))
+        .orderBy(col("part_key"))
+    },
+    Some {
+      val peels = (2 to 8).map { i =>
+        s""", s$i AS (
+        SELECT src AS v FROM adj
+        WHERE src IN (SELECT v FROM s${i - 1})
+          AND dst IN (SELECT v FROM s${i - 1})
+        GROUP BY src HAVING count(*) >= 3
+      )"""
+      }.mkString
+      s"""
+      WITH $copurchaseAdjSql, s1 AS (
+        SELECT src AS v FROM adj GROUP BY src HAVING count(*) >= 3
+      )$peels
+      SELECT s8.v AS part_key, coalesce(d.deg, 0) AS core_deg,
+             ((SELECT count(*) FROM s8) = (SELECT count(*) FROM s7))
+               AS converged
+      FROM s8 LEFT JOIN (
+        SELECT src, count(*) AS deg FROM adj
+        WHERE src IN (SELECT v FROM s8) AND dst IN (SELECT v FROM s8)
+        GROUP BY src) d ON d.src = s8.v
+      ORDER BY part_key"""
+    })
+
+  /** q277: ANALYZE-style column statistics (the optimizer's food: every
+    * cost-based decision in this engine family — join order, broadcast
+    * choice, skew handling, q264's metadata-serve, q268's sample
+    * scaling — starts from per-column n/nulls/NDV/min/max/quartiles).
+    * All four profiled columns are INTEGER-ENCODED first (cents for
+    * money, epoch-days for the timestamp) so min/max are exact BIGINTs
+    * and the quartile boundaries are percentile_cont over integers —
+    * the q04 cross-engine-exact interpolation. One column-pruned scan
+    * per column, each a single partial+final aggregate; NDV is exact
+    * here (the 100 TB path swaps in hll_md5/kmv_md5 — q61/q215 — at a
+    * documented error bar, which is precisely how warehouse ANALYZE
+    * implementations choose to cheat). */
+  val q277 = Q(
+    "q277_analyze_stats",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      def stats(name: String, v: org.apache.spark.sql.Column) =
+        li.select(v.cast(LongType).as("v"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("ndv"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"),
+            expr("percentile(v, 0.25D)").as("p25"),
+            expr("percentile(v, 0.50D)").as("p50"),
+            expr("percentile(v, 0.75D)").as("p75"))
+          .select(lit(name).as("col_name"), col("*"))
+      stats("l_extendedprice_cents", Det.cents(col("l_extendedprice")))
+        .unionAll(stats("l_orderkey", col("l_orderkey")))
+        .unionAll(stats("l_quantity", col("l_quantity")))
+        .unionAll(stats("l_shipdate_days",
+          datediff(col("l_shipdate"), lit("1970-01-01"))))
+        .orderBy(col("col_name"))
+    },
+    Some {
+      def statsSql(name: String, e: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v,
+             quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.50) AS p50,
+             quantile_cont(v, 0.75) AS p75
+           FROM (SELECT CAST($e AS BIGINT) AS v FROM lineitem)"""
+      Seq(
+        statsSql("l_extendedprice_cents", Det.centsSql("l_extendedprice")),
+        statsSql("l_orderkey", "l_orderkey"),
+        statsSql("l_quantity", "l_quantity"),
+        statsSql("l_shipdate_days",
+          "CAST(l_shipdate AS DATE) - DATE '1970-01-01'"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
-      q221, q222, q223, q224, q225, q226, q227, q268)
+      q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277)
 }

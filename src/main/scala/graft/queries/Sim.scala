@@ -1491,7 +1491,221 @@ object Sim {
     // incremental-merge == from-scratch: q77's oracle verbatim
     q77.oracle)
 
+  /** Sequential-fold dot product in DuckDB — the SQL twin of
+    * [[VecDot.dot]] (left-to-right, so low bits match Spark's fold). */
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), " +
+      "(x, y) -> x + y)"
+
+  /** q275: MATRYOSHKA truncation recall curve (Kusupati et al. NeurIPS'22
+    * — MRL embeddings are trained so PREFIXES of the vector are usable
+    * embeddings at lower cost; serving stacks exploit this by retrieving
+    * with a 16- or 32-dim prefix and paying full-dim math only on the
+    * shortlist). The readout every such deployment needs is exactly this
+    * query: for each truncation width, what fraction of the TRUE full-dim
+    * top-10 does prefix retrieval still find? One corpus×queries pass
+    * computes all three dot products (prefix slices and their norms are
+    * precomputed PER VECTOR, never per pair — the q26 norm lesson), three
+    * rankings share the scored frame, and recall@10 is an exact integer
+    * overlap count over one IEEE division. The fixture's vectors are not
+    * MRL-trained, so recall here measures raw prefix informativeness —
+    * the honest baseline an MRL model is graded against. Scale: identical
+    * profile to q26 (broadcast 8 queries through one corpus scan); the
+    * dim sweep multiplies flops, not shuffles. */
+  val q275 = Q(
+    "q275_matryoshka_recall",
+    (s, d) => {
+      val pre = emb(s, d).select(
+        col("vec_id"), col("v"), col("nrm"),
+        slice(col("v"), 1, 16).as("v16"),
+        slice(col("v"), 1, 32).as("v32"))
+        .withColumn("nrm16", sqrt(VecDot.dot(col("v16"), col("v16"))))
+        .withColumn("nrm32", sqrt(VecDot.dot(col("v32"), col("v32"))))
+      val queries = pre.filter(col("vec_id") < 8).select(
+        col("vec_id").as("qid"), col("v").as("qv"),
+        col("v16").as("qv16"), col("v32").as("qv32"),
+        col("nrm").as("qn"), col("nrm16").as("qn16"),
+        col("nrm32").as("qn32"))
+      val scored = pre.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("c64",
+          VecDot.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("c16",
+          VecDot.dot(col("qv16"), col("v16")) / (col("qn16") * col("nrm16")))
+        .withColumn("c32",
+          VecDot.dot(col("qv32"), col("v32")) / (col("qn32") * col("nrm32")))
+        .persistTracked()
+      def top10(c: String) = scored
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc(c), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val full = top10("c64")
+      Seq(16 -> top10("c16"), 32 -> top10("c32"))
+        .map { case (dim, t) =>
+          t.join(full, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("n_overlap"))
+            // a truncation that finds NOTHING from the true top-10 drops
+            // out of the inner-join grain — restore it as overlap 0
+            .join(full.select(col("qid")).distinct(), Seq("qid"),
+              "right_outer")
+            .select(
+              col("qid"), lit(dim).as("dim"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        }
+        .reduce(_ unionAll _)
+        .withColumn(
+          "recall_at_10", col("n_overlap").cast(DoubleType) / lit(10.0))
+        .orderBy(col("qid"), col("dim"))
+    },
+    Some(s"""
+      WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), pre AS (
+        SELECT vec_id, v, v[1:16] AS v16, v[1:32] AS v32,
+               sqrt(${dotDuck("v", "v")}) AS nrm,
+               sqrt(${dotDuck("v[1:16]", "v[1:16]")}) AS nrm16,
+               sqrt(${dotDuck("v[1:32]", "v[1:32]")}) AS nrm32
+        FROM vecs
+      ), q AS (
+        SELECT vec_id AS qid, v AS qv, v16 AS qv16, v32 AS qv32,
+               nrm AS qn, nrm16 AS qn16, nrm32 AS qn32
+        FROM pre WHERE vec_id < 8
+      ), scored AS (
+        SELECT q.qid, c.vec_id,
+               ${dotDuck("q.qv", "c.v")} / (q.qn * c.nrm) AS c64,
+               ${dotDuck("q.qv16", "c.v16")} / (q.qn16 * c.nrm16) AS c16,
+               ${dotDuck("q.qv32", "c.v32")} / (q.qn32 * c.nrm32) AS c32
+        FROM pre c CROSS JOIN q WHERE c.vec_id <> q.qid
+      ), full10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                 ORDER BY c64 DESC, vec_id) AS r FROM scored) WHERE r <= 10
+      ), t16 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                 ORDER BY c16 DESC, vec_id) AS r FROM scored) WHERE r <= 10
+      ), t32 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                 ORDER BY c32 DESC, vec_id) AS r FROM scored) WHERE r <= 10
+      ), ovl AS (
+        SELECT f.qid, 16 AS dim, count(t.vec_id) AS n_overlap
+        FROM (SELECT DISTINCT qid FROM full10) f
+        LEFT JOIN (SELECT t16.qid, t16.vec_id FROM t16
+                   JOIN full10 USING (qid, vec_id)) t ON t.qid = f.qid
+        GROUP BY f.qid
+        UNION ALL
+        SELECT f.qid, 32 AS dim, count(t.vec_id) AS n_overlap
+        FROM (SELECT DISTINCT qid FROM full10) f
+        LEFT JOIN (SELECT t32.qid, t32.vec_id FROM t32
+                   JOIN full10 USING (qid, vec_id)) t ON t.qid = f.qid
+        GROUP BY f.qid
+      )
+      SELECT qid, dim, n_overlap,
+             CAST(n_overlap AS DOUBLE) / 10.0 AS recall_at_10
+      FROM ovl ORDER BY qid, dim"""))
+
+  /** q276: FILTERED vector search — pre-filter vs post-filter (the
+    * vector-database serving question: when the query carries a metadata
+    * predicate, do you restrict the corpus BEFORE ranking, or take the
+    * unfiltered top-k×oversample and filter after?). Post-filtering is
+    * what an ANN index without predicate support forces, and it LOSES
+    * results whenever the predicate's survivors sit below the oversample
+    * horizon; this query measures that loss exactly: per query, the true
+    * pre-filtered top-5 (corpus restricted to even labels) against the
+    * post-filtered survivors of the unfiltered top-20, with recall@5 and
+    * the survivor count. Exact cosine both paths — the comparison
+    * isolates the FILTER PLACEMENT effect, not index error. Scale: both
+    * paths are the q26 broadcast-queries shape; pre-filtering also scans
+    * LESS (the predicate pushes into the corpus scan). */
+  val q276 = Q(
+    "q276_filtered_ann",
+    (s, d) => {
+      val all = emb(s, d).select(
+        col("vec_id"), col("label"), col("v"), col("nrm"))
+      val queries = all.filter(col("vec_id") < 8).select(
+        col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      def ranked(corpus: org.apache.spark.sql.DataFrame) = corpus
+        .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim",
+          VecDot.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(desc("cos_sim"), col("vec_id"))))
+      val pre = ranked(all.filter(col("label") % 2 === 0))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val post = ranked(all)
+        .filter(col("rank") <= 20)
+        .filter(col("label") % 2 === 0)
+        .withColumn(
+          "rr",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rank"))))
+        .filter(col("rr") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val qids = queries.select(col("qid"))
+      qids
+        .join(post.groupBy(col("qid")).agg(count(lit(1)).as("n_post")),
+          Seq("qid"), "left_outer")
+        .join(
+          post.join(pre, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap")),
+          Seq("qid"), "left_outer")
+        .select(
+          col("qid"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn(
+          "recall_at_5", col("n_overlap").cast(DoubleType) / lit(5.0))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ), pre0 AS (
+        SELECT vec_id, label, v, sqrt(${dotDuck("v", "v")}) AS nrm
+        FROM vecs
+      ), q AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn
+        FROM pre0 WHERE vec_id < 8
+      ), scored AS (
+        SELECT q.qid, c.vec_id, c.label,
+               ${dotDuck("q.qv", "c.v")} / (q.qn * c.nrm) AS cos_sim
+        FROM pre0 c CROSS JOIN q WHERE c.vec_id <> q.qid
+      ), pre AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, vec_id) AS r
+          FROM scored WHERE label % 2 = 0) WHERE r <= 5
+      ), post AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, label,
+                 row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, vec_id) AS r FROM scored) g
+        WHERE r <= 20 AND label % 2 = 0
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY r) <= 5
+      )
+      SELECT q.qid,
+             (SELECT count(*) FROM post p WHERE p.qid = q.qid) AS n_post,
+             (SELECT count(*) FROM post p JOIN pre r
+              ON r.qid = p.qid AND r.vec_id = p.vec_id
+              WHERE p.qid = q.qid) AS n_overlap,
+             CAST((SELECT count(*) FROM post p JOIN pre r
+                   ON r.qid = p.qid AND r.vec_id = p.vec_id
+                   WHERE p.qid = q.qid) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM q ORDER BY qid"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242, q259)
+      q211, q212, q213, q242, q259, q275, q276)
 }

@@ -1884,8 +1884,162 @@ object IngestJob {
              (SELECT count(*) FROM lineitem), false
       ORDER BY commit"""))
 
+  /** q272: PER-FILE BLOOM-FILTER skipping from a stats manifest — the
+    * point-lookup complement of q257's zone maps. The layout is
+    * range-clustered by ORDER key (q257's build), so a min/max zone map
+    * is useless for a CUSTOMER-key probe: every file spans the full
+    * custkey domain. Table formats answer this with per-file bloom
+    * filters (Parquet bloom indexes, ClickHouse `bloom_filter` granules
+    * — the reference's own schema uses the latter,
+    * /root/reference/clickhouse/schema.sql): at write time each file's
+    * distinct custkeys are folded into one 8 KB [[graft.functions.
+    * BloomMd5]] word array recorded in the manifest; a point probe tests
+    * 4 md5-derived bits per file DRIVER-SIDE and schedules reads only
+    * for files that pass. No false negatives by construction (the spec's
+    * invariant); false positives cost one wasted file read, bounded by
+    * the sketch's FP rate at the file's key load. Probes: the 3 smallest
+    * distinct custkeys ending in 7 (each hits only the files its orders
+    * landed in) plus one key provably absent from every file (max+7 —
+    * all 8 blooms reject it, zero files read, the empty-result fast
+    * path). The ORACLE recomputes the bucket assignment, replays every
+    * bloom WORD with bit_or and every probe bit-exactly (the q80
+    * discipline, now per-file), and recomputes the answers from the
+    * original table — agreement proves the skipped files held nothing.
+    * At 100 TB bloom skipping is what makes needle-in-haystack lookups
+    * on NON-layout keys planning-cost cheap: the manifest is KBs, the
+    * alternative is a full scan. */
+  val q272 = Q(
+    "q272_bloom_skipping",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      val (fn, fsk, fsc, mk) = ordersFingerprint(s, d)
+      val root = Paths.get(tmp(
+        s"orders_bf_${d.replaceAll("[^0-9.]", "")}_${fn}_${fsk}_$fsc"))
+      val dataDir = root.resolve("data")
+      val manifest = root.resolve("bloom.manifest.tsv")
+      withStoreLock(root.toString) {
+        if (!Files.exists(manifest)) {
+          Files.createDirectories(dataDir)
+          orders.withColumn("bucket", expr(s"k * 8 div ${mk + 1}"))
+            .repartition(1).sortWithinPartitions(col("k"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(dataDir.resolve("r").toString)
+          // per-file blooms measured from the WRITTEN files (the q257
+          // true-stats rule); 8 buckets × 1024 words is a bounded
+          // driver collect
+          val blooms = s.read.parquet(dataDir.resolve("r").toString)
+            .groupBy(col("bucket").cast(LongType).as("bucket"))
+            .agg(graft.functions.BloomMd5
+              .sketch(col("ck").cast(StringType)).as("bloom"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+          val lines = listParquet(dataDir, "r").map { p =>
+            val b = p.split("/").find(_.startsWith("bucket="))
+              .get.stripPrefix("bucket=").toLong
+            s"$p\t$b\t" +
+              blooms(b).map(java.lang.Long.toHexString).mkString(",")
+          }
+          atomicPublish(root, "bloom.manifest.tsv",
+            lines.mkString("\n") + "\n")
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = Files.readAllLines(manifest).asScala
+        .filter(_.nonEmpty).map(_.split("\t")).toSeq
+      val words = entries.map(e =>
+        e(0) -> e(2).split(",").map(java.lang.Long.parseUnsignedLong(_, 16)))
+      def pass(w: Array[Long], key: String): Boolean =
+        (0 until graft.functions.BloomMd5.K).forall { h =>
+          val p = graft.functions.BloomMd5.bitPos(h, key)
+          ((w(p >>> 6) >>> (p & 63)) & 1L) != 0
+        }
+      val probes = orders.select(col("ck"))
+        .filter(col("ck") % 10 === 7).distinct()
+        .orderBy(col("ck")).limit(3)
+        .collect().map(_.getLong(0)).toSeq :+
+        (orders.agg(max(col("ck"))).head().getLong(0) + 7)
+      probes.map { p =>
+        val hit = words.filter(e => pass(e._2, p.toString)).map(_._1)
+        val base =
+          if (hit.isEmpty)
+            s.range(1).select(lit(0L).as("n_orders"), lit(0L).as("sc"),
+              lit(0L).as("nf"))
+          else
+            s.read.parquet(
+              hit.map(f => dataDir.resolve(f).toString): _*)
+              .filter(col("ck") === p)
+              .agg(count(lit(1)).as("n_orders"),
+                coalesce(sum(col("c")), lit(0L)).as("sc"),
+                countDistinct(expr(s"k * 8 div ${mk + 1}")).as("nf"))
+        base.select(
+          lit(p).as("probe_ck"),
+          lit(entries.size.toLong).as("n_files_total"),
+          lit(hit.size.toLong).as("n_files_read"),
+          col("nf").as("n_files_exact"),
+          col("n_orders"),
+          (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      }.reduce(_ unionAll _).orderBy(col("probe_ck"))
+    },
+    Some {
+      import graft.queries.Olap.bloomPosDuck
+      val mask = (p: String) =>
+        s"(CASE WHEN $p % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          s"ELSE (CAST(1 AS BIGINT) << ($p % 64)) END)"
+      val bpos = (0 until graft.functions.BloomMd5.K).map { h =>
+        s"SELECT bucket, ${bloomPosDuck(h, "CAST(ck AS VARCHAR)")} AS p " +
+          "FROM keys"
+      }.mkString(" UNION ALL ")
+      val ppos = (0 until graft.functions.BloomMd5.K).map { h =>
+        s"SELECT pk, ${bloomPosDuck(h, "CAST(pk AS VARCHAR)")} AS p " +
+          "FROM probes"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), mk AS (
+        SELECT max(k) AS m, max(ck) AS mc FROM base
+      ), bk AS (
+        SELECT k, ck, c, (k * 8) // (m + 1) AS bucket FROM base, mk
+      ), keys AS (
+        SELECT DISTINCT bucket, ck FROM bk
+      ), bpos AS ( $bpos
+      ), words AS (
+        SELECT bucket, p // 64 AS w, bit_or(${mask("p")}) AS word
+        FROM bpos GROUP BY 1, 2
+      ), probes AS (
+        SELECT ck AS pk FROM (
+          SELECT DISTINCT ck FROM base WHERE ck % 10 = 7
+          ORDER BY ck LIMIT 3)
+        UNION ALL
+        SELECT mc + 7 FROM mk
+      ), ppos AS ( $ppos
+      ), hits AS (
+        SELECT pp.pk, w.bucket, count(*) AS nset
+        FROM ppos pp JOIN words w ON w.w = pp.p // 64
+        WHERE (w.word & ${mask("pp.p")}) <> 0
+        GROUP BY pp.pk, w.bucket
+      ), cand AS (
+        SELECT pk, bucket FROM hits
+        WHERE nset = ${graft.functions.BloomMd5.K}
+      )
+      SELECT pr.pk AS probe_ck,
+             (SELECT count(DISTINCT bucket) FROM bk) AS n_files_total,
+             (SELECT count(*) FROM cand c WHERE c.pk = pr.pk)
+               AS n_files_read,
+             (SELECT count(DISTINCT bucket) FROM bk WHERE ck = pr.pk)
+               AS n_files_exact,
+             (SELECT count(*) FROM bk WHERE ck = pr.pk) AS n_orders,
+             CAST(CAST(coalesce((SELECT sum(c) FROM bk WHERE ck = pr.pk),
+               0) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM probes pr ORDER BY probe_ck"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
       q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269,
-      q270)
+      q270, q272)
 }

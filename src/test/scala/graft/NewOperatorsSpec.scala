@@ -4427,4 +4427,237 @@ class NewOperatorsSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("kind") == "key")
       .forall(_.getAs[Long]("n_ctx") == n))
   }
+
+  // ---- wave 7: matching / skipping / graph / serving / stats ----
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q271 entity resolution: full third-implementation driver replay") {
+    val out = graft.queries.Dedup.q271.run(spark, sf001).collect()
+    // independent record construction + O(n²) rule + union-find
+    case class R(id: Long, name: String, nk: Int, seg: String, bal: Long)
+    val recs = Tables.load(spark, sf001, "customer").collect().flatMap {
+      r =>
+        val (c, nm, nk, seg) = (r.getAs[Long]("c_custkey"),
+          r.getAs[String]("c_name"), r.getAs[Int]("c_nationkey"),
+          r.getAs[String]("c_mktsegment"))
+        val bal = math.round(r.getAs[Double]("c_acctbal") * 100)
+        val pos = (9 + c % 9).toInt // 0-based index of the typo char
+        Seq(R(c * 3, nm, nk, seg, bal)) ++
+          (if (c % 3 == 0)
+            Seq(R(c * 3 + 1, nm.updated(pos, 'X'), nk, seg, bal + 7))
+          else Nil) ++
+          (if (c % 4 == 0) Seq(R(c * 3 + 2, nm.toLowerCase, nk, seg, bal))
+          else Nil)
+    }
+    val parent = scala.collection.mutable.Map(recs.map(r => r.id -> r.id): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- recs; b <- recs if a.id < b.id)
+      if (a.nk == b.nk && a.seg == b.seg && math.abs(a.bal - b.bal) <= 10 &&
+        lev(a.name.toUpperCase, b.name.toUpperCase) <= 1) {
+        val (ra, rb) = (find(a.id), find(b.id))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = recs.map(r => r.id -> find(r.id)).toMap
+    assert(out.length == recs.length, "one output row per record")
+    out.foreach { r =>
+      val (id, ent) = (r.getAs[Long]("rec_id"), r.getAs[Long]("entity_id"))
+      assert(ent == expected(id), s"record $id: entity $ent != replay")
+    }
+    // every variant links home; exactly one canonical per entity
+    recs.filter(_.id % 3 != 0).foreach(v =>
+      assert(expected(v.id) == expected(v.id - v.id % 3),
+        s"variant ${v.id} did not link to its base"))
+    val canon = out.filter(_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("entity_id"))
+    assert(canon.distinct.length == canon.length &&
+      canon.toSet == expected.values.toSet)
+  }
+
+  test("q272 bloom skipping: no false negatives, exact answers, skipping bites") {
+    val out = graft.sources.IngestJob.q272.run(spark, sf001).collect()
+    assert(out.length == 4)
+    val orders = Tables.load(spark, sf001, "orders").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        math.round(r.getAs[Double]("o_totalprice") * 100)))
+    val mk = orders.map(_._1).max
+    val absent = out.last
+    assert(absent.getAs[Long]("n_orders") == 0L &&
+      absent.getAs[Long]("n_files_exact") == 0L,
+      "the provably-absent probe matched rows")
+    out.foreach { r =>
+      val p = r.getAs[Long]("probe_ck")
+      val mine = orders.filter(_._2 == p)
+      // exact answers survived the pruned read
+      assert(r.getAs[Long]("n_orders") == mine.length)
+      assert(r.getAs[Double]("sum_value") ==
+        mine.map(_._3).sum.toDouble / 100)
+      // zero false negatives: every file that truly holds the key is read
+      val exact = mine.map(t => t._1 * 8 / (mk + 1)).distinct.length
+      assert(r.getAs[Long]("n_files_exact") == exact)
+      assert(r.getAs[Long]("n_files_read") >= exact,
+        "bloom skipped a file that held the probe key")
+      assert(r.getAs[Long]("n_files_total") == 8)
+    }
+    val read = out.take(3).map(_.getAs[Long]("n_files_read")).sum
+    assert(read < 3 * 8, s"no skipping happened (read $read of 24)")
+  }
+
+  /** Driver-side co-purchase adjacency (independent of the SQL shape):
+    * (a, b) -> co-order count for pairs on 2+ orders. */
+  private def copurchase(): Map[(Long, Long), Long] = {
+    val byOrder = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    byOrder.toSeq.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+  }
+
+  test("q273 weighted SSSP: Bellman-Ford driver replay") {
+    val out = graft.queries.Olap.q273.run(spark, sf001).collect()
+      .map(r => r.getAs[Long]("part_key") -> r.getAs[Long]("cost")).toMap
+    val adj = copurchase().toSeq.flatMap { case ((a, b), n) =>
+      val w = math.max(1L, 10L - n)
+      Seq((a, b, w), (b, a, w))
+    }
+    val source = adj.map(_._1).min
+    var dist = Map(source -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = adj.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(c => d0 -> (c + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(out == dist, s"SSSP mismatch: ${out.size} vs ${dist.size} nodes")
+  }
+
+  test("q274 k-core: 8-round peeling driver replay") {
+    val out = graft.queries.Olap.q274.run(spark, sf001).collect()
+    val und = copurchase().keys.toSeq
+    var edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var survivors = edges.map(_._1).distinct.toSet
+    var counts = List.empty[Int]
+    for (_ <- 1 to 8) {
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      survivors = deg.filter(_._2 >= 3).keySet
+      counts = survivors.size :: counts
+      edges = edges.filter(e =>
+        survivors.contains(e._1) && survivors.contains(e._2))
+    }
+    val deg8 = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val converged = counts.head == counts.tail.head
+    assert(out.length == survivors.size)
+    out.foreach { r =>
+      val v = r.getAs[Long]("part_key")
+      assert(survivors.contains(v))
+      assert(r.getAs[Long]("core_deg") == deg8.getOrElse(v, 0).toLong)
+      assert(r.getAs[Boolean]("converged") == converged)
+    }
+    // when converged, the survivor set IS a 3-core: min degree >= 3
+    if (converged) assert(out.forall(_.getAs[Long]("core_deg") >= 3))
+  }
+
+  /** Exact replay of the Sim cosine (sequential fold, same op order). */
+  private def cosRows(dim: Int): Map[(Long, Long), Double] = {
+    val vecs = Tables.load(spark, sf001, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray.map(_.toDouble).take(dim))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val m = vecs.toMap
+    (for ((q, qv) <- vecs if q < 8; (c, cv) <- vecs if c != q)
+      yield (q, c) -> dot(qv, cv) / (nrm(q) * nrm(c))).toMap
+  }
+
+  test("q275 matryoshka recall: exact driver replay of all three rankings") {
+    val out = graft.queries.Sim.q275.run(spark, sf001).collect()
+    def top10(cos: Map[(Long, Long), Double], q: Long): Set[Long] =
+      cos.collect { case ((`q`, c), v) => (c, v) }.toSeq
+        .sortBy { case (c, v) => (-v, c) }.take(10).map(_._1).toSet
+    val full = cosRows(64)
+    Seq(16, 32).foreach { dim =>
+      val trunc = cosRows(dim)
+      (0L until 8L).foreach { q =>
+        val expect = (top10(trunc, q) & top10(full, q)).size
+        val row = out.find(r => r.getAs[Long]("qid") == q &&
+          r.getAs[Int]("dim") == dim).get
+        assert(row.getAs[Long]("n_overlap") == expect,
+          s"q$q dim$dim overlap")
+        assert(row.getAs[Double]("recall_at_10") == expect / 10.0)
+      }
+    }
+  }
+
+  test("q276 filtered ANN: post-filter recall replay and bounds") {
+    val out = graft.queries.Sim.q276.run(spark, sf001).collect()
+    val cos = cosRows(64)
+    val labels = Tables.load(spark, sf001, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    (0L until 8L).foreach { q =>
+      val ranked = cos.collect { case ((`q`, c), v) => (c, v) }.toSeq
+        .sortBy { case (c, v) => (-v, c) }
+      val pre = ranked.filter(t => labels(t._1) % 2 == 0)
+        .take(5).map(_._1).toSet
+      val post = ranked.take(20).filter(t => labels(t._1) % 2 == 0)
+        .take(5).map(_._1).toSet
+      val row = out.find(_.getAs[Long]("qid") == q).get
+      assert(row.getAs[Long]("n_post") == post.size)
+      assert(row.getAs[Long]("n_overlap") == (pre & post).size)
+      assert(row.getAs[Double]("recall_at_5") == (pre & post).size / 5.0)
+      assert(row.getAs[Long]("n_post") <= 5)
+    }
+  }
+
+  test("q277 analyze stats: exact counts and interpolated quartiles replay") {
+    val out = graft.queries.Olap.q277.run(spark, sf001).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val li = Tables.load(spark, sf001, "lineitem").collect()
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val cols: Map[String, Array[Long]] = Map(
+      "l_orderkey" -> li.map(_.getAs[Long]("l_orderkey")),
+      "l_quantity" -> li.map(_.getAs[Double]("l_quantity").toLong),
+      "l_extendedprice_cents" ->
+        li.map(r => math.round(r.getAs[Double]("l_extendedprice") * 100)),
+      "l_shipdate_days" -> li.map(r =>
+        java.time.temporal.ChronoUnit.DAYS.between(epoch,
+          r.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate)))
+    cols.foreach { case (name, vs) =>
+      val r = out(name)
+      val sorted = vs.sorted
+      assert(r.getAs[Long]("n_rows") == vs.length)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("ndv") == vs.distinct.length)
+      assert(r.getAs[Long]("min_v") == sorted.head)
+      assert(r.getAs[Long]("max_v") == sorted.last)
+      def q(p: Double): Double = {
+        val idx = (sorted.length - 1) * p
+        val lo = idx.toInt
+        val frac = idx - lo
+        if (lo + 1 < sorted.length)
+          sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+        else sorted(lo).toDouble
+      }
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75).foreach {
+        case (c, p) =>
+          assert(math.abs(r.getAs[Double](c) - q(p)) <=
+            math.abs(q(p)) * 1e-12 + 1e-9, s"$name $c")
+      }
+    }
+  }
 }
