@@ -3862,6 +3862,132 @@ object Olap {
       ORDER BY part_key"""
     })
 
+  /** q278: per-vertex LOCAL CLUSTERING COEFFICIENT over the co-purchase
+    * graph — the "how clique-like is this node's neighbourhood" readout
+    * behind community pre-screens and recommender diversity caps
+    * (Watts–Strogatz '98 defines it; triangle/wedge ratio). Triangles
+    * are enumerated ONCE as ordered triples a<b<c (the q167 discipline:
+    * e1(a,b)⋈e2(b,c) wedges semi-joined against the closing edge (a,c)
+    * — every triangle appears exactly once, no double counting to
+    * divide away), then exploded to per-vertex counts; degree comes
+    * from the symmetric adjacency. lcc = 2·tri / (deg·(deg−1)) is a
+    * SINGLE IEEE division of exact BIGINTs — bit-identical cross-engine.
+    * Scale: the wedge join is the standard distributed triangle plan;
+    * ordering a<b<c means each edge's smaller endpoint drives the join,
+    * and the closing-edge probe is a semi-join on the (a,c) pair key —
+    * all edge-sized shuffles, no vertex ever materializes its full
+    * neighbourhood in one task. */
+  val q278 = Q(
+    "q278_clustering_coeff",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val e = copurchasePairs(s, d).select(col("a"), col("b"))
+        .persistTracked()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+        .join(e.select(col("a").as("ta"), col("b").as("tc")),
+          Seq("ta", "tc"), "left_semi")
+      val triCnt = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      deg.join(triCnt, Seq("v"), "left_outer")
+        .filter(col("deg") >= 2L)
+        .select(col("v").as("part_key"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          (coalesce(col("tri"), lit(0L)) * 2L).cast(DoubleType)
+            ./((col("deg") * (col("deg") - 1L)).cast(DoubleType))
+            .as("lcc"))
+        .orderBy(col("part_key"))
+    },
+    Some(s"""
+      WITH $copurchaseAdjSql, tri AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        WHERE EXISTS (SELECT 1 FROM e e3
+                      WHERE e3.a = e1.a AND e3.b = e2.b)
+      ), tcnt AS (
+        SELECT v, count(*) AS tri FROM (
+          SELECT ta AS v FROM tri
+          UNION ALL SELECT tb FROM tri
+          UNION ALL SELECT tc FROM tri)
+        GROUP BY v
+      ), deg AS (
+        SELECT src AS v, count(*) AS deg FROM adj GROUP BY src
+      )
+      SELECT deg.v AS part_key, deg,
+             coalesce(tri, 0) AS tri,
+             CAST(coalesce(tri, 0) * 2 AS DOUBLE)
+               / CAST(deg * (deg - 1) AS DOUBLE) AS lcc
+      FROM deg LEFT JOIN tcnt ON tcnt.v = deg.v
+      WHERE deg >= 2
+      ORDER BY part_key"""))
+
+  /** q279: LINK PREDICTION by common-neighbour counting — the classic
+    * missing-edge scorer (Liben-Nowell & Kleinberg CIKM'03): candidate
+    * pairs are open wedges (two parts sharing a co-purchase neighbour
+    * but never co-purchased themselves), scored by common-neighbour
+    * count and exact-integer Jaccard cn / (deg(a)+deg(b)−cn). The
+    * wedge enumeration reuses the symmetric adjacency (centre v joins
+    * its neighbour list to itself, u<w normalizes each pair once per
+    * centre); existing edges leave via a left-anti join on the ordered
+    * pair key; the top-20 is totally ordered (cn DESC, a, b) so LIMIT
+    * is deterministic cross-engine. Scale: wedge counts are the
+    * centre-degree-squared term every link predictor pays — at 100 TB
+    * the centres are capped by the q159-style skew profile first;
+    * everything downstream is pair-keyed equi-joins and one top-k. */
+  val q279 = Q(
+    "q279_link_prediction",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val e = copurchasePairs(s, d).select(col("a"), col("b"))
+        .persistTracked()
+      val adj = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .persistTracked()
+      val cand = adj.as("x")
+        .join(adj.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("a"), col("y.dst").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+        .join(e, Seq("a", "b"), "left_anti")
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      cand
+        .join(deg.select(col("src").as("a"), col("deg").as("deg_a")),
+          Seq("a"))
+        .join(deg.select(col("src").as("b"), col("deg").as("deg_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+          col("cn").cast(DoubleType)
+            ./((col("deg_a") + col("deg_b") - col("cn")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $copurchaseAdjSql, cand AS (
+        SELECT x.dst AS a, y.dst AS b, count(*) AS cn
+        FROM adj x JOIN adj y
+          ON x.src = y.src AND x.dst < y.dst
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.a = x.dst AND e.b = y.dst)
+        GROUP BY 1, 2
+      ), deg AS (
+        SELECT src AS v, count(*) AS deg FROM adj GROUP BY src
+      )
+      SELECT a, b, cn, da.deg AS deg_a, db.deg AS deg_b,
+             CAST(cn AS DOUBLE)
+               / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN deg da ON da.v = a
+      JOIN deg db ON db.v = b
+      ORDER BY cn DESC, a, b
+      LIMIT 20"""))
+
   /** q277: ANALYZE-style column statistics (the optimizer's food: every
     * cost-based decision in this engine family — join order, broadcast
     * choice, skew handling, q264's metadata-serve, q268's sample
@@ -3921,5 +4047,6 @@ object Olap {
       q158, q161, q163, q167, q168, q169, q170, q172, q173, q174,
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
-      q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277)
+      q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
+      q278, q279)
 }
