@@ -3988,6 +3988,175 @@ object Olap {
       ORDER BY cn DESC, a, b
       LIMIT 20"""))
 
+  /** q280: AUTOCORRELATION function of the daily-revenue series at lags
+    * 1, 2 and 7 — the seasonality readout (is there a weekly cycle?)
+    * that schedules capacity and flags calendar leakage in training
+    * splits; the ClickHouse/monitoring-engine `corr(x, lagged x)`
+    * shape. The series is DENSIFIED first (q124's spine: sequence over
+    * the min..max ship-day, absent days are true zeros — skipping gaps
+    * would silently misalign every lag), indexed by day number, and
+    * quantized to 10⁴-currency-unit integers (cents div 10⁶) so every
+    * moment sum is an exact BIGINT with overflow headroom documented:
+    * at 50× fixture scale daily quanta ≈ 4·10⁴, so n·Σx² ≈ 10¹⁶ ≪ 2⁶³.
+    * Each lag's Pearson correlation is then the q188 discipline —
+    * integer moment sums, one IEEE division over identical operands
+    * (sqrt is correctly rounded, so bit-identical cross-engine). Scale:
+    * one fact scan → day-sized aggregate; the lag self-join is on a
+    * day-count-sized frame (thousands of rows at any corpus size) with
+    * the 3-row lag list broadcast. */
+  val q280 = Q(
+    "q280_acf",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("c"))
+      val series = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("d0"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast(LongType).as("k"),
+          expr("coalesce(c, CAST(0 AS BIGINT)) div 1000000").as("x"))
+        .persistTracked()
+      val lags = Seq(1L, 2L, 7L).toDF("lag")
+      val pairs = series.as("s1")
+        .crossJoin(broadcast(lags))
+        .join(series.as("s2"),
+          col("s2.k") === col("s1.k") + col("lag"))
+        .select(col("lag"), col("s1.x").as("x"), col("s2.x").as("y"))
+      val m = pairs.groupBy(col("lag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.select(col("lag"), col("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
+              && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast(DoubleType))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast(DoubleType))))
+            .as("acf"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+      ), bounds AS (
+        SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      ), spine AS (
+        SELECT d0, CAST(unnest(generate_series(
+                     CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                     INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+      ), series AS (
+        SELECT CAST(sp.day - sp.d0 AS BIGINT) AS k,
+               coalesce(c, 0) // 1000000 AS x
+        FROM spine sp LEFT JOIN daily ON daily.day = sp.day
+      ), lags AS (
+        SELECT CAST(unnest([1, 2, 7]) AS BIGINT) AS lag
+      ), m AS (
+        SELECT lag, count(*) AS n,
+               CAST(sum(s1.x) AS BIGINT) AS sx,
+               CAST(sum(s2.x) AS BIGINT) AS sy,
+               CAST(sum(s1.x * s1.x) AS BIGINT) AS sxx,
+               CAST(sum(s2.x * s2.x) AS BIGINT) AS syy,
+               CAST(sum(s1.x * s2.x) AS BIGINT) AS sxy
+        FROM lags, series s1, series s2
+        WHERE s2.k = s1.k + lag
+        GROUP BY lag
+      )
+      SELECT lag, n,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS acf
+      FROM m ORDER BY lag"""))
+
+  /** q281: RANDOMIZED RESPONSE (Warner '65, the local-differential-
+    * privacy primitive behind RAPPOR-style telemetry): each order
+    * reports whether it is URGENT through a two-coin protocol — an
+    * honest coin (heads: report the truth) and a noise coin (tails:
+    * report the noise coin's face) — so NO individual row's report is
+    * trustworthy, yet the population rate debiases exactly:
+    * E[yes] = π/2 + 1/4 ⇒ π̂ = (4·yes − n) / (2n). Both coins are md5
+    * nibble classes of the row key (the q54 content-hash coordinate:
+    * portable, repartition-stable, and — unlike a seeded RNG — the
+    * SAME coins in both engines, so the oracle checks the whole
+    * mechanism, not just its expectation). Everything stays exact
+    * integers until the three display divisions (identical operands
+    * cross-engine). The realized |error| beside the estimate is the
+    * utility readout a privacy budget review wants; ε = ln 3 for this
+    * p=1/2 design. Scale: one scan, one grouped aggregate — the noise
+    * adds zero shuffle. */
+  val q281 = Q(
+    "q281_randomized_response",
+    (s, d) => {
+      val h = md5(concat(col("o_orderkey").cast(StringType), lit("rr")))
+      val coin1 = expr(
+        "instr('0123456789abcdef', substring(h, 1, 1)) <= 8")
+      val coin2 = expr(
+        "instr('0123456789abcdef', substring(h, 2, 1)) <= 8")
+      Tables.load(s, d, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          (col("o_orderpriority") === "1-URGENT").as("t"),
+          h.as("h"))
+        .withColumn("r",
+          when(coin1, col("t")).otherwise(coin2))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("true_cnt"),
+          sum(when(col("r"), 1L).otherwise(0L)).as("reported_cnt"))
+        .select(col("yr"), col("n"), col("true_cnt"), col("reported_cnt"),
+          (col("true_cnt").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("true_rate"),
+          ((col("reported_cnt") * 4L - col("n")).cast(DoubleType)
+            / (col("n") * 2L).cast(DoubleType)).as("est_rate"),
+          abs((col("true_cnt").cast(DoubleType)
+              / col("n").cast(DoubleType))
+            - ((col("reported_cnt") * 4L - col("n")).cast(DoubleType)
+              / (col("n") * 2L).cast(DoubleType))).as("abs_err"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH coined AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               o_orderpriority = '1-URGENT' AS t,
+               md5(CAST(o_orderkey AS VARCHAR) || 'rr') AS h
+        FROM orders
+      ), reported AS (
+        SELECT yr, t,
+               CASE WHEN strpos('0123456789abcdef', substr(h, 1, 1)) <= 8
+                    THEN t
+                    ELSE strpos('0123456789abcdef', substr(h, 2, 1)) <= 8
+               END AS r
+        FROM coined
+      ), agg AS (
+        SELECT yr, count(*) AS n,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS true_cnt,
+               CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+                 AS reported_cnt
+        FROM reported GROUP BY yr
+      )
+      SELECT yr, n, true_cnt, reported_cnt,
+             CAST(true_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS true_rate,
+             CAST(reported_cnt * 4 - n AS DOUBLE)
+               / CAST(n * 2 AS DOUBLE) AS est_rate,
+             abs(CAST(true_cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(reported_cnt * 4 - n AS DOUBLE)
+                   / CAST(n * 2 AS DOUBLE)) AS abs_err
+      FROM agg ORDER BY yr"""))
+
   /** q277: ANALYZE-style column statistics (the optimizer's food: every
     * cost-based decision in this engine family — join order, broadcast
     * choice, skew handling, q264's metadata-serve, q268's sample
@@ -4048,5 +4217,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279)
+      q278, q279, q280, q281)
 }
