@@ -4157,6 +4157,67 @@ object Olap {
                    / CAST(n * 2 AS DOUBLE)) AS abs_err
       FROM agg ORDER BY yr"""))
 
+  /** q283: COMMUNITY DETECTION by synchronous label propagation
+    * (Raghavan et al. '07), made deterministic the way a cross-engine
+    * differential test needs: every vertex simultaneously adopts its
+    * neighbourhood's MOST FREQUENT label with ties broken by MINIMUM
+    * label, for exactly 4 rounds — a pure function of the graph, where
+    * textbook asynchronous LPA with random tie-breaks is not
+    * reproducible even against itself. Unlike connected components
+    * (q68: min-label floods the whole component), frequency voting
+    * finds DENSE regions inside one component — the community structure
+    * recommender candidate pools and training-data domain balancing
+    * actually want. The oracle UNROLLS the 4 synchronous rounds as
+    * chained window-over-aggregate CTEs (the q274 discipline). Scale:
+    * each round is one edge-sized equi-join + grouped count + per-vertex
+    * top-1 window — the Pregel LPA step as plain DataFrames, with
+    * per-round localCheckpoint truncating the iterative lineage. */
+  val q283 = Q(
+    "q283_lpa_communities",
+    (s, d) => {
+      val adj = copurchaseAdj(s, d)
+      var labels = adj.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      for (_ <- 1 to 4) {
+        labels = adj
+          .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("v"), col("lbl"))
+          .localCheckpoint()
+      }
+      val sz = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+      labels.join(sz, Seq("lbl"))
+        .select(col("v").as("part_key"), col("lbl").as("community"),
+          col("comm_size"))
+        .orderBy(col("part_key"))
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s""", r$i AS (
+        SELECT v, lbl FROM (
+          SELECT a.src AS v, l.lbl, row_number() OVER (
+            PARTITION BY a.src ORDER BY count(*) DESC, l.lbl) AS rn
+          FROM adj a JOIN r${i - 1} l ON l.v = a.dst
+          GROUP BY a.src, l.lbl) t
+        WHERE rn = 1
+      )"""
+      }.mkString
+      s"""
+      WITH $copurchaseAdjSql, r0 AS (
+        SELECT DISTINCT src AS v, src AS lbl FROM adj
+      )$rounds, sz AS (
+        SELECT lbl, count(*) AS comm_size FROM r4 GROUP BY lbl
+      )
+      SELECT r4.v AS part_key, r4.lbl AS community, sz.comm_size
+      FROM r4 JOIN sz USING (lbl)
+      ORDER BY part_key"""
+    })
+
   /** q277: ANALYZE-style column statistics (the optimizer's food: every
     * cost-based decision in this engine family — join order, broadcast
     * choice, skew handling, q264's metadata-serve, q268's sample
@@ -4217,5 +4278,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281)
+      q278, q279, q280, q281, q283)
 }

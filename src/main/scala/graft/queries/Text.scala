@@ -3946,10 +3946,96 @@ object Text {
       LEFT JOIN g5agg g USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Shared dose + marker arithmetic for q282 (dialect-neutral SQL,
+    * generated ONCE for both engines — the KmvMd5.nibSql discipline).
+    * The fixture is clean ASCII, so like q239's repetition dose the
+    * corruption is INJECTED deterministically by doc_id class; class 0
+    * is the untouched control group every metric must read 0 on. */
+  private val mojiDoseSql =
+    """concat(text, CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 1 THEN repeat(' Ã©Ã¨Â«', CAST(doc_id % 3 + 1 AS INTEGER))
+         WHEN 2 THEN repeat(chr(65533), CAST(doc_id % 5 + 1 AS INTEGER))
+         WHEN 3 THEN concat(' â€™â€œ', chr(65533))
+         ELSE '' END)"""
+  /** Occurrence count of single-char marker m in column t: the exact
+    * length-difference identity (both engines count code points and all
+    * markers are single BMP code points — 'â' alone fingerprints the
+    * 'â€¦'-class digraphs without cross-dialect integer division). */
+  private def mojiOccSql(t: String, m: String): String =
+    s"(length($t) - length(replace($t, $m, '')))"
+
+  /** q282: ENCODING-ARTIFACT (mojibake) quality scan — the cleanup rule
+    * every web-scale text pipeline runs before tokenization: UTF-8 text
+    * decoded as Latin-1 and re-encoded leaves 'Ã'/'Â'-class digraphs
+    * ('é' → 'Ã©', smart quotes → 'â€™'), and lossy transcodes leave
+    * U+FFFD replacement characters; both are near-perfect corruption
+    * fingerprints (legitimate uses of those code points are rare enough
+    * that a per-char rate threshold is the standard filter). Counts are
+    * the exact length-difference identity per marker; the flag is the
+    * INTEGER cross-multiplied threshold hits·200 > chars (no division
+    * until the display rate, one IEEE op on identical operands). The
+    * per-class rollup makes the dose-response visible: control class 0
+    * must sit at exactly zero, classes 1-3 at their injected rates.
+    * Scale: single scan, column program, one small grouped aggregate —
+    * codegen end to end. */
+  val q282 = Q(
+    "q282_mojibake_qa",
+    (s, d) => {
+      val marked = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 4).cast(IntegerType).as("k_dose"),
+          expr(mojiDoseSql).as("t"))
+        .select(col("doc_id"), col("k_dose"),
+          length(col("t")).cast(LongType).as("chars"),
+          (expr(mojiOccSql("t", "'Ã'"))
+            + expr(mojiOccSql("t", "'Â'"))
+            + expr(mojiOccSql("t", "'â'"))
+            + expr(mojiOccSql("t", "chr(65533)")))
+            .cast(LongType).as("hits"))
+      marked
+        .groupBy(col("k_dose"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("hits") * 200L > col("chars"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("hits")).as("sum_hits"),
+          sum(col("chars")).as("sum_chars"))
+        .select(col("k_dose"), col("n_docs"), col("n_flagged"),
+          col("sum_hits"), col("sum_chars"),
+          (col("sum_hits").cast(DoubleType)
+            / col("sum_chars").cast(DoubleType)).as("hit_rate"))
+        .orderBy(col("k_dose"))
+    },
+    Some(s"""
+      WITH marked AS (
+        SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS k_dose,
+               $mojiDoseSql AS t
+        FROM documents
+      ), counted AS (
+        SELECT doc_id, k_dose,
+               CAST(length(t) AS BIGINT) AS chars,
+               CAST(${mojiOccSql("t", "'Ã'")}
+                    + ${mojiOccSql("t", "'Â'")}
+                    + ${mojiOccSql("t", "'â'")}
+                    + ${mojiOccSql("t", "chr(65533)")} AS BIGINT)
+                 AS hits
+        FROM marked
+      )
+      SELECT k_dose, count(*) AS n_docs,
+             CAST(sum(CASE WHEN hits * 200 > chars THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged,
+             CAST(sum(hits) AS BIGINT) AS sum_hits,
+             CAST(sum(chars) AS BIGINT) AS sum_chars,
+             CAST(sum(hits) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)
+               AS hit_rate
+      FROM counted
+      GROUP BY k_dose
+      ORDER BY k_dose"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265)
+      q237, q239, q249, q261, q265, q282)
 }
