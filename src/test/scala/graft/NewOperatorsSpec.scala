@@ -4660,4 +4660,186 @@ class NewOperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q278 clustering coefficient: triangle/degree driver replay") {
+    val out = graft.queries.Olap.q278.run(spark, sf001).collect()
+    val und = copurchase().keys.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = nbrs.collect { case (v, ns) if ns.size >= 2 =>
+      val nsSorted = ns.toSeq.sorted
+      val tri = (for {
+        i <- nsSorted.indices; j <- (i + 1) until nsSorted.length
+        if und.contains((nsSorted(i), nsSorted(j)))
+      } yield 1).size.toLong
+      v -> (ns.size.toLong, tri)
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val v = r.getAs[Long]("part_key")
+      val (deg, tri) = expected(v)
+      assert(r.getAs[Long]("deg") == deg, s"deg($v)")
+      assert(r.getAs[Long]("tri") == tri, s"tri($v)")
+      assert(r.getAs[Double]("lcc") ==
+        2.0 * tri / (deg.toDouble * (deg - 1)), s"lcc($v)")
+    }
+    // a graph with edges has SOME closed and SOME open neighbourhood
+    assert(out.exists(_.getAs[Long]("tri") > 0), "no triangles at all")
+    assert(out.exists(r => r.getAs[Double]("lcc") < 1.0),
+      "every neighbourhood a clique — degenerate fixture")
+  }
+
+  test("q279 link prediction: wedge scores replay; no predicted edge exists") {
+    val out = graft.queries.Olap.q279.run(spark, sf001).collect()
+    val und = copurchase().keys.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    nbrs.values.foreach { ns =>
+      val s = ns.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length
+           if !und.contains((s(i), s(j))))
+        cn((s(i), s(j))) = cn.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val top = cn.toSeq.map { case ((a, b), c) => (-c, a, b) }.sorted.take(20)
+    assert(out.length == top.length)
+    out.zip(top).foreach { case (r, (negC, a, b)) =>
+      assert(r.getAs[Long]("a") == a && r.getAs[Long]("b") == b)
+      assert(r.getAs[Long]("cn") == -negC)
+      assert(!und.contains((a, b)), "predicted an existing edge")
+      val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+      assert(r.getAs[Long]("deg_a") == da && r.getAs[Long]("deg_b") == db)
+      assert(r.getAs[Double]("jaccard") ==
+        -negC.toDouble / (da + db + negC))
+    }
+  }
+
+  test("q280 ACF: exact Pearson replay over the densified daily series") {
+    val out = graft.queries.Olap.q280.run(spark, sf001).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    val li = Tables.load(spark, sf001, "lineitem").collect()
+    val daily = li.groupBy(
+        _.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate)
+      .map { case (d, rs) =>
+        d -> rs.map(r =>
+          math.round(r.getAs[Double]("l_extendedprice") * 100)).sum
+      }
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val n = java.time.temporal.ChronoUnit.DAYS.between(d0, d1).toInt + 1
+    val xs = (0 until n).map(i =>
+      daily.getOrElse(d0.plusDays(i), 0L) / 1000000L)
+    for (lag <- Seq(1, 2, 7)) {
+      val pairs = (0 until n - lag).map(i => (xs(i), xs(i + lag)))
+      val m = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val expected = (m * sxy - sx * sy).toDouble /
+        (math.sqrt((m * sxx - sx * sx).toDouble) *
+          math.sqrt((m * syy - sy * sy).toDouble))
+      val r = out(lag.toLong)
+      assert(r.getAs[Long]("n") == m, s"lag $lag n")
+      assert(r.getAs[Double]("acf") == expected, s"lag $lag acf")
+      assert(math.abs(expected) <= 1.0, s"lag $lag out of [-1,1]")
+    }
+  }
+
+  test("q281 randomized response: per-row coin replay; estimator debiases") {
+    val out = graft.queries.Olap.q281.run(spark, sf001).collect()
+    val ords = Tables.load(spark, sf001, "orders").collect()
+    val hex = "0123456789abcdef"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coins(k: Long): (Boolean, Boolean) = {
+      val h = md.digest(s"${k}rr".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (hex.indexOf(h(0)) < 8, hex.indexOf(h(1)) < 8)
+    }
+    val rep = ords.map { r =>
+      val yr = r.getAs[java.time.LocalDateTime]("o_orderdate").getYear
+      val t = r.getAs[String]("o_orderpriority") == "1-URGENT"
+      val (c1, c2) = coins(r.getAs[Long]("o_orderkey"))
+      (yr, t, if (c1) t else c2)
+    }
+    val byYr = rep.groupBy(_._1)
+    assert(out.length == byYr.size)
+    out.foreach { r =>
+      val g = byYr(r.getAs[Int]("yr"))
+      val n = g.length.toLong
+      val tc = g.count(_._2).toLong
+      val rc = g.count(_._3).toLong
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("true_cnt") == tc)
+      assert(r.getAs[Long]("reported_cnt") == rc)
+      assert(r.getAs[Double]("est_rate") ==
+        (4L * rc - n).toDouble / (2L * n))
+      // the debiased estimate must beat the RAW reported rate as an
+      // estimator of the true rate (that is the whole point)
+      val truRate = tc.toDouble / n
+      assert(math.abs(r.getAs[Double]("est_rate") - truRate) <
+        math.abs(rc.toDouble / n - truRate),
+        s"yr ${r.getAs[Int]("yr")}: debiasing did not help")
+    }
+  }
+
+  test("q282 mojibake: dosed marker counts replay; control exactly clean") {
+    val out = graft.queries.Text.q282.run(spark, sf001).collect()
+      .map(r => r.getAs[Int]("k_dose") -> r).toMap
+    val docs = Tables.load(spark, sf001, "documents").collect()
+    val markers = Seq('\u00C3', '\u00C2', '\u00E2', '\uFFFD')
+    val rows = docs.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val k = (id % 4).toInt
+      val t = r.getAs[String]("text") + (k match {
+        case 1 => " \u00C3\u00A9\u00C3\u00A8\u00C2\u00AB" * (id % 3 + 1).toInt
+        case 2 => "\uFFFD" * (id % 5 + 1).toInt
+        case 3 => " \u00E2\u20AC\u2122\u00E2\u20AC\u0153\uFFFD"
+        case _ => ""
+      })
+      val hits = t.count(markers.contains(_)).toLong
+      (k, t.length.toLong, hits)
+    }
+    val byK = rows.groupBy(_._1)
+    assert(out.keySet == byK.keySet && out.size == 4)
+    byK.foreach { case (k, g) =>
+      val r = out(k)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong, s"k=$k n_docs")
+      assert(r.getAs[Long]("sum_chars") == g.map(_._2).sum, s"k=$k chars")
+      assert(r.getAs[Long]("sum_hits") == g.map(_._3).sum, s"k=$k hits")
+      assert(r.getAs[Long]("n_flagged") ==
+        g.count(x => x._3 * 200 > x._2).toLong, s"k=$k flagged")
+    }
+    // control class: structurally zero; dosed classes: every doc hit
+    assert(out(0).getAs[Long]("sum_hits") == 0L)
+    assert(out(0).getAs[Long]("n_flagged") == 0L)
+    Seq(1, 2, 3).foreach(k =>
+      assert(out(k).getAs[Long]("sum_hits") > 0L, s"dose $k inert"))
+  }
+
+  test("q283 LPA: 4-round synchronous frequency-vote driver replay") {
+    val out = graft.queries.Olap.q283.run(spark, sf001).collect()
+    val und = copurchase().keys.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      labels = nbrs.map { case (v, ns) =>
+        val votes = ns.map(labels).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+        val best = votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+        v -> best
+      }
+    }
+    val sizes = labels.values.groupBy(identity)
+      .map { case (l, g) => l -> g.size.toLong }
+    assert(out.length == labels.size)
+    out.foreach { r =>
+      val v = r.getAs[Long]("part_key")
+      assert(r.getAs[Long]("community") == labels(v), s"label($v)")
+      assert(r.getAs[Long]("comm_size") == sizes(labels(v)), s"size($v)")
+    }
+    // frequency voting must produce structure beyond singletons
+    assert(sizes.values.exists(_ > 1), "no community grew past size 1")
+  }
 }
