@@ -2038,8 +2038,100 @@ object IngestJob {
       FROM probes pr ORDER BY probe_ck"""
     })
 
+  /** The serve half of q284, separated so the spec can pin partition
+    * pruning on its own queryExecution: each generation is read under
+    * ITS OWN partition spec — gen1 with a month-key IN list, gen2 with
+    * a day-key range — then the union aggregates in the common month
+    * grain. A reader that applied the month predicate to the day-
+    * partitioned generation (or vice versa) would read every partition;
+    * this split is exactly what Iceberg-style partition-spec evolution
+    * requires of scan planning. */
+  def partitionEvolutionQuery(
+      s: SparkSession, g1: String, g2: String, py: Int): DataFrame = {
+    val gen1 = s.read.parquet(g1)
+      .filter(col("ym").isin((py - 1) * 100 + 11, (py - 1) * 100 + 12))
+      .select(col("ym"), col("l_extendedprice"))
+    val gen2 = s.read.parquet(g2)
+      .filter(col("ymd").between(py * 10000 + 101, py * 10000 + 299))
+      .select(expr("CAST(ymd div 100 AS INT)").as("ym"),
+        col("l_extendedprice"))
+    gen1.unionByName(gen2)
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("ym"))
+  }
+
+  /** q284: PARTITION-SPEC EVOLUTION — the lakehouse table-format
+    * capability (Iceberg spec §Partition Evolution) that q97's column
+    * evolution left uncovered: a table's partitioning CHANGES over its
+    * life (here month-grain history → day-grain current year, the
+    * classic "we grew and months got too big" migration), old data is
+    * NOT rewritten, and queries spanning the boundary must prune each
+    * generation under the spec it was written with. The layout is
+    * build-once (`_SPEC_SUCCESS` written LAST covers the PAIR of
+    * generations — one generation committed alone is invisible, the
+    * q238 torn-store discipline), content-keyed by fixture stats, with
+    * a manifest recording generation → directory → spec. The query
+    * window is fixture-derived (months around the pivot-year boundary
+    * — the de-calibration rule), the revenue aggregate is exact
+    * decimal, and the oracle computes the same window straight off the
+    * original table — a pass proves the two-generation layout lost no
+    * rows and pruned correctly. The spec pins PartitionFilters + the
+    * partition-count cut on BOTH scans. Scale: this is precisely the
+    * operation that keeps decade-old history readable without a
+    * petabyte rewrite when partition grain changes. */
+  val q284 = Q(
+    "q284_partition_evolution",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val st = li.agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("so"),
+        max(col("l_shipdate")).as("mx")).head()
+      val py = st.getAs[java.time.LocalDateTime]("mx").getYear
+      val root = tmp(s"lineitem_pspec_${d.replaceAll("[^0-9.]", "")}_" +
+        s"${st.getLong(0)}_${st.getLong(1)}_$py")
+      val (g1, g2) = (s"$root/gen1_month", s"$root/gen2_day")
+      if (!Files.exists(Paths.get(root, "_SPEC_SUCCESS"))) {
+        li.filter(year(col("l_shipdate")) < py)
+          .withColumn("ym",
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast(IntegerType))
+          .write.mode("overwrite").partitionBy("ym").parquet(g1)
+        li.filter(year(col("l_shipdate")) >= py)
+          .withColumn("ymd",
+            (year(col("l_shipdate")) * 10000
+              + month(col("l_shipdate")) * 100
+              + dayofmonth(col("l_shipdate"))).cast(IntegerType))
+          .write.mode("overwrite").partitionBy("ymd").parquet(g2)
+        // the manifest IS the commit marker: spec metadata lands in the
+        // same atomic write that makes the pair-of-generations visible
+        Files.write(Paths.get(root, "_SPEC_SUCCESS"),
+          s"""{"generations":[
+             |{"dir":"gen1_month","spec":"month(l_shipdate)","max_year":${py - 1}},
+             |{"dir":"gen2_day","spec":"day(l_shipdate)","min_year":$py}]}
+             |""".stripMargin.getBytes("UTF-8"))
+      }
+      partitionEvolutionQuery(s, g1, g2, py)
+    },
+    Some(s"""
+      WITH py AS (
+        SELECT CAST(EXTRACT(year FROM max(l_shipdate)) AS INTEGER) AS y
+        FROM lineitem
+      ), base AS (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                    + EXTRACT(month FROM l_shipdate) AS INTEGER) AS ym,
+               l_extendedprice
+        FROM lineitem
+      )
+      SELECT ym, count(*) AS n,
+             ${graft.queries.Det.dsumSql("l_extendedprice")} AS revenue
+      FROM base, py
+      WHERE ym IN ((py.y - 1) * 100 + 11, (py.y - 1) * 100 + 12,
+                   py.y * 100 + 1, py.y * 100 + 2)
+      GROUP BY ym ORDER BY ym"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
       q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269,
-      q270, q272)
+      q270, q272, q284)
 }

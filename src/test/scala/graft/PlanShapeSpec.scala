@@ -304,4 +304,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "the delete-key side must broadcast — it is O(deleted), tiny")
   }
+
+  test("q284 spec evolution prunes each generation under its own spec") {
+    // The scale claim of partition-spec evolution is that a query
+    // spanning the boundary prunes BOTH generations — the month-grain
+    // history under its month key, the day-grain current year under its
+    // day key. A reader that lost either PartitionFilter would scan a
+    // whole generation (at 100 TB: the whole decade of history).
+    graft.sources.IngestJob.q284.run(spark, sf001).collect()
+    graft.Caches.release()
+    val dirs = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ingest").listFiles()
+      .filter(_.getName.startsWith("lineitem_pspec_0.001"))
+    assert(dirs.length == 1, s"expected one committed layout: ${dirs.toSeq}")
+    val root = dirs.head
+    val py = root.getName.split("_").last.toInt
+    def nParts(gen: String): Int =
+      new java.io.File(root, gen).listFiles().count(_.getName.contains("="))
+    val (tot1, tot2) = (nParts("gen1_month"), nParts("gen2_day"))
+    val q = graft.sources.IngestJob.partitionEvolutionQuery(
+      spark, s"$root/gen1_month", s"$root/gen2_day", py)
+    assert(q.collect().nonEmpty)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val sc = scans(q.queryExecution.executedPlan)
+    def gen(col: String): FileSourceScanExec = {
+      val hits = sc.filter(_.relation.partitionSchema.fieldNames.contains(col))
+      assert(hits.length == 1, s"expected one $col-partitioned scan, " +
+        s"got ${hits.length} of ${sc.length}")
+      hits.head
+    }
+    val (s1, s2) = (gen("ym"), gen("ymd"))
+    Seq("ym" -> s1, "ymd" -> s2).foreach { case (c, s) =>
+      assert(s.partitionFilters.nonEmpty,
+        s"the $c predicate did not reach its scan as a PartitionFilter")
+    }
+    val read1 = s1.metrics("numPartitions").value
+    val read2 = s2.metrics("numPartitions").value
+    assert(read1 == 2,
+      s"month generation read $read1 of $tot1 partitions — want exactly " +
+        "the 2 pre-pivot months")
+    assert(read2 > 0 && read2 <= 60 && read2 < tot2,
+      s"day generation read $read2 of $tot2 partitions — the Jan-Feb " +
+        "window must cut the year of day partitions")
+  }
 }
