@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{BloomMd5, CountMinMd5, HllMd5, KmvMd5, TDigestQuantile, VecDot}
+import graft.functions.{BloomMd5, CountMinMd5, HllMd5, KmvMd5, NfcNormalize, TDigestQuantile, VecDot}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`: registers
@@ -19,6 +19,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           VecDot(children(0), children(1))))
     // portable HLL sketch aggregate (the analyzer wraps the returned
     // AggregateFunction into an AggregateExpression)
+    // Unicode NFC canonicalization — same spelling as DuckDB's built-in,
+    // so oracle twins share the SQL text verbatim
+    ext.injectFunction(
+      (FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"nfc_normalize expects exactly 1 argument, got ${children.length}")
+          NfcNormalize(children.head)
+        }))
     ext.injectFunction(
       (FunctionIdentifier("hll_md5"), HllMd5.info,
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -4032,10 +4032,91 @@ object Text {
       GROUP BY k_dose
       ORDER BY k_dose"""))
 
+  /** q285 dose plumbing — the Unicode forms are derived from ONE list of
+    * code points per kind (the r6 single-sourcing rule): the Scala string
+    * and the DuckDB `chr()` chain can never drift. Kind 1 is fully
+    * precomposed (U+00E9), kind 2 fully decomposed (U+0065 U+0301), kind
+    * 3 mixed — all three are the SAME text under NFC. chr() keeps the
+    * oracle byte-exact even if some layer re-encodes the SQL text. */
+  private def nfcSuffix(slots: Seq[Seq[Int]]): Seq[Int] =
+    Seq(32, 99, 97, 102) ++ slots(0) ++ Seq(32, 114) ++ slots(1) ++
+      Seq(115, 117, 109) ++ slots(2)
+  private val NfcComp = Seq(0xE9)
+  private val NfcDecomp = Seq(0x65, 0x301)
+  private[graft] val NfcKinds: Seq[(Int, Seq[Int])] = Seq(
+    1 -> nfcSuffix(Seq(NfcComp, NfcComp, NfcComp)),
+    2 -> nfcSuffix(Seq(NfcDecomp, NfcDecomp, NfcDecomp)),
+    3 -> nfcSuffix(Seq(NfcComp, NfcDecomp, NfcDecomp)))
+  private[graft] def cpStr(cps: Seq[Int]): String =
+    cps.flatMap(Character.toChars(_).toSeq).mkString
+  private def cpSql(cps: Seq[Int]): String =
+    cps.map(c => s"chr($c)").mkString("(", " || ", ")")
+
+  /** q285: UNICODE NFC CANONICALIZATION DEDUP — the canonical-equivalence
+    * gap every multilingual pipeline hits: precomposed U+00E9 and
+    * decomposed U+0065+U+0301 are the same text to a reader but different
+    * bytes to exact dedup, join keys, and shingle hashes. The query doses
+    * a quarter of the corpus with three byte-distinct encodings of one
+    * suffix ([[NfcKinds]]), normalizes through the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (registered as SQL
+    * `nfc_normalize` — DuckDB's own spelling, so the oracle shares the
+    * call verbatim), and reports per-kind change counts + combining-mark
+    * length deltas beside the corpus-level dedup readout: raw-distinct
+    * counts every variant, NFC-distinct collapses the triples. Scale: the
+    * expression's ASCII fast path returns the input UTF8String untouched
+    * (zero alloc) — at 100 TB the normalizer only runs on rows that
+    * actually contain non-ASCII bytes, inside whole-stage codegen. */
+  val q285 = Q(
+    "q285_nfc_dedup",
+    (s, d) => {
+      val kindsArr = array(NfcKinds.map { case (k, cps) =>
+        struct(lit(k).as("kind"), lit(cpStr(cps)).as("suffix"))
+      }: _*)
+      val v = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), explode(kindsArr).as("kv"),
+          concat(col("text"), col("kv.suffix")).as("vtext"))
+        .withColumn("ntext", expr("nfc_normalize(vtext)"))
+      val global = v.agg(
+        countDistinct(col("vtext")).as("raw_distinct_all"),
+        countDistinct(col("ntext")).as("nfc_distinct_all"))
+      v.groupBy(col("kv.kind").as("kind"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ntext") =!= col("vtext"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((length(col("vtext")) - length(col("ntext"))).cast(LongType))
+            .as("len_delta"))
+        .crossJoin(broadcast(global))
+        .orderBy(col("kind"))
+    },
+    Some(s"""
+      WITH kinds AS (
+        SELECT * FROM (VALUES
+          ${NfcKinds.map { case (k, cps) => s"($k, ${cpSql(cps)})" }
+            .mkString(",\n          ")}) AS t(kind, suffix)
+      ), v AS (
+        SELECT d.doc_id, k.kind, d.text || k.suffix AS vtext,
+               nfc_normalize(d.text || k.suffix) AS ntext
+        FROM documents d CROSS JOIN kinds k
+        WHERE d.doc_id % 4 = 0
+      ), g AS (
+        SELECT count(DISTINCT vtext) AS raw_distinct_all,
+               count(DISTINCT ntext) AS nfc_distinct_all FROM v
+      )
+      SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ntext <> vtext THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+             CAST(sum(length(vtext) - length(ntext)) AS BIGINT) AS len_delta,
+             raw_distinct_all, nfc_distinct_all
+      FROM v, g
+      GROUP BY kind, raw_distinct_all, nfc_distinct_all
+      ORDER BY kind"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282)
+      q237, q239, q249, q261, q265, q282, q285)
 }
