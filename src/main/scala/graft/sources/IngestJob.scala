@@ -2130,8 +2130,72 @@ object IngestJob {
                    py.y * 100 + 1, py.y * 100 + 2)
       GROUP BY ym ORDER BY ym"""))
 
+  /** q286: SNAPSHOT ROLLBACK — the recovery half of time travel (Iceberg
+    * `rollback_to_snapshot`): a bad commit (v3's update) is undone by
+    * committing a NEW version v4 whose manifest is byte-for-byte v2's —
+    * a metadata-only operation. Nothing is deleted: v3 stays readable
+    * (time travel through the rollback), the history both directions is
+    * intact, and an atomically-published ledger records the rollback as
+    * an audited event, the q256 discipline. The latest-version resolve
+    * then serves v2's content. Runs on its OWN store clone (kind "rb",
+    * like q256's "vac") so the shared q248 store never observes a v4.
+    * The oracle recomputes v3 (post-update) and v4/latest (pre-update)
+    * stats straight off the orders table — a pass proves the rollback
+    * restored EXACTLY the old content while leaving the rolled-back
+    * version intact. Scale: at 100 TB rollback is one manifest rename —
+    * zero data movement — which is exactly why manifest-based formats
+    * can undo a petabyte-scale bad write in milliseconds. */
+  val q286 = Q(
+    "q286_snapshot_rollback",
+    (s, d) => {
+      val (root, dataDir, manifests) = ensureSnapshotStore(s, d, "rb")
+      withStoreLock(root.toString) {
+        if (!Files.exists(root.resolve("v4.manifest.tsv"))) {
+          val before = listParquet(dataDir, "").size
+          commitManifest(root, 4, manifests(2))
+          atomicPublish(root, "rollback.json",
+            s"""{"rolled_back_from":3,"restored":2,"as_version":4,""" +
+              s""""data_files_before":$before}""" + "\n")
+        }
+      }
+      val live = (1 to 9)
+        .filter(n => Files.exists(root.resolve(s"v$n.manifest.tsv")))
+      def snap(tag: String, files: Seq[String]): DataFrame =
+        s.read.parquet(files.map(p => dataDir.resolve(p).toString): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sc"))
+          .select(
+            lit(tag).as("snapshot"),
+            lit(files.size.toLong).as("n_files"),
+            col("n_rows"),
+            (col("sc").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      snap("v3", readManifest(root, 3))
+        .unionAll(snap("v4", readManifest(root, 4)))
+        .unionAll(snap("latest", readManifest(root, live.max)))
+        .orderBy(col("snapshot"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               ${graft.queries.Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      )
+      SELECT 'latest' AS snapshot, CAST(8 AS BIGINT) AS n_files,
+             count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM base
+      UNION ALL
+      SELECT 'v3', 7, count(*),
+             CAST(CAST(sum(CASE WHEN k % 4 = 3 THEN c + 100 ELSE c END)
+               AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      UNION ALL
+      SELECT 'v4', 8, count(*),
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100
+      FROM base
+      ORDER BY snapshot"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
       q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269,
-      q270, q272, q284)
+      q270, q272, q284, q286)
 }

@@ -3015,6 +3015,48 @@ class NewOperatorsSpec extends SparkSpec {
     assert(run() == got, "vacuum report not reproducible after the purge")
   }
 
+  test("q286 rollback: metadata-only, target restored, rolled-back intact") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = writeTinyOrders(20)
+    def run() =
+      try graft.sources.IngestJob.q286.run(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      finally graft.Caches.release()
+    val got = run()
+    // latest resolves to v4 == v2's content; v3 (the undone update,
+    // +5.00) still time-travels
+    assert(got("v4") == ((8L, 20L, 210.0)), s"v4: ${got("v4")}")
+    assert(got("latest") == got("v4"), "latest must serve the rollback")
+    assert(got("v3") == ((7L, 20L, 215.0)), s"v3: ${got("v3")}")
+    val root = JP.get(sys.props("java.io.tmpdir"), "graft_ingest",
+      s"orders_rb_${dir.replaceAll("[^0-9.]", "")}_20_210_21000")
+    import scala.jdk.CollectionConverters._
+    def manifest(n: Int) =
+      JF.readAllLines(root.resolve(s"v$n.manifest.tsv")).asScala
+        .filter(_.nonEmpty).toSeq
+    // the rollback commit is BYTE-equal to its target's manifest and
+    // wrote zero data files (metadata-only — the ledger recorded the
+    // pre-rollback file count, still current)
+    assert(manifest(4) == manifest(2), "v4 must restore v2 verbatim")
+    val ledger = JF.readString(root.resolve("rollback.json"))
+    val before = "\"data_files_before\":(\\d+)".r
+      .findFirstMatchIn(ledger).get.group(1).toInt
+    val st = JF.walk(root.resolve("data"))
+    val now =
+      try st.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+      finally st.close()
+    assert(now == before,
+      s"rollback touched data files: $before -> $now")
+    // idempotent: a rerun reads the committed v4, never re-commits
+    val mtime = JF.getLastModifiedTime(root.resolve("v4.manifest.tsv"))
+    assert(run() == got)
+    assert(JF.getLastModifiedTime(root.resolve("v4.manifest.tsv")) == mtime,
+      "rerun must not re-commit the rollback")
+  }
+
   test("q257 zone maps: stats pruning is lossless and actually cuts files") {
     import java.nio.file.{Files => JF, Paths => JP}
     val dir = writeTinyOrders(80)
