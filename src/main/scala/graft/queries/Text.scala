@@ -4113,10 +4113,106 @@ object Text {
       GROUP BY kind, raw_distinct_all, nfc_distinct_all
       ORDER BY kind"""))
 
+  /** q287: LUHN-VALIDATED PAN DETECTION — the checksum discipline real
+    * PII scrubbing needs: a bare `[0-9]{16}` regex flags every order
+    * number and timestamp as a credit card; production scrubbers (e.g.
+    * Google DLP, AWS Macie surface docs) gate the regex hit on the Luhn
+    * check digit (ISO/IEC 7812) to separate PAN-shaped noise from
+    * likely-real PANs. The dose appends a 16-digit number to 2/3 of the
+    * corpus whose last digit is doc_id%10 — so whether it passes Luhn is
+    * a nontrivial function of the doc's own digits that BOTH engines must
+    * agree on: Spark validates with the BUILT-IN `luhn_check` expression
+    * (functions-not-UDFs), the oracle with an independently hand-rolled
+    * double-every-second-digit SQL fold — a true cross-implementation
+    * differential of the checksum. All candidates are masked to last-4
+    * regardless of validity (shape-based scrubbing); validity grades the
+    * risk report. Exact integers throughout; single scan at 100 TB. */
+  val q287 = Q(
+    "q287_luhn_pii",
+    (s, d) => {
+      val dosed = Tables.load(s, d, "documents")
+        .withColumn(
+          "pan",
+          when(col("doc_id") % 3 =!= 2, concat(
+            lit("4"),
+            lpad((col("doc_id") % 10000000L).cast(StringType), 7, "0"),
+            lpad(((col("doc_id") * 37L) % 10000000L).cast(StringType), 7,
+              "0"),
+            (col("doc_id") % 10L).cast(StringType))))
+        .withColumn(
+          "ptext",
+          when(col("pan").isNotNull,
+            concat(col("text"), lit(" pay "), col("pan"), lit(" now")))
+            .otherwise(col("text")))
+        .withColumn("cands",
+          expr("regexp_extract_all(ptext, '[0-9]{16}', 0)"))
+        .withColumn("n_cand", size(col("cands")).cast(LongType))
+        .withColumn("valid",
+          expr("exists(cands, c -> luhn_check(c))"))
+        .withColumn("redacted",
+          expr("regexp_replace(ptext, " +
+            "'[0-9]{12}([0-9]{4})', 'XXXXXXXXXXXX$1')"))
+      dosed
+        .groupBy((col("doc_id") % 10L).as("residue"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_cand")).as("n_candidates"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when(col("n_cand") > 0,
+            element_at(col("cands"), 1).substr(13, 4).cast(LongType))
+            .otherwise(0L)).as("last4_sum"),
+          sum(when(expr("redacted rlike '[0-9]{16}'"), 1L).otherwise(0L))
+            .as("n_unmasked"))
+        .orderBy(col("residue"))
+    },
+    Some("""
+      WITH dosed AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 <> 2 THEN
+            '4' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                || lpad(CAST((doc_id * 37) % 10000000 AS VARCHAR), 7, '0')
+                || CAST(doc_id % 10 AS VARCHAR)
+          END AS pan,
+          CASE WHEN doc_id % 3 <> 2
+               THEN text || ' pay '
+                 || '4' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                 || lpad(CAST((doc_id * 37) % 10000000 AS VARCHAR), 7, '0')
+                 || CAST(doc_id % 10 AS VARCHAR) || ' now'
+               ELSE text END AS ptext
+        FROM documents
+      ), scanned AS (
+        SELECT doc_id,
+          regexp_extract_all(ptext, '[0-9]{16}') AS cands,
+          CAST(len(regexp_extract_all(ptext, '[0-9]{16}')) AS BIGINT)
+            AS n_cand,
+          len(list_filter(regexp_extract_all(ptext, '[0-9]{16}'), pan ->
+            list_sum(list_transform(range(1, 17), i ->
+              CASE WHEN i % 2 = 1 THEN CAST(substr(pan, 17 - i, 1) AS INT)
+                   WHEN 2 * CAST(substr(pan, 17 - i, 1) AS INT) > 9
+                     THEN 2 * CAST(substr(pan, 17 - i, 1) AS INT) - 9
+                   ELSE 2 * CAST(substr(pan, 17 - i, 1) AS INT)
+              END)) % 10 = 0)) > 0 AS valid,
+          regexp_replace(ptext, '[0-9]{12}([0-9]{4})', 'XXXXXXXXXXXX\\1')
+            AS redacted
+        FROM dosed
+      )
+      SELECT doc_id % 10 AS residue, count(*) AS n_docs,
+             CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+             CAST(sum(CASE WHEN n_cand > 0
+                  THEN CAST(substr(cands[1], 13, 4) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS last4_sum,
+             CAST(sum(CASE WHEN regexp_matches(redacted, '[0-9]{16}')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_unmasked
+      FROM scanned
+      GROUP BY doc_id % 10
+      ORDER BY residue"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282, q285)
+      q237, q239, q249, q261, q265, q282, q285, q287)
 }

@@ -4825,6 +4825,35 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q287 luhn: known PANs validate, off-by-one fails, masking total") {
+    import spark.implicits._
+    // the built-in validator against textbook vectors (a driver-side
+    // third implementation guards the Spark<->DuckDB differential)
+    val known = Seq(
+      ("4111111111111111", true), ("4111111111111112", false),
+      ("4539578763621486", true), ("1234567812345670", true),
+      ("0000000000000000", true))
+    val got = known.map(_._1).toDF("pan")
+      .select(expr("luhn_check(pan)")).as[Boolean].collect()
+    assert(got.toSeq == known.map(_._2),
+      s"luhn_check drifted from the test vectors: ${got.toSeq}")
+    def ref(p: String): Boolean = p.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+    }.sum % 10 == 0
+    known.foreach { case (p, v) => assert(ref(p) == v, p) }
+    // aggregate invariants at sf0.001: exactly 2/3 of docs dosed, no
+    // 16-digit run survives masking, every last4 is doc-id-derived
+    val rows = SparkEntry.queries("q287_luhn_pii")(spark, sf001).collect()
+    graft.Caches.release()
+    assert(rows.map(_.getLong(1)).sum == 500)
+    assert(rows.map(_.getLong(2)).sum == 334, "dosed-candidate count")
+    assert(rows.map(_.getLong(5)).forall(_ == 0), "unmasked PAN survived")
+    val valid = rows.map(_.getLong(3)).sum
+    assert(valid > 0 && valid < 334,
+      s"checksum must split the dose nontrivially, got $valid")
+  }
+
   test("q282 mojibake: dosed marker counts replay; control exactly clean") {
     val out = graft.queries.Text.q282.run(spark, sf001).collect()
       .map(r => r.getAs[Int]("k_dose") -> r).toMap
