@@ -230,6 +230,60 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The third runtime re-plan that matters at 100 TB beside DPP and
+    // bloom pruning: one hot key (a null-ish default, a mega-customer)
+    // makes one shuffle partition orders of magnitude larger than the
+    // rest, and the straggler sets the stage's wall clock. AQE's
+    // OptimizeSkewedJoin must detect the oversized partition from
+    // runtime map statistics and split it into multiple tasks (the
+    // matching side is replicated per split). Defaults target cluster
+    // scale (256MB threshold), so the test lowers them to fixture
+    // scale — what it pins is that the MECHANISM plans and executes in
+    // this build, and which knobs govern it at scale.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // force the sort-merge regime skew handling applies to
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      // coalescing would merge the small partitions and mask the skew
+      // readout; keep the test about the split
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // 90% of the fact lands on key 1 — the classic hot-default skew.
+      // The payload is an md5 string the aggregate consumes, so column
+      // pruning can't reduce the hot partition to an RLE'd constant key
+      // below the skew threshold
+      val fact = Tables.load(spark, sf001, "lineitem")
+        .select(
+          when(col("l_orderkey") % 10 < 9, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))).as("v"))
+        // skew splits are ranges of MAP outputs — the one-file fixture
+        // gives the join shuffle a single mapper, which is unsplittable;
+        // fan the scan out the way a many-file 100 TB table would be
+        .repartition(8)
+      val dim = Tables.load(spark, sf001, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mv"))
+      assert(joined.collect()(0).getLong(0) > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not mark the join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bare (unpartitioned) windows run only on aggregate-bounded frames") {
     // A Window with an empty partitionSpec moves ALL its input to one
     // task — fatal on a corpus-sized frame, fine on a dimension-bounded
