@@ -363,7 +363,8 @@ object EventStream {
     * BOUND the join state (views older than watermark+10min can never
     * match a future click and are evicted) — the property that makes a
     * stream-stream join runnable forever at scale. */
-  def clickThrough(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def clickThrough(views: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .withWatermark("ts", "10 minutes")
       .select(
@@ -375,7 +376,8 @@ object EventStream {
       c,
       col("user_id") === col("c_user_id") &&
         col("cts") >= col("vts") &&
-        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"))
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"),
+      joinType)
   }
 
   /** Batch face of the stream-stream join, oracle-checked: click-through
@@ -396,6 +398,48 @@ object EventStream {
       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts FROM events
             WHERE event_type = 'view') v
       JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+            WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 10 MINUTE
+      GROUP BY v.user_id
+      ORDER BY v.user_id"""))
+
+  /** q288: STREAM-STREAM LEFT OUTER JOIN — the abandoned-view readout
+    * (views that never converted within their 10-minute horizon) as the
+    * outer face of q53's interval join. On streams this is the harder
+    * semantics: an unmatched view can only be emitted (with NULL click
+    * columns) once the GLOBAL watermark proves no future click can still
+    * land in its window — i.e. NULL-emission is watermark-clocked state
+    * eviction, exactly how Spark bounds outer-join state on an unbounded
+    * stream. The batch face below is the oracle-checked registry entry;
+    * StreamingSpec proves batch==stream INCLUDING the null rows, with a
+    * watermark-advancing sentinel standing in for the ever-arriving
+    * traffic a production stream has. Scale: state is O(rows inside the
+    * watermark horizon) per side — the 100 TB/day shape survives because
+    * eviction, not retention, is the default. */
+  val q288 = Q(
+    "q288_stream_outer_join",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      clickThrough(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "left_outer")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("cts")).as("n_matched"),
+          sum(when(col("cts").isNull, 1L).otherwise(0L))
+            .as("n_orphan_views"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT v.user_id, count(*) AS n_rows,
+             count(c.cts) AS n_matched,
+             CAST(sum(CASE WHEN c.cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_views
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts FROM events
+            WHERE event_type = 'view') v
+      LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
             WHERE event_type = 'click') c
         ON v.user_id = c.user_id
        AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 10 MINUTE
@@ -2387,5 +2431,5 @@ object EventStream {
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
       q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
-      q216)
+      q216, q288)
 }

@@ -485,6 +485,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null rows flush on watermark, == batch") {
+    import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+    // Outer semantics on streams: an unmatched view is emitted with a
+    // NULL click side only once the global watermark passes vts+10min —
+    // on a FINITE feed the last horizon's orphans would be withheld
+    // forever, so the test appends a sentinel view+click pair far in
+    // the future (advancing BOTH sides' watermarks, which min-combine)
+    // and excludes the sentinel user from the comparison. Production
+    // streams get this advance for free from ongoing traffic.
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_stream_loj").toString
+    val maxTs = events.selectExpr("max(unix_micros(ts))")
+      .collect().head.getLong(0)
+    val sentinel = events.limit(2).select(
+      lit(-1L).as("user_id"),
+      expr(s"timestamp_micros(${maxTs + 7200L * 1000000L})").as("ts"),
+      (col("event_id") % 2).as("pick"), col("event_id"), col("value"),
+      col("props"))
+      .withColumn("event_type",
+        expr("CASE WHEN pick = 0 THEN 'view' ELSE 'click' END"))
+      .select(events.columns.map(col): _*)
+
+    val batch = EventStream.clickThrough(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"), "left_outer")
+      .select("view_id", "cts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    assert(batch.exists(_._2.isEmpty), "fixture must yield orphan views")
+
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5D)")
+      .collect().head.getDouble(0).toLong
+    events.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    def streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = EventStream.clickThrough(
+      streamIn.filter(col("event_type") === "view"),
+      streamIn.filter(col("event_type") === "click"), "left_outer")
+      .select("user_id", "view_id", "cts")
+      .writeStream.format("memory").queryName("sloj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) > cut).unionByName(sentinel)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("sloj_out").collect()
+        .filter(_.getLong(0) != -1L)
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.toString))).toSet
+      assert(got == batch,
+        s"stream left-outer differs from batch: missing=" +
+          s"${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: streamed aggregate fans out == batch") {
     // the streaming face of the reference's engine-to-engine fan-out
     // (CSV pipe into a second store): each micro-batch's refreshed
