@@ -406,5 +406,98 @@ object IngestQ {
       GROUP BY 1, 2
       ORDER BY t, matched_seq"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246)
+  /** q289: BITEMPORAL POINT-IN-TIME — the two-clock query (Snodgrass /
+    * SQL:2011 system-versioned + application-time tables) that completes
+    * the temporal family: q165's SCD2 tracks VALID time, q248's
+    * snapshots track TRANSACTION time; real warehouses need both at
+    * once, because data about the past keeps ARRIVING ("as of June 15
+    * last year, as we knew it at commit T"). The ledger is synthesized
+    * deterministically from orders: every order is effective for one
+    * year from its order date (tx 1); a correction wave restates k%5
+    * amounts (+5.00) for the SAME validity interval at tx 2 (closing
+    * the original's transaction interval — corrections never destroy
+    * what was previously believed); a late BACKFILL wave at tx 3
+    * inserts half-value records for the year BEFORE each k%11 order
+    * date (retroactive valid time — the bitemporal signature: the past
+    * changes as knowledge arrives, and only the transaction axis shows
+    * it). The query evaluates the full (as-known-at × as-of) grid; the
+    * answers for the SAME valid date differ across transaction times
+    * exactly where corrections/backfills landed. Dates are pure
+    * yyyymmdd integers (no calendar arithmetic to diverge), pivots are
+    * fixture-derived (de-calibration rule), money is exact cents.
+    * Scale: one scan builds the ledger; the grid is a 6-row broadcast;
+    * at 100 TB a bitemporal ask is ONE predicate pair per axis —
+    * intervals make it a scan problem, never a replay problem. */
+  val q289 = Q(
+    "q289_bitemporal",
+    (s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          (year(col("o_orderdate")) * 10000
+            + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).cast(LongType).as("vf"),
+          Det.cents(col("o_totalprice")).as("c"))
+      val original = base.select(col("k"), col("c"),
+        col("vf"), (col("vf") + 10000L).as("vt"),
+        lit(1L).as("txf"),
+        when(col("k") % 5 === 0, 2L).otherwise(lit(null).cast(LongType))
+          .as("txt"))
+      val correction = base.filter(col("k") % 5 === 0)
+        .select(col("k"), (col("c") + 500L).as("c"),
+          col("vf"), (col("vf") + 10000L).as("vt"),
+          lit(2L).as("txf"), lit(null).cast(LongType).as("txt"))
+      val backfill = base.filter(col("k") % 11 === 0)
+        .select(col("k"), expr("c div 2").as("c"),
+          (col("vf") - 10000L).as("vf"), col("vf").as("vt"),
+          lit(3L).as("txf"), lit(null).cast(LongType).as("txt"))
+      val py = base.agg((max(expr("vf div 10000")) - 1L).as("py"))
+      original.unionAll(correction).unionAll(backfill)
+        .crossJoin(broadcast(py))
+        .withColumn("t_asof", explode(array(lit(1L), lit(2L), lit(3L))))
+        .withColumn("v_label", explode(array(lit("mid"), lit("old"))))
+        .withColumn("v_date",
+          when(col("v_label") === "mid", col("py") * 10000L + 615L)
+            .otherwise((col("py") - 2L) * 10000L + 615L))
+        .filter(col("txf") <= col("t_asof") &&
+          (col("txt").isNull || col("txt") > col("t_asof")) &&
+          col("vf") <= col("v_date") && col("v_date") < col("vt"))
+        .groupBy(col("t_asof"), col("v_label"), col("v_date"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("c")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("t_asof"), col("v_label"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(EXTRACT(year FROM o_orderdate) * 10000
+                    + EXTRACT(month FROM o_orderdate) * 100
+                    + EXTRACT(day FROM o_orderdate) AS BIGINT) AS vf,
+               ${Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), ledger AS (
+        SELECT k, c, vf, vf + 10000 AS vt, CAST(1 AS BIGINT) AS txf,
+               CASE WHEN k % 5 = 0 THEN CAST(2 AS BIGINT) END AS txt
+        FROM base
+        UNION ALL
+        SELECT k, c + 500, vf, vf + 10000, 2, NULL FROM base WHERE k % 5 = 0
+        UNION ALL
+        SELECT k, c // 2, vf - 10000, vf, 3, NULL FROM base WHERE k % 11 = 0
+      ), py AS (
+        SELECT max(vf // 10000) - 1 AS py FROM base
+      ), grid AS (
+        SELECT t_asof, v_label,
+               CASE WHEN v_label = 'mid' THEN py * 10000 + 615
+                    ELSE (py - 2) * 10000 + 615 END AS v_date
+        FROM (VALUES (CAST(1 AS BIGINT)), (2), (3)) t(t_asof),
+             (VALUES ('mid'), ('old')) v(v_label), py
+      )
+      SELECT t_asof, v_label, v_date, count(*) AS n_rows,
+             CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM ledger, grid
+      WHERE txf <= t_asof AND (txt IS NULL OR txt > t_asof)
+        AND vf <= v_date AND v_date < vt
+      GROUP BY t_asof, v_label, v_date
+      ORDER BY t_asof, v_label"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246, q289)
 }

@@ -4825,6 +4825,26 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q289 bitemporal: corrections restate sums, backfills add rows") {
+    val rows = SparkEntry.queries("q289_bitemporal")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    graft.Caches.release()
+    Seq("mid", "old").foreach { v =>
+      val (n1, s1) = rows((1L, v)); val (n2, s2) = rows((2L, v))
+      val (n3, s3) = rows((3L, v))
+      // a correction restates VALUE for the same validity interval:
+      // row count is invariant T1->T2, the sum moves (+5.00 per k%5
+      // order valid at V — nonzero on any nontrivial fixture)
+      assert(n1 == n2, s"$v: correction changed row count $n1 -> $n2")
+      assert(s2 > s1, s"$v: correction did not restate the sum")
+      // a backfill inserts retroactive validity: rows APPEAR at T3 for
+      // the same valid date — the past literally grows
+      assert(n3 > n2, s"$v: backfill added no rows")
+      assert(s3 > s2)
+    }
+  }
+
   test("q287 luhn: known PANs validate, off-by-one fails, masking total") {
     import spark.implicits._
     // the built-in validator against textbook vectors (a driver-side
