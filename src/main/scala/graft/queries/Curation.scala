@@ -1017,7 +1017,88 @@ object Curation {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** q290: ISOTONIC CALIBRATION (pool-adjacent-violators) — the
+    * calibration step between a scorer and a pipeline gate: raw
+    * per-score-bin positive rates are NOT monotone (sampling noise), so
+    * thresholding on them is unstable; the PAV fit (Ayer et al. 1955;
+    * Zadrozny & Elkan 2002 for classifier calibration) is the least-
+    * squares monotone curve. Computed via the MINIMAX characterization
+    * (Robertson/Wright/Dykstra, Ch.1): fitted_i = max_{j<=i} min_{k>=i}
+    * avg(y[j..k]) — a closed FORM, not the sequential pooling loop, so
+    * both engines evaluate identical arithmetic with no iteration-order
+    * hazard. The corpus scan reduces to <=32 exact-integer bin stats
+    * (score bin = token-length octile, label = contains 'the' twice —
+    * correlated but noisy, so real violations occur and pool); the
+    * O(bins^3) minimax then runs on the tiny frame — broadcast-hinted
+    * inequality joins, never a shuffled cartesian. Interval averages
+    * are single IEEE divisions of identical integers; min/max over
+    * identical doubles is order-free — bit-exact cross-engine. Scale:
+    * the 100 TB bill is the ONE stats scan; calibration itself is
+    * O(1). */
+  val q290 = Q(
+    "q290_isotonic_calibration",
+    (s, d) => {
+      val feat = Tables.load(s, d, "documents").select(
+        least(expr("size(split(text, ' ')) div 8"), lit(31))
+          .cast(LongType).as("b"),
+        when(expr("size(filter(split(text, ' '), t -> t = 'the'))") >= 2,
+          1L).otherwise(0L).as("y"))
+      val bins = feat.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      val cum = bins.as("i")
+        .join(broadcast(bins.as("p")), col("p.b") <= col("i.b"))
+        .groupBy(col("i.b").as("b"), col("i.n").as("n"), col("i.k").as("k"))
+        .agg(sum(col("p.n")).as("cn"), sum(col("p.k")).as("ck"))
+      val ivl = cum.as("j")
+        .join(broadcast(cum.as("kk")), col("j.b") <= col("kk.b"))
+        .select(col("j.b").as("jb"), col("kk.b").as("kb"),
+          ((col("kk.ck") - (col("j.ck") - col("j.k"))).cast(DoubleType) /
+            (col("kk.cn") - (col("j.cn") - col("j.n")))).as("a"))
+      val mm = cum.select(col("b")).as("i")
+        .join(broadcast(ivl),
+          col("jb") <= col("i.b") && col("i.b") <= col("kb"))
+        .groupBy(col("i.b").as("b"), col("jb"))
+        .agg(min(col("a")).as("mn"))
+      val fit = mm.groupBy(col("b")).agg(max(col("mn")).as("fitted"))
+      bins.join(broadcast(fit), "b")
+        .select(col("b"), col("n"), col("k"),
+          (col("k").cast(DoubleType) / col("n")).as("raw_rate"),
+          col("fitted"))
+        .orderBy(col("b"))
+    },
+    Some("""
+      WITH feat AS (
+        SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT) // 8, 31)
+                 AS b,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                      t -> t = 'the')) >= 2 THEN 1 ELSE 0 END AS y
+        FROM documents
+      ), bins AS (
+        SELECT b, count(*) AS n, CAST(sum(y) AS BIGINT) AS k
+        FROM feat GROUP BY b
+      ), cum AS (
+        SELECT i.b, i.n, i.k, CAST(sum(p.n) AS BIGINT) AS cn,
+               CAST(sum(p.k) AS BIGINT) AS ck
+        FROM bins i JOIN bins p ON p.b <= i.b
+        GROUP BY i.b, i.n, i.k
+      ), ivl AS (
+        SELECT j.b AS jb, kk.b AS kb,
+               CAST(kk.ck - (j.ck - j.k) AS DOUBLE)
+                 / (kk.cn - (j.cn - j.n)) AS a
+        FROM cum j, cum kk WHERE j.b <= kk.b
+      ), mm AS (
+        SELECT i.b, ivl.jb, min(ivl.a) AS mn
+        FROM cum i JOIN ivl ON ivl.jb <= i.b AND i.b <= ivl.kb
+        GROUP BY i.b, ivl.jb
+      ), fit AS (
+        SELECT b, max(mn) AS fitted FROM mm GROUP BY b
+      )
+      SELECT bins.b, bins.n, bins.k,
+             CAST(bins.k AS DOUBLE) / bins.n AS raw_rate, fit.fitted
+      FROM bins JOIN fit ON bins.b = fit.b
+      ORDER BY bins.b"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263)
+      q247, q263, q290)
 }

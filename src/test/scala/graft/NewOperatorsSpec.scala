@@ -4825,6 +4825,50 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q290 isotonic: minimax fit == sequential PAV, monotone, mean-true") {
+    val rows = SparkEntry.queries("q290_isotonic_calibration")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    graft.Caches.release()
+    val fits = rows.map(_._5).toSeq
+    // monotone by construction of the minimax form
+    fits.sliding(2).foreach { w =>
+      assert(w(0) <= w(1), s"fit not monotone: ${w(0)} > ${w(1)}") }
+    // the raw rates must actually violate monotonicity somewhere, or
+    // the operator was never exercised
+    assert(rows.map(_._4).toSeq.sliding(2).exists(w => w(0) > w(1)),
+      "fixture rates are already monotone — test is vacuous")
+    // PAV preserves the weighted mean: sum(fitted*n) == sum(k)
+    val lhs = rows.map(r => r._5 * r._2).sum
+    assert(math.abs(lhs - rows.map(_._3).sum) < 1e-6, s"mass moved: $lhs")
+    // third implementation: the classic sequential pool-adjacent-
+    // violators stack must produce the same curve as the minimax form
+    case class Pool(n: Long, k: Long) { def rate = k.toDouble / n }
+    val stack = scala.collection.mutable.Stack[Pool]()
+    rows.foreach { r =>
+      var p = Pool(r._2, r._3)
+      while (stack.nonEmpty && stack.top.rate >= p.rate) {
+        val t = stack.pop(); p = Pool(t.n + p.n, t.k + p.k)
+      }
+      stack.push(p)
+    }
+    // expand pools back over bins in order
+    val expanded = {
+      val out = scala.collection.mutable.ArrayBuffer[Double]()
+      val pools = stack.toSeq.reverse.iterator
+      var cur: Pool = null; var left = 0L
+      rows.foreach { r =>
+        if (left == 0) { cur = pools.next(); left = cur.n }
+        out += cur.rate; left -= r._2
+      }
+      out.toSeq
+    }
+    fits.zip(expanded).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-12,
+        s"bin $i: minimax $a != sequential PAV $b") }
+  }
+
   test("q289 bitemporal: corrections restate sums, backfills add rows") {
     val rows = SparkEntry.queries("q289_bitemporal")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
