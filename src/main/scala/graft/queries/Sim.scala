@@ -1705,7 +1705,93 @@ object Sim {
                    WHERE p.qid = q.qid) AS DOUBLE) / 5.0 AS recall_at_5
       FROM q ORDER BY qid"""))
 
+  /** q291: k-NN CLASSIFIER EVALUATION — the supervised readout the
+    * labeled embedding corpus exists for: leave-one-out 5-NN majority
+    * vote (Cover & Hart 1967) against the ground-truth `label`,
+    * reported as the per-class census (support, correct, accuracy) a
+    * model card publishes. Probes are a deterministic 1-in-5 slice;
+    * each probe's own vector is excluded (leave-one-out — scoring a
+    * vector against itself inflates accuracy to 1.0). Vote tiebreak is
+    * total: (count DESC, label ASC), and the neighbour rank tiebreak
+    * (cos DESC, vec_id ASC) is the q26 discipline, so both engines
+    * elect identical neighbours AND identical winners. Arithmetic:
+    * VecDot's sequential fold vs DuckDB list_reduce, sqrt norms (IEEE
+    * correctly-rounded, unlike ln — safe), single divisions — bit
+    * exact. Scale: probes broadcast against one corpus scan (the q26
+    * shape); at 100 TB the same readout routes through the IVF/LSH
+    * candidates (q41/q28) instead of the exact cross — this is the
+    * exact-truth baseline those recalls are graded against. */
+  val q291 = Q(
+    "q291_knn_classifier",
+    (s, d) => {
+      val all = emb(s, d)
+      val probes = all.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val voted = all.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim",
+          VecDot.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(desc("cos_sim"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrank",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(desc("votes"), col("label"))))
+        .filter(col("vrank") === 1)
+        .select(col("qid"), col("true_label"),
+          col("label").as("pred_label"))
+      voted.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast(DoubleType) / col("n_probes"))
+        .orderBy(col("true_label"))
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings
+      ), probes AS (
+        SELECT vec_id AS qid, label AS true_label, v AS qv, nrm AS qnrm
+        FROM vecs WHERE vec_id % 5 = 0
+      ), scored AS (
+        SELECT p.qid, p.true_label, c.vec_id, c.label,
+               list_reduce(list_transform(list_zip(p.qv, c.v),
+                 pp -> pp[1] * pp[2]), (a, b) -> a + b)
+                 / (p.qnrm * c.nrm) AS cos_sim
+        FROM vecs c CROSS JOIN probes p
+        WHERE c.vec_id <> p.qid
+      ), top5 AS (
+        SELECT qid, true_label, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= 5
+      ), voted AS (
+        SELECT qid, true_label, label AS pred_label FROM (
+          SELECT qid, true_label, label, count(*) AS votes,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY count(*) DESC, label) AS vrank
+          FROM top5 GROUP BY qid, true_label, label)
+        WHERE vrank = 1
+      )
+      SELECT true_label, count(*) AS n_probes,
+             CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS accuracy
+      FROM voted
+      GROUP BY true_label
+      ORDER BY true_label"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242, q259, q275, q276)
+      q211, q212, q213, q242, q259, q275, q276, q291)
 }

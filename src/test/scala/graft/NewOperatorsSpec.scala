@@ -4825,6 +4825,48 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q291 knn: driver replay elects identical classes; LOO is load-bearing") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    graft.Caches.release()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map(v => v._1 -> math.sqrt(dot(v._2, v._2))).toMap
+    def predict(leaveOneOut: Boolean) =
+      vecs.filter(_._1 % 5 == 0).map { case (qid, qv, ql) =>
+        val top5 = vecs
+          .filter(c => !leaveOneOut || c._1 != qid)
+          .map(c => (dot(qv, c._2) / (nrm(qid) * nrm(c._1)), c._1, c._3))
+          .sortBy(t => (-t._1, t._2)).take(5)
+        val pred = top5.groupBy(_._3).toSeq
+          .map { case (l, g) => (l, g.size) }
+          .sortBy(t => (-t._2, t._1)).head._1
+        (qid, ql, pred)
+      }
+    val replay = predict(leaveOneOut = true)
+      .groupBy(_._2).view.mapValues(g =>
+        (g.size.toLong, g.count(p => p._3 == p._2).toLong)).toMap
+    val got = SparkEntry.queries("q291_knn_classifier")(spark, sf001)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    graft.Caches.release()
+    assert(got == replay,
+      s"engine vs replay: ${got.toSeq.sorted} / ${replay.toSeq.sorted}")
+    // leave-one-out must be load-bearing: with self included, the self
+    // vote (cos=1.0 top neighbour) lifts correctness
+    val withSelf = predict(leaveOneOut = false)
+    assert(withSelf.count(p => p._3 == p._2) >
+      replay.values.map(_._2).sum,
+      "self-inclusion did not change the vote — exclusion untested")
+  }
+
   test("q290 isotonic: minimax fit == sequential PAV, monotone, mean-true") {
     val rows = SparkEntry.queries("q290_isotonic_calibration")(spark, sf001)
       .collect()
