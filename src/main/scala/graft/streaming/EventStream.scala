@@ -949,6 +949,223 @@ object EventStream {
       }
   }
 
+  /** Leibniz determinant expansion as SQL text over named integer count
+    * columns — generated ONCE and shared verbatim by the Spark
+    * expression and the DuckDB oracle; the only parameter is the
+    * wide-integer cast each engine uses for exact products (HUGEINT /
+    * DECIMAL(38,0)). Entry magnitudes are transition counts (~1e5 at
+    * sf0.1), so 5-factor products stay ~1e25-1e27 — far inside both
+    * engines' 38-digit exact range; widen the cast before feeding
+    * billion-row transition tables. */
+  private def leibnizSql(
+      m: IndexedSeq[IndexedSeq[String]], cast: String): String = {
+    val n = m.length
+    val terms = (0 until n).permutations.map { p =>
+      val inversions = (for {
+        i <- 0 until n; j <- i + 1 until n if p(i) > p(j)
+      } yield 1).size
+      val sign = if (inversions % 2 == 0) "+" else "-"
+      val prod = (0 until n).map { i =>
+        val f = m(i)(p(i))
+        if (i == 0) s"CAST($f AS $cast)" else f
+      }.mkString(" * ")
+      s"$sign ($prod)"
+    }
+    "(0 " + terms.mkString(" ") + ")"
+  }
+
+  private val MarkovStates =
+    IndexedSeq("START", "click", "error", "signup", "view")
+
+  /** det of the absorption system (I·n − T) restricted to `keep` rows/
+    * cols; with subRhs the START column is replaced by the CONV counts —
+    * Cramer's numerator for x_START. */
+  private def markovDetSql(
+      keep: IndexedSeq[Int], subRhs: Boolean, cast: String): String = {
+    val m = keep.map { i =>
+      keep.zipWithIndex.map { case (j, jj) =>
+        if (subRhs && jj == 0) s"c_${MarkovStates(i)}"
+        else if (i == j)
+          s"(n_${MarkovStates(i)} - t_${MarkovStates(i)}_${MarkovStates(j)})"
+        else s"(0 - t_${MarkovStates(i)}_${MarkovStates(j)})"
+      }
+    }
+    leibnizSql(m, cast)
+  }
+
+  private val MarkovChannels = IndexedSeq("click", "error", "signup", "view")
+
+  /** The dets → probs → effects column lists, shared by both engines
+    * (cast is the only difference); one "expr AS alias" per element so
+    * the Spark side can selectExpr them and the oracle can join them
+    * into CTE text. */
+  private def markovDetCols(cast: String): Seq[String] =
+    Seq(
+      s"${markovDetSql(0 to 4, subRhs = false, cast)} AS det_a",
+      s"${markovDetSql(0 to 4, subRhs = true, cast)} AS det_x") ++
+      MarkovChannels.flatMap { ch =>
+        val keep = IndexedSeq(0) ++
+          (1 to 4).filter(i => MarkovStates(i) != ch)
+        Seq(
+          s"${markovDetSql(keep, subRhs = false, cast)} AS det_a_$ch",
+          s"${markovDetSql(keep, subRhs = true, cast)} AS det_x_$ch")
+      }
+
+  private val markovProbCols: Seq[String] =
+    Seq("CAST(det_x AS DOUBLE) / CAST(det_a AS DOUBLE) AS base_p") ++
+      MarkovChannels.map(ch =>
+        s"CAST(det_x_$ch AS DOUBLE) / CAST(det_a_$ch AS DOUBLE) AS p_$ch")
+
+  private val markovEffCols: Seq[String] =
+    Seq("base_p") ++ MarkovChannels.map(ch => s"p_$ch") ++
+      MarkovChannels.map(ch => s"1.0 - p_$ch / base_p AS e_$ch")
+
+  private val markovShareDen: String =
+    MarkovChannels.map(ch => s"e_$ch").mkString(" + ")
+
+  /** q292: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    * data-driven alternative to q126's last-click rule: model journeys
+    * as a first-order Markov chain over session event types (START →
+    * … → CONV on first purchase, → NULL on session end), then credit
+    * each channel by how much the chain's conversion probability DROPS
+    * when that channel is removed (removed = its visits become losses).
+    * Absorption probabilities are solved EXACTLY: the linear system
+    * (diag(n) − T)·x = c has integer coefficients, so x_START is a
+    * ratio of integer determinants (Cramer), expanded via a generated
+    * Leibniz sum both engines evaluate verbatim over wide-exact
+    * integers — no iteration, no tolerance, bit-identical doubles from
+    * the two final divisions. Scale: the corpus collapses to a ≤7×7
+    * transition-count table in one sessionized pass; the solve is O(1).
+    * Removing a channel can only close paths, so removed_p ≤ base_p
+    * structurally — the spec asserts it and replays the whole solve
+    * with driver-side BigInt cofactors. */
+  /** The 1-row transition-count table feeding q292's exact solve; also
+    * collected by the spec's BigInt-cofactor replay. */
+  private[graft] def markovCounts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"), col("session_id"))
+    val sess = sessionizedEvents(Tables.load(s, d, "events"))
+      .withColumn("pos", row_number().over(wOrd))
+    val conv = sess.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("pos")).as("conv_pos"))
+    val kept = sess
+      .join(conv, Seq("user_id", "session_id"), "left")
+      .filter(col("conv_pos").isNull || col("pos") <= col("conv_pos"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+    val steps = kept
+      .withColumn("from_s",
+        coalesce(lag(col("state"), 1).over(wOrd), lit("START")))
+      .withColumn("last_pos", max(col("pos")).over(wAll))
+    val transitions = steps.select(col("from_s"), col("state").as("to_s"))
+      .unionAll(steps
+        .filter(col("pos") === col("last_pos") && col("state") =!= "CONV")
+        .select(col("state").as("from_s"), lit("NULL").as("to_s")))
+    val aggs = MarkovStates.flatMap { i =>
+      Seq(
+        sum(when(col("from_s") === i, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("from_s") === i && col("to_s") === "CONV", 1L)
+          .otherwise(0L)).as(s"c_$i")) ++
+        MarkovStates.map(j =>
+          sum(when(col("from_s") === i && col("to_s") === j, 1L)
+            .otherwise(0L)).as(s"t_${i}_$j"))
+    }
+    transitions.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q292 = Q(
+    "q292_removal_effect",
+    (s, d) => {
+      val eff = markovCounts(s, d)
+        .selectExpr(markovDetCols("DECIMAL(38,0)"): _*)
+        .selectExpr(markovProbCols: _*)
+        .selectExpr(markovEffCols: _*)
+        .persistTracked()
+      MarkovChannels.map { ch =>
+        eff.selectExpr(
+          s"'$ch' AS channel", "base_p", s"p_$ch AS removed_p",
+          s"e_$ch AS removal_effect",
+          s"e_$ch / ($markovShareDen) AS attribution_share")
+      }.reduce(_.unionAll(_)).orderBy(col("channel"))
+    },
+    Some(s"""
+      WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN true
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000 THEN true
+                    ELSE false END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+      ), pos AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS pos
+        FROM numbered
+      ), conv AS (
+        SELECT user_id, session_id, min(pos) AS conv_pos
+        FROM pos WHERE event_type = 'purchase' GROUP BY 1, 2
+      ), kept AS (
+        SELECT p.*, c.conv_pos,
+               CASE WHEN p.event_type = 'purchase' THEN 'CONV'
+                    ELSE p.event_type END AS state
+        FROM pos p LEFT JOIN conv c USING (user_id, session_id)
+        WHERE c.conv_pos IS NULL OR p.pos <= c.conv_pos
+      ), steps AS (
+        SELECT *,
+               coalesce(lag(state) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id), 'START')
+                 AS from_s,
+               max(pos) OVER (PARTITION BY user_id, session_id) AS last_pos
+        FROM kept
+      ), transitions AS (
+        SELECT from_s, state AS to_s FROM steps
+        UNION ALL
+        SELECT state, 'NULL' FROM steps
+        WHERE pos = last_pos AND state <> 'CONV'
+      ), counts AS (
+        SELECT
+        ${MarkovStates.flatMap { i =>
+          Seq(
+            s"CAST(sum(CASE WHEN from_s = '$i' THEN 1 ELSE 0 END) " +
+              s"AS BIGINT) AS n_$i",
+            s"CAST(sum(CASE WHEN from_s = '$i' AND to_s = 'CONV' THEN 1 " +
+              s"ELSE 0 END) AS BIGINT) AS c_$i") ++
+            MarkovStates.map(j =>
+              s"CAST(sum(CASE WHEN from_s = '$i' AND to_s = '$j' THEN 1 " +
+                s"ELSE 0 END) AS BIGINT) AS t_${i}_$j")
+        }.mkString(",\n        ")}
+        FROM transitions
+      ), dets AS (
+        SELECT
+        ${markovDetCols("HUGEINT").mkString(",\n        ")}
+        FROM counts
+      ), probs AS (
+        SELECT
+        ${markovProbCols.mkString(",\n        ")}
+        FROM dets
+      ), eff AS (
+        SELECT
+        ${markovEffCols.mkString(",\n        ")}
+        FROM probs
+      )
+      ${MarkovChannels.map(ch =>
+        s"""SELECT '$ch' AS channel, base_p, p_$ch AS removed_p,
+             e_$ch AS removal_effect,
+             e_$ch / ($markovShareDen) AS attribution_share
+           FROM eff""").mkString("\n      UNION ALL\n      ")}
+      ORDER BY channel"""))
+
   val q126 = Q(
     "q126_attribution",
     (s, d) => {
@@ -2431,5 +2648,5 @@ object EventStream {
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
       q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
-      q216, q288)
+      q216, q288, q292)
 }

@@ -4825,6 +4825,52 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q292 removal effect: BigInt-cofactor replay matches the Leibniz SQL") {
+    val states = Seq("START", "click", "error", "signup", "view")
+    val channels = Seq("click", "error", "signup", "view")
+    val cr = graft.streaming.EventStream.markovCounts(spark, sf001).head()
+    graft.Caches.release()
+    def cv(name: String): BigInt = BigInt(cr.getAs[Long](name))
+    def det(m: IndexedSeq[IndexedSeq[BigInt]]): BigInt =
+      if (m.length == 1) m(0)(0)
+      else (0 until m.length).map { j =>
+        val minor = m.tail.map(r =>
+          r.zipWithIndex.collect { case (v, c) if c != j => v })
+        val s: BigInt = if (j % 2 == 0) 1 else -1
+        s * m(0)(j) * det(minor)
+      }.sum
+    def solve(keep: IndexedSeq[Int]): Double = {
+      def a(i: Int, j: Int): BigInt =
+        (if (i == j) cv(s"n_${states(i)}") else BigInt(0)) -
+          cv(s"t_${states(i)}_${states(j)}")
+      val A = keep.map(i => keep.map(j => a(i, j)))
+      val X = keep.map(i => keep.zipWithIndex.map { case (j, jj) =>
+        if (jj == 0) cv(s"c_${states(i)}") else a(i, j) })
+      det(X).toDouble / det(A).toDouble
+    }
+    val baseP = solve(IndexedSeq(0, 1, 2, 3, 4))
+    val removed = channels.map(ch => ch ->
+      solve(IndexedSeq(0) ++ (1 to 4).filter(i => states(i) != ch))).toMap
+    val effects = channels.map(ch => ch -> (1.0 - removed(ch) / baseP)).toMap
+    val effSum = channels.map(effects).sum
+    val got = SparkEntry.queries("q292_removal_effect")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    graft.Caches.release()
+    channels.foreach { ch =>
+      val (b, p, e, sh) = got(ch)
+      assert(b == baseP, s"$ch base: $b vs $baseP")
+      assert(p == removed(ch), s"$ch removed: $p vs ${removed(ch)}")
+      assert(e == effects(ch), s"$ch effect")
+      assert(sh == effects(ch) / effSum, s"$ch share")
+      // removing a channel can only close conversion paths
+      assert(p <= b && p >= 0 && b <= 1, s"$ch probabilities out of range")
+    }
+    assert(math.abs(channels.map(c => got(c)._4).sum - 1.0) < 1e-12,
+      "shares must partition the credit")
+  }
+
   test("q291 knn: driver replay elects identical classes; LOO is load-bearing") {
     val vecs = Tables.load(spark, sf001, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
