@@ -1017,6 +1017,110 @@ object Curation {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** q293: T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the third rung of the release-gate ladder after q156's k-anonymity
+    * (class size) and q263's l-diversity (distinct sensitive values):
+    * a class can be large AND diverse yet still leak if its sensitive
+    * DISTRIBUTION differs from the corpus at large (e.g. one segment
+    * skews rich). t-closeness bounds the Earth Mover's Distance between
+    * each equivalence class's distribution and the global one over the
+    * ORDERED sensitive attribute. For a 1-D ordered histogram the EMD
+    * has a closed form — the mean absolute difference of cumulative
+    * fractions — and with integer band counts it is EXACT: per band,
+    * |cum_class·N − cum_global·n_class| is an integer numerator and ONE
+    * final division by n_class·N·(m−1) produces bit-identical doubles
+    * in both engines. Scale: two grouped aggregates over one scan plus
+    * a bands×classes densification join on a broadcast band grid —
+    * no per-row state, no quadratic term. */
+  val q293 = Q(
+    "q293_t_closeness",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      import org.apache.spark.sql.expressions.Window
+      val (k, t) = (10L, 0.2)
+      val banded = Tables.load(s, d, "customer")
+        .join(autoBroadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("band", expr("(CAST(round(c_acctbal * 100) AS BIGINT)" +
+          " + 100000) div 200000"))
+        .select(col("n_name"), col("c_mktsegment"), col("band"))
+      val global = banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("g"))
+      val classes = banded.groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nc"))
+      val cells = banded.groupBy(col("n_name"), col("c_mktsegment"),
+        col("band")).agg(count(lit(1)).as("a"))
+      // densify: every class must carry a cum value at EVERY band, or
+      // the EMD sum skips exactly the bands where distributions differ
+      val dense = classes.crossJoin(broadcast(global))
+        .join(cells, Seq("n_name", "c_mktsegment", "band"), "left")
+        .na.fill(0L, Seq("a"))
+      val wc = Window.partitionBy(col("n_name"), col("c_mktsegment"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = banded.agg(count(lit(1)).as("nn"),
+        countDistinct(col("band")).as("m"))
+      dense
+        .withColumn("cum_a", sum(col("a")).over(wc))
+        .withColumn("cum_g", sum(col("g")).over(wc))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n_name"), col("c_mktsegment"), col("nc"),
+          col("nn"), col("m"))
+        .agg(sum(abs(col("cum_a") * col("nn") - col("cum_g") * col("nc")))
+          .as("num"))
+        .withColumn("emd", col("num").cast(DoubleType) /
+          (col("nc") * col("nn") * (col("m") - 1L)).cast(DoubleType))
+        .withColumn("verdict",
+          when(col("nc") < k, lit("SUPPRESS"))
+            .when(col("emd") > t, lit("GENERALIZE"))
+            .otherwise(lit("RELEASE")))
+        .select(col("n_name"), col("c_mktsegment"), col("nc").as("n"),
+          col("emd"), col("verdict"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+    Some("""
+      WITH banded AS (
+        SELECT n_name, c_mktsegment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+                 AS band
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ), global AS (
+        SELECT band, count(*) AS g FROM banded GROUP BY band
+      ), classes AS (
+        SELECT n_name, c_mktsegment, count(*) AS nc
+        FROM banded GROUP BY 1, 2
+      ), cells AS (
+        SELECT n_name, c_mktsegment, band, count(*) AS a
+        FROM banded GROUP BY 1, 2, 3
+      ), tot AS (
+        SELECT count(*) AS nn, count(DISTINCT band) AS m FROM banded
+      ), dense AS (
+        SELECT c.n_name, c.c_mktsegment, c.nc, gl.band, gl.g,
+               coalesce(ce.a, 0) AS a
+        FROM classes c CROSS JOIN global gl
+        LEFT JOIN cells ce ON ce.n_name = c.n_name
+         AND ce.c_mktsegment = c.c_mktsegment AND ce.band = gl.band
+      ), cum AS (
+        SELECT *, sum(a) OVER w AS cum_a, sum(g) OVER w AS cum_g
+        FROM dense
+        WINDOW w AS (PARTITION BY n_name, c_mktsegment ORDER BY band
+                     ROWS UNBOUNDED PRECEDING)
+      ), scored AS (
+        SELECT n_name, c_mktsegment, nc, nn, m,
+               CAST(sum(abs(cum_a * nn - cum_g * nc)) AS BIGINT) AS num
+        FROM cum, tot
+        GROUP BY 1, 2, 3, 4, 5
+      )
+      SELECT n_name, c_mktsegment, nc AS n,
+             CAST(num AS DOUBLE) / CAST(nc * nn * (m - 1) AS DOUBLE) AS emd,
+             CASE WHEN nc < 10 THEN 'SUPPRESS'
+                  WHEN CAST(num AS DOUBLE)
+                       / CAST(nc * nn * (m - 1) AS DOUBLE) > 0.2
+                    THEN 'GENERALIZE'
+                  ELSE 'RELEASE' END AS verdict
+      FROM scored
+      ORDER BY n_name, c_mktsegment"""))
+
   /** q290: ISOTONIC CALIBRATION (pool-adjacent-violators) — the
     * calibration step between a scorer and a pipeline gate: raw
     * per-score-bin positive rates are NOT monotone (sampling noise), so
@@ -1100,5 +1204,5 @@ object Curation {
 
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290)
+      q247, q263, q290, q293)
 }

@@ -4271,6 +4271,72 @@ object Olap {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     })
 
+  /** q294: CAPPED ROLLUP (top-N + OTHER) — the high-cardinality serving
+    * pattern every dashboard backend ships: per nation, name the top-3
+    * parts by revenue and fold the tail into one OTHER row, so the
+    * result is bounded (4 rows per group) no matter how many distinct
+    * parts exist. The subtlety the pattern exists for: OTHER must
+    * aggregate the TAIL's revenue exactly, not drop it — totals
+    * reconcile with the uncapped rollup. Rank tiebreak is total
+    * (revenue DESC, p_name ASC) on an exact-decimal revenue, so both
+    * engines elect identical top sets. Scale: one star join with
+    * broadcast dims, one partial-aggregated shuffle to (nation, part),
+    * a bounded per-nation window over part aggregates (≤ |parts| rows
+    * per partition, already reduced), then the capped re-aggregate —
+    * output size is O(nations), which is what makes the query
+    * SERVABLE at 100 TB. */
+  val q294 = Q(
+    "q294_capped_rollup",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      import org.apache.spark.sql.expressions.Window
+      val perPart = Tables.load(s, d, "lineitem")
+        .join(autoBroadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(autoBroadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(autoBroadcast(Tables.load(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev"))
+      val ranked = perPart.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("n_name"))
+          .orderBy(desc("rev"), col("p_name"))))
+      ranked
+        .withColumn("bucket",
+          when(col("rnk") <= 3, col("p_name")).otherwise(lit("OTHER")))
+        .groupBy(col("n_name"), col("bucket"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast(DoubleType).as("revenue"),
+          min(col("rnk")).as("best_rank"))
+        .orderBy(col("n_name"), col("best_rank"))
+        .select(col("n_name"), col("bucket"), col("n_parts"),
+          col("revenue"))
+    },
+    Some("""
+      WITH per_part AS (
+        SELECT n_name, p_name,
+               sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY n_name
+                    ORDER BY rev DESC, p_name) AS rnk
+        FROM per_part
+      )
+      SELECT n_name,
+             CASE WHEN rnk <= 3 THEN p_name ELSE 'OTHER' END AS bucket,
+             count(*) AS n_parts,
+             CAST(sum(rev) AS DOUBLE) AS revenue
+      FROM ranked
+      GROUP BY n_name, CASE WHEN rnk <= 3 THEN p_name ELSE 'OTHER' END
+      ORDER BY n_name, min(rnk)"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4278,5 +4344,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283)
+      q278, q279, q280, q281, q283, q294)
 }

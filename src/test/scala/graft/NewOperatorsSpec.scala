@@ -4825,6 +4825,81 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q293 t-closeness: EMD in [0,1], global-identical class scores 0") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF}
+    val rows = SparkEntry.queries("q293_t_closeness")(spark, sf001)
+      .collect()
+    graft.Caches.release()
+    rows.foreach { r =>
+      val emd = r.getDouble(3)
+      assert(emd >= 0.0 && emd <= 1.0, s"EMD out of range: $r")
+      assert(Seq("SUPPRESS", "GENERALIZE", "RELEASE")
+        .contains(r.getString(4)))
+    }
+    assert(rows.exists(_.getDouble(3) > 0))
+    // hand-built fixtures pin the EMD endpoints: two classes with the
+    // SAME balance multiset -> global == class -> EMD exactly 0,
+    // RELEASE; two fully separated classes -> large EMD, GENERALIZE
+    def tiny(balances: Int => Seq[Double]): String = {
+      val dir = JF.createTempDirectory("graft_q293").toString
+      Seq((1L, "ALPHA"), (2L, "BETA"))
+        .toDF("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      (1 to 2).flatMap(nk => balances(nk).zipWithIndex.map { case (b, i) =>
+        (nk * 100L + i, nk.toLong, "SEG", b)
+      }).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    val same = tiny(_ => (1 to 12).map(i => i * 1000.0))
+    val got0 = SparkEntry.queries("q293_t_closeness")(spark, same).collect()
+    graft.Caches.release()
+    assert(got0.length == 2)
+    got0.foreach { r =>
+      assert(r.getDouble(3) == 0.0, s"identical class scored ${r}")
+      assert(r.getString(4) == "RELEASE")
+    }
+    val apart = tiny(nk =>
+      (1 to 12).map(_ => if (nk == 1) -900.0 else 90000.0))
+    val got1 = SparkEntry.queries("q293_t_closeness")(spark, apart)
+      .collect()
+    graft.Caches.release()
+    got1.foreach { r =>
+      assert(r.getDouble(3) == 0.5, s"separated class scored ${r}")
+      assert(r.getString(4) == "GENERALIZE")
+    }
+  }
+
+  test("q294 capped rollup: OTHER preserves the tail, totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val capped = SparkEntry.queries("q294_capped_rollup")(spark, sf001)
+      .collect()
+    graft.Caches.release()
+    val perNation = capped.groupBy(_.getString(0))
+    perNation.foreach { case (n, rs) =>
+      assert(rs.length <= 4, s"$n: cap leaked ${rs.length} rows")
+      val others = rs.filter(_.getString(1) == "OTHER")
+      assert(others.length <= 1)
+      // named rows are single parts; OTHER carries the whole tail count
+      rs.filterNot(_.getString(1) == "OTHER")
+        .foreach(r => assert(r.getLong(2) == 1L, s"$n named row: $r"))
+    }
+    // totals reconcile with the uncapped star rollup — OTHER dropped
+    // nothing
+    val total = capped.map(_.getDouble(3)).sum
+    val uncapped = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double"))
+      .head().getDouble(0)
+    graft.Caches.release()
+    assert(math.abs(total - uncapped) < 1e-4,
+      s"capped total $total != uncapped $uncapped")
+  }
+
   test("q292 removal effect: BigInt-cofactor replay matches the Leibniz SQL") {
     val states = Seq("START", "click", "error", "signup", "view")
     val channels = Seq("click", "error", "signup", "view")
