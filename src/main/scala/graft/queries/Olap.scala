@@ -4337,6 +4337,83 @@ object Olap {
       GROUP BY n_name, CASE WHEN rnk <= 3 THEN p_name ELSE 'OTHER' END
       ORDER BY n_name, min(rnk)"""))
 
+  /** q295: CLUSTERING DEPTH — the layout-health metric (Snowflake's
+    * SYSTEM$CLUSTERING_DEPTH; Iceberg/Delta OPTIMIZE decide off the same
+    * signal) that says whether zone-map pruning (q257) can work BEFORE
+    * you run a query: for each data file, how many files' key ranges
+    * overlap it. A range-clustered layout has depth 1 (disjoint spans →
+    * every point predicate prunes to one file); a hash/arrival layout
+    * has depth ≈ nfiles (every file spans the whole key domain → zone
+    * maps prune nothing). Both layouts are DERIVED deterministically
+    * from the same table (md5-bucket assignment = the arrival shape,
+    * octile range split = the clustered shape — the q80/q272 per-file
+    * replay discipline), so the oracle recomputes every file's
+    * [min,max] and the full overlap matrix from the base table alone.
+    * Overlap counting is an interval self-join on 8-row-per-layout
+    * STATS, never on data — which is the point: at 100 TB the metric
+    * costs one min/max aggregate per file, and the re-cluster decision
+    * it feeds saves the scans q257 measures. */
+  val q295 = Q(
+    "q295_clustering_depth",
+    (s, d) => {
+      import graft.operators.Hints.autoBroadcast
+      val keys = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"))
+      val bounds = keys.agg(max(col("k")).as("mx")).select(col("mx"))
+      val assigned = keys.crossJoin(autoBroadcast(bounds)).select(
+        col("k"),
+        expr("instr('0123456789abcdef', " +
+          "substring(md5(CAST(k AS STRING)), 32, 1)) % 8").as("hash_file"),
+        least(expr("(k - 1) * 8 div mx"), lit(7L)).as("range_file"))
+      def stats(layout: String, fileCol: String) = assigned
+        .groupBy(col(fileCol).cast(LongType).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        .withColumn("layout", lit(layout))
+      // self-joined below — persist, or the overlap join re-runs the
+      // whole stats lineage per side (the round-1 no-CSE invariant)
+      import graft.Caches.Tracked
+      val st = stats("hash", "hash_file")
+        .unionByName(stats("range", "range_file")).persistTracked()
+      st.as("a")
+        .join(autoBroadcast(st.as("b")),
+          col("a.layout") === col("b.layout") &&
+            col("a.kmin") <= col("b.kmax") &&
+            col("b.kmin") <= col("a.kmax"))
+        .groupBy(col("a.layout").as("layout"),
+          col("a.file_id").as("file_id"), col("a.n_rows").as("n_rows"),
+          col("a.kmin").as("kmin"), col("a.kmax").as("kmax"))
+        .agg(count(lit(1)).as("depth"))
+        .orderBy(col("layout"), col("file_id"))
+    },
+    Some("""
+      WITH keys AS (
+        SELECT o_orderkey AS k FROM orders
+      ), bounds AS (
+        SELECT max(k) AS mx FROM keys
+      ), assigned AS (
+        SELECT k,
+               strpos('0123456789abcdef',
+                 substr(md5(CAST(k AS VARCHAR)), 32, 1)) % 8 AS hash_file,
+               least((k - 1) * 8 // mx, 7) AS range_file
+        FROM keys, bounds
+      ), st AS (
+        SELECT 'hash' AS layout, CAST(hash_file AS BIGINT) AS file_id,
+               count(*) AS n_rows, min(k) AS kmin, max(k) AS kmax
+        FROM assigned GROUP BY 1, 2
+        UNION ALL
+        SELECT 'range', CAST(range_file AS BIGINT),
+               count(*), min(k), max(k)
+        FROM assigned GROUP BY 1, 2
+      )
+      SELECT a.layout, a.file_id, a.n_rows, a.kmin, a.kmax,
+             count(*) AS depth
+      FROM st a JOIN st b
+        ON a.layout = b.layout
+       AND a.kmin <= b.kmax AND b.kmin <= a.kmax
+      GROUP BY a.layout, a.file_id, a.n_rows, a.kmin, a.kmax
+      ORDER BY a.layout, a.file_id"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4344,5 +4421,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294)
+      q278, q279, q280, q281, q283, q294, q295)
 }

@@ -4825,6 +4825,19 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q295 clustering depth: range layout depth 1, hash layout depth 8") {
+    val rows = SparkEntry.queries("q295_clustering_depth")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    graft.Caches.release()
+    assert(rows.length == 16, s"expected 8 files x 2 layouts: ${rows.length}")
+    // disjoint octile spans: every file overlaps only itself
+    rows.filter(_._1 == "range").foreach { case (_, f, d) =>
+      assert(d == 1, s"range file $f depth $d") }
+    // hash assignment spreads the whole key domain into every file
+    rows.filter(_._1 == "hash").foreach { case (_, f, d) =>
+      assert(d == 8, s"hash file $f depth $d") }
+  }
+
   test("q293 t-closeness: EMD in [0,1], global-identical class scores 0") {
     import spark.implicits._
     import java.nio.file.{Files => JF}
