@@ -4414,6 +4414,131 @@ object Olap {
       GROUP BY a.layout, a.file_id, a.n_rows, a.kmin, a.kmax
       ORDER BY a.layout, a.file_id"""))
 
+  /** Hilbert index for an `order`×`order` grid (Hamilton's classic
+    * iterative rotate-and-accumulate, as in Wikipedia's d2xy/xy2d
+    * reference code) — evaluated ONCE per cell here; the 64-entry
+    * mapping is curve DATA shared verbatim by both engines. */
+  private[graft] def hilbertD(order: Int, x0: Int, y0: Int): Int = {
+    var x = x0; var y = y0; var d = 0; var s = order / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+  private[graft] def mortonD(x: Int, y: Int): Int =
+    (0 until 3).map(b =>
+      (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+  private[graft] val CurveCells: Seq[(Int, Int, String, Int)] =
+    for {
+      x <- 0 to 7; y <- 0 to 7
+      (c, d) <- Seq("hilbert" -> hilbertD(8, x, y), "z" -> mortonD(x, y))
+    } yield (x, y, c, d)
+
+  /** q296: SPACE-FILLING-CURVE LOCALITY — the measurement behind the
+    * z-order-vs-Hilbert layout decision q243 takes as given: for EVERY
+    * 2x2 box query over the (partkey, suppkey) octile grid, how many
+    * CONTIGUOUS cell-id runs must a reader open under each curve? Both
+    * curves cover a box with the same 4 cells (same bytes), but a run
+    * break is a seek — and at 100 TB a "cell" is a file span, so runs,
+    * not cells, set the random-I/O bill; Hilbert's recursive U-turns
+    * keep neighbours adjacent where Z's diagonal jumps split them
+    * (Moon et al., TKDE 2001 — the classic clustering analysis). The
+    * 64-cell curve tables are generated once ([[CurveCells]]) and
+    * shared as literal data; rows enter through the per-cell lineitem
+    * counts, so rows_read doubles as the equal-bytes invariant. Output:
+    * per curve, total runs over all 49 boxes, the average, and rows
+    * touched — the readout that justifies re-clustering by Hilbert
+    * before the rewrite is paid for. */
+  val q296 = Q(
+    "q296_curve_locality",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Hints.autoBroadcast
+      import graft.Caches.Tracked
+      val curves = CurveCells.toDF("cx", "cy", "curve", "cell")
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      val bounds = li.agg(max(col("p")).as("mp"), max(col("sk")).as("ms"))
+      val cellRows = li.crossJoin(autoBroadcast(bounds))
+        .select(
+          least(expr("(p - 1) * 8 div mp"), lit(7L)).cast(IntegerType)
+            .as("cx"),
+          least(expr("(sk - 1) * 8 div ms"), lit(7L)).cast(IntegerType)
+            .as("cy"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n_rows"))
+      val boxes = (for (bx <- 0 to 6; by <- 0 to 6)
+        yield (bx, by)).toDF("bx", "by")
+      val cover = boxes.join(autoBroadcast(curves),
+        col("cx").between(col("bx"), col("bx") + 1) &&
+          col("cy").between(col("by"), col("by") + 1))
+        .join(autoBroadcast(cellRows), Seq("cx", "cy"), "left")
+        .na.fill(0L, Seq("n_rows"))
+        .persistTracked()
+      val adj = cover.as("a")
+        .join(autoBroadcast(cover.as("b")),
+          col("a.curve") === col("b.curve") &&
+            col("a.bx") === col("b.bx") && col("a.by") === col("b.by") &&
+            col("b.cell") === col("a.cell") + 1)
+        .groupBy(col("a.curve").as("curve"))
+        .agg(count(lit(1)).as("n_adjacent"))
+      cover.groupBy(col("curve"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n_rows")).as("rows_read"))
+        .join(autoBroadcast(adj), Seq("curve"))
+        .select(col("curve"),
+          (col("n_cells") - col("n_adjacent")).as("total_runs"),
+          ((col("n_cells") - col("n_adjacent")).cast(DoubleType) /
+            lit(49.0)).as("avg_runs_per_box"),
+          col("rows_read"))
+        .orderBy(col("curve"))
+    },
+    Some(s"""
+      WITH curves AS (
+        SELECT * FROM (VALUES
+          ${CurveCells.map { case (x, y, c, d2) => s"($x, $y, '$c', $d2)" }
+            .grouped(6).map(_.mkString(", ")).mkString(",\n          ")})
+          AS t(cx, cy, curve, cell)
+      ), li AS (
+        SELECT l_partkey AS p, l_suppkey AS sk FROM lineitem
+      ), bounds AS (
+        SELECT max(p) AS mp, max(sk) AS ms FROM li
+      ), cell_rows AS (
+        SELECT least((p - 1) * 8 // mp, 7) AS cx,
+               least((sk - 1) * 8 // ms, 7) AS cy, count(*) AS n_rows
+        FROM li, bounds GROUP BY 1, 2
+      ), boxes AS (
+        SELECT bx, by FROM range(0, 7) t1(bx), range(0, 7) t2(by)
+      ), cover AS (
+        SELECT b.bx, b.by, c.curve, c.cell, coalesce(r.n_rows, 0) AS n_rows
+        FROM boxes b
+        JOIN curves c ON c.cx BETWEEN b.bx AND b.bx + 1
+                     AND c.cy BETWEEN b.by AND b.by + 1
+        LEFT JOIN cell_rows r ON r.cx = c.cx AND r.cy = c.cy
+      ), adj AS (
+        SELECT a.curve, count(*) AS n_adjacent
+        FROM cover a JOIN cover b
+          ON a.curve = b.curve AND a.bx = b.bx AND a.by = b.by
+         AND b.cell = a.cell + 1
+        GROUP BY 1
+      ), tot AS (
+        SELECT curve, count(*) AS n_cells,
+               CAST(sum(n_rows) AS BIGINT) AS rows_read
+        FROM cover GROUP BY 1
+      )
+      SELECT t.curve, t.n_cells - a.n_adjacent AS total_runs,
+             CAST(t.n_cells - a.n_adjacent AS DOUBLE) / 49.0
+               AS avg_runs_per_box,
+             t.rows_read
+      FROM tot t JOIN adj a ON t.curve = a.curve
+      ORDER BY t.curve"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4421,5 +4546,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294, q295)
+      q278, q279, q280, q281, q283, q294, q295, q296)
 }

@@ -4825,6 +4825,34 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q296 curve locality: both curves bijective, Hilbert beats Z on runs") {
+    // the generated curve tables must be permutations of 0..63 — a bad
+    // rotate in hilbertD would silently skew every run count
+    Seq("hilbert", "z").foreach { c =>
+      val cells = graft.queries.Olap.CurveCells
+        .collect { case (_, _, `c`, d) => d }
+      assert(cells.sorted == (0 to 63).toList, s"$c is not a bijection")
+    }
+    // Hilbert's defining property at order 8: consecutive d are always
+    // grid neighbours (|dx|+|dy| = 1)
+    val byD = graft.queries.Olap.CurveCells
+      .collect { case (x, y, "hilbert", d) => d -> ((x, y)) }.toMap
+    (0 until 63).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (byD(d), byD(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"hilbert jump at d=$d")
+    }
+    val rows = SparkEntry.queries("q296_curve_locality")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    graft.Caches.release()
+    val (hRuns, hRows) = rows("hilbert"); val (zRuns, zRows) = rows("z")
+    assert(hRows == zRows, "curves must read identical bytes")
+    assert(hRuns < zRuns, s"Hilbert $hRuns !< Z $zRuns — locality lost")
+    Seq(hRuns, zRuns).foreach(r =>
+      assert(r >= 49 && r <= 196, s"run count $r outside [boxes, cells]"))
+  }
+
   test("q295 clustering depth: range layout depth 1, hash layout depth 8") {
     val rows = SparkEntry.queries("q295_clustering_depth")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
