@@ -485,6 +485,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late rows and ACCOUNTS for them in state metrics") {
+    // The lateness-observability pin: when a micro-batch arrives with
+    // event times older than the committed watermark, the windowed agg
+    // must (a) exclude them from results and (b) surface the count in
+    // numRowsDroppedByWatermark — the metric a 100 TB deployment alarms
+    // on before anyone notices missing revenue. Without (b), silent
+    // data loss looks identical to low traffic.
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = Tables.load(spark, sf001, "events")
+    val dir = Files.createTempDirectory("graft_wm_drop").toString
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.8D)")
+      .collect().head.getDouble(0).toLong
+    // batch 1: the NEWEST 20% — commits a high watermark
+    events.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val q = EventStream.windowedCounts(
+      spark.readStream.schema(events.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("wm_drop_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: everything OLDER — far behind the watermark
+      events.filter(unix_micros(col("ts")) <= cut)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val late = events.filter(unix_micros(col("ts")) <= cut).count()
+      assert(dropped > 0, "late rows were not accounted as dropped")
+      assert(dropped <= late, s"dropped $dropped exceeds late input $late")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: null rows flush on watermark, == batch") {
     import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
     // Outer semantics on streams: an unmatched view is emitted with a
