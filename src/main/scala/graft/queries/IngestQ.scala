@@ -499,5 +499,87 @@ object IngestQ {
       GROUP BY t_asof, v_label, v_date
       ORDER BY t_asof, v_label"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246, q289)
+  /** q297: FULL TRI-CLAUSE MERGE — SQL:2023 MERGE with all three match
+    * directions, including the WHEN NOT MATCHED BY SOURCE clause q107's
+    * upsert lacks (the clause that lets one statement also retire
+    * target rows the source no longer mentions — the shape a
+    * full-snapshot feed needs, where absence IS the delete signal).
+    * Spark has no MERGE executor for plain parquet, so this is the
+    * Spark-FIRST expression every lakehouse engine compiles MERGE down
+    * to anyway: ONE full outer join on the key, then a CASE deciding
+    * update / delete / insert / retire / keep per row. The source is a
+    * deterministic change feed (updates for k%3=0, deletes for k%9=0
+    * among them, 100 brand-new keys past the key span; retention
+    * retires unmentioned k%5=4 rows). Output is the per-action census
+    * (rows + exact cents entering or leaving the table) a MERGE commits
+    * to its audit log. Scale: MERGE cost IS this join — key-partitioned
+    * shuffle, map-side-combined census, broadcast when the feed is
+    * small; the census makes the statement self-verifying (the spec
+    * reconciles final state = target + inserts − deletes − retires). */
+  val q297 = Q(
+    "q297_merge_full",
+    (s, d) => {
+      val target = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          Det.cents(col("o_totalprice")).as("c"))
+      val mxF = target.agg(max(col("k")).as("mx"))
+      val updates = target.filter(col("k") % 3 === 0)
+        .select(col("k"), (col("c") + 1000L).as("sc"))
+      val inserts = s.range(1, 101).toDF("i")
+        .crossJoin(broadcast(mxF))
+        .select((col("mx") + col("i")).as("k"),
+          ((col("mx") + col("i")) * 10L).as("sc"))
+      val source = updates.unionAll(inserts)
+      val merged = target.as("t")
+        .join(source.as("src"), col("t.k") === col("src.k"), "full_outer")
+        .select(
+          coalesce(col("t.k"), col("src.k")).as("k"),
+          col("t.c").as("tc"), col("src.sc").as("sc"),
+          when(col("t.k").isNotNull && col("src.k").isNotNull &&
+            col("t.k") % 9 === 0, "DELETE")
+            .when(col("t.k").isNotNull && col("src.k").isNotNull, "UPDATE")
+            .when(col("t.k").isNull, "INSERT")
+            .when(col("t.k") % 5 === 4, "RETIRE")
+            .otherwise("KEEP").as("action"))
+        .withColumn("out_c",
+          when(col("action") === "UPDATE", col("sc"))
+            .when(col("action") === "INSERT", col("sc"))
+            .when(col("action") === "KEEP", col("tc"))
+            .otherwise(col("tc"))) // DELETE/RETIRE report removed cents
+      merged.groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("out_c")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("action"))
+    },
+    Some(s"""
+      WITH target AS (
+        SELECT o_orderkey AS k, ${Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), mx AS (
+        SELECT max(k) AS mx FROM target
+      ), source AS (
+        SELECT k, c + 1000 AS sc FROM target WHERE k % 3 = 0
+        UNION ALL
+        SELECT mx + i, (mx + i) * 10
+        FROM range(1, 101) t(i), mx
+      ), merged AS (
+        SELECT coalesce(t.k, src.k) AS k, t.c AS tc, src.sc,
+               CASE
+                 WHEN t.k IS NOT NULL AND src.k IS NOT NULL
+                      AND t.k % 9 = 0 THEN 'DELETE'
+                 WHEN t.k IS NOT NULL AND src.k IS NOT NULL THEN 'UPDATE'
+                 WHEN t.k IS NULL THEN 'INSERT'
+                 WHEN t.k % 5 = 4 THEN 'RETIRE'
+                 ELSE 'KEEP' END AS action
+        FROM target t FULL OUTER JOIN source src ON t.k = src.k
+      )
+      SELECT action, count(*) AS n_rows,
+             CAST(CAST(sum(CASE WHEN action IN ('UPDATE', 'INSERT')
+                  THEN sc ELSE tc END) AS BIGINT) AS DOUBLE) / 100
+               AS sum_value
+      FROM merged
+      GROUP BY action
+      ORDER BY action"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246, q289, q297)
 }

@@ -4825,6 +4825,27 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q297 merge: actions partition the target; census matches predicates") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q297_merge_full")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    val keys = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    graft.Caches.release()
+    // every target row lands in exactly one of the four target-side
+    // actions; inserts are the 100 synthetic keys
+    assert(got("DELETE") + got("UPDATE") + got("KEEP") + got("RETIRE")
+      == keys.length)
+    assert(got("INSERT") == 100L)
+    // clause predicates replayed directly — matched rows are k%3==0,
+    // deletes the k%9==0 subset, retires the unmatched k%5==4 rows
+    assert(got("DELETE") == keys.count(k => k % 9 == 0))
+    assert(got("UPDATE") == keys.count(k => k % 3 == 0 && k % 9 != 0))
+    assert(got("RETIRE") == keys.count(k => k % 3 != 0 && k % 5 == 4))
+    assert(got("KEEP") == keys.count(k => k % 3 != 0 && k % 5 != 4))
+  }
+
   test("q296 curve locality: both curves bijective, Hilbert beats Z on runs") {
     // the generated curve tables must be permutations of 0..63 — a bad
     // rotate in hilbertD would silently skew every run count
