@@ -1202,7 +1202,87 @@ object Curation {
       FROM bins JOIN fit ON bins.b = fit.b
       ORDER BY bins.b"""))
 
+  /** 48-bit per-subject pad from the nibbles of an md5 hex COLUMN (hash
+    * once per row, then parse — the round-1 inline-expensive-expr
+    * lesson) — ONE text evaluable by both engines (instr/substr are
+    * portable; the KmvMd5.nibSql discipline at 12 nibbles). 48 bits
+    * covers any cents value in the fixture with headroom and stays
+    * positive in both BIGINTs. Spark needs the L suffix for BIGINT
+    * literals; DuckDB widens bare literals itself. */
+  private def padFromHex(h: String, longSuffix: String): String =
+    (1 to 12).map { i =>
+      val scale = 1L << (4 * (12 - i))
+      s"(CAST(instr('0123456789abcdef', substr($h, $i, 1))" +
+        s" AS BIGINT) - 1) * ${scale}$longSuffix"
+    }.mkString("(", " + ", ")")
+
+  /** q298: CRYPTO-SHREDDING ERASURE — the third erasure mechanism after
+    * q83's redaction (mask in place) and q269's physical purge (rewrite
+    * files): encrypt every subject's values under a PER-SUBJECT key and
+    * forget the KEY to forget the subject (GDPR-era key-deletion
+    * erasure, e.g. NIST SP 800-88 "cryptographic erase"). The data
+    * files never change — which is the point at 100 TB: erasing one
+    * subject from petabytes of immutable parquet costs one keystore
+    * row, not a rewrite; q269's compaction can then reclaim bytes
+    * LAZILY. The cipher here is a keyed-md5 XOR pad (a stand-in with
+    * the right ALGEBRA — deterministic, invertible, value-hiding per
+    * subject; swap in AES-GCM off-container): both engines encrypt,
+    * drop k%13 subjects' keys, and decrypt through the surviving
+    * keystore; the READABLE cohort's decrypted sum must equal the
+    * plaintext sum over surviving subjects — the round-trip proof —
+    * while ERASED rows are countable but valueless. Spark spells XOR
+    * `^`, DuckDB `xor()`; the pad text is shared verbatim. */
+  val q298 = Q(
+    "q298_crypto_shred",
+    (s, d) => {
+      val enc = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("cust"),
+          Det.cents(col("o_totalprice")).as("c"))
+        .withColumn("h", md5(concat(lit("pepper"), col("cust").cast(StringType))))
+        .withColumn("pad", expr(padFromHex("h", "L")))
+        .select(col("cust"), expr("c ^ pad").as("enc"))
+      val keystore = enc.select(col("cust")).distinct()
+        .filter(col("cust") % 13 =!= 0)
+        .withColumn("h", md5(concat(lit("pepper"), col("cust").cast(StringType))))
+        .withColumn("kpad", expr(padFromHex("h", "L")))
+        .drop("h")
+      enc.join(keystore, Seq("cust"), "left")
+        .withColumn("cohort",
+          when(col("kpad").isNull, "ERASED").otherwise("READABLE"))
+        .withColumn("dec",
+          when(col("kpad").isNotNull, expr("enc ^ kpad")).otherwise(0L))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cust")).as("n_subjects"),
+          (sum(col("dec")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT o_custkey AS cust, ${Det.centsSql("o_totalprice")} AS c,
+               md5(concat('pepper', CAST(o_custkey AS VARCHAR))) AS h
+        FROM orders
+      ), enc AS (
+        SELECT cust, xor(c, ${padFromHex("h", "")}) AS enc FROM hashed
+      ), khash AS (
+        SELECT DISTINCT cust,
+               md5(concat('pepper', CAST(cust AS VARCHAR))) AS h
+        FROM enc WHERE cust % 13 <> 0
+      ), keystore AS (
+        SELECT cust, ${padFromHex("h", "")} AS kpad FROM khash
+      )
+      SELECT CASE WHEN k.kpad IS NULL THEN 'ERASED'
+                  ELSE 'READABLE' END AS cohort,
+             count(*) AS n_rows,
+             count(DISTINCT e.cust) AS n_subjects,
+             CAST(CAST(sum(CASE WHEN k.kpad IS NOT NULL
+                  THEN xor(e.enc, k.kpad) ELSE 0 END) AS BIGINT)
+               AS DOUBLE) / 100 AS sum_value
+      FROM enc e LEFT JOIN keystore k ON e.cust = k.cust
+      GROUP BY 1
+      ORDER BY cohort"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293)
+      q247, q263, q290, q293, q298)
 }

@@ -4825,6 +4825,31 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q298 crypto shred: decrypt round-trips, erased rows counted not read") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q298_crypto_shred")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.Caches.release()
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey").as("cust"),
+        graft.queries.Det.cents(col("o_totalprice")).as("c"))
+    val survivors = orders.filter(col("cust") % 13 =!= 0)
+      .agg(count(lit(1)), countDistinct(col("cust")),
+        (sum(col("c")).cast("double") / lit(100.0))).head()
+    val erased = orders.filter(col("cust") % 13 === 0)
+      .agg(count(lit(1)), countDistinct(col("cust"))).head()
+    graft.Caches.release()
+    // decryption through the surviving keystore reproduces plaintext
+    // EXACTLY — the XOR-pad algebra round-trips
+    assert(got("READABLE") == ((survivors.getLong(0), survivors.getLong(1),
+      survivors.getDouble(2))), s"readable: ${got("READABLE")}")
+    // erased subjects are countable (rows exist) but contribute no value
+    assert(got("ERASED")._1 == erased.getLong(0))
+    assert(got("ERASED")._2 == erased.getLong(1))
+    assert(got("ERASED")._3 == 0.0)
+  }
+
   test("q297 merge: actions partition the target; census matches predicates") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q297_merge_full")(spark, sf001)
