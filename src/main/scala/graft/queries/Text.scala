@@ -2690,6 +2690,40 @@ object Text {
     * the same order in both engines. Scale: term stats are vocabulary-
     * sized broadcasts; one corpus scan + one doc aggregate; top-20 by
     * (score, doc_id) is TakeOrderedAndProject. */
+  /** The BM25 SERVE path — scoring + top-20 from index-shaped inputs
+    * (tf/df/dl/totals) — single-sourced so q184 (scan-built index) and
+    * q299 (incrementally-maintained index) are the SAME ranking
+    * function over different index constructions. */
+  private def bm25Serve(tf: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      totals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.Hints.autoBroadcast
+    val scored = tf
+      .join(autoBroadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        (lit(2L) * col("d_docs") - lit(2L) * col("df") + 1L)
+          .cast(DoubleType)
+          / (lit(2L) * col("df") + 1L).cast(DoubleType))
+      .withColumn("tf_norm",
+        (lit(44L) * col("t_tok") * col("tf")).cast(DoubleType)
+          / (lit(20L) * col("t_tok") * col("tf") + lit(6L) * col("t_tok")
+            + lit(18L) * col("dl") * col("d_docs")).cast(DoubleType))
+      .withColumn("sc", col("idf") * col("tf_norm"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hit_terms"),
+        expr("""aggregate(
+                  transform(array_sort(collect_list(struct(w, sc))),
+                            x -> x.sc),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val q184 = Q(
     "q184_bm25",
     (s, d) => {
@@ -2715,28 +2749,7 @@ object Text {
       val tf = tok.join(broadcast(query), Seq("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val scored = tf
-        .join(autoBroadcast(df), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(totals))
-        .withColumn("idf",
-          (lit(2L) * col("d_docs") - lit(2L) * col("df") + 1L)
-            .cast(DoubleType)
-            / (lit(2L) * col("df") + 1L).cast(DoubleType))
-        .withColumn("tf_norm",
-          (lit(44L) * col("t_tok") * col("tf")).cast(DoubleType)
-            / (lit(20L) * col("t_tok") * col("tf") + lit(6L) * col("t_tok")
-              + lit(18L) * col("dl") * col("d_docs")).cast(DoubleType))
-        .withColumn("sc", col("idf") * col("tf_norm"))
-      scored.groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_hit_terms"),
-          expr("""aggregate(
-                    transform(array_sort(collect_list(struct(w, sc))),
-                              x -> x.sc),
-                    CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+      bm25Serve(tf, df, dl, totals)
     },
     Some("""
       WITH tok AS (
@@ -4209,10 +4222,67 @@ object Text {
       GROUP BY doc_id % 10
       ORDER BY residue"""))
 
+  /** q299: INCREMENTAL BM25 INDEX MAINTENANCE — the text-search face of
+    * q259's IVF upsert and q236's cluster increment: new documents
+    * (the top quarter of the id span) arrive against a STORED index
+    * (postings (w, doc, tf), per-term (cf, df), per-doc lengths) built
+    * from the old corpus, and the maintenance pays ONLY new-doc
+    * tokenization plus additive stat merges — the old corpus is never
+    * re-tokenized, because tf/cf/df/dl/totals are all sums and BM25's
+    * globals re-derive from the merged stats (this additivity is WHY
+    * Lucene segments can merge by arithmetic). The serve path is
+    * [[bm25Serve]] — the identical ranking function q184 uses — and
+    * the oracle is q184's SQL VERBATIM: increment ≡ full rebuild,
+    * down to the top-20 hash. Scale: at 100 TB the index is the
+    * persisted artifact (the q238 store pattern); per batch you
+    * shuffle O(new tokens), not O(corpus). */
+  val q299 = Q(
+    "q299_bm25_upsert",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents")
+      val cutF = docs.agg((max(col("doc_id")) * 3L / 4L).as("cut"))
+      def tokens(part: org.apache.spark.sql.DataFrame) =
+        part.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val withCut = docs.crossJoin(broadcast(cutF))
+      // the STORED index: postings + per-term stats + doc lengths
+      val postOld = tokens(withCut.filter(col("doc_id") < col("cut")))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .persistTracked()
+      val statsOld = postOld.groupBy(col("w"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      val dlOld = postOld.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+      // the INCREMENT: only new docs are tokenized
+      val postNew = tokens(withCut.filter(col("doc_id") >= col("cut")))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .persistTracked()
+      val statsNew = postNew.groupBy(col("w"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      // additive merges — the whole maintenance bill
+      val stats = statsOld.unionByName(statsNew)
+        .groupBy(col("w"))
+        .agg(sum(col("cf")).as("cf"), sum(col("df")).as("df"))
+        .persistTracked()
+      val dl = dlOld.unionByName(
+        postNew.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      val totals = dl.agg(sum(col("dl")).as("t_tok"),
+        count(lit(1)).as("d_docs"))
+      val query = stats.orderBy(col("cf").desc, col("w")).limit(5)
+        .select(col("w"))
+      val tf = postOld.join(broadcast(query), Seq("w"))
+        .unionByName(postNew.join(broadcast(query), Seq("w")))
+        .select(col("doc_id"), col("w"), col("tf"))
+      val dfT = stats.join(broadcast(query), Seq("w"))
+        .select(col("w"), col("df"))
+      bm25Serve(tf, dfT, dl, totals)
+    },
+    q184.oracle)
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282, q285, q287)
+      q237, q239, q249, q261, q265, q282, q285, q287, q299)
 }

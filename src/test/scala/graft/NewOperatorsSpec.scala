@@ -4825,6 +4825,20 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q299 bm25 upsert: incremental index serves q184's exact top-20") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = rows("q184_bm25")
+    graft.Caches.release()
+    val inc = rows("q299_bm25_upsert")
+    graft.Caches.release()
+    // row-for-row, bit-for-bit: additive stat merges lose nothing,
+    // including rank ORDER and the double-fold scores
+    assert(inc == full, s"increment drifted from rebuild:\n$inc\n$full")
+    assert(full.nonEmpty)
+  }
+
   test("q298 crypto shred: decrypt round-trips, erased rows counted not read") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q298_crypto_shred")(spark, sf001)
