@@ -581,5 +581,80 @@ object IngestQ {
       GROUP BY action
       ORDER BY action"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q155, q162, q165, q246, q289, q297)
+  /** q300: POINT-IN-TIME FEATURE MATERIALIZATION — the feature-store
+    * read path that decides whether a trained model is honest: every
+    * training row (one per order) may see only what existed STRICTLY
+    * BEFORE its own event time, or the model trains on the future
+    * (label leakage — the classic silent ML failure; Feast/Tecton call
+    * this the point-in-time-correct join). Features per order: the
+    * customer's prior order count, prior spend, and days since their
+    * previous order — all from ONE exclusive window frame
+    * (rowsBetween(unboundedPreceding, -1) over (date, key) — the -1 IS
+    * the leak guard; the key tiebreak makes same-day orders see a
+    * deterministic strict order). Output is the per-prior-count
+    * learning-curve census (support + exact-decimal mean label) a
+    * feature-quality report publishes. Scale: one shuffle by customer,
+    * bounded per-key frames — the same bill as any running total; no
+    * self-join, no per-row subquery. */
+  val q300 = Q(
+    "q300_feature_pit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cust"))
+        .orderBy(col("od"), col("k"))
+      val wx = w.rowsBetween(Window.unboundedPreceding, -1)
+      val feats = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          (year(col("o_orderdate")) * 10000
+            + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).cast(LongType).as("od"),
+          unix_date(to_date(col("o_orderdate"))).cast(LongType).as("odays"),
+          Det.cents(col("o_totalprice")).as("label_c"))
+        .withColumn("prior_cnt", count(lit(1)).over(wx))
+        .withColumn("prior_spend", coalesce(sum(col("label_c")).over(wx),
+          lit(0L)))
+        .withColumn("days_since",
+          coalesce(col("odays") - lag(col("odays"), 1).over(w), lit(-1L)))
+      feats
+        .groupBy(least(col("prior_cnt"), lit(8L)).as("prior_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("label_c")).cast(DoubleType) / count(lit(1))
+            / lit(100.0)).as("mean_label"),
+          (sum(col("prior_spend")).cast(DoubleType) / count(lit(1))
+            / lit(100.0)).as("mean_prior_spend"),
+          sum(when(col("days_since") >= 0, 1L).otherwise(0L))
+            .as("n_with_history"))
+        .orderBy(col("prior_bucket"))
+    },
+    Some(s"""
+      WITH feats AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               ${Det.centsSql("o_totalprice")} AS label_c,
+               count(*) OVER wx AS prior_cnt,
+               coalesce(sum(${Det.centsSql("o_totalprice")}) OVER wx, 0)
+                 AS prior_spend,
+               coalesce(
+                 CAST(date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS BIGINT), -1)
+                 AS days_since
+        FROM orders
+        WINDOW
+          w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wx AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT least(prior_cnt, 8) AS prior_bucket, count(*) AS n_rows,
+             CAST(CAST(sum(label_c) AS BIGINT) AS DOUBLE) / count(*) / 100
+               AS mean_label,
+             CAST(CAST(sum(prior_spend) AS BIGINT) AS DOUBLE) / count(*)
+               / 100 AS mean_prior_spend,
+             CAST(sum(CASE WHEN days_since >= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_history
+      FROM feats
+      GROUP BY 1
+      ORDER BY prior_bucket"""))
+
+  val all: Seq[Q] =
+    Seq(q15, q16, q155, q162, q165, q246, q289, q297, q300)
 }

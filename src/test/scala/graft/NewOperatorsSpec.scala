@@ -4825,6 +4825,45 @@ class NewOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q300 feature pit: brute-force strictly-before replay, no leakage") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q300_feature_pit")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    graft.Caches.release()
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(unix_date(to_date(o_orderdate)) AS BIGINT)"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.Caches.release()
+    // third implementation: per order, filter STRICTLY-before rows of
+    // the same customer (date, then key tiebreak) — O(n^2) but honest
+    val feats = orders.map { case (k, cust, od, c) =>
+      val before = orders.filter(o => o._2 == cust &&
+        (o._3 < od || (o._3 == od && o._1 < k)))
+      val ds = if (before.isEmpty) -1L else od - before.map(_._3).max
+      (math.min(before.length, 8).toLong, c, before.map(_._4).sum, ds)
+    }
+    val replay = feats.groupBy(_._1).map { case (b, g) =>
+      b -> ((g.length.toLong,
+        g.map(_._2).sum.toDouble / g.length / 100.0,
+        g.map(_._3).sum.toDouble / g.length / 100.0,
+        g.count(_._4 >= 0).toLong))
+    }
+    replay.foreach { case (b, (n, ml, mp, nh)) =>
+      val (gn, gml, gmp, gnh) = got(b)
+      assert(gn == n && gnh == nh, s"bucket $b counts")
+      assert(math.abs(gml - ml) < 1e-9 && math.abs(gmp - mp) < 1e-9,
+        s"bucket $b means: $gml/$ml $gmp/$mp")
+    }
+    // the leak guard: first-ever orders see NOTHING
+    assert(got(0L)._3 == 0.0 && got(0L)._4 == 0L,
+      "bucket 0 observed history — the exclusive frame leaked")
+  }
+
   test("q299 bm25 upsert: incremental index serves q184's exact top-20") {
     def rows(name: String) =
       SparkEntry.queries(name)(spark, sf001).collect()
