@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** MODEL-EVALUATION statistics — the two readouts every LLM training
+  * pipeline publishes alongside its data: pass@k over per-problem attempt
+  * outcomes (the unbiased estimator of Chen et al. 2021, "Evaluating
+  * Large Language Models Trained on Code", eq. 1) and Bradley–Terry
+  * strength ratings from pairwise preference votes (Zermelo 1929; the
+  * MM iteration of Hunter 2004, "MM algorithms for generalized
+  * Bradley-Terry models" — the Chatbot-Arena rating shape).
+  *
+  * Both are EXACT here: pass@k's estimator 1 − C(n−c,k)/C(n,k) is a
+  * ratio of small integers (binomials of n ≤ 10 via the falling-factorial
+  * product, which integer-divides k! exactly), summed as integers and
+  * divided ONCE; the BT iteration's only non-integer step is a division
+  * of identical operands folded in a FIXED order on both engines (the
+  * q61 harmonic-sum discipline), so even the iterated doubles bit-agree.
+  *
+  * The fixtures carry no eval outcomes, so both engines apply the same
+  * deterministic dose (the q239/q287 discipline): per-problem correct
+  * counts and pairwise winners derived from doc_id by integer hashing —
+  * skill-dependent (the win threshold shifts with the matchup) so the
+  * statistics are non-degenerate.
+  */
+object Evals {
+
+  /** C(m, k) as shared SQL over integer column text `m`, 0 ≤ m ≤ 12:
+    * falling-factorial product / k! — the product of k consecutive
+    * integers is divisible by k!, and for m < k a zero factor appears,
+    * so the formula self-zeroes exactly where the binomial does.
+    * `idiv`: Spark `div`, DuckDB `//`. */
+  def binomSql(m: String, k: Int, idiv: String): String = {
+    require(k >= 1 && k <= 12)
+    val fact = (1 to k).map(_.toLong).product
+    val prod = (0 until k).map(t => s"(($m) - $t)").mkString(" * ")
+    s"(($prod) $idiv $fact)"
+  }
+
+  /** Driver-side twin for spec pins. */
+  def binom(m: Long, k: Int): Long =
+    if (m < k) 0L
+    else (0 until k).map(m - _).product / (1 to k).map(_.toLong).product
+
+  private val N = 10 // attempts per problem
+  private val Ks = Seq(1, 5, 10)
+
+  /** q303: PASS@K EVAL SCORING — each document is a "problem" with
+    * n = 10 sampled attempts of which c passed (dosed:
+    * c = (doc_id·13) % 11 spans 0..10); the per-source report carries
+    * the unbiased pass@k estimator for k = 1/5/10, aggregated EXACTLY:
+    * mean over problems of 1 − C(n−c,k)/C(n,k)
+    *   = (N_probs·C(n,k) − Σ C(n−c,k)) / (N_probs·C(n,k)),
+    * all-integer numerator and denominator, one IEEE division at the
+    * end — no per-row float, no order-sensitive double sum. Scale: a
+    * single scan with partial aggregation; the report is
+    * |sources| × |ks| rows whatever the corpus size. */
+  val q303 = Q(
+    "q303_pass_at_k",
+    (s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .withColumn("c", expr("(doc_id * 13) % 11"))
+        .withColumn("m", lit(N.toLong) - col("c"))
+      val legs = Ks.map { k =>
+        val cnk = binom(N.toLong, k)
+        base
+          .withColumn("fail_num", expr(binomSql("m", k, "div")))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_problems"),
+            sum(col("c")).as("sum_correct"),
+            sum(col("fail_num")).as("sum_fail"))
+          .select(
+            col("source"), lit(k.toLong).as("k"), col("n_problems"),
+            (col("sum_correct").cast(DoubleType) / col("n_problems"))
+              .as("mean_correct"),
+            ((col("n_problems") * lit(cnk) - col("sum_fail"))
+              .cast(DoubleType) /
+              (col("n_problems") * lit(cnk)).cast(DoubleType))
+              .as("pass_at_k"))
+      }
+      legs.reduce(_.unionAll(_)).orderBy(col("source"), col("k"))
+    },
+    Some {
+      val legs = Ks.map { k =>
+        val cnk = binom(N.toLong, k)
+        s"""
+        SELECT source, CAST($k AS BIGINT) AS k,
+               count(*) AS n_problems,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mean_correct,
+               CAST(count(*) * $cnk - sum(fail_num) AS DOUBLE)
+                 / CAST(count(*) * $cnk AS DOUBLE) AS pass_at_k
+        FROM (SELECT source, c,
+                     ${binomSql(s"$N - c", k, "//")} AS fail_num
+              FROM dosed) t$k
+        GROUP BY source"""
+      }
+      s"""
+      WITH dosed AS (
+        SELECT source, (doc_id * 13) % 11 AS c FROM documents
+      )
+      ${legs.mkString(" UNION ALL ")}
+      ORDER BY source, k"""
+    })
+
+  private val Models = 5
+  private val Iters = 3
+
+  /** q304: BRADLEY–TERRY PREFERENCE RATINGS — pairwise votes between 5
+    * "models" (dosed: contestants a = doc_id%5, b = (doc_id div 5)%5,
+    * a ≠ b; winner decided by an integer hash against a matchup-shifted
+    * threshold, so stronger ids really win more) fitted with 3 rounds of
+    * Hunter's MM update  p_i ← W_i / Σ_{j≠i} n_ij/(p_i + p_j)  and
+    * normalized to shares. Every double is reproduced bit-exactly by
+    * the oracle: each opponent sum folds a j-ORDERED list (Spark
+    * `aggregate(array_sort(collect_list(struct(j, t))))` ↔ DuckDB
+    * `list_reduce(list_transform(list(... ORDER BY j)))` — the fixed
+    * fold-order discipline of q61), and every division sees identical
+    * operands. Scale: the vote scan aggregates to ≤ models² rows in one
+    * shuffle; the MM iterations run on that metadata-sized table
+    * (broadcast joins), exactly how an arena leaderboard recomputes at
+    * any corpus size. */
+  val q304 = Q(
+    "q304_bradley_terry",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val votes = Tables.load(s, d, "documents")
+        .select(
+          expr("doc_id % 5").as("a"),
+          expr("(doc_id div 5) % 5").as("b"),
+          expr("(doc_id * 2654435761L) % 97").as("u"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("winner",
+          when(col("u") < lit(48) + (col("a") - col("b")) * 8, col("a"))
+            .otherwise(col("b")))
+      // ordered-pair stats: one row per (i, j), i ≠ j, both directions
+      val edges = votes
+        .select(col("a").as("i"), col("b").as("j"),
+          when(col("winner") === col("a"), 1L).otherwise(0L).as("win"))
+        .unionAll(votes.select(col("b").as("i"), col("a").as("j"),
+          when(col("winner") === col("b"), 1L).otherwise(0L).as("win")))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_ij"), sum(col("win")).as("w_ij"))
+        .persistTracked()
+      val totals = edges.groupBy(col("i"))
+        .agg(sum(col("n_ij")).as("games"), sum(col("w_ij")).as("wins"))
+        .persistTracked()
+      var p = totals.select(col("i"), lit(1.0).as("p"))
+      (1 to Iters).foreach { _ =>
+        val denom = edges
+          .join(p.select(col("i"), col("p").as("p_i")), Seq("i"))
+          .join(p.select(col("i").as("j"), col("p").as("p_j")), Seq("j"))
+          .withColumn("t",
+            col("n_ij").cast(DoubleType) / (col("p_i") + col("p_j")))
+          .groupBy(col("i"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(j, t))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)").as("den"))
+        p = totals.join(denom, Seq("i"))
+          .select(col("i"),
+            (col("wins").cast(DoubleType) / col("den")).as("p"))
+      }
+      // normalize to shares with the same fixed-order fold
+      val norm = p.agg(
+        expr("aggregate(array_sort(collect_list(struct(i, p))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.p)").as("z"))
+      p.crossJoin(broadcast(norm))
+        .join(totals, Seq("i"))
+        .select(col("i").as("model"), col("games"), col("wins"),
+          (col("p") / col("z")).as("rating"))
+        .orderBy(col("model"))
+    },
+    Some {
+      val it = (1 to Iters).map { t =>
+        s"""
+        p$t AS (
+          SELECT e.i,
+                 w.wins / list_reduce(list_transform(
+                   list(struct_pack(j := e.j,
+                     t := CAST(e.n_ij AS DOUBLE) / (pi.p + pj.p))
+                     ORDER BY e.j), x -> x.t), (acc, x) -> acc + x) AS p
+          FROM edges e
+          JOIN p${t - 1} pi ON pi.i = e.i
+          JOIN p${t - 1} pj ON pj.i = e.j
+          JOIN wtot w ON w.i = e.i
+          GROUP BY e.i, w.wins
+        )"""
+      }
+      s"""
+      WITH votes AS (
+        SELECT a, b,
+               CASE WHEN u < 48 + (a - b) * 8 THEN a ELSE b END AS winner
+        FROM (SELECT doc_id % 5 AS a, (doc_id // 5) % 5 AS b,
+                     (doc_id * 2654435761) % 97 AS u
+              FROM documents) raw
+        WHERE a <> b
+      ), edges AS (
+        SELECT i, j, count(*) AS n_ij, CAST(sum(win) AS BIGINT) AS w_ij
+        FROM (
+          SELECT a AS i, b AS j,
+                 CASE WHEN winner = a THEN 1 ELSE 0 END AS win FROM votes
+          UNION ALL
+          SELECT b AS i, a AS j,
+                 CASE WHEN winner = b THEN 1 ELSE 0 END AS win FROM votes
+        ) dirs
+        GROUP BY i, j
+      ), wtot AS (
+        SELECT i, CAST(sum(n_ij) AS BIGINT) AS games,
+               CAST(CAST(sum(w_ij) AS BIGINT) AS DOUBLE) AS wins,
+               CAST(sum(w_ij) AS BIGINT) AS wins_i
+        FROM edges GROUP BY i
+      ), p0 AS (
+        SELECT i, CAST(1 AS DOUBLE) AS p FROM wtot
+      ), ${it.mkString(", ")}, z AS (
+        SELECT list_reduce(list_transform(list(struct_pack(i := i, p := p)
+                 ORDER BY i), x -> x.p), (acc, x) -> acc + x) AS z
+        FROM p$Iters
+      )
+      SELECT w.i AS model, w.games, w.wins_i AS wins, p.p / z.z AS rating
+      FROM p$Iters p
+      JOIN wtot w ON w.i = p.i
+      CROSS JOIN z
+      ORDER BY model"""
+    })
+
+  val all: Seq[Q] = Seq(q303, q304)
+}

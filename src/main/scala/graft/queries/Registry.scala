@@ -4,7 +4,7 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     Core.all ++ IngestQ.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Olap.all ++
-      Curation.all ++ Geo.all ++
+      Curation.all ++ Geo.all ++ Evals.all ++
       graft.sources.IngestJob.all ++ graft.sources.JdbcRemote.all ++
       graft.streaming.EventStream.all ++ graft.streaming.SnapshotStream.all ++
       graft.multimodal.MediaDecoder.all ++ graft.operators.Skew.all ++

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Evals
+
+/** Eval-statistics family: binomial identity pins, a full third-
+  * implementation driver replay of the pass@k estimator and of all three
+  * Bradley–Terry MM iterations (exact double equality — the fold-order
+  * discipline is the thing under test), and the statistical sanity the
+  * dose must produce (non-degenerate, skill-ordered). */
+class EvalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binomSql matches the driver twin over the whole m domain") {
+    val rows = spark.range(0, 11).select(col("id").as("m"))
+      .withColumn("b1", expr(Evals.binomSql("m", 1, "div")))
+      .withColumn("b5", expr(Evals.binomSql("m", 5, "div")))
+      .withColumn("b10", expr(Evals.binomSql("m", 10, "div")))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (m, b1, b5, b10) =>
+      assert(b1 == Evals.binom(m, 1) && b1 == m)
+      assert(b5 == Evals.binom(m, 5))
+      assert(b10 == Evals.binom(m, 10) && b10 == (if (m == 10) 1L else 0L))
+    }
+    // Pascal cross-check at the used n: C(10,5) = 252
+    assert(Evals.binom(10, 5) == 252L)
+  }
+
+  test("q303 pass@k equals a from-scratch driver replay; pass@1 = mean c/n") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect()
+    val bySource = docs.groupBy(_._2)
+    val expected = (for {
+      (src, rows) <- bySource
+      k <- Seq(1, 5, 10)
+    } yield {
+      val cs = rows.map { case (id, _) => (id * 13) % 11 }
+      val n = cs.length.toLong
+      val cnk = Evals.binom(10, k)
+      val sumFail = cs.map(c => Evals.binom(10 - c, k)).sum
+      ((src, k.toLong),
+        (n, cs.sum.toDouble / n,
+          (n * cnk - sumFail).toDouble / (n * cnk).toDouble))
+    }).toMap
+    val got = Evals.q303.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (src, k, n, meanC, passK) =>
+      val (en, emc, epk) = expected((src, k))
+      assert(n == en && meanC == emc && passK == epk,
+        s"replay mismatch at ($src, $k)")
+      if (k == 1) // estimator collapses to the plain pass rate at k=1
+        assert(math.abs(passK - meanC / 10.0) < 1e-12)
+    }
+    // monotone in k for every source (more samples can only help)
+    got.groupBy(_._1).values.foreach { rows =>
+      val byK = rows.sortBy(_._2).map(_._5)
+      assert(byK.zip(byK.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q304 ratings equal a from-scratch MM replay, bit for bit") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val votes = ids.flatMap { id =>
+      val (a, b) = (id % 5, (id / 5) % 5)
+      if (a == b) None
+      else {
+        val u = (id * 2654435761L) % 97
+        Some((a, b, if (u < 48 + (a - b) * 8) a else b))
+      }
+    }
+    // ordered-pair stats
+    val edges = votes.flatMap { case (a, b, w) =>
+      Seq(((a, b), if (w == a) 1L else 0L), ((b, a), if (w == b) 1L else 0L))
+    }.groupBy(_._1).map { case ((i, j), vs) =>
+      (i, j, vs.size.toLong, vs.map(_._2).sum)
+    }.toSeq
+    val wins = edges.groupBy(_._1).map { case (i, es) =>
+      i -> es.map(_._4).sum
+    }
+    val games = edges.groupBy(_._1).map { case (i, es) =>
+      i -> es.map(_._3).sum
+    }
+    var p = (0L to 4L).map(i => i -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      p = (0L to 4L).map { i =>
+        val den = edges.filter(_._1 == i).sortBy(_._2)
+          .foldLeft(0.0) { case (acc, (_, j, n, _)) =>
+            acc + n.toDouble / (p(i) + p(j))
+          }
+        i -> wins(i).toDouble / den
+      }.toMap
+    }
+    val z = (0L to 4L).foldLeft(0.0)((acc, i) => acc + p(i))
+    val got = Evals.q304.run(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L to 4L).toSeq)
+    got.foreach { case (m, g, w, rating) =>
+      assert(g == games(m) && w == wins(m), s"stats mismatch at model $m")
+      assert(rating == p(m) / z, s"rating not bit-equal at model $m")
+    }
+    // dose sanity: matchup-shifted threshold makes 4 strictly outrate 0,
+    // and shares form a distribution
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    assert(got.last._4 > got.head._4, "dose failed to order the extremes")
+  }
+}
