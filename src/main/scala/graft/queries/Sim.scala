@@ -1791,7 +1791,112 @@ object Sim {
       GROUP BY true_label
       ORDER BY true_label"""))
 
+  /** Exact integer squared distance between two quantized vectors — the
+    * element order of the fold is the array order, and every term is a
+    * BIGINT, so the sum is order-exact in both engines whatever their
+    * evaluation strategy. */
+  private def qd2(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  private def qd2Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** q305: K-CENTER DIVERSE SUBSET SELECTION — the Gonzalez (1985,
+    * "Clustering to minimize the maximum intercluster distance") greedy
+    * 2-approximation, the canonical "pick a maximally diverse sample"
+    * primitive data curation uses to seed annotation batches and
+    * coreset-style eval sets: start from the smallest vec_id, then k−1
+    * times take the point FARTHEST from everything chosen so far
+    * (ties to the smallest id). Distances are exact integers — vectors
+    * quantized dim-wise to round(x·2^14) BIGINTs, squared distance an
+    * order-exact integer fold — so the argmax chain is deterministic
+    * cross-engine with no float comparison anywhere. Output per rank:
+    * the chosen id, its selection distance (= the coverage radius of
+    * the previous prefix — the textbook certificate that greedy is
+    * 2-optimal), and the coverage radius after adding it. The oracle
+    * unrolls the same k rounds as chained CTEs (the q274 8-peel
+    * discipline). Scale: k passes over the corpus, each a broadcast of
+    * ONE center (k bounded driver collects of 1 row — the q59
+    * discipline); never a pairwise matrix. */
+  val q305 = Q(
+    "q305_kcenter_diversity",
+    (s, d) => {
+      import s.implicits._
+      val k = 4
+      val pts = Tables.load(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(round(x * 16384) AS BIGINT))").as("q"))
+        .persistTracked()
+      def centerLit(q: Seq[Long]) = array(q.map(lit): _*)
+      val seed = pts.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("q")).head()
+      val seedQ = seed.getSeq[Long](1)
+      var cur = pts
+        .withColumn("c", centerLit(seedQ))
+        .withColumn("md", expr(qd2("q", "c")))
+        .select(col("vec_id"), col("q"), col("md"))
+        .persistTracked()
+      var picks = Vector((1L, seed.getLong(0), 0L,
+        cur.agg(max(col("md"))).head().getLong(0)))
+      (2 to k).foreach { r =>
+        val nxt = cur.orderBy(desc("md"), col("vec_id")).limit(1).head()
+        val nq = nxt.getSeq[Long](1)
+        cur = cur
+          .withColumn("c", centerLit(nq))
+          .withColumn("md", least(col("md"), expr(qd2("q", "c"))))
+          .select(col("vec_id"), col("q"), col("md"))
+          .persistTracked()
+        picks :+= ((r.toLong, nxt.getLong(0), nxt.getLong(2),
+          cur.agg(max(col("md"))).head().getLong(0)))
+      }
+      picks.toDF("sel_rank", "vec_id", "sel_d2", "cover_d2")
+        .orderBy(col("sel_rank"))
+    },
+    Some {
+      // round r: c{r} = argmax of m{r-1}.md (ties to min id);
+      // m{r} = md lowered by the new center; cov{r} = max m{r}.md
+      val rounds = (2 to 4).map { r =>
+        s"""
+        c$r AS (
+          SELECT vec_id, q, md FROM m${r - 1}
+          ORDER BY md DESC, vec_id LIMIT 1
+        ), m$r AS (
+          SELECT m.vec_id, m.q,
+                 least(m.md, ${qd2Sql("m.q", "c.q")}) AS md
+          FROM m${r - 1} m, c$r c
+        )"""
+      }
+      val out = (2 to 4).map { r =>
+        s"""
+        UNION ALL
+        SELECT CAST($r AS BIGINT) AS sel_rank, c$r.vec_id, c$r.md AS sel_d2,
+               (SELECT max(md) FROM m$r) AS cover_d2
+        FROM c$r"""
+      }
+      s"""
+      WITH v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 16384) AS BIGINT)) AS q
+        FROM embeddings
+      ), c1 AS (
+        SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1
+      ), m1 AS (
+        SELECT v.vec_id, v.q, ${qd2Sql("v.q", "c.q")} AS md
+        FROM v, c1 c
+      ), ${rounds.mkString(", ")}
+      SELECT CAST(1 AS BIGINT) AS sel_rank, c1.vec_id,
+             CAST(0 AS BIGINT) AS sel_d2,
+             (SELECT max(md) FROM m1) AS cover_d2
+      FROM c1
+      ${out.mkString(" ")}
+      ORDER BY sel_rank"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242, q259, q275, q276, q291)
+      q211, q212, q213, q242, q259, q275, q276, q291, q305)
 }

@@ -5280,4 +5280,45 @@ class NewOperatorsSpec extends SparkSpec {
     // frequency voting must produce structure beyond singletons
     assert(sizes.values.exists(_ > 1), "no community grew past size 1")
   }
+
+  test("q305 k-center equals a from-scratch Gonzalez replay; certificate holds") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map { x =>
+          // half AWAY FROM ZERO — math.round is half-toward-+inf and
+          // would diverge from both engines on negative exact halves
+          val v = x.toDouble * 16384
+          if (v >= 0) math.floor(v + 0.5).toLong
+          else -math.floor(-v + 0.5).toLong
+        }.toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // greedy replay, third implementation
+    var centers = Vector(vecs.head)
+    var md = vecs.map(v => (v._1, d2(v._2, vecs.head._2)))
+    var expected = Vector((1L, vecs.head._1, 0L, md.map(_._2).max))
+    (2 to 4).foreach { r =>
+      val (nid, nd) = md.maxBy { case (id, m) => (m, -id) }
+      val nq = vecs.find(_._1 == nid).get._2
+      md = vecs.map(v => (v._1, math.min(
+        md.find(_._1 == v._1).get._2, d2(v._2, nq))))
+      centers :+= ((nid, nq))
+      expected :+= ((r.toLong, nid, nd, md.map(_._2).max))
+    }
+    val got = graft.queries.Sim.q305.run(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toVector
+    assert(got == expected, "engine diverged from the greedy replay")
+    // the 2-approximation certificate: the selection distance at rank r+1
+    // IS the coverage radius after rank r, and coverage never increases
+    got.sliding(2).foreach { case Vector(a, b) =>
+      assert(b._3 == a._4, "sel_d2(r+1) != cover_d2(r)")
+      assert(b._4 <= a._4, "coverage radius increased")
+    }
+    assert(got.map(_._2).distinct.size == 4, "duplicate center chosen")
+  }
 }
