@@ -2194,8 +2194,61 @@ object IngestJob {
       FROM base
       ORDER BY snapshot"""))
 
+  /** q306: XML ROUND-TRIP — the fourth text-format leg beside CSV (q17),
+    * JSONL (q79) and ORC (q92), on Spark 4's BUILT-IN XML source (the
+    * former spark-xml package, merged upstream): full orders table →
+    * one `<order>` element per row under rowTag, → read back with an
+    * explicit schema, full-row compare against the original via the
+    * oracle. Doubles survive because Spark prints the shortest
+    * round-tripping decimal repr; the timestamp travels as an explicit
+    * microsecond string (the q17 discipline — format-specific temporal
+    * encodings are where round-trips silently lose precision, so we
+    * never delegate them to the format). Any XML-escaping mangling of
+    * the status/priority strings diffs. Scale: both legs are plain
+    * distributed scans/writes; XML is a per-row text codec, no
+    * cross-row state. */
+  val q306 = Q(
+    "q306_xml_roundtrip",
+    (s, d) => {
+      val dir = tmp(s"orders_xml_${d.replaceAll("[^0-9.]", "")}")
+      Tables.load(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("od_str"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").option("rowTag", "order").xml(dir)
+      s.read
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("od_str", StringType),
+          StructField("o_orderpriority", StringType))))
+        .option("rowTag", "order")
+        // the reader TRIMS surrounding whitespace by default (pinned in
+        // IngestPipelineSpec) — lossless round-trips must turn that off
+        .option("ignoreSurroundingSpaces", false)
+        .xml(dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          to_timestamp(col("od_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q34, q57, q63, q79, q92, q97, q228, q243, q244,
       q248, q251, q252, q253, q255, q256, q257, q258, q264, q266, q269,
-      q270, q272, q284, q286)
+      q270, q272, q284, q286, q306)
 }

@@ -112,4 +112,34 @@ class IngestPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("n_rows"))
   }
+
+  test("xml roundtrip survives markup-significant characters") {
+    import spark.implicits._
+    // every character class XML must escape (or CDATA) to stay lossless:
+    // element syntax, entities, quotes, and a leading/trailing space
+    val rows = Seq(
+      (1L, "<order> & </order>"),
+      (2L, "a \"quoted\" 'string'"),
+      (3L, " leading & trailing "),
+      (4L, "]]> cdata terminator"),
+      (5L, "plain"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xml_spec").toString
+    rows.toDF("k", "s").write.mode("overwrite")
+      .option("rowTag", "row").xml(dir)
+    // ignoreSurroundingSpaces defaults TRUE and silently trims values —
+    // found by this test; lossless reads must disable it
+    val back = spark.read
+      .schema("k LONG, s STRING")
+      .option("rowTag", "row")
+      .option("ignoreSurroundingSpaces", false).xml(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == rows, "XML escaping mangled a value")
+    val trimmed = spark.read
+      .schema("k LONG, s STRING")
+      .option("rowTag", "row").xml(dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(trimmed(2)._2 == "leading & trailing",
+      "default-read trim behavior changed — revisit q306's option")
+  }
 }
