@@ -4279,10 +4279,105 @@ object Text {
     },
     q184.oracle)
 
+  /** Census-soundex letter→code map, 'A'..'Z': vowels (and Y) are '0'
+    * (they separate equal codes without emitting), H/W are '7'
+    * (transparent: neither emit nor separate — the census rule that
+    * makes ASHCRAFT collapse S,C across the H into A261). */
+  val SoundexMap = "01230127022455012623017202"
+
+  /** Dose surname list — 24 classic census names including every edge
+    * case family: H/W transparency (ASHCRAFT, JOHNSON), first-letter
+    * collapse (PFISTER, SCOTT), vowel separation (TYMCZAK, JACKSON),
+    * short codes needing padding (LLOYD, LEWIS), leading W (WALKER),
+    * and a genuine blocking collision (ROBERT/RUPERT → R163). */
+  val SoundexNames: Seq[String] = Seq(
+    "ASHCRAFT", "PFISTER", "TYMCZAK", "JOHNSON", "SCOTT", "ANDERSON",
+    "WALKER", "LLOYD", "JACKSON", "ROBERT", "RUPERT", "GARCIA",
+    "MARTINEZ", "BROWN", "MILLER", "DAVIS", "LOPEZ", "GONZALEZ",
+    "TAYLOR", "CLARK", "LEWIS", "YOUNG", "KING", "GREEN")
+
+  /** Driver-side census soundex (third implementation for the spec). */
+  def soundexRef(name: String): String = {
+    val u = name.toUpperCase
+    var p = SoundexMap(u.head - 'A')
+    val r = new StringBuilder
+    u.tail.foreach { c =>
+      val k = SoundexMap(c - 'A')
+      if (k != '7') {
+        if (k != '0' && k != p) r += k
+        p = k
+      } // '7' (H/W): transparent — p unchanged, nothing emitted
+    }
+    (u.head + r.toString + "000").take(4)
+  }
+
+  /** q307: SOUNDEX BLOCKING — phonetic blocking keys for entity
+    * resolution (the classic record-linkage blocking function; Russell
+    * 1918 / US Census variant), as a TRUE cross-implementation
+    * differential in the q287 Luhn discipline: Spark evaluates its
+    * BUILT-IN codegen `soundex`, while the oracle runs an independently
+    * written character-level STATE MACHINE (a `list_reduce` over the
+    * name's mapped codes carrying (emitted, prev-code) state — H/W
+    * transparent, vowels separating, adjacent equal codes collapsing,
+    * exactly the census rules). Names are dosed from a fixed 24-surname
+    * list chosen to fire every rule on every run. The readout is the
+    * blocking-quality census per code: rows, distinct names, and the
+    * within-block candidate-pair bill C(n,2) — the number an ER
+    * pipeline uses to budget its match stage. Scale: one scan, one
+    * group-by; blocking exists precisely so the match join never sees
+    * O(n²). */
+  val q307 = Q(
+    "q307_soundex_blocking",
+    (s, d) => {
+      val nameArr = SoundexNames.map(n => s"'$n'").mkString(", ")
+      Tables.load(s, d, "customer")
+        .withColumn("name", expr(
+          s"element_at(array($nameArr), " +
+            s"CAST(c_custkey % ${SoundexNames.size} + 1 AS INT))"))
+        .withColumn("code", soundex(col("name")))
+        .groupBy(col("code"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("name")).as("n_names"),
+          // integer division — Column./ would widen to DOUBLE
+          expr("count(*) * (count(*) - 1) div 2").as("n_pairs"))
+        .orderBy(col("code"))
+    },
+    Some {
+      val nameArr = SoundexNames.map(n => s"'$n'").mkString(", ")
+      // the fold's first element IS the initial state: position 1
+      // contributes (r='', p=code(first)); later positions only read x.p
+      val fold =
+        s"""substr(u, 1, 1) || substr(list_reduce(
+             list_transform(range(1, len(u) + 1), i ->
+               struct_pack(r := '',
+                 p := substr('$SoundexMap', ascii(substr(u, i, 1)) - 64, 1))),
+             (acc, x) -> struct_pack(
+               r := acc.r || CASE WHEN x.p = '7' OR x.p = '0'
+                                       OR x.p = acc.p
+                                  THEN '' ELSE x.p END,
+               p := CASE WHEN x.p = '7' THEN acc.p ELSE x.p END)).r
+           || '000', 1, 3)"""
+      s"""
+      WITH dosed AS (
+        SELECT [$nameArr][CAST(c_custkey % ${SoundexNames.size} + 1
+                 AS BIGINT)] AS u
+        FROM customer
+      ), coded AS (
+        SELECT u AS name, $fold AS code FROM dosed
+      )
+      SELECT code, count(*) AS n_rows,
+             count(DISTINCT name) AS n_names,
+             count(*) * (count(*) - 1) // 2 AS n_pairs
+      FROM coded
+      GROUP BY code
+      ORDER BY code"""
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282, q285, q287, q299)
+      q237, q239, q249, q261, q265, q282, q285, q287, q299, q307)
 }

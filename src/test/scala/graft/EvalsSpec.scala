@@ -106,4 +106,28 @@ class EvalsSpec extends SparkSpec {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
     assert(got.last._4 > got.head._4, "dose failed to order the extremes")
   }
+
+  test("q307 soundex: driver replay matches Spark's builtin on the dose + classics") {
+    import graft.queries.Text
+    // published census values for the edge-case classics
+    val classics = Map(
+      "ASHCRAFT" -> "A261", "PFISTER" -> "P236", "TYMCZAK" -> "T522",
+      "JOHNSON" -> "J525", "SCOTT" -> "S300", "ANDERSON" -> "A536",
+      "WALKER" -> "W426", "LLOYD" -> "L300", "JACKSON" -> "J250",
+      "ROBERT" -> "R163", "RUPERT" -> "R163")
+    classics.foreach { case (n, code) =>
+      assert(Text.soundexRef(n) == code, s"replay wrong on classic $n")
+    }
+    val sparkCodes = Text.SoundexNames
+      .toDF("name").withColumn("code", soundex(col("name")))
+      .as[(String, String)].collect().toMap
+    Text.SoundexNames.foreach { n =>
+      assert(sparkCodes(n) == Text.soundexRef(n),
+        s"Spark builtin and census replay diverge on $n")
+    }
+    // the dose must exercise a collision (blocking groups > 1 name)
+    val byCode = Text.SoundexNames.groupBy(Text.soundexRef)
+    assert(byCode.values.exists(_.size > 1), "no blocking collision dosed")
+    assert(byCode.size == 23)
+  }
 }
