@@ -4374,10 +4374,65 @@ object Text {
       ORDER BY code"""
     })
 
+  /** q308: PREFIX AUTOCOMPLETE INDEX — the search-serving completion
+    * table: for every 1..4-character prefix of a product name, the top-3
+    * completions by lifetime revenue (ties to the lexicographically
+    * smaller name) — what a storefront's type-ahead serves on every
+    * keystroke. Built the scalable way round: revenue aggregates to the
+    * NAME vocabulary first (the only lineitem-sized shuffle, with the
+    * part dimension broadcast), THEN fans out ×4 prefixes over the
+    * vocabulary-sized table and ranks inside each prefix — the fan-out
+    * and window never see fact-table cardinality. Revenue is exact
+    * integer cents (Det discipline). At 100 TB the completion table is
+    * what you'd publish to the serving tier; its size is bounded by
+    * |vocabulary| × 4 × 3 regardless of sales volume. */
+  val q308 = Q(
+    "q308_prefix_autocomplete",
+    (s, d) => {
+      val rev = Tables.load(s, d, "lineitem")
+        .join(
+          broadcast(Tables.load(s, d, "part")
+            .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name").as("name"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prefix"))
+        .orderBy(desc("rev_c"), col("name"))
+      rev
+        .withColumn("prefix",
+          explode(expr("transform(sequence(1, 4), n -> substr(name, 1, n))")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("prefix"), col("rnk").cast(LongType).as("rnk"),
+          col("name"), col("rev_c"))
+        .orderBy(col("prefix"), col("rnk"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT p.p_name AS name,
+               CAST(sum(${Det.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+      ), pfx AS (
+        SELECT substr(name, 1, n.n) AS prefix, name, rev_c
+        FROM rev, (VALUES (1), (2), (3), (4)) n(n)
+      ), ranked AS (
+        SELECT prefix, name, rev_c,
+               row_number() OVER (PARTITION BY prefix
+                 ORDER BY rev_c DESC, name) AS rnk
+        FROM pfx
+      )
+      SELECT prefix, CAST(rnk AS BIGINT) AS rnk, name, rev_c
+      FROM ranked
+      WHERE rnk <= 3
+      ORDER BY prefix, rnk"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282, q285, q287, q299, q307)
+      q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308)
 }

@@ -5321,4 +5321,36 @@ class NewOperatorsSpec extends SparkSpec {
     }
     assert(got.map(_._2).distinct.size == 4, "duplicate center chosen")
   }
+
+  test("q308 autocomplete: completions extend their prefix and rank by true revenue") {
+    val out = graft.queries.Text.q308.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (p, _, name, _) =>
+      assert(name.startsWith(p), s"'$name' does not extend '$p'")
+      assert(p.length >= 1 && p.length <= 4)
+    }
+    // within a prefix: ranks are 1..n and revenue is non-increasing
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.length <= 3)
+    }
+    assert(out.exists(_._1.length == 4), "no depth-4 prefixes surfaced")
+    // ground truth: recompute name revenue and check every top-1
+    val rev = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(sum(graft.queries.Det.cents(col("l_extendedprice"))).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.filter(_._2 == 1L).foreach { case (p, _, name, rc) =>
+      val best = rev.filter(_._1.startsWith(p)).maxBy(x => (x._2, x._1))._2
+      // max revenue wins; the engine ties to the SMALLER name
+      val winners = rev.filter(_._1.startsWith(p)).filter(_._2 == best)
+        .map(_._1).sorted
+      assert(rc == best && name == winners.head, s"top-1 wrong for '$p'")
+    }
+  }
 }
