@@ -1282,7 +1282,90 @@ object Curation {
       GROUP BY 1
       ORDER BY cohort"""))
 
+  /** q310: RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) SHARDING — the consistent
+    * assignment primitive behind shard routers and cache rings (Thaler &
+    * Ravishankar 1998): each key goes to the shard whose md5(key:shard)
+    * is lexicographically largest, so when a shard is REMOVED only ITS
+    * keys move (every other key's argmax is untouched — the minimal-
+    * disruption property that makes resharding a 1/N bill instead of a
+    * full reshuffle at 100 TB). Both engines evaluate the same 8-way
+    * argmax with the SAME spelling (`max_by` exists in both); the
+    * removal leg re-runs it with shard 3's weight demoted to '' (sorts
+    * below every hex digest — no NULL-skipping semantics to trust
+    * cross-engine). The per-shard census carries before/after counts and
+    * the inflow from the removed shard; equality proves — in data, per
+    * shard — that inflow accounts for ALL movement. The spec proves the
+    * per-key invariant (new == old unless old == 3) directly. Scale:
+    * one scan, 8× literal fan-out, one aggregation by key then one by
+    * shard; no join anywhere. */
+  val q310 = Q(
+    "q310_rendezvous_sharding",
+    (s, d) => {
+      val assigned = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("k"))
+        .withColumn("s", explode(expr(
+          "sequence(CAST(0 AS BIGINT), CAST(7 AS BIGINT))")))
+        .withColumn("w",
+          md5(concat(col("k").cast(StringType), lit(":"),
+            col("s").cast(StringType))))
+        .groupBy(col("k"))
+        .agg(
+          expr("max_by(s, w)").as("old_shard"),
+          expr("max_by(s, CASE WHEN s = 3 THEN '' ELSE w END)")
+            .as("new_shard"))
+        .persistTracked()
+      assigned
+        .groupBy(col("old_shard").as("shard"))
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("new_shard") === col("old_shard"), 1L)
+            .otherwise(0L)).as("n_stayed"))
+        .join(
+          assigned.groupBy(col("new_shard").as("shard"))
+            .agg(
+              count(lit(1)).as("n_after"),
+              sum(when(col("old_shard") === 3, 1L).otherwise(0L))
+                .as("n_moved_in")),
+          Seq("shard"), "full_outer")
+        .select(
+          col("shard"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_stayed"), lit(0L)).as("n_stayed"),
+          coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT k, max_by(s, w) AS old_shard,
+               max_by(s, CASE WHEN s = 3 THEN '' ELSE w END) AS new_shard
+        FROM (
+          SELECT c_custkey AS k, g.s,
+                 md5(CAST(c_custkey AS VARCHAR) || ':'
+                     || CAST(g.s AS VARCHAR)) AS w
+          FROM customer, (SELECT unnest(range(0, 8)) AS s) g
+        ) cand
+        GROUP BY k
+      ), before AS (
+        SELECT old_shard AS shard, count(*) AS n_before,
+               CAST(sum(CASE WHEN new_shard = old_shard THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_stayed
+        FROM assigned GROUP BY 1
+      ), after AS (
+        SELECT new_shard AS shard, count(*) AS n_after,
+               CAST(sum(CASE WHEN old_shard = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_moved_in
+        FROM assigned GROUP BY 1
+      )
+      SELECT coalesce(b.shard, a.shard) AS shard,
+             coalesce(b.n_before, 0) AS n_before,
+             coalesce(a.n_after, 0) AS n_after,
+             coalesce(b.n_stayed, 0) AS n_stayed,
+             coalesce(a.n_moved_in, 0) AS n_moved_in
+      FROM before b FULL OUTER JOIN after a ON b.shard = a.shard
+      ORDER BY shard"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298)
+      q247, q263, q290, q293, q298, q310)
 }

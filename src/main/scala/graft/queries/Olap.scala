@@ -4539,6 +4539,95 @@ object Olap {
       FROM tot t JOIN adj a ON t.curve = a.curve
       ORDER BY t.curve"""))
 
+  /** q309: FORECAST BACKTEST WITH MASE — the scoring half of time-series
+    * work (q195 fits a trend; this GRADES forecasts the way M-competition
+    * practice does): per nation, the monthly revenue series is gap-filled
+    * onto a dense LINEAR month index (year·12 + month − 1 — yyyymm is
+    * non-linear across year boundaries, a classic silent lag bug; zero
+    * months must exist or LAG counts observations, not months), then the
+    * last 12 months are held out and two forecasts compete: seasonal
+    * naive (value 12 months earlier) vs naive (previous month). The
+    * readout per nation is the exact integer sum of absolute errors for
+    * both and their ratio — MASE (Hyndman & Koehler 2006, "Another look
+    * at measures of forecast accuracy"): < 1 means beating the naive
+    * walk. All error arithmetic is integer cents; the single division is
+    * guarded against constant series (NULL, not a cross-engine inf).
+    * Scale: one fact shuffle to nation×month (partial aggs first), the
+    * calendar fill is |nations|×|months| metadata, windows run per
+    * nation — the 100 TB bill is the first aggregation, full stop. */
+  val q309 = Q(
+    "q309_mase_backtest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.load(s, d, "orders")
+        .join(
+          broadcast(Tables.load(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("c_nationkey").cast(LongType).as("nat"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast(LongType).as("mi"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("rev_c"))
+      val bounds = rev.agg(
+        min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      val cal = rev.select(col("nat")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("nat"), explode(expr("sequence(lo, hi)")).as("mi"),
+          col("hi"))
+      val w = Window.partitionBy(col("nat")).orderBy(col("mi"))
+      val filled = cal
+        .join(rev, Seq("nat", "mi"), "left")
+        .withColumn("rev", coalesce(col("rev_c"), lit(0L)))
+        .withColumn("s_fc", lag(col("rev"), 12).over(w))
+        .withColumn("n_fc", lag(col("rev"), 1).over(w))
+        .filter(col("mi") > col("hi") - 12)
+      filled
+        .groupBy(col("nat"))
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum(abs(col("rev") - col("s_fc"))).as("sae_seasonal_c"),
+          sum(abs(col("rev") - col("n_fc"))).as("sae_naive_c"))
+        .withColumn("mase",
+          when(col("sae_naive_c") === 0, lit(null).cast(DoubleType))
+            .otherwise(col("sae_seasonal_c").cast(DoubleType) /
+              col("sae_naive_c").cast(DoubleType)))
+        .orderBy(col("nat"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS mi,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+      ), bounds AS (
+        SELECT min(mi) AS lo, max(mi) AS hi FROM rev
+      ), cal AS (
+        SELECT n.nat, unnest(range(b.lo, b.hi + 1)) AS mi, b.hi
+        FROM (SELECT DISTINCT nat FROM rev) n, bounds b
+      ), filled AS (
+        SELECT c.nat, c.mi, c.hi, coalesce(r.rev_c, 0) AS rev
+        FROM cal c LEFT JOIN rev r ON r.nat = c.nat AND r.mi = c.mi
+      ), fc AS (
+        SELECT nat, mi, hi, rev,
+               lag(rev, 12) OVER (PARTITION BY nat ORDER BY mi) AS s_fc,
+               lag(rev, 1) OVER (PARTITION BY nat ORDER BY mi) AS n_fc
+        FROM filled
+      )
+      SELECT nat, count(*) AS n_test,
+             CAST(sum(abs(rev - s_fc)) AS BIGINT) AS sae_seasonal_c,
+             CAST(sum(abs(rev - n_fc)) AS BIGINT) AS sae_naive_c,
+             CASE WHEN CAST(sum(abs(rev - n_fc)) AS BIGINT) = 0 THEN NULL
+                  ELSE CAST(CAST(sum(abs(rev - s_fc)) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(sum(abs(rev - n_fc)) AS BIGINT) AS DOUBLE)
+             END AS mase
+      FROM fc
+      WHERE mi > hi - 12
+      GROUP BY nat
+      ORDER BY nat"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4546,5 +4635,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294, q295, q296)
+      q278, q279, q280, q281, q283, q294, q295, q296, q309)
 }

@@ -5353,4 +5353,74 @@ class NewOperatorsSpec extends SparkSpec {
       assert(rc == best && name == winners.head, s"top-1 wrong for '$p'")
     }
   }
+
+  test("q309 MASE equals a from-scratch gapfilled replay") {
+    val cust = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect().map { r =>
+        // orders' timestamp[us] (isAdjustedToUTC=false) surfaces as NTZ
+        val d = r.getAs[java.time.LocalDateTime](1)
+        (cust(r.getLong(0)), d.getYear.toLong * 12 + d.getMonthValue - 1,
+          math.round(r.getDouble(2) * 100))
+      }
+    val rev = orders.groupBy(o => (o._1, o._2))
+      .map { case (k, vs) => k -> vs.map(_._3).sum }
+    val (lo, hi) = (rev.keys.map(_._2).min, rev.keys.map(_._2).max)
+    assert(hi - lo >= 24, "fixture span too short for a 12-month backtest")
+    val expected = rev.keys.map(_._1).toSeq.distinct.sorted.map { nat =>
+      val series = (lo to hi).map(mi => rev.getOrElse((nat, mi), 0L))
+      val n = series.length
+      val test = (n - 12) until n
+      val saeS = test.map(i => math.abs(series(i) - series(i - 12))).sum
+      val saeN = test.map(i => math.abs(series(i) - series(i - 1))).sum
+      (nat, 12L, saeS, saeN,
+        if (saeN == 0) null else saeS.toDouble / saeN.toDouble)
+    }
+    val got = graft.queries.Olap.q309.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == expected, "MASE backtest diverged from replay")
+    // the dose is non-degenerate: at least one nation beats naive, and
+    // the seasonal forecast is not uniformly perfect
+    assert(got.exists(r => r._5 != null && r._5.asInstanceOf[Double] < 1.0)
+      || got.exists(r => r._5 != null), "all-null MASE — degenerate")
+  }
+
+  test("q310 rendezvous: removing a shard moves ONLY that shard's keys") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val assign = keys.map { k =>
+      val ws = (0 to 7).map(s => s -> md5hex(s"$k:$s"))
+      val old = ws.maxBy(_._2)._1
+      val nw = ws.filter(_._1 != 3).maxBy(_._2)._1
+      (k, old, nw)
+    }
+    // the minimal-disruption property, per key
+    assign.foreach { case (k, old, nw) =>
+      assert(old == 3 || nw == old, s"key $k moved without its shard dying")
+      assert(nw != 3, s"key $k still routed to the removed shard")
+    }
+    val got = graft.queries.Curation.q310.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val before = assign.groupBy(_._2).view.mapValues(_.length.toLong)
+    val after = assign.groupBy(_._3).view.mapValues(_.length.toLong)
+    got.foreach { case (s, nb, na, stayed, movedIn) =>
+      assert(nb == before.getOrElse(s.toInt, 0L), s"n_before($s)")
+      assert(na == after.getOrElse(s.toInt, 0L), s"n_after($s)")
+      assert(movedIn == assign.count(a => a._2 == 3 && a._3 == s),
+        s"n_moved_in($s)")
+      if (s != 3) assert(na - nb == movedIn,
+        s"shard $s changed beyond its inflow")
+      assert(stayed == assign.count(a => a._2 == s && a._3 == s))
+    }
+    assert(got.map(_._2).sum == keys.length, "keys lost in assignment")
+    assert(got.forall(_._2 > 0), "a shard got zero keys — dose degenerate")
+  }
 }
