@@ -1365,7 +1365,90 @@ object Curation {
       FROM before b FULL OUTER JOIN after a ON b.shard = a.shard
       ORDER BY shard"""))
 
+  /** q312: QUANTILE NORMALIZATION — the batch-effect correction that
+    * forces every group's value DISTRIBUTION onto a common reference
+    * (Bolstad et al. 2003, the microarray standard; in data pipelines:
+    * making score distributions comparable across sources before a
+    * global threshold is applied). Each segment's r-th ranked balance
+    * maps to the GLOBAL value at the proportional rank
+    * 1 + ⌊(r−1)(N−1)/(n_seg−1)⌋ — pure integer arithmetic, full
+    * (value, key) tie-break in both rank orders, so the mapping is
+    * deterministic cross-engine with no interpolation float. The
+    * global rank comes from GlobalOrder.withOrderedCumsum — a
+    * range-partitioned cumsum with broadcast offsets, NEVER a
+    * single-partition window (the scale-safe global-order discipline
+    * q79/q90 established). The report per segment: how much mass the
+    * correction moved (exact Σ|orig − mapped| cents) and the mapped
+    * sum — near-identical across segments by construction, which is
+    * the point of the op. Scale: two rank shuffles + one equi-join on
+    * rank; nothing quadratic, nothing single-partition. */
+  val q312 = Q(
+    "q312_quantile_normalize",
+    (s, d) => {
+      val bal = Tables.load(s, d, "customer")
+        .select(
+          col("c_mktsegment").as("seg"),
+          col("c_custkey").as("k"),
+          Det.cents(col("c_acctbal")).as("bal_c"))
+        .persistTracked()
+      val glob = graft.operators.GlobalOrder.withOrderedCumsum(
+        bal.select(col("bal_c").as("g_bal_c"), col("k").as("g_k")),
+        Seq(col("g_bal_c"), col("g_k")), lit(1L), "grank")
+        .select(col("grank"), col("g_bal_c").as("mapped_c"))
+      val nGlob = bal.agg(count(lit(1)).as("n_glob"))
+      val w = Window.partitionBy(col("seg"))
+        .orderBy(col("bal_c"), col("k"))
+      val ranked = bal
+        .withColumn("r", row_number().over(w).cast(LongType))
+        .withColumn("n_seg",
+          count(lit(1)).over(Window.partitionBy(col("seg"))))
+        .crossJoin(broadcast(nGlob))
+        .withColumn("trank",
+          when(col("n_seg") === 1, lit(1L)).otherwise(
+            lit(1L) + expr("(r - 1) * (n_glob - 1) div (n_seg - 1)")))
+      ranked
+        .join(glob, col("trank") === col("grank"))
+        .groupBy(col("seg"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(abs(col("bal_c") - col("mapped_c"))).as("sad_c"),
+          sum(col("mapped_c")).as("sum_mapped_c"),
+          max(abs(col("bal_c") - col("mapped_c"))).as("max_adjust_c"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""
+      WITH bal AS (
+        SELECT c_mktsegment AS seg, c_custkey AS k,
+               ${Det.centsSql("c_acctbal")} AS bal_c
+        FROM customer
+      ), gref AS (
+        -- `glob` is a DuckDB keyword (the GLOB match operator)
+        SELECT row_number() OVER (ORDER BY bal_c, k) AS grank,
+               bal_c AS mapped_c
+        FROM bal
+      ), ranked AS (
+        SELECT seg, k, bal_c,
+               row_number() OVER (PARTITION BY seg ORDER BY bal_c, k) AS r,
+               count(*) OVER (PARTITION BY seg) AS n_seg,
+               (SELECT count(*) FROM bal) AS n_glob
+        FROM bal
+      ), mapped AS (
+        SELECT seg, bal_c, mapped_c
+        FROM (SELECT *, CASE WHEN n_seg = 1 THEN 1
+                             ELSE 1 + (r - 1) * (n_glob - 1) // (n_seg - 1)
+                        END AS trank
+              FROM ranked) t
+        JOIN gref g ON t.trank = g.grank
+      )
+      SELECT seg, count(*) AS n,
+             CAST(sum(abs(bal_c - mapped_c)) AS BIGINT) AS sad_c,
+             CAST(sum(mapped_c) AS BIGINT) AS sum_mapped_c,
+             max(abs(bal_c - mapped_c)) AS max_adjust_c
+      FROM mapped
+      GROUP BY seg
+      ORDER BY seg"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298, q310)
+      q247, q263, q290, q293, q298, q310, q312)
 }

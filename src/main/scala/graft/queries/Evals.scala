@@ -224,5 +224,88 @@ object Evals {
       ORDER BY model"""
     })
 
-  val all: Seq[Q] = Seq(q303, q304)
+  /** q311: COHEN'S KAPPA INTER-ANNOTATOR AGREEMENT (Cohen 1960) — the
+    * label-quality readout every human-annotation pipeline publishes
+    * before training on the labels: observed agreement corrected for
+    * the agreement two annotators would reach by chance from their own
+    * marginal label distributions. Dosed: a latent class t = (doc_id·7)%3
+    * and two annotators who each deviate on their own id residue
+    * (A: +1 on doc_id%5=0, B: +2 on doc_id%4=0) — so agreement, both
+    * marginals, and kappa are non-trivial functions of the ids. The
+    * whole statistic is EXACT: with N rows, A agreements and
+    * S = Σ_c a_c·b_c the marginal cross-product,
+    *   κ = (p_o − p_e)/(1 − p_e) = (A·N − S)/(N² − S)
+    * — integer numerator and denominator, one IEEE division (p_o and
+    * p_e are emitted the same way). Computed per language, so the
+    * report has grain. Scale: one scan to per-(lang,class) marginal
+    * counts, then metadata-sized joins — the annotator table never
+    * pairs with itself. */
+  val q311 = Q(
+    "q311_cohens_kappa",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val labeled = Tables.load(s, d, "documents")
+        .select(
+          col("lang"),
+          expr("(doc_id * 7) % 3").as("t"),
+          expr("CASE WHEN doc_id % 5 = 0 THEN ((doc_id * 7) % 3 + 1) % 3 " +
+            "ELSE (doc_id * 7) % 3 END").as("a"),
+          expr("CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 7) % 3 + 2) % 3 " +
+            "ELSE (doc_id * 7) % 3 END").as("b"))
+        .persistTracked()
+      val base = labeled.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+      base.join(
+        labeled.groupBy(col("lang"), col("a")).agg(count(lit(1)).as("na"))
+          .join(
+            labeled.groupBy(col("lang").as("lang2"), col("b"))
+              .agg(count(lit(1)).as("nb")),
+            col("lang") === col("lang2") && col("a") === col("b"))
+          .groupBy(col("lang"))
+          .agg(sum(col("na") * col("nb")).as("s_marg")),
+        Seq("lang"))
+        .select(
+          col("lang"), col("n"), col("n_agree"), col("s_marg"),
+          (col("n_agree").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("p_o"),
+          (col("s_marg").cast(DoubleType) /
+            (col("n") * col("n")).cast(DoubleType)).as("p_e"),
+          ((col("n_agree") * col("n") - col("s_marg")).cast(DoubleType) /
+            (col("n") * col("n") - col("s_marg")).cast(DoubleType))
+            .as("kappa"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH labeled AS (
+        SELECT lang, (doc_id * 7) % 3 AS t,
+               CASE WHEN doc_id % 5 = 0 THEN ((doc_id * 7) % 3 + 1) % 3
+                    ELSE (doc_id * 7) % 3 END AS a,
+               CASE WHEN doc_id % 4 = 0 THEN ((doc_id * 7) % 3 + 2) % 3
+                    ELSE (doc_id * 7) % 3 END AS b
+        FROM documents
+      ), base AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+        FROM labeled GROUP BY lang
+      ), ma AS (
+        SELECT lang, a AS c, count(*) AS na FROM labeled GROUP BY 1, 2
+      ), mb AS (
+        SELECT lang, b AS c, count(*) AS nb FROM labeled GROUP BY 1, 2
+      ), marg AS (
+        SELECT ma.lang, CAST(sum(ma.na * mb.nb) AS BIGINT) AS s_marg
+        FROM ma JOIN mb ON ma.lang = mb.lang AND ma.c = mb.c
+        GROUP BY ma.lang
+      )
+      SELECT b.lang, b.n, b.n_agree, m.s_marg,
+             CAST(b.n_agree AS DOUBLE) / CAST(b.n AS DOUBLE) AS p_o,
+             CAST(m.s_marg AS DOUBLE) / CAST(b.n * b.n AS DOUBLE) AS p_e,
+             CAST(b.n_agree * b.n - m.s_marg AS DOUBLE)
+               / CAST(b.n * b.n - m.s_marg AS DOUBLE) AS kappa
+      FROM base b JOIN marg m ON b.lang = m.lang
+      ORDER BY b.lang"""))
+
+  val all: Seq[Q] = Seq(q303, q304, q311)
 }

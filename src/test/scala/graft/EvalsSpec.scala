@@ -130,4 +130,36 @@ class EvalsSpec extends SparkSpec {
     assert(byCode.values.exists(_.size > 1), "no blocking collision dosed")
     assert(byCode.size == 23)
   }
+
+  test("q311 kappa equals a from-scratch replay and sits in (0, 1)") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect()
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val labs = rows.map { case (id, _) =>
+        val t = (id * 7) % 3
+        (if (id % 5 == 0) (t + 1) % 3 else t,
+          if (id % 4 == 0) (t + 2) % 3 else t)
+      }
+      val n = labs.length.toLong
+      val agree = labs.count(p => p._1 == p._2).toLong
+      val s = (0L to 2L).map(c =>
+        labs.count(_._1 == c).toLong * labs.count(_._2 == c)).sum
+      lang -> (n, agree, s,
+        agree.toDouble / n.toDouble,
+        s.toDouble / (n * n).toDouble,
+        (agree * n - s).toDouble / (n * n - s).toDouble)
+    }
+    val got = graft.queries.Evals.q311.run(spark, sf001)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (lang, n, agree, s, po, pe, kappa) =>
+      val (en, ea, es, epo, epe, ek) = expected(lang)
+      assert((n, agree, s) == ((en, ea, es)), s"counts mismatch at $lang")
+      assert(po == epo && pe == epe && kappa == ek, s"stats at $lang")
+      // dosed annotators are better than chance but imperfect
+      assert(kappa > 0.0 && kappa < 1.0, s"degenerate kappa at $lang")
+      assert(po > pe, "observed agreement must beat chance by dose design")
+    }
+  }
 }

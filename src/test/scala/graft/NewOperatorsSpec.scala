@@ -5423,4 +5423,42 @@ class NewOperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum == keys.length, "keys lost in assignment")
     assert(got.forall(_._2 > 0), "a shard got zero keys — dose degenerate")
   }
+
+  test("q312 quantile normalization equals a replay and converges the sums") {
+    val bal = Tables.load(spark, sf001, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val globalSorted = bal.map(b => (b._3, b._2)).sorted.map(_._1)
+    val n = globalSorted.length.toLong
+    val expected = bal.groupBy(_._1).map { case (seg, rows) =>
+      val sorted = rows.map(r => (r._3, r._2)).sorted
+      val m = sorted.length.toLong
+      val mapped = sorted.zipWithIndex.map { case ((v, _), i) =>
+        val t = if (m == 1) 0L else i.toLong * (n - 1) / (m - 1)
+        (v, globalSorted(t.toInt))
+      }
+      seg -> (m, mapped.map { case (o, p) => math.abs(o - p) }.sum,
+        mapped.map(_._2).sum,
+        mapped.map { case (o, p) => math.abs(o - p) }.max)
+    }
+    val got = graft.queries.Curation.q312.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == expected.size)
+    got.foreach { case (seg, nn, sad, sm, mx) =>
+      val (en, esad, esm, emx) = expected(seg)
+      assert((nn, sad, sm, mx) == ((en, esad, esm, emx)),
+        s"replay mismatch at $seg")
+    }
+    // the correction's purpose: per-capita mapped sums are closer across
+    // segments than per-capita originals
+    val origMean = bal.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum.toDouble / rs.length).values.toSeq
+    val mappedMean = got.map(r => r._4.toDouble / r._2.toDouble).toSeq
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(mappedMean) <= spread(origMean),
+      "normalization failed to shrink the cross-segment spread")
+  }
 }
