@@ -247,5 +247,111 @@ object AsOf {
       GROUP BY i.interval_id
       ORDER BY i.interval_id"""))
 
-  val all: Seq[Q] = Seq(q39, q40, q87, q88)
+  /** q314: NEAREST-DIRECTION AS-OF JOIN — pandas `merge_asof(direction=
+    * 'nearest')`: each event pairs with its user's CLOSEST snapshot in
+    * TIME, looking both ways, ties to the earlier (backward) one. The
+    * Spark plan is the scale-safe union-window shape: tag snapshots 0 /
+    * events 1, sort (user, t, tag) — so an equal-timestamp snapshot
+    * sorts BEFORE its event and lands in the at-or-before frame — then
+    * one running MAX gives the backward candidate and one reversed
+    * running MIN the strictly-after forward candidate; a CASE picks the
+    * nearer. One shuffle on user, no self-join. The ORACLE is a genuine
+    * differential: DuckDB's NATIVE `ASOF JOIN` executed in BOTH
+    * directions (`>=` backward, `<=` forward — its forward leg admits
+    * equality where our window is strict, but an equal-ts snapshot also
+    * wins the backward leg with Δ=0 in both engines, so the published
+    * nearest/direction never differ; reasoned in-line, spec-replayed).
+    * Output: per event type, match census, exact Σ|Δ| micros, and the
+    * backward/forward split. */
+  val q314 = Q(
+    "q314_asof_nearest",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val ev = graft.Tables.load(s, d, "events")
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_type"), col("event_id"))
+        .persistTracked()
+      val tagged = ev
+        .select(col("user_id"), col("t"), col("event_type"),
+          lit(1).as("is_ev"))
+        .unionAll(
+          ev.filter(col("event_id") % 17 === 0)
+            .select(col("user_id"), col("t"),
+              lit(null).cast("string").as("event_type"),
+              lit(0).as("is_ev")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_ev"))
+      val cand = tagged
+        .withColumn("bt",
+          max(when(col("is_ev") === 0, col("t")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ft",
+          min(when(col("is_ev") === 0, col("t")))
+            .over(w.rowsBetween(0, Window.unboundedFollowing)))
+        .filter(col("is_ev") === 1)
+        .withColumn("nd",
+          when(col("bt").isNull && col("ft").isNull, lit(null))
+            .when(col("bt").isNull, col("ft") - col("t"))
+            .when(col("ft").isNull, col("t") - col("bt"))
+            .when(col("ft") - col("t") < col("t") - col("bt"),
+              col("ft") - col("t"))
+            .otherwise(col("t") - col("bt")))
+        .withColumn("dir",
+          when(col("bt").isNull && col("ft").isNull, lit(null))
+            .when(col("bt").isNull, lit("F"))
+            .when(col("ft").isNull, lit("B"))
+            .when(col("ft") - col("t") < col("t") - col("bt"), lit("F"))
+            .otherwise(lit("B")))
+      cand
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("nd")).as("n_matched"),
+          sum(col("nd")).as("sum_absdelta_us"),
+          sum(when(col("dir") === "B", 1L).otherwise(0L)).as("n_backward"),
+          sum(when(col("dir") === "F", 1L).otherwise(0L)).as("n_forward"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+      ), snap AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st
+        FROM events WHERE event_id % 17 = 0
+      ), b AS (
+        SELECT e.event_id, e.event_type, e.t, s.st AS bt
+        FROM ev e ASOF LEFT JOIN snap s
+          ON e.user_id = s.user_id AND e.t >= s.st
+      ), f AS (
+        SELECT e.event_id, s.st AS ft
+        FROM ev e ASOF LEFT JOIN snap s
+          ON e.user_id = s.user_id AND e.t <= s.st
+      ), scored AS (
+        SELECT b.event_type,
+               CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+                    WHEN bt IS NULL THEN ft - t
+                    WHEN ft IS NULL THEN t - bt
+                    WHEN ft - t < t - bt THEN ft - t
+                    ELSE t - bt END AS nd,
+               CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+                    WHEN bt IS NULL THEN 'F'
+                    WHEN ft IS NULL THEN 'B'
+                    WHEN ft - t < t - bt THEN 'F'
+                    ELSE 'B' END AS dir
+        FROM b JOIN f ON b.event_id = f.event_id
+      )
+      SELECT event_type, count(*) AS n_events, count(nd) AS n_matched,
+             CAST(sum(nd) AS BIGINT) AS sum_absdelta_us,
+             CAST(sum(CASE WHEN dir = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backward,
+             CAST(sum(CASE WHEN dir = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_forward
+      FROM scored
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q39, q40, q87, q88, q314)
 }

@@ -655,6 +655,74 @@ object IngestQ {
       GROUP BY 1
       ORDER BY prior_bucket"""))
 
+  /** q313: INFERRED DIMENSION MEMBERS (early-arriving facts — the
+    * Kimball pattern SCD q165 and PIT q246 don't cover): facts land
+    * BEFORE their dimension row exists, so the load phase manufactures
+    * an inferred stub (surrogate intact, attributes unknown) rather than
+    * dropping or quarantining revenue; when the real member arrives in a
+    * later dim delivery, the stub resolves IN PLACE and history restates.
+    * Dosed: dim-v1 = customers with custkey % 3 ≠ 0 (v2 = everyone), so
+    * a third of order revenue books against stubs first. The census per
+    * RESOLVED nation shows what the restatement moved: order/revenue
+    * totals split by whether the fact originally joined a stub — and
+    * nation −1 (the stub bucket) must be GONE after v2, which the
+    * all-nations-≥0 output proves in data. Exact cents throughout.
+    * Scale: two broadcast-dim left joins; the fact table is scanned
+    * once per phase and never self-joined. */
+  val q313 = Q(
+    "q313_inferred_member",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType)
+          .as("nation"))
+      val dimV1 = cust.filter(col("c_custkey") % 3 =!= 0)
+      val facts = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Det.cents(col("o_totalprice")).as("rev_c"))
+      val phase1 = facts
+        .join(broadcast(dimV1), col("o_custkey") === col("c_custkey"),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("rev_c"),
+          coalesce(col("nation"), lit(-1L)).as("nation_v1"),
+          col("nation").isNull.as("was_inferred"))
+      phase1
+        .join(broadcast(cust.withColumnRenamed("c_custkey", "k2")),
+          col("o_custkey") === col("k2"))
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("was_inferred"), 1L).otherwise(0L))
+            .as("n_was_inferred"),
+          sum(col("rev_c")).as("rev_c"),
+          sum(when(col("was_inferred"), col("rev_c")).otherwise(0L))
+            .as("rev_was_inferred_c"))
+        .orderBy(col("nation"))
+    },
+    Some(s"""
+      WITH dim_v1 AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+        FROM customer WHERE c_custkey % 3 <> 0
+      ), facts AS (
+        SELECT o_orderkey, o_custkey,
+               ${Det.centsSql("o_totalprice")} AS rev_c
+        FROM orders
+      ), phase1 AS (
+        SELECT f.o_orderkey, f.o_custkey, f.rev_c,
+               coalesce(d.nation, -1) AS nation_v1,
+               d.nation IS NULL AS was_inferred
+        FROM facts f LEFT JOIN dim_v1 d ON f.o_custkey = d.c_custkey
+      )
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+             count(*) AS n_orders,
+             CAST(sum(CASE WHEN p.was_inferred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_was_inferred,
+             CAST(sum(p.rev_c) AS BIGINT) AS rev_c,
+             CAST(sum(CASE WHEN p.was_inferred THEN p.rev_c ELSE 0 END)
+               AS BIGINT) AS rev_was_inferred_c
+      FROM phase1 p JOIN customer c ON p.o_custkey = c.c_custkey
+      GROUP BY 1
+      ORDER BY nation"""))
+
   val all: Seq[Q] =
-    Seq(q15, q16, q155, q162, q165, q246, q289, q297, q300)
+    Seq(q15, q16, q155, q162, q165, q246, q289, q297, q300, q313)
 }

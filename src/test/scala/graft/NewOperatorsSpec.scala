@@ -5461,4 +5461,71 @@ class NewOperatorsSpec extends SparkSpec {
     assert(spread(mappedMean) <= spread(origMean),
       "normalization failed to shrink the cross-segment spread")
   }
+
+  test("q313 inferred members: stub bucket resolves, splits replay exactly") {
+    val got = graft.queries.IngestQ.q313.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // after the v2 delivery no fact may remain in the -1 stub bucket
+    assert(got.forall(_._1 >= 0), "stub nation survived the restatement")
+    val cust = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val expected = orders.groupBy(o => cust(o._1)).map { case (nat, os) =>
+      val inf = os.filter(_._1 % 3 == 0)
+      nat -> (os.length.toLong, inf.length.toLong,
+        os.map(_._2).sum, inf.map(_._2).sum)
+    }
+    got.foreach { case (nat, n, ni, rev, revi) =>
+      val (en, eni, erev, erevi) = expected(nat)
+      assert((n, ni, rev, revi) == ((en, eni, erev, erevi)),
+        s"census mismatch at nation $nat")
+    }
+    assert(got.map(_._3).sum > 0, "no inferred facts dosed — degenerate")
+  }
+
+  test("q314 nearest as-of equals a brute-force both-ways replay") {
+    val evs = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val snaps = evs.filter(_._1 % 17 == 0)
+      .groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    val scored = evs.map { case (_, u, et, t) =>
+      val ss = snaps.getOrElse(u, Array.empty[Long])
+      val bt = ss.filter(_ <= t).lastOption
+      val ft = ss.find(_ > t) // STRICT: equal-ts snapshots win backward
+      val (nd, dir) = (bt, ft) match {
+        case (None, None) => (None, None)
+        case (None, Some(f)) => (Some(f - t), Some("F"))
+        case (Some(b), None) => (Some(t - b), Some("B"))
+        case (Some(b), Some(f)) =>
+          if (f - t < t - b) (Some(f - t), Some("F"))
+          else (Some(t - b), Some("B"))
+      }
+      (et, nd, dir)
+    }
+    val expected = scored.groupBy(_._1).map { case (et, rows) =>
+      et -> (rows.length.toLong, rows.count(_._2.isDefined).toLong,
+        rows.flatMap(_._2).sum,
+        rows.count(_._3.contains("B")).toLong,
+        rows.count(_._3.contains("F")).toLong)
+    }
+    val out = graft.operators.AsOf.q314.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == expected.size)
+    out.foreach { case (et, n, nm, sd, nb, nf) =>
+      val (en, enm, esd, enb, enf) = expected(et)
+      assert((n, nm, sd, nb, nf) == ((en, enm, esd, enb, enf)),
+        s"nearest-asof census mismatch at $et")
+    }
+    // both directions must actually occur, or the op degenerates to q39
+    assert(out.map(_._6).sum > 0 && out.map(_._5).sum > 0,
+      "dose produced only one direction")
+  }
 }
