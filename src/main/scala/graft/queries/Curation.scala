@@ -1448,7 +1448,73 @@ object Curation {
       GROUP BY seg
       ORDER BY seg"""))
 
+  /** q315: PURGED TIME-SERIES CROSS-VALIDATION — the temporal face of
+    * q241's leak-proof split (de Prado 2018's purged k-fold, the
+    * standard guard wherever features aggregate across time): 4
+    * contiguous month-quartile test windows, and around each an EMBARGO
+    * of ±1 month whose rows join NEITHER side — because a feature
+    * computed with a trailing window (q300's shape) straddles the
+    * boundary and leaks test information into adjacent training rows.
+    * Fold boundaries are pure integer arithmetic on the linear month
+    * index (the q309 discipline); every order lands in exactly one of
+    * train/embargo/test per fold, which the census proves in data
+    * (per-fold totals are invariant). Scale: one scan, ×4 literal
+    * fan-out, one aggregation — the split is a column program, never a
+    * shuffle per fold. */
+  val q315 = Q(
+    "q315_purged_cv",
+    (s, d) => {
+      val mi = Tables.load(s, d, "orders")
+        .select(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast(LongType).as("mi"),
+          Det.cents(col("o_totalprice")).as("rev_c"))
+      val bounds = mi.agg(min(col("mi")).as("lo"),
+        (max(col("mi")) - min(col("mi")) + 1).as("width"))
+      mi.crossJoin(broadcast(bounds))
+        .withColumn("fold",
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(3 AS BIGINT))")))
+        .withColumn("t_lo", expr("lo + fold * width div 4"))
+        .withColumn("t_hi", expr("lo + (fold + 1) * width div 4 - 1"))
+        .withColumn("role",
+          when(col("mi").between(col("t_lo"), col("t_hi")), "test")
+            .when(col("mi").between(col("t_lo") - 1, col("t_hi") + 1),
+              "embargo")
+            .otherwise("train"))
+        .groupBy(col("fold"), col("role"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("mi")).as("n_months"),
+          sum(col("rev_c")).as("rev_c"))
+        .orderBy(col("fold"), col("role"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS mi,
+               ${Det.centsSql("o_totalprice")} AS rev_c
+        FROM orders
+      ), bounds AS (
+        SELECT min(mi) AS lo, max(mi) - min(mi) + 1 AS width FROM o
+      ), folded AS (
+        SELECT o.mi, o.rev_c, f.fold,
+               b.lo + f.fold * b.width // 4 AS t_lo,
+               b.lo + (f.fold + 1) * b.width // 4 - 1 AS t_hi
+        FROM o, bounds b,
+             (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS fold) f
+      )
+      SELECT fold,
+             CASE WHEN mi BETWEEN t_lo AND t_hi THEN 'test'
+                  WHEN mi BETWEEN t_lo - 1 AND t_hi + 1 THEN 'embargo'
+                  ELSE 'train' END AS role,
+             count(*) AS n_orders,
+             count(DISTINCT mi) AS n_months,
+             CAST(sum(rev_c) AS BIGINT) AS rev_c
+      FROM folded
+      GROUP BY 1, 2
+      ORDER BY fold, role"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298, q310, q312)
+      q247, q263, q290, q293, q298, q310, q312, q315)
 }

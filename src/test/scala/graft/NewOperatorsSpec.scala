@@ -5528,4 +5528,26 @@ class NewOperatorsSpec extends SparkSpec {
     assert(out.map(_._6).sum > 0 && out.map(_._5).sum > 0,
       "dose produced only one direction")
   }
+
+  test("q315 purged CV: roles partition every fold; embargo flanks each window") {
+    val out = graft.queries.Curation.q315.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = Tables.load(spark, sf001, "orders").count()
+    (0L to 3L).foreach { f =>
+      val rows = out.filter(_._1 == f)
+      assert(rows.map(_._2).sorted.toSeq == Seq("embargo", "test", "train"),
+        s"fold $f missing a role")
+      assert(rows.map(_._3).sum == total,
+        s"fold $f roles do not partition the facts")
+      // a 12-month-per-quartile span with ±1 embargo: test months ≥ 12,
+      // embargo at most 2 months (1 each side, can clip at the ends)
+      val em = rows.find(_._2 == "embargo").get
+      assert(em._4 >= 1 && em._4 <= 2, s"fold $f embargo width ${em._4}")
+      val te = rows.find(_._2 == "test").get
+      assert(te._4 >= 12, s"fold $f test window too narrow")
+    }
+    // folds differ (windows move): the test revenue is not constant
+    assert(out.filter(_._2 == "test").map(_._5).distinct.length > 1)
+  }
 }
