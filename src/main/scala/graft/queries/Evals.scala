@@ -157,9 +157,17 @@ object Evals {
           .groupBy(col("i"))
           .agg(expr("aggregate(array_sort(collect_list(struct(j, t))), " +
             "CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)").as("den"))
-        p = totals.join(denom, Seq("i"))
+        val next = totals.join(denom, Seq("i"))
           .select(col("i"),
             (col("wins").cast(DoubleType) / col("den")).as("p"))
+        // flatten the lineage per round: p is a bounded (≤ Models-row)
+        // table, and re-planning 3 nested join-agg rounds in one tree
+        // costs more than the data (the q59 per-round centroid-collect
+        // discipline); the collected doubles re-enter as literals, so
+        // the arithmetic — and the oracle equality — is unchanged
+        val rows = next.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        import s.implicits._
+        p = rows.toSeq.toDF("i", "p")
       }
       // normalize to shares with the same fixed-order fold
       val norm = p.agg(
@@ -307,5 +315,76 @@ object Evals {
       FROM base b JOIN marg m ON b.lang = m.lang
       ORDER BY b.lang"""))
 
-  val all: Seq[Q] = Seq(q303, q304, q311)
+  /** Per-class F1 as shared SQL: 2·tp/(2·tp + fp + fn), zero when the
+    * class never occurs on either side (sklearn's zero_division=0).
+    * The tp/fp/fn counts are CASE-sums over (truth `t`, prediction `p`)
+    * generated from one Scala loop so Spark and DuckDB stay in sync. */
+  def f1Sql(c: Int): String = {
+    val tp = s"sum(CASE WHEN t = $c AND p = $c THEN 1 ELSE 0 END)"
+    val fp = s"sum(CASE WHEN p = $c AND t <> $c THEN 1 ELSE 0 END)"
+    val fn = s"sum(CASE WHEN t = $c AND p <> $c THEN 1 ELSE 0 END)"
+    s"(CASE WHEN 2 * $tp + $fp + $fn = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST(2 * $tp AS DOUBLE) " +
+      s"/ CAST(2 * $tp + $fp + $fn AS DOUBLE) END)"
+  }
+
+  /** q316: MULTI-CLASS F1 REPORT (micro + macro) — the classifier
+    * scorecard every labeling/filtering model ships with. Dosed truth
+    * t = (doc_id·7)%3 and a predictor that confuses class t for t+2 on
+    * id%7=0 and t+1 on id%4=0 (so the confusion matrix is asymmetric
+    * and every off-diagonal is exercised). All exact: per-class F1 is
+    * one division of integer counts; micro-F1 = 2ΣTP/(2ΣTP+ΣFP+ΣFN)
+    * likewise; macro-F1 averages the three per-class F1 doubles in
+    * FIXED textual order ((f1₀+f1₁)+f1₂)/3 — left-associated the same
+    * way in both engines, so even the averaged doubles bit-agree. In a
+    * multiclass single-label setting ΣFP = ΣFN = N − ΣTP, so micro-F1
+    * equals accuracy — the spec pins that identity as a cross-check.
+    * Scale: one scan to per-language CASE-sums; the report is
+    * |langs| rows. */
+  val q316 = Q(
+    "q316_f1_report",
+    (s, d) => {
+      val labeled = Tables.load(s, d, "documents")
+        .select(
+          col("lang"),
+          expr("(doc_id * 7) % 3").as("t"),
+          expr("CASE WHEN doc_id % 7 = 0 THEN ((doc_id * 7) % 3 + 2) % 3 " +
+            "WHEN doc_id % 4 = 0 THEN ((doc_id * 7) % 3 + 1) % 3 " +
+            "ELSE (doc_id * 7) % 3 END").as("p"))
+      val tpAll = "sum(CASE WHEN t = p THEN 1 ELSE 0 END)"
+      labeled
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr(s"CAST($tpAll AS BIGINT)").as("n_correct"),
+          expr(s"CAST(2 * $tpAll AS DOUBLE) / " +
+            s"CAST(2 * $tpAll + (count(*) - $tpAll) + (count(*) - $tpAll)" +
+            s" AS DOUBLE)").as("micro_f1"),
+          expr(s"((${f1Sql(0)} + ${f1Sql(1)}) + ${f1Sql(2)}) " +
+            "/ CAST(3 AS DOUBLE)").as("macro_f1"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH labeled AS (
+        SELECT lang, (doc_id * 7) % 3 AS t,
+               CASE WHEN doc_id % 7 = 0 THEN ((doc_id * 7) % 3 + 2) % 3
+                    WHEN doc_id % 4 = 0 THEN ((doc_id * 7) % 3 + 1) % 3
+                    ELSE (doc_id * 7) % 3 END AS p
+        FROM documents
+      )
+      SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             CAST(2 * sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(2 * sum(CASE WHEN t = p THEN 1 ELSE 0 END)
+                      + (count(*) - sum(CASE WHEN t = p THEN 1 ELSE 0 END))
+                      + (count(*) - sum(CASE WHEN t = p THEN 1 ELSE 0 END))
+                      AS DOUBLE) AS micro_f1,
+             ((${f1Sql(0)} + ${f1Sql(1)}) + ${f1Sql(2)})
+               / CAST(3 AS DOUBLE) AS macro_f1
+      FROM labeled
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(q303, q304, q311, q316)
 }

@@ -4429,10 +4429,187 @@ object Text {
       WHERE rnk <= 3
       ORDER BY prefix, rnk"""))
 
+  /** q317: RETRIEVAL EVALUATION — MRR AND HIT@K, EXACT — the scorecard
+    * for every search/RAG retriever (q184 BM25, q230 phrase, the ANN
+    * family): 20 query documents retrieve by distinct-token overlap
+    * (posting-list join — zero-overlap candidates never rank, the
+    * standard inverted-index behavior), relevance = same doc_id%10
+    * "topic", and the graded metrics are hit@1/5/10 plus MRR@10.
+    * The mean reciprocal rank is EXACT INTEGER arithmetic: with
+    * L = lcm(1..10) = 2520, each hit contributes L div rank (divides
+    * exactly for every rank ≤ 10), misses contribute 0, and
+    * MRR = Σ/(n_q·L) in ONE division — no per-query float summed in
+    * engine-dependent order. Scale: query side is bounded (broadcast),
+    * the posting join shuffles on token — the same bill as serving the
+    * queries; ranking windows are per-query. */
+  val q317 = Q(
+    "q317_retrieval_mrr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val L = 2520L // lcm(1..10)
+      val tok = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("split(text, ' ', -1)")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .persistTracked()
+      val qtok = tok.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("token"))
+      val scored = qtok
+        .join(tok.select(col("doc_id").as("cid"), col("token")), Seq("token"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(desc("overlap"), col("cid"))).cast(LongType))
+        .filter(col("rnk") <= 10)
+        .withColumn("relevant", col("cid") % 10 === col("qid") % 10)
+      val perQ = scored
+        .groupBy(col("qid"))
+        .agg(
+          min(when(col("relevant"), col("rnk"))).as("first_rel"))
+      perQ.agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("first_rel") === 1, 1L).otherwise(0L)).as("hits_1"),
+          sum(when(col("first_rel") <= 5, 1L).otherwise(0L)).as("hits_5"),
+          sum(when(col("first_rel") <= 10, 1L).otherwise(0L))
+            .as("hits_10"),
+          sum(coalesce(expr(s"$L div first_rel"), lit(0L))).as("rr_sum"))
+        .select(
+          col("n_queries"), col("hits_1"), col("hits_5"), col("hits_10"),
+          (col("rr_sum").cast(DoubleType) /
+            (col("n_queries") * lit(L)).cast(DoubleType)).as("mrr"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) raw
+        WHERE token <> ''
+      ), scored AS (
+        SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS overlap
+        FROM tok q JOIN tok c ON q.token = c.token AND c.doc_id <> q.doc_id
+        WHERE q.doc_id < 20
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT qid, cid, cid % 10 = qid % 10 AS relevant,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY overlap DESC, cid) AS BIGINT) AS rnk
+        FROM scored
+      ), perq AS (
+        SELECT qid, min(CASE WHEN relevant THEN rnk END) AS first_rel
+        FROM ranked WHERE rnk <= 10
+        GROUP BY qid
+      )
+      SELECT count(*) AS n_queries,
+             CAST(sum(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_1,
+             CAST(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_5,
+             CAST(sum(CASE WHEN first_rel <= 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_10,
+             CAST(CAST(sum(coalesce(2520 // first_rel, 0)) AS BIGINT)
+               AS DOUBLE)
+               / CAST(count(*) * 2520 AS DOUBLE) AS mrr
+      FROM perq"""))
+
+  /** q318: REDIRECT-CHAIN FLATTENING — canonical-URL resolution, the
+    * step a crawl pipeline runs before q93's URL dedup can work (a page
+    * reachable through 3 redirects must dedup against its terminal
+    * address, not its entry point). Dosed functional redirect graph:
+    * doc_id%3=0 pages are terminal, everything else 301s to
+    * (id·17+7) mod N — which manufactures real multi-hop chains AND
+    * real cycles among non-terminals. Resolution follows the pointer up
+    * to 4 hops via UNROLLED left self-joins against the redirect table
+    * (a terminal or dangling hop null-propagates; the CASE checks each
+    * hop IN ORDER so a chain is classified at its first terminal);
+    * anything deeper — including every cycle — lands in 'unresolved',
+    * never an infinite loop. The census: chain-length histogram plus a
+    * checksum over resolved terminal ids. Scale: k hops = k shuffle
+    * joins on the redirect table; for crawl-depth chains switch to
+    * pointer DOUBLING (compose the mapping with itself, log₂ rounds —
+    * the q68 Components discipline); 4 unrolled hops is the honest
+    * shape for HTTP's practical redirect limit. */
+  val q318 = Q(
+    "q318_redirect_flatten",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+        .persistTracked()
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val red = docs.crossJoin(broadcast(n))
+        .filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * 17 + 7) % n_docs").as("dst"))
+        .persistTracked()
+      def hop(df: org.apache.spark.sql.DataFrame, from: String, to: String) =
+        df.join(red.select(col("src").as(s"_s$to"), col("dst").as(to)),
+          col(from) === col(s"_s$to"), "left").drop(s"_s$to")
+      val chains = hop(hop(hop(hop(
+        docs.select(col("doc_id").as("i")), "i", "c1"),
+        "c1", "c2"), "c2", "c3"), "c3", "c4")
+        .withColumn("status",
+          when(col("i") % 3 === 0, "a_terminal")
+            .when(col("c1") % 3 === 0, "b_len1")
+            .when(col("c2") % 3 === 0, "c_len2")
+            .when(col("c3") % 3 === 0, "d_len3")
+            .when(col("c4") % 3 === 0, "e_len4")
+            .otherwise("f_unresolved"))
+        .withColumn("final",
+          when(col("i") % 3 === 0, col("i"))
+            .when(col("c1") % 3 === 0, col("c1"))
+            .when(col("c2") % 3 === 0, col("c2"))
+            .when(col("c3") % 3 === 0, col("c3"))
+            .when(col("c4") % 3 === 0, col("c4")))
+      chains
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("final")).as("final_id_sum"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH nn AS (
+        SELECT count(*) AS n_docs FROM documents
+      ), red AS (
+        SELECT doc_id AS src, (doc_id * 17 + 7) % nn.n_docs AS dst
+        FROM documents, nn
+        WHERE doc_id % 3 <> 0
+      ), chains AS (
+        SELECT d.doc_id AS i, r1.dst AS c1, r2.dst AS c2,
+               r3.dst AS c3, r4.dst AS c4
+        FROM documents d
+        LEFT JOIN red r1 ON r1.src = d.doc_id
+        LEFT JOIN red r2 ON r2.src = r1.dst
+        LEFT JOIN red r3 ON r3.src = r2.dst
+        LEFT JOIN red r4 ON r4.src = r3.dst
+      ), classified AS (
+        SELECT CASE WHEN i % 3 = 0 THEN 'a_terminal'
+                    WHEN c1 % 3 = 0 THEN 'b_len1'
+                    WHEN c2 % 3 = 0 THEN 'c_len2'
+                    WHEN c3 % 3 = 0 THEN 'd_len3'
+                    WHEN c4 % 3 = 0 THEN 'e_len4'
+                    ELSE 'f_unresolved' END AS status,
+               CASE WHEN i % 3 = 0 THEN i
+                    WHEN c1 % 3 = 0 THEN c1
+                    WHEN c2 % 3 = 0 THEN c2
+                    WHEN c3 % 3 = 0 THEN c3
+                    WHEN c4 % 3 = 0 THEN c4 END AS final
+        FROM chains
+      )
+      SELECT status, count(*) AS n,
+             CAST(sum(final) AS BIGINT) AS final_id_sum
+      FROM classified
+      GROUP BY status
+      ORDER BY status"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
-      q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308)
+      q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
+      q317, q318)
 }

@@ -162,4 +162,40 @@ class EvalsSpec extends SparkSpec {
       assert(po > pe, "observed agreement must beat chance by dose design")
     }
   }
+
+  test("q316 F1 equals a replay; micro-F1 is accuracy in single-label multiclass") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    def pred(id: Long): (Long, Long) = {
+      val t = (id * 7) % 3
+      (t, if (id % 7 == 0) (t + 2) % 3
+      else if (id % 4 == 0) (t + 1) % 3 else t)
+    }
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val tp = rows.map(r => pred(r._1))
+      val n = tp.length.toLong
+      val correct = tp.count(x => x._1 == x._2).toLong
+      def f1(c: Long): Double = {
+        val tpc = tp.count(x => x._1 == c && x._2 == c).toLong
+        val fpc = tp.count(x => x._2 == c && x._1 != c).toLong
+        val fnc = tp.count(x => x._1 == c && x._2 != c).toLong
+        if (2 * tpc + fpc + fnc == 0) 0.0
+        else (2 * tpc).toDouble / (2 * tpc + fpc + fnc).toDouble
+      }
+      val micro = (2 * correct).toDouble /
+        (2 * correct + (n - correct) + (n - correct)).toDouble
+      lang -> (n, correct, micro, ((f1(0) + f1(1)) + f1(2)) / 3.0)
+    }
+    val got = graft.queries.Evals.q316.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (lang, n, nc, micro, macroF) =>
+      val (en, ec, emi, ema) = expected(lang)
+      assert((n, nc) == ((en, ec)) && micro == emi && macroF == ema,
+        s"F1 mismatch at $lang")
+      // single-label multiclass: micro-F1 == accuracy, exactly
+      assert(micro == nc.toDouble / n.toDouble, s"micro != accuracy, $lang")
+      assert(macroF > 0.0 && macroF < 1.0, s"degenerate macro at $lang")
+    }
+  }
 }

@@ -5550,4 +5550,75 @@ class NewOperatorsSpec extends SparkSpec {
     // folds differ (windows move): the test revenue is not constant
     assert(out.filter(_._2 == "test").map(_._5).distinct.length > 1)
   }
+
+  test("q317 retrieval eval equals a brute-force token-overlap replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).toSet
+    }.toMap
+    val ids = docs.map(_._1)
+    val perQ = ids.filter(_ < 20).sorted.map { q =>
+      val ranked = ids.filter(_ != q)
+        .map(c => (c, toks(q).intersect(toks(c)).size))
+        .filter(_._2 > 0) // zero-overlap never enters the posting join
+        .sortBy { case (c, o) => (-o, c) }
+        .take(10)
+      val firstRel = ranked.zipWithIndex
+        .find { case ((c, _), _) => c % 10 == q % 10 }
+        .map(_._2 + 1)
+      (q, firstRel)
+    }
+    val L = 2520L
+    val en = perQ.length.toLong
+    val (eh1, eh5, eh10) = (
+      perQ.count(_._2.contains(1)).toLong,
+      perQ.count(_._2.exists(_ <= 5)).toLong,
+      perQ.count(_._2.exists(_ <= 10)).toLong)
+    val emrr = perQ.map(_._2.map(r => L / r).getOrElse(0L)).sum.toDouble /
+      (en * L).toDouble
+    val got = graft.queries.Text.q317.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (n, h1, h5, h10, mrr) = got.head
+    assert((n, h1, h5, h10) == ((en, eh1, eh5, eh10)),
+      s"hit census mismatch: got ${got.head}, want ($en,$eh1,$eh5,$eh10)")
+    assert(mrr == emrr, "MRR not bit-equal to the exact-integer replay")
+    assert(h10 > 0 && h10 < n, "dose degenerate: all or no queries hit")
+  }
+
+  test("q318 redirect chains equal a pointer-chasing replay; cycles land unresolved") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted
+    val n = ids.length.toLong
+    def f(i: Long): Option[Long] =
+      if (i % 3 == 0) None else Some((i * 17 + 7) % n)
+    val classified = ids.map { i =>
+      // mirror the query's unrolled hops independently via Option chains
+      val c1 = f(i); val c2 = c1.flatMap(f); val c3 = c2.flatMap(f)
+      val c4 = c3.flatMap(f)
+      if (i % 3 == 0) ("a_terminal", Some(i))
+      else if (c1.exists(_ % 3 == 0)) ("b_len1", c1)
+      else if (c2.exists(_ % 3 == 0)) ("c_len2", c2)
+      else if (c3.exists(_ % 3 == 0)) ("d_len3", c3)
+      else if (c4.exists(_ % 3 == 0)) ("e_len4", c4)
+      else ("f_unresolved", None)
+    }
+    val expected = classified.groupBy(_._1).view.mapValues { vs =>
+      (vs.length.toLong,
+        if (vs.forall(_._2.isEmpty)) None else Some(vs.flatMap(_._2).sum))
+    }.toMap
+    val got = graft.queries.Text.q318.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.length == expected.size)
+    got.foreach { case (st, nn, sumF) =>
+      val (en2, es) = expected(st)
+      assert(nn == en2 && sumF == es, s"chain census mismatch at $st")
+    }
+    // the dose must manufacture depth AND cycles, or the op is trivial
+    assert(expected.keySet.contains("c_len2"), "no multi-hop chains dosed")
+    assert(expected.contains("f_unresolved"),
+      "no cycles/deep chains dosed — the unresolved path is untested")
+  }
 }
