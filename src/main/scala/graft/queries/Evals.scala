@@ -386,5 +386,165 @@ object Evals {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(q303, q304, q311, q316)
+  /** q319: CHAT-FORMAT LINT — the structural validation SFT/RLHF data
+    * runs before a single token is trained on: conversations must start
+    * with a user turn, alternate user/assistant strictly, end on an
+    * assistant turn, and carry no empty contents. Dosed: 4-TURN
+    * conversations (conv = doc_id div 4 — the turn count must be EVEN,
+    * or "starts user + alternates + ends assistant" is unsatisfiable
+    * and the clean count is structurally zero; found by the spec's
+    * every-rule-fires gate), correct alternation except
+    * where (doc_id·3)%11 = 0 flips the role, and empty content where
+    * doc_id%13 = 0 — every check fires on a known, disjoint-enough
+    * subset. Alternation is a LAG over (conv ORDER BY turn); everything
+    * else is per-turn CASE — one shuffle by conversation, the lint
+    * output is a one-row scorecard (violating-conversation counts per
+    * rule + the clean count, which must partition). */
+  val q319 = Q(
+    "q319_chat_lint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val turns = Tables.load(s, d, "documents")
+        .select(
+          expr("doc_id div 4").as("conv"),
+          expr("doc_id % 4").as("turn"),
+          expr("CASE WHEN (doc_id * 3) % 11 = 0 " +
+            "THEN CASE WHEN doc_id % 2 = 0 THEN 'assistant' " +
+            "ELSE 'user' END " +
+            "ELSE CASE WHEN doc_id % 2 = 0 THEN 'user' " +
+            "ELSE 'assistant' END END").as("role"),
+          expr("CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END")
+            .as("content"))
+      val w = Window.partitionBy(col("conv")).orderBy(col("turn"))
+      val perConv = turns
+        .withColumn("prev_role", lag(col("role"), 1).over(w))
+        .groupBy(col("conv"))
+        .agg(
+          max(when(col("turn") === 0 && col("role") =!= "user", 1L)
+            .otherwise(0L)).as("bad_start"),
+          max(when(col("turn") === 3 && col("role") =!= "assistant", 1L)
+            .otherwise(0L)).as("bad_end"),
+          sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
+            .as("n_nonalt"),
+          sum(when(col("content") === "", 1L).otherwise(0L))
+            .as("n_empty"))
+      perConv.agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("bad_start")).as("n_bad_start"),
+        sum(col("bad_end")).as("n_bad_end"),
+        sum(when(col("n_nonalt") > 0, 1L).otherwise(0L))
+          .as("n_nonalternating"),
+        sum(when(col("n_empty") > 0, 1L).otherwise(0L))
+          .as("n_with_empty"),
+        sum(when(col("bad_start") === 0 && col("bad_end") === 0 &&
+          col("n_nonalt") === 0 && col("n_empty") === 0, 1L)
+          .otherwise(0L)).as("n_clean"))
+    },
+    Some("""
+      WITH turns AS (
+        SELECT doc_id // 4 AS conv, doc_id % 4 AS turn,
+               CASE WHEN (doc_id * 3) % 11 = 0
+                    THEN CASE WHEN doc_id % 2 = 0 THEN 'assistant'
+                         ELSE 'user' END
+                    ELSE CASE WHEN doc_id % 2 = 0 THEN 'user'
+                         ELSE 'assistant' END END AS role,
+               CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS content
+        FROM documents
+      ), flagged AS (
+        SELECT conv, turn, role, content,
+               lag(role) OVER (PARTITION BY conv ORDER BY turn)
+                 AS prev_role
+        FROM turns
+      ), per_conv AS (
+        SELECT conv,
+               max(CASE WHEN turn = 0 AND role <> 'user' THEN 1 ELSE 0 END)
+                 AS bad_start,
+               max(CASE WHEN turn = 3 AND role <> 'assistant'
+                        THEN 1 ELSE 0 END) AS bad_end,
+               sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                 AS n_nonalt,
+               sum(CASE WHEN content = '' THEN 1 ELSE 0 END) AS n_empty
+        FROM flagged
+        GROUP BY conv
+      )
+      SELECT count(*) AS n_convs,
+             CAST(sum(bad_start) AS BIGINT) AS n_bad_start,
+             CAST(sum(bad_end) AS BIGINT) AS n_bad_end,
+             CAST(sum(CASE WHEN n_nonalt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonalternating,
+             CAST(sum(CASE WHEN n_empty > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_empty,
+             CAST(sum(CASE WHEN bad_start = 0 AND bad_end = 0
+                            AND n_nonalt = 0 AND n_empty = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      FROM per_conv"""))
+
+  /** q320: PREFERENCE LENGTH-BIAS AUDIT — the reward-hacking check run
+    * on every RLHF/preference dataset: does the LONGER response win
+    * more often than chance? Dosed pairwise votes where the winner
+    * depends on both a skill gap AND an injected length term
+    * ((len_a − len_b) div 50 shifts the win threshold), so the audit
+    * MUST find bias — and its exact size is deterministic. Readout per
+    * length-gap bucket (|Δlen| div 100): vote count, longer-side wins,
+    * and the win rate in ONE division — a monotone-increasing win rate
+    * across buckets is the smoking gun a clean dataset wouldn't show.
+    * Scale: single scan, integer arithmetic, |buckets| output rows. */
+  val q320 = Q(
+    "q320_length_bias",
+    (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(
+          expr("doc_id % 5").as("a"),
+          expr("(doc_id div 5) % 5").as("b"),
+          expr("(doc_id * 2654435761L) % 97").as("u"),
+          expr("100 + (doc_id * 31) % 400").as("len_a"),
+          expr("100 + (doc_id * 53) % 400").as("len_b"))
+        .filter(col("a") =!= col("b") && col("len_a") =!= col("len_b"))
+        // +20000 (a multiple of 50) keeps the dividend positive: Spark
+        // `div` truncates toward zero, DuckDB `//` floors — they only
+        // agree on non-negative operands (the q263 invariant)
+        .withColumn("a_wins",
+          col("u") < lit(48) + (col("a") - col("b")) * 8 +
+            expr("(len_a - len_b + 20000) div 50 - 400"))
+        .withColumn("longer_wins",
+          (col("a_wins") && col("len_a") > col("len_b")) ||
+            (!col("a_wins") && col("len_b") > col("len_a")))
+        .groupBy(expr("abs(len_a - len_b) div 100").as("gap_bucket"))
+        .agg(
+          count(lit(1)).as("n_votes"),
+          sum(when(col("longer_wins"), 1L).otherwise(0L))
+            .as("n_longer_wins"))
+        .withColumn("longer_win_rate",
+          col("n_longer_wins").cast(DoubleType) /
+            col("n_votes").cast(DoubleType))
+        .orderBy(col("gap_bucket"))
+    },
+    Some("""
+      WITH votes AS (
+        SELECT doc_id % 5 AS a, (doc_id // 5) % 5 AS b,
+               (doc_id * 2654435761) % 97 AS u,
+               100 + (doc_id * 31) % 400 AS len_a,
+               100 + (doc_id * 53) % 400 AS len_b
+        FROM documents
+      ), judged AS (
+        SELECT *,
+               u < 48 + (a - b) * 8 + (len_a - len_b + 20000) // 50 - 400
+                 AS a_wins
+        FROM votes
+        WHERE a <> b AND len_a <> len_b
+      )
+      SELECT abs(len_a - len_b) // 100 AS gap_bucket,
+             count(*) AS n_votes,
+             CAST(sum(CASE WHEN (a_wins AND len_a > len_b)
+                             OR (NOT a_wins AND len_b > len_a)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_longer_wins,
+             CAST(sum(CASE WHEN (a_wins AND len_a > len_b)
+                             OR (NOT a_wins AND len_b > len_a)
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS longer_win_rate
+      FROM judged
+      GROUP BY 1
+      ORDER BY gap_bucket"""))
+
+  val all: Seq[Q] = Seq(q303, q304, q311, q316, q319, q320)
 }

@@ -4628,6 +4628,81 @@ object Olap {
       GROUP BY nat
       ORDER BY nat"""))
 
+  /** q321: MANN–WHITNEY U — the nonparametric two-sample test (Mann &
+    * Whitney 1947) an A/B readout reaches for when means mislead
+    * (q176's t-shape assumes moments; U only assumes order). Exactness
+    * trick: tied values take MIDRANKS, which are half-integers — so
+    * everything is computed at 2× SCALE: for a tied group of size c
+    * with `less` smaller observations, 2·midrank = 2·less + c + 1,
+    * an integer. The rank sum, U₂ = 2·R_A − n_A(n_A+1), and the tie
+    * identity U₂A + U₂B = 2·n_A·n_B all stay exact BIGINTs; the only
+    * division produces the common-language effect size
+    * U_A/(n_A·n_B) — directly interpretable as P(A > B) + ½P(tie).
+    * Groups = md5 hash halves of the order key (content-split, the q54
+    * discipline), grain = order year. Scale: one aggregation to
+    * distinct values, one window cumsum per year — never a pairwise
+    * comparison, which is the point of the rank formulation. */
+  val q321 = Q(
+    "q321_mann_whitney",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.load(s, d, "orders")
+        .select(
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          Det.cents(col("o_totalprice")).as("v"),
+          expr(s"CASE WHEN ${Det.hashSampleExpr("o_orderkey")
+            .replace("<= 2", "<= 8")} THEN 1 ELSE 0 END").as("in_a"))
+      val grouped = vals
+        .groupBy(col("yr"), col("v"))
+        .agg(count(lit(1)).as("c"), sum(col("in_a")).as("ca"))
+      val w = Window.partitionBy(col("yr")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grouped
+        .withColumn("less", coalesce(sum(col("c")).over(w), lit(0L)))
+        .groupBy(col("yr"))
+        .agg(
+          sum(col("ca")).as("n_a"),
+          sum(col("c") - col("ca")).as("n_b"),
+          sum(col("ca") * (lit(2L) * col("less") + col("c") + 1))
+            .as("r2_a"))
+        .withColumn("u2_a",
+          col("r2_a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("cles",
+          col("u2_a").cast(DoubleType) /
+            (lit(2L) * col("n_a") * col("n_b")).cast(DoubleType))
+        .select(col("yr"), col("n_a"), col("n_b"), col("u2_a"),
+          col("cles"))
+        .orderBy(col("yr"))
+    },
+    Some(s"""
+      WITH vals AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               ${Det.centsSql("o_totalprice")} AS v,
+               CASE WHEN ${Det.hashSampleSql("o_orderkey")
+                 .replace("<= 2", "<= 8")} THEN 1 ELSE 0 END AS in_a
+        FROM orders
+      ), grouped AS (
+        SELECT yr, v, count(*) AS c, CAST(sum(in_a) AS BIGINT) AS ca
+        FROM vals GROUP BY 1, 2
+      ), ranked AS (
+        SELECT yr, v, c, ca,
+               coalesce(sum(c) OVER (PARTITION BY yr ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS less
+        FROM grouped
+      ), stats AS (
+        SELECT yr, CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(c - ca) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * less + c + 1)) AS BIGINT) AS r2_a
+        FROM ranked GROUP BY yr
+      )
+      SELECT yr, n_a, n_b,
+             r2_a - n_a * (n_a + 1) AS u2_a,
+             CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               / CAST(2 * n_a * n_b AS DOUBLE) AS cles
+      FROM stats
+      ORDER BY yr"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4635,5 +4710,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294, q295, q296, q309)
+      q278, q279, q280, q281, q283, q294, q295, q296, q309, q321)
 }

@@ -5621,4 +5621,90 @@ class NewOperatorsSpec extends SparkSpec {
     assert(expected.contains("f_unresolved"),
       "no cycles/deep chains dosed — the unresolved path is untested")
   }
+
+  test("q319 chat lint equals a per-conversation replay; every rule fires") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val convs = ids.groupBy(_ / 4)
+    def role(id: Long): String = {
+      val base = if (id % 2 == 0) "user" else "assistant"
+      if ((id * 3) % 11 == 0) (if (base == "user") "assistant" else "user")
+      else base
+    }
+    val per = convs.map { case (_, turns) =>
+      val sorted = turns.sorted
+      val roles = sorted.map(role)
+      val badStart = roles.head != "user"
+      val badEnd = roles.last != "assistant"
+      val nonalt = roles.zip(roles.tail).count(p => p._1 == p._2) > 0
+      val empty = sorted.exists(_ % 13 == 0)
+      (badStart, badEnd, nonalt, empty)
+    }.toSeq
+    val got = graft.queries.Evals.q319.run(spark, sf001).collect().head
+    assert(got.getLong(0) == per.length)
+    assert(got.getLong(1) == per.count(_._1))
+    assert(got.getLong(2) == per.count(_._2))
+    assert(got.getLong(3) == per.count(_._3))
+    assert(got.getLong(4) == per.count(_._4))
+    assert(got.getLong(5) == per.count(p => !p._1 && !p._2 && !p._3 && !p._4))
+    // the dose exercises every rule and leaves clean conversations too
+    assert(per.count(_._3) > 0 && per.count(_._4) > 0 && got.getLong(5) > 0)
+  }
+
+  test("q320 length bias: replay matches and the injected bias is visible") {
+    val out = graft.queries.Evals.q320.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val votes = ids.flatMap { id =>
+      val (a, b) = (id % 5, (id / 5) % 5)
+      val (la, lb) = (100 + (id * 31) % 400, 100 + (id * 53) % 400)
+      if (a == b || la == lb) None
+      else {
+        val u = (id * 2654435761L) % 97
+        val aw = u < 48 + (a - b) * 8 +
+          (math.floorDiv(la - lb + 20000, 50) - 400)
+        Some((math.abs(la - lb) / 100, (aw && la > lb) || (!aw && lb > la)))
+      }
+    }
+    val expected = votes.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.count(_._2).toLong)).toMap
+    out.foreach { case (bk, n, lw, rate) =>
+      val (en, elw) = expected(bk.toInt)
+      assert((n, lw) == ((en, elw)), s"bucket $bk mismatch")
+      assert(rate == elw.toDouble / en.toDouble)
+    }
+    // the smoking gun the audit exists to surface: bias grows with gap
+    assert(out.last._4 > out.head._4,
+      "injected length bias invisible across gap buckets")
+    assert(out.head._4 > 0.4, "even small gaps should beat a fair coin here")
+  }
+
+  test("q321 Mann-Whitney U equals the O(n²) pairwise definition") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        graft.queries.Det.cents(col("o_totalprice")).as("v"),
+        expr(graft.queries.Det.hashSampleExpr("o_orderkey")
+          .replace("<= 2", "<= 8")).as("in_a"))
+      .as[(Long, Long, Boolean)].collect()
+    val byYear = rows.groupBy(_._1)
+    val got = graft.queries.Olap.q321.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == byYear.size)
+    got.foreach { case (yr, na, nb, u2a, cles) =>
+      val as = byYear(yr).filter(_._3).map(_._2)
+      val bs = byYear(yr).filterNot(_._3).map(_._2)
+      assert(na == as.length.toLong && nb == bs.length.toLong)
+      // the pairwise definition: U_A = #(a>b) + ½·#(a=b), at 2× scale
+      val wins = (for (a <- as; b <- bs) yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(u2a == wins, s"rank-form U != pairwise U at year $yr")
+      assert(cles == wins.toDouble / (2L * na * nb).toDouble)
+      assert(cles > 0.3 && cles < 0.7,
+        s"hash-split arms should be near-exchangeable, got $cles")
+    }
+  }
 }
