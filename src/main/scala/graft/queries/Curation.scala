@@ -1514,7 +1514,110 @@ object Curation {
       GROUP BY 1, 2
       ORDER BY fold, role"""))
 
+  /** q323: UPLIFT-MODEL DECILE EVALUATION — the incrementality readout
+    * (Radcliffe's Qini shape) for any targeting model: rank the
+    * population by model score, split each decile into its randomized
+    * treatment/control arms, and ask where the TREATMENT EFFECT — not
+    * the response — concentrates. Dosed: treatment = md5 half of the
+    * customer key (content-randomized, the q54 discipline), score
+    * bucket = value-domain decile of the account balance, and a
+    * conversion hash whose threshold is 5 + 2·bucket when treated vs
+    * 5 + bucket in control — so true per-bucket uplift is bucket/100,
+    * linearly increasing, and the report must recover that slope.
+    * Counts are exact; the rates and uplift are divisions of identical
+    * operands; the cumulative incremental-conversions column (the Qini
+    * numerator) re-weights control by the treated population — all from
+    * a 10-row table after one scan. */
+  val q323 = Q(
+    "q323_uplift_deciles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, d, "customer")
+        .select(
+          col("c_custkey").as("k"),
+          Det.cents(col("c_acctbal")).as("bal_c"))
+        .withColumn("bucket",
+          least(lit(9L), expr("(bal_c + 100000) * 10 div 1100000")))
+        .withColumn("treated",
+          expr(Det.hashSampleExpr("k").replace("<= 2", "<= 8")))
+        .withColumn("converted",
+          expr("(k * 29) % 100") <
+            lit(5) + col("bucket") * when(col("treated"), 2L)
+              .otherwise(1L))
+      val per = scored
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated") && col("converted"), 1L).otherwise(0L))
+            .as("conv_t"),
+          sum(when(!col("treated") && col("converted"), 1L).otherwise(0L))
+            .as("conv_c"))
+      // cumulative incremental conversions via an EXPLICIT bucket-desc
+      // fold over the prefix self-join (10×10 rows) — a running window
+      // SUM over doubles is engine-order-dependent (DuckDB may
+      // tree-aggregate frames), the q61 fixed-fold discipline is not
+      val vExpr = "CAST(conv_t AS DOUBLE) - CAST(conv_c AS DOUBLE) * " +
+        "(CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE))"
+      val prev = per.select(
+        col("bucket").as("pb"),
+        expr(vExpr).as("v"))
+      per
+        .withColumn("uplift",
+          col("conv_t").cast(DoubleType) / col("n_t").cast(DoubleType) -
+            col("conv_c").cast(DoubleType) / col("n_c").cast(DoubleType))
+        .join(prev, col("pb") >= col("bucket"))
+        .groupBy(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"), col("uplift"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(-pb, v))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)")
+          .as("cum_incremental"))
+        .select(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"), col("uplift"), col("cum_incremental"))
+        .orderBy(desc("bucket"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT c_custkey AS k,
+               least(9, (${Det.centsSql("c_acctbal")} + 100000) * 10
+                 // 1100000) AS bucket,
+               ${Det.hashSampleSql("c_custkey").replace("<= 2", "<= 8")}
+                 AS treated
+        FROM customer
+      ), judged AS (
+        SELECT bucket, treated,
+               (k * 29) % 100 <
+                 5 + bucket * CASE WHEN treated THEN 2 ELSE 1 END
+                 AS converted
+        FROM scored
+      ), per AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t,
+               CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN treated AND converted THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conv_t,
+               CAST(sum(CASE WHEN NOT treated AND converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv_c
+        FROM judged
+        GROUP BY bucket
+      )
+      SELECT p.bucket, p.n_t, p.n_c, p.conv_t, p.conv_c,
+             CAST(p.conv_t AS DOUBLE) / CAST(p.n_t AS DOUBLE)
+               - CAST(p.conv_c AS DOUBLE) / CAST(p.n_c AS DOUBLE)
+               AS uplift,
+             list_reduce(list_transform(
+               list(struct_pack(nb := -q.bucket,
+                 v := CAST(q.conv_t AS DOUBLE) - CAST(q.conv_c AS DOUBLE)
+                   * (CAST(q.n_t AS DOUBLE) / CAST(q.n_c AS DOUBLE)))
+                 ORDER BY -q.bucket), x -> x.v),
+               (acc, x) -> acc + x) AS cum_incremental
+      FROM per p JOIN per q ON q.bucket >= p.bucket
+      GROUP BY p.bucket, p.n_t, p.n_c, p.conv_t, p.conv_c
+      ORDER BY p.bucket DESC"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298, q310, q312, q315)
+      q247, q263, q290, q293, q298, q310, q312, q315, q323)
 }

@@ -4703,6 +4703,92 @@ object Olap {
       FROM stats
       ORDER BY yr"""))
 
+  /** q322: SPEARMAN RANK CORRELATION — the monotone-association readout
+    * (Spearman 1904) that survives outliers and nonlinearity where q48's
+    * Pearson does not: Pearson applied to MIDRANKS. Ranks are exact at
+    * 2× scale without a tie join: with r = rank() (min-rank of the tie
+    * group) and c = the group's size, 2·midrank = 2r + c − 1 — two
+    * window functions, no self-join. The correlation is then computed
+    * from five integer sums per year; the n·Σ products exceed int64 at
+    * warehouse scale, so both engines carry them in exact wide decimals
+    * (DuckDB HUGEINT, Spark DECIMAL(38,0) — the q292 discipline), take
+    * the EXACT difference, and only then cast to DOUBLE: both engines
+    * round the same integer to the same double, and the final
+    * sqrt/division is IEEE on identical operands. The fixture's
+    * quantity and price columns are INDEPENDENT (measured ρ ≈ 0.01),
+    * which would demo nothing — so y is dosed as a monotone transform
+    * of quantity plus order-keyed noise (3x + (orderkey·7919) mod 10⁴),
+    * giving a strong-but-not-perfect association AND heavy ties in x
+    * (50 distinct quantities), exactly what midranks exist for. Scale:
+    * two rank windows + one aggregation; never a pairwise product. */
+  val q322 = Q(
+    "q322_spearman",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "lineitem")
+        .select(
+          year(col("l_shipdate")).cast(LongType).as("yr"),
+          Det.cents(col("l_quantity")).as("x"),
+          (Det.cents(col("l_quantity")) * 3 +
+            expr("(l_orderkey * 7919) % 10000")).as("y"))
+      def mid2(v: String): org.apache.spark.sql.Column = {
+        val wr = Window.partitionBy(col("yr")).orderBy(col(v))
+        val wc = Window.partitionBy(col("yr"), col(v))
+        (rank().over(wr).cast(LongType) * 2 +
+          count(lit(1)).over(wc) - 1).as(s"r$v")
+      }
+      base
+        .select(col("yr"), mid2("x"), mid2("y"))
+        .groupBy(col("yr"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
+          sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+          sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+        .select(
+          col("yr"), col("n"),
+          (expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy " +
+            "- CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+            (sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx " +
+              "- CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")) *
+              sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * syy " +
+                "- CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"))))
+            .as("rho"))
+        .orderBy(col("yr"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               ${Det.centsSql("l_quantity")} AS x,
+               ${Det.centsSql("l_quantity")} * 3
+                 + (l_orderkey * 7919) % 10000 AS y
+        FROM lineitem
+      ), ranked AS (
+        SELECT yr,
+               CAST(rank() OVER (PARTITION BY yr ORDER BY x) AS BIGINT) * 2
+                 + count(*) OVER (PARTITION BY yr, x) - 1 AS rx,
+               CAST(rank() OVER (PARTITION BY yr ORDER BY y) AS BIGINT) * 2
+                 + count(*) OVER (PARTITION BY yr, y) - 1 AS ry
+        FROM base
+      ), sums AS (
+        SELECT yr, count(*) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+               sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+               sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+               sum(CAST(ry AS HUGEINT) * ry) AS syy
+        FROM ranked GROUP BY yr
+      )
+      SELECT yr, n,
+             CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS rho
+      FROM sums
+      ORDER BY yr"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4710,5 +4796,5 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294, q295, q296, q309, q321)
+      q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322)
 }

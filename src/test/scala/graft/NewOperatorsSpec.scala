@@ -5707,4 +5707,83 @@ class NewOperatorsSpec extends SparkSpec {
         s"hash-split arms should be near-exchangeable, got $cles")
     }
   }
+
+  test("q322 Spearman equals an exact BigInt replay; correlation is real") {
+    val rows = Tables.load(spark, sf001, "lineitem")
+      .select(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        graft.queries.Det.cents(col("l_quantity")).as("x"),
+        (graft.queries.Det.cents(col("l_quantity")) * 3 +
+          expr("(l_orderkey * 7919) % 10000")).as("y"))
+      .as[(Long, Long, Long)].collect()
+    def ranks2(vs: Array[Long]): Map[Long, Long] = {
+      // 2·midrank per distinct value: 2·(#smaller) + #equal + 1
+      val grouped = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      grouped.map { case (v, c) =>
+        val less = grouped.filter(_._1 < v).values.sum
+        v -> (2 * less + c + 1)
+      }.toMap
+    }
+    val expected = rows.groupBy(_._1).map { case (yr, rs) =>
+      val (rx, ry) = (ranks2(rs.map(_._2)), ranks2(rs.map(_._3)))
+      val pairs = rs.map(r => (BigInt(rx(r._2)), BigInt(ry(r._3))))
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val rho = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      yr -> (pairs.length.toLong, rho)
+    }
+    val got = graft.queries.Olap.q322.run(spark, sf001)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (yr, n, rho) =>
+      val (en, erho) = expected(yr)
+      assert(n == en && rho == erho, s"Spearman mismatch at $yr")
+      // dosed monotone-plus-noise relation: strong but not perfect
+      assert(rho > 0.2 && rho < 0.999, s"implausible rho $rho at $yr")
+    }
+  }
+
+  test("q323 uplift deciles recover the dosed effect; replay exact") {
+    val out = graft.queries.Curation.q323.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(-_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cust = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)].collect()
+    val scored = cust.map { case (k, bal) =>
+      val balC = math.round(bal * 100)
+      val bucket = math.min(9L, (balC + 100000L) * 10 / 1100000L)
+      val treated = "0123456789abcdef".indexOf(hex(k.toString).last) < 8
+      val conv = (k * 29) % 100 < 5 + bucket * (if (treated) 2 else 1)
+      (bucket, treated, conv)
+    }
+    val expected = scored.groupBy(_._1).view.mapValues { vs =>
+      (vs.count(_._2).toLong, vs.count(!_._2).toLong,
+        vs.count(v => v._2 && v._3).toLong,
+        vs.count(v => !v._2 && v._3).toLong)
+    }.toMap
+    out.foreach { case (b, nt, nc, ct, cc, uplift, _) =>
+      val (ent, enc, ect, ecc) = expected(b)
+      assert((nt, nc, ct, cc) == ((ent, enc, ect, ecc)),
+        s"bucket $b counts mismatch")
+      assert(uplift == ct.toDouble / nt.toDouble - cc.toDouble / nc.toDouble)
+    }
+    // at 150 customers per-bucket signs are noisy; assert the aggregate
+    // direction instead: pooled top-half uplift beats pooled bottom-half
+    def pooled(rs: Array[(Long, Long, Long, Long, Long, Double, Double)]) =
+      rs.map(_._4).sum.toDouble / rs.map(_._2).sum.toDouble -
+        rs.map(_._5).sum.toDouble / rs.map(_._3).sum.toDouble
+    val (top, bottom) = out.partition(_._1 >= 5)
+    assert(pooled(top) > pooled(bottom),
+      "dosed effect not visible even pooled by halves")
+  }
 }
