@@ -1617,7 +1617,75 @@ object Curation {
       GROUP BY p.bucket, p.n_t, p.n_c, p.conv_t, p.conv_c
       ORDER BY p.bucket DESC"""))
 
+  /** q324: WILSON SCORE INTERVALS — the confidence interval a rate
+    * report should publish instead of the textbook Wald interval
+    * (Wilson 1927; Brown-Cai-DasGupta 2001 showed Wald's coverage
+    * collapses at small n and extreme p — exactly the regimes corpus
+    * QA rates live in, and Wilson never leaves [0,1]). Everything is a
+    * closed-form arithmetic program over exact integer counts: the
+    * only non-integer inputs are the z literal — spelled
+    * CAST(196 AS DOUBLE)/100 because a bare 1.96 parses DECIMAL in
+    * Spark SQL but DOUBLE in DuckDB (the q37 literal lesson) — and
+    * sqrt, which is IEEE-exact; identical operands through identical
+    * expression trees make lo/hi bit-equal cross-engine. Dosed
+    * conversion (hash-threshold per segment) so rates differ by group.
+    * Scale: one scan, |segments| output rows. */
+  val q324 = Q(
+    "q324_wilson_ci",
+    (s, d) => {
+      val zSql = "(CAST(196 AS DOUBLE) / 100)"
+      val counts = Tables.load(s, d, "customer")
+        .withColumn("converted",
+          expr("(c_custkey * 37) % 100") <
+            lit(3) + (col("c_nationkey") % 5) * 4)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("k"))
+      counts
+        .withColumn("rate",
+          col("k").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("lo", expr(wilsonSql("k", "n", zSql, lower = true)))
+        .withColumn("hi", expr(wilsonSql("k", "n", zSql, lower = false)))
+        .select(col("seg"), col("n"), col("k"), col("rate"), col("lo"),
+          col("hi"))
+        .orderBy(col("seg"))
+    },
+    Some {
+      val zSql = "(CAST(196 AS DOUBLE) / 100)"
+      s"""
+      WITH counts AS (
+        SELECT c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(CASE WHEN (c_custkey * 37) % 100 <
+                                  3 + (c_nationkey % 5) * 4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM customer
+        GROUP BY 1
+      )
+      SELECT seg, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+             ${wilsonSql("k", "n", zSql, lower = true)} AS lo,
+             ${wilsonSql("k", "n", zSql, lower = false)} AS hi
+      FROM counts
+      ORDER BY seg"""
+    })
+
+  /** The Wilson bound as ONE shared SQL text over integer count columns
+    * `k`/`n` — generated once so both engines evaluate the identical
+    * expression tree (every subexpression is double arithmetic on
+    * identical operands, hence bit-equal results). */
+  private def wilsonSql(
+      k: String, n: String, z: String, lower: Boolean): String = {
+    val p = s"(CAST($k AS DOUBLE) / CAST($n AS DOUBLE))"
+    val nd = s"CAST($n AS DOUBLE)"
+    val half = s"sqrt(($p * (1 - $p) / $nd) + " +
+      s"($z * $z / (4 * $nd * $nd))) * $z"
+    val center = s"($p + $z * $z / (2 * $nd))"
+    val sign = if (lower) "-" else "+"
+    s"(($center $sign $half) / (1 + $z * $z / $nd))"
+  }
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298, q310, q312, q315, q323)
+      q247, q263, q290, q293, q298, q310, q312, q315, q323, q324)
 }

@@ -723,6 +723,75 @@ object IngestQ {
       GROUP BY 1
       ORDER BY nation"""))
 
+  /** q325: QUARANTINE-AND-REPROCESS ROUTING — the dead-letter half of
+    * data contracts (q162 detects; this one DISPOSES): every row is
+    * routed exactly once by a FIRST-MATCH reason chain — missing value
+    * → quarantine, unknown event type → quarantine, out-of-range →
+    * quarantine, negative-but-fixable → REPAIRED (sign flip) and
+    * re-admitted with its repair labeled, clean → accepted. The reason
+    * order is part of the contract (a row can violate several rules;
+    * both engines evaluate the same CASE chain so the census is
+    * deterministic). Dosed violations on disjoint-enough id residues
+    * (11/13/17/19) so every route carries traffic. Money totals of the
+    * ADMITTED payload (accepted + repaired) use exact decimal sums.
+    * Scale: a single scan with a column program — routing never joins;
+    * the quarantine table is the small side by construction. */
+  val q325 = Q(
+    "q325_quarantine_reprocess",
+    (s, d) => {
+      val routed = Tables.load(s, d, "events")
+        .withColumn("raw_value",
+          when(col("event_id") % 17 === 0, lit(null).cast(DoubleType))
+            .when(col("event_id") % 11 === 0, -col("value"))
+            .when(col("event_id") % 13 === 0, col("value") + 20000)
+            .otherwise(col("value")))
+        .withColumn("etype",
+          when(col("event_id") % 19 === 0, lit("zzz_unknown"))
+            .otherwise(col("event_type")))
+        .withColumn("disposition",
+          when(col("raw_value").isNull, "quarantine:missing")
+            .when(col("etype") === "zzz_unknown", "quarantine:unknown_type")
+            .when(col("raw_value") > 10000, "quarantine:out_of_range")
+            .when(col("raw_value") < 0, "repaired:sign_flip")
+            .otherwise("accepted"))
+        .withColumn("final_value",
+          when(col("disposition") === "accepted", col("raw_value"))
+            .when(col("disposition") === "repaired:sign_flip",
+              -col("raw_value")))
+      routed
+        .groupBy(col("disposition"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("final_value")).as("sum_admitted"))
+        .orderBy(col("disposition"))
+    },
+    Some(s"""
+      WITH routed AS (
+        SELECT *,
+          CASE WHEN raw_value IS NULL THEN 'quarantine:missing'
+               WHEN etype = 'zzz_unknown' THEN 'quarantine:unknown_type'
+               WHEN raw_value > 10000 THEN 'quarantine:out_of_range'
+               WHEN raw_value < 0 THEN 'repaired:sign_flip'
+               ELSE 'accepted' END AS disposition
+        FROM (
+          SELECT event_id,
+                 CASE WHEN event_id % 17 = 0 THEN NULL
+                      WHEN event_id % 11 = 0 THEN -value
+                      WHEN event_id % 13 = 0 THEN value + 20000
+                      ELSE value END AS raw_value,
+                 CASE WHEN event_id % 19 = 0 THEN 'zzz_unknown'
+                      ELSE event_type END AS etype
+          FROM events) dosed
+      )
+      SELECT disposition, count(*) AS n,
+             ${Det.dsumSql("""CASE
+               WHEN disposition = 'accepted' THEN raw_value
+               WHEN disposition = 'repaired:sign_flip' THEN -raw_value
+               END""")} AS sum_admitted
+      FROM routed
+      GROUP BY disposition
+      ORDER BY disposition"""))
+
   val all: Seq[Q] =
-    Seq(q15, q16, q155, q162, q165, q246, q289, q297, q300, q313)
+    Seq(q15, q16, q155, q162, q165, q246, q289, q297, q300, q313, q325)
 }

@@ -5786,4 +5786,65 @@ class NewOperatorsSpec extends SparkSpec {
     assert(pooled(top) > pooled(bottom),
       "dosed effect not visible even pooled by halves")
   }
+
+  test("q324 Wilson bounds equal a replay, bracket the rate, stay in [0,1]") {
+    val out = graft.queries.Curation.q324.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    val z = 196.0 / 100
+    out.foreach { case (seg, n, k, rate, lo, hi) =>
+      val p = k.toDouble / n.toDouble
+      val nd = n.toDouble
+      val half = math.sqrt((p * (1 - p) / nd) +
+        (z * z / (4 * nd * nd))) * z
+      val center = p + z * z / (2 * nd)
+      val denom = 1 + z * z / nd
+      assert(rate == p, s"rate at $seg")
+      assert(lo == (center - half) / denom, s"lo not bit-equal at $seg")
+      assert(hi == (center + half) / denom, s"hi not bit-equal at $seg")
+      // Wilson's defining properties vs Wald: stays inside [0,1] and
+      // brackets the point estimate
+      assert(lo >= 0.0 && hi <= 1.0 && lo < rate && rate < hi, s"at $seg")
+    }
+    // the dose differentiates the groups: rates are not all equal
+    assert(out.map(_._4).distinct.length > 1, "rates degenerate")
+  }
+
+  test("q325 quarantine routing: first-match reasons partition; repairs admit") {
+    val out = graft.queries.IngestQ.q325.run(spark, sf001).collect()
+      .map(r => (r.getString(0), (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("value"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val routed = ev.map { case (id, v, _) =>
+      val raw: Option[Double] =
+        if (id % 17 == 0) None
+        else if (id % 11 == 0) Some(-v)
+        else if (id % 13 == 0) Some(v + 20000)
+        else Some(v)
+      val unknown = id % 19 == 0
+      raw match {
+        case None => "quarantine:missing"
+        case Some(_) if unknown => "quarantine:unknown_type"
+        case Some(x) if x > 10000 => "quarantine:out_of_range"
+        case Some(x) if x < 0 => "repaired:sign_flip"
+        case _ => "accepted"
+      }
+    }
+    val counts = routed.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(counts.keySet == out.keySet, "disposition set drifted")
+    counts.foreach { case (dd, n) =>
+      assert(out(dd)._1 == n, s"count mismatch at $dd")
+    }
+    // dispositions partition the input exactly once per row
+    assert(out.values.map(_._1).sum == ev.length)
+    // every route carries traffic and quarantines carry no money
+    assert(out.size == 5, s"expected 5 routes, got ${out.keySet}")
+    out.foreach { case (dd, (_, sum)) =>
+      if (dd.startsWith("quarantine")) assert(sum.isEmpty, s"$dd sums money")
+      else assert(sum.nonEmpty, s"$dd lost its admitted total")
+    }
+  }
 }

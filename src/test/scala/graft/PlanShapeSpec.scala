@@ -314,7 +314,11 @@ class PlanShapeSpec extends SparkSpec {
       // r6: q235's two rank windows run over top-20 lists
       // (TakeOrderedAndProject outputs, aggregates below) — 20-row
       // frames by construction
-      "q235_rrf_fusion")
+      "q235_rrf_fusion",
+      // r7: q312's global rank goes through GlobalOrder.withOrderedCumsum
+      // — the bare window is its partition-count offsets table (grouped
+      // by spark_partition_id, ≤ shuffle-partition rows), q141's shape
+      "q312_quantile_normalize")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
