@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Q, Registry}
+import graft.queries.{Oracles, Q, Registry}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,12 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * [[graft.queries.Oracles.materialize]] hardens every twin against
+    * DuckDB's inline-per-reference CTE planning (the q274 exponential
+    * class that zeroed CORRECTNESS_r07 — r7 verdict item #1). */
   def oracleSql: Map[String, String] =
-    Registry.all.collect { case Q(n, _, Some(sql)) => n -> sql.trim }.toMap
+    Registry.all.collect {
+      case Q(n, _, Some(sql)) => n -> Oracles.materialize(sql.trim)
+    }.toMap
 }

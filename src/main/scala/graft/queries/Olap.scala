@@ -2720,14 +2720,22 @@ object Olap {
 
   /** DuckDB twin of [[copurchaseAdj]]: op/e/adj CTE text shared by the
     * q192/q204 oracles. */
-  private val copurchaseAdjSql = """op AS (
+  // AS MATERIALIZED on every multiply-referenced CTE: DuckDB 1.0.0 INLINES
+  // a CTE at each reference site, so `op` (2 refs in e's self-join), `e`
+  // (2 refs in adj) — and catastrophically the q274 peel chain, where each
+  // peel references its predecessor twice and the plan DOUBLES per peel
+  // (2^8 copies of this basket self-join; >70 CPU-min at sf0.01, r7
+  // verdict item #1 — it zeroed the round's driver correctness artifact).
+  // Materialization is the oracle-side analog of the Spark twins'
+  // localCheckpoint: evaluate once, reference the result.
+  private val copurchaseAdjSql = """op AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      ), e AS (
+      ), e AS MATERIALIZED (
         SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
         FROM op x JOIN op y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= 2
-      ), adj AS (
+      ), adj AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM e
         UNION ALL
         SELECT b AS src, a AS dst FROM e
@@ -3840,8 +3848,10 @@ object Olap {
         .orderBy(col("part_key"))
     },
     Some {
+      // each peel references s{i-1} TWICE — without MATERIALIZED the
+      // DuckDB plan doubles per peel (exponential; r7 verdict item #1)
       val peels = (2 to 8).map { i =>
-        s""", s$i AS (
+        s""", s$i AS MATERIALIZED (
         SELECT src AS v FROM adj
         WHERE src IN (SELECT v FROM s${i - 1})
           AND dst IN (SELECT v FROM s${i - 1})
@@ -3849,7 +3859,7 @@ object Olap {
       )"""
       }.mkString
       s"""
-      WITH $copurchaseAdjSql, s1 AS (
+      WITH $copurchaseAdjSql, s1 AS MATERIALIZED (
         SELECT src AS v FROM adj GROUP BY src HAVING count(*) >= 3
       )$peels
       SELECT s8.v AS part_key, coalesce(d.deg, 0) AS core_deg,

@@ -2,16 +2,82 @@
 """Local differential check mirroring the driver's DuckDB-oracle compare.
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
+       oracle_check.py --sql-only <sfDir> <oracle_sql.json>
 
 For each <name>/ parquet dir in verifyOutDir and its SQL in oracle_sql.json:
 run the SQL in DuckDB over the sfDir parquet tables, sort columns by name,
 and compare values row by row (exact equality). Prints PASS/FAIL per query.
+
+Every oracle execution is TIMEBOXED (GRAFT_ORACLE_TIMEOUT seconds, default
+120) via duckdb's interrupt(): a pathological twin records `FAIL <name>:
+timeout` and the check CONTINUES — r7's q274 (exponential inlined-CTE
+plan, >70 CPU-min at sf0.01) hung the whole-round compare mid-iteration
+and zeroed CORRECTNESS_r07; one bad twin must never erase a round again.
+`--sql-only` runs just the DuckDB side of every twin (no Spark dumps
+needed) — the fast screen that each committed oracle text completes.
 """
 import json
 import math
+import os
 import sys
+import threading
+import time
 
 import duckdb
+
+TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "120"))
+
+
+def timebox(con, fn):
+    """Run fn() with a watchdog that interrupts the connection's running
+    query at TIMEOUT; raises TimeoutError on interrupt."""
+    t0 = time.monotonic()
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(TIMEOUT):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return fn()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"timeout after {TIMEOUT:.0f}s")
+    except Exception:
+        if time.monotonic() - t0 >= TIMEOUT:
+            raise TimeoutError(f"timeout after {TIMEOUT:.0f}s")
+        raise
+    finally:
+        done.set()
+
+
+def sql_only(sf_dir, oracle_path):
+    """Run just the DuckDB side of every twin, timeboxed — the fast screen
+    that each committed oracle text completes (no Spark dumps needed)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    n_pass = n_fail = 0
+    slow = []
+    for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
+        try:
+            rows = timebox(con, lambda: con.sql(sql).fetchall())
+            dt = time.monotonic() - t0
+            print(f"OK   {name} ({len(rows)} rows, {dt:.2f}s)")
+            n_pass += 1
+            if dt > 10:
+                slow.append((name, dt))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+    if slow:
+        print("SLOW (>10s): " + ", ".join(f"{n} {d:.1f}s" for n, d in slow))
+    print(f"== {n_pass} ok, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -92,6 +158,8 @@ def selftest():
 def main():
     if sys.argv[1:] == ["--selftest"]:
         selftest()
+    if sys.argv[1] == "--sql-only":
+        sql_only(sys.argv[2], sys.argv[3])
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -101,17 +169,22 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            spark_cols = sorted(spark_rel.columns)
-            spark_rows = con.sql(
-                "SELECT " + ", ".join(f'"{c}"' for c in spark_cols)
-                + f" FROM spark_rel").fetchall()
-            duck_rel = con.sql(sql)
-            duck_cols = sorted(duck_rel.columns)
-            duck_rows = con.sql(
-                "SELECT " + ", ".join(f'"{c}"' for c in duck_cols)
-                + " FROM duck_rel").fetchall()
+            def fetch_both():
+                spark_rel = con.sql("SELECT * FROM read_parquet("
+                                    f"'{out_dir}/{name}/*.parquet')")
+                spark_cols = sorted(spark_rel.columns)
+                spark_rows = con.sql(
+                    "SELECT " + ", ".join(f'"{c}"' for c in spark_cols)
+                    + " FROM spark_rel").fetchall()
+                duck_rel = con.sql(sql)
+                duck_cols = sorted(duck_rel.columns)
+                duck_rows = con.sql(
+                    "SELECT " + ", ".join(f'"{c}"' for c in duck_cols)
+                    + " FROM duck_rel").fetchall()
+                return (spark_rel, spark_cols, spark_rows,
+                        duck_rel, duck_cols, duck_rows)
+            (spark_rel, spark_cols, spark_rows,
+             duck_rel, duck_cols, duck_rows) = timebox(con, fetch_both)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
