@@ -100,14 +100,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Run each named query `runs` times against `dir`; per-run seconds.
-    * A failing run records -1 and the sweep CONTINUES — one bad query
-    * must not erase the other sweep entries' data. */
+  /** Run each named query `runs` times against `dir`; per-run seconds
+    * PLUS a per-run calibration probe (r7 verdict item #7: a stalled-box
+    * sweep entry must carry its own probe so the artifact self-triages —
+    * the r7 driver's q03 [1.7, 0.9, 29.8] row was only diagnosable by
+    * re-running). The probe runs BEFORE the query, outside its timing;
+    * after every timed run the harness sweeps orphaned checkpoint blocks
+    * ([[Caches.sweepOrphans]]) so no run inherits the previous queries'
+    * cached state (r7 verdict item #4). A failing run records -1 and the
+    * sweep CONTINUES — one bad query must not erase the other entries. */
   private def timeQueries(spark: SparkSession, dir: String,
-      names: Seq[String], runs: Int): Seq[(String, Seq[Double])] =
+      names: Seq[String], runs: Int)
+      : Seq[(String, Seq[Double], Seq[Double])] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
-      val ts = (1 to runs).map { _ =>
+      val tsCal = (1 to runs).map { _ =>
+        val cal = calibrate()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).count(); true }
@@ -116,9 +124,11 @@ object Bench {
               System.err.println(s"bench: sweep $name FAILED: $t"); false
           }
           finally Caches.release()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = (System.nanoTime() - t0) / 1e9
+        Caches.sweepOrphans(spark)
+        (if (ok) dt else -1.0, cal)
       }
-      (name, ts)
+      (name, tsCal.map(_._1), tsCal.map(_._2))
     }
 
   def main(args: Array[String]): Unit = {
@@ -155,7 +165,11 @@ object Bench {
                 System.err.println(s"bench: $name FAILED: $t"); false
             }
             finally Caches.release()
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val dt = (System.nanoTime() - t0) / 1e9
+          // free localCheckpoint blocks between runs (r7 item #4) —
+          // outside the timed window; Bench is strictly sequential
+          Caches.sweepOrphans(spark)
+          if (ok) dt else -1.0
         }
         val ok = !times.contains(-1.0)
         (name, if (ok) times.last else -1.0, ok, times)
@@ -260,15 +274,20 @@ object Bench {
       }
     val sfD = scala.util.Try(sf.toDouble).getOrElse(0.0)
 
-    def sweepJson(sw: Seq[(String, Seq[Double])], factor: Int,
+    def sweepJson(sw: Seq[(String, Seq[Double], Seq[Double])], factor: Int,
         tag: String, withRuns: Boolean): String =
       if (sw.isEmpty) ""
       else {
-        val med = jmap(sw.map { case (k, ts) => (k, fmt(median(ts))) })
+        val med = jmap(sw.map { case (k, ts, _) => (k, fmt(median(ts))) })
+        // per-run probe arrays beside the per-run times (r7 item #7):
+        // an entry whose slow run sits next to an inflated probe is a
+        // machine stall, decidable from the artifact alone
         val runsPart =
           if (!withRuns) ""
-          else s""","${tag}_queries_runs":${jmap(sw.map { case (k, ts) =>
+          else s""","${tag}_queries_runs":${jmap(sw.map { case (k, ts, _) =>
               (k, ts.map(fmt).mkString("[", ",", "]"))
+            })},"${tag}_calibration_runs":${jmap(sw.map { case (k, _, cs) =>
+              (k, cs.map(fmt).mkString("[", ",", "]"))
             })}"""
         s""","${tag}_sf":${sfD * factor},"${tag}_queries":$med$runsPart"""
       }

@@ -29,6 +29,9 @@ object RunOne {
           Caches.release()
       println(f"[runone] $name run $i: $n rows, " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s (cal $cal%.3f s)")
+      // free localCheckpoint blocks between runs, like Bench (r7 item #4)
+      if (sys.env.getOrElse("SPARK_GRAFT_KEEP_CACHE", "0") == "0")
+        Caches.sweepOrphans(spark)
     }
     spark.stop()
   }

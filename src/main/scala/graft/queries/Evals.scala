@@ -420,10 +420,15 @@ object Evals {
         .withColumn("prev_role", lag(col("role"), 1).over(w))
         .groupBy(col("conv"))
         .agg(
-          max(when(col("turn") === 0 && col("role") =!= "user", 1L)
-            .otherwise(0L)).as("bad_start"),
-          max(when(col("turn") === 3 && col("role") =!= "assistant", 1L)
-            .otherwise(0L)).as("bad_end"),
+          // min_by/max_by on turn: the FIRST and LAST rows actually
+          // present are checked, so a conversation with gapped or
+          // non-contiguous turn numbers is still linted instead of
+          // silently passing (r7 advice item #3 — hardcoded turn=0/3
+          // never fired on a conv missing those rows)
+          when(expr("min_by(role, turn)") =!= "user", 1L)
+            .otherwise(0L).as("bad_start"),
+          when(expr("max_by(role, turn)") =!= "assistant", 1L)
+            .otherwise(0L).as("bad_end"),
           sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
             .as("n_nonalt"),
           sum(when(col("content") === "", 1L).otherwise(0L))
@@ -457,10 +462,10 @@ object Evals {
         FROM turns
       ), per_conv AS (
         SELECT conv,
-               max(CASE WHEN turn = 0 AND role <> 'user' THEN 1 ELSE 0 END)
+               CASE WHEN min_by(role, turn) <> 'user' THEN 1 ELSE 0 END
                  AS bad_start,
-               max(CASE WHEN turn = 3 AND role <> 'assistant'
-                        THEN 1 ELSE 0 END) AS bad_end,
+               CASE WHEN max_by(role, turn) <> 'assistant'
+                    THEN 1 ELSE 0 END AS bad_end,
                sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
                  AS n_nonalt,
                sum(CASE WHEN content = '' THEN 1 ELSE 0 END) AS n_empty

@@ -3947,9 +3947,19 @@ object Olap {
     * centre); existing edges leave via a left-anti join on the ordered
     * pair key; the top-20 is totally ordered (cn DESC, a, b) so LIMIT
     * is deterministic cross-engine. Scale: wedge counts are the
-    * centre-degree-squared term every link predictor pays — at 100 TB
-    * the centres are capped by the q159-style skew profile first;
-    * everything downstream is pair-keyed equi-joins and one top-k. */
+    * centre-degree-squared term every link predictor pays — a hub
+    * centre of degree d would emit d² candidate rows, so BOTH engines
+    * cap every centre's wedge fan-out at [[hubCap]] neighbours chosen
+    * deterministically (row_number by dst ascending — one edge-sized
+    * window pass, never d² rows). The recall contract: EXACT for every
+    * centre with degree ≤ cap; above the cap, wedges are enumerated
+    * over the same truncated neighbour list in both engines, so
+    * cross-engine equality holds at ANY scale while the worst-case
+    * per-centre cost is cap² instead of d². Everything downstream is
+    * pair-keyed equi-joins and one top-k (r7 verdict item #5: the cap
+    * is code, pinned in PlanShapeSpec, not a comment). */
+  val hubCap = 128
+
   val q279 = Q(
     "q279_link_prediction",
     (s, d) => {
@@ -3959,8 +3969,15 @@ object Olap {
       val adj = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
         .persistTracked()
-      val cand = adj.as("x")
-        .join(adj.as("y"),
+      // hub cap: keep each centre's first `hubCap` neighbours (dst asc)
+      val capped = adj
+        .withColumn("nbr_rank", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .filter(col("nbr_rank") <= hubCap)
+        .select(col("src"), col("dst"))
+        .persistTracked()
+      val cand = capped.as("x")
+        .join(capped.as("y"),
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .select(col("x.dst").as("a"), col("y.dst").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
@@ -3979,9 +3996,16 @@ object Olap {
         .limit(20)
     },
     Some(s"""
-      WITH $copurchaseAdjSql, cand AS (
+      WITH $copurchaseAdjSql, capped AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst)
+                   AS nbr_rank
+          FROM adj)
+        WHERE nbr_rank <= $hubCap
+      ), cand AS (
         SELECT x.dst AS a, y.dst AS b, count(*) AS cn
-        FROM adj x JOIN adj y
+        FROM capped x JOIN capped y
           ON x.src = y.src AND x.dst < y.dst
         WHERE NOT EXISTS (SELECT 1 FROM e
                           WHERE e.a = x.dst AND e.b = y.dst)

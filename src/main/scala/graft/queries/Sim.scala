@@ -1799,7 +1799,11 @@ object Sim {
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
   private def qd2Sql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, 65), " +
+    // range bound from len($a), not a hardcoded dimensionality: if the
+    // embeddings fixture ever changes width the oracle keeps computing
+    // the FULL distance instead of a silently truncated one (r7 advice
+    // item #4)
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 
   /** q305: K-CENTER DIVERSE SUBSET SELECTION — the Gonzalez (1985,

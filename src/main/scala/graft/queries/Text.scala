@@ -4400,8 +4400,13 @@ object Text {
         .partitionBy(col("prefix"))
         .orderBy(desc("rev_c"), col("name"))
       rev
+        // least(4, length): a name shorter than 4 chars must not emit
+        // its full form twice and occupy two top-3 slots of the same
+        // prefix (latent on TPC-H p_name, wrong as a serving semantic —
+        // r7 advice item #2)
         .withColumn("prefix",
-          explode(expr("transform(sequence(1, 4), n -> substr(name, 1, n))")))
+          explode(expr("transform(sequence(1, least(4, length(name)))," +
+            " n -> substr(name, 1, n))")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("prefix"), col("rnk").cast(LongType).as("rnk"),
@@ -4418,6 +4423,7 @@ object Text {
       ), pfx AS (
         SELECT substr(name, 1, n.n) AS prefix, name, rev_c
         FROM rev, (VALUES (1), (2), (3), (4)) n(n)
+        WHERE n.n <= length(name)
       ), ranked AS (
         SELECT prefix, name, rev_c,
                row_number() OVER (PARTITION BY prefix
@@ -4433,7 +4439,9 @@ object Text {
     * for every search/RAG retriever (q184 BM25, q230 phrase, the ANN
     * family): 20 query documents retrieve by distinct-token overlap
     * (posting-list join — zero-overlap candidates never rank, the
-    * standard inverted-index behavior), relevance = same doc_id%10
+    * standard inverted-index behavior; a query that retrieves NOTHING
+    * still counts as a miss — n_queries is the fixed query universe,
+    * standard MRR semantics), relevance = same doc_id%10
     * "topic", and the graded metrics are hit@1/5/10 plus MRR@10.
     * The mean reciprocal rank is EXACT INTEGER arithmetic: with
     * L = lcm(1..10) = 2520, each hit contributes L div rank (divides
@@ -4466,10 +4474,16 @@ object Text {
             .orderBy(desc("overlap"), col("cid"))).cast(LongType))
         .filter(col("rnk") <= 10)
         .withColumn("relevant", col("cid") % 10 === col("qid") % 10)
-      val perQ = scored
-        .groupBy(col("qid"))
-        .agg(
-          min(when(col("relevant"), col("rnk"))).as("first_rel"))
+      // the query UNIVERSE is every query doc, not every query that
+      // retrieved something: a query with zero token overlap ranks no
+      // candidates and must count as a miss in n_queries and MRR
+      // (standard MRR semantics — r7 advice item #1)
+      val universe = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 20).select(col("doc_id").as("qid"))
+      val perQ = universe.join(
+        scored.groupBy(col("qid"))
+          .agg(min(when(col("relevant"), col("rnk"))).as("first_rel")),
+        Seq("qid"), "left_outer")
       perQ.agg(
           count(lit(1)).as("n_queries"),
           sum(when(col("first_rel") === 1, 1L).otherwise(0L)).as("hits_1"),
@@ -4499,9 +4513,12 @@ object Text {
                  ORDER BY overlap DESC, cid) AS BIGINT) AS rnk
         FROM scored
       ), perq AS (
-        SELECT qid, min(CASE WHEN relevant THEN rnk END) AS first_rel
-        FROM ranked WHERE rnk <= 10
-        GROUP BY qid
+        -- LEFT join from the query universe: a zero-overlap query has no
+        -- ranked rows but still counts as a miss (r7 advice item #1)
+        SELECT u.qid, min(CASE WHEN r.relevant THEN r.rnk END) AS first_rel
+        FROM (SELECT doc_id AS qid FROM documents WHERE doc_id < 20) u
+        LEFT JOIN ranked r ON r.qid = u.qid AND r.rnk <= 10
+        GROUP BY u.qid
       )
       SELECT count(*) AS n_queries,
              CAST(sum(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT)

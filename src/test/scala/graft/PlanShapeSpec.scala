@@ -414,4 +414,21 @@ class PlanShapeSpec extends SparkSpec {
       s"day generation read $read2 of $tot2 partitions — the Jan-Feb " +
         "window must cut the year of day partitions")
   }
+
+  test("q279 wedge join runs over the hub-capped adjacency") {
+    // A hub centre of degree d would emit d² wedge candidates; the cap
+    // (r7 verdict item #5) bounds every centre to hubCap neighbours via
+    // one edge-sized row_number window BEFORE the self-join. Losing the
+    // window or its rank filter re-opens the d² path at 100 TB.
+    val plan = formatted("q279_link_prediction")
+    assert(plan.contains("row_number"),
+      "the per-centre neighbour-rank window disappeared — wedge join " +
+        "is uncapped")
+    assert(plan.matches(s"(?s).*nbr_rank[^\n]*<= ${
+        graft.queries.Olap.hubCap}.*") ||
+      plan.matches(s"(?s).*\\(nbr_rank[^\n)]*\\) <= ${
+        graft.queries.Olap.hubCap}.*"),
+      s"the nbr_rank <= ${graft.queries.Olap.hubCap} cap filter " +
+        "disappeared from the plan")
+  }
 }
