@@ -1685,7 +1685,196 @@ object Curation {
     s"(($center $sign $half) / (1 + $z * $z / $nd))"
   }
 
+  /** q329: NEYMAN-OPTIMAL STRATIFIED ALLOCATION — the sampling-design
+    * step before any human-eval or annotation batch is drawn from a
+    * corpus (Neyman 1934; Cochran, Sampling Techniques §5.5): allocate
+    * a fixed budget B=100 across source strata proportional to
+    * N_h·S_h, which minimizes the estimator variance at fixed cost.
+    * Per-stratum variance comes from EXACT integer moments of n_chars
+    * (n·Σx² − (Σx)² over DECIMAL(38,0)/HUGEINT — no float subtraction
+    * of near-equal sums); the only doubles are one sqrt per stratum and
+    * the allocation shares, computed from identical operands in an
+    * identical order in both engines, with the double total folded in
+    * SORTED-STRATUM order (the q61/q304 ordered-fold discipline).
+    * Integerization is LARGEST-REMAINDER (Hamilton) rounding — floors
+    * plus one extra seat to the largest fractional parts (ties to the
+    * smaller source name) — so allocations sum to B exactly. Scale: one
+    * scan for the moments, everything after runs on |strata| rows. */
+  val q329 = Q(
+    "q329_neyman_allocation",
+    (s, d) => {
+      val budget = 100L
+      val m = Tables.load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("n_chars") * col("n_chars"))
+            .cast(DecimalType(38, 0))).as("sxx"))
+        .withColumn("sd", sqrt(
+          (col("n_docs") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType) /
+            (col("n_docs") * (col("n_docs") - 1)).cast(DoubleType)))
+        .withColumn("w", col("n_docs").cast(DoubleType) * col("sd"))
+      // Σw folded in sorted-source order — bit-stable cross-engine
+      val tot = m
+        .agg(expr("aggregate(transform(array_sort(" +
+          "collect_list(struct(source, w))), p -> p.w), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("w_tot"))
+      val shared = m.crossJoin(broadcast(tot))
+        .withColumn("share",
+          lit(budget).cast(DoubleType) * col("w") / col("w_tot"))
+        .withColumn("flo", floor(col("share")).cast(LongType))
+        .withColumn("rem", col("share") - col("flo").cast(DoubleType))
+      val leftover = shared
+        .agg((lit(budget) - sum(col("flo"))).as("extra"))
+      shared.crossJoin(broadcast(leftover))
+        .withColumn("pri", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("rem"), col("source"))))
+        .withColumn("alloc",
+          col("flo") + when(col("pri") <= col("extra"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("sd"),
+          col("share"), col("alloc"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source, count(*) AS n_docs,
+               sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx
+        FROM documents GROUP BY source
+      ), sds AS (
+        SELECT source, n_docs,
+               sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                 / CAST(n_docs * (n_docs - 1) AS DOUBLE)) AS sd,
+               CAST(n_docs AS DOUBLE)
+                 * sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                     / CAST(n_docs * (n_docs - 1) AS DOUBLE)) AS w
+        FROM m
+      ), tot AS (
+        SELECT list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(w ORDER BY source)), (acc, x) -> acc + x)
+                 AS w_tot
+        FROM sds
+      ), shares AS (
+        SELECT source, n_docs, sd,
+               CAST(100 AS DOUBLE) * w / w_tot AS share,
+               CAST(floor(CAST(100 AS DOUBLE) * w / w_tot) AS BIGINT)
+                 AS flo,
+               CAST(100 AS DOUBLE) * w / w_tot
+                 - floor(CAST(100 AS DOUBLE) * w / w_tot) AS rem
+        FROM sds, tot
+      ), extra AS (
+        SELECT 100 - CAST(sum(flo) AS BIGINT) AS extra FROM shares
+      )
+      SELECT source, n_docs, sd, share,
+             CAST(flo + CASE WHEN row_number()
+                 OVER (ORDER BY rem DESC, source) <= extra
+               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM shares, extra
+      ORDER BY source"""))
+
+  /** q330: TOKENIZER FERTILITY PROFILE — tokens-per-word and
+    * chars-per-token by language, the readout that prices a tokenizer
+    * against a corpus (fertility near 1 = the vocabulary fits the
+    * language; ≫1 = byte-fallback blowup — the standard multilingual
+    * tokenizer audit, e.g. Rust et al. 2021 "How good is your
+    * tokenizer?"). Words are whitespace tokens; "BPE-ish" tokens are
+    * maximal alnum runs plus one token per other non-space char (the
+    * regex both engines run verbatim: RE2 and Java agree on this
+    * character-class subset). All counts are exact BIGINT sums; the two
+    * ratios are ONE division each. Scale: stateless per-doc map + one
+    * |langs|-row rollup. */
+  val q330 = Q(
+    "q330_tokenizer_fertility",
+    (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("lang"),
+          expr("size(filter(split(text, ' ', -1), t -> t <> ''))")
+            .cast(LongType).as("words"),
+          expr("size(regexp_extract_all(lower(text), " +
+            "'[a-z0-9]+|[^a-z0-9 ]', 0))").cast(LongType).as("toks"),
+          length(col("text")).cast(LongType).as("chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+        .withColumn("chars_per_token",
+          col("n_chars").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS words,
+               len(regexp_extract_all(lower(text),
+                 '[a-z0-9]+|[^a-z0-9 ]')) AS toks,
+               length(text) AS chars
+        FROM documents
+      )
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(words) AS BIGINT) AS n_words,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(sum(toks) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+               AS fertility,
+             CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+               AS chars_per_token
+      FROM per
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** q331: RAG DOCUMENT CHUNKING — fixed-size token windows with
+    * overlap (chunk=50 tokens, stride=40 → 10-token overlap), the
+    * retrieval-corpus build step between raw documents and the
+    * embedding/ANN family (q26-q86): every retriever indexes CHUNKS,
+    * and the overlap keeps boundary-straddling answers findable.
+    * Output is the chunk TABLE (doc, index, token offset/count, md5
+    * content fingerprint — the identity the downstream dedup/upsert
+    * keys on), totally ordered. Tokenization is split(' ', -1) in both
+    * engines (identical empty-token semantics, the r6 gotcha). Scale:
+    * stateless per-doc fan-out of ~1/stride rows per token — linear,
+    * partition-local, no shuffle until the final order. */
+  val q331 = Q(
+    "q331_rag_chunking",
+    (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), expr("split(text, ' ', -1)").as("toks"))
+        .withColumn("start",
+          explode(expr("sequence(0, size(toks) - 1, 40)")))
+        .select(col("doc_id"),
+          expr("start div 40").cast(LongType).as("chunk_idx"),
+          col("start").cast(LongType).as("start_tok"),
+          expr("slice(toks, start + 1, 50)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          expr("size(chunk)").cast(LongType).as("n_tok"),
+          md5(expr("array_join(chunk, ' ')")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ), starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start
+        FROM toks
+      )
+      SELECT doc_id, start // 40 AS chunk_idx, start AS start_tok,
+             CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tok,
+             md5(array_to_string(t[start + 1 : start + 50], ' '))
+               AS chunk_md5
+      FROM starts
+      ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
-      q247, q263, q290, q293, q298, q310, q312, q315, q323, q324)
+      q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
+      q329, q330, q331)
 }

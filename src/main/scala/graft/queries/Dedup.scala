@@ -1545,7 +1545,79 @@ object Dedup {
       FROM comp c JOIN sizes s USING (entity_id)
       ORDER BY c.rec_id"""))
 
+  /** q332: CONTAINMENT DETECTION — the ASYMMETRIC dedup face the
+    * resemblance family (q24/q25 Jaccard) cannot see: containment
+    * c(A→B) = |A∩B| / |A| (Broder 1997's second measure) finds a
+    * document living INSIDE another — quoted posts, boilerplate-wrapped
+    * articles, page-in-crawl supersets — where Jaccard stays low
+    * because the host document is much larger. Shingle sets are the
+    * shared word-3-gram shingling (q24's); the pair join is an
+    * INVERTED-INDEX join with a document-frequency cap (df ≤ 32):
+    * shingles seen in more than 32 docs are boilerplate n-grams whose
+    * pairs explain nothing and cost df² each — dropping them bounds
+    * per-shingle fan-out at 32², the standard stop-shingle discipline.
+    * Set sizes are measured over the SAME capped vocabulary, so the
+    * readout is self-consistent and identical in both engines (the cap
+    * is part of the operator contract, not an approximation the oracle
+    * forgives). Report: ordered pairs with c ≥ 0.8 and |A| ≥ 5 — one
+    * division per surviving pair. Scale: explode is corpus-linear,
+    * the capped join is Σ_sh df² ≤ 32·|postings|. */
+  val q332 = Q(
+    "q332_containment_dedup",
+    (s, d) => {
+      import s.implicits._
+      val posts = Tables.load(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      val kept = posts
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 32)
+        .select(col("doc_id"), col("sh"))
+        .persistTracked()
+      val sizes = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("size_a"))
+      kept.select(col("doc_id").as("a_id"), col("sh"))
+        .join(kept.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("size_a")),
+          Seq("a_id"))
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("size_a").cast(DoubleType))
+        .filter(col("containment") >= 0.8 && col("size_a") >= 5)
+        .select(col("a_id"), col("b_id"), col("size_a"), col("inter"),
+          col("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shinglesSql AS shingles FROM documents
+      ), posts AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM docs
+      ), kept AS (
+        SELECT doc_id, sh FROM (
+          SELECT doc_id, sh,
+                 count(*) OVER (PARTITION BY sh) AS df
+          FROM posts)
+        WHERE df <= 32
+      ), sizes AS (
+        SELECT doc_id, count(*) AS size_a FROM kept GROUP BY doc_id
+      ), pairs AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+        FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a_id, b_id, CAST(size_a AS BIGINT) AS size_a,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+      FROM pairs JOIN sizes ON sizes.doc_id = pairs.a_id
+      WHERE CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.8
+        AND size_a >= 5
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260, q271)
+      q240, q241, q260, q271, q332)
 }

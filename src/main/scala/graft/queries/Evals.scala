@@ -551,5 +551,164 @@ object Evals {
       GROUP BY 1
       ORDER BY gap_bucket"""))
 
-  val all: Seq[Q] = Seq(q303, q304, q311, q316, q319, q320)
+  /** q326: TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-drift
+    * detector every data pipeline runs between corpus versions, feature
+    * snapshots, or A/B arms (Kolmogorov 1933 / Smirnov 1939; the
+    * `scipy.stats.ks_2samp` readout): D = sup|F_A − F_B| between the
+    * order-value distributions of finished ('F') and open ('O') orders,
+    * with the large-sample 5% rejection bound c(0.05)=1.358 ·
+    * √((n_a+n_b)/(n_a·n_b)). EXACT discipline: values are integer cents,
+    * per-value counts aggregate first, and the two cumulative counts ride
+    * ONE GlobalOrder range-partitioned cumsum pass each (never a
+    * corpus-sized single-task window); every per-row double (cum/n) is
+    * computed from identical integer operands with an identical op order
+    * in both engines, so the sup — a pure selection — is bit-identical.
+    * Scale: two scans (per-value rollup + totals), two range shuffles of
+    * the VALUE-level rollup (≤ |distinct prices| rows), one max. */
+  val q326 = Q(
+    "q326_ks_test",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).as("v"))
+      val counts = o.groupBy(col("v")).agg(
+        sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
+      val cum = graft.operators.GlobalOrder.withOrderedCumsum(
+        graft.operators.GlobalOrder.withOrderedCumsum(
+          counts, Seq(col("v")), col("ca"), "cuma"),
+        Seq(col("v")), col("cb"), "cumb")
+      val tot = o.agg(
+        sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_b"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"),
+          abs(col("cuma").cast(DoubleType) / col("n_a").cast(DoubleType)
+            - col("cumb").cast(DoubleType) / col("n_b").cast(DoubleType))
+            .as("diff"))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(col("diff")).as("d_stat"))
+        .withColumn("d_crit",
+          lit(1.358) * sqrt(
+            (col("n_a") + col("n_b")).cast(DoubleType) /
+              (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))))
+        .select(col("n_a"), col("n_b"), col("d_stat"), col("d_crit"),
+          (col("d_stat") > col("d_crit")).as("reject_05"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderstatus AS st, ${Det.centsSql("o_totalprice")} AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+      ), counts AS (
+        SELECT v,
+               CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+        FROM o GROUP BY v
+      ), cum AS (
+        SELECT v,
+               CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        FROM counts
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), tot AS (
+        SELECT CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM o
+      ), stat AS (
+        SELECT n_a, n_b,
+               max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS d_stat
+        FROM cum, tot GROUP BY n_a, n_b
+      )
+      SELECT n_a, n_b, d_stat,
+             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
+             d_stat > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject_05
+      FROM stat"""))
+
+  /** q327: SPLIT-CONFORMAL CALIBRATION — the distribution-free
+    * prediction-interval recipe (Vovk et al. 2005; Angelopoulos &
+    * Bates 2021 tutorial form): on a held-out calibration split, take
+    * the ⌈(n+1)(1−α)⌉-th smallest nonconformity score as the threshold;
+    * the marginal coverage guarantee P(s ≤ q̂) ≥ 1−α then holds on
+    * exchangeable test points. Dosed deterministic scores (Knuth-hash
+    * of doc_id mod 100000 — exact integers, both engines), even doc_ids
+    * calibrate, odd doc_ids test, α = 0.1. The order statistic is read
+    * off a VALUE-bucketed cumulative count (q119 discipline, GlobalOrder
+    * range-partitioned — never a corpus-sized sort): threshold = min
+    * score value whose cumulative calibration count ≥ k. Output: split
+    * sizes, k, the exact integer threshold, and realized test coverage
+    * (one division) — which the guarantee says must be ≥ 0.9 up to
+    * discreteness. Scale: score domain is bounded (10⁵), so the cumsum
+    * frame is domain-sized regardless of corpus size. */
+  val q327 = Q(
+    "q327_conformal_calibration",
+    (s, d) => {
+      val scored = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("(doc_id * 2654435761L) % 100000").as("score"),
+          (col("doc_id") % 2 === 0).as("is_cal"))
+      val calCounts = scored.filter(col("is_cal"))
+        .groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val cum = graft.operators.GlobalOrder.withOrderedCumsum(
+        calCounts, Seq(col("score")), col("c"), "cumc")
+      val nCal = scored.filter(col("is_cal"))
+        .agg(count(lit(1)).as("n_cal"))
+      // k = ceil((n_cal + 1) * (1 - alpha)) with alpha = 0.1, in exact
+      // integers: ceil(9x/10) = (9x + 9) div 10 for non-negative x
+      val thr = cum.crossJoin(broadcast(nCal))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+        .filter(col("cumc") >= col("k"))
+        .groupBy(col("n_cal"), col("k"))
+        .agg(min(col("score")).as("threshold"))
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 2 =!= 0)
+        .select(expr("(doc_id * 2654435761L) % 100000").as("score"))
+        .crossJoin(broadcast(thr))
+        .groupBy(col("n_cal"), col("k"), col("threshold"))
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage",
+          col("n_covered").cast(DoubleType) /
+            col("n_test").cast(DoubleType))
+        .select(col("n_cal"), col("n_test"), col("k"), col("threshold"),
+          col("n_covered"), col("coverage"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, (doc_id * 2654435761) % 100000 AS score,
+               doc_id % 2 = 0 AS is_cal
+        FROM documents
+      ), cum AS (
+        SELECT score,
+               CAST(sum(count(*)) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumc
+        FROM scored WHERE is_cal GROUP BY score
+      ), nc AS (
+        SELECT count(*) AS n_cal,
+               (9 * (count(*) + 1) + 9) // 10 AS k
+        FROM scored WHERE is_cal
+      ), thr AS (
+        SELECT n_cal, k, min(score) AS threshold
+        FROM cum, nc WHERE cumc >= k GROUP BY n_cal, k
+      )
+      SELECT n_cal, count(*) AS n_test, k, threshold,
+             CAST(sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+      FROM scored, thr WHERE NOT is_cal
+      GROUP BY n_cal, k, threshold"""))
+
+  val all: Seq[Q] = Seq(q303, q304, q311, q316, q319, q320, q326, q327)
 }

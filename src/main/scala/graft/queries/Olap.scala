@@ -4823,6 +4823,81 @@ object Olap {
       FROM sums
       ORDER BY yr"""))
 
+  /** q333: GINI COEFFICIENT + CONCENTRATION SHARES of customer revenue —
+    * the inequality readout (Gini 1912; the q146 ABC analysis's exact
+    * scalar form) ops teams watch for revenue concentration risk and
+    * data teams reuse verbatim for token/source concentration in a
+    * corpus. Exact discipline: revenue is integer cents; the ascending
+    * rank and running revenue both come from GlobalOrder's
+    * range-partitioned cumsums (rank = cumsum of 1 — never a
+    * corpus-sized single-task window); Gini uses the cumulative-sum
+    * identity Σᵢ i·xᵢ = (n+1)·T − ΣC (C = running revenue), so
+    * G = ((n+1)·T − 2·ΣC) / (n·T) needs only ΣC — accumulated in
+    * DECIMAL(38,0)/HUGEINT (ΣC ≤ n·T ≈ 10²⁵ at extreme scale, far past
+    * BIGINT) — and ONE double division. The bottom-50% and top-10%
+    * revenue shares read off the same ranked rollup with exact integer
+    * rank thresholds. */
+  val q333 = Q(
+    "q333_gini_concentration",
+    (s, d) => {
+      val rev = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("rev_c"))
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+        graft.operators.GlobalOrder.withOrderedCumsum(
+          rev, Seq(col("rev_c"), col("o_custkey")), lit(1L), "rnk"),
+        Seq(col("rev_c"), col("o_custkey")), col("rev_c"), "cum_c")
+      val tot = rev.agg(
+        count(lit(1)).as("n"),
+        sum(col("rev_c")).as("t_c"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("t_c"))
+        .agg(
+          sum(col("cum_c").cast(DecimalType(38, 0))).as("sum_cum"),
+          sum(when(col("rnk") <= expr("n div 2"), col("rev_c"))
+            .otherwise(0L)).as("bottom_half_c"),
+          sum(when(col("rnk") > col("n") - expr("n div 10"), col("rev_c"))
+            .otherwise(0L)).as("top_decile_c"))
+        .select(
+          col("n"), col("t_c"),
+          (((col("n") + 1).cast(DecimalType(38, 0)) *
+            col("t_c").cast(DecimalType(38, 0)) -
+            lit(2).cast(DecimalType(38, 0)) * col("sum_cum"))
+            .cast(DoubleType) /
+            (col("n").cast(DecimalType(38, 0)) *
+              col("t_c").cast(DecimalType(38, 0))).cast(DoubleType))
+            .as("gini"),
+          (col("bottom_half_c").cast(DoubleType) /
+            col("t_c").cast(DoubleType)).as("bottom50_share"),
+          (col("top_decile_c").cast(DoubleType) /
+            col("t_c").cast(DoubleType)).as("top10_share"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)
+                 AS rev_c
+        FROM orders GROUP BY o_custkey
+      ), ranked AS (
+        SELECT rev_c,
+               CAST(row_number() OVER w AS BIGINT) AS rnk,
+               CAST(sum(rev_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum_c
+        FROM rev
+        WINDOW w AS (ORDER BY rev_c, o_custkey)
+      ), tot AS (
+        SELECT count(*) AS n, CAST(sum(rev_c) AS BIGINT) AS t_c FROM rev
+      )
+      SELECT n, t_c,
+             CAST((n + 1) * t_c - 2 * sum(cum_c) AS DOUBLE)
+               / CAST(n * t_c AS DOUBLE) AS gini,
+             CAST(sum(CASE WHEN rnk <= n // 2 THEN rev_c ELSE 0 END)
+               AS DOUBLE) / CAST(t_c AS DOUBLE) AS bottom50_share,
+             CAST(sum(CASE WHEN rnk > n - n // 10 THEN rev_c ELSE 0 END)
+               AS DOUBLE) / CAST(t_c AS DOUBLE) AS top10_share
+      FROM ranked, tot
+      GROUP BY n, t_c"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4830,5 +4905,6 @@ object Olap {
       q177, q178, q179, q180, q181, q183, q186, q188, q192, q193, q194,
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
-      q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322)
+      q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
+      q333)
 }

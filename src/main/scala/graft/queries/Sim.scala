@@ -1900,7 +1900,66 @@ object Sim {
       ORDER BY sel_rank"""
     })
 
+  /** q328: HARD-NEGATIVE MINING — the contrastive-training data op
+    * (Karpukhin et al. 2020 DPR; Xiong et al. 2021 ANCE): for each
+    * query vector, the top-3 NEAREST candidates carrying a DIFFERENT
+    * label — the near-misses that teach a retriever its decision
+    * boundary, where random negatives teach nothing. Distances are the
+    * q305 exact-integer quantized squared distances (dim-wise
+    * round(x·2¹⁴) BIGINTs, order-exact fold), so ranking is
+    * deterministic cross-engine with ties broken by candidate id.
+    * Scale: the query side is bounded and BROADCAST (nested-loop
+    * against a corpus scanned once — the q26 brute shape); at corpus
+    * scale the candidate stream narrows through the q41/q77 IVF bucket
+    * route first, mining within probed cells only. The rank window is
+    * per-query. */
+  val q328 = Q(
+    "q328_hard_negatives",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(round(x * 16384) AS BIGINT))").as("q"))
+      val queries = pts.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("q").as("qq"))
+      pts
+        .join(broadcast(queries), col("label") =!= col("q_label"))
+        .withColumn("d2", expr(qd2("q", "qq")))
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("d2"), col("vec_id"))).cast(LongType))
+        .filter(col("neg_rank") <= 3)
+        .select(col("qid"), col("neg_rank"), col("vec_id").as("neg_id"),
+          col("q_label").cast(LongType).as("q_label"),
+          col("label").cast(LongType).as("neg_label"), col("d2"))
+        .orderBy(col("qid"), col("neg_rank"))
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 16384) AS BIGINT)) AS q
+        FROM embeddings
+      ), qs AS (
+        SELECT vec_id AS qid, label AS q_label, q AS qq
+        FROM pts WHERE vec_id < 10
+      ), scored AS (
+        SELECT qid, q_label, vec_id AS neg_id, label AS neg_label,
+               ${qd2Sql("q", "qq")} AS d2
+        FROM pts, qs WHERE label <> q_label
+      )
+      SELECT qid, neg_rank, neg_id,
+             CAST(q_label AS BIGINT) AS q_label,
+             CAST(neg_label AS BIGINT) AS neg_label, d2
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY d2, neg_id) AS BIGINT) AS neg_rank
+            FROM scored)
+      WHERE neg_rank <= 3
+      ORDER BY qid, neg_rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242, q259, q275, q276, q291, q305)
+      q211, q212, q213, q242, q259, q275, q276, q291, q305, q328)
 }

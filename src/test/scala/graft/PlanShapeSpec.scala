@@ -318,7 +318,13 @@ class PlanShapeSpec extends SparkSpec {
       // r7: q312's global rank goes through GlobalOrder.withOrderedCumsum
       // — the bare window is its partition-count offsets table (grouped
       // by spark_partition_id, ≤ shuffle-partition rows), q141's shape
-      "q312_quantile_normalize")
+      "q312_quantile_normalize",
+      // r8: GlobalOrder offsets tables again — q326's two cumulative
+      // sample counts, q327's calibration-score cumsum, q333's rank +
+      // running-revenue pair; q329's largest-remainder rank runs over
+      // the |strata|-row allocation rollup (Aggregate below)
+      "q326_ks_test", "q327_conformal_calibration",
+      "q329_neyman_allocation", "q333_gini_concentration")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Curation, Dedup, Evals, Olap, Sim}
+
+/** Round-8 operator family: independent driver replays (third
+  * implementations — plain Scala collections, no Spark, no SQL) of each
+  * new operator at sf0.001, plus the structural invariants the oracle
+  * compare cannot see (budget conservation, chunk coverage, dose
+  * non-degeneracy). Exact equality everywhere the engine claims
+  * exactness — doubles compare with ==, not tolerance, because both
+  * sides compute from identical integer operands in an identical order. */
+class Round8OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders: Array[(String, Long)] =
+    Tables.load(spark, sf001, "orders")
+      .select(col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+
+  test("q326 KS statistic equals a from-scratch replay; bounds sane") {
+    val rows = orders.filter(r => r._1 == "F" || r._1 == "O")
+    val a = rows.filter(_._1 == "F").map(_._2).sorted
+    val b = rows.filter(_._1 == "O").map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    def cdfCounts(xs: Array[Long]): Map[Long, Long] = {
+      // cumulative count at each probe value (≤ v)
+      var i = 0
+      values.map { v =>
+        while (i < xs.length && xs(i) <= v) i += 1
+        v -> i.toLong
+      }.toMap
+    }
+    val (ca, cb) = (cdfCounts(a), cdfCounts(b))
+    val expD = values.map(v =>
+      math.abs(ca(v).toDouble / a.length.toDouble -
+        cb(v).toDouble / b.length.toDouble)).max
+    val got = Evals.q326.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(got.length == 1)
+    val (na, nb, d, crit, rej) = got.head
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    assert(d == expD, s"KS D mismatch: $d vs replay $expD")
+    assert(d >= 0.0 && d <= 1.0)
+    val expCrit = 1.358 * math.sqrt(
+      (na + nb).toDouble / (na.toDouble * nb.toDouble))
+    assert(crit == expCrit && rej == (d > crit))
+  }
+
+  test("q327 conformal threshold is the exact order statistic; coverage holds") {
+    val scored = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+      .map(id => (id, (id * 2654435761L) % 100000L))
+    val cal = scored.filter(_._1 % 2 == 0).map(_._2).sorted
+    val tst = scored.filter(_._1 % 2 != 0).map(_._2)
+    val k = (9 * (cal.length + 1) + 9) / 10
+    val thr = cal(k - 1) // k-th smallest, 1-indexed
+    val covered = tst.count(_ <= thr).toLong
+    val got = Evals.q327.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (nCal, nTest, gk, gthr, gcov, cov) = got.head
+    assert(nCal == cal.length.toLong && nTest == tst.length.toLong)
+    assert(gk == k.toLong, s"quantile index: $gk vs $k")
+    assert(gthr == thr, s"threshold: $gthr vs $thr")
+    assert(gcov == covered && cov == covered.toDouble / tst.length.toDouble)
+    // the split-conformal guarantee: coverage ≥ 1 − α on exchangeable
+    // data; the dosed scores are iid-uniform enough that this must hold
+    assert(cov >= 0.88, s"coverage $cov violates the conformal bound")
+  }
+
+  test("q328 hard negatives equal a brute-force replay") {
+    val pts = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 16384) AS BIGINT))"))
+      .as[(Long, Long, Seq[Long])].collect()
+    val queries = pts.filter(_._1 < 10)
+    val expected = queries.flatMap { case (qid, qLabel, qq) =>
+      pts.filter(_._2 != qLabel)
+        .map { case (cid, cLabel, cq) =>
+          val d2 = qq.zip(cq).map { case (x, y) => (x - y) * (x - y) }.sum
+          (qid, cid, cLabel, d2)
+        }
+        .sortBy(t => (t._4, t._2)).take(3).zipWithIndex
+        .map { case ((q, c, cl, d2), i) =>
+          (q, i + 1L, c, qLabel, cl, d2)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = Sim.q328.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == expected.toSeq)
+    // dose sanity: hard negatives must be NEAR — nearer than the median
+    // same-query candidate would be, or the miner found nothing "hard"
+    assert(got.nonEmpty && got.forall(_._6 > 0L))
+  }
+
+  test("q329 allocations sum to the budget and match a replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val strata = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val n = rows.length.toLong
+        val sx = rows.map(_._2).sum
+        val sxx = rows.map(r => r._2 * r._2).sum
+        val sd = math.sqrt(
+          (n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble)
+        (src, n, sd, n.toDouble * sd)
+    }
+    val wTot = strata.map(_._4).foldLeft(0.0)(_ + _) // sorted-source fold
+    val shares = strata.map { case (src, n, sd, w) =>
+      val share = 100.0 * w / wTot
+      (src, n, sd, share, math.floor(share).toLong,
+        share - math.floor(share))
+    }
+    val extra = 100L - shares.map(_._5).sum
+    val order = shares.sortBy(t => (-t._6, t._1)).map(_._1)
+      .zipWithIndex.toMap
+    val expected = shares.map { case (src, n, sd, share, flo, _) =>
+      (src, n, sd, share, flo + (if (order(src) < extra) 1L else 0L))
+    }
+    val got = Curation.q329.run(spark, sf001)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(got.toSeq == expected)
+    assert(got.map(_._5).sum == 100L, "largest-remainder must conserve B")
+    assert(got.forall(_._5 >= 0L))
+  }
+
+  test("q330 fertility equals a driver regex replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val re = "[a-z0-9]+|[^a-z0-9 ]".r
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, rows) =>
+        val words = rows.map(_._2.split(" ", -1).count(_.nonEmpty)
+          .toLong).sum
+        val toks = rows.map(r =>
+          re.findAllIn(r._2.toLowerCase).length.toLong).sum
+        val chars = rows.map(_._2.length.toLong).sum
+        (lang, rows.length.toLong, words, toks, chars,
+          toks.toDouble / words.toDouble, chars.toDouble / toks.toDouble)
+    }
+    val got = Curation.q330.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.toSeq == expected)
+    // fertility must be ≥ 1: every alnum word is at least one token
+    assert(got.forall(_._6 >= 1.0))
+  }
+
+  test("q331 chunks cover every token with stride-40 overlap and exact md5") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .toMap
+    val got = Curation.q331.run(spark, sf001)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every document must chunk")
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = chunks.sortBy(_._2)
+      // chunk grid: idx k starts at 40k; last start < n_tokens; sizes
+      // are min(50, n - start); md5 over the space-joined slice
+      sorted.zipWithIndex.foreach { case ((_, idx, start, nTok, sum), k) =>
+        assert(idx == k.toLong && start == 40L * k)
+        assert(nTok == math.min(50, toks.length - start).toLong)
+        val text = toks.slice(start.toInt, start.toInt + 50).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(sum == md, s"doc $id chunk $k fingerprint drift")
+      }
+      // coverage: union of [start, start+n) is [0, n_tokens)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._3 + sorted.last._4 == toks.length.toLong)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == 40L, "stride must be 40")
+          assert(a._3 + a._4 >= b._3, "no token gap between chunks")
+        case _ =>
+      }
+    }
+  }
+
+  test("q332 containment equals an exact replay with the df≤32 cap") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val shingles = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val sh =
+        if (toks.length >= 3)
+          toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(text)
+      id -> sh
+    }.toMap
+    val df = shingles.values.flatten.groupBy(identity)
+      .map { case (sh, xs) => sh -> xs.size }
+    val kept = shingles.map { case (id, sh) =>
+      id -> sh.filter(df(_) <= 32)
+    }
+    val expected = (for {
+      (a, sa) <- kept.toSeq
+      (b, sb) <- kept.toSeq
+      if a != b && sa.size >= 5
+      inter = (sa & sb).size
+      if inter.toDouble / sa.size.toDouble >= 0.8
+    } yield (a, b, sa.size.toLong, inter.toLong,
+      inter.toDouble / sa.size.toDouble))
+      .sortBy(t => (t._1, t._2))
+    val got = Dedup.q332.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == expected)
+    // dose sanity: the fixture's near-dup structure must produce real
+    // containment pairs, or the operator was never exercised
+    assert(got.nonEmpty, "containment dose produced zero pairs")
+  }
+
+  test("q333 gini equals the classic sorted formula, identity and all") {
+    val rev = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      .select(col("r")).as[Long].collect().sorted
+    val n = rev.length.toLong
+    val t = rev.sum
+    // classic: G = Σ(2i − n − 1)·x_i / (n·T), ascending, i = 1..n
+    val num = rev.zipWithIndex.map { case (x, i) =>
+      BigInt(2L * (i + 1) - n - 1) * BigInt(x)
+    }.sum
+    // mirror the engine's exact path: integer numerator and denominator
+    // each converted to double (both < 2^53 here, so exactly), ONE
+    // division — the classic form's numerator is ALGEBRAICALLY equal to
+    // the engine's (n+1)T − 2ΣC, so the doubles must be bit-identical
+    val expG = num.toDouble / (BigInt(n) * BigInt(t)).toDouble
+    val got = Olap.q333.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (gn, gt, gini, bottom50, top10) = got.head
+    assert(gn == n && gt == t)
+    assert(gini == expG, s"gini $gini vs replay $expG")
+    assert(gini > 0.0 && gini < 1.0)
+    val expBottom = rev.take((n / 2).toInt).sum
+    assert(bottom50 == expBottom.toDouble / t.toDouble)
+    // ascending sort ⇒ the top decile's PER-CAPITA share beats the
+    // bottom half's, and each group's share brackets its headcount share
+    assert(top10 / 0.1 > bottom50 / 0.5,
+      "top decile per-capita must exceed bottom-half per-capita")
+    assert(top10 >= 0.1 && bottom50 <= 0.5)
+  }
+}
