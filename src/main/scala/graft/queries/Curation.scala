@@ -1873,8 +1873,46 @@ object Curation {
       FROM starts
       ORDER BY doc_id, chunk_idx"""))
 
+  /** q334: DISTINCT ℓ-DIVERSITY AUDIT — the release gate k-anonymity
+    * (q83) alone cannot provide (Machanavajjhala et al. 2007,
+    * "ℓ-diversity: privacy beyond k-anonymity"): a quasi-identifier
+    * group where every member shares ONE sensitive value leaks that
+    * value even when the group is large. Groups are (priority, order
+    * MONTH — month-level QI bins produce genuinely homogeneous groups
+    * at the date-range edges, where status is a function of age, so
+    * both verdicts fire); the sensitive attribute is order status;
+    * distinct ℓ-diversity requires ≥ 2 distinct values to publish.
+    * Output: the per-group audit table (size, ℓ, publish verdict) —
+    * exact integer counts, a single rollup. Scale: one shuffle on the
+    * QI key; count(DISTINCT) is the standard two-phase expand. */
+  val q334 = Q(
+    "q334_l_diversity",
+    (s, d) => {
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast(LongType).as("ym"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderstatus")).as("l_div"))
+        .withColumn("published", col("l_div") >= 2)
+        .select(col("pri"), col("ym"), col("n_rows"), col("l_div"),
+          col("published"))
+        .orderBy(col("pri"), col("ym"))
+    },
+    Some("""
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             count(*) AS n_rows,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_div,
+             count(DISTINCT o_orderstatus) >= 2 AS published
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY pri, ym"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331)
+      q329, q330, q331, q334)
 }

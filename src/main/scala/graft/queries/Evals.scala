@@ -710,5 +710,160 @@ object Evals {
       FROM scored, thr WHERE NOT is_cal
       GROUP BY n_cal, k, threshold"""))
 
-  val all: Seq[Q] = Seq(q303, q304, q311, q316, q319, q320, q326, q327)
+  /** 24-bit uniform from the first 6 md5 hex nibbles — ONE generator
+    * whose text runs VERBATIM in Spark SQL and DuckDB (instr/substr/md5
+    * agree; the r6 shared-fragment rule). Used by the q336 Poisson
+    * bootstrap; non-negative by construction. */
+  def hex24Sql(e: String): String =
+    (1 to 6).map { i =>
+      val scale = 1L << (4 * (6 - i))
+      s"(CAST(instr('0123456789abcdef', substr(md5($e), $i, 1))" +
+        s" AS BIGINT) - 1) * $scale"
+    }.mkString("(", " + ", ")")
+
+  /** Truncated-Poisson(1) inverse-CDF thresholds on the 24-bit hash
+    * domain (floor(cum·2²⁴) for k = 0..4; weight 5 for the 0.06% tail
+    * beyond — the truncation every bounded-weight bootstrap documents).
+    * INTEGER literals, so both engines draw identical weights. */
+  val poissonThresholds: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L)
+
+  /** The weight draw as shared SQL text (Spark and DuckDB run it
+    * verbatim): truncated-Poisson(1) CDF inversion of the 24-bit `u`. */
+  val poissonWSql: String = {
+    val t = poissonThresholds
+    s"CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1 " +
+      s"WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3 " +
+      s"WHEN u < ${t(4)} THEN 4 ELSE 5 END"
+  }
+
+  /** q336: POISSON HASH BOOTSTRAP — the distributed bootstrap
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams"; the resampling scheme that works in ONE pass because
+    * each row draws its per-resample multiplicity independently —
+    * Poisson(1) approximates multinomial resampling without
+    * coordinating a fixed total): B = 80 deterministic resamples of the
+    * order-value mean, weights drawn by inverting the Poisson CDF on a
+    * 24-bit md5(orderkey:b) hash with INTEGER thresholds, so both
+    * engines produce bit-identical resamples with no RNG anywhere.
+    * Each resample mean is Σw·x / Σw — two exact BIGINT sums, one
+    * division; the 95% percentile interval reads order statistics
+    * 2 and 78 off the 80 sorted means (⌈B·0.025⌉ / ⌈B·0.975⌉).
+    * Scale: one corpus scan fanned ×B (B bounded), a B-row rollup, a
+    * B-row sort — the bootstrap cost is B scans' worth of hashing,
+    * never a shuffle of resampled DATA. */
+  val q336 = Q(
+    "q336_hash_bootstrap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fanned = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          Det.cents(col("o_totalprice")).as("cents"))
+        .withColumn("b", explode(expr("sequence(0, 79)")))
+        .withColumn("u",
+          expr(hex24Sql("concat(o_orderkey, ':', b)")))
+        .withColumn("w", expr(poissonWSql).cast(LongType))
+      val means = fanned.groupBy(col("b"))
+        .agg((sum(col("w") * col("cents")).cast(DoubleType) /
+          sum(col("w")).cast(DoubleType)).as("mean_c"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("mean_c"), col("b"))))
+      val tot = Tables.load(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+          (sum(Det.cents(col("o_totalprice"))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("point_mean_c"))
+      means
+        .groupBy(lit(80L).as("n_resamples"))
+        .agg(
+          min(when(col("r") === 2, col("mean_c"))).as("ci_lo_c"),
+          min(when(col("r") === 78, col("mean_c"))).as("ci_hi_c"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("n_resamples"), col("point_mean_c"),
+          col("ci_lo_c"), col("ci_hi_c"))
+    },
+    Some {
+      s"""
+      WITH fanned AS (
+        SELECT o_orderkey, ${Det.centsSql("o_totalprice")} AS cents,
+               unnest(range(0, 80)) AS b
+        FROM orders
+      ), weighted AS (
+        SELECT b, cents, $poissonWSql AS w
+        FROM (SELECT *,
+                ${hex24Sql("concat(o_orderkey, ':', b)")} AS u
+              FROM fanned)
+      ), means AS (
+        SELECT b,
+               CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                 AS mean_c,
+               row_number() OVER (ORDER BY CAST(sum(w * cents) AS DOUBLE)
+                 / CAST(sum(w) AS DOUBLE), b) AS r
+        FROM weighted GROUP BY b
+      ), tot AS (
+        SELECT count(*) AS n,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS point_mean_c
+        FROM orders
+      )
+      SELECT n, CAST(80 AS BIGINT) AS n_resamples, point_mean_c,
+             min(CASE WHEN r = 2 THEN mean_c END) AS ci_lo_c,
+             min(CASE WHEN r = 78 THEN mean_c END) AS ci_hi_c
+      FROM means, tot
+      GROUP BY n, point_mean_c"""
+    })
+
+  /** q338: RELIABILITY DIAGRAM + BRIER DECOMPOSITION — the calibration
+    * audit every model-scored dataset ships (DeGroot & Fienberg 1983;
+    * the modern "calibration curve"): bucket predictions by decile,
+    * compare mean predicted probability to the empirical rate, and
+    * carry each bucket's Brier contribution. Dosed
+    * calibrated-by-construction outcomes (y = [hash₂ < p] — so the
+    * curve must hug the diagonal up to hash noise, a self-checking
+    * dose). Probabilities are integer PERMILLE: mean_pred =
+    * Σp/(1000·n), emp_rate = Σy/n, brier = Σ(p − 1000y)²/(10⁶·n) —
+    * exact integer numerators, ONE division each. Scale: stateless
+    * map + a 10-row rollup. */
+  val q338 = Q(
+    "q338_reliability_diagram",
+    (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(
+          expr("(doc_id * 2654435761L) % 1000").as("p"),
+          expr("CASE WHEN (doc_id * 40503L) % 1000 " +
+            "< (doc_id * 2654435761L) % 1000 THEN 1L ELSE 0L END")
+            .as("y"))
+        .groupBy(expr("p div 100").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("p")).cast(DoubleType) /
+            (count(lit(1)) * lit(1000L)).cast(DoubleType))
+            .as("mean_pred"),
+          (sum(col("y")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("emp_rate"),
+          (sum((col("p") - lit(1000L) * col("y")) *
+            (col("p") - lit(1000L) * col("y"))).cast(DoubleType) /
+            (count(lit(1)) * lit(1000000L)).cast(DoubleType))
+            .as("brier"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT (doc_id * 2654435761) % 1000 AS p,
+               CASE WHEN (doc_id * 40503) % 1000
+                 < (doc_id * 2654435761) % 1000 THEN 1 ELSE 0 END AS y
+        FROM documents
+      )
+      SELECT p // 100 AS bucket, count(*) AS n,
+             CAST(sum(p) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE)
+               AS mean_pred,
+             CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS emp_rate,
+             CAST(sum((p - 1000 * y) * (p - 1000 * y)) AS DOUBLE)
+               / CAST(count(*) * 1000000 AS DOUBLE) AS brier
+      FROM scored
+      GROUP BY 1
+      ORDER BY bucket"""))
+
+  val all: Seq[Q] =
+    Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338)
 }

@@ -4898,6 +4898,85 @@ object Olap {
       FROM ranked, tot
       GROUP BY n, t_c"""))
 
+  /** q337: THEIL–SEN ROBUST TREND — the median-of-pairwise-slopes
+    * estimator (Theil 1950; Sen 1968) for the monthly-revenue series:
+    * immune to the outlier months that wreck least squares (up to 29%
+    * contamination), which is why monitoring pipelines fit it instead
+    * of OLS. Points are (integer month index, exact integer cents);
+    * every pairwise slope is ONE division of exact integers, so the
+    * slope multiset is bit-identical cross-engine and the median is
+    * pure selection (lower median, ties broken by the pair key).
+    * Intercept = lower median of (y_i − slope·x_i) the same way.
+    * Scale: the pair join is MONTHS², a stats-sized self-join (the
+    * q295 discipline) — the corpus-sized work is one month rollup. */
+  val q337 = Q(
+    "q337_theil_sen",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val monthly = Tables.load(s, d, "lineitem")
+        .groupBy((year(col("l_shipdate")) * 12 +
+          month(col("l_shipdate"))).cast(LongType).as("mx"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("rev_c"))
+        .persistTracked()
+      val slopes = monthly.select(col("mx").as("xi"), col("rev_c").as("yi"))
+        .join(monthly.select(col("mx").as("xj"), col("rev_c").as("yj")),
+          col("xi") < col("xj"))
+        .select(col("xi"), col("xj"),
+          ((col("yj") - col("yi")).cast(DoubleType) /
+            (col("xj") - col("xi")).cast(DoubleType)).as("slope"))
+      val nPairs = slopes.agg(count(lit(1)).as("n_pairs"))
+      val slope = slopes.crossJoin(broadcast(nPairs))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("slope"), col("xi"), col("xj"))))
+        .filter(col("r") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope"))
+      val nPts = monthly.agg(count(lit(1)).as("n_points"))
+      monthly.crossJoin(broadcast(slope))
+        .withColumn("res",
+          col("rev_c").cast(DoubleType) -
+            col("slope") * col("mx").cast(DoubleType))
+        .crossJoin(broadcast(nPts))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("res"), col("mx"))))
+        .filter(col("r") === expr("(n_points + 1) div 2"))
+        .select(col("n_points"), col("n_pairs"), col("slope"),
+          col("res").as("intercept"))
+    },
+    Some(s"""
+      WITH monthly AS MATERIALIZED (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+                 AS mx,
+               CAST(sum(${Det.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS rev_c
+        FROM lineitem GROUP BY 1
+      ), slopes AS (
+        SELECT a.mx AS xi, b.mx AS xj,
+               CAST(b.rev_c - a.rev_c AS DOUBLE)
+                 / CAST(b.mx - a.mx AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b ON a.mx < b.mx
+      ), np AS (
+        SELECT count(*) AS n_pairs FROM slopes
+      ), med AS (
+        SELECT n_pairs, slope FROM (
+          SELECT slope, n_pairs,
+                 row_number() OVER (ORDER BY slope, xi, xj) AS r
+          FROM slopes, np)
+        WHERE r = (n_pairs + 1) // 2
+      ), resid AS (
+        SELECT m.mx, n_pairs, slope,
+               CAST(m.rev_c AS DOUBLE) - slope * CAST(m.mx AS DOUBLE)
+                 AS res
+        FROM monthly m, med
+      ), npts AS (
+        SELECT count(*) AS n_points FROM monthly
+      )
+      SELECT n_points, n_pairs, slope, res AS intercept FROM (
+        SELECT n_points, n_pairs, slope, res,
+               row_number() OVER (ORDER BY res, mx) AS r
+        FROM resid, npts)
+      WHERE r = (n_points + 1) // 2"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4906,5 +4985,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333)
+      q333, q337)
 }

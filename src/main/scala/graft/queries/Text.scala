@@ -4622,11 +4622,75 @@ object Text {
       GROUP BY status
       ORDER BY status"""))
 
+  /** q335: VOCABULARY GROWTH CURVE (Heaps'/Herdan's law readout) — how
+    * fast the type count grows as the corpus is ingested in doc_id
+    * order, the curve that prices a tokenizer vocabulary and predicts
+    * dedup yield (a flattening curve = mostly-duplicate tail). The
+    * scalable trick: "distinct types seen in the first p%" needs NO
+    * multi-pass distinct — each type's FIRST-SEEN decile is
+    * min(doc_id) over its postings, one aggregate; new-type counts per
+    * decile then cumulate over a 10-ROW frame. Token counts per decile
+    * ride the same rollup. Deciles come from the exact doc count
+    * (⌊10·doc_id/N⌋ — deterministic, no sampling). All exact integers.
+    * Scale: one corpus-linear explode, one shuffle on token, a 10-row
+    * readout. */
+  val q335 = Q(
+    "q335_vocab_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val toks = docs
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' ', -1), t -> t <> '')"))
+            .as("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("(10 * doc_id) div n_docs"))
+      val firstSeen = toks.groupBy(col("token"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val volume = toks.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      volume.join(firstSeen, Seq("decile"), "left_outer")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("decile"), col("n_tokens"), col("new_types"),
+          col("cum_tokens"), col("cum_types"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT count(*) AS n_docs FROM documents
+      ), toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 t -> t <> '')) AS token,
+               (10 * doc_id) // n_docs AS decile
+        FROM documents, n
+      ), first_seen AS (
+        SELECT decile, count(*) AS new_types FROM (
+          SELECT token, min(decile) AS decile FROM toks GROUP BY token)
+        GROUP BY decile
+      ), volume AS (
+        SELECT decile, count(*) AS n_tokens FROM toks GROUP BY decile
+      )
+      SELECT v.decile, v.n_tokens,
+             CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+             CAST(sum(v.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(f.new_types, 0)) OVER w AS BIGINT)
+               AS cum_types
+      FROM volume v LEFT JOIN first_seen f ON f.decile = v.decile
+      WINDOW w AS (ORDER BY v.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY v.decile"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318)
+      q317, q318, q335)
 }

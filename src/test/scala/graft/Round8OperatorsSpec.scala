@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Curation, Dedup, Evals, Olap, Sim}
+import graft.queries.{Curation, Dedup, Evals, Olap, Sim, Text}
 
 /** Round-8 operator family: independent driver replays (third
   * implementations — plain Scala collections, no Spark, no SQL) of each
@@ -246,5 +246,159 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(top10 / 0.1 > bottom50 / 0.5,
       "top decile per-capita must exceed bottom-half per-capita")
     assert(top10 >= 0.1 && bottom50 <= 0.5)
+  }
+
+  test("q334 l-diversity suppresses exactly the single-status groups") {
+    val got = Curation.q334.run(spark, sf001)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val byGroup = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS LONG)"),
+        col("o_orderstatus"))
+      .as[(String, Long, String)].collect()
+      .groupBy(t => (t._1, t._2))
+    assert(got.length == byGroup.size)
+    got.foreach { case (pri, ym, n, l, pub) =>
+      val rows = byGroup((pri, ym))
+      assert(n == rows.length.toLong)
+      assert(l == rows.map(_._3).distinct.length.toLong)
+      assert(pub == (l >= 2))
+    }
+    // the dose must exercise BOTH verdicts or the gate proves nothing:
+    // TPC-H order years at the range edges carry single-status groups
+    assert(got.exists(!_._5) && got.exists(_._5),
+      "fixture must produce both published and suppressed groups")
+  }
+
+  test("q335 vocab growth equals a replay; curves monotone and conserved") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val nDocs = docs.length.toLong
+    val toks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty)
+        .map(t => ((10 * id) / nDocs, t))
+    }
+    val volume = toks.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.length.toLong
+    }
+    val firstSeen = toks.groupBy(_._2).toSeq
+      .map { case (_, xs) => xs.map(_._1).min }
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val got = Text.q335.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == volume.keys.toSeq.sorted)
+    var (cumT, cumY) = (0L, 0L)
+    got.foreach { case (d, nTok, newTypes, cumTok, cumTypes) =>
+      assert(nTok == volume(d) && newTypes == firstSeen.getOrElse(d, 0L))
+      cumT += nTok; cumY += newTypes
+      assert(cumTok == cumT && cumTypes == cumY)
+    }
+    // conservation: final cumulatives are the corpus totals
+    assert(cumT == toks.length.toLong)
+    assert(cumY == toks.map(_._2).distinct.length.toLong)
+  }
+
+  test("q336 bootstrap equals an md5-exact replay; CI brackets the mean") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u24(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val t = Evals.poissonThresholds
+    def w(u: Long): Long =
+      if (u < t(0)) 0L else if (u < t(1)) 1L else if (u < t(2)) 2L
+      else if (u < t(3)) 3L else if (u < t(4)) 4L else 5L
+    val means = (0 until 80).map { b =>
+      var sw = 0L; var swx = 0L
+      rows.foreach { case (k, x) =>
+        val wi = w(u24(s"$k:$b")); sw += wi; swx += wi * x
+      }
+      (swx.toDouble / sw.toDouble, b)
+    }.sorted
+    val (expLo, expHi) = (means(1)._1, means(77)._1) // ranks 2 and 78
+    val got = Evals.q336.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (n, b, point, lo, hi) = got.head
+    assert(n == rows.length.toLong && b == 80L)
+    assert(point == rows.map(_._2).sum.toDouble / rows.length.toDouble)
+    assert(lo == expLo && hi == expHi,
+      s"CI ($lo, $hi) vs replay ($expLo, $expHi)")
+    assert(lo < point && point < hi, "95% CI must bracket the point mean")
+  }
+
+  test("q337 Theil-Sen equals a replay and shrugs off an outlier month") {
+    val monthly = Tables.load(spark, sf001, "lineitem")
+      .groupBy(expr("CAST(year(l_shipdate) * 12 + month(l_shipdate) AS LONG)")
+        .as("mx"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("r"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val slopes = (for {
+      (xi, yi) <- monthly; (xj, yj) <- monthly if xi < xj
+    } yield (xi, xj, (yj - yi).toDouble / (xj - xi).toDouble))
+      .sortBy(t => (t._3, t._1, t._2))
+    val slope = slopes((slopes.length + 1) / 2 - 1)._3
+    val res = monthly.map { case (x, y) => (x, y.toDouble - slope * x) }
+      .sortBy(t => (t._2, t._1))
+    val intercept = res((monthly.length + 1) / 2 - 1)._2
+    val got = Olap.q337.run(spark, sf001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (nPts, nPairs, gs, gi) = got.head
+    assert(nPts == monthly.length.toLong &&
+      nPairs == slopes.length.toLong)
+    assert(gs == slope && gi == intercept)
+    // robustness: corrupting ONE month by 100× moves the replayed
+    // median slope by less than the corruption moves the OLS slope —
+    // the estimator's reason to exist
+    val corrupted = monthly.updated(0, (monthly(0)._1, monthly(0)._2 * 100))
+    val cSlopes = (for {
+      (xi, yi) <- corrupted; (xj, yj) <- corrupted if xi < xj
+    } yield (yj - yi).toDouble / (xj - xi).toDouble).sorted
+    val cSlope = cSlopes((cSlopes.length + 1) / 2 - 1)
+    def ols(pts: Array[(Long, Long)]): Double = {
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxy = pts.map(p => p._1.toDouble * p._2.toDouble).sum
+      val sxx = pts.map(p => p._1.toDouble * p._1.toDouble).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(math.abs(cSlope - slope) <
+      math.abs(ols(corrupted) - ols(monthly)),
+      "median slope must move less than OLS under contamination")
+  }
+
+  test("q338 reliability curve hugs the diagonal; brier is exact") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val scored = docs.map { id =>
+      val p = (id * 2654435761L) % 1000
+      val y = if ((id * 40503L) % 1000 < p) 1L else 0L
+      (p / 100, p, y)
+    }
+    val expected = scored.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, xs) =>
+        val n = xs.length.toLong
+        val sp = xs.map(_._2).sum
+        val sy = xs.map(_._3).sum
+        val sq = xs.map(t => (t._2 - 1000 * t._3) * (t._2 - 1000 * t._3)).sum
+        (b, n, sp.toDouble / (n * 1000L).toDouble,
+          sy.toDouble / n.toDouble, sq.toDouble / (n * 1000000L).toDouble)
+    }
+    val got = Evals.q338.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == expected)
+    // the dose is calibrated by construction: every bucket's empirical
+    // rate must sit near its mean prediction (hash noise only)
+    got.foreach { case (b, n, pred, emp, brier) =>
+      assert(math.abs(pred - emp) < 0.15,
+        s"bucket $b: calibrated dose drifted ($pred vs $emp)")
+      assert(brier >= 0.0 && brier <= 0.25 + 1e-9)
+    }
   }
 }
