@@ -155,6 +155,53 @@ object GlobalOrder {
       .drop(pidCol, vCol, "_graft_maxin", "offset")
   }
 
+  /** Adds `outCol` = the PREVIOUS row's `value` in the total order given
+    * by `order` (a global LAG(1); null for the global first row). Same
+    * range-partitioned shape as [[withOrderedCumsum]]: per-partition lag
+    * plus a partition-count-sized broadcast table carrying each
+    * partition's LAST value, which fills the first row of the next
+    * non-empty partition — never a single-partition window. `order` must
+    * be a full tiebreak, and `value` must be NON-NULL (an interior null
+    * would be indistinguishable from "first row of partition" to the
+    * coalesce that bridges partitions). The primitive behind
+    * value-spacing readouts (q340's Wasserstein integral: gap to the
+    * previous distinct value). */
+  def withOrderedLag(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      outCol: String,
+      pidCol: String = "_graft_lg_pid"): DataFrame = {
+    import graft.Caches.Tracked
+    val vCol = s"${pidCol}_v"
+    val sorted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(vCol, value.cast(LongType))
+      .persistTracked()
+    // pid → that partition's last value (max_by over the order tuple —
+    // an Aggregate, so the pid-ordered bare lag window below stays on an
+    // aggregate-bounded frame, the PlanShapeSpec structural contract);
+    // lag over the PRESENT pids gives each partition the nearest
+    // NON-EMPTY predecessor's last value. `order` must be bare ascending
+    // columns (struct ordering is lexicographic by field).
+    val offsets = sorted
+      .groupBy(col(pidCol))
+      .agg(max_by(col(vCol), struct(order: _*)).as("plast"))
+      .withColumn("prev_last",
+        lag(col("plast"), 1).over(Window.orderBy(col(pidCol))))
+      .select(col(pidCol), col("prev_last"))
+    sorted
+      .withColumn(
+        "_graft_lagin",
+        lag(col(vCol), 1).over(
+          Window.partitionBy(col(pidCol)).orderBy(order: _*)))
+      .join(broadcast(offsets), Seq(pidCol))
+      .withColumn(outCol, coalesce(col("_graft_lagin"), col("prev_last")))
+      .drop(pidCol, vCol, "_graft_lagin", "prev_last")
+  }
+
   /** The exact ANSI NTILE(k) bucket for a 1-based global rank `rk` out
     * of `n` rows (both Long columns): the first n mod k buckets hold
     * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — pure integer arithmetic, identical to

@@ -864,6 +864,96 @@ object Evals {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** q340: 1-D WASSERSTEIN (EARTH MOVER'S) DISTANCE — the drift metric
+    * that, unlike q326's KS sup, weighs HOW FAR the mass moved
+    * (Vaserstein 1969; `scipy.stats.wasserstein_distance`): in one
+    * dimension W₁ = ∫|F_A − F_B| dx, which over integer-cents values is
+    * the EXACT sum Σᵢ |cumAᵢ₋₁·n_b − cumBᵢ₋₁·n_a| · (vᵢ − vᵢ₋₁)
+    * divided ONCE by n_a·n_b. The cumulative counts ride GlobalOrder's
+    * range-partitioned cumsum; the previous value and previous cums come
+    * from [[graft.operators.GlobalOrder.withOrderedLag]] (global LAG(1)
+    * in the same range-partitioned shape — never a single-task window);
+    * per-term products and the total accumulate in
+    * DECIMAL(38,0)/HUGEINT. Scale: the frame everything runs on is the
+    * distinct-value rollup, and every pass over it is range-partitioned. */
+  val q340 = Q(
+    "q340_wasserstein_1d",
+    (s, d) => {
+      import graft.operators.GlobalOrder
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).as("v"))
+      val counts = o.groupBy(col("v")).agg(
+        sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
+      val ord = Seq(col("v"))
+      val cum = GlobalOrder.withOrderedLag(
+        GlobalOrder.withOrderedLag(
+          GlobalOrder.withOrderedLag(
+            GlobalOrder.withOrderedCumsum(
+              GlobalOrder.withOrderedCumsum(counts, ord, col("ca"), "cuma"),
+              ord, col("cb"), "cumb"),
+            ord, col("v"), "prev_v"),
+          ord, col("cuma"), "prev_a"),
+        ord, col("cumb"), "prev_b")
+      val tot = o.agg(
+        sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_b"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("prev_v").isNotNull)
+        .select(col("n_a"), col("n_b"),
+          (abs(col("prev_a") * col("n_b") - col("prev_b") * col("n_a"))
+            .cast(DecimalType(38, 0)) *
+            (col("v") - col("prev_v")).cast(DecimalType(38, 0)))
+            .as("term"))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(sum(col("term")).as("mass"))
+        .select(col("n_a"), col("n_b"),
+          (col("mass").cast(DoubleType) /
+            (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+            .as("w1_cents"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderstatus AS st, ${Det.centsSql("o_totalprice")} AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+      ), counts AS (
+        SELECT v,
+               CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+        FROM o GROUP BY v
+      ), cumbase AS (
+        SELECT v,
+               CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        FROM counts
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), cum AS (
+        SELECT v, cuma, cumb,
+               lag(v) OVER (ORDER BY v) AS prev_v,
+               lag(cuma) OVER (ORDER BY v) AS prev_a,
+               lag(cumb) OVER (ORDER BY v) AS prev_b
+        FROM cumbase
+      ), tot AS (
+        SELECT CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM o
+      )
+      SELECT n_a, n_b,
+             CAST(sum(CAST(abs(prev_a * n_b - prev_b * n_a) AS HUGEINT)
+                      * (v - prev_v)) AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS w1_cents
+      FROM cum, tot
+      WHERE prev_v IS NOT NULL
+      GROUP BY n_a, n_b"""))
+
   val all: Seq[Q] =
-    Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338)
+    Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
+      q340)
 }

@@ -4686,11 +4686,95 @@ object Text {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY v.decile"""))
 
+  /** q341: NEGATIVE-SAMPLING TABLE — the unigram^(3/4) sampling
+    * distribution word2vec-family training draws negatives from
+    * (Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases", §2.2): damping the unigram counts by the 3/4 power
+    * up-weights rare words. The libm trap is dodged EXACTLY:
+    * c^0.75 = sqrt(sqrt(c³)), and IEEE-754 requires sqrt to be
+    * CORRECTLY ROUNDED — so unlike pow()/ln() (which diverge between
+    * the JVM and DuckDB's libm), both engines compute bit-identical
+    * weights from identical count doubles. The 10⁶-slot table is then
+    * integerized by largest-remainder rounding (the q329 discipline:
+    * floors + extra slots to the largest fractional parts, ties to the
+    * smaller token) so slots sum to exactly 10⁶, with the double total
+    * folded in sorted-token order. Top-100 vocabulary by (count desc,
+    * token) — the table is serving-bounded no matter the corpus.
+    * Scale: one token rollup (the only corpus-sized shuffle), then
+    * 100-row arithmetic. */
+  val q341 = Q(
+    "q341_negative_sampling",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val top = Tables.load(s, d, "documents")
+        .select(explode(expr("filter(split(text, ' ', -1), t -> t <> '')"))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token")).limit(100)
+        .withColumn("w", sqrt(sqrt(
+          col("cnt").cast(DoubleType) * col("cnt").cast(DoubleType) *
+            col("cnt").cast(DoubleType))))
+        .persistTracked()
+      val tot = top.agg(expr("aggregate(transform(array_sort(" +
+        "collect_list(struct(token, w))), p -> p.w), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("w_tot"))
+      val shares = top.crossJoin(broadcast(tot))
+        .withColumn("share",
+          lit(1000000L).cast(DoubleType) * col("w") / col("w_tot"))
+        .withColumn("flo", floor(col("share")).cast(LongType))
+        .withColumn("rem", col("share") - col("flo").cast(DoubleType))
+      val extra = shares.agg((lit(1000000L) - sum(col("flo"))).as("extra"))
+      shares.crossJoin(broadcast(extra))
+        .withColumn("pri", row_number().over(
+          Window.orderBy(desc("rem"), col("token"))))
+        .withColumn("slots",
+          col("flo") + when(col("pri") <= col("extra"), 1L).otherwise(0L))
+        .select(col("token"), col("cnt"), col("w").as("weight"),
+          col("slots"))
+        .orderBy(col("token"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS token
+          FROM documents)
+        GROUP BY token
+      ), top AS (
+        SELECT token, cnt,
+               sqrt(sqrt(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                 * CAST(cnt AS DOUBLE))) AS w
+        FROM counts ORDER BY cnt DESC, token LIMIT 100
+      ), tot AS (
+        SELECT list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(w ORDER BY token)), (acc, x) -> acc + x)
+                 AS w_tot
+        FROM top
+      ), shares AS (
+        SELECT token, cnt, w,
+               CAST(1000000 AS DOUBLE) * w / w_tot AS share,
+               CAST(floor(CAST(1000000 AS DOUBLE) * w / w_tot) AS BIGINT)
+                 AS flo,
+               CAST(1000000 AS DOUBLE) * w / w_tot
+                 - floor(CAST(1000000 AS DOUBLE) * w / w_tot) AS rem
+        FROM top, tot
+      ), extra AS (
+        SELECT 1000000 - CAST(sum(flo) AS BIGINT) AS extra FROM shares
+      )
+      SELECT token, cnt, w AS weight,
+             CAST(flo + CASE WHEN row_number()
+                 OVER (ORDER BY rem DESC, token) <= extra
+               THEN 1 ELSE 0 END AS BIGINT) AS slots
+      FROM shares, extra
+      ORDER BY token"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335)
+      q317, q318, q335, q341)
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DoubleType
 import graft.Tables
 import graft.Caches.Tracked
 import graft.queries.{Det, Q}
@@ -2644,9 +2645,86 @@ object EventStream {
       ORDER BY w.hour_start, w.event_type NULLS FIRST"""
     })
 
+  /** q339: SHAPLEY-VALUE ATTRIBUTION — the game-theoretic credit rule
+    * between q126's last-click and q292's Markov removal effect (Shapley
+    * 1953; Zhao et al. 2018, "Shapley Value Methods for Attribution
+    * Modeling in Online Advertising"): each converting journey is the
+    * unanimity game on its touched-channel SET, whose Shapley value
+    * splits the conversion EQUALLY among the |T| distinct channels
+    * touched before the first purchase — so φ(ch) = Σ_journeys∋ch 1/|T|,
+    * EXACT over twelfths (|T| ≤ 4 non-purchase channels; lcm(1..4)=12
+    * makes every per-journey credit an integer: 12/|T|). Output per
+    * channel: journeys touched, credit (one division by 12), and the
+    * credit share (one more). Conservation — Σ credits = number of
+    * attributable conversions — is the spec's gate. Scale: one
+    * first-purchase aggregate per user (shuffle on user), one distinct
+    * touch rollup, a |channels|-row readout. */
+  val q339 = Q(
+    "q339_shapley_attribution",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("cts"),
+          col("c.event_id").as("ceid"))
+      val touches = ev
+        .join(firstConv, Seq("user_id"))
+        .filter(col("event_type") =!= "purchase" &&
+          (col("ts") < col("cts") ||
+            (col("ts") === col("cts") && col("event_id") < col("ceid"))))
+        .select(col("user_id"), col("event_type").as("channel"))
+        .distinct()
+      val credits = touches
+        .withColumn("t_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))))
+        .withColumn("credit12", expr("12 div t_size"))
+      val tot = credits.select(col("user_id"), col("credit12"))
+        .agg(sum(col("credit12")).as("tot12"))
+      credits
+        .groupBy(col("channel"))
+        .agg(
+          count(lit(1)).as("n_journeys"),
+          sum(col("credit12")).as("credit12"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_journeys"),
+          (col("credit12").cast(DoubleType) / lit(12.0)).as("credit"),
+          (col("credit12").cast(DoubleType) /
+            col("tot12").cast(DoubleType)).as("credit_share"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH first_conv AS (
+        SELECT user_id, ts AS cts, event_id AS ceid FROM (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1
+      ), touches AS (
+        SELECT DISTINCT e.user_id, e.event_type AS channel
+        FROM events e JOIN first_conv f ON e.user_id = f.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (e.ts < f.cts OR (e.ts = f.cts AND e.event_id < f.ceid))
+      ), credits AS (
+        SELECT user_id, channel,
+               12 // count(*) OVER (PARTITION BY user_id) AS credit12
+        FROM touches
+      ), tot AS (
+        SELECT CAST(sum(credit12) AS BIGINT) AS tot12 FROM credits
+      )
+      SELECT channel, count(*) AS n_journeys,
+             CAST(sum(credit12) AS DOUBLE) / 12.0 AS credit,
+             CAST(sum(credit12) AS DOUBLE) / CAST(tot12 AS DOUBLE)
+               AS credit_share
+      FROM credits, tot
+      GROUP BY channel, tot12
+      ORDER BY channel"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
       q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
-      q216, q288, q292)
+      q216, q288, q292, q339)
 }

@@ -324,7 +324,13 @@ class PlanShapeSpec extends SparkSpec {
       // running-revenue pair; q329's largest-remainder rank runs over
       // the |strata|-row allocation rollup (Aggregate below)
       "q326_ks_test", "q327_conformal_calibration",
-      "q329_neyman_allocation", "q333_gini_concentration")
+      "q329_neyman_allocation", "q333_gini_concentration",
+      // r8 wave 2/3: q335's 10-row decile cumsum (decile rollup below);
+      // q336's 80-row resample rank; q337's stats-sized slope/residual
+      // medians; q340's GlobalOrder offsets tables (cumsum + lag);
+      // q341's 100-row largest-remainder rank
+      "q335_vocab_growth", "q336_hash_bootstrap", "q337_theil_sen",
+      "q340_wasserstein_1d", "q341_negative_sampling")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

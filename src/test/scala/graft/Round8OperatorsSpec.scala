@@ -401,4 +401,117 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(brier >= 0.0 && brier <= 0.25 + 1e-9)
     }
   }
+
+  test("GlobalOrder.withOrderedLag equals a driver-side global lag") {
+    import graft.operators.GlobalOrder
+    val df = Tables.load(spark, sf001, "orders")
+      .groupBy(expr("o_orderkey % 97").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val got = GlobalOrder.withOrderedLag(df, Seq(col("k")), col("c"), "pc")
+      .select(col("k"), col("c"), col("pc"))
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    val base = got.map(t => (t._1, t._2)).sortBy(_._1)
+    val expected = base.zipWithIndex.map { case ((k, c), i) =>
+      (k, c, if (i == 0) None else Some(base(i - 1)._2))
+    }
+    assert(got.toSeq == expected.toSeq)
+    assert(got.head._3.isEmpty, "global first row must lag to null")
+  }
+
+  test("q339 Shapley credits equal a replay and conserve conversions") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val firstConv = ev.filter(_._4 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(t => (t._2, t._3)).min }
+    val journeys = ev
+      .filter(e => firstConv.contains(e._1) && e._4 != "purchase")
+      .filter { e =>
+        val (cts, ceid) = firstConv(e._1)
+        e._2 < cts || (e._2 == cts && e._3 < ceid)
+      }
+      .map(e => (e._1, e._4)).distinct
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val credit12 = journeys.toSeq.flatMap { case (_, chans) =>
+      chans.toSeq.map(ch => ch -> 12L / chans.size)
+    }.groupBy(_._1).map { case (ch, xs) =>
+      ch -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val tot12 = credit12.values.map(_._2).sum
+    val got = graft.streaming.EventStream.q339.run(spark, sf001)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == credit12.size)
+    got.foreach { case (ch, n, credit, share) =>
+      val (en, e12) = credit12(ch)
+      assert(n == en && credit == e12.toDouble / 12.0 &&
+        share == e12.toDouble / tot12.toDouble, s"channel $ch drifted")
+    }
+    // conservation: total credit = journeys with >= 1 non-purchase touch
+    assert(got.map(_._3).sum == journeys.size.toDouble,
+      "Shapley credits must conserve attributable conversions")
+  }
+
+  test("q340 Wasserstein equals a replay and dominates mean-shift") {
+    val rows = orders.filter(r => r._1 == "F" || r._1 == "O")
+    val a = rows.filter(_._1 == "F").map(_._2)
+    val b = rows.filter(_._1 == "O").map(_._2)
+    val values = (a ++ b).distinct.sorted
+    def cum(xs: Array[Long]): Map[Long, Long] = {
+      val s = xs.sorted; var i = 0
+      values.map { v =>
+        while (i < s.length && s(i) <= v) i += 1
+        v -> i.toLong
+      }.toMap
+    }
+    val (ca, cb) = (cum(a), cum(b))
+    val mass = values.sliding(2).map {
+      case Array(v0, v1) =>
+        BigInt((ca(v0) * b.length - cb(v0) * a.length).abs) * BigInt(v1 - v0)
+      case _ => BigInt(0)
+    }.sum
+    val expW1 = mass.toDouble / (a.length.toDouble * b.length.toDouble)
+    val got = Evals.q340.run(spark, sf001)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (na, nb, w1) = got.head
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    assert(w1 == expW1, s"W1 $w1 vs replay $expW1")
+    // W1 >= |mean(A) - mean(B)| always (Jensen); strict here
+    val meanGap = math.abs(a.sum.toDouble / a.length -
+      b.sum.toDouble / b.length)
+    assert(w1 >= meanGap - 1e-9, "W1 must dominate the mean shift")
+  }
+
+  test("q341 sampling table equals a replay; slots conserve exactly") {
+    val counts = Tables.load(spark, sf001, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(100)
+    val weighted = counts.map { case (t, c) =>
+      (t, c, math.sqrt(math.sqrt(c.toDouble * c.toDouble * c.toDouble)))
+    }
+    val wTot = weighted.sortBy(_._1).map(_._3).foldLeft(0.0)(_ + _)
+    val shares = weighted.map { case (t, c, w) =>
+      val share = 1000000.0 * w / wTot
+      (t, c, w, math.floor(share).toLong, share - math.floor(share))
+    }
+    val extra = 1000000L - shares.map(_._4).sum
+    val pri = shares.sortBy(s => (-s._5, s._1)).map(_._1)
+      .zipWithIndex.toMap
+    val expected = shares.map { case (t, c, w, flo, _) =>
+      (t, c, w, flo + (if (pri(t) < extra) 1L else 0L))
+    }.sortBy(_._1)
+    val got = Text.q341.run(spark, sf001)
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.toSeq == expected)
+    assert(got.map(_._4).sum == 1000000L, "slot table must hold 10^6")
+    // the 3/4 damping: rare words get MORE than proportional share
+    val byCnt = got.sortBy(_._2)
+    val (rare, common) = (byCnt.head, byCnt.last)
+    assert(rare._4.toDouble / rare._2.toDouble >
+      common._4.toDouble / common._2.toDouble,
+      "unigram^(3/4) must up-weight rare tokens per occurrence")
+  }
 }
