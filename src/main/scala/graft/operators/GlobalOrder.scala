@@ -27,35 +27,57 @@ object GlobalOrder {
       order: Seq[Column],
       value: Column,
       outCol: String,
+      pidCol: String = "_graft_oc_pid"): DataFrame =
+    withOrderedCumsums(df, order, Seq(value -> outCol), pidCol)
+
+  /** Multi-column [[withOrderedCumsum]]: ALL the running sums in ONE
+    * range shuffle + ONE per-partition window pass (the per-column
+    * window expressions share a window spec, so Spark plans a single
+    * Window operator; the offsets table carries one column per value).
+    * A caller needing k cumsums in the same total order pays one
+    * shuffle, not k (q340 paid 5 passes over the value rollup before
+    * this existed — r8 bench read 4.8 s at sf0.1). */
+  def withOrderedCumsums(
+      df: DataFrame,
+      order: Seq[Column],
+      values: Seq[(Column, String)],
       pidCol: String = "_graft_oc_pid"): DataFrame = {
     import graft.Caches.Tracked
-    val vCol = s"${pidCol}_v"
-    val sorted = df
+    val vCols = values.indices.map(i => s"${pidCol}_v$i")
+    val sorted0 = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
-      .withColumn(vCol, value.cast(LongType))
+    val sorted = values.zip(vCols)
+      .foldLeft(sorted0) { case (acc, ((v, _), vc)) =>
+        acc.withColumn(vc, v.cast(LongType))
+      }
       .persistTracked()
-    val offsets = sorted.groupBy(col(pidCol))
-      .agg(sum(col(vCol)).as("ptot"))
-      .withColumn(
-        "offset",
-        coalesce(
-          sum(col("ptot")).over(
-            Window.orderBy(col(pidCol))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(pidCol), col("offset"))
-    sorted
-      .withColumn(
-        "_graft_cumin",
-        sum(col(vCol)).over(
-          Window.partitionBy(col(pidCol))
-            .orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), Seq(pidCol))
-      .withColumn(outCol, (col("offset") + col("_graft_cumin")).cast(LongType))
-      .drop(pidCol, vCol, "_graft_cumin", "offset")
+    val ptots = vCols.map(vc => sum(col(vc)).as(s"ptot_$vc"))
+    val offsets0 = sorted.groupBy(col(pidCol))
+      .agg(ptots.head, ptots.tail: _*)
+    val offW = Window.orderBy(col(pidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vCols
+      .foldLeft(offsets0) { (acc, vc) =>
+        acc.withColumn(s"off_$vc",
+          coalesce(sum(col(s"ptot_$vc")).over(offW), lit(0L)))
+      }
+      .select(col(pidCol) +: vCols.map(vc => col(s"off_$vc")): _*)
+    val cumW = Window.partitionBy(col(pidCol))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = vCols.foldLeft(sorted) { (acc, vc) =>
+      acc.withColumn(s"in_$vc", sum(col(vc)).over(cumW))
+    }
+    val joined = withIn.join(broadcast(offsets), Seq(pidCol))
+    values.zip(vCols)
+      .foldLeft(joined) { case (acc, ((_, out), vc)) =>
+        acc.withColumn(out,
+          (col(s"off_$vc") + col(s"in_$vc")).cast(LongType))
+      }
+      .drop(pidCol +: vCols.flatMap(vc =>
+        Seq(vc, s"in_$vc", s"off_$vc")): _*)
   }
 
   /** Adds `outCol` = EXCLUSIVE global running MAX of `value` in the
@@ -171,35 +193,56 @@ object GlobalOrder {
       order: Seq[Column],
       value: Column,
       outCol: String,
+      pidCol: String = "_graft_lg_pid"): DataFrame =
+    withOrderedLags(df, order, Seq(value -> outCol), pidCol)
+
+  /** Multi-column [[withOrderedLag]]: every lagged column in ONE range
+    * shuffle + one shared-spec window pass (same economics as
+    * [[withOrderedCumsums]]). The offsets table carries each
+    * partition's last value per column (max_by over the order tuple —
+    * an Aggregate, so the pid-ordered bridge window below stays on an
+    * aggregate-bounded frame, the PlanShapeSpec structural contract);
+    * lag over the PRESENT pids gives each partition the nearest
+    * NON-EMPTY predecessor's last values. `order` must be bare
+    * ascending columns (struct ordering is lexicographic by field). */
+  def withOrderedLags(
+      df: DataFrame,
+      order: Seq[Column],
+      values: Seq[(Column, String)],
       pidCol: String = "_graft_lg_pid"): DataFrame = {
     import graft.Caches.Tracked
-    val vCol = s"${pidCol}_v"
-    val sorted = df
+    val vCols = values.indices.map(i => s"${pidCol}_v$i")
+    val sorted0 = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
-      .withColumn(vCol, value.cast(LongType))
+    val sorted = values.zip(vCols)
+      .foldLeft(sorted0) { case (acc, ((v, _), vc)) =>
+        acc.withColumn(vc, v.cast(LongType))
+      }
       .persistTracked()
-    // pid → that partition's last value (max_by over the order tuple —
-    // an Aggregate, so the pid-ordered bare lag window below stays on an
-    // aggregate-bounded frame, the PlanShapeSpec structural contract);
-    // lag over the PRESENT pids gives each partition the nearest
-    // NON-EMPTY predecessor's last value. `order` must be bare ascending
-    // columns (struct ordering is lexicographic by field).
-    val offsets = sorted
-      .groupBy(col(pidCol))
-      .agg(max_by(col(vCol), struct(order: _*)).as("plast"))
-      .withColumn("prev_last",
-        lag(col("plast"), 1).over(Window.orderBy(col(pidCol))))
-      .select(col(pidCol), col("prev_last"))
-    sorted
-      .withColumn(
-        "_graft_lagin",
-        lag(col(vCol), 1).over(
-          Window.partitionBy(col(pidCol)).orderBy(order: _*)))
-      .join(broadcast(offsets), Seq(pidCol))
-      .withColumn(outCol, coalesce(col("_graft_lagin"), col("prev_last")))
-      .drop(pidCol, vCol, "_graft_lagin", "prev_last")
+    val plasts = vCols.map(vc =>
+      max_by(col(vc), struct(order: _*)).as(s"plast_$vc"))
+    val bridgeW = Window.orderBy(col(pidCol))
+    val offsets = vCols
+      .foldLeft(sorted.groupBy(col(pidCol))
+        .agg(plasts.head, plasts.tail: _*)) { (acc, vc) =>
+        acc.withColumn(s"prev_$vc",
+          lag(col(s"plast_$vc"), 1).over(bridgeW))
+      }
+      .select(col(pidCol) +: vCols.map(vc => col(s"prev_$vc")): _*)
+    val lagW = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+    val withIn = vCols.foldLeft(sorted) { (acc, vc) =>
+      acc.withColumn(s"in_$vc", lag(col(vc), 1).over(lagW))
+    }
+    val joined = withIn.join(broadcast(offsets), Seq(pidCol))
+    values.zip(vCols)
+      .foldLeft(joined) { case (acc, ((_, out), vc)) =>
+        acc.withColumn(out,
+          coalesce(col(s"in_$vc"), col(s"prev_$vc")))
+      }
+      .drop(pidCol +: vCols.flatMap(vc =>
+        Seq(vc, s"in_$vc", s"prev_$vc")): _*)
   }
 
   /** The exact ANSI NTILE(k) bucket for a 1-based global rank `rk` out

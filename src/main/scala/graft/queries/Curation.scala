@@ -1911,8 +1911,86 @@ object Curation {
       GROUP BY 1, 2
       ORDER BY pri, ym"""))
 
+  /** q343: TRAINING-MIXTURE SELECTION UNDER A TOKEN BUDGET — the
+    * greedy fractional-knapsack plan (Dantzig 1957; optimal for the
+    * fractional relaxation) a corpus curator runs when the compute
+    * budget buys only half the tokens: rank sources by quality DENSITY
+    * (good-doc share), take whole sources down the ranking, split the
+    * boundary source fractionally. Budget = ⌊total tokens / 2⌋,
+    * computed in-query so the plan is scale-invariant. Exact: token
+    * and good-doc counts are integer sums; density ties break to the
+    * smaller source name; taken_tokens = min(tokens, max(0, B −
+    * prev_cum)) is pure integer arithmetic off the sorted cumsum, and
+    * take_frac is ONE division per source. Scale: one corpus scan to
+    * the per-source rollup, then |sources|-row arithmetic. */
+  val q343 = Q(
+    "q343_mixture_knapsack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.load(s, d, "documents")
+        .select(col("source"),
+          expr("size(filter(split(text, ' ', -1), t -> t <> ''))")
+            .cast(LongType).as("toks"),
+          when(col("n_chars") >= 400, 1L).otherwise(0L).as("good"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).as("tokens"),
+          sum(col("good")).as("n_good"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("density",
+          col("n_good").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      val budget = per.agg((sum(col("tokens")) / 2).cast(LongType)
+        .as("budget"))
+      per.crossJoin(broadcast(budget))
+        .withColumn("pick_rank", row_number().over(
+          Window.orderBy(desc("density"), col("source"))).cast(LongType))
+        .withColumn("cum_tokens", sum(col("tokens")).over(
+          Window.orderBy(desc("density"), col("source"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("taken_tokens",
+          least(col("tokens"),
+            greatest(lit(0L), col("budget") -
+              (col("cum_tokens") - col("tokens")))))
+        .withColumn("take_frac",
+          col("taken_tokens").cast(DoubleType) /
+            col("tokens").cast(DoubleType))
+        .select(col("pick_rank"), col("source"), col("tokens"),
+          col("n_good"), col("density"), col("cum_tokens"),
+          col("taken_tokens"), col("take_frac"))
+        .orderBy(col("pick_rank"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                 t -> t <> ''))) AS BIGINT) AS tokens,
+               CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_good,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+      ), b AS (
+        SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM per
+      ), ranked AS (
+        SELECT source, tokens, n_good,
+               CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS density,
+               CAST(row_number() OVER w AS BIGINT) AS pick_rank,
+               CAST(sum(tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               budget
+        FROM per, b
+        WINDOW w AS (ORDER BY CAST(n_good AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE) DESC, source)
+      )
+      SELECT pick_rank, source, tokens, n_good, density, cum_tokens,
+             CAST(least(tokens, greatest(0, budget
+               - (cum_tokens - tokens))) AS BIGINT) AS taken_tokens,
+             CAST(least(tokens, greatest(0, budget
+               - (cum_tokens - tokens))) AS DOUBLE)
+               / CAST(tokens AS DOUBLE) AS take_frac
+      FROM ranked
+      ORDER BY pick_rank"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334)
+      q329, q330, q331, q334, q343)
 }

@@ -1617,7 +1617,130 @@ object Dedup {
         AND size_a >= 5
       ORDER BY a_id, b_id"""))
 
+  /** q344: LSH THRESHOLD CALIBRATION — the recall/precision sweep run
+    * BEFORE committing a dedup threshold (q47 is this report for ANN;
+    * this is its MinHash-banding analog): on a deterministic 1/2
+    * hash-sample of the corpus (the q54 md5-bucket predicate at a wider
+    * rate — sample membership is a pure key function, so both engines
+    * sample identically; a PAIR survives at rate², so the calibration
+    * sample rate is the confidence-vs-cost knob and 1/2 keeps enough
+    * true pairs to grade at fixture scale),
+    * compute EXACT shingle Jaccard for every same-sample pair sharing
+    * at least one shingle (an inverted-index equi-join — a J>0 pair by
+    * definition shares a shingle, so nothing with J ≥ 0.5 is missed and
+    * no all-pairs scan exists), flag which pairs the q24 banding (4×2
+    * minhash bands) would have surfaced, and grade per candidate
+    * threshold t ∈ {50..90}%: truth count, banded-found count, recall,
+    * and banding precision at t. Threshold tests are INTEGER
+    * (100·inter ≥ t·union — no double compare). Scale: the sample rate
+    * bounds the pair bill at (corpus/8)² worst-case and in practice at
+    * Σ_shingle df²; the full-corpus banding is reused as-is. */
+  val q344 = Q(
+    "q344_threshold_calibration",
+    (s, d) => {
+      import s.implicits._
+      val sampleIds = Tables.load(s, d, "documents")
+        .filter(expr("instr('0123456789abcdef', " +
+          "substring(md5(CAST(doc_id AS STRING)), 32, 1)) <= 8"))
+        .select(col("doc_id"))
+      val posts = Tables.load(s, d, "documents")
+        .join(sampleIds, Seq("doc_id"), "left_semi")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .persistTracked()
+      val sizes = posts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz"))
+      val truth = posts.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(posts.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("la")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("lb")),
+          Seq("doc_b"))
+        .withColumn("uni", col("la") + col("lb") - col("inter"))
+      val bands = minhashBands(s, d)
+        .join(sampleIds, Seq("doc_id"), "left_semi")
+      val banded = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .withColumn("is_banded", lit(true))
+      val graded = truth
+        .join(banded, Seq("doc_a", "doc_b"), "left_outer")
+        .withColumn("is_banded", coalesce(col("is_banded"), lit(false)))
+        .persistTracked()
+      val nBanded = banded.agg(count(lit(1)).as("n_banded"))
+      graded
+        .crossJoin(broadcast(nBanded))
+        .withColumn("thr", explode(expr("array(50, 60, 70, 80, 90)")))
+        .filter(col("inter") * 100 >= col("thr") * col("uni"))
+        .groupBy(col("thr").cast(LongType).as("thr"), col("n_banded"))
+        .agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("is_banded"), 1L).otherwise(0L)).as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast(DoubleType) / col("n_true").cast(DoubleType))
+        .withColumn("precision_at_t",
+          col("n_found").cast(DoubleType) /
+            col("n_banded").cast(DoubleType))
+        .select(col("thr"), col("n_true"), col("n_found"),
+          col("n_banded"), col("recall"), col("precision_at_t"))
+        .orderBy(col("thr"))
+    },
+    Some(s"""
+      WITH sample AS (
+        SELECT doc_id, text FROM documents
+        WHERE strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) <= 8
+      ), docs AS (
+        SELECT doc_id, $shinglesSql AS shingles FROM sample
+      ), posts AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM docs
+      ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id
+      ), truth AS (
+        SELECT p.doc_a, p.doc_b, p.inter,
+               sa.sz + sb.sz - p.inter AS uni
+        FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM posts x JOIN posts y
+                ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2) p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+      ), $bandsCteSql, banded AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+      ), nb AS (
+        SELECT count(*) AS n_banded FROM banded
+      ), graded AS (
+        SELECT t.doc_a, t.doc_b, t.inter, t.uni,
+               bd.doc_a IS NOT NULL AS is_banded
+        FROM truth t LEFT JOIN banded bd
+          ON bd.doc_a = t.doc_a AND bd.doc_b = t.doc_b
+      )
+      SELECT CAST(thr AS BIGINT) AS thr, count(*) AS n_true,
+             CAST(sum(CASE WHEN is_banded THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_found,
+             CAST(n_banded AS BIGINT) AS n_banded,
+             CAST(sum(CASE WHEN is_banded THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS recall,
+             CAST(sum(CASE WHEN is_banded THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(n_banded AS DOUBLE) AS precision_at_t
+      FROM graded, nb, (SELECT unnest([50, 60, 70, 80, 90]) AS thr) ts
+      WHERE inter * 100 >= thr * uni
+      GROUP BY thr, n_banded
+      ORDER BY thr"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260, q271, q332)
+      q240, q241, q260, q271, q332, q344)
 }

@@ -575,10 +575,9 @@ object Evals {
       val counts = o.groupBy(col("v")).agg(
         sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
         sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
-      val cum = graft.operators.GlobalOrder.withOrderedCumsum(
-        graft.operators.GlobalOrder.withOrderedCumsum(
-          counts, Seq(col("v")), col("ca"), "cuma"),
-        Seq(col("v")), col("cb"), "cumb")
+      val cum = graft.operators.GlobalOrder.withOrderedCumsums(
+        counts, Seq(col("v")),
+        Seq(col("ca") -> "cuma", col("cb") -> "cumb"))
       val tot = o.agg(
         sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_b"))
@@ -888,15 +887,12 @@ object Evals {
         sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
         sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
       val ord = Seq(col("v"))
-      val cum = GlobalOrder.withOrderedLag(
-        GlobalOrder.withOrderedLag(
-          GlobalOrder.withOrderedLag(
-            GlobalOrder.withOrderedCumsum(
-              GlobalOrder.withOrderedCumsum(counts, ord, col("ca"), "cuma"),
-              ord, col("cb"), "cumb"),
-            ord, col("v"), "prev_v"),
-          ord, col("cuma"), "prev_a"),
-        ord, col("cumb"), "prev_b")
+      val cum = GlobalOrder.withOrderedLags(
+        GlobalOrder.withOrderedCumsums(counts, ord,
+          Seq(col("ca") -> "cuma", col("cb") -> "cumb")),
+        ord,
+        Seq(col("v") -> "prev_v", col("cuma") -> "prev_a",
+          col("cumb") -> "prev_b"))
       val tot = o.agg(
         sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_b"))
@@ -953,7 +949,126 @@ object Evals {
       WHERE prev_v IS NOT NULL
       GROUP BY n_a, n_b"""))
 
+  /** q342: POST-STRATIFIED / IPW TREATMENT-EFFECT ESTIMATION (Horvitz &
+    * Thompson 1952; the Neyman-Rubin workhorse for observational A/B
+    * reads): when treatment assignment CORRELATES with a stratum-level
+    * baseline, the naive treated-minus-control difference is
+    * confounded; weighting each stratum's arm means by the stratum's
+    * share (equivalently IPW with propensities estimated per stratum)
+    * removes the bias. Dosed with confounding BY CONSTRUCTION: stratum
+    * index s ∈ 0..4 from lang (verbatim CASE in both engines),
+    * propensity threshold 20+15s AND outcome baseline 10s rise
+    * together, true effect 7 — so the naive estimate must land above 7
+    * and the stratified one near it (the spec's gate). Exact: arm sums
+    * and counts are integers; each arm mean is ONE division; the
+    * stratified total folds the 5 per-stratum terms in sorted-lang
+    * order. Output: one row per stratum plus an ALL row whose
+    * mean_t/mean_c are the NAIVE pooled means and whose `diff` column
+    * carries the STRATIFIED estimate. Scale: one scan, |strata|-row
+    * arithmetic. */
+  val q342 = Q(
+    "q342_ipw_ate",
+    (s, d) => {
+      val caseIdx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 " +
+        "WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END"
+      val dosed = Tables.load(s, d, "documents")
+        .select(col("lang"), expr(s"$caseIdx").as("sidx"),
+          col("doc_id"))
+        .withColumn("t",
+          expr("(doc_id * 7919) % 100") < lit(20) + lit(15) * col("sidx"))
+        .withColumn("y",
+          expr("(doc_id * 31) % 50") + lit(10) * col("sidx") +
+            when(col("t"), 7L).otherwise(0L))
+      val strata = dosed.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"),
+          sum(when(!col("t"), col("y")).otherwise(0L)).as("sy_c"))
+        .withColumn("e_hat",
+          col("n_t").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("mean_t",
+          col("sy_t").cast(DoubleType) / col("n_t").cast(DoubleType))
+        .withColumn("mean_c", col("sy_c").cast(DoubleType) /
+          (col("n") - col("n_t")).cast(DoubleType))
+        .withColumn("diff", col("mean_t") - col("mean_c"))
+      val overall = strata
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("n_t")).as("n_t"),
+          sum(col("sy_t")).as("sy_t"),
+          sum(col("sy_c")).as("sy_c"),
+          // stratified ATE: Σ (n_s/N)·diff_s folded in sorted-lang order
+          expr("aggregate(transform(array_sort(" +
+            "collect_list(struct(lang, n, diff))), " +
+            "p -> CAST(p.n AS DOUBLE) * p.diff), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("wsum"))
+        .select(lit("ALL").as("lang"), col("n"), col("n_t"),
+          (col("n_t").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("e_hat"),
+          (col("sy_t").cast(DoubleType) / col("n_t").cast(DoubleType))
+            .as("mean_t"),
+          (col("sy_c").cast(DoubleType) /
+            (col("n") - col("n_t")).cast(DoubleType)).as("mean_c"),
+          (col("wsum") / col("n").cast(DoubleType)).as("diff"))
+      strata
+        .select(col("lang"), col("n"), col("n_t"), col("e_hat"),
+          col("mean_t"), col("mean_c"), col("diff"))
+        .unionAll(overall)
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH dosed AS (
+        SELECT lang,
+               CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS sidx,
+               (doc_id * 7919) % 100
+                 < 20 + 15 * (CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                   WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) AS t,
+               (doc_id * 31) % 50
+                 + 10 * (CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                   WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END)
+                 + CASE WHEN (doc_id * 7919) % 100
+                     < 20 + 15 * (CASE lang WHEN 'de' THEN 0
+                       WHEN 'en' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 3 ELSE 4 END)
+                   THEN 7 ELSE 0 END AS y
+        FROM documents
+      ), strata AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+               CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+                 AS sy_c
+        FROM dosed GROUP BY lang
+      ), per AS (
+        SELECT lang, n, n_t, sy_t, sy_c,
+               CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE) AS e_hat,
+               CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+               CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS mean_c,
+               CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(sy_c AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS diff
+        FROM strata
+      ), overall AS (
+        SELECT 'ALL' AS lang,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(n_t) AS BIGINT) AS n_t,
+               CAST(sum(n_t) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS e_hat,
+               CAST(sum(sy_t) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE)
+                 AS mean_t,
+               CAST(sum(sy_c) AS DOUBLE) / CAST(sum(n) - sum(n_t)
+                 AS DOUBLE) AS mean_c,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(n AS DOUBLE) * diff ORDER BY lang)),
+                 (acc, x) -> acc + x) / CAST(sum(n) AS DOUBLE) AS diff
+        FROM per
+      )
+      SELECT lang, n, n_t, e_hat, mean_t, mean_c, diff FROM per
+      UNION ALL
+      SELECT lang, n, n_t, e_hat, mean_t, mean_c, diff FROM overall
+      ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340)
+      q340, q342)
 }

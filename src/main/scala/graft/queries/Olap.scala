@@ -4843,10 +4843,9 @@ object Olap {
       val rev = Tables.load(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(Det.cents(col("o_totalprice"))).as("rev_c"))
-      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
-        graft.operators.GlobalOrder.withOrderedCumsum(
-          rev, Seq(col("rev_c"), col("o_custkey")), lit(1L), "rnk"),
-        Seq(col("rev_c"), col("o_custkey")), col("rev_c"), "cum_c")
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsums(
+        rev, Seq(col("rev_c"), col("o_custkey")),
+        Seq(lit(1L) -> "rnk", col("rev_c") -> "cum_c"))
       val tot = rev.agg(
         count(lit(1)).as("n"),
         sum(col("rev_c")).as("t_c"))

@@ -330,7 +330,10 @@ class PlanShapeSpec extends SparkSpec {
       // medians; q340's GlobalOrder offsets tables (cumsum + lag);
       // q341's 100-row largest-remainder rank
       "q335_vocab_growth", "q336_hash_bootstrap", "q337_theil_sen",
-      "q340_wasserstein_1d", "q341_negative_sampling")
+      "q340_wasserstein_1d", "q341_negative_sampling",
+      // r8 wave 4: q343's pick-rank + running-token windows over the
+      // |sources|-row knapsack rollup
+      "q343_mixture_knapsack")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

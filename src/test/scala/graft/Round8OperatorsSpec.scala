@@ -447,8 +447,9 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(n == en && credit == e12.toDouble / 12.0 &&
         share == e12.toDouble / tot12.toDouble, s"channel $ch drifted")
     }
-    // conservation: total credit = journeys with >= 1 non-purchase touch
-    assert(got.map(_._3).sum == journeys.size.toDouble,
+    // conservation in EXACT twelfths (a double sum of 1/12ths is not
+    // associativity-safe): Σ credit12 = 12 × attributable conversions
+    assert(credit12.values.map(_._2).sum == 12L * journeys.size,
       "Shapley credits must conserve attributable conversions")
   }
 
@@ -513,5 +514,124 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(rare._4.toDouble / rare._2.toDouble >
       common._4.toDouble / common._2.toDouble,
       "unigram^(3/4) must up-weight rare tokens per occurrence")
+  }
+
+  test("q342 stratified estimate beats naive under dosed confounding") {
+    val langIdx = Map("de" -> 0L, "en" -> 1L, "es" -> 2L, "fr" -> 3L)
+      .withDefaultValue(4L)
+    val dosed = Tables.load(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id")).as[(String, Long)].collect()
+      .map { case (lang, id) =>
+        val sidx = langIdx(lang)
+        val t = (id * 7919) % 100 < 20 + 15 * sidx
+        val y = (id * 31) % 50 + 10 * sidx + (if (t) 7L else 0L)
+        (lang, t, y)
+      }
+    val strata = dosed.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, xs) =>
+        val n = xs.length.toLong
+        val nt = xs.count(_._2).toLong
+        val (syt, syc) = (xs.filter(_._2).map(_._3).sum,
+          xs.filterNot(_._2).map(_._3).sum)
+        val (mt, mc) = (syt.toDouble / nt.toDouble,
+          syc.toDouble / (n - nt).toDouble)
+        (lang, n, nt, nt.toDouble / n.toDouble, mt, mc, mt - mc)
+    }
+    val nAll = strata.map(_._2).sum
+    val ate = strata.map(s => s._2.toDouble * s._7)
+      .foldLeft(0.0)(_ + _) / nAll.toDouble
+    val got = Evals.q342.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.length == strata.length + 1)
+    strata.foreach { exp =>
+      val row = got.find(_._1 == exp._1).get
+      assert(row == exp, s"stratum ${exp._1} drifted")
+    }
+    val all = got.find(_._1 == "ALL").get
+    val naive = all._5 - all._6
+    assert(all._7 == ate, "stratified ATE must equal the ordered replay")
+    // the dose confounds upward: propensity and baseline rise together,
+    // so naive must overshoot the true effect 7 and stratification must
+    // land strictly closer
+    assert(naive > 7.0, s"dose failed to confound (naive $naive)")
+    assert(math.abs(all._7 - 7.0) < math.abs(naive - 7.0),
+      s"stratified ${all._7} must beat naive $naive against truth 7")
+  }
+
+  test("q343 knapsack spends exactly the budget in density order") {
+    val got = Curation.q343.run(spark, sf001)
+      .as[(Long, String, Long, Long, Double, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    val budget = got.map(_._3).sum / 2
+    assert(got.map(_._7).sum == budget,
+      "taken tokens must spend exactly the budget")
+    // ranking is by density desc then source; cumsum consistent
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2),
+          "pick order must be density desc, source asc")
+        assert(b._6 == a._6 + b._3, "cum_tokens must chain")
+      case _ =>
+    }
+    // prefix-greedy shape: full takes, at most one fractional, then zeros
+    val fracs = got.map(_._8)
+    val firstPartial = fracs.indexWhere(f => f < 1.0)
+    if (firstPartial >= 0)
+      assert(fracs.drop(firstPartial + 1).forall(_ == 0.0),
+        "after the boundary source every take must be zero")
+  }
+
+  test("q344 calibration sweep equals an exact sampled replay") {
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def inSample(id: Long): Boolean = {
+      val hex = mdInst.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex(31)) < 8
+    }
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter(t => inSample(t._1))
+    val sh = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      id -> (if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSet else Set(text))
+    }.toMap
+    val truth = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = (sa & sb).size if inter > 0
+    } yield ((a, b), (inter.toLong, (sa.size + sb.size - inter).toLong)))
+      .toMap
+    // banded pairs: replay the 4x2 minhash banding
+    def lanes(shs: Set[String]): Seq[String] = {
+      def hex(j: Int, x: String) = mdInst
+        .digest(s"$j:$x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (1 to 8).map { m =>
+        val j = (m + 3) / 4
+        val off = ((m - 1) % 4) * 8
+        shs.map(x => hex(j, x).substring(off, off + 8)).min
+      }
+    }
+    val sigs = sh.map { case (id, s) => id -> lanes(s) }
+    val banded = (for {
+      (a, la) <- sigs.toSeq; (b, lb) <- sigs.toSeq if a < b
+      if (0 until 4).exists(band =>
+        la(2 * band) + la(2 * band + 1) == lb(2 * band) + lb(2 * band + 1))
+    } yield (a, b)).toSet
+    val expected = Seq(50L, 60L, 70L, 80L, 90L).flatMap { thr =>
+      val qual = truth.filter { case (_, (i, u)) => i * 100 >= thr * u }
+      if (qual.isEmpty) None
+      else {
+        val found = qual.keys.count(banded.contains).toLong
+        Some((thr, qual.size.toLong, found, banded.size.toLong,
+          found.toDouble / qual.size.toDouble,
+          found.toDouble / banded.size.toDouble))
+      }
+    }
+    val got = Dedup.q344.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected, s"sweep drifted:\n$got\nvs\n$expected")
+    // sanity: the sweep is non-degenerate and grading is coherent
+    assert(got.nonEmpty && got.forall(r => r._3 <= r._2))
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
 }
