@@ -1740,7 +1740,70 @@ object Dedup {
       GROUP BY thr, n_banded
       ORDER BY thr"""))
 
+  /** q345: LSH PARAMETER PLANNER — the closed-form S-curve table
+    * (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets §3.4.2)
+    * that DESIGNS a banding before q344 MEASURES it: for band counts
+    * b and rows-per-band r, the probability a pair of true Jaccard J
+    * becomes a candidate is 1 − (1 − J^r)^b. Every power here has an
+    * INTEGER exponent, computed by repeated multiplication — exact
+    * IEEE doubles, identical in both engines (no pow()/libm anywhere).
+    * The table sweeps J ∈ {0.05..0.95 step 0.05} × the shipped config
+    * (b=4, r=2) and two alternatives (8,4), (16,8), and carries each
+    * config's threshold J* ≈ (1/b)^(1/r) as the integer-exponent
+    * inequality check `candidate_p ≥ 0.5` instead of a root. Scale:
+    * pure generated arithmetic — no table is even scanned. */
+  val q345 = Q(
+    "q345_lsh_planner",
+    (s, d) => {
+      import s.implicits._
+      // generated once, shared shape with the oracle: J grid from ints
+      val grid = (1 to 19).map(i => i * 5) // permille*10: 5% steps
+      val configs = Seq((4, 2), (8, 4), (16, 8))
+      def powTerm(base: String, e: Int): String =
+        Seq.fill(e)(base).mkString("(", " * ", ")")
+      val rows = for ((b, r) <- configs; j <- grid) yield (b, r, j)
+      val df = rows.toDF("bands", "rows_per_band", "j_pct")
+      df.withColumn("j", col("j_pct").cast(DoubleType) / lit(100.0))
+        // per-config candidate probability with integer exponents:
+        // j^r and (1-j^r)^b via CASE on the config row
+        .withColumn("candidate_p", expr(
+          configs.map { case (b, r) =>
+            val jr = powTerm("j", r)
+            s"WHEN bands = $b AND rows_per_band = $r THEN " +
+              s"CAST(1 AS DOUBLE) - ${powTerm(s"(CAST(1 AS DOUBLE) - $jr)", b)}"
+          }.mkString("CASE ", " ", " ELSE NULL END")))
+        .withColumn("past_threshold", col("candidate_p") >= 0.5)
+        .select(col("bands").cast(LongType), col("rows_per_band")
+          .cast(LongType), col("j_pct").cast(LongType), col("j"),
+          col("candidate_p"), col("past_threshold"))
+        .orderBy(col("bands"), col("j_pct"))
+    },
+    Some {
+      def powTerm(base: String, e: Int): String =
+        Seq.fill(e)(base).mkString("(", " * ", ")")
+      val configs = Seq((4, 2), (8, 4), (16, 8))
+      val caseExpr = configs.map { case (b, r) =>
+        val jr = powTerm("j", r)
+        s"WHEN bands = $b AND rows_per_band = $r THEN " +
+          s"CAST(1 AS DOUBLE) - ${powTerm(s"(CAST(1 AS DOUBLE) - $jr)", b)}"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      s"""
+      WITH grid AS (
+        SELECT bands, rows_per_band, j_pct,
+               CAST(j_pct AS DOUBLE) / CAST(100 AS DOUBLE) AS j
+        FROM (VALUES (4, 2), (8, 4), (16, 8)) c(bands, rows_per_band),
+             (SELECT unnest(range(1, 20)) * 5 AS j_pct) g
+      )
+      SELECT CAST(bands AS BIGINT) AS bands,
+             CAST(rows_per_band AS BIGINT) AS rows_per_band,
+             CAST(j_pct AS BIGINT) AS j_pct, j,
+             $caseExpr AS candidate_p,
+             $caseExpr >= 0.5 AS past_threshold
+      FROM grid
+      ORDER BY bands, j_pct"""
+    })
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260, q271, q332, q344)
+      q240, q241, q260, q271, q332, q344, q345)
 }

@@ -1068,7 +1068,86 @@ object Evals {
       SELECT lang, n, n_t, e_hat, mean_t, mean_c, diff FROM overall
       ORDER BY lang"""))
 
+  /** q346: WELCH'S UNEQUAL-VARIANCE t — the two-sample mean test run
+    * beside the distribution tests (q326 KS shape, q340 W₁ mass, q321
+    * Mann-Whitney ranks; this one asks only about MEANS and tolerates
+    * unequal variances — Welch 1947, the modern default over Student):
+    * t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) with the Welch–Satterthwaite df.
+    * Exact discipline: both samples' moments are integer sums (cents);
+    * variances are exact-integer numerators over n(n−1) cast once; t
+    * and df are fixed-op-order doubles, identical cross-engine. The
+    * 5% verdict uses the z critical value 1.96 (df here is in the
+    * thousands, where t ≈ z to 3 decimals — stated, not hidden).
+    * Scale: two partial+final moment aggregates, O(1) arithmetic. */
+  val q346 = Q(
+    "q346_welch_ttest",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).as("v"))
+      val m = o.groupBy(col("st"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).as("sx"),
+          sum((col("v").cast(DecimalType(38, 0)) *
+            col("v").cast(DecimalType(38, 0)))).as("sxx"))
+        .withColumn("mean", col("sx").cast(DoubleType) /
+          col("n").cast(DoubleType))
+        .withColumn("var_over_n",
+          (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+            col("sx").cast(DecimalType(38, 0)) *
+              col("sx").cast(DecimalType(38, 0))).cast(DoubleType) /
+            ((col("n") * (col("n") - 1)).cast(DoubleType) *
+              col("n").cast(DoubleType)))
+      val a = m.filter(col("st") === "F")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"),
+          col("var_over_n").as("va"))
+      val b = m.filter(col("st") === "O")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"),
+          col("var_over_n").as("vb"))
+      a.crossJoin(broadcast(b))
+        .withColumn("t_stat",
+          (col("mean_a") - col("mean_b")) / sqrt(col("va") + col("vb")))
+        .withColumn("df_welch",
+          (col("va") + col("vb")) * (col("va") + col("vb")) /
+            (col("va") * col("va") / (col("n_a") - 1).cast(DoubleType) +
+              col("vb") * col("vb") / (col("n_b") - 1).cast(DoubleType)))
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          col("t_stat"), col("df_welch"),
+          (abs(col("t_stat")) > 1.96).as("reject_05"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderstatus AS st, ${Det.centsSql("o_totalprice")} AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+      ), m AS (
+        SELECT st, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx,
+               CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+               CAST(count(*) * sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+                    - CAST(sum(v) AS HUGEINT) * CAST(sum(v) AS HUGEINT)
+                 AS DOUBLE)
+                 / (CAST(count(*) * (count(*) - 1) AS DOUBLE)
+                    * CAST(count(*) AS DOUBLE)) AS var_over_n
+        FROM o GROUP BY st
+      ), a AS (
+        SELECT n AS n_a, mean AS mean_a, var_over_n AS va
+        FROM m WHERE st = 'F'
+      ), b AS (
+        SELECT n AS n_b, mean AS mean_b, var_over_n AS vb
+        FROM m WHERE st = 'O'
+      )
+      SELECT n_a, n_b, mean_a, mean_b,
+             (mean_a - mean_b) / sqrt(va + vb) AS t_stat,
+             (va + vb) * (va + vb)
+               / (va * va / CAST(n_a - 1 AS DOUBLE)
+                  + vb * vb / CAST(n_b - 1 AS DOUBLE)) AS df_welch,
+             abs((mean_a - mean_b) / sqrt(va + vb)) > 1.96 AS reject_05
+      FROM a, b"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342)
+      q340, q342, q346)
 }

@@ -4770,11 +4770,106 @@ object Text {
       FROM shares, extra
       ORDER BY token"""))
 
+  /** q347: N-GRAM NOVELTY / MEMORIZATION AUDIT — the within-corpus
+    * complement of q71's train-vs-eval decontamination (Carlini et al.
+    * 2021/2023's memorization measurements run on exactly this
+    * statistic): a document whose 8-gram word shingles mostly occur in
+    * OTHER documents is boilerplate or near-copy; a high share of
+    * corpus-unique 8-grams means genuinely novel text. One inverted
+    * pass: per-doc DISTINCT 8-grams, document frequency per 8-gram,
+    * novelty = share with df = 1 — exact integers, one division per
+    * doc, then a per-source rollup (n docs, total/unique 8-grams,
+    * mean novelty as ONE division of summed integers, and the low-tail
+    * count below 0.5 via an integer cross-multiplication — no double
+    * compare). Short docs (< 8 tokens) carry no 8-grams and are
+    * reported in their own column, not silently dropped. Scale:
+    * explode is corpus-linear, the df rollup shuffles on the 8-gram —
+    * the q71 bill exactly. */
+  val q347 = Q(
+    "q347_ngram_novelty",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val grams = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' ', -1), t -> t <> '')").as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """CASE WHEN size(toks) >= 8 THEN
+              |  array_distinct(transform(sequence(1, size(toks) - 7),
+              |    i -> concat_ws(' ', slice(toks, i, 8))))
+              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("g"))
+        .persistTracked()
+      val df8 = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val perDoc = grams.join(df8, Seq("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      val short = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(perDoc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_short"))
+      perDoc.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_unique")).as("unique_grams"),
+          // low-novelty docs: n_unique/n_grams < 1/2 ⇔ 2·n_unique < n_grams
+          sum(when(col("n_unique") * 2 < col("n_grams"), 1L)
+            .otherwise(0L)).as("n_low_novelty"))
+        .join(short, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_short"), lit(0L)).as("n_short"),
+          col("total_grams"), col("unique_grams"),
+          (col("unique_grams").cast(DoubleType) /
+            col("total_grams").cast(DoubleType)).as("mean_novelty"),
+          col("n_low_novelty"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, source, unnest(
+                 CASE WHEN len(t) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                     i -> array_to_string(t[i : i + 7], ' ')))
+                 ELSE [] END) AS g
+        FROM toks
+      ), df8 AS (
+        SELECT g, count(*) AS df FROM grams GROUP BY g
+      ), per_doc AS (
+        SELECT doc_id, source, count(*) AS n_grams,
+               sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+        FROM grams JOIN df8 USING (g)
+        GROUP BY doc_id, source
+      ), short AS (
+        SELECT source, count(*) AS n_short
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM per_doc p
+                          WHERE p.doc_id = d.doc_id)
+        GROUP BY source
+      )
+      SELECT p.source, count(*) AS n_docs,
+             CAST(coalesce(any_value(s.n_short), 0) AS BIGINT) AS n_short,
+             CAST(sum(n_grams) AS BIGINT) AS total_grams,
+             CAST(sum(n_unique) AS BIGINT) AS unique_grams,
+             CAST(sum(n_unique) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
+               AS mean_novelty,
+             CAST(sum(CASE WHEN n_unique * 2 < n_grams THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_low_novelty
+      FROM per_doc p LEFT JOIN short s ON s.source = p.source
+      GROUP BY p.source
+      ORDER BY p.source"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341)
+      q317, q318, q335, q341, q347)
 }

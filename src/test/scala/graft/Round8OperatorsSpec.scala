@@ -634,4 +634,93 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(r => r._3 <= r._2))
     assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
+
+  test("q345 S-curve table equals the closed form; monotone; thresholds") {
+    def powInt(x: Double, e: Int): Double =
+      Seq.fill(e)(x).foldLeft(1.0)(_ * _)
+    val expected = for {
+      (b, r) <- Seq((4, 2), (8, 4), (16, 8))
+      jp <- (1 to 19).map(_ * 5)
+    } yield {
+      val j = jp.toDouble / 100.0
+      val p = 1.0 - powInt(1.0 - powInt(j, r), b)
+      (b.toLong, r.toLong, jp.toLong, j, p, p >= 0.5)
+    }
+    val got = Dedup.q345.run(spark, sf001)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got.sortBy(t => (t._1, t._3)) ==
+      expected.sortBy(t => (t._1, t._3)))
+    // candidate probability is monotone in J within each config, and
+    // the 50% crossing sits near the textbook threshold (1/b)^(1/r)
+    got.groupBy(t => (t._1, t._2)).foreach { case ((b, r), rows) =>
+      val ps = rows.sortBy(_._3).map(_._5)
+      assert(ps.zip(ps.tail).forall { case (x, y) => x <= y })
+      val cross = rows.sortBy(_._3).find(_._6).map(_._4).getOrElse(1.0)
+      // exact 50% point: 1-(1-J^r)^b = 1/2  ⇔  J = (1-2^(-1/b))^(1/r)
+      val jstar = math.pow(1.0 - math.pow(0.5, 1.0 / b.toDouble),
+        1.0 / r.toDouble)
+      assert(math.abs(cross - jstar) <= 0.05, // one grid step
+        s"($b,$r): 50% crossing $cross far from exact J* $jstar")
+    }
+  }
+
+  test("q346 Welch t equals an exact-moment replay") {
+    val rows = orders.filter(r => r._1 == "F" || r._1 == "O")
+    def moments(st: String) = {
+      val xs = rows.filter(_._1 == st).map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val mean = sx.toDouble / n.toDouble
+      val vOverN = (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble /
+        ((n * (n - 1)).toDouble * n.toDouble)
+      (n, mean, vOverN)
+    }
+    val (na, ma, va) = moments("F")
+    val (nb, mb, vb) = moments("O")
+    val t = (ma - mb) / math.sqrt(va + vb)
+    val dfW = (va + vb) * (va + vb) /
+      (va * va / (na - 1).toDouble + vb * vb / (nb - 1).toDouble)
+    val got = Evals.q346.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect()
+    assert(got.length == 1)
+    val (gna, gnb, gma, gmb, gt, gdf, rej) = got.head
+    assert(gna == na && gnb == nb && gma == ma && gmb == mb)
+    assert(gt == t && gdf == dfW && rej == (math.abs(t) > 1.96))
+    assert(!gt.isNaN && gdf > 0.0 && gdf < (na + nb).toDouble)
+  }
+
+  test("q347 novelty equals an inverted-index replay; docs all accounted") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val grams = docs.map { case (id, src, text) =>
+      val t = text.split(" ", -1).filter(_.nonEmpty)
+      (id, src,
+        if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSet
+        else Set.empty[String])
+    }
+    val df8 = grams.flatMap(_._3).groupBy(identity)
+      .map { case (g, xs) => g -> xs.length }
+    val perDoc = grams.filter(_._3.nonEmpty).map { case (id, src, gs) =>
+      (src, gs.size.toLong, gs.count(df8(_) == 1).toLong)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, xs) =>
+        val shortN = grams.count(g => g._2 == src && g._3.isEmpty).toLong
+        val (tg, ug) = (xs.map(_._2).sum, xs.map(_._3).sum)
+        (src, xs.length.toLong, shortN, tg, ug,
+          ug.toDouble / tg.toDouble,
+          xs.count(x => x._3 * 2 < x._2).toLong)
+    }
+    val got = Text.q347.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Long)].collect()
+    assert(got.toSeq == expected)
+    // every document is either graded or counted short, per source
+    val bySrc = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    got.foreach { case (src, n, nShort, _, _, nov, _) =>
+      assert(n + nShort == bySrc(src).toLong, s"$src lost documents")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+  }
 }
