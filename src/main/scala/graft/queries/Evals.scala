@@ -1147,7 +1147,98 @@ object Evals {
              abs((mean_a - mean_b) / sqrt(va + vb)) > 1.96 AS reject_05
       FROM a, b"""))
 
+  /** q349: CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker WSDM'13
+    * — "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): the experimentation-platform
+    * workhorse that shrinks a metric's variance using a pre-period
+    * covariate before any A/B read. Per customer: y = final-year
+    * revenue, x = prior-year revenue (zero-filled over the full
+    * customer universe — missing-as-zero IS the covariate's value for
+    * an inactive customer). θ = cov(x,y)/var(x) and the achieved
+    * variance reduction ρ² = cov²/(var(x)·var(y)) come ENTIRELY from
+    * exact wide-integer moments (n·Σxy − Σx·Σy etc. in
+    * DECIMAL(38,0)/HUGEINT — no float subtraction of near-equal sums),
+    * each readout ONE division of identical operands. Scale: one
+    * orders rollup + one customer-universe join; the moment aggregate
+    * is a single partial+final pass. */
+  val q349 = Q(
+    "q349_cuped",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val yrMax = o.agg(max(year(col("o_orderdate"))).as("yr_max"))
+      val rev = o.crossJoin(broadcast(yrMax))
+        .filter(year(col("o_orderdate")) >= col("yr_max") - 1)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === col("yr_max"),
+            Det.cents(col("o_totalprice"))).otherwise(0L)).as("y"),
+          sum(when(year(col("o_orderdate")) === col("yr_max") - 1,
+            Det.cents(col("o_totalprice"))).otherwise(0L)).as("x"))
+      val units = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"))
+        .join(rev, Seq("o_custkey"), "left_outer")
+        .select(
+          coalesce(col("y"), lit(0L)).as("y"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      units.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .select(col("n"),
+          (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .cast(DoubleType)
+            ./((dec(col("n")) * col("sxx") -
+              dec(col("sx")) * dec(col("sx"))).cast(DoubleType))
+            .as("theta"),
+          ((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .cast(DoubleType) *
+            (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .cast(DoubleType) /
+            ((dec(col("n")) * col("sxx") -
+              dec(col("sx")) * dec(col("sx"))).cast(DoubleType) *
+              (dec(col("n")) * col("syy") -
+                dec(col("sy")) * dec(col("sy"))).cast(DoubleType)))
+            .as("var_reduction"))
+    },
+    Some(s"""
+      WITH yrm AS (
+        SELECT max(year(o_orderdate)) AS yr_max FROM orders
+      ), rev AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN year(o_orderdate) = yr_max
+                 THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+                 AS BIGINT) AS y,
+               CAST(sum(CASE WHEN year(o_orderdate) = yr_max - 1
+                 THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+                 AS BIGINT) AS x
+        FROM orders, yrm
+        WHERE year(o_orderdate) >= yr_max - 1
+        GROUP BY o_custkey
+      ), units AS (
+        SELECT coalesce(r.y, 0) AS y, coalesce(r.x, 0) AS x
+        FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+      ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM units
+      )
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
+      FROM m"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342, q346)
+      q340, q342, q346, q349)
 }

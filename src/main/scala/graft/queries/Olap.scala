@@ -4976,6 +4976,94 @@ object Olap {
         FROM resid, npts)
       WHERE r = (n_points + 1) // 2"""))
 
+  /** q348: PINBALL (QUANTILE) LOSS BACKTEST — the scoring rule for
+    * QUANTILE forecasts (Koenker & Bassett 1978; the M5-Uncertainty
+    * metric), completing q309's point-forecast MASE: a forecast meant
+    * to be the τ-quantile is graded by L_τ = τ(y−ŷ)⁺ + (1−τ)(ŷ−y)⁺,
+    * which is minimized in expectation exactly at the true quantile.
+    * Same gap-filled per-nation monthly series as q309 (absent months
+    * are true zeros), last-12-months holdout, seasonal-naive (lag 12)
+    * vs naive (lag 1) forecasts, τ ∈ {10, 50, 90}%. EXACT: with τ in
+    * integer percent and values in cents, 100·L_τ is an integer; sums
+    * are BIGINT and each reported mean is ONE division. Scale: one
+    * rollup + per-nation lag windows (the q309 bill) ×3 τ rows. */
+  val q348 = Q(
+    "q348_pinball_loss",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.load(s, d, "orders")
+        .groupBy(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast(LongType).as("mi"),
+          col("o_custkey").mod(8).cast(LongType).as("grp"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("rev_c"))
+      val bounds = rev.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      val cal = rev.select(col("grp")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("grp"), explode(expr("sequence(lo, hi)")).as("mi"),
+          col("hi"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("mi"))
+      val filled = cal
+        .join(rev, Seq("grp", "mi"), "left")
+        .withColumn("y", coalesce(col("rev_c"), lit(0L)))
+        .withColumn("s_fc", lag(col("y"), 12).over(w))
+        .withColumn("n_fc", lag(col("y"), 1).over(w))
+        .filter(col("mi") > col("hi") - 12 && col("s_fc").isNotNull &&
+          col("n_fc").isNotNull)
+      filled
+        .withColumn("tau", explode(expr("array(10, 50, 90)")))
+        .groupBy(col("tau").cast(LongType).as("tau"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          (sum(when(col("y") >= col("s_fc"),
+            col("tau") * (col("y") - col("s_fc")))
+            .otherwise((lit(100L) - col("tau")) *
+              (col("s_fc") - col("y")))).cast(DoubleType) /
+            (count(lit(1)) * lit(100L)).cast(DoubleType))
+            .as("pinball_seasonal_c"),
+          (sum(when(col("y") >= col("n_fc"),
+            col("tau") * (col("y") - col("n_fc")))
+            .otherwise((lit(100L) - col("tau")) *
+              (col("n_fc") - col("y")))).cast(DoubleType) /
+            (count(lit(1)) * lit(100L)).cast(DoubleType))
+            .as("pinball_naive_c"))
+        .orderBy(col("tau"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS mi,
+               o_custkey % 8 AS grp,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)
+                 AS rev_c
+        FROM orders GROUP BY 1, 2
+      ), bounds AS (
+        SELECT min(mi) AS lo, max(mi) AS hi FROM rev
+      ), cal AS (
+        SELECT g.grp, unnest(range(lo, hi + 1)) AS mi, hi
+        FROM (SELECT DISTINCT grp FROM rev) g, bounds
+      ), filled AS (
+        SELECT grp, mi, hi, coalesce(rev_c, 0) AS y,
+               lag(coalesce(rev_c, 0), 12)
+                 OVER (PARTITION BY grp ORDER BY mi) AS s_fc,
+               lag(coalesce(rev_c, 0), 1)
+                 OVER (PARTITION BY grp ORDER BY mi) AS n_fc
+        FROM cal LEFT JOIN rev USING (grp, mi)
+      ), holdout AS (
+        SELECT * FROM filled
+        WHERE mi > hi - 12 AND s_fc IS NOT NULL AND n_fc IS NOT NULL
+      )
+      SELECT CAST(tau AS BIGINT) AS tau, count(*) AS n_points,
+             CAST(sum(CASE WHEN y >= s_fc THEN tau * (y - s_fc)
+                           ELSE (100 - tau) * (s_fc - y) END) AS DOUBLE)
+               / CAST(count(*) * 100 AS DOUBLE) AS pinball_seasonal_c,
+             CAST(sum(CASE WHEN y >= n_fc THEN tau * (y - n_fc)
+                           ELSE (100 - tau) * (n_fc - y) END) AS DOUBLE)
+               / CAST(count(*) * 100 AS DOUBLE) AS pinball_naive_c
+      FROM holdout, (SELECT unnest([10, 50, 90]) AS tau) ts
+      GROUP BY tau
+      ORDER BY tau"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -4984,5 +5072,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337)
+      q333, q337, q348)
 }

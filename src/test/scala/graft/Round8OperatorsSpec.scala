@@ -723,4 +723,82 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(nov >= 0.0 && nov <= 1.0)
     }
   }
+
+  test("q348 pinball losses equal a replay; tau=50 halves are symmetric") {
+    val rev = Tables.load(spark, sf001, "orders")
+      .groupBy(
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS LONG)")
+          .as("mi"),
+        expr("CAST(o_custkey % 8 AS LONG)").as("grp"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      .as[(Long, Long, Long)].collect()
+    val (lo, hi) = (rev.map(_._1).min, rev.map(_._1).max)
+    val byKey = rev.map(t => (t._2, t._1) -> t._3).toMap
+    val holdout = for {
+      grp <- rev.map(_._2).distinct
+      mi <- (hi - 11) to hi
+      if mi - 12 >= lo // s_fc defined; n_fc defined whenever mi-1 >= lo
+    } yield {
+      val y = byKey.getOrElse((grp, mi), 0L)
+      (y, byKey.getOrElse((grp, mi - 12), 0L),
+        byKey.getOrElse((grp, mi - 1), 0L))
+    }
+    def pin(tau: Long, pairs: Seq[(Long, Long)]): Double = {
+      val s = pairs.map { case (y, fc) =>
+        if (y >= fc) tau * (y - fc) else (100 - tau) * (fc - y)
+      }.sum
+      s.toDouble / (pairs.length * 100L).toDouble
+    }
+    val got = Olap.q348.run(spark, sf001)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(10L, 50L, 90L))
+    got.foreach { case (tau, n, ps, pn) =>
+      assert(n == holdout.length.toLong)
+      assert(ps == pin(tau, holdout.map(h => (h._1, h._2))),
+        s"tau=$tau seasonal drifted")
+      assert(pn == pin(tau, holdout.map(h => (h._1, h._3))),
+        s"tau=$tau naive drifted")
+    }
+    // tau = 50 is half the absolute error — the median-forecast identity
+    val mid = got.find(_._1 == 50L).get
+    val mae = holdout.map(h => (h._1 - h._2).abs).sum.toDouble /
+      holdout.length.toDouble
+    assert(mid._3 == mae / 2.0 ||
+      math.abs(mid._3 - mae / 2.0) < 1e-9 * mae.max(1.0))
+  }
+
+  test("q349 CUPED theta and variance reduction equal a BigInt replay") {
+    val o = Tables.load(spark, sf001, "orders")
+      .select(expr("CAST(year(o_orderdate) AS LONG)"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val yrMax = o.map(_._1).max
+    val byCust = o.filter(_._1 >= yrMax - 1).groupBy(_._2)
+    val customers = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey")).as[Long].collect()
+    val units = customers.map { c =>
+      val rows = byCust.getOrElse(c, Array.empty[(Long, Long, Long)])
+      (rows.filter(_._1 == yrMax).map(_._3).sum,
+        rows.filter(_._1 == yrMax - 1).map(_._3).sum)
+    }
+    val n = BigInt(units.length)
+    val sx = units.map(u => BigInt(u._2)).sum
+    val sy = units.map(u => BigInt(u._1)).sum
+    val sxx = units.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val syy = units.map(u => BigInt(u._1) * BigInt(u._1)).sum
+    val sxy = units.map(u => BigInt(u._2) * BigInt(u._1)).sum
+    val covN = (n * sxy - sx * sy).toDouble
+    val vxN = (n * sxx - sx * sx).toDouble
+    val vyN = (n * syy - sy * sy).toDouble
+    val got = Evals.q349.run(spark, sf001)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (gn, theta, rho2) = got.head
+    assert(gn == units.length.toLong)
+    assert(theta == covN / vxN, s"theta $theta vs ${covN / vxN}")
+    assert(rho2 == covN * covN / (vxN * vyN))
+    // rho^2 is a squared correlation — and on year-over-year customer
+    // revenue it must find REAL signal, or the covariate is useless
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+  }
 }
