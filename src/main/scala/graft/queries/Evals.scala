@@ -1238,7 +1238,77 @@ object Evals {
                   * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
       FROM m"""))
 
+  /** q350: BENJAMINI–HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995)
+    * — the multiple-testing correction every experimentation platform
+    * applies when one launch reads a hundred metrics: naive per-test
+    * α = 5% would false-positive ~5 metrics by chance alone; BH's
+    * step-up keeps the FALSE DISCOVERY RATE at α. Tests are the
+    * (source × lang) metric grid with deterministically dosed permille
+    * p-values (md5-derived, with every 7th test enriched to p < 5 permille
+    * so the step-up provably fires). The step-up is EXACT INTEGERS
+    * throughout: rank k by (p, key), reject the prefix up to the
+    * largest k with m·p_k ≤ 50·k (α = 5% in permille, cross-multiplied
+    * — no double compare anywhere). Output per test: p, rank, the BH
+    * flag at its own rank, and the final step-up verdict; naive-α and
+    * BH discovery counts ride every row for the scorecard. Scale: one
+    * grid rollup, |tests|-row arithmetic. */
+  val q350 = Q(
+    "q350_bh_fdr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = hex24Sql("concat(source, ':', lang)")
+      val tests = Tables.load(s, d, "documents")
+        .select(col("source"), col("lang")).distinct()
+        .withColumn("p_permille",
+          expr(s"CASE WHEN $u % 7 = 0 THEN $u % 5 ELSE $u % 1000 END"))
+      val m = tests.agg(count(lit(1)).as("m"))
+      val ranked = tests.crossJoin(broadcast(m))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p_permille"), col("source"), col("lang")))
+          .cast(LongType))
+        .withColumn("bh_ok",
+          col("m") * col("p_permille") <= lit(50L) * col("rnk"))
+      val kMax = ranked
+        .agg(coalesce(max(when(col("bh_ok"), col("rnk"))), lit(0L))
+          .as("k_max"))
+      ranked.crossJoin(broadcast(kMax))
+        .withColumn("rejected", col("rnk") <= col("k_max"))
+        .select(col("source"), col("lang"),
+          col("p_permille").cast(LongType).as("p_permille"),
+          col("rnk"), col("m"), col("bh_ok"), col("rejected"),
+          (col("p_permille") < 50).as("naive_reject"))
+        .orderBy(col("rnk"))
+    },
+    Some {
+      val u = hex24Sql("concat(source, ':', lang)")
+      s"""
+      WITH tests AS (
+        SELECT source, lang,
+               CASE WHEN $u % 7 = 0 THEN $u % 5 ELSE $u % 1000 END
+                 AS p_permille
+        FROM (SELECT DISTINCT source, lang FROM documents)
+      ), m AS (
+        SELECT count(*) AS m FROM tests
+      ), ranked AS (
+        SELECT source, lang, CAST(p_permille AS BIGINT) AS p_permille,
+               CAST(row_number() OVER (ORDER BY p_permille, source, lang)
+                 AS BIGINT) AS rnk,
+               m,
+               m * p_permille <= 50 * row_number()
+                 OVER (ORDER BY p_permille, source, lang) AS bh_ok
+        FROM tests, m
+      ), km AS (
+        SELECT coalesce(max(CASE WHEN bh_ok THEN rnk END), 0) AS k_max
+        FROM ranked
+      )
+      SELECT source, lang, p_permille, rnk, m, bh_ok,
+             rnk <= k_max AS rejected,
+             p_permille < 50 AS naive_reject
+      FROM ranked, km
+      ORDER BY rnk"""
+    })
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342, q346, q349)
+      q340, q342, q346, q349, q350)
 }

@@ -5064,6 +5064,111 @@ object Olap {
       GROUP BY tau
       ORDER BY tau"""))
 
+  /** q351: CLASSICAL SEASONAL DECOMPOSITION (additive; Macaulay 1931 /
+    * the `statsmodels seasonal_decompose` shape) of the gap-filled
+    * monthly revenue series: trend = centered 12-term moving average
+    * (endpoints half-weighted — the even-period textbook form),
+    * seasonal = per-calendar-month mean of the detrended series
+    * re-centered to sum to zero, remainder = what's left. The whole
+    * decomposition is EXACT-INTEGER until the final per-row divisions:
+    * 24·trend = y[t−6] + 2Σ_{t−5..t+5} y + y[t+6] is an integer (cents),
+    * 24·detrended = 24y − trend24 is an integer, the seasonal means
+    * divide integer sums ONCE, and the zero-centering correction is the
+    * same fixed-order arithmetic in both engines. Rows without a full
+    * ±6-month window are excluded (the standard MA edge). Scale: one
+    * month rollup; every window runs over the |months|-row aggregate. */
+  val q351 = Q(
+    "q351_seasonal_decompose",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.load(s, d, "lineitem")
+        .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))
+          - 1).cast(LongType).as("mi"))
+        .agg(sum(Det.cents(col("l_extendedprice"))).as("y"))
+      val bounds = rev.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      val filled = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("mi"))
+        .join(rev, Seq("mi"), "left_outer")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      val w = Window.orderBy(col("mi"))
+      val trended = filled
+        .withColumn("t24",
+          lag(col("y"), 6).over(w) + lead(col("y"), 6).over(w) +
+            lit(2L) * sum(col("y")).over(
+              w.rowsBetween(-5, 5)))
+        .filter(col("t24").isNotNull)
+        .withColumn("d24", lit(24L) * col("y") - col("t24"))
+        .withColumn("moy", col("mi") % 12)
+      // per-calendar-month mean of 24·detrended, exact integer sums
+      val seas = trended.groupBy(col("moy"))
+        .agg(sum(col("d24")).as("sd24"), count(lit(1)).as("nm"))
+        .withColumn("s_raw",
+          col("sd24").cast(DoubleType) /
+            (lit(24L) * col("nm")).cast(DoubleType))
+      // re-center so the 12 seasonal terms sum to zero (fixed-order
+      // fold over the 12 calendar months)
+      val corr = seas.agg(
+        (expr("aggregate(transform(array_sort(" +
+          "collect_list(struct(moy, s_raw))), p -> p.s_raw), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)") / lit(12.0))
+          .as("s_mean"))
+      val seasonal = seas.crossJoin(broadcast(corr))
+        .select(col("moy"), (col("s_raw") - col("s_mean")).as("seasonal"))
+      trended.join(seasonal, Seq("moy"))
+        .select(col("mi"), col("y"),
+          (col("t24").cast(DoubleType) / lit(24.0)).as("trend"),
+          col("seasonal"),
+          (col("y").cast(DoubleType) -
+            col("t24").cast(DoubleType) / lit(24.0) - col("seasonal"))
+            .as("remainder"))
+        .orderBy(col("mi"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                 AS BIGINT) AS mi,
+               CAST(sum(${Det.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS y
+        FROM lineitem GROUP BY 1
+      ), bounds AS (
+        SELECT min(mi) AS lo, max(mi) AS hi FROM rev
+      ), filled AS (
+        SELECT g.mi, coalesce(r.y, 0) AS y
+        FROM (SELECT unnest(range(lo, hi + 1)) AS mi FROM bounds) g
+        LEFT JOIN rev r ON r.mi = g.mi
+      ), trended AS (
+        SELECT mi, y, t24, CAST(24 * y - t24 AS BIGINT) AS d24,
+               mi % 12 AS moy
+        FROM (
+          SELECT mi, y,
+                 CAST(lag(y, 6) OVER w + lead(y, 6) OVER w
+                   + 2 * sum(y) OVER (w ROWS BETWEEN 5 PRECEDING
+                                      AND 5 FOLLOWING) AS BIGINT) AS t24
+          FROM filled
+          WINDOW w AS (ORDER BY mi))
+        WHERE t24 IS NOT NULL
+      ), seas AS (
+        SELECT moy,
+               CAST(sum(d24) AS DOUBLE)
+                 / CAST(24 * count(*) AS DOUBLE) AS s_raw
+        FROM trended GROUP BY moy
+      ), corr AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(s_raw ORDER BY moy)), (acc, x) -> acc + x)
+               / CAST(12 AS DOUBLE) AS s_mean
+        FROM seas
+      ), seasonal AS (
+        SELECT moy, s_raw - s_mean AS seasonal FROM seas, corr
+      )
+      SELECT t.mi, t.y,
+             CAST(t.t24 AS DOUBLE) / CAST(24 AS DOUBLE) AS trend,
+             s.seasonal,
+             CAST(t.y AS DOUBLE)
+               - CAST(t.t24 AS DOUBLE) / CAST(24 AS DOUBLE)
+               - s.seasonal AS remainder
+      FROM trended t JOIN seasonal s ON s.moy = t.moy
+      ORDER BY t.mi"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5072,5 +5177,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348)
+      q333, q337, q348, q351)
 }

@@ -333,7 +333,11 @@ class PlanShapeSpec extends SparkSpec {
       "q340_wasserstein_1d", "q341_negative_sampling",
       // r8 wave 4: q343's pick-rank + running-token windows over the
       // |sources|-row knapsack rollup
-      "q343_mixture_knapsack")
+      "q343_mixture_knapsack",
+      // r8 wave 16: q350's BH rank over the ~100-test grid (distinct
+      // rollup below); q351's MA/lag/lead windows over the |months|-row
+      // gap-filled series (month rollup below)
+      "q350_bh_fdr", "q351_seasonal_decompose")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

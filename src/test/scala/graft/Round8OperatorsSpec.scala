@@ -801,4 +801,81 @@ class Round8OperatorsSpec extends SparkSpec {
     // revenue it must find REAL signal, or the covariate is useless
     assert(rho2 >= 0.0 && rho2 <= 1.0)
   }
+
+  test("q350 BH step-up equals a replay; sits between naive and Bonferroni") {
+    val mdI = java.security.MessageDigest.getInstance("MD5")
+    def u24(s: String): Long = java.lang.Long.parseLong(
+      mdI.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(6), 16)
+    val tests = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("lang")).distinct()
+      .as[(String, String)].collect()
+      .map { case (src, lang) =>
+        val u = u24(s"$src:$lang")
+        (src, lang, if (u % 7 == 0) u % 5 else u % 1000)
+      }
+    val m = tests.length.toLong
+    val ranked = tests.sortBy(t => (t._3, t._1, t._2)).zipWithIndex
+      .map { case ((src, lang, p), i) =>
+        val k = i + 1L
+        (src, lang, p, k, m * p <= 50L * k)
+      }
+    val kMax = ranked.filter(_._5).map(_._4)
+      .foldLeft(0L)(math.max)
+    val expected = ranked.map { case (src, lang, p, k, ok) =>
+      (src, lang, p, k, m, ok, k <= kMax, p < 50)
+    }
+    val got = Evals.q350.run(spark, sf001)
+      .as[(String, String, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(got.toSeq == expected.toSeq)
+    // sandwich: BH rejects at least Bonferroni (p <= 50/m) and at most
+    // naive per-test alpha (p < 50), and the dose produces discoveries
+    val nBH = got.count(_._7)
+    val nBonf = got.count(t => m * t._3 <= 50L)
+    val nNaive = got.count(_._8)
+    assert(nBonf <= nBH && nBH <= nNaive,
+      s"BH $nBH outside [Bonferroni $nBonf, naive $nNaive]")
+    assert(nBH > 0, "the enriched dose must yield BH discoveries")
+  }
+
+  test("q351 decomposition equals a replay; parts reassemble exactly") {
+    val rev = Tables.load(spark, sf001, "lineitem")
+      .groupBy(expr(
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS LONG)")
+        .as("mi"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("y"))
+      .as[(Long, Long)].collect().toMap
+    val (lo, hi) = (rev.keys.min, rev.keys.max)
+    val y = (lo to hi).map(mi => rev.getOrElse(mi, 0L)).toArray
+    val n = y.length
+    val t24 = (0 until n).map { i =>
+      if (i < 6 || i >= n - 6) None
+      else Some(y(i - 6) + y(i + 6) + 2L * (i - 5 to i + 5).map(y).sum)
+    }
+    val trended = (0 until n).flatMap(i => t24(i).map(t =>
+      (lo + i, y(i), t, 24L * y(i) - t, (lo + i) % 12)))
+    val sRaw = trended.groupBy(_._5).map { case (moy, xs) =>
+      moy -> xs.map(_._4).sum.toDouble / (24L * xs.length).toDouble
+    }
+    val sMean = sRaw.toSeq.sortBy(_._1).map(_._2)
+      .foldLeft(0.0)(_ + _) / 12.0
+    val expected = trended.map { case (mi, yi, t, _, moy) =>
+      val trend = t.toDouble / 24.0
+      val seasonal = sRaw(moy) - sMean
+      (mi, yi, trend, seasonal, yi.toDouble - trend - seasonal)
+    }.sortBy(_._1)
+    val got = Olap.q351.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expected)
+    // decomposition identity: trend + seasonal + remainder == y, in the
+    // same fixed op order both sides computed it
+    got.foreach { case (mi, yi, tr, se, re) =>
+      assert(yi.toDouble - tr - se == re, s"month $mi does not reassemble")
+    }
+    // the seasonal terms of the 12 calendar months re-center to ~zero
+    val seasByMoy = got.groupBy(_._1 % 12).map(_._2.head._4)
+    assert(math.abs(seasByMoy.sum) < 1e-6 * got.map(_._2).max.toDouble)
+  }
 }
