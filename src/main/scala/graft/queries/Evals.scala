@@ -1308,7 +1308,289 @@ object Evals {
       ORDER BY rnk"""
     })
 
+  /** q352: McNEMAR'S TEST FOR PAIRED MODEL COMPARISON (McNemar 1947;
+    * Dietterich 1998, "Approximate Statistical Tests for Comparing
+    * Supervised Classification Learning Algorithms" — the recommended
+    * test when two models are scored on the SAME problems): only the
+    * DISCORDANT pairs carry information, so the statistic is
+    * χ² = (|n01 − n10| − 1)² / (n01 + n10) with continuity correction
+    * (clamped at 0 when the discordants tie — the standard convention).
+    * Dosed: a latent difficulty u = (doc_id·2654435761) % 100 drives
+    * both models (A solves u < 70, B solves u < 60) plus disjoint
+    * id-residue rescues (A on %11, B on %9), so the discordant cells
+    * are asymmetric and correlated — exactly the regime where McNemar
+    * beats a naive two-proportion test. All EXACT: the statistic is a
+    * ratio of integers (the squared clamped difference over the
+    * discordant count), one IEEE division; accuracies likewise. Scale:
+    * one scan to per-source CASE-sums — the report is |sources| rows
+    * whatever the corpus size. */
+  val q352 = Q(
+    "q352_mcnemar",
+    (s, d) => {
+      val scored = Tables.load(s, d, "documents")
+        .withColumn("u", expr("(doc_id * 2654435761L) % 100"))
+        .withColumn("a_ok",
+          (col("u") < 70) || (expr("doc_id % 11") === 0))
+        .withColumn("b_ok",
+          (col("u") < 60) || (expr("doc_id % 9") === 0))
+      scored.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a_ok"), 1L).otherwise(0L)).as("n_a_ok"),
+          sum(when(col("b_ok"), 1L).otherwise(0L)).as("n_b_ok"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n10"))
+        .select(
+          col("source"), col("n"), col("n01"), col("n10"),
+          (col("n_a_ok").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("acc_a"),
+          (col("n_b_ok").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("acc_b"),
+          when(col("n01") + col("n10") === 0, lit(0.0))
+            .otherwise(
+              (greatest(abs(col("n01") - col("n10")) - 1, lit(0L)) *
+                greatest(abs(col("n01") - col("n10")) - 1, lit(0L)))
+                .cast(DoubleType) /
+                (col("n01") + col("n10")).cast(DoubleType))
+            .as("chi2_cc"))
+        .withColumn("reject_05", col("chi2_cc") > 3.841459)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source,
+               ((doc_id * 2654435761) % 100 < 70 OR doc_id % 11 = 0)
+                 AS a_ok,
+               ((doc_id * 2654435761) % 100 < 60 OR doc_id % 9 = 0)
+                 AS b_ok
+        FROM documents
+      ), cells AS (
+        SELECT source, count(*) AS n,
+               CAST(sum(CASE WHEN a_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a_ok,
+               CAST(sum(CASE WHEN b_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b_ok,
+               CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n10
+        FROM scored GROUP BY source
+      )
+      SELECT source, n, n01, n10,
+             CAST(n_a_ok AS DOUBLE) / CAST(n AS DOUBLE) AS acc_a,
+             CAST(n_b_ok AS DOUBLE) / CAST(n AS DOUBLE) AS acc_b,
+             CASE WHEN n01 + n10 = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(greatest(abs(n01 - n10) - 1, 0)
+                              * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+                       / CAST(n01 + n10 AS DOUBLE) END AS chi2_cc,
+             CASE WHEN n01 + n10 = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(greatest(abs(n01 - n10) - 1, 0)
+                              * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+                       / CAST(n01 + n10 AS DOUBLE) END > 3.841459
+               AS reject_05
+      FROM cells
+      ORDER BY source"""))
+
+  private val Raters = 5
+
+  /** q353: FLEISS' KAPPA MULTI-ANNOTATOR AGREEMENT (Fleiss 1971,
+    * "Measuring nominal scale agreement among many raters") — the
+    * generalization of q311's Cohen kappa a labeling pipeline needs the
+    * moment it runs more than two annotators per item. Dosed: 5 raters
+    * per document, each deviating from the latent class t = (doc_id·7)%3
+    * on its OWN residue lattice ((doc_id + a·31) % (4+a) = 0 → class
+    * (t+1+a%2)%3), so per-item category counts, the pooled marginals,
+    * and kappa are all non-degenerate. EXACT: with N items, r raters,
+    * S = Σ_items Σ_cats n_ij², and C = Σ_cats (Σ_items n_ij)²,
+    *   P̄  = (S − N·r) / (N·r·(r−1))        — integers, one division,
+    *   P̄e = C / (N·r)²                      — integers, one division,
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)           — identical doubles, same ops.
+    * Computed per language. Scale: one (lang, doc, label) count shuffle
+    * (the rater fan-out is a generator, not a join), then per-lang sums
+    * — never an item×item or rater×rater pairing. */
+  val q353 = Q(
+    "q353_fleiss_kappa",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val ratings = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(expr("sequence(0L, 4L)")).as("a"))
+        .withColumn("t", expr("(doc_id * 7) % 3"))
+        .withColumn("label",
+          expr("CASE WHEN (doc_id + a * 31) % (4 + a) = 0 " +
+            "THEN ((doc_id * 7) % 3 + 1 + a % 2) % 3 " +
+            "ELSE (doc_id * 7) % 3 END"))
+      val cells = ratings
+        .groupBy(col("lang"), col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .persistTracked()
+      val perLang = cells.groupBy(col("lang"))
+        .agg(
+          sum(col("cnt") * col("cnt")).as("s_sq"),
+          expr(s"sum(cnt) div $Raters").as("n_items"))
+      val margins = cells.groupBy(col("lang"), col("label"))
+        .agg(sum(col("cnt")).as("c_j"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c_j") * col("c_j")).as("c_sq"))
+      perLang.join(margins, Seq("lang"))
+        .select(
+          col("lang"), col("n_items"), col("s_sq"), col("c_sq"),
+          ((col("s_sq") - col("n_items") * Raters).cast(DoubleType) /
+            (col("n_items") * (Raters * (Raters - 1))).cast(DoubleType))
+            .as("p_bar"),
+          (col("c_sq").cast(DoubleType) /
+            (col("n_items") * col("n_items") * (Raters * Raters))
+              .cast(DoubleType)).as("p_e_bar"))
+        .withColumn("kappa",
+          (col("p_bar") - col("p_e_bar")) / (lit(1.0) - col("p_e_bar")))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ratings AS (
+        SELECT d.lang, d.doc_id, r.a,
+               CASE WHEN (d.doc_id + r.a * 31) % (4 + r.a) = 0
+                    THEN ((d.doc_id * 7) % 3 + 1 + r.a % 2) % 3
+                    ELSE (d.doc_id * 7) % 3 END AS label
+        FROM documents d CROSS JOIN range(5) r(a)
+      ), cells AS (
+        SELECT lang, doc_id, label, count(*) AS cnt
+        FROM ratings GROUP BY lang, doc_id, label
+      ), per_lang AS (
+        SELECT lang,
+               CAST(sum(cnt * cnt) AS BIGINT) AS s_sq,
+               CAST(sum(cnt) // $Raters AS BIGINT) AS n_items
+        FROM cells GROUP BY lang
+      ), margins AS (
+        SELECT lang, CAST(sum(c_j * c_j) AS BIGINT) AS c_sq
+        FROM (SELECT lang, label, CAST(sum(cnt) AS BIGINT) AS c_j
+              FROM cells GROUP BY lang, label) m
+        GROUP BY lang
+      ), stats AS (
+        SELECT p.lang, p.n_items, p.s_sq, m.c_sq,
+               CAST(p.s_sq - p.n_items * $Raters AS DOUBLE)
+                 / CAST(p.n_items * ${Raters * (Raters - 1)} AS DOUBLE)
+                 AS p_bar,
+               CAST(m.c_sq AS DOUBLE)
+                 / CAST(p.n_items * p.n_items * ${Raters * Raters}
+                        AS DOUBLE) AS p_e_bar
+        FROM per_lang p JOIN margins m ON p.lang = m.lang
+      )
+      SELECT lang, n_items, s_sq, c_sq, p_bar, p_e_bar,
+             (p_bar - p_e_bar) / (1 - p_e_bar) AS kappa
+      FROM stats
+      ORDER BY lang"""))
+
+  /** q354: ONE-WAY ANOVA F-TEST (Fisher 1925) across order-status
+    * groups on exact integer cents — the k-group generalization of
+    * q346's Welch two-sample test, the first readout when a metric is
+    * compared across MORE than two variants. Decomposition from exact
+    * wide-integer moments per group (n, Σx as BIGINT, Σx² as
+    * DECIMAL(38)/HUGEINT): within-group SS per group is
+    * (n·Σx² − (Σx)²)/n with an exact integer numerator (the q346
+    * discipline), between-group SS is n·(mean_g − mean)² on identical
+    * doubles; both fold across the ≤|groups| rows in FIXED group-key
+    * order (Spark aggregate(array_sort(collect_list)) ↔ DuckDB
+    * list_reduce(list_prepend(0.0, list(... ORDER BY st))) — the q304
+    * ordered-fold discipline), so F and η² bit-agree cross-engine.
+    * Scale: one partial+final moment pass; the fold runs on a
+    * |groups|-row table. F crit for df1=2 at α=.05 as df2→∞ is
+    * χ²₂/2 = 2.9957. */
+  val q354 = Q(
+    "q354_anova_f",
+    (s, d) => {
+      val m = Tables.load(s, d, "orders")
+        .select(col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).as("v"))
+        .groupBy(col("st"))
+        .agg(
+          count(lit(1)).as("n_g"),
+          sum(col("v")).as("sx"),
+          sum(col("v").cast(DecimalType(38, 0)) *
+            col("v").cast(DecimalType(38, 0))).as("sxx"))
+      val grand = m.agg(
+        sum(col("n_g")).as("n_total"),
+        sum(col("sx")).as("t_sum"),
+        count(lit(1)).as("k"))
+      val per = m.crossJoin(broadcast(grand))
+        .withColumn("mean_g",
+          col("sx").cast(DoubleType) / col("n_g").cast(DoubleType))
+        .withColumn("grand_mean",
+          col("t_sum").cast(DoubleType) / col("n_total").cast(DoubleType))
+        .withColumn("ssw_g",
+          (col("n_g").cast(DecimalType(38, 0)) * col("sxx") -
+            col("sx").cast(DecimalType(38, 0)) *
+              col("sx").cast(DecimalType(38, 0))).cast(DoubleType) /
+            col("n_g").cast(DoubleType))
+        .withColumn("ssb_g",
+          col("n_g").cast(DoubleType) *
+            (col("mean_g") - col("grand_mean")) *
+            (col("mean_g") - col("grand_mean")))
+      per.groupBy(col("n_total"), col("k"))
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(st, ssb_g))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.ssb_g)").as("ss_between"),
+          expr("aggregate(array_sort(collect_list(struct(st, ssw_g))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.ssw_g)").as("ss_within"))
+        .select(
+          col("k").as("n_groups"), col("n_total"),
+          col("ss_between"), col("ss_within"),
+          ((col("ss_between") / (col("k") - 1).cast(DoubleType)) /
+            (col("ss_within") /
+              (col("n_total") - col("k")).cast(DoubleType))).as("f_stat"),
+          (col("ss_between") / (col("ss_between") + col("ss_within")))
+            .as("eta_sq"))
+        .withColumn("reject_05", col("f_stat") > 2.9957)
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT o_orderstatus AS st, count(*) AS n_g,
+               CAST(sum(v) AS BIGINT) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+        FROM (SELECT o_orderstatus, ${Det.centsSql("o_totalprice")} AS v
+              FROM orders) o
+        GROUP BY o_orderstatus
+      ), grand AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+               CAST(sum(sx) AS BIGINT) AS t_sum,
+               count(*) AS k
+        FROM m
+      ), per AS (
+        SELECT m.st, g.n_total, g.k,
+               CAST(m.sx AS DOUBLE) / CAST(m.n_g AS DOUBLE) AS mean_g,
+               CAST(g.t_sum AS DOUBLE) / CAST(g.n_total AS DOUBLE)
+                 AS grand_mean,
+               CAST(CAST(m.n_g AS HUGEINT) * m.sxx
+                      - CAST(m.sx AS HUGEINT) * CAST(m.sx AS HUGEINT)
+                    AS DOUBLE) / CAST(m.n_g AS DOUBLE) AS ssw_g,
+               CAST(m.n_g AS DOUBLE)
+                 * (CAST(m.sx AS DOUBLE) / CAST(m.n_g AS DOUBLE)
+                    - CAST(g.t_sum AS DOUBLE) / CAST(g.n_total AS DOUBLE))
+                 * (CAST(m.sx AS DOUBLE) / CAST(m.n_g AS DOUBLE)
+                    - CAST(g.t_sum AS DOUBLE) / CAST(g.n_total AS DOUBLE))
+                 AS ssb_g
+        FROM m CROSS JOIN grand g
+      ), folded AS (
+        SELECT n_total, k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(ssb_g ORDER BY st)), (acc, x) -> acc + x)
+                 AS ss_between,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(ssw_g ORDER BY st)), (acc, x) -> acc + x)
+                 AS ss_within
+        FROM per GROUP BY n_total, k
+      )
+      SELECT k AS n_groups, n_total, ss_between, ss_within,
+             (ss_between / CAST(k - 1 AS DOUBLE))
+               / (ss_within / CAST(n_total - k AS DOUBLE)) AS f_stat,
+             ss_between / (ss_between + ss_within) AS eta_sq,
+             (ss_between / CAST(k - 1 AS DOUBLE))
+               / (ss_within / CAST(n_total - k AS DOUBLE)) > 2.9957
+               AS reject_05
+      FROM folded"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342, q346, q349, q350)
+      q340, q342, q346, q349, q350, q352, q353, q354)
 }
