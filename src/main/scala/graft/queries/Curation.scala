@@ -1989,8 +1989,128 @@ object Curation {
       FROM ranked
       ORDER BY pick_rank"""))
 
+  /** q357: DECISION-STUMP THRESHOLD LEARNING (CART's depth-1 case,
+    * Breiman et al. 1984; the 1R baseline of Holte 1993) — how a
+    * curation pipeline LEARNS a quality-filter cutoff instead of
+    * hand-picking one: given a binary label, find the doc-length
+    * threshold minimizing weighted Gini impurity. Dosed label:
+    * good = n_chars + (doc_id·2654435761)%400 − 200 > 306 (median-
+    * anchored, noise ±200 — correlated with length but not separable,
+    * so the learned split is non-trivial and imperfect). Candidate
+    * thresholds are the 16-char bucket boundaries; cumulative class
+    * counts over the SORTED bucket table give every split's
+    * (n_L, pos_L) in one window pass. The selection key
+    * f = (pos_L²+neg_L²)/n_L + (pos_R²+neg_R²)/n_R (maximizing f ⇔
+    * minimizing weighted Gini = 1 − f/N) is a double from identical
+    * integer operands, argmax'd with a full tiebreak (f DESC, bucket
+    * ASC LIMIT 1) — bit-identical doubles order identically. Stump
+    * accuracy from per-side majority classes, exact counts. Scale: one
+    * scan to ≤ max_len/16 bucket rows; the window and argmax run on
+    * that bounded table — candidate thresholds never multiply against
+    * the corpus. */
+  val q357 = Q(
+    "q357_gini_stump",
+    (s, d) => {
+      val labeled = Tables.load(s, d, "documents")
+        .select(
+          expr("n_chars div 16").as("b"),
+          when(expr("n_chars + (doc_id * 2654435761L) % 400 - 200 > 306"),
+            1L).otherwise(0L).as("y"))
+      val buckets = labeled.groupBy(col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = buckets
+        .withColumn("nl", sum(col("cnt")).over(w))
+        .withColumn("pl", sum(col("pos")).over(w))
+      val grand = buckets.agg(
+        sum(col("cnt")).as("n_total"), sum(col("pos")).as("p_total"))
+      cum.crossJoin(broadcast(grand))
+        .filter(col("nl") < col("n_total")) // right side must be non-empty
+        .withColumn("nr", col("n_total") - col("nl"))
+        .withColumn("pr", col("p_total") - col("pl"))
+        .withColumn("f",
+          (col("pl") * col("pl") + (col("nl") - col("pl")) *
+            (col("nl") - col("pl"))).cast(DoubleType) /
+            col("nl").cast(DoubleType) +
+            (col("pr") * col("pr") + (col("nr") - col("pr")) *
+              (col("nr") - col("pr"))).cast(DoubleType) /
+              col("nr").cast(DoubleType))
+        .orderBy(col("f").desc, col("b").asc)
+        .limit(1)
+        .select(
+          ((col("b") + 1) * 16).as("threshold_chars"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("pl").as("pos_left"), col("pr").as("pos_right"),
+          (lit(1.0) -
+            (col("p_total") * col("p_total") +
+              (col("n_total") - col("p_total")) *
+                (col("n_total") - col("p_total"))).cast(DoubleType) /
+              (col("n_total") * col("n_total")).cast(DoubleType))
+            .as("gini_parent"),
+          (lit(1.0) - col("f") / col("n_total").cast(DoubleType))
+            .as("gini_split"),
+          ((greatest(col("pl"), col("nl") - col("pl")) +
+            greatest(col("pr"), col("nr") - col("pr")))
+            .cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("accuracy"))
+        .withColumn("gain", col("gini_parent") - col("gini_split"))
+    },
+    Some("""
+      WITH labeled AS (
+        SELECT n_chars // 16 AS b,
+               CASE WHEN n_chars + (doc_id * 2654435761) % 400 - 200 > 306
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+      ), buckets AS (
+        SELECT b, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+        FROM labeled GROUP BY b
+      ), cum AS (
+        SELECT b,
+               CAST(sum(cnt) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pl
+        FROM buckets
+      ), grand AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(sum(pos) AS BIGINT) AS p_total
+        FROM buckets
+      ), scored AS (
+        SELECT b, nl, pl, n_total - nl AS nr, p_total - pl AS pr,
+               n_total, p_total,
+               CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+                 / CAST(nl AS DOUBLE)
+               + CAST((p_total - pl) * (p_total - pl)
+                      + ((n_total - nl) - (p_total - pl))
+                        * ((n_total - nl) - (p_total - pl)) AS DOUBLE)
+                 / CAST(n_total - nl AS DOUBLE) AS f
+        FROM cum CROSS JOIN grand
+        WHERE nl < n_total
+      ), best AS (
+        SELECT * FROM scored ORDER BY f DESC, b ASC LIMIT 1
+      )
+      SELECT (b + 1) * 16 AS threshold_chars,
+             nl AS n_left, nr AS n_right,
+             pl AS pos_left, pr AS pos_right,
+             1.0 - CAST(p_total * p_total
+                        + (n_total - p_total) * (n_total - p_total)
+                     AS DOUBLE)
+                   / CAST(n_total * n_total AS DOUBLE) AS gini_parent,
+             1.0 - f / CAST(n_total AS DOUBLE) AS gini_split,
+             CAST(greatest(pl, nl - pl) + greatest(pr, nr - pr) AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS accuracy,
+             (1.0 - CAST(p_total * p_total
+                         + (n_total - p_total) * (n_total - p_total)
+                      AS DOUBLE)
+                    / CAST(n_total * n_total AS DOUBLE))
+               - (1.0 - f / CAST(n_total AS DOUBLE)) AS gain
+      FROM best"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343)
+      q329, q330, q331, q334, q343, q357)
 }

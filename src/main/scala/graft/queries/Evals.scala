@@ -1590,7 +1590,163 @@ object Evals {
                AS reject_05
       FROM folded"""))
 
+  /** q355: KENDALL'S τ-b RANK CORRELATION (Kendall 1938; the τ-b tie
+    * correction of Kendall 1945) — the pair-concordance complement of
+    * q322's Spearman ρ, and the standard agreement readout between two
+    * RANKERS (two retrieval systems, two judge models ordering the same
+    * eval panel). Dosed: two correlated integer scores with deliberate
+    * ties (coarse integer buckets), so concordant, discordant and BOTH
+    * tie columns are all non-trivial. EXACT: C, D, T_x, T_y and
+    * n0 = n(n−1)/2 are integers off one bounded pair join;
+    * τ_b = (C − D)/√((n0 − T_x)(n0 − T_y)) is one integer product, one
+    * IEEE sqrt (correctly rounded), one division. Scale: the panel is
+    * BOUNDED BY DESIGN (doc_id < 200 — rankings are compared on eval
+    * panels, not corpora; the broadcast self-join is 200², metadata-
+    * sized). The full-corpus rank path is q322's Spearman, which needs
+    * no pair join. */
+  val q355 = Q(
+    "q355_kendall_tau",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val panel = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          expr("((doc_id * 2654435761L) % 1000) div 25").as("x"))
+        // all-positive operands: Spark `div` truncates toward zero while
+        // DuckDB `//` floors, so a negative intermediate would desync
+        .withColumn("y",
+          expr("(x * 5 + (doc_id * 7919) % 60) div 10"))
+        .persistTracked()
+      val a = panel.select(col("doc_id").as("ida"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = panel.select(col("doc_id").as("idb"), col("x").as("xb"),
+        col("y").as("yb"))
+      val pairs = a.join(broadcast(b), col("ida") < col("idb"))
+      val n = panel.count() // bounded panel; a count, not a data collect
+      pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0,
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0,
+          1L).otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ties_y"))
+        .select(
+          lit(n).as("n"), col("n0"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          ((col("concordant") - col("discordant")).cast(DoubleType) /
+            sqrt(((col("n0") - col("ties_x")) *
+              (col("n0") - col("ties_y"))).cast(DoubleType))).as("tau_b"))
+    },
+    Some("""
+      WITH panel AS (
+        SELECT doc_id, x, (x * 5 + (doc_id * 7919) % 60) // 10 AS y
+        FROM (SELECT doc_id, ((doc_id * 2654435761) % 1000) // 25 AS x
+              FROM documents WHERE doc_id < 200) raw
+      ), pairs AS (
+        SELECT count(*) AS n0,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ties_x,
+               CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ties_y
+        FROM panel a JOIN panel b ON a.doc_id < b.doc_id
+      )
+      SELECT (SELECT count(*) FROM panel) AS n,
+             n0, concordant, discordant, ties_x, ties_y,
+             CAST(concordant - discordant AS DOUBLE)
+               / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE))
+               AS tau_b
+      FROM pairs"""))
+
+  /** z_{0.975} + z_{0.80} — the 5%-two-sided / 80%-power constant of
+    * every sample-size formula, as ONE literal (a sum of two literals
+    * would also fold identically, but one literal leaves nothing to
+    * trust). Its square is interpolated from Scala (Double.toString is
+    * shortest-roundtrip, so both engines parse the identical bits). */
+  private val ZSum = 2.801585
+  private val ZSum2 = ZSum * ZSum
+
+  /** q356: A/B POWER / MINIMUM-DETECTABLE-EFFECT CALCULATOR (the
+    * pre-registration readout of every experimentation platform; van
+    * Belle's "Statistical Rules of Thumb" §2.2 form n = 2σ²(z_α+z_β)²/δ²
+    * — the design-time twin of q346's Welch read and q349's CUPED
+    * variance): per order-priority segment, the metric variance from
+    * exact wide-integer moments gives (a) the MDE a 50/50 split of the
+    * segment's current traffic can resolve at 5%/80%, and (b) the
+    * per-arm sample size needed to detect a 2% relative lift. EXACT:
+    * s² has an integer numerator (q346 discipline); MDE and n_req are
+    * fixed-order double expressions on identical operands; ceil() then
+    * lands on the same integer. Scale: one partial+final moment pass;
+    * the report is |segments| rows. */
+  val q356 = Q(
+    "q356_power_mde",
+    (s, d) => {
+      Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          Det.cents(col("o_totalprice")).as("v"))
+        .groupBy(col("pri"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).as("sx"),
+          sum(col("v").cast(DecimalType(38, 0)) *
+            col("v").cast(DecimalType(38, 0))).as("sxx"))
+        .withColumn("n_arm", expr("n div 2"))
+        .withColumn("mean_cents",
+          col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("s2",
+          (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+            col("sx").cast(DecimalType(38, 0)) *
+              col("sx").cast(DecimalType(38, 0))).cast(DoubleType) /
+            (col("n") * (col("n") - 1)).cast(DoubleType))
+        .withColumn("mde_abs_cents",
+          lit(ZSum) * sqrt(lit(2.0) * col("s2") /
+            col("n_arm").cast(DoubleType)))
+        .withColumn("mde_rel", col("mde_abs_cents") / col("mean_cents"))
+        .withColumn("delta", lit(0.02) * col("mean_cents"))
+        .withColumn("n_req_2pct",
+          ceil(lit(2.0) * col("s2") * lit(ZSum2) /
+            (col("delta") * col("delta"))))
+        .select(col("pri"), col("n"), col("n_arm"), col("mean_cents"),
+          col("s2"), col("mde_abs_cents"), col("mde_rel"),
+          col("n_req_2pct"))
+        .orderBy(col("pri"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT pri, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+        FROM (SELECT o_orderpriority AS pri,
+                     ${Det.centsSql("o_totalprice")} AS v
+              FROM orders) o
+        GROUP BY pri
+      ), stats AS (
+        SELECT pri, n, n // 2 AS n_arm,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+               CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                    AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) AS s2
+        FROM m
+      ), calc AS (
+        SELECT pri, n, n_arm, mean_cents, s2,
+               $ZSum * sqrt(2.0 * s2 / CAST(n_arm AS DOUBLE))
+                 AS mde_abs_cents,
+               0.02 * mean_cents AS delta
+        FROM stats
+      )
+      SELECT pri, n, n_arm, mean_cents, s2, mde_abs_cents,
+             mde_abs_cents / mean_cents AS mde_rel,
+             CAST(ceil(2.0 * s2 * $ZSum2 / (delta * delta)) AS BIGINT)
+               AS n_req_2pct
+      FROM calc
+      ORDER BY pri"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342, q346, q349, q350, q352, q353, q354)
+      q340, q342, q346, q349, q350, q352, q353, q354, q355, q356)
 }

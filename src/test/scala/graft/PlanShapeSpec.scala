@@ -337,7 +337,10 @@ class PlanShapeSpec extends SparkSpec {
       // r8 wave 16: q350's BH rank over the ~100-test grid (distinct
       // rollup below); q351's MA/lag/lead windows over the |months|-row
       // gap-filled series (month rollup below)
-      "q350_bh_fdr", "q351_seasonal_decompose")
+      "q350_bh_fdr", "q351_seasonal_decompose",
+      // r9: q357's cumulative class counts run over the ≤ max_len/16-row
+      // length-bucket rollup (Aggregate below)
+      "q357_gini_stump")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.Evals
+import graft.queries.{Curation, Evals}
 
 /** Round-9 operator family: independent driver replays (third
   * implementations — plain Scala collections, no Spark, no SQL) of each
@@ -115,5 +115,109 @@ class Round9OperatorsSpec extends SparkSpec {
     // decomposition sanity: SSB + SSW == total SS up to the fold's
     // float error; both parts strictly positive on this fixture
     assert(ssb > 0.0 && ssw > 0.0)
+  }
+
+  test("q355 Kendall tau-b equals an all-pairs replay; agrees with corr sign") {
+    val panel = docIds.map(_._1).filter(_ < 200).sorted.map { id =>
+      val x = ((id * 2654435761L) % 1000) / 25
+      val y = (x * 5 + (id * 7919) % 60) / 10
+      (x, y)
+    }
+    var (c, dis, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- panel.indices; j <- (i + 1) until panel.length) {
+      val s = (panel(i)._1 - panel(j)._1) * (panel(i)._2 - panel(j)._2)
+      if (s > 0) c += 1 else if (s < 0) dis += 1
+      if (panel(i)._1 == panel(j)._1) tx += 1
+      if (panel(i)._2 == panel(j)._2) ty += 1
+    }
+    val n0 = panel.length.toLong * (panel.length - 1) / 2
+    val tau = (c - dis).toDouble /
+      math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+    val got = Evals.q355.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (gn, gn0, gc, gd, gtx, gty, gtau) = got.head
+    assert(gn == panel.length.toLong && gn0 == n0)
+    assert(gc == c && gd == dis && gtx == tx && gty == ty,
+      s"pair cells: ($gc,$gd,$gtx,$gty) vs ($c,$dis,$tx,$ty)")
+    assert(gtau == tau, s"tau_b: $gtau vs $tau")
+    // y is a monotone-plus-noise function of x, so tau must be
+    // strongly positive; ties must actually occur for the -b correction
+    assert(gtau > 0.5 && tx > 0 && ty > 0)
+  }
+
+  test("q356 MDE and required-n equal an exact-moment replay") {
+    val xs = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    val got = Evals.q356.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val zsum = 2.801585
+    val z2 = zsum * zsum
+    xs.groupBy(_._1).foreach { case (pri, g) =>
+      val n = g.length.toLong
+      val nArm = n / 2
+      val sx = BigInt(g.map(_._2).sum)
+      val sxx = g.map(e => BigInt(e._2) * BigInt(e._2)).sum
+      val mean = sx.toDouble / n.toDouble
+      val s2 = (BigInt(n) * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble
+      val mde = zsum * math.sqrt(2.0 * s2 / nArm.toDouble)
+      val delta = 0.02 * mean
+      val nReq = math.ceil(2.0 * s2 * z2 / (delta * delta)).toLong
+      val (_, gn, gArm, gMean, gS2, gMde, gRel, gReq) = got(pri)
+      assert(gn == n && gArm == nArm)
+      assert(gMean == mean && gS2 == s2)
+      assert(gMde == mde, s"$pri mde: $gMde vs $mde")
+      assert(gRel == mde / mean && gReq == nReq)
+      // design sanity: detecting a 2% lift needs more traffic than the
+      // segment currently has at any realistic TPC-H variance
+      assert(gReq > nArm)
+    }
+  }
+
+  test("q357 stump split equals an exhaustive-threshold replay") {
+    val labeled = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+      .map { case (id, nc) =>
+        (nc / 16, if (nc + (id * 2654435761L) % 400 - 200 > 306) 1L else 0L)
+      }
+    val buckets = labeled.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+    val nTotal = buckets.map(_._2).sum
+    val pTotal = buckets.map(_._3).sum
+    var (nl, pl) = (0L, 0L)
+    val splits = buckets.dropRight(1).map { case (b, cnt, pos) =>
+      nl += cnt; pl += pos
+      val (nr, pr) = (nTotal - nl, pTotal - pl)
+      val f = (pl * pl + (nl - pl) * (nl - pl)).toDouble / nl.toDouble +
+        (pr * pr + (nr - pr) * (nr - pr)).toDouble / nr.toDouble
+      (b, nl, pl, nr, pr, f)
+    }
+    val best = splits.maxBy(s => (s._6, -s._1))
+    val got = Curation.q357.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.length == 1)
+    val (thr, gnl, gnr, gpl, gpr, giniP, giniS, acc, gain) = got.head
+    assert(thr == (best._1 + 1) * 16, s"threshold: $thr")
+    assert(gnl == best._2 && gpl == best._3 && gnr == best._4 &&
+      gpr == best._5)
+    val expGiniP = 1.0 - (pTotal * pTotal +
+      (nTotal - pTotal) * (nTotal - pTotal)).toDouble /
+      (nTotal * nTotal).toDouble
+    val expGiniS = 1.0 - best._6 / nTotal.toDouble
+    assert(giniP == expGiniP && giniS == expGiniS)
+    assert(gain == expGiniP - expGiniS)
+    val expAcc = (math.max(best._3, best._2 - best._3) +
+      math.max(best._5, best._4 - best._5)).toDouble / nTotal.toDouble
+    assert(acc == expAcc)
+    // the dose correlates label with length, so the learned split must
+    // beat the parent (positive gain) and the majority-class baseline
+    val baseline = math.max(pTotal, nTotal - pTotal).toDouble /
+      nTotal.toDouble
+    assert(gain > 0.0 && acc > baseline,
+      s"stump acc $acc vs baseline $baseline, gain $gain")
   }
 }
