@@ -2109,8 +2109,181 @@ object Curation {
                - (1.0 - f / CAST(n_total AS DOUBLE)) AS gain
       FROM best"""))
 
+  private val Shards = 8
+
+  /** q359: BALANCED SHARD-MANIFEST GENERATION (the data-loader prep
+    * step after q343 picks the mixture and q90 packs sequences: split
+    * the corpus into S equal-weight shards so every trainer rank reads
+    * the same byte budget). Serpentine (boustrophedon) assignment over
+    * the cost-descending order — rank r goes to shard pos or S−1−pos
+    * alternating per pass — the classic one-pass balancer: every pass
+    * hands each shard exactly one item and reverses direction, so shard
+    * sums stay within the largest single item of each other without any
+    * driver-side bin state. The global rank comes from
+    * GlobalOrder.withOrderedCumsum (range-partitioned, never a
+    * single-partition window); everything after it is integer
+    * arithmetic on (rank − 1). EXACT: counts and byte totals are
+    * integers; share is one division. Scale: one range shuffle for the
+    * rank + one S-row aggregate — no driver loop, no skew (the order
+    * is by size, the assignment round-robins). */
+  val q359 = Q(
+    "q359_shard_manifest",
+    (s, d) => {
+      import graft.operators.GlobalOrder
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ranked = GlobalOrder.withOrderedCumsum(
+        docs, Seq(col("n_chars").desc, col("doc_id").asc), lit(1L), "rk")
+        .withColumn("pass", expr(s"(rk - 1) div $Shards"))
+        .withColumn("pos", expr(s"(rk - 1) % $Shards"))
+        .withColumn("shard",
+          when(expr("pass % 2 = 0"), col("pos"))
+            .otherwise(lit(Shards - 1) - col("pos")))
+      val grand = docs.agg(sum(col("n_chars")).as("grand_chars"))
+      ranked.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_doc_chars"))
+        .crossJoin(broadcast(grand))
+        .select(col("shard"), col("n_docs"), col("total_chars"),
+          col("max_doc_chars"),
+          (col("total_chars").cast(DoubleType) /
+            col("grand_chars").cast(DoubleType)).as("share"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+      ), assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN ((rk - 1) // $Shards) % 2 = 0
+                    THEN (rk - 1) % $Shards
+                    ELSE ${Shards - 1} - (rk - 1) % $Shards END AS shard
+        FROM ranked
+      ), grand AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS grand_chars FROM documents
+      )
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             max(n_chars) AS max_doc_chars,
+             CAST(sum(n_chars) AS DOUBLE) / CAST(grand_chars AS DOUBLE)
+               AS share
+      FROM assigned CROSS JOIN grand
+      GROUP BY shard, grand_chars
+      ORDER BY shard"""))
+
+  private val CoverK = 5
+
+  /** q360: GREEDY MAX-COVERAGE DATA SELECTION (Nemhauser, Wolsey &
+    * Fisher 1978 — the (1−1/e) greedy for monotone submodular
+    * maximization; the coverage-based subset-selection shape of
+    * facility-location data pruning): pick K documents that together
+    * cover the most vocabulary, one argmax of MARGINAL gain per round —
+    * how a pipeline seeds a diverse eval panel or dedups a fine-tuning
+    * set by lexical coverage (the lexical twin of q305's embedding-space
+    * k-center and q157's MMR). Each round joins the token table against
+    * the covered set (left-anti) and takes ONE bounded argmax row
+    * (gain DESC, doc_id ASC — full tiebreak); a doc whose tokens are
+    * all covered drops out of the gain table entirely (both engines
+    * agree: no rows → no candidate). EXACT: gains are integer counts of
+    * first-cover tokens; cumulative coverage is their sum (each token
+    * counted exactly once, at its covering round); the fraction is one
+    * division. The coverage unit is the q24 shingle universe (word
+    * 3-grams — single word types saturate after one pick on any corpus
+    * with a bounded vocabulary; shingles grow with the corpus), shared
+    * verbatim from Dedup's one definition. Scale: K bounded rounds ×
+    * edge-sized (doc, shingle) joins with a broadcast covered set —
+    * never doc×doc; the K collects are 1-row argmaxes (the q305/q59
+    * discipline). */
+  val q360 = Q(
+    "q360_coverage_greedy",
+    (s, d) => {
+      import graft.Caches.Tracked
+      import s.implicits._
+      val toks = Tables.load(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr(Dedup.shinglesExpr)).as("tok"))
+        .distinct()
+        .persistTracked()
+      val vocab = toks.agg(countDistinct(col("tok"))).as[Long].head()
+      var covered = toks.sparkSession.emptyDataFrame
+        .withColumn("tok", lit("")).select(col("tok")).limit(0)
+      var picked = List.empty[(Long, Long, Long)] // (pick, doc, gain)
+      (1 to CoverK).foreach { r =>
+        val remaining =
+          if (picked.isEmpty) toks
+          else toks.filter(!col("doc_id").isin(picked.map(_._2): _*))
+        val gains = remaining
+          .join(broadcast(covered), Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        val best = gains.orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).as[(Long, Long)].head() // bounded 1-row argmax
+        picked = picked :+ ((r.toLong, best._1, best._2))
+        covered = covered
+          .unionAll(toks.filter(col("doc_id") === best._1).select("tok"))
+          .distinct().localCheckpoint() // flatten the per-round lineage
+      }
+      val cum = picked.scanLeft(0L)(_ + _._3).tail
+      picked.zip(cum)
+        .map { case ((p, id, g), c) =>
+          (p, id, g, c, c.toDouble / vocab.toDouble) }
+        .toDF("pick", "doc_id", "gain", "cum_covered", "coverage_frac")
+        .orderBy(col("pick"))
+    },
+    Some {
+      val peels = (2 to CoverK).map { r =>
+        val prevSel = (1 until r).map(i => s"SELECT doc_id FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"""
+        g$r AS (
+          SELECT t.doc_id, count(*) AS gain
+          FROM toks t
+          WHERE t.doc_id NOT IN ($prevSel)
+            AND t.tok NOT IN (SELECT tok FROM cov${r - 1})
+          GROUP BY t.doc_id
+        ), sel$r AS (
+          SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1
+        ), cov$r AS (
+          SELECT tok FROM cov${r - 1}
+          UNION
+          SELECT t.tok FROM toks t JOIN sel$r u ON t.doc_id = u.doc_id
+        )"""
+      }
+      val picks = (1 to CoverK).map(r =>
+        s"SELECT $r AS pick, doc_id, gain FROM sel$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(${Dedup.shinglesSql}) AS tok
+              FROM documents) r
+      ), vocab AS (
+        SELECT count(DISTINCT tok) AS v FROM toks
+      ), sel1 AS (
+        SELECT doc_id, count(*) AS gain FROM toks GROUP BY doc_id
+        ORDER BY gain DESC, doc_id LIMIT 1
+      ), cov1 AS (
+        SELECT DISTINCT t.tok FROM toks t JOIN sel1 u
+          ON t.doc_id = u.doc_id
+      ), ${peels.mkString(", ")}
+      SELECT CAST(pick AS BIGINT) AS pick,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(gain AS BIGINT) AS gain,
+             CAST(sum(gain) OVER (ORDER BY pick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_covered,
+             CAST(sum(gain) OVER (ORDER BY pick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(v AS DOUBLE) AS coverage_frac
+      FROM ($picks) p CROSS JOIN vocab
+      ORDER BY pick"""
+    })
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343, q357)
+      q329, q330, q331, q334, q343, q357, q359, q360)
 }

@@ -25,7 +25,10 @@ object Dedup {
   // `toks` must be a pre-bound column: inlining split(text) into the
   // lambda re-tokenizes the document 3x PER POSITION (no subexpression
   // elimination inside higher-order functions)
-  private val shinglesExpr =
+  // private[queries]: q360's greedy max-coverage selection reuses the
+  // exact same shingle universe (one definition, two dialects — the
+  // generated-once rule)
+  private[queries] val shinglesExpr =
     """CASE WHEN size(toks) >= 3 THEN
       |  array_distinct(transform(
       |    sequence(1, size(toks) - 2),
@@ -34,7 +37,7 @@ object Dedup {
       |                element_at(toks, i + 2))))
       |ELSE array(text) END""".stripMargin
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
       |  list_distinct(list_transform(
       |    range(1, len(string_split(text, ' ')) - 1),

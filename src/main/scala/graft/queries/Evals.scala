@@ -1746,7 +1746,106 @@ object Evals {
       FROM calc
       ORDER BY pri"""))
 
+  /** q358: KRIPPENDORFF'S α WITH MISSING RATINGS (Krippendorff 1970,
+    * 2004 §11) — the agreement coefficient an annotation pipeline needs
+    * when rater coverage is INCOMPLETE (q311 requires exactly two
+    * raters, q353 requires all r present; real labeling queues assign
+    * 2–5 of a pool per item). Dosed: rater a skips items with
+    * (doc_id + a·17) % 3 = 0, so m_u varies over 2..5 (singletons are
+    * excluded per the definition — no pairable value); labels deviate
+    * from the latent class on per-rater lattices as in q353. EXACT via
+    * the q339 twelfths trick: each item's off-diagonal coincidence mass
+    * is (m_u² − Σ_c n_uc²)/(m_u − 1) and 12/(m_u − 1) is an integer for
+    * every m_u ∈ 2..5, so SO12 = Σ_u (m_u² − Σ n_uc²)·(12 div (m_u−1))
+    * is an integer and, with n pairable values and category totals n_c,
+    *   α = 1 − (n−1)·SO12 / (12·(n² − Σ n_c²))
+    * — one division of exact integers. Per-language grain. Scale: one
+    * (lang, doc, label) count shuffle, then per-lang sums — the
+    * coincidence matrix is never materialized item by item. */
+  val q358 = Q(
+    "q358_krippendorff",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val ratings = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(expr("sequence(0L, 4L)")).as("a"))
+        .filter(expr("(doc_id + a * 17) % 3 != 0"))
+        .withColumn("label",
+          expr("CASE WHEN (doc_id + a * 31) % (4 + a) = 0 " +
+            "THEN ((doc_id * 7) % 3 + 1 + a % 2) % 3 " +
+            "ELSE (doc_id * 7) % 3 END"))
+      val cells = ratings
+        .groupBy(col("lang"), col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val items = cells.groupBy(col("lang"), col("doc_id"))
+        .agg(sum(col("cnt")).as("m"),
+          sum(col("cnt") * col("cnt")).as("ssq"))
+        .filter(col("m") >= 2) // singletons carry no pairable value
+        .persistTracked()
+      val perLang = items.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("m")).as("n_values"),
+          sum((col("m") * col("m") - col("ssq")) *
+            expr("12 div (m - 1)")).as("so12"))
+      // category totals over PAIRABLE items only
+      val csq = cells
+        .join(items.select(col("lang"), col("doc_id")),
+          Seq("lang", "doc_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(sum(col("cnt")).as("n_c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_c") * col("n_c")).as("csq"))
+      perLang.join(csq, Seq("lang"))
+        .select(
+          col("lang"), col("n_items"), col("n_values"), col("so12"),
+          col("csq"),
+          (lit(1.0) -
+            ((col("n_values") - 1) * col("so12")).cast(DoubleType) /
+              (lit(12L) * (col("n_values") * col("n_values") -
+                col("csq"))).cast(DoubleType)).as("alpha"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH ratings AS (
+        SELECT d.lang, d.doc_id, r.a,
+               CASE WHEN (d.doc_id + r.a * 31) % (4 + r.a) = 0
+                    THEN ((d.doc_id * 7) % 3 + 1 + r.a % 2) % 3
+                    ELSE (d.doc_id * 7) % 3 END AS label
+        FROM documents d CROSS JOIN range(5) r(a)
+        WHERE (d.doc_id + r.a * 17) % 3 != 0
+      ), cells AS (
+        SELECT lang, doc_id, label, count(*) AS cnt
+        FROM ratings GROUP BY lang, doc_id, label
+      ), items AS (
+        SELECT lang, doc_id,
+               CAST(sum(cnt) AS BIGINT) AS m,
+               CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+        FROM cells GROUP BY lang, doc_id
+        HAVING CAST(sum(cnt) AS BIGINT) >= 2
+      ), per_lang AS (
+        SELECT lang, count(*) AS n_items,
+               CAST(sum(m) AS BIGINT) AS n_values,
+               CAST(sum((m * m - ssq) * (12 // (m - 1))) AS BIGINT)
+                 AS so12
+        FROM items GROUP BY lang
+      ), csq AS (
+        SELECT lang, CAST(sum(n_c * n_c) AS BIGINT) AS csq
+        FROM (SELECT c.lang, c.label, CAST(sum(c.cnt) AS BIGINT) AS n_c
+              FROM cells c JOIN items i
+                ON c.lang = i.lang AND c.doc_id = i.doc_id
+              GROUP BY c.lang, c.label) m
+        GROUP BY lang
+      )
+      SELECT p.lang, p.n_items, p.n_values, p.so12, q.csq,
+             1.0 - CAST((p.n_values - 1) * p.so12 AS DOUBLE)
+                   / CAST(12 * (p.n_values * p.n_values - q.csq)
+                          AS DOUBLE) AS alpha
+      FROM per_lang p JOIN csq q ON p.lang = q.lang
+      ORDER BY p.lang"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
-      q340, q342, q346, q349, q350, q352, q353, q354, q355, q356)
+      q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
+      q358)
 }

@@ -339,8 +339,9 @@ class PlanShapeSpec extends SparkSpec {
       // gap-filled series (month rollup below)
       "q350_bh_fdr", "q351_seasonal_decompose",
       // r9: q357's cumulative class counts run over the ≤ max_len/16-row
-      // length-bucket rollup (Aggregate below)
-      "q357_gini_stump")
+      // length-bucket rollup (Aggregate below); q359's GlobalOrder
+      // offsets table (partition-count-sized, Aggregate below)
+      "q357_gini_stump", "q359_shard_manifest")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{Curation, Evals}
 
+import scala.collection.mutable
+
 /** Round-9 operator family: independent driver replays (third
   * implementations — plain Scala collections, no Spark, no SQL) of each
   * new operator at sf0.001, plus the structural invariants the oracle
@@ -219,5 +221,106 @@ class Round9OperatorsSpec extends SparkSpec {
       nTotal.toDouble
     assert(gain > 0.0 && acc > baseline,
       s"stump acc $acc vs baseline $baseline, gain $gain")
+  }
+
+  test("q358 Krippendorff alpha equals a from-scratch replay; missing ratings real") {
+    val ratings = docIds.flatMap { case (id, _, lang) =>
+      (0L to 4L).filter(a => (id + a * 17) % 3 != 0).map { a =>
+        val t = (id * 7) % 3
+        val label =
+          if ((id + a * 31) % (4 + a) == 0) (t + 1 + a % 2) % 3 else t
+        (lang, id, label)
+      }
+    }
+    // coverage must actually vary (the operator's whole point)
+    val mDist = ratings.groupBy(r => (r._1, r._2)).map(_._2.length).toSet
+    assert(mDist.size > 1, s"m_u constant at $mDist — dose degenerate")
+    val got = Evals.q358.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    ratings.groupBy(_._1).foreach { case (lang, g) =>
+      val items = g.groupBy(_._2).filter(_._2.length >= 2)
+      val nItems = items.size.toLong
+      val nValues = items.values.map(_.length.toLong).sum
+      val so12 = items.values.map { rs =>
+        val m = rs.length.toLong
+        val ssq = rs.groupBy(_._3).values
+          .map(c => c.length.toLong * c.length).sum
+        (m * m - ssq) * (12L / (m - 1))
+      }.sum
+      val csq = items.values.flatten.groupBy(_._3).values
+        .map(c => c.size.toLong * c.size).sum
+      val alpha = 1.0 - ((nValues - 1) * so12).toDouble /
+        (12L * (nValues * nValues - csq)).toDouble
+      val (_, gi, gv, gso, gcsq, ga) = got(lang)
+      assert(gi == nItems && gv == nValues && gso == so12 && gcsq == csq,
+        s"$lang counts: ($gi,$gv,$gso,$gcsq) vs " +
+          s"($nItems,$nValues,$so12,$csq)")
+      assert(ga == alpha, s"$lang alpha: $ga vs $alpha")
+      assert(ga > 0.0 && ga < 1.0, s"$lang alpha $ga degenerate")
+    }
+  }
+
+  test("q359 serpentine manifest balances shards; equals a replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    val ranked = docs.sortBy { case (id, nc) => (-nc, id) }
+    val sums = Array.fill(8)(0L)
+    val counts = Array.fill(8)(0L)
+    ranked.zipWithIndex.foreach { case ((_, nc), i) =>
+      val (pass, pos) = (i / 8, i % 8)
+      val shard = if (pass % 2 == 0) pos else 7 - pos
+      sums(shard) += nc; counts(shard) += 1
+    }
+    val grand = docs.map(_._2).sum
+    val got = Curation.q359.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 8)
+    got.foreach { case (sh, n, tot, _, share) =>
+      assert(n == counts(sh.toInt) && tot == sums(sh.toInt),
+        s"shard $sh: ($n,$tot) vs (${counts(sh.toInt)},${sums(sh.toInt)})")
+      assert(share == sums(sh.toInt).toDouble / grand.toDouble)
+    }
+    // the serpentine guarantee: shard sums within the largest item
+    val spread = sums.max - sums.min
+    val maxItem = docs.map(_._2).max
+    assert(spread <= maxItem,
+      s"spread $spread exceeds the largest doc $maxItem")
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("q360 greedy coverage equals an exhaustive replay; gains decay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1) // Spark/DuckDB keep trailing empties
+      if (t.length >= 3)
+        (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+          .toSet
+      else Set(text)
+    }
+    val docSh = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+    val vocab = docSh.values.flatten.toSet.size
+    val covered = mutable.Set.empty[String]
+    val pickedIds = mutable.Set.empty[Long]
+    val exp = (1 to 5).map { r =>
+      val cands = docSh.filter(e => !pickedIds(e._1))
+        .map { case (id, sh) => (id, (sh -- covered).size.toLong) }
+        .filter(_._2 > 0) // all-covered docs vanish from the gain table
+      val (id, gain) = cands.minBy { case (i, g) => (-g, i) }
+      pickedIds += id; covered ++= docSh(id)
+      (r.toLong, id, gain, covered.size.toLong)
+    }
+    val got = Curation.q360.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 5)
+    got.zip(exp).foreach { case ((p, id, g, c, frac), (ep, eid, eg, ec)) =>
+      assert(p == ep && id == eid && g == eg && c == ec,
+        s"pick $p: ($id,$g,$c) vs ($eid,$eg,$ec)")
+      assert(frac == ec.toDouble / vocab.toDouble)
+    }
+    // submodularity: marginal gains are non-increasing under greedy
+    assert(got.sliding(2).forall(w => w(1)._3 <= w(0)._3))
+    assert(got.last._4 < vocab, "coverage saturated — unit too coarse")
   }
 }
