@@ -1844,8 +1844,135 @@ object Evals {
       FROM per_lang p JOIN csq q ON p.lang = q.lang
       ORDER BY p.lang"""))
 
+  /** Pocock's two-sided group-sequential boundary for K = 5 looks at
+    * α = 0.05 (Pocock 1977, table 2) — a published constant, like
+    * q346's 1.96 and q356's z-sum. */
+  private val Pocock5 = 2.413
+
+  /** q362: GROUP-SEQUENTIAL A/B MONITORING WITH POCOCK BOUNDARIES
+    * (Pocock 1977; the interim-analysis discipline every
+    * experimentation platform applies so peeking K times doesn't
+    * inflate α — the sequential companion of q346's fixed-horizon test
+    * and q356's design calculator): the experiment window is cut into
+    * 5 equal calendar looks; at each look the CUMULATIVE arms are
+    * compared with the Welch z and stopped iff |z| > 2.413 (vs the
+    * naive 1.96 a non-sequential read would use). Dosed: deterministic
+    * 50/50 hash assignment and a 10% treatment lift (cents div 10) —
+    * sized so the boundary is NOT crossed at the first look at sf0.001
+    * but genuinely crosses mid-experiment as evidence accumulates. EXACT: cumulative
+    * moments are window sums of exact integers (DECIMAL(38)/HUGEINT
+    * squares), each z from the q346 var-over-n form; the stop verdict
+    * compares identical doubles; the first-stop look is a bounded
+    * aggregate, not a window. Scale: one partial+final moment pass to
+    * (look, arm) rows; everything after is 10-row metadata. */
+  val q362 = Q(
+    "q362_sequential_ab",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = Tables.load(s, d, "orders")
+        .withColumn("mi",
+          year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .withColumn("arm", expr("(o_orderkey * 2654435761L) % 2"))
+        .withColumn("v",
+          Det.cents(col("o_totalprice")) +
+            when(col("arm") === 1,
+              expr(s"${Det.centsSql("o_totalprice")} div 10"))
+              .otherwise(0L))
+      val bounds = assigned.agg(
+        min(col("mi")).as("mn"), max(col("mi")).as("mx"))
+      val looked = assigned.crossJoin(broadcast(bounds))
+        .withColumn("look",
+          expr("1 + ((mi - mn) * 5) div (mx - mn + 1)"))
+      val m = looked.groupBy(col("look"), col("arm"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).as("sx"),
+          sum(col("v").cast(DecimalType(38, 0)) *
+            col("v").cast(DecimalType(38, 0))).as("sxx"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("look"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = m
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("csx", sum(col("sx")).over(w))
+        .withColumn("csxx", sum(col("sxx")).over(w))
+        .withColumn("mean",
+          col("csx").cast(DoubleType) / col("cn").cast(DoubleType))
+        .withColumn("von",
+          (col("cn").cast(DecimalType(38, 0)) * col("csxx") -
+            col("csx").cast(DecimalType(38, 0)) *
+              col("csx").cast(DecimalType(38, 0))).cast(DoubleType) /
+            ((col("cn") * (col("cn") - 1)).cast(DoubleType) *
+              col("cn").cast(DoubleType)))
+      val looks = cum.filter(col("arm") === 0)
+        .select(col("look"), col("cn").as("n_c"),
+          col("mean").as("mean_c"), col("von").as("von_c"))
+        .join(cum.filter(col("arm") === 1)
+          .select(col("look"), col("cn").as("n_t"),
+            col("mean").as("mean_t"), col("von").as("von_t")),
+          Seq("look"))
+        .withColumn("z",
+          (col("mean_t") - col("mean_c")) /
+            sqrt(col("von_t") + col("von_c")))
+        .withColumn("stop", abs(col("z")) > Pocock5)
+      val first = looks.agg(
+        min(when(col("stop"), col("look"))).as("first_stop_look"))
+      looks.crossJoin(broadcast(first))
+        .select(col("look"), col("n_c"), col("n_t"), col("mean_c"),
+          col("mean_t"), col("z"), col("stop"), col("first_stop_look"))
+        .orderBy(col("look"))
+    },
+    Some(s"""
+      WITH assigned AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+               (o_orderkey * 2654435761) % 2 AS arm,
+               ${Det.centsSql("o_totalprice")}
+                 + CASE WHEN (o_orderkey * 2654435761) % 2 = 1
+                        THEN ${Det.centsSql("o_totalprice")} // 10
+                        ELSE 0 END AS v
+        FROM orders
+      ), bounds AS (
+        SELECT min(mi) AS mn, max(mi) AS mx FROM assigned
+      ), m AS (
+        SELECT 1 + ((mi - mn) * 5) // (mx - mn + 1) AS look, arm,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+        FROM assigned CROSS JOIN bounds
+        GROUP BY 1, 2
+      ), cum AS (
+        SELECT look, arm,
+               CAST(sum(n) OVER pw AS BIGINT) AS cn,
+               CAST(sum(sx) OVER pw AS BIGINT) AS csx,
+               sum(sxx) OVER pw AS csxx
+        FROM m
+        WINDOW pw AS (PARTITION BY arm ORDER BY look
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), stats AS (
+        SELECT look, arm, cn,
+               CAST(csx AS DOUBLE) / CAST(cn AS DOUBLE) AS mean,
+               CAST(CAST(cn AS HUGEINT) * csxx
+                      - CAST(csx AS HUGEINT) * CAST(csx AS HUGEINT)
+                    AS DOUBLE)
+                 / (CAST(cn * (cn - 1) AS DOUBLE) * CAST(cn AS DOUBLE))
+                 AS von
+        FROM cum
+      ), looks AS (
+        SELECT c.look, c.cn AS n_c, t.cn AS n_t,
+               c.mean AS mean_c, t.mean AS mean_t,
+               (t.mean - c.mean) / sqrt(t.von + c.von) AS z,
+               abs((t.mean - c.mean) / sqrt(t.von + c.von)) > $Pocock5
+                 AS stop
+        FROM stats c JOIN stats t ON c.look = t.look
+        WHERE c.arm = 0 AND t.arm = 1
+      ), first AS (
+        SELECT min(CASE WHEN stop THEN look END) AS first_stop_look
+        FROM looks
+      )
+      SELECT look, n_c, n_t, mean_c, mean_t, z, stop, first_stop_look
+      FROM looks CROSS JOIN first
+      ORDER BY look"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358)
+      q358, q362)
 }

@@ -5169,6 +5169,87 @@ object Olap {
       FROM trended t JOIN seasonal s ON s.moy = t.moy
       ORDER BY t.mi"""))
 
+  /** q361: CROSS-CORRELATION LEAD/LAG SCAN (the CCF beside q280's ACF —
+    * Box & Jenkins §11's first tool for "does metric X LEAD metric Y?",
+    * the marketing-spend-vs-revenue / ingest-rate-vs-error-rate read):
+    * Pearson r between urgent-order volume and total monthly revenue at
+    * every alignment ℓ ∈ −6..+6 months (r(ℓ) pairs x_t with y_{t+ℓ};
+    * negative ℓ = revenue leads). EXACT per q280's discipline: both
+    * series are integers (a count; cents div 10⁵ keeps every moment
+    * product inside BIGINT), all five moments exact, r one division of
+    * identical operands with the degenerate-variance guard. Scale: one
+    * orders rollup to |months| rows, a broadcast 13-lag fan-out, and a
+    * months×lags self-join — everything after the first aggregate is
+    * metadata-sized whatever the corpus. */
+  val q361 = Q(
+    "q361_cross_correlation",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).as("mi"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("x"),
+          expr(s"sum(${Det.centsSql("o_totalprice")}) div 100000")
+            .as("y"))
+        .persistTracked()
+      val lags = (-6L to 6L).toDF("lag")
+      val pairs = monthly.as("s1")
+        .crossJoin(broadcast(lags))
+        .join(monthly.as("s2"),
+          col("s2.mi") === col("s1.mi") + col("lag"))
+        .select(col("lag"), col("s1.x").as("x"), col("s2.y").as("y"))
+      pairs.groupBy(col("lag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L
+              && (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast(DoubleType))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast(DoubleType))))
+            .as("ccf"))
+        .orderBy(col("lag"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(${Det.centsSql("o_totalprice")}) // 100000
+                 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+      ), lags AS (
+        SELECT CAST(l AS BIGINT) AS lag
+        FROM range(-6, 7) r(l)
+      ), m AS (
+        SELECT lag, count(*) AS n,
+               CAST(sum(s1.x) AS BIGINT) AS sx,
+               CAST(sum(s2.y) AS BIGINT) AS sy,
+               CAST(sum(s1.x * s1.x) AS BIGINT) AS sxx,
+               CAST(sum(s2.y * s2.y) AS BIGINT) AS syy,
+               CAST(sum(s1.x * s2.y) AS BIGINT) AS sxy
+        FROM monthly s1 CROSS JOIN lags
+        JOIN monthly s2 ON s2.mi = s1.mi + lag
+        GROUP BY lag
+      )
+      SELECT lag, n,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS ccf
+      FROM m
+      ORDER BY lag"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5177,5 +5258,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351)
+      q333, q337, q348, q351, q361)
 }

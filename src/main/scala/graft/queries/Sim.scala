@@ -1959,7 +1959,106 @@ object Sim {
       WHERE neg_rank <= 3
       ORDER BY qid, neg_rank"""))
 
+  private val PowerIters = 3
+
+  /** q363: DOMINANT EMBEDDING DIRECTION VIA POWER ITERATION (von Mises
+    * & Pollaczek-Geiringer 1929; the first principal direction of the
+    * uncentered second-moment/Gram matrix — the readout behind
+    * embedding-space drift monitoring, whitening checks, and the
+    * "is one direction eating the space?" anisotropy audit of
+    * Ethayarajh 2019): G = Σ_vecs q·qᵀ over 2¹⁴-quantized embeddings
+    * (exact BIGINT entries — the q328/q305 fixed-point discipline),
+    * then 3 rounds of w ← G·v, v ← w/‖w‖ from v₀ = 1/8·𝟙 (unit-norm in
+    * 64 dims). EVERY double is bit-equal cross-engine: each
+    * matrix-vector component folds its 64 terms in j order and each
+    * norm folds in i order (Spark aggregate(array_sort(collect_list))
+    * ↔ DuckDB list_reduce(list_prepend(0.0, list(... ORDER BY))), the
+    * q304 discipline), divisions and the final Rayleigh estimate
+    * λ = ‖w₃‖ see identical operands. Scale: the explode is 64²
+    * rows/vec but map-side combine collapses each partition to ≤ 64²
+    * rows before the ONE shuffle; every iteration then runs on the
+    * 4096-row Gram table (64-row joins, 1-row norms) — corpus size
+    * only touches the first aggregate. */
+  val q363 = Q(
+    "q363_power_iteration",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(round(x * 16384) AS BIGINT))").as("qv"))
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "qi")))
+        .persistTracked()
+      val g = e
+        .join(e.select(col("vec_id"), col("i").as("j"),
+          col("qi").as("qj")), Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("qi") * col("qj")).as("gij"))
+        .persistTracked()
+      var v = g.select(col("i")).distinct()
+        .select(col("i"), lit(0.125).as("vi")) // 1/8 = unit norm, 64 dims
+      var nrm: org.apache.spark.sql.DataFrame = null
+      (1 to PowerIters).foreach { _ =>
+        val w = g
+          .join(v.select(col("i").as("j"), col("vi").as("vj")), Seq("j"))
+          .withColumn("t", col("gij").cast(DoubleType) * col("vj"))
+          .groupBy(col("i"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(j, t))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)").as("wi"))
+        nrm = w.agg(
+          sqrt(expr("aggregate(array_sort(collect_list(struct(i, wi))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.wi * x.wi)"))
+            .as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("wi") / col("nrm")).as("vi"))
+      }
+      v.crossJoin(broadcast(nrm.select(col("nrm").as("lambda"))))
+        .select(col("i").cast(LongType).as("dim"),
+          col("vi").as("loading"), col("lambda"))
+        .orderBy(col("dim"))
+    },
+    Some {
+      val iters = (1 to PowerIters).map { t =>
+        s"""
+        w$t AS (
+          SELECT g.i,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(CAST(g.gij AS DOUBLE) * v.vi ORDER BY g.j)),
+                   (acc, x) -> acc + x) AS wi
+          FROM g JOIN v${t - 1} v ON v.i = g.j
+          GROUP BY g.i
+        ), n$t AS (
+          SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(wi * wi ORDER BY i)), (acc, x) -> acc + x))
+            AS nrm
+          FROM w$t
+        ), v$t AS (
+          SELECT i, wi / nrm AS vi FROM w$t CROSS JOIN n$t
+        )"""
+      }
+      s"""
+      WITH qvs AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 16384) AS BIGINT)) AS qv
+        FROM embeddings
+      ), e AS (
+        SELECT vec_id, unnest(range(0, len(qv))) AS i, unnest(qv) AS qi
+        FROM qvs
+      ), g AS (
+        SELECT a.i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS gij
+        FROM e a JOIN e b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+      ), v0 AS (
+        SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS vi FROM g
+      ), ${iters.mkString(", ")}
+      SELECT CAST(v.i AS BIGINT) AS dim, v.vi AS loading, n.nrm AS lambda
+      FROM v$PowerIters v CROSS JOIN n$PowerIters n
+      ORDER BY dim"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
-      q211, q212, q213, q242, q259, q275, q276, q291, q305, q328)
+      q211, q212, q213, q242, q259, q275, q276, q291, q305, q328,
+      q363)
 }

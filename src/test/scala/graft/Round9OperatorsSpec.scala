@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Curation, Evals}
+import graft.queries.{Curation, Evals, Olap, Sim}
 
 import scala.collection.mutable
 
@@ -322,5 +322,140 @@ class Round9OperatorsSpec extends SparkSpec {
     // submodularity: marginal gains are non-increasing under greedy
     assert(got.sliding(2).forall(w => w(1)._3 <= w(0)._3))
     assert(got.last._4 < vocab, "coverage saturated — unit too coarse")
+  }
+
+  test("q361 cross-correlation equals an exact-moment replay at every lag") {
+    val monthly = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderdate"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .groupBy { case (ts, _, _) =>
+        val c = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        c.setTime(ts)
+        // Verify/Bench sessions run in UTC (Tables.sessionConfigs)
+        c.get(java.util.Calendar.YEAR) * 12 +
+          c.get(java.util.Calendar.MONTH) + 1
+      }
+      .map { case (mi, g) =>
+        (mi.toLong, g.count(_._2 == "1-URGENT").toLong,
+          g.map(_._3).sum / 100000L)
+      }.toSeq.sortBy(_._1)
+    val byMi = monthly.map(m => m._1 -> m).toMap
+    val got = Olap.q361.run(spark, sf001)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 13)
+    (-6L to 6L).foreach { lag =>
+      val pairs = monthly.flatMap(m =>
+        byMi.get(m._1 + lag).map(m2 => (m._2, m2._3)))
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val exp =
+        if (n * sxx - sx * sx > 0 && n * syy - sy * sy > 0)
+          Some((n * sxy - sx * sy).toDouble /
+            (math.sqrt((n * sxx - sx * sx).toDouble) *
+              math.sqrt((n * syy - sy * sy).toDouble)))
+        else None
+      val (_, gn, gccf) = got(lag)
+      assert(gn == n, s"lag $lag n: $gn vs $n")
+      assert(gccf == exp, s"lag $lag ccf: $gccf vs $exp")
+    }
+    // both series ride the same monthly volume: zero lag must dominate
+    val r0 = got(0L)._3.get
+    assert((-6L to 6L).filter(_ != 0)
+      .forall(l => got(l)._3.forall(r => math.abs(r) < math.abs(r0))))
+  }
+
+  test("q362 sequential looks equal a replay; boundary crossing is interior") {
+    val got = Evals.q362.run(spark, sf001)
+      .as[(Long, Long, Long, Double, Double, Double, Boolean,
+        Option[Long])].collect().sortBy(_._1)
+    assert(got.length == 5)
+    // replay the z at each look from cumulative exact moments
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(year(col("o_orderdate")) * 12 + month(col("o_orderdate")),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Int, Long, Long)].collect()
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    // v = cents + cents div 10 for the treated arm (the 10% dosed lift)
+    val fixed = rows.map { case (mi, k, c) =>
+      val arm = (k * 2654435761L) % 2
+      (1 + ((mi - mn) * 5) / (mx - mn + 1), arm,
+        if (arm == 1) c + c / 10 else c)
+    }
+    (1 to 5).foreach { look =>
+      val cumul = fixed.filter(_._1 <= look)
+      def arm(a: Long): (Long, Double, Double) = {
+        val vs = cumul.filter(_._2 == a).map(_._3)
+        val n = vs.length.toLong
+        val sx = BigInt(vs.sum)
+        val sxx = vs.map(v => BigInt(v) * BigInt(v)).sum
+        val mean = sx.toDouble / n.toDouble
+        val von = (BigInt(n) * sxx - sx * sx).toDouble /
+          ((n * (n - 1)).toDouble * n.toDouble)
+        (n, mean, von)
+      }
+      val (nc, mc, vc) = arm(0)
+      val (nt, mt, vt) = arm(1)
+      val z = (mt - mc) / math.sqrt(vt + vc)
+      val g = got(look - 1)
+      assert(g._2 == nc && g._3 == nt)
+      assert(g._4 == mc && g._5 == mt)
+      assert(g._6 == z, s"look $look z: ${g._6} vs $z")
+      assert(g._7 == (math.abs(z) > 2.413))
+    }
+    // the dose is tuned so the FIRST look does not cross but a later
+    // one does — the sequential machinery is load-bearing, not a
+    // constant verdict
+    assert(!got.head._7, "crossed at look 1 — dose too strong")
+    assert(got.exists(_._7), "never crossed — dose too weak")
+    val firstStop = got.filter(_._7).map(_._1).min
+    assert(got.forall(_._8.contains(firstStop)))
+  }
+
+  test("q363 power iteration equals a from-scratch replay; direction dominant") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 16384) AS BIGINT))"))
+      .as[(Long, Seq[Long])].collect().map(_._2.toArray)
+    val dim = vecs.head.length
+    val g = Array.ofDim[Long](dim, dim)
+    vecs.foreach { q =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    var v = Array.fill(dim)(0.125)
+    var lambda = 0.0
+    (1 to 3).foreach { _ =>
+      // fold in j order with 0.0 init — exactly like both engines
+      val w = (0 until dim).map { i =>
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + g(i)(j).toDouble * v(j))
+      }.toArray
+      lambda = math.sqrt(
+        (0 until dim).foldLeft(0.0)((acc, i) => acc + w(i) * w(i)))
+      v = w.map(_ / lambda)
+    }
+    val got = Sim.q363.run(spark, sf001)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == dim)
+    got.foreach { case (d, loading, gl) =>
+      assert(loading == v(d.toInt), s"dim $d: $loading vs ${v(d.toInt)}")
+      assert(gl == lambda)
+    }
+    // v is unit-norm, and the Rayleigh estimate must dominate the
+    // average eigenvalue trace/dim (it approximates the LARGEST)
+    val norm = v.map(x => x * x).sum
+    assert(math.abs(norm - 1.0) < 1e-12)
+    val traceOverDim = (0 until dim).map(i => g(i)(i)).sum.toDouble / dim
+    assert(lambda > traceOverDim, s"lambda $lambda vs avg $traceOverDim")
   }
 }
