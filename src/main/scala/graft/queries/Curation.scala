@@ -2282,8 +2282,113 @@ object Curation {
       ORDER BY pick"""
     })
 
+  /** q365: GROUP-FAIRNESS AUDIT — demographic parity and equalized
+    * odds (Dwork et al. 2012; Hardt, Price & Srebro 2016) over a
+    * quality-classifier's decisions per language group: the audit a
+    * curation pipeline publishes before letting a learned filter
+    * (q84/q357) gate a multilingual corpus, because a filter that
+    * passes one language's documents at a different rate — or with
+    * different error rates given the same true quality — silently
+    * skews the training mix. Dosed: a shared latent truth (u < 30) and
+    * a decision whose threshold SHIFTS per language
+    * ((length(lang)·7 + ascii(first char)) % 10), so parity and odds
+    * gaps are real and differ by group. EXACT: every rate is one
+    * division of integer CASE-sums; gaps subtract identical doubles;
+    * the ALL reference row comes from the same aggregate via a
+    * broadcast cross join. Scale: one scan to per-lang CASE-sums;
+    * |langs| rows. */
+  val q365 = Q(
+    "q365_fairness_audit",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val scored = Tables.load(s, d, "documents")
+        .withColumn("u", expr("(doc_id * 2654435761L) % 100"))
+        .withColumn("t", (col("u") < 30).cast("int").cast("long"))
+        .withColumn("shift",
+          expr("(length(lang) * 7 + ascii(substring(lang, 1, 1))) % 10"))
+        .withColumn("p",
+          (expr("u + (doc_id * 7919) % 20 - 10") <
+            col("shift") + 30).cast("int").cast("long"))
+      val cells = scored.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p")).as("n_pos"),
+          sum(when(col("t") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("t") === 0 && col("p") === 1, 1L).otherwise(0L))
+            .as("fp"),
+          sum(col("t")).as("n_t"))
+        .persistTracked()
+      val rates = cells.select(
+        col("lang"), col("n"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("pos_rate"),
+        (col("tp").cast(DoubleType) / col("n_t").cast(DoubleType))
+          .as("tpr"),
+        (col("fp").cast(DoubleType) /
+          (col("n") - col("n_t")).cast(DoubleType)).as("fpr"))
+      val overall = cells.agg(
+          sum(col("n")).as("na"), sum(col("n_pos")).as("pa"),
+          sum(col("tp")).as("tpa"), sum(col("fp")).as("fpa"),
+          sum(col("n_t")).as("ta"))
+        .select(
+          (col("pa").cast(DoubleType) / col("na").cast(DoubleType))
+            .as("pos_rate_all"),
+          (col("tpa").cast(DoubleType) / col("ta").cast(DoubleType))
+            .as("tpr_all"),
+          (col("fpa").cast(DoubleType) /
+            (col("na") - col("ta")).cast(DoubleType)).as("fpr_all"))
+      rates.crossJoin(broadcast(overall))
+        .select(col("lang"), col("n"), col("pos_rate"), col("tpr"),
+          col("fpr"),
+          (col("pos_rate") - col("pos_rate_all")).as("dp_gap"),
+          greatest(abs(col("tpr") - col("tpr_all")),
+            abs(col("fpr") - col("fpr_all"))).as("eo_gap"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               CASE WHEN (doc_id * 2654435761) % 100 < 30
+                    THEN 1 ELSE 0 END AS t,
+               CASE WHEN (doc_id * 2654435761) % 100
+                           + (doc_id * 7919) % 20 - 10
+                         < (length(lang) * 7
+                            + ascii(substring(lang, 1, 1))) % 10 + 30
+                    THEN 1 ELSE 0 END AS p
+        FROM documents
+      ), cells AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(sum(t) AS BIGINT) AS n_t
+        FROM scored GROUP BY lang
+      ), rates AS (
+        SELECT lang, n,
+               CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+               CAST(tp AS DOUBLE) / CAST(n_t AS DOUBLE) AS tpr,
+               CAST(fp AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS fpr
+        FROM cells
+      ), overall AS (
+        SELECT CAST(sum(n_pos) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 AS pos_rate_all,
+               CAST(sum(tp) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE)
+                 AS tpr_all,
+               CAST(sum(fp) AS DOUBLE)
+                 / CAST(sum(n) - sum(n_t) AS DOUBLE) AS fpr_all
+        FROM cells
+      )
+      SELECT lang, n, pos_rate, tpr, fpr,
+             pos_rate - pos_rate_all AS dp_gap,
+             greatest(abs(tpr - tpr_all), abs(fpr - fpr_all)) AS eo_gap
+      FROM rates CROSS JOIN overall
+      ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343, q357, q359, q360)
+      q329, q330, q331, q334, q343, q357, q359, q360, q365)
 }

@@ -1971,8 +1971,101 @@ object Evals {
       FROM looks CROSS JOIN first
       ORDER BY look"""))
 
+  /** q364: MATTHEWS CORRELATION + BINARY SCORECARD (Matthews 1975;
+    * Chicco & Jurman 2020 argue MCC over F1/accuracy for imbalanced
+    * screens — exactly the regime of a quality-filter model that
+    * rejects most documents): per-source confusion matrix from a dosed
+    * binary truth (latent u < 30: a ~30% positive class) and a
+    * predictor with asymmetric dosed error lattices (misses on %7,
+    * false-fires on %13), then
+    *   MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)),
+    * balanced accuracy (TPR+TNR)/2 and Youden's J = TPR − FPR.
+    * EXACT: the numerator is BIGINT; the four marginals multiply
+    * in DECIMAL(38)/HUGEINT before ONE cast (each factor ≤ N, so the
+    * product needs ~4·log₁₀N digits — wide integers, never a float
+    * product of floats); TPR/FPR/BA are single divisions. Scale: one
+    * scan to per-source CASE-sums. */
+  val q364 = Q(
+    "q364_mcc_scorecard",
+    (s, d) => {
+      val scored = Tables.load(s, d, "documents")
+        .withColumn("u", expr("(doc_id * 2654435761L) % 100"))
+        .withColumn("t", (col("u") < 30).cast("int").cast("long"))
+        .withColumn("p",
+          when(col("t") === 1 && expr("doc_id % 7") === 0, 0L)
+            .when(col("t") === 0 && expr("doc_id % 13") === 0, 1L)
+            .otherwise(col("t")))
+      val cells = scored.groupBy(col("source"))
+        .agg(
+          sum(when(col("t") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("t") === 0 && col("p") === 1, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("t") === 1 && col("p") === 0, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(col("t") === 0 && col("p") === 0, 1L).otherwise(0L))
+            .as("tn"))
+      cells.select(
+          col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fn")).cast(DoubleType)).as("tpr"),
+          (col("fp").cast(DoubleType) /
+            (col("fp") + col("tn")).cast(DoubleType)).as("fpr"),
+          ((col("tp") * col("tn") - col("fp") * col("fn"))
+            .cast(DoubleType) /
+            sqrt(((col("tp") + col("fp")).cast(DecimalType(38, 0)) *
+              (col("tp") + col("fn")).cast(DecimalType(38, 0)) *
+              (col("tn") + col("fp")).cast(DecimalType(38, 0)) *
+              (col("tn") + col("fn")).cast(DecimalType(38, 0)))
+              .cast(DoubleType))).as("mcc"))
+        .withColumn("balanced_acc",
+          (col("tpr") + (lit(1.0) - col("fpr"))) / 2)
+        .withColumn("youden_j", col("tpr") - col("fpr"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source,
+               CASE WHEN (doc_id * 2654435761) % 100 < 30
+                    THEN 1 ELSE 0 END AS t,
+               CASE WHEN (doc_id * 2654435761) % 100 < 30
+                         AND doc_id % 7 = 0 THEN 0
+                    WHEN (doc_id * 2654435761) % 100 >= 30
+                         AND doc_id % 13 = 0 THEN 1
+                    ELSE CASE WHEN (doc_id * 2654435761) % 100 < 30
+                              THEN 1 ELSE 0 END END AS p
+        FROM documents
+      ), cells AS (
+        SELECT source,
+               CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+        FROM scored GROUP BY source
+      ), stats AS (
+        SELECT source, tp, fp, fn, tn,
+               CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
+               CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) AS fpr,
+               CAST(tp * tn - fp * fn AS DOUBLE)
+                 / sqrt(CAST(CAST(tp + fp AS HUGEINT)
+                             * CAST(tp + fn AS HUGEINT)
+                             * CAST(tn + fp AS HUGEINT)
+                             * CAST(tn + fn AS HUGEINT) AS DOUBLE))
+                 AS mcc
+        FROM cells
+      )
+      SELECT source, tp, fp, fn, tn, tpr, fpr, mcc,
+             (tpr + (1.0 - fpr)) / 2 AS balanced_acc,
+             tpr - fpr AS youden_j
+      FROM stats
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358, q362)
+      q358, q362, q364)
 }

@@ -4865,11 +4865,103 @@ object Text {
       GROUP BY p.source
       ORDER BY p.source"""))
 
+  /** q366: RAKE KEYWORD EXTRACTION (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic Keyword Extraction from Individual Documents") — the
+    * corpus-level keyword table beside q56's TF-IDF and q111's
+    * TextRank: split each document into candidate PHRASES at stopword
+    * boundaries, score each word by degree/frequency (degree = summed
+    * length of the phrases it appears in — RAKE's co-occurrence
+    * count including self), rank the top 20. The stopword set is
+    * DATA-DRIVEN (the 3 globally most frequent tokens, full tiebreak)
+    * — the fixture's synthetic vocabulary has no English function
+    * words, and corpus-frequency stopwording is itself the standard
+    * bootstrap. EXACT: phrase ids are per-doc cumulative stop counts
+    * (partitioned window), degree and frequency are integer sums, the
+    * score is ONE division, and the top-20 orders by (score DESC,
+    * word ASC) on bit-identical doubles. Scale: every shuffle is keyed
+    * by (doc), (doc, phrase) or (word) — no pair joins; the stopword
+    * argmax is a bounded broadcast. */
+  val q366 = Q(
+    "q366_rake_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .persistTracked()
+      val stops = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(3)
+        .select(col("w").as("sw"))
+      val marked = toks
+        .join(broadcast(stops), col("w") === col("sw"), "left_outer")
+        .withColumn("is_stop",
+          when(col("sw").isNotNull, 1L).otherwise(0L))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrased = marked
+        .withColumn("ph", sum(col("is_stop")).over(w))
+        .filter(col("is_stop") === 0)
+        .select(col("doc_id"), col("ph"), col("w"))
+        .persistTracked()
+      val plen = phrased.groupBy(col("doc_id"), col("ph"))
+        .agg(count(lit(1)).as("plen"))
+      phrased.join(plen, Seq("doc_id", "ph"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+        .withColumn("rake_score",
+          col("degree").cast(DoubleType) / col("freq").cast(DoubleType))
+        .orderBy(col("rake_score").desc, col("w").asc)
+        .limit(20)
+        .select(col("w").as("word"), col("freq"), col("degree"),
+          col("rake_score"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(range(0, len(string_split(text, ' ')))) AS pos,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), nonempty AS (
+        SELECT * FROM toks WHERE w <> ''
+      ), stops AS (
+        SELECT w AS sw FROM nonempty GROUP BY w
+        ORDER BY count(*) DESC, w ASC LIMIT 3
+      ), marked AS (
+        SELECT t.doc_id, t.pos, t.w,
+               CASE WHEN s.sw IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+        FROM nonempty t LEFT JOIN stops s ON t.w = s.sw
+      ), phrased AS (
+        SELECT doc_id, w,
+               CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ph,
+               is_stop
+        FROM marked
+      ), inphrase AS (
+        SELECT doc_id, ph, w FROM phrased WHERE is_stop = 0
+      ), plen AS (
+        SELECT doc_id, ph, count(*) AS plen
+        FROM inphrase GROUP BY doc_id, ph
+      ), scored AS (
+        SELECT i.w, count(*) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS degree
+        FROM inphrase i JOIN plen p
+          ON i.doc_id = p.doc_id AND i.ph = p.ph
+        GROUP BY i.w
+      )
+      SELECT w AS word, freq, degree,
+             CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+      FROM scored
+      ORDER BY rake_score DESC, w ASC
+      LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341, q347)
+      q317, q318, q335, q341, q347, q366)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Curation, Evals, Olap, Sim}
+import graft.queries.{Curation, Evals, Olap, Sim, Text}
 
 import scala.collection.mutable
 
@@ -457,5 +457,114 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-12)
     val traceOverDim = (0 until dim).map(i => g(i)(i)).sum.toDouble / dim
     assert(lambda > traceOverDim, s"lambda $lambda vs avg $traceOverDim")
+  }
+
+  test("q364 MCC scorecard equals a from-scratch replay; all cells fire") {
+    val rows = docIds.map { case (id, src, _) =>
+      val t = if ((id * 2654435761L) % 100 < 30) 1L else 0L
+      val p =
+        if (t == 1 && id % 7 == 0) 0L
+        else if (t == 0 && id % 13 == 0) 1L
+        else t
+      (src, t, p)
+    }
+    val got = Evals.q364.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double,
+        Double, Double)].collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val tp = g.count(r => r._2 == 1 && r._3 == 1).toLong
+      val fp = g.count(r => r._2 == 0 && r._3 == 1).toLong
+      val fn = g.count(r => r._2 == 1 && r._3 == 0).toLong
+      val tn = g.count(r => r._2 == 0 && r._3 == 0).toLong
+      val (_, gtp, gfp, gfn, gtn, tpr, fpr, mcc, ba, j) = got(src)
+      assert(gtp == tp && gfp == fp && gfn == fn && gtn == tn)
+      assert(tpr == tp.toDouble / (tp + fn).toDouble)
+      assert(fpr == fp.toDouble / (fp + tn).toDouble)
+      val den = math.sqrt(
+        (BigInt(tp + fp) * BigInt(tp + fn) * BigInt(tn + fp) *
+          BigInt(tn + fn)).toDouble)
+      assert(mcc == (tp * tn - fp * fn).toDouble / den,
+        s"$src mcc: $mcc")
+      assert(ba == (tpr + (1.0 - fpr)) / 2 && j == tpr - fpr)
+      assert(mcc > 0.5, s"$src mcc $mcc — predictor should be strong")
+    }
+    // the dose must exercise every confusion cell corpus-wide (a single
+    // ~25-doc source can legitimately miss a cell at sf0.001)
+    assert(rows.count(r => r._2 == 1 && r._3 == 1) > 0)
+    assert(rows.count(r => r._2 == 0 && r._3 == 1) > 0)
+    assert(rows.count(r => r._2 == 1 && r._3 == 0) > 0)
+    assert(rows.count(r => r._2 == 0 && r._3 == 0) > 0)
+  }
+
+  test("q365 fairness gaps equal a replay; groups genuinely differ") {
+    val rows = docIds.map { case (id, _, lang) =>
+      val u = (id * 2654435761L) % 100
+      val t = if (u < 30) 1L else 0L
+      val shift = (lang.length * 7 + lang.charAt(0).toInt) % 10
+      val p = if (u + (id * 7919) % 20 - 10 < shift + 30) 1L else 0L
+      (lang, t, p)
+    }
+    def rates(g: Array[(String, Long, Long)]) = {
+      val n = g.length.toLong
+      val nt = g.count(_._2 == 1).toLong
+      val posRate = g.count(_._3 == 1).toLong.toDouble / n.toDouble
+      val tpr = g.count(r => r._2 == 1 && r._3 == 1).toLong.toDouble /
+        nt.toDouble
+      val fpr = g.count(r => r._2 == 0 && r._3 == 1).toLong.toDouble /
+        (n - nt).toDouble
+      (n, posRate, tpr, fpr)
+    }
+    val (_, prAll, tprAll, fprAll) = rates(rows)
+    val got = Curation.q365.run(spark, sf001)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val (n, pr, tpr, fpr) = rates(g)
+      val (_, gn, gpr, gtpr, gfpr, dp, eo) = got(lang)
+      assert(gn == n && gpr == pr && gtpr == tpr && gfpr == fpr,
+        s"$lang rates: ($gpr,$gtpr,$gfpr) vs ($pr,$tpr,$fpr)")
+      assert(dp == pr - prAll)
+      assert(eo == math.max(math.abs(tpr - tprAll), math.abs(fpr - fprAll)))
+    }
+    // the lang-shifted threshold must produce a real parity spread
+    val gaps = got.values.map(_._6)
+    assert(gaps.max - gaps.min > 0.02,
+      s"parity gaps too uniform: ${gaps.toList.sorted}")
+  }
+
+  test("q366 RAKE keywords equal a from-scratch replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.flatMap { case (id, tx) =>
+      tx.split(" ", -1).zipWithIndex.filter(_._1.nonEmpty)
+        .map { case (w, pos) => (id, pos, w) }
+    }
+    val stops = toks.groupBy(_._3).map { case (w, g) => (w, g.length) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1).toSet
+    // phrase id = running stop count per doc in position order
+    val inPhrase = toks.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+      var ph = 0L
+      g.sortBy(_._2).flatMap { case (_, _, w) =>
+        if (stops(w)) { ph += 1; None } else Some((id, ph, w))
+      }
+    }
+    val plen = inPhrase.groupBy(r => (r._1, r._2))
+      .map { case (k, g) => k -> g.length.toLong }
+    val scored = inPhrase.groupBy(_._3).map { case (w, g) =>
+      val freq = g.length.toLong
+      val degree = g.map(r => plen((r._1, r._2))).sum
+      (w, freq, degree, degree.toDouble / freq.toDouble)
+    }.toSeq
+    val exp = scored.sortBy { case (w, _, _, sc) => (-sc, w) }.take(20)
+    val got = Text.q366.run(spark, sf001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g == e, s"keyword row: $g vs $e")
+    }
+    // degree ≥ freq always (each phrase has length ≥ 1), with a real
+    // spread so the score isn't constant
+    assert(got.forall(r => r._3 >= r._2))
+    assert(got.map(_._4).distinct.length > 1)
   }
 }
