@@ -2064,8 +2064,236 @@ object Evals {
       FROM stats
       ORDER BY source"""))
 
+  private val Caliper = 10000L // 100 dollars, in cents
+
+  /** q367: NEAREST-NEIGHBOR CALIPER MATCHING (Rubin 1973; Abadie &
+    * Imbens 2006; Rosenbaum & Rubin 1985 recommend the caliper) — the
+    * matching estimator beside q342's weighting: every TREATED unit is
+    * matched (with replacement) to the CONTROL with the nearest
+    * pre-treatment covariate within a fixed caliper, and the ATT is the
+    * mean matched difference. Dosed confounding by construction: the
+    * treatment probability RISES with order size x (permille threshold
+    * 200 + min(600, x div 50000)) and the outcome is y = x plus a 3%
+    * treated lift (x div 33) — so the naive difference is wildly biased
+    * upward and matching must recover ≈ the true lift. The match is the
+    * q301 grid-probe shape: controls bucket by x div caliper, each
+    * treated probes its 3 neighboring buckets, candidates outside the
+    * caliper are cut, and the 1-NN is row_number() = 1 over
+    * (|Δx|, x_c, control key) — a FULL tiebreak, so both engines pick
+    * the identical control. EXACT: ATT and the naive read are single
+    * divisions of integer sums; the true-lift reference (mean x div 33
+    * over matched treated) is reported beside them. Scale: the probe
+    * join is bucket-bounded (never treated × all controls); a dense
+    * bucket is a q36-style salting candidate, flagged in the plan. */
+  val q367 = Q(
+    "q367_caliper_matching",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          Det.cents(col("o_totalprice")).as("x"))
+        .withColumn("t",
+          expr("(k * 2654435761L) % 1000") <
+            lit(200L) + least(lit(600L), expr("x div 50000")))
+        .withColumn("y",
+          col("x") + when(col("t"), expr("x div 33")).otherwise(0L))
+        .persistTracked()
+      val treated = base.filter(col("t"))
+        .select(col("k").as("kt"), col("x").as("xt"), col("y").as("yt"))
+      val controls = base.filter(!col("t"))
+        .select(col("k").as("kc"), col("x").as("xc"), col("y").as("yc"))
+        .withColumn("b", expr(s"xc div $Caliper"))
+      val probes = treated
+        .select(col("kt"), col("xt"), col("yt"),
+          explode(expr(s"array(xt div $Caliper - 1, xt div $Caliper, " +
+            s"xt div $Caliper + 1)")).as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("kt"))
+        .orderBy(abs(col("xt") - col("xc")), col("xc"), col("kc"))
+      val matched = probes.join(controls, Seq("b"))
+        .filter(abs(col("xt") - col("xc")) <= Caliper)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .persistTracked()
+      val nT = treated.agg(count(lit(1)).as("n_treated"))
+      val agg = matched.agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("yt")).as("syt"), sum(col("yc")).as("syc"),
+        sum(expr("xt div 33")).as("strue"))
+      val naive = base.agg(
+        (sum(when(col("t"), col("y"))).cast(DoubleType) /
+          sum(when(col("t"), 1L)).cast(DoubleType) -
+          sum(when(!col("t"), col("y"))).cast(DoubleType) /
+            sum(when(!col("t"), 1L)).cast(DoubleType)).as("naive_diff"))
+      agg.crossJoin(broadcast(nT)).crossJoin(broadcast(naive))
+        .select(col("n_treated"), col("n_matched"),
+          ((col("syt") - col("syc")).cast(DoubleType) /
+            col("n_matched").cast(DoubleType)).as("att_matched"),
+          (col("strue").cast(DoubleType) /
+            col("n_matched").cast(DoubleType)).as("true_att_matched"),
+          col("naive_diff"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, x,
+               (o_orderkey * 2654435761) % 1000
+                 < 200 + least(600, x // 50000) AS t,
+               x + CASE WHEN (o_orderkey * 2654435761) % 1000
+                             < 200 + least(600, x // 50000)
+                        THEN x // 33 ELSE 0 END AS y
+        FROM (SELECT o_orderkey,
+                     ${Det.centsSql("o_totalprice")} AS x
+              FROM orders) o
+      ), treated AS (
+        SELECT k AS kt, x AS xt, y AS yt FROM base WHERE t
+      ), controls AS (
+        SELECT k AS kc, x AS xc, y AS yc, x // $Caliper AS b
+        FROM base WHERE NOT t
+      ), probes AS (
+        SELECT kt, xt, yt, xt // $Caliper + off.o AS b
+        FROM treated CROSS JOIN (VALUES (-1), (0), (1)) off(o)
+      ), matched AS (
+        SELECT * FROM (
+          SELECT p.kt, p.xt, p.yt, c.yc,
+                 row_number() OVER (PARTITION BY p.kt
+                   ORDER BY abs(p.xt - c.xc), c.xc, c.kc) AS rn
+          FROM probes p JOIN controls c ON p.b = c.b
+          WHERE abs(p.xt - c.xc) <= $Caliper) r
+        WHERE rn = 1
+      ), agg AS (
+        SELECT count(*) AS n_matched,
+               CAST(sum(yt) AS BIGINT) AS syt,
+               CAST(sum(yc) AS BIGINT) AS syc,
+               CAST(sum(xt // 33) AS BIGINT) AS strue
+        FROM matched
+      ), nt AS (
+        SELECT count(*) AS n_treated FROM treated
+      ), naive AS (
+        SELECT CAST(sum(CASE WHEN t THEN y END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN t THEN 1 END) AS DOUBLE)
+               - CAST(sum(CASE WHEN NOT t THEN y END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN NOT t THEN 1 END) AS DOUBLE)
+                 AS naive_diff
+        FROM base
+      )
+      SELECT n_treated, n_matched,
+             CAST(syt - syc AS DOUBLE) / CAST(n_matched AS DOUBLE)
+               AS att_matched,
+             CAST(strue AS DOUBLE) / CAST(n_matched AS DOUBLE)
+               AS true_att_matched,
+             naive_diff
+      FROM agg CROSS JOIN nt CROSS JOIN naive"""))
+
+  /** q368: SIMPSON'S-PARADOX DETECTOR (Simpson 1951; Bickel, Hammel &
+    * O'Connell 1975's Berkeley admissions is the canonical instance) —
+    * the segmentation audit an experimentation platform runs before
+    * trusting any pooled read: does the pooled treatment difference
+    * point the OPPOSITE way from every segment? Dosed to paradox by
+    * construction: treatment take-up rises steeply with the priority
+    * segment (20% + 15·pi permille-scaled), the segment itself lifts
+    * the outcome strongly (pi·(cents div 3)), and treatment has a 33%
+    * NEGATIVE within-segment effect (−cents div 3) — so treated units
+    * concentrate where the outcome is structurally high and the pooled
+    * difference flips positive. EXACT: per-segment and pooled means are
+    * single divisions of exact integer sums; the verdict compares
+    * identical doubles; the all-segments extremes come from a bounded
+    * aggregate broadcast back onto the report. Scale: one scan to
+    * per-(segment, arm) sums; |segments| rows after. */
+  val q368 = Q(
+    "q368_simpsons_detector",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .withColumn("pi",
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1"))
+        .withColumn("t",
+          expr("(o_orderkey * 2654435761L) % 100") <
+            lit(20L) + lit(15L) * col("pi"))
+        .withColumn("c", Det.cents(col("o_totalprice")))
+        .withColumn("y",
+          col("c") + col("pi") * expr("c div 3") -
+            when(col("t"), expr("c div 3")).otherwise(0L))
+      val seg = base.groupBy(col("o_orderpriority").as("segment"))
+        .agg(
+          sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("t"), col("y")).otherwise(0L)).as("sy_c"),
+          sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"))
+        .withColumn("mean_c",
+          col("sy_c").cast(DoubleType) / col("n_c").cast(DoubleType))
+        .withColumn("mean_t",
+          col("sy_t").cast(DoubleType) / col("n_t").cast(DoubleType))
+        .withColumn("diff", col("mean_t") - col("mean_c"))
+        .persistTracked()
+      val pooled = seg.agg(
+          sum(col("n_c")).as("pn_c"), sum(col("n_t")).as("pn_t"),
+          sum(col("sy_c")).as("psy_c"), sum(col("sy_t")).as("psy_t"),
+          max(col("diff")).as("max_seg_diff"),
+          min(col("diff")).as("min_seg_diff"))
+        .withColumn("pooled_diff",
+          col("psy_t").cast(DoubleType) / col("pn_t").cast(DoubleType) -
+            col("psy_c").cast(DoubleType) / col("pn_c").cast(DoubleType))
+        .withColumn("simpson_flag",
+          (col("pooled_diff") > 0 && col("max_seg_diff") < 0) ||
+            (col("pooled_diff") < 0 && col("min_seg_diff") > 0))
+      seg.crossJoin(broadcast(
+          pooled.select(col("pooled_diff"), col("simpson_flag"))))
+        .select(col("segment"), col("n_c"), col("n_t"), col("mean_c"),
+          col("mean_t"), col("diff"), col("pooled_diff"),
+          col("simpson_flag"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS segment,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1
+                 AS pi,
+               (o_orderkey * 2654435761) % 100
+                 < 20 + 15 * (CAST(substring(o_orderpriority, 1, 1)
+                              AS BIGINT) - 1) AS t,
+               c + (CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1)
+                     * (c // 3)
+                 - CASE WHEN (o_orderkey * 2654435761) % 100
+                             < 20 + 15 * (CAST(substring(o_orderpriority,
+                                          1, 1) AS BIGINT) - 1)
+                        THEN c // 3 ELSE 0 END AS y
+        FROM (SELECT o_orderkey, o_orderpriority,
+                     ${Det.centsSql("o_totalprice")} AS c
+              FROM orders) o
+      ), seg AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_c,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t,
+               CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+                 AS sy_c,
+               CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT)
+                 AS sy_t
+        FROM base GROUP BY segment
+      ), rates AS (
+        SELECT segment, n_c, n_t,
+               CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+               CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+               CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff
+        FROM seg
+      ), pooled AS (
+        SELECT CAST(sum(sy_t) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE)
+                 - CAST(sum(sy_c) AS DOUBLE) / CAST(sum(n_c) AS DOUBLE)
+                 AS pooled_diff,
+               (SELECT max(diff) FROM rates) AS max_seg_diff,
+               (SELECT min(diff) FROM rates) AS min_seg_diff
+        FROM seg
+      )
+      SELECT segment, n_c, n_t, mean_c, mean_t, diff, pooled_diff,
+             (pooled_diff > 0 AND max_seg_diff < 0)
+               OR (pooled_diff < 0 AND min_seg_diff > 0) AS simpson_flag
+      FROM rates CROSS JOIN pooled
+      ORDER BY segment"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358, q362, q364)
+      q358, q362, q364, q367, q368)
 }

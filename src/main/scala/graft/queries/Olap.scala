@@ -5250,6 +5250,93 @@ object Olap {
       FROM m
       ORDER BY lag"""))
 
+  /** q369: TRUNCATED HARMONIC CENTRALITY (Boldi & Vigna 2014, "Axioms
+    * for Centrality" — harmonic is the axiomatically-sound closeness
+    * variant, and the depth-truncated form is exactly what HyperBall
+    * computes at scale) — the distance-based centrality beside q204's
+    * eigenvector-family PageRank and q278's local clustering: from the
+    * 4 smallest part ids, H₄(s) = Σ_{0<d(s,v)≤4} 1/d(s,v) over the
+    * co-purchase graph. The per-depth counts d1..d4 are EXACT integers
+    * from 4 rounds of frontier expansion (multi-source: every frontier
+    * row carries its source, so one pass serves all seeds); the
+    * harmonic sum is the FIXED four-term expression d1/1 + d2/2 + d3/3
+    * + d4/4 — literal divisors, left-associated identically in both
+    * engines, no fold machinery needed. Scale: frontiers are edge-sized
+    * joins with localCheckpoint truncation (the q192/q204 discipline);
+    * the seed set is bounded by design — corpus-wide centrality would
+    * swap the exact BFS for HyperBall sketches (q61's HLL per depth). */
+  val q369 = Q(
+    "q369_harmonic_centrality",
+    (s, d) => {
+      import s.implicits._
+      import graft.Caches.Tracked
+      val adj = copurchaseAdj(s, d)
+      val seeds = adj.select(col("src")).distinct()
+        .orderBy(col("src")).limit(4)
+        .as[Long].collect() // bounded seed set by design
+      var levels = seeds.toSeq.map(v => (v, v, 0L))
+        .toDF("source", "v", "dist").localCheckpoint()
+      var frontier = levels
+      for (l <- 1 to 4) {
+        val next = frontier
+          .join(adj, col("v") === col("src"))
+          .select(col("source"), col("dst").as("v")).distinct()
+          .join(levels.select(col("source"), col("v")),
+            Seq("source", "v"), "left_anti")
+          .withColumn("dist", lit(l.toLong))
+          .localCheckpoint()
+        levels = levels.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+      levels.filter(col("dist") >= 1)
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("d3"),
+          sum(when(col("dist") === 4, 1L).otherwise(0L)).as("d4"))
+        .select(col("source"), col("d1"), col("d2"), col("d3"),
+          col("d4"),
+          (col("d1") + col("d2") + col("d3") + col("d4")).as("reached"),
+          (col("d1").cast(DoubleType) / lit(1.0) +
+            col("d2").cast(DoubleType) / lit(2.0) +
+            col("d3").cast(DoubleType) / lit(3.0) +
+            col("d4").cast(DoubleType) / lit(4.0)).as("h4"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE $copurchaseAdjSql, seeds AS (
+        SELECT src AS s FROM (
+          SELECT DISTINCT src FROM adj ORDER BY src LIMIT 4) x
+      ), walk AS (
+        SELECT s AS source, s AS v, 0 AS lvl FROM seeds
+        UNION
+        SELECT walk.source, adj.dst AS v, walk.lvl + 1 AS lvl
+        FROM walk JOIN adj ON adj.src = walk.v
+        WHERE walk.lvl < 4
+      ), lv AS (
+        SELECT source, v, min(lvl) AS dist
+        FROM walk GROUP BY source, v
+      ), counts AS (
+        SELECT source,
+               CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d1,
+               CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d2,
+               CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d3,
+               CAST(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d4
+        FROM lv WHERE dist >= 1 GROUP BY source
+      )
+      SELECT source, d1, d2, d3, d4,
+             d1 + d2 + d3 + d4 AS reached,
+             CAST(d1 AS DOUBLE) / 1.0 + CAST(d2 AS DOUBLE) / 2.0
+               + CAST(d3 AS DOUBLE) / 3.0 + CAST(d4 AS DOUBLE) / 4.0
+               AS h4
+      FROM counts
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5258,5 +5345,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351, q361)
+      q333, q337, q348, q351, q361, q369)
 }

@@ -567,4 +567,118 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= r._2))
     assert(got.map(_._4).distinct.length > 1)
   }
+
+  test("q367 caliper matching equals a replay and de-biases the naive read") {
+    val base = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .map { case (k, x) =>
+        val t = (k * 2654435761L) % 1000 < 200 + math.min(600, x / 50000)
+        (k, x, t, if (t) x + x / 33 else x)
+      }
+    val controls = base.filter(!_._3)
+    val byBucket = controls.groupBy(_._2 / 10000)
+    val treated = base.filter(_._3)
+    val matched = treated.flatMap { case (kt, xt, _, yt) =>
+      val cands = (-1L to 1L).flatMap(o =>
+        byBucket.getOrElse(xt / 10000 + o, Array.empty[(Long, Long, Boolean, Long)]))
+        .filter(c => math.abs(xt - c._2) <= 10000)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(c => (math.abs(xt - c._2), c._2, c._1))
+        Some((kt, xt, yt, best._4))
+      }
+    }
+    val att = matched.map(m => m._3 - m._4).sum.toDouble / matched.length
+    val trueAtt = matched.map(m => m._2 / 33).sum.toDouble / matched.length
+    val naive = treated.map(_._4).sum.toDouble / treated.length -
+      controls.map(_._4).sum.toDouble / controls.length
+    val got = Evals.q367.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (gnt, gnm, gatt, gtrue, gnaive) = got.head
+    assert(gnt == treated.length.toLong && gnm == matched.length.toLong)
+    assert(gatt == att, s"att: $gatt vs $att")
+    assert(gtrue == trueAtt && gnaive == naive)
+    // matching must remove nearly all the confounding bias
+    assert(math.abs(gatt - gtrue) * 10 < math.abs(gnaive - gtrue),
+      s"matching bias ${gatt - gtrue} vs naive bias ${gnaive - gtrue}")
+  }
+
+  test("q368 Simpson detector equals a replay and the paradox fires") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+      .map { case (k, pri, c) =>
+        val pi = pri.substring(0, 1).toLong - 1
+        val t = (k * 2654435761L) % 100 < 20 + 15 * pi
+        (pri, t, c + pi * (c / 3) - (if (t) c / 3 else 0L))
+      }
+    val segs = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val (cs, ts) = g.partition(!_._2)
+      val meanC = cs.map(_._3).sum.toDouble / cs.length
+      val meanT = ts.map(_._3).sum.toDouble / ts.length
+      (seg, cs.length.toLong, ts.length.toLong, meanC, meanT,
+        meanT - meanC)
+    }
+    val (cAll, tAll) = rows.partition(!_._2)
+    val pooled = tAll.map(_._3).sum.toDouble / tAll.length -
+      cAll.map(_._3).sum.toDouble / cAll.length
+    val flag = (pooled > 0 && segs.map(_._6).max < 0) ||
+      (pooled < 0 && segs.map(_._6).min > 0)
+    val got = Evals.q368.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.length == segs.length)
+    got.zip(segs).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3)
+      assert(g._4 == e._4 && g._5 == e._5 && g._6 == e._6,
+        s"${e._1}: ${g._6} vs ${e._6}")
+      assert(g._7 == pooled && g._8 == flag)
+    }
+    // the dose must actually produce the reversal, or the detector is
+    // a constant-false report
+    assert(flag, "Simpson reversal did not fire")
+    assert(pooled > 0 && segs.forall(_._6 < 0))
+  }
+
+  test("q369 harmonic centrality equals a multi-source BFS replay") {
+    // rebuild the co-purchase adjacency exactly as the engine doses it
+    val orderParts = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val pairCounts = orderParts.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (p, g) => (p, g.size) }
+    val und = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val adj = (und ++ und.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val seeds = adj.keys.toSeq.sorted.take(4)
+    val got = Olap.q369.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == seeds)
+    seeds.zip(got).foreach { case (s0, g) =>
+      val dist = mutable.Map(s0 -> 0L)
+      var frontier = Set(s0)
+      (1 to 4).foreach { l =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = l.toLong)
+      }
+      val d = (1 to 4).map(l => dist.count(_._2 == l).toLong)
+      assert((g._2, g._3, g._4, g._5) == ((d(0), d(1), d(2), d(3))),
+        s"seed $s0 depth counts")
+      assert(g._6 == d.sum)
+      val h = d(0).toDouble / 1.0 + d(1).toDouble / 2.0 +
+        d(2).toDouble / 3.0 + d(3).toDouble / 4.0
+      assert(g._7 == h, s"seed $s0 h4: ${g._7} vs $h")
+    }
+    // centrality must differentiate the seeds on this graph
+    assert(got.map(_._7).distinct.length > 1)
+  }
 }
