@@ -2387,8 +2387,127 @@ object Curation {
       FROM rates CROSS JOIN overall
       ORDER BY lang"""))
 
+  private val IpfRounds = 3
+
+  /** q372: ITERATIVE PROPORTIONAL FITTING / RAKING (Deming & Stephan
+    * 1940; the survey-weighting workhorse, and exactly how a training
+    * mix is rebalanced to TARGET MARGINALS — "equal share per language
+    * AND equal share per source" — when the joint (lang × source) cell
+    * you can actually sample from is skewed): start from the observed
+    * cell counts and alternately scale rows then columns to their
+    * targets for 3 rounds. The iterated doubles are bit-equal
+    * cross-engine because every marginal sum folds its cells in a FIXED
+    * key order (the q304 discipline: Spark
+    * aggregate(array_sort(collect_list)) ↔ DuckDB
+    * list_reduce(list_prepend(0.0, list(... ORDER BY)))) and every
+    * scale is a division of identical operands. Targets are N/|langs|
+    * and N/|sources| from exact integers. Output: final cell weights
+    * with the achieved LANGUAGE marginals — each round ends on the
+    * source scaling, so source sums sit exactly on target and the
+    * language sums expose the residual IPF gap that the next round
+    * would shrink.
+    * Scale: the corpus collapses to |langs|×|sources| cells in one
+    * scan; the rounds run on that metadata-sized table. */
+  val q372 = Q(
+    "q372_ipf_raking",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cells = Tables.load(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .persistTracked()
+      val tot = cells.agg(sum(col("n")).as("total"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      var w = cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          col("n").cast(DoubleType).as("w"),
+          (col("total").cast(DoubleType) / col("nl").cast(DoubleType))
+            .as("t_lang"),
+          (col("total").cast(DoubleType) / col("ns").cast(DoubleType))
+            .as("t_src"))
+      (1 to IpfRounds).foreach { _ =>
+        val rs = w.groupBy(col("lang"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(source, w))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.w)").as("row_sum"))
+        w = w.join(broadcast(rs), Seq("lang"))
+          .withColumn("w", col("w") * (col("t_lang") / col("row_sum")))
+          .drop("row_sum")
+        val cs = w.groupBy(col("source"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(lang, w))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.w)").as("col_sum"))
+        w = w.join(broadcast(cs), Seq("source"))
+          .withColumn("w", col("w") * (col("t_src") / col("col_sum")))
+          .drop("col_sum")
+      }
+      val finalRow = w.groupBy(col("lang"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(source, w))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.w)").as("lang_sum"))
+      w.join(broadcast(finalRow), Seq("lang"))
+        .select(col("lang"), col("source"), col("n"), col("w"),
+          (col("w") / col("n").cast(DoubleType)).as("rake_factor"),
+          col("lang_sum"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some {
+      val rounds = (1 to IpfRounds).map { t =>
+        s"""
+        r$t AS (
+          SELECT lang, source, n, t_lang, t_src,
+                 w * (t_lang / row_sum) AS w
+          FROM (
+            SELECT c.*, rs.row_sum
+            FROM w${t - 1} c
+            JOIN (SELECT lang,
+                         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list(w ORDER BY source)),
+                           (acc, x) -> acc + x) AS row_sum
+                  FROM w${t - 1} GROUP BY lang) rs
+              ON rs.lang = c.lang) x
+        ), w$t AS (
+          SELECT lang, source, n, t_lang, t_src,
+                 w * (t_src / col_sum) AS w
+          FROM (
+            SELECT c.*, cs.col_sum
+            FROM r$t c
+            JOIN (SELECT source,
+                         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list(w ORDER BY lang)),
+                           (acc, x) -> acc + x) AS col_sum
+                  FROM r$t GROUP BY source) cs
+              ON cs.source = c.source) x
+        )"""
+      }
+      s"""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS n FROM documents
+        GROUP BY lang, source
+      ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               count(DISTINCT lang) AS nl,
+               count(DISTINCT source) AS ns
+        FROM cells
+      ), w0 AS (
+        SELECT lang, source, n, CAST(n AS DOUBLE) AS w,
+               CAST(total AS DOUBLE) / CAST(nl AS DOUBLE) AS t_lang,
+               CAST(total AS DOUBLE) / CAST(ns AS DOUBLE) AS t_src
+        FROM cells CROSS JOIN tot
+      ), ${rounds.mkString(", ")}, fr AS (
+        SELECT lang,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(w ORDER BY source)), (acc, x) -> acc + x)
+                 AS lang_sum
+        FROM w$IpfRounds GROUP BY lang
+      )
+      SELECT c.lang, c.source, c.n, c.w,
+             c.w / CAST(c.n AS DOUBLE) AS rake_factor,
+             fr.lang_sum
+      FROM w$IpfRounds c JOIN fr ON fr.lang = c.lang
+      ORDER BY c.lang, c.source"""
+    })
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343, q357, q359, q360, q365)
+      q329, q330, q331, q334, q343, q357, q359, q360, q365, q372)
 }

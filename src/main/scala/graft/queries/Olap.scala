@@ -5337,6 +5337,194 @@ object Olap {
       FROM counts
       ORDER BY source"""))
 
+  private val VoptBins = 6
+
+  /** q370: V-OPTIMAL HISTOGRAM CONSTRUCTION (Jagadish et al. VLDB'98,
+    * "Optimal Histograms with Quality Guarantees"; the segmented
+    * least-squares problem of Bellman 1961) — the histogram DESIGN
+    * operator beside q55's fixed-width readout: choose 6 bin boundaries
+    * over the order-value distribution minimizing total within-bin
+    * variance (SSE), the same objective an optimizer's statistics
+    * collector or a monitoring dashboard's adaptive bucketer solves.
+    * The corpus collapses to ≤ 25 pre-bucket moment rows (n, Σx, Σx²
+    * exact in BIGINT/DECIMAL(38)); every 5-split combination over those
+    * buckets is ENUMERATED (C(24,5) ≈ 42.5k metadata rows — exhaustive,
+    * so the optimum is certified, not a heuristic), each candidate's
+    * cost is the sum of six segment SSEs — each segment SSE
+    * (n·Σx² − (Σx)²)/n formed from INT64-EXACT operands cast to double
+    * individually (values are quantized to 10-dollar units so every
+    * moment fits BIGINT: int64→double is correctly rounded on both
+    * engines, whereas DuckDB's int128→double cast DOUBLE-ROUNDS above
+    * 2⁶³ and diverges from Spark's Decimal cast by an ulp — measured
+    * on this exact query), the six added in FIXED left-assoc order —
+    * and the argmin carries a full (total, s1..s5) tiebreak. Scale:
+    * one scan to the bucket
+    * rollup; everything after is independent of corpus size (the
+    * classic sketch-then-solve shape; finer pre-buckets only grow the
+    * metadata side). */
+  val q370 = Q(
+    "q370_voptimal_histogram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val buckets = Tables.load(s, d, "orders")
+        .select(expr(s"${Det.centsSql("o_totalprice")} div 1000").as("x"))
+        .groupBy(expr("x div 2000").as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("ssq"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = buckets
+        .withColumn("idx", row_number().over(Window.orderBy(col("b"))))
+        .withColumn("pn", sum(col("n")).over(w))
+        .withColumn("ps", sum(col("sx")).over(w))
+        .withColumn("pq", sum(col("ssq")).over(w))
+        .select(col("idx").cast(LongType).as("idx"), col("b"),
+          col("pn"), col("ps"), col("pq"))
+        .persistTracked()
+      val zero = prefix.sparkSession.range(1)
+        .select(lit(0L).as("idx"), lit(-1L).as("b"),
+          lit(0L).as("pn"), lit(0L).as("ps"), lit(0L).as("pq"))
+      val pref0 = prefix
+        .select(col("idx"), col("b"), col("pn"), col("ps"), col("pq"))
+        .unionAll(zero).persistTracked()
+      // segment costs over contiguous idx ranges [lo..hi]
+      val costs = pref0.as("hi")
+        .join(pref0.as("lo0"), col("lo0.idx") < col("hi.idx"))
+        .select(
+          (col("lo0.idx") + 1).as("lo"), col("hi.idx").as("hi"),
+          (col("hi.pn") - col("lo0.pn")).as("cn"),
+          (col("hi.ps") - col("lo0.ps")).as("cs"),
+          (col("hi.pq") - col("lo0.pq")).as("cq"))
+        .withColumn("cost",
+          (col("cn").cast(DoubleType) * col("cq").cast(DoubleType) -
+            col("cs").cast(DoubleType) * col("cs").cast(DoubleType)) /
+            col("cn").cast(DoubleType))
+        .select(col("lo"), col("hi"), col("cn"), col("cost"))
+        .persistTracked()
+      val k = prefix.agg(max(col("idx")).as("k"))
+      val splits = prefix.crossJoin(broadcast(k))
+        .filter(col("idx") < col("k")).select(col("idx"), col("k"))
+      def sp(i: Int) = splits.select(col("idx").as(s"s$i"),
+        col("k").as(s"k$i"))
+      val combos = sp(1)
+        .join(broadcast(sp(2)), col("s1") < col("s2"))
+        .join(broadcast(sp(3)), col("s2") < col("s3"))
+        .join(broadcast(sp(4)), col("s3") < col("s4"))
+        .join(broadcast(sp(5)), col("s4") < col("s5"))
+        .select(col("s1"), col("s2"), col("s3"), col("s4"), col("s5"),
+          col("k1").as("k"))
+      def cj(df: DataFrame, alias: String,
+          lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) =
+        df.join(broadcast(costs.select(col("lo").as(s"${alias}_lo"),
+          col("hi").as(s"${alias}_hi"), col("cost").as(s"${alias}_c"))),
+          lo === col(s"${alias}_lo") && hi === col(s"${alias}_hi"))
+      var scored = cj(combos, "c1", lit(1L), col("s1"))
+      scored = cj(scored, "c2", col("s1") + 1, col("s2"))
+      scored = cj(scored, "c3", col("s2") + 1, col("s3"))
+      scored = cj(scored, "c4", col("s3") + 1, col("s4"))
+      scored = cj(scored, "c5", col("s4") + 1, col("s5"))
+      scored = cj(scored, "c6", col("s5") + 1, col("k"))
+      val best = scored
+        .withColumn("total_sse",
+          col("c1_c") + col("c2_c") + col("c3_c") + col("c4_c") +
+            col("c5_c") + col("c6_c"))
+        .orderBy(col("total_sse"), col("s1"), col("s2"), col("s3"),
+          col("s4"), col("s5"))
+        .limit(1)
+      val bins = best.select(col("total_sse"),
+          explode(expr(
+            """array(struct(1L AS bin, 1L AS lo, s1 AS hi),
+                     struct(2L AS bin, s1 + 1 AS lo, s2 AS hi),
+                     struct(3L AS bin, s2 + 1 AS lo, s3 AS hi),
+                     struct(4L AS bin, s3 + 1 AS lo, s4 AS hi),
+                     struct(5L AS bin, s4 + 1 AS lo, s5 AS hi),
+                     struct(6L AS bin, s5 + 1 AS lo, k AS hi))"""))
+            .as("seg"))
+        .select(col("total_sse"), col("seg.bin").as("bin"),
+          col("seg.lo").as("lo"), col("seg.hi").as("hi"))
+      bins
+        .join(broadcast(costs), Seq("lo", "hi"))
+        .join(broadcast(prefix.select(col("idx").as("lo"),
+          col("b").as("lo_bucket"))), Seq("lo"))
+        .join(broadcast(prefix.select(col("idx").as("hi"),
+          col("b").as("hi_bucket"))), Seq("hi"))
+        .select(col("bin"), col("lo_bucket"), col("hi_bucket"),
+          col("cn").as("n"), col("cost").as("sse"), col("total_sse"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH buckets AS (
+        SELECT x // 2000 AS b, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS ssq
+        FROM (SELECT ${Det.centsSql("o_totalprice")} // 1000 AS x
+              FROM orders) o
+        GROUP BY 1
+      ), prefix AS (
+        SELECT CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS idx, b,
+               CAST(sum(n) OVER cum AS BIGINT) AS pn,
+               CAST(sum(sx) OVER cum AS BIGINT) AS ps,
+               CAST(sum(ssq) OVER cum AS BIGINT) AS pq
+        FROM buckets
+        WINDOW cum AS (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), pref0 AS (
+        SELECT idx, b, pn, ps, pq FROM prefix
+        UNION ALL
+        SELECT 0, -1, 0, 0, 0
+      ), costs AS (
+        SELECT l.idx + 1 AS lo, h.idx AS hi,
+               h.pn - l.pn AS cn,
+               (CAST(h.pn - l.pn AS DOUBLE) * CAST(h.pq - l.pq AS DOUBLE)
+                  - CAST(h.ps - l.ps AS DOUBLE)
+                    * CAST(h.ps - l.ps AS DOUBLE))
+                 / CAST(h.pn - l.pn AS DOUBLE) AS cost
+        FROM pref0 h JOIN pref0 l ON l.idx < h.idx
+      ), kk AS (
+        SELECT max(idx) AS k FROM prefix
+      ), splits AS (
+        SELECT idx FROM prefix CROSS JOIN kk WHERE idx < k
+      ), combos AS (
+        SELECT a.idx AS s1, b2.idx AS s2, c.idx AS s3, d2.idx AS s4,
+               e.idx AS s5, kk.k
+        FROM splits a, splits b2, splits c, splits d2, splits e, kk
+        WHERE a.idx < b2.idx AND b2.idx < c.idx AND c.idx < d2.idx
+          AND d2.idx < e.idx
+      ), scored AS (
+        SELECT s1, s2, s3, s4, s5, k,
+               c1.cost + c2.cost + c3.cost + c4.cost + c5.cost + c6.cost
+                 AS total_sse
+        FROM combos
+        JOIN costs c1 ON c1.lo = 1 AND c1.hi = s1
+        JOIN costs c2 ON c2.lo = s1 + 1 AND c2.hi = s2
+        JOIN costs c3 ON c3.lo = s2 + 1 AND c3.hi = s3
+        JOIN costs c4 ON c4.lo = s3 + 1 AND c4.hi = s4
+        JOIN costs c5 ON c5.lo = s4 + 1 AND c5.hi = s5
+        JOIN costs c6 ON c6.lo = s5 + 1 AND c6.hi = k
+      ), best AS (
+        SELECT * FROM scored
+        ORDER BY total_sse, s1, s2, s3, s4, s5 LIMIT 1
+      ), bins AS (
+        SELECT total_sse, u.bin, u.lo, u.hi
+        FROM best, unnest([
+          {'bin': 1, 'lo': 1, 'hi': s1},
+          {'bin': 2, 'lo': s1 + 1, 'hi': s2},
+          {'bin': 3, 'lo': s2 + 1, 'hi': s3},
+          {'bin': 4, 'lo': s3 + 1, 'hi': s4},
+          {'bin': 5, 'lo': s4 + 1, 'hi': s5},
+          {'bin': 6, 'lo': s5 + 1, 'hi': k}]) AS t(u)
+      )
+      SELECT CAST(bins.bin AS BIGINT) AS bin,
+             plo.b AS lo_bucket, phi.b AS hi_bucket,
+             c.cn AS n, c.cost AS sse, bins.total_sse
+      FROM bins
+      JOIN costs c ON c.lo = bins.lo AND c.hi = bins.hi
+      JOIN prefix plo ON plo.idx = bins.lo
+      JOIN prefix phi ON phi.idx = bins.hi
+      ORDER BY bin"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5345,5 +5533,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351, q361, q369)
+      q333, q337, q348, q351, q361, q369, q370)
 }

@@ -4957,11 +4957,94 @@ object Text {
       ORDER BY rake_score DESC, w ASC
       LIMIT 20"""))
 
+  /** q371: EDIT-DISTANCE FUZZY JOIN (Gravano et al. VLDB'01's
+    * block-then-verify shape, with the VERIFY step on the engines' own
+    * Levenshtein kernels — a cross-engine function-parity check as much
+    * as an operator): match DIRTY strings back to a catalog, the
+    * "user-typed product name → catalog entry" repair beside q271's
+    * SymSpell ED≤1 linkage (this one verifies ED≤2 with the built-in
+    * distance, and the dirty side is generated by a deterministic
+    * single-character deletion at a hashed position ≥ 5, so the true
+    * match is known and the 4-char blocking prefix provably survives).
+    * Blocking: equal 4-prefix + length band ≤ 2 — candidates never
+    * all-pairs; the catalog side is the DISTINCT name vocabulary
+    * (entity catalogs are bounded — 62 names here at every SF), so the
+    * blocked join is metadata-sized however many part rows exist. Best
+    * match per dirty name by (ed, name) full tiebreak. EXACT: the
+    * distance is an integer DP both engines define identically;
+    * positions/lengths are integers. */
+  val q371 = Q(
+    "q371_edit_distance_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val catalog = Tables.load(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("canon_key"))
+        .persistTracked()
+      val dirty = catalog.filter(length(col("name")) >= 8)
+        .withColumn("pos",
+          lit(5) + expr("(length(name) * 7 + ascii(substring(name, 3, 1)))" +
+            " % (length(name) - 5)"))
+        .withColumn("q",
+          expr("concat(substring(name, 1, pos - 1), " +
+            "substring(name, pos + 1))"))
+        .select(col("name").as("orig"), col("q"))
+      val w = Window.partitionBy(col("orig"))
+        .orderBy(col("ed"), col("name"))
+      dirty
+        .join(catalog,
+          substring(col("q"), 1, 4) === substring(col("name"), 1, 4) &&
+            abs(length(col("q")) - length(col("name"))) <= 2)
+        .withColumn("ed", levenshtein(col("q"), col("name")))
+        .filter(col("ed") <= 2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("orig"), col("q").as("corrupted"),
+          col("name").as("matched"), col("ed").cast(LongType).as("ed"),
+          col("canon_key"), col("n_parts"),
+          (col("orig") === col("name")).as("correct"))
+        .orderBy(col("orig"))
+    },
+    Some("""
+      WITH catalog AS (
+        SELECT p_name AS name, count(*) AS n_parts,
+               min(p_partkey) AS canon_key
+        FROM part GROUP BY p_name
+      ), dirty AS (
+        SELECT name AS orig,
+               concat(substring(name, 1, pos - 1),
+                      substring(name, pos + 1,
+                                length(name) - pos)) AS q
+        FROM (SELECT name,
+                     5 + (length(name) * 7
+                          + ascii(substring(name, 3, 1)))
+                         % (length(name) - 5) AS pos
+              FROM catalog WHERE length(name) >= 8) x
+      ), cands AS (
+        SELECT d.orig, d.q, c.name, c.canon_key, c.n_parts,
+               levenshtein(d.q, c.name) AS ed
+        FROM dirty d JOIN catalog c
+          ON substring(d.q, 1, 4) = substring(c.name, 1, 4)
+         AND abs(length(d.q) - length(c.name)) <= 2
+        WHERE levenshtein(d.q, c.name) <= 2
+      ), best AS (
+        SELECT *, row_number() OVER (PARTITION BY orig
+                 ORDER BY ed, name) AS rn
+        FROM cands
+      )
+      SELECT orig, q AS corrupted, name AS matched,
+             CAST(ed AS BIGINT) AS ed, canon_key, n_parts,
+             orig = name AS correct
+      FROM best WHERE rn = 1
+      ORDER BY orig"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341, q347, q366)
+      q317, q318, q335, q341, q347, q366, q371)
 }

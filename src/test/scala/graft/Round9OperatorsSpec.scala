@@ -681,4 +681,112 @@ class Round9OperatorsSpec extends SparkSpec {
     // centrality must differentiate the seeds on this graph
     assert(got.map(_._7).distinct.length > 1)
   }
+
+  test("q370 V-optimal bins equal an exhaustive-enumeration replay") {
+    val xs = Tables.load(spark, sf001, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 1000"))
+      .as[Long].collect()
+    val buckets = xs.groupBy(_ / 2000).toSeq.sortBy(_._1)
+      .map { case (b, g) =>
+        (b, g.length.toLong, g.sum, g.map(x => x * x).sum) }
+    val k = buckets.length
+    // prefix arrays with a zero row, exactly like both engines
+    val pn = buckets.scanLeft(0L)(_ + _._2).toArray
+    val ps = buckets.scanLeft(0L)(_ + _._3).toArray
+    val pq = buckets.scanLeft(0L)(_ + _._4).toArray
+    def cost(lo: Int, hi: Int): Double = {
+      val (cn, cs, cq) =
+        (pn(hi) - pn(lo - 1), ps(hi) - ps(lo - 1), pq(hi) - pq(lo - 1))
+      (cn.toDouble * cq.toDouble - cs.toDouble * cs.toDouble) /
+        cn.toDouble
+    }
+    var best: (Double, Seq[Int]) = (Double.MaxValue, Nil)
+    for (s1 <- 1 until k; s2 <- s1 + 1 until k; s3 <- s2 + 1 until k;
+         s4 <- s3 + 1 until k; s5 <- s4 + 1 until k) {
+      val t = cost(1, s1) + cost(s1 + 1, s2) + cost(s2 + 1, s3) +
+        cost(s3 + 1, s4) + cost(s4 + 1, s5) + cost(s5 + 1, k)
+      // strict < keeps the lexicographically-first argmin on ties —
+      // the engines' (total, s1..s5) ORDER BY
+      if (t < best._1) best = (t, Seq(s1, s2, s3, s4, s5))
+    }
+    val cuts = 0 +: best._2 :+ k
+    val exp = (1 to 6).map { bin =>
+      val (lo, hi) = (cuts(bin - 1) + 1, cuts(bin))
+      (bin.toLong, buckets(lo - 1)._1, buckets(hi - 1)._1,
+        pn(hi) - pn(lo - 1), cost(lo, hi))
+    }
+    val got = Olap.q370.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 6)
+    got.zip(exp).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5) == e,
+        s"bin ${e._1}: $g vs $e")
+      assert(g._6 == best._1)
+    }
+    // the optimum must strictly beat a naive equal-width 6-bin split
+    val naiveCuts = (1 to 5).map(i => i * k / 6)
+    val naive = (0 +: naiveCuts :+ k).sliding(2)
+      .map(w => cost(w(0) + 1, w(1))).sum
+    assert(best._1 < naive, s"V-optimal ${best._1} vs equal-width $naive")
+  }
+
+  test("q371 fuzzy join recovers every corrupted name at ED 1") {
+    val got = Text.q371.run(spark, sf001)
+      .as[(String, String, String, Long, Long, Long, Boolean)].collect()
+    val names = Tables.load(spark, sf001, "part")
+      .select(col("p_name")).distinct().as[String].collect()
+      .filter(_.length >= 8)
+    assert(got.length == names.length, s"${got.length} vs ${names.length}")
+    got.foreach { case (orig, q, matched, ed, _, _, correct) =>
+      // replay the corruption
+      val pos = 5 + (orig.length * 7 + orig.charAt(2).toInt) %
+        (orig.length - 5)
+      assert(q == orig.substring(0, pos - 1) + orig.substring(pos))
+      assert(correct && matched == orig,
+        s"'$q' matched '$matched', wanted '$orig'")
+      assert(ed == 1L)
+    }
+  }
+
+  test("q372 IPF raking equals a replay and hits the row targets") {
+    val cells = docIds.groupBy(r => (r._3, r._2))
+      .map { case ((lang, src), g) => (lang, src, g.length.toLong) }
+      .toSeq.sortBy(c => (c._1, c._2))
+    val total = cells.map(_._3).sum
+    val langs = cells.map(_._1).distinct.sorted
+    val srcs = cells.map(_._2).distinct.sorted
+    val tLang = total.toDouble / langs.length.toDouble
+    val tSrc = total.toDouble / srcs.length.toDouble
+    val w = mutable.Map(cells.map(c => (c._1, c._2) -> c._3.toDouble): _*)
+    (1 to 3).foreach { _ =>
+      langs.foreach { l =>
+        // fold in source order with 0.0 init — both engines' order
+        val rs = srcs.filter(s0 => w.contains((l, s0)))
+          .foldLeft(0.0)((acc, s0) => acc + w((l, s0)))
+        srcs.filter(s0 => w.contains((l, s0)))
+          .foreach(s0 => w((l, s0)) = w((l, s0)) * (tLang / rs))
+      }
+      srcs.foreach { s0 =>
+        val cs = langs.filter(l => w.contains((l, s0)))
+          .foldLeft(0.0)((acc, l) => acc + w((l, s0)))
+        langs.filter(l => w.contains((l, s0)))
+          .foreach(l => w((l, s0)) = w((l, s0)) * (tSrc / cs))
+      }
+    }
+    val got = Curation.q372.run(spark, sf001)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.length == cells.length)
+    got.zip(cells).foreach { case (g, (l, s0, n)) =>
+      assert(g._1 == l && g._2 == s0 && g._3 == n)
+      assert(g._4 == w((l, s0)), s"($l,$s0): ${g._4} vs ${w((l, s0))}")
+      assert(g._5 == w((l, s0)) / n.toDouble)
+    }
+    // after 3 full rounds the row sums sit within 0.1% of target (IPF
+    // converges geometrically on a strictly positive table)
+    got.groupBy(_._1).values.foreach { g =>
+      val rel = math.abs(g.head._6 - tLang) / tLang
+      assert(rel < 0.001, s"row sum ${g.head._6} vs target $tLang")
+    }
+  }
 }
