@@ -42,6 +42,24 @@ object Det {
   def cents(c: Column): Column = round(c * lit(100), 0).cast(LongType)
   def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
 
+  /** CORRECTLY-ROUNDED HUGEINT→DOUBLE for the DuckDB twins, |h| < 2¹⁰⁶.
+    *
+    * DuckDB 1.0.0 converts int128 to double as
+    * (double)upper · 2⁶⁴ + (double)lower — TWO roundings — so any value
+    * above 2⁶³ can land one ulp away from the correctly-rounded result
+    * Spark's DECIMAL(38,0)→DOUBLE cast produces (measured: the q370
+    * segment numerator 31592030401292506688 converts to
+    * 0x1.b66d7044aa61ap+64 naively vs the correct 0x...aa619p+64).
+    * Splitting at 2⁵³ fixes it: both quotient and remainder are exactly
+    * representable (|q| < 2⁵³, |r| < 2⁵³), the 2⁵³ scaling is a
+    * power-of-two (exact), so the final addition is the ONLY rounding —
+    * correct by IEEE-754, for either truncating or flooring division.
+    * Every twin that casts a possibly-&gt;2⁶³ wide integer to DOUBLE must
+    * go through this. */
+  def hugeDoubleSql(e: String): String =
+    s"(CAST(($e) // 9007199254740992 AS DOUBLE) * 9007199254740992.0" +
+      s" + CAST(($e) % 9007199254740992 AS DOUBLE))"
+
   /** AVG of a money column rounded to cents, half away from zero, computed
     * ENTIRELY from exact integer arithmetic — immune to the cross-engine
     * `ROUND` tie divergence of SURVEY §1.4 (Spark rounds the shortest

@@ -942,8 +942,9 @@ object Evals {
         FROM o
       )
       SELECT n_a, n_b,
-             CAST(sum(CAST(abs(prev_a * n_b - prev_b * n_a) AS HUGEINT)
-                      * (v - prev_v)) AS DOUBLE)
+             ${Det.hugeDoubleSql(
+               """sum(CAST(abs(prev_a * n_b - prev_b * n_a) AS HUGEINT)
+                      * (v - prev_v))""")}
                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS w1_cents
       FROM cum, tot
       WHERE prev_v IS NOT NULL
@@ -1126,9 +1127,9 @@ object Evals {
                CAST(sum(v) AS BIGINT) AS sx,
                sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx,
                CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
-               CAST(count(*) * sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
-                    - CAST(sum(v) AS HUGEINT) * CAST(sum(v) AS HUGEINT)
-                 AS DOUBLE)
+               ${Det.hugeDoubleSql(
+                 """count(*) * sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+                    - CAST(sum(v) AS HUGEINT) * CAST(sum(v) AS HUGEINT)""")}
                  / (CAST(count(*) * (count(*) - 1) AS DOUBLE)
                     * CAST(count(*) AS DOUBLE)) AS var_over_n
         FROM o GROUP BY st
@@ -1230,12 +1231,13 @@ object Evals {
         FROM units
       )
       SELECT n,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               * CAST(n * sxy - sx * sy AS DOUBLE)
-               / (CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
+             ${Det.hugeDoubleSql("n * sxy - sx * sy")}
+               / ${Det.hugeDoubleSql("n * sxx - sx * sx")} AS theta,
+             ${Det.hugeDoubleSql("n * sxy - sx * sy")}
+               * ${Det.hugeDoubleSql("n * sxy - sx * sy")}
+               / (${Det.hugeDoubleSql("n * sxx - sx * sx")}
+                  * ${Det.hugeDoubleSql("n * syy - sy * sy")})
+               AS var_reduction
       FROM m"""))
 
   /** q350: BENJAMINI–HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995)
@@ -1561,9 +1563,10 @@ object Evals {
                CAST(m.sx AS DOUBLE) / CAST(m.n_g AS DOUBLE) AS mean_g,
                CAST(g.t_sum AS DOUBLE) / CAST(g.n_total AS DOUBLE)
                  AS grand_mean,
-               CAST(CAST(m.n_g AS HUGEINT) * m.sxx
-                      - CAST(m.sx AS HUGEINT) * CAST(m.sx AS HUGEINT)
-                    AS DOUBLE) / CAST(m.n_g AS DOUBLE) AS ssw_g,
+               ${Det.hugeDoubleSql(
+                 """CAST(m.n_g AS HUGEINT) * m.sxx
+                      - CAST(m.sx AS HUGEINT) * CAST(m.sx AS HUGEINT)""")}
+                 / CAST(m.n_g AS DOUBLE) AS ssw_g,
                CAST(m.n_g AS DOUBLE)
                  * (CAST(m.sx AS DOUBLE) / CAST(m.n_g AS DOUBLE)
                     - CAST(g.t_sum AS DOUBLE) / CAST(g.n_total AS DOUBLE))
@@ -1727,9 +1730,9 @@ object Evals {
       ), stats AS (
         SELECT pri, n, n // 2 AS n_arm,
                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
-               CAST(CAST(n AS HUGEINT) * sxx
-                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
-                    AS DOUBLE)
+               ${Det.hugeDoubleSql(
+                 """CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)""")}
                  / CAST(n * (n - 1) AS DOUBLE) AS s2
         FROM m
       ), calc AS (
@@ -1949,9 +1952,9 @@ object Evals {
       ), stats AS (
         SELECT look, arm, cn,
                CAST(csx AS DOUBLE) / CAST(cn AS DOUBLE) AS mean,
-               CAST(CAST(cn AS HUGEINT) * csxx
-                      - CAST(csx AS HUGEINT) * CAST(csx AS HUGEINT)
-                    AS DOUBLE)
+               ${Det.hugeDoubleSql(
+                 """CAST(cn AS HUGEINT) * csxx
+                      - CAST(csx AS HUGEINT) * CAST(csx AS HUGEINT)""")}
                  / (CAST(cn * (cn - 1) AS DOUBLE) * CAST(cn AS DOUBLE))
                  AS von
         FROM cum
@@ -2023,7 +2026,7 @@ object Evals {
         .withColumn("youden_j", col("tpr") - col("fpr"))
         .orderBy(col("source"))
     },
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT source,
                CASE WHEN (doc_id * 2654435761) % 100 < 30
@@ -2051,10 +2054,11 @@ object Evals {
                CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
                CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) AS fpr,
                CAST(tp * tn - fp * fn AS DOUBLE)
-                 / sqrt(CAST(CAST(tp + fp AS HUGEINT)
+                 / sqrt(${Det.hugeDoubleSql(
+                     """CAST(tp + fp AS HUGEINT)
                              * CAST(tp + fn AS HUGEINT)
                              * CAST(tn + fp AS HUGEINT)
-                             * CAST(tn + fn AS HUGEINT) AS DOUBLE))
+                             * CAST(tn + fn AS HUGEINT)""")})
                  AS mcc
         FROM cells
       )

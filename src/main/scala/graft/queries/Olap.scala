@@ -4814,12 +4814,13 @@ object Olap {
         FROM ranked GROUP BY yr
       )
       SELECT yr, n,
-             CAST(CAST(n AS HUGEINT) * sxy
-                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                  * sqrt(CAST(CAST(n AS HUGEINT) * syy
-                      - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS rho
+             ${Det.hugeDoubleSql(
+               "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy")}
+               / (sqrt(${Det.hugeDoubleSql(
+                    "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx")})
+                  * sqrt(${Det.hugeDoubleSql(
+                      "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy")}))
+               AS rho
       FROM sums
       ORDER BY yr"""))
 

@@ -1012,10 +1012,16 @@ object EventStream {
           s"${markovDetSql(keep, subRhs = true, cast)} AS det_x_$ch")
       }
 
-  private val markovProbCols: Seq[String] =
-    Seq("CAST(det_x AS DOUBLE) / CAST(det_a AS DOUBLE) AS base_p") ++
-      MarkovChannels.map(ch =>
-        s"CAST(det_x_$ch AS DOUBLE) / CAST(det_a_$ch AS DOUBLE) AS p_$ch")
+  /** One spec, two conversion dialects: Spark's DECIMAL(38,0)→DOUBLE
+    * cast is correctly rounded, DuckDB's HUGEINT cast is NOT above 2⁶³
+    * (Det.hugeDoubleSql) — so the sharable part is the (num, den, alias)
+    * triple, and each engine renders its own correctly-rounded cast. */
+  private val markovProbSpecs: Seq[(String, String, String)] =
+    ("det_x", "det_a", "base_p") +:
+      MarkovChannels.map(ch => (s"det_x_$ch", s"det_a_$ch", s"p_$ch"))
+  private def markovProbCols(toDouble: String => String): Seq[String] =
+    markovProbSpecs.map { case (x, a, out) =>
+      s"${toDouble(x)} / ${toDouble(a)} AS $out" }
 
   private val markovEffCols: Seq[String] =
     Seq("base_p") ++ MarkovChannels.map(ch => s"p_$ch") ++
@@ -1083,7 +1089,7 @@ object EventStream {
     (s, d) => {
       val eff = markovCounts(s, d)
         .selectExpr(markovDetCols("DECIMAL(38,0)"): _*)
-        .selectExpr(markovProbCols: _*)
+        .selectExpr(markovProbCols(e => s"CAST($e AS DOUBLE)"): _*)
         .selectExpr(markovEffCols: _*)
         .persistTracked()
       MarkovChannels.map { ch =>
@@ -1153,7 +1159,8 @@ object EventStream {
         FROM counts
       ), probs AS (
         SELECT
-        ${markovProbCols.mkString(",\n        ")}
+        ${markovProbCols(graft.queries.Det.hugeDoubleSql)
+          .mkString(",\n        ")}
         FROM dets
       ), eff AS (
         SELECT
