@@ -1759,16 +1759,23 @@ object Olap {
           (D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))
             .as("Syy"),
           col("sx1"), col("sx2"), col("sy"))
+        // each S converts to double INDIVIDUALLY (correctly rounded in
+        // both engines — Decimal cast here, Det.hugeDoubleSql in the
+        // twin), then the Cramer products run in double: the S-products
+        // in wide integers can pass 2^106 where even the split
+        // conversion misrounds, but every single S stays far inside it
         .select(
           col("n"),
-          ((D(col("S1y")) * D(col("S22")) - D(col("S2y")) * D(col("S12")))
-            .cast(DoubleType)
-            / (D(col("S11")) * D(col("S22")) - D(col("S12")) * D(col("S12")))
-              .cast(DoubleType)).as("b1"),
-          ((D(col("S2y")) * D(col("S11")) - D(col("S1y")) * D(col("S12")))
-            .cast(DoubleType)
-            / (D(col("S11")) * D(col("S22")) - D(col("S12")) * D(col("S12")))
-              .cast(DoubleType)).as("b2"),
+          ((col("S1y").cast(DoubleType) * col("S22").cast(DoubleType) -
+            col("S2y").cast(DoubleType) * col("S12").cast(DoubleType))
+            / (col("S11").cast(DoubleType) * col("S22").cast(DoubleType) -
+              col("S12").cast(DoubleType) * col("S12").cast(DoubleType)))
+            .as("b1"),
+          ((col("S2y").cast(DoubleType) * col("S11").cast(DoubleType) -
+            col("S1y").cast(DoubleType) * col("S12").cast(DoubleType))
+            / (col("S11").cast(DoubleType) * col("S22").cast(DoubleType) -
+              col("S12").cast(DoubleType) * col("S12").cast(DoubleType)))
+            .as("b2"),
           col("S1y"), col("S2y"), col("Syy"),
           col("sx1"), col("sx2"), col("sy"))
         .select(
@@ -1782,7 +1789,7 @@ object Olap {
             + col("b2") * col("S2y").cast(DoubleType))
             / col("Syy").cast(DoubleType)).as("r2"))
     },
-    Some("""
+    Some(s"""
       WITH li AS (
         SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
                CAST(round(l_discount * 100) AS BIGINT) AS x2,
@@ -1815,20 +1822,28 @@ object Olap {
                CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
                  AS Syy
         FROM m
-      ), fit AS (
-        SELECT n, sx1, sx2, sy, S1y, S2y, Syy,
-               CAST(S1y * S22 - S2y * S12 AS DOUBLE)
-                 / CAST(S11 * S22 - S12 * S12 AS DOUBLE) AS b1,
-               CAST(S2y * S11 - S1y * S12 AS DOUBLE)
-                 / CAST(S11 * S22 - S12 * S12 AS DOUBLE) AS b2
+      ), cd AS (
+        SELECT n, sx1, sx2, sy,
+               ${Det.hugeDoubleSql("S11")} AS s11d,
+               ${Det.hugeDoubleSql("S12")} AS s12d,
+               ${Det.hugeDoubleSql("S22")} AS s22d,
+               ${Det.hugeDoubleSql("S1y")} AS s1yd,
+               ${Det.hugeDoubleSql("S2y")} AS s2yd,
+               ${Det.hugeDoubleSql("Syy")} AS syyd
         FROM c
+      ), fit AS (
+        SELECT n, sx1, sx2, sy, s1yd, s2yd, syyd,
+               (s1yd * s22d - s2yd * s12d)
+                 / (s11d * s22d - s12d * s12d) AS b1,
+               (s2yd * s11d - s1yd * s12d)
+                 / (s11d * s22d - s12d * s12d) AS b2
+        FROM cd
       )
       SELECT n,
              (CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)
                 - b2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) AS b0,
              b1, b2,
-             (b1 * CAST(S1y AS DOUBLE) + b2 * CAST(S2y AS DOUBLE))
-               / CAST(Syy AS DOUBLE) AS r2
+             (b1 * s1yd + b2 * s2yd) / syyd AS r2
       FROM fit"""))
 
   /** q169: Kaplan-Meier survival curve over customer purchase lifetimes

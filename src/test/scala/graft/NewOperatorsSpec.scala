@@ -2059,9 +2059,14 @@ class NewOperatorsSpec extends SparkSpec {
     val s22 = n * xs.map(t => t._2 * t._2).sum - sx2 * sx2
     val s1y = n * xs.map(t => t._1 * t._3).sum - sx1 * sy
     val s2y = n * xs.map(t => t._2 * t._3).sum - sx2 * sy
-    val det = s11 * s22 - s12 * s12
-    val b1 = (s1y * s22 - s2y * s12).toDouble / det.toDouble
-    val b2 = (s2y * s11 - s1y * s12).toDouble / det.toDouble
+    // per-S double conversion first, Cramer products in double — the
+    // engines' shared rounding path (wide-int S-PRODUCTS can pass 2^106
+    // where no two-term split conversion is correct)
+    val (d11, d12, d22) = (s11.toDouble, s12.toDouble, s22.toDouble)
+    val (d1y, d2y) = (s1y.toDouble, s2y.toDouble)
+    val det = d11 * d22 - d12 * d12
+    val b1 = (d1y * d22 - d2y * d12) / det
+    val b2 = (d2y * d11 - d1y * d12) / det
     assert(row.getAs[Double]("b1") == b1, "b1 must replay bit-exact")
     assert(row.getAs[Double]("b2") == b2, "b2 must replay bit-exact")
     assert(row.getAs[Long]("n") == xs.length.toLong)
