@@ -2296,8 +2296,240 @@ object Evals {
       FROM rates CROSS JOIN pooled
       ORDER BY segment"""))
 
+  private val QteTaus = Seq(100, 250, 500, 750, 900) // permille
+
+  /** q373: QUANTILE TREATMENT EFFECTS (Doksum 1974; Koenker &
+    * Bassett 1978's quantile lens on a two-arm comparison — the
+    * distributional A/B read that q346's mean test cannot see): the
+    * per-τ difference between the arms' outcome quantiles. Dosed
+    * heterogeneity by construction: treatment lifts ONLY orders above
+    * the ≈median ($250k) (x div 10), so the QTE is ≈0 at low τ and ≈10% at high τ —
+    * the exact pattern a mean read averages away. EXACT: quantiles are
+    * percentile_cont over integer cents (binary-exact interpolation,
+    * the A7/q04 discipline: Spark percentile() ↔ DuckDB
+    * quantile_cont()); differences and ratios are identical-operand
+    * doubles. Scale: two percentile aggregates over one scan; the τ
+    * grid is metadata. */
+  val q373 = Q(
+    "q373_qte",
+    (s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          Det.cents(col("o_totalprice")).as("x"))
+        .withColumn("t", expr("(k * 2654435761L) % 2 = 1"))
+        .withColumn("y",
+          col("x") + when(col("t") && col("x") > 25000000L,
+            expr("x div 10")).otherwise(0L))
+      val qCols = QteTaus.map(p =>
+        expr(s"percentile(y, ${p / 1000.0}D)").as(s"q$p"))
+      val perArm = base.groupBy(col("t")).agg(qCols.head, qCols.tail: _*)
+      val c = perArm.filter(!col("t"))
+        .select(QteTaus.map(p => col(s"q$p").as(s"qc$p")): _*)
+      val tr = perArm.filter(col("t"))
+        .select(QteTaus.map(p => col(s"q$p").as(s"qt$p")): _*)
+      val structs = QteTaus.map(p =>
+        s"struct(${p}L AS tau_permille, qc$p AS q_c, qt$p AS q_t)")
+        .mkString(", ")
+      c.crossJoin(broadcast(tr))
+        .select(explode(expr(s"array($structs)")).as("r"))
+        .select(col("r.tau_permille"), col("r.q_c"), col("r.q_t"))
+        .withColumn("qte", col("q_t") - col("q_c"))
+        .withColumn("qte_rel", (col("q_t") - col("q_c")) / col("q_c"))
+        .orderBy(col("tau_permille"))
+    },
+    Some {
+      val qs = QteTaus.map(p =>
+        s"quantile_cont(y, ${p / 1000.0}) AS q$p").mkString(",\n               ")
+      val rows = QteTaus.map(p => s"""
+        SELECT CAST($p AS BIGINT) AS tau_permille,
+               c.q$p AS q_c, t.q$p AS q_t
+        FROM arms c, arms t WHERE c.t = false AND t.t = true""")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH base AS (
+        SELECT (o_orderkey * 2654435761) % 2 = 1 AS t,
+               x + CASE WHEN (o_orderkey * 2654435761) % 2 = 1
+                             AND x > 25000000
+                        THEN x // 10 ELSE 0 END AS y
+        FROM (SELECT o_orderkey,
+                     ${Det.centsSql("o_totalprice")} AS x
+              FROM orders) o
+      ), arms AS (
+        SELECT t, $qs
+        FROM base GROUP BY t
+      )
+      SELECT tau_permille, q_c, q_t,
+             q_t - q_c AS qte,
+             (q_t - q_c) / q_c AS qte_rel
+      FROM ($rows) u
+      ORDER BY tau_permille"""
+    })
+
+  /** q374: DELETE-ONE-GROUP (CLUSTER) JACKKNIFE for a ratio metric
+    * (Tukey 1958; the grouped form is the standard error every
+    * experimentation platform puts on revenue-per-order — a RATIO of
+    * two sums, whose naive per-row variance is wrong because rows
+    * within a market are correlated): leave out one customer nation at
+    * a time, recompute θ₍ᵢ₎ = (T − tᵢ)/(N − nᵢ), and take
+    * v = (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)². EXACT: every θ₍ᵢ₎ is one division of
+    * integer sums; the mean and the squared-deviation sum fold the ≤25
+    * nation rows in FIXED name order (the q304 discipline), and the SE
+    * is one sqrt. Scale: one rollup to |nations| rows; the jackknife
+    * runs on that bounded table — never a per-row resample. */
+  val q374 = Q(
+    "q374_cluster_jackknife",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val per = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_i"),
+          sum(Det.cents(col("o_totalprice"))).as("t_i"))
+        .persistTracked()
+      val tot = per.agg(sum(col("n_i")).as("n_all"),
+        sum(col("t_i")).as("t_all"), count(lit(1)).as("g"))
+      val loo = per.crossJoin(broadcast(tot))
+        .withColumn("theta_loo",
+          (col("t_all") - col("t_i")).cast(DoubleType) /
+            (col("n_all") - col("n_i")).cast(DoubleType))
+        .persistTracked()
+      val jack = loo.groupBy(col("g"), col("n_all"), col("t_all"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(n_name, " +
+          "theta_loo))), CAST(0 AS DOUBLE), (acc, x) -> acc + " +
+          "x.theta_loo)").as("sum_loo"))
+        .withColumn("theta_bar", col("sum_loo") / col("g").cast(DoubleType))
+      val v = loo.crossJoin(broadcast(
+          jack.select(col("theta_bar"), col("g").as("g2"))))
+        .withColumn("dev2",
+          (col("theta_loo") - col("theta_bar")) *
+            (col("theta_loo") - col("theta_bar")))
+        .groupBy(col("g2"), col("theta_bar"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(n_name, " +
+          "dev2))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.dev2)")
+          .as("ss"))
+        .select(col("g2").as("g"), col("theta_bar"),
+          sqrt((col("g2") - 1).cast(DoubleType) /
+            col("g2").cast(DoubleType) * col("ss")).as("se_jack"))
+      loo.select(col("n_name"), col("n_i"), col("t_i"), col("theta_loo"),
+          (col("t_all").cast(DoubleType) / col("n_all").cast(DoubleType))
+            .as("theta"))
+        .crossJoin(broadcast(v.select(col("theta_bar"), col("se_jack"))))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT n_name, count(*) AS n_i,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT)
+                 AS t_i
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      ), tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n_all,
+               CAST(sum(t_i) AS BIGINT) AS t_all,
+               count(*) AS g
+        FROM per
+      ), loo AS (
+        SELECT n_name, n_i, t_i,
+               CAST(t_all - t_i AS DOUBLE)
+                 / CAST(n_all - n_i AS DOUBLE) AS theta_loo,
+               n_all, t_all, g
+        FROM per CROSS JOIN tot
+      ), jack AS (
+        SELECT g,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(theta_loo ORDER BY n_name)),
+                 (acc, x) -> acc + x) / CAST(g AS DOUBLE) AS theta_bar
+        FROM loo GROUP BY g
+      ), v AS (
+        SELECT j.theta_bar,
+               sqrt(CAST(l.g - 1 AS DOUBLE) / CAST(l.g AS DOUBLE)
+                 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list((l.theta_loo - j.theta_bar)
+                          * (l.theta_loo - j.theta_bar)
+                          ORDER BY l.n_name)),
+                   (acc, x) -> acc + x)) AS se_jack
+        FROM loo l CROSS JOIN jack j
+        GROUP BY j.theta_bar, l.g
+      )
+      SELECT l.n_name, l.n_i, l.t_i, l.theta_loo,
+             CAST(l.t_all AS DOUBLE) / CAST(l.n_all AS DOUBLE) AS theta,
+             v.theta_bar, v.se_jack
+      FROM loo l CROSS JOIN v
+      ORDER BY l.n_name"""))
+
+  /** q375: HOLM STEP-DOWN FWER CONTROL (Holm 1979) — the
+    * FAMILY-WISE-error sibling of q350's BH step-up, run on the SAME
+    * dosed (source × lang) p-value grid so the two corrections are
+    * directly comparable: reject the sorted prefix while
+    * p₍ₖ₎ ≤ α/(m−k+1), stop at the FIRST failure (step-down — unlike
+    * BH, nothing after the first surviving null is rejected). ALL
+    * INTEGERS: the test is p_k·(m−k+1) ≤ 50 cross-multiplied in
+    * permille, the stop rank is a bounded aggregate. The spec pins the
+    * textbook sandwich Bonferroni ⊆ Holm ⊆ BH. Scale: a |tests|-row
+    * grid, one rank window (q350's shape). */
+  val q375 = Q(
+    "q375_holm_fwer",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = hex24Sql("concat(source, ':', lang)")
+      val tests = Tables.load(s, d, "documents")
+        .select(col("source"), col("lang")).distinct()
+        .withColumn("p_permille",
+          expr(s"CASE WHEN $u % 7 = 0 THEN $u % 5 ELSE $u % 1000 END"))
+      val m = tests.agg(count(lit(1)).as("m"))
+      val ranked = tests.crossJoin(broadcast(m))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p_permille"), col("source"), col("lang")))
+          .cast(LongType))
+        .withColumn("holm_ok",
+          col("p_permille") * (col("m") - col("rnk") + 1) <= lit(50L))
+      val firstFail = ranked.agg(
+        coalesce(min(when(!col("holm_ok"), col("rnk"))),
+          max(col("rnk")) + 1).as("first_fail"))
+      ranked.crossJoin(broadcast(firstFail))
+        .select(col("source"), col("lang"), col("p_permille"),
+          col("rnk"), col("m"), col("holm_ok"),
+          (col("rnk") < col("first_fail")).as("rejected"),
+          (col("p_permille") * col("m") <= lit(50L))
+            .as("bonferroni_reject"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH tests AS (
+        SELECT source, lang,
+               CASE WHEN ${hex24Sql("concat(source, ':', lang)")} % 7 = 0
+                    THEN ${hex24Sql("concat(source, ':', lang)")} % 5
+                    ELSE ${hex24Sql("concat(source, ':', lang)")} % 1000
+               END AS p_permille
+        FROM (SELECT DISTINCT source, lang FROM documents) g
+      ), m AS (
+        SELECT count(*) AS m FROM tests
+      ), ranked AS (
+        SELECT source, lang, p_permille, m,
+               CAST(row_number() OVER (ORDER BY p_permille, source, lang)
+                 AS BIGINT) AS rnk,
+               p_permille * (m - CAST(row_number()
+                 OVER (ORDER BY p_permille, source, lang) AS BIGINT) + 1)
+                 <= 50 AS holm_ok
+        FROM tests, m
+      ), ff AS (
+        SELECT coalesce(min(CASE WHEN NOT holm_ok THEN rnk END),
+                        max(rnk) + 1) AS first_fail
+        FROM ranked
+      )
+      SELECT source, lang, p_permille, rnk, m, holm_ok,
+             rnk < first_fail AS rejected,
+             p_permille * m <= 50 AS bonferroni_reject
+      FROM ranked, ff
+      ORDER BY rnk"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358, q362, q364, q367, q368)
+      q358, q362, q364, q367, q368, q373, q374, q375)
 }

@@ -341,7 +341,10 @@ class PlanShapeSpec extends SparkSpec {
       // r9: q357's cumulative class counts run over the ≤ max_len/16-row
       // length-bucket rollup (Aggregate below); q359's GlobalOrder
       // offsets table (partition-count-sized, Aggregate below)
-      "q357_gini_stump", "q359_shard_manifest")
+      "q357_gini_stump", "q359_shard_manifest",
+      // r9: q375's Holm rank over the ~100-test grid (distinct rollup
+      // below) — q350's shape
+      "q375_holm_fwer")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -789,4 +789,102 @@ class Round9OperatorsSpec extends SparkSpec {
       assert(rel < 0.001, s"row sum ${g.head._6} vs target $tLang")
     }
   }
+
+  test("q373 QTE equals an exact-percentile replay; effect is top-heavy") {
+    val ys = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .map { case (k, x) =>
+        val t = (k * 2654435761L) % 2 == 1
+        (t, if (t && x > 25000000L) x + x / 10 else x)
+      }
+    def pct(xs: Array[Long], tau: Double): Double = {
+      val s0 = xs.sorted
+      val h = tau * (s0.length - 1)
+      val lo = h.toInt
+      // both engines interpolate as (1−f)·lower + f·higher — NOT
+      // lower + f·Δ, which differs in the last bit
+      if (lo == s0.length - 1) s0(lo).toDouble
+      else (1.0 - (h - lo)) * s0(lo) + (h - lo) * s0(lo + 1)
+    }
+    val (cs, ts) = ys.partition(!_._1)
+    val got = Evals.q373.run(spark, sf001)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(100L, 250L, 500L, 750L, 900L))
+    got.foreach { case (p, qc, qt, qte, rel) =>
+      val (ec, et) = (pct(cs.map(_._2), p / 1000.0),
+        pct(ts.map(_._2), p / 1000.0))
+      assert(qc == ec && qt == et, s"tau $p: ($qc,$qt) vs ($ec,$et)")
+      assert(qte == et - ec && rel == (et - ec) / ec)
+    }
+    // the dosed effect is top-heavy: the relative QTE at τ=.9 must
+    // clear τ=.1 by a wide margin (absolute bounds are too strict at
+    // sf0.001 — the untreated bottom decile carries ±8% of pure
+    // inter-arm baseline noise at 750/arm)
+    assert(got.last._5 > 0.04, s"top QTE ${got.last._5}")
+    assert(got.last._5 - got.head._5 > 0.05,
+      s"QTE not top-heavy: .9→${got.last._5} vs .1→${got.head._5}")
+  }
+
+  test("q374 cluster jackknife equals an ordered-fold replay") {
+    val per = Tables.load(spark, sf001, "orders")
+      .join(Tables.load(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, g) => (n, g.length.toLong, g.map(_._2).sum) }
+    val (nAll, tAll, g) =
+      (per.map(_._2).sum, per.map(_._3).sum, per.length.toLong)
+    val loo = per.map { case (n, ni, ti) =>
+      (n, ni, ti, (tAll - ti).toDouble / (nAll - ni).toDouble)
+    }
+    val thetaBar = loo.foldLeft(0.0)((a, r) => a + r._4) / g.toDouble
+    val ss = loo.foldLeft(0.0)((a, r) =>
+      a + (r._4 - thetaBar) * (r._4 - thetaBar))
+    val se = math.sqrt((g - 1).toDouble / g.toDouble * ss)
+    val got = Evals.q374.run(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.length == per.length)
+    got.zip(loo).foreach { case (gr, (n, ni, ti, th)) =>
+      assert(gr._1 == n && gr._2 == ni && gr._3 == ti && gr._4 == th)
+      assert(gr._5 == tAll.toDouble / nAll.toDouble)
+      assert(gr._6 == thetaBar && gr._7 == se,
+        s"jackknife: (${gr._6},${gr._7}) vs ($thetaBar,$se)")
+    }
+    // SE must be a sane small fraction of the point estimate
+    assert(se > 0.0 && se < got.head._5 * 0.1)
+  }
+
+  test("q375 Holm step-down equals a replay; Bonferroni ⊆ Holm ⊆ BH") {
+    val got = Evals.q375.run(spark, sf001)
+      .as[(String, String, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._4)
+    val m = got.head._5
+    assert(got.length.toLong == m)
+    // replay: sorted p ascending, reject while p*(m-k+1) <= 50
+    var failed = false
+    got.foreach { case (_, _, p, k, _, ok, rej, bonf) =>
+      val expOk = p * (m - k + 1) <= 50
+      assert(ok == expOk)
+      if (!expOk) failed = true
+      assert(rej == !failed && (if (rej) expOk else true),
+        s"rank $k: rejected=$rej after failed=$failed")
+      assert(bonf == (p * m <= 50))
+    }
+    val holmCount = got.count(_._7)
+    val bonfCount = got.count(_._8)
+    // BH on the SAME grid (q350's rule): largest k with m·p_k <= 50·k
+    val kMax = got.filter(r => m * r._3 <= 50 * r._4).map(_._4)
+      .reduceOption(_ max _).getOrElse(0L)
+    val bhCount = got.count(_._4 <= kMax)
+    assert(bonfCount <= holmCount && holmCount <= bhCount,
+      s"sandwich: bonf=$bonfCount holm=$holmCount bh=$bhCount")
+    assert(holmCount > 0 && bhCount < m)
+  }
 }
