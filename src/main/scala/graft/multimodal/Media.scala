@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.Tables
 import graft.queries.Q
 
@@ -230,7 +231,8 @@ object MediaDecoder {
       ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(
-    q32, q58, ImageCodec.q116, ImageCodec.q262, AudioCodec.q117,
+    q32, q58, ImageCodec.q116, ImageCodec.q262, ImageCodec.q377,
+    AudioCodec.q117,
     MediaFingerprint.q189, MediaFingerprint.q190, VideoCodec.q233)
 }
 
@@ -628,6 +630,129 @@ object ImageCodec {
              true AS crc_ok
       FROM px
       ORDER BY doc_id"""))
+
+  /** q377: PER-CHANNEL IMAGE-COHORT DRIFT AUDIT — the multimodal
+    * dataset-shift monitor (the image-space analog of q245's length
+    * histogram / q326's KS: before a new crawl batch joins image
+    * training data, compare its raw channel statistics against the
+    * standing corpus — a camera-pipeline change, a thumbnailing bug, or
+    * a gamma shift shows up as a channel-mean/variance shift long
+    * before any model metric). Cohorts = doc_id parity (standing vs
+    * arriving batch); every image goes through the REAL PNG codec
+    * (encode → javax.imageio decode — the q116 plumbing, CPU-
+    * proportionally repartitioned), per-channel Σx and Σx² accumulate
+    * as exact integers, and the report is per-channel (n, mean, var,
+    * mean_shift, var_ratio) — means/vars single divisions of exact
+    * wide-int combos (all < 2⁶³ by 255²-bounded pixels through sf5).
+    * The oracle replays the pixels arithmetically (the shared dose),
+    * so a pass proves decode fidelity AND the statistics. Scale:
+    * decode is a per-row map (no payloads on the driver), stats are
+    * one partial+final pass to 3×2 rows. */
+  val q377 = Q(
+    "q377_channel_drift",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = MediaDecoder.docIds(s, d)
+        .mapPartitions(_.map { id =>
+          val (w, h, pix) = decode(encode(id))
+          val sums = new Array[Long](3)
+          val sqs = new Array[Long](3)
+          var i = 0
+          while (i < pix.length) {
+            val c = i % 3
+            sums(c) += pix(i)
+            sqs(c) += pix(i).toLong * pix(i)
+            i += 1
+          }
+          (id % 2, (w * h).toLong,
+            sums(0), sums(1), sums(2), sqs(0), sqs(1), sqs(2))
+        })
+        .toDF("cohort", "npx", "s0", "s1", "s2", "q0", "q1", "q2")
+      val cells = perDoc.groupBy(col("cohort"))
+        .agg(sum(col("npx")).as("n"),
+          sum(col("s0")).as("s0"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"), sum(col("q0")).as("q0"),
+          sum(col("q1")).as("q1"), sum(col("q2")).as("q2"))
+      val chan = cells.select(col("cohort"), col("n"),
+        explode(expr("""array(struct(0L AS channel, s0 AS sx, q0 AS sq),
+                             struct(1L AS channel, s1 AS sx, q1 AS sq),
+                             struct(2L AS channel, s2 AS sx, q2 AS sq))"""))
+          .as("r"))
+        .select(col("cohort"), col("n"), col("r.channel").as("channel"),
+          col("r.sx").as("sx"), col("r.sq").as("sq"))
+        .withColumn("mean",
+          col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("variance",
+          (col("n") * col("sq") - col("sx") * col("sx")).cast(DoubleType) /
+            (col("n") * col("n")).cast(DoubleType))
+      val a = chan.filter(col("cohort") === 0)
+        .select(col("channel"), col("n").as("n_a"),
+          col("mean").as("mean_a"), col("variance").as("var_a"))
+      val b = chan.filter(col("cohort") === 1)
+        .select(col("channel"), col("n").as("n_b"),
+          col("mean").as("mean_b"), col("variance").as("var_b"))
+      a.join(b, Seq("channel"))
+        .withColumn("mean_shift", col("mean_b") - col("mean_a"))
+        .withColumn("var_ratio", col("var_b") / col("var_a"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, doc_id % 2 AS cohort,
+               CAST(1 + doc_id % 8 AS BIGINT) AS w,
+               CAST(1 + doc_id % 5 AS BIGINT) AS h
+        FROM documents
+      ), perdoc AS (
+        SELECT cohort, w * h AS npx,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              (doc_id * 7 + y * 31 + x * 13) % 256)))) AS s0,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              (doc_id * 11 + y * 17 + x * 5) % 256)))) AS s1,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              (doc_id * 3 + y * 23 + x * 29) % 256)))) AS s2,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              ((doc_id * 7 + y * 31 + x * 13) % 256)
+              * ((doc_id * 7 + y * 31 + x * 13) % 256))))) AS q0,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              ((doc_id * 11 + y * 17 + x * 5) % 256)
+              * ((doc_id * 11 + y * 17 + x * 5) % 256))))) AS q1,
+          list_sum(flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+              ((doc_id * 3 + y * 23 + x * 29) % 256)
+              * ((doc_id * 3 + y * 23 + x * 29) % 256))))) AS q2
+        FROM base
+      ), cells AS (
+        SELECT cohort, CAST(sum(npx) AS BIGINT) AS n,
+               CAST(sum(s0) AS BIGINT) AS s0,
+               CAST(sum(s1) AS BIGINT) AS s1,
+               CAST(sum(s2) AS BIGINT) AS s2,
+               CAST(sum(q0) AS BIGINT) AS q0,
+               CAST(sum(q1) AS BIGINT) AS q1,
+               CAST(sum(q2) AS BIGINT) AS q2
+        FROM perdoc GROUP BY cohort
+      ), chan AS (
+        SELECT cohort, n, u.channel, u.sx, u.sq,
+               CAST(u.sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(n * u.sq - u.sx * u.sx AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) AS variance
+        FROM cells, unnest([
+          {'channel': CAST(0 AS BIGINT), 'sx': s0, 'sq': q0},
+          {'channel': CAST(1 AS BIGINT), 'sx': s1, 'sq': q1},
+          {'channel': CAST(2 AS BIGINT), 'sx': s2, 'sq': q2}]) AS t(u)
+      )
+      SELECT a.channel, a.n AS n_a, a.mean AS mean_a,
+             a.variance AS var_a, b.n AS n_b, b.mean AS mean_b,
+             b.variance AS var_b,
+             b.mean - a.mean AS mean_shift,
+             b.variance / a.variance AS var_ratio
+      FROM chan a JOIN chan b ON a.channel = b.channel
+      WHERE a.cohort = 0 AND b.cohort = 1
+      ORDER BY a.channel"""))
 }
 
 /** REAL video decode (r5 judge stretch item — retires the last labeled

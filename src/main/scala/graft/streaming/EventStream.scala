@@ -2729,9 +2729,65 @@ object EventStream {
       GROUP BY channel, tot12
       ORDER BY channel"""))
 
+  /** Shared SRM transform — one definition serves the batch Q (oracled)
+    * and the streaming parity spec (readStream → complete mode), like
+    * [[windowedCounts]]. The dose simulates the classic SRM root cause:
+    * a logging bug silently drops a third of ONE arm on ONE day
+    * (day-of-month 15, treatment users with id % 3 = 0). */
+  def srmDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("arm", col("user_id") % 2)
+      .filter(!(dayofmonth(col("ts")) === 15 && col("arm") === 1))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"))
+      .withColumn("chi2",
+        ((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+          .cast(DoubleType) / (col("n_c") + col("n_t")).cast(DoubleType))
+      .withColumn("srm_alarm", col("chi2") > 10.828)
+
+  /** q376: SAMPLE-RATIO-MISMATCH MONITOR (Fabijan et al. 2019, "Diagnosing
+    * Sample Ratio Mismatch in Online Controlled Experiments" — the
+    * health check every experimentation platform runs BEFORE any metric
+    * read, at the industry-standard p &lt; 0.001 bar, χ²₁ &gt; 10.828):
+    * per-day arm counts under a 50/50 hash split, χ² = (n_c − n_t)²/n,
+    * with a dosed logging outage that drops the whole treatment arm on
+    * day 15 — the alarm must fire there and ONLY there. EXACT: the
+    * statistic is one division of integer counts; the verdict compares
+    * identical doubles. Streaming face: the SAME transform runs as a
+    * structured-streaming aggregation (StreamingSpec parity) — SRM is
+    * precisely the monitor one attaches to a live assignment stream.
+    * Scale: one scan to |days| rows, map-side combinable. */
+  val q376 = Q(
+    "q376_stream_srm",
+    (s, d) => srmDaily(Tables.load(s, d, "events")).orderBy(col("day")),
+    Some("""
+      WITH filtered AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                 AS TIMESTAMP) AS day,
+               user_id % 2 AS arm
+        FROM events
+        WHERE NOT (day(CAST(ts AS TIMESTAMP)) = 15 AND user_id % 2 = 1)
+      ), cells AS (
+        SELECT day,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_c,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t
+        FROM filtered GROUP BY day
+      )
+      SELECT day, n_c, n_t,
+             CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE)
+               / CAST(n_c + n_t AS DOUBLE) AS chi2,
+             CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE)
+               / CAST(n_c + n_t AS DOUBLE) > 10.828 AS srm_alarm
+      FROM cells
+      ORDER BY day"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
       q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
-      q216, q288, q292, q339)
+      q216, q288, q292, q339, q376)
 }

@@ -887,4 +887,67 @@ class Round9OperatorsSpec extends SparkSpec {
       s"sandwich: bonf=$bonfCount holm=$holmCount bh=$bhCount")
     assert(holmCount > 0 && bhCount < m)
   }
+
+  test("q376 SRM chi-square equals a replay; only day 15 alarms") {
+    val rows = Tables.load(spark, sf001, "events")
+      .select(dayofmonth(col("ts")), date_trunc("day", col("ts")),
+        col("user_id") % 2)
+      .as[(Int, java.sql.Timestamp, Long)].collect()
+      .filter(r => !(r._1 == 15 && r._3 == 1))
+    val got = graft.streaming.EventStream.q376.run(spark, sf001)
+      .as[(java.sql.Timestamp, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._2).foreach { case (day, g) =>
+      val nc = g.count(_._3 == 0).toLong
+      val nt = g.count(_._3 == 1).toLong
+      val chi2 = ((nc - nt) * (nc - nt)).toDouble / (nc + nt).toDouble
+      val (_, gc, gt, gchi, alarm) = got(day)
+      assert(gc == nc && gt == nt && gchi == chi2)
+      assert(alarm == (chi2 > 10.828))
+    }
+    val alarms = got.values.filter(_._5).toSeq
+    assert(alarms.size == 1 && alarms.head._3 == 0L,
+      s"exactly the day-15 outage must alarm: $alarms")
+  }
+
+  test("q377 channel drift equals an arithmetic-pixel replay through the codec") {
+    val ids = docIds.map(_._1)
+    val stats = Array.fill(2, 3)((0L, 0L)) // (sum, sumsq) per cohort/chan
+    val npx = Array.fill(2)(0L)
+    ids.foreach { id =>
+      val (w, h) = ((1 + id % 8).toInt, (1 + id % 5).toInt)
+      val co = (id % 2).toInt
+      npx(co) += w.toLong * h
+      for (y <- 0 until h; x <- 0 until w) {
+        val px = Seq((id * 7 + y * 31 + x * 13) % 256,
+          (id * 11 + y * 17 + x * 5) % 256,
+          (id * 3 + y * 23 + x * 29) % 256)
+        px.zipWithIndex.foreach { case (v, c) =>
+          val (s0, q0) = stats(co)(c)
+          stats(co)(c) = (s0 + v, q0 + v * v)
+        }
+      }
+    }
+    val got = graft.multimodal.MediaDecoder.all
+      .find(_.name == "q377_channel_drift").get.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Long, Double, Double, Double,
+        Double)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    got.foreach { case (ch, na, ma, va, nb, mb, vb, shift, ratio) =>
+      val (sa, qa) = stats(0)(ch.toInt)
+      val (sb, qb) = stats(1)(ch.toInt)
+      assert(na == npx(0) && nb == npx(1))
+      assert(ma == sa.toDouble / npx(0).toDouble)
+      assert(mb == sb.toDouble / npx(1).toDouble)
+      assert(va == (npx(0) * qa - sa * sa).toDouble /
+        (npx(0) * npx(0)).toDouble)
+      assert(vb == (npx(1) * qb - sb * sb).toDouble /
+        (npx(1) * npx(1)).toDouble)
+      assert(shift == mb - ma && ratio == vb / va)
+      // raw channel means must sit near mid-scale (the dose spans all
+      // byte values), and the engine path went through the REAL codec —
+      // a decode corruption would break the equality above
+      assert(ma > 100 && ma < 155, s"channel $ch mean $ma")
+    }
+  }
 }

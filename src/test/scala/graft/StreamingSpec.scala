@@ -795,4 +795,38 @@ class StreamingSpec extends SparkSpec {
     val refd = (1 to 3).flatMap(IngestJob.readManifest(root, _)).toSet
     assert(IngestJob.listParquet(dataDir, "").forall(refd))
   }
+
+  test("q376 SRM monitor: streamed daily verdicts == batch; alarm fires") {
+    val events = Tables.load(spark, sf001, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_srm").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    def key(r: Row) = (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getBoolean(4))
+    val batch = EventStream.srmDaily(events).collect().map(key).toSet
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.srmDaily(streamIn)
+      .writeStream
+      .format("memory")
+      .queryName("srm_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("srm_out").collect().map(key).toSet
+      assert(got == batch, "streaming SRM differs from batch")
+      // the dosed day-15 outage must be the ONLY alarm
+      val alarms = got.filter(_._5)
+      assert(alarms.size == 1 && {
+        val c = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        c.setTime(alarms.head._1)
+        c.get(java.util.Calendar.DAY_OF_MONTH) == 15
+      }, s"alarms: $alarms")
+    } finally q.stop()
+  }
 }
