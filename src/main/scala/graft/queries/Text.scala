@@ -5040,11 +5040,77 @@ object Text {
       FROM best WHERE rn = 1
       ORDER BY orig"""))
 
+  /** q379: CROSS-SOURCE VOCABULARY-OVERLAP MATRIX — the
+    * dedup-planning/contamination readout over corpus SOURCES: pairwise
+    * Jaccard of each source's shingle vocabulary (the q24 universe,
+    * shared one-definition), answering "which crawl sources duplicate
+    * each other's content?" before any doc-level dedup runs (a high
+    * source-pair overlap routes those sources into the same q68
+    * clustering batch; a near-zero one lets them dedup independently).
+    * EXACT: intersections come from an inverted shingle→sources index
+    * (pairs WITHIN a shingle's source list — never source×source over
+    * docs), unions by inclusion-exclusion |A|+|B|−|A∩B|, Jaccard one
+    * division. Scale: everything is keyed by shingle or (source_a,
+    * source_b); the matrix is |sources|²/2 metadata rows. */
+  val q379 = Q(
+    "q379_vocab_overlap",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val vocab = Tables.load(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"), explode(expr(Dedup.shinglesExpr)).as("sh"))
+        .distinct()
+        .persistTracked()
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("v_size"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("v_size").as("size_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("v_size").as("size_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("size_a"),
+          col("size_b"), col("inter"),
+          (col("inter").cast(DoubleType) /
+            (col("size_a") + col("size_b") - col("inter"))
+              .cast(DoubleType)).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT DISTINCT source, sh
+        FROM (SELECT source, unnest(${Dedup.shinglesSql}) AS sh
+              FROM documents) r
+      ), sizes AS (
+        SELECT source, count(*) AS v_size FROM vocab GROUP BY source
+      ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS inter
+        FROM vocab a JOIN vocab b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT i.source_a, i.source_b,
+             sa.v_size AS size_a, sb.v_size AS size_b, i.inter,
+             CAST(i.inter AS DOUBLE)
+               / CAST(sa.v_size + sb.v_size - i.inter AS DOUBLE)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+      ORDER BY i.source_a, i.source_b"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341, q347, q366, q371)
+      q317, q318, q335, q341, q347, q366, q371, q379)
 }

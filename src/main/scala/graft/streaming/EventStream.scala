@@ -2785,9 +2785,106 @@ object EventStream {
       FROM cells
       ORDER BY day"""))
 
+  /** q378: POSITION-BASED (U-SHAPED) ATTRIBUTION — the fourth and last
+    * industry-standard model beside q126's last-touch, q292's Markov
+    * removal effect and q339's Shapley: 40% of the credit to the FIRST
+    * touch, 40% to the LAST, 20% split across the middles. Computed
+    * over the first-occurrence-ordered DISTINCT-channel path to the
+    * user's first conversion (k ≤ 4 channels), so every credit is an
+    * exact INTEGER TWENTIETH: k=1 → 20, k=2 → 10/10, k=3 → 8/4/8,
+    * k=4 → 8/2/2/8 (the 4 div (k−2) middle rule) — no per-journey
+    * float, the q339 twelfths discipline at base 20. Conservation
+    * (Σ credit20 = 20 per journey) is spec-gated. Scale: one per-user
+    * window for the path rank, hash aggregates after. */
+  val q378 = Q(
+    "q378_position_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("cts"),
+          col("c.event_id").as("ceid"))
+      val firstTouch = ev
+        .join(firstConv, Seq("user_id"))
+        .filter(col("event_type") =!= "purchase" &&
+          (col("ts") < col("cts") ||
+            (col("ts") === col("cts") && col("event_id") < col("ceid"))))
+        .groupBy(col("user_id"), col("event_type").as("channel"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      val ranked = firstTouch
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("f.ts"), col("f.event_id")))
+          .cast(org.apache.spark.sql.types.LongType))
+        .withColumn("k", count(lit(1)).over(Window
+          .partitionBy(col("user_id"))))
+        .withColumn("credit20",
+          when(col("k") === 1, 20L)
+            .when(col("k") === 2, 10L)
+            .when(col("rk") === 1 || col("rk") === col("k"), 8L)
+            .otherwise(expr("4 div (k - 2)")))
+      val tot = ranked.agg(sum(col("credit20")).as("tot20"))
+      ranked.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_journeys"),
+          sum(col("credit20")).as("credit20"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_journeys"),
+          (col("credit20").cast(DoubleType) / lit(20.0)).as("credit"),
+          (col("credit20").cast(DoubleType) /
+            col("tot20").cast(DoubleType)).as("credit_share"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH first_conv AS (
+        SELECT user_id, ts AS cts, event_id AS ceid FROM (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1
+      ), first_touch AS (
+        -- the EARLIEST (ts, event_id) row per channel — a lexicographic
+        -- arg-min like Spark's min(struct(ts, event_id)), NOT two
+        -- independent mins (event ids need not rise with time)
+        SELECT user_id, channel, fts, feid FROM (
+          SELECT e.user_id, e.event_type AS channel,
+                 e.ts AS fts, e.event_id AS feid,
+                 row_number() OVER (PARTITION BY e.user_id, e.event_type
+                   ORDER BY e.ts, e.event_id) AS rn
+          FROM events e JOIN first_conv f ON e.user_id = f.user_id
+          WHERE e.event_type <> 'purchase'
+            AND (e.ts < f.cts OR (e.ts = f.cts AND e.event_id < f.ceid))
+        ) t WHERE rn = 1
+      ), ranked AS (
+        SELECT user_id, channel,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY fts, feid) AS BIGINT) AS rk,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+        FROM first_touch
+      ), credits AS (
+        SELECT channel,
+               CASE WHEN k = 1 THEN 20
+                    WHEN k = 2 THEN 10
+                    WHEN rk = 1 OR rk = k THEN 8
+                    ELSE 4 // (k - 2) END AS credit20
+        FROM ranked
+      ), tot AS (
+        SELECT CAST(sum(credit20) AS BIGINT) AS tot20 FROM credits
+      )
+      SELECT channel, count(*) AS n_journeys,
+             CAST(CAST(sum(credit20) AS BIGINT) AS DOUBLE) / 20.0
+               AS credit,
+             CAST(CAST(sum(credit20) AS BIGINT) AS DOUBLE)
+               / CAST(tot20 AS DOUBLE) AS credit_share
+      FROM credits CROSS JOIN tot
+      GROUP BY channel, tot20
+      ORDER BY channel"""))
+
   val all: Seq[Q] =
     Seq(q31, q33, q43, q44, q53, q108, q109, q112, q120, q123, q124, q125,
       q126, q129, q130, q132, q134, q135, q136, q137, q138, q140, q143,
       q148, q149, q150, q154, q160, q171, q175, q176, q185, q187, q191,
-      q216, q288, q292, q339, q376)
+      q216, q288, q292, q339, q376, q378)
 }

@@ -950,4 +950,94 @@ class Round9OperatorsSpec extends SparkSpec {
       assert(ma > 100 && ma < 155, s"channel $ch mean $ma")
     }
   }
+
+  test("q378 U-shaped credits equal a replay and conserve per journey") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    val firstConv = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, g) =>
+        u -> g.map(r => (r._3.getTime, r._3.getNanos, r._4)).min }
+    val journeys = ev
+      .filter(r => r._2 != "purchase" && firstConv.contains(r._1))
+      .filter { r =>
+        val (ct, cn, ce) = firstConv(r._1)
+        val k = (r._3.getTime, r._3.getNanos, r._4)
+        // strictly before the conversion in (ts, event_id) order
+        Ordering[(Long, Int, Long)].lt(k, (ct, cn, ce))
+      }
+      .groupBy(_._1).map { case (u, g) =>
+        val path = g.groupBy(_._2).map { case (ch, occ) =>
+          ch -> occ.map(r => (r._3.getTime, r._3.getNanos, r._4)).min
+        }.toSeq.sortBy(_._2).map(_._1)
+        u -> path
+      }
+    val credits = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    journeys.values.foreach { path =>
+      val k = path.length
+      path.zipWithIndex.foreach { case (ch, i) =>
+        val c =
+          if (k == 1) 20L
+          else if (k == 2) 10L
+          else if (i == 0 || i == k - 1) 8L
+          else 4L / (k - 2)
+        val (n, tot) = credits(ch)
+        credits(ch) = (n + 1, tot + c)
+      }
+      // conservation: 20 twentieths per journey regardless of k
+      val sum = path.zipWithIndex.map { case (_, i) =>
+        if (k == 1) 20L else if (k == 2) 10L
+        else if (i == 0 || i == k - 1) 8L else 4L / (k - 2)
+      }.sum
+      assert(sum == 20L, s"journey k=$k leaked credit: $sum")
+    }
+    val tot20 = credits.values.map(_._2).sum
+    val got = graft.streaming.EventStream.q378.run(spark, sf001)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r)
+      .toMap
+    credits.foreach { case (ch, (n, c20)) =>
+      val (_, gn, credit, share) = got(ch)
+      assert(gn == n, s"$ch journeys: $gn vs $n")
+      assert(credit == c20.toDouble / 20.0)
+      assert(share == c20.toDouble / tot20.toDouble)
+    }
+    // every journey length 1..4 must occur or the U-shape is untested
+    val ks = journeys.values.map(_.length).toSet
+    assert(Set(1, 2, 3, 4).subsetOf(ks), s"path lengths seen: $ks")
+  }
+
+  test("q379 vocabulary overlap equals a set-arithmetic replay") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length >= 3)
+        (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+          .toSet
+      else Set(text)
+    }
+    val vocab = docs.groupBy(_._1)
+      .map { case (src, g) => src -> g.flatMap(d => shingles(d._2)).toSet }
+    val srcs = vocab.keys.toSeq.sorted
+    val got = Text.q379.run(spark, sf001)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val pairs = for (i <- srcs.indices; j <- (i + 1) until srcs.length)
+      yield (srcs(i), srcs(j))
+    assert(got.size == pairs.length)
+    pairs.foreach { case (a, b) =>
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      val (_, _, sa, sb, gi, jac) = got((a, b))
+      assert(sa == vocab(a).size.toLong && sb == vocab(b).size.toLong)
+      assert(gi == inter, s"($a,$b) inter: $gi vs $inter")
+      assert(jac == inter.toDouble /
+        (vocab(a).size + vocab(b).size - inter).toDouble)
+    }
+    // the synthetic sources share a template vocabulary — overlaps are
+    // real but never total
+    val jacs = got.values.map(_._6)
+    assert(jacs.max < 1.0 && jacs.min > 0.0)
+  }
 }
