@@ -2528,8 +2528,413 @@ object Evals {
       FROM ranked, ff
       ORDER BY rnk"""))
 
+  // ---------------------------------------------------------------- NLG
+  // Shared reference/candidate construction for the BLEU/ROUGE family
+  // (q380/q381/q382): ONE definition per fragment, rendered for both
+  // engines (the segWindowsExpr discipline — hand-synced copies
+  // desynchronize). The fixtures carry no model outputs, so the
+  // candidate is DOSED deterministically from the reference tokens:
+  //  - "insert" mode (BLEU): substitutions on the (doc_id + 17i) % 7
+  //    lattice (each replaced by the doc's FIRST token, creating the
+  //    repeated-word excess that makes CLIPPED counts load-bearing)
+  //    plus doc_id % 3 + 1 appended copies of the first token — the
+  //    candidate is NEVER shorter than the reference, so the corpus
+  //    brevity penalty is exactly 1 (exp() is libm-divergent across
+  //    engines and is deliberately kept out of the oracle surface; the
+  //    brevity RATIO is still reported).
+  //  - "drop" mode (ROUGE): the same substitution lattice plus token
+  //    DROPS on the (doc_id + 13i) % 5 lattice — recall genuinely
+  //    differs from precision and LCS from unigram overlap.
+
+  /** Reference tokens: whitespace split, empties dropped. */
+  private def refToks(dialect: String): String =
+    if (dialect == "spark") "filter(split(text, ' '), w -> length(w) > 0)"
+    else "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  /** Dosed candidate over a bound token-array column `ref`. */
+  private def candToks(dialect: String, mode: String, ref: String = "ref")
+      : String =
+    if (dialect == "spark") {
+      val subbed =
+        s"""transform(sequence(1, size($ref)), i ->
+           |  CASE WHEN (doc_id + i * 13) % 5 = 0 AND '$mode' = 'drop'
+           |         THEN CAST(NULL AS STRING)
+           |       WHEN (doc_id + i * 17) % 7 = 0 THEN element_at($ref, 1)
+           |       ELSE element_at($ref, i) END)""".stripMargin
+      if (mode == "drop") s"filter($subbed, x -> x IS NOT NULL)"
+      else
+        s"""concat($subbed,
+           |  transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)),
+           |    i -> element_at($ref, 1)))""".stripMargin
+    } else {
+      val subbed =
+        s"""list_transform(range(1, len($ref) + 1), i ->
+           |  CASE WHEN (doc_id + i * 13) % 5 = 0 AND '$mode' = 'drop'
+           |         THEN CAST(NULL AS VARCHAR)
+           |       WHEN (doc_id + i * 17) % 7 = 0 THEN $ref[1]
+           |       ELSE $ref[i] END)""".stripMargin
+      if (mode == "drop") s"list_filter($subbed, x -> x IS NOT NULL)"
+      else
+        s"""list_concat($subbed,
+           |  list_transform(range(1, doc_id % 3 + 2), i -> $ref[1]))"""
+          .stripMargin
+    }
+
+  /** n-grams of a bound token-array column as space-joined strings, one
+    * SQL fragment per engine; empty when the array is shorter than n. */
+  private def ngrams(dialect: String, t: String, n: Int): String =
+    if (dialect == "spark")
+      s"""CASE WHEN size($t) >= $n
+         |THEN transform(sequence(1, size($t) - $n + 1), i ->
+         |       array_join(slice($t, i, $n), ' '))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+    else
+      s"""CASE WHEN len($t) >= $n
+         |THEN list_transform(range(1, len($t) - $n + 2), i ->
+         |       array_to_string($t[i:i+$n-1], ' '))
+         |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** q380: CORPUS BLEU (Papineni et al. 2002, "BLEU: a Method for
+    * Automatic Evaluation of Machine Translation") — the canonical NLG
+    * eval the data pipeline publishes beside pass@k/BT: modified n-gram
+    * precisions p₁..p₄ with per-gram counts CLIPPED at the reference
+    * count (the clipping is exercised: the dose repeats the first
+    * token, so candidate counts exceed reference counts exactly where
+    * the lattice fires), corpus-summed numerators/denominators (never
+    * per-sentence averages — the Papineni corpus form), and the
+    * geometric mean computed WITHOUT pow(): (p₁p₂p₃p₄)^¼ =
+    * sqrt(sqrt(·)) and IEEE-754 sqrt is correctly rounded in both
+    * engines (the q341 c^(3/4) trick), so the iterated doubles
+    * bit-agree. The brevity penalty is exactly 1 by dose construction
+    * (candidate ≥ reference per doc — see candToks); exp() never enters
+    * the oracle surface and the brevity ratio column keeps the check
+    * honest. EXACT: every numerator/denominator is an integer sum; each
+    * pₙ is ONE IEEE division of identical operands. Scale: n-gram
+    * expansion is linear in corpus tokens (4 passes), the clip join is
+    * keyed by (doc, n, gram) — partition-local after one shuffle; the
+    * report is ONE row however large the corpus. */
+  val q380 = Q(
+    "q380_bleu",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), expr(refToks("spark")).as("ref"))
+        .withColumn("cand", expr(candToks("spark", "insert")))
+        .persistTracked()
+      def grams(side: String) =
+        (1 to 4).map { n =>
+          toks.select(col("doc_id"), lit(n).as("n"),
+            explode(expr(ngrams("spark", side, n))).as("gram"))
+        }.reduce(_ unionAll _)
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as(s"cnt_$side"))
+      val clip = grams("cand")
+        .join(grams("ref"), Seq("doc_id", "n", "gram"))
+        .groupBy(col("n"))
+        .agg(sum(least(col("cnt_cand"), col("cnt_ref"))).as("num"))
+      val dens = toks
+        .select(col("doc_id"), col("ref"), col("cand"),
+          explode(expr("array(1, 2, 3, 4)")).as("n"))
+        .groupBy(col("n"))
+        .agg(
+          sum(greatest(size(col("cand")) - col("n") + 1, lit(0))
+            .cast(LongType)).as("den"),
+          sum(size(col("cand")).cast(LongType)).as("c_len"),
+          sum(size(col("ref")).cast(LongType)).as("r_len"))
+      dens.join(clip, Seq("n"))
+        .withColumn("p", col("num").cast(DoubleType) /
+          col("den").cast(DoubleType))
+        .agg(
+          max(when(col("n") === 1, col("c_len"))).as("c_len"),
+          max(when(col("n") === 1, col("r_len"))).as("r_len"),
+          max(when(col("n") === 1, col("p"))).as("p1"),
+          max(when(col("n") === 2, col("p"))).as("p2"),
+          max(when(col("n") === 3, col("p"))).as("p3"),
+          max(when(col("n") === 4, col("p"))).as("p4"))
+        .select(
+          col("c_len"), col("r_len"),
+          (col("c_len").cast(DoubleType) / col("r_len").cast(DoubleType))
+            .as("brevity_ratio"),
+          col("p1"), col("p2"), col("p3"), col("p4"),
+          sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4")))
+            .as("bleu"))
+    },
+    Some {
+      val gramBranches = (side: String) => (1 to 4).map { n =>
+        s"""SELECT doc_id, $n AS n,
+           |       unnest(${ngrams("duck", side, n)}) AS gram
+           |FROM toks""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH toks0 AS (
+        SELECT doc_id, ${refToks("duck")} AS ref
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, ref, ${candToks("duck", "insert")} AS cand
+        FROM toks0
+      ), cand_g AS (
+        SELECT doc_id, n, gram, count(*) AS cnt_cand
+        FROM (${gramBranches("cand")}) g GROUP BY doc_id, n, gram
+      ), ref_g AS (
+        SELECT doc_id, n, gram, count(*) AS cnt_ref
+        FROM (${gramBranches("ref")}) g GROUP BY doc_id, n, gram
+      ), clip AS (
+        SELECT c.n, CAST(sum(least(c.cnt_cand, r.cnt_ref)) AS BIGINT)
+                 AS num
+        FROM cand_g c
+        JOIN ref_g r ON r.doc_id = c.doc_id AND r.n = c.n
+                    AND r.gram = c.gram
+        GROUP BY c.n
+      ), dens AS (
+        SELECT n.n,
+               CAST(sum(greatest(len(cand) - n.n + 1, 0)) AS BIGINT)
+                 AS den,
+               CAST(sum(len(cand)) AS BIGINT) AS c_len,
+               CAST(sum(len(ref)) AS BIGINT) AS r_len
+        FROM toks CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) n
+        GROUP BY n.n
+      ), per_n AS (
+        SELECT d.n, d.c_len, d.r_len,
+               CAST(c.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS p
+        FROM dens d JOIN clip c ON c.n = d.n
+      ), wide AS (
+        SELECT max(CASE WHEN n = 1 THEN c_len END) AS c_len,
+               max(CASE WHEN n = 1 THEN r_len END) AS r_len,
+               max(CASE WHEN n = 1 THEN p END) AS p1,
+               max(CASE WHEN n = 2 THEN p END) AS p2,
+               max(CASE WHEN n = 3 THEN p END) AS p3,
+               max(CASE WHEN n = 4 THEN p END) AS p4
+        FROM per_n
+      )
+      SELECT c_len, r_len,
+             CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE)
+               AS brevity_ratio,
+             p1, p2, p3, p4,
+             sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu
+      FROM wide"""
+    })
+
+  /** q381: ROUGE-1/ROUGE-2 (Lin 2004, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries") — the recall-oriented complement of
+    * q380's BLEU, per source × n ∈ {1,2}: clipped n-gram matches over
+    * the REFERENCE gram total (recall, the headline ROUGE number),
+    * over the CANDIDATE total (precision), and their harmonic F
+    * ((2·P)·R/(P+R), identical association both engines). The
+    * candidate uses the DROP dose (candToks "drop"): substitutions
+    * depress precision, token drops depress recall — the two columns
+    * genuinely decouple. EXACT: integer match/total sums per
+    * (source, n); P and R are single IEEE divisions, F is the same
+    * three flops on identical doubles. Scale: the same linear n-gram
+    * expansion and (doc, n, gram)-keyed clip join as q380; the report
+    * is |sources|·2 rows. */
+  val q381 = Q(
+    "q381_rouge_n",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr(refToks("spark")).as("ref"))
+        .withColumn("cand", expr(candToks("spark", "drop")))
+        .persistTracked()
+      def grams(side: String) =
+        (1 to 2).map { n =>
+          toks.select(col("source"), col("doc_id"), lit(n).as("n"),
+            explode(expr(ngrams("spark", side, n))).as("gram"))
+        }.reduce(_ unionAll _)
+          .groupBy(col("source"), col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as(s"cnt_$side"))
+      val clip = grams("cand")
+        .join(grams("ref").drop("source"), Seq("doc_id", "n", "gram"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(least(col("cnt_cand"), col("cnt_ref")))
+          .as("match_grams"))
+      val totals = toks
+        .select(col("source"), col("ref"), col("cand"),
+          explode(expr("array(1, 2)")).as("n"))
+        .groupBy(col("source"), col("n"))
+        .agg(
+          sum(greatest(size(col("cand")) - col("n") + 1, lit(0))
+            .cast(LongType)).as("cand_grams"),
+          sum(greatest(size(col("ref")) - col("n") + 1, lit(0))
+            .cast(LongType)).as("ref_grams"))
+      totals.join(clip, Seq("source", "n"))
+        .withColumn("rouge_p", col("match_grams").cast(DoubleType) /
+          col("cand_grams").cast(DoubleType))
+        .withColumn("rouge_r", col("match_grams").cast(DoubleType) /
+          col("ref_grams").cast(DoubleType))
+        .withColumn("rouge_f",
+          when(col("rouge_p") + col("rouge_r") === 0.0, lit(0.0))
+            .otherwise((lit(2.0) * col("rouge_p")) * col("rouge_r") /
+              (col("rouge_p") + col("rouge_r"))))
+        .select(col("source"), col("n").cast(LongType).as("n"),
+          col("match_grams"), col("cand_grams"), col("ref_grams"),
+          col("rouge_p"), col("rouge_r"), col("rouge_f"))
+        .orderBy(col("source"), col("n"))
+    },
+    Some {
+      val gramBranches = (side: String) => (1 to 2).map { n =>
+        s"""SELECT source, doc_id, $n AS n,
+           |       unnest(${ngrams("duck", side, n)}) AS gram
+           |FROM toks""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH toks0 AS (
+        SELECT doc_id, source, ${refToks("duck")} AS ref
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, source, ref,
+               ${candToks("duck", "drop")} AS cand
+        FROM toks0
+      ), cand_g AS (
+        SELECT source, doc_id, n, gram, count(*) AS cnt_cand
+        FROM (${gramBranches("cand")}) g GROUP BY source, doc_id, n, gram
+      ), ref_g AS (
+        SELECT doc_id, n, gram, count(*) AS cnt_ref
+        FROM (${gramBranches("ref")}) g GROUP BY doc_id, n, gram
+      ), clip AS (
+        SELECT c.source, c.n,
+               CAST(sum(least(c.cnt_cand, r.cnt_ref)) AS BIGINT)
+                 AS match_grams
+        FROM cand_g c
+        JOIN ref_g r ON r.doc_id = c.doc_id AND r.n = c.n
+                    AND r.gram = c.gram
+        GROUP BY c.source, c.n
+      ), totals AS (
+        SELECT source, n.n,
+               CAST(sum(greatest(len(cand) - n.n + 1, 0)) AS BIGINT)
+                 AS cand_grams,
+               CAST(sum(greatest(len(ref) - n.n + 1, 0)) AS BIGINT)
+                 AS ref_grams
+        FROM toks CROSS JOIN (SELECT unnest([1, 2]) AS n) n
+        GROUP BY source, n.n
+      )
+      SELECT t.source, CAST(t.n AS BIGINT) AS n, c.match_grams,
+             t.cand_grams, t.ref_grams,
+             CAST(c.match_grams AS DOUBLE) / CAST(t.cand_grams AS DOUBLE)
+               AS rouge_p,
+             CAST(c.match_grams AS DOUBLE) / CAST(t.ref_grams AS DOUBLE)
+               AS rouge_r,
+             CASE WHEN CAST(c.match_grams AS DOUBLE)
+                         / CAST(t.cand_grams AS DOUBLE)
+                       + CAST(c.match_grams AS DOUBLE)
+                         / CAST(t.ref_grams AS DOUBLE) = 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE (CAST(2 AS DOUBLE)
+                          * (CAST(c.match_grams AS DOUBLE)
+                             / CAST(t.cand_grams AS DOUBLE)))
+                       * (CAST(c.match_grams AS DOUBLE)
+                          / CAST(t.ref_grams AS DOUBLE))
+                       / (CAST(c.match_grams AS DOUBLE)
+                            / CAST(t.cand_grams AS DOUBLE)
+                          + CAST(c.match_grams AS DOUBLE)
+                            / CAST(t.ref_grams AS DOUBLE)) END
+               AS rouge_f
+      FROM totals t JOIN clip c ON c.source = t.source AND c.n = t.n
+      ORDER BY t.source, t.n"""
+    })
+
+  /** q382: ROUGE-L VIA LONGEST COMMON SUBSEQUENCE (Lin 2004 §3.1) over
+    * a bounded eval panel (doc_id < 60, tokens capped at 40 — the
+    * q304/q355 panel discipline: LCS is inherently O(n·m) PER PAIR and
+    * belongs on a panel, not the corpus; corpus-scale overlap uses
+    * q381's linear n-gram form). The DP row recurrence
+    * new[j] = max(new[j−1], A[j], A[j−1]+eq_j) carries an intra-row
+    * sequential dependency that neither engine's lambda surface can
+    * fold directly — but LCS DP rows are MONOTONE NONDECREASING in j
+    * (induction on j), so max_{k<j} A[k] = A[j−1] ≤ A[j] and the
+    * recurrence unrolls to the carry-free form
+    *   new[j] = max(A[j], max_{k≤j}(A[k−1] + eq_k))
+    * — a prefix max computable by a nested transform (O(m²) per
+    * candidate token, bounded by the panel cap). Spark folds candidate
+    * tokens with aggregate(); the DuckDB twin advances the SAME row
+    * one candidate token per WITH RECURSIVE step (list_reduce cannot
+    * carry a LIST accumulator over VARCHAR elements — its accumulator
+    * type must equal the element type). EXACT: the DP is all-integer;
+    * P/R/F are the q381 divisions on identical operands. */
+  val q382 = Q(
+    "q382_rouge_l",
+    (s, d) => {
+      val panel = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          expr(s"slice(${refToks("spark")}, 1, 40)").as("r"))
+        .withColumn("c", expr(candToks("spark", "drop", "r")))
+      panel
+        .withColumn("lcs", expr(
+          """element_at(
+            |  aggregate(c,
+            |    transform(sequence(0, size(r)), j -> CAST(0 AS BIGINT)),
+            |    (row, ct) -> concat(array(CAST(0 AS BIGINT)),
+            |      transform(sequence(1, size(r)), j ->
+            |        greatest(element_at(row, j + 1),
+            |          array_max(transform(sequence(1, j), k ->
+            |            element_at(row, k) +
+            |            IF(ct = element_at(r, k),
+            |               CAST(1 AS BIGINT), CAST(0 AS BIGINT)))))))),
+            |  size(r) + 1)""".stripMargin))
+        .select(col("doc_id"),
+          size(col("r")).cast(LongType).as("len_r"),
+          size(col("c")).cast(LongType).as("len_c"),
+          col("lcs"))
+        .withColumn("rouge_l_p", col("lcs").cast(DoubleType) /
+          col("len_c").cast(DoubleType))
+        .withColumn("rouge_l_r", col("lcs").cast(DoubleType) /
+          col("len_r").cast(DoubleType))
+        .withColumn("rouge_l_f",
+          when(col("rouge_l_p") + col("rouge_l_r") === 0.0, lit(0.0))
+            .otherwise((lit(2.0) * col("rouge_l_p")) * col("rouge_l_r") /
+              (col("rouge_l_p") + col("rouge_l_r"))))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE toks0 AS (
+        SELECT doc_id, ${refToks("duck")} AS ref
+        FROM documents WHERE doc_id < 60
+      ), panel AS (
+        SELECT doc_id, r, ${candToks("duck", "drop", "r")} AS c
+        FROM (SELECT doc_id, ref[1:40] AS r FROM toks0) capped
+      ), lcs AS (
+        SELECT doc_id, 0 AS i,
+               list_transform(range(0, len(r) + 1),
+                 x -> CAST(0 AS BIGINT)) AS row
+        FROM panel
+        UNION ALL
+        SELECT l.doc_id, l.i + 1,
+               list_concat([CAST(0 AS BIGINT)],
+                 list_transform(range(1, CAST(len(p.r) AS BIGINT) + 1),
+                   j -> greatest(l.row[j + 1],
+                     list_aggregate(list_transform(range(1, j + 1), k ->
+                       l.row[k] + CASE WHEN p.c[l.i + 1] = p.r[k]
+                                       THEN CAST(1 AS BIGINT)
+                                       ELSE CAST(0 AS BIGINT) END),
+                       'max'))))
+        FROM lcs l JOIN panel p USING (doc_id)
+        WHERE l.i < len(p.c)
+      ), final AS (
+        SELECT l.doc_id,
+               CAST(len(p.r) AS BIGINT) AS len_r,
+               CAST(len(p.c) AS BIGINT) AS len_c,
+               l.row[len(p.r) + 1] AS lcs
+        FROM lcs l JOIN panel p USING (doc_id)
+        WHERE l.i = len(p.c)
+      )
+      SELECT doc_id, len_r, len_c, lcs,
+             CAST(lcs AS DOUBLE) / CAST(len_c AS DOUBLE) AS rouge_l_p,
+             CAST(lcs AS DOUBLE) / CAST(len_r AS DOUBLE) AS rouge_l_r,
+             CASE WHEN CAST(lcs AS DOUBLE) / CAST(len_c AS DOUBLE)
+                       + CAST(lcs AS DOUBLE) / CAST(len_r AS DOUBLE) = 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE (CAST(2 AS DOUBLE)
+                          * (CAST(lcs AS DOUBLE) / CAST(len_c AS DOUBLE)))
+                       * (CAST(lcs AS DOUBLE) / CAST(len_r AS DOUBLE))
+                       / (CAST(lcs AS DOUBLE) / CAST(len_c AS DOUBLE)
+                          + CAST(lcs AS DOUBLE) / CAST(len_r AS DOUBLE))
+                  END AS rouge_l_f
+      FROM final
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358, q362, q364, q367, q368, q373, q374, q375)
+      q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382)
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Evals
+
+/** Round-10 operator family: independent driver replays (third
+  * implementations — plain Scala collections, no Spark, no SQL) of each
+  * new operator at sf0.001, plus the structural invariants the oracle
+  * compare cannot see. Doubles compare with ==, not tolerance, because
+  * both sides compute from identical integer operands in an identical
+  * order (the Round8/Round9 discipline).
+  */
+class Round10OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docToks: Array[(Long, String, Array[String])] =
+    Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, t) =>
+        (id, src, t.split(" ", -1).filter(_.nonEmpty))
+      }
+
+  /** The q380/q381 dose, replayed: substitution lattice (+ drops or
+    * appends by mode) — must mirror Evals.candToks exactly. */
+  private def cand(id: Long, ref: Array[String], mode: String)
+      : Array[String] = {
+    val subbed = ref.indices.map { i0 =>
+      val i = i0 + 1L
+      if ((id + i * 13) % 5 == 0 && mode == "drop") null
+      else if ((id + i * 17) % 7 == 0) ref(0)
+      else ref(i0)
+    }
+    if (mode == "drop") subbed.filter(_ != null).toArray
+    else (subbed ++ Array.fill((id % 3 + 1).toInt)(ref(0))).toArray
+  }
+
+  private def ngramCounts(t: Array[String], n: Int): Map[String, Long] =
+    t.sliding(n).filter(_.length == n).map(_.mkString(" "))
+      .toSeq.groupBy(identity).map { case (g, c) => g -> c.length.toLong }
+
+  test("q380 BLEU equals a from-scratch replay; clipping load-bearing") {
+    val docs = docToks
+    var cLen = 0L; var rLen = 0L
+    val num = Array.fill(5)(0L); val den = Array.fill(5)(0L)
+    var unclipped = 0L
+    docs.foreach { case (id, _, ref) =>
+      val c = cand(id, ref, "insert")
+      assert(c.length >= ref.length, s"doc $id candidate shorter than ref")
+      cLen += c.length; rLen += ref.length
+      (1 to 4).foreach { n =>
+        val cg = ngramCounts(c, n); val rg = ngramCounts(ref, n)
+        num(n) += cg.map { case (g, cc) =>
+          math.min(cc, rg.getOrElse(g, 0L))
+        }.sum
+        unclipped += cg.collect {
+          case (g, cc) if rg.contains(g) => cc
+        }.sum
+        den(n) += math.max(c.length - n + 1, 0).toLong
+      }
+    }
+    val p = (1 to 4).map(n => num(n).toDouble / den(n).toDouble)
+    val bleu = math.sqrt(math.sqrt(((p(0) * p(1)) * p(2)) * p(3)))
+    val row = Evals.q380.run(spark, sf001)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(row._1 == cLen && row._2 == rLen)
+    assert(row._3 == cLen.toDouble / rLen.toDouble)
+    assert(row._4 == p(0) && row._5 == p(1) &&
+      row._6 == p(2) && row._7 == p(3))
+    assert(row._8 == bleu)
+    // structural gates: BP=1 regime genuinely holds; clipping fired
+    // (some candidate gram count exceeded its reference count)
+    assert(cLen > rLen)
+    assert(unclipped > num.sum, "clipping never fired — dose broken")
+    p.foreach(x => assert(x > 0.0 && x < 1.0, s"degenerate precision $x"))
+  }
+
+  test("q381 ROUGE-1/2 equals a from-scratch replay; P and R decouple") {
+    val docs = docToks
+    val got = Evals.q381.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == docs.map(_._2).distinct.length * 2)
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      (1 to 2).foreach { n =>
+        var m = 0L; var cg_t = 0L; var rg_t = 0L
+        g.foreach { case (id, _, ref) =>
+          val c = cand(id, ref, "drop")
+          val cg = ngramCounts(c, n); val rg = ngramCounts(ref, n)
+          m += cg.map { case (gr, cc) =>
+            math.min(cc, rg.getOrElse(gr, 0L))
+          }.sum
+          cg_t += math.max(c.length - n + 1, 0).toLong
+          rg_t += math.max(ref.length - n + 1, 0).toLong
+        }
+        val p = m.toDouble / cg_t.toDouble
+        val r = m.toDouble / rg_t.toDouble
+        val f = if (p + r == 0.0) 0.0 else (2.0 * p) * r / (p + r)
+        val (_, _, gm, gc, gr2, gp, grr, gf) = got((src, n.toLong))
+        assert(gm == m && gc == cg_t && gr2 == rg_t,
+          s"$src n=$n counts: ($gm,$gc,$gr2) vs ($m,$cg_t,$rg_t)")
+        assert(gp == p && grr == r && gf == f)
+        // drops make the candidate shorter -> precision > recall
+        assert(gp > grr, s"$src n=$n P=$gp !> R=$grr — drop dose broken")
+      }
+    }
+  }
+
+  test("q382 ROUGE-L equals a classic 2D LCS replay") {
+    def lcs(a: Array[String], b: Array[String]): Long = {
+      val dp = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val panel = docToks.filter(_._1 < 60)
+      .map { case (id, _, ref0) =>
+        val r = ref0.take(40)
+        (id, r, cand(id, r, "drop"))
+      }
+    val got = Evals.q382.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == panel.length && panel.nonEmpty)
+    var nontrivial = 0
+    panel.foreach { case (id, r, c) =>
+      val l = lcs(c, r)
+      val (_, lenR, lenC, gl, gp, grr, gf) = got(id)
+      assert(lenR == r.length && lenC == c.length)
+      assert(gl == l, s"doc $id lcs: $gl vs $l")
+      val p = l.toDouble / c.length.toDouble
+      val rr = l.toDouble / r.length.toDouble
+      val f = if (p + rr == 0.0) 0.0 else (2.0 * p) * rr / (p + rr)
+      assert(gp == p && grr == rr && gf == f)
+      assert(l > 0L, s"doc $id degenerate zero LCS")
+      if (l < math.min(c.length, r.length)) nontrivial += 1
+    }
+    // the substitution lattice must make LCS a real subsequence search
+    // (not just a length min) for most of the panel
+    assert(nontrivial > panel.length / 2,
+      s"only $nontrivial/${panel.length} panel docs have non-trivial LCS")
+  }
+}
