@@ -2933,8 +2933,154 @@ object Evals {
       FROM final
       ORDER BY doc_id"""))
 
+  /** Expected-score lookup for q383: E_pct(d) for rating differences
+    * d = −400..400 points in 25-point buckets (33 entries). Generated
+    * ONCE at registration from the logistic 100/(1+10^(−d/400)) and
+    * emitted as the SAME integer literals into both engines (the
+    * q356 z-sum-literal discipline — pow() never runs inside either
+    * engine). Antisymmetry is BY CONSTRUCTION (E(−d) := 100 − E(d)),
+    * so the two sides of every update cancel exactly and total rating
+    * is conserved. */
+  private val eloTab: Seq[Long] = {
+    val pos = (0 to 16).map(i =>
+      math.round(100.0 / (1 + math.pow(10, -(i * 25) / 400.0))))
+    (-16 to 16).map(t => if (t < 0) 100L - pos(-t) else pos(t))
+  }
+
+  /** q383: TABLE-DRIVEN ELO RATINGS OVER AN ORDERED MATCH LOG (Elo
+    * 1978; the FIDE rating regulations compute expected scores from a
+    * published conversion TABLE, not a live logistic — exactly the
+    * spelling that makes sequential Elo oracle-stable here). The
+    * arena-style ONLINE complement of q304's order-free Bradley–Terry
+    * MM: ratings update match by match (K=16), so the fold order IS
+    * the semantics. ALL-INTEGER: ratings in centipoints, expected
+    * scores in percent from [[eloTab]] (bucketed at 25 points,
+    * clamped at ±400), outcomes in {0,50,100}, so every update is
+    * delta = 16·(s − E) centipoints with zero libm anywhere; the
+    * zero-sum invariant Σratings = 5·100000 holds exactly (table
+    * antisymmetry). Dosed: matchups a = id%5 vs b = (id÷7)%5, the
+    * higher-index model favored, upsets on (id·2654435761)%20 < 3 and
+    * draws at = 3 — so ratings order by strength but with real
+    * variance. Sequential by definition → BOUNDED PANEL (doc_id < 500,
+    * the q304/q355 discipline); corpus-scale preference aggregation is
+    * q304. Spark folds a sorted collect_list; the DuckDB twin replays
+    * the SAME update one match per WITH RECURSIVE step. */
+  val q383 = Q(
+    "q383_elo_ratings",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val matches = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          expr("doc_id % 5").as("a"),
+          expr("(doc_id div 7) % 5").as("b"),
+          expr("(doc_id * 2654435761L) % 20").as("u"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("s_pct", expr(
+          """CASE WHEN u = 3 THEN CAST(50 AS BIGINT)
+            |     WHEN (a > b AND u >= 4) OR (a < b AND u < 3)
+            |       THEN CAST(100 AS BIGINT)
+            |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        .persistTracked()
+      val tabSpark =
+        "array(" + eloTab.map(v => s"CAST($v AS BIGINT)").mkString(", ") +
+          ")"
+      val delta =
+        s"""(16 * (m.s_pct - element_at($tabSpark,
+           |  CAST((greatest(least(
+           |    element_at(st, CAST(m.a + 1 AS INT)) -
+           |    element_at(st, CAST(m.b + 1 AS INT)), 40000), -40000)
+           |    + 41250) div 2500 AS INT) + 1)))""".stripMargin
+      val folded = matches
+        .agg(expr(
+          s"""aggregate(
+             |  array_sort(collect_list(struct(doc_id, a, b, s_pct))),
+             |  transform(sequence(1, 5), p -> CAST(100000 AS BIGINT)),
+             |  (st, m) -> transform(sequence(1, 5), p ->
+             |    CASE WHEN p = m.a + 1 THEN element_at(st, p) + $delta
+             |         WHEN p = m.b + 1 THEN element_at(st, p) - $delta
+             |         ELSE element_at(st, p) END))""".stripMargin)
+          .as("ratings"))
+        .select(posexplode(col("ratings")).as(Seq("p", "rating_cp")))
+        .select(col("p").cast(LongType).as("model"), col("rating_cp"))
+      val sides = matches.select(col("a").as("model"),
+        when(col("s_pct") === 100, 1L).otherwise(0L).as("win"),
+        when(col("s_pct") === 50, 1L).otherwise(0L).as("draw"))
+        .unionAll(matches.select(col("b").as("model"),
+          when(col("s_pct") === 0, 1L).otherwise(0L).as("win"),
+          when(col("s_pct") === 50, 1L).otherwise(0L).as("draw")))
+        .groupBy(col("model"))
+        .agg(count(lit(1)).as("games"), sum(col("win")).as("wins"),
+          sum(col("draw")).as("draws"))
+      folded.join(sides, Seq("model"))
+        .select(col("model"), col("games"), col("wins"), col("draws"),
+          col("rating_cp"),
+          (col("rating_cp").cast(DoubleType) / lit(100.0)).as("rating"))
+        .orderBy(col("model"))
+    },
+    Some {
+      val tabDuck = "[" + eloTab.map(v => s"CAST($v AS BIGINT)")
+        .mkString(", ") + "]"
+      val delta =
+        s"""(16 * (m.s_pct - $tabDuck[
+           |  CAST((greatest(least(e.r[CAST(m.a + 1 AS INT)]
+           |    - e.r[CAST(m.b + 1 AS INT)], 40000), -40000)
+           |    + 41250) // 2500 AS INT) + 1]))""".stripMargin
+      s"""
+      WITH RECURSIVE raw AS (
+        SELECT doc_id, doc_id % 5 AS a, (doc_id // 7) % 5 AS b,
+               (doc_id * 2654435761) % 20 AS u
+        FROM documents WHERE doc_id < 500
+      ), matches AS (
+        SELECT row_number() OVER (ORDER BY doc_id) AS i, a, b,
+               CASE WHEN u = 3 THEN CAST(50 AS BIGINT)
+                    WHEN (a > b AND u >= 4) OR (a < b AND u < 3)
+                      THEN CAST(100 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS s_pct
+        FROM raw WHERE a <> b
+      ), n AS (
+        SELECT count(*) AS n FROM matches
+      ), elo AS (
+        SELECT 0 AS i,
+               list_transform(range(1, 6),
+                 p -> CAST(100000 AS BIGINT)) AS r
+        UNION ALL
+        SELECT e.i + 1,
+               list_transform(range(1, 6), p ->
+                 CASE WHEN p = m.a + 1 THEN e.r[p] + $delta
+                      WHEN p = m.b + 1 THEN e.r[p] - $delta
+                      ELSE e.r[p] END)
+        FROM elo e JOIN matches m ON m.i = e.i + 1
+      ), finalr AS (
+        SELECT unnest(r) AS rating_cp,
+               generate_subscripts(r, 1) AS p
+        FROM elo, n WHERE elo.i = n.n
+      ), sides AS (
+        SELECT model, count(*) AS games,
+               CAST(sum(win) AS BIGINT) AS wins,
+               CAST(sum(draw) AS BIGINT) AS draws
+        FROM (
+          SELECT a AS model,
+                 CASE WHEN s_pct = 100 THEN 1 ELSE 0 END AS win,
+                 CASE WHEN s_pct = 50 THEN 1 ELSE 0 END AS draw
+          FROM matches
+          UNION ALL
+          SELECT b AS model,
+                 CASE WHEN s_pct = 0 THEN 1 ELSE 0 END AS win,
+                 CASE WHEN s_pct = 50 THEN 1 ELSE 0 END AS draw
+          FROM matches
+        ) two GROUP BY model
+      )
+      SELECT CAST(f.p - 1 AS BIGINT) AS model, s.games, s.wins, s.draws,
+             f.rating_cp,
+             CAST(f.rating_cp AS DOUBLE) / CAST(100 AS DOUBLE) AS rating
+      FROM finalr f JOIN sides s ON s.model = f.p - 1
+      ORDER BY model"""
+    })
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
-      q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382)
+      q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
+      q383)
 }

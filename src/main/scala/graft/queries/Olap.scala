@@ -5541,6 +5541,98 @@ object Olap {
       JOIN prefix phi ON phi.idx = bins.hi
       ORDER BY bin"""))
 
+  /** q384: CUSUM CHANGEPOINT / DRIFT DETECTION (Page 1954, "Continuous
+    * Inspection Schemes"; the tabular two-sided CUSUM of Montgomery
+    * §9.1 — the standing data-quality monitor that catches a SLOW mean
+    * shift an outlier screen like q133 never sees). The sequential
+    * recurrence S⁺_d = max(0, S⁺_{d−1} + (x_d − μ₀ − k)) is carry-free
+    * via the running-extremum identity: with w_d = dev_d − k and
+    * cum_d = Σ_{i≤d} w_i, S⁺_d = cum_d − min(0, min_{j≤d} cum_j) (and
+    * symmetrically S⁻ off a running max) — two window passes, no fold.
+    * ALL-INTEGER: deviations are cross-multiplied by the pre-period
+    * month count (dev_d = v_d·N_pre − T_pre — never a double mean),
+    * slack k = T_pre÷8 (μ₀/8 in the same scale), decision interval
+    * h = T_pre (4k, the classic h = 4σ-ish tabular choice; at sf0.001
+    * the monthly noise is ±24% of μ₀ — k and h must absorb a 48-month
+    * in-control random walk at EVERY SF, parameter-swept before
+    * shipping). Dosed: a +50% multiplicative level shift (v = x + x÷2)
+    * from 1999-01 on —
+    * SF-proportional, so the alarm month is stable across scales.
+    * Scale: one scan to an ≈80-row month rollup; the windows run over
+    * that bounded aggregate (whitelisted bare-window shape). */
+  val q384 = Q(
+    "q384_cusum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+        .withColumn("v",
+          when(col("month") >= lit("1999-01-01").cast(TimestampType),
+            col("x") + expr("x div 2")).otherwise(col("x")))
+      val pre = monthly
+        .filter(col("month") < lit("1999-01-01").cast(TimestampType))
+        .agg(count(lit(1)).as("n_pre"), sum(col("v")).as("t_pre"))
+      val w = Window.orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.crossJoin(broadcast(pre))
+        .withColumn("dev", col("v") * col("n_pre") - col("t_pre"))
+        .withColumn("k", expr("t_pre div 4"))
+        .withColumn("h", col("t_pre"))
+        .withColumn("cum_pos", sum(col("dev") - col("k")).over(w))
+        .withColumn("cum_neg", sum(col("dev") + col("k")).over(w))
+        .withColumn("s_pos",
+          col("cum_pos") - least(min(col("cum_pos")).over(w), lit(0L)))
+        .withColumn("s_neg",
+          greatest(max(col("cum_neg")).over(w), lit(0L)) - col("cum_neg"))
+        .select(col("month"), col("v").as("revenue_cents"),
+          col("s_pos"), col("s_neg"),
+          (col("s_pos") > col("h")).as("alarm_up"),
+          (col("s_neg") > col("h")).as("alarm_down"))
+        .orderBy(col("month"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        -- DuckDB date_trunc returns DATE; Spark returns TIMESTAMP
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                 AS month,
+               sum(${Det.centsSql("o_totalprice")}) AS x
+        FROM orders GROUP BY 1
+      ), dosed AS (
+        SELECT month, x,
+               CASE WHEN month >= TIMESTAMP '1999-01-01'
+                    THEN x + x // 2 ELSE x END AS v
+        FROM monthly
+      ), pre AS (
+        SELECT count(*) AS n_pre, CAST(sum(v) AS BIGINT) AS t_pre
+        FROM dosed WHERE month < TIMESTAMP '1999-01-01'
+      ), cums AS (
+        SELECT month, v,
+               t_pre AS h,
+               sum(v * n_pre - t_pre - t_pre // 4)
+                 OVER (ORDER BY month
+                       ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(v * n_pre - t_pre + t_pre // 4)
+                 OVER (ORDER BY month
+                       ROWS UNBOUNDED PRECEDING) AS cum_neg
+        FROM dosed, pre
+      )
+      SELECT month, CAST(v AS BIGINT) AS revenue_cents,
+             CAST(cum_pos - least(min(cum_pos)
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 0)
+               AS BIGINT) AS s_pos,
+             CAST(greatest(max(cum_neg)
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 0)
+               - cum_neg AS BIGINT) AS s_neg,
+             cum_pos - least(min(cum_pos)
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 0) > h
+               AS alarm_up,
+             greatest(max(cum_neg)
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 0)
+               - cum_neg > h AS alarm_down
+      FROM cums
+      ORDER BY month"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5549,5 +5641,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351, q361, q369, q370)
+      q333, q337, q348, q351, q361, q369, q370, q384)
 }

@@ -5106,11 +5106,100 @@ object Text {
       JOIN sizes sb ON sb.source = i.source_b
       ORDER BY i.source_a, i.source_b"""))
 
+  /** q385: GOOD–TURING FREQUENCY SPECTRUM + MISSING-MASS ESTIMATE (Good
+    * 1953, "The population frequencies of species"; the discount table
+    * behind Katz 1987 backoff smoothing — the LM-pipeline readout for
+    * "how much probability mass belongs to n-grams we have never
+    * seen"). Unit: trigram TYPES over the whitespace tokens (the corpus
+    * vocabulary is ~31 words, so WORD counts have no hapax tail — the
+    * trigram spectrum is long-tailed at every SF, cf. q347's novelty).
+    * Per frequency c = 1..5: the spectrum count N_c, the Turing
+    * adjusted count c* = (c+1)·N_{c+1}/N_c, the observed mass share
+    * c·N_c/N — and the Good–Turing missing mass P₀ = N₁/N on every
+    * row. EXACT: N_c, N, and every numerator are integer sums; c*,
+    * mass_share, p0 are single IEEE divisions of identical operands.
+    * Rows with N_c = 0 cannot appear (GROUP BY only materializes
+    * observed c); an absent N_{c+1} coalesces to 0 — c* degrades to 0,
+    * same in both engines. Scale: gram expansion is linear in corpus
+    * tokens; the spectrum rollup is two keyed shuffles; the report is
+    * ≤ 5 rows whatever the corpus size. */
+  val q385 = Q(
+    "q385_good_turing",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cnt = Tables.load(s, d, "documents")
+        .select(expr("filter(split(text, ' ', -1), t -> t <> '')")
+          .as("toks"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2),
+            |    i -> concat_ws(' ', slice(toks, i, 3)))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .persistTracked()
+      val spectrum = cnt.groupBy(col("c"))
+        .agg(count(lit(1)).as("n_types"))
+        .persistTracked()
+      val totals = cnt.agg(
+        sum(col("c")).as("n_total"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      spectrum.filter(col("c") <= 5)
+        .join(
+          spectrum.select((col("c") - 1).as("c"),
+            col("n_types").as("n_types_next")),
+          Seq("c"), "left_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("c"), col("n_types"),
+          coalesce(col("n_types_next"), lit(0L)).as("n_types_next"),
+          (((col("c") + 1) * coalesce(col("n_types_next"), lit(0L)))
+            .cast(DoubleType) / col("n_types").cast(DoubleType))
+            .as("c_star"),
+          ((col("c") * col("n_types")).cast(DoubleType) /
+            col("n_total").cast(DoubleType)).as("mass_share"),
+          (col("n1").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("p0_missing"))
+        .orderBy(col("c"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT unnest(CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM toks
+      ), cnt AS (
+        SELECT g, count(*) AS c FROM grams GROUP BY g
+      ), spectrum AS (
+        SELECT c, count(*) AS n_types FROM cnt GROUP BY c
+      ), totals AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+        FROM cnt
+      )
+      SELECT s.c, s.n_types,
+             coalesce(nx.n_types, 0) AS n_types_next,
+             CAST((s.c + 1) * coalesce(nx.n_types, 0) AS DOUBLE)
+               / CAST(s.n_types AS DOUBLE) AS c_star,
+             CAST(s.c * s.n_types AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS mass_share,
+             CAST(t.n1 AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS p0_missing
+      FROM spectrum s
+      LEFT JOIN spectrum nx ON nx.c = s.c + 1
+      CROSS JOIN totals t
+      WHERE s.c <= 5
+      ORDER BY s.c"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341, q347, q366, q371, q379)
+      q317, q318, q335, q341, q347, q366, q371, q379, q385)
 }

@@ -344,7 +344,10 @@ class PlanShapeSpec extends SparkSpec {
       "q357_gini_stump", "q359_shard_manifest",
       // r9: q375's Holm rank over the ~100-test grid (distinct rollup
       // below) — q350's shape
-      "q375_holm_fwer")
+      "q375_holm_fwer",
+      // r10: q384's CUSUM cumsum/running-extremum windows run over the
+      // ≈80-row month rollup (Aggregate below) — q351's series shape
+      "q384_cusum")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -144,4 +144,117 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(nontrivial > panel.length / 2,
       s"only $nontrivial/${panel.length} panel docs have non-trivial LCS")
   }
+
+  test("q383 Elo equals a sequential replay; rating total conserved") {
+    // regenerate the expected-score table exactly as registration does
+    val pos = (0 to 16).map(i =>
+      math.round(100.0 / (1 + math.pow(10, -(i * 25) / 400.0))))
+    val etab = (-16 to 16).map(t => if (t < 0) 100L - pos(-t) else pos(t))
+    // table antisymmetry — the zero-sum invariant's foundation
+    (-16 to 16).foreach(t =>
+      assert(etab(t + 16) + etab(-t + 16) == 100L, s"asym at $t"))
+    val matches = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted
+      .filter(_ < 500)
+      .map { id => (id, id % 5, (id / 7) % 5, (id * 2654435761L) % 20) }
+      .collect { case (id, a, b, u) if a != b =>
+        val s =
+          if (u == 3) 50L
+          else if ((a > b && u >= 4) || (a < b && u < 3)) 100L
+          else 0L
+        (id, a.toInt, b.toInt, s)
+      }
+    val r = Array.fill(5)(100000L)
+    matches.foreach { case (_, a, b, s) =>
+      val diff = math.max(math.min(r(a) - r(b), 40000L), -40000L)
+      val e = etab(((diff + 41250L) / 2500L).toInt)
+      val delta = 16L * (s - e)
+      r(a) += delta; r(b) -= delta
+    }
+    val got = Evals.q383.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(got.size == 5)
+    (0 to 4).foreach { m =>
+      val (_, games, wins, draws, cp, rating) = got(m.toLong)
+      assert(cp == r(m), s"model $m: $cp vs ${r(m)}")
+      assert(rating == cp.toDouble / 100.0)
+      val g = matches.filter(x => x._2 == m || x._3 == m)
+      assert(games == g.length.toLong)
+      assert(wins == g.count(x =>
+        (x._2 == m && x._4 == 100L) || (x._3 == m && x._4 == 0L)).toLong)
+      assert(draws == g.count(_._4 == 50L).toLong)
+    }
+    assert(got.values.map(_._5).sum == 500000L, "rating total drifted")
+    // dose sanity: ratings must order by latent strength overall
+    // (higher-index models favored), with real updates having happened
+    assert(got(4L)._5 > got(0L)._5, "strength order lost")
+    assert(got.values.exists(_._5 != 100000L), "no match moved a rating")
+    assert(matches.exists(_._4 == 50L), "no draws dosed")
+  }
+
+  test("q384 CUSUM equals the max(0,·) recurrence replay; alarm at dose") {
+    val pivot = java.time.LocalDateTime.parse("1999-01-01T00:00")
+    val monthly = Tables.load(spark, sf001, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .as[(java.time.LocalDateTime, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1.toString)
+      .map { case (m, g) =>
+        val x = g.map(r => math.round(r._2 * 100)).sum
+        (m, if (!m.isBefore(pivot)) x + x / 2 else x)
+      }
+    val preM = monthly.filter(_._1.isBefore(pivot))
+    val nPre = preM.length.toLong
+    val tPre = preM.map(_._2).sum
+    val k = tPre / 4; val h = tPre
+    var sPos = 0L; var sNeg = 0L
+    val expect = monthly.map { case (m, v) =>
+      val dev = v * nPre - tPre
+      sPos = math.max(0L, sPos + dev - k)
+      sNeg = math.max(0L, sNeg - (dev + k))
+      (m, v, sPos, sNeg, sPos > h, sNeg > h)
+    }
+    val got = queries.Olap.q384.run(spark, sf001)
+      .as[(java.time.LocalDateTime, Long, Long, Long, Boolean, Boolean)]
+      .collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"month ${e._1}: $g vs $e")
+    }
+    // the dosed +25% shift must raise the up-alarm AFTER the pivot and
+    // never before; the down-side must stay quiet
+    val firstAlarm = expect.find(_._5).map(_._1)
+    assert(firstAlarm.nonEmpty, "up-alarm never fired")
+    assert(!firstAlarm.get.isBefore(pivot), s"alarm before dose: $firstAlarm")
+    assert(expect.filter(e => e._1.isBefore(pivot)).forall(!_._5))
+    assert(expect.forall(!_._6), "down-alarm fired on an up-shift dose")
+  }
+
+  test("q385 Good-Turing equals a from-scratch spectrum replay") {
+    val grams = docToks.flatMap { case (_, _, t) =>
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+    }
+    val cnt = grams.groupBy(identity).map(_._2.length.toLong).toSeq
+    val nTotal = cnt.sum
+    val n1 = cnt.count(_ == 1L).toLong
+    val spectrum = cnt.groupBy(identity)
+      .map { case (c, g) => c -> g.length.toLong }
+    val got = queries.Text.q385.run(spark, sf001)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == (1L to 5L),
+      s"spectrum rows: ${got.map(_._1).mkString(",")}")
+    got.foreach { case (c, nTypes, nNext, cStar, mass, p0) =>
+      assert(nTypes == spectrum(c))
+      assert(nNext == spectrum.getOrElse(c + 1, 0L))
+      assert(cStar == ((c + 1) * nNext).toDouble / nTypes.toDouble)
+      assert(mass == (c * nTypes).toDouble / nTotal.toDouble)
+      assert(p0 == n1.toDouble / nTotal.toDouble)
+      // Turing discount: adjusted count below raw count on a
+      // long-tailed spectrum (N_{c+1} < N_c·(c+1)/c ⇒ c* < c... gated
+      // empirically: the corpus spectrum is strictly decreasing)
+      assert(cStar < c.toDouble, s"c=$c no discount: c*=$cStar")
+    }
+    assert(got.head._6 > 0.0 && got.head._6 < 0.5, "degenerate P0")
+  }
 }
