@@ -2511,8 +2511,129 @@ object Curation {
       ORDER BY c.lang, c.source"""
     })
 
+  /** q386: t-CLOSENESS AUDIT OVER AN ORDERED SENSITIVE ATTRIBUTE (Li,
+    * Li, Venkatasubramanian ICDE 2007, "t-Closeness: Privacy Beyond
+    * k-Anonymity and ℓ-Diversity") — the third rung of the release-gate
+    * ladder after q83 (k-anonymity) and q334 (ℓ-diversity): a group can
+    * be large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION sits far from the table's. For a numeric sensitive
+    * attribute the distance is the Earth Mover's Distance under the
+    * ordered metric (their §4.2):
+    *   t = (1/(m−1)) · Σ_{i<m} |P_cum(i) − Q_cum(i)|
+    * over m=10 fixed $50k price buckets. EXACT: the absolute terms are
+    * cross-multiplied integers |cumP·N − cumQ·n_g| accumulated in
+    * DECIMAL(38,0)/HUGEINT (the q333 discipline), numerator and
+    * denominator (9·n_g·N) converted once via the correctly-rounded
+    * path (Det.hugeDoubleSql — DuckDB's native int128→double
+    * double-rounds), ONE division. QI = (priority, year) with an
+    * n_g ≥ 20 k-anonymity pre-gate (t over tiny groups measures
+    * sampling noise, not disclosure — the ladder composes). Dosed: a
+    * +$200k shift on (priority 1, odd years) rows moves those groups 4
+    * buckets right — dosed t ≥ 0.215, clean t ≤ 0.150 at every SF
+    * (parameter-swept), so the 0.18 release bar separates
+    * deterministically. Scale: one scan to a (group × 10)-cell rollup;
+    * the dense bucket grid is a 10-element generator, windows run per
+    * group — never a corpus-sized single partition. */
+  val q386 = Q(
+    "q386_t_closeness",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val cells = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          (Det.cents(col("o_totalprice")) +
+            when(col("o_orderpriority").like("1%") &&
+              year(col("o_orderdate")) % 2 === 1, 20000000L)
+              .otherwise(0L)).as("cents_dosed"))
+        .select(col("pri"), col("yr"),
+          expr("least(cents_dosed div 5000000, CAST(9 AS BIGINT))")
+            .as("b"))
+        .groupBy(col("pri"), col("yr"), col("b"))
+        .agg(count(lit(1)).as("n_gb"))
+        .persistTracked()
+      val grid = cells.select(col("pri"), col("yr")).distinct()
+        .select(col("pri"), col("yr"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(9 AS BIGINT))"))
+            .as("b"))
+        .join(cells, Seq("pri", "yr", "b"), "left_outer")
+        .withColumn("n_gb", coalesce(col("n_gb"), lit(0L)))
+      val global = cells.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b"))
+      val totals = cells.agg(sum(col("n_gb")).as("n_total"))
+      val wg = Window.partitionBy(col("pri"), col("yr")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wq = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCums = grid
+        .join(global.withColumn("cum_q", sum(col("n_b")).over(wq)),
+          Seq("b"))
+        .crossJoin(broadcast(totals))
+        .withColumn("cum_p", sum(col("n_gb")).over(wg))
+        .withColumn("n_g",
+          sum(col("n_gb")).over(Window.partitionBy(col("pri"), col("yr"))))
+      withCums
+        .groupBy(col("pri"), col("yr"))
+        .agg(
+          max(col("n_g")).as("n_rows"),
+          sum(when(col("b") < 9,
+            abs(col("cum_p") * col("n_total") - col("cum_q") * col("n_g"))
+              .cast(DecimalType(38, 0))).otherwise(lit(0).cast(
+            DecimalType(38, 0)))).as("num"),
+          (max(col("n_g")).cast(DecimalType(38, 0)) *
+            max(col("n_total")) * 9).as("den"))
+        .filter(col("n_rows") >= 20)
+        .select(col("pri"), col("yr"), col("n_rows"),
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+            .as("t_close"))
+        .withColumn("violates", col("t_close") > 0.18)
+        .orderBy(col("pri"), col("yr"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT o_orderpriority AS pri,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               least((${Det.centsSql("o_totalprice")} +
+                 CASE WHEN o_orderpriority LIKE '1%'
+                        AND year(o_orderdate) % 2 = 1
+                      THEN 20000000 ELSE 0 END) // 5000000, 9) AS b,
+               count(*) AS n_gb
+        FROM orders GROUP BY 1, 2, 3
+      ), grid AS (
+        SELECT g.pri, g.yr, bb.b, coalesce(c.n_gb, 0) AS n_gb
+        FROM (SELECT DISTINCT pri, yr FROM cells) g
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS b) bb
+        LEFT JOIN cells c ON c.pri = g.pri AND c.yr = g.yr AND c.b = bb.b
+      ), gtot AS (
+        SELECT b, CAST(sum(n_gb) AS BIGINT) AS n_b FROM cells GROUP BY b
+      ), totals AS (
+        SELECT CAST(sum(n_gb) AS BIGINT) AS n_total FROM cells
+      ), cums AS (
+        SELECT g.pri, g.yr, g.b, t.n_total,
+               sum(g.n_gb) OVER (PARTITION BY g.pri, g.yr ORDER BY g.b
+                 ROWS UNBOUNDED PRECEDING) AS cum_p,
+               sum(gl.n_b) OVER (PARTITION BY g.pri, g.yr ORDER BY g.b
+                 ROWS UNBOUNDED PRECEDING) AS cum_q,
+               sum(g.n_gb) OVER (PARTITION BY g.pri, g.yr) AS n_g
+        FROM grid g JOIN gtot gl ON gl.b = g.b CROSS JOIN totals t
+      ), report AS (
+        SELECT pri, yr, CAST(max(n_g) AS BIGINT) AS n_rows,
+               sum(CASE WHEN b < 9 THEN
+                 CAST(abs(cum_p * n_total - cum_q * n_g) AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS num,
+               CAST(max(n_g) AS HUGEINT) * max(n_total) * 9 AS den
+        FROM cums GROUP BY pri, yr
+      )
+      SELECT pri, yr, n_rows,
+             ${Det.hugeDoubleSql("num")} / ${Det.hugeDoubleSql("den")}
+               AS t_close,
+             ${Det.hugeDoubleSql("num")} / ${Det.hugeDoubleSql("den")}
+               > 0.18 AS violates
+      FROM report
+      WHERE n_rows >= 20
+      ORDER BY pri, yr"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343, q357, q359, q360, q365, q372)
+      q329, q330, q331, q334, q343, q357, q359, q360, q365, q372, q386)
 }

@@ -1806,7 +1806,160 @@ object Dedup {
       ORDER BY bands, j_pct"""
     })
 
+  /** q388: FELLEGI–SUNTER PROBABILISTIC RECORD LINKAGE (Fellegi &
+    * Sunter JASA 1969, "A Theory for Record Linkage"; the Splink/
+    * RecordLinkage scoring model) — the WEIGHTED complement of q271's
+    * conjunctive entity resolution: instead of all-fields-must-agree,
+    * each compared field contributes a likelihood ratio (m/u on
+    * agreement, (1−m)/(1−u) on disagreement) and the pair score is
+    * their product. LOG-FREE: the classic log₂-weight sum is a
+    * monotone transform of the ratio product, and ln() is
+    * libm-divergent (BUILDLOG r2) — the product of per-field IEEE
+    * divisions of EXACT integer operands is bit-stable cross-engine
+    * (the lift-not-PMI spelling). u-probabilities are estimated from
+    * the data exactly: u_f = Σ_v n_v² / N² (chance agreement of a
+    * random pair, ties counted — integers, one division per factor);
+    * m-probabilities are the dose's own error rates BY CONSTRUCTION
+    * (name perturbed on 1/5 of dupes → m=4/5; nation 1/7 → 6/7;
+    * balance 1/11 → 10/11). Dosed dirty records: every custkey % 3 = 0
+    * gains a copy (key + 10⁹) with at most one field perturbed on
+    * disjoint residue lattices. Blocking: (mktsegment, $100 balance
+    * bucket) — cent-level perturbation keeps dupes co-blocked except
+    * at bucket boundaries (classic blocking recall loss, deterministic
+    * in both engines; production systems add a sorted-neighborhood
+    * pass). Balances go negative, so the block key shifts +100000
+    * before the integer division (Spark div truncates toward zero,
+    * DuckDB // floors — the q263 invariant). Verdict by agreement count (match = all 3, possible = 2 —
+    * the F–S thresholds land between the discrete score levels at any
+    * u); the score column carries the evidence weight. Scale: the
+    * self-join is block-keyed (never all-pairs); u-estimation is three
+    * value-keyed rollups; blocking-key cardinality grows with the
+    * balance range, so block sizes stay bounded as the corpus grows. */
+  val q388 = Q(
+    "q388_fellegi_sunter",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_nationkey").cast(LongType).as("nation"),
+          col("c_mktsegment").as("seg"),
+          graft.queries.Det.cents(col("c_acctbal")).as("bal"))
+      val dirty = base.filter(col("key") % 3 === 0)
+        .select(
+          (col("key") + 1000000000L).as("key"),
+          when(col("key") % 5 === 0,
+            concat(expr("substring(name, 1, length(name) - 1)"),
+              (col("key") + 1) % 10)).otherwise(col("name")).as("name"),
+          when(col("key") % 7 === 0, (col("nation") + 1) % 25)
+            .otherwise(col("nation")).as("nation"),
+          col("seg"),
+          when(col("key") % 11 === 0, col("bal") + 1).otherwise(col("bal"))
+            .as("bal"))
+      val recs = base.unionAll(dirty)
+        .withColumn("blk", expr("(bal + 100000) div 10000"))
+        .persistTracked()
+      def uOf(field: String) = recs.groupBy(col(field))
+        .agg(count(lit(1)).as("nv"))
+        .agg(sum(col("nv") * col("nv")).as(s"u_$field"))
+      val uStats = uOf("name").crossJoin(uOf("nation")).crossJoin(uOf("bal"))
+        .crossJoin(recs.agg(count(lit(1)).as("n_recs")))
+      // one factor definition rendered per field: m as a rational
+      // (mn/md), u as u_num/N² — agree: (mn·N²)/(md·u_num),
+      // disagree: ((md−mn)·N²)/(md·(N²−u_num))
+      def factor(eq: String, mn: Long, md: Long, u: String) =
+        s"""CASE WHEN $eq
+           |THEN CAST($mn * n_recs * n_recs AS DOUBLE)
+           |     / CAST($md * $u AS DOUBLE)
+           |ELSE CAST((${md - mn}) * n_recs * n_recs AS DOUBLE)
+           |     / CAST($md * (n_recs * n_recs - $u) AS DOUBLE) END"""
+          .stripMargin
+      val a = recs.as("a"); val b = recs.as("b")
+      a.join(b, col("a.seg") === col("b.seg") &&
+          col("a.blk") === col("b.blk") && col("a.key") < col("b.key"))
+        .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+          (col("a.name") === col("b.name")).as("name_eq"),
+          (col("a.nation") === col("b.nation")).as("nation_eq"),
+          (col("a.bal") === col("b.bal")).as("bal_eq"))
+        .withColumn("n_agree",
+          when(col("name_eq"), 1L).otherwise(0L) +
+            when(col("nation_eq"), 1L).otherwise(0L) +
+            when(col("bal_eq"), 1L).otherwise(0L))
+        .filter(col("n_agree") >= 2)
+        .crossJoin(broadcast(uStats))
+        .withColumn("score", expr(
+          s"""((${factor("name_eq", 4, 5, "u_name")})
+             |  * (${factor("nation_eq", 6, 7, "u_nation")}))
+             |  * (${factor("bal_eq", 10, 11, "u_bal")})""".stripMargin))
+        .withColumn("verdict",
+          when(col("n_agree") === 3, "match").otherwise("possible"))
+        .select(col("key_a"), col("key_b"), col("name_eq"),
+          col("nation_eq"), col("bal_eq"), col("n_agree"), col("score"),
+          col("verdict"))
+        .orderBy(col("key_a"), col("key_b"))
+    },
+    Some {
+      def factor(eq: String, mn: Long, md: Long, u: String) =
+        s"""CASE WHEN $eq
+           |THEN CAST($mn * n_recs * n_recs AS DOUBLE)
+           |     / CAST($md * $u AS DOUBLE)
+           |ELSE CAST((${md - mn}) * n_recs * n_recs AS DOUBLE)
+           |     / CAST($md * (n_recs * n_recs - $u) AS DOUBLE) END"""
+          .stripMargin
+      s"""
+      WITH base AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               ${graft.queries.Det.centsSql("c_acctbal")} AS bal
+        FROM customer
+      ), dirty AS (
+        SELECT key + 1000000000 AS key,
+               CASE WHEN key % 5 = 0
+                    THEN substring(name, 1, length(name) - 1)
+                         || CAST((key + 1) % 10 AS VARCHAR)
+                    ELSE name END AS name,
+               CASE WHEN key % 7 = 0 THEN (nation + 1) % 25
+                    ELSE nation END AS nation,
+               seg,
+               CASE WHEN key % 11 = 0 THEN bal + 1 ELSE bal END AS bal
+        FROM base WHERE key % 3 = 0
+      ), recs AS (
+        SELECT *, (bal + 100000) // 10000 AS blk FROM
+          (SELECT * FROM base UNION ALL SELECT * FROM dirty) u
+      ), ustats AS (
+        SELECT
+          (SELECT CAST(sum(nv * nv) AS BIGINT) FROM
+            (SELECT count(*) AS nv FROM recs GROUP BY name) t) AS u_name,
+          (SELECT CAST(sum(nv * nv) AS BIGINT) FROM
+            (SELECT count(*) AS nv FROM recs GROUP BY nation) t)
+            AS u_nation,
+          (SELECT CAST(sum(nv * nv) AS BIGINT) FROM
+            (SELECT count(*) AS nv FROM recs GROUP BY bal) t) AS u_bal,
+          (SELECT count(*) FROM recs) AS n_recs
+      ), pairs AS (
+        SELECT a.key AS key_a, b.key AS key_b,
+               a.name = b.name AS name_eq,
+               a.nation = b.nation AS nation_eq,
+               a.bal = b.bal AS bal_eq,
+               CAST(CASE WHEN a.name = b.name THEN 1 ELSE 0 END
+                 + CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END
+                 + CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_agree
+        FROM recs a JOIN recs b
+          ON a.seg = b.seg AND a.blk = b.blk AND a.key < b.key
+      )
+      SELECT key_a, key_b, name_eq, nation_eq, bal_eq, n_agree,
+             ((${factor("name_eq", 4, 5, "u_name")})
+               * (${factor("nation_eq", 6, 7, "u_nation")}))
+               * (${factor("bal_eq", 10, 11, "u_bal")}) AS score,
+             CASE WHEN n_agree = 3 THEN 'match' ELSE 'possible' END
+               AS verdict
+      FROM pairs CROSS JOIN ustats
+      WHERE n_agree >= 2
+      ORDER BY key_a, key_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260, q271, q332, q344, q345)
+      q240, q241, q260, q271, q332, q344, q345, q388)
 }

@@ -3078,9 +3078,107 @@ object Evals {
       ORDER BY model"""
     })
 
+  /** q387: CRAMÉR–VON MISES TWO-SAMPLE TEST (Anderson 1962, "On the
+    * Distribution of the Two-Sample Cramer-von Mises Criterion") — the
+    * INTEGRATED-ECDF complement of q326's KS: KS reads only the single
+    * largest ECDF gap, CvM sums the squared gap over the whole pooled
+    * sample, so it sees many small, spread-out differences KS misses.
+    * With pooled values grouped (ties exact in both engines) and
+    * cumulative arm counts a_i (n total), b_i (m total):
+    *   T = Σ_i cnt_i·(a_i·m − b_i·n)² / (n·m·(n+m)²)
+    * — an ALL-INTEGER numerator and denominator (bounded by the panel:
+    * cnt·(a·m−b·n)² ≤ (n+m)·(n·m)² ≈ 2·10¹⁵ at the 2000-doc cap) and
+    * ONE division; reject at the α=.05 critical value 0.461. Run as a
+    * dosed/control differential on one panel (the q239 discipline):
+    * the dosed variant shifts arm-1 n_chars by +100 (T ≥ 3.0 at every
+    * SF), the A/A control leaves the split untouched (T ≤ 0.33) — the
+    * gate separates deterministically (parameter-swept). Panel-bounded
+    * because the exact statistic needs the pooled cumulative walk;
+    * corpus-scale screening is q326's GlobalOrder KS. */
+  val q387 = Q(
+    "q387_cvm_test",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("n_chars"),
+          expr("(doc_id * 2654435761L) % 2").as("arm"))
+      val panel = base.select(lit("dosed").as("variant"),
+        (col("n_chars") + when(col("arm") === 1, 100L).otherwise(0L))
+          .as("v"), col("arm"))
+        .unionAll(base.select(lit("control").as("variant"),
+          col("n_chars").as("v"), col("arm")))
+      val byValue = panel
+        .groupBy(col("variant"), col("v"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+      val w = Window.partitionBy(col("variant")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("variant"))
+      byValue
+        .withColumn("a", sum(col("c0")).over(w))
+        .withColumn("b", sum(col("c1")).over(w))
+        .withColumn("n", sum(col("c0")).over(wAll))
+        .withColumn("m", sum(col("c1")).over(wAll))
+        .groupBy(col("variant"))
+        .agg(
+          max(col("n")).as("n"), max(col("m")).as("m"),
+          sum((col("c0") + col("c1")) *
+            (col("a") * col("m") - col("b") * col("n")) *
+            (col("a") * col("m") - col("b") * col("n"))).as("s_num"))
+        .select(col("variant"), col("n"), col("m"), col("s_num"),
+          (col("s_num").cast(DoubleType) /
+            (col("n") * col("m") * (col("n") + col("m")) *
+              (col("n") + col("m"))).cast(DoubleType)).as("t_stat"))
+        .withColumn("reject_05", col("t_stat") > 0.461)
+        .orderBy(col("variant"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, n_chars, (doc_id * 2654435761) % 2 AS arm
+        FROM documents WHERE doc_id < 2000
+      ), panel AS (
+        SELECT 'dosed' AS variant,
+               n_chars + CASE WHEN arm = 1 THEN 100 ELSE 0 END AS v, arm
+        FROM base
+        UNION ALL
+        SELECT 'control' AS variant, n_chars AS v, arm FROM base
+      ), by_value AS (
+        SELECT variant, v,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c1
+        FROM panel GROUP BY variant, v
+      ), walk AS (
+        SELECT variant, v, c0, c1,
+               sum(c0) OVER (PARTITION BY variant ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS a,
+               sum(c1) OVER (PARTITION BY variant ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS b,
+               sum(c0) OVER (PARTITION BY variant) AS n,
+               sum(c1) OVER (PARTITION BY variant) AS m
+        FROM by_value
+      ), stat AS (
+        SELECT variant, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(m) AS BIGINT) AS m,
+               CAST(sum((c0 + c1) * (a * m - b * n) * (a * m - b * n))
+                 AS BIGINT) AS s_num
+        FROM walk GROUP BY variant
+      )
+      SELECT variant, n, m, s_num,
+             CAST(s_num AS DOUBLE)
+               / CAST(n * m * (n + m) * (n + m) AS DOUBLE) AS t_stat,
+             CAST(s_num AS DOUBLE)
+               / CAST(n * m * (n + m) * (n + m) AS DOUBLE) > 0.461
+               AS reject_05
+      FROM stat
+      ORDER BY variant"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383)
+      q383, q387)
 }

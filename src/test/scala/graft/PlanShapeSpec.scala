@@ -347,7 +347,11 @@ class PlanShapeSpec extends SparkSpec {
       "q375_holm_fwer",
       // r10: q384's CUSUM cumsum/running-extremum windows run over the
       // ≈80-row month rollup (Aggregate below) — q351's series shape
-      "q384_cusum")
+      "q384_cusum",
+      // r10: q386's global-distribution cumsum runs over the 10-row
+      // bucket rollup (Aggregate below); the per-group EMD walk is
+      // partitioned
+      "q386_t_closeness")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

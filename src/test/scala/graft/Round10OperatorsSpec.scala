@@ -257,4 +257,138 @@ class Round10OperatorsSpec extends SparkSpec {
     }
     assert(got.head._6 > 0.0 && got.head._6 < 0.5, "degenerate P0")
   }
+
+  test("q386 t-closeness equals an EMD replay; dose separates at 0.18") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))
+      .as[(String, java.time.LocalDateTime, Double)].collect()
+      .map { case (pri, dt, tp) =>
+        val yr = dt.getYear.toLong
+        val cents = math.round(tp * 100) +
+          (if (pri.startsWith("1") && yr % 2 == 1) 20000000L else 0L)
+        (pri, yr, math.min(cents / 5000000L, 9L).toInt)
+      }
+    val tot = Array.fill(10)(0L)
+    rows.foreach { case (_, _, b) => tot(b) += 1 }
+    val nTotal = rows.length.toLong
+    val got = queries.Curation.q386.run(spark, sf001)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    var anyViolates = false; var anyClean = false
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((pri, yr), g) =>
+      val dist = Array.fill(10)(0L)
+      g.foreach { case (_, _, b) => dist(b) += 1 }
+      val nG = g.length.toLong
+      if (nG >= 20) {
+        var cp = 0L; var cq = 0L; var num = BigInt(0)
+        (0 until 9).foreach { b =>
+          cp += dist(b); cq += tot(b)
+          num += (BigInt(cp) * nTotal - BigInt(cq) * nG).abs
+        }
+        val t = (num.toDouble) / (BigInt(nG) * nTotal * 9).toDouble
+        val (_, _, gn, gt, gv) = got((pri, yr))
+        assert(gn == nG && gt == t, s"($pri,$yr): ($gn,$gt) vs ($nG,$t)")
+        assert(gv == (t > 0.18))
+        val dosed = pri.startsWith("1") && yr % 2 == 1
+        if (dosed) assert(gv, s"dosed group ($pri,$yr) t=$t under bar")
+        else assert(!gv, s"clean group ($pri,$yr) t=$t over bar")
+        if (gv) anyViolates = true else anyClean = true
+      } else assert(!got.contains((pri, yr)), s"small group ($pri,$yr)")
+    }
+    assert(anyViolates && anyClean, "dose produced a one-sided audit")
+  }
+
+  test("q387 CvM equals a pooled-walk replay; dosed rejects, control not") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+      .filter(_._1 < 2000)
+    val got = queries.Evals.q387.run(spark, sf001)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq(("dosed", 100L), ("control", 0L)).foreach { case (variant, shift) =>
+      val vals = docs.map { case (id, nc) =>
+        val arm = (id * 2654435761L) % 2
+        (nc + (if (arm == 1) shift else 0L), arm)
+      }.sortBy(_._1)
+      val n = vals.count(_._2 == 0L).toLong
+      val m = vals.length - n
+      var a = 0L; var b = 0L; var sNum = 0L
+      vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        a += g.count(_._2 == 0L); b += g.count(_._2 == 1L)
+        val diff = a * m - b * n
+        sNum += g.length * diff * diff
+      }
+      val t = sNum.toDouble / (n * m * (n + m) * (n + m)).toDouble
+      val (_, gn, gm, gs, gt, gr) = got(variant)
+      assert(gn == n && gm == m && gs == sNum,
+        s"$variant: ($gn,$gm,$gs) vs ($n,$m,$sNum)")
+      assert(gt == t && gr == (t > 0.461))
+      if (variant == "dosed") assert(gr, s"dosed T=$t under 0.461")
+      else assert(!gr, s"control T=$t over 0.461")
+    }
+  }
+
+  test("q388 Fellegi-Sunter equals an in-block all-pairs replay") {
+    case class R(key: Long, name: String, nation: Long, seg: String,
+        bal: Long)
+    val base = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .as[(Long, String, Long, String, Double)].collect()
+      .map { case (k, nm, nat, seg, ab) =>
+        R(k, nm, nat, seg, math.round(ab * 100))
+      }
+    val dirty = base.filter(_.key % 3 == 0).map { r =>
+      R(r.key + 1000000000L,
+        if (r.key % 5 == 0)
+          r.name.dropRight(1) + ((r.key + 1) % 10).toString
+        else r.name,
+        if (r.key % 7 == 0) (r.nation + 1) % 25 else r.nation,
+        r.seg,
+        if (r.key % 11 == 0) r.bal + 1 else r.bal)
+    }
+    val recs = base ++ dirty
+    val nRecs = recs.length.toLong
+    def uNum[T](f: R => T): Long =
+      recs.groupBy(f).values.map(g => g.length.toLong * g.length).sum
+    val (uName, uNation, uBal) = (uNum(_.name), uNum(_.nation), uNum(_.bal))
+    def factor(eq: Boolean, mn: Long, md: Long, u: Long): Double =
+      if (eq) (mn * nRecs * nRecs).toDouble / (md * u).toDouble
+      else ((md - mn) * nRecs * nRecs).toDouble /
+        (md * (nRecs * nRecs - u)).toDouble
+    val expect = recs.groupBy(r => (r.seg, (r.bal + 100000L) / 10000L))
+      .values.flatMap { blk0 =>
+        val blk = blk0.toSeq
+        for {
+          a <- blk; b <- blk if a.key < b.key
+          nameEq = a.name == b.name
+          natEq = a.nation == b.nation
+          balEq = a.bal == b.bal
+          nAgr = Seq(nameEq, natEq, balEq).count(identity)
+          if nAgr >= 2
+        } yield (a.key, b.key) -> (nameEq, natEq, balEq, nAgr.toLong,
+          (factor(nameEq, 4, 5, uName) * factor(natEq, 6, 7, uNation)) *
+            factor(balEq, 10, 11, uBal),
+          if (nAgr == 3) "match" else "possible")
+      }.toMap
+    val got = queries.Dedup.q388.run(spark, sf001)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Long, Double, String)]
+      .collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (ka, kb, ne, te, be, na, sc, v) =>
+      assert(expect((ka, kb)) == ((ne, te, be, na, sc, v)),
+        s"pair ($ka,$kb)")
+    }
+    // dose sanity: both verdicts occur; every exact-duplicate pair
+    // scores above every single-disagreement pair
+    val matches = got.filter(_._8 == "match").map(_._7)
+    val possibles = got.filter(_._8 == "possible").map(_._7)
+    assert(matches.nonEmpty && possibles.nonEmpty)
+    assert(matches.min > possibles.max,
+      "F-S score did not separate verdict levels")
+    // all three disagreement kinds exercised
+    assert(got.exists(!_._3) && got.exists(!_._4) && got.exists(!_._5))
+  }
 }
