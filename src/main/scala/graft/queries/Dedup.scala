@@ -1835,27 +1835,59 @@ object Dedup {
     * self-join is block-keyed (never all-pairs); u-estimation is three
     * value-keyed rollups; blocking-key cardinality grows with the
     * balance range, so block sizes stay bounded as the corpus grows. */
+  /** The q388/q391 dirty-record universe, ONE definition per engine
+    * (the candToks discipline): customers plus a perturbed copy of
+    * every custkey % 3 = 0 (key + 10⁹), at most one field changed per
+    * copy on disjoint residue lattices — name's last digit on %5 (the
+    * error rates below are the m-probabilities by construction),
+    * nation on %7, balance +1 cent on %11. */
+  private def fsRecords(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("seg"),
+        graft.queries.Det.cents(col("c_acctbal")).as("bal"))
+    val dirty = base.filter(col("key") % 3 === 0)
+      .select(
+        (col("key") + 1000000000L).as("key"),
+        when(col("key") % 5 === 0,
+          concat(expr("substring(name, 1, length(name) - 1)"),
+            (col("key") + 1) % 10)).otherwise(col("name")).as("name"),
+        when(col("key") % 7 === 0, (col("nation") + 1) % 25)
+          .otherwise(col("nation")).as("nation"),
+        col("seg"),
+        when(col("key") % 11 === 0, col("bal") + 1).otherwise(col("bal"))
+          .as("bal"))
+    base.unionAll(dirty)
+  }
+
+  /** SQL twin of [[fsRecords]]: CTE list text defining `fsrecs`. */
+  private val fsRecordsSql: String = s"""base AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               ${graft.queries.Det.centsSql("c_acctbal")} AS bal
+        FROM customer
+      ), dirty AS (
+        SELECT key + 1000000000 AS key,
+               CASE WHEN key % 5 = 0
+                    THEN substring(name, 1, length(name) - 1)
+                         || CAST((key + 1) % 10 AS VARCHAR)
+                    ELSE name END AS name,
+               CASE WHEN key % 7 = 0 THEN (nation + 1) % 25
+                    ELSE nation END AS nation,
+               seg,
+               CASE WHEN key % 11 = 0 THEN bal + 1 ELSE bal END AS bal
+        FROM base WHERE key % 3 = 0
+      ), fsrecs AS (
+        SELECT * FROM base UNION ALL SELECT * FROM dirty
+      )"""
+
   val q388 = Q(
     "q388_fellegi_sunter",
     (s, d) => {
       import graft.Caches.Tracked
-      val base = Tables.load(s, d, "customer")
-        .select(col("c_custkey").as("key"), col("c_name").as("name"),
-          col("c_nationkey").cast(LongType).as("nation"),
-          col("c_mktsegment").as("seg"),
-          graft.queries.Det.cents(col("c_acctbal")).as("bal"))
-      val dirty = base.filter(col("key") % 3 === 0)
-        .select(
-          (col("key") + 1000000000L).as("key"),
-          when(col("key") % 5 === 0,
-            concat(expr("substring(name, 1, length(name) - 1)"),
-              (col("key") + 1) % 10)).otherwise(col("name")).as("name"),
-          when(col("key") % 7 === 0, (col("nation") + 1) % 25)
-            .otherwise(col("nation")).as("nation"),
-          col("seg"),
-          when(col("key") % 11 === 0, col("bal") + 1).otherwise(col("bal"))
-            .as("bal"))
-      val recs = base.unionAll(dirty)
+      val recs = fsRecords(s, d)
         .withColumn("blk", expr("(bal + 100000) div 10000"))
         .persistTracked()
       def uOf(field: String) = recs.groupBy(col(field))
@@ -1906,26 +1938,8 @@ object Dedup {
            |     / CAST($md * (n_recs * n_recs - $u) AS DOUBLE) END"""
           .stripMargin
       s"""
-      WITH base AS (
-        SELECT c_custkey AS key, c_name AS name,
-               CAST(c_nationkey AS BIGINT) AS nation,
-               c_mktsegment AS seg,
-               ${graft.queries.Det.centsSql("c_acctbal")} AS bal
-        FROM customer
-      ), dirty AS (
-        SELECT key + 1000000000 AS key,
-               CASE WHEN key % 5 = 0
-                    THEN substring(name, 1, length(name) - 1)
-                         || CAST((key + 1) % 10 AS VARCHAR)
-                    ELSE name END AS name,
-               CASE WHEN key % 7 = 0 THEN (nation + 1) % 25
-                    ELSE nation END AS nation,
-               seg,
-               CASE WHEN key % 11 = 0 THEN bal + 1 ELSE bal END AS bal
-        FROM base WHERE key % 3 = 0
-      ), recs AS (
-        SELECT *, (bal + 100000) // 10000 AS blk FROM
-          (SELECT * FROM base UNION ALL SELECT * FROM dirty) u
+      WITH $fsRecordsSql, recs AS (
+        SELECT *, (bal + 100000) // 10000 AS blk FROM fsrecs
       ), ustats AS (
         SELECT
           (SELECT CAST(sum(nv * nv) AS BIGINT) FROM
@@ -1959,7 +1973,93 @@ object Dedup {
       ORDER BY key_a, key_b"""
     })
 
+  /** q391: SORTED-NEIGHBORHOOD (MERGE/PURGE) CANDIDATE GENERATION
+    * (Hernández & Stolfo SIGMOD 1995, "The Merge/Purge Problem for
+    * Large Databases") — the OTHER classic ER blocking strategy beside
+    * q388's equality blocking and q271's deletion-neighborhood: sort
+    * the whole record universe on a fuzzy key (name, key-tiebroken),
+    * slide a width-W window down the sorted order, and compare only
+    * records within W ranks. Catches exactly the pairs equality
+    * blocking loses at bucket boundaries (q388's +1-cent balance
+    * perturbations) — while itself losing pairs whose sort key
+    * mutates across the sort order (the digit-9→0 name wraps), the
+    * documented complementarity that makes multi-pass blocking
+    * standard. SCALE-SAFE SORT: the global rank is
+    * GlobalOrder.withOrderedCumsum (range shuffle + offsets — never a
+    * single-partition window), and the window join buckets ranks at
+    * width W−1 with the right side doubled into its own and the
+    * previous bucket, so each ≤W−1-distance pair joins EXACTLY once
+    * and no rank range ever colocates more than 2(W−1) rows. Same
+    * records, same agreement fields, same ≥2-of-3 candidate rule as
+    * q388 (shared fsRecords definition); the DuckDB twin replays with
+    * a plain rank range join. All-integer; output is the candidate
+    * pair audit with ground truth attached (dirty keys are base+10⁹
+    * by construction). */
+  val q391 = Q(
+    "q391_sorted_neighborhood",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val W = 4
+      val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
+        fsRecords(s, d), Seq(col("name"), col("key")), lit(1L), "rnk")
+        .persistTracked()
+      val a = ranked.select(col("key").as("key_a"),
+        col("name").as("name_a"), col("nation").as("nation_a"),
+        col("bal").as("bal_a"), col("rnk").as("rnk_a"),
+        expr(s"(rnk - 1) div ${W - 1}").as("bkt"))
+      val b0 = ranked.select(col("key").as("key_b"),
+        col("name").as("name_b"), col("nation").as("nation_b"),
+        col("bal").as("bal_b"), col("rnk").as("rnk_b"))
+      val b = b0
+        .withColumn("bkt", expr(s"(rnk_b - 1) div ${W - 1}"))
+        .unionAll(b0
+          .withColumn("bkt", expr(s"(rnk_b - 1) div ${W - 1} - 1")))
+      a.join(b, Seq("bkt"))
+        .filter(col("rnk_b") > col("rnk_a") &&
+          col("rnk_b") - col("rnk_a") <= W - 1)
+        .select(
+          least(col("key_a"), col("key_b")).as("key_lo"),
+          greatest(col("key_a"), col("key_b")).as("key_hi"),
+          (col("rnk_b") - col("rnk_a")).as("rank_dist"),
+          (col("name_a") === col("name_b")).as("name_eq"),
+          (col("nation_a") === col("nation_b")).as("nation_eq"),
+          (col("bal_a") === col("bal_b")).as("bal_eq"))
+        .withColumn("n_agree",
+          when(col("name_eq"), 1L).otherwise(0L) +
+            when(col("nation_eq"), 1L).otherwise(0L) +
+            when(col("bal_eq"), 1L).otherwise(0L))
+        .filter(col("n_agree") >= 2)
+        .withColumn("is_true_dup",
+          col("key_hi") - col("key_lo") === 1000000000L)
+        .orderBy(col("key_lo"), col("key_hi"))
+    },
+    Some(s"""
+      WITH $fsRecordsSql, ranked AS (
+        SELECT key, name, nation, bal,
+               CAST(row_number() OVER (ORDER BY name, key) AS BIGINT)
+                 AS rnk
+        FROM fsrecs
+      ), pairs AS (
+        SELECT least(a.key, b.key) AS key_lo,
+               greatest(a.key, b.key) AS key_hi,
+               b.rnk - a.rnk AS rank_dist,
+               a.name = b.name AS name_eq,
+               a.nation = b.nation AS nation_eq,
+               a.bal = b.bal AS bal_eq,
+               CAST(CASE WHEN a.name = b.name THEN 1 ELSE 0 END
+                 + CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END
+                 + CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_agree
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
+      )
+      SELECT key_lo, key_hi, rank_dist, name_eq, nation_eq, bal_eq,
+             n_agree, key_hi - key_lo = 1000000000 AS is_true_dup
+      FROM pairs
+      WHERE n_agree >= 2
+      ORDER BY key_lo, key_hi"""))
+
   val all: Seq[Q] =
     Seq(q24, q25, q29, q30, q68, q70, q127, q201, q205, q219, q236, q238,
-      q240, q241, q260, q271, q332, q344, q345, q388)
+      q240, q241, q260, q271, q332, q344, q345, q388, q391)
 }

@@ -3176,9 +3176,176 @@ object Evals {
       FROM stat
       ORDER BY variant"""))
 
+  /** q390: YUEN'S TRIMMED-MEAN ROBUST A/B TEST (Yuen Biometrika 1974,
+    * "The two-sample trimmed t for unequal population variances";
+    * Wilcox's default robust location test) — the heavy-tail-immune
+    * complement of q346's Welch: 20% of each tail is TRIMMED from the
+    * location estimate and the variance comes from the WINSORIZED
+    * sample, so a handful of extreme orders cannot swamp the verdict.
+    * EXACT RANK TRIMMING WITH TIES: per (variant, arm) the value
+    * rollup's cumulative counts give each value's rank interval
+    * [cum−cnt+1, cum]; its trimmed multiplicity is the overlap with
+    * [g+1, n−g] (g = n÷5) — pure integer arithmetic, no row-level
+    * sort. Winsorized moments clamp v to the exact order statistics
+    * lo = v₍g+1₎, hi = v₍n−g₎ and accumulate in DECIMAL(38,0)/HUGEINT
+    * (Σcnt·w² overflows int64 at scale — the q346/q322 discipline),
+    * converting once through the correctly-rounded path
+    * (Det.hugeDoubleSql). Then Yuen's statistic on identical doubles:
+    * d_j = (n·S2w − S1w²)/(n·h·(h−1)), t = (x̄t₀−x̄t₁)/√(d₀+d₁),
+    * Welch–Satterthwaite df on the d's, z-approx verdict at 1.96 (the
+    * q346 convention). Dosed/control differential (q387 shape): arm 1
+    * gains cents÷7 (+14.3%) in the dosed variant — |t| ≥ 3.2 at every
+    * SF, control |t| ≤ 0.7 (parameter-swept). Scale: the rollup is
+    * value-keyed; its per-arm cumulative window is bounded by the
+    * PRICE DOMAIN (≤ 5·10⁷ distinct cents whatever the corpus), not
+    * the row count. */
+  val q390 = Q(
+    "q390_yuen_trimmed_t",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          Det.cents(col("o_totalprice")).as("c"),
+          expr("(o_orderkey * 2654435761L) % 2").as("arm"))
+      val panel = base.select(lit("dosed").as("variant"), col("arm"),
+        (col("c") + when(col("arm") === 1, expr("c div 7"))
+          .otherwise(0L)).as("v"))
+        .unionAll(base.select(lit("control").as("variant"), col("arm"),
+          col("c").as("v")))
+      val byv = panel.groupBy(col("variant"), col("arm"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .persistTracked()
+      val w = Window.partitionBy(col("variant"), col("arm"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n",
+          sum(col("cnt")).over(
+            Window.partitionBy(col("variant"), col("arm"))))
+        .withColumn("g", expr("n div 5"))
+        .withColumn("h", col("n") - lit(2L) * col("g"))
+        .persistTracked()
+      val thr = cum.groupBy(col("variant"), col("arm"))
+        .agg(
+          max(col("n")).as("n"), max(col("g")).as("g"),
+          max(col("h")).as("h"),
+          min(when(col("cum") >= col("g") + 1, col("v"))).as("lo"),
+          min(when(col("cum") >= col("n") - col("g"), col("v"))).as("hi"))
+      val stats = cum.join(thr.select(col("variant"), col("arm"),
+          col("lo"), col("hi")), Seq("variant", "arm"))
+        .withColumn("trim_cnt", greatest(lit(0L),
+          least(col("cum"), col("n") - col("g")) -
+            greatest(col("cum") - col("cnt") + 1, col("g") + 1) + 1))
+        .withColumn("wv", least(greatest(col("v"), col("lo")), col("hi")))
+        .groupBy(col("variant"), col("arm"))
+        .agg(
+          sum((col("trim_cnt") * col("v")).cast(DecimalType(38, 0)))
+            .as("trim_sum"),
+          sum(col("cnt").cast(DecimalType(38, 0)) * col("wv"))
+            .as("s1w"),
+          sum(col("cnt").cast(DecimalType(38, 0)) * col("wv") *
+            col("wv")).as("s2w"))
+      val perArm = thr.join(stats, Seq("variant", "arm"))
+        .select(col("variant"), col("arm"), col("n"), col("h"),
+          (col("trim_sum").cast(DoubleType) /
+            col("h").cast(DoubleType)).as("tmean"),
+          ((col("n") * col("s2w") - col("s1w") * col("s1w"))
+            .cast(DoubleType) /
+            (col("n").cast(DecimalType(38, 0)) * col("h") *
+              (col("h") - 1)).cast(DoubleType)).as("dvar"))
+      val a0 = perArm.filter(col("arm") === 0)
+        .select(col("variant"), col("n").as("n_a"), col("h").as("h_a"),
+          col("tmean").as("tmean_a"), col("dvar").as("d_a"))
+      val a1 = perArm.filter(col("arm") === 1)
+        .select(col("variant"), col("n").as("n_b"), col("h").as("h_b"),
+          col("tmean").as("tmean_b"), col("dvar").as("d_b"))
+      a0.join(a1, Seq("variant"))
+        .withColumn("t_stat",
+          (col("tmean_a") - col("tmean_b")) / sqrt(col("d_a") + col("d_b")))
+        .withColumn("df_approx",
+          ((col("d_a") + col("d_b")) * (col("d_a") + col("d_b"))) /
+            ((col("d_a") * col("d_a")) /
+              (col("h_a") - 1).cast(DoubleType) +
+              (col("d_b") * col("d_b")) /
+                (col("h_b") - 1).cast(DoubleType)))
+        .withColumn("reject_05", abs(col("t_stat")) > 1.96)
+        .select(col("variant"), col("n_a"), col("n_b"), col("h_a"),
+          col("h_b"), col("tmean_a"), col("tmean_b"), col("t_stat"),
+          col("df_approx"), col("reject_05"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT ${Det.centsSql("o_totalprice")} AS c,
+               (o_orderkey * 2654435761) % 2 AS arm
+        FROM orders
+      ), panel AS (
+        SELECT 'dosed' AS variant, arm,
+               c + CASE WHEN arm = 1 THEN c // 7 ELSE 0 END AS v
+        FROM base
+        UNION ALL
+        SELECT 'control' AS variant, arm, c AS v FROM base
+      ), byv AS (
+        SELECT variant, arm, v, count(*) AS cnt
+        FROM panel GROUP BY variant, arm, v
+      ), cum AS (
+        SELECT variant, arm, v, cnt,
+               sum(cnt) OVER (PARTITION BY variant, arm ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY variant, arm) AS n
+        FROM byv
+      ), cum2 AS (
+        SELECT variant, arm, v, cnt, cum, n, n // 5 AS g,
+               n - 2 * (n // 5) AS h
+        FROM cum
+      ), thr AS (
+        SELECT variant, arm, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(g) AS BIGINT) AS g, CAST(max(h) AS BIGINT) AS h,
+               min(CASE WHEN cum >= g + 1 THEN v END) AS lo,
+               min(CASE WHEN cum >= n - g THEN v END) AS hi
+        FROM cum2 GROUP BY variant, arm
+      ), stats AS (
+        SELECT c.variant, c.arm,
+               sum(CAST(greatest(0, least(c.cum, c.n - c.g)
+                 - greatest(c.cum - c.cnt + 1, c.g + 1) + 1) * c.v
+                 AS HUGEINT)) AS trim_sum,
+               sum(CAST(c.cnt AS HUGEINT)
+                 * least(greatest(c.v, t.lo), t.hi)) AS s1w,
+               sum(CAST(c.cnt AS HUGEINT)
+                 * least(greatest(c.v, t.lo), t.hi)
+                 * least(greatest(c.v, t.lo), t.hi)) AS s2w
+        FROM cum2 c
+        JOIN thr t ON t.variant = c.variant AND t.arm = c.arm
+        GROUP BY c.variant, c.arm
+      ), per_arm AS (
+        SELECT t.variant, t.arm, t.n, t.h,
+               ${Det.hugeDoubleSql("s.trim_sum")}
+                 / CAST(t.h AS DOUBLE) AS tmean,
+               ${Det.hugeDoubleSql("t.n * s.s2w - s.s1w * s.s1w")}
+                 / ${Det.hugeDoubleSql(
+      "CAST(t.n AS HUGEINT) * t.h * (t.h - 1)")} AS dvar
+        FROM thr t JOIN stats s
+          ON s.variant = t.variant AND s.arm = t.arm
+      )
+      SELECT a0.variant, a0.n AS n_a, a1.n AS n_b,
+             a0.h AS h_a, a1.h AS h_b,
+             a0.tmean AS tmean_a, a1.tmean AS tmean_b,
+             (a0.tmean - a1.tmean) / sqrt(a0.dvar + a1.dvar) AS t_stat,
+             ((a0.dvar + a1.dvar) * (a0.dvar + a1.dvar))
+               / ((a0.dvar * a0.dvar) / CAST(a0.h - 1 AS DOUBLE)
+                  + (a1.dvar * a1.dvar) / CAST(a1.h - 1 AS DOUBLE))
+               AS df_approx,
+             abs((a0.tmean - a1.tmean) / sqrt(a0.dvar + a1.dvar)) > 1.96
+               AS reject_05
+      FROM per_arm a0 JOIN per_arm a1
+        ON a1.variant = a0.variant AND a0.arm = 0 AND a1.arm = 1
+      ORDER BY a0.variant"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387)
+      q383, q387, q390)
 }

@@ -2057,8 +2057,140 @@ object Sim {
       ORDER BY dim"""
     })
 
+  /** q389: KNN-SHAPLEY DATA VALUATION (Jia et al. VLDB 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * Thm 1) — the data-curation op that prices each TRAINING point by
+    * its exact Shapley value under the K-NN utility, the closed form
+    * that makes Shapley (exponential in general) linear per test
+    * point: with training points sorted by distance to a test point
+    * (α₁ nearest) and eq_i = 𝟙[label_i = label_test],
+    *   s_{α_N} = eq_N / N,
+    *   s_{α_i} = s_{α_i+1} + ((eq_i − eq_{i+1})/K) · min(K,i) / i.
+    * The per-test chain is SEQUENTIAL BY DEFINITION → bounded panel
+    * (200 train × 20 test, the q304/q383 discipline); distances are
+    * exact integers (2¹⁴ dim-wise quantization + the order-exact qd2
+    * fold, the q305 spelling) with (d², id) full tiebreak, so the
+    * sort — and therefore every operand of every division — is
+    * bit-identical cross-engine; the updates are IEEE doubles applied
+    * in the SAME descending order by both engines (Spark folds the
+    * reverse-sorted list, the DuckDB twin walks one rank per WITH
+    * RECURSIVE step), and the per-point average over tests folds in
+    * test-id order (q304). Scale: valuation of a corpus-sized train
+    * set against a bounded eval panel is the production shape — the
+    * cross join is |panel|-bounded per train row and the chain runs
+    * per test point, so train parallelism is free; the panel cap here
+    * also bounds the recursion. */
+  val q389 = Q(
+    "q389_knn_shapley",
+    (s, d) => {
+      import graft.Caches.Tracked
+      import org.apache.spark.sql.expressions.Window
+      val qz = emb(s, d).select(col("vec_id"), col("label"),
+        expr("transform(v, x -> CAST(round(x * 16384) AS BIGINT))")
+          .as("q"))
+      val train = qz.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("tr_id"),
+          col("label").cast(LongType).as("tr_label"), col("q").as("tq"))
+      val test = qz.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+        .select(col("vec_id").as("te_id"),
+          col("label").cast(LongType).as("te_label"), col("q").as("teq"))
+      val ranked = train.crossJoin(broadcast(test))
+        .withColumn("d2", expr(qd2("tq", "teq")))
+        .withColumn("eq",
+          when(col("tr_label") === col("te_label"), 1L).otherwise(0L))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("te_id"))
+            .orderBy(col("d2"), col("tr_id"))).cast(LongType))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("te_id")))
+            .cast(LongType))
+        .select(col("te_id"), col("tr_id"), col("i"), col("eq"), col("n"))
+        .persistTracked()
+      // one step-expression definition, interpolated into both struct
+      // fields (the factor/segWindows one-definition discipline)
+      val sExpr =
+        """CASE WHEN st.peq = CAST(-1 AS BIGINT)
+          |THEN CAST(x.eq AS DOUBLE) / CAST(x.n AS DOUBLE)
+          |ELSE st.s + ((CAST(x.eq - st.peq AS DOUBLE)
+          |              / CAST(5 AS DOUBLE))
+          |             * CAST(least(5, x.i) AS DOUBLE))
+          |            / CAST(x.i AS DOUBLE) END""".stripMargin
+      val walk = ranked.groupBy(col("te_id"))
+        .agg(expr(
+          s"""aggregate(
+             |  reverse(array_sort(collect_list(struct(i, eq, n, tr_id)))),
+             |  named_struct(
+             |    'peq', CAST(-1 AS BIGINT), 's', CAST(0 AS DOUBLE),
+             |    'out',
+             |    CAST(array() AS ARRAY<STRUCT<tr_id: BIGINT, s: DOUBLE>>)),
+             |  (st, x) -> named_struct(
+             |    'peq', x.eq,
+             |    's', $sExpr,
+             |    'out', concat(st.out,
+             |      array(named_struct('tr_id', x.tr_id, 's', $sExpr)))))
+             |""".stripMargin).as("w"))
+        .select(col("te_id"), explode(col("w.out")).as("e"))
+        .select(col("te_id"), col("e.tr_id").as("tr_id"),
+          col("e.s").as("s"))
+      walk.join(train.select(col("tr_id"), col("tr_label")), Seq("tr_id"))
+        .groupBy(col("tr_id"), col("tr_label"))
+        .agg(
+          count(lit(1)).as("n_tests"),
+          expr("aggregate(array_sort(collect_list(struct(te_id, s))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.s)").as("s_sum"))
+        .select(col("tr_id").as("vec_id"), col("tr_label").as("label"),
+          col("n_tests"),
+          (col("s_sum") / col("n_tests").cast(DoubleType)).as("shapley"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE qz AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 16384) AS BIGINT)) AS q
+        FROM embeddings
+      ), train AS (
+        SELECT vec_id AS tr_id, label AS tr_label, q AS tq FROM qz
+        WHERE vec_id < 200
+      ), test AS (
+        SELECT vec_id AS te_id, label AS te_label, q AS teq FROM qz
+        WHERE vec_id >= 200 AND vec_id < 220
+      ), ranked AS (
+        SELECT te_id, tr_id,
+               CAST(row_number() OVER (PARTITION BY te_id
+                 ORDER BY ${qd2Sql("tq", "teq")}, tr_id) AS BIGINT) AS i,
+               CASE WHEN tr_label = te_label THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS eq,
+               CAST(count(*) OVER (PARTITION BY te_id) AS BIGINT) AS n
+        FROM train CROSS JOIN test
+      ), walk AS (
+        SELECT r.te_id, r.i,
+               CAST(r.eq AS DOUBLE) / CAST(r.n AS DOUBLE) AS s
+        FROM ranked r WHERE r.i = r.n
+        UNION ALL
+        SELECT w.te_id, w.i - 1,
+               w.s + ((CAST(p.eq - p2.eq AS DOUBLE) / CAST(5 AS DOUBLE))
+                      * CAST(least(5, w.i - 1) AS DOUBLE))
+                     / CAST(w.i - 1 AS DOUBLE)
+        FROM walk w
+        JOIN ranked p  ON p.te_id = w.te_id AND p.i = w.i - 1
+        JOIN ranked p2 ON p2.te_id = w.te_id AND p2.i = w.i
+        WHERE w.i > 1
+      )
+      SELECT r.tr_id AS vec_id, t.tr_label AS label,
+             count(*) AS n_tests,
+             list_reduce(list_transform(
+               list(struct_pack(te := w.te_id, s := w.s)
+                    ORDER BY w.te_id), x -> x.s), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE) AS shapley
+      FROM walk w
+      JOIN ranked r ON r.te_id = w.te_id AND r.i = w.i
+      JOIN train t ON t.tr_id = r.tr_id
+      GROUP BY r.tr_id, t.tr_label
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q41, q47, q62, q77, q86, q98, q157, q198,
       q211, q212, q213, q242, q259, q275, q276, q291, q305, q328,
-      q363)
+      q363, q389)
 }

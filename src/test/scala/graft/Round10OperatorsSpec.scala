@@ -391,4 +391,152 @@ class Round10OperatorsSpec extends SparkSpec {
     // all three disagreement kinds exercised
     assert(got.exists(!_._3) && got.exists(!_._4) && got.exists(!_._5))
   }
+
+  test("q389 KNN-Shapley equals the Jia et al. closed-form replay") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Array[Double])].collect()
+      .map { case (id, l, v) =>
+        // both engines round half AWAY FROM ZERO; Scala math.round is
+        // half-toward-+inf (the q305 gotcha) — mirror the engines
+        (id, l, v.map { x =>
+          val y = x * 16384
+          if (y < 0) -math.round(-y) else math.round(y)
+        })
+      }
+    val train = vecs.filter(_._1 < 200).sortBy(_._1)
+    val test = vecs.filter(v => v._1 >= 200 && v._1 < 220)
+    val K = 5
+    val acc = collection.mutable.Map[Long, List[(Long, Double)]]()
+    test.foreach { case (teId, teL, teQ) =>
+      val ranked = train.map { case (trId, trL, trQ) =>
+        val d2 = trQ.zip(teQ).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, trId, if (trL == teL) 1L else 0L)
+      }.sortBy(r => (r._1, r._2))
+      val n = ranked.length
+      val s = new Array[Double](n + 1)
+      s(n) = ranked(n - 1)._3.toDouble / n.toDouble
+      (n - 1 to 1 by -1).foreach { i =>
+        s(i) = s(i + 1) +
+          ((ranked(i - 1)._3 - ranked(i)._3).toDouble / K.toDouble) *
+            math.min(K, i).toDouble / i.toDouble
+      }
+      (1 to n).foreach { i =>
+        val trId = ranked(i - 1)._2
+        acc(trId) = (teId, s(i)) :: acc.getOrElse(trId, Nil)
+      }
+    }
+    val got = queries.Sim.q389.run(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == train.length)
+    got.foreach { case (vid, label, nTests, shap) =>
+      assert(nTests == test.length.toLong)
+      val sSum = acc(vid).sortBy(_._1)
+        .foldLeft(0.0) { case (a, (_, s)) => a + s }
+      assert(shap == sSum / test.length.toDouble, s"vec $vid")
+      assert(label == train.find(_._1 == vid).get._2)
+    }
+    // efficiency axiom (Shapley): per test point the values sum to the
+    // utility of the full set, so the grand total over train points is
+    // (1/T)·Σ_test Σ_i s_i with each inner sum = P(knn label = y) ∈
+    // [0,1]; and the dose must produce both helpful and harmful points
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0),
+      "valuation degenerate: no positive or no negative points")
+  }
+
+  test("q390 Yuen trimmed t equals an exact rank-trim replay") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect()
+      .map { case (k, tp) =>
+        ((k * 2654435761L) % 2, math.round(tp * 100))
+      }
+    val got = queries.Evals.q390.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double,
+        Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    Seq(("dosed", true), ("control", false)).foreach { case (variant, dose) =>
+      val stats = (0L to 1L).map { arm =>
+        val vs = rows.filter(_._1 == arm)
+          .map { case (a, c) => if (dose && a == 1) c + c / 7 else c }
+          .sorted
+        val n = vs.length; val g = n / 5; val h = n - 2 * g
+        val trimmed = vs.slice(g, n - g)
+        val tmean = trimmed.map(BigInt(_)).sum.toDouble / h.toDouble
+        val lo = vs(g); val hi = vs(n - g - 1)
+        val w = vs.map(v => math.min(math.max(v, lo), hi))
+        val s1 = w.map(BigInt(_)).sum
+        val s2 = w.map(x => BigInt(x) * x).sum
+        val num = s2 * n - s1 * s1
+        val dvar = num.toDouble / (BigInt(n) * h * (h - 1)).toDouble
+        (n.toLong, h.toLong, tmean, dvar)
+      }
+      val t = (stats(0)._3 - stats(1)._3) /
+        math.sqrt(stats(0)._4 + stats(1)._4)
+      val df = ((stats(0)._4 + stats(1)._4) * (stats(0)._4 + stats(1)._4)) /
+        ((stats(0)._4 * stats(0)._4) / (stats(0)._2 - 1).toDouble +
+          (stats(1)._4 * stats(1)._4) / (stats(1)._2 - 1).toDouble)
+      val (_, nA, nB, hA, hB, tmA, tmB, gt, gdf, rej) = got(variant)
+      assert(nA == stats(0)._1 && nB == stats(1)._1)
+      assert(hA == stats(0)._2 && hB == stats(1)._2)
+      assert(tmA == stats(0)._3 && tmB == stats(1)._3)
+      assert(gt == t && gdf == df, s"$variant t: $gt vs $t")
+      assert(rej == (math.abs(t) > 1.96))
+      if (dose) assert(rej, s"dosed |t|=${math.abs(t)} under 1.96")
+      else assert(!rej, s"control |t|=${math.abs(t)} over 1.96")
+    }
+  }
+
+  test("q391 sorted-neighborhood equals a rank-window replay; " +
+    "complements q388's blocking") {
+    case class R(key: Long, name: String, nation: Long, bal: Long)
+    val base = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"), col("c_acctbal"))
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (k, nm, nat, ab) => R(k, nm, nat, math.round(ab * 100)) }
+    val dirty = base.filter(_.key % 3 == 0).map { r =>
+      R(r.key + 1000000000L,
+        if (r.key % 5 == 0)
+          r.name.dropRight(1) + ((r.key + 1) % 10).toString
+        else r.name,
+        if (r.key % 7 == 0) (r.nation + 1) % 25 else r.nation,
+        if (r.key % 11 == 0) r.bal + 1 else r.bal)
+    }
+    val sorted = (base ++ dirty).sortBy(r => (r.name, r.key))
+    val expect = (for {
+      i <- sorted.indices; jd <- 1 to 3
+      j = i + jd if j < sorted.length
+      a = sorted(i); b = sorted(j)
+      nameEq = a.name == b.name
+      natEq = a.nation == b.nation
+      balEq = a.bal == b.bal
+      nAgr = Seq(nameEq, natEq, balEq).count(identity) if nAgr >= 2
+    } yield (math.min(a.key, b.key), math.max(a.key, b.key)) ->
+      (jd.toLong, nameEq, natEq, balEq, nAgr.toLong)).toMap
+    val got = queries.Dedup.q391.run(spark, sf001)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Long, Boolean)]
+      .collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (lo, hi, dist, ne, te, be, na, isDup) =>
+      assert(expect((lo, hi)) == ((dist, ne, te, be, na)),
+        s"pair ($lo,$hi)")
+      assert(isDup == (hi - lo == 1000000000L))
+    }
+    // complementarity: every name-unperturbed dupe is found (identical
+    // sort keys are adjacent up to interlopers), INCLUDING the
+    // +1-cent balance dupes that can cross q388's block boundary
+    val unperturbedName = base.filter(r => r.key % 3 == 0 && r.key % 5 != 0)
+    val found = got.filter(_._8).map(r => r._1).toSet
+    unperturbedName.foreach { r =>
+      assert(found.contains(r.key), s"missed name-stable dupe ${r.key}")
+    }
+    // and the window genuinely loses some digit-wrap name dupes while
+    // q388 keeps them — the documented multi-pass motivation
+    val wrapDupes = base.filter(r =>
+      r.key % 15 == 0 && r.key % 10 == 9)
+    if (wrapDupes.nonEmpty)
+      assert(wrapDupes.exists(r => !found.contains(r.key)),
+        "expected at least one digit-wrap dupe outside the window")
+  }
 }
