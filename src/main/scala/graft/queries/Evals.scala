@@ -3343,9 +3343,224 @@ object Evals {
         ON a1.variant = a0.variant AND a0.arm = 0 AND a1.arm = 1
       ORDER BY a0.variant"""))
 
+  /** q395: CONFORMAL RISK CONTROL (Angelopoulos, Bates et al. 2022,
+    * "Conformal Risk Control" — the generalization of q327's split
+    * conformal from coverage to ANY monotone loss): choose the flagging
+    * threshold λ for a quality classifier so the MISS RATE (bad doc
+    * left unflagged — loss over all docs, the monotone-in-λ quantity
+    * the theorem controls) is ≤ α = 0.1 in expectation, via the
+    * finite-sample corrected bound (n·R̂(λ) + B)/(n + 1) ≤ α with
+    * B = 1. ALL-INTEGER selection: on the 41-point λ grid the bound is
+    * the cross-multiplied test (c(λ) + 1)·10 ≤ n + 1 over the exact
+    * calibration miss COUNT c(λ), and λ̂ is the largest grid λ passing
+    * — flag as few docs as the guarantee allows. The report carries
+    * the full grid audit plus the held-out realized miss rate (and the
+    * conditional FNR, labeled — NOT the controlled quantity). Dose:
+    * bad = (id·40503)‰ < score makes P(bad|score) rise linearly (the
+    * q338 correlation), so the trade-off is real. Scale: one scan to
+    * a (grid × split) rollup via a 41-row generator join. */
+  val q395 = Q(
+    "q395_conformal_risk",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val scored = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("(doc_id * 2654435761L) % 1000").as("score"),
+          (col("doc_id") % 2 === 0).as("is_cal"))
+        .withColumn("bad", expr("(doc_id * 40503L) % 1000") < col("score"))
+        .persistTracked()
+      val grid = scored.crossJoin(
+        s.range(0, 41).select((col("id") * 25).as("lam")))
+      val cells = grid.groupBy(col("lam"))
+        .agg(
+          sum(when(col("is_cal") && col("bad") && col("score") < col("lam"),
+            1L).otherwise(0L)).as("cal_miss"),
+          sum(when(col("is_cal"), 1L).otherwise(0L)).as("n_cal"),
+          sum(when(!col("is_cal") && col("bad") &&
+            col("score") < col("lam"), 1L).otherwise(0L)).as("test_miss"),
+          sum(when(!col("is_cal"), 1L).otherwise(0L)).as("n_test"),
+          sum(when(!col("is_cal") && col("bad"), 1L).otherwise(0L))
+            .as("n_test_bad"),
+          sum(when(!col("is_cal") && col("score") >= col("lam"), 1L)
+            .otherwise(0L)).as("test_flagged"))
+        .withColumn("bound_ok", (col("cal_miss") + 1) * 10 <=
+          col("n_cal") + 1)
+        .persistTracked()
+      val sel = cells.filter(col("bound_ok"))
+        .agg(max(col("lam")).as("lam_hat"))
+      cells.crossJoin(broadcast(sel))
+        .withColumn("selected", col("lam") === col("lam_hat"))
+        .select(col("lam"), col("cal_miss"), col("n_cal"),
+          col("bound_ok"), col("selected"),
+          (col("test_miss").cast(DoubleType) /
+            col("n_test").cast(DoubleType)).as("test_miss_rate"),
+          (col("test_miss").cast(DoubleType) /
+            col("n_test_bad").cast(DoubleType)).as("test_fnr"),
+          (col("test_flagged").cast(DoubleType) /
+            col("n_test").cast(DoubleType)).as("test_flag_rate"))
+        .orderBy(col("lam"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, (doc_id * 2654435761) % 1000 AS score,
+               doc_id % 2 = 0 AS is_cal,
+               (doc_id * 40503) % 1000 < (doc_id * 2654435761) % 1000
+                 AS bad
+        FROM documents
+      ), cells AS (
+        SELECT g.lam,
+               CAST(sum(CASE WHEN s.is_cal AND s.bad AND s.score < g.lam
+                 THEN 1 ELSE 0 END) AS BIGINT) AS cal_miss,
+               CAST(sum(CASE WHEN s.is_cal THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cal,
+               CAST(sum(CASE WHEN NOT s.is_cal AND s.bad
+                 AND s.score < g.lam THEN 1 ELSE 0 END) AS BIGINT)
+                 AS test_miss,
+               CAST(sum(CASE WHEN NOT s.is_cal THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN NOT s.is_cal AND s.bad THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_test_bad,
+               CAST(sum(CASE WHEN NOT s.is_cal AND s.score >= g.lam
+                 THEN 1 ELSE 0 END) AS BIGINT) AS test_flagged
+        FROM scored s
+        CROSS JOIN (SELECT unnest(range(0, 41)) * 25 AS lam) g
+        GROUP BY g.lam
+      ), flags AS (
+        SELECT *, (cal_miss + 1) * 10 <= n_cal + 1 AS bound_ok
+        FROM cells
+      ), sel AS (
+        SELECT max(lam) AS lam_hat FROM flags WHERE bound_ok
+      )
+      SELECT f.lam, f.cal_miss, f.n_cal, f.bound_ok,
+             f.lam = s.lam_hat AS selected,
+             CAST(f.test_miss AS DOUBLE) / CAST(f.n_test AS DOUBLE)
+               AS test_miss_rate,
+             CAST(f.test_miss AS DOUBLE) / CAST(f.n_test_bad AS DOUBLE)
+               AS test_fnr,
+             CAST(f.test_flagged AS DOUBLE) / CAST(f.n_test AS DOUBLE)
+               AS test_flag_rate
+      FROM flags f CROSS JOIN sel s
+      ORDER BY f.lam"""))
+
+  /** q396: TUKEY–KRAMER HSD POST-HOC PAIRWISE COMPARISONS (Tukey 1949;
+    * Kramer 1956 for unequal group sizes) — the step a k-group read
+    * takes AFTER q354's ANOVA says "some group differs": which PAIRS
+    * differ, with the familywise error of all 10 comparisons
+    * controlled by the studentized-range critical value (k=5, df→∞:
+    * q.05 = 3.858, a literal — the q356 z-sum discipline). EXACT
+    * inputs: per-priority sums and squared sums of dosed integer cents
+    * accumulate in DECIMAL(38,0)/HUGEINT (Σv² passes 2⁶³ at scale) and
+    * convert once via the correctly-rounded path; means, the pooled
+    * within-group MSW = SSW/(N−k), and each Tukey–Kramer statistic
+    * |x̄ᵢ−x̄ⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) are then identical-operand
+    * doubles. Dosed/control differential: +$20k per priority index
+    * separates extremes but leaves the adjacent (1,2) pair inside the
+    * band at sf0.001 (prototyped: dosed 7/10 reject there, control
+    * 0/10 at every SF) — a verdict that genuinely uses the familywise
+    * bar. Scale: one scan to a 5-row rollup; the pair join is 5×5. */
+  val q396 = Q(
+    "q396_tukey_hsd",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("idx"),
+          Det.cents(col("o_totalprice")).as("c"))
+      val panel = base.select(lit("dosed").as("variant"), col("idx"),
+        (col("c") + col("idx") * 2000000L).as("v"))
+        .unionAll(base.select(lit("control").as("variant"), col("idx"),
+          col("c").as("v")))
+      val groups = panel.groupBy(col("variant"), col("idx"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 0))).as("s1"),
+          sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("s2"))
+        .persistTracked()
+      val msw = groups.groupBy(col("variant"))
+        .agg(
+          sum(col("n")).as("n_total"), count(lit(1)).as("k"),
+          // SSW = Σ_groups (S2 − S1²/n) exactly:
+          // Σ S2 − Σ S1²/n folded per group in idx order as doubles
+          expr("aggregate(array_sort(collect_list(struct(idx, " +
+            "(CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) " +
+            "/ CAST(n AS DOUBLE)) AS w))), CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + x.w)").as("ssw"))
+        .withColumn("msw",
+          col("ssw") / (col("n_total") - col("k")).cast(DoubleType))
+      val g1 = groups.select(col("variant"), col("idx").as("i"),
+        col("n").as("n_i"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_i"))
+      val g2 = groups.select(col("variant"), col("idx").as("j"),
+        col("n").as("n_j"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_j"))
+      g1.join(g2, Seq("variant")).filter(col("i") < col("j"))
+        .join(msw.select(col("variant"), col("msw")), Seq("variant"))
+        .withColumn("q_stat",
+          abs(col("mean_i") - col("mean_j")) /
+            sqrt((col("msw") / lit(2.0)) *
+              (lit(1.0) / col("n_i").cast(DoubleType) +
+                lit(1.0) / col("n_j").cast(DoubleType))))
+        .withColumn("reject_05", col("q_stat") > 3.858)
+        .select(col("variant"), col("i"), col("j"), col("n_i"),
+          col("n_j"), col("mean_i"), col("mean_j"), col("q_stat"),
+          col("reject_05"))
+        .orderBy(col("variant"), col("i"), col("j"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS idx,
+               ${Det.centsSql("o_totalprice")} AS c
+        FROM orders
+      ), panel AS (
+        SELECT 'dosed' AS variant, idx, c + idx * 2000000 AS v FROM base
+        UNION ALL
+        SELECT 'control' AS variant, idx, c AS v FROM base
+      ), groups AS (
+        SELECT variant, idx, count(*) AS n,
+               sum(CAST(v AS HUGEINT)) AS s1,
+               sum(CAST(v AS HUGEINT) * v) AS s2
+        FROM panel GROUP BY variant, idx
+      ), msw AS (
+        SELECT variant, CAST(sum(n) AS BIGINT) AS n_total,
+               count(*) AS k,
+               list_reduce(list_transform(list(struct_pack(idx := idx,
+                 w := ${Det.hugeDoubleSql("s2")}
+                      - ${Det.hugeDoubleSql("s1 * s1")}
+                        / CAST(n AS DOUBLE)) ORDER BY idx),
+                 x -> x.w), (a, b) -> a + b) AS ssw
+        FROM groups GROUP BY variant
+      )
+      SELECT g1.variant, g1.idx AS i, g2.idx AS j,
+             g1.n AS n_i, g2.n AS n_j,
+             ${Det.hugeDoubleSql("g1.s1")} / CAST(g1.n AS DOUBLE)
+               AS mean_i,
+             ${Det.hugeDoubleSql("g2.s1")} / CAST(g2.n AS DOUBLE)
+               AS mean_j,
+             abs(${Det.hugeDoubleSql("g1.s1")} / CAST(g1.n AS DOUBLE)
+                 - ${Det.hugeDoubleSql("g2.s1")} / CAST(g2.n AS DOUBLE))
+               / sqrt((m.ssw / CAST(m.n_total - m.k AS DOUBLE)
+                       / CAST(2 AS DOUBLE))
+                      * (CAST(1 AS DOUBLE) / CAST(g1.n AS DOUBLE)
+                         + CAST(1 AS DOUBLE) / CAST(g2.n AS DOUBLE)))
+               AS q_stat,
+             abs(${Det.hugeDoubleSql("g1.s1")} / CAST(g1.n AS DOUBLE)
+                 - ${Det.hugeDoubleSql("g2.s1")} / CAST(g2.n AS DOUBLE))
+               / sqrt((m.ssw / CAST(m.n_total - m.k AS DOUBLE)
+                       / CAST(2 AS DOUBLE))
+                      * (CAST(1 AS DOUBLE) / CAST(g1.n AS DOUBLE)
+                         + CAST(1 AS DOUBLE) / CAST(g2.n AS DOUBLE)))
+               > 3.858 AS reject_05
+      FROM groups g1
+      JOIN groups g2 ON g2.variant = g1.variant AND g1.idx < g2.idx
+      JOIN msw m ON m.variant = g1.variant
+      ORDER BY g1.variant, i, j"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390)
+      q383, q387, q390, q395, q396)
 }

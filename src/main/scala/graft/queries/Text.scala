@@ -5195,11 +5195,244 @@ object Text {
       WHERE s.c <= 5
       ORDER BY s.c"""))
 
+  /** q393: χ² TOKEN–LABEL FEATURE SELECTION (Pearson 1900; the
+    * standard filter-method ranking of Yang & Pedersen 1997, "A
+    * Comparative Study on Feature Selection in Text Categorization" —
+    * which vocabulary items PREDICT the quality label a corpus filter
+    * like q21/q357 trains on). Per token, the 2×2 presence×label
+    * contingency (a,b,c,d) over DISTINCT per-doc tokens, and
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * — the log-free sibling of log-odds scoring (ln() never enters the
+    * oracle surface). EXACT: all four cells are integer counts; the
+    * numerator N·(ad−bc)² and the four-marginal denominator are
+    * computed in DECIMAL(38,0)/HUGEINT (they pass 2⁶³ at corpus scale;
+    * inside 10³⁸ up to ~10⁸ docs) and converted ONCE via the
+    * correctly-rounded path; one division. Degenerate tokens present
+    * in every doc (zero marginal) emit χ² = 0 by the same CASE in both
+    * engines. Scale: one explode to distinct (doc, token) pairs, one
+    * token-keyed rollup — the report is vocabulary-sized. */
+  val q393 = Q(
+    "q393_chi2_features",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("n_chars") >= 400, 1L).otherwise(0L).as("y"),
+          expr("array_distinct(filter(split(text, ' ', -1), " +
+            "t -> t <> ''))").as("toks"))
+        .persistTracked()
+      val totals = docs.agg(
+        count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      val cells = docs
+        .select(col("y"), explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(
+          sum(col("y")).as("a"),
+          sum(lit(1L) - col("y")).as("b"))
+        .crossJoin(broadcast(totals))
+        .withColumn("c", col("n_pos") - col("a"))
+        .withColumn("dd", col("n_docs") - col("n_pos") - col("b"))
+      cells
+        .withColumn("det",
+          (col("a").cast(DecimalType(38, 0)) * col("dd") -
+            col("b").cast(DecimalType(38, 0)) * col("c")))
+        .withColumn("denom",
+          ((col("a") + col("b")).cast(DecimalType(38, 0)) *
+            (col("c") + col("dd")) * (col("a") + col("c")) *
+            (col("b") + col("dd"))))
+        .withColumn("chi2",
+          when(col("denom") === 0, lit(0.0)).otherwise(
+            (col("n_docs").cast(DecimalType(38, 0)) * col("det") *
+              col("det")).cast(DoubleType) /
+              col("denom").cast(DoubleType)))
+        .select(col("token"), col("a"), col("b"), col("c"),
+          col("dd").as("d"), col("chi2"))
+        .orderBy(desc("chi2"), col("token"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y,
+               list_distinct(list_filter(string_split(text, ' '),
+                 t -> t <> '')) AS toks
+        FROM documents
+      ), totals AS (
+        SELECT count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+        FROM docs
+      ), cells AS (
+        SELECT token,
+               CAST(sum(y) AS BIGINT) AS a,
+               CAST(sum(1 - y) AS BIGINT) AS b
+        FROM (SELECT y, unnest(toks) AS token FROM docs) e
+        GROUP BY token
+      ), full_cells AS (
+        SELECT c.token, c.a, c.b, t.n_pos - c.a AS c,
+               t.n_docs - t.n_pos - c.b AS d, t.n_docs
+        FROM cells c CROSS JOIN totals t
+      ), scored AS (
+        SELECT token, a, b, c, d,
+               CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS det,
+               CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                 AS denom,
+               n_docs
+        FROM full_cells
+      )
+      SELECT token, a, b, c, d,
+             CASE WHEN denom = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE ${graft.queries.Det.hugeDoubleSql(
+      "CAST(n_docs AS HUGEINT) * det * det")}
+                       / ${graft.queries.Det.hugeDoubleSql("denom")} END
+               AS chi2
+      FROM scored
+      ORDER BY chi2 DESC, token"""))
+
+  /** q394: MTLD LEXICAL DIVERSITY (McCarthy & Jarvis 2010, "MTLD,
+    * vocd-D, and HD-D: a validation study of sophisticated approaches
+    * to lexical diversity assessment" — the length-robust
+    * type-token-ratio a data-quality pipeline scores text with,
+    * because raw TTR decays mechanically with length, cf. q335's
+    * Heaps curve): walk the token stream, count a FACTOR each time the
+    * running TTR falls below 0.72, add the final partial factor
+    * (1 − TTR_end)/(1 − 0.72), and MTLD = tokens / factors — averaged
+    * over the forward and reverse walks. SEQUENTIAL BY DEFINITION →
+    * both engines run the SAME fold (Spark aggregate() with an
+    * array-set state, the DuckDB twin one token per WITH RECURSIVE
+    * step); the factor-break test is the cross-multiplied integer
+    * 100·|types| < 72·tokens — no double enters the walk, and the two
+    * trailing divisions see identical operands. Tokens capped at 64
+    * per doc (both engines, part of the operator contract) so the
+    * twin's recursion is corpus-width × ≤64 deep. Scale: the fold is
+    * per-row local — corpus parallelism is free; cost is O(len·types)
+    * per doc, bounded by the cap. */
+  val q394 = Q(
+    "q394_mtld",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("slice(filter(split(text, ' ', -1), t -> t <> ''), " +
+            "1, 64)").as("toks"))
+      // one walk definition, applied to toks and reverse(toks)
+      def walkExpr(arr: String) =
+        s"""aggregate($arr,
+           |  named_struct('types', CAST(array() AS ARRAY<STRING>),
+           |    'tok', CAST(0 AS BIGINT), 'factors', CAST(0 AS BIGINT)),
+           |  (st, t) -> CASE
+           |    WHEN 100 * size(CASE WHEN array_contains(st.types, t)
+           |           THEN st.types ELSE concat(st.types, array(t)) END)
+           |         < 72 * (st.tok + 1)
+           |    THEN named_struct(
+           |      'types', CAST(array() AS ARRAY<STRING>),
+           |      'tok', CAST(0 AS BIGINT), 'factors', st.factors + 1)
+           |    ELSE named_struct(
+           |      'types', CASE WHEN array_contains(st.types, t)
+           |        THEN st.types ELSE concat(st.types, array(t)) END,
+           |      'tok', st.tok + 1, 'factors', st.factors) END)"""
+          .stripMargin
+      // partial factor only when a residual stream exists; an
+      // all-distinct doc (zero factors, TTR_end = 1) gets mtld = len
+      // by convention — same CASEs both engines
+      def mtldExpr(walk: String, len: String) = {
+        val denom =
+          s"""(CAST($walk.factors AS DOUBLE)
+             |  + CASE WHEN $walk.tok = 0 THEN CAST(0 AS DOUBLE)
+             |         ELSE (CAST(1 AS DOUBLE)
+             |               - CAST(size($walk.types) AS DOUBLE)
+             |                 / CAST($walk.tok AS DOUBLE))
+             |              / CAST(0.28 AS DOUBLE) END)""".stripMargin
+        s"""CASE WHEN $denom = CAST(0 AS DOUBLE)
+           |THEN CAST($len AS DOUBLE)
+           |ELSE CAST($len AS DOUBLE) / $denom END""".stripMargin
+      }
+      docs
+        .withColumn("wf", expr(walkExpr("toks")))
+        .withColumn("wb", expr(walkExpr("reverse(toks)")))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("mtld_fwd", expr(mtldExpr("wf", "size(toks)")))
+        .withColumn("mtld_bwd", expr(mtldExpr("wb", "size(toks)")))
+        .withColumn("mtld",
+          (col("mtld_fwd") + col("mtld_bwd")) / lit(2.0))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("wf.factors").as("factors_fwd"),
+          col("mtld_fwd"), col("mtld_bwd"), col("mtld"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // the walk twin: one token per recursive step; the state set is
+      // a sorted list (membership via list_contains)
+      def finalMtld(tok: String, types: String, factors: String,
+          len: String) = {
+        val denom =
+          s"""(CAST($factors AS DOUBLE)
+             |  + CASE WHEN $tok = 0 THEN CAST(0 AS DOUBLE)
+             |         ELSE (CAST(1 AS DOUBLE)
+             |               - CAST(len($types) AS DOUBLE)
+             |                 / CAST($tok AS DOUBLE))
+             |              / CAST(0.28 AS DOUBLE) END)""".stripMargin
+        s"""CASE WHEN $denom = CAST(0 AS DOUBLE)
+           |THEN CAST($len AS DOUBLE)
+           |ELSE CAST($len AS DOUBLE) / $denom END""".stripMargin
+      }
+      val step = (dir: String) =>
+        s"""walk_$dir AS (
+           |  SELECT doc_id, 0 AS i, CAST([] AS VARCHAR[]) AS types,
+           |         CAST(0 AS BIGINT) AS tok, CAST(0 AS BIGINT)
+           |           AS factors
+           |  FROM panel
+           |  UNION ALL
+           |  SELECT w.doc_id, w.i + 1,
+           |    CASE WHEN 100 * len(CASE WHEN list_contains(w.types,
+           |             p.${dir}toks[w.i + 1]) THEN w.types
+           |           ELSE list_append(w.types, p.${dir}toks[w.i + 1])
+           |           END) < 72 * (w.tok + 1)
+           |         THEN CAST([] AS VARCHAR[])
+           |         ELSE CASE WHEN list_contains(w.types,
+           |             p.${dir}toks[w.i + 1]) THEN w.types
+           |           ELSE list_append(w.types, p.${dir}toks[w.i + 1])
+           |           END END,
+           |    CASE WHEN 100 * len(CASE WHEN list_contains(w.types,
+           |             p.${dir}toks[w.i + 1]) THEN w.types
+           |           ELSE list_append(w.types, p.${dir}toks[w.i + 1])
+           |           END) < 72 * (w.tok + 1)
+           |         THEN CAST(0 AS BIGINT) ELSE w.tok + 1 END,
+           |    CASE WHEN 100 * len(CASE WHEN list_contains(w.types,
+           |             p.${dir}toks[w.i + 1]) THEN w.types
+           |           ELSE list_append(w.types, p.${dir}toks[w.i + 1])
+           |           END) < 72 * (w.tok + 1)
+           |         THEN w.factors + 1 ELSE w.factors END
+           |  FROM walk_$dir w JOIN panel p USING (doc_id)
+           |  WHERE w.i < len(p.${dir}toks)
+           |)""".stripMargin
+      s"""
+      WITH RECURSIVE panel AS (
+        SELECT doc_id, source, toks AS ftoks, list_reverse(toks)
+                 AS btoks
+        FROM (SELECT doc_id, source,
+                list_filter(string_split(text, ' '),
+                  t -> t <> '')[1:64] AS toks
+              FROM documents) t0
+      ), ${step("f")}, ${step("b")}
+      SELECT p.doc_id, p.source,
+             CAST(len(p.ftoks) AS BIGINT) AS n_tokens,
+             wf.factors AS factors_fwd,
+             ${finalMtld("wf.tok", "wf.types", "wf.factors",
+      "len(p.ftoks)")} AS mtld_fwd,
+             ${finalMtld("wb.tok", "wb.types", "wb.factors",
+      "len(p.ftoks)")} AS mtld_bwd,
+             (${finalMtld("wf.tok", "wf.types", "wf.factors",
+      "len(p.ftoks)")}
+              + ${finalMtld("wb.tok", "wb.types", "wb.factors",
+      "len(p.ftoks)")}) / CAST(2 AS DOUBLE) AS mtld
+      FROM panel p
+      JOIN walk_f wf ON wf.doc_id = p.doc_id AND wf.i = len(p.ftoks)
+      JOIN walk_b wb ON wb.doc_id = p.doc_id AND wb.i = len(p.btoks)
+      ORDER BY p.doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
       q104, q106, q110, q111, q114, q115, q118, q122, q128, q184, q196,
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
-      q317, q318, q335, q341, q347, q366, q371, q379, q385)
+      q317, q318, q335, q341, q347, q366, q371, q379, q385, q393, q394)
 }

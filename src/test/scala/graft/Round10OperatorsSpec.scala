@@ -539,4 +539,195 @@ class Round10OperatorsSpec extends SparkSpec {
       assert(wrapDupes.exists(r => !found.contains(r.key)),
         "expected at least one digit-wrap dupe outside the window")
   }
+
+  test("q392 rejection match equals an exact-accept replay; L1 shrinks") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+      .map { case (id, src, nc) =>
+        (id, src, math.min(nc / 64 / 2, 3L), (id * 2654435761L) % 1000000)
+      }
+    val raw = docs.filter(_._2 != "src1")
+    val tgt = docs.filter(_._2 == "src1")
+    val rawN = raw.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val tgtN = tgt.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val rT = raw.length.toLong; val tT = tgt.length.toLong
+    val accN = raw.filter { case (_, _, b, u) =>
+      BigInt(u) * rawN(b) * tT < BigInt(tgtN.getOrElse(b, 0L)) * rT *
+        1000000L
+    }.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val aT = accN.values.sum
+    val bs = (0L to 3L).filter(b => rawN.contains(b) && tgtN.contains(b))
+    val l1Pre = bs.map(b => math.abs(rawN(b).toDouble / rT.toDouble -
+      tgtN(b).toDouble / tT.toDouble)).foldLeft(0.0)(_ + _)
+    val l1Post = bs.map(b =>
+      math.abs(accN.getOrElse(b, 0L).toDouble / aT.toDouble -
+        tgtN(b).toDouble / tT.toDouble)).foldLeft(0.0)(_ + _)
+    val got = queries.Curation.q392.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double,
+        Double)].collect()
+    assert(got.map(_._1).toSeq == bs)
+    got.foreach { case (b, rn, tn, an, rs, ts, as_, pre, post) =>
+      assert(rn == rawN(b) && tn == tgtN(b) && an == accN.getOrElse(b, 0L))
+      assert(rs == rawN(b).toDouble / rT.toDouble)
+      assert(ts == tgtN(b).toDouble / tT.toDouble)
+      assert(as_ == accN.getOrElse(b, 0L).toDouble / aT.toDouble)
+      assert(pre == l1Pre && post == l1Post)
+    }
+    assert(l1Post < l1Pre,
+      s"resampling did not move toward the target: $l1Pre -> $l1Post")
+    assert(aT < rT, "nothing was rejected — dose degenerate")
+  }
+
+  test("q393 chi2 features equals a contingency replay") {
+    val chars = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .collect().toMap
+    val docs = docToks.map { case (id, _, t) =>
+      (t.distinct, if (chars(id) >= 400) 1L else 0L)
+    }
+    val nDocs = docs.length.toLong
+    val nPos = docs.count(_._2 == 1L).toLong
+    val got = queries.Text.q393.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val tokens = docs.flatMap(_._1).distinct
+    assert(got.length == tokens.length)
+    val gm = got.map(r => r._1 -> r).toMap
+    tokens.foreach { tok =>
+      val a = docs.count(d => d._1.contains(tok) && d._2 == 1L).toLong
+      val b = docs.count(d => d._1.contains(tok) && d._2 == 0L).toLong
+      val c = nPos - a; val dd = nDocs - nPos - b
+      val det = BigInt(a) * dd - BigInt(b) * c
+      val denom = BigInt(a + b) * (c + dd) * (a + c) * (b + dd)
+      val chi2 =
+        if (denom == 0) 0.0
+        else (BigInt(nDocs) * det * det).toDouble / denom.toDouble
+      val (_, ga, gb, gc, gd, gchi) = gm(tok)
+      assert(ga == a && gb == b && gc == c && gd == dd, s"token $tok")
+      assert(gchi == chi2, s"token $tok chi2: $gchi vs $chi2")
+    }
+    // ranking sanity: output is chi2-descending and non-degenerate
+    assert(got.sliding(2).forall(p => p.head._6 >= p.last._6))
+    assert(got.head._6 > got.last._6, "flat chi2 — label carries no signal")
+  }
+
+  test("q394 MTLD equals a sequential factor-walk replay") {
+    def walk(toks: Seq[String]): (Long, Long, Long) = {
+      var types = List.empty[String]; var tok = 0L; var factors = 0L
+      toks.foreach { t =>
+        val nt = if (types.contains(t)) types else types :+ t
+        if (100L * nt.length < 72L * (tok + 1)) {
+          factors += 1; types = Nil; tok = 0L
+        } else { types = nt; tok += 1 }
+      }
+      (types.length.toLong, tok, factors)
+    }
+    def mtld(len: Int, w: (Long, Long, Long)): Double = {
+      val (ty, tok, f) = w
+      val denom = f.toDouble +
+        (if (tok == 0L) 0.0
+         else (1.0 - ty.toDouble / tok.toDouble) / 0.28)
+      if (denom == 0.0) len.toDouble else len.toDouble / denom
+    }
+    val got = queries.Text.q394.run(spark, sf001)
+      .as[(Long, String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = docToks
+    assert(got.size == docs.length)
+    docs.foreach { case (id, src, t0) =>
+      val t = t0.take(64).toSeq
+      val wf = walk(t); val wb = walk(t.reverse)
+      val mf = mtld(t.length, wf); val mb = mtld(t.length, wb)
+      val (_, gsrc, gn, gff, gmf, gmb, gm2) = got(id)
+      assert(gsrc == src && gn == t.length.toLong && gff == wf._3,
+        s"doc $id")
+      assert(gmf == mf && gmb == mb && gm2 == (mf + mb) / 2.0,
+        s"doc $id mtld: ($gmf,$gmb) vs ($mf,$mb)")
+    }
+    // diversity must vary and factor breaks must genuinely occur
+    val vals = got.values.map(_._7).toSeq
+    assert(vals.distinct.size > 10)
+    assert(got.values.exists(_._4 > 0L), "no factor break anywhere")
+  }
+
+  test("q395 conformal risk control equals a grid replay; bound holds") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    case class D(id: Long, score: Long, cal: Boolean, bad: Boolean)
+    val ds = ids.map { i =>
+      val s = (i * 2654435761L) % 1000
+      D(i, s, i % 2 == 0, (i * 40503L) % 1000 < s)
+    }
+    val nCal = ds.count(_.cal).toLong
+    val grid = (0L to 40L).map(_ * 25)
+    val calMiss = grid.map(l =>
+      l -> ds.count(d => d.cal && d.bad && d.score < l).toLong).toMap
+    val lamHat = grid.filter(l => (calMiss(l) + 1) * 10 <= nCal + 1).max
+    val got = queries.Evals.q395.run(spark, sf001)
+      .as[(Long, Long, Long, Boolean, Boolean, Double, Double, Double)]
+      .collect()
+    assert(got.length == grid.length)
+    val nTest = ds.count(!_.cal).toLong
+    val nTestBad = ds.count(d => !d.cal && d.bad).toLong
+    got.foreach { case (l, cm, nc, ok, sel, tmr, tfnr, tflag) =>
+      assert(cm == calMiss(l) && nc == nCal)
+      assert(ok == ((cm + 1) * 10 <= nCal + 1))
+      assert(sel == (l == lamHat))
+      val tm = ds.count(d => !d.cal && d.bad && d.score < l).toLong
+      assert(tmr == tm.toDouble / nTest.toDouble)
+      assert(tfnr == tm.toDouble / nTestBad.toDouble)
+      assert(tflag == ds.count(d => !d.cal && d.score >= l).toLong
+        .toDouble / nTest.toDouble)
+    }
+    // the guarantee's realized read: held-out miss rate at the chosen
+    // threshold stays near alpha (loss is the unconditional miss rate)
+    val atSel = got.find(_._5).get
+    assert(atSel._6 <= 0.12, s"test miss rate ${atSel._6} far above alpha")
+    // selection is genuinely interior — neither flag-all nor flag-none
+    assert(lamHat > 0 && lamHat < 1000)
+  }
+
+  test("q396 Tukey HSD equals an exact-moment replay; dose separates") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .as[(String, Double)].collect()
+      .map { case (pri, tp) =>
+        (pri.substring(0, 1).toLong, math.round(tp * 100)) }
+    val got = queries.Evals.q396.run(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double,
+        Boolean)].collect()
+    assert(got.length == 20)
+    Seq(("dosed", 2000000L), ("control", 0L)).foreach { case (variant, dose) =>
+      val groups = rows.groupBy(_._1).map { case (idx, g) =>
+        val vs = g.map { case (_, c) => c + idx * dose }
+        val s1 = vs.map(BigInt(_)).sum
+        val s2 = vs.map(v => BigInt(v) * v).sum
+        idx -> (vs.length.toLong, s1, s2)
+      }
+      val nTot = groups.values.map(_._1).sum
+      val k = groups.size.toLong
+      val ssw = groups.toSeq.sortBy(_._1).foldLeft(0.0) {
+        case (acc, (_, (n, s1, s2))) =>
+          acc + (s2.toDouble - (s1 * s1).toDouble / n.toDouble)
+      }
+      val msw = ssw / (nTot - k).toDouble
+      val mine = got.filter(_._1 == variant)
+      assert(mine.length == 10)
+      mine.foreach { case (_, i, j, ni, nj, mi, mj, q, rej) =>
+        val (gn, gs1, _) = groups(i); val (hn, hs1, _) = groups(j)
+        assert(ni == gn && nj == hn)
+        assert(mi == gs1.toDouble / gn.toDouble)
+        assert(mj == hs1.toDouble / hn.toDouble)
+        val expQ = math.abs(mi - mj) / math.sqrt(
+          (msw / 2.0) * (1.0 / gn.toDouble + 1.0 / hn.toDouble))
+        assert(q == expQ, s"$variant ($i,$j): $q vs $expQ")
+        assert(rej == (q > 3.858))
+      }
+      if (dose > 0) {
+        assert(mine.count(_._9) >= 5, "dosed separation lost")
+        assert(mine.exists(r => !r._9),
+          "every dosed pair rejected — familywise bar not exercised")
+      } else assert(mine.forall(!_._9), "control rejected a pair")
+    }
+  }
 }
