@@ -3558,9 +3558,147 @@ object Evals {
       JOIN msw m ON m.variant = g1.variant
       ORDER BY g1.variant, i, j"""))
 
+  /** q397: ROC / PR CURVES + EXACT AUC (Fawcett 2006, "An introduction
+    * to ROC analysis"; Davis & Goadrich 2006 for the PR relationship)
+    * — the threshold-sweep readout behind every corpus-filter
+    * operating-point choice (q338 gives calibration, q364 one point;
+    * this is the whole curve). Two AUC spellings, both deterministic:
+    * (a) EXACT rank AUC = (Σ_pos midrank − P(P+1)/2)/(P·N) via
+    * 2×-scaled midranks over the score-value rollup (the q321/q322
+    * trick — all integer, ONE division; ties handled exactly), and
+    * (b) the 21-point grid trapezoid (ordered fold of identical
+    * doubles — the familiar plotted approximation, reported beside the
+    * exact value it approximates). Grid cells from ONE scan via a
+    * generator cross join; confusion counts are integers, TPR/FPR/
+    * precision single divisions. Scale: the value rollup is bounded by
+    * the score DOMAIN (≤1000 permille values), the grid by 21. */
+  val q397 = Q(
+    "q397_roc_pr_curve",
+    (s, d) => {
+      import graft.Caches.Tracked
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("(doc_id * 2654435761L) % 1000").as("score"))
+        .withColumn("y",
+          when(expr("(doc_id * 40503L) % 1000") < col("score"), 1L)
+            .otherwise(0L))
+        .persistTracked()
+      val totals = scored.agg(
+        sum(col("y")).as("p_total"),
+        sum(lit(1L) - col("y")).as("n_total"))
+      // exact rank AUC from 2x-midranks over the value rollup
+      val byScore = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val wcum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rankAuc = byScore
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(wcum),
+          lit(0L)))
+        .select(sum(col("pos") *
+          (lit(2L) * col("cum_before") + col("cnt") + 1)).as("r2sum"))
+        .crossJoin(broadcast(totals))
+        .select(((col("r2sum") - col("p_total") * (col("p_total") + 1))
+          .cast(DoubleType) /
+          (lit(2L) * col("p_total") * col("n_total")).cast(DoubleType))
+          .as("auc_exact"))
+      val grid = scored.crossJoin(
+        s.range(0, 21).select((col("id") * 50).as("thr")))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("score") >= col("thr"), col("y")).otherwise(0L))
+            .as("tp"),
+          sum(when(col("score") >= col("thr"), lit(1L) - col("y"))
+            .otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(totals))
+        .withColumn("tpr", col("tp").cast(DoubleType) /
+          col("p_total").cast(DoubleType))
+        .withColumn("fpr", col("fp").cast(DoubleType) /
+          col("n_total").cast(DoubleType))
+        .withColumn("precision",
+          when(col("tp") + col("fp") === 0, lit(1.0))
+            .otherwise(col("tp").cast(DoubleType) /
+              (col("tp") + col("fp")).cast(DoubleType)))
+        .persistTracked()
+      // trapezoid over thr-ascending grid (FPR descends): ordered fold
+      val trap = grid.agg(expr(
+        "aggregate(array_sort(collect_list(struct(thr, fpr, tpr))), " +
+          "named_struct('pf', CAST(-1 AS DOUBLE), 'pt', " +
+          "CAST(-1 AS DOUBLE), 'a', CAST(0 AS DOUBLE)), " +
+          "(st, x) -> named_struct('pf', x.fpr, 'pt', x.tpr, 'a', " +
+          "CASE WHEN st.pf = CAST(-1 AS DOUBLE) THEN st.a " +
+          "ELSE st.a + (st.pf - x.fpr) * (st.pt + x.tpr) " +
+          "/ CAST(2 AS DOUBLE) END)).a").as("auc_trapezoid"))
+      grid.crossJoin(broadcast(trap)).crossJoin(broadcast(rankAuc))
+        .select(col("thr"), col("tp"), col("fp"), col("tpr"),
+          col("fpr"), col("precision"), col("auc_trapezoid"),
+          col("auc_exact"))
+        .orderBy(col("thr"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, (doc_id * 2654435761) % 1000 AS score,
+               CASE WHEN (doc_id * 40503) % 1000
+                      < (doc_id * 2654435761) % 1000
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 AS y
+        FROM documents
+      ), totals AS (
+        SELECT CAST(sum(y) AS BIGINT) AS p_total,
+               CAST(sum(1 - y) AS BIGINT) AS n_total
+        FROM scored
+      ), by_score AS (
+        SELECT score, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY score
+      ), ranked AS (
+        SELECT pos, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM by_score
+      ), rank_auc AS (
+        SELECT CAST(CAST(sum(pos * (2 * cum_before + cnt + 1))
+                      AS BIGINT)
+                    - t.p_total * (t.p_total + 1) AS DOUBLE)
+               / CAST(2 * t.p_total * t.n_total AS DOUBLE) AS auc_exact
+        FROM ranked, totals t
+        GROUP BY t.p_total, t.n_total
+      ), grid AS (
+        SELECT g.thr,
+               CAST(sum(CASE WHEN s.score >= g.thr THEN s.y ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.score >= g.thr THEN 1 - s.y
+                 ELSE 0 END) AS BIGINT) AS fp
+        FROM scored s
+        CROSS JOIN (SELECT unnest(range(0, 21)) * 50 AS thr) g
+        GROUP BY g.thr
+      ), curve AS (
+        SELECT g.thr, g.tp, g.fp,
+               CAST(g.tp AS DOUBLE) / CAST(t.p_total AS DOUBLE) AS tpr,
+               CAST(g.fp AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS fpr,
+               CASE WHEN g.tp + g.fp = 0 THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(g.tp AS DOUBLE)
+                         / CAST(g.tp + g.fp AS DOUBLE) END AS precision
+        FROM grid g CROSS JOIN totals t
+      ), trap AS (
+        SELECT list_reduce(list_transform(
+                 list(struct_pack(thr := thr, fpr := fpr, tpr := tpr)
+                      ORDER BY thr),
+                 x -> struct_pack(pf := x.fpr, pt := x.tpr,
+                                  a := CAST(0 AS DOUBLE))),
+               (st, x) -> struct_pack(pf := x.pf, pt := x.pt,
+                 a := st.a + (st.pf - x.pf) * (st.pt + x.pt)
+                      / CAST(2 AS DOUBLE))).a AS auc_trapezoid
+        FROM curve
+      )
+      SELECT c.thr, c.tp, c.fp, c.tpr, c.fpr, c.precision,
+             tr.auc_trapezoid, r.auc_exact
+      FROM curve c CROSS JOIN trap tr CROSS JOIN rank_auc r
+      ORDER BY c.thr"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396)
+      q383, q387, q390, q395, q396, q397)
 }

@@ -351,7 +351,10 @@ class PlanShapeSpec extends SparkSpec {
       // r10: q386's global-distribution cumsum runs over the 10-row
       // bucket rollup (Aggregate below); the per-group EMD walk is
       // partitioned
-      "q386_t_closeness")
+      "q386_t_closeness",
+      // r10: q397's midrank cumulative runs over the ≤1000-row
+      // score-domain rollup (Aggregate below) — q327's shape
+      "q397_roc_pr_curve")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

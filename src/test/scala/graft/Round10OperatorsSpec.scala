@@ -730,4 +730,54 @@ class Round10OperatorsSpec extends SparkSpec {
       } else assert(mine.forall(!_._9), "control rejected a pair")
     }
   }
+
+  test("q397 ROC/PR equals a sweep replay; exact AUC matches rank form") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val sc = ids.map { i =>
+      val s = (i * 2654435761L) % 1000
+      (s, if ((i * 40503L) % 1000 < s) 1L else 0L)
+    }
+    val pT = sc.count(_._2 == 1L).toLong
+    val nT = sc.length - pT
+    // exact AUC two independent ways: midrank formula and pair count
+    val byScore = sc.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, g) => (s, g.length.toLong, g.count(_._2 == 1L).toLong) }
+    var cum = 0L; var r2 = BigInt(0)
+    byScore.foreach { case (_, cnt, pos) =>
+      r2 += BigInt(pos) * (2 * cum + cnt + 1); cum += cnt
+    }
+    val aucExact = (r2 - BigInt(pT) * (pT + 1)).toDouble /
+      (BigInt(2) * pT * nT).toDouble
+    val pairWins = (for {
+      (sp, yp) <- sc if yp == 1L; (sn, yn) <- sc if yn == 0L
+    } yield if (sp > sn) 2L else if (sp == sn) 1L else 0L).sum
+    assert(math.abs(aucExact - pairWins.toDouble / (2.0 * pT * nT))
+      < 1e-12, "midrank and pair-count AUC disagree")
+    val got = queries.Evals.q397.run(spark, sf001)
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(got.length == 21)
+    var pf = -1.0; var pt = -1.0; var trap = 0.0
+    got.sortBy(_._1).foreach { case (thr, tp, fp, tpr, fpr, prec, _, _) =>
+      val etp = sc.count(x => x._1 >= thr && x._2 == 1L).toLong
+      val efp = sc.count(x => x._1 >= thr && x._2 == 0L).toLong
+      assert(tp == etp && fp == efp, s"thr $thr")
+      assert(tpr == etp.toDouble / pT.toDouble)
+      assert(fpr == efp.toDouble / nT.toDouble)
+      val ep = if (etp + efp == 0) 1.0
+        else etp.toDouble / (etp + efp).toDouble
+      assert(prec == ep)
+      if (pf != -1.0) trap += (pf - fpr) * (pt + tpr) / 2.0
+      pf = fpr; pt = tpr
+    }
+    got.foreach { r =>
+      assert(r._8 == aucExact, s"auc_exact ${r._8} vs $aucExact")
+      assert(r._7 == trap, s"auc_trapezoid ${r._7} vs $trap")
+    }
+    // the dose makes a genuinely informative classifier, and the grid
+    // trapezoid must approximate the exact value from below-ish
+    assert(aucExact > 0.8 && aucExact < 1.0)
+    assert(math.abs(trap - aucExact) < 0.02)
+  }
 }
