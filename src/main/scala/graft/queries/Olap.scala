@@ -5633,6 +5633,239 @@ object Olap {
       FROM cums
       ORDER BY month"""))
 
+  /** q399: KAPLAN–MEIER SURVIVAL CURVE WITH RIGHT CENSORING (Kaplan &
+    * Meier JASA 1958, "Nonparametric Estimation from Incomplete
+    * Observations" — the product-limit estimator behind every
+    * churn/retention read that q113-style day-bucket retention gets
+    * WRONG once observations are censored): at each event time t,
+    * Ŝ(t) = Π_{u≤t} (n_u − d_u)/n_u over the at-risk counts. Dosed:
+    * per-customer duration (key·40503)%400+1 with 1-in-5 censoring on
+    * an independent residue — the censoring is genuinely load-bearing
+    * (censored subjects leave the risk set without an event). EXACT:
+    * at-risk counts come from a reverse cumulative window over the
+    * time rollup (all integers); each factor is ONE division
+    * (n−d)/n, and the running product folds in time order on both
+    * engines — Spark refolds the factor prefix per index (unit init),
+    * the DuckDB twin takes list_aggregate(prefix, 'product'): the
+    * SAME left-to-right chain, bit-equal since 1.0·f = f (a
+    * struct-accumulator list_reduce mis-evaluates in DuckDB 1.0.0 —
+    * measured, avoided). Scale: one scan to a
+    * ≤duration-domain rollup (≤533 rows); the fold is metadata-sized. */
+  val q399 = Q(
+    "q399_kaplan_meier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val subj = Tables.load(s, d, "customer")
+        .select(
+          (expr("(c_custkey * 40503L) % 400") + 1).as("t"),
+          (expr("(c_custkey * 7919L) % 5") === 0).as("cen"))
+      val byT = subj.groupBy(col("t"))
+        .agg(
+          sum(when(!col("cen"), 1L).otherwise(0L)).as("n_events"),
+          sum(when(col("cen"), 1L).otherwise(0L)).as("n_censored"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = byT.withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wRisk))
+      // running product spelled as per-index prefix refolds: the i-th
+      // survival is the left-to-right chain ((f1*f2)*...)*fi — the SAME
+      // chain in DuckDB's list_aggregate('product') (verified bit-equal;
+      // a struct-accumulator list_reduce mis-evaluates in DuckDB 1.0.0)
+      val curve = risk
+        .agg(expr("array_sort(collect_list(struct(t, n_risk, " +
+          "n_events, n_censored)))").as("arr"))
+        .withColumn("factors", expr(
+          """transform(arr, x ->
+            |  CAST(x.n_risk - x.n_events AS DOUBLE)
+            |  / CAST(x.n_risk AS DOUBLE))""".stripMargin))
+        .select(explode(expr(
+          """transform(sequence(1, size(arr)), i -> named_struct(
+            |  't', element_at(arr, i).t,
+            |  'n_risk', element_at(arr, i).n_risk,
+            |  'n_events', element_at(arr, i).n_events,
+            |  'n_censored', element_at(arr, i).n_censored,
+            |  'survival', aggregate(slice(factors, 1, i),
+            |    CAST(1 AS DOUBLE), (a, f) -> a * f)))""".stripMargin))
+          .as("r"))
+      curve.select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.n_events").as("n_events"),
+        col("r.n_censored").as("n_censored"),
+        col("r.survival").as("survival"))
+        .orderBy(col("t"))
+    },
+    Some("""
+      WITH subj AS (
+        SELECT (c_custkey * 40503) % 400 + 1 AS t,
+               (c_custkey * 7919) % 5 = 0 AS cen
+        FROM customer
+      ), byt AS (
+        SELECT t,
+               CAST(sum(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_censored
+        FROM subj GROUP BY t
+      ), risk AS (
+        SELECT t, n_events, n_censored,
+               CAST(sum(n_events + n_censored) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n_risk
+        FROM byt
+      ), one AS (
+        SELECT list(struct_pack(t := t, n_risk := n_risk,
+                 n_events := n_events, n_censored := n_censored)
+                 ORDER BY t) AS arr
+        FROM risk
+      ), folded AS (
+        SELECT arr,
+               list_transform(arr, x ->
+                 CAST(x.n_risk - x.n_events AS DOUBLE)
+                 / CAST(x.n_risk AS DOUBLE)) AS factors
+        FROM one
+      )
+      SELECT r.t AS t, r.n_risk AS n_risk, r.n_events AS n_events,
+             r.n_censored AS n_censored, r.survival AS survival
+      FROM (
+        SELECT unnest(list_transform(range(1, len(arr) + 1), i ->
+          struct_pack(t := arr[i].t, n_risk := arr[i].n_risk,
+            n_events := arr[i].n_events,
+            n_censored := arr[i].n_censored,
+            survival := list_aggregate(factors[1:i], 'product')))) AS r
+        FROM folded
+      ) u
+      ORDER BY t"""))
+
+  /** q400: LOG-RANK TEST (Mantel 1966; Peto & Peto 1972 — the standard
+    * two-group comparison of q399's survival curves, the A/B read for
+    * time-to-event outcomes that a mean test gets wrong under
+    * censoring): at each event time, group 1's observed events o₁ vs
+    * expected e₁ = d·n₁/n under the null, hypergeometric variance
+    * v = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1) (0 when n ≤ 1, the standard
+    * convention), χ² = (Σ(o₁−e₁))²/Σv against 3.841. Dosed/control
+    * differential (q387 shape): the dosed variant stretches group 1's
+    * durations by +⅓ (χ² ≥ 15.7 at every SF, control ≤ 1 —
+    * parameter-swept). EXACT: all counts integer (at-risk via reverse
+    * cumulative windows PARTITIONED by variant); e₁ and v are
+    * identical-operand doubles folded in time order on both engines
+    * (two q304 folds). Scale: rollup ≤ 2·533 rows. */
+  val q400 = Q(
+    "q400_logrank_test",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("key"),
+          expr("(c_custkey * 2654435761L) % 2").as("g"),
+          (expr("(c_custkey * 40503L) % 400") + 1).as("t0"),
+          (expr("(c_custkey * 7919L) % 5") === 0).as("cen"))
+      val panel = base.select(lit("dosed").as("variant"), col("g"),
+        when(col("g") === 1, col("t0") + expr("t0 div 3"))
+          .otherwise(col("t0")).as("t"), col("cen"))
+        .unionAll(base.select(lit("control").as("variant"), col("g"),
+          col("t0").as("t"), col("cen")))
+      val byT = panel.groupBy(col("variant"), col("t"))
+        .agg(
+          sum(when(!col("cen"), 1L).otherwise(0L)).as("d_all"),
+          sum(when(!col("cen") && col("g") === 1, 1L).otherwise(0L))
+            .as("o1"),
+          count(lit(1)).as("leave_all"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("leave_1"))
+      val wRisk = Window.partitionBy(col("variant")).orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = byT
+        .withColumn("n", sum(col("leave_all")).over(wRisk))
+        .withColumn("n1", sum(col("leave_1")).over(wRisk))
+        .filter(col("d_all") > 0)
+        .persistTracked()
+      val folded = risk.groupBy(col("variant"))
+        .agg(
+          sum(col("o1")).as("o1_total"),
+          expr(
+            """aggregate(array_sort(collect_list(struct(t,
+              |  CAST(d_all AS DOUBLE) * CAST(n1 AS DOUBLE)
+              |    / CAST(n AS DOUBLE) AS x))),
+              |  CAST(0 AS DOUBLE), (acc, e) -> acc + e.x)"""
+              .stripMargin).as("e1_total"),
+          expr(
+            """aggregate(array_sort(collect_list(struct(t,
+              |  CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+              |  ELSE CAST(d_all AS DOUBLE)
+              |    * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * (CAST(n - d_all AS DOUBLE)
+              |       / CAST(n - 1 AS DOUBLE)) END AS x))),
+              |  CAST(0 AS DOUBLE), (acc, e) -> acc + e.x)"""
+              .stripMargin).as("v_total"))
+      folded
+        .withColumn("chi2",
+          ((col("o1_total").cast(DoubleType) - col("e1_total")) *
+            (col("o1_total").cast(DoubleType) - col("e1_total"))) /
+            col("v_total"))
+        .withColumn("reject_05", col("chi2") > 3.841459)
+        .select(col("variant"), col("o1_total"), col("e1_total"),
+          col("v_total"), col("chi2"), col("reject_05"))
+        .orderBy(col("variant"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT (c_custkey * 2654435761) % 2 AS g,
+               (c_custkey * 40503) % 400 + 1 AS t0,
+               (c_custkey * 7919) % 5 = 0 AS cen
+        FROM customer
+      ), panel AS (
+        SELECT 'dosed' AS variant, g,
+               CASE WHEN g = 1 THEN t0 + t0 // 3 ELSE t0 END AS t, cen
+        FROM base
+        UNION ALL
+        SELECT 'control' AS variant, g, t0 AS t, cen FROM base
+      ), byt AS (
+        SELECT variant, t,
+               CAST(sum(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d_all,
+               CAST(sum(CASE WHEN NOT cen AND g = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS o1,
+               count(*) AS leave_all,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS leave_1
+        FROM panel GROUP BY variant, t
+      ), risk AS (
+        SELECT variant, t, d_all, o1,
+               CAST(sum(leave_all) OVER (PARTITION BY variant ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n,
+               CAST(sum(leave_1) OVER (PARTITION BY variant ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n1
+        FROM byt
+      ), ev AS (
+        SELECT * FROM risk WHERE d_all > 0
+      ), folded AS (
+        SELECT variant,
+               CAST(sum(o1) AS BIGINT) AS o1_total,
+               list_reduce(list_transform(list(struct_pack(t := t,
+                 x := CAST(d_all AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) ORDER BY t), e -> e.x),
+                 (a, b) -> a + b) AS e1_total,
+               list_reduce(list_transform(list(struct_pack(t := t,
+                 x := CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(d_all AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n - d_all AS DOUBLE)
+                      / CAST(n - 1 AS DOUBLE)) END) ORDER BY t),
+                 e -> e.x), (a, b) -> a + b) AS v_total
+        FROM ev GROUP BY variant
+      )
+      SELECT variant, o1_total, e1_total, v_total,
+             (CAST(o1_total AS DOUBLE) - e1_total)
+               * (CAST(o1_total AS DOUBLE) - e1_total) / v_total
+               AS chi2,
+             (CAST(o1_total AS DOUBLE) - e1_total)
+               * (CAST(o1_total AS DOUBLE) - e1_total) / v_total
+               > 3.841459 AS reject_05
+      FROM folded
+      ORDER BY variant"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5641,5 +5874,5 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351, q361, q369, q370, q384)
+      q333, q337, q348, q351, q361, q369, q370, q384, q399, q400)
 }

@@ -354,7 +354,11 @@ class PlanShapeSpec extends SparkSpec {
       "q386_t_closeness",
       // r10: q397's midrank cumulative runs over the ≤1000-row
       // score-domain rollup (Aggregate below) — q327's shape
-      "q397_roc_pr_curve")
+      "q397_roc_pr_curve",
+      // r10: q399's reverse at-risk cumulative runs over the
+      // ≤533-row duration-domain rollup (Aggregate below); q400's
+      // twin windows are variant-partitioned and not flagged
+      "q399_kaplan_meier")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

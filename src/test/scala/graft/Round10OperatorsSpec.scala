@@ -780,4 +780,115 @@ class Round10OperatorsSpec extends SparkSpec {
     assert(aucExact > 0.8 && aucExact < 1.0)
     assert(math.abs(trap - aucExact) < 0.02)
   }
+
+  test("q398 isotonic fit equals minimax replay AND classic stack PAV") {
+    val ids = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val byB = ids.map { i =>
+      val s = (i * 2654435761L) % 1000
+      (s / 20, if ((i * 40503L) % 1000 < s) 1L else 0L)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+    val m = byB.length
+    val ss = (0 to m).map(t => byB.take(t).map(_._3).sum)
+    val cc = (0 to m).map(t => byB.take(t).map(_._2).sum)
+    val minimax = (1 to m).map { i =>
+      (1 to i).map { j =>
+        (i to m).map { k =>
+          (ss(k) - ss(j - 1)).toDouble / (cc(k) - cc(j - 1)).toDouble
+        }.min
+      }.max
+    }
+    // independent classic PAV with exact rational merges
+    val stack = collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    byB.foreach { case (_, n, pos) =>
+      var blk = (pos, n, 1)
+      while (stack.nonEmpty &&
+        stack.last._1 * blk._2 >= blk._1 * stack.last._2) {
+        val top = stack.remove(stack.length - 1)
+        blk = (blk._1 + top._1, blk._2 + top._2, blk._3 + top._3)
+      }
+      stack += blk
+    }
+    val pav = stack.flatMap { case (p, n, w) =>
+      Seq.fill(w)(p.toDouble / n.toDouble) }
+    val got = queries.Evals.q398.run(spark, sf001)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == m)
+    got.zipWithIndex.foreach { case ((b, n, pos, raw, fit), i) =>
+      assert(b == byB(i)._1 && n == byB(i)._2 && pos == byB(i)._3)
+      assert(raw == pos.toDouble / n.toDouble)
+      assert(fit == minimax(i), s"bucket $b: $fit vs ${minimax(i)}")
+      assert(fit == pav(i), s"bucket $b minimax != PAV: $fit vs ${pav(i)}")
+    }
+    // monotone, and pooling genuinely happened
+    assert(got.sliding(2).forall(p => p.head._5 <= p.last._5))
+    assert((1 until m).exists(i => byB(i - 1)._3.toDouble /
+      byB(i - 1)._2 > byB(i)._3.toDouble / byB(i)._2),
+      "no raw violation — PAV had nothing to pool")
+  }
+
+  test("q399 Kaplan-Meier equals a product-limit replay") {
+    val keys = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey")).as[Long].collect()
+    val subj = keys.map { k =>
+      ((k * 40503L) % 400 + 1, (k * 7919L) % 5 == 0)
+    }
+    val total = subj.length.toLong
+    val byT = subj.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.count(!_._2).toLong, g.count(_._2).toLong)
+    }
+    var leftBefore = 0L; var s = 1.0
+    val expect = byT.map { case (t, ev, cen) =>
+      val nRisk = total - leftBefore
+      s = s * ((nRisk - ev).toDouble / nRisk.toDouble)
+      leftBefore += ev + cen
+      (t, nRisk, ev, cen, s)
+    }
+    val got = queries.Olap.q399.run(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) => assert(g == e, s"t=${e._1}") }
+    // censoring is load-bearing and the curve genuinely decays (the
+    // final step may legitimately reach exactly 0 when the last
+    // at-risk cohort all event)
+    assert(byT.exists(_._3 > 0L))
+    assert(got.last._5 >= 0.0 && got.last._5 < 0.1)
+    assert(got.exists(r => r._5 > 0.0 && r._5 < 1.0))
+    assert(got.sliding(2).forall(p => p.head._5 >= p.last._5))
+  }
+
+  test("q400 log-rank equals a per-time replay; dosed rejects only") {
+    val keys = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey")).as[Long].collect()
+    val got = queries.Olap.q400.run(spark, sf001)
+      .as[(String, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq(("dosed", true), ("control", false)).foreach { case (variant, dose) =>
+      val subj = keys.map { k =>
+        val g = (k * 2654435761L) % 2
+        val t0 = (k * 40503L) % 400 + 1
+        val t = if (dose && g == 1) t0 + t0 / 3 else t0
+        (t, g, (k * 7919L) % 5 == 0)
+      }
+      val times = subj.filter(!_._3).map(_._1).distinct.sorted
+      var o1 = 0L; var e1 = 0.0; var v = 0.0
+      times.foreach { t =>
+        val n = subj.count(_._1 >= t).toLong
+        val n1 = subj.count(x => x._1 >= t && x._2 == 1L).toLong
+        val d = subj.count(x => x._1 == t && !x._3).toLong
+        o1 += subj.count(x => x._1 == t && !x._3 && x._2 == 1L).toLong
+        e1 += d.toDouble * n1.toDouble / n.toDouble
+        if (n > 1) v += d.toDouble * (n1.toDouble / n.toDouble) *
+          ((n - n1).toDouble / n.toDouble) *
+          ((n - d).toDouble / (n - 1).toDouble)
+      }
+      val chi2 = ((o1.toDouble - e1) * (o1.toDouble - e1)) / v
+      val (_, gO, gE, gV, gChi, rej) = got(variant)
+      assert(gO == o1 && gE == e1 && gV == v, s"$variant components")
+      assert(gChi == chi2 && rej == (chi2 > 3.841459))
+      if (dose) assert(rej, s"dosed chi2=$chi2 under bar")
+      else assert(!rej, s"control chi2=$chi2 over bar")
+    }
+  }
 }
