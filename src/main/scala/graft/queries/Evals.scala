@@ -2551,7 +2551,14 @@ object Evals {
     if (dialect == "spark") "filter(split(text, ' '), w -> length(w) > 0)"
     else "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
-  /** Dosed candidate over a bound token-array column `ref`. */
+  /** Dosed candidate over a bound token-array column `ref`. Both
+    * dialects are guarded against an EMPTY reference: Spark's
+    * `sequence(1, 0)` is the DESCENDING [1, 0] (not the empty range
+    * DuckDB's `range(1, 1)` gives), and DuckDB's insert-mode
+    * `list_concat([], [NULL, …])` would emit NULL tokens — a
+    * zero-token document must yield an empty candidate in BOTH
+    * engines. The fixtures guarantee ≥10 tokens per doc today; this
+    * keeps the fragment correct if an empty text ever enters. */
   private def candToks(dialect: String, mode: String, ref: String = "ref")
       : String =
     if (dialect == "spark") {
@@ -2561,11 +2568,14 @@ object Evals {
            |         THEN CAST(NULL AS STRING)
            |       WHEN (doc_id + i * 17) % 7 = 0 THEN element_at($ref, 1)
            |       ELSE element_at($ref, i) END)""".stripMargin
-      if (mode == "drop") s"filter($subbed, x -> x IS NOT NULL)"
-      else
-        s"""concat($subbed,
-           |  transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)),
-           |    i -> element_at($ref, 1)))""".stripMargin
+      val body =
+        if (mode == "drop") s"filter($subbed, x -> x IS NOT NULL)"
+        else
+          s"""concat($subbed,
+             |  transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)),
+             |    i -> element_at($ref, 1)))""".stripMargin
+      s"""CASE WHEN size($ref) > 0 THEN $body
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
     } else {
       val subbed =
         s"""list_transform(range(1, len($ref) + 1), i ->
@@ -2573,11 +2583,14 @@ object Evals {
            |         THEN CAST(NULL AS VARCHAR)
            |       WHEN (doc_id + i * 17) % 7 = 0 THEN $ref[1]
            |       ELSE $ref[i] END)""".stripMargin
-      if (mode == "drop") s"list_filter($subbed, x -> x IS NOT NULL)"
-      else
-        s"""list_concat($subbed,
-           |  list_transform(range(1, doc_id % 3 + 2), i -> $ref[1]))"""
-          .stripMargin
+      val body =
+        if (mode == "drop") s"list_filter($subbed, x -> x IS NOT NULL)"
+        else
+          s"""list_concat($subbed,
+             |  list_transform(range(1, doc_id % 3 + 2), i -> $ref[1]))"""
+            .stripMargin
+      s"""CASE WHEN len($ref) > 0 THEN $body
+         |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
     }
 
   /** n-grams of a bound token-array column as space-joined strings, one

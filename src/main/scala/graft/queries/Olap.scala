@@ -5551,7 +5551,7 @@ object Olap {
     * symmetrically S⁻ off a running max) — two window passes, no fold.
     * ALL-INTEGER: deviations are cross-multiplied by the pre-period
     * month count (dev_d = v_d·N_pre − T_pre — never a double mean),
-    * slack k = T_pre÷8 (μ₀/8 in the same scale), decision interval
+    * slack k = T_pre÷4 (μ₀/4 in the same scale), decision interval
     * h = T_pre (4k, the classic h = 4σ-ish tabular choice; at sf0.001
     * the monthly noise is ±24% of μ₀ — k and h must absorb a 48-month
     * in-control random walk at EVERY SF, parameter-swept before

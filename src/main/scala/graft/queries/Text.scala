@@ -5206,7 +5206,9 @@ object Text {
     * oracle surface). EXACT: all four cells are integer counts; the
     * numerator N·(ad−bc)² and the four-marginal denominator are
     * computed in DECIMAL(38,0)/HUGEINT (they pass 2⁶³ at corpus scale;
-    * inside 10³⁸ up to ~10⁸ docs) and converted ONCE via the
+    * the adversarial worst case n⁵/16 stays inside 10³⁸ up to ~6×10⁷
+    * docs — realistic contingency tables, where |ad−bc| ≪ n²/4, keep
+    * far below the bound well past 10⁸) and converted ONCE via the
     * correctly-rounded path; one division. Degenerate tokens present
     * in every doc (zero marginal) emit χ² = 0 by the same CASE in both
     * engines. Scale: one explode to distinct (doc, token) pairs, one

@@ -222,7 +222,7 @@ class Round10OperatorsSpec extends SparkSpec {
     got.zip(expect).foreach { case (g, e) =>
       assert(g == e, s"month ${e._1}: $g vs $e")
     }
-    // the dosed +25% shift must raise the up-alarm AFTER the pivot and
+    // the dosed +50% shift must raise the up-alarm AFTER the pivot and
     // never before; the down-side must stay quiet
     val firstAlarm = expect.find(_._5).map(_._1)
     assert(firstAlarm.nonEmpty, "up-alarm never fired")
