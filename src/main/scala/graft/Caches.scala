@@ -51,8 +51,16 @@ object Caches {
     * flight — a checkpoint's lineage is truncated, so dropping its
     * blocks mid-query would make recomputation impossible. Bench runs
     * strictly sequentially, so it sweeps after every timed run; Verify
-    * submits 4 queries concurrently and must NOT sweep per-query. */
-  def sweepOrphans(spark: org.apache.spark.sql.SparkSession): Unit =
+    * submits 4 queries concurrently and must NOT sweep per-query.
+    *
+    * `blocking = true` waits for the BlockManager to actually drop the
+    * blocks before returning — Bench/RunOne pass it so no timed run
+    * races an async free of the previous run's blocks (r7 verdict: the
+    * non-blocking sweep raced the next timed run and second runs
+    * degraded up to 11× on the driver box while CPU probes stayed
+    * flat; the contamination was invisible to the artifact). */
+  def sweepOrphans(spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = blocking))
 }

@@ -358,7 +358,10 @@ class PlanShapeSpec extends SparkSpec {
       // r10: q399's reverse at-risk cumulative runs over the
       // ≤533-row duration-domain rollup (Aggregate below); q400's
       // twin windows are variant-partitioned and not flagged
-      "q399_kaplan_meier")
+      "q399_kaplan_meier",
+      // r11: q404's two rank windows run over the BM25 top-20 shortlist
+      // (TakeOrderedAndProject + Aggregate below) — q235's 20-row shape
+      "q404_cross_encoder_rerank")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)
