@@ -360,8 +360,9 @@ class PlanShapeSpec extends SparkSpec {
       // twin windows are variant-partitioned and not flagged
       "q399_kaplan_meier",
       // r11: q404's two rank windows run over the BM25 top-20 shortlist
-      // (TakeOrderedAndProject + Aggregate below) — q235's 20-row shape
-      "q404_cross_encoder_rerank")
+      // (TakeOrderedAndProject + Aggregate below) — q235's 20-row shape;
+      // q406's rank + RBP cumsum ride the same 20-row frame
+      "q404_cross_encoder_rerank", "q406_rbp_eval")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

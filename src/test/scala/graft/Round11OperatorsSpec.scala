@@ -149,7 +149,12 @@ class Round11OperatorsSpec extends SparkSpec {
     } finally graft.Caches.release()
   }
 
-  test("q404 cross-encoder rerank: exact driver replay; rerank moves rows") {
+  /** Driver replay of q184's BM25 top-20 (exact-integer idf/tf_norm,
+    * term-ordered fold) — shared by the q404 and q406 replays, which
+    * both rerank/score this shortlist. Returns (docs with token
+    * arrays, query terms, (doc_id, bm25_rank) shortlist). */
+  private def bm25Replay(): (Array[(Long, Array[String])], Seq[String],
+      Seq[(Long, Long)]) = {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, sf001, "documents")
       .select(col("doc_id"), col("text"))
@@ -183,6 +188,12 @@ class Round11OperatorsSpec extends SparkSpec {
     }
     val top = scores.sortBy { case (id, sc) => (-sc, id) }.take(20)
       .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+    (docs, query, top.toSeq)
+  }
+
+  test("q404 cross-encoder rerank: exact driver replay; rerank moves rows") {
+    val (docs, query, top) = bm25Replay()
+    val qset = query.toSet
     val topIds = top.map(_._1).toSet
     def nib1(s: String): Long =
       "0123456789abcdef".indexOf(md5hex(s).charAt(0)).toLong
@@ -213,6 +224,78 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(expect.count(e => e._2 != e._4) >= 10,
         "cross-encoder rerank left the BM25 order in place — dose dead")
       assert(topIds.size == 20)
+    } finally graft.Caches.release()
+  }
+
+  test("q405 Chao1 richness: exact trigram-spectrum replay per source") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)](
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect()
+    val grams = docs.flatMap { case (src, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Array.empty[(String, String)]
+      else (0 to ws.length - 3).map(i =>
+        (src, s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toArray
+    }
+    val expect = grams.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val freq = xs.groupBy(_._2).map { case (_, ys) => ys.length.toLong }
+      val sObs = freq.size.toLong
+      val f1 = freq.count(_ == 1L).toLong
+      val f2 = freq.count(_ == 2L).toLong
+      val n = freq.sum
+      val chao1 = sObs.toDouble +
+        (f1 * (f1 - 1L)).toDouble / (2L * (f2 + 1L)).toDouble
+      val cov = (n - f1).toDouble / n.toDouble
+      (src, sObs, f1, f2, n, chao1, cov)
+    }.sortBy(_._1)
+    val got = graft.queries.Text.q405.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    try {
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g == e, s"source ${e._1}: $g vs $e")
+      }
+      // dose sanity (q385's lesson): the trigram spectrum must have a
+      // real hapax tail at every source, or Chao1 degenerates
+      assert(expect.forall(e => e._3 > 0 && e._4 > 0),
+        "a source lost its f1/f2 tail — estimator degenerate")
+    } finally graft.Caches.release()
+  }
+
+  test("q406 RBP: exact binary-fraction replay; cumulative is exact") {
+    val (docs, query, top) = bm25Replay()
+    val qset = query.toSet
+    val expect = {
+      var cum = 0.0
+      top.map { case (id, rank) =>
+        val ws = docs.find(_._1 == id).get._2
+        val rel = ws.filter(qset).distinct.length.toLong
+        val term = rel.toDouble / (1L << rank).toDouble
+        cum += term
+        (rank, id, rel, term, cum)
+      }
+    }
+    val got = graft.queries.Text.q406.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    try {
+      assert(got.length == expect.length && got.nonEmpty)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g == e, s"rank ${e._1}: $g vs $e")
+      }
+      // every term and partial sum is an exact binary fraction: scaling
+      // by 2^20 must give exact integers (the no-libm design claim)
+      expect.foreach { case (_, _, _, term, cum) =>
+        assert(term * (1L << 20).toDouble ==
+          math.rint(term * (1L << 20).toDouble))
+        assert(cum * (1L << 20).toDouble ==
+          math.rint(cum * (1L << 20).toDouble))
+      }
+      assert(expect.map(_._3).max >= 2L, "graded relevance collapsed to 0/1")
     } finally graft.Caches.release()
   }
 }
