@@ -3817,9 +3817,113 @@ object Evals {
       FROM rows_out
       ORDER BY b"""))
 
+  /** q408: CONDORCET CYCLE AUDIT of pairwise preferences (Kendall &
+    * Babington Smith 1940, "On the Method of Paired Comparisons"; the
+    * consistency check preference-data pipelines owe their BT/Elo
+    * models, which silently ASSUME transitivity that majority-vote
+    * aggregation provably violates — Condorcet 1785): sources are
+    * compared pairwise PER LANGUAGE (mean doc length, exact
+    * cross-multiplied integer comparisons — never a double mean), the
+    * majority of language verdicts decides each pair (ties to the
+    * lexicographically smaller source, so the tournament is complete),
+    * and the number of CYCLIC triads comes from the closed form
+    *   c = C(n,3) − Σᵢ C(dᵢ,2)
+    * over the out-degree (win-count) sequence — counting A>B>C>A
+    * cycles WITHOUT enumerating the n³ triads (the formula is why the
+    * audit scales: degrees are one groupBy). Realized at every SF
+    * (DuckDB sweep: 50/136/75 cyclic of 1140 at sf0.001/0.01/0.1) —
+    * the per-language Condorcet aggregation genuinely produces
+    * intransitivity on this corpus, which is the warning the audit
+    * exists to raise before anyone fits a total order. ALL-INTEGER.
+    * Scale: |sources|²·|langs| comparison rows (bounded by the
+    * dimension, not the corpus) after one corpus scan to per-(source,
+    * lang) sums. */
+  val q408 = Q(
+    "q408_preference_cycles",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val per = Tables.load(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).as("sv"), count(lit(1)).as("c"))
+        .persistTracked()
+      val pair = per.as("a")
+        .join(per.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(sum(
+          when(col("a.sv") * col("b.c") > col("b.sv") * col("a.c"), 1L)
+            .when(col("a.sv") * col("b.c") < col("b.sv") * col("a.c"),
+              -1L)
+            .otherwise(0L)).as("net"))
+      val deg = pair
+        .select(when(col("net") >= 0L, col("sa")).otherwise(col("sb"))
+          .as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("wins"))
+      val srcs = Tables.load(s, d, "documents")
+        .select(col("source")).distinct()
+      val degAll = srcs.join(deg, Seq("source"), "left")
+        .select(col("source"), coalesce(col("wins"), lit(0L)).as("wins"))
+        .persistTracked()
+      val glob = degAll.agg(
+        count(lit(1)).as("n_sources"),
+        sum(expr("wins * (wins - 1) div 2")).as("transitive_triads"))
+        .withColumn("total_triads", expr(
+          "n_sources * (n_sources - 1) * (n_sources - 2) div 6"))
+        .withColumn("cyclic_triads",
+          col("total_triads") - col("transitive_triads"))
+      degAll.crossJoin(broadcast(glob))
+        .select(col("source"), col("wins"),
+          expr("wins * (wins - 1) div 2").as("transitive_at"),
+          col("n_sources"), col("total_triads"), col("cyclic_triads"),
+          (col("cyclic_triads") > 0L).as("intransitive"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sv,
+               count(*) AS c
+        FROM documents GROUP BY source, lang
+      ), pair AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(sum(CASE WHEN a.sv * b.c > b.sv * a.c THEN 1
+                             WHEN a.sv * b.c < b.sv * a.c THEN -1
+                             ELSE 0 END) AS BIGINT) AS net
+        FROM per a
+        JOIN per b ON a.lang = b.lang AND a.source < b.source
+        GROUP BY a.source, b.source
+      ), deg AS (
+        SELECT CASE WHEN net >= 0 THEN sa ELSE sb END AS source,
+               count(*) AS wins
+        FROM pair GROUP BY 1
+      ), srcs AS (
+        SELECT DISTINCT source FROM documents
+      ), deg_all AS (
+        SELECT s.source, coalesce(d.wins, 0) AS wins
+        FROM srcs s LEFT JOIN deg d ON d.source = s.source
+      ), gstat AS (
+        SELECT count(*) AS n_sources,
+               CAST(sum(wins * (wins - 1) // 2) AS BIGINT)
+                 AS transitive_triads
+        FROM deg_all
+      ), gstat2 AS (
+        SELECT n_sources, transitive_triads,
+               n_sources * (n_sources - 1) * (n_sources - 2) // 6
+                 AS total_triads,
+               n_sources * (n_sources - 1) * (n_sources - 2) // 6
+                 - transitive_triads AS cyclic_triads
+        FROM gstat
+      )
+      SELECT d.source, CAST(d.wins AS BIGINT) AS wins,
+             CAST(d.wins * (d.wins - 1) // 2 AS BIGINT) AS transitive_at,
+             n_sources, total_triads, cyclic_triads,
+             cyclic_triads > 0 AS intransitive
+      FROM deg_all d, gstat2
+      ORDER BY d.source"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396, q397, q398)
+      q383, q387, q390, q395, q396, q397, q398, q408)
 }

@@ -5866,6 +5866,210 @@ object Olap {
       FROM folded
       ORDER BY variant"""))
 
+  /** q407: MANN–KENDALL TREND TEST (Mann 1945, Kendall's τ-based
+    * nonparametric trend test; the standing companion to q384's CUSUM —
+    * CUSUM catches a LEVEL SHIFT against a fixed baseline, M–K detects
+    * a MONOTONE DRIFT with no distributional assumption and no
+    * baseline): S = Σ_{i<j} sign(x_j − x_i) over the monthly revenue
+    * series, Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 with the
+    * exact tie correction, z = (S∓1)/√Var. ALL-INTEGER until the last
+    * mile: monthly values are exact cents sums, S and the variance
+    * numerator are integer sums over the 80-month rollup's bounded
+    * self-join (6.4k sign comparisons — never corpus-sized), and z is
+    * one division of one correctly-rounded sqrt — bit-identical
+    * cross-engine with no libm caveat. Dosed/control on one panel
+    * (q387's discipline): the dosed series adds a +5%/month
+    * multiplicative ramp from 1997-01 (calendar-derived, window-free,
+    * SF-proportional); PARAMETER-SWEPT in DuckDB first — control |z| ≤
+    * 1.53 and dosed z ≥ 7.86 at every SF, so the 1.96 bar genuinely
+    * separates. Scale: one scan to the month rollup; everything after
+    * is O(months²) on ~80 rows. */
+  val q407 = Q(
+    "q407_mann_kendall",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+      val panels = monthly
+        .select(lit("control").as("panel"), col("m"), col("x").as("v"))
+        .unionByName(monthly.select(lit("dosed").as("panel"), col("m"),
+          (col("x") + expr(
+            "x * (CASE WHEN m >= TIMESTAMP '1997-01-01 00:00:00' " +
+              "THEN 5L * ((year(m) - 1997) * 12 + month(m)) " +
+              "ELSE 0L END) div 100")).as("v")))
+        .persistTracked()
+      val sS = panels.as("a")
+        .join(panels.as("b"),
+          col("a.panel") === col("b.panel") && col("b.m") > col("a.m"))
+        .groupBy(col("a.panel").as("panel"))
+        .agg(sum(
+          when(col("b.v") > col("a.v"), 1L)
+            .when(col("b.v") < col("a.v"), -1L)
+            .otherwise(0L)).as("s"))
+      val nn = panels.groupBy(col("panel")).agg(count(lit(1)).as("n"))
+      val ties = panels.groupBy(col("panel"), col("v"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("panel"))
+        .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"))
+      sS.join(nn, Seq("panel")).join(ties, Seq("panel"))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+            - col("tie_term")).cast(DoubleType) / lit(18.0))
+        .withColumn("z",
+          when(col("s") > 0L,
+            (col("s") - 1L).cast(DoubleType) / sqrt(col("var_s")))
+            .when(col("s") < 0L,
+              (col("s") + 1L).cast(DoubleType) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("panel"), col("n").as("n_months"), col("s"),
+          col("var_s"), col("z"),
+          (abs(col("z")) > 1.959964).as("trending"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), panels AS (
+        SELECT 'control' AS panel, m, x AS v FROM monthly
+        UNION ALL
+        SELECT 'dosed', m,
+               x + x * (CASE WHEN m >= TIMESTAMP '1997-01-01'
+                             THEN 5 * ((year(m) - 1997) * 12 + month(m))
+                             ELSE 0 END) // 100
+        FROM monthly
+      ), s AS (
+        SELECT a.panel,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                 AS BIGINT) AS s
+        FROM panels a
+        JOIN panels b ON a.panel = b.panel AND b.m > a.m
+        GROUP BY a.panel
+      ), nn AS (
+        SELECT panel, count(*) AS n FROM panels GROUP BY panel
+      ), ties AS (
+        SELECT panel,
+               CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_term
+        FROM (SELECT panel, v, count(*) AS t FROM panels
+              GROUP BY panel, v)
+        GROUP BY panel
+      ), stats AS (
+        SELECT s.panel, n AS n_months, s.s,
+               CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+                 AS var_s
+        FROM s JOIN nn USING (panel) JOIN ties USING (panel)
+      )
+      SELECT panel, n_months, s, var_s,
+             CASE WHEN s > 0
+                    THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                  WHEN s < 0
+                    THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                  ELSE 0.0 END AS z,
+             abs(CASE WHEN s > 0
+                        THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                      WHEN s < 0
+                        THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                      ELSE 0.0 END) > 1.959964 AS trending
+      FROM stats
+      ORDER BY panel"""))
+
+  /** Benford first-digit micromasses log₁₀(1+1/d)·10⁶, rounded — they
+    * sum to exactly 1,000,000, so expectations are exact integer
+    * products. ONE table rendered for both engines (the segWindowsExpr
+    * discipline). */
+  private val BenfordMicros = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** q409: BENFORD'S-LAW FIRST-DIGIT AUDIT (Newcomb 1881 / Benford
+    * 1938; the fraud/data-quality screen auditors run on financial
+    * columns — GAAP forensic practice per Nigrini): the first
+    * significant digit of every order's integer-cents total against
+    * the log₁₀(1+1/d) reference masses, hardcoded as MICRO-INTEGER
+    * constants summing to exactly 10⁶ (log10() never enters either
+    * engine — the q384/q388 log-free discipline). Per digit: observed
+    * count, expected = n·p_d/10⁶ (ONE division of exact integers), χ²
+    * contribution (obs−exp)²/exp from those same exact operands, and
+    * the RUNNING χ² via the digit-ordered fold (collect-sort-aggregate
+    * ↔ list_reduce — the q184 agreed-order pattern), so the 9-term
+    * double sum is bit-identical cross-engine. TPC-H totalprice is a
+    * bounded sum of uniforms and genuinely NON-Benford — the audit's
+    * job is to SAY so with a stable, exact statistic (the differential
+    * is the deliverable, not conformance). Scale: one scan to a 9-row
+    * rollup; the fold rides 9 rows. */
+  val q409 = Q(
+    "q409_benford_audit",
+    (s, d) => {
+      import s.implicits._
+      val ben = BenfordMicros.toDF("digit", "p_micros")
+      val obs = Tables.load(s, d, "orders")
+        .select(substring(Det.cents(col("o_totalprice"))
+          .cast(StringType), 1, 1).cast(LongType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val per = broadcast(ben.withColumn("digit", col("digit").cast(LongType)))
+        .join(obs, Seq("digit"), "left")
+        .select(col("digit"), col("p_micros"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          (col("n") * col("p_micros")).cast(DoubleType) / lit(1000000.0))
+        .withColumn("contrib",
+          (col("n_obs").cast(DoubleType) - col("expected"))
+            * (col("n_obs").cast(DoubleType) - col("expected"))
+            / col("expected"))
+      val chi2 = per.agg(expr(
+        """aggregate(
+             transform(array_sort(collect_list(struct(digit, contrib))),
+                       x -> x.contrib),
+             CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("chi2_total"))
+      per.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"), col("p_micros"),
+          col("expected"), col("contrib"), col("chi2_total"),
+          // χ²₀.₀₅ with 8 df — Benford conformance verdict
+          (col("chi2_total") <= 15.507313).as("conforms"))
+        .orderBy(col("digit"))
+    },
+    Some(s"""
+      WITH ben AS (
+        SELECT * FROM (VALUES
+          ${BenfordMicros.map { case (dg, p) => s"($dg, $p)" }
+            .mkString(",\n          ")}) AS t(digit, p_micros)
+      ), obs AS (
+        SELECT CAST(substr(CAST(${Det.centsSql("o_totalprice")}
+                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n_obs
+        FROM orders GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs
+      ), per AS (
+        SELECT CAST(b.digit AS BIGINT) AS digit,
+               CAST(b.p_micros AS BIGINT) AS p_micros,
+               coalesce(o.n_obs, 0) AS n_obs,
+               CAST(n * b.p_micros AS DOUBLE) / 1000000.0 AS expected
+        FROM ben b LEFT JOIN obs o ON o.digit = b.digit CROSS JOIN tot
+      ), per2 AS (
+        SELECT digit, n_obs, p_micros, expected,
+               (CAST(n_obs AS DOUBLE) - expected)
+                 * (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
+        FROM per
+      ), chi AS (
+        SELECT list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(contrib ORDER BY digit)),
+                 (a, b) -> a + b) AS chi2_total
+        FROM per2
+      )
+      SELECT digit, n_obs, p_micros, expected, contrib, chi2_total,
+             chi2_total <= 15.507313 AS conforms
+      FROM per2, chi
+      ORDER BY digit"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -5874,5 +6078,6 @@ object Olap {
       q195, q197, q204, q206, q207, q208, q209,
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
-      q333, q337, q348, q351, q361, q369, q370, q384, q399, q400)
+      q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
+      q407, q409)
 }

@@ -298,4 +298,132 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(expect.map(_._3).max >= 2L, "graded relevance collapsed to 0/1")
     } finally graft.Caches.release()
   }
+
+  test("q407 Mann-Kendall: exact S/Var/z replay; dose gates both ways") {
+    import org.apache.spark.sql.functions._
+    val monthly = Tables.load(spark, sf001, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("x"))
+      .as[(java.time.LocalDateTime, Long)](
+        org.apache.spark.sql.Encoders.product[(java.time.LocalDateTime, Long)])
+      .collect().sortBy(_._1.toString)
+    val pivot = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    def series(dosed: Boolean): Seq[Long] = monthly.map { case (m, x) =>
+      if (dosed && !m.isBefore(pivot))
+        x + x * (5L * ((m.getYear - 1997) * 12 + m.getMonthValue)) / 100L
+      else x
+    }.toSeq
+    def mk(v: Seq[Long]): (Long, Double, Double) = {
+      val n = v.length.toLong
+      var s = 0L
+      for (i <- v.indices; j <- i + 1 until v.length)
+        s += java.lang.Long.signum(v(j) - v(i)).toLong
+      val tieTerm = v.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) })
+        .sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18.0
+      val z =
+        if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(varS)
+        else 0.0
+      (s, varS, z)
+    }
+    val (sc, vc, zc) = mk(series(dosed = false))
+    val (sd, vd, zd) = mk(series(dosed = true))
+    val got = graft.queries.Olap.q407.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == Seq(
+        ("control", monthly.length.toLong, sc, vc, zc, math.abs(zc) > 1.959964),
+        ("dosed", monthly.length.toLong, sd, vd, zd, math.abs(zd) > 1.959964)))
+      // the dose must gate: control flat, dosed trending (swept at
+      // sf0.001/0.01/0.1 before shipping: |z_ctl| <= 1.53, z_dose >= 7.86)
+      assert(math.abs(zc) <= 1.959964, s"control trending: z=$zc")
+      assert(zd > 1.959964, s"dose failed to trend: z=$zd")
+    } finally graft.Caches.release()
+  }
+
+  test("q408 Condorcet cycles: tournament replay, closed form, cycles real") {
+    import org.apache.spark.sql.functions.col
+    val per = Tables.load(spark, sf001, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_chars")).as("sv"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"))
+      .as[(String, String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(String, String, Long, Long)])
+      .collect()
+    val sources = per.map(_._1).distinct.sorted
+    val byKey = per.map { case (s0, l, sv, c) => (s0, l) -> ((sv, c)) }.toMap
+    val langs = per.map(_._2).distinct
+    val wins = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      a <- sources; b <- sources if a < b
+    } {
+      var net = 0L
+      langs.foreach { l =>
+        (byKey.get((a, l)), byKey.get((b, l))) match {
+          case (Some((sa, ca)), Some((sb, cb))) =>
+            net += java.lang.Long.signum(sa * cb - sb * ca).toLong
+          case _ => ()
+        }
+      }
+      val w = if (net >= 0) a else b
+      wins(w) = wins(w) + 1L
+    }
+    val n = sources.length.toLong
+    val transitive = sources.map(s0 => wins(s0) * (wins(s0) - 1) / 2).sum
+    val total = n * (n - 1) * (n - 2) / 6
+    val cyclic = total - transitive
+    val rows = graft.queries.Evals.q408.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    try {
+      assert(rows.length == sources.length)
+      rows.zip(sources).foreach { case (g, s0) =>
+        assert(g == ((s0, wins(s0), wins(s0) * (wins(s0) - 1) / 2, n,
+          total, cyclic, cyclic > 0L)), s"source $s0: $g")
+      }
+      // the audit only earns its keep if the per-language Condorcet
+      // aggregation genuinely produces intransitivity on this corpus
+      assert(cyclic > 0L, "no cyclic triads — audit degenerate")
+      assert(cyclic < total, "all triads cyclic — tournament broken")
+    } finally graft.Caches.release()
+  }
+
+  test("q409 Benford: exact digit spectrum + ordered chi2 fold replay") {
+    import org.apache.spark.sql.functions.col
+    val cents = Tables.load(spark, sf001, "orders")
+      .select(graft.queries.Det.cents(col("o_totalprice")).as("c"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val micros = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    assert(micros.map(_._2).sum == 1000000L, "micromasses must total 1e6")
+    val obs = cents.map(_.toString.charAt(0).asDigit.toLong)
+      .groupBy(identity).map { case (dg, xs) => dg -> xs.length.toLong }
+    val nTot = cents.length.toLong
+    val per = micros.map { case (dg, p) =>
+      val o = obs.getOrElse(dg.toLong, 0L)
+      val e = (nTot * p).toDouble / 1000000.0
+      val contrib = (o.toDouble - e) * (o.toDouble - e) / e
+      (dg.toLong, o, p, e, contrib)
+    }
+    val chi2 = per.map(_._5).foldLeft(0.0)(_ + _) // digit order
+    val got = graft.queries.Olap.q409.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    try {
+      assert(got.length == 9)
+      got.zip(per).foreach { case (g, e) =>
+        assert(g == ((e._1, e._2, e._3, e._4, e._5, chi2,
+          chi2 <= 15.507313)), s"digit ${e._1}: $g")
+      }
+      // TPC-H totalprice is a bounded sum of uniforms — the audit must
+      // SAY non-Benford, not rubber-stamp conformance
+      assert(chi2 > 15.507313, "audit failed to flag non-Benford data")
+    } finally graft.Caches.release()
+  }
 }

@@ -689,7 +689,15 @@ class StreamingSpec extends SparkSpec {
     val mid = sortedIds(sortedIds.length / 2)
     val (first, second) = bands.partition(_.doc_id <= mid)
     val dir = Files.createTempDirectory("graft_q201_stream").toString
-    first.toSeq.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    // coalesce(1): each intended micro-batch must publish as ONE data
+    // file — a multi-file append commits via per-file renames, and the
+    // file source can list the first file before the second lands,
+    // splitting the batch across triggers in a NON-prefix-respecting
+    // order (doc 411 before its smaller-id partner 404 — the full-suite
+    // flake this exact test hit in r8 under load). Single file = single
+    // atomic rename = the premise the parity assertion states.
+    first.toSeq.toDS().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
     val streamIn = spark.readStream.schema(schema)
       .parquet(s"$dir/in").as[BandRow]
     val q = NearDupStream.verdicts(streamIn)
@@ -697,7 +705,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      second.toSeq.toDS().write.mode("append").parquet(s"$dir/in")
+      second.toSeq.toDS().coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val got = rollup(
         spark.table("q201_out").as[BandVerdict].collect().toSeq)
@@ -740,7 +749,10 @@ class StreamingSpec extends SparkSpec {
     val mid = sortedIds(sortedIds.length / 2)
     val (first, second) = freshRows.partition(_.doc_id <= mid)
     val dir = Files.createTempDirectory("graft_q240_stream").toString
-    first.toSeq.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    // coalesce(1): atomic one-file publish per intended micro-batch —
+    // the q201 test's prefix-respecting-order fix, same reasoning
+    first.toSeq.toDS().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
     val streamIn = spark.readStream.schema(schema)
       .parquet(s"$dir/in").as[BandRow]
     val q = NearDupStream.verdictsWithInit(streamIn, init)
@@ -748,7 +760,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      second.toSeq.toDS().write.mode("append").parquet(s"$dir/in")
+      second.toSeq.toDS().coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       val got = rollup(
         spark.table("q240_out").as[BandVerdict].collect().toSeq)
