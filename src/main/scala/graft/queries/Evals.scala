@@ -3921,9 +3921,117 @@ object Evals {
       FROM deg_all d, gstat2
       ORDER BY d.source"""))
 
+  /** q412: WEIGHTED KAPPA FOR ORDINAL LABELS (Cohen 1968, "Weighted
+    * kappa: nominal scale agreement with provision for scaled
+    * disagreement") — q311's Cohen kappa treats a 1-point miss on a
+    * 5-point quality scale exactly like a 4-point miss; for ORDINAL
+    * annotation scales (quality 0..4, toxicity severity, relevance
+    * grades) the standard readout is quadratic-weighted kappa, where a
+    * disagreement costs (i−j)². With joint counts o_ij and marginals
+    * a_i, b_j, using DISAGREEMENT weights v_ij = (i−j)²:
+    *   κ_w = 1 − N·Σ v_ij·o_ij / Σ v_ij·a_i·b_j
+    * — integer numerator and denominator (labels ≤ 4, so v ≤ 16 and
+    * every sum is a count-weighted integer), ONE IEEE division, same
+    * operands in both engines. The UNWEIGHTED kappa (v_ij = [i≠j]) is
+    * emitted from the same joint/marginal tables as `kappa` — it is
+    * exactly q311's (A·N − S)/(N² − S) in 1−N·D/Σ form — so the report
+    * SHOWS the ordinal correction: the dose makes annotator misses
+    * mostly adjacent (+1 / −1 on disjoint id residues, a rare +2 on
+    * doc_id%11), so κ_w ≫ κ at every SF (prototyped: 0.81–0.87 vs
+    * 0.33–0.53 at sf0.001/0.01/0.1); a chance-level pair would drive
+    * both to ≈0. Labels clamp to [0,4] (greatest/least) — an ordinal
+    * scale has edges, and the clamp keeps the marginals honest. Scale:
+    * one scan to per-(lang,a,b) joint counts (≤25 cells per lang),
+    * marginal cross product is 5×5 metadata per lang — nothing grows
+    * with the corpus. */
+  val q412 = Q(
+    "q412_weighted_kappa",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val labeled = Tables.load(s, d, "documents")
+        .select(
+          col("lang"),
+          expr("greatest(0L, least(4L, (doc_id * 7) % 5 " +
+            "+ CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END))").as("a"),
+          expr("greatest(0L, least(4L, (doc_id * 7) % 5 " +
+            "+ CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 0 END " +
+            "+ CASE WHEN doc_id % 11 = 0 THEN 2 ELSE 0 END))").as("b"))
+        .persistTracked()
+      val base = labeled.groupBy(col("lang"), col("a"), col("b"))
+        .agg(count(lit(1)).as("o"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("o")).as("n"),
+          sum((col("a") - col("b")) * (col("a") - col("b")) * col("o"))
+            .as("w_obs"),
+          sum(when(col("a") =!= col("b"), col("o")).otherwise(0L))
+            .as("d_obs"))
+      val ma = labeled.groupBy(col("lang"), col("a").as("ca"))
+        .agg(count(lit(1)).as("na"))
+      val mb = labeled.groupBy(col("lang"), col("b").as("cb"))
+        .agg(count(lit(1)).as("nb"))
+      val marg = ma.join(mb, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          sum((col("ca") - col("cb")) * (col("ca") - col("cb")) *
+            col("na") * col("nb")).as("w_exp"),
+          sum(when(col("ca") =!= col("cb"), col("na") * col("nb"))
+            .otherwise(0L)).as("d_exp"))
+      base.join(marg, Seq("lang"))
+        .select(
+          col("lang"), col("n"), col("w_obs"), col("w_exp"),
+          (lit(1.0) - (col("n") * col("w_obs")).cast(DoubleType) /
+            col("w_exp").cast(DoubleType)).as("kappa_w"),
+          (lit(1.0) - (col("n") * col("d_obs")).cast(DoubleType) /
+            col("d_exp").cast(DoubleType)).as("kappa"))
+        .withColumn("ordinal_gain", col("kappa_w") - col("kappa"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH labeled AS (
+        SELECT lang,
+          greatest(0, least(4, (doc_id * 7) % 5
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)) AS a,
+          greatest(0, least(4, (doc_id * 7) % 5
+            + CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 0 END
+            + CASE WHEN doc_id % 11 = 0 THEN 2 ELSE 0 END)) AS b
+        FROM documents
+      ), joint AS (
+        SELECT lang, a, b, count(*) AS o FROM labeled GROUP BY 1, 2, 3
+      ), base AS (
+        SELECT lang, CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum((a - b) * (a - b) * o) AS BIGINT) AS w_obs,
+               CAST(sum(CASE WHEN a <> b THEN o ELSE 0 END) AS BIGINT)
+                 AS d_obs
+        FROM joint GROUP BY lang
+      ), ma AS (
+        SELECT lang, a AS ca, count(*) AS na FROM labeled GROUP BY 1, 2
+      ), mb AS (
+        SELECT lang, b AS cb, count(*) AS nb FROM labeled GROUP BY 1, 2
+      ), marg AS (
+        SELECT ma.lang,
+               CAST(sum((ca - cb) * (ca - cb) * na * nb) AS BIGINT)
+                 AS w_exp,
+               CAST(sum(CASE WHEN ca <> cb THEN na * nb ELSE 0 END)
+                 AS BIGINT) AS d_exp
+        FROM ma JOIN mb ON ma.lang = mb.lang
+        GROUP BY ma.lang
+      )
+      SELECT b.lang, b.n, b.w_obs, m.w_exp,
+             1.0 - CAST(b.n * b.w_obs AS DOUBLE)
+                     / CAST(m.w_exp AS DOUBLE) AS kappa_w,
+             1.0 - CAST(b.n * b.d_obs AS DOUBLE)
+                     / CAST(m.d_exp AS DOUBLE) AS kappa,
+             (1.0 - CAST(b.n * b.w_obs AS DOUBLE)
+                      / CAST(m.w_exp AS DOUBLE))
+               - (1.0 - CAST(b.n * b.d_obs AS DOUBLE)
+                          / CAST(m.d_exp AS DOUBLE)) AS ordinal_gain
+      FROM base b JOIN marg m ON b.lang = m.lang
+      ORDER BY b.lang"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396, q397, q398, q408)
+      q383, q387, q390, q395, q396, q397, q398, q408, q412)
 }

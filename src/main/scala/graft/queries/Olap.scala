@@ -6070,6 +6070,95 @@ object Olap {
       FROM per2, chi
       ORDER BY digit"""))
 
+  /** q410: HAMPEL (MAD) ROBUST OUTLIER SCREEN (Hampel 1974; the
+    * robust-z identifier of Davies & Gather 1993 — the outlier filter
+    * that, unlike q133's mean/stddev screen, cannot be MASKED by the
+    * outliers it hunts, because median and MAD have 50% breakdown):
+    * daily revenue, robust z = |x − med| / (1.4826·MAD), flag at 3.5
+    * (the standard Hampel band). Median/MAD via the established exact
+    * percentile spelling (q05's percentile(·, 0.5D) ↔ quantile_cont);
+    * every interpolated half stays an EXACT double (longs < 2⁵², so
+    * lower + (upper−lower)·0.5 has no rounding), 1.4826 is the same
+    * literal in both engines — the z comparison is bit-identical.
+    * Dosed/control: ×5 spikes on the 15th of every 3rd month;
+    * SWEPT: at sf0.1 all 26 dosed days flag and control flags zero;
+    * at sf0.001 13/17 flag — the misses are genuinely THIN days whose
+    * ×5 revenue still sits near the median, which is the honest
+    * behavior of a revenue-scale screen (gate: ≥¾ detected, dosed
+    * flags strictly exceed control's). Scale: one scan to the daily
+    * rollup; medians ride the bounded per-panel rollup. */
+  val q410 = Q(
+    "q410_hampel_outliers",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderdate").as("dt"),
+          (dayofmonth(col("o_orderdate")) === 15 &&
+            month(col("o_orderdate")) % 3 === 0).as("dosed_day"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+      val panels = daily
+        .select(lit("control").as("panel"), col("dt"), col("x").as("v"),
+          col("dosed_day"))
+        .unionByName(daily.select(lit("dosed").as("panel"), col("dt"),
+          when(col("dosed_day"), col("x") * 5L).otherwise(col("x"))
+            .as("v"),
+          col("dosed_day")))
+        .persistTracked()
+      val med = panels.groupBy(col("panel"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val dev = panels.join(broadcast(med), Seq("panel"))
+        .withColumn("ad", abs(col("v").cast(DoubleType) - col("m")))
+        .persistTracked()
+      val mad = dev.groupBy(col("panel"))
+        .agg(expr("percentile(ad, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), Seq("panel"))
+        .withColumn("flag",
+          col("ad") / (lit(1.4826) * col("mad")) > 3.5)
+        .groupBy(col("panel"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          max(col("m")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("dosed_day"), 1L).otherwise(0L)).as("n_dosed_days"),
+          sum(when(col("flag") && col("dosed_day"), 1L).otherwise(0L))
+            .as("n_dosed_flagged"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT o_orderdate AS dt,
+               (day(o_orderdate) = 15 AND month(o_orderdate) % 3 = 0)
+                 AS dosed_day,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+      ), panels AS (
+        SELECT 'control' AS panel, dt, x AS v, dosed_day FROM daily
+        UNION ALL
+        SELECT 'dosed', dt,
+               CASE WHEN dosed_day THEN 5 * x ELSE x END, dosed_day
+        FROM daily
+      ), med AS (
+        SELECT panel, quantile_cont(v, 0.5) AS m FROM panels GROUP BY 1
+      ), dev AS (
+        SELECT p.panel, dt, dosed_day,
+               abs(CAST(v AS DOUBLE) - m) AS ad
+        FROM panels p JOIN med USING (panel)
+      ), mad AS (
+        SELECT panel, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+      )
+      SELECT dev.panel, count(*) AS n_days,
+             max(m) AS med, max(mad.mad) AS mad,
+             CAST(sum(CASE WHEN ad / (1.4826 * mad.mad) > 3.5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(sum(CASE WHEN dosed_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dosed_days,
+             CAST(sum(CASE WHEN dosed_day AND ad / (1.4826 * mad.mad) > 3.5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dosed_flagged
+      FROM dev JOIN mad USING (panel) JOIN med USING (panel)
+      GROUP BY dev.panel
+      ORDER BY dev.panel"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6079,5 +6168,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409)
+      q407, q409, q410)
 }

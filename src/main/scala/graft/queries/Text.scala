@@ -4039,6 +4039,67 @@ object Text {
       FROM terms
       ORDER BY bm25_rank"""))
 
+  /** q411: SIMPSON DIVERSITY / EFFECTIVE TYPE COUNT (Simpson 1949,
+    * "Measurement of Diversity"; the UNBIASED form 1 − Σnᵢ(nᵢ−1)/
+    * (N(N−1)) — exact smallsample estimator, not the plug-in Σp²) per
+    * source over word-BIGRAM types — the concentration-side companion
+    * to q405's richness (Chao1 asks "how many types are unseen",
+    * Simpson asks "how evenly is the mass spread over the seen ones");
+    * ENTROPY-FREE by design: Shannon diversity needs ln() (libm-
+    * divergent), Simpson's quadratic form is integer arithmetic plus
+    * ONE division, and the Hill-number companion (effective types =
+    * inverse Simpson concentration) is one more division of the same
+    * exact operands. Bigram types (q385's n-gram-types lesson: the
+    * 31-word unigram vocabulary saturates — bigrams realize a varied
+    * spectrum). Scale: one explode + two hash-groupBys; |sources|
+    * rows out. */
+  val q411 = Q(
+    "q411_simpson_diversity",
+    (s, d) => {
+      val grams = Tables.load(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .as("g"))
+      grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1L)).as("pair_sum"))
+        .withColumn("simpson",
+          lit(1.0) - col("pair_sum").cast(DoubleType) /
+            (col("n_grams") * (col("n_grams") - 1L)).cast(DoubleType))
+        .withColumn("effective_types",
+          (col("n_grams") * (col("n_grams") - 1L)).cast(DoubleType) /
+            col("pair_sum").cast(DoubleType))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents
+      ), grams AS (
+        SELECT source, ws[i] || ' ' || ws[i+1] AS g
+        FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)
+      ), freq AS (
+        SELECT source, g, count(*) AS c FROM grams GROUP BY source, g
+      )
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pair_sum,
+             1.0 - CAST(sum(c * (c - 1)) AS DOUBLE)
+                     / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS simpson,
+             CAST(sum(c) * (sum(c) - 1) AS DOUBLE)
+               / CAST(sum(c * (c - 1)) AS DOUBLE) AS effective_types
+      FROM freq
+      GROUP BY source
+      ORDER BY source"""))
+
   /** q232: quality-score decile × duplication-rate audit — the filter
     * sanity check every curation paper runs ("do low-quality docs
     * duplicate more?"): q84's classifier score ranks the corpus into
@@ -6065,5 +6126,5 @@ object Text {
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
       q317, q318, q335, q341, q347, q366, q371, q379, q385, q393, q394,
-      q401, q402, q403, q404, q405, q406)
+      q401, q402, q403, q404, q405, q406, q411)
 }

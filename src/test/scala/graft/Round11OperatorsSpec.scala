@@ -426,4 +426,141 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(chi2 > 15.507313, "audit failed to flag non-Benford data")
     } finally graft.Caches.release()
   }
+
+  /** Exact percentile_cont(0.5) replay: Spark's percentile() computes
+    * lower + (higher − lower) · frac with frac = 0.5 here, so the
+    * interpolation is exact binary arithmetic on both engines. */
+  private def medianExact(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val h = (s.length - 1).toDouble * 0.5
+    val lo = h.toInt
+    val hi = math.ceil(h).toInt
+    s(lo) + (s(hi) - s(lo)) * (h - lo)
+  }
+
+  test("q410 Hampel: exact median/MAD replay; dose flags, control quiet") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_orderdate"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("x"))
+      .as[(java.time.LocalDateTime, Long)](
+        org.apache.spark.sql.Encoders.product[(java.time.LocalDateTime, Long)])
+      .collect()
+      .map { case (dt, x) =>
+        (x, dt.getDayOfMonth == 15 && dt.getMonthValue % 3 == 0)
+      }
+    def panel(dose: Boolean): (Long, Double, Double, Long, Long, Long) = {
+      val vs = daily.map { case (x, d) => (if (dose && d) x * 5L else x, d) }
+      val m = medianExact(vs.map(_._1.toDouble).toSeq)
+      val ads = vs.map { case (v, d) => (math.abs(v.toDouble - m), d) }
+      val mad = medianExact(ads.map(_._1).toSeq)
+      val flags = ads.map { case (ad, d) => (ad / (1.4826 * mad) > 3.5, d) }
+      (vs.length.toLong, m, mad,
+        flags.count(_._1).toLong,
+        vs.count(_._2).toLong,
+        flags.count(f => f._1 && f._2).toLong)
+    }
+    val (nc, mc, madc, fc, dc, fdc) = panel(dose = false)
+    val (nd, md, madd, fd, dd, fdd) = panel(dose = true)
+    val got = graft.queries.Olap.q410.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    try {
+      assert(got.toSeq == Seq(
+        ("control", nc, mc, madc, fc, dc, fdc),
+        ("dosed", nd, md, madd, fd, dd, fdd)))
+      // the screen must detect the dose (≥3/4 of spiked days at every
+      // swept SF) and must not be fooled by natural daily noise: the
+      // dosed panel flags strictly more than the control panel
+      assert(fdd * 4 >= dd * 3, s"dose under-detected: $fdd of $dd")
+      assert(fd > fc, s"dosed flags $fd not above control $fc")
+    } finally graft.Caches.release()
+  }
+
+  test("q411 Simpson: exact bigram-spectrum replay; spectrum non-trivial") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)](
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect()
+    val expect = docs
+      .flatMap { case (src, text) =>
+        val ws = text.split(" ", -1) // Spark split keeps trailing empties
+        if (ws.length < 2) Nil
+        else ws.sliding(2).map(p => (src, p(0) + " " + p(1)))
+      }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (src, cells) =>
+        val n = cells.values.sum
+        val types = cells.size.toLong
+        val pairSum = cells.values.map(c => c * (c - 1)).sum
+        (src, n, types, pairSum,
+          1.0 - pairSum.toDouble / (n * (n - 1)).toDouble,
+          (n * (n - 1)).toDouble / pairSum.toDouble)
+      }
+    val got = graft.queries.Text.q411.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    try {
+      assert(got.toSeq == expect)
+      // the measure only informs if sources realize a non-degenerate
+      // spectrum: diversity strictly inside (0,1), effective types
+      // finite (pair_sum > 0) and strictly inside (1, n_grams) — NOTE
+      // the unbiased estimator may legitimately exceed the OBSERVED
+      // type count when singletons dominate (they add nothing to
+      // pair_sum; it estimates the population, not the sample)
+      expect.foreach { case (src, n, _, pairSum, simp, eff) =>
+        assert(pairSum > 0L, s"$src pair_sum zero — estimator undefined")
+        assert(simp > 0.0 && simp < 1.0, s"$src simpson degenerate: $simp")
+        assert(eff > 1.0 && eff < n.toDouble,
+          s"$src effective types out of range: $eff vs $n")
+      }
+    } finally graft.Caches.release()
+  }
+
+  test("q412 weighted kappa: exact integer replay; ordinal gain positive") {
+    import org.apache.spark.sql.functions.col
+    val labeled = Tables.load(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id"))
+      .as[(String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect()
+      .map { case (lang, id) =>
+        val t = (id * 7) % 5
+        val a = math.max(0L, math.min(4L, t + (if (id % 5 == 0) 1 else 0)))
+        val b = math.max(0L, math.min(4L,
+          t + (if (id % 4 == 0) -1 else 0) + (if (id % 11 == 0) 2 else 0)))
+        (lang, a, b)
+      }
+    val expect = labeled.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, rows) =>
+        val n = rows.length.toLong
+        val wObs = rows.map { case (_, a, b) => (a - b) * (a - b) }.sum
+        val dObs = rows.count { case (_, a, b) => a != b }.toLong
+        val ma = rows.groupBy(_._2).map { case (c, v) => c -> v.length.toLong }
+        val mb = rows.groupBy(_._3).map { case (c, v) => c -> v.length.toLong }
+        val wExp = (for { (ca, na) <- ma; (cb, nb) <- mb }
+          yield (ca - cb) * (ca - cb) * na * nb).sum
+        val dExp = (for { (ca, na) <- ma; (cb, nb) <- mb if ca != cb }
+          yield na * nb).sum
+        val kw = 1.0 - (n * wObs).toDouble / wExp.toDouble
+        val k = 1.0 - (n * dObs).toDouble / dExp.toDouble
+        (lang, n, wObs, wExp, kw, k, kw - k)
+    }
+    val got = graft.queries.Evals.q412.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    try {
+      assert(got.toSeq == expect)
+      // misses are adjacent by construction, so quadratic weighting must
+      // credit the near-agreement in EVERY language — and neither
+      // statistic may sit at chance or perfection
+      expect.foreach { case (lang, _, _, _, kw, k, gain) =>
+        assert(gain > 0.2, s"$lang ordinal gain too small: $gain")
+        assert(k > 0.0 && kw < 1.0, s"$lang kappas degenerate: $k, $kw")
+      }
+    } finally graft.Caches.release()
+  }
 }
