@@ -4029,9 +4029,284 @@ object Evals {
       FROM base b JOIN marg m ON b.lang = m.lang
       ORDER BY b.lang"""))
 
+  /** q413: KRUSKAL–WALLIS H TEST (Kruskal & Wallis 1952) — the
+    * rank-based k-group location test: q321's Mann–Whitney generalized
+    * past two groups, and the distribution-free sibling of q354's
+    * ANOVA F (use it when the metric is heavy-tailed and means lie).
+    * EXACT RANKS WITHOUT A ROW SORT: ranks depend only on the VALUE
+    * SPECTRUM, so mid-ranks come from per-value counts t_v and the
+    * running count of smaller values — doubled to stay integer
+    * (2·midrank = 2·#less + t_v + 1, the q390 trimmed-t discipline).
+    * The cumulative #less rides [[graft.operators.GlobalOrder]]'s
+    * range-partitioned cumsum over (panel, v) — never a single-
+    * partition window — with the dosed panel's offset removed via one
+    * broadcast scalar (both panels hold exactly N rows). Per-group
+    * rank sums T_g are exact BIGINTs; H folds over the ≤5 groups in
+    * fixed group order (q354's ordered-fold discipline):
+    *   H = [12·Σ_g (T_g/2)²/n_g / (N(N+1)) − 3(N+1)] / C,
+    * tie correction C = 1 − Σ(t³−t)/(N³−N) from the same value
+    * spectrum. N³ is formed on DOUBLES in both engines (exact below
+    * N ≈ 2×10⁵ and identically rounded past it; BIGINT N³ would
+    * overflow near N ≈ 2×10⁶). Dosed/control: +25% on '1-URGENT'
+    * (x + x÷4, swept: control H ≤ 8.7 < 9.488 at every SF, dosed
+    * H ≥ 18.7 at sf0.001 growing to 6×10³ at sf0.1). χ²₄ bar at
+    * α=.05 is 9.487729. Scale: two hash aggregations over the value
+    * spectrum + one range shuffle; group stats are 5 rows/panel. */
+  val q413 = Q(
+    "q413_kruskal_wallis",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("g"), col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("g"),
+          when(col("g") === "1-URGENT", col("x") + expr("x DIV 4"))
+            .otherwise(col("x")).as("v")))
+        .persistTracked()
+      val vals = panels.groupBy(col("panel"), col("v"))
+        .agg(count(lit(1)).as("t"))
+      val nCtl = vals.filter(col("panel") === "control")
+        .groupBy().agg(sum(col("t")).as("n_ctl"))
+      val ranked = graft.operators.GlobalOrder
+        .withOrderedCumsum(vals, Seq(col("panel"), col("v")), col("t"),
+          "cum")
+        .crossJoin(broadcast(nCtl))
+        .withColumn("tr",
+          (col("cum") - col("t") -
+            when(col("panel") === "dosed", col("n_ctl")).otherwise(0L))
+            * 2L + col("t") + 1L)
+        .select(col("panel"), col("v"), col("tr"))
+      val gv = panels.groupBy(col("panel"), col("g"), col("v"))
+        .agg(count(lit(1)).as("n_gv"))
+      val grp = gv.join(ranked, Seq("panel", "v"))
+        .groupBy(col("panel"), col("g"))
+        .agg(sum(col("n_gv")).as("n_g"),
+          sum(col("n_gv") * col("tr")).as("tsum"))
+        .withColumn("term",
+          col("tsum").cast(DoubleType) * col("tsum").cast(DoubleType) /
+            (lit(4.0) * col("n_g").cast(DoubleType)))
+      val ties = vals.groupBy(col("panel"))
+        .agg(sum(col("t")).as("n"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      grp.groupBy(col("panel"))
+        .agg(count(lit(1)).as("n_groups"),
+          expr("aggregate(array_sort(collect_list(struct(g, term))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("rsum"))
+        .join(ties, Seq("panel"))
+        .withColumn("h_stat",
+          (lit(12.0) * col("rsum") /
+            (col("n").cast(DoubleType) *
+              (col("n").cast(DoubleType) + 1.0)) -
+            lit(3.0) * (col("n").cast(DoubleType) + 1.0)) /
+            (lit(1.0) - col("tie3").cast(DoubleType) /
+              (col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+                col("n").cast(DoubleType) - col("n").cast(DoubleType))))
+        .select(col("panel"), col("n"), col("n_groups"), col("tie3"),
+          col("h_stat"), (col("h_stat") > 9.487729).as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, g, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', g,
+               CASE WHEN g = '1-URGENT' THEN x + x // 4 ELSE x END
+        FROM base
+      ), vals AS (
+        SELECT panel, v, count(*) AS t FROM panels GROUP BY 1, 2
+      ), ranked AS (
+        SELECT panel, v,
+               coalesce(sum(t) OVER (PARTITION BY panel ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 2 + t + 1 AS tr
+        FROM vals
+      ), gv AS (
+        SELECT panel, g, v, count(*) AS n_gv FROM panels GROUP BY 1, 2, 3
+      ), grp AS (
+        SELECT gv.panel, g,
+               CAST(sum(n_gv) AS BIGINT) AS n_g,
+               CAST(sum(n_gv * tr) AS BIGINT) AS tsum
+        FROM gv JOIN ranked ON gv.panel = ranked.panel AND gv.v = ranked.v
+        GROUP BY 1, 2
+      ), terms AS (
+        SELECT panel, g, n_g, tsum,
+               CAST(tsum AS DOUBLE) * CAST(tsum AS DOUBLE)
+                 / (4.0 * CAST(n_g AS DOUBLE)) AS term
+        FROM grp
+      ), folded AS (
+        SELECT panel, count(*) AS n_groups,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(term ORDER BY g)), (acc, x) -> acc + x) AS rsum
+        FROM terms GROUP BY panel
+      ), ties AS (
+        SELECT panel, CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM vals GROUP BY panel
+      ), hs AS (
+        SELECT f.panel, t2.n, f.n_groups, t2.tie3,
+               (12.0 * f.rsum
+                  / (CAST(t2.n AS DOUBLE) * (CAST(t2.n AS DOUBLE) + 1.0))
+                - 3.0 * (CAST(t2.n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(t2.tie3 AS DOUBLE)
+                  / (CAST(t2.n AS DOUBLE) * CAST(t2.n AS DOUBLE)
+                     * CAST(t2.n AS DOUBLE) - CAST(t2.n AS DOUBLE)))
+                 AS h_stat
+        FROM folded f JOIN ties t2 ON f.panel = t2.panel
+      )
+      SELECT panel, n, n_groups, tie3, h_stat,
+             h_stat > 9.487729 AS reject_05
+      FROM hs
+      ORDER BY panel"""))
+
+  /** q414: BROWN–FORSYTHE ROBUST VARIANCE-HOMOGENEITY TEST (Levene
+    * 1960; the median-centered variant of Brown & Forsythe 1974) —
+    * "are the groups equally SPREAD?", the pre-flight check q354's
+    * ANOVA assumes away, in the median-centered form that keeps its
+    * level under heavy tails. Mechanics: z_ij = |x_ij − med_g|, then
+    * the one-way F on z. EXACT MOMENTS: med_g over integer cents is a
+    * half-integer (exact 0.5-interpolation), so w = 2·z = |2x − 2·med|
+    * is an EXACT INTEGER (half-cent units) — cast to BIGINT and run
+    * q354's exact wide-integer moment discipline (Σw BIGINT, Σw²
+    * DECIMAL(38)/HUGEINT, SSW numerator n·Σw² − (Σw)² exact); the ×4
+    * unit factor cancels in F. SSB/SSW fold across the ≤5 groups in
+    * fixed group order (ordered-fold discipline), so F bit-agrees
+    * cross-engine. Dosed/control: '1-URGENT' spread DOUBLED (v = 2x —
+    * location is irrelevant, the test recenters per group; swept:
+    * control F ≤ 2.43 at every SF, dosed F ≥ 94.7). Flag at the
+    * α=.01 asymptotic bar F(4,∞) = χ²₄/4 = 3.3192 — the sf0.01
+    * control sits at 2.43, above the .05 bar but with natural
+    * heteroscedasticity only; the 1% bar separates cleanly. Scale:
+    * one scan to per-group medians (bounded rollup), one scan to
+    * moments; the fold runs on 5 rows/panel. */
+  val q414 = Q(
+    "q414_brown_forsythe",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("g"), col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("g"),
+          when(col("g") === "1-URGENT", col("x") * 2L)
+            .otherwise(col("x")).as("v")))
+        .persistTracked()
+      val med = panels.groupBy(col("panel"), col("g"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val moments = panels.join(broadcast(med), Seq("panel", "g"))
+        .withColumn("w",
+          abs(col("v").cast(DoubleType) * 2.0 - col("m") * 2.0)
+            .cast(LongType))
+        .groupBy(col("panel"), col("g"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("w")).as("sw"),
+          sum(col("w").cast(DecimalType(38, 0)) *
+            col("w").cast(DecimalType(38, 0))).as("sww"))
+      val grand = moments.groupBy(col("panel"))
+        .agg(sum(col("n_g")).as("n_total"),
+          sum(col("sw")).as("t_sum"),
+          count(lit(1)).as("k"))
+      val per = moments.join(broadcast(grand), Seq("panel"))
+        .withColumn("mean_g",
+          col("sw").cast(DoubleType) / col("n_g").cast(DoubleType))
+        .withColumn("grand_mean",
+          col("t_sum").cast(DoubleType) / col("n_total").cast(DoubleType))
+        .withColumn("ssw_g",
+          (col("n_g").cast(DecimalType(38, 0)) * col("sww") -
+            col("sw").cast(DecimalType(38, 0)) *
+              col("sw").cast(DecimalType(38, 0))).cast(DoubleType) /
+            col("n_g").cast(DoubleType))
+        .withColumn("ssb_g",
+          col("n_g").cast(DoubleType) *
+            (col("mean_g") - col("grand_mean")) *
+            (col("mean_g") - col("grand_mean")))
+      per.groupBy(col("panel"), col("n_total"), col("k"))
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(g, ssb_g))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.ssb_g)")
+            .as("ss_between"),
+          expr("aggregate(array_sort(collect_list(struct(g, ssw_g))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.ssw_g)")
+            .as("ss_within"))
+        .select(
+          col("panel"), col("k").as("n_groups"), col("n_total"),
+          col("ss_between"), col("ss_within"),
+          ((col("ss_between") / (col("k") - 1).cast(DoubleType)) /
+            (col("ss_within") /
+              (col("n_total") - col("k")).cast(DoubleType)))
+            .as("f_stat"))
+        .withColumn("reject_01", col("f_stat") > 3.3192)
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, g, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', g,
+               CASE WHEN g = '1-URGENT' THEN 2 * x ELSE x END
+        FROM base
+      ), med AS (
+        SELECT panel, g, quantile_cont(v, 0.5) AS m
+        FROM panels GROUP BY 1, 2
+      ), moments AS (
+        SELECT p.panel, p.g, count(*) AS n_g,
+               CAST(sum(CAST(abs(CAST(v AS DOUBLE) * 2.0 - m * 2.0)
+                 AS BIGINT)) AS BIGINT) AS sw,
+               sum(CAST(CAST(abs(CAST(v AS DOUBLE) * 2.0 - m * 2.0)
+                 AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(abs(CAST(v AS DOUBLE) * 2.0 - m * 2.0)
+                 AS BIGINT) AS HUGEINT)) AS sww
+        FROM panels p JOIN med USING (panel, g)
+        GROUP BY 1, 2
+      ), grand AS (
+        SELECT panel, CAST(sum(n_g) AS BIGINT) AS n_total,
+               CAST(sum(sw) AS BIGINT) AS t_sum, count(*) AS k
+        FROM moments GROUP BY panel
+      ), per AS (
+        SELECT m2.panel, m2.g, g2.n_total, g2.k,
+               ${Det.hugeDoubleSql(
+                 """CAST(m2.n_g AS HUGEINT) * m2.sww
+                      - CAST(m2.sw AS HUGEINT) * CAST(m2.sw AS HUGEINT)""")}
+                 / CAST(m2.n_g AS DOUBLE) AS ssw_g,
+               CAST(m2.n_g AS DOUBLE)
+                 * (CAST(m2.sw AS DOUBLE) / CAST(m2.n_g AS DOUBLE)
+                    - CAST(g2.t_sum AS DOUBLE) / CAST(g2.n_total AS DOUBLE))
+                 * (CAST(m2.sw AS DOUBLE) / CAST(m2.n_g AS DOUBLE)
+                    - CAST(g2.t_sum AS DOUBLE) / CAST(g2.n_total AS DOUBLE))
+                 AS ssb_g
+        FROM moments m2 JOIN grand g2 ON m2.panel = g2.panel
+      ), folded AS (
+        SELECT panel, n_total, k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(ssb_g ORDER BY g)), (acc, x) -> acc + x)
+                 AS ss_between,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(ssw_g ORDER BY g)), (acc, x) -> acc + x)
+                 AS ss_within
+        FROM per GROUP BY panel, n_total, k
+      )
+      SELECT panel, k AS n_groups, n_total, ss_between, ss_within,
+             (ss_between / CAST(k - 1 AS DOUBLE))
+               / (ss_within / CAST(n_total - k AS DOUBLE)) AS f_stat,
+             (ss_between / CAST(k - 1 AS DOUBLE))
+               / (ss_within / CAST(n_total - k AS DOUBLE)) > 3.3192
+               AS reject_01
+      FROM folded
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396, q397, q398, q408, q412)
+      q383, q387, q390, q395, q396, q397, q398, q408, q412, q413, q414)
 }

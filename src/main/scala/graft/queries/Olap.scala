@@ -6159,6 +6159,121 @@ object Olap {
       GROUP BY dev.panel
       ORDER BY dev.panel"""))
 
+  /** q415: PETTITT CHANGEPOINT TEST (Pettitt 1979) — the rank-based
+    * single-changepoint locator: where q384's CUSUM needs a reference
+    * level and slack k, and q407's Mann–Kendall asks "is there a
+    * monotone trend", Pettitt asks "did the level SHIFT, and WHEN" with
+    * no distributional dose at all. U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j−x_i)
+    * over the 80-month revenue series; K = max_t |U_t|, t* = the
+    * earliest argmax (ties broken by MIN t — deterministic in both
+    * engines via a K-equijoin, never arg_max). Significance at α=.05
+    * via K > K_crit = √(−ln(.025)·(n³+n²)/6): the ln is the literal
+    * 3.6888794541139363 (a COMPILE-TIME constant like q407's 1.959964;
+    * no libm call crosses the engines), the sqrt is IEEE
+    * correctly-rounded on identical operands. All-integer U_t: months
+    * are BOUNDED (n=80 → 3160 sign pairs → 256k (pair,t) rows,
+    * metadata-sized at any corpus scale — the month rollup is the only
+    * data-sized pass). Dosed/control: +30% from month 49 (dose by
+    * INDEX, not date — fixture date ranges differ); swept: control
+    * K ≤ 390 < 564.6 at every SF, dosed K ≥ 740, argmax within 9 of
+    * the pivot at sf0.001 (thin-month noise) and exactly 47 at
+    * sf0.01/0.1. */
+  val q415 = Q(
+    "q415_pettitt_test",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+      val idx = graft.operators.GlobalOrder
+        .withOrderedCumsum(monthly, Seq(col("mo")), lit(1L), "i")
+      val panels = idx
+        .select(lit("control").as("panel"), col("i"), col("x"))
+        .unionByName(idx.select(lit("dosed").as("panel"), col("i"),
+          when(col("i") >= 49L, col("x") + expr("x * 3 DIV 10"))
+            .otherwise(col("x")).as("x")))
+        .persistTracked()
+      val b = panels.select(col("panel"), col("i").as("j"),
+        col("x").as("xj"))
+      val pairs = panels.join(b, Seq("panel"))
+        .filter(col("i") < col("j"))
+        .select(col("panel"), col("i"), col("j"),
+          signum(col("xj") - col("x")).cast(LongType).as("sg"))
+      val ts = panels.filter(col("panel") === "control")
+        .select(col("i").as("t"))
+      val ut = pairs.join(broadcast(ts),
+          col("i") <= col("t") && col("j") > col("t"))
+        .groupBy(col("panel"), col("t"))
+        .agg(sum(col("sg")).as("u"))
+        .persistTracked()
+      val n = panels.filter(col("panel") === "control")
+        .groupBy().agg(count(lit(1)).as("n"))
+      val kmax = ut.groupBy(col("panel")).agg(max(abs(col("u"))).as("k_stat"))
+      kmax.join(ut,
+          kmax("panel") === ut("panel") && abs(col("u")) === col("k_stat"))
+        .groupBy(kmax("panel").as("panel"), col("k_stat"))
+        .agg(min(col("t")).as("t_star"))
+        .crossJoin(broadcast(n))
+        .withColumn("k_crit",
+          sqrt(lit(3.6888794541139363) *
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+              col("n").cast(DoubleType) +
+              col("n").cast(DoubleType) * col("n").cast(DoubleType)) /
+            lit(6.0)))
+        .select(col("panel"), col("n"), col("k_stat"), col("t_star"),
+          col("k_crit"), (col("k_stat").cast(DoubleType) > col("k_crit"))
+            .as("shift_detected"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), idx AS (
+        SELECT row_number() OVER (ORDER BY mo) AS i, x FROM monthly
+      ), panels AS (
+        SELECT 'control' AS panel, i, x FROM idx
+        UNION ALL
+        SELECT 'dosed', i,
+               CASE WHEN i >= 49 THEN x + x * 3 // 10 ELSE x END
+        FROM idx
+      ), pairs AS (
+        SELECT a.panel, a.i AS i, b.i AS j,
+               CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                    ELSE 0 END AS sg
+        FROM panels a JOIN panels b
+          ON a.panel = b.panel AND a.i < b.i
+      ), ut AS (
+        SELECT p.panel, t.i AS t, CAST(sum(sg) AS BIGINT) AS u
+        FROM pairs p JOIN (SELECT i FROM idx) t
+          ON p.i <= t.i AND p.j > t.i
+        GROUP BY 1, 2
+      ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM idx
+      ), kmax AS (
+        SELECT panel, max(abs(u)) AS k_stat FROM ut GROUP BY panel
+      ), star AS (
+        SELECT k.panel, k.k_stat, min(u.t) AS t_star
+        FROM kmax k JOIN ut u
+          ON k.panel = u.panel AND abs(u.u) = k.k_stat
+        GROUP BY 1, 2
+      )
+      SELECT panel, n, k_stat, t_star,
+             sqrt(3.6888794541139363e0
+                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE)
+                     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 6.0)
+               AS k_crit,
+             CAST(k_stat AS DOUBLE)
+               > sqrt(3.6888794541139363e0
+                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE)
+                     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 6.0)
+               AS shift_detected
+      FROM star CROSS JOIN nn
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6168,5 +6283,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409, q410)
+      q407, q409, q410, q415)
 }

@@ -362,7 +362,13 @@ class PlanShapeSpec extends SparkSpec {
       // r11: q404's two rank windows run over the BM25 top-20 shortlist
       // (TakeOrderedAndProject + Aggregate below) — q235's 20-row shape;
       // q406's rank + RBP cumsum ride the same 20-row frame
-      "q404_cross_encoder_rerank", "q406_rbp_eval")
+      "q404_cross_encoder_rerank", "q406_rbp_eval",
+      // r11 wave 7: q413's GlobalOrder offsets table over the
+      // (panel, value)-spectrum rollup (Aggregate below). q415's month
+      // index rides GlobalOrder too, but its persistTracked panels
+      // frame truncates the visible lineage — its shape is pinned by
+      // the Round11OperatorsSpec replay instead
+      "q413_kruskal_wallis")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -563,4 +563,142 @@ class Round11OperatorsSpec extends SparkSpec {
       }
     } finally graft.Caches.release()
   }
+
+  /** (group, value-in-cents) pairs for the rank/variance test replays,
+    * plus the two dose panels those tests share. */
+  private def priorityPanels(
+      dose: Long => Long): Seq[(String, Seq[(String, Long)])] = {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect().toSeq
+    Seq(
+      "control" -> base,
+      "dosed" -> base.map { case (g, x) =>
+        (g, if (g == "1-URGENT") dose(x) else x)
+      })
+  }
+
+  test("q413 Kruskal-Wallis: exact doubled-midrank replay; dose gates") {
+    val panels = priorityPanels(x => x + x / 4)
+    val expect = panels.map { case (panel, rows) =>
+      val n = rows.length.toLong
+      val byVal = rows.groupBy(_._2).map { case (v, xs) =>
+        v -> xs.length.toLong
+      }
+      val sortedVals = byVal.toSeq.sortBy(_._1)
+      // tr = 2*midrank = 2*#less + t + 1 off the value spectrum
+      val tr = scala.collection.mutable.HashMap.empty[Long, Long]
+      var less = 0L
+      sortedVals.foreach { case (v, t) =>
+        tr(v) = 2 * less + t + 1; less += t
+      }
+      val grp = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (_, xs) =>
+          val tsum = xs.map(r => tr(r._2)).sum
+          (xs.length.toLong, tsum)
+      }
+      val rsum = grp.map { case (ng, tsum) =>
+        tsum.toDouble * tsum.toDouble / (4.0 * ng.toDouble)
+      }.foldLeft(0.0)(_ + _) // fixed group order, like both engines
+      val tie3 = sortedVals.map { case (_, t) => t * t * t - t }.sum
+      val nD = n.toDouble
+      val h = (12.0 * rsum / (nD * (nD + 1.0)) - 3.0 * (nD + 1.0)) /
+        (1.0 - tie3.toDouble / (nD * nD * nD - nD))
+      (panel, n, grp.length.toLong, tie3, h, h > 9.487729)
+    }
+    val got = graft.queries.Evals.q413.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == expect)
+      // swept at sf0.001/0.01/0.1 before shipping: control H <= 8.7,
+      // dosed H >= 18.7 — the +25% location dose must gate both ways
+      assert(!expect.head._6, s"control rejected: H=${expect.head._5}")
+      assert(expect(1)._6, s"dose undetected: H=${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q414 Brown-Forsythe: exact half-cent moment replay; dose gates") {
+    val panels = priorityPanels(x => 2 * x)
+    val expect = panels.map { case (panel, rows) =>
+      val grp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, xs) =>
+        val m = medianExact(xs.map(_._2.toDouble).toSeq)
+        // w = |2v - 2m| is an exact integer in half-cent units
+        val ws = xs.map(r => math.abs(r._2.toDouble * 2.0 - m * 2.0).toLong)
+        val sw = ws.sum
+        val sww = ws.map(w => BigInt(w) * BigInt(w)).sum
+        (ws.length.toLong, sw, sww)
+      }
+      val nTotal = grp.map(_._1).sum
+      val tSum = grp.map(_._2).sum
+      val k = grp.length.toLong
+      val grandMean = tSum.toDouble / nTotal.toDouble
+      val ssb = grp.map { case (ng, sw, _) =>
+        val mg = sw.toDouble / ng.toDouble
+        ng.toDouble * (mg - grandMean) * (mg - grandMean)
+      }.foldLeft(0.0)(_ + _)
+      val ssw = grp.map { case (ng, sw, sww) =>
+        (BigInt(ng) * sww - BigInt(sw) * BigInt(sw)).toDouble / ng.toDouble
+      }.foldLeft(0.0)(_ + _)
+      val f = (ssb / (k - 1).toDouble) / (ssw / (nTotal - k).toDouble)
+      (panel, k, nTotal, ssb, ssw, f, f > 3.3192)
+    }
+    val got = graft.queries.Evals.q414.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    try {
+      assert(got.toSeq == expect)
+      // the 2x spread dose must trip the 1% bar; natural
+      // heteroscedasticity must not (swept: control <= 2.43 every SF)
+      assert(!expect.head._7, s"control rejected: F=${expect.head._6}")
+      assert(expect(1)._7, s"dose undetected: F=${expect(1)._6}")
+    } finally graft.Caches.release()
+  }
+
+  test("q415 Pettitt: exact U_t replay; dosed shift found, control quiet") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.load(spark, sf001, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("x"))
+      .as[(java.time.LocalDateTime, Long)](
+        org.apache.spark.sql.Encoders.product[(java.time.LocalDateTime, Long)])
+      .collect().sortBy(_._1.toString).map(_._2)
+    val n = xs.length
+    def pettitt(v: Array[Long]): (Long, Long) = {
+      // (K, earliest argmax t) over U_t = sum_{i<=t<j} sgn(x_j - x_i)
+      var bestK = -1L; var bestT = 0L
+      for (t <- 1 until n) {
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Long.signum(v(j) - v(i)).toLong
+        if (math.abs(u) > bestK) { bestK = math.abs(u); bestT = t.toLong }
+      }
+      (bestK, bestT)
+    }
+    val dosed = xs.zipWithIndex.map { case (x, i0) =>
+      if (i0 + 1 >= 49) x + x * 3 / 10 else x
+    }
+    val (kc, tc) = pettitt(xs)
+    val (kd, td) = pettitt(dosed)
+    val nD = n.toDouble
+    val kCrit = math.sqrt(3.6888794541139363 * (nD * nD * nD + nD * nD) / 6.0)
+    val got = graft.queries.Olap.q415.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == Seq(
+        ("control", n.toLong, kc, tc, kCrit, kc.toDouble > kCrit),
+        ("dosed", n.toLong, kd, td, kCrit, kd.toDouble > kCrit)))
+      // swept at sf0.001/0.01/0.1: control K <= 390 < crit everywhere,
+      // dosed K >= 740; the located split must sit near the index-49
+      // pivot (within 9 at sf0.001 — thin-month rank noise)
+      assert(kc.toDouble <= kCrit, s"control shift claimed: K=$kc")
+      assert(kd.toDouble > kCrit, s"dose missed: K=$kd vs $kCrit")
+      assert(math.abs(td - 48L) <= 9L, s"argmax far from pivot: $td")
+    } finally graft.Caches.release()
+  }
 }
