@@ -97,6 +97,19 @@ object Det {
   def hashSampleSql(key: String): String =
     s"strpos('0123456789abcdef', " +
       s"substr(md5(CAST($key AS VARCHAR)), 32, 1)) <= 2"
+
+  /** Reproducible 50/50 A/B arm assignment off the same md5-nibble
+    * mechanism as [[hashSampleExpr]] (q416): bucket parity of the last
+    * hex char. Exchangeable by construction — calendar splits carry
+    * month-length and partial-tail biases (measured: even/odd-month
+    * pairing drifted to z = −6.4 at sf0.1), a content-hash split
+    * cannot. Spark SQL text and DuckDB twin from one definition. */
+  def hashParityExpr(key: String): String =
+    s"instr('0123456789abcdef', " +
+      s"substring(md5(CAST($key AS STRING)), 32, 1)) % 2 = 0"
+  def hashParitySql(key: String): String =
+    s"strpos('0123456789abcdef', " +
+      s"substr(md5(CAST($key AS VARCHAR)), 32, 1)) % 2 = 0"
 }
 
 /** Reference-parity queries: Q1–Q4 analogs, the four sample queries

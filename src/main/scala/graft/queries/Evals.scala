@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -4304,9 +4305,623 @@ object Evals {
       FROM folded
       ORDER BY panel"""))
 
+  /** q416: WILCOXON SIGNED-RANK TEST (Wilcoxon 1945) — the PAIRED
+    * complement of q321's Mann–Whitney: per-customer A/B revenue
+    * deltas, ranked by |Δ|, asking whether the B arm systematically
+    * shifts spend. The pairing is a HASH SPLIT of each customer's
+    * orders (md5-nibble parity of o_orderkey via [[Det.hashParityExpr]]
+    * — exchangeable by construction; calendar pairings were measured
+    * biased: even/odd months carry month-length asymmetry to z = −6.4
+    * at sf0.1). EXACT RANKS, q413's spectrum discipline: zero deltas
+    * dropped (Wilcoxon's rule), |Δ| ranked via per-value counts +
+    * GlobalOrder's range-partitioned cumsum, doubled mid-ranks
+    * (tr = 2·#less + t + 1) so W2 = 2·W₊ = Σ_pos tr is an exact
+    * BIGINT. z = (W2 − n(n+1)/2)/√((2n(n+1)(2n+1) − Σ(t³−t))/12) with
+    * the variance polynomial formed on DOUBLES (exact below n ≈ 10⁵,
+    * BIGINT would overflow near n ≈ 1.6×10⁶ pairs, identically rounded
+    * past either). Dosed/control: +40% on the B arm (swept: control
+    * |z| ≤ 1.73 < 1.96 at every SF, dosed z ≥ 4.06 at sf0.001 growing
+    * to 49 at sf0.1). Scale: one scan to per-customer arm sums, then
+    * the delta-spectrum shuffle — linear, no pair joins. */
+  val q416 = Q(
+    "q416_wilcoxon_signed_rank",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val halves = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("ck"),
+          expr(Det.hashParityExpr("o_orderkey")).as("arm_a"),
+          Det.cents(col("o_totalprice")).as("x"))
+        .groupBy(col("ck"))
+        .agg(
+          sum(when(col("arm_a"), col("x")).otherwise(0L)).as("r1"),
+          sum(when(!col("arm_a"), col("x")).otherwise(0L)).as("r2"),
+          max(when(col("arm_a"), 1L).otherwise(0L)).as("h1"),
+          max(when(!col("arm_a"), 1L).otherwise(0L)).as("h2"))
+        .filter(col("h1") === 1L && col("h2") === 1L)
+      val panels = halves
+        .select(lit("control").as("panel"),
+          (col("r2") - col("r1")).as("dd"))
+        .unionByName(halves.select(lit("dosed").as("panel"),
+          (col("r2") + expr("r2 * 2 DIV 5") - col("r1")).as("dd")))
+        .filter(col("dd") =!= 0L)
+        .select(col("panel"), abs(col("dd")).as("ad"),
+          (col("dd") > 0L).as("pos"))
+        .persistTracked()
+      val vals = panels.groupBy(col("panel"), col("ad"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      val nCtl = vals.filter(col("panel") === "control")
+        .groupBy().agg(sum(col("t")).as("n_ctl"))
+      val ranked = graft.operators.GlobalOrder
+        .withOrderedCumsum(vals, Seq(col("panel"), col("ad")), col("t"),
+          "cum")
+        .crossJoin(broadcast(nCtl))
+        .withColumn("tr",
+          (col("cum") - col("t") -
+            when(col("panel") === "dosed", col("n_ctl")).otherwise(0L))
+            * 2L + col("t") + 1L)
+      ranked.groupBy(col("panel"))
+        .agg(
+          sum(col("t")).as("n_pairs"),
+          sum(col("npos") * col("tr")).as("w2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .withColumn("n_d", col("n_pairs").cast(DoubleType))
+        .withColumn("z_stat",
+          (col("w2").cast(DoubleType) -
+            col("n_d") * (col("n_d") + 1.0) / 2.0) /
+            sqrt((lit(2.0) * col("n_d") * (col("n_d") + 1.0) *
+              (lit(2.0) * col("n_d") + 1.0) -
+              col("tie3").cast(DoubleType)) / lit(12.0)))
+        .select(col("panel"), col("n_pairs"), col("w2"), col("tie3"),
+          col("z_stat"), (abs(col("z_stat")) > 1.959964).as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH halves AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(CASE WHEN ${Det.hashParitySql("o_orderkey")}
+                 THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+                 AS BIGINT) AS r1,
+               CAST(sum(CASE WHEN NOT (${Det.hashParitySql("o_orderkey")})
+                 THEN ${Det.centsSql("o_totalprice")} ELSE 0 END)
+                 AS BIGINT) AS r2,
+               max(CASE WHEN ${Det.hashParitySql("o_orderkey")}
+                 THEN 1 ELSE 0 END) AS h1,
+               max(CASE WHEN NOT (${Det.hashParitySql("o_orderkey")})
+                 THEN 1 ELSE 0 END) AS h2
+        FROM orders GROUP BY o_custkey
+      ), deltas AS (
+        SELECT panel, abs(dd) AS ad, dd > 0 AS pos
+        FROM (
+          SELECT 'control' AS panel, r2 - r1 AS dd
+          FROM halves WHERE h1 = 1 AND h2 = 1
+          UNION ALL
+          SELECT 'dosed', r2 + r2 * 2 // 5 - r1
+          FROM halves WHERE h1 = 1 AND h2 = 1
+        ) WHERE dd <> 0
+      ), vals AS (
+        SELECT panel, ad, count(*) AS t,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                 AS npos
+        FROM deltas GROUP BY 1, 2
+      ), ranked AS (
+        SELECT panel, t, npos,
+               coalesce(sum(t) OVER (PARTITION BY panel ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 2 + t + 1 AS tr
+        FROM vals
+      ), stats AS (
+        SELECT panel,
+               CAST(sum(t) AS BIGINT) AS n_pairs,
+               CAST(sum(npos * tr) AS BIGINT) AS w2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM ranked GROUP BY panel
+      ), zs AS (
+        SELECT panel, n_pairs, w2, tie3,
+               (CAST(w2 AS DOUBLE) - CAST(n_pairs AS DOUBLE)
+                  * (CAST(n_pairs AS DOUBLE) + 1.0) / 2.0)
+               / sqrt((2.0 * CAST(n_pairs AS DOUBLE)
+                  * (CAST(n_pairs AS DOUBLE) + 1.0)
+                  * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0)
+                  - CAST(tie3 AS DOUBLE)) / 12.0) AS z_stat
+        FROM stats
+      )
+      SELECT panel, n_pairs, w2, tie3, z_stat,
+             abs(z_stat) > 1.959964 AS reject_05
+      FROM zs
+      ORDER BY panel"""))
+
+  /** q420: EFFECT-SIZE REPORT — Cohen's d, Hedges' g, Cliff's δ, and
+    * the common-language effect size (Cohen 1988; Hedges 1981; Cliff
+    * 1993; McGraw & Wong 1992) for an A/B revenue comparison: the
+    * MAGNITUDE readout that belongs next to every p-value this family
+    * emits (q346/q321 say "is there an effect", this says "how big,
+    * in units a decision can use"). Arms = [[Det.hashParityExpr]]'s
+    * md5 order split (q416's exchangeable-by-construction pairing,
+    * here unpaired). EXACT: d = (m_b − m_a)/s_pooled from the q346/
+    * q354 wide-integer moments (n, Σx BIGINT, Σx² DECIMAL(38)/
+    * HUGEINT; SS numerators n·Σx² − (Σx)² exact); Hedges'
+    * J = 1 − 3/(4·df − 1) is one division; Cliff's δ WITHOUT the pair
+    * join — with combined doubled mid-ranks (q413's spectrum
+    * discipline), 2U = W2_b − n_b(n_b+1) is an exact BIGINT and
+    * δ = 2U/(n_a·n_b) − 1, CL = 2U/(2·n_a·n_b). Dosed/control: +10%
+    * on the B arm (swept: control |d| ≤ 0.028, |δ| ≤ 0.016 at every
+    * SF; dosed d ≥ 0.136, δ ≥ 0.074 — a textbook "small effect" the
+    * report must resolve from zero). Scale: one scan to arm moments +
+    * one value-spectrum shuffle; no O(n²) anywhere. */
+  val q420 = Q(
+    "q420_effect_sizes",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(
+          when(expr(Det.hashParityExpr("o_orderkey")), lit("b"))
+            .otherwise(lit("a")).as("arm"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("arm"), col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("arm"),
+          when(col("arm") === "b", col("x") + expr("x DIV 10"))
+            .otherwise(col("x")).as("v")))
+        .persistTracked()
+      val m = panels.groupBy(col("panel"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("v").cast(DecimalType(38, 0)) *
+            col("v").cast(DecimalType(38, 0))).as("sxx"))
+        .withColumn("ss",
+          (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+            col("sx").cast(DecimalType(38, 0)) *
+              col("sx").cast(DecimalType(38, 0))).cast(DoubleType) /
+            col("n").cast(DoubleType))
+      val wide = m.groupBy(col("panel"))
+        .agg(
+          max(when(col("arm") === "a", col("n"))).as("n_a"),
+          max(when(col("arm") === "b", col("n"))).as("n_b"),
+          max(when(col("arm") === "a", col("sx"))).as("sx_a"),
+          max(when(col("arm") === "b", col("sx"))).as("sx_b"),
+          max(when(col("arm") === "a", col("ss"))).as("ss_a"),
+          max(when(col("arm") === "b", col("ss"))).as("ss_b"))
+      // Cliff via combined doubled mid-ranks over the value spectrum
+      val vals = panels.groupBy(col("panel"), col("v"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("arm") === "b", 1L).otherwise(0L)).as("tb"))
+      val nCtl = vals.filter(col("panel") === "control")
+        .groupBy().agg(sum(col("t")).as("n_ctl"))
+      val w2b = graft.operators.GlobalOrder
+        .withOrderedCumsum(vals, Seq(col("panel"), col("v")), col("t"),
+          "cum")
+        .crossJoin(broadcast(nCtl))
+        .withColumn("tr",
+          (col("cum") - col("t") -
+            when(col("panel") === "dosed", col("n_ctl")).otherwise(0L))
+            * 2L + col("t") + 1L)
+        .groupBy(col("panel"))
+        .agg(sum(col("tb") * col("tr")).as("w2_b"))
+      wide.join(w2b, Seq("panel"))
+        .withColumn("df", (col("n_a") + col("n_b") - 2L).cast(DoubleType))
+        .withColumn("mean_a",
+          col("sx_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+        .withColumn("mean_b",
+          col("sx_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+        .withColumn("cohen_d",
+          (col("mean_b") - col("mean_a")) /
+            sqrt((col("ss_a") + col("ss_b")) / col("df")))
+        .withColumn("hedges_g",
+          col("cohen_d") * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * col("df") - 1.0)))
+        .withColumn("u2",
+          col("w2_b") - col("n_b") * (col("n_b") + 1L))
+        .withColumn("cliffs_delta",
+          col("u2").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType) - 1.0)
+        .withColumn("cl_effect",
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * (col("n_a") * col("n_b")).cast(DoubleType)))
+        .select(col("panel"), col("n_a"), col("n_b"), col("cohen_d"),
+          col("hedges_g"), col("cliffs_delta"), col("cl_effect"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CASE WHEN ${Det.hashParitySql("o_orderkey")}
+                    THEN 'b' ELSE 'a' END AS arm,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, arm, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', arm,
+               CASE WHEN arm = 'b' THEN x + x // 10 ELSE x END
+        FROM base
+      ), m AS (
+        SELECT panel, arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+        FROM panels GROUP BY 1, 2
+      ), ss AS (
+        SELECT panel, arm, n, sx,
+               ${Det.hugeDoubleSql(
+                 """CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)""")}
+                 / CAST(n AS DOUBLE) AS ss
+        FROM m
+      ), wide AS (
+        SELECT panel,
+               max(CASE WHEN arm = 'a' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'b' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'a' THEN sx END) AS sx_a,
+               max(CASE WHEN arm = 'b' THEN sx END) AS sx_b,
+               max(CASE WHEN arm = 'a' THEN ss END) AS ss_a,
+               max(CASE WHEN arm = 'b' THEN ss END) AS ss_b
+        FROM ss GROUP BY panel
+      ), vals AS (
+        SELECT panel, v, count(*) AS t,
+               CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tb
+        FROM panels GROUP BY 1, 2
+      ), ranked AS (
+        SELECT panel, t, tb,
+               coalesce(sum(t) OVER (PARTITION BY panel ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 2 + t + 1 AS tr
+        FROM vals
+      ), w2 AS (
+        SELECT panel, CAST(sum(tb * tr) AS BIGINT) AS w2_b
+        FROM ranked GROUP BY panel
+      ), calc AS (
+        SELECT w.panel, n_a, n_b,
+               CAST(n_a + n_b - 2 AS DOUBLE) AS df,
+               CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS md,
+               ss_a + ss_b AS sstot,
+               w2_b - n_b * (n_b + 1) AS u2
+        FROM wide w JOIN w2 ON w.panel = w2.panel
+      )
+      SELECT panel, n_a, n_b,
+             md / sqrt(sstot / df) AS cohen_d,
+             md / sqrt(sstot / df) * (1.0 - 3.0 / (4.0 * df - 1.0))
+               AS hedges_g,
+             CAST(u2 AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) - 1.0
+               AS cliffs_delta,
+             CAST(u2 AS DOUBLE) / (2.0 * CAST(n_a * n_b AS DOUBLE))
+               AS cl_effect
+      FROM calc
+      ORDER BY panel"""))
+
+  /** q422: ADJUSTED RAND INDEX (Hubert & Arabie 1985) — the
+    * chance-corrected agreement between two PARTITIONS of the corpus:
+    * the clustering-evaluation readout for q283's LPA communities,
+    * q68's dedup clusters, or any unsupervised labeling against a
+    * reference, in the log-free form (NMI needs ln; ARI is pure pair
+    * combinatorics). With joint counts n_ij, marginals a_i/b_j, pair
+    * sums P = ΣC(n_ij,2), A = ΣC(a_i,2), B = ΣC(b_j,2), C₂ = C(n,2):
+    *   ARI = (2·C₂·P − 2·A·B) / (C₂·(A+B) − 2·A·B)
+    * — the expected-index denominators cleared to EXACT INTEGER
+    * numerator and denominator (products on DECIMAL(38)/HUGEINT:
+    * C₂·P ≈ 10²² at 100× fixture scale, headroom to 10³⁸), one IEEE
+    * division. Dosed/control: reference partition = lang; control
+    * candidate = an md5 5-bucket of doc_id (independent by
+    * construction → ARI ≈ 0, the chance correction visibly working —
+    * the UNadjusted Rand of these partitions is ≈ 0.68); dosed
+    * candidate = lang with doc_id%5=0 rows scattered to the hash
+    * bucket (a 4/5-recovered clustering → ARI ≈ 0.72 at every SF).
+    * Scale: one scan to (panel, x, y) joint counts — contingency is
+    * |langs|×5 per panel, metadata-sized. */
+  val q422 = Q(
+    "q422_adjusted_rand",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "documents")
+        .select(col("lang").as("xl"),
+          expr("CAST(instr('0123456789abcdef', " +
+            "substring(md5(CAST(doc_id AS STRING)), 32, 1)) % 5 " +
+            "AS STRING)").as("hb"),
+          (col("doc_id") % 5 === 0).as("noisy"))
+      val panels = base
+        .select(lit("control").as("panel"), col("xl"), col("hb").as("yl"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("xl"),
+          when(col("noisy"), col("hb")).otherwise(col("xl")).as("yl")))
+        .persistTracked()
+      val pairs = expr("c * (c - 1) DIV 2")
+      val p = panels.groupBy(col("panel"), col("xl"), col("yl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("panel"))
+        .agg(sum(pairs).as("p_pairs"), sum(col("c")).as("n"))
+      val a = panels.groupBy(col("panel"), col("xl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("panel")).agg(sum(pairs).as("a_pairs"))
+      val b = panels.groupBy(col("panel"), col("yl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("panel")).agg(sum(pairs).as("b_pairs"))
+      p.join(a, Seq("panel")).join(b, Seq("panel"))
+        .withColumn("c2", expr("n * (n - 1) DIV 2"))
+        .select(col("panel"), col("n"), col("p_pairs"), col("a_pairs"),
+          col("b_pairs"),
+          ((lit(2L).cast(DecimalType(38, 0)) *
+            col("c2").cast(DecimalType(38, 0)) *
+            col("p_pairs").cast(DecimalType(38, 0)) -
+            lit(2L).cast(DecimalType(38, 0)) *
+              col("a_pairs").cast(DecimalType(38, 0)) *
+              col("b_pairs").cast(DecimalType(38, 0))).cast(DoubleType) /
+            (col("c2").cast(DecimalType(38, 0)) *
+              (col("a_pairs") + col("b_pairs")).cast(DecimalType(38, 0)) -
+              lit(2L).cast(DecimalType(38, 0)) *
+                col("a_pairs").cast(DecimalType(38, 0)) *
+                col("b_pairs").cast(DecimalType(38, 0))).cast(DoubleType))
+            .as("ari"))
+        .orderBy(col("panel"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT lang AS xl,
+               CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) % 5
+                 AS VARCHAR) AS hb,
+               doc_id % 5 = 0 AS noisy
+        FROM documents
+      ), panels AS (
+        SELECT 'control' AS panel, xl, hb AS yl FROM base
+        UNION ALL
+        SELECT 'dosed', xl, CASE WHEN noisy THEN hb ELSE xl END
+        FROM base
+      ), p AS (
+        SELECT panel,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p_pairs,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT panel, xl, yl, count(*) AS c
+              FROM panels GROUP BY 1, 2, 3)
+        GROUP BY panel
+      ), a AS (
+        SELECT panel, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS a_pairs
+        FROM (SELECT panel, xl, count(*) AS c FROM panels GROUP BY 1, 2)
+        GROUP BY panel
+      ), b AS (
+        SELECT panel, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS b_pairs
+        FROM (SELECT panel, yl, count(*) AS c FROM panels GROUP BY 1, 2)
+        GROUP BY panel
+      )
+      SELECT p.panel, n, p_pairs, a_pairs, b_pairs,
+             CAST(2 * CAST(n * (n - 1) // 2 AS HUGEINT)
+                    * CAST(p_pairs AS HUGEINT)
+                  - 2 * CAST(a_pairs AS HUGEINT)
+                    * CAST(b_pairs AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(n * (n - 1) // 2 AS HUGEINT)
+                    * CAST(a_pairs + b_pairs AS HUGEINT)
+                  - 2 * CAST(a_pairs AS HUGEINT)
+                    * CAST(b_pairs AS HUGEINT) AS DOUBLE) AS ari
+      FROM p JOIN a ON p.panel = a.panel JOIN b ON p.panel = b.panel
+      ORDER BY p.panel"""))
+
+  /** q423: CRONBACH'S ALPHA (Cronbach 1951) — internal consistency of
+    * a k-item score battery: do the per-document subscores measure ONE
+    * underlying construct (α → 1) or k unrelated things (α → 0)? The
+    * reliability gate before averaging rubric items into a single
+    * quality score (q84's composite assumes it; this op tests it).
+    * EXACT: α = k/(k−1) · (1 − ΣV_i / V_t) where every variance enters
+    * as its SS NUMERATOR n·Σx² − (Σx)² (the q354 discipline) — the
+    * 1/n² scale cancels in the ratio, the item-numerator SUM is an
+    * exact integer sum (order-free), and α is one division of exact
+    * operands. Items are DECIMAL(38)-squared for 100× headroom. Dosed
+    * panel: 4 subscores all driven by n_chars (+ small id-lattice
+    * jitter) → α ≈ 0.98; control panel: 4 independent id-lattice
+    * pseudo-scores → α ≈ 0 (slightly negative is legitimate — the
+    * estimator is unbiased around zero for independent items). Scale:
+    * one scan, k·|panel| moment rows — the unpivot is 4 rows per doc. */
+  val q423 = Q(
+    "q423_cronbach_alpha",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "documents")
+        .withColumn("n_spaces",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")))
+            .cast(LongType))
+        .select(col("doc_id"), col("n_chars"), col("n_spaces"))
+      val scored = base.select(
+        lit("dosed").as("panel"),
+        col("n_chars").as("i1"),
+        (col("n_chars") + (col("doc_id") * 7) % 50).as("i2"),
+        (col("n_spaces") * 5L).as("i3"),
+        (expr("n_chars DIV 2") + (col("doc_id") * 13) % 40).as("i4"))
+        .unionByName(base.select(
+          lit("control").as("panel"),
+          ((col("doc_id") * 7) % 97).as("i1"),
+          ((col("doc_id") * 13) % 89).as("i2"),
+          ((col("doc_id") * 29) % 83).as("i3"),
+          ((col("doc_id") * 37) % 79).as("i4")))
+        .persistTracked()
+      def ssNum(n: Column, sx: Column, sxx: Column): Column =
+        (n.cast(DecimalType(38, 0)) * sxx -
+          sx.cast(DecimalType(38, 0)) * sx.cast(DecimalType(38, 0)))
+      val items = scored.select(col("panel"), explode(array(
+          struct(lit(1L).as("item"), col("i1").as("x")),
+          struct(lit(2L).as("item"), col("i2").as("x")),
+          struct(lit(3L).as("item"), col("i3").as("x")),
+          struct(lit(4L).as("item"), col("i4").as("x")))).as("e"))
+        .select(col("panel"), col("e.item"), col("e.x"))
+        .groupBy(col("panel"), col("item"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x").cast(DecimalType(38, 0)) *
+            col("x").cast(DecimalType(38, 0))).as("sxx"))
+        .groupBy(col("panel"))
+        .agg(max(col("n")).as("n"),
+          sum(ssNum(col("n"), col("sx"), col("sxx")))
+            .as("vi_sum"))
+      val tot = scored
+        .select(col("panel"),
+          (col("i1") + col("i2") + col("i3") + col("i4")).as("t"))
+        .groupBy(col("panel"))
+        .agg(count(lit(1)).as("n2"), sum(col("t")).as("st"),
+          sum(col("t").cast(DecimalType(38, 0)) *
+            col("t").cast(DecimalType(38, 0))).as("stt"))
+        .select(col("panel"),
+          ssNum(col("n2"), col("st"), col("stt")).as("vt"))
+      items.join(tot, Seq("panel"))
+        .select(col("panel"), col("n"),
+          col("vi_sum").cast(DoubleType).as("vi_sum"),
+          col("vt").cast(DoubleType).as("vt"),
+          (lit(4.0) / 3.0 * (lit(1.0) -
+            col("vi_sum").cast(DoubleType) / col("vt").cast(DoubleType)))
+            .as("alpha"))
+        .orderBy(col("panel"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, n_chars,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                 AS BIGINT) AS n_spaces
+        FROM documents
+      ), scored AS (
+        SELECT 'dosed' AS panel, n_chars AS i1,
+               n_chars + (doc_id * 7) % 50 AS i2,
+               n_spaces * 5 AS i3,
+               n_chars // 2 + (doc_id * 13) % 40 AS i4
+        FROM base
+        UNION ALL
+        SELECT 'control', (doc_id * 7) % 97, (doc_id * 13) % 89,
+               (doc_id * 29) % 83, (doc_id * 37) % 79
+        FROM base
+      ), items AS (
+        SELECT panel, item, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM (
+          SELECT panel, u.item, u.x
+          FROM scored, unnest([
+            {item: 1, x: i1}, {item: 2, x: i2},
+            {item: 3, x: i3}, {item: 4, x: i4}]) AS t(u)
+        ) GROUP BY 1, 2
+      ), vi AS (
+        SELECT panel, CAST(max(n) AS BIGINT) AS n,
+               sum(CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS vi_sum
+        FROM items GROUP BY panel
+      ), vt AS (
+        SELECT panel,
+               CAST(count(*) AS HUGEINT)
+                 * sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT))
+                 - CAST(sum(t) AS HUGEINT) * CAST(sum(t) AS HUGEINT)
+                 AS vt
+        FROM (SELECT panel, i1 + i2 + i3 + i4 AS t FROM scored)
+        GROUP BY panel
+      )
+      SELECT vi.panel, n,
+             CAST(vi_sum AS DOUBLE) AS vi_sum,
+             CAST(vt AS DOUBLE) AS vt,
+             4.0 / 3.0 * (1.0 - CAST(vi_sum AS DOUBLE)
+                                / CAST(vt AS DOUBLE)) AS alpha
+      FROM vi JOIN vt ON vi.panel = vt.panel
+      ORDER BY vi.panel"""))
+
+  /** q424: COCHRAN–MANTEL–HAENSZEL TEST (Cochran 1954; Mantel &
+    * Haenszel 1959) — the stratified 2×2 association test: does the B
+    * arm raise the high-value-order rate WITHIN strata? The formal
+    * companion to q368's Simpson's-paradox detector (q368 exhibits
+    * confounding; CMH tests association with the confounder CONTROLLED
+    * by conditioning on o_orderpriority strata). Continuity-
+    * uncorrected form (documented): CMH = (Σ_s a_s − E_s)² / Σ_s V_s,
+    * E_s = n1·m1/n, V_s = n1·n2·m1·m2/(n²(n−1)) — all counts exact
+    * BIGINTs, E/V formed on DOUBLES (the count product reaches 10²⁴ at
+    * 100× scale — past BIGINT, identical-rounding doubles by design),
+    * both Σ folded over the 5 strata in fixed stratum order (q354's
+    * ordered-fold discipline). Outcome = totalprice cents > 25000000
+    * (the corpus median — maximal count sensitivity; the first dose at
+    * the $150k first-quartile threshold was power-starved at sf0.001).
+    * Arms = [[Det.hashParityExpr]]. Dosed/control: +25% on B (swept:
+    * control CMH ≤ 0.58 ≪ 3.841 = χ²₁ at α=.05, dosed ≥ 10.2).
+    * Scale: one scan to per-(panel, stratum) counts — 10 rows. */
+  val q424 = Q(
+    "q424_cmh_test",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr(Det.hashParityExpr("o_orderkey")).as("armb"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("g"), col("armb"),
+          col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("g"),
+          col("armb"),
+          when(col("armb"), col("x") + expr("x DIV 4")).otherwise(col("x"))
+            .as("v")))
+      val strata = panels.groupBy(col("panel"), col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("armb"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") > 25000000L, 1L).otherwise(0L)).as("m1"),
+          sum(when(col("armb") && col("v") > 25000000L, 1L).otherwise(0L))
+            .as("a11"))
+        .withColumn("num_s",
+          col("a11").cast(DoubleType) -
+            col("n1").cast(DoubleType) * col("m1").cast(DoubleType) /
+              col("n").cast(DoubleType))
+        .withColumn("var_s",
+          col("n1").cast(DoubleType) *
+            (col("n") - col("n1")).cast(DoubleType) *
+            col("m1").cast(DoubleType) *
+            (col("n") - col("m1")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+              (col("n").cast(DoubleType) - 1.0)))
+      strata.groupBy(col("panel"))
+        .agg(count(lit(1)).as("n_strata"),
+          expr("aggregate(array_sort(collect_list(struct(g, num_s))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.num_s)").as("num"),
+          expr("aggregate(array_sort(collect_list(struct(g, var_s))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.var_s)").as("var"))
+        .select(col("panel"), col("n_strata"),
+          (col("num") * col("num") / col("var")).as("cmh"),
+          (col("num") * col("num") / col("var") > 3.841459)
+            .as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               ${Det.hashParitySql("o_orderkey")} AS armb,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, g, armb, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', g, armb,
+               CASE WHEN armb THEN x + x // 4 ELSE x END
+        FROM base
+      ), strata AS (
+        SELECT panel, g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN armb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN v > 25000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN armb AND v > 25000000 THEN 1 ELSE 0
+                 END) AS BIGINT) AS a11
+        FROM panels GROUP BY 1, 2
+      ), terms AS (
+        SELECT panel, g,
+               CAST(a11 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS num_s,
+               CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                 * CAST(m1 AS DOUBLE) * CAST(n - m1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - 1.0)) AS var_s
+        FROM strata
+      ), folded AS (
+        SELECT panel, count(*) AS n_strata,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(num_s ORDER BY g)), (acc, x) -> acc + x) AS num,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(var_s ORDER BY g)), (acc, x) -> acc + x) AS var
+        FROM terms GROUP BY panel
+      )
+      SELECT panel, n_strata, num * num / var AS cmh,
+             num * num / var > 3.841459 AS reject_05
+      FROM folded
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
-      q383, q387, q390, q395, q396, q397, q398, q408, q412, q413, q414)
+      q383, q387, q390, q395, q396, q397, q398, q408, q412, q413, q414,
+      q416, q420, q422, q423, q424)
 }

@@ -6274,6 +6274,265 @@ object Olap {
       FROM star CROSS JOIN nn
       ORDER BY panel"""))
 
+  /** q417: LJUNG–BOX WHITE-NOISE PORTMANTEAU (Ljung & Box 1978) — "is
+    * the daily series autocorrelated AT ALL?", the one-number companion
+    * to q280's per-lag ACF readout (q280 reports the lags, Ljung–Box
+    * pools lags 1..7 into a single χ²₇ decision — the residual-
+    * whiteness gate every forecasting pipeline runs after q195/q351).
+    * Series is DENSIFIED on q280's spine (absent days are true zeros —
+    * gaps misalign every lag). EXACT ACF WITHOUT A MEAN SUBTRACTION:
+    * the Box–Jenkins sample ACF uses one global mean x̄ = S/n, so scale
+    * residuals by n: r_t = n·x_t − S is an exact BIGINT, and the n²
+    * factors CANCEL in ρ_k = Σ r_t·r_{t+k} / Σ r_t² — both sums formed
+    * on DECIMAL(38)/HUGEINT (|r| ≈ 10¹², products 10²⁴–10²⁶, headroom
+    * to 50× fixture scale ≈ 10³¹ ≪ 10³⁸), one IEEE division per lag.
+    * Q = n(n+2)·Σ_k ρ_k²/(n−k) folds over the 7 lags in lag order
+    * (ordered-fold discipline). Dosed/control: alternating 7-day
+    * blocks ×2 (swept: control Q ≤ 8.2 < 14.067 = χ²₇ at α=.05 every
+    * SF, dosed Q ≥ 35.7; single-day spikes drowned at sf0.001 — block
+    * structure puts mass on ALL the pooled lags). Scale: one fact scan
+    * to the calendar-BOUNDED day rollup (~2.4k rows at any corpus
+    * size); lag join and folds are day-sized. */
+  val q417 = Q(
+    "q417_ljung_box",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      val series = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("d0"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast(LongType).as("k"),
+          expr("coalesce(c, CAST(0 AS BIGINT))").as("x"))
+      val panels = series
+        .select(lit("control").as("panel"), col("k"), col("x"))
+        .unionByName(series.select(lit("dosed").as("panel"), col("k"),
+          when(expr("(k DIV 7) % 2 = 0"), col("x") * 2L)
+            .otherwise(col("x")).as("x")))
+      val res = panels.join(
+          broadcast(panels.groupBy(col("panel").as("p2"))
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))),
+          col("panel") === col("p2"))
+        .select(col("panel"), col("n"), col("k"),
+          (col("n") * col("x") - col("sx")).as("r"))
+        .persistTracked()
+      val den = res.groupBy(col("panel"))
+        .agg(sum(col("r").cast(DecimalType(38, 0)) *
+          col("r").cast(DecimalType(38, 0))).as("den"))
+      val lags = s.range(1L, 8L).select(col("id").as("lag"))
+      val b = res.select(col("panel").as("pb"), col("k").as("kb"),
+        col("r").as("rb"))
+      val nums = res.crossJoin(broadcast(lags))
+        .join(b, col("pb") === col("panel") &&
+          col("kb") === col("k") + col("lag"))
+        .groupBy(col("panel"), col("n"), col("lag"))
+        .agg(sum(col("r").cast(DecimalType(38, 0)) *
+          col("rb").cast(DecimalType(38, 0))).as("num"))
+      nums.join(broadcast(den), Seq("panel"))
+        .withColumn("rho",
+          col("num").cast(DoubleType) / col("den").cast(DoubleType))
+        .withColumn("term",
+          col("rho") * col("rho") /
+            (col("n") - col("lag")).cast(DoubleType))
+        .groupBy(col("panel"), col("n"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(lag, term))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("tsum"))
+        .select(col("panel"), col("n").as("n_days"),
+          (col("n").cast(DoubleType) * (col("n").cast(DoubleType) + 2.0) *
+            col("tsum")).as("q_lb"))
+        .withColumn("reject_05", col("q_lb") > 14.067140)
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      ), bounds AS (
+        SELECT min(day) AS d0, max(day) AS d1 FROM daily
+      ), spine AS (
+        SELECT d0, CAST(unnest(generate_series(
+                     CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                     INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+      ), series AS (
+        SELECT CAST(sp.day - sp.d0 AS BIGINT) AS k,
+               coalesce(c, 0) AS x
+        FROM spine sp LEFT JOIN daily ON daily.day = sp.day
+      ), panels AS (
+        SELECT 'control' AS panel, k, x FROM series
+        UNION ALL
+        SELECT 'dosed', k,
+               CASE WHEN (k // 7) % 2 = 0 THEN 2 * x ELSE x END
+        FROM series
+      ), tot AS (
+        SELECT panel, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM panels GROUP BY panel
+      ), res AS (
+        SELECT p.panel, t.n, p.k, n * x - sx AS r
+        FROM panels p JOIN tot t ON p.panel = t.panel
+      ), den AS (
+        SELECT panel, sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS den
+        FROM res GROUP BY panel
+      ), lags AS (
+        SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7]) AS BIGINT) AS lag
+      ), nums AS (
+        SELECT a.panel, a.n, lag,
+               sum(CAST(a.r AS HUGEINT) * CAST(b.r AS HUGEINT)) AS num
+        FROM res a CROSS JOIN lags
+        JOIN res b ON b.panel = a.panel AND b.k = a.k + lag
+        GROUP BY 1, 2, 3
+      ), terms AS (
+        SELECT nums.panel, n, lag,
+               (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                 * (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                 / CAST(n - lag AS DOUBLE) AS term
+        FROM nums JOIN den ON nums.panel = den.panel
+      ), folded AS (
+        SELECT panel, n,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(term ORDER BY lag)), (acc, x) -> acc + x) AS tsum
+        FROM terms GROUP BY panel, n
+      )
+      SELECT panel, n AS n_days,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * tsum AS q_lb,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * tsum
+               > 14.067140 AS reject_05
+      FROM folded
+      ORDER BY panel"""))
+
+  /** q418: WALD–WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) — the
+    * randomness audit on the active-day revenue sequence: dichotomize
+    * against the series median, count maximal same-sign runs, and ask
+    * whether there are too FEW (clustering/regime structure) or too
+    * MANY (alternation). The sequence-order complement of q413/q321's
+    * rank tests (those ignore order entirely; the runs test IS order). Days
+    * WITH ORDERS only — the densified spine's zero-gaps would read as
+    * below-median runs and the audit would flag the calendar, not the
+    * revenue. Median over integer cents is a half-integer (exact);
+    * rows AT the median drop (the standard rule, and v = m needs m
+    * integral — decided identically in both engines). Runs via the
+    * value spectrum is impossible (order!), so: per-panel sign rows
+    * get a contiguous index from GlobalOrder's cumsum over (panel,
+    * day) — panel blocks are contiguous in that order, so adjacent
+    * pairs join on j+1 WITH panel equality and never cross panels —
+    * and R = 1 + Σ[sign_j ≠ sign_{j+1}]. z from the exact run-count
+    * moments (2n₁n₂ ≤ 2·2400², doubles exact): E = 2n₁n₂/n + 1,
+    * V = 2n₁n₂(2n₁n₂−n)/(n²(n−1)). Dosed/control: alternating 30-day
+    * blocks ×2 on the ACTIVE-day index (swept: control |z| ≤ 1.71 <
+    * 1.96 every SF, dosed z ≤ −3.51 — long runs, the clustering
+    * side). Scale: the day rollup is calendar-bounded (~2.4k rows at
+    * any corpus size); everything after the first scan is day-sized. */
+  val q418 = Q(
+    "q418_runs_test",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("c"))
+      val idx = graft.operators.GlobalOrder
+        .withOrderedCumsum(daily, Seq(col("day")), lit(1L), "i")
+      val panels = idx
+        .select(lit("control").as("panel"), col("i"), col("c").as("v"))
+        .unionByName(idx.select(lit("dosed").as("panel"), col("i"),
+          when(expr("((i - 1) DIV 30) % 2 = 0"), col("c") * 2L)
+            .otherwise(col("c")).as("v")))
+        .persistTracked()
+      val med = panels.groupBy(col("panel"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val signs = panels.join(broadcast(med), Seq("panel"))
+        .filter(col("v").cast(DoubleType) =!= col("m"))
+        .select(col("panel"), col("i"),
+          when(col("v").cast(DoubleType) > col("m"), 1L).otherwise(-1L)
+            .as("sg"))
+      val seq0 = graft.operators.GlobalOrder
+        .withOrderedCumsum(signs, Seq(col("panel"), col("i")), lit(1L),
+          "j")
+        .persistTracked()
+      val nxt = seq0.select(col("panel").as("pn"), col("j").as("jn"),
+        col("sg").as("sgn"))
+      val changes = seq0.join(nxt,
+          col("pn") === col("panel") && col("jn") === col("j") + 1L)
+        .groupBy(col("panel"))
+        .agg(sum(when(col("sg") =!= col("sgn"), 1L).otherwise(0L))
+          .as("chg"))
+      val counts = seq0.groupBy(col("panel"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_above"))
+      counts.join(changes, Seq("panel"))
+        .withColumn("n_below", col("n") - col("n_above"))
+        .withColumn("runs", col("chg") + 1L)
+        .withColumn("p2", lit(2.0) * col("n_above").cast(DoubleType) *
+          col("n_below").cast(DoubleType))
+        .withColumn("z_stat",
+          (col("runs").cast(DoubleType) -
+            (col("p2") / col("n").cast(DoubleType) + 1.0)) /
+            sqrt(col("p2") * (col("p2") - col("n").cast(DoubleType)) /
+              (col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+                (col("n").cast(DoubleType) - 1.0))))
+        .select(col("panel"), col("n"), col("n_above"), col("n_below"),
+          col("runs"), col("z_stat"),
+          (abs(col("z_stat")) > 1.959964).as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+      ), idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, c FROM daily
+      ), panels AS (
+        SELECT 'control' AS panel, i, c AS v FROM idx
+        UNION ALL
+        SELECT 'dosed', i,
+               CASE WHEN ((i - 1) // 30) % 2 = 0 THEN 2 * c ELSE c END
+        FROM idx
+      ), med AS (
+        SELECT panel, quantile_cont(v, 0.5) AS m FROM panels GROUP BY 1
+      ), signs AS (
+        SELECT p.panel, i,
+               CASE WHEN CAST(v AS DOUBLE) > m THEN 1 ELSE -1 END AS sg,
+               row_number() OVER (PARTITION BY p.panel ORDER BY i) AS j
+        FROM panels p JOIN med USING (panel)
+        WHERE CAST(v AS DOUBLE) <> m
+      ), changes AS (
+        SELECT a.panel,
+               CAST(sum(CASE WHEN a.sg <> b.sg THEN 1 ELSE 0 END)
+                 AS BIGINT) AS chg
+        FROM signs a JOIN signs b
+          ON b.panel = a.panel AND b.j = a.j + 1
+        GROUP BY a.panel
+      ), counts AS (
+        SELECT panel, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above
+        FROM signs GROUP BY panel
+      ), zs AS (
+        SELECT c2.panel, n, n_above, n - n_above AS n_below,
+               chg + 1 AS runs,
+               (CAST(chg + 1 AS DOUBLE)
+                  - (2.0 * CAST(n_above AS DOUBLE)
+                     * CAST(n - n_above AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 1.0))
+               / sqrt(2.0 * CAST(n_above AS DOUBLE)
+                   * CAST(n - n_above AS DOUBLE)
+                   * (2.0 * CAST(n_above AS DOUBLE)
+                      * CAST(n - n_above AS DOUBLE)
+                      - CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0))) AS z_stat
+        FROM counts c2 JOIN changes ch ON c2.panel = ch.panel
+      )
+      SELECT panel, n, n_above, n_below, runs, z_stat,
+             abs(z_stat) > 1.959964 AS reject_05
+      FROM zs
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6283,5 +6542,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409, q410, q415)
+      q407, q409, q410, q415, q417, q418)
 }

@@ -4100,6 +4100,172 @@ object Text {
       GROUP BY source
       ORDER BY source"""))
 
+  /** q419: GRIES' DP TERM DISPERSION (Gries 2008, "Dispersions and
+    * adjusted frequencies in corpora") — corpus linguistics' standard
+    * answer to "is this term's frequency CORPUS-WIDE or an artifact of
+    * one part?": DP = ½·Σ_parts |v_i/f − t_i/T|, the L1 distance
+    * between a term's mass distribution over parts and the parts' size
+    * shares (0 = perfectly proportional, →1 = concentrated in one
+    * part). The curation use: a high-frequency term with high DP is a
+    * SOURCE MARKER (boilerplate, site chrome), not vocabulary — q56's
+    * tf-idf weights within documents, DP audits across sources. EXACT:
+    * DP = ½·Σ|v_i·T − t_i·f| / (f·T) — integer numerator (|v·T| ≈
+    * 10¹¹ at sf0.1, 10¹⁵ at 50×, BIGINT-safe), f·T formed on doubles.
+    * Top-10 terms by corpus frequency (tie-break term asc). Dosed
+    * panel: each term's occurrences REASSIGNED entirely to src0 —
+    * DP must jump from the corpus-uniform ≈0.05 to 1 − t_src0/T ≈ 0.96
+    * (the analytic concentration ceiling), proving the measure reads
+    * placement, not frequency (f is identical in both panels by
+    * construction). Scale: one explode to (term, source) counts —
+    * top-k via TakeOrdered, cells are 10 terms × |sources|. */
+  val q419 = Q(
+    "q419_term_dispersion",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .persistTracked()
+      val part = toks.groupBy(col("source")).agg(count(lit(1)).as("tp"))
+      val tot = part.groupBy().agg(sum(col("tp")).as("tt"))
+      val tf = toks.groupBy(col("w"), col("source"))
+        .agg(count(lit(1)).as("v"))
+      val top = tf.groupBy(col("w")).agg(sum(col("v")).as("f"))
+        .orderBy(desc("f"), col("w")).limit(10)
+      val cells = broadcast(top).crossJoin(broadcast(tot))
+        .crossJoin(broadcast(part))
+        .join(tf, Seq("w", "source"), "left")
+        .select(col("w"), col("f"), col("source"), col("tp"), col("tt"),
+          coalesce(col("v"), lit(0L)).as("v"))
+      val panels = cells
+        .select(lit("control").as("panel"), col("w"), col("f"),
+          col("tp"), col("tt"), col("v"))
+        .unionByName(cells.select(lit("dosed").as("panel"), col("w"),
+          col("f"), col("tp"), col("tt"),
+          when(col("source") === "src0", col("f")).otherwise(0L)
+            .as("v")))
+      panels.groupBy(col("panel"), col("w"), col("f"))
+        .agg(sum(abs(col("v") * col("tt") - col("tp") * col("f")))
+          .as("l1"), max(col("tt")).as("tt"))
+        .select(col("panel"), col("w"), col("f"),
+          (lit(0.5) * col("l1").cast(DoubleType) /
+            (col("f").cast(DoubleType) * col("tt").cast(DoubleType)))
+            .as("dp"))
+        .orderBy(col("panel"), desc("f"), col("w"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), part AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS tp
+        FROM toks GROUP BY 1
+      ), tot AS (
+        SELECT CAST(sum(tp) AS BIGINT) AS tt FROM part
+      ), tf AS (
+        SELECT w, source, CAST(count(*) AS BIGINT) AS v
+        FROM toks GROUP BY 1, 2
+      ), top AS (
+        SELECT w, CAST(sum(v) AS BIGINT) AS f FROM tf GROUP BY 1
+        ORDER BY f DESC, w LIMIT 10
+      ), cells AS (
+        SELECT top.w, top.f, part.source, part.tp, tot.tt,
+               coalesce(tf.v, 0) AS v
+        FROM top CROSS JOIN part CROSS JOIN tot
+        LEFT JOIN tf ON tf.w = top.w AND tf.source = part.source
+      ), panels AS (
+        SELECT 'control' AS panel, w, f, tp, tt, v FROM cells
+        UNION ALL
+        SELECT 'dosed', w, f, tp, tt,
+               CASE WHEN source = 'src0' THEN f ELSE 0 END
+        FROM cells
+      )
+      SELECT panel, w, f,
+             0.5 * CAST(sum(abs(v * tt - tp * f)) AS DOUBLE)
+               / (CAST(f AS DOUBLE) * CAST(max(tt) AS DOUBLE)) AS dp
+      FROM panels
+      GROUP BY panel, w, f
+      ORDER BY panel, f DESC, w"""))
+
+  /** q421: YULE'S K + SICHEL'S S LEXICAL CONCENTRATION (Yule 1944,
+    * The Statistical Study of Literary Vocabulary; Sichel 1975) — the
+    * repeat-rate view of the frequency spectrum: K = 10⁴·(S₂ − S₁)/S₁²
+    * with S_r = Σ m^r·V_m is (up to the 10⁴ convention) the chance two
+    * random tokens are the same TYPE — a length-robust repetitiveness
+    * signature (q394's MTLD measures diversity along the sequence,
+    * Yule's K measures it in the bag). S = V₂/V (doubletons share) and
+    * the hapax share V₁/V situate the spectrum's low end — the same
+    * V_m tail q385's Good–Turing smooths and q405's Chao1
+    * extrapolates; this op publishes the spectrum's own summary.
+    * Bigram types (the q385/q411 lesson: the 31-word unigram
+    * vocabulary saturates). All sums are exact BIGINTs off the
+    * spectrum rollup; K is two exact operands and one IEEE division.
+    * Scale: explode → two hash-groupBys → |sources| rows; the
+    * spectrum (m, V_m) is at most a few hundred rows per source. */
+  val q421 = Q(
+    "q421_yule_k",
+    (s, d) => {
+      val grams = Tables.load(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .as("g"))
+      grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("c").as("m"))
+        .agg(count(lit(1)).as("vm"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("m") * col("vm")).as("n_grams"),
+          sum(col("vm")).as("v_types"),
+          sum(when(col("m") === 1L, col("vm")).otherwise(0L)).as("v1"),
+          sum(when(col("m") === 2L, col("vm")).otherwise(0L)).as("v2"),
+          sum(col("m") * col("m") * col("vm")).as("s2"))
+        .select(col("source"), col("n_grams"), col("v_types"), col("v1"),
+          col("v2"),
+          (lit(10000.0) *
+            (col("s2").cast(DoubleType) - col("n_grams").cast(DoubleType)) /
+            (col("n_grams").cast(DoubleType) *
+              col("n_grams").cast(DoubleType))).as("yule_k"),
+          (col("v2").cast(DoubleType) / col("v_types").cast(DoubleType))
+            .as("sichel_s"),
+          (col("v1").cast(DoubleType) / col("v_types").cast(DoubleType))
+            .as("hapax_share"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents
+      ), grams AS (
+        SELECT source, ws[i] || ' ' || ws[i+1] AS g
+        FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)
+      ), freq AS (
+        SELECT source, g, count(*) AS c FROM grams GROUP BY source, g
+      ), spect AS (
+        SELECT source, c AS m, CAST(count(*) AS BIGINT) AS vm
+        FROM freq GROUP BY source, c
+      )
+      SELECT source,
+             CAST(sum(m * vm) AS BIGINT) AS n_grams,
+             CAST(sum(vm) AS BIGINT) AS v_types,
+             CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(sum(CASE WHEN m = 2 THEN vm ELSE 0 END) AS BIGINT)
+               AS v2,
+             10000.0 * (CAST(sum(m * m * vm) AS DOUBLE)
+                        - CAST(sum(m * vm) AS DOUBLE))
+               / (CAST(sum(m * vm) AS DOUBLE)
+                  * CAST(sum(m * vm) AS DOUBLE)) AS yule_k,
+             CAST(sum(CASE WHEN m = 2 THEN vm ELSE 0 END) AS DOUBLE)
+               / CAST(sum(vm) AS DOUBLE) AS sichel_s,
+             CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS DOUBLE)
+               / CAST(sum(vm) AS DOUBLE) AS hapax_share
+      FROM spect
+      GROUP BY source
+      ORDER BY source"""))
+
   /** q232: quality-score decile × duplication-rate audit — the filter
     * sanity check every curation paper runs ("do low-quality docs
     * duplicate more?"): q84's classifier score ranks the corpus into
@@ -6126,5 +6292,5 @@ object Text {
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
       q317, q318, q335, q341, q347, q366, q371, q379, q385, q393, q394,
-      q401, q402, q403, q404, q405, q406, q411)
+      q401, q402, q403, q404, q405, q406, q411, q419, q421)
 }

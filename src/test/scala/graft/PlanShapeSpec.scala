@@ -368,7 +368,11 @@ class PlanShapeSpec extends SparkSpec {
       // index rides GlobalOrder too, but its persistTracked panels
       // frame truncates the visible lineage — its shape is pinned by
       // the Round11OperatorsSpec replay instead
-      "q413_kruskal_wallis")
+      "q413_kruskal_wallis",
+      // r11 waves 8/9: q416's |delta|-spectrum and q420's combined
+      // value-spectrum mid-ranks ride the same GlobalOrder offsets
+      // shape (Aggregate below both)
+      "q416_wilcoxon_signed_rank", "q420_effect_sizes")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

@@ -701,4 +701,406 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(math.abs(td - 48L) <= 9L, s"argmax far from pivot: $td")
     } finally graft.Caches.release()
   }
+
+  test("q416 Wilcoxon signed-rank: exact doubled-midrank replay; gates") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .collect()
+    def armA(orderkey: Long): Boolean =
+      ("0123456789abcdef".indexOf(md5hex(orderkey.toString).last) + 1) %
+        2 == 0
+    val halves = orders.groupBy(_._1).values.flatMap { os =>
+      val (a, b) = os.partition(o => armA(o._2))
+      if (a.isEmpty || b.isEmpty) None
+      else Some((a.map(_._3).sum, b.map(_._3).sum))
+    }.toSeq
+    val expect = Seq(
+      "control" -> halves.map { case (r1, r2) => r2 - r1 },
+      "dosed" -> halves.map { case (r1, r2) => r2 + r2 * 2 / 5 - r1 })
+      .map { case (panel, ds0) =>
+        val ds = ds0.filter(_ != 0L)
+        val n = ds.length.toLong
+        val byVal = ds.groupBy(math.abs).toSeq.sortBy(_._1)
+        var less = 0L; var w2 = 0L; var tie3 = 0L
+        byVal.foreach { case (_, xs) =>
+          val t = xs.length.toLong
+          w2 += (2 * less + t + 1) * xs.count(_ > 0)
+          tie3 += t * t * t - t; less += t
+        }
+        val nD = n.toDouble
+        val z = (w2.toDouble - nD * (nD + 1.0) / 2.0) /
+          math.sqrt((2.0 * nD * (nD + 1.0) * (2.0 * nD + 1.0) -
+            tie3.toDouble) / 12.0)
+        (panel, n, w2, tie3, z, math.abs(z) > 1.959964)
+      }
+    val got = graft.queries.Evals.q416.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == expect)
+      // hash-split arms are exchangeable: control quiet at every swept
+      // SF (|z| <= 1.73); the +40% B-arm dose must reject
+      assert(!expect.head._6, s"control rejected: z=${expect.head._5}")
+      assert(expect(1)._6 && expect(1)._5 > 0,
+        s"dose undetected: z=${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q417 Ljung-Box: exact n-scaled residual replay; block dose gates") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("c"))
+      .as[(java.sql.Date, Long)](
+        org.apache.spark.sql.Encoders.product[(java.sql.Date, Long)])
+      .collect().map { case (d0, c) => (d0.toLocalDate, c) }.sortBy(_._1)
+    val d0 = daily.head._1
+    val d1 = daily.last._1
+    val byDay = daily.toMap
+    val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(dd => byDay.getOrElse(dd, 0L)).toArray
+    def ljung(v: Array[Long]): (Long, Double) = {
+      val n = v.length.toLong
+      val sx = v.sum
+      val r = v.map(x => BigInt(n * x - sx))
+      val den = r.map(t => t * t).sum
+      val tsum = (1 to 7).map { k =>
+        val num = (0 until (v.length - k)).map(t => r(t) * r(t + k)).sum
+        val rho = num.toDouble / den.toDouble
+        rho * rho / (n - k).toDouble
+      }.foldLeft(0.0)(_ + _) // lag order
+      (n, n.toDouble * (n.toDouble + 2.0) * tsum)
+    }
+    val (nc, qc) = ljung(xs)
+    val (nd, qd) = ljung(xs.zipWithIndex.map { case (x, i) =>
+      if ((i / 7) % 2 == 0) 2 * x else x
+    })
+    val got = graft.queries.Olap.q417.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    try {
+      assert(got.toSeq == Seq(
+        ("control", nc, qc, qc > 14.067140),
+        ("dosed", nd, qd, qd > 14.067140)))
+      // swept: control Q <= 8.2 < 14.067 at every SF; the alternating
+      // 7-day x2 blocks must light up the pooled lags
+      assert(qc <= 14.067140, s"control autocorrelated: Q=$qc")
+      assert(qd > 14.067140, s"dose undetected: Q=$qd")
+    } finally graft.Caches.release()
+  }
+
+  test("q418 runs test: exact run-count replay; block dose clusters") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.load(spark, sf001, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("c"))
+      .as[(java.sql.Date, Long)](
+        org.apache.spark.sql.Encoders.product[(java.sql.Date, Long)])
+      .collect().sortBy(_._1.toLocalDate.toString).map(_._2)
+    def runs(v: Array[Long]): (Long, Long, Long, Long, Double) = {
+      val m = medianExact(v.map(_.toDouble).toSeq)
+      val signs = v.filter(_.toDouble != m).map(x => x.toDouble > m)
+      val n = signs.length.toLong
+      val nAbove = signs.count(identity).toLong
+      val nBelow = n - nAbove
+      val r = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+      val p2 = 2.0 * nAbove.toDouble * nBelow.toDouble
+      val z = (r.toDouble - (p2 / n.toDouble + 1.0)) /
+        math.sqrt(p2 * (p2 - n.toDouble) /
+          (n.toDouble * n.toDouble * (n.toDouble - 1.0)))
+      (n, nAbove, nBelow, r, z)
+    }
+    val (nc, ac, bc, rc, zc) = runs(daily)
+    val dosed = daily.zipWithIndex.map { case (x, i0) =>
+      if ((i0 / 30) % 2 == 0) 2 * x else x
+    }
+    val (nd, ad, bd, rd, zd) = runs(dosed)
+    val got = graft.queries.Olap.q418.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    try {
+      assert(got.toSeq == Seq(
+        ("control", nc, ac, bc, rc, zc, math.abs(zc) > 1.959964),
+        ("dosed", nd, ad, bd, rd, zd, math.abs(zd) > 1.959964)))
+      // swept: control |z| <= 1.71 at every SF; x2 30-day blocks must
+      // show as too-few runs (negative z, the clustering side)
+      assert(math.abs(zc) <= 1.959964, s"control non-random: z=$zc")
+      assert(zd < -1.959964, s"dose undetected: z=$zd")
+    } finally graft.Caches.release()
+  }
+
+  test("q419 Gries DP: exact L1 replay; reassignment hits the ceiling") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)](
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect()
+    val toks = docs.flatMap { case (src, t) =>
+      t.split(" ", -1).map(w => (src, w))
+    }
+    val tp = toks.groupBy(_._1).map { case (s0, xs) => s0 -> xs.length.toLong }
+    val tt = toks.length.toLong
+    val tf = toks.groupBy(identity).map { case ((s0, w), xs) =>
+      (w, s0) -> xs.length.toLong
+    }
+    val top = tf.groupBy(_._1._1).map { case (w, cells) =>
+      (w, cells.values.sum)
+    }.toSeq.sortBy { case (w, f) => (-f, w) }.take(10)
+    val sources = tp.keys.toSeq.sorted
+    val expect = Seq("control", "dosed").flatMap { panel =>
+      top.map { case (w, f) =>
+        val l1 = sources.map { s0 =>
+          val v =
+            if (panel == "control") tf.getOrElse((w, s0), 0L)
+            else if (s0 == "src0") f
+            else 0L
+          math.abs(v * tt - tp(s0) * f)
+        }.sum
+        (panel, w, f, 0.5 * l1.toDouble / (f.toDouble * tt.toDouble))
+      }
+    }
+    val got = graft.queries.Text.q419.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    try {
+      assert(got.toSeq == expect)
+      // reassignment must land every dosed term exactly on the analytic
+      // concentration ceiling 1 - t_src0/T, and the real corpus must
+      // read near-proportional — the measure reads placement, not f
+      val ceiling = 0.5 * (2L * (tt - tp("src0"))).toDouble / tt.toDouble
+      expect.filter(_._1 == "dosed").foreach { case (_, w, _, dp) =>
+        assert(dp == ceiling, s"dosed $w dp=$dp != $ceiling")
+      }
+      expect.filter(_._1 == "control").foreach { case (_, w, _, dp) =>
+        assert(dp > 0.0 && dp < 0.2, s"control $w dp=$dp not near-uniform")
+      }
+    } finally graft.Caches.release()
+  }
+
+  test("q420 effect sizes: exact moment+midrank replay; dose resolves") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), graft.queries.Det.cents(col("o_totalprice")))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    def armB(orderkey: Long): Boolean =
+      ("0123456789abcdef".indexOf(md5hex(orderkey.toString).last) + 1) %
+        2 == 0
+    val base = orders.map { case (ok, x) => (armB(ok), x) }
+    val expect = Seq(
+      "control" -> base,
+      "dosed" -> base.map { case (b, x) => (b, if (b) x + x / 10 else x) })
+      .map { case (panel, rows) =>
+        val a = rows.filter(!_._1).map(_._2)
+        val b = rows.filter(_._1).map(_._2)
+        val (na, nb) = (a.length.toLong, b.length.toLong)
+        def ss(v: Array[Long]): Double = {
+          val n = v.length.toLong
+          val sx = v.sum
+          val sxx = v.map(x => BigInt(x) * BigInt(x)).sum
+          (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble / n.toDouble
+        }
+        val df = (na + nb - 2L).toDouble
+        val md = b.sum.toDouble / nb.toDouble - a.sum.toDouble / na.toDouble
+        val d0 = md / math.sqrt((ss(a) + ss(b)) / df)
+        val g = d0 * (1.0 - 3.0 / (4.0 * df - 1.0))
+        // doubled midranks over the combined spectrum
+        val byVal = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        var less = 0L; var w2b = 0L
+        byVal.foreach { case (_, xs) =>
+          val t = xs.length.toLong
+          w2b += (2 * less + t + 1) * xs.count(_._1)
+          less += t
+        }
+        val u2 = w2b - nb * (nb + 1)
+        (panel, na, nb, d0, g,
+          u2.toDouble / (na * nb).toDouble - 1.0,
+          u2.toDouble / (2.0 * (na * nb).toDouble))
+      }
+    val got = graft.queries.Evals.q420.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    try {
+      assert(got.toSeq == expect)
+      // hash arms are exchangeable (ctl |d| <= 0.028 swept); the +10%
+      // dose is a textbook small effect the report must resolve
+      val (_, _, _, dc, _, delc, _) = expect.head
+      val (_, _, _, dd, gd, deld, _) = expect(1)
+      assert(math.abs(dc) < 0.05 && math.abs(delc) < 0.05,
+        s"control effect nonzero: d=$dc delta=$delc")
+      assert(dd > 0.1 && deld > 0.05, s"dose unresolved: d=$dd delta=$deld")
+      assert(math.abs(gd) < math.abs(dd), "Hedges g must shrink d")
+    } finally graft.Caches.release()
+  }
+
+  test("q421 Yule K: exact spectrum replay; concentration non-degenerate") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)](
+        org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect()
+    val expect = docs
+      .flatMap { case (src, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < 2) Nil
+        else ws.sliding(2).map(p => (src, p(0) + " " + p(1)))
+      }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (src, cells) =>
+        val spect = cells.values.groupBy(identity)
+          .map { case (m, xs) => m -> xs.size.toLong }
+        val n = spect.map { case (m, vm) => m * vm }.sum
+        val v = spect.values.sum
+        val v1 = spect.getOrElse(1L, 0L)
+        val v2 = spect.getOrElse(2L, 0L)
+        val s2 = spect.map { case (m, vm) => m * m * vm }.sum
+        (src, n, v, v1, v2,
+          10000.0 * (s2.toDouble - n.toDouble) / (n.toDouble * n.toDouble),
+          v2.toDouble / v.toDouble, v1.toDouble / v.toDouble)
+      }
+    val got = graft.queries.Text.q421.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    try {
+      assert(got.toSeq == expect)
+      // the bigram spectrum must have a genuine low-frequency tail and
+      // a concentration K inside the meaningful band
+      expect.foreach { case (src, _, _, v1, v2, k, _, hap) =>
+        assert(v1 > 0 && v2 > 0, s"$src spectrum tail empty")
+        assert(k > 0.0 && k < 10000.0, s"$src Yule K degenerate: $k")
+        assert(hap > 0.0 && hap < 1.0, s"$src hapax share degenerate")
+      }
+    } finally graft.Caches.release()
+  }
+
+  test("q422 ARI: exact pair-combinatorics replay; chance correction works") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id"))
+      .as[(String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect()
+    def hb(id: Long): String =
+      (("0123456789abcdef".indexOf(md5hex(id.toString).last) + 1) % 5)
+        .toString
+    val expect = Seq(
+      "control" -> docs.map { case (l, id) => (l, hb(id)) },
+      "dosed" -> docs.map { case (l, id) =>
+        (l, if (id % 5 == 0) hb(id) else l)
+      }).map { case (panel, rows) =>
+      def pairSum(labels: Seq[Long]): Long =
+        labels.map(c => c * (c - 1) / 2).sum
+      val n = rows.length.toLong
+      val p = pairSum(rows.groupBy(identity).values.map(_.length.toLong).toSeq)
+      val a = pairSum(rows.groupBy(_._1).values.map(_.length.toLong).toSeq)
+      val b = pairSum(rows.groupBy(_._2).values.map(_.length.toLong).toSeq)
+      val c2 = n * (n - 1) / 2
+      val num = BigInt(2) * BigInt(c2) * BigInt(p) -
+        BigInt(2) * BigInt(a) * BigInt(b)
+      val den = BigInt(c2) * BigInt(a + b) - BigInt(2) * BigInt(a) * BigInt(b)
+      (panel, n, p, a, b, num.toDouble / den.toDouble)
+    }
+    val got = graft.queries.Evals.q422.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    try {
+      assert(got.toSeq == expect)
+      // an independent hash partition must score ~0 AFTER the chance
+      // correction (its raw Rand agreement is far from 0); the 4/5
+      // recovered labeling must score high
+      assert(math.abs(expect.head._6) < 0.05,
+        s"control ARI not chance-level: ${expect.head._6}")
+      assert(expect(1)._6 > 0.5, s"dosed ARI too low: ${expect(1)._6}")
+    } finally graft.Caches.release()
+  }
+
+  test("q423 Cronbach: exact SS-numerator replay; construct vs noise") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)])
+      .collect()
+      .map { case (id, nc, t) => (id, nc, t.count(_ == ' ').toLong) }
+    val expect = Seq(
+      "control" -> docs.map { case (id, _, _) =>
+        Seq((id * 7) % 97, (id * 13) % 89, (id * 29) % 83, (id * 37) % 79)
+      },
+      "dosed" -> docs.map { case (id, nc, ns) =>
+        Seq(nc, nc + (id * 7) % 50, ns * 5, nc / 2 + (id * 13) % 40)
+      }).map { case (panel, rows) =>
+      val n = rows.length.toLong
+      def ssNum(vs: Seq[Long]): BigInt = {
+        val sx = vs.sum
+        val sxx = vs.map(v => BigInt(v) * BigInt(v)).sum
+        BigInt(n) * sxx - BigInt(sx) * BigInt(sx)
+      }
+      val viSum = (0 until 4).map(i => ssNum(rows.map(_(i)))).sum
+      val vt = ssNum(rows.map(_.sum))
+      val alpha = 4.0 / 3.0 * (1.0 - viSum.toDouble / vt.toDouble)
+      (panel, n, viSum.toDouble, vt.toDouble, alpha)
+    }
+    val got = graft.queries.Evals.q423.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    try {
+      assert(got.toSeq == expect)
+      // independent items must read unreliable, the n_chars-driven
+      // battery near-perfectly consistent (swept: 0.98 at every SF)
+      assert(expect.head._5 < 0.2,
+        s"control alpha too high: ${expect.head._5}")
+      assert(expect(1)._5 > 0.9, s"dosed alpha too low: ${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q424 CMH: exact stratified-count replay; dose rejects in-stratum") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+      .collect()
+    def armB(ok: Long): Boolean =
+      ("0123456789abcdef".indexOf(md5hex(ok.toString).last) + 1) % 2 == 0
+    val expect = Seq(
+      "control" -> orders.map { case (g, ok, x) => (g, armB(ok), x) },
+      "dosed" -> orders.map { case (g, ok, x) =>
+        (g, armB(ok), if (armB(ok)) x + x / 4 else x)
+      }).map { case (panel, rows) =>
+      val strata = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (_, xs) =>
+          val n = xs.length.toLong
+          val n1 = xs.count(_._2).toLong
+          val m1 = xs.count(_._3 > 25000000L).toLong
+          val a11 = xs.count(r => r._2 && r._3 > 25000000L).toLong
+          val num = a11.toDouble - n1.toDouble * m1.toDouble / n.toDouble
+          val v = n1.toDouble * (n - n1).toDouble * m1.toDouble *
+            (n - m1).toDouble /
+            (n.toDouble * n.toDouble * (n.toDouble - 1.0))
+          (num, v)
+      }
+      val num = strata.map(_._1).foldLeft(0.0)(_ + _)
+      val v = strata.map(_._2).foldLeft(0.0)(_ + _)
+      val cmh = num * num / v
+      (panel, strata.length.toLong, cmh, cmh > 3.841459)
+    }
+    val got = graft.queries.Evals.q424.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control <= 0.58 at every SF; +25% on B must reject with
+      // the priority confounder conditioned away
+      assert(!expect.head._4, s"control rejected: ${expect.head._3}")
+      assert(expect(1)._4, s"dose undetected: ${expect(1)._3}")
+    } finally graft.Caches.release()
+  }
 }
