@@ -4918,10 +4918,441 @@ object Evals {
       FROM folded
       ORDER BY panel"""))
 
+  /** q425: JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST (Terpstra
+    * 1952; Jonckheere 1954) — "does the metric INCREASE along the
+    * ordered groups?": q413's Kruskal–Wallis spends power on every
+    * permutation of the k groups; when the alternative is ordered
+    * (priority 1→5, dose rungs, model-size ladder) JT pools the
+    * C(k,2) pairwise Mann–Whitney statistics J = Σ_{i<j} U_ij in the
+    * group order. ONE-PASS, NO PAIR JOIN: widen the value spectrum to
+    * per-group counts n₁..n₅(v), take all five EXCLUSIVE cumulatives
+    * in one GlobalOrder multi-cumsum (one range shuffle), and fold
+    * J2 = 2J = Σ_v Σ_{i<j} n_j(v)·(2·cumexcl_i(v) + n_i(v)) — an
+    * exact BIGINT (doubled to absorb half-tie credits). Null moments
+    * in the untied form (values are integer cents — realized tie mass
+    * is negligible and IDENTICAL in both engines): 2E = (N²−Σn_i²)/2
+    * exact, Var = [N²(2N+3) − Σn_i²(2n_i+3)]/72 on doubles (BIGINT
+    * would overflow near N ≈ 10⁷). Group rank = the priority's own
+    * leading digit. Dosed/control: +5%·rank (swept: control z ≤ 2.17
+    * at sf0.001 — the one-sided α=.01 bar 2.326348 is the flag line
+    * precisely because the natural panel realizes |z| past 1.96 at
+    * the smallest SF; dosed z ≥ 5.96 everywhere). Scale: spectrum
+    * shuffle + 5-column cumsum; nothing quadratic. */
+  val q425 = Q(
+    "q425_jonckheere",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("rk"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("rk"), col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("rk"),
+          (col("x") + expr("x * 5 * rk DIV 100")).as("v")))
+        .persistTracked()
+      val wideCols = (1 to 5).map(i =>
+        sum(when(col("rk") === i.toLong, 1L).otherwise(0L)).as(s"n$i"))
+      val wide = panels.groupBy(col("panel"), col("v"))
+        .agg(wideCols.head, wideCols.tail: _*)
+      val cums = graft.operators.GlobalOrder.withOrderedCumsums(
+        wide, Seq(col("panel"), col("v")),
+        (1 to 5).map(i => col(s"n$i") -> s"cum$i"))
+      val ctlCols = (1 to 5).map(i => sum(col(s"n$i")).as(s"t$i"))
+      val nCtl = wide.filter(col("panel") === "control")
+        .groupBy().agg(ctlCols.head, ctlCols.tail: _*)
+      val exed = cums.crossJoin(broadcast(nCtl))
+        .select(Seq(col("panel")) ++ (1 to 5).map(i => col(s"n$i")) ++
+          (1 to 5).map(i =>
+            (col(s"cum$i") - col(s"n$i") -
+              when(col("panel") === "dosed", col(s"t$i")).otherwise(0L))
+              .as(s"ex$i")): _*)
+      val j2term = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+        col(s"n$j") * (lit(2L) * col(s"ex$i") + col(s"n$i")))
+        .reduce(_ + _)
+      val agg = exed.groupBy(col("panel"))
+        .agg(sum(j2term).as("j2"),
+          (1 to 5).map(i => sum(col(s"n$i")).as(s"g$i")): _*)
+      agg
+        .withColumn("n",
+          (1 to 5).map(i => col(s"g$i")).reduce(_ + _))
+        .withColumn("ssq",
+          (1 to 5).map(i => col(s"g$i") * col(s"g$i")).reduce(_ + _))
+        .withColumn("e2x2", expr("(n * n - ssq) DIV 2"))
+        .withColumn("var_j",
+          (col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+            (lit(2.0) * col("n").cast(DoubleType) + 3.0) -
+            (1 to 5).map(i =>
+              col(s"g$i").cast(DoubleType) * col(s"g$i").cast(DoubleType) *
+                (lit(2.0) * col(s"g$i").cast(DoubleType) + 3.0))
+              .reduce(_ + _)) / lit(72.0))
+        .select(col("panel"), col("n"), col("j2"), col("e2x2"),
+          ((col("j2") - col("e2x2")).cast(DoubleType) /
+            (lit(2.0) * sqrt(col("var_j")))).as("z_stat"))
+        .withColumn("trend_detected", col("z_stat") > 2.326348)
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS rk,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, rk, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', rk, x + x * 5 * rk // 100 FROM base
+      ), wide AS (
+        SELECT panel, v,
+               ${(1 to 5).map(i =>
+                  s"CAST(sum(CASE WHEN rk = $i THEN 1 ELSE 0 END) " +
+                  s"AS BIGINT) AS n$i").mkString(",\n               ")}
+        FROM panels GROUP BY 1, 2
+      ), cums AS (
+        SELECT panel, v,
+               ${(1 to 5).map(i => s"n$i").mkString(", ")},
+               ${(1 to 5).map(i =>
+                  s"coalesce(sum(n$i) OVER (PARTITION BY panel ORDER BY v " +
+                  s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+                  s"AS ex$i").mkString(",\n               ")}
+        FROM wide
+      ), agg AS (
+        SELECT panel,
+               CAST(sum(${(for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+                  s"n$j * (2 * ex$i + n$i)").mkString(" + ")})
+                 AS BIGINT) AS j2,
+               ${(1 to 5).map(i =>
+                  s"CAST(sum(n$i) AS BIGINT) AS g$i").mkString(",\n               ")}
+        FROM cums GROUP BY panel
+      ), stats AS (
+        SELECT panel, j2,
+               ${(1 to 5).map(i => s"g$i").mkString(", ")},
+               ${(1 to 5).map(i => s"g$i").mkString(" + ")} AS n,
+               ${(1 to 5).map(i => s"g$i * g$i").mkString(" + ")} AS ssq
+        FROM agg
+      ), zs AS (
+        SELECT panel, n, j2, (n * n - ssq) // 2 AS e2x2,
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                - (${(1 to 5).map(i =>
+                    s"CAST(g$i AS DOUBLE) * CAST(g$i AS DOUBLE) " +
+                    s"* (2.0 * CAST(g$i AS DOUBLE) + 3.0)")
+                    .mkString(" + ")})) / 72.0 AS var_j
+        FROM stats
+      )
+      SELECT panel, n, j2, e2x2,
+             CAST(j2 - e2x2 AS DOUBLE) / (2.0 * sqrt(var_j)) AS z_stat,
+             CAST(j2 - e2x2 AS DOUBLE) / (2.0 * sqrt(var_j)) > 2.326348
+               AS trend_detected
+      FROM zs
+      ORDER BY panel"""))
+
+  /** q426: FRIEDMAN TEST (Friedman 1937) — the rank-based
+    * repeated-measures k-group test: rank the k priority revenues
+    * WITHIN each month block, so month-level effects (seasonality,
+    * calendar length, macro drift) cancel by construction — the
+    * blocked complement of q413 (which pools all rows and would spend
+    * its power on month noise). ALL-INTEGER in doubled-rank units:
+    * within-block doubled mid-ranks r2 = 2·#less + t + 1 come from the
+    * bounded 5×5 in-block value comparison (k² per block, 80 blocks),
+    * and the ×4 unit factor cancels in the tie-general form
+    *   χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / Σ_cells (r2 − (k+1))²
+    * — exact integer numerator AND denominator, one IEEE division.
+    * Incomplete blocks are excluded (the definition needs all k
+    * treatments). Dosed/control: +5%·rank (swept: control χ² ≤ 4.58 <
+    * 9.488 = χ²₄ at every SF, dosed ≥ 12.2). Scale: the block×group
+    * rollup is calendar-bounded (~400 cells); everything after the
+    * first scan is metadata-sized. */
+  val q426 = Q(
+    "q426_friedman",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cells0 = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+          col("o_orderpriority").as("g"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+        .withColumn("rk",
+          expr("CAST(substring(g, 1, 1) AS BIGINT)"))
+      val complete = cells0.groupBy(col("m"))
+        .agg(count(lit(1)).as("kk")).filter(col("kk") === 5L)
+        .select(col("m"))
+      val cells = cells0.join(complete, Seq("m"))
+        .select(lit("control").as("panel"), col("m"), col("g"),
+          col("x").as("v"))
+        .unionByName(cells0.join(complete, Seq("m"))
+          .select(lit("dosed").as("panel"), col("m"), col("g"),
+            (col("x") + expr("x * 5 * rk DIV 100")).as("v")))
+        .persistTracked()
+      val other = cells.select(col("panel").as("p2"), col("m").as("m2"),
+        col("v").as("v2"))
+      val r2 = cells.join(other,
+          col("p2") === col("panel") && col("m2") === col("m"))
+        .groupBy(col("panel"), col("m"), col("g"), col("v"))
+        .agg((lit(2L) * sum(when(col("v2") < col("v"), 1L).otherwise(0L))
+          + sum(when(col("v2") === col("v"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      val nBlocks = r2.groupBy(col("panel"))
+        .agg((count(lit(1)) / lit(5L)).cast(LongType).as("n"))
+      val num = r2.groupBy(col("panel"), col("g"))
+        .agg(sum(col("r2")).as("rj2"))
+        .join(broadcast(nBlocks), Seq("panel"))
+        .groupBy(col("panel"))
+        .agg(max(col("n")).as("n"),
+          sum((col("rj2") - col("n") * 6L) *
+            (col("rj2") - col("n") * 6L)).as("num"))
+      val den = r2.groupBy(col("panel"))
+        .agg(sum((col("r2") - 6L) * (col("r2") - 6L)).as("den"))
+      num.join(den, Seq("panel"))
+        .select(col("panel"), col("n").as("n_blocks"),
+          (lit(4.0) * col("num").cast(DoubleType) /
+            col("den").cast(DoubleType)).as("chi2_f"))
+        .withColumn("reject_05", col("chi2_f") > 9.487729)
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH cells0 AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               o_orderpriority AS g,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS rk,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2, 3
+      ), complete AS (
+        SELECT m FROM cells0 GROUP BY m HAVING count(*) = 5
+      ), cells AS (
+        SELECT 'control' AS panel, c.m, g, x AS v
+        FROM cells0 c JOIN complete USING (m)
+        UNION ALL
+        SELECT 'dosed', c.m, g, x + x * 5 * rk // 100
+        FROM cells0 c JOIN complete USING (m)
+      ), r2 AS (
+        SELECT a.panel, a.m, a.g,
+               2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS r2
+        FROM cells a JOIN cells b
+          ON b.panel = a.panel AND b.m = a.m
+        GROUP BY 1, 2, 3, a.v
+      ), nb AS (
+        SELECT panel, CAST(count(*) // 5 AS BIGINT) AS n
+        FROM r2 GROUP BY panel
+      ), num AS (
+        SELECT r.panel, max(nb.n) AS n,
+               CAST(sum((rj2 - nb.n * 6) * (rj2 - nb.n * 6)) AS BIGINT)
+                 AS num
+        FROM (SELECT panel, g, CAST(sum(r2) AS BIGINT) AS rj2
+              FROM r2 GROUP BY 1, 2) r
+        JOIN nb ON nb.panel = r.panel
+        GROUP BY r.panel
+      ), den AS (
+        SELECT panel, CAST(sum((r2 - 6) * (r2 - 6)) AS BIGINT) AS den
+        FROM r2 GROUP BY panel
+      )
+      SELECT num.panel, n AS n_blocks,
+             4.0 * CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
+               AS chi2_f,
+             4.0 * CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
+               > 9.487729 AS reject_05
+      FROM num JOIN den ON num.panel = den.panel
+      ORDER BY num.panel"""))
+
+  /** q428: PAGE'S TREND TEST (Page 1963, "Ordered hypotheses for
+    * multiple treatments") — the ordered-alternative test INSIDE the
+    * q426 Friedman design: where Friedman asks "do the priority
+    * classes differ at all, month effects removed?", Page asks "do
+    * they increase IN THE PRIORITY ORDER?" — the blocked counterpart
+    * of q425's Jonckheere (JT pools raw rows; Page ranks within month
+    * blocks first, so calendar drift can't masquerade as trend).
+    * Doubled in-block mid-ranks (q426's r2 cells verbatim — shared
+    * machinery, one more linear functional): L2 = Σ_j rk_j·R2_j is an
+    * exact BIGINT; untied null moments E2 = n·k(k+1)²/2 (exact
+    * integer), Var(L) = n·k²(k+1)(k²−1)/144 on doubles;
+    * z = (L2 − E2)/(2·√Var). Same +5%·rank dose and the same
+    * one-sided α=.01 bar as q425 (swept: control |z| ≤ 0.77, dosed
+    * z ≥ 2.70 at sf0.001 rising to 12.8). Scale: identical to q426 —
+    * calendar-bounded cells. */
+  val q428 = Q(
+    "q428_page_trend",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cells0 = Tables.load(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+          col("o_orderpriority").as("g"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("x"))
+        .withColumn("rk", expr("CAST(substring(g, 1, 1) AS BIGINT)"))
+      val complete = cells0.groupBy(col("m"))
+        .agg(count(lit(1)).as("kk")).filter(col("kk") === 5L)
+        .select(col("m"))
+      val cells = cells0.join(complete, Seq("m"))
+        .select(lit("control").as("panel"), col("m"), col("rk"),
+          col("x").as("v"))
+        .unionByName(cells0.join(complete, Seq("m"))
+          .select(lit("dosed").as("panel"), col("m"), col("rk"),
+            (col("x") + expr("x * 5 * rk DIV 100")).as("v")))
+        .persistTracked()
+      val other = cells.select(col("panel").as("p2"), col("m").as("m2"),
+        col("v").as("v2"))
+      val r2 = cells.join(other,
+          col("p2") === col("panel") && col("m2") === col("m"))
+        .groupBy(col("panel"), col("m"), col("rk"), col("v"))
+        .agg((lit(2L) * sum(when(col("v2") < col("v"), 1L).otherwise(0L))
+          + sum(when(col("v2") === col("v"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      r2.groupBy(col("panel"))
+        .agg((count(lit(1)) / lit(5L)).cast(LongType).as("n_blocks"),
+          sum(col("rk") * col("r2")).as("l2"))
+        .withColumn("e2", col("n_blocks") * 90L) // n·k(k+1)²/2, k=5
+        .withColumn("var_l",
+          col("n_blocks").cast(DoubleType) * lit(25.0) * lit(6.0) *
+            lit(24.0) / lit(144.0)) // n·k²(k+1)(k²−1)/144
+        .select(col("panel"), col("n_blocks"), col("l2"), col("e2"),
+          ((col("l2") - col("e2")).cast(DoubleType) /
+            (lit(2.0) * sqrt(col("var_l")))).as("z_stat"))
+        .withColumn("trend_detected", col("z_stat") > 2.326348)
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH cells0 AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS rk,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+      ), complete AS (
+        SELECT m FROM cells0 GROUP BY m HAVING count(*) = 5
+      ), cells AS (
+        SELECT 'control' AS panel, c.m, rk, x AS v
+        FROM cells0 c JOIN complete USING (m)
+        UNION ALL
+        SELECT 'dosed', c.m, rk, x + x * 5 * rk // 100
+        FROM cells0 c JOIN complete USING (m)
+      ), r2 AS (
+        SELECT a.panel, a.m, a.rk,
+               2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS r2
+        FROM cells a JOIN cells b
+          ON b.panel = a.panel AND b.m = a.m
+        GROUP BY 1, 2, 3, a.v
+      ), agg AS (
+        SELECT panel, CAST(count(*) // 5 AS BIGINT) AS n_blocks,
+               CAST(sum(rk * r2) AS BIGINT) AS l2
+        FROM r2 GROUP BY panel
+      )
+      SELECT panel, n_blocks, l2, n_blocks * 90 AS e2,
+             CAST(l2 - n_blocks * 90 AS DOUBLE)
+               / (2.0 * sqrt(CAST(n_blocks AS DOUBLE)
+                             * 25.0 * 6.0 * 24.0 / 144.0)) AS z_stat,
+             CAST(l2 - n_blocks * 90 AS DOUBLE)
+               / (2.0 * sqrt(CAST(n_blocks AS DOUBLE)
+                             * 25.0 * 6.0 * 24.0 / 144.0)) > 2.326348
+               AS trend_detected
+      FROM agg
+      ORDER BY panel"""))
+
+  /** q429: MANTEL–HAENSZEL POOLED ODDS RATIO (Mantel & Haenszel 1959
+    * §4) — the EFFECT-SIZE companion to q424's CMH significance test:
+    * the common odds ratio across the priority strata,
+    * OR_MH = Σ_s(a_s·d_s/n_s) / Σ_s(b_s·c_s/n_s) — the weighting that
+    * stays valid with sparse strata (the log-linear pooled estimate
+    * needs logs; MH is ratio-of-sums, log-free). Per-stratum ORs ride
+    * along so confounding is VISIBLE (q368's lesson: the pooled and
+    * marginal readouts can disagree). Same arms/outcome/dose as q424
+    * (hash split, > $250k median, +25% B); all counts exact BIGINTs,
+    * the two fold sums stratum-ordered, one division. Swept: control
+    * OR_MH ∈ [0.94, 1.03], dosed ≥ 1.395. Scale: 10 count rows. */
+  val q429 = Q(
+    "q429_mh_odds_ratio",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr(Det.hashParityExpr("o_orderkey")).as("armb"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("g"), col("armb"),
+          col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("g"),
+          col("armb"),
+          when(col("armb"), col("x") + expr("x DIV 4")).otherwise(col("x"))
+            .as("v")))
+      val strata = panels.groupBy(col("panel"), col("g"))
+        .agg(
+          sum(when(col("armb") && col("v") > 25000000L, 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("armb") && col("v") <= 25000000L, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(!col("armb") && col("v") > 25000000L, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(!col("armb") && col("v") <= 25000000L, 1L).otherwise(0L))
+            .as("dd"))
+        .withColumn("n",
+          col("a") + col("b") + col("c") + col("dd"))
+        .withColumn("or_num",
+          col("a").cast(DoubleType) * col("dd").cast(DoubleType) /
+            col("n").cast(DoubleType))
+        .withColumn("or_den",
+          col("b").cast(DoubleType) * col("c").cast(DoubleType) /
+            col("n").cast(DoubleType))
+      strata.groupBy(col("panel"))
+        .agg(count(lit(1)).as("n_strata"),
+          expr("aggregate(array_sort(collect_list(struct(g, or_num))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.or_num)").as("num"),
+          expr("aggregate(array_sort(collect_list(struct(g, or_den))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.or_den)").as("den"),
+          min(col("or_num") / col("or_den")).as("min_stratum_or"),
+          max(col("or_num") / col("or_den")).as("max_stratum_or"))
+        .select(col("panel"), col("n_strata"),
+          (col("num") / col("den")).as("or_mh"),
+          col("min_stratum_or"), col("max_stratum_or"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               ${Det.hashParitySql("o_orderkey")} AS armb,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, g, armb, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', g, armb,
+               CASE WHEN armb THEN x + x // 4 ELSE x END
+        FROM base
+      ), strata AS (
+        SELECT panel, g,
+               CAST(sum(CASE WHEN armb AND v > 25000000 THEN 1 ELSE 0
+                 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN armb AND v <= 25000000 THEN 1 ELSE 0
+                 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT armb AND v > 25000000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT armb AND v <= 25000000 THEN 1
+                 ELSE 0 END) AS BIGINT) AS dd
+        FROM panels GROUP BY 1, 2
+      ), terms AS (
+        SELECT panel, g,
+               CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                 / CAST(a + b + c + dd AS DOUBLE) AS or_num,
+               CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(a + b + c + dd AS DOUBLE) AS or_den
+        FROM strata
+      ), folded AS (
+        SELECT panel, count(*) AS n_strata,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(or_num ORDER BY g)), (acc, x) -> acc + x) AS num,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(or_den ORDER BY g)), (acc, x) -> acc + x) AS den,
+               min(or_num / or_den) AS min_stratum_or,
+               max(or_num / or_den) AS max_stratum_or
+        FROM terms GROUP BY panel
+      )
+      SELECT panel, n_strata, num / den AS or_mh,
+             min_stratum_or, max_stratum_or
+      FROM folded
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
       q383, q387, q390, q395, q396, q397, q398, q408, q412, q413, q414,
-      q416, q420, q422, q423, q424)
+      q416, q420, q422, q423, q424, q425, q426, q428, q429)
 }

@@ -6533,6 +6533,203 @@ object Olap {
       FROM zs
       ORDER BY panel"""))
 
+  /** q427: K-TRUSS DECOMPOSITION (k = 4; Cohen 2008, "Trusses:
+    * cohesive subgraphs for social network analysis") — the EDGE-side
+    * sibling of q274's k-core: keep only edges participating in ≥ k−2
+    * triangles among surviving edges, iterate. A k-truss is a strictly
+    * stronger cohesion certificate than a k-core (every k-truss edge
+    * lies in a (k−1)-core) — the community-mining pre-filter that
+    * survives hub-spoke false positives q274 lets through. Graph = the
+    * FULL part co-occurrence (n_ab ≥ 1 — the ≥2-support graph goes
+    * triangle-poor past sf0.001: its 4-truss is EMPTY at sf0.01, swept
+    * before shipping). Peeling runs EXACTLY 3 rounds in both engines
+    * (q274's fixed-round discipline; `converged` certifies a true
+    * fixpoint when round 3 peeled nothing), each round one triangle
+    * enumeration in the q278/q167 a<b<c wedge-semi-join shape (each
+    * triangle counted once, exploded to its 3 member edges, support =
+    * hash count). Readout: the histogram of realized
+    * triangle supports (≥1, capped at 20) over the round-3 survivors
+    * — any divergence anywhere in the peel shows in these counts —
+    * bounded to ≤21 rows at any scale. Scale:
+    * per-round work is edge-sized shuffles; the wedge join drives from
+    * each edge's smaller endpoint; localCheckpoint truncates per-round
+    * lineage. */
+  val q427 = Q(
+    "q427_ktruss",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      var edges = op.groupBy(col("l_orderkey"))
+        .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .localCheckpoint()
+      def support(e: DataFrame): DataFrame = {
+        val e1 = e.select(col("a"), col("b"))
+        val tri = e1.select(col("a"), col("b"))
+          .join(e1.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .join(e1.select(col("a"), col("b").as("c")), Seq("a", "c"),
+            "left_semi")
+        tri.select(col("a"), col("b"))
+          .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
+          .unionAll(tri.select(col("a"), col("c").as("b")))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      }
+      var counts = List(edges.count())
+      for (_ <- 1 to 3) {
+        edges = support(edges).filter(col("supp") >= 2L)
+          .select(col("a"), col("b")).localCheckpoint()
+        counts = edges.count() :: counts
+      }
+      val converged = counts.head == counts.tail.head
+      support(edges)
+        .select(least(col("supp"), lit(20L)).as("support_c"))
+        .groupBy(col("support_c")).agg(count(lit(1)).as("n_edges"))
+        .withColumn("converged", lit(converged))
+        .orderBy(col("support_c"))
+    },
+    Some {
+      // each peel: triangles of the surviving set (a<b<c, closing-edge
+      // EXISTS), explode to member edges, keep support >= k-2 = 2
+      def peel(prev: String, out: String): String =
+        s""", ${out}_tri AS MATERIALIZED (
+        SELECT x.a, x.b, y.b AS c
+        FROM $prev x JOIN $prev y ON x.b = y.a
+        WHERE EXISTS (SELECT 1 FROM $prev z
+                      WHERE z.a = x.a AND z.b = y.b)
+      ), $out AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b FROM ${out}_tri
+          UNION ALL SELECT b AS a, c AS b FROM ${out}_tri
+          UNION ALL SELECT a, c AS b FROM ${out}_tri
+        ) GROUP BY a, b HAVING count(*) >= 2
+      )"""
+      s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), s0 AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey
+          AND x.l_partkey < y.l_partkey
+      )${peel("s0", "s1")}${peel("s1", "s2")}${peel("s2", "s3")}
+      , final_supp AS MATERIALIZED (
+        SELECT x.a, x.b, y.b AS c
+        FROM s3 x JOIN s3 y ON x.b = y.a
+        WHERE EXISTS (SELECT 1 FROM s3 z
+                      WHERE z.a = x.a AND z.b = y.b)
+      ), hist AS (
+        SELECT least(supp, 20) AS support_c, count(*) AS n_edges
+        FROM (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS supp FROM (
+            SELECT a, b FROM final_supp
+            UNION ALL SELECT b AS a, c AS b FROM final_supp
+            UNION ALL SELECT a, c AS b FROM final_supp
+          ) GROUP BY a, b
+        ) GROUP BY 1
+      )
+      SELECT support_c, CAST(n_edges AS BIGINT) AS n_edges,
+             (SELECT count(*) FROM s3) = (SELECT count(*) FROM s2)
+               AS converged
+      FROM hist
+      ORDER BY support_c"""
+    })
+
+  /** q430: PALMA RATIO / TAIL-SHARE CONCENTRATION (Palma 2011;
+    * Cobham–Sumner 2013) — the tail-focused inequality readout beside
+    * q333's Gini: share of customer revenue held by the top 10% of
+    * customers over the share held by the bottom 40% (Gini compresses
+    * the whole Lorenz curve to one number; Palma reads exactly the
+    * tails that concentration changes move). Customers ranked by
+    * (revenue, custkey) — a TOTAL order — via GlobalOrder's
+    * range-partitioned rank (cumsum of 1), boundaries at floor(0.4·n)
+    * and floor(0.9·n) BY COUNT; the group revenue sums are exact
+    * BIGINTs and each share/ratio is one IEEE division. Dosed panel:
+    * a 1/16 md5-selected customer set ×10 (swept: control Palma ≈
+    * 0.65 at every SF — TPC-H customer revenue is near-uniform, the
+    * honest baseline — dosed ≥ 2.55 with the top-10% share more than
+    * doubling). Scale: one scan to the customer rollup, one range
+    * shuffle for the rank; everything after is 2 rows. */
+  val q430 = Q(
+    "q430_palma_ratio",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val rev = Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(Det.cents(col("o_totalprice"))).as("r"))
+      val panels = rev
+        .select(lit("control").as("panel"), col("ck"), col("r"))
+        .unionByName(rev.select(lit("dosed").as("panel"), col("ck"),
+          when(expr("instr('0123456789abcdef', " +
+            "substring(md5(CAST(ck AS STRING)), 32, 1)) = 1"),
+            col("r") * 10L).otherwise(col("r")).as("r")))
+      val ranked = graft.operators.GlobalOrder
+        .withOrderedCumsum(panels,
+          Seq(col("panel"), col("r"), col("ck")), lit(1L), "rank")
+      val nCtl = panels.filter(col("panel") === "control")
+        .groupBy().agg(count(lit(1)).as("n_cust"))
+      ranked.crossJoin(broadcast(nCtl))
+        .withColumn("prank",
+          col("rank") -
+            when(col("panel") === "dosed", col("n_cust")).otherwise(0L))
+        .groupBy(col("panel"), col("n_cust"))
+        .agg(
+          sum(col("r")).as("total"),
+          sum(when(col("prank") <= expr("CAST(n_cust * 2 DIV 5 AS BIGINT)"),
+            col("r")).otherwise(0L)).as("bot40"),
+          sum(when(col("prank") > expr("CAST(n_cust * 9 DIV 10 AS BIGINT)"),
+            col("r")).otherwise(0L)).as("top10"))
+        .select(col("panel"), col("n_cust"),
+          (col("top10").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("top10_share"),
+          (col("bot40").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("bot40_share"),
+          (col("top10").cast(DoubleType) / col("bot40").cast(DoubleType))
+            .as("palma"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(${Det.centsSql("o_totalprice")}) AS BIGINT) AS r
+        FROM orders GROUP BY 1
+      ), panels AS (
+        SELECT 'control' AS panel, ck, r FROM rev
+        UNION ALL
+        SELECT 'dosed', ck,
+               CASE WHEN strpos('0123456789abcdef',
+                      substr(md5(CAST(ck AS VARCHAR)), 32, 1)) = 1
+                    THEN r * 10 ELSE r END
+        FROM rev
+      ), ranked AS (
+        SELECT panel, r,
+               row_number() OVER (PARTITION BY panel ORDER BY r, ck)
+                 AS prank
+        FROM panels
+      ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cust FROM rev
+      ), agg AS (
+        SELECT panel, n_cust,
+               CAST(sum(r) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN prank <= n_cust * 2 // 5 THEN r
+                 ELSE 0 END) AS BIGINT) AS bot40,
+               CAST(sum(CASE WHEN prank > n_cust * 9 // 10 THEN r
+                 ELSE 0 END) AS BIGINT) AS top10
+        FROM ranked CROSS JOIN nn
+        GROUP BY 1, 2
+      )
+      SELECT panel, n_cust,
+             CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE)
+               AS top10_share,
+             CAST(bot40 AS DOUBLE) / CAST(total AS DOUBLE)
+               AS bot40_share,
+             CAST(top10 AS DOUBLE) / CAST(bot40 AS DOUBLE) AS palma
+      FROM agg
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6542,5 +6739,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409, q410, q415, q417, q418)
+      q407, q409, q410, q415, q417, q418, q427, q430)
 }

@@ -372,7 +372,11 @@ class PlanShapeSpec extends SparkSpec {
       // r11 waves 8/9: q416's |delta|-spectrum and q420's combined
       // value-spectrum mid-ranks ride the same GlobalOrder offsets
       // shape (Aggregate below both)
-      "q416_wilcoxon_signed_rank", "q420_effect_sizes")
+      "q416_wilcoxon_signed_rank", "q420_effect_sizes",
+      // r11 waves 11/12: q425's 5-column spectrum cumsum and q430's
+      // customer-revenue rank — GlobalOrder offsets tables again
+      // (Aggregate below both)
+      "q425_jonckheere", "q430_palma_ratio")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

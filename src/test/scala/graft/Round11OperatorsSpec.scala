@@ -1103,4 +1103,287 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(expect(1)._4, s"dose undetected: ${expect(1)._3}")
     } finally graft.Caches.release()
   }
+
+  test("q425 Jonckheere: exact doubled-U replay; ordered dose trends") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect()
+      .map { case (g, x) => (g.substring(0, 1).toLong, x) }
+    val expect = Seq(
+      "control" -> orders,
+      "dosed" -> orders.map { case (rk, x) => (rk, x + x * 5 * rk / 100) })
+      .map { case (panel, rows) =>
+        val groups = rows.groupBy(_._1).map { case (rk, xs) =>
+          rk -> xs.map(_._2).sorted
+        }
+        val ranks = groups.keys.toSeq.sorted
+        var j2 = 0L
+        for {
+          ii <- ranks.indices; jj <- (ii + 1) until ranks.length
+        } {
+          val a = groups(ranks(ii)); val b = groups(ranks(jj))
+          b.foreach { v =>
+            var lo = 0; var hi = a.length
+            while (lo < hi) {
+              val mid = (lo + hi) / 2
+              if (a(mid) < v) lo = mid + 1 else hi = mid
+            }
+            var hi2 = a.length; var lo2 = lo
+            while (lo2 < hi2) {
+              val mid = (lo2 + hi2) / 2
+              if (a(mid) <= v) lo2 = mid + 1 else hi2 = mid
+            }
+            j2 += 2L * lo + (lo2 - lo)
+          }
+        }
+        val n = rows.length.toLong
+        val ssq = groups.values.map(v => v.length.toLong * v.length).sum
+        val e2x2 = (n * n - ssq) / 2
+        val varJ = (n.toDouble * n.toDouble * (2.0 * n.toDouble + 3.0) -
+          ranks.map { r =>
+            val gI = groups(r).length.toDouble
+            gI * gI * (2.0 * gI + 3.0)
+          }.reduce(_ + _)) / 72.0
+        val z = (j2 - e2x2).toDouble / (2.0 * math.sqrt(varJ))
+        (panel, n, j2, e2x2, z, z > 2.326348)
+      }
+    val got = graft.queries.Evals.q425.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control z <= 2.17 at sf0.001 (the .01 one-sided bar is
+      // the flag line for exactly that reason); +5%/rank must trend
+      assert(!expect.head._6, s"control trended: z=${expect.head._5}")
+      assert(expect(1)._6, s"dose undetected: z=${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q426 Friedman: exact doubled-midrank block replay; dose gates") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.load(spark, sf001, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderpriority").as("g"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("x"))
+      .as[(java.time.LocalDateTime, String, Long)](
+        org.apache.spark.sql.Encoders
+          .product[(java.time.LocalDateTime, String, Long)])
+      .collect()
+    val complete = cells.groupBy(_._1).filter(_._2.length == 5).keySet
+    val k = 5
+    val expect = Seq(
+      "control" -> cells.filter(c => complete(c._1)),
+      "dosed" -> cells.filter(c => complete(c._1)).map { case (m, g, x) =>
+        (m, g, x + x * 5 * g.substring(0, 1).toLong / 100)
+      }).map { case (panel, rows) =>
+      val blocks = rows.groupBy(_._1)
+      val n = blocks.size.toLong
+      val r2 = blocks.values.flatMap { bs =>
+        bs.map { case (_, g, v) =>
+          val less = bs.count(_._3 < v).toLong
+          val eq = bs.count(_._3 == v).toLong
+          (g, 2 * less + eq + 1)
+        }
+      }.toSeq
+      val num = r2.groupBy(_._1).values.map { xs =>
+        val rj2 = xs.map(_._2).sum
+        (rj2 - n * (k + 1)) * (rj2 - n * (k + 1))
+      }.sum
+      val den = r2.map { case (_, r) => (r - (k + 1)) * (r - (k + 1)) }.sum
+      val chi2 = 4.0 * num.toDouble / den.toDouble
+      (panel, n, chi2, chi2 > 9.487729)
+    }
+    val got = graft.queries.Evals.q426.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    try {
+      assert(got.toSeq == expect)
+      // blocked design: month effects cancel, so control is quiet
+      // (swept <= 4.58 every SF) and the within-month +5%/rank ordering
+      // shift rejects
+      assert(!expect.head._4, s"control rejected: ${expect.head._3}")
+      assert(expect(1)._4, s"dose undetected: ${expect(1)._3}")
+    } finally graft.Caches.release()
+  }
+
+  test("q427 k-truss: exact 3-round peel replay; histogram non-trivial") {
+    import org.apache.spark.sql.functions.col
+    val op = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    var edges: Set[(Long, Long)] = op.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    def support(e: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val byA = e.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+      val supp = scala.collection.mutable.HashMap
+        .empty[(Long, Long), Long].withDefaultValue(0L)
+      e.foreach { case (a, b) =>
+        byA.getOrElse(b, Set.empty).foreach { c =>
+          if (e((a, c))) {
+            supp((a, b)) += 1; supp((b, c)) += 1; supp((a, c)) += 1
+          }
+        }
+      }
+      supp.toMap
+    }
+    var counts = List(edges.size.toLong)
+    for (_ <- 1 to 3) {
+      val supp = support(edges)
+      edges = edges.filter(e => supp.getOrElse(e, 0L) >= 2L)
+      counts = edges.size.toLong :: counts
+    }
+    val converged = counts.head == counts.tail.head
+    val hist = support(edges).values
+      .map(s0 => math.min(s0, 20L))
+      .groupBy(identity).map { case (s0, xs) => (s0, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = graft.queries.Olap.q427.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    try {
+      assert(got.toSeq == hist.map { case (s0, n) => (s0, n, converged) })
+      // the truss must neither evaporate nor trivially keep everything
+      // in one support bucket
+      assert(hist.map(_._2).sum > 100, "truss evaporated")
+      assert(hist.length >= 3, "support histogram degenerate")
+    } finally graft.Caches.release()
+  }
+
+  /** Shared month×priority cells for the Friedman-design replays
+    * (q426/q428): complete blocks only, plus both dose panels. */
+  private def friedmanPanels(): Seq[(String,
+      Seq[(java.time.LocalDateTime, Long, Long)])] = {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.load(spark, sf001, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderpriority").as("g"))
+      .agg(sum(graft.queries.Det.cents(col("o_totalprice"))).as("x"))
+      .as[(java.time.LocalDateTime, String, Long)](
+        org.apache.spark.sql.Encoders
+          .product[(java.time.LocalDateTime, String, Long)])
+      .collect()
+      .map { case (m, g, x) => (m, g.substring(0, 1).toLong, x) }
+    val complete = cells.groupBy(_._1).filter(_._2.length == 5).keySet
+    val base = cells.filter(c => complete(c._1)).toSeq
+    Seq("control" -> base,
+      "dosed" -> base.map { case (m, rk, x) => (m, rk, x + x * 5 * rk / 100) })
+  }
+
+  /** Doubled in-block mid-ranks: (block, rank, r2) rows. */
+  private def blockMidranks(
+      rows: Seq[(java.time.LocalDateTime, Long, Long)])
+      : Seq[(java.time.LocalDateTime, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (m, bs) =>
+      bs.map { case (_, rk, v) =>
+        val less = bs.count(_._3 < v).toLong
+        val eq = bs.count(_._3 == v).toLong
+        (m, rk, 2 * less + eq + 1)
+      }
+    }
+
+  test("q428 Page trend: exact doubled-L replay; blocked dose trends") {
+    val expect = friedmanPanels().map { case (panel, rows) =>
+      val r2 = blockMidranks(rows)
+      val n = r2.map(_._1).distinct.length.toLong
+      val l2 = r2.map { case (_, rk, r) => rk * r }.sum
+      val e2 = n * 90L
+      val z = (l2 - e2).toDouble /
+        (2.0 * math.sqrt(n.toDouble * 25.0 * 6.0 * 24.0 / 144.0))
+      (panel, n, l2, e2, z, z > 2.326348)
+    }
+    val got = graft.queries.Evals.q428.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control |z| <= 0.77 at every SF; the within-block
+      // +5%/rank ordering must trend past the one-sided .01 bar
+      assert(!expect.head._6, s"control trended: z=${expect.head._5}")
+      assert(expect(1)._6, s"dose undetected: z=${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q429 MH odds ratio: exact stratified replay; dose lifts OR") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+      .collect()
+    def armB(ok: Long): Boolean =
+      ("0123456789abcdef".indexOf(md5hex(ok.toString).last) + 1) % 2 == 0
+    val expect = Seq(
+      "control" -> orders.map { case (g, ok, x) => (g, armB(ok), x) },
+      "dosed" -> orders.map { case (g, ok, x) =>
+        (g, armB(ok), if (armB(ok)) x + x / 4 else x)
+      }).map { case (panel, rows) =>
+      val terms = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (_, xs) =>
+          val a = xs.count(r => r._2 && r._3 > 25000000L).toLong
+          val b = xs.count(r => r._2 && r._3 <= 25000000L).toLong
+          val c = xs.count(r => !r._2 && r._3 > 25000000L).toLong
+          val dd = xs.count(r => !r._2 && r._3 <= 25000000L).toLong
+          val n = (a + b + c + dd).toDouble
+          (a.toDouble * dd.toDouble / n, b.toDouble * c.toDouble / n)
+      }
+      val num = terms.map(_._1).foldLeft(0.0)(_ + _)
+      val den = terms.map(_._2).foldLeft(0.0)(_ + _)
+      val ors = terms.map { case (nu, de) => nu / de }
+      (panel, terms.length.toLong, num / den, ors.min, ors.max)
+    }
+    val got = graft.queries.Evals.q429.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control OR in [0.94, 1.03]; +25% B lifts the pooled OR
+      assert(math.abs(expect.head._3 - 1.0) < 0.1,
+        s"control OR off 1: ${expect.head._3}")
+      assert(expect(1)._3 > 1.3, s"dose OR too small: ${expect(1)._3}")
+    } finally graft.Caches.release()
+  }
+
+  test("q430 Palma: exact tail-share replay; dose concentrates") {
+    import org.apache.spark.sql.functions.col
+    val rev = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.queries.Det.cents(col("o_totalprice"))).as("r"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    def sel(ck: Long): Boolean = md5hex(ck.toString).last == '0'
+    val expect = Seq(
+      "control" -> rev.toSeq,
+      "dosed" -> rev.toSeq.map { case (ck, r) =>
+        (ck, if (sel(ck)) r * 10 else r)
+      }).map { case (panel, rows) =>
+      val sorted = rows.sortBy { case (ck, r) => (r, ck) }.map(_._2)
+      val n = sorted.length.toLong
+      val total = sorted.sum
+      val bot40 = sorted.take((n * 2 / 5).toInt).sum
+      val top10 = sorted.drop((n * 9 / 10).toInt).sum
+      (panel, n, top10.toDouble / total.toDouble,
+        bot40.toDouble / total.toDouble,
+        top10.toDouble / bot40.toDouble)
+    }
+    val got = graft.queries.Olap.q430.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    try {
+      assert(got.toSeq == expect)
+      // TPC-H customer revenue is near-uniform (swept: palma ~0.65);
+      // the x10 hash-selected 1/16 must read as real concentration
+      assert(expect.head._5 > 0.5 && expect.head._5 < 0.8,
+        s"control palma off-band: ${expect.head._5}")
+      assert(expect(1)._5 > 2.0, s"dose unread: ${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
 }
