@@ -5349,10 +5349,253 @@ object Evals {
       FROM folded
       ORDER BY panel"""))
 
+  /** q431: CONOVER SQUARED-RANKS TEST FOR SCALE (Conover & Iman 1981;
+    * Conover, Practical Nonparametric Statistics §5.3) — the RANK-based
+    * scale test beside q414's moment-based Brown–Forsythe: rank the
+    * absolute deviations from the pooled median, square the ranks
+    * (weighting the far tail), and ask whether arm B holds more than
+    * its share of the squared-rank mass. Outlier-resistant where BF's
+    * F inherits the deviations' fourth moment. EXACT: deviations
+    * w = |2v − 2·med| are exact half-cent integers (q414), doubled
+    * mid-ranks r2 off the deviation spectrum (q413), scores s = r2²
+    * exact BIGINTs; with T = Σ_B s, S1 = Σs, S2 = Σs² (DECIMAL(38)/
+    * HUGEINT), the standardization clears ALL interior divisions:
+    *   z = (N·T − m·S1) / √(m(N−m)·(N·S2 − S1²)/(N−1))
+    * — exact integer operands into one division and one sqrt (S1
+    * exceeds 2⁵³ at sf0.1, so S1² MUST form on wide integers; a
+    * double-first spelling diverges). Same arms as q416/q420/q424,
+    * dose = arm-B spread ×2 (swept: control |z| ≤ 1.41, dosed
+    * z ≥ 18.1). Scale: one scan + one spectrum shuffle. */
+  val q431 = Q(
+    "q431_conover_scale",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(expr(Det.hashParityExpr("o_orderkey")).as("armb"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("armb"),
+          col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("armb"),
+          when(col("armb"), col("x") * 2L).otherwise(col("x")).as("v")))
+        .persistTracked()
+      val med = panels.groupBy(col("panel"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val devs = panels.join(broadcast(med), Seq("panel"))
+        .select(col("panel"), col("armb"),
+          abs(col("v").cast(DoubleType) * 2.0 - col("m") * 2.0)
+            .cast(LongType).as("w"))
+      val vals = devs.groupBy(col("panel"), col("w"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("armb"), 1L).otherwise(0L)).as("tb"))
+      val nCtl = vals.filter(col("panel") === "control")
+        .groupBy().agg(sum(col("t")).as("n_ctl"))
+      val scored = graft.operators.GlobalOrder
+        .withOrderedCumsum(vals, Seq(col("panel"), col("w")), col("t"),
+          "cum")
+        .crossJoin(broadcast(nCtl))
+        .withColumn("r2",
+          (col("cum") - col("t") -
+            when(col("panel") === "dosed", col("n_ctl")).otherwise(0L))
+            * 2L + col("t") + 1L)
+        .withColumn("s", col("r2") * col("r2"))
+      scored.groupBy(col("panel"))
+        .agg(
+          sum(col("t")).as("n"),
+          sum(col("tb")).as("m_b"),
+          sum(col("tb") * col("s")).as("t_stat"),
+          sum(col("t").cast(DecimalType(38, 0)) *
+            col("s").cast(DecimalType(38, 0))).as("s1"),
+          sum(col("t").cast(DecimalType(38, 0)) *
+            col("s").cast(DecimalType(38, 0)) *
+            col("s").cast(DecimalType(38, 0))).as("s2"))
+        .withColumn("z_stat",
+          (col("n").cast(DecimalType(38, 0)) *
+            col("t_stat").cast(DecimalType(38, 0)) -
+            col("m_b").cast(DecimalType(38, 0)) * col("s1"))
+            .cast(DoubleType) /
+            sqrt((col("m_b") * (col("n") - col("m_b"))).cast(DoubleType) *
+              (col("n").cast(DecimalType(38, 0)) * col("s2") -
+                col("s1") * col("s1")).cast(DoubleType) /
+              (col("n") - 1L).cast(DoubleType)))
+        .select(col("panel"), col("n"), col("m_b"), col("t_stat"),
+          col("z_stat"), (abs(col("z_stat")) > 1.959964).as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT ${Det.hashParitySql("o_orderkey")} AS armb,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, armb, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', armb,
+               CASE WHEN armb THEN 2 * x ELSE x END
+        FROM base
+      ), med AS (
+        SELECT panel, quantile_cont(v, 0.5) AS m FROM panels GROUP BY 1
+      ), devs AS (
+        SELECT p.panel, armb,
+               CAST(abs(CAST(v AS DOUBLE) * 2.0 - m * 2.0) AS BIGINT)
+                 AS w
+        FROM panels p JOIN med USING (panel)
+      ), vals AS (
+        SELECT panel, w, count(*) AS t,
+               CAST(sum(CASE WHEN armb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tb
+        FROM devs GROUP BY 1, 2
+      ), scored AS (
+        SELECT panel, t, tb,
+               (coalesce(sum(t) OVER (PARTITION BY panel ORDER BY w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 2 + t + 1)
+               * (coalesce(sum(t) OVER (PARTITION BY panel ORDER BY w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 * 2 + t + 1) AS s
+        FROM vals
+      ), agg AS (
+        SELECT panel,
+               CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(tb) AS BIGINT) AS m_b,
+               CAST(sum(tb * s) AS BIGINT) AS t_stat,
+               sum(CAST(t AS HUGEINT) * CAST(s AS HUGEINT)) AS s1,
+               sum(CAST(t AS HUGEINT) * CAST(s AS HUGEINT)
+                   * CAST(s AS HUGEINT)) AS s2
+        FROM scored GROUP BY panel
+      )
+      SELECT panel, n, m_b, t_stat,
+             CAST(CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
+                  - CAST(m_b AS HUGEINT) * s1 AS DOUBLE)
+               / sqrt(CAST(m_b * (n - m_b) AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n - 1 AS DOUBLE)) AS z_stat,
+             abs(CAST(CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
+                  - CAST(m_b AS HUGEINT) * s1 AS DOUBLE)
+               / sqrt(CAST(m_b * (n - m_b) AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n - 1 AS DOUBLE))) > 1.959964 AS reject_05
+      FROM agg
+      ORDER BY panel"""))
+
+  /** q432: MOOD'S MEDIAN TEST (Mood 1950; Brown & Mood 1951) — the
+    * fast k-group location screen: dichotomize every order against the
+    * POOLED median and χ²-test the (group × above/below) contingency.
+    * Coarser than q413's Kruskal–Wallis (it reads only the side of the
+    * median, not the rank) but maximally outlier-proof and the cheapest
+    * possible k-group screen — one spectrum-free scan. Rows AT the
+    * median drop (exact half-integer median, q410's rule). All counts
+    * exact BIGINTs; expected cells e = rowtot·coltot/N on identical
+    * doubles; χ² folds over the 10 (group, side) cells in fixed order.
+    * Same +5%·rank dose family as q413/q425 (swept: control χ² ≤ 7.27
+    * < 9.488 = χ²₄, dosed ≥ 25.6). Scale: one scan to 10 cells. */
+  val q432 = Q(
+    "q432_mood_median",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("rk"),
+          Det.cents(col("o_totalprice")).as("x"))
+      val panels = base
+        .select(lit("control").as("panel"), col("g"), col("x").as("v"))
+        .unionByName(base.select(lit("dosed").as("panel"), col("g"),
+          (col("x") + expr("x * rk DIV 20")).as("v")))
+        .persistTracked()
+      val med = panels.groupBy(col("panel"))
+        .agg(expr("percentile(v, 0.5D)").as("m"))
+      val cells = panels.join(broadcast(med), Seq("panel"))
+        .filter(col("v").cast(DoubleType) =!= col("m"))
+        .groupBy(col("panel"), col("g"))
+        .agg(
+          sum(when(col("v").cast(DoubleType) > col("m"), 1L)
+            .otherwise(0L)).as("above"),
+          sum(when(col("v").cast(DoubleType) < col("m"), 1L)
+            .otherwise(0L)).as("below"))
+      val tots = cells.groupBy(col("panel"))
+        .agg(sum(col("above")).as("ta"), sum(col("below")).as("tb"),
+          (sum(col("above")) + sum(col("below"))).as("nn"))
+      cells.join(broadcast(tots), Seq("panel"))
+        .withColumn("ea",
+          (col("above") + col("below")).cast(DoubleType) *
+            col("ta").cast(DoubleType) / col("nn").cast(DoubleType))
+        .withColumn("eb",
+          (col("above") + col("below")).cast(DoubleType) *
+            col("tb").cast(DoubleType) / col("nn").cast(DoubleType))
+        .withColumn("contrib",
+          (col("above").cast(DoubleType) - col("ea")) *
+            (col("above").cast(DoubleType) - col("ea")) / col("ea") +
+            (col("below").cast(DoubleType) - col("eb")) *
+              (col("below").cast(DoubleType) - col("eb")) / col("eb"))
+        .groupBy(col("panel"), col("nn"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(g, contrib))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)").as("chi2"))
+        .select(col("panel"), col("nn").as("n_used"), col("chi2"),
+          (col("chi2") > 9.487729).as("reject_05"))
+        .orderBy(col("panel"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS rk,
+               ${Det.centsSql("o_totalprice")} AS x
+        FROM orders
+      ), panels AS (
+        SELECT 'control' AS panel, g, x AS v FROM base
+        UNION ALL
+        SELECT 'dosed', g, x + x * rk // 20 FROM base
+      ), med AS (
+        SELECT panel, quantile_cont(v, 0.5) AS m FROM panels GROUP BY 1
+      ), cells AS (
+        SELECT p.panel, g,
+               CAST(sum(CASE WHEN CAST(v AS DOUBLE) > m THEN 1 ELSE 0
+                 END) AS BIGINT) AS above,
+               CAST(sum(CASE WHEN CAST(v AS DOUBLE) < m THEN 1 ELSE 0
+                 END) AS BIGINT) AS below
+        FROM panels p JOIN med USING (panel)
+        WHERE CAST(v AS DOUBLE) <> m
+        GROUP BY 1, 2
+      ), tots AS (
+        SELECT panel, CAST(sum(above) AS BIGINT) AS ta,
+               CAST(sum(below) AS BIGINT) AS tb,
+               CAST(sum(above) + sum(below) AS BIGINT) AS nn
+        FROM cells GROUP BY panel
+      ), contribs AS (
+        SELECT c.panel, g, nn,
+               (CAST(above AS DOUBLE)
+                  - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+               * (CAST(above AS DOUBLE)
+                  - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+               / (CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(nn AS DOUBLE))
+               + (CAST(below AS DOUBLE)
+                  - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+               * (CAST(below AS DOUBLE)
+                  - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+               / (CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+                  / CAST(nn AS DOUBLE)) AS contrib
+        FROM cells c JOIN tots USING (panel)
+      ), folded AS (
+        SELECT panel, nn,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(contrib ORDER BY g)), (acc, x) -> acc + x)
+                 AS chi2
+        FROM contribs GROUP BY panel, nn
+      )
+      SELECT panel, nn AS n_used, chi2, chi2 > 9.487729 AS reject_05
+      FROM folded
+      ORDER BY panel"""))
+
   val all: Seq[Q] =
     Seq(q303, q304, q311, q316, q319, q320, q326, q327, q336, q338,
       q340, q342, q346, q349, q350, q352, q353, q354, q355, q356,
       q358, q362, q364, q367, q368, q373, q374, q375, q380, q381, q382,
       q383, q387, q390, q395, q396, q397, q398, q408, q412, q413, q414,
-      q416, q420, q422, q423, q424, q425, q426, q428, q429)
+      q416, q420, q422, q423, q424, q425, q426, q428, q429, q431,
+      q432)
 }

@@ -6730,6 +6730,69 @@ object Olap {
       FROM agg
       ORDER BY panel"""))
 
+  /** q433: COHORT RETENTION MATRIX — the signup-cohort × months-since
+    * activity grid every product-analytics stack publishes (and the
+    * time-sliced complement of q181's RFM and q145's idle-customer
+    * list): cohort = a customer's FIRST order month, retention(k) =
+    * the share of the cohort placing an order k months later. Exact:
+    * distinct (cohort, k, customer) activity — a customer with three
+    * orders in one month counts once — over calendar-BOUNDED grain
+    * (≤80 cohorts × 12 offsets regardless of corpus size); rate is
+    * one IEEE division of exact counts. k capped at 11 (first-year
+    * retention — the reporting convention, and the row bound).
+    * Month-0 retention is 1 BY CONSTRUCTION (the cohort definition),
+    * spec-asserted as the self-check. Scale: one scan to the
+    * (customer, month) distinct rollup, a broadcast-sized first-order
+    * join, then metadata-sized aggregation. */
+  val q433 = Q(
+    "q433_cohort_retention",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val cm = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("ck"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .distinct()
+        .persistTracked()
+      val first = cm.groupBy(col("ck")).agg(min(col("m")).as("cohort"))
+      val sizes = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      cm.join(first, Seq("ck"))
+        .select(col("cohort"),
+          (months_between(col("m"), col("cohort"))).cast(LongType)
+            .as("k"))
+        .filter(col("k") >= 0L && col("k") <= 11L)
+        .groupBy(col("cohort"), col("k"))
+        .agg(count(lit(1)).as("active"))
+        .join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("k"), col("active"),
+          col("cohort_size"),
+          (col("active").cast(DoubleType) /
+            col("cohort_size").cast(DoubleType)).as("retention"))
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some("""
+      WITH cm AS (
+        SELECT DISTINCT o_custkey AS ck,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+        FROM orders
+      ), first AS (
+        SELECT ck, min(m) AS cohort FROM cm GROUP BY 1
+      ), sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY 1
+      ), act AS (
+        SELECT f.cohort, datediff('month', f.cohort, cm.m) AS k
+        FROM cm JOIN first f USING (ck)
+      )
+      SELECT a.cohort, CAST(k AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS active, s.cohort_size,
+             CAST(count(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+      FROM act a JOIN sizes s ON a.cohort = s.cohort
+      WHERE k BETWEEN 0 AND 11
+      GROUP BY 1, 2, s.cohort_size
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6739,5 +6802,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409, q410, q415, q417, q418, q427, q430)
+      q407, q409, q410, q415, q417, q418, q427, q430, q433)
 }

@@ -376,7 +376,10 @@ class PlanShapeSpec extends SparkSpec {
       // r11 waves 11/12: q425's 5-column spectrum cumsum and q430's
       // customer-revenue rank — GlobalOrder offsets tables again
       // (Aggregate below both)
-      "q425_jonckheere", "q430_palma_ratio")
+      "q425_jonckheere", "q430_palma_ratio",
+      // r11 wave 13: q431's deviation-spectrum squared ranks — the
+      // same GlobalOrder offsets shape (Aggregate below)
+      "q431_conover_scale")
     val observed = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf001)

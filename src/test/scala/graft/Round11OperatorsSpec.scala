@@ -1386,4 +1386,130 @@ class Round11OperatorsSpec extends SparkSpec {
       assert(expect(1)._5 > 2.0, s"dose unread: ${expect(1)._5}")
     } finally graft.Caches.release()
   }
+
+  test("q431 Conover scale: exact squared-rank replay; spread dose gates") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderkey"), graft.queries.Det.cents(col("o_totalprice")))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    def armB(ok: Long): Boolean =
+      ("0123456789abcdef".indexOf(md5hex(ok.toString).last) + 1) % 2 == 0
+    val base = orders.map { case (ok, x) => (armB(ok), x) }
+    val expect = Seq(
+      "control" -> base,
+      "dosed" -> base.map { case (b, x) => (b, if (b) 2 * x else x) })
+      .map { case (panel, rows) =>
+        val m = medianExact(rows.map(_._2.toDouble).toSeq)
+        val devs = rows.map { case (b, x) =>
+          (math.abs(x.toDouble * 2.0 - m * 2.0).toLong, b)
+        }
+        val byVal = devs.groupBy(_._1).toSeq.sortBy(_._1)
+        var less = 0L; var t0 = BigInt(0); var s1 = BigInt(0)
+        var s2 = BigInt(0); var n = 0L; var mb = 0L
+        byVal.foreach { case (_, xs) =>
+          val t = xs.length.toLong
+          val tb = xs.count(_._2).toLong
+          val r2 = 2 * less + t + 1
+          val sc = BigInt(r2) * BigInt(r2)
+          t0 += sc * tb; s1 += sc * t; s2 += sc * sc * t
+          n += t; mb += tb; less += t
+        }
+        val z = (BigInt(n) * t0 - BigInt(mb) * s1).toDouble /
+          math.sqrt((mb * (n - mb)).toDouble *
+            (BigInt(n) * s2 - s1 * s1).toDouble / (n - 1).toDouble)
+        (panel, n, mb, t0.toLong, z, math.abs(z) > 1.959964)
+      }
+    val got = graft.queries.Evals.q431.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control |z| <= 1.41 at every SF; the 2x B spread must
+      // dominate the squared-rank mass
+      assert(!expect.head._6, s"control rejected: z=${expect.head._5}")
+      assert(expect(1)._6 && expect(1)._5 > 0,
+        s"dose undetected: z=${expect(1)._5}")
+    } finally graft.Caches.release()
+  }
+
+  test("q432 Mood median: exact contingency replay; ordered dose gates") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf001, "orders")
+      .select(col("o_orderpriority"),
+        graft.queries.Det.cents(col("o_totalprice")))
+      .as[(String, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect()
+    val expect = Seq(
+      "control" -> orders.toSeq,
+      "dosed" -> orders.toSeq.map { case (g, x) =>
+        (g, x + x * g.substring(0, 1).toLong / 20)
+      }).map { case (panel, rows) =>
+      val m = medianExact(rows.map(_._2.toDouble).toSeq)
+      val used = rows.filter(_._2.toDouble != m)
+      val cells = used.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (g, xs) =>
+          (g, xs.count(_._2.toDouble > m).toLong,
+            xs.count(_._2.toDouble < m).toLong)
+      }
+      val ta = cells.map(_._2).sum; val tb = cells.map(_._3).sum
+      val nn = ta + tb
+      val chi2 = cells.map { case (_, a, b) =>
+        val ea = (a + b).toDouble * ta.toDouble / nn.toDouble
+        val eb = (a + b).toDouble * tb.toDouble / nn.toDouble
+        (a.toDouble - ea) * (a.toDouble - ea) / ea +
+          (b.toDouble - eb) * (b.toDouble - eb) / eb
+      }.foldLeft(0.0)(_ + _)
+      (panel, nn, chi2, chi2 > 9.487729)
+    }
+    val got = graft.queries.Evals.q432.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    try {
+      assert(got.toSeq == expect)
+      // swept: control chi2 <= 7.27 at every SF; +5%/rank must shift
+      // the above/below split
+      assert(!expect.head._4, s"control rejected: ${expect.head._3}")
+      assert(expect(1)._4, s"dose undetected: ${expect(1)._3}")
+    } finally graft.Caches.release()
+  }
+
+  test("q433 cohort retention: exact matrix replay; month-0 is 1.0") {
+    import org.apache.spark.sql.functions._
+    val cm = Tables.load(spark, sf001, "orders")
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .distinct()
+      .as[(Long, java.time.LocalDateTime)](
+        org.apache.spark.sql.Encoders
+          .product[(Long, java.time.LocalDateTime)])
+      .collect()
+    val first = cm.groupBy(_._1).map { case (ck, xs) =>
+      ck -> xs.map(_._2).minBy(_.toString)
+    }
+    val sizes = first.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val expect = cm.map { case (ck, m) =>
+      val c = first(ck)
+      (c, java.time.temporal.ChronoUnit.MONTHS.between(c, m))
+    }.filter { case (_, k) => k >= 0 && k <= 11 }
+      .groupBy(identity).map { case ((c, k), xs) =>
+        (c, k, xs.length.toLong, sizes(c),
+          xs.length.toDouble / sizes(c).toDouble)
+      }.toSeq.sortBy { case (c, k, _, _, _) => (c.toString, k) }
+    val got = graft.queries.Olap.q433.run(spark, sf001).collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toLocalDateTime,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    try {
+      assert(got.toSeq == expect)
+      // cohort definition self-check: month 0 is total by construction,
+      // and the matrix must have real retention structure past month 0
+      expect.filter(_._2 == 0L).foreach { case (c, _, a, n, rate) =>
+        assert(a == n && rate == 1.0, s"cohort $c month-0 not total")
+      }
+      assert(expect.exists(r => r._2 > 0 && r._5 > 0.0 && r._5 < 1.0),
+        "no non-trivial retention cells")
+    } finally graft.Caches.release()
+  }
 }
