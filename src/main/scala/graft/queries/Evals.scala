@@ -5465,15 +5465,17 @@ object Evals {
         FROM scored GROUP BY panel
       )
       SELECT panel, n, m_b, t_stat,
-             CAST(CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
-                  - CAST(m_b AS HUGEINT) * s1 AS DOUBLE)
+             ${Det.hugeDoubleSql(
+               """CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
+                  - CAST(m_b AS HUGEINT) * s1""")}
                / sqrt(CAST(m_b * (n - m_b) AS DOUBLE)
-                      * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                      * ${Det.hugeDoubleSql("CAST(n AS HUGEINT) * s2 - s1 * s1")}
                       / CAST(n - 1 AS DOUBLE)) AS z_stat,
-             abs(CAST(CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
-                  - CAST(m_b AS HUGEINT) * s1 AS DOUBLE)
+             abs(${Det.hugeDoubleSql(
+               """CAST(n AS HUGEINT) * CAST(t_stat AS HUGEINT)
+                  - CAST(m_b AS HUGEINT) * s1""")}
                / sqrt(CAST(m_b * (n - m_b) AS DOUBLE)
-                      * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                      * ${Det.hugeDoubleSql("CAST(n AS HUGEINT) * s2 - s1 * s1")}
                       / CAST(n - 1 AS DOUBLE))) > 1.959964 AS reject_05
       FROM agg
       ORDER BY panel"""))
