@@ -4651,7 +4651,7 @@ object Evals {
             .as("ari"))
         .orderBy(col("panel"))
     },
-    Some("""
+    Some(s"""
       WITH base AS (
         SELECT lang AS xl,
                CAST(strpos('0123456789abcdef',
@@ -4681,14 +4681,16 @@ object Evals {
         GROUP BY panel
       )
       SELECT p.panel, n, p_pairs, a_pairs, b_pairs,
-             CAST(2 * CAST(n * (n - 1) // 2 AS HUGEINT)
+             ${Det.hugeDoubleSql(
+               """2 * CAST(n * (n - 1) // 2 AS HUGEINT)
                     * CAST(p_pairs AS HUGEINT)
                   - 2 * CAST(a_pairs AS HUGEINT)
-                    * CAST(b_pairs AS HUGEINT) AS DOUBLE)
-             / CAST(CAST(n * (n - 1) // 2 AS HUGEINT)
+                    * CAST(b_pairs AS HUGEINT)""")}
+             / ${Det.hugeDoubleSql(
+               """CAST(n * (n - 1) // 2 AS HUGEINT)
                     * CAST(a_pairs + b_pairs AS HUGEINT)
                   - 2 * CAST(a_pairs AS HUGEINT)
-                    * CAST(b_pairs AS HUGEINT) AS DOUBLE) AS ari
+                    * CAST(b_pairs AS HUGEINT)""")} AS ari
       FROM p JOIN a ON p.panel = a.panel JOIN b ON p.panel = b.panel
       ORDER BY p.panel"""))
 
