@@ -362,7 +362,12 @@ object Bench {
       // (index build + intersect), MaxSim late interaction, LPA
       // community labels, and the BOM/assembly recursive join
       "q231_trigram_search", "q234_maxsim_retrieval",
-      "q283_lpa_communities", "q174_bom_explosion")
+      "q283_lpa_communities", "q174_bom_explosion",
+      // r8 continuation: the k-truss peel is the new heaviest main row
+      // (46 s warm at sf0.1 — 4 triangle passes over the 1.2M-edge
+      // co-occurrence graph); its 10x trend belongs on record beside
+      // the other graph rows
+      "q427_ktruss")
     // calibration probes bracket each measured phase: "main" ran BEFORE
     // the full-registry pass above (JVM warm, box state at measurement
     // start), the sweep probes run right before their sweep. A stalled
