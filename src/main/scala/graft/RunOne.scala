@@ -25,8 +25,15 @@ object RunOne {
     // cold, not the JVM cold — without this a forked triage "warm" run
     // still pays Spark-internal JIT and reads high (r8 smoke: q360
     // forked-warm 15.4 s vs 4.1 s in-process, purely JVM-cold bias)
-    Tables.load(spark, sfDir, "lineitem")
+    // guarded: a fixture/replica dir without lineitem (e.g. a documents-
+    // only store replica) must still serve the named query — the warm-up
+    // is an optimization, never a precondition
+    try Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().count()
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[runone] warm-up skipped ($t)")
+    }
     val keepCache = sys.env.getOrElse("SPARK_GRAFT_KEEP_CACHE", "0") != "0"
     val rec = (1 to runs).map { i =>
       // per-run CPU probe (Bench.calibrate) + GC/heap probes (r8): a
