@@ -31,6 +31,19 @@ object Caches {
       Caches.ledger.get() += df
       df
     }
+
+    /** [[persistTracked]] at MEMORY_AND_DISK_SER — for WIDE frames
+      * (token arrays, text columns) whose deserialized object graphs
+      * are several times their serialized size: at the 50× sweep the
+      * q68/q127 chain's deserialized token-set cache drove 9.9 s GC
+      * pauses into the worst forked runs (r8 verdict item #3);
+      * serialized blocks trade a little decode CPU for a heap the
+      * collector can actually keep up with. */
+    def persistTrackedSer(): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      Caches.ledger.get() += df
+      df
+    }
   }
 
   /** Unpersist every frame the current thread's queries persisted since the

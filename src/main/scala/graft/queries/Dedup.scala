@@ -670,12 +670,16 @@ object Dedup {
     * (id, lbl). */
   private def nearDupLabels(
       s: SparkSession, d: String, tag: String): DataFrame = {
+    // SERIALIZED persist (r8 verdict item #3): this token-set frame is
+    // read by candidate generation AND verification, and at the 50×
+    // sweep its deserialized array-of-strings cache (250k docs) drove
+    // up to 9.9 s GC pauses into the q68/q127 forked runs
     val docs = Tables.load(s, d, "documents")
       .select(
         col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("sz", size(col("toks")))
-      .persistTracked()
+      .persistTrackedSer()
     // pairs checkpointed BEFORE the operator's both-directions union: a
     // lazy plan would embed (and execute) the similarity join once per
     // union branch

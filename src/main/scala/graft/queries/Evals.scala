@@ -3825,8 +3825,10 @@ object Evals {
     * aggregation provably violates — Condorcet 1785): sources are
     * compared pairwise PER LANGUAGE (mean doc length, exact
     * cross-multiplied integer comparisons — never a double mean), the
-    * majority of language verdicts decides each pair (ties to the
-    * lexicographically smaller source, so the tournament is complete),
+    * majority of language verdicts decides each pair (ties AND pairs
+    * sharing no language go to the lexicographically smaller source —
+    * pairs enumerate the full source cross product, so the round-robin
+    * tournament the closed form assumes is complete BY CONSTRUCTION),
     * and the number of CYCLIC triads comes from the closed form
     *   c = C(n,3) − Σᵢ C(dᵢ,2)
     * over the out-degree (win-count) sequence — counting A>B>C>A
@@ -3847,7 +3849,10 @@ object Evals {
         .groupBy(col("source"), col("lang"))
         .agg(sum(col("n_chars")).as("sv"), count(lit(1)).as("c"))
         .persistTracked()
-      val pair = per.as("a")
+      val srcs = Tables.load(s, d, "documents")
+        .select(col("source")).distinct()
+        .persistTracked()
+      val perLangNet = per.as("a")
         .join(per.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.source") < col("b.source"))
@@ -3857,12 +3862,23 @@ object Evals {
             .when(col("a.sv") * col("b.c") < col("b.sv") * col("a.c"),
               -1L)
             .otherwise(0L)).as("net"))
+      // COMPLETE tournament (r8 advice #2): the closed form
+      // c = C(n,3) − ΣC(dᵢ,2) needs a win recorded for EVERY source
+      // pair; a pair sharing no language never enters the per-language
+      // join, so pairs come from the full cross product of sources
+      // (bounded by the dimension) with no-shared-language defaulting
+      // to net = 0 — the same "tie to the lexicographically smaller
+      // source" rule already applied to exact score ties.
+      val pair = srcs.as("x")
+        .join(srcs.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"))
+        .join(perLangNet, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"),
+          coalesce(col("net"), lit(0L)).as("net"))
       val deg = pair
         .select(when(col("net") >= 0L, col("sa")).otherwise(col("sb"))
           .as("source"))
         .groupBy(col("source")).agg(count(lit(1)).as("wins"))
-      val srcs = Tables.load(s, d, "documents")
-        .select(col("source")).distinct()
       val degAll = srcs.join(deg, Seq("source"), "left")
         .select(col("source"), coalesce(col("wins"), lit(0L)).as("wins"))
         .persistTracked()
@@ -3885,7 +3901,7 @@ object Evals {
         SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sv,
                count(*) AS c
         FROM documents GROUP BY source, lang
-      ), pair AS (
+      ), pair_net AS (
         SELECT a.source AS sa, b.source AS sb,
                CAST(sum(CASE WHEN a.sv * b.c > b.sv * a.c THEN 1
                              WHEN a.sv * b.c < b.sv * a.c THEN -1
@@ -3893,12 +3909,18 @@ object Evals {
         FROM per a
         JOIN per b ON a.lang = b.lang AND a.source < b.source
         GROUP BY a.source, b.source
+      ), srcs AS (
+        SELECT DISTINCT source FROM documents
+      ), pair AS (
+        SELECT x.source AS sa, y.source AS sb,
+               coalesce(n.net, 0) AS net
+        FROM srcs x
+        JOIN srcs y ON x.source < y.source
+        LEFT JOIN pair_net n ON n.sa = x.source AND n.sb = y.source
       ), deg AS (
         SELECT CASE WHEN net >= 0 THEN sa ELSE sb END AS source,
                count(*) AS wins
         FROM pair GROUP BY 1
-      ), srcs AS (
-        SELECT DISTINCT source FROM documents
       ), deg_all AS (
         SELECT s.source, coalesce(d.wins, 0) AS wins
         FROM srcs s LEFT JOIN deg d ON d.source = s.source

@@ -3496,13 +3496,18 @@ object Text {
       val dir = Dedup.stateDir("trigrams", d,
         s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
       java.nio.file.Files.createDirectories(dir.getParent)
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-        // build once and PUBLISH via the staged commit — a crash
-        // mid-publish leaves no _SUCCESS and the next run rebuilds
-        // (never reads a torn index)
-        trigramPostings(old)
-          .write.format("graft.sources.tsv")
-          .mode("overwrite").save(dir.toString)
+      // store-lock around check+build (r8 advice #3): two in-JVM
+      // threads (Verify's concurrent queries, a parallel test session)
+      // must not race mode("overwrite") on the same store dir
+      graft.sources.IngestJob.withStoreLock(dir.toString) {
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          // build once and PUBLISH via the staged commit — a crash
+          // mid-publish leaves no _SUCCESS and the next run rebuilds
+          // (never reads a torn index)
+          trigramPostings(old)
+            .write.format("graft.sources.tsv")
+            .mode("overwrite").save(dir.toString)
+      }
       val stored = s.read.format("graft.sources.tsv")
         .schema(StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
@@ -3546,14 +3551,20 @@ object Text {
       val postDir = Dedup.stateDir("phrasepost", d, fpTag)
       val gramDir = Dedup.stateDir("phrasegram", d, fpTag)
       java.nio.file.Files.createDirectories(postDir.getParent)
-      if (!java.nio.file.Files.exists(postDir.resolve("_SUCCESS")))
-        phrasePostings(old)
-          .write.format("graft.sources.tsv")
-          .mode("overwrite").save(postDir.toString)
-      if (!java.nio.file.Files.exists(gramDir.resolve("_SUCCESS")))
-        phraseGramCounts(old)
-          .write.format("graft.sources.tsv")
-          .mode("overwrite").save(gramDir.toString)
+      // per-member store locks (r8 advice #3): check+build is atomic
+      // against concurrent in-JVM runs of the same fixture
+      graft.sources.IngestJob.withStoreLock(postDir.toString) {
+        if (!java.nio.file.Files.exists(postDir.resolve("_SUCCESS")))
+          phrasePostings(old)
+            .write.format("graft.sources.tsv")
+            .mode("overwrite").save(postDir.toString)
+      }
+      graft.sources.IngestJob.withStoreLock(gramDir.toString) {
+        if (!java.nio.file.Files.exists(gramDir.resolve("_SUCCESS")))
+          phraseGramCounts(old)
+            .write.format("graft.sources.tsv")
+            .mode("overwrite").save(gramDir.toString)
+      }
       val storedPost = s.read.format("graft.sources.tsv")
         .schema(StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
