@@ -6544,23 +6544,34 @@ object Olap {
     * triangle-poor past sf0.001: its 4-truss is EMPTY at sf0.01, swept
     * before shipping). Peeling runs EXACTLY 3 rounds in both engines
     * (q274's fixed-round discipline; `converged` certifies a true
-    * fixpoint when round 3 peeled nothing), each round one triangle
-    * enumeration in the q278/q167 a<b<c wedge-semi-join shape (each
-    * triangle counted once, exploded to its 3 member edges, support =
-    * hash count). Readout: the histogram of realized
-    * triangle supports (≥1, capped at 20) over the round-3 survivors
-    * — any divergence anywhere in the peel shows in these counts —
-    * bounded to ≤21 rows at any scale. Scale:
-    * per-round work is edge-sized shuffles; the wedge join drives from
-    * each edge's smaller endpoint; localCheckpoint truncates per-round
-    * lineage. */
+    * fixpoint when round 3 peeled nothing), each round one EDGE-
+    * ITERATOR support pass (Chiba–Nishizeki 1985 shape): per-edge
+    * support = |N(a) ∩ N(b)| over the CURRENT survivor adjacency,
+    * computed by two adjacency-array joins + one codegen'd
+    * array_intersect per edge — the r8 verdict flagged this row at
+    * 76.6 s from the wedge-join shape, which materialized ~35M wedge
+    * rows per enumeration through a shuffle; this co-occurrence graph
+    * is DENSE AND DEGREE-UNIFORM (20k parts, mean degree ~120, no
+    * hubs), so degree-ordered orientation cannot shrink the wedge set
+    * and the win is not materializing wedges at all (total intersect
+    * work = Σ_e d(a)+d(b) = the wedge count, but as in-operator array
+    * scans instead of shuffled rows). Readout: the histogram of
+    * realized triangle supports (≥1, capped at 20) over the round-3
+    * survivors — any divergence anywhere in the peel shows in these
+    * counts — bounded to ≤21 rows at any scale. Scale: per-round work
+    * is one edge-sized adjacency groupBy + edge-sized joins (auto-
+    * broadcast while the adjacency is small, shuffle joins beyond);
+    * per-vertex arrays are degree-bounded — for a hub-skewed graph the
+    * q167 orientation cut applies first; localCheckpoint truncates
+    * per-round lineage; a converged round 3 donates its filtered
+    * support to the readout, skipping the 4th enumeration. */
   val q427 = Q(
     "q427_ktruss",
     (s, d) => {
       import graft.Caches.Tracked
       val op = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      var edges = op.groupBy(col("l_orderkey"))
+      val undirected = op.groupBy(col("l_orderkey"))
         .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
@@ -6568,25 +6579,43 @@ object Olap {
                  y -> struct(x AS a, y AS b))))""")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
         .localCheckpoint()
+      var edges = undirected
+      // EDGE-ITERATOR support: |N(a) ∩ N(b)| over the survivor
+      // adjacency — one edge-sized groupBy builds the per-vertex
+      // neighbor arrays (degree-bounded; ~120 on this graph), two
+      // auto-broadcast joins attach them to each edge, and the
+      // codegen'd array_intersect counts common neighbors in place.
+      // supp = 0 edges survive the join (readout filters ≥1).
       def support(e: DataFrame): DataFrame = {
-        val e1 = e.select(col("a"), col("b"))
-        val tri = e1.select(col("a"), col("b"))
-          .join(e1.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-          .join(e1.select(col("a"), col("b").as("c")), Seq("a", "c"),
-            "left_semi")
-        tri.select(col("a"), col("b"))
-          .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
-          .unionAll(tri.select(col("a"), col("c").as("b")))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+        val adj = e.select(col("a").as("v"), col("b").as("w"))
+          .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+          .groupBy(col("v"))
+          .agg(expr("sort_array(collect_list(w))").as("nbrs"))
+        val adjA = graft.operators.Hints.autoBroadcast(
+          adj.select(col("v").as("a"), col("nbrs").as("na")))
+        val adjB = graft.operators.Hints.autoBroadcast(
+          adj.select(col("v").as("b"), col("nbrs").as("nb")))
+        e.join(adjA, Seq("a")).join(adjB, Seq("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("na"), col("nb")))
+              .cast(LongType).as("supp"))
       }
       var counts = List(edges.count())
+      var lastSup: DataFrame = edges // placeholder, reassigned round 1
       for (_ <- 1 to 3) {
-        edges = support(edges).filter(col("supp") >= 2L)
-          .select(col("a"), col("b")).localCheckpoint()
+        lastSup = support(edges).filter(col("supp") >= 2L)
+          .localCheckpoint()
+        edges = lastSup.select(col("a"), col("b"))
         counts = edges.count() :: counts
       }
+      // converged ⟺ round 3 peeled nothing ⟺ the survivor set equals
+      // round 2's, so round 3's filtered support (computed on that very
+      // set) is exactly the final readout — no 4th enumeration
       val converged = counts.head == counts.tail.head
-      support(edges)
+      val finalSup =
+        if (converged) lastSup
+        else support(edges).filter(col("supp") >= 1L)
+      finalSup
         .select(least(col("supp"), lit(20L)).as("support_c"))
         .groupBy(col("support_c")).agg(count(lit(1)).as("n_edges"))
         .withColumn("converged", lit(converged))
@@ -6793,6 +6822,218 @@ object Olap {
       GROUP BY 1, 2, s.cohort_size
       ORDER BY 1, 2"""))
 
+  /** q434: RUNTIME BLOOM-FILTER JOIN PRUNING as a registered, plan-
+    * pinned query (r8 verdict item #5's demonstration half — the
+    * PlanShapeSpec mechanism pin landed in r6): a fact⋈fact shuffle
+    * join (broadcast disabled) where one side carries a selective
+    * predicate Catalyst cannot push to the other side statically — the
+    * regime DPP covers only when the key is a partition column. With
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`, the optimizer
+    * plans a `bloom_filter_agg` over the filtered side's join keys and
+    * injects `might_contain` into the probe side's scan filters, so
+    * the 100 TB fact scan discards non-joining rows BEFORE the
+    * shuffle — the row-level sibling of partition pruning, and the
+    * difference between shuffling 100 TB and shuffling the ~1/5 that
+    * survives. Conf overrides live in an ISOLATED `newSession` (same
+    * SparkContext, private SQLConf): Verify executes queries
+    * concurrently on the shared session, so a session-wide
+    * set/restore would race other queries' planning. The committed
+    * plan artifact (plans/q434…plan.txt) exhibits the injected
+    * filter; the oracle is the plain join semantics — pruning must
+    * never change results. Thresholds at 100 TB: creationSideThreshold
+    * (max build size, default 10 MB) and
+    * applicationSideScanSizeThreshold (min probe size, default 10 GB
+    * — lowered here to fixture scale). */
+  val q434 = Q(
+    "q434_bloom_prune_join",
+    (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // force the shuffle-join regime a fact⋈fact join lives in (a
+      // broadcast join ships the dim everywhere — nothing to prune)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "1")
+      val li = Tables.load(s2, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_quantity"))
+      val urgent = Tables.load(s2, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(Det.cents(col("l_extendedprice"))).as("revenue_cents"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q435: PIVOT-SAMPLED BETWEENNESS CENTRALITY (Brandes 2001, "A
+    * Faster Algorithm for Betweenness Centrality"; pivot sampling per
+    * Brandes & Pich 2007, "Centrality Estimation in Large Networks")
+    * — the shortest-path centrality capstone beside the degree
+    * (q144), harmonic (q369), eigenvector (q204 PageRank), and
+    * local-clustering (q278) families: how often a part lies ON the
+    * shortest co-purchase paths between other parts, the classic
+    * broker/bottleneck score. Exact Brandes is one SSSP per vertex —
+    * O(nm), unpayable at scale — so the estimator runs Brandes'
+    * dependency accumulation from a FIXED 8-pivot sample (md5-ordered
+    * vertex ids: deterministic, hash-uniform — the q430 selection
+    * discipline), horizon-truncated at 3 hops (the q192/q369 bounded-
+    * depth discipline; HyperBall's argument: co-purchase diameters
+    * are tiny, and a bounded horizon is what any 100 TB graph pass
+    * ships). Forward = multi-source BFS carrying EXACT BIGINT
+    * shortest-path counts σ (per round: frontier⋈adjacency, visited
+    * anti-join, σ summed over arrivals — the counting extension of
+    * q192's frontier loop); backward = Brandes' accumulation
+    * δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) over successors one level down,
+    * run levels 3→1. Every δ sum and the final per-vertex pivot sum
+    * fold in EXPLICIT sorted order (sort_array + aggregate vs DuckDB
+    * list(… ORDER BY)+list_reduce — the q61/q118 agreed-fold rule),
+    * so the doubles are bit-identical cross-engine. The ORACLE
+    * replays the same pivot set through unrolled per-level CTEs
+    * (MATERIALIZED — the q274 inlining lesson) with NOT EXISTS
+    * visited checks — recursion-free SQL vs iterative DataFrames, the
+    * strongest differential for iterative graph code. Scale: 8
+    * pivots × 3 rounds of edge-sized joins; σ/δ state is one row per
+    * (pivot, vertex); the backward pass's collect_list groups are
+    * degree-bounded; more pivots = embarrassingly parallel. */
+  val q435 = Q(
+    "q435_betweenness",
+    (s, d) => {
+      import graft.Caches.Tracked
+      val adj = copurchaseAdj(s, d)
+      val pivots = adj.select(col("src").as("v")).distinct()
+        .orderBy(md5(col("v").cast(StringType)), col("v")).limit(8)
+        .select(col("v").as("p")).localCheckpoint()
+      // forward: levels l0..l3, each (p, v, sigma) with sigma = #
+      // shortest p→v paths; levels are disjoint per pivot (anti-join)
+      var lvls = List(pivots
+        .select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
+        .localCheckpoint())
+      for (_ <- 1 to 3) {
+        val visited = lvls.map(_.select(col("p"), col("v")))
+          .reduce(_ unionAll _)
+        val nxt = lvls.head.join(adj, col("v") === col("src"))
+          .groupBy(col("p"), col("dst"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("p"), col("dst").as("v"), col("sigma"))
+          .join(visited, Seq("p", "v"), "left_anti")
+          .localCheckpoint()
+        lvls = nxt :: lvls
+      }
+      val List(l3, l2, l1, _) = lvls
+      // backward: δ over successors exactly one level deeper, summed
+      // in sorted-w order (agreed fold — q61/q118 discipline)
+      def deltaStep(cur: DataFrame, next: DataFrame,
+          nextDelta: DataFrame): DataFrame = {
+        val nd = next.join(nextDelta, Seq("p", "v"), "left")
+          .select(col("p").as("np"), col("v").as("w"),
+            col("sigma").as("sw"),
+            coalesce(col("delta"), lit(0.0)).as("dw"))
+        cur.join(adj, col("v") === col("src"))
+          .join(nd, col("p") === col("np") && col("dst") === col("w"))
+          .withColumn("term",
+            col("sigma").cast(DoubleType) / col("sw").cast(DoubleType)
+              * (lit(1.0) + col("dw")))
+          .groupBy(col("p"), col("v"))
+          .agg(expr("aggregate(transform(sort_array(" +
+            "collect_list(struct(w, term))), x -> x.term), " +
+            "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("delta"))
+      }
+      val d3 = l3.select(col("p"), col("v"), lit(0.0).as("delta"))
+      val d2 = deltaStep(l2, l3, d3).localCheckpoint()
+      val d1 = deltaStep(l1, l2, d2).localCheckpoint()
+      val reached = Seq(l1, l2, l3)
+        .map(_.select(col("p"), col("v"))).reduce(_ unionAll _)
+      val deltas = d1.unionAll(d2)
+      reached.join(deltas, Seq("p", "v"), "left")
+        .select(col("p"), col("v"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .groupBy(col("v"))
+        .agg(
+          count(lit(1)).as("n_pivots"),
+          expr("aggregate(transform(sort_array(" +
+            "collect_list(struct(p, delta))), x -> x.delta), " +
+            "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("bc"))
+        .select(col("v").as("part_key"), col("n_pivots"), col("bc"))
+        .orderBy(col("part_key"))
+    },
+    Some(s"""
+      WITH $copurchaseAdjSql, pivots AS MATERIALIZED (
+        SELECT v AS p FROM (SELECT DISTINCT src AS v FROM adj) x
+        ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 8
+      ), l0 AS MATERIALIZED (
+        SELECT p, p AS v, CAST(1 AS BIGINT) AS sigma FROM pivots
+      ), l1 AS MATERIALIZED (
+        SELECT s.p, a.dst AS v, CAST(sum(s.sigma) AS BIGINT) AS sigma
+        FROM l0 s JOIN adj a ON a.src = s.v
+        WHERE NOT EXISTS (SELECT 1 FROM l0 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+        GROUP BY 1, 2
+      ), l2 AS MATERIALIZED (
+        SELECT s.p, a.dst AS v, CAST(sum(s.sigma) AS BIGINT) AS sigma
+        FROM l1 s JOIN adj a ON a.src = s.v
+        WHERE NOT EXISTS (SELECT 1 FROM l0 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+        GROUP BY 1, 2
+      ), l3 AS MATERIALIZED (
+        SELECT s.p, a.dst AS v, CAST(sum(s.sigma) AS BIGINT) AS sigma
+        FROM l2 s JOIN adj a ON a.src = s.v
+        WHERE NOT EXISTS (SELECT 1 FROM l0 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+          AND NOT EXISTS (SELECT 1 FROM l2 z
+                          WHERE z.p = s.p AND z.v = a.dst)
+        GROUP BY 1, 2
+      ), d2 AS MATERIALIZED (
+        SELECT c.p, c.v,
+               list_reduce(list(
+                 (CAST(c.sigma AS DOUBLE) / CAST(n.sigma AS DOUBLE))
+                   * (1.0 + 0.0) ORDER BY n.v),
+                 (acc, t) -> acc + t) AS delta
+        FROM l2 c JOIN adj a ON a.src = c.v
+        JOIN l3 n ON n.p = c.p AND n.v = a.dst
+        GROUP BY c.p, c.v
+      ), d1 AS MATERIALIZED (
+        SELECT c.p, c.v,
+               list_reduce(list(
+                 (CAST(c.sigma AS DOUBLE) / CAST(n.sigma AS DOUBLE))
+                   * (1.0 + coalesce(dd.delta, 0.0)) ORDER BY n.v),
+                 (acc, t) -> acc + t) AS delta
+        FROM l1 c JOIN adj a ON a.src = c.v
+        JOIN l2 n ON n.p = c.p AND n.v = a.dst
+        LEFT JOIN d2 dd ON dd.p = n.p AND dd.v = n.v
+        GROUP BY c.p, c.v
+      ), reached AS MATERIALIZED (
+        SELECT p, v FROM l1
+        UNION ALL SELECT p, v FROM l2
+        UNION ALL SELECT p, v FROM l3
+      ), deltas AS MATERIALIZED (
+        SELECT p, v, delta FROM d1 UNION ALL SELECT p, v, delta FROM d2
+      )
+      SELECT r.v AS part_key, CAST(count(*) AS BIGINT) AS n_pivots,
+             list_reduce(list(coalesce(dl.delta, 0.0) ORDER BY r.p),
+               (acc, t) -> acc + t) AS bc
+      FROM reached r
+      LEFT JOIN deltas dl ON dl.p = r.p AND dl.v = r.v
+      GROUP BY r.v
+      ORDER BY part_key"""))
+
   val all: Seq[Q] =
     Seq(q49, q50, q51, q52, q55, q80, q81, q100, q101, q102, q103, q105,
       q113, q131, q133, q139, q141, q142, q144, q145, q146, q147, q151,
@@ -6802,5 +7043,5 @@ object Olap {
       q221, q222, q223, q224, q225, q226, q227, q268, q273, q274, q277,
       q278, q279, q280, q281, q283, q294, q295, q296, q309, q321, q322,
       q333, q337, q348, q351, q361, q369, q370, q384, q399, q400,
-      q407, q409, q410, q415, q417, q418, q427, q430, q433)
+      q407, q409, q410, q415, q417, q418, q427, q430, q433, q434, q435)
 }
