@@ -17,7 +17,14 @@ object BenchScale {
     // events: per-copy user populations are disjoint, so sessions and
     // per-user windows REPLICATE (user count scales, per-user history
     // doesn't — the real shape of a 10× event log)
-    "events" -> Seq("user_id", "event_id"))
+    "events" -> Seq("user_id", "event_id"),
+    // part: q174's BOM edges derive from p_partkey (registerAll also
+    // needs the table present) — replicated since r9 so the recursive
+    // join's 10× trend can be measured; shifted keys make each
+    // replica's synthetic BOM graph disjoint, and children hashed into
+    // another replica's key range simply terminate as leaves (a valid,
+    // slightly shallower BOM — the join cost is what the row measures)
+    "part" -> Seq("p_partkey"))
 
   /** `tables` restricts which fixtures are replicated to what the
     * caller's sweep actually reads — the 50× sweep replicates
@@ -477,7 +484,8 @@ object Bench {
       })
 
     def jstr(s: String): String =
-      "\"" + s.replaceAll("""["\\\\x00-\\x1f]""", " ") + "\""
+      "\"" + s.map(c =>
+        if (c == '"' || c == '\\' || c < ' ') ' ' else c) + "\""
     def sweepJson(sw: Seq[(String, Seq[Run])], tr: Map[String, Forked],
         factor: Int, tag: String, withRuns: Boolean,
         err: Option[String]): String = {

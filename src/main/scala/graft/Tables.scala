@@ -49,7 +49,14 @@ object Tables {
 
   /** Register every fixture as a temp view so `spark.sql(...)` entry points
     * (the reference's psql/clickhouse-client analogs) work side by side with
-    * the DataFrame API. */
+    * the DataFrame API. Tables absent from the dir are skipped with a
+    * stderr note (bench replica dirs carry only the tables their sweep
+    * reads — a SQL query touching a skipped table still fails loudly at
+    * its own view lookup, never silently). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      if (new java.io.File(path(sfDir, n)).exists())
+        load(spark, sfDir, n).createOrReplaceTempView(n)
+      else System.err.println(s"[tables] $n absent in $sfDir — view skipped")
+    }
 }
