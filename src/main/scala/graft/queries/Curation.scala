@@ -2751,9 +2751,103 @@ object Curation {
       FROM shares s CROSS JOIN l1 l
       ORDER BY s.b"""))
 
+  /** q437: PII DETECT-AND-REDACT AUDIT (the scrubbing pass of C4 /
+    * Dolma / CCNet-class curation: Raffel et al. 2020 §2.2 drop rules;
+    * Soldaini et al. 2024 Dolma §4.1's regex email/phone taggers) —
+    * the curation shelf's missing disposal face beside q60's funnel
+    * and q325's quarantine routing: detect structured PII spans
+    * (emails, phone numbers) by regex, REDACT them with typed
+    * placeholders, and emit the per-source audit a compliance review
+    * actually reads (docs flagged, spans by type, exact char delta).
+    * The fixture corpus is word-salad with NO '@' and NO digits
+    * (verified), so detection quality is measurable by construction:
+    * a deterministic md5-nibble-selected ~25% of docs get one
+    * synthetic email + one phone APPENDED (the dose pattern — same
+    * injection in both engines), recall on the injected set is
+    * exactly 1 and false positives exactly 0, and both show in the
+    * audit columns. Patterns are dialect-portable (character classes
+    * + bounded quantifiers — identical semantics in Java regex and
+    * RE2). Scale: one scan, per-row regex work, rollup is
+    * source-dimension-sized; at 100 TB this is the shape of every
+    * tagger pass — no shuffle beyond the final dimension-keyed
+    * aggregate. */
+  val q437 = Q(
+    "q437_pii_scrub",
+    (s, d) => {
+      val emailPat = "[a-z0-9_]+@[a-z]+\\.[a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      val dosed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          when(expr("instr('0123456789abcdef', " +
+            "substring(md5(CAST(doc_id AS STRING)), 1, 1)) <= 4"),
+            concat(col("text"), lit(" contact user_"),
+              col("doc_id").cast(StringType), lit("@example.com"),
+              lit(" or call 555-"),
+              expr("substring(CAST(10000 + doc_id % 10000 AS STRING)," +
+                " 2, 4)")))
+            .otherwise(col("text")).as("text"))
+      val det = dosed.select(col("source"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+          .cast(LongType).as("n_phones"),
+        length(col("text")).cast(LongType).as("chars_before"),
+        length(regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).cast(LongType).as("chars_after"))
+      det.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_phones") > 0L, 1L)
+            .otherwise(0L)).as("n_flagged"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(col("chars_before")).as("chars_before"),
+          sum(col("chars_after")).as("chars_after"))
+        .withColumn("redact_frac",
+          (col("chars_before") - col("chars_after")).cast(DoubleType)
+            / col("chars_before").cast(DoubleType))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH dosed AS (
+        SELECT doc_id, source,
+               CASE WHEN instr('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 4
+                    THEN text || ' contact user_'
+                         || CAST(doc_id AS VARCHAR) || '@example.com'
+                         || ' or call 555-'
+                         || substring(CAST(10000 + doc_id % 10000
+                              AS VARCHAR), 2, 4)
+                    ELSE text END AS text
+        FROM documents
+      ), det AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text,
+                 '[a-z0-9_]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(length(text) AS BIGINT) AS chars_before,
+               CAST(length(regexp_replace(regexp_replace(text,
+                 '[a-z0-9_]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+                 AS chars_after
+        FROM dosed
+      )
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS n_flagged,
+             CAST(sum(n_emails) AS BIGINT) AS n_emails,
+             CAST(sum(n_phones) AS BIGINT) AS n_phones,
+             CAST(sum(chars_before) AS BIGINT) AS chars_before,
+             CAST(sum(chars_after) AS BIGINT) AS chars_after,
+             CAST(sum(chars_before) - sum(chars_after) AS DOUBLE)
+               / CAST(sum(chars_before) AS DOUBLE) AS redact_frac
+      FROM det GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q60, q71, q96, q99, q107, q153, q156, q182, q203, q210, q245,
       q247, q263, q290, q293, q298, q310, q312, q315, q323, q324,
       q329, q330, q331, q334, q343, q357, q359, q360, q365, q372, q386,
-      q392)
+      q392, q437)
 }

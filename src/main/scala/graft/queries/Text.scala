@@ -6296,6 +6296,91 @@ object Text {
       ORDER BY p.doc_id"""
     })
 
+  /** q436: INTERPOLATED KNESER–NEY BIGRAM MODEL (Kneser & Ney 1995,
+    * "Improved backing-off for m-gram language modeling"; the absolute-
+    * discount interpolation of Chen & Goodman 1998 §2.7) — THE n-gram
+    * smoothing of LM data work, completing the language-model shelf
+    * beside q95's raw bigram scorer and q385's Good–Turing discounts:
+    * what makes KN different (and worth shipping) is the CONTINUATION
+    * distribution — a word's unigram backoff weight is how many
+    * distinct contexts it follows (N1+(•w)/|bigram types|), not how
+    * often it occurs, which is exactly the "Francisco problem" the
+    * paper names (frequent-but-one-context words must not inherit
+    * backoff mass). Fixed discount D = 0.75 (Chen–Goodman's canonical
+    * value; exactly representable, so both engines' arithmetic is the
+    * same IEEE sequence):
+    *   P_KN(w2|w1) = (c12 − D)/c1 + (D·N1+(w1•)/c1) · N1+(•w2)/T.
+    * All inputs are exact integers off vocabulary-sized rollups; each
+    * output is the SAME literal expression tree in both engines (one
+    * subtraction, three divisions, two multiplications, one addition —
+    * no fold needed). Readout: top-20 bigrams by (count, w1, w2) with
+    * every component beside the smoothed probability. Per-context mass
+    * check (DuckDB sweep): Σ_w2 P_KN(w2|w1) ≈ 0.9995 with the
+    * remainder being unseen-continuation mass — a valid distribution.
+    * Scale: one corpus scan to bigram counts (map-side combinable);
+    * everything after is vocabulary-sized. */
+  val q436 = Q(
+    "q436_kneser_ney",
+    (s, d) => {
+      import graft.Caches.Tracked
+      // split(…, -1): DuckDB string_split keeps trailing empties and
+      // Spark's 2-arg split drops them — the r6 tokenizer-parity rule
+      val bg = Tables.load(s, d, "documents")
+        .select(split(col("text"), " ", -1).as("ws"))
+        .select(explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+             ELSE transform(sequence(0, size(ws) - 2),
+               i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) END"""))
+          .as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .persistTracked()
+      val ctx = bg.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+      val cont = bg.groupBy(col("w2"))
+        .agg(count(lit(1)).as("n1p_back"))
+      val t = bg.agg(count(lit(1)).as("t_types"))
+      bg.join(graft.operators.Hints.autoBroadcast(ctx), Seq("w1"))
+        .join(graft.operators.Hints.autoBroadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(t))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n1p_fwd"), col("n1p_back"), col("t_types"),
+          (col("n1p_back").cast(DoubleType)
+            / col("t_types").cast(DoubleType)).as("p_cont"),
+          ((col("c12").cast(DoubleType) - lit(0.75))
+            / col("c1").cast(DoubleType)
+            + (lit(0.75) * col("n1p_fwd").cast(DoubleType)
+              / col("c1").cast(DoubleType))
+              * (col("n1p_back").cast(DoubleType)
+                / col("t_types").cast(DoubleType))).as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), bg AS MATERIALIZED (
+        SELECT u.b.w1 AS w1, u.b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM toks, unnest(list_transform(range(1, len(ws)),
+          i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS u(b)
+        GROUP BY 1, 2
+      ), ctx AS MATERIALIZED (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM bg GROUP BY w1
+      ), cont AS MATERIALIZED (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY w2
+      ), t AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bg)
+      SELECT b.w1, b.w2, b.c12, x.c1, x.n1f AS n1p_fwd,
+             k.n1b AS n1p_back, t.t_types,
+             CAST(k.n1b AS DOUBLE) / CAST(t.t_types AS DOUBLE) AS p_cont,
+             (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(x.c1 AS DOUBLE)
+               + (0.75 * CAST(x.n1f AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                 * (CAST(k.n1b AS DOUBLE) / CAST(t.t_types AS DOUBLE))
+               AS p_kn
+      FROM bg b JOIN ctx x USING (w1) JOIN cont k USING (w2), t
+      ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q42, q54, q56, q65, q66, q67, q69, q72,
       q73, q74, q78, q82, q83, q84, q85, q89, q90, q91, q93, q94, q95,
@@ -6303,5 +6388,5 @@ object Text {
       q202, q214, q217, q218, q220, q229, q230, q231, q232, q234, q235,
       q237, q239, q249, q261, q265, q282, q285, q287, q299, q307, q308,
       q317, q318, q335, q341, q347, q366, q371, q379, q385, q393, q394,
-      q401, q402, q403, q404, q405, q406, q411, q419, q421)
+      q401, q402, q403, q404, q405, q406, q411, q419, q421, q436)
 }

@@ -129,4 +129,100 @@ class Round12OperatorsSpec extends SparkSpec {
         "no vertex reached by 2+ pivots — pivot set disconnected")
     } finally graft.Caches.release()
   }
+
+  test("q436 Kneser-Ney: exact component replay; continuation separates") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.load(spark, sf001, "documents")
+      .select(col("text"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val bg = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      for (i <- 0 until ws.length - 1) bg((ws(i), ws(i + 1))) += 1L
+    }
+    val c1 = bg.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n1f = bg.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val n1b = bg.toSeq.groupBy(_._1._2)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = bg.size.toLong
+    val expect = bg.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(20)
+      .map { case ((w1, w2), c12) =>
+        val (cc1, nf, nb) = (c1(w1), n1f(w1), n1b(w2))
+        // the SAME expression tree as both engines
+        val pCont = nb.toDouble / tTypes.toDouble
+        val pKn = (c12.toDouble - 0.75) / cc1.toDouble +
+          (0.75 * nf.toDouble / cc1.toDouble) *
+            (nb.toDouble / tTypes.toDouble)
+        (w1, w2, c12, cc1, nf, nb, tTypes, pCont, pKn)
+      }
+    val got = graft.queries.Text.q436.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    try {
+      assert(got.toSeq == expect, "KN components drifted from replay")
+      // the Kneser-Ney point: continuation mass is DISTINCT-CONTEXT
+      // based — it must not be proportional to raw frequency
+      val freqRank = got.sortBy(-_._6).map(_._2).distinct
+      assert(freqRank.size > 1, "continuation distribution degenerate")
+      assert(got.forall(r => r._9 > 0.0 && r._9 <= 1.0),
+        "smoothed probability outside (0, 1]")
+    } finally graft.Caches.release()
+  }
+
+  test("q437 PII scrub: injection replay; recall 1, false positives 0") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String, String)])
+      .collect()
+    val emailPat = "[a-z0-9_]+@[a-z]+\\.[a-z]+".r
+    val phonePat = "[0-9]{3}-[0-9]{4}".r
+    val injected = docs.count { case (id, _, _) =>
+      "0123456789abcdef".indexOf(md5hex(id.toString).charAt(0)) <= 3
+    }
+    val rep = docs.map { case (id, src, text0) =>
+      val dosed =
+        "0123456789abcdef".indexOf(md5hex(id.toString).charAt(0)) <= 3
+      val text =
+        if (dosed)
+          text0 + " contact user_" + id + "@example.com or call 555-" +
+            (10000 + id % 10000).toString.substring(1)
+        else text0
+      val ne = emailPat.findAllIn(text).size.toLong
+      val np = phonePat.findAllIn(text).size.toLong
+      val after = phonePat.replaceAllIn(
+        emailPat.replaceAllIn(text, "<EMAIL>"), "<PHONE>")
+      (src, ne, np, text.length.toLong, after.length.toLong)
+    }
+    val expect = rep.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val (ne, np) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val (cb, ca) = (xs.map(_._4).sum, xs.map(_._5).sum)
+      (src, xs.length.toLong, xs.count(x => x._2 + x._3 > 0).toLong,
+        ne, np, cb, ca, (cb - ca).toDouble / cb.toDouble)
+    }.sortBy(_._1)
+    val got = graft.queries.Curation.q437.run(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    try {
+      assert(got.toSeq == expect, "PII audit drifted from replay")
+      // word-salad corpus has no '@' and no digits: every flag IS an
+      // injected doc (FP = 0) and every injected doc flags (recall 1)
+      assert(got.map(_._3).sum == injected.toLong,
+        s"flagged ${got.map(_._3).sum} != injected $injected")
+      assert(got.map(_._4).sum == injected.toLong &&
+        got.map(_._5).sum == injected.toLong,
+        "each injected doc must yield exactly one email and one phone")
+      assert(injected > 50, "dose too thin to exercise the detector")
+    } finally graft.Caches.release()
+  }
 }
