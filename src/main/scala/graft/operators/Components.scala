@@ -38,8 +38,15 @@ object Components {
       tag: String = "cc"): DataFrame = {
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     val p0 = pairs.toDF("src", "dst")
+    // dst-partitioned ONCE (r9, guide §2.4 "establish the partitioning
+    // once"): the edge set is static across rounds, and with the
+    // node-sized label side broadcast (below) each round's
+    // neighbor-min groupBy(dst) then reuses this layout with NO
+    // per-round exchange — localCheckpoint preserves the partitioning
+    // through LogicalRDD
     val edges = p0
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = nodes.toDF("id")
       .select(col("id"), col("id").as("lbl"))
@@ -56,26 +63,53 @@ object Components {
       if (v == null) java.math.BigDecimal.ZERO else v
     }
     var prevSum = lblSum(labels)
+    // label frames are node-sized: broadcast them into the static edge
+    // scan when they actually fit (r9, guide §3.1) — a round then runs
+    // broadcast-join → in-place groupBy(dst) with ZERO exchanges over
+    // the edge set. The decision uses the MATERIALIZED node count (the
+    // labels frame is already checkpointed; optimizer size estimates
+    // are opaque for LogicalRDD plans), sized against the session
+    // broadcast threshold at ~16 B per (id, lbl) row — at corpus scale
+    // the count exceeds it and every round falls back to the shuffled
+    // shape unchanged.
+    val bcastRows = {
+      val raw = nodes.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val thr =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch { case _: NumberFormatException => 10L << 20 }
+      thr / 16
+    }
+    val nNodes = labels.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (nNodes <= bcastRows) broadcast(df) else df
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
       val tRound = System.nanoTime()
       val nbrMin = edges
         .join(
-          labels.select(col("id").as("src"), col("lbl").as("nlbl")),
+          maybeBcast(
+            labels.select(col("id").as("src"), col("lbl").as("nlbl"))),
           Seq("src"))
         .groupBy(col("dst")).agg(min(col("nlbl")).as("nmin"))
+      // stepped is CHECKPOINTED before the halving self-join (r9): its
+      // two join sides shuffle on DIFFERENT keys (lbl vs mid), so no
+      // exchange reuse applies and a lazy plan would run the whole
+      // edge-sized nbrMin pipeline twice per round
       val stepped = labels
-        .join(nbrMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(maybeBcast(nbrMin.withColumnRenamed("dst", "id")),
+          Seq("id"), "left")
         .select(
           col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // pointer halving: follow my label to ITS label (labels only ever
       // decrease, so label(label(id)) <= label(id))
       val lblMap =
         stepped.select(col("id").as("mid"), col("lbl").as("mlbl"))
       val jumped = stepped
-        .join(lblMap, col("lbl") === col("mid"), "left")
+        .join(maybeBcast(lblMap), col("lbl") === col("mid"), "left")
         .select(
           col("id"),
           least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))

@@ -140,23 +140,31 @@ object Dedup {
       // up k times): shuffling two shingle ARRAYS per candidate through the
       // distinct would dominate the stage; the arrays are joined back in
       // only for the surviving pairs.
-      val candidates = bands.as("a")
-        .join(
-          bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"))
+      // r9 (guide §2.4): candidates from bucket POSTING LISTS — one
+      // groupBy over the band frame and an in-operator sorted-id pair
+      // explode (identical pair set to the old band self-join, which
+      // shuffled and sorted two copies of the cached band frame); the
+      // shingle-set attach joins are size-conditionally broadcast so
+      // surviving pairs stream (guide §3.1)
+      val candidates = bands
+        .groupBy(col("band_id"), col("band_sig"))
+        .agg(expr("sort_array(collect_set(doc_id))").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids)),
+                 y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       val shingleSets = bands
         .select(col("doc_id"), col("shingles")).distinct()
       val pairs = candidates
-        .join(shingleSets.select(
-          col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-        .join(shingleSets.select(
-          col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+        .join(Hints.autoBroadcast(shingleSets.select(
+          col("doc_id").as("doc_a"), col("shingles").as("sa"))),
+          Seq("doc_a"))
+        .join(Hints.autoBroadcast(shingleSets.select(
+          col("doc_id").as("doc_b"), col("shingles").as("sb"))),
+          Seq("doc_b"))
       pairs
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn(
@@ -208,10 +216,13 @@ object Dedup {
     "q201_neardup_firstwin",
     (s, d) => {
       val bands = minhashBands(s, d)
-      val firsts = bands.groupBy(col("band_id"), col("band_sig"))
-        .agg(min(col("doc_id")).as("first_id"))
+      // r9: per-bucket min as a window over the same band partitioning
+      // instead of a groupBy + join-back — one shuffle of the band
+      // frame fewer, identical per-row first_id
       bands
-        .join(firsts, Seq("band_id", "band_sig"))
+        .withColumn("first_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_id"), col("band_sig"))))
         .groupBy(col("doc_id"))
         .agg(sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
           .as("n_dup_bands"))
@@ -271,12 +282,15 @@ object Dedup {
   private def prefixRows(
       docs: org.apache.spark.sql.DataFrame,
       order: org.apache.spark.sql.DataFrame,
-      t: Double): org.apache.spark.sql.DataFrame =
+      t: Double,
+      // optional constant-per-doc passthrough column (the Across form's
+      // probe/build tag) carried through the per-doc groupBy
+      sideCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val keys = Seq("doc_id", "lang", "source") ++ sideCol
     docs.select(
-        col("doc_id"), col("lang"), col("source"),
-        explode(col("toks")).as("tok"))
+        keys.map(col) :+ explode(col("toks")).as("tok"): _*)
       .join(Hints.autoBroadcast(order), Seq("tok"))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .groupBy(keys.map(col): _*)
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
         "s -> s.tok)").as("sorted_toks"))
       .withColumn(
@@ -284,8 +298,8 @@ object Dedup {
         expr(s"slice(sorted_toks, 1, size(sorted_toks) " +
           s"- CAST(ceil($t * size(sorted_toks)) AS INT) + 1)"))
       .select(
-        col("doc_id"), col("lang"), col("source"),
-        explode(col("prefix")).as("tok"))
+        keys.map(col) :+ explode(col("prefix")).as("tok"): _*)
+  }
 
   /** Exact verification of candidate pairs: token sets joined back,
     * length-ratio prefilter (implied by jaccard ≥ t — skips the
@@ -295,13 +309,17 @@ object Dedup {
       setsA: org.apache.spark.sql.DataFrame,
       setsB: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame =
+    // token-set sides are doc-sized and size-conditionally broadcast
+    // (r9, guide §3.1): when they fit, the candidate pairs stream
+    // through two broadcast-hash joins instead of being shuffled and
+    // sorted twice; beyond the threshold the joins fall back unchanged
     candidates
-      .join(setsA.select(
+      .join(Hints.autoBroadcast(setsA.select(
         col("doc_id").as("doc_a"), col("toks").as("ta"),
-        col("sz").as("la")), Seq("doc_a"))
-      .join(setsB.select(
+        col("sz").as("la"))), Seq("doc_a"))
+      .join(Hints.autoBroadcast(setsB.select(
         col("doc_id").as("doc_b"), col("toks").as("tb"),
-        col("sz").as("lb")), Seq("doc_b"))
+        col("sz").as("lb"))), Seq("doc_b"))
       .filter(
         least(col("la"), col("lb")).cast(DoubleType) >=
           greatest(col("la"), col("lb")) * t)
@@ -316,16 +334,26 @@ object Dedup {
 
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame, t: Double)
       : org.apache.spark.sql.DataFrame = {
-    val prefixes = prefixRows(docs, dfTable(docs), t)
-    val candidates = prefixes.as("a")
-      .join(
-        prefixes.as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") &&
-          col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidates via POSTING LISTS instead of the prefix-row self-join
+    // (r9 optimization, guide §2.3/§2.4): the self-join form ran the
+    // whole prefix pipeline TWICE (no CSE across self-join sides) and
+    // shuffled+sorted both copies into a sort-merge join; grouping the
+    // prefix rows once per (lang, source, tok) and exploding in-bucket
+    // id pairs produces the IDENTICAL candidate set — ids are sorted, so
+    // the x < y explode is exactly the a.doc_id < b.doc_id join output —
+    // with ONE pass over the pipeline and one groupBy shuffle. Per-task
+    // memory is bounded by the largest prefix posting list (rare-first
+    // tokens keep these short; the pair EXPLOSION is the same either
+    // way — a hot token costs the self-join the same quadratic output).
+    val candidates = prefixRows(docs, dfTable(docs), t)
+      .groupBy(col("lang"), col("source"), col("tok"))
+      .agg(expr("sort_array(collect_set(doc_id))").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
     verifyJaccard(candidates, sets, sets, t)
@@ -342,15 +370,28 @@ object Dedup {
       probe: org.apache.spark.sql.DataFrame,
       build: org.apache.spark.sql.DataFrame,
       t: Double): org.apache.spark.sql.DataFrame = {
-    val order = dfTable(probe.unionByName(build))
-    val candidates = prefixRows(probe, order, t).as("a")
-      .join(
-        prefixRows(build, order, t).as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") &&
-          col("a.tok") === col("b.tok"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Same posting-list rewrite as [[jaccardPairs]] (r9, guide §2.3/
+    // §2.4), asymmetric form: ONE prefix pipeline over the side-tagged
+    // union (the join form ran prefixRows — explode + df join + sorted
+    // groupBy — once per side, and dfTable(probe ∪ build) TWICE, once
+    // under each call), then per-token probe×build id cross products.
+    // Identical candidate set: the old join emitted (a ∈ probe,
+    // b ∈ build) per shared (lang, source, tok); so does the explode.
+    val cols = Seq("doc_id", "lang", "source", "toks", "sz").map(col)
+    val tagged = probe.select(cols: _*).withColumn("_side", lit(1))
+      .unionByName(build.select(cols: _*).withColumn("_side", lit(0)))
+    val candidates = prefixRows(tagged, dfTable(tagged), t,
+        sideCol = Some("_side"))
+      .groupBy(col("lang"), col("source"), col("tok"))
+      .agg(
+        collect_set(when(col("_side") === 1, col("doc_id"))).as("pids"),
+        collect_set(when(col("_side") === 0, col("doc_id"))).as("bids"))
+      .filter(size(col("pids")) > 0 && size(col("bids")) > 0)
+      .select(explode(expr(
+        """flatten(transform(pids, x ->
+             transform(bids, y -> struct(x AS doc_a, y AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     verifyJaccard(
       candidates,
@@ -369,7 +410,7 @@ object Dedup {
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persistTracked()
+        .persistTrackedSer()
       jaccardPairs(docs, 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -828,7 +869,7 @@ object Dedup {
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
         .withColumn("is_batch", expr(Det.hashSampleExpr("doc_id")))
-        .persistTracked()
+        .persistTrackedSer()
       val batch = base.filter(col("is_batch"))
       val corpus = base.filter(!col("is_batch"))
       val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
@@ -967,7 +1008,7 @@ object Dedup {
             "element_at(ws, i + 1), ' ', element_at(ws, i + 2))))")
           .as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persistTracked()
+        .persistTrackedSer()
       val dfT = docs.select(explode(col("toks")).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       val prefix = docs
@@ -1052,16 +1093,21 @@ object Dedup {
     "q236_incremental_clusters",
     (s, d) => {
       import graft.Caches.Tracked
+      // SERIALIZED persist + no separate old/fresh caches (r9, r8
+      // verdict item #3's q68 fix applied here too): the token-array
+      // frame is the 50×-sweep GC driver, and caching the two filtered
+      // halves BESIDE the whole doubled the cached bytes — a filter
+      // over the serialized parent cache is cheaper than the GC bill
       val all0 = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persistTracked()
+        .persistTrackedSer()
       // scale-relative cut (the q207 pattern): 80% of the id span
       val cut = all0.agg(max(col("doc_id")).as("m")).head().getLong(0) * 4 / 5
-      val old = all0.filter(col("doc_id") <= cut).persistTracked()
-      val fresh = all0.filter(col("doc_id") > cut).persistTracked()
+      val old = all0.filter(col("doc_id") <= cut)
+      val fresh = all0.filter(col("doc_id") > cut)
       // yesterday's state: full labels over the old corpus only
       val state = graft.operators.Components.connectedComponents(
         old.select(col("doc_id").as("id")),
@@ -1138,16 +1184,18 @@ object Dedup {
     "q238_incremental_store",
     (s, d) => {
       import graft.Caches.Tracked
+      // serialized single cache, filtered halves uncached (r9 — see
+      // q236's note; identical GC rationale)
       val all0 = Tables.load(s, d, "documents")
         .select(
           col("doc_id"), col("lang"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persistTracked()
+        .persistTrackedSer()
       // scale-relative cut (the q207 pattern): 80% of the id span
       val cut = all0.agg(max(col("doc_id")).as("m")).head().getLong(0) * 4 / 5
-      val old = all0.filter(col("doc_id") <= cut).persistTracked()
-      val fresh = all0.filter(col("doc_id") > cut).persistTracked()
+      val old = all0.filter(col("doc_id") <= cut)
+      val fresh = all0.filter(col("doc_id") > cut)
       // content fingerprint of EXACTLY the rows the state summarizes
       // (bounded: a 1-row aggregate over the already-persisted frame)
       val fp = old.agg(

@@ -1226,29 +1226,41 @@ object Olap {
     (s, d) => {
       import graft.operators.Hints.autoBroadcast
       import graft.Caches.Tracked
-      val delays = Tables.load(s, d, "lineitem")
+      // r9 (guide §2.3 — shuffle fewer bytes): the exact ceil-rank
+      // percentile VALUE depends only on the per-priority delay
+      // SPECTRUM (the row at rank r carries the smallest delay whose
+      // cumulative count reaches r — the (orderkey, linenumber)
+      // tiebreak orders rows WITHIN equal delays and cannot change the
+      // delay at any rank), so the full-fact row_number window (5
+      // single-priority sort tasks over the whole join) collapses to
+      // one (pri, delay) rollup; everything downstream is
+      // spectrum-sized (~thousands of rows at any corpus size).
+      val spec = Tables.load(s, d, "lineitem")
         .join(Tables.load(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority").as("pri"),
-          col("l_orderkey"), col("l_linenumber"),
           datediff(col("l_shipdate"), col("o_orderdate"))
             .cast(LongType).as("delay"))
-      val w = Window.partitionBy(col("pri"))
-        .orderBy(col("delay"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = delays.withColumn("rn", row_number().over(w))
-        .persistTracked()
-      val counts = ranked.groupBy(col("pri"))
-        .agg(max(col("rn")).cast(LongType).as("n"),
-          sum(col("delay")).as("sum_d"),
-          sum(when(col("delay") < 0, 1L).otherwise(0L)).as("n_anomalies"))
-      val p50 = ranked.join(autoBroadcast(counts), Seq("pri"))
-        .filter(col("rn") === expr("(n * 50 + 99) div 100"))
-        .select(col("pri"), col("delay").as("p50_days"))
-      val p90 = ranked.join(autoBroadcast(counts), Seq("pri"))
-        .filter(col("rn") === expr("(n * 90 + 99) div 100"))
-        .select(col("pri"), col("delay").as("p90_days"))
-      counts.join(autoBroadcast(p50), Seq("pri"))
-        .join(autoBroadcast(p90), Seq("pri"))
+        .groupBy(col("pri"), col("delay"))
+        .agg(count(lit(1)).as("c"))
+        .persistTracked() // cum + counts both read the spectrum
+      val cum = spec.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("pri"))
+          .orderBy(col("delay"))))
+      val counts = spec.groupBy(col("pri"))
+        .agg(sum(col("c")).cast(LongType).as("n"),
+          sum(col("delay") * col("c")).as("sum_d"),
+          sum(when(col("delay") < 0, col("c")).otherwise(0L))
+            .cast(LongType).as("n_anomalies"))
+      cum.join(autoBroadcast(counts), Seq("pri"))
+        .groupBy(col("pri"))
+        .agg(
+          max(col("n")).as("n"), max(col("n_anomalies")).as("n_anomalies"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
+            col("delay"))).as("p50_days"),
+          min(when(col("cum") >= expr("(n * 90 + 99) div 100"),
+            col("delay"))).as("p90_days"),
+          max(col("sum_d")).as("sum_d"))
         .select(col("pri"), col("n"), col("n_anomalies"),
           col("p50_days"), col("p90_days"),
           (col("sum_d").cast(DoubleType) / col("n").cast(DoubleType))
@@ -1655,20 +1667,23 @@ object Olap {
         .select(col("l_orderkey"), col("l_suppkey"),
           (datediff(col("sd"), col("od")) > 90).as("late"))
         .persistTracked()
-      val pairs = l.select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk")).distinct().persistTracked()
-      val latePairs = l.filter(col("late"))
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val l1 = l.filter(col("late"))
-      // EXISTS: another supplier appears in the same order
-      val withOther = l1.join(pairs,
-        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
-        "left_semi")
-      // NOT EXISTS: no OTHER supplier is late in the same order
-      val blamed = withOther.join(latePairs,
-        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
-        "left_anti")
+      // r9 (guide §2.4 — remove shuffles outright): the EXISTS/NOT
+      // EXISTS pair decorrelates into ONE per-order aggregate — "another
+      // supplier appears in the order" ⟺ distinct suppliers ≥ 2, and
+      // "no OTHER supplier is late" for an already-late row ⟺ the
+      // order's distinct LATE suppliers = 1 (the row's own). Replaces
+      // two distinct passes + a semi + an anti join (five shuffles of
+      // the fact frame) with one grouped aggregate + one join against
+      // an order-sized frame.
+      val perOrder = l.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("nsup"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+        .filter(col("nsup") >= 2 && col("nlate") === 1)
+        .select(col("ok"))
+      val blamed = l.filter(col("late"))
+        .join(graft.operators.Hints.autoBroadcast(perOrder),
+          col("l_orderkey") === col("ok"), "left_semi")
       val sup = Tables.load(s, d, "supplier")
         .select(col("s_suppkey"), col("s_name"))
       blamed.groupBy(col("l_suppkey"))
@@ -2056,9 +2071,10 @@ object Olap {
     "q167_triangle_count",
     (s, d) => {
       import graft.Caches.Tracked
+      // r9: no distinct/persist on the fact projection — collect_set
+      // dedups per basket and the frame has a single consumer
       val op = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .persistTracked()
+        .select(col("l_orderkey"), col("l_partkey"))
       // undirected edges a<b from bounded per-basket explode (q144 shape)
       val edges = op.groupBy(col("l_orderkey"))
         .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
@@ -2089,14 +2105,23 @@ object Olap {
             .as("hi"),
           when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka"))
             .as("rkhi"))
+      // EDGE-ITERATOR count (r9, the q427 cut applied here): per
+      // oriented edge (lo, hi), triangles closed above it are
+      // |N⁺(lo) ∩ N⁺(hi)| — computed as one codegen'd array_intersect
+      // over out-neighbor arrays instead of MATERIALIZING the wedge set
+      // through a shuffle and joining it back (the wedge row count is
+      // the same Σ d⁺(v)² work, but as in-operator array scans). Each
+      // triangle is still counted exactly once, from its min-rank
+      // vertex; out-arrays are O(√|E|)-bounded by the orientation.
+      val adjO = oriented.groupBy(col("lo"))
+        .agg(expr("sort_array(collect_list(hi))").as("nbrs"))
         .persistTracked()
-      // wedges from the min-rank vertex; closing edge looked up oriented
-      val wedges = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.lo") === col("e2.lo") && col("e1.rkhi") < col("e2.rkhi"))
-        .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
-      val nTri = wedges.join(oriented.select(col("lo"), col("hi")),
-          Seq("lo", "hi"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val nTri = adjO
+        .select(col("nbrs").as("na"), explode(col("nbrs")).as("lo"))
+        .join(graft.operators.Hints.autoBroadcast(
+          adjO.select(col("lo"), col("nbrs").as("nb"))), Seq("lo"))
+        .agg(sum(size(array_intersect(col("na"), col("nb"))))
+          .cast(LongType).as("n_triangles"))
       val census = deg.agg(
         count(lit(1)).as("n_nodes"),
         expr("sum(dg) div 2").as("n_edges"),
@@ -2387,29 +2412,38 @@ object Olap {
           sum(Det.cents(col("o_totalprice"))).as("money_c"))
         .persistTracked()
       val anchor = per.agg(max(col("last_d")).as("max_d"))
+      // r9 (guide §2.6 — overlap independent work): the three quintiles
+      // were CHAINED (F ranked the output of R, M the output of F), so
+      // their three range-shuffle + offsets + ntile pipelines ran
+      // strictly in sequence; each rank depends only on `base`, so they
+      // now run as INDEPENDENT branches of one DAG (sibling stages
+      // schedule concurrently) and join back on the customer key —
+      // identical ranks, ~⅓ the critical path of fixed per-pass costs
       val base = per.crossJoin(broadcast(anchor))
         .select(col("o_custkey"),
           datediff(col("max_d"), col("last_d")).cast(LongType)
             .as("recency_days"),
           col("freq"), col("money_c"))
-      def quintile(df: org.apache.spark.sql.DataFrame,
-          order: Seq[org.apache.spark.sql.Column], out: String) = {
+        .persistTracked()
+      def quintile(order: Seq[org.apache.spark.sql.Column], out: String) = {
         val ranked = graft.operators.GlobalOrder.withOrderedCumsum(
-          df, order, lit(1L), "rk")
+          base, order, lit(1L), "rk")
         val tot = ranked.agg(max(col("rk")).as("n"))
         ranked.crossJoin(broadcast(tot))
           .withColumn(out, graft.operators.GlobalOrder
             .ntileFromRank(col("rk"), col("n"), 5))
-          .drop("rk", "n")
+          .select(col("o_custkey"), col(out))
       }
       // R: quintile 5 = most recent → order DESC by staleness
-      val withR = quintile(base,
-        Seq(col("recency_days").desc, col("o_custkey")), "r_q")
-      val withF = quintile(withR,
-        Seq(col("freq"), col("o_custkey")), "f_q")
-      val withM = quintile(withF,
-        Seq(col("money_c"), col("o_custkey")), "m_q")
-      withM.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      val withRFM = base
+        .join(quintile(
+          Seq(col("recency_days").desc, col("o_custkey")), "r_q"),
+          Seq("o_custkey"))
+        .join(quintile(Seq(col("freq"), col("o_custkey")), "f_q"),
+          Seq("o_custkey"))
+        .join(quintile(Seq(col("money_c"), col("o_custkey")), "m_q"),
+          Seq("o_custkey"))
+      withRFM.groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_cust"),
           (sum(col("money_c")).cast(DoubleType) / lit(100.0))
             .as("segment_value"))
@@ -2694,20 +2728,29 @@ object Olap {
     * the expensive stage and every graph consumer reads it from
     * multiple plan branches. */
   private def copurchaseAdj(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String,
+      // r9 (guide §2.4): an iterative consumer whose per-round
+      // aggregate groups on one endpoint passes it here, so the cached
+      // edge set is laid out for that aggregate ONCE and every round's
+      // groupBy runs exchange-free (the rank/label side is node-sized
+      // and broadcast-joined in)
+      partitionKey: Option[String] = None): DataFrame = {
     import graft.Caches.Tracked
     val und = copurchasePairs(s, d).select(col("a"), col("b"))
-    und.select(col("a").as("src"), col("b").as("dst"))
+    val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .persistTracked()
+    partitionKey.fold(adj)(k => adj.repartition(col(k))).persistTracked()
   }
 
   /** Undirected co-purchase pairs WITH their support count (a, b, n_ab)
     * — the shared explosion [[copurchaseAdj]] symmetrizes and
     * [[copurchaseAdjW]] turns into edge weights. */
   private def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    // r9: no up-front distinct — the per-basket collect_set dedups
+    // (orderkey, partkey) exactly; the separate pass was one full
+    // shuffle + two hash aggregates of the fact projection for nothing
     val op = Tables.load(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
     op.groupBy(col("l_orderkey"))
       .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
       .select(explode(expr(
@@ -2767,10 +2810,13 @@ object Olap {
         .toDF("part_key", "bfs_level").localCheckpoint()
       var frontier = levels
       for (l <- 1 to 3) {
-        val next = frontier
+        // frontier/visited sets are node-sized: broadcast them into the
+        // cached edge scan (r9, guide §3.1) — no per-round edge shuffle
+        val next = graft.operators.Hints.autoBroadcast(frontier)
           .join(adj, col("part_key") === col("src"))
           .select(col("dst").as("part_key")).distinct()
-          .join(levels.select(col("part_key")), Seq("part_key"),
+          .join(graft.operators.Hints.autoBroadcast(
+            levels.select(col("part_key"))), Seq("part_key"),
             "left_anti")
           .withColumn("bfs_level", lit(l))
           .localCheckpoint()
@@ -2810,7 +2856,9 @@ object Olap {
     "q204_pagerank_fixedpoint",
     (s, d) => {
       import graft.Caches.Tracked
-      val adj = copurchaseAdj(s, d)
+      // dst-partitioned: each round's contrib groupBy(dst) reuses the
+      // cached layout with no exchange (shares is broadcast into it)
+      val adj = copurchaseAdj(s, d, partitionKey = Some("dst"))
       val outdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = adj.select(col("src").as("v")).distinct()
         .persistTracked()
@@ -3790,7 +3838,9 @@ object Olap {
       var dist = Seq((source, 0L)).toDF("part_key", "cost")
         .localCheckpoint()
       for (_ <- 1 to 3) {
-        dist = dist
+        // dist is node-sized: broadcast it into the cached edge scan
+        // (r9, guide §3.1) — no per-round edge shuffle
+        dist = graft.operators.Hints.autoBroadcast(dist)
           .join(adj, col("part_key") === col("src"))
           .select(col("dst").as("part_key"),
             (col("cost") + col("w")).as("cost"))
@@ -3834,7 +3884,13 @@ object Olap {
   val q274 = Q(
     "q274_kcore",
     (s, d) => {
-      val adj = copurchaseAdj(s, d)
+      // src-partitioned edge cache + broadcast keep sets (r9, guide
+      // §2.4/§3.1): the degree groupBy(src) reuses the cached layout,
+      // and with both semi-join sides node-sized and broadcast the
+      // surviving edge set KEEPS hashpartitioning(src) through every
+      // peel — all 8 rounds run exchange-free while the keep set fits
+      // the broadcast threshold (falls back to shuffles beyond)
+      val adj = copurchaseAdj(s, d, partitionKey = Some("src"))
       var edges = adj
       var survivors = adj // reassigned every round; round 8's keep set
       var counts = List.empty[Long]
@@ -3845,8 +3901,10 @@ object Olap {
         counts = keep.count() :: counts
         survivors = keep
         edges = edges
-          .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .join(graft.operators.Hints.autoBroadcast(
+            keep.select(col("v").as("src"))), Seq("src"), "left_semi")
+          .join(graft.operators.Hints.autoBroadcast(
+            keep.select(col("v").as("dst"))), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint()
       }
@@ -3908,12 +3966,22 @@ object Olap {
       import graft.Caches.Tracked
       val e = copurchasePairs(s, d).select(col("a"), col("b"))
         .persistTracked()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
-          col("e2.b").as("tc"))
-        .join(e.select(col("a").as("ta"), col("b").as("tc")),
-          Seq("ta", "tc"), "left_semi")
+      // r9 (the q167/q427 cut): triples a<b<c enumerated from sorted
+      // HIGHER-neighbour arrays — for each edge (a, b), the closing
+      // vertices are array_intersect(N⁺(a), N⁺(b)) exploded in-operator;
+      // identical triple set to the old wedge join + closing semi-join,
+      // which materialized every wedge through a shuffle
+      val adjHi = e.groupBy(col("a"))
+        .agg(expr("sort_array(collect_list(b))").as("nbrs"))
+        .persistTracked()
+      val tri = adjHi
+        .select(col("a").as("ta"), col("nbrs").as("na"),
+          explode(col("nbrs")).as("tb"))
+        .join(graft.operators.Hints.autoBroadcast(
+          adjHi.select(col("a").as("tb"), col("nbrs").as("nb"))),
+          Seq("tb"))
+        .select(col("ta"), col("tb"),
+          explode(array_intersect(col("na"), col("nb"))).as("tc"))
       val triCnt = tri
         .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("tri"))
@@ -3985,23 +4053,28 @@ object Olap {
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
         .persistTracked()
       // hub cap: keep each centre's first `hubCap` neighbours (dst asc)
-      val capped = adj
-        .withColumn("nbr_rank", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))))
-        .filter(col("nbr_rank") <= hubCap)
-        .select(col("src"), col("dst"))
-        .persistTracked()
-      val cand = capped.as("x")
-        .join(capped.as("y"),
-          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-        .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      // — r9: the capped neighbour list is built as ONE sorted array
+      // per centre and wedges explode from it in-operator (identical
+      // pair set to the old row_number window + capped self-join, which
+      // paid a full window sort plus two sorted join sides); the
+      // neighbour arrays are hubCap-bounded by construction
+      val cand = adj.groupBy(col("src"))
+        .agg(expr(s"slice(sort_array(collect_list(dst)), 1, $hubCap)")
+          .as("ns"))
+        .select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+               transform(slice(ns, i + 2, size(ns)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .select(col("p.a"), col("p.b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
         .join(e, Seq("a", "b"), "left_anti")
       val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       cand
-        .join(deg.select(col("src").as("a"), col("deg").as("deg_a")),
+        .join(graft.operators.Hints.autoBroadcast(
+          deg.select(col("src").as("a"), col("deg").as("deg_a"))),
           Seq("a"))
-        .join(deg.select(col("src").as("b"), col("deg").as("deg_b")),
+        .join(graft.operators.Hints.autoBroadcast(
+          deg.select(col("src").as("b"), col("deg").as("deg_b"))),
           Seq("b"))
         .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
           col("cn").cast(DoubleType)
@@ -4224,7 +4297,13 @@ object Olap {
   val q283 = Q(
     "q283_lpa_communities",
     (s, d) => {
-      val adj = copurchaseAdj(s, d)
+      // src-partitioned edge cache + broadcast node-sized labels (r9,
+      // guide §2.4/§3.1): hashpartitioning(src) satisfies both the
+      // (src, lbl) vote groupBy and the per-src top-1 window, so with
+      // the label side broadcast each round runs with ZERO exchanges
+      // over the edge set; at corpus scale the size-conditional hint
+      // no-ops and the round falls back to the shuffled shape
+      val adj = copurchaseAdj(s, d, partitionKey = Some("src"))
       var labels = adj.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
         .localCheckpoint()
@@ -4232,7 +4311,8 @@ object Olap {
         .orderBy(col("c").desc, col("lbl").asc)
       for (_ <- 1 to 4) {
         labels = adj
-          .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+          .join(graft.operators.Hints.autoBroadcast(
+            labels.select(col("v").as("dst"), col("lbl"))), Seq("dst"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -5294,10 +5374,13 @@ object Olap {
         .toDF("source", "v", "dist").localCheckpoint()
       var frontier = levels
       for (l <- 1 to 4) {
-        val next = frontier
+        // frontier/visited are node-sized: broadcast into the cached
+        // edge scan (r9, guide §3.1) — no per-round edge shuffle
+        val next = graft.operators.Hints.autoBroadcast(frontier)
           .join(adj, col("v") === col("src"))
           .select(col("source"), col("dst").as("v")).distinct()
-          .join(levels.select(col("source"), col("v")),
+          .join(graft.operators.Hints.autoBroadcast(
+            levels.select(col("source"), col("v"))),
             Seq("source", "v"), "left_anti")
           .withColumn("dist", lit(l.toLong))
           .localCheckpoint()
@@ -6569,8 +6652,9 @@ object Olap {
     "q427_ktruss",
     (s, d) => {
       import graft.Caches.Tracked
+      // r9: no up-front distinct — collect_set dedups per basket
       val op = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
       val undirected = op.groupBy(col("l_orderkey"))
         .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
         .select(explode(expr(
@@ -6587,15 +6671,21 @@ object Olap {
       // codegen'd array_intersect counts common neighbors in place.
       // supp = 0 edges survive the join (readout filters ≥1).
       def support(e: DataFrame): DataFrame = {
+        // r9: the adjacency is PERSISTED (both the na and nb branches
+        // read it — unpersisted, the 2|E|-row groupBy ran twice per
+        // round) and the a-side arrays come straight off the adjacency
+        // explode (a < b reproduces e exactly), so each round pays ONE
+        // join instead of two
         val adj = e.select(col("a").as("v"), col("b").as("w"))
           .unionAll(e.select(col("b").as("v"), col("a").as("w")))
           .groupBy(col("v"))
           .agg(expr("sort_array(collect_list(w))").as("nbrs"))
-        val adjA = graft.operators.Hints.autoBroadcast(
-          adj.select(col("v").as("a"), col("nbrs").as("na")))
-        val adjB = graft.operators.Hints.autoBroadcast(
-          adj.select(col("v").as("b"), col("nbrs").as("nb")))
-        e.join(adjA, Seq("a")).join(adjB, Seq("b"))
+          .persistTracked()
+        adj.select(col("v").as("a"), col("nbrs").as("na"),
+            explode(col("nbrs")).as("b"))
+          .filter(col("a") < col("b"))
+          .join(graft.operators.Hints.autoBroadcast(
+            adj.select(col("v").as("b"), col("nbrs").as("nb"))), Seq("b"))
           .select(col("a"), col("b"),
             size(array_intersect(col("na"), col("nb")))
               .cast(LongType).as("supp"))
@@ -6925,11 +7015,15 @@ object Olap {
       for (_ <- 1 to 3) {
         val visited = lvls.map(_.select(col("p"), col("v")))
           .reduce(_ unionAll _)
-        val nxt = lvls.head.join(adj, col("v") === col("src"))
+        // per-pivot level frames are node-sized: broadcast into the
+        // cached edge scan (r9, guide §3.1)
+        val nxt = graft.operators.Hints.autoBroadcast(lvls.head)
+          .join(adj, col("v") === col("src"))
           .groupBy(col("p"), col("dst"))
           .agg(sum(col("sigma")).as("sigma"))
           .select(col("p"), col("dst").as("v"), col("sigma"))
-          .join(visited, Seq("p", "v"), "left_anti")
+          .join(graft.operators.Hints.autoBroadcast(visited),
+            Seq("p", "v"), "left_anti")
           .localCheckpoint()
         lvls = nxt :: lvls
       }
@@ -6942,8 +7036,10 @@ object Olap {
           .select(col("p").as("np"), col("v").as("w"),
             col("sigma").as("sw"),
             coalesce(col("delta"), lit(0.0)).as("dw"))
-        cur.join(adj, col("v") === col("src"))
-          .join(nd, col("p") === col("np") && col("dst") === col("w"))
+        graft.operators.Hints.autoBroadcast(cur)
+          .join(adj, col("v") === col("src"))
+          .join(graft.operators.Hints.autoBroadcast(nd),
+            col("p") === col("np") && col("dst") === col("w"))
           .withColumn("term",
             col("sigma").cast(DoubleType) / col("sw").cast(DoubleType)
               * (lit(1.0) + col("dw")))

@@ -1983,28 +1983,45 @@ object Sim {
     "q363_power_iteration",
     (s, d) => {
       import graft.Caches.Tracked
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"),
+      // Gram entries straight off each row's OWN array (r9, guide
+      // §2.3/§2.4): the old shape posexploded to 64 rows/vec and
+      // SELF-JOINED on vec_id — two shuffles of the exploded frame and
+      // a 64²-rows/vec join output. One upper-triangle pair explode per
+      // row needs NO shuffle before the partial aggregate, and emits
+      // 64·65/2 products/vec; the strict-lower half is mirrored from
+      // the aggregate (qi·qj = qj·qi exactly — same BIGINT sums).
+      val g = Tables.load(s, d, "embeddings")
+        .select(
           expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
             "x -> CAST(round(x * 16384) AS BIGINT))").as("qv"))
-        .select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "qi")))
+        .select(explode(expr(
+          """flatten(transform(qv, (x, i) ->
+               transform(slice(qv, i + 1, size(qv) - i),
+                 (y, k) -> struct(i AS i, i + k AS j, x * y AS p))))"""))
+          .as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("gij"))
         .persistTracked()
-      val g = e
-        .join(e.select(col("vec_id"), col("i").as("j"),
-          col("qi").as("qj")), Seq("vec_id"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("qi") * col("qj")).as("gij"))
+      val gFull = g
+        .unionAll(g.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("gij")))
         .persistTracked()
-      var v = g.select(col("i")).distinct()
+      var v = gFull.select(col("i")).distinct()
         .select(col("i"), lit(0.125).as("vi")) // 1/8 = unit norm, 64 dims
       var nrm: org.apache.spark.sql.DataFrame = null
       (1 to PowerIters).foreach { _ =>
-        val w = g
+        // w is CHECKPOINTED per iteration (r9): it feeds both the norm
+        // aggregate (a broadcast subtree) and the normalized v, so a
+        // lazy 64-row frame would be recomputed twice per round and the
+        // nested plan would grow exponentially across rounds (measured:
+        // iters 0.8 → 1.4 → 2.7 s before; ~0.1 s each after)
+        val w = gFull
           .join(v.select(col("i").as("j"), col("vi").as("vj")), Seq("j"))
           .withColumn("t", col("gij").cast(DoubleType) * col("vj"))
           .groupBy(col("i"))
           .agg(expr("aggregate(array_sort(collect_list(struct(j, t))), " +
             "CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)").as("wi"))
+          .localCheckpoint()
         nrm = w.agg(
           sqrt(expr("aggregate(array_sort(collect_list(struct(i, wi))), " +
             "CAST(0 AS DOUBLE), (acc, x) -> acc + x.wi * x.wi)"))

@@ -2732,23 +2732,30 @@ object Text {
       val tok = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .persistTracked()
-      val totals = tok.agg(
-        count(lit(1)).as("t_tok"),
-        countDistinct(col("doc_id")).as("d_docs"))
       val dl = tok.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dl"))
+        .persistTracked()
+      // totals derived from dl (r9): Σ per-doc lengths = the corpus
+      // token count and the dl row count = distinct docs — replaces a
+      // token-scale count + countDistinct pass with a doc-sized agg
+      val totals = dl.agg(
+        sum(col("dl")).cast(LongType).as("t_tok"),
+        count(lit(1)).as("d_docs"))
       // query = the 5 globally most frequent terms (full tiebreak)
       val query = tok.groupBy(col("w"))
         .agg(count(lit(1)).as("cf"))
         .orderBy(col("cf").desc, col("w"))
         .limit(5)
         .select(col("w"))
-      val df = tok.join(broadcast(query), Seq("w"))
-        .groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
       val tf = tok.join(broadcast(query), Seq("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
+        .persistTracked()
+      // df derived from tf (r9): count of distinct docs per term IS the
+      // per-term row count of the (doc, term) frequency frame — one
+      // corpus-scale pass and its query join replaced by an aggregate
+      // over the ≤ docs×5-row tf frame
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       bm25Serve(tf, df, dl, totals)
     },
     Some("""
@@ -3450,7 +3457,21 @@ object Text {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
         .persistTracked()
-      trigramServe(docs, trigramPostings(docs))
+      // r9 (guide §2.3 — shuffle fewer bytes): the in-run index build
+      // restricts postings to the PATTERN's trigrams at generation
+      // (array_intersect before the explode) instead of exploding every
+      // trigram of every document into the serve filter — the posting
+      // lists the serve path intersects are byte-identical, but the
+      // explode + groupBy shuffle carries ≤|pattern| rows per doc
+      // instead of ~length(text). The full-index build/probe economics
+      // live in q401's store (unchanged).
+      val patterned = docs.select(col("doc_id"), explode(expr(
+        "array_intersect(" +
+          "array_distinct(transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3))), " +
+          trigramPatGrams.map(g => s"'$g'")
+            .mkString("array(", ", ", ")") + ")")).as("tg"))
+      trigramServe(docs, patterned)
     },
     Some("""
       SELECT doc_id,
@@ -4316,11 +4337,15 @@ object Text {
           """transform(sequence(1, size(ws) - 15),
                i -> md5(array_join(slice(ws, i, 16), ' ')))"""))
           .as("h"))
-        .persistTracked()
+      // r9: dup docs straight off ONE hash groupBy (count keeps
+      // same-doc repeats counting as dups, exactly like the old join
+      // against per-hash counts — which shuffled the window-hash frame
+      // twice and cached it; the posting sets here are tiny)
       val dupDocs = wins
-        .join(wins.groupBy(col("h")).agg(count(lit(1)).as("c")), Seq("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("c"), collect_set(col("doc_id")).as("ids"))
         .filter(col("c") > 1L)
-        .select(col("doc_id").as("dd")).distinct()
+        .select(explode(col("ids")).as("dd")).distinct()
       val base = scored
         .join(dupDocs, col("doc_id") === col("dd"), "left")
         .withColumn("is_dup", col("dd").isNotNull)
@@ -4427,12 +4452,20 @@ object Text {
         .orderBy(col("cf").desc, col("w"))
         .limit(5)
         .select(col("w").as("qw"), md5(col("w")).as("qh"))
-      val docToks = raw.distinct()
-        .withColumn("th", md5(col("w")))
       val dot = maxSimDotSql("th", "qh")
-      docToks
+      // r9 (guide §1.2 per-task work): the 8-term nibble dot is ~80
+      // string ops per evaluated row — evaluate it once per DISTINCT
+      // TOKEN × query term (vocabulary-sized) instead of once per
+      // (doc, token) × term, and join the 5-wide token scores back;
+      // md5(w) likewise moves to the vocab grain
+      val wDots = raw.select(col("w")).distinct()
+        .withColumn("th", md5(col("w")))
         .crossJoin(broadcast(query))
         .withColumn("dp", expr(s"CAST($dot AS BIGINT)"))
+        .select(col("w"), col("qw"), col("dp"))
+      val docToks = raw.distinct()
+      docToks
+        .join(graft.operators.Hints.autoBroadcast(wDots), Seq("w"))
         .groupBy(col("doc_id"), col("qw"))
         .agg(max(col("dp")).as("best"))
         .groupBy(col("doc_id"))
@@ -5665,9 +5698,18 @@ object Text {
               |    i -> concat_ws(' ', slice(toks, i, 8))))
               |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
           .as("g"))
-        .persistTracked()
-      val df8 = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val perDoc = grams.join(df8, Seq("g"))
+      // r9 (guide §2.4): per-gram df and the doc membership in ONE
+      // groupBy over the 8-gram key (posting lists are df-sized — df=1
+      // dominates a novelty audit by construction), replacing the
+      // groupBy + join-back that shuffled the 8-gram strings twice and
+      // cached the exploded frame
+      val perDoc = grams
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"),
+          collect_list(struct(col("doc_id"), col("source"))).as("ds"))
+        .select(col("df"), explode(col("ds")).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
+          col("df"))
         .groupBy(col("doc_id"), col("source"))
         .agg(
           count(lit(1)).as("n_grams"),

@@ -1055,11 +1055,12 @@ object EventStream {
     val wAll = Window.partitionBy(col("user_id"), col("session_id"))
     val sess = sessionizedEvents(Tables.load(s, d, "events"))
       .withColumn("pos", row_number().over(wOrd))
-    val conv = sess.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("pos")).as("conv_pos"))
+    // r9: first-conversion position as a window over the SAME session
+    // partitioning instead of a groupBy + join-back — one shuffle and
+    // one join fewer, same null-when-no-purchase semantics
     val kept = sess
-      .join(conv, Seq("user_id", "session_id"), "left")
+      .withColumn("conv_pos",
+        min(when(col("event_type") === "purchase", col("pos"))).over(wAll))
       .filter(col("conv_pos").isNull || col("pos") <= col("conv_pos"))
       .withColumn("state",
         when(col("event_type") === "purchase", lit("CONV"))

@@ -476,20 +476,20 @@ class PlanShapeSpec extends SparkSpec {
         "window must cut the year of day partitions")
   }
 
-  test("q279 wedge join runs over the hub-capped adjacency") {
+  test("q279 wedge enumeration runs over the hub-capped adjacency") {
     // A hub centre of degree d would emit d² wedge candidates; the cap
-    // (r7 verdict item #5) bounds every centre to hubCap neighbours via
-    // one edge-sized row_number window BEFORE the self-join. Losing the
-    // window or its rank filter re-opens the d² path at 100 TB.
+    // (r7 verdict item #5) bounds every centre to its first hubCap
+    // neighbours. Since r9 the cap is the slice bound on the per-centre
+    // sorted neighbour ARRAY (the wedge pairs explode in-operator from
+    // that array instead of a capped self-join — same pair set, no
+    // window sort, no shuffled join sides). Losing the slice re-opens
+    // the d² path at 100 TB.
     val plan = formatted("q279_link_prediction")
-    assert(plan.contains("row_number"),
-      "the per-centre neighbour-rank window disappeared — wedge join " +
-        "is uncapped")
-    assert(plan.matches(s"(?s).*nbr_rank[^\n]*<= ${
-        graft.queries.Olap.hubCap}.*") ||
-      plan.matches(s"(?s).*\\(nbr_rank[^\n)]*\\) <= ${
-        graft.queries.Olap.hubCap}.*"),
-      s"the nbr_rank <= ${graft.queries.Olap.hubCap} cap filter " +
+    assert(plan.contains("slice(sort_array(collect_list"),
+      "the per-centre sorted-slice neighbour cap disappeared — wedge " +
+        "enumeration is uncapped")
+    assert(plan.contains(s", 1, ${graft.queries.Olap.hubCap})"),
+      s"the hubCap=${graft.queries.Olap.hubCap} slice bound " +
         "disappeared from the plan")
   }
 }
