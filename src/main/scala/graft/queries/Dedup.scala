@@ -287,10 +287,13 @@ object Dedup {
       // probe/build tag) carried through the per-doc groupBy
       sideCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val keys = Seq("doc_id", "lang", "source") ++ sideCol
+    // emits one row per PREFIX token with the doc's set size `sz` and
+    // the token's 1-based position `pos` in the doc's rare-first order
+    // — the inputs of the r9 positional candidate filter below
     docs.select(
-        keys.map(col) :+ explode(col("toks")).as("tok"): _*)
+        keys.map(col) :+ col("sz") :+ explode(col("toks")).as("tok"): _*)
       .join(Hints.autoBroadcast(order), Seq("tok"))
-      .groupBy(keys.map(col): _*)
+      .groupBy((keys :+ "sz").map(col): _*)
       .agg(expr("transform(sort_array(collect_list(struct(df, tok))), " +
         "s -> s.tok)").as("sorted_toks"))
       .withColumn(
@@ -298,8 +301,48 @@ object Dedup {
         expr(s"slice(sorted_toks, 1, size(sorted_toks) " +
           s"- CAST(ceil($t * size(sorted_toks)) AS INT) + 1)"))
       .select(
-        keys.map(col) :+ explode(col("prefix")).as("tok"): _*)
+        (keys :+ "sz").map(col) :+
+          posexplode(col("prefix")).as(Seq("pos0", "tok")): _*)
+      .withColumn("pos", col("pos0") + 1)
+      .drop("pos0")
   }
+
+  /** The r9 POSITIONAL candidate filter (Xiao et al. VLDB'08 PPJoin's
+    * position bound, bulk form): for a candidate pair, let (ia, ib) be
+    * the positions of the FIRST shared prefix token in each doc's
+    * rare-first order. Any shared token ranking before it would sit at
+    * smaller positions on BOTH sides — inside both prefixes — and would
+    * itself be a shared prefix event, contradicting "first"; so every
+    * shared token ranks at-or-after it and
+    *   |A∩B| ≤ 1 + min(la − ia, lb − ib).
+    * A pair is kept iff that upper bound still clears the jaccard
+    * threshold under the SAME correctly-rounded double compare the
+    * verifier applies (division is monotone in the numerator, so a
+    * bound that fails implies the true overlap fails — zero false
+    * pruning; a zero denominator yields +Infinity and keeps). */
+  private def pairBoundKeep(t: Double): org.apache.spark.sql.Column = {
+    val ub = lit(1L) +
+      least(col("la") - col("fe.ia"), col("lb") - col("fe.ib"))
+    (ub.cast(DoubleType) /
+      (col("la") + col("lb") - ub).cast(DoubleType)) >= t
+  }
+
+  /** Shared tail of the r9 candidate generators: explode sorted
+    * per-token event lists into (doc_a, la, ia, doc_b, lb, ib) rows,
+    * reduce per pair, and apply the length + positional filters. */
+  private def pairsFromEvents(
+      pairEvents: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame =
+    pairEvents
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(col("la")).as("la"), max(col("lb")).as("lb"),
+        min(struct(col("ia").as("ia"), col("ib").as("ib"))).as("fe"))
+      .filter(
+        least(col("la"), col("lb")).cast(DoubleType) >=
+          greatest(col("la"), col("lb")) * t)
+      .filter(pairBoundKeep(t))
+      .select(col("doc_a"), col("doc_b"))
 
   /** Exact verification of candidate pairs: token sets joined back,
     * length-ratio prefilter (implied by jaccard ≥ t — skips the
@@ -339,22 +382,29 @@ object Dedup {
     // whole prefix pipeline TWICE (no CSE across self-join sides) and
     // shuffled+sorted both copies into a sort-merge join; grouping the
     // prefix rows once per (lang, source, tok) and exploding in-bucket
-    // id pairs produces the IDENTICAL candidate set — ids are sorted, so
-    // the x < y explode is exactly the a.doc_id < b.doc_id join output —
-    // with ONE pass over the pipeline and one groupBy shuffle. Per-task
+    // pairs produces the IDENTICAL candidate set — events are sorted by
+    // doc_id, so the x < y explode is exactly the a.doc_id < b.doc_id
+    // join output — with ONE pass over the pipeline and one groupBy
+    // shuffle. The per-pair reduce then applies the length filter AND
+    // the PPJoin positional bound ([[pairBoundKeep]]) BEFORE any token
+    // array is joined in: at the 50× sweep this cuts the verify input
+    // from ~7.9M candidate pairs to the positional survivors. Per-task
     // memory is bounded by the largest prefix posting list (rare-first
     // tokens keep these short; the pair EXPLOSION is the same either
     // way — a hot token costs the self-join the same quadratic output).
-    val candidates = prefixRows(docs, dfTable(docs), t)
+    val events = prefixRows(docs, dfTable(docs), t)
       .groupBy(col("lang"), col("source"), col("tok"))
-      .agg(expr("sort_array(collect_set(doc_id))").as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(expr("sort_array(collect_set(struct(doc_id, sz, pos)))")
+        .as("es"))
+      .filter(size(col("es")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-               y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+        """flatten(transform(es, (x, i) ->
+             transform(slice(es, i + 2, size(es)),
+               y -> struct(x.doc_id AS doc_a, x.sz AS la, x.pos AS ia,
+                           y.doc_id AS doc_b, y.sz AS lb,
+                           y.pos AS ib))))""")).as("p"))
+      .select(col("p.*"))
+    val candidates = pairsFromEvents(events, t)
     val sets = docs.select(col("doc_id"), col("toks"), col("sz"))
     verifyJaccard(candidates, sets, sets, t)
   }
@@ -380,19 +430,23 @@ object Dedup {
     val cols = Seq("doc_id", "lang", "source", "toks", "sz").map(col)
     val tagged = probe.select(cols: _*).withColumn("_side", lit(1))
       .unionByName(build.select(cols: _*).withColumn("_side", lit(0)))
-    val candidates = prefixRows(tagged, dfTable(tagged), t,
+    val events = prefixRows(tagged, dfTable(tagged), t,
         sideCol = Some("_side"))
       .groupBy(col("lang"), col("source"), col("tok"))
       .agg(
-        collect_set(when(col("_side") === 1, col("doc_id"))).as("pids"),
-        collect_set(when(col("_side") === 0, col("doc_id"))).as("bids"))
-      .filter(size(col("pids")) > 0 && size(col("bids")) > 0)
+        collect_set(when(col("_side") === 1,
+          struct(col("doc_id"), col("sz"), col("pos")))).as("pes"),
+        collect_set(when(col("_side") === 0,
+          struct(col("doc_id"), col("sz"), col("pos")))).as("bes"))
+      .filter(size(col("pes")) > 0 && size(col("bes")) > 0)
       .select(explode(expr(
-        """flatten(transform(pids, x ->
-             transform(bids, y -> struct(x AS doc_a, y AS doc_b))))"""))
+        """flatten(transform(pes, x ->
+             transform(bes, y ->
+               struct(x.doc_id AS doc_a, x.sz AS la, x.pos AS ia,
+                      y.doc_id AS doc_b, y.sz AS lb, y.pos AS ib))))"""))
         .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+      .select(col("p.*"))
+    val candidates = pairsFromEvents(events, t)
     verifyJaccard(
       candidates,
       probe.select(col("doc_id"), col("toks"), col("sz")),
