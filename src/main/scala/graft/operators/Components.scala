@@ -108,6 +108,9 @@ object Components {
       // decrease, so label(label(id)) <= label(id))
       val lblMap =
         stepped.select(col("id").as("mid"), col("lbl").as("mlbl"))
+      // jumped is checkpointed too: lazy, its halving broadcast would
+      // be rebuilt by every consumer (the sum probe + both of next
+      // round's joins) — A/B'd slower than the one materialization
       val jumped = stepped
         .join(maybeBcast(lblMap), col("lbl") === col("mid"), "left")
         .select(
